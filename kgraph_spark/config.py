@@ -1,0 +1,119 @@
+"""Pipeline configuration + domain registry.
+
+Mirrors the reference's ChunkingConfig (kgraph/pipeline/streaming.py:79-94),
+PromotionConfig (kgschema/kgschema/promotion.py:21-26 + examples/medlit/domain.py:97-110),
+the predicate spec registry (examples/medlit/domain_spec.py:285-399) and the
+British→American spelling map (examples/medlit/pipeline/dedup.py:29-35).
+All constants are shared between the Spark pipeline, the synthetic-corpus
+generator and the pure-Python golden oracle so semantics cannot drift."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ChunkingConfig:
+    chunk_size: int = 2000
+    overlap: int = 200
+    respect_boundaries: bool = True
+    min_chunk_size: int = 500
+
+
+@dataclass(frozen=True)
+class PromotionConfig:
+    min_usage: int = 1
+    min_confidence: float = 0.4
+    force_promote_confidence: float = 0.7  # reference promotion.py:86-96
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    chunking: ChunkingConfig = field(default_factory=ChunkingConfig)
+    promotion: PromotionConfig = field(default_factory=PromotionConfig)
+    cooccur_window: int = 5          # sherlock relationships.py:81
+    cooccur_min_chars: int = 40      # sherlock relationships.py:~90 (len(para_lc) < 40 skip)
+    cooccur_max_conf: float = 0.95   # min(0.95, 0.60 + 0.10*n)
+    cooccur_base_conf: float = 0.60
+    cooccur_step_conf: float = 0.10
+    same_as_min_conf: float = 0.85   # dedup.py:379
+    appears_in_conf: float = 0.95    # sherlock relationships.py:~50
+    cc_max_iterations: int = 20      # hash-to-min bound; synonym clusters are tiny
+
+
+# British → American spelling for dedup lookups (dedup.py:29-35)
+SPELLING_NORMALIZATIONS: dict[str, str] = {
+    "hyperglycaemia": "hyperglycemia",
+    "haemoglobin": "hemoglobin",
+    "tumour": "tumor",
+    "oesophagus": "esophagus",
+    "leukaemia": "leukemia",
+}
+
+# entity types from the medlit registry (examples/medlit/domain.py:48-62)
+ENTITY_TYPES = [
+    "disease", "gene", "drug", "protein", "symptom", "procedure",
+    "biomarker", "pathway", "location", "hormone",
+]
+
+# relation phrase → (predicate, confidence). Deterministic pattern rules: the
+# generator plants sentences "<alias> <phrase> <alias>." and the extractor
+# matches them back (the sherlock-style deterministic stand-in for the
+# reference's LLM extractor — SURVEY.md §2 determinism note).
+RELATION_PHRASES: dict[str, tuple[str, float]] = {
+    "treats": ("treats", 0.90),
+    "causes": ("causes", 0.85),
+    "prevents": ("prevents", 0.85),
+    "inhibits": ("inhibits", 0.85),
+    "regulates": ("regulates", 0.80),
+    "interacts with": ("interacts_with", 0.80),
+    "is associated with": ("associated_with", 0.75),
+    "indicates": ("indicates", 0.85),
+    "is also known as": ("same_as", 0.90),
+}
+
+# predicate registry: (predicate, subject_types|None, object_types|None,
+#                      specificity, symmetric, is_merge_signal)
+# specificity map mirrors relationships.py:31-34 (indicates=2 > associated_with=1 > 0)
+PREDICATE_SPECS: list[tuple[str, list[str] | None, list[str] | None, int, bool, bool]] = [
+    ("treats", ["drug", "procedure"], ["disease", "symptom"], 0, False, False),
+    ("causes", ["gene", "drug", "disease"], ["disease", "symptom"], 0, False, False),
+    ("prevents", ["drug", "procedure"], ["disease", "symptom"], 0, False, False),
+    ("inhibits", ["drug", "protein"], ["protein", "gene", "pathway"], 0, False, False),
+    ("regulates", ["gene", "protein", "hormone"], ["gene", "protein", "pathway"], 0, False, False),
+    ("interacts_with", ["drug", "protein", "gene"], ["drug", "protein", "gene"], 0, True, False),
+    ("associated_with", None, None, 1, True, False),
+    ("indicates", ["biomarker", "gene", "protein"], ["disease"], 2, False, False),
+    ("same_as", None, None, 0, True, True),
+    ("co_occurs_with", None, None, 0, True, False),
+    ("appears_in", None, None, 0, False, False),
+]
+
+SYMMETRIC_PREDICATES = frozenset(p for (p, _st, _ot, _spec, sym, _ms) in PREDICATE_SPECS if sym)
+SPECIFICITY: dict[str, int] = {p: spec for (p, _st, _ot, spec, _sym, _ms) in PREDICATE_SPECS}
+MERGE_SIGNAL_PREDICATE = "same_as"
+
+PROV_PREFIX = "prov-"
+
+
+def is_authoritative_id(s: str | None) -> bool:
+    """Python twin of the Spark expression in canonicalize.py.
+
+    Mirrors reference dedup.py:44-85 (_is_authoritative_id): authoritative
+    ontology-ID formats vs synthetic prov- slugs."""
+    if not s or not s.strip():
+        return False
+    if s.startswith(PROV_PREFIX) or s.startswith("DOC:"):
+        return False
+    for pfx in ("MeSH:", "HGNC:", "RxNorm:", "UniProt:", "DBPedia:", "ROR:", "ORCID:"):
+        if s.startswith(pfx):
+            return True
+    if len(s) > 1 and s[0] in ("D", "C") and s[1:].isdigit():
+        return True
+    if s.isdigit():
+        return True
+    if s[0] in ("P", "Q") and len(s) >= 6 and s[1:].isalnum():
+        return True
+    if s.startswith("PMC") and len(s) > 3 and s[3:].isdigit():
+        return True
+    return False

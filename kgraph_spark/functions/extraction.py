@@ -1,0 +1,189 @@
+"""Deterministic extraction core — pure per-document functions.
+
+These are the pluggable "extractor" stage of the pipeline (the reference's
+EntityExtractorInterface / RelationshipExtractorInterface,
+kgraph/pipeline/interfaces.py:31-232). The deterministic gazetteer +
+pattern-rule family mirrors the reference's sherlock pipeline
+(examples/sherlock/pipeline/mentions.py:17-89, relationships.py:32-112) and
+its test conventions — the reference's own pytest suite never calls an LLM
+(tests/conftest.py:261-297 uses bracket mocks).
+
+Pure functions of (text, compiled tables) so that:
+  * the Spark pipeline calls them inside Arrow-batched pandas UDFs
+    (operators/mentions.py) — precompiled once per executor from a broadcast;
+  * the golden oracle (golden.py) calls them per document directly.
+Everything downstream of extraction (resolution joins, connected components,
+co-occurrence, accumulation) is implemented twice and independently: once as
+DataFrame algebra, once as plain-Python dicts — that is the correctness gate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from kgraph_spark.config import RELATION_PHRASES, ChunkingConfig
+from kgraph_spark.functions.normalize import norm_key_py
+
+# --------------------------------------------------------------------------
+# chunking — exact semantics of WindowedDocumentChunker.chunk
+# (kgraph/pipeline/streaming.py:151-244): sliding window, sentence-boundary
+# snap within the last 20% of the window, min_chunk_size filter except for
+# the final chunk, step = chunk_size - overlap.
+# --------------------------------------------------------------------------
+
+
+def chunk_text(content: str, cfg: ChunkingConfig) -> list[tuple[str, int, int, int]]:
+    """Return [(chunk_content, start_offset, end_offset, chunk_index)]."""
+    n = len(content)
+    if n == 0:
+        return []
+    if n <= cfg.chunk_size:
+        return [(content, 0, n, 0)]
+    chunks: list[tuple[str, int, int, int]] = []
+    cur = 0
+    idx = 0
+    while cur < n:
+        end = min(cur + cfg.chunk_size, n)
+        if cfg.respect_boundaries and end < n:
+            search_start = end - int(cfg.chunk_size * 0.2)
+            region = content[search_start:end]
+            for punct in (".", "!", "?"):
+                last = region.rfind(punct)
+                if last != -1:
+                    end = search_start + last + 1
+                    break
+        piece = content[cur:end]
+        if len(piece) >= cfg.min_chunk_size or end >= n:
+            chunks.append((piece, cur, end, idx))
+            idx += 1
+        cur += cfg.chunk_size - cfg.overlap
+    return chunks
+
+
+# --------------------------------------------------------------------------
+# gazetteer mention extraction (sherlock mentions.py:17-89 semantics:
+# word-boundary, case-insensitive, conf 1.0 exact name / 0.95 multi-word
+# alias / 0.80 short alias, canonical_id_hint carried).
+# Implemented as ONE alternation regex with a zero-width lookahead so
+# overlapping occurrences at distinct start positions are all found
+# (longest alternative wins at equal start) — O(text) instead of
+# O(text × aliases).
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class GazetteerEntry:
+    alias: str
+    canonical_id: str | None  # None → vocabulary-only, becomes provisional
+    entity_type: str
+    confidence: float
+
+
+class CompiledGazetteer:
+    def __init__(self, entries: list[GazetteerEntry]):
+        # longest-first so the leftmost alternative at a position is the longest
+        ordered = sorted(entries, key=lambda e: len(e.alias), reverse=True)
+        self.by_key: dict[str, GazetteerEntry] = {}
+        for e in ordered:
+            k = e.alias.casefold()
+            # one entry per casefolded surface form (generator guarantees
+            # uniqueness; keep the first = longest/highest precedence)
+            self.by_key.setdefault(k, e)
+        alt = "|".join(re.escape(e.alias) for e in ordered)
+        self.pattern = re.compile(rf"(?=\b({alt})\b)", re.IGNORECASE) if ordered else None
+
+    def find(self, text: str) -> list[tuple[int, int, str, GazetteerEntry]]:
+        """[(start, end, matched_text, entry)] for every occurrence."""
+        if self.pattern is None:
+            return []
+        out = []
+        for m in self.pattern.finditer(text):
+            s = m.start(1)
+            matched = m.group(1)
+            entry = self.by_key.get(matched.casefold())
+            if entry is not None:
+                out.append((s, s + len(matched), matched, entry))
+        return out
+
+
+def extract_mentions_from_chunks(
+    chunks: list[tuple[str, int, int, int]],
+    gaz: CompiledGazetteer,
+    para_starts: list[int],
+) -> list[dict]:
+    """Gazetteer pass per chunk, offsets re-based to the document
+    (streaming.py:345-424), then cross-window dedup by normalized
+    (name, type) keeping max confidence, ties → min start_offset
+    (streaming.py:400-409 keep-max semantics).
+
+    para_starts: content offset of each text paragraph, for para_idx
+    (paragraph containing the mention start — used by co-occurrence)."""
+    best: dict[tuple[str, str], dict] = {}
+    for content, c_start, _c_end, _idx in chunks:
+        for s, e, matched, entry in gaz.find(content):
+            gs, ge = s + c_start, e + c_start
+            # paragraph index: last para_start <= gs
+            lo, hi = 0, len(para_starts) - 1
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if para_starts[mid] <= gs:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            key = (norm_key_py(matched), entry.entity_type)
+            cand = {
+                "text": matched,
+                "entity_type": entry.entity_type,
+                "start_offset": gs,
+                "end_offset": ge,
+                "confidence": entry.confidence,
+                "canonical_id_hint": entry.canonical_id,
+                "para_idx": lo,
+            }
+            prev = best.get(key)
+            if (
+                prev is None
+                or cand["confidence"] > prev["confidence"]
+                or (cand["confidence"] == prev["confidence"] and cand["start_offset"] < prev["start_offset"])
+            ):
+                best[key] = cand
+    return sorted(best.values(), key=lambda d: (d["start_offset"], d["entity_type"]))
+
+
+# --------------------------------------------------------------------------
+# relation-pattern extraction (deterministic stand-in for the reference's
+# LLM extractor F2; output shape = RelationshipRow pre-validation,
+# bundle_models.py:143-163). One sentence-anchored regex per document pass.
+# --------------------------------------------------------------------------
+
+_PHRASE_ALT = "|".join(
+    re.escape(p) for p in sorted(RELATION_PHRASES, key=len, reverse=True)
+)
+_REL_RX = re.compile(
+    rf"(?:^|(?<=[.!?]\s))\s*([A-Za-z0-9][A-Za-z0-9 \-]*?)\s+({_PHRASE_ALT})\s+([A-Za-z0-9][A-Za-z0-9 \-]*?)\s*(?=[.!?])"
+)
+
+
+def extract_relations(paragraphs: list[str]) -> list[dict]:
+    """Scan each text paragraph for '<subject> <phrase> <object>.' sentences.
+
+    Returns raw (subject_text, predicate, object_text, confidence, para_idx,
+    evidence) dicts; endpoint texts are resolved against the entity index
+    downstream (reference F3, relationships.py:713-728)."""
+    out = []
+    for pi, para in enumerate(paragraphs):
+        for m in _REL_RX.finditer(para):
+            subj, phrase, obj = m.group(1).strip(), m.group(2), m.group(3).strip()
+            pred, conf = RELATION_PHRASES[phrase]
+            out.append(
+                {
+                    "subject_text": subj,
+                    "predicate": pred,
+                    "object_text": obj,
+                    "confidence": conf,
+                    "para_idx": pi,
+                    "evidence": m.group(0).strip(),
+                }
+            )
+    return out

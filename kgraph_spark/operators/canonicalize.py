@@ -1,0 +1,119 @@
+"""Canonicalization: SAME_AS transitive merge via connected components
+(SURVEY.md §2 D8–D12).
+
+The reference resolves SAME_AS merges by in-place pairwise rewriting of two
+dicts (examples/medlit/pipeline/dedup.py:370-404) — an O(n·merges) sequential
+transitive closure. The batch restatement is connected components over the
+SAME_AS edge set: hash-to-min label propagation (each node repeatedly takes
+the min label in its neighborhood), which converges in O(log d) rounds for
+diameter d. Synonym clusters are tiny (chains of 3–5), so this converges in
+2–3 rounds; localCheckpoint per round truncates lineage so the plan doesn't
+grow (the one genuinely iterative piece of the pipeline — SURVEY.md §4).
+
+Winner election mirrors dedup.py:386-387 + 526-534 deterministically:
+authoritative ontology id beats prov- slug, then lexicographically smallest."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kgraph_spark.config import PROV_PREFIX
+
+
+def is_authoritative_col(c: Column) -> Column:
+    """Spark twin of config.is_authoritative_id (reference dedup.py:44-85)."""
+    s = F.trim(c)
+    return (
+        s.isNotNull()
+        & (s != "")
+        & ~s.startswith(PROV_PREFIX)
+        & ~s.startswith("DOC:")
+        & (
+            s.startswith("MeSH:")
+            | s.startswith("HGNC:")
+            | s.startswith("RxNorm:")
+            | s.startswith("UniProt:")
+            | s.startswith("DBPedia:")
+            | s.startswith("ROR:")
+            | s.startswith("ORCID:")
+            | s.rlike(r"^[DC][0-9]+$")
+            | s.rlike(r"^[0-9]+$")
+            | s.rlike(r"^[PQ][A-Za-z0-9]{5,}$")
+            | s.rlike(r"^PMC[0-9]+$")
+        )
+    )
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """edges(src, dst) → labels(id, component) by hash-to-min propagation.
+
+    component = min node id reachable; bounded iterations + convergence check
+    (count of changed labels) with localCheckpoint per round."""
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = und.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint()
+
+    for _ in range(max_iterations):
+        # each node proposes its current label to every neighbor
+        msgs = und.join(labels, und["dst"] == labels["id"], "inner").select(
+            und["src"].alias("id"), "component"
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def merge_mapping(same_as_edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """SAME_AS edges(src, dst) → (entity_id, final_id) for merged losers only.
+
+    Per component: winner = min over (¬authoritative, id) — authoritative
+    ontology ids first, then lexicographic (dedup.py:386-387, 526-534)."""
+    labels = connected_components(same_as_edges, max_iterations)
+    ranked = labels.withColumn(
+        "_rank",
+        F.struct(
+            F.when(is_authoritative_col(F.col("id")), F.lit(0)).otherwise(F.lit(1)).alias("na"),
+            F.col("id").alias("id"),
+        ),
+    )
+    winners = ranked.groupBy("component").agg(F.min("_rank").alias("w"))
+    return (
+        labels.join(winners, "component")
+        .select(F.col("id").alias("entity_id"), F.col("w.id").alias("final_id"))
+        .filter(F.col("entity_id") != F.col("final_id"))
+    )
+
+
+def apply_merge(df: DataFrame, mapping: DataFrame, *cols: str) -> DataFrame:
+    """Rewrite entity-id columns through the loser→winner map (D12's
+    relationship retargeting, kgraph/storage/memory.py:496-546) as broadcast
+    left joins + coalesce — the map is tiny (merge clusters only)."""
+    out = df
+    for c in cols:
+        m = F.broadcast(
+            mapping.select(
+                F.col("entity_id").alias(f"_m_{c}"), F.col("final_id").alias(f"_f_{c}")
+            )
+        )
+        out = (
+            out.join(m, out[c] == F.col(f"_m_{c}"), "left")
+            .withColumn(c, F.coalesce(F.col(f"_f_{c}"), F.col(c)))
+            .drop(f"_m_{c}", f"_f_{c}")
+        )
+    return out

@@ -1,0 +1,108 @@
+"""Materialize / export (SURVEY.md §2 A5–A7, G1–G3).
+
+Produces the four bundle tables of the reference's export contract
+(kgbundle/kgbundle/models.py: EntityRow / RelationshipRow / MentionRow /
+EvidenceRow; JSONL exporter kgraph/export.py:147-296) as DataFrames, plus a
+manifest dict. Summary columns are window/agg functions (G1/G2,
+export.py:95-130)."""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgraph_spark.config import PromotionConfig
+from kgraph_spark.operators.canonicalize import is_authoritative_col
+
+
+def entities_table(resolved_mentions: DataFrame, promo: PromotionConfig | None = None) -> DataFrame:
+    """G1 entity provenance summary + E1 promotion semantics.
+
+    status: canonical when the merge key is an authoritative ontology id;
+    provisional otherwise, force-promoted to canonical at confidence ≥ 0.7
+    (reference promotion.py:86-96, domain.py:106-109)."""
+    promo = promo or PromotionConfig()
+    agg = resolved_mentions.groupBy("entity_id").agg(
+        F.max_by(F.col("entity_type"), F.col("confidence")).alias("entity_type"),
+        F.max("confidence").alias("confidence"),
+        F.count("*").alias("usage_count"),
+        F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
+        F.array_sort(F.collect_set("text")).alias("synonyms"),
+        F.min("doc_id").alias("first_seen_document"),
+        F.count("*").alias("total_mentions"),
+        F.array_sort(F.collect_set("doc_id")).alias("supporting_documents"),
+    )
+    is_auth = is_authoritative_col(F.col("entity_id"))
+    promoted = (F.col("confidence") >= promo.force_promote_confidence) & (
+        F.col("usage_count") >= promo.min_usage
+    )
+    return agg.withColumn(
+        "status",
+        F.when(is_auth | promoted, F.lit("canonical")).otherwise(F.lit("provisional")),
+    )
+
+
+def mentions_table(resolved_mentions: DataFrame) -> DataFrame:
+    """MentionRow contract (models.py:64-79)."""
+    return resolved_mentions.select(
+        "entity_id",
+        F.col("doc_id").alias("document_id"),
+        "start_offset",
+        "end_offset",
+        F.col("text").alias("text_span"),
+        "confidence",
+        F.lit("gazetteer").alias("extraction_method"),
+    )
+
+
+def evidence_table(validated_relations: DataFrame) -> DataFrame:
+    """EvidenceRow contract (models.py:82-96): relationship_key subj:pred:obj."""
+    return validated_relations.select(
+        F.concat_ws(":", "subject_id", "predicate", "object_id").alias("relationship_key"),
+        F.col("doc_id").alias("document_id"),
+        "confidence",
+        F.lit(True).alias("supports"),
+    )
+
+
+def manifest(tables: dict[str, DataFrame]) -> dict:
+    """BundleManifestV1-style counts (models.py:119-138, export.py:176-288)."""
+    return {
+        "version": 1,
+        "created_at_unix": int(time.time()),
+        "counts": {name: df.count() for name, df in tables.items()},
+    }
+
+
+def write_bundle(tables: dict[str, DataFrame], out_dir: str) -> dict:
+    """A6/A7 sink: one parquet table per bundle component + manifest.json.
+
+    Parquet stands in for Iceberg locally (no Iceberg runtime jar in this
+    sandbox); the writer API is the same `df.write` path and each table write
+    is the atomic stage commit."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    m = {"version": 1, "created_at_unix": int(time.time()), "counts": {}}
+    for name, df in tables.items():
+        path = str(out / name)
+        df.write.mode("overwrite").parquet(path)
+        m["counts"][name] = df.sparkSession.read.parquet(path).count()
+    (out / "manifest.json").write_text(json.dumps(m, indent=2))
+    return m
+
+
+def stage_metrics(df: DataFrame, stage: str, group_col: str | None = None) -> DataFrame:
+    """G3 stage statistics (kgraph/stage_models.py:73-262): per-stage counts,
+    optionally grouped — persisted by the pipeline into the metrics table
+    (north-rule lineage/metrics requirement)."""
+    if group_col:
+        return df.groupBy(F.col(group_col).alias("group_key")).agg(
+            F.count("*").alias("n")
+        ).withColumn("stage", F.lit(stage))
+    return df.sparkSession.createDataFrame(
+        [(stage, None, df.count())], "stage string, group_key string, n long"
+    ).select("group_key", "n", "stage")

@@ -1,0 +1,113 @@
+"""Mention detection + raw relation-pattern extraction (SURVEY.md §2 C1–C5, F1/F2).
+
+The deterministic gazetteer extractor (reference C4,
+examples/sherlock/pipeline/mentions.py:17-89) runs as an Arrow-batched
+mapInPandas pass fused with chunking (B1): per document we chunk, run the
+precompiled alternation regex per chunk, re-base offsets, and apply the
+cross-window keep-max-confidence dedup (C5, kgraph/pipeline/streaming.py:345-424)
+— all inside one pass so the overlapped chunk text never hits a shuffle.
+
+The gazetteer rows are shipped once per executor via SparkContext.broadcast
+and compiled lazily (module-level cache keyed by broadcast id), exactly the
+"broadcast alias table + pUDF re.finditer" design from SURVEY.md §2 C4.
+
+Scale: no shuffle at all — output mentions inherit document partitioning.
+Skewed hot entities don't matter here (map-side only)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kgraph_spark.config import ChunkingConfig
+from kgraph_spark.functions.extraction import (
+    CompiledGazetteer,
+    GazetteerEntry,
+    chunk_text,
+    extract_mentions_from_chunks,
+    extract_relations,
+)
+from kgraph_spark.operators.chunking import assemble_content
+
+_GAZ_CACHE: dict[int, CompiledGazetteer] = {}
+
+
+def _compiled(gaz_bcast) -> CompiledGazetteer:
+    key = id(gaz_bcast)
+    g = _GAZ_CACHE.get(key)
+    if g is None:
+        entries = [GazetteerEntry(*row) for row in gaz_bcast.value]
+        g = CompiledGazetteer(entries)
+        _GAZ_CACHE.clear()  # one gazetteer at a time per executor
+        _GAZ_CACHE[key] = g
+    return g
+
+
+MENTION_SCHEMA = (
+    "doc_id string, text string, entity_type string, start_offset int, "
+    "end_offset int, confidence double, canonical_id_hint string, para_idx int"
+)
+
+RAW_RELATION_SCHEMA = (
+    "doc_id string, subject_text string, predicate string, object_text string, "
+    "confidence double, para_idx int, evidence string"
+)
+
+
+def extract_mentions(docs: DataFrame, gaz_bcast, cfg: ChunkingConfig | None = None) -> DataFrame:
+    """documents → mentions (deduped per doc by normalized (name, type))."""
+    cfg = cfg or ChunkingConfig()
+    src = assemble_content(docs).select("doc_id", "content", "paras")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gazc = _compiled(gaz_bcast)
+        for pdf in batches:
+            rows = []
+            for did, content, paras in zip(pdf["doc_id"], pdf["content"], pdf["paras"]):
+                paras = list(paras)
+                para_starts, off = [], 0
+                for p in paras:
+                    para_starts.append(off)
+                    off += len(p) + 2
+                chunks = chunk_text(content or "", cfg)
+                for m in extract_mentions_from_chunks(chunks, gazc, para_starts):
+                    rows.append(
+                        (did, m["text"], m["entity_type"], m["start_offset"],
+                         m["end_offset"], m["confidence"], m["canonical_id_hint"],
+                         m["para_idx"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "text", "entity_type", "start_offset",
+                         "end_offset", "confidence", "canonical_id_hint", "para_idx"],
+            )
+
+    return src.mapInPandas(gen, schema=MENTION_SCHEMA)
+
+
+def extract_raw_relations(docs: DataFrame) -> DataFrame:
+    """documents → raw '<subj> <phrase> <obj>.' pattern hits (pre-resolution).
+
+    Deterministic stand-in for the reference's LLM relationship extractor
+    (F2, examples/medlit/pipeline/relationships.py:567-675) — the validation
+    chain downstream (operators/relationships.py) is extractor-agnostic."""
+    src = assemble_content(docs).select("doc_id", "paras")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, paras in zip(pdf["doc_id"], pdf["paras"]):
+                for r in extract_relations(list(paras)):
+                    rows.append(
+                        (did, r["subject_text"], r["predicate"], r["object_text"],
+                         r["confidence"], r["para_idx"], r["evidence"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "subject_text", "predicate", "object_text",
+                         "confidence", "para_idx", "evidence"],
+            )
+
+    return src.mapInPandas(gen, schema=RAW_RELATION_SCHEMA)

@@ -1,0 +1,108 @@
+"""Entity resolution / linking (SURVEY.md §2 D1–D7).
+
+The reference's per-mention resolve loop (kgraph/ingest.py:344-388;
+examples/medlit/pipeline/resolve.py:46-205) becomes ONE broadcast hash join
+against the alias index — the Spark restatement of the D7 priority chain:
+
+    hint (D1)  >  name/synonym equi-join on normalized key incl. British→
+    American spelling (D2/D7)  >  content-hashed provisional id (D5).
+
+The alias index is a small dimension (KB names + synonyms + vocabulary
+forms); at 100 TB of documents it is still ≪ broadcast threshold, so
+resolution never shuffles the mention table and is immune to hot-entity
+skew (the skewed key never becomes a shuffle key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kgraph_spark.config import PROV_PREFIX
+from kgraph_spark.functions.normalize import norm_dedup_col
+
+
+def prov_id_col(name_col, type_col):
+    """Spark twin of golden.prov_id — content-hashed provisional entity id
+    (replaces the reference's uuid slug, dedup.py:209-211, for distributed
+    determinism). sha1 hex == hashlib.sha1(...).hexdigest()."""
+    return F.concat(
+        F.lit(PROV_PREFIX),
+        F.substring(F.sha1(F.concat(norm_dedup_col(name_col), F.lit("|"), type_col)), 1, 12),
+    )
+
+
+def alias_index_df(spark: SparkSession, gazetteer_rows: list[tuple]) -> DataFrame:
+    """gazetteer (alias, canonical_id|None, entity_type, confidence) →
+    (norm_key, entity_id, entity_type). One row per normalized surface form;
+    KB-backed rows win over vocabulary-only rows (golden.build_alias_index)."""
+    df = spark.createDataFrame(
+        gazetteer_rows, "alias string, canonical_id string, entity_type string, confidence double"
+    )
+    df = df.withColumn("norm_key", norm_dedup_col(F.col("alias"))).withColumn(
+        "entity_id",
+        F.coalesce(F.col("canonical_id"), prov_id_col(F.col("alias"), F.col("entity_type"))),
+    )
+    w = Window.partitionBy("norm_key").orderBy(
+        F.col("canonical_id").isNull().asc(), F.col("alias").asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("norm_key", "entity_id", "entity_type")
+    )
+
+
+def resolve_mentions(mentions: DataFrame, alias_index: DataFrame) -> DataFrame:
+    """mentions → + entity_id via broadcast join on the normalized surface.
+
+    Misses fall back to hint then content hash (never happens when the
+    gazetteer and alias index share surfaces, but keeps the operator total)."""
+    idx = F.broadcast(alias_index.withColumnRenamed("entity_type", "_idx_type"))
+    joined = mentions.withColumn("_norm", norm_dedup_col(F.col("text"))).join(
+        idx, F.col("_norm") == idx["norm_key"], "left"
+    )
+    return joined.withColumn(
+        "entity_id",
+        F.coalesce(
+            idx["entity_id"],
+            F.col("canonical_id_hint"),
+            prov_id_col(F.col("text"), F.col("entity_type")),
+        ),
+    ).drop("norm_key", "_idx_type", "_norm")
+
+
+def resolve_relation_endpoints(raw_relations: DataFrame, alias_index: DataFrame) -> DataFrame:
+    """raw (subject_text, predicate, object_text) → resolved endpoint ids+types.
+
+    Inner joins drop unresolvable endpoints (reference F14 name-fallback
+    ambiguity → drop, dedup.py:441-462). Both joins broadcast the index."""
+    s_idx = F.broadcast(
+        alias_index.select(
+            F.col("norm_key").alias("_s_key"),
+            F.col("entity_id").alias("subject_id"),
+            F.col("entity_type").alias("subject_type"),
+        )
+    )
+    o_idx = F.broadcast(
+        alias_index.select(
+            F.col("norm_key").alias("_o_key"),
+            F.col("entity_id").alias("object_id"),
+            F.col("entity_type").alias("object_type"),
+        )
+    )
+    return (
+        raw_relations.withColumn("_s_norm", norm_dedup_col(F.col("subject_text")))
+        .withColumn("_o_norm", norm_dedup_col(F.col("object_text")))
+        .join(s_idx, F.col("_s_norm") == F.col("_s_key"), "inner")
+        .join(o_idx, F.col("_o_norm") == F.col("_o_key"), "inner")
+        .drop("_s_norm", "_o_norm", "_s_key", "_o_key")
+    )
+
+
+def usage_counts(resolved_mentions: DataFrame) -> DataFrame:
+    """D6 usage accumulation: the reference's per-mention += 1
+    (ingest.py:353-374) as a partial-aggregating groupBy."""
+    return resolved_mentions.groupBy("entity_id").agg(
+        F.count("*").alias("usage_count"),
+        F.countDistinct("doc_id").alias("document_count"),
+    )
