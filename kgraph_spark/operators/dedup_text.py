@@ -1,0 +1,190 @@
+"""Document deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH banding, SimHash, and n-gram Jaccard —
+the standard near-duplicate stack for web-scale corpus cleaning. All are
+expressed so the heavy lifting stays in JVM expressions or one bounded
+self-join on LSH bucket keys (never an O(n²) cross join).
+
+At 100 TB: exact dedup is one shuffle on a 16-byte digest; MinHash banding
+turns near-dup detection into groupBy(band_hash) with bounded bucket sizes;
+pair verification only runs inside buckets."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Content-hash groups: (content_hash, canonical_doc_id=min id, n_dups).
+    One shuffle on the digest; map-side partial agg."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) word k-gram shingle set — built-in transforms only:
+    split → sliding window via transform over index sequence → explode."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — one xxhash64 per seed, min per doc.
+    Vectorized: explode seeds once, two-level agg; stays JVM-side."""
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hashed = sh.select(
+        "doc_id",
+        F.posexplode(F.transform(seeds, lambda s: F.xxhash64(F.col("shingle"), s))).alias("h_idx", "h"),
+    )
+    per = hashed.groupBy("doc_id", "h_idx").agg(F.min("h").alias("mh"))
+    return per.groupBy("doc_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("h_idx", "mh"))), lambda x: x["mh"]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Band the signature, bucket-join within bands → candidate pairs with
+    estimated Jaccard (fraction of matching minhash components).
+
+    The self-join key is (band_idx, band_hash): bucket sizes are bounded by
+    similarity structure, never the corpus size — this is the scale path
+    (an O(n²) cosine/jaccard cross join is the anti-pattern the reference
+    itself warns about, kgraph/ingest.py:877-880)."""
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return pairs.select(
+        "doc_a", "doc_b", (matches / F.size("sig_a")).alias("est_jaccard")
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted index (not cross join):
+    join docs sharing a shingle → pair intersection counts → |A∩B| /
+    (|A|+|B|-|A∩B|). Hot shingles can skew the self-join; AQE skew-join
+    handles it (cap very frequent shingles upstream if needed)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
+
+    Pure JVM expressions: token → xxhash64 → per-bit ±1 votes aggregated via
+    explode + groupBy; sign of vote per bit → bit set."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    # literal shift amounts (the Python shiftright wrapper requires an int)
+    bit_votes = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                    for i in range(bits)
+                ]
+            )
+        ).alias("bit", "vote"),
+    )
+    agg = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    # shiftleft with a column shift amount needs the SQL form (the Python
+    # wrapper only accepts a literal int)
+    return agg.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k, blocked on 4 disjoint 16-bit
+    chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so
+    the self-join is on chunk equality, never all-pairs."""
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * prefix_bits).bitwiseAND(F.lit((1 << prefix_bits) - 1))
+                    for i in range(64 // prefix_bits)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )

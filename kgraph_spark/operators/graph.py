@@ -1,0 +1,61 @@
+"""Query-side graph operators (SURVEY.md §2 H1–H4).
+
+The reference's BFS subgraph extraction (kgserver/query/graph_traversal.py:178-290)
+as an iterative frontier join over the triples/edge table: per hop,
+frontier ⨝ edges (both directions), dedup, cap. Hop count ≤ 5 in the
+reference; each hop is one shuffle on the join key — at scale the edge table
+should be bucketed by subject_id so frontier joins co-locate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_subgraph(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    max_nodes: int | None = None,
+    directed: bool = False,
+) -> DataFrame:
+    """edges(subject_id, predicate, object_id), seeds(entity_id) →
+    (entity_id, hop) reachable within max_hops (hop = first-reach distance).
+
+    Mirrors extract_subgraph BFS semantics (graph_traversal.py:178-290):
+    frontier expansion with visited-set dedup and optional node cap."""
+    fwd = edges.select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
+    und = fwd if directed else fwd.union(
+        edges.select(F.col("object_id").alias("src"), F.col("subject_id").alias("dst"))
+    )
+    visited = seeds.select(F.col("entity_id")).distinct().withColumn("hop", F.lit(0))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["entity_id"] == und["src"], "inner")
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+        if max_nodes is not None and visited.count() >= max_nodes:
+            break
+    out = visited
+    if max_nodes is not None:
+        out = out.orderBy("hop", "entity_id").limit(max_nodes)
+    return out
+
+
+def subgraph_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Edges with both endpoints inside the node set (H2 presentation rule:
+    filters affect presentation, not topology — bfsql.md:1-60)."""
+    n = nodes.select(F.col("entity_id")).distinct()
+    return (
+        edges.join(n.withColumnRenamed("entity_id", "subject_id"), "subject_id", "left_semi")
+        .join(n.withColumnRenamed("entity_id", "object_id"), "object_id", "left_semi")
+    )

@@ -1,0 +1,112 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas.
+
+The Spark-side contract (schema, partition-preserving batch processing,
+UDF signatures, batch shapes) is real and tested; the actual decode step is
+stubbed deterministically because no image/audio libraries exist in this
+container — swap `_fake_decode` for PIL/torchaudio in production, the
+dataflow does not change. Media spans from the interleaved documents table
+(kind='media', media_ref) join against this asset table by media_ref."""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_ASSET = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),       # opaque payload
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_ref string, media_type string, n_bytes int, "
+    "feature array<float>, decode_ok boolean"
+)
+
+
+def media_refs_from_documents(docs: DataFrame) -> DataFrame:
+    """Extract the media-span side of the interleaved documents table:
+    (doc_id, media_ref, span_offset). Pure higher-order functions."""
+    media = F.filter("spans", lambda s: s["kind"] == "media")
+    return docs.select(
+        "doc_id",
+        F.explode(media).alias("m"),
+    ).select("doc_id", F.col("m.media_ref").alias("media_ref"), F.col("m.offset").alias("span_offset"))
+
+
+def synth_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic fake asset table for the corpus' media refs: payload =
+    sha256 stream of the ref (stands in for real bytes; sizes vary)."""
+    refs = media_refs_from_documents(docs).select("media_ref").distinct()
+    return refs.select(
+        "media_ref",
+        F.lit("image").alias("media_type"),
+        F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex")).alias("content"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _fake_decode(ref: str, payload: bytes | None, dim: int = 8) -> np.ndarray:
+    """STUB for the real decoder (PIL image decode / resize / embed).
+
+    Deterministic: feature = normalized bytes of sha256(ref || payload).
+    Raises NotImplementedError for media types a real decoder would reject —
+    the pipeline's error-handling path is therefore exercised for real."""
+    h = hashlib.sha256((ref or "").encode() + (payload or b"")).digest()
+    return np.frombuffer(h[:dim], dtype=np.uint8).astype(np.float32) / 255.0
+
+
+def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, one feature vector
+    per asset out. Batch shape (the real contract): each pandas batch holds
+    ≤ spark.sql.execution.arrow.maxRecordsPerBatch rows; payload bytes stay
+    in Arrow buffers (zero-copy) until touched."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ok = [], []
+            for ref, mtype, content in zip(pdf["media_ref"], pdf["media_type"], pdf["content"]):
+                try:
+                    if mtype not in ("image", "audio", "video"):
+                        raise NotImplementedError(f"no decoder for {mtype}")
+                    feats.append([float(x) for x in _fake_decode(ref, content, dim)])
+                    ok.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "feature": feats,
+                    "decode_ok": ok,
+                }
+            )
+
+    return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: (media_ref, frame_ts_ms) rows — the
+    explode-side plumbing for a real frame extractor (sequence + explode,
+    no Python)."""
+    vids = assets.filter(F.col("media_type") == "video").filter(F.col("duration_ms").isNotNull())
+    return vids.select(
+        "media_ref",
+        F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,88 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM column expressions (whole-stage codegen; no UDFs) with
+definitions simple enough to be mirrored exactly in ANSI SQL for the
+DuckDB oracle (__spark_entry__.oracle_sql)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language for the n-gram/stopword language heuristic.
+# Deliberately tiny + exactly mirrored in the SQL oracle.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "es": ["el", "los", "que"],
+}
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len) — whitespace tokens."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / F.size(toks)).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / alpha-ratio quality features + composite score.
+
+    score = 0.5·alpha_ratio + 0.3·(1 − punct_ratio) + 0.2·min(1, n_tokens/100)
+    (the usual cheap pre-filter shape for corpus cleaning)."""
+    txt = F.col(text_col)
+    n = F.length(txt)
+    alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
+    n_tokens = F.size(F.split(F.trim(txt), r"\s+"))
+    alpha_ratio = alpha / n
+    punct_ratio = punct / n
+    return docs.select(
+        F.col(id_col),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        n_tokens.alias("n_tokens"),
+        (
+            0.5 * alpha_ratio
+            + 0.3 * (1 - punct_ratio)
+            + 0.2 * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        ).alias("quality_score"),
+    )
+
+
+def language_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_en, n_de, n_es, lang_guess) — SQL-mirrorable exactly."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def cnt(markers):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    n_en, n_de, n_es = (cnt(LANG_MARKERS[lang]) for lang in ("en", "de", "es"))
+    guess = (
+        F.when((n_en == 0) & (n_de == 0) & (n_es == 0), F.lit("und"))
+        .when((n_en >= n_de) & (n_en >= n_es), F.lit("en"))
+        .when(n_de >= n_es, F.lit("de"))
+        .otherwise(F.lit("es"))
+    )
+    return docs.select(
+        F.col(id_col),
+        n_en.alias("n_en"),
+        n_de.alias("n_de"),
+        n_es.alias("n_es"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix: int = 64) -> DataFrame:
+    """Cheap content fingerprint: md5 of the first `prefix` chars + length
+    bucket — used for fast first-pass grouping before exact/near dedup."""
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.substring(F.col(text_col), 1, prefix)).alias("fp_prefix"),
+        (F.floor(F.length(text_col) / 64) * 64).alias("len_bucket"),
+    )
