@@ -33,9 +33,17 @@ def norm_key_col(col: Column) -> Column:
 
 
 def norm_dedup_col(col: Column) -> Column:
+    """Column-expression fallback for inputs without a precomputed norm key.
+
+    Uses a map-literal lookup instead of a when-chain: a chained
+    when(key==brit,...).otherwise(prev) embeds the (already large) norm_key
+    regex expression once per spelling entry, and pushed-down join-key
+    filters then re-evaluate the whole chain per row — measured ~25s on a
+    broadcast join that should take 2s. element_at(map, key) references the
+    key expression twice total. The hot path avoids even that: the
+    extraction pUDF emits precomputed norm keys (operators/mentions.py)."""
     key = norm_key_col(col)
-    out = key
-    # tiny fixed map → chained when/otherwise stays codegen'd
-    for brit, amer in SPELLING_NORMALIZATIONS.items():
-        out = F.when(key == brit, F.lit(amer)).otherwise(out)
-    return out
+    m = F.create_map(
+        *[F.lit(x) for pair in SPELLING_NORMALIZATIONS.items() for x in pair]
+    )
+    return F.coalesce(F.element_at(m, key), key)

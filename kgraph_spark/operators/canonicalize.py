@@ -79,11 +79,55 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
-def merge_mapping(same_as_edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def _merge_mapping_local(edge_rows, spark) -> DataFrame:
+    """Driver-side union-find for small edge sets (the common case: merge
+    clusters are tiny relative to the corpus). Same winner rule."""
+    from kgraph_spark.config import is_authoritative_id
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for src, dst in edge_rows:
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[str, list[str]] = {}
+    for n in list(parent):
+        comps.setdefault(find(n), []).append(n)
+    rows = []
+    for members in comps.values():
+        winner = min(members, key=lambda x: (not is_authoritative_id(x), x))
+        rows.extend((m, winner) for m in members if m != winner)
+    schema = "entity_id string, final_id string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(rows, schema)
+
+
+def merge_mapping(
+    same_as_edges: DataFrame, max_iterations: int = 20, local_threshold: int = 200_000
+) -> DataFrame:
     """SAME_AS edges(src, dst) → (entity_id, final_id) for merged losers only.
 
     Per component: winner = min over (¬authoritative, id) — authoritative
-    ontology ids first, then lexicographic (dedup.py:386-387, 526-534)."""
+    ontology ids first, then lexicographic (dedup.py:386-387, 526-534).
+
+    Hybrid execution: merge-signal edge sets are minuscule next to the
+    corpus (coreference clusters), so below `local_threshold` edges we
+    union-find on the driver in one pass — this removes ~2·iterations Spark
+    actions from the critical path. Above it, the distributed hash-to-min
+    loop handles arbitrarily large graphs (each round: one join + one
+    groupBy over the edge set only)."""
+    head = same_as_edges.limit(local_threshold + 1).collect()
+    if len(head) <= local_threshold:
+        return _merge_mapping_local([(r["src"], r["dst"]) for r in head], same_as_edges.sparkSession)
     labels = connected_components(same_as_edges, max_iterations)
     ranked = labels.withColumn(
         "_rank",

@@ -68,14 +68,27 @@ def validate_relations(resolved: DataFrame, spec: DataFrame) -> DataFrame:
     )
 
     # F8: per (doc, subject, object) keep the most specific predicate
-    # (relationships.py:55-74; ties → max confidence, then predicate asc)
-    w = Window.partitionBy("doc_id", "subject_id", "object_id").orderBy(
-        F.col("specificity").desc(), F.col("confidence").desc(), F.col("predicate").asc()
+    # (relationships.py:55-74; ties → max confidence, then predicate asc).
+    # Hash min-of-struct aggregation instead of a sort-window: map-side
+    # partial aggregation, no per-partition sort. min over
+    # (-specificity, -confidence, predicate) == (spec DESC, conf DESC,
+    # pred ASC).
+    grouped = r.groupBy("doc_id", "subject_id", "object_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("specificity")).alias("nspec"),
+                (-F.col("confidence")).alias("nconf"),
+                F.col("predicate").alias("predicate"),
+                F.col("confidence").alias("confidence"),
+            )
+        ).alias("_w")
     )
-    return (
-        r.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "subject_id", "predicate", "object_id", "confidence")
+    return grouped.select(
+        "doc_id",
+        "subject_id",
+        F.col("_w.predicate").alias("predicate"),
+        "object_id",
+        F.col("_w.confidence").alias("confidence"),
     )
 
 
@@ -108,26 +121,33 @@ def appears_in_triples(resolved_mentions: DataFrame, cfg: PipelineConfig) -> Dat
     )
 
 
-def cooccurrence_triples(
-    resolved_mentions: DataFrame, paragraphs: DataFrame, cfg: PipelineConfig
-) -> DataFrame:
-    """F1 co-occurrence: sliding N-paragraph windows; every unordered entity
-    pair present in the same window, counted per document; conf =
-    min(0.95, 0.60 + 0.10·n) (sherlock relationships.py:81-112).
-
-    Window j exists iff j ≤ n_paras - N and joined window text ≥ 40 chars.
-    'Present in window j' ⇔ the entity has a mention in a paragraph
-    k ∈ [j, j+N-1] — generated by exploding each mention's candidate window
-    range (an equi-join, not a range join)."""
+def windows_from_paragraphs(paragraphs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(doc_id, win_j) valid co-occurrence windows from the paragraphs
+    table: j ≤ n_paras - N and joined window text ≥ min chars. Standalone
+    operator form; the fused extractor (mentions.extract_all) emits the
+    same rows for free during extraction."""
     N = cfg.cooccur_window
     wlen = Window.partitionBy("doc_id").orderBy("para_idx").rowsBetween(0, N - 1)
-    windows = (
+    return (
         paragraphs.withColumn("win_len", F.sum("para_len").over(wlen) + F.lit(N - 1))
         .filter(F.col("para_idx") <= F.col("n_paras") - N)
         .filter(F.col("win_len") >= cfg.cooccur_min_chars)
         .select("doc_id", F.col("para_idx").alias("win_j"))
     )
 
+
+def cooccurrence_triples(
+    resolved_mentions: DataFrame, windows: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """F1 co-occurrence: sliding N-paragraph windows; every unordered entity
+    pair present in the same window, counted per document; conf =
+    min(0.95, 0.60 + 0.10·n) (sherlock relationships.py:81-112).
+
+    windows: (doc_id, win_j) valid windows (windows_from_paragraphs or the
+    fused extractor). 'Present in window j' ⇔ the entity has a mention in a
+    paragraph k ∈ [j, j+N-1] — generated by exploding each mention's
+    candidate window range (an equi-join, not a range join)."""
+    N = cfg.cooccur_window
     membership = (
         resolved_mentions.select("doc_id", "entity_id", "para_idx")
         .distinct()

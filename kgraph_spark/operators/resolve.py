@@ -14,7 +14,7 @@ skew (the skewed key never becomes a shuffle key)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kgraph_spark.config import PROV_PREFIX
@@ -34,33 +34,46 @@ def prov_id_col(name_col, type_col):
 def alias_index_df(spark: SparkSession, gazetteer_rows: list[tuple]) -> DataFrame:
     """gazetteer (alias, canonical_id|None, entity_type, confidence) →
     (norm_key, entity_id, entity_type). One row per normalized surface form;
-    KB-backed rows win over vocabulary-only rows (golden.build_alias_index)."""
-    df = spark.createDataFrame(
-        gazetteer_rows, "alias string, canonical_id string, entity_type string, confidence double"
-    )
-    df = df.withColumn("norm_key", norm_dedup_col(F.col("alias"))).withColumn(
-        "entity_id",
-        F.coalesce(F.col("canonical_id"), prov_id_col(F.col("alias"), F.col("entity_type"))),
-    )
-    w = Window.partitionBy("norm_key").orderBy(
-        F.col("canonical_id").isNull().asc(), F.col("alias").asc()
-    )
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("norm_key", "entity_id", "entity_type")
+    KB-backed rows win over vocabulary-only rows (golden.build_alias_index).
+
+    Built driver-side: the gazetteer is a dimension that is local by
+    construction, so deduplicating it in Python avoids a shuffle + window
+    stage in every pipeline run. The provisional-id hash matches
+    prov_id_col/golden.prov_id exactly."""
+    import hashlib
+
+    from kgraph_spark.config import PROV_PREFIX
+    from kgraph_spark.functions.normalize import norm_dedup_py
+
+    best: dict[str, tuple] = {}
+    for alias, canonical_id, etype, _conf in sorted(
+        gazetteer_rows, key=lambda r: (r[1] is None, r[0])
+    ):
+        key = norm_dedup_py(alias)
+        if key in best:
+            continue  # KB-backed rows sort first and win
+        eid = canonical_id or (
+            PROV_PREFIX + hashlib.sha1(f"{norm_dedup_py(alias)}|{etype}".encode()).hexdigest()[:12]
+        )
+        best[key] = (key, eid, etype)
+    return spark.createDataFrame(
+        list(best.values()), "norm_key string, entity_id string, entity_type string"
     )
 
 
 def resolve_mentions(mentions: DataFrame, alias_index: DataFrame) -> DataFrame:
     """mentions → + entity_id via broadcast join on the normalized surface.
 
-    Misses fall back to hint then content hash (never happens when the
-    gazetteer and alias index share surfaces, but keeps the operator total)."""
+    Uses the extraction-pass-precomputed `norm_text` when present (the hot
+    path: join keys cost zero JVM regex); falls back to the column
+    expression for generic inputs. Misses fall back to hint then content
+    hash (keeps the operator total)."""
     idx = F.broadcast(alias_index.withColumnRenamed("entity_type", "_idx_type"))
-    joined = mentions.withColumn("_norm", norm_dedup_col(F.col("text"))).join(
-        idx, F.col("_norm") == idx["norm_key"], "left"
-    )
+    if "norm_text" in mentions.columns:
+        src = mentions.withColumnRenamed("norm_text", "_norm")
+    else:
+        src = mentions.withColumn("_norm", norm_dedup_col(F.col("text")))
+    joined = src.join(idx, F.col("_norm") == idx["norm_key"], "left")
     return joined.withColumn(
         "entity_id",
         F.coalesce(
@@ -90,10 +103,16 @@ def resolve_relation_endpoints(raw_relations: DataFrame, alias_index: DataFrame)
             F.col("entity_type").alias("object_type"),
         )
     )
+    if "subject_norm" in raw_relations.columns:
+        src = raw_relations.withColumnRenamed("subject_norm", "_s_norm").withColumnRenamed(
+            "object_norm", "_o_norm"
+        )
+    else:
+        src = raw_relations.withColumn(
+            "_s_norm", norm_dedup_col(F.col("subject_text"))
+        ).withColumn("_o_norm", norm_dedup_col(F.col("object_text")))
     return (
-        raw_relations.withColumn("_s_norm", norm_dedup_col(F.col("subject_text")))
-        .withColumn("_o_norm", norm_dedup_col(F.col("object_text")))
-        .join(s_idx, F.col("_s_norm") == F.col("_s_key"), "inner")
+        src.join(s_idx, F.col("_s_norm") == F.col("_s_key"), "inner")
         .join(o_idx, F.col("_o_norm") == F.col("_o_key"), "inner")
         .drop("_s_norm", "_o_norm", "_s_key", "_o_key")
     )

@@ -23,8 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kgraph_spark.config import PipelineConfig
 from kgraph_spark.operators import canonicalize, export, relationships, resolve
-from kgraph_spark.operators.chunking import paragraphs as paragraphs_op
-from kgraph_spark.operators.mentions import extract_mentions, extract_raw_relations
+from kgraph_spark.operators.mentions import (
+    extract_all,
+    mentions_from_extracted,
+    relations_from_extracted,
+    windows_from_extracted,
+)
 
 
 @dataclass
@@ -34,7 +38,16 @@ class PipelineResult:
     validated_relations: DataFrame
     triples: DataFrame
     entities: DataFrame
+    extracted: DataFrame | None = None
     tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    def unpersist(self) -> None:
+        for df in (self.extracted, self.mentions, self.merge_mapping):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
 
 def run_pipeline(
@@ -49,15 +62,17 @@ def run_pipeline(
     alias_index = resolve.alias_index_df(spark, gazetteer_rows)
     spec = relationships.predicate_spec_df(spark)
 
-    # ---- pass 1: extraction + resolution (map-only) ----------------------
-    mentions = resolve.resolve_mentions(extract_mentions(docs, gaz_bcast, cfg.chunking), alias_index)
-    raw_rel = extract_raw_relations(docs)
-    resolved_rel = resolve.resolve_relation_endpoints(raw_rel, alias_index)
+    # ---- pass 1: fused extraction + resolution (map-only, one scan) ------
+    extracted = extract_all(docs, gaz_bcast, cfg)
     if persist_intermediates:
-        # extraction is the expensive pass — reuse it for SAME_AS edges,
-        # validation, co-occurrence and the entity table without recompute
-        mentions = mentions.persist()
-        resolved_rel = resolved_rel.persist()
+        # the single expensive Python pass — every downstream branch
+        # (mentions, relations, windows) is a cached columnar filter
+        extracted = extracted.persist()
+    mentions = resolve.resolve_mentions(mentions_from_extracted(extracted), alias_index)
+    resolved_rel = resolve.resolve_relation_endpoints(
+        relations_from_extracted(extracted), alias_index
+    )
+    windows = windows_from_extracted(extracted)
 
     # ---- pass 2a: canonical merge (D8 connected components) --------------
     edges = relationships.same_as_edges(resolved_rel, cfg)
@@ -71,8 +86,7 @@ def run_pipeline(
     validated = relationships.validate_relations(resolved_rel, spec)
     validated = canonicalize.apply_merge(validated, mapping, "subject_id", "object_id")
 
-    paras = paragraphs_op(docs)
-    cooc = relationships.cooccurrence_triples(merged_mentions, paras, cfg)
+    cooc = relationships.cooccurrence_triples(merged_mentions, windows, cfg)
     appear = relationships.appears_in_triples(merged_mentions, cfg)
 
     per_doc = (
@@ -106,6 +120,7 @@ def run_pipeline(
         validated_relations=validated,
         triples=triples,
         entities=entities,
+        extracted=extracted if persist_intermediates else None,
         tables=tables,
     )
 
