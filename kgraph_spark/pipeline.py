@@ -59,8 +59,6 @@ def run_pipeline(
 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     gaz_bcast = spark.sparkContext.broadcast(gazetteer_rows)
-    alias_index = resolve.alias_index_df(spark, gazetteer_rows)
-    spec = relationships.predicate_spec_df(spark)
 
     # ---- pass 1: fused extraction + resolution (map-only, one scan) ------
     extracted = extract_all(docs, gaz_bcast, cfg)
@@ -68,6 +66,25 @@ def run_pipeline(
         # the single expensive Python pass — every downstream branch
         # (mentions, relations, windows) is a cached columnar filter
         extracted = extracted.persist()
+    return run_pipeline_from_extracted(
+        spark, extracted, gazetteer_rows, cfg, persist_intermediates, _owns_extracted=True
+    )
+
+
+def run_pipeline_from_extracted(
+    spark: SparkSession,
+    extracted: DataFrame,
+    gazetteer_rows: list[tuple],
+    cfg: PipelineConfig | None = None,
+    persist_intermediates: bool = True,
+    _owns_extracted: bool = False,
+) -> PipelineResult:
+    """Graph construction from an already-materialized extraction table —
+    the resume entry point (lineage.checkpointed_pipeline reads committed
+    extraction shards and continues here)."""
+    cfg = cfg or PipelineConfig()
+    alias_index = resolve.alias_index_df(spark, gazetteer_rows)
+    spec = relationships.predicate_spec_df(spark)
     mentions = resolve.resolve_mentions(mentions_from_extracted(extracted), alias_index)
     resolved_rel = resolve.resolve_relation_endpoints(
         relations_from_extracted(extracted), alias_index
@@ -105,12 +122,9 @@ def run_pipeline(
         "relationships": triples,
         "mentions": export.mentions_table(merged_mentions),
         "evidence": export.evidence_table(
-            canonicalize.apply_merge(
-                relationships.symmetric_order(
-                    validated.select("doc_id", "subject_id", "predicate", "object_id", "confidence"),
-                    spec,
-                ),
-                mapping,
+            relationships.symmetric_order(
+                validated.select("doc_id", "subject_id", "predicate", "object_id", "confidence"),
+                spec,
             )
         ),
     }

@@ -1,0 +1,236 @@
+"""Per-operator unit tests (SURVEY.md §5 mirror of the reference's
+framework tests: chunking/windowing behavior, merge semantics, swap logic,
+promotion, dedup)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraph_spark.config import ChunkingConfig, PipelineConfig
+from kgraph_spark.functions.extraction import chunk_text
+from kgraph_spark.operators import canonicalize, relationships
+from kgraph_spark.operators.canonicalize import connected_components, merge_mapping
+
+
+# ---- B1 chunking (reference tests/test_streaming.py:115-484 semantics) ----
+
+def test_chunk_single_when_fits():
+    cfg = ChunkingConfig()
+    assert chunk_text("short text", cfg) == [("short text", 0, 10, 0)]
+
+
+def test_chunk_overlap_and_boundaries():
+    cfg = ChunkingConfig(chunk_size=100, overlap=20, min_chunk_size=10)
+    content = ("word " * 30 + ". ") * 5  # sentences every ~152 chars
+    chunks = chunk_text(content, cfg)
+    assert chunks[0][1] == 0
+    for (c, s, e, i), (c2, s2, e2, i2) in zip(chunks, chunks[1:]):
+        assert s2 == s + (cfg.chunk_size - cfg.overlap)  # fixed step
+        assert i2 == i + 1
+        assert content[s2:e2] == c2
+    # boundary snap: non-final chunks end within the window
+    for c, s, e, i in chunks[:-1]:
+        assert e - s <= cfg.chunk_size
+
+
+def test_chunk_min_size_skips_tiny_non_final():
+    cfg = ChunkingConfig(chunk_size=100, overlap=0, min_chunk_size=50, respect_boundaries=False)
+    content = "x" * 230
+    chunks = chunk_text(content, cfg)
+    # last piece (30 chars) kept because it is final
+    assert chunks[-1][0] == "x" * 30
+    assert [c[3] for c in chunks] == list(range(len(chunks)))
+
+
+# ---- D8 connected components: distributed path ----------------------------
+
+def test_connected_components_distributed(spark):
+    # chain a-b-c-d plus separate pair x-y; force the distributed loop
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c"), ("x", "y")], "src string, dst string"
+    )
+    labels = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert labels["a"] == labels["b"] == labels["c"] == labels["d"] == "a"
+    assert labels["x"] == labels["y"] == "x"
+
+
+def test_merge_mapping_winner_prefers_authoritative(spark):
+    # chain: prov ids + one authoritative — authoritative wins even if not min
+    edges = spark.createDataFrame(
+        [("prov-aaa", "prov-bbb"), ("prov-bbb", "RxNorm:9")], "src string, dst string"
+    )
+    m = {r["entity_id"]: r["final_id"] for r in merge_mapping(edges).collect()}
+    assert m == {"prov-aaa": "RxNorm:9", "prov-bbb": "RxNorm:9"}
+    # distributed path must elect the same winner
+    m2 = {r["entity_id"]: r["final_id"] for r in merge_mapping(edges, local_threshold=0).collect()}
+    assert m2 == m
+
+
+def test_apply_merge_rewrites_columns(spark):
+    mapping = spark.createDataFrame([("loser", "winner")], "entity_id string, final_id string")
+    df = spark.createDataFrame(
+        [("loser", "keep"), ("keep", "loser")], "subject_id string, object_id string"
+    )
+    out = {
+        (r["subject_id"], r["object_id"])
+        for r in canonicalize.apply_merge(df, mapping, "subject_id", "object_id").collect()
+    }
+    assert out == {("winner", "keep"), ("keep", "winner")}
+
+
+# ---- F6/F7/F8 validation chain (reference tests/test_relationship_swap.py) --
+
+@pytest.fixture(scope="module")
+def spec(spark):
+    return relationships.predicate_spec_df(spark)
+
+
+def _resolved(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, subject_text string, predicate string, object_text string, "
+        "confidence double, para_idx int, evidence string, subject_id string, "
+        "subject_type string, object_id string, object_type string",
+    )
+
+
+def test_swap_correction_fixes_backwards_treats(spark, spec):
+    rows = [("d1", "x", "treats", "y", 0.9, 0, "e", "DIS", "disease", "DRUG", "drug")]
+    out = relationships.validate_relations(_resolved(spark, rows), spec).collect()
+    assert len(out) == 1
+    assert (out[0]["subject_id"], out[0]["object_id"]) == ("DRUG", "DIS")
+
+
+def test_invalid_pair_rejected(spark, spec):
+    rows = [("d1", "x", "treats", "y", 0.9, 0, "e", "LOC", "location", "DIS", "disease")]
+    assert relationships.validate_relations(_resolved(spark, rows), spec).count() == 0
+
+
+def test_unknown_predicate_rejected(spark, spec):
+    rows = [("d1", "x", "zaps", "y", 0.9, 0, "e", "A", "drug", "B", "disease")]
+    assert relationships.validate_relations(_resolved(spark, rows), spec).count() == 0
+
+
+def test_specificity_dedup_keeps_most_specific(spark, spec):
+    rows = [
+        ("d1", "x", "associated_with", "y", 0.75, 0, "e", "BM", "biomarker", "DIS", "disease"),
+        ("d1", "x", "indicates", "y", 0.85, 1, "e", "BM", "biomarker", "DIS", "disease"),
+    ]
+    out = relationships.validate_relations(_resolved(spark, rows), spec).collect()
+    assert len(out) == 1 and out[0]["predicate"] == "indicates"
+
+
+def test_symmetric_order(spark, spec):
+    t = spark.createDataFrame(
+        [("d1", "B", "interacts_with", "A", 0.8), ("d1", "B", "treats", "A", 0.9)],
+        "doc_id string, subject_id string, predicate string, object_id string, confidence double",
+    )
+    out = {(r["subject_id"], r["predicate"], r["object_id"])
+           for r in relationships.symmetric_order(t, spec).collect()}
+    assert out == {("A", "interacts_with", "B"), ("B", "treats", "A")}
+
+
+def test_accumulate_max_conf_union_sources(spark):
+    t = spark.createDataFrame(
+        [("d1", "A", "treats", "B", 0.7), ("d2", "A", "treats", "B", 0.9),
+         ("d1", "A", "treats", "A", 1.0)],
+        "doc_id string, subject_id string, predicate string, object_id string, confidence double",
+    )
+    out = relationships.accumulate_triples(t).collect()
+    assert len(out) == 1  # self-loop dropped
+    r = out[0]
+    assert r["confidence"] == 0.9
+    assert r["source_documents"] == ["d1", "d2"]
+    assert r["evidence_count"] == 2
+
+
+# ---- dedup / similarity sanity ---------------------------------------------
+
+def test_exact_dedup_groups_identical_texts(spark):
+    from kgraph_spark.operators.dedup_text import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["canonical_doc_id"]: r["n_docs"] for r in exact_duplicates(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok5 ", "tok5x ")  # one token changed
+    far = " ".join(f"zz{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs, k=3))).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    est = next(r["est_jaccard"] for r in pairs if (r["doc_a"], r["doc_b"]) == (1, 2))
+    assert est > 0.6
+
+
+def test_simhash_hamming_near_dups(spark):
+    from kgraph_spark.operators.dedup_text import simhash, simhash_near_dups
+
+    # heavy token repetition → large per-bit vote margins → a one-token edit
+    # flips ≤3 bits, inside the 4-chunk pigeonhole guarantee (hamming ≤ 3)
+    base = " ".join(f"tok{i % 40}" for i in range(400))
+    near = base.replace("tok7", "tok7x", 1)
+    exact = base
+    far = " ".join(f"qq{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, exact)], "doc_id long, text string"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_near_dups(simhash(docs), max_hamming=3).collect()}
+    assert out.get((1, 4)) == 0          # identical text → hamming 0
+    assert (1, 2) in out                 # one-token edit → ≤ 3 bits
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    from kgraph_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    probes = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("probe_id"), "embedding")
+    bf = brute_force_topk(emb, probes, k=5)
+    # self-match must rank first with cosine ~1
+    firsts = {r["probe_id"]: (r["vec_id"], r["cosine"]) for r in bf.filter("rank = 1").collect()}
+    for pid, (vid, cos) in firsts.items():
+        assert vid == pid and cos > 0.999999
+    approx = lsh_topk(emb, probes, dim=64, k=5, n_planes=6)
+    # LSH must at least recover the self-match (same bucket trivially)
+    a_firsts = {r["probe_id"]: r["vec_id"] for r in approx.filter("rank = 1").collect()}
+    for pid, vid in a_firsts.items():
+        assert vid == pid
+
+
+def test_multimodal_feature_contract(spark):
+    from kgraph_spark import synth
+    from kgraph_spark.operators.multimodal import extract_features, synth_assets
+
+    docs = synth.documents_df(spark, 50)
+    feats = extract_features(synth_assets(docs))
+    rows = feats.collect()
+    assert rows, "expected media assets in synthetic corpus"
+    for r in rows:
+        assert r["decode_ok"] and len(r["feature"]) == 8
+        assert all(0.0 <= x <= 1.0 for x in r["feature"])
+
+
+def test_bfs_first_reach_hop(spark):
+    from kgraph_spark.operators.graph import bfs_subgraph
+
+    edges = spark.createDataFrame(
+        [("a", "r", "b"), ("b", "r", "c"), ("a", "r", "c"), ("c", "r", "d")],
+        "subject_id string, predicate string, object_id string",
+    )
+    seeds = spark.createDataFrame([("a",)], "entity_id string")
+    out = {r["entity_id"]: r["hop"] for r in bfs_subgraph(edges, seeds, max_hops=3, directed=True).collect()}
+    assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
