@@ -65,8 +65,8 @@ def _run_pipeline(spark, corpus_path: str) -> dict:
     }
 
 
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "120000"))
-SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
+SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 # N vs 4N parallelism for the scaling-efficiency evidence. Default 4→16:
 # this VM advertises 32 CPUs but raw multiprocessing throughput saturates at
 # ~16.6 effective cores (hypervisor steal), so 8→32 caps at 0.51 efficiency
@@ -81,23 +81,68 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 _BENCH_CONF = {"spark.sql.adaptive.enabled": "false"}
 
 
-def _timed_pipeline(cores: int, corpus: str, warmup_corpus: str | None) -> dict:
-    """Fresh session at `cores`; one warmup (small corpus) to amortize JVM
-    JIT/codegen, then min over SCALING_TRIALS timed runs (the box shows CPU
-    steal; min is the standard noise filter)."""
+def _cpu_baseline(procs: int, waves: int = 2) -> float:
+    """Raw-CPU throughput probe (pure-Python busy loops, no Spark): the
+    hardware ceiling for any parallel speedup on this box at this moment.
+    The VM shows hypervisor steal that varies over minutes, so the ceiling
+    is sampled alongside the pipeline trials."""
+    import multiprocessing as mp
+    import time as _t
+
+    def _burn(_n):
+        x = 0
+        for i in range(8_000_000):
+            x += i * i
+        return x
+
+    t0 = _t.time()
+    with mp.Pool(procs) as p:
+        p.map(_burn, range(procs * waves))
+    return procs * waves / (_t.time() - t0)
+
+
+def _one_trial(cores: int, corpus: str, warmup_corpus: str | None) -> dict:
     from kgraph_spark.session import get_spark, stop_spark
 
     spark = get_spark(f"kg_bench_{cores}", parallelism=cores, shuffle_partitions=cores,
                       extra_conf=_BENCH_CONF)
     if warmup_corpus:
         _run_pipeline(spark, warmup_corpus)
-    best: dict | None = None
-    for _ in range(SCALING_TRIALS):
-        r = _run_pipeline(spark, corpus)
-        if best is None or r["sec"] < best["sec"]:
-            best = r
+    r = _run_pipeline(spark, corpus)
     stop_spark()
-    return best
+    return r
+
+
+def _scaling(corpus: str, warmup: str) -> dict:
+    """Interleaved N / 4N trials (both levels sample the same host weather),
+    min per level, plus a simultaneous raw-CPU ceiling measurement.
+
+    Reports raw efficiency AND hardware-normalized efficiency
+    (pipeline_eff / cpu_ceiling_eff) — on a steal-prone VM the ceiling
+    itself is < 1.0 and varies, so the normalized number is the one that
+    says whether the PIPELINE scales."""
+    n, n4 = SCALE_N, SCALE_N * 4
+    runs: dict[int, list[dict]] = {n: [], n4: []}
+    cpu: dict[int, list[float]] = {n: [], n4: []}
+    for trial in range(SCALING_TRIALS):
+        order = (n, n4) if trial % 2 == 0 else (n4, n)
+        for cores in order:
+            cpu[cores].append(_cpu_baseline(cores))
+            runs[cores].append(_one_trial(cores, corpus, warmup if trial == 0 else None))
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
+    cpu_best = {c: max(v) for c, v in cpu.items()}
+    eff = best[n4]["triples_per_sec"] / (4.0 * best[n]["triples_per_sec"])
+    cpu_eff = cpu_best[n4] / (4.0 * cpu_best[n])
+    return {
+        "docs": SCALING_DOCS,
+        f"local{n}": best[n],
+        f"local{n4}": best[n4],
+        "all_trials_sec": {str(c): [r["sec"] for r in rs] for c, rs in runs.items()},
+        "efficiency_triples_per_sec": round(eff, 3),
+        "cpu_ceiling_efficiency": round(cpu_eff, 3),
+        "normalized_efficiency": round(min(eff / cpu_eff, 1.5), 3) if cpu_eff else None,
+        "cpu_baseline_tasks_per_sec": {str(c): round(v, 2) for c, v in cpu_best.items()},
+    }
 
 
 def main() -> None:
@@ -124,18 +169,7 @@ def main() -> None:
     if RUN_SCALING:
         scaling_corpus = _synth_corpus_parquet(spark, SCALING_DOCS)
         stop_spark()
-        rn = _timed_pipeline(SCALE_N, scaling_corpus, warmup)
-        r4n = _timed_pipeline(SCALE_N * 4, scaling_corpus, warmup)
-        eff = (r4n["triples_per_sec"] / (4.0 * rn["triples_per_sec"])) if rn["triples_per_sec"] else 0.0
-        scaling = {
-            "docs": SCALING_DOCS,
-            f"local{SCALE_N}": rn,
-            f"local{SCALE_N * 4}": r4n,
-            "efficiency_triples_per_sec": round(eff, 3),
-            "efficiency_docs_per_sec": round(
-                (r4n["docs_per_sec"] / (4.0 * rn["docs_per_sec"])) if rn["docs_per_sec"] else 0.0, 3
-            ),
-        }
+        scaling = _scaling(scaling_corpus, warmup)
 
     total = round(time.time() - t_all, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

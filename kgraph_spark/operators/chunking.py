@@ -62,6 +62,43 @@ def chunk_documents(docs: DataFrame, cfg: ChunkingConfig | None = None) -> DataF
     return with_content.mapInPandas(gen, schema=schema)
 
 
+def chunk_spans(
+    docs: DataFrame, window_size: int = 1536, overlap: int = 400
+) -> DataFrame:
+    """B2 overlapping-window stream over the span sequence (reference
+    iter_overlapping_windows, examples/medlit/pipeline/pmc_streaming.py:66-114):
+    the first text span (abstract) is emitted separately as window 0
+    (pmc_streaming.py:104-107); remaining text concatenates into
+    window_size/overlap sliding windows. Same pUDF family as B1."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, paras in zip(pdf["doc_id"], pdf["paras"]):
+                paras = list(paras)
+                if not paras:
+                    continue
+                rows.append((did, paras[0], 0, len(paras[0]), 0))
+                body = "\n\n".join(paras[1:])
+                idx, cur = 1, 0
+                while cur < len(body):
+                    end = min(cur + window_size, len(body))
+                    rows.append((did, body[cur:end], cur, end, idx))
+                    idx += 1
+                    if end >= len(body):
+                        break
+                    cur += window_size - overlap
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "content", "start_offset", "end_offset", "chunk_index"]
+            )
+
+    src = assemble_content(docs).select("doc_id", "paras")
+    return src.mapInPandas(
+        gen,
+        schema="doc_id string, content string, start_offset int, end_offset int, chunk_index int",
+    )
+
+
 def paragraphs(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, para_idx, para_len, n_paras) — pure built-ins.
 

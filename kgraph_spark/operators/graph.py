@@ -51,6 +51,40 @@ def bfs_subgraph(
     return out
 
 
+def run_bfs_query(edges: DataFrame, query: dict) -> tuple[DataFrame, DataFrame]:
+    """H2 BFS query language (reference bfsql.md:22-37): JSON query
+    {seeds: [...], max_hops, node_filter: {entity_types: [...]},
+     edge_filter: {predicates: [...]}} → (nodes, edges).
+
+    Filters affect PRESENTATION, not topology (bfsql.md semantics): the BFS
+    runs over all edges; non-matching nodes come back as stubs
+    (is_full=false), non-matching edges are dropped from the edge listing
+    only."""
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame([(s,) for s in query["seeds"]], "entity_id string")
+    nodes = bfs_subgraph(
+        edges,
+        seeds,
+        max_hops=int(query.get("max_hops", 3)),
+        max_nodes=query.get("max_nodes"),
+        directed=bool(query.get("directed", False)),
+    )
+    etypes = (query.get("node_filter") or {}).get("entity_types")
+    if etypes:
+        # presentation flag only — topology untouched
+        import re as _re
+
+        pat = "|".join(_re.escape(t) for t in etypes)
+        nodes = nodes.withColumn("is_full", F.col("entity_id").rlike(f"^(?:{pat})"))
+    else:
+        nodes = nodes.withColumn("is_full", F.lit(True))
+    sub_edges = subgraph_edges(edges, nodes)
+    preds = (query.get("edge_filter") or {}).get("predicates")
+    if preds:
+        sub_edges = sub_edges.filter(F.col("predicate").isin(*preds))
+    return nodes, sub_edges
+
+
 def subgraph_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     """Edges with both endpoints inside the node set (H2 presentation rule:
     filters affect presentation, not topology — bfsql.md:1-60)."""

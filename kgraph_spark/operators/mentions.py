@@ -185,6 +185,43 @@ def windows_from_extracted(extracted: DataFrame) -> DataFrame:
     return extracted.filter(F.col("kind") == "w").select("doc_id", "win_j")
 
 
+KNOWN_TYPE_LABELS = frozenset(
+    # names that are really type labels, never entity names (reference
+    # examples/medlit/pipeline/mentions.py:40-81 _is_type_masquerading_as_name)
+    ["disease", "gene", "drug", "protein", "symptom", "procedure",
+     "biomarker", "pathway", "location", "hormone", "entity", "condition"]
+)
+
+
+def mentions_from_metadata(docs_with_entities: DataFrame) -> DataFrame:
+    """C1: pre-extracted entities carried in document metadata →
+    mention rows (reference MedLitEntityExtractor.extract,
+    mentions.py:183-238): conf 0.9, canonical_id_hint passthrough; drops
+    names that are bare type labels or equal to their own type.
+
+    Input: (doc_id, entities: array<struct<name, entity_type,
+    canonical_id>>). Pure built-ins: explode + filters."""
+    from pyspark.sql import functions as F
+
+    e = docs_with_entities.select("doc_id", F.explode("entities").alias("e"))
+    name_l = F.lower(F.trim(F.col("e.name")))
+    return (
+        e.filter(F.length(F.trim(F.col("e.name"))) >= 3)
+        .filter(~name_l.isin(*sorted(KNOWN_TYPE_LABELS)))
+        .filter(name_l != F.lower(F.col("e.entity_type")))
+        .select(
+            "doc_id",
+            F.col("e.name").alias("text"),
+            F.lower(F.col("e.entity_type")).alias("entity_type"),
+            F.lit(0).alias("start_offset"),
+            F.lit(0).alias("end_offset"),
+            F.lit(0.9).alias("confidence"),
+            F.col("e.canonical_id").alias("canonical_id_hint"),
+            F.lit(0).alias("para_idx"),
+        )
+    )
+
+
 def extract_raw_relations(docs: DataFrame) -> DataFrame:
     """documents → raw '<subj> <phrase> <obj>.' pattern hits (pre-resolution).
 

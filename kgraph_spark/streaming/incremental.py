@@ -1,0 +1,75 @@
+"""Incremental ingest via Structured Streaming foreachBatch (SURVEY.md §2
+streaming note + §7 step 10).
+
+The reference has no event-time streaming — its 'streaming' is memory-bounded
+iteration within one document (kgraph/pipeline/streaming.py:1-35). What a
+production deployment actually wants is INCREMENTAL ingest: new documents
+arrive, extraction runs only on them, and the graph tables refresh. That is
+exactly micro-batching over the same batch stage functions:
+
+    readStream(documents dir)
+      → foreachBatch: extract_all(new docs) → APPEND to the extracted table
+      → rebuild graph tables from the (cheap, columnar) extracted table
+
+Extraction (the expensive pUDF pass) is incremental; graph construction
+(joins/CC/aggregation over already-extracted columns) recomputes per batch —
+at 10^12-doc scale that recompute becomes MERGE INTO on Iceberg keyed by
+(s,p,o); the accumulation semantics (max confidence, union sources) are
+associative so merge-refresh is exact."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from kgraph_spark.config import PipelineConfig
+from kgraph_spark.schemas import DOCUMENTS
+
+
+def start_incremental_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    workdir: str,
+    gazetteer_rows: list[tuple],
+    cfg: PipelineConfig | None = None,
+):
+    """Watch input_dir for new document parquet files; per micro-batch,
+    extract only the new documents (append to extracted table) and refresh
+    the triples table. Returns the StreamingQuery."""
+    from kgraph_spark.operators.mentions import extract_all
+    from kgraph_spark.pipeline import run_pipeline_from_extracted
+
+    cfg = cfg or PipelineConfig()
+    gaz_bcast = spark.sparkContext.broadcast(gazetteer_rows)
+    extracted_dir = str(Path(workdir) / "extracted_stream")
+    triples_dir = str(Path(workdir) / "triples_stream")
+    checkpoint_dir = str(Path(workdir) / "_checkpoint")
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extract_all(batch_df, gaz_bcast, cfg).write.mode("append").parquet(extracted_dir)
+        extracted = batch_df.sparkSession.read.parquet(extracted_dir)
+        result = run_pipeline_from_extracted(
+            batch_df.sparkSession, extracted, gazetteer_rows, cfg,
+            persist_intermediates=False,
+        )
+        result.triples.write.mode("overwrite").parquet(triples_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=False, processingTime="1 second")
+        .start()
+    )
+
+
+def read_triples(spark: SparkSession, workdir: str):
+    return spark.read.parquet(str(Path(workdir) / "triples_stream"))
