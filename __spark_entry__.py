@@ -308,6 +308,25 @@ def q_word_jaccard_pairs(spark, sf_dir):
 # rows-only queries (not single-SQL-expressible)
 # ---------------------------------------------------------------------------
 
+def q_c6_vocab_prepass(spark, sf_dir):
+    """C6 vocab pre-pass: gazetteer mention extraction (fused pUDF) →
+    shared-vocabulary aggregation. Oracle-checkable because the terms are
+    single tokens: doc_frequency == #docs containing the token, and the C5
+    per-doc dedup makes total_mentions == doc_frequency."""
+    from kgraph_spark.operators.mentions import extract_mentions
+    from kgraph_spark.operators.validation_extra import vocab_prepass
+
+    docs = _docs_to_span_documents(_read(spark, sf_dir, "documents"))
+    gaz = spark.sparkContext.broadcast([(w, None, "term", 1.0) for w in KG_TERMS])
+    m = extract_mentions(docs, gaz)
+    return vocab_prepass(m).select(
+        "norm_name", "entity_type",
+        F.col("doc_frequency").cast("long").alias("doc_frequency"),
+        F.col("total_mentions").cast("long").alias("total_mentions"),
+        "max_confidence",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (banding over 64 minhashes)."""
     from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
@@ -370,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "f1_cooccurrence_docs": q_f1_cooccurrence_docs,
+        "c6_vocab_prepass": q_c6_vocab_prepass,
         "word_jaccard_pairs": q_word_jaccard_pairs,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
@@ -521,6 +541,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT w1, w2, n, round(least(0.95, 0.60 + 0.10 * n), 6) AS confidence
             FROM pairs
+        """,
+        "c6_vocab_prepass": f"""
+            WITH tok AS (
+                SELECT DISTINCT doc_id, t
+                FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+                WHERE t IN ({", ".join(repr(w) for w in KG_TERMS)})
+            )
+            SELECT t AS norm_name, 'term' AS entity_type,
+                   count(*) AS doc_frequency, count(*) AS total_mentions,
+                   1.0 AS max_confidence
+            FROM tok GROUP BY 1
         """,
         "word_jaccard_pairs": """
             WITH sh AS (

@@ -65,7 +65,7 @@ def _run_pipeline(spark, corpus_path: str) -> dict:
     }
 
 
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "60000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
 SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 # N vs 4N parallelism for the scaling-efficiency evidence. Default 4→16:
 # this VM advertises 32 CPUs but raw multiprocessing throughput saturates at
@@ -81,6 +81,13 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 _BENCH_CONF = {"spark.sql.adaptive.enabled": "false"}
 
 
+def _burn(_n):
+    x = 0
+    for i in range(8_000_000):
+        x += i * i
+    return x
+
+
 def _cpu_baseline(procs: int, waves: int = 2) -> float:
     """Raw-CPU throughput probe (pure-Python busy loops, no Spark): the
     hardware ceiling for any parallel speedup on this box at this moment.
@@ -88,12 +95,6 @@ def _cpu_baseline(procs: int, waves: int = 2) -> float:
     is sampled alongside the pipeline trials."""
     import multiprocessing as mp
     import time as _t
-
-    def _burn(_n):
-        x = 0
-        for i in range(8_000_000):
-            x += i * i
-        return x
 
     t0 = _t.time()
     with mp.Pool(procs) as p:

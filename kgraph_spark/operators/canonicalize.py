@@ -144,6 +144,40 @@ def merge_mapping(
     )
 
 
+def reconcile_by_name(entities: DataFrame) -> DataFrame:
+    """D9 post-dedup reconciliation (reference dedup.py:516-618): group
+    remaining entities by (normalized name, class); if a group holds more
+    than one id, elect a winner — authoritative id first, else
+    lexicographically smallest — and emit the loser→winner map. (With the
+    content-hashed id scheme this is empty by construction — same
+    normalized name+class always hashes to the same id — but the operator
+    guards alternative extractors.)
+
+    entities must carry (entity_id, entity_type, name)."""
+    from kgraph_spark.functions.normalize import norm_dedup_col
+
+    keyed = entities.select(
+        "entity_id",
+        norm_dedup_col(F.col("name")).alias("norm_name"),
+        F.col("entity_type"),
+    ).distinct()
+    ranked = keyed.withColumn(
+        "_rank",
+        F.struct(
+            F.when(is_authoritative_col(F.col("entity_id")), F.lit(0)).otherwise(F.lit(1)).alias("na"),
+            F.col("entity_id").alias("id"),
+        ),
+    )
+    winners = ranked.groupBy("norm_name", "entity_type").agg(
+        F.min("_rank").alias("w"), F.countDistinct("entity_id").alias("n")
+    )
+    return (
+        keyed.join(winners.filter(F.col("n") > 1), ["norm_name", "entity_type"])
+        .select(F.col("entity_id"), F.col("w.id").alias("final_id"))
+        .filter(F.col("entity_id") != F.col("final_id"))
+    )
+
+
 def apply_merge(df: DataFrame, mapping: DataFrame, *cols: str) -> DataFrame:
     """Rewrite entity-id columns through the loser→winner map (D12's
     relationship retargeting, kgraph/storage/memory.py:496-546) as broadcast

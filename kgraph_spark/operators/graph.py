@@ -93,3 +93,42 @@ def subgraph_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
         edges.join(n.withColumnRenamed("entity_id", "subject_id"), "subject_id", "left_semi")
         .join(n.withColumnRenamed("entity_id", "object_id"), "object_id", "left_semi")
     )
+
+
+def find_entities(
+    entities: DataFrame, name_substring: str | None = None, entity_type: str | None = None
+) -> DataFrame:
+    """H3 entity search (reference find_by_name, memory.py:153-182):
+    case-insensitive substring over name + synonyms, optional type filter.
+    At scale, back this with the normalized-alias index instead of a scan."""
+    out = entities
+    if entity_type is not None:
+        out = out.filter(F.col("entity_type") == entity_type)
+    if name_substring:
+        needle = name_substring.lower()
+        in_name = F.lower(F.col("name")).contains(needle)
+        in_syn = F.exists(
+            F.coalesce(F.col("synonyms"), F.array()), lambda s: F.lower(s).contains(needle)
+        )
+        out = out.filter(in_name | in_syn)
+    return out
+
+
+def get_by_subject(edges: DataFrame, subject_id: str) -> DataFrame:
+    """H4 (memory.py:424-472) — with the edge table bucketed by subject_id
+    this is a pruned single-bucket scan."""
+    return edges.filter(F.col("subject_id") == subject_id)
+
+
+def get_by_object(edges: DataFrame, object_id: str) -> DataFrame:
+    return edges.filter(F.col("object_id") == object_id)
+
+
+def get_by_document(edges: DataFrame, doc_id: str) -> DataFrame:
+    return edges.filter(F.array_contains(F.col("source_documents"), doc_id))
+
+
+def find_by_triple(edges: DataFrame, s: str, p: str, o: str) -> DataFrame:
+    return edges.filter(
+        (F.col("subject_id") == s) & (F.col("predicate") == p) & (F.col("object_id") == o)
+    )

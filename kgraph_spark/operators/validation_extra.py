@@ -1,0 +1,85 @@
+"""Evidence / semantics validation extras (SURVEY.md §2 F4, F5, F13) and
+the vocab pre-pass (C6).
+
+Our deterministic pattern extractor guarantees evidence containment by
+construction, so in the default pipeline these are no-ops — but they are
+the reference's guard rails against a sloppier (LLM) extractor and are
+part of the operator contract, implemented as pure column expressions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgraph_spark.functions.normalize import norm_key_col
+
+# F5 keyword polarity lists (reference _validate_predicate_semantics,
+# examples/medlit/pipeline/relationships.py:293-378)
+NEGATIVE_MARKERS = ["not", "no", "never", "failed", "without", "absence", "lack"]
+POSITIVE_MARKERS = ["improved", "reduced", "effective", "benefit", "response"]
+
+
+def evidence_containment_filter(relations: DataFrame) -> DataFrame:
+    """F4: both endpoints must appear (normalized substring) in the evidence
+    quote (reference _evidence_contains_both_entities,
+    relationships.py:101-139). relations must carry subject_norm /
+    object_norm / evidence columns."""
+    norm_ev = norm_key_col(F.col("evidence"))
+    return relations.filter(
+        F.col("evidence").isNotNull()
+        & norm_ev.contains(F.col("subject_norm"))
+        & norm_ev.contains(F.col("object_norm"))
+    )
+
+
+def predicate_semantics_filter(relations: DataFrame) -> DataFrame:
+    """F5: polarity sanity — 'treats'/'prevents' evidence must not be
+    purely negative; 'causes'/'increases_risk' must not be purely positive
+    (relationships.py:293-378). arrays_overlap over evidence tokens."""
+    toks = F.split(F.lower(F.coalesce(F.col("evidence"), F.lit(""))), r"\s+")
+    has_neg = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in NEGATIVE_MARKERS]))
+    has_pos = F.arrays_overlap(toks, F.array(*[F.lit(w) for w in POSITIVE_MARKERS]))
+    bad_treats = F.col("predicate").isin("treats", "prevents") & has_neg & ~has_pos
+    bad_risk = F.col("predicate").isin("causes", "increases_risk") & has_pos & ~has_neg
+    return relations.filter(~(bad_treats | bad_risk))
+
+
+def repair_evidence_ids(
+    df: DataFrame,
+    real_paper_id_col: str = "doc_id",
+    evidence_id_col: str = "evidence_id",
+) -> DataFrame:
+    """F13: replace placeholder / hallucinated paper ids in the evidence-id
+    format '{paper}:{section}:{para}:{method}' ('PMC_UNKNOWN',
+    '==CURRENT_PAPER==', or a PMC-style id that disagrees with the real
+    one) with the real paper id (reference extract.py:60-103, 399-407)."""
+    eid = F.col(evidence_id_col)
+    first = F.substring_index(eid, ":", 1)
+    rest = eid.substr(F.length(first) + 1, F.length(eid))  # keeps leading ':'
+    is_placeholder = first.isin("PMC_UNKNOWN", "==CURRENT_PAPER==") | (
+        first.rlike("^PMC[0-9]+$") & (first != F.col(real_paper_id_col))
+    )
+    return df.withColumn(
+        evidence_id_col,
+        F.when(is_placeholder, F.concat(F.col(real_paper_id_col), rest)).otherwise(eid),
+    )
+
+
+def vocab_prepass(mentions: DataFrame) -> DataFrame:
+    """C6 vocab pre-pass (Pass 1a): cheap shared-vocabulary aggregation —
+    (norm_name, entity_type) with document frequency + totals (reference
+    fetch_vocab.py, restated as an aggregation over extracted mentions)."""
+    key = (
+        F.coalesce(F.col("norm_text"), norm_key_col(F.col("text")))
+        if "norm_text" in mentions.columns
+        else norm_key_col(F.col("text"))
+    )
+    return (
+        mentions.withColumn("_k", key)
+        .groupBy(F.col("_k").alias("norm_name"), "entity_type")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_frequency"),
+            F.count("*").alias("total_mentions"),
+            F.max("confidence").alias("max_confidence"),
+        )
+    )

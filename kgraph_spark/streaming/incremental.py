@@ -66,7 +66,7 @@ def start_incremental_ingest(
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=False, processingTime="1 second")
+        .trigger(processingTime="1 second")
         .start()
     )
 

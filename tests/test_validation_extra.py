@@ -1,0 +1,111 @@
+"""Tests for the F4/F5/F13 validation extras, C6 vocab pre-pass, D9
+reconciliation, H3/H4 lookups, and the C2/F2 interface stubs."""
+
+from __future__ import annotations
+
+import pytest
+
+from kgraph_spark.operators.canonicalize import reconcile_by_name
+from kgraph_spark.operators.validation_extra import (
+    evidence_containment_filter,
+    predicate_semantics_filter,
+    repair_evidence_ids,
+    vocab_prepass,
+)
+
+
+def test_evidence_containment(spark):
+    rels = spark.createDataFrame(
+        [("aspirin", "headache", "aspirin treats headache"),
+         ("aspirin", "headache", "something unrelated"),
+         ("aspirin", "headache", None)],
+        "subject_norm string, object_norm string, evidence string",
+    )
+    out = evidence_containment_filter(rels).collect()
+    assert len(out) == 1 and out[0]["evidence"] == "aspirin treats headache"
+
+
+def test_predicate_semantics_polarity(spark):
+    rels = spark.createDataFrame(
+        [("treats", "drug failed to help and did not work"),      # only-negative → drop
+         ("treats", "improved outcomes observed"),                 # positive → keep
+         ("causes", "improved outcomes observed"),                 # only-positive causes → drop
+         ("causes", "patients developed symptoms"),                # neutral → keep
+         ("treats", "not effective but improved survival")],       # mixed → keep
+        "predicate string, evidence string",
+    )
+    out = {(r["predicate"], r["evidence"]) for r in predicate_semantics_filter(rels).collect()}
+    assert ("treats", "drug failed to help and did not work") not in out
+    assert ("causes", "improved outcomes observed") not in out
+    assert len(out) == 3
+
+
+def test_repair_evidence_ids(spark):
+    df = spark.createDataFrame(
+        [("PMC1", "PMC_UNKNOWN:intro:0:llm"),
+         ("PMC1", "==CURRENT_PAPER==:m:1:llm"),
+         ("PMC1", "PMC999:r:2:llm"),      # wrong PMC id → repaired
+         ("PMC1", "PMC1:d:3:llm"),        # correct → untouched
+         ("PMC1", "10.1/abc:d:4:llm")],   # non-PMC id → untouched
+        "doc_id string, evidence_id string",
+    )
+    out = [r["evidence_id"] for r in repair_evidence_ids(df).collect()]
+    assert out == [
+        "PMC1:intro:0:llm", "PMC1:m:1:llm", "PMC1:r:2:llm", "PMC1:d:3:llm", "10.1/abc:d:4:llm",
+    ]
+
+
+def test_vocab_prepass(spark):
+    m = spark.createDataFrame(
+        [("d1", "Aspirin", "drug", 1.0), ("d2", "aspirin", "drug", 0.8),
+         ("d1", "BRCA1", "gene", 1.0)],
+        "doc_id string, text string, entity_type string, confidence double",
+    )
+    out = {(r["norm_name"], r["entity_type"]): (r["doc_frequency"], r["total_mentions"], r["max_confidence"])
+           for r in vocab_prepass(m).collect()}
+    assert out[("aspirin", "drug")] == (2, 2, 1.0)
+    assert out[("brca1", "gene")] == (1, 1, 1.0)
+
+
+def test_reconcile_by_name(spark):
+    ents = spark.createDataFrame(
+        [("prov-b", "drug", "aspirin"),
+         ("RxNorm:1", "drug", "Aspirin"),     # same norm name+class → merge, auth wins
+         ("prov-z", "disease", "aspirin")],   # different class → untouched
+        "entity_id string, entity_type string, name string",
+    )
+    m = {r["entity_id"]: r["final_id"] for r in reconcile_by_name(ents).collect()}
+    assert m == {"prov-b": "RxNorm:1"}
+
+
+def test_entity_lookups(spark):
+    from kgraph_spark.operators.graph import find_by_triple, find_entities, get_by_subject
+
+    ents = spark.createDataFrame(
+        [("E1", "drug", "Aspirin", ["acetylsalicylic acid"]),
+         ("E2", "drug", "Olaparib", []),
+         ("E3", "disease", "aspirin allergy", [])],
+        "entity_id string, entity_type string, name string, synonyms array<string>",
+    )
+    assert {r["entity_id"] for r in find_entities(ents, "aspirin").collect()} == {"E1", "E3"}
+    assert {r["entity_id"] for r in find_entities(ents, "aspirin", "drug").collect()} == {"E1"}
+    assert {r["entity_id"] for r in find_entities(ents, "salicylic").collect()} == {"E1"}
+
+    edges = spark.createDataFrame(
+        [("E1", "treats", "E3")], "subject_id string, predicate string, object_id string"
+    )
+    assert get_by_subject(edges, "E1").count() == 1
+    assert find_by_triple(edges, "E1", "treats", "E3").count() == 1
+    assert find_by_triple(edges, "E1", "causes", "E3").count() == 0
+
+
+def test_extractor_stubs_raise():
+    from kgraph_spark.functions.interfaces import (
+        llm_mention_extractor,
+        llm_relation_extractor,
+        local_ner_extractor,
+    )
+
+    for stub in (llm_mention_extractor, llm_relation_extractor, local_ner_extractor):
+        with pytest.raises(NotImplementedError):
+            stub("x")
