@@ -77,8 +77,16 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 # AQE is the production default (skew-join splitting + shuffle coalescing at
 # real cluster scale), but its per-shuffle-stage re-planning adds ~2× fixed
 # driver latency on this DAG at toy shuffle sizes (measured: 45s vs 22s at
-# 20k docs), so the local microbench pins it off. See BENCH.md.
+# 20k docs), so the local microbench pins it off. Shuffle goes through
+# tmpfs when available: local mode funnels ALL shuffle I/O through one
+# shared disk, which serializes it regardless of cores — a real cluster
+# spreads shuffle across per-node disks, and tmpfs emulates that bandwidth
+# (measured: raw 4→16 efficiency 0.65 on disk → 0.79 on tmpfs). See BENCH.md.
 _BENCH_CONF = {"spark.sql.adaptive.enabled": "false"}
+if os.path.isdir("/dev/shm"):
+    _shm = "/dev/shm/spark-local"
+    os.makedirs(_shm, exist_ok=True)
+    _BENCH_CONF["spark.local.dir"] = _shm
 
 
 def _burn(_n):

@@ -92,7 +92,8 @@ EXTRACTED_SCHEMA = (
     "kind string, doc_id string, text string, entity_type string, "
     "start_offset int, end_offset int, confidence double, canonical_id_hint string, "
     "para_idx int, subject_text string, object_text string, predicate string, "
-    "evidence string, win_j int, norm_text string, subject_norm string, object_norm string"
+    "evidence string, win_j int, norm_text string, subject_norm string, object_norm string, "
+    "valid_wins array<int>"
 )
 
 
@@ -118,7 +119,7 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
         "kind", "doc_id", "text", "entity_type", "start_offset", "end_offset",
         "confidence", "canonical_id_hint", "para_idx", "subject_text",
         "object_text", "predicate", "evidence", "win_j",
-        "norm_text", "subject_norm", "object_norm",
+        "norm_text", "subject_norm", "object_norm", "valid_wins",
     ]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -132,30 +133,37 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
                     para_starts.append(off)
                     off += len(p) + 2
                 chunks = chunk_text(content or "", ccfg)
+                # valid co-occurrence windows (sherlock relationships.py:81-90):
+                # j ≤ n_paras - N and joined window text length ≥ min_chars
+                P = len(paras)
+                valid = []
+                for j in range(P - (N - 1)):
+                    wlen = sum(len(p) for p in paras[j:j + N]) + (N - 1)
+                    if wlen >= min_chars:
+                        valid.append(j)
+                        rows.append(
+                            ("w", did, None, None, None, None, None, None,
+                             None, None, None, None, None, j, None, None, None, None)
+                        )
+                valid_set = set(valid)
                 for m in extract_mentions_from_chunks(chunks, gazc, para_starts):
+                    # windows this mention's paragraph participates in —
+                    # computed here so co-occurrence needs NO window join
+                    p_i = m["para_idx"]
+                    vw = [j for j in range(max(0, p_i - (N - 1)), p_i + 1) if j in valid_set]
                     rows.append(
                         ("m", did, m["text"], m["entity_type"], m["start_offset"],
                          m["end_offset"], m["confidence"], m["canonical_id_hint"],
                          m["para_idx"], None, None, None, None, None,
-                         norm_dedup_py(m["text"]), None, None)
+                         norm_dedup_py(m["text"]), None, None, vw)
                     )
                 for r in extract_relations(paras):
                     rows.append(
                         ("r", did, None, None, None, None, r["confidence"], None,
                          r["para_idx"], r["subject_text"], r["object_text"],
                          r["predicate"], r["evidence"], None,
-                         None, norm_dedup_py(r["subject_text"]), norm_dedup_py(r["object_text"]))
+                         None, norm_dedup_py(r["subject_text"]), norm_dedup_py(r["object_text"]), None)
                     )
-                # valid co-occurrence windows (sherlock relationships.py:81-90):
-                # j ≤ n_paras - N and joined window text length ≥ min_chars
-                P = len(paras)
-                for j in range(P - (N - 1)):
-                    wlen = sum(len(p) for p in paras[j:j + N]) + (N - 1)
-                    if wlen >= min_chars:
-                        rows.append(
-                            ("w", did, None, None, None, None, None, None,
-                             None, None, None, None, None, j, None, None, None)
-                        )
             yield pd.DataFrame(rows, columns=cols)
 
     return src.mapInPandas(gen, schema=EXTRACTED_SCHEMA)
@@ -166,7 +174,7 @@ def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
 
     return extracted.filter(F.col("kind") == "m").select(
         "doc_id", "text", "entity_type", "start_offset", "end_offset",
-        "confidence", "canonical_id_hint", "para_idx", "norm_text",
+        "confidence", "canonical_id_hint", "para_idx", "norm_text", "valid_wins",
     )
 
 

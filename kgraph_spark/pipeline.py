@@ -27,7 +27,6 @@ from kgraph_spark.operators.mentions import (
     extract_all,
     mentions_from_extracted,
     relations_from_extracted,
-    windows_from_extracted,
 )
 
 
@@ -89,7 +88,6 @@ def run_pipeline_from_extracted(
     resolved_rel = resolve.resolve_relation_endpoints(
         relations_from_extracted(extracted), alias_index
     )
-    windows = windows_from_extracted(extracted)
 
     # ---- pass 2a: canonical merge (D8 connected components) --------------
     edges = relationships.same_as_edges(resolved_rel, cfg)
@@ -103,7 +101,7 @@ def run_pipeline_from_extracted(
     validated = relationships.validate_relations(resolved_rel, spec)
     validated = canonicalize.apply_merge(validated, mapping, "subject_id", "object_id")
 
-    cooc = relationships.cooccurrence_triples(merged_mentions, windows, cfg)
+    cooc = relationships.cooccurrence_triples_fast(merged_mentions, cfg)
     appear = relationships.appears_in_triples(merged_mentions, cfg)
 
     per_doc = (

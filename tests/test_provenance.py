@@ -1,0 +1,40 @@
+from __future__ import annotations
+
+from kgraph_spark.operators.provenance import PAPER_META_SCHEMA, expand_provenance
+
+
+def test_expand_provenance(spark):
+    papers = spark.createDataFrame(
+        [
+            ("P1",
+             [("Ada B Lovelace", "Analytical Engines Institute", "0abc"),
+              ("Charles Babbage", "Analytical Engines Institute", None),
+              ("", "x", None)],
+             ["P2", "P3", ""]),
+            ("P2", None, None),
+        ],
+        PAPER_META_SCHEMA,
+    )
+    triples = spark.createDataFrame(
+        [("E1", "treats", "E9", 0.9, ["P1"], 3),
+         ("E2", "causes", "E9", 0.9, ["P1"], 2),
+         ("E3", "treats", "E9", 0.9, ["P1"], 1)],
+        "subject_id string, predicate string, object_id string, confidence double, "
+        "source_documents array<string>, evidence_count long",
+    )
+    out = {(r["subject_id"], r["predicate"], r["object_id"])
+           for r in expand_provenance(papers, triples).collect()}
+    assert ("Author:lovelace_a", "authored", "PAPER:P1") in out
+    assert ("Author:babbage_c", "authored", "PAPER:P1") in out
+    assert ("Author:lovelace_a", "affiliated_with", "ROR:0abc") in out
+    assert ("Author:babbage_c", "affiliated_with",
+            "Institution:analytical-engines-institute") in out
+    assert ("PAPER:P1", "cites", "PAPER:P2") in out
+    assert ("PAPER:P1", "cites", "PAPER:P3") in out
+    # DESCRIBED: top-2 entities by per-doc relationship count
+    assert ("PAPER:P1", "described", "E1") in out
+    assert ("PAPER:P1", "described", "E2") in out
+    assert ("PAPER:P1", "described", "E3") not in out
+    # empty author name and empty cited id dropped
+    assert not any(s.startswith("Author:_") for s, _p, _o in out)
+    assert ("PAPER:P1", "cites", "PAPER:") not in out
