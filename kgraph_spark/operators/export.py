@@ -95,6 +95,23 @@ def write_bundle(tables: dict[str, DataFrame], out_dir: str) -> dict:
     return m
 
 
+def write_bucketed_triples(
+    triples: DataFrame, table_name: str = "triples_bucketed", buckets: int = 64
+) -> None:
+    """Persist the triples table bucketed by subject_id (Spark bucketBy →
+    managed table). At cluster scale this is the read-path contract: H4
+    get_by_subject lookups prune to one bucket, and BFS frontier joins
+    co-locate without a shuffle on the edge side (SURVEY.md §2 H4 note).
+    Iceberg's equivalent is a bucket(subject_id, N) partition transform."""
+    (
+        triples.write.mode("overwrite")
+        .bucketBy(buckets, "subject_id")
+        .sortBy("subject_id")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def stage_metrics(df: DataFrame, stage: str, group_col: str | None = None) -> DataFrame:
     """G3 stage statistics (kgraph/stage_models.py:73-262): per-stage counts,
     optionally grouped — persisted by the pipeline into the metrics table

@@ -36,7 +36,11 @@ _GAZ_CACHE: dict[int, CompiledGazetteer] = {}
 
 
 def _compiled(gaz_bcast) -> CompiledGazetteer:
-    key = id(gaz_bcast)
+    # key by the broadcast's storage path (unique per broadcast), NOT
+    # id(obj): Python reuses object ids after GC, and executor processes
+    # outlive individual queries, so an id() key can silently serve a stale
+    # gazetteer to a later query with a different broadcast
+    key = getattr(gaz_bcast, "_path", None) or id(gaz_bcast)
     g = _GAZ_CACHE.get(key)
     if g is None:
         entries = [GazetteerEntry(*row) for row in gaz_bcast.value]

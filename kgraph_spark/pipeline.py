@@ -76,11 +76,19 @@ def run_pipeline_from_extracted(
     gazetteer_rows: list[tuple],
     cfg: PipelineConfig | None = None,
     persist_intermediates: bool = True,
+    embedding_dedup: bool = False,
     _owns_extracted: bool = False,
 ) -> PipelineResult:
     """Graph construction from an already-materialized extraction table —
     the resume entry point (lineage.checkpointed_pipeline reads committed
-    extraction shards and continues here)."""
+    extraction shards and continues here).
+
+    embedding_dedup=True adds the D10 pass: provisional entities get
+    deterministic embeddings (I1), same-class pairs with cosine ≥ 0.88
+    contribute merge edges alongside SAME_AS relations. With the identity
+    hash embeddings this merges only identical normalized surfaces (already
+    merged by the alias index), so it is parity-neutral on the synthetic
+    corpus — the seam is what a real embedding model plugs into."""
     cfg = cfg or PipelineConfig()
     alias_index = resolve.alias_index_df(spark, gazetteer_rows)
     spec = relationships.predicate_spec_df(spark)
@@ -91,6 +99,25 @@ def run_pipeline_from_extracted(
 
     # ---- pass 2a: canonical merge (D8 connected components) --------------
     edges = relationships.same_as_edges(resolved_rel, cfg)
+    if embedding_dedup:
+        from pyspark.sql import functions as F
+
+        from kgraph_spark.functions.embeddings import embed_with_cache
+        from kgraph_spark.operators.canonicalize import is_authoritative_col
+        from kgraph_spark.operators.embedding_resolve import provisional_merge_edges
+
+        prov = (
+            mentions.filter(~is_authoritative_col(F.col("entity_id")))
+            .groupBy("entity_id")
+            .agg(
+                F.min("text").alias("name"),
+                F.min("entity_type").alias("entity_type"),
+            )
+            .withColumn("status", F.lit("provisional"))
+        )
+        embedded = embed_with_cache(prov, None, text_col="name")
+        emb_edges = provisional_merge_edges(embedded).select("src", "dst")
+        edges = edges.unionByName(emb_edges).distinct()
     mapping = canonicalize.merge_mapping(edges, cfg.cc_max_iterations).persist()
 
     merged_mentions = canonicalize.apply_merge(mentions, mapping, "entity_id")
