@@ -202,6 +202,26 @@ def q_h1_bfs_2hop(spark, sf_dir):
     return bfs_subgraph(e1.union(e2), seeds, max_hops=2, directed=True)
 
 
+def q_d8_connected_components(spark, sf_dir):
+    """D8 hash-to-min connected components (the distributed loop, forced
+    past the driver-local fast path) over a bipartite customer→nation→region
+    graph. Ground truth: every node's component is the lexicographically
+    smallest id in its region cluster — computable in plain SQL."""
+    from kgraph_spark.operators.canonicalize import connected_components
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return connected_components(e1.union(e2).distinct())
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5 hash-groupBy."""
     from kgraph_spark.operators.dedup_text import exact_duplicates
@@ -382,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_evidence_summary": q_g2_evidence_summary,
         "g3_stage_stats": q_g3_stage_stats,
         "h1_bfs_2hop": q_h1_bfs_2hop,
+        "d8_connected_components": q_d8_connected_components,
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
@@ -463,6 +484,21 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c_nationkey = 1
             )
             SELECT * FROM seeds UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2
+        """,
+        "d8_connected_components": """
+            WITH members AS (
+                SELECT n_regionkey AS region, 'N' || n_nationkey AS id FROM nation
+                UNION ALL
+                SELECT n_regionkey AS region, 'R' || n_regionkey AS id FROM nation
+                UNION ALL
+                SELECT n_regionkey AS region, 'C' || c_custkey AS id
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), dedup AS (
+                SELECT DISTINCT region, id FROM members
+            ), winners AS (
+                SELECT region, min(id) AS component FROM dedup GROUP BY region
+            )
+            SELECT d.id, w.component FROM dedup d JOIN winners w USING (region)
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
