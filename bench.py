@@ -65,7 +65,7 @@ def _run_pipeline(spark, corpus_path: str) -> dict:
     }
 
 
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "150000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "300000"))
 SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "3"))
 # N vs 4N parallelism for the scaling-efficiency evidence. Default 4→16:
 # this VM advertises 32 CPUs but raw multiprocessing throughput saturates at

@@ -80,30 +80,78 @@ class GazetteerEntry:
     confidence: float
 
 
+_WORD_RX = re.compile(r"[A-Za-z0-9]+")
+_SIMPLE_ALIAS_RX = re.compile(r"[A-Za-z0-9]+( [A-Za-z0-9]+)*")
+
+
 class CompiledGazetteer:
+    """Token-dictionary matcher with word-boundary semantics.
+
+    Semantics match the per-position alternation-regex formulation
+    (word-boundary, case-insensitive, longest alias at a position wins):
+    tokenize once with one cheap regex, hash-probe each token against the
+    alias dictionary, and extend multi-word aliases from their first token
+    (longest candidate first). O(tokens) instead of O(chars × aliases) —
+    the alternation form cost ~45 core·s for 20k docs; this is the hot loop
+    of the whole pipeline. Aliases that are not plain space-separated
+    alphanumerics fall back to their own compiled word-boundary regexes."""
+
     def __init__(self, entries: list[GazetteerEntry]):
-        # longest-first so the leftmost alternative at a position is the longest
         ordered = sorted(entries, key=lambda e: len(e.alias), reverse=True)
         self.by_key: dict[str, GazetteerEntry] = {}
         for e in ordered:
-            k = e.alias.casefold()
-            # one entry per casefolded surface form (generator guarantees
-            # uniqueness; keep the first = longest/highest precedence)
-            self.by_key.setdefault(k, e)
-        alt = "|".join(re.escape(e.alias) for e in ordered)
-        self.pattern = re.compile(rf"(?=\b({alt})\b)", re.IGNORECASE) if ordered else None
+            # one entry per casefolded surface form (longest/first wins)
+            self.by_key.setdefault(e.alias.casefold(), e)
+
+        # first-token → list of (token_tuple, entry), longest first
+        self.by_first: dict[str, list[tuple[tuple[str, ...], GazetteerEntry]]] = {}
+        self.fallback: list[tuple[re.Pattern, GazetteerEntry]] = []
+        for e in ordered:
+            key = e.alias.casefold()
+            if self.by_key[key] is not e:
+                continue  # shadowed duplicate surface
+            if _SIMPLE_ALIAS_RX.fullmatch(e.alias):
+                toks = tuple(key.split(" "))
+                self.by_first.setdefault(toks[0], []).append((toks, e))
+            else:
+                self.fallback.append(
+                    (re.compile(rf"\b{re.escape(e.alias)}\b", re.IGNORECASE), e)
+                )
 
     def find(self, text: str) -> list[tuple[int, int, str, GazetteerEntry]]:
-        """[(start, end, matched_text, entry)] for every occurrence."""
-        if self.pattern is None:
-            return []
+        """[(start, end, matched_text, entry)] for every occurrence
+        (overlapping occurrences at distinct start positions included)."""
         out = []
-        for m in self.pattern.finditer(text):
-            s = m.start(1)
-            matched = m.group(1)
-            entry = self.by_key.get(matched.casefold())
-            if entry is not None:
-                out.append((s, s + len(matched), matched, entry))
+        words = list(_WORD_RX.finditer(text))
+        lowers = [w.group().casefold() for w in words]
+        n = len(words)
+        by_first = self.by_first
+        for i in range(n):
+            cands = by_first.get(lowers[i])
+            if cands is None:
+                continue
+            for toks, entry in cands:  # longest first
+                k = len(toks)
+                if i + k > n:
+                    continue
+                if tuple(lowers[i:i + k]) != toks:
+                    continue
+                # word-boundary continuity: multi-word aliases must be
+                # separated by exactly one space (the regex form matched the
+                # literal alias text, spaces included)
+                if k > 1:
+                    ok = all(
+                        text[words[i + j - 1].end():words[i + j].start()] == " "
+                        for j in range(1, k)
+                    )
+                    if not ok:
+                        continue
+                s, epos = words[i].start(), words[i + k - 1].end()
+                out.append((s, epos, text[s:epos], entry))
+                break  # longest alias at this start position wins
+        for pat, entry in self.fallback:
+            for m in pat.finditer(text):
+                out.append((m.start(), m.end(), m.group(), entry))
         return out
 
 

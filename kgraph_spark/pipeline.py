@@ -59,6 +59,15 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     gaz_bcast = spark.sparkContext.broadcast(gazetteer_rows)
 
+    # Input-parallelism guard: small-file parquet inputs bin-pack into a
+    # handful of scan partitions (files.maxPartitionBytes/openCost), which
+    # caps the extraction stage at that task count regardless of cores —
+    # measured as a flat 13s floor at any parallelism. A corpus at real
+    # scale always has ≥ cores partitions, so this is a no-op there.
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     # ---- pass 1: fused extraction + resolution (map-only, one scan) ------
     extracted = extract_all(docs, gaz_bcast, cfg)
     if persist_intermediates:
