@@ -58,7 +58,12 @@ def _docs_to_span_documents(docs: DataFrame, tokens_per_para: int = 12) -> DataF
             i.cast("int").alias("offset"),
         ),
     )
-    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    out = docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    # single-file parquet inputs scan as one partition; spread the pUDF work
+    spark = docs.sparkSession
+    if out.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        out = out.repartition(spark.sparkContext.defaultParallelism)
+    return out
 
 
 def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
