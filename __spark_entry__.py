@@ -184,6 +184,39 @@ def q_g3_stage_stats(spark, sf_dir):
     )
 
 
+def q_g3_rollup(spark, sf_dir):
+    """G3 hierarchical stage statistics: ROLLUP totals (grand + per-flag +
+    per-flag/status) — the aggregation shape of the reference's nested
+    stage_models counters."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_evt_sessionize(spark, sf_dir):
+    """Gap-based event sessionization (30-min inactivity): the classic
+    stateful-stream op expressed with lag + running sum windows — the batch
+    twin of applyInPandasWithState sessionization."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond epochs on both sides: epoch-seconds casts truncate
+    # sub-second parts differently across engines
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet stores NTZ; session tz is UTC
+    gap = us - F.lag(us).over(w)
+    marked = ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_idx",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
 def q_h1_bfs_2hop(spark, sf_dir):
     """H1 BFS subgraph: 2-hop frontier expansion customer→order→part."""
     from kgraph_spark.operators.graph import bfs_subgraph
@@ -406,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g1_entity_summary": q_g1_entity_summary,
         "g2_evidence_summary": q_g2_evidence_summary,
         "g3_stage_stats": q_g3_stage_stats,
+        "g3_rollup": q_g3_rollup,
+        "evt_sessionize": q_evt_sessionize,
         "h1_bfs_2hop": q_h1_bfs_2hop,
         "d8_connected_components": q_d8_connected_components,
         "dedup_exact": q_dedup_exact,
@@ -472,6 +507,30 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_discount), 4) AS avg_disc,
                    count(*) AS n
             FROM lineitem GROUP BY 1, 2
+        """,
+        "g3_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "evt_sessionize": """
+            WITH marked AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS _new
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, event_id, value,
+                       (sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
+                FROM marked
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(event_id) AS first_event,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY 1, 2
         """,
         "h1_bfs_2hop": """
             WITH seeds AS (
