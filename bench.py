@@ -122,7 +122,10 @@ def _one_trial(cores: int, corpus: str, warmup_corpus: str | None) -> dict:
     return r
 
 
-def _scaling(corpus: str, warmup: str) -> dict:
+BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1100"))
+
+
+def _scaling(corpus: str, warmup: str, t_start: float) -> dict:
     """Interleaved N / 4N trials (both levels sample the same host weather),
     min per level, plus a simultaneous raw-CPU ceiling measurement.
 
@@ -134,6 +137,11 @@ def _scaling(corpus: str, warmup: str) -> dict:
     runs: dict[int, list[dict]] = {n: [], n4: []}
     cpu: dict[int, list[float]] = {n: [], n4: []}
     for trial in range(SCALING_TRIALS):
+        # budget guard: always finish at least one trial per level, but stop
+        # adding trials when the wall budget is nearly spent so the driver
+        # always receives a complete JSON line
+        if trial > 0 and time.time() - t_start > BENCH_BUDGET_S * 0.8:
+            break
         order = (n, n4) if trial % 2 == 0 else (n4, n)
         for cores in order:
             cpu[cores].append(_cpu_baseline(cores))
@@ -178,7 +186,7 @@ def main() -> None:
     if RUN_SCALING:
         scaling_corpus = _synth_corpus_parquet(spark, SCALING_DOCS)
         stop_spark()
-        scaling = _scaling(scaling_corpus, warmup)
+        scaling = _scaling(scaling_corpus, warmup, t_all)
 
     total = round(time.time() - t_all, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
