@@ -19,23 +19,66 @@ from kgraph_spark.config import PromotionConfig
 from kgraph_spark.operators.canonicalize import is_authoritative_col
 
 
-def entities_table(resolved_mentions: DataFrame, promo: PromotionConfig | None = None) -> DataFrame:
+def entities_table(
+    resolved_mentions: DataFrame,
+    promo: PromotionConfig | None = None,
+    n_salts: int | None = None,
+) -> DataFrame:
     """G1 entity provenance summary + E1 promotion semantics.
 
     status: canonical when the merge key is an authoritative ontology id;
     provisional otherwise, force-promoted to canonical at confidence ≥ 0.7
-    (reference promotion.py:86-96, domain.py:106-109)."""
+    (reference promotion.py:86-96, domain.py:106-109).
+
+    n_salts: two-phase salted aggregation for the hot-entity key (the skew
+    corpus plants one entity in ~10% of documents; its collect_set of
+    supporting documents otherwise materializes in a single reducer —
+    functions/skew.py rationale). Semantics identical (tested)."""
     promo = promo or PromotionConfig()
-    agg = resolved_mentions.groupBy("entity_id").agg(
-        F.max_by(F.col("entity_type"), F.col("confidence")).alias("entity_type"),
-        F.max("confidence").alias("confidence"),
-        F.count("*").alias("usage_count"),
-        F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
-        F.array_sort(F.collect_set("text")).alias("synonyms"),
-        F.min("doc_id").alias("first_seen_document"),
-        F.count("*").alias("total_mentions"),
-        F.array_sort(F.collect_set("doc_id")).alias("supporting_documents"),
-    )
+    src = resolved_mentions
+    group_keys = ["entity_id"]
+    if n_salts:
+        from kgraph_spark.functions.skew import with_salt
+
+        src = with_salt(resolved_mentions, n_salts)
+        partial = src.groupBy("entity_id", "_salt").agg(
+            F.max_by(F.col("entity_type"), F.col("confidence")).alias("_etype"),
+            F.max("confidence").alias("_conf"),
+            F.count("*").alias("_n"),
+            F.min_by(
+                F.struct(F.col("text"), F.col("confidence"), F.col("start_offset")),
+                F.struct(-F.col("confidence"), F.col("start_offset")),
+            ).alias("_namerec"),
+            F.collect_set("text").alias("_texts"),
+            F.min("doc_id").alias("_first"),
+            F.collect_set("doc_id").alias("_docs"),
+        )
+        agg = partial.groupBy("entity_id").agg(
+            F.max_by(F.col("_etype"), F.col("_conf")).alias("entity_type"),
+            F.max("_conf").alias("confidence"),
+            F.sum("_n").alias("usage_count"),
+            F.min_by(
+                F.col("_namerec.text"),
+                F.struct(-F.col("_namerec.confidence"), F.col("_namerec.start_offset")),
+            ).alias("name"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_texts")))).alias("synonyms"),
+            F.min("_first").alias("first_seen_document"),
+            F.sum("_n").alias("total_mentions"),
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))).alias(
+                "supporting_documents"
+            ),
+        )
+    else:
+        agg = src.groupBy(*group_keys).agg(
+            F.max_by(F.col("entity_type"), F.col("confidence")).alias("entity_type"),
+            F.max("confidence").alias("confidence"),
+            F.count("*").alias("usage_count"),
+            F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
+            F.array_sort(F.collect_set("text")).alias("synonyms"),
+            F.min("doc_id").alias("first_seen_document"),
+            F.count("*").alias("total_mentions"),
+            F.array_sort(F.collect_set("doc_id")).alias("supporting_documents"),
+        )
     is_auth = is_authoritative_col(F.col("entity_id"))
     promoted = (F.col("confidence") >= promo.force_promote_confidence) & (
         F.col("usage_count") >= promo.min_usage
