@@ -86,6 +86,7 @@ def run_pipeline_from_extracted(
     cfg: PipelineConfig | None = None,
     persist_intermediates: bool = True,
     embedding_dedup: bool = False,
+    promotion_kb: DataFrame | None = None,
     _owns_extracted: bool = False,
 ) -> PipelineResult:
     """Graph construction from an already-materialized extraction table —
@@ -150,6 +151,17 @@ def run_pipeline_from_extracted(
     # ---- pass 3: accumulation + export tables -----------------------------
     triples = relationships.accumulate_triples(per_doc)
     entities = export.entities_table(merged_mentions, cfg_promotion(cfg))
+    if promotion_kb is not None:
+        # E2/E3 post-pass: provisional entities that name-match the KB get
+        # their id swapped to the canonical id and triples rewritten. With
+        # the gazetteer extractor this is a no-op (KB surfaces resolve
+        # canonically at mention time); it matters for extractors that emit
+        # surfaces outside the gazetteer (C1 metadata, LLM plug-ins).
+        from kgraph_spark.operators.promotion import promote_and_rewrite
+
+        entities, triples, _id_map = promote_and_rewrite(
+            entities, triples, promotion_kb, cfg_promotion(cfg)
+        )
 
     tables = {
         "entities": entities,
