@@ -483,7 +483,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "d6_usage_count": """
-            SELECT lang, source, count(*) AS usage_count, sum(n_chars) AS total_chars
+            -- sum() returns HUGEINT in DuckDB (float64 via pandas) while Spark
+            -- casts to BIGINT; the ::BIGINT makes the driver's value hash agree
+            SELECT lang, source, count(*) AS usage_count,
+                   sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY 1, 2
         """,
         "e1_promotion_filter": """

@@ -103,6 +103,7 @@ def is_authoritative_id(s: str | None) -> bool:
     ontology-ID formats vs synthetic prov- slugs."""
     if not s or not s.strip():
         return False
+    s = s.strip()  # the Spark twin trims first (canonicalize.py is_authoritative_col)
     if s.startswith(PROV_PREFIX) or s.startswith("DOC:"):
         return False
     for pfx in ("MeSH:", "HGNC:", "RxNorm:", "UniProt:", "DBPedia:", "ROR:", "ORCID:"):

@@ -46,13 +46,18 @@ def prov_id(name: str, entity_type: str) -> str:
 def build_alias_index(gaz: list[GazetteerEntry]) -> dict[str, tuple[str, str]]:
     """norm_dedup(alias) -> (entity_id, entity_type). KB hit wins; otherwise
     the provisional content hash (D2/D5/D7 priority chain, collapsed because
-    our gazetteer carries the hint)."""
+    our gazetteer carries the hint).
+
+    Ordering rule is IDENTICAL to the Spark twin (resolve.alias_index_df):
+    sort by (canonical_id is None, alias) and first-wins — so two KB-backed
+    aliases colliding on a normalized key elect the same winner in both."""
     idx: dict[str, tuple[str, str]] = {}
-    for e in gaz:
+    for e in sorted(gaz, key=lambda e: (e.canonical_id is None, e.alias)):
         key = norm_dedup_py(e.alias)
+        if key in idx:
+            continue  # KB-backed rows sort first and win
         eid = e.canonical_id or prov_id(e.alias, e.entity_type)
-        if key not in idx or (e.canonical_id and not is_authoritative_id(idx[key][0])):
-            idx[key] = (eid, e.entity_type)
+        idx[key] = (eid, e.entity_type)
     return idx
 
 
