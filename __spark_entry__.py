@@ -386,22 +386,32 @@ def q_c6_vocab_prepass(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (banding over 64 minhashes)."""
+    """MinHash+LSH near-dup candidates (banding over 64 minhashes).
+
+    Uses the md5 signature variant so the DuckDB oracle can recompute the
+    full signature + banding in SQL (md5 is bit-identical across engines;
+    the xxhash64 variant is the production fast path — same banding, same
+    candidates, verified equal in tests)."""
     from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=64)
+    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=64, hash_fn="md5")
     return lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-blocked)."""
+    """SimHash near-dup pairs (Hamming ≤ 3, pigeonhole-blocked).
+
+    md5 60-bit variant so the DuckDB oracle recomputes the full simhash in
+    SQL (hex-digit arithmetic is engine-portable; xxhash64 64-bit is the
+    production fast path with identical structure)."""
     from kgraph_spark.operators.dedup_text import simhash, simhash_near_dups
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash_near_dups(simhash(docs), max_hamming=3)
+    out = simhash_near_dups(simhash(docs, hash_fn="md5"), max_hamming=3, prefix_bits=15, bits=60)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -461,7 +471,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     cooc_words = ", ".join(f"'{w}'" for w in COOC_WORDS)
+    mh_mins = ", ".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(64))
+    mh_cols = ", ".join(f"h{i}" for i in range(64))
+    hex60 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(m, {j}, 1)) - 1) * {16 ** (15 - j)}::BIGINT"
+        for j in range(1, 16)
+    )
+    sh_votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
+    )
+    sh_pack = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(60))
     return {
+        "simhash_near_dups": f"""
+            WITH tok AS (
+                SELECT doc_id, md5(t) AS m
+                FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+                WHERE doc_id < 500 AND t <> ''
+            ), h AS (
+                SELECT doc_id, ({hex60}) AS h FROM tok
+            ), votes AS (
+                SELECT doc_id, {sh_votes} FROM h GROUP BY doc_id
+            ), sim AS (
+                SELECT doc_id, ({sh_pack})::BIGINT AS simhash FROM votes
+            )
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+            FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+        """,
+        "minhash_lsh_candidates": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 500
+            ), sh AS (
+                SELECT DISTINCT doc_id, gram AS shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(t) - 3, 0) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+                    FROM toks
+                )
+                WHERE length(gram) > 0
+            ), sig AS (
+                SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id
+            ), sigl AS (
+                SELECT doc_id, [{mh_cols}] AS sig FROM sig
+            ), banded AS (
+                SELECT doc_id, sig, b,
+                       array_to_string(sig[4*b+1:4*b+4], ',') AS bkey
+                FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       x.sig AS sig_a, y.sig AS sig_b
+                FROM banded x JOIN banded y
+                  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) / 64.0, 6)
+                       AS est_jaccard
+            FROM cand
+        """,
         "f10_triple_accumulate": """
             SELECT user_id AS subject_id, event_type AS predicate,
                    max(value) AS max_conf, count(*) AS evidence_count

@@ -155,22 +155,32 @@ class CompiledGazetteer:
         return out
 
 
-def extract_mentions_from_chunks(
+def extract_occurrences(
     chunks: list[tuple[str, int, int, int]],
     gaz: CompiledGazetteer,
     para_starts: list[int],
 ) -> list[dict]:
-    """Gazetteer pass per chunk, offsets re-based to the document
-    (streaming.py:345-424), then cross-window dedup by normalized
-    (name, type) keeping max confidence, ties → min start_offset
-    (streaming.py:400-409 keep-max semantics).
+    """ALL gazetteer occurrences, offsets re-based to the document, deduped
+    only by (start_offset, norm_key, entity_type) — which collapses the
+    duplicates produced by overlapping chunks, never distinct occurrences.
+
+    This is the source of the reference's window-presence semantics: the
+    sherlock extractor re-scans each window's text with a word-boundary
+    regex and counts EVERY occurrence (relationships.py:81-98), so
+    co-occurrence presence must derive from raw hits, not from the C5
+    keep-max dedup (which keeps one mention per (name, type) per document).
 
     para_starts: content offset of each text paragraph, for para_idx
-    (paragraph containing the mention start — used by co-occurrence)."""
-    best: dict[tuple[str, str], dict] = {}
+    (paragraph containing the occurrence start)."""
+    occ: dict[tuple[int, str, str], dict] = {}
     for content, c_start, _c_end, _idx in chunks:
         for s, e, matched, entry in gaz.find(content):
             gs, ge = s + c_start, e + c_start
+            nk = norm_key_py(matched)
+            dk = (gs, nk, entry.entity_type)
+            cur = occ.get(dk)
+            if cur is not None and cur["confidence"] >= entry.confidence:
+                continue
             # paragraph index: last para_start <= gs
             lo, hi = 0, len(para_starts) - 1
             while lo < hi:
@@ -179,8 +189,7 @@ def extract_mentions_from_chunks(
                     lo = mid
                 else:
                     hi = mid - 1
-            key = (norm_key_py(matched), entry.entity_type)
-            cand = {
+            occ[dk] = {
                 "text": matched,
                 "entity_type": entry.entity_type,
                 "start_offset": gs,
@@ -188,15 +197,35 @@ def extract_mentions_from_chunks(
                 "confidence": entry.confidence,
                 "canonical_id_hint": entry.canonical_id,
                 "para_idx": lo,
+                "norm_key": nk,
             }
-            prev = best.get(key)
-            if (
-                prev is None
-                or cand["confidence"] > prev["confidence"]
-                or (cand["confidence"] == prev["confidence"] and cand["start_offset"] < prev["start_offset"])
-            ):
-                best[key] = cand
+    return list(occ.values())
+
+
+def dedup_keepmax(occurrences: list[dict]) -> list[dict]:
+    """C5 cross-window dedup by normalized (name, type): keep highest
+    confidence, ties → min start_offset (streaming.py:400-409)."""
+    best: dict[tuple[str, str], dict] = {}
+    for cand in occurrences:
+        key = (cand["norm_key"], cand["entity_type"])
+        prev = best.get(key)
+        if (
+            prev is None
+            or cand["confidence"] > prev["confidence"]
+            or (cand["confidence"] == prev["confidence"] and cand["start_offset"] < prev["start_offset"])
+        ):
+            best[key] = cand
     return sorted(best.values(), key=lambda d: (d["start_offset"], d["entity_type"]))
+
+
+def extract_mentions_from_chunks(
+    chunks: list[tuple[str, int, int, int]],
+    gaz: CompiledGazetteer,
+    para_starts: list[int],
+) -> list[dict]:
+    """Gazetteer pass per chunk, offsets re-based to the document
+    (streaming.py:345-424), then the C5 keep-max dedup (dedup_keepmax)."""
+    return dedup_keepmax(extract_occurrences(chunks, gaz, para_starts))
 
 
 # --------------------------------------------------------------------------

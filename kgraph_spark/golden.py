@@ -28,7 +28,8 @@ from kgraph_spark.functions.extraction import (
     CompiledGazetteer,
     GazetteerEntry,
     chunk_text,
-    extract_mentions_from_chunks,
+    dedup_keepmax,
+    extract_occurrences,
     extract_relations,
 )
 from kgraph_spark.functions.normalize import norm_dedup_py
@@ -85,8 +86,15 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
     alias_index = build_alias_index(gaz)
 
     doc_mentions: dict[str, list[dict]] = {}
+    doc_presence: dict[str, list[tuple[int, str]]] = {}  # (para_idx, entity_id)
     doc_relations: dict[str, list[dict]] = {}
     entity_type_of: dict[str, str] = {}
+
+    def _resolve(text: str, etype: str, hint: str | None) -> str:
+        hit = alias_index.get(norm_dedup_py(text))
+        if hit is not None:
+            return hit[0]
+        return hint or prov_id(text, etype)
 
     # ---- pass 1: per-document extraction + resolution -------------------
     for d in docs:
@@ -98,17 +106,18 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
             para_starts.append(off)
             off += len(p) + 2
         chunks = chunk_text(content, cfg.chunking)
-        mentions = extract_mentions_from_chunks(chunks, gazc, para_starts)
+        occs = extract_occurrences(chunks, gazc, para_starts)
+        mentions = dedup_keepmax(occs)
         for m in mentions:
-            hit = alias_index.get(norm_dedup_py(m["text"]))
-            if hit is not None:
-                m["entity_id"] = hit[0]
-            elif m["canonical_id_hint"]:
-                m["entity_id"] = m["canonical_id_hint"]
-            else:
-                m["entity_id"] = prov_id(m["text"], m["entity_type"])
+            m["entity_id"] = _resolve(m["text"], m["entity_type"], m["canonical_id_hint"])
             entity_type_of[m["entity_id"]] = m["entity_type"]
         doc_mentions[did] = mentions
+        # co-occurrence presence from RAW occurrences (reference window-re-
+        # scan semantics: every occurrence counts, pre-C5-dedup)
+        doc_presence[did] = [
+            (o["para_idx"], _resolve(o["text"], o["entity_type"], o["canonical_id_hint"]))
+            for o in occs
+        ]
         doc_relations[did] = []
         for r in extract_relations(paras):
             s_hit = alias_index.get(norm_dedup_py(r["subject_text"]))
@@ -199,8 +208,8 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
         N = cfg.cooccur_window
         if len(paras) >= N:
             para_ents: dict[int, set[str]] = defaultdict(set)
-            for m in doc_mentions[did]:
-                para_ents[m["para_idx"]].add(final_id(m["entity_id"]))
+            for p_i, eid in doc_presence[did]:
+                para_ents[p_i].add(final_id(eid))
             counts: dict[tuple[str, str], int] = defaultdict(int)
             for j in range(len(paras) - (N - 1)):
                 wlen = sum(len(p) for p in paras[j:j + N]) + (N - 1)

@@ -40,17 +40,35 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — one xxhash64 per seed, min per doc.
-    Vectorized: explode seeds once, two-level agg; stays JVM-side."""
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    hashed = sh.select(
-        "doc_id",
-        F.posexplode(F.transform(seeds, lambda s: F.xxhash64(F.col("shingle"), s))).alias("h_idx", "h"),
-    )
-    per = hashed.groupBy("doc_id", "h_idx").agg(F.min("h").alias("mh"))
-    return per.groupBy("doc_id").agg(
-        F.transform(F.array_sort(F.collect_list(F.struct("h_idx", "mh"))), lambda x: x["mh"]).alias("sig")
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
+    """(doc_id, sig) — ONE groupBy(doc_id) carrying num_hashes min-aggregate
+    expressions: no row blowup, a single map-side-combining shuffle.
+
+    (The round-1 form posexploded 64 hashes per shingle through two shuffles
+    — 64× row amplification, 12.2s at sf0.1 and the top non-pipeline cost;
+    this form computes the same signature with zero amplification.)
+
+    hash_fn:
+      * 'xxhash64' (default): sig[i] = min(xxhash64(shingle, seed=i)),
+        array<bigint> — the fast JVM path for production runs.
+      * 'md5': sig[i] = min(md5(shingle || '#i')) as a 32-char hex string —
+        lexicographic min == numeric min for fixed-width hex, and md5 is
+        bit-identical across Spark and DuckDB, so the driver's oracle can
+        recompute the full signature in SQL (cross-engine verifiability).
+    """
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    per = sh.groupBy("doc_id").agg(*aggs)
+    return per.select(
+        "doc_id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -119,42 +137,52 @@ def ngram_jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash over whitespace tokens: per-bit vote of token hashes.
 
-    Pure JVM expressions: token → xxhash64 → per-bit ±1 votes aggregated via
-    explode + groupBy; sign of vote per bit → bit set."""
+    ONE groupBy(doc_id) carrying per-bit sum-aggregate expressions — no
+    row blowup, a single map-side-combining shuffle (the round-1 form
+    posexploded 64 votes per token through two shuffles).
+
+    hash_fn:
+      * 'xxhash64' (default): 64-bit token hash, fast JVM path.
+      * 'md5': 60-bit hash from the first 15 hex digits of md5(token) —
+        md5 is bit-identical across Spark and DuckDB, so the driver's
+        oracle recomputes the full simhash in SQL (cross-engine check).
+    """
+    bits = 60 if hash_fn == "md5" else 64
+    if hash_fn == "md5":
+        # conv(15 hex chars) < 2^60 always fits in a signed long
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("tok"))
     toks = (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
         .filter(F.col("tok") != "")
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", h)
     )
-    # literal shift amounts (the Python shiftright wrapper requires an int)
-    bit_votes = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-                    for i in range(bits)
-                ]
-            )
-        ).alias("bit", "vote"),
-    )
-    agg = bit_votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    # shiftleft with a column shift amount needs the SQL form (the Python
-    # wrapper only accepts a literal int)
-    return agg.groupBy("doc_id").agg(
+    vote_aggs = [
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    per = toks.groupBy("doc_id").agg(*vote_aggs)
+    packed = None
+    for b in range(bits):
+        # two's-complement literal for bit 63 (1<<63 overflows a signed long)
+        w = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(w).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return per.select("doc_id", packed.alias("simhash"))
 
 
-def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by Hamming distance ≤ k, blocked on 4 disjoint 16-bit
-    chunks (pigeonhole: distance ≤ 3 ⇒ at least one of 4 chunks equal), so
-    the self-join is on chunk equality, never all-pairs."""
+def simhash_near_dups(
+    sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16, bits: int = 64
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance ≤ k, blocked on bits/prefix_bits
+    disjoint chunks (pigeonhole: distance ≤ chunks-1 ⇒ at least one chunk
+    equal), so the self-join is on chunk equality, never all-pairs."""
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -162,7 +190,7 @@ def simhash_near_dups(sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 1
             F.array(
                 *[
                     F.shiftright(F.col("simhash"), i * prefix_bits).bitwiseAND(F.lit((1 << prefix_bits) - 1))
-                    for i in range(64 // prefix_bits)
+                    for i in range(bits // prefix_bits)
                 ]
             )
         ).alias("chunk_idx", "chunk"),

@@ -26,7 +26,9 @@ from kgraph_spark.functions.extraction import (
     CompiledGazetteer,
     GazetteerEntry,
     chunk_text,
+    dedup_keepmax,
     extract_mentions_from_chunks,
+    extract_occurrences,
     extract_relations,
 )
 from kgraph_spark.functions.normalize import norm_dedup_py
@@ -102,14 +104,22 @@ EXTRACTED_SCHEMA = (
 
 
 def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
-    """Fused single-pass extraction: mentions ('m' rows) + raw pattern
-    relations ('r' rows) + valid co-occurrence windows ('w' rows) in ONE
-    mapInPandas over documents.
+    """Fused single-pass extraction: mentions ('m' rows) + window-presence
+    rows ('p') + raw pattern relations ('r' rows) + valid co-occurrence
+    windows ('w' rows) in ONE mapInPandas over documents.
+
+    'p' rows carry the reference's co-occurrence presence semantics
+    (sherlock relationships.py:81-98: presence = the surface occurs in the
+    window text, every occurrence counts): one row per distinct
+    (normalized surface, entity_type, para_idx) from the RAW gazetteer
+    occurrences — BEFORE the C5 keep-max dedup that the mentions table
+    uses. An entity whose surface repeats across paragraphs is present in
+    each of them, exactly as a window-text re-scan would find.
 
     Scale rationale: the unfused pipeline scanned the 100-TB documents table
     three times (mentions, relations, paragraph windows) and needed a
     window-function shuffle just to enumerate valid co-occurrence windows.
-    Fusing emits all three row kinds from the pass that already has the
+    Fusing emits all row kinds from the pass that already has the
     text in hand — one scan, one Python stage, zero extra shuffles. The
     persisted result serves every downstream branch as cached filters."""
     from kgraph_spark.config import PipelineConfig
@@ -150,17 +160,30 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
                              None, None, None, None, None, j, None, None, None, None)
                         )
                 valid_set = set(valid)
-                for m in extract_mentions_from_chunks(chunks, gazc, para_starts):
-                    # windows this mention's paragraph participates in —
-                    # computed here so co-occurrence needs NO window join
-                    p_i = m["para_idx"]
-                    vw = [j for j in range(max(0, p_i - (N - 1)), p_i + 1) if j in valid_set]
+                occs = extract_occurrences(chunks, gazc, para_starts)
+                for m in dedup_keepmax(occs):
                     rows.append(
                         ("m", did, m["text"], m["entity_type"], m["start_offset"],
                          m["end_offset"], m["confidence"], m["canonical_id_hint"],
                          m["para_idx"], None, None, None, None, None,
-                         norm_dedup_py(m["text"]), None, None, vw)
+                         norm_dedup_py(m["text"]), None, None, None)
                     )
+                # presence rows from RAW occurrences (pre-C5-dedup): one per
+                # distinct (norm surface, type, para); valid_wins = windows
+                # the paragraph participates in, so co-occurrence needs NO
+                # window join downstream
+                pres: dict[tuple[str, str, int], dict] = {}
+                for o in occs:
+                    k = (norm_dedup_py(o["text"]), o["entity_type"], o["para_idx"])
+                    pres.setdefault(k, o)
+                for (nt, et, p_i), o in pres.items():
+                    vw = [j for j in range(max(0, p_i - (N - 1)), p_i + 1) if j in valid_set]
+                    if vw:
+                        rows.append(
+                            ("p", did, o["text"], et, None, None, None,
+                             o["canonical_id_hint"], p_i, None, None, None, None,
+                             None, nt, None, None, vw)
+                        )
                 for r in extract_relations(paras):
                     rows.append(
                         ("r", did, None, None, None, None, r["confidence"], None,
@@ -178,7 +201,18 @@ def mentions_from_extracted(extracted: DataFrame) -> DataFrame:
 
     return extracted.filter(F.col("kind") == "m").select(
         "doc_id", "text", "entity_type", "start_offset", "end_offset",
-        "confidence", "canonical_id_hint", "para_idx", "norm_text", "valid_wins",
+        "confidence", "canonical_id_hint", "para_idx", "norm_text",
+    )
+
+
+def presence_from_extracted(extracted: DataFrame) -> DataFrame:
+    """Window-presence rows ('p'): the co-occurrence membership input
+    (reference presence semantics — every occurrence, pre-C5-dedup)."""
+    from pyspark.sql import functions as F
+
+    return extracted.filter(F.col("kind") == "p").select(
+        "doc_id", "text", "entity_type", "canonical_id_hint",
+        "para_idx", "norm_text", "valid_wins",
     )
 
 

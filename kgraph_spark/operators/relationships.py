@@ -195,8 +195,10 @@ def cooccurrence_triples(
 
 
 def cooccurrence_triples_fast(resolved_mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """Shuffle-minimal F1 co-occurrence for mentions carrying the
-    extraction-precomputed `valid_wins` array.
+    """Shuffle-minimal F1 co-occurrence for presence rows carrying the
+    extraction-precomputed `valid_wins` array (the pipeline feeds the
+    RAW-occurrence 'p' rows — reference window-re-scan presence semantics,
+    sherlock relationships.py:81-98 — not the C5-deduped mentions).
 
     The join-based form (cooccurrence_triples) shuffles every generated
     pair row (~170 rows/doc) through the (doc,s,o) aggregation — measured

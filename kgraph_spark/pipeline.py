@@ -26,6 +26,7 @@ from kgraph_spark.operators import canonicalize, export, relationships, resolve
 from kgraph_spark.operators.mentions import (
     extract_all,
     mentions_from_extracted,
+    presence_from_extracted,
     relations_from_extracted,
 )
 
@@ -138,7 +139,15 @@ def run_pipeline_from_extracted(
     validated = relationships.validate_relations(resolved_rel, spec)
     validated = canonicalize.apply_merge(validated, mapping, "subject_id", "object_id")
 
-    cooc = relationships.cooccurrence_triples_fast(merged_mentions, cfg)
+    # co-occurrence presence comes from the RAW-occurrence 'p' rows (every
+    # occurrence counts — reference window-re-scan semantics), not from the
+    # C5-deduped mentions; resolution is the same broadcast alias join
+    presence = canonicalize.apply_merge(
+        resolve.resolve_mentions(presence_from_extracted(extracted), alias_index),
+        mapping,
+        "entity_id",
+    )
+    cooc = relationships.cooccurrence_triples_fast(presence, cfg)
     appear = relationships.appears_in_triples(merged_mentions, cfg)
 
     per_doc = (

@@ -8,7 +8,7 @@ from kgraph_spark.config import PipelineConfig
 from kgraph_spark.operators import resolve
 from kgraph_spark.operators.mentions import (
     extract_all,
-    mentions_from_extracted,
+    presence_from_extracted,
     windows_from_extracted,
 )
 from kgraph_spark.operators.relationships import (
@@ -24,7 +24,7 @@ def test_join_and_fast_cooccurrence_agree(spark):
     gb = spark.sparkContext.broadcast(gaz)
     ai = resolve.alias_index_df(spark, gaz)
     ex = extract_all(docs, gb, cfg).persist()
-    mm = resolve.resolve_mentions(mentions_from_extracted(ex), ai)
+    mm = resolve.resolve_mentions(presence_from_extracted(ex), ai)
 
     fast = {
         (r["doc_id"], r["subject_id"], r["object_id"]): round(r["confidence"], 9)
