@@ -424,18 +424,45 @@ def q_ann_lsh_topk(spark, sf_dir):
     dim = len(emb.select("embedding").first()[0])
     probes = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("probe_id"), "embedding")
     out = lsh_topk(emb, probes, dim=dim, k=10, n_planes=8)
-    return out.select("probe_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    return out.select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: media spans → asset join → pandas-UDF feature
-    extraction (decode step deterministically stubbed)."""
-    from kgraph_spark import synth
-    from kgraph_spark.operators.multimodal import extract_features, synth_assets
+    """Multimodal plumbing: binary asset column → Arrow-batched mapInPandas
+    feature extraction (decode deterministically stubbed — no decoder libs
+    in this container; the dataflow, batch shape and error path are real).
 
-    docs = synth.documents_df(spark, 200)
-    feats = extract_features(synth_assets(docs))
-    return feats.select("media_ref", "media_type", "n_bytes", "decode_ok")
+    Assets derive from the driver documents table (payload = utf-8 bytes of
+    the text, media_type keyed off doc_id, every 7th row an undecodable
+    'pdf') so the DuckDB oracle can recompute n_bytes/decode_ok in SQL —
+    n_bytes counts the bytes the UDF actually received through Arrow."""
+    from kgraph_spark.operators.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    d = F.col("doc_id")
+    mt = (
+        F.when(d % 7 == 0, F.lit("pdf"))
+        .when(d % 3 == 0, F.lit("image"))
+        .when(d % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    assets = docs.select(
+        F.concat(F.lit("media-"), d.cast("string")).alias("media_ref"),
+        mt.alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.when(mt == "video", (F.col("n_chars") * 10).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("duration_ms"),
+    )
+    feats = extract_features(assets)
+    return feats.select(
+        "media_ref", "media_type", F.col("n_bytes").cast("long").alias("n_bytes"), "decode_ok"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -481,7 +508,50 @@ def oracle_sql() -> dict[str, str]:
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(60)
     )
     sh_pack = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(60))
+    # hyperplanes EXACTLY as similarity.hyperplane_buckets draws them
+    # (random.Random(42).gauss, driver-side literals) — embedded here as SQL
+    # literals so DuckDB reproduces the bucket assignment bit-for-bit.
+    # dim=64 is the testdata embeddings dimension (all sf dirs).
+    import random as _random
+
+    _rng = _random.Random(42)
+    _planes = [[_rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(8)]
+    ann_bucket = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_planes)
+    )
     return {
+        "multimodal_features": """
+            SELECT 'media-' || doc_id AS media_ref,
+                   CASE WHEN doc_id % 7 = 0 THEN 'pdf'
+                        WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   (doc_id % 7 <> 0) AS decode_ok
+            FROM documents WHERE doc_id < 300
+        """,
+        "ann_lsh_topk": f"""
+            WITH b AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       ({ann_bucket})::BIGINT AS bucket
+                FROM embeddings
+            ), p AS (
+                SELECT vec_id AS probe_id, e AS pe, bucket FROM b WHERE vec_id < 5
+            ), scored AS (
+                SELECT p.probe_id, b.vec_id,
+                       list_cosine_similarity(b.e, p.pe) AS c
+                FROM b JOIN p USING (bucket)
+            ), ranked AS (
+                SELECT probe_id, vec_id, c,
+                       row_number() OVER (PARTITION BY probe_id ORDER BY c DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT probe_id, vec_id, round(c, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
         "simhash_near_dups": f"""
             WITH tok AS (
                 SELECT doc_id, md5(t) AS m
