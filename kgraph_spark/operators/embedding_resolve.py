@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kgraph_spark.operators.similarity import cosine_col
+from kgraph_spark.operators.similarity import cosine_col, hyperplane_buckets
 
 RESOLVE_THRESHOLD = 0.85       # examples/medlit/pipeline/resolve.py:44
 PROVISIONAL_MERGE = 0.88       # dedup.py:220
@@ -78,20 +78,43 @@ def provisional_merge_edges(
 
 
 def cross_type_candidates(
-    entities: DataFrame, threshold: float = CROSS_TYPE_FLAG
+    entities: DataFrame,
+    threshold: float = CROSS_TYPE_FLAG,
+    n_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """D10 side output: cross-class pairs ≥ 0.90 flagged (NOT merged) —
     the reference writes cross_type_candidates.json (dedup.py:640-761).
-    Cross-block pairing is bounded by blocking on an LSH bucket when the
-    corpus is large; at dimension-table scale a guarded cross join is fine."""
-    a = entities.select(
-        F.col("entity_id").alias("id_a"), F.col("entity_type").alias("type_a"), F.col("embedding").alias("va")
+
+    Pairing is blocked on sign-random-projection LSH buckets
+    (similarity.hyperplane_buckets): the self-join key is the bucket id, so
+    pair cardinality is bounded by similarity structure, never the entity
+    count. Provisional entities grow with the corpus (not the dimension
+    tables), so an unblocked pairing is exactly the O(n²) anti-pattern the
+    reference itself warns about (kgraph/ingest.py:877-880). Recall note:
+    pairs at cosine ≥ 0.90 are near-parallel and agree on most hyperplane
+    signs; n_planes trades recall (fewer planes → bigger buckets → higher
+    recall) against bucket size."""
+    if dim is None:
+        row = entities.select("embedding").first()
+        if row is None or row[0] is None:
+            spark = entities.sparkSession
+            return spark.createDataFrame(
+                [], "id_a string, type_a string, id_b string, type_b string, cosine double"
+            )
+        dim = len(row[0])
+    bucketed = hyperplane_buckets(entities, dim, n_planes)
+    a = bucketed.select(
+        F.col("entity_id").alias("id_a"), F.col("entity_type").alias("type_a"),
+        F.col("embedding").alias("va"), "bucket",
     )
-    b = entities.select(
-        F.col("entity_id").alias("id_b"), F.col("entity_type").alias("type_b"), F.col("embedding").alias("vb")
+    b = bucketed.select(
+        F.col("entity_id").alias("id_b"), F.col("entity_type").alias("type_b"),
+        F.col("embedding").alias("vb"), "bucket",
     )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.col("type_a") != F.col("type_b"))
         .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)

@@ -41,3 +41,50 @@ def test_bucketed_triples_roundtrip_and_lookup(spark, tmp_path):
     got = get_by_subject(back, "A").collect()
     assert len(got) == 1 and got[0]["object_id"] == "B"
     spark.sql("DROP TABLE triples_bucketed_test")
+
+
+def test_no_cross_join_in_any_embedding_pairing_plan(spark):
+    """D10/D11 plans must never contain an unblocked pairing: every
+    similarity self-join is keyed (entity class or LSH bucket), so the
+    physical plan has no CartesianProduct / BroadcastNestedLoopJoin
+    (the reference's own O(n²) warning, kgraph/ingest.py:877-880)."""
+    from kgraph_spark.operators.embedding_resolve import (
+        cross_type_candidates,
+        merge_candidates,
+        provisional_merge_edges,
+    )
+
+    v = [float(i) for i in range(8)]
+    ents = spark.createDataFrame(
+        [("prov-a", "drug", "provisional", v),
+         ("prov-b", "disease", "provisional", v),
+         ("RxNorm:1", "drug", "canonical", v)],
+        "entity_id string, entity_type string, status string, embedding array<float>",
+    )
+    for df in (
+        provisional_merge_edges(ents),
+        cross_type_candidates(ents, dim=8),
+        merge_candidates(ents),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cross_type_blocked_still_finds_near_parallel_pairs(spark):
+    """LSH blocking keeps the semantics: near-identical vectors of different
+    classes land in the same bucket and are flagged at >= 0.90."""
+    from kgraph_spark.operators.embedding_resolve import cross_type_candidates
+
+    v1 = [1.0, 0.5, 0.25, 0.1]
+    v2 = [1.0, 0.5, 0.25, 0.100001]   # cosine ~ 1.0
+    far = [-1.0, 0.4, -0.3, 0.9]
+    ents = spark.createDataFrame(
+        [("prov-a", "drug", "provisional", v1),
+         ("prov-c", "disease", "provisional", v2),
+         ("prov-z", "gene", "provisional", far)],
+        "entity_id string, entity_type string, status string, embedding array<float>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in cross_type_candidates(ents, dim=4).collect()}
+    assert ("prov-a", "prov-c") in got
+    assert all("prov-z" not in pair for pair in got)
