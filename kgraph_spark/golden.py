@@ -224,19 +224,37 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
                 add_triple(a, "co_occurs_with", b, conf, did)
 
     # ---- entities table ---------------------------------------------------
+    # live rows keyed by final (post-merge) id; merge losers become tombstones
+    # (status='merged', merged_into=winner — reference entity.py:61-68)
     ent: dict[str, dict] = {}
     for did, mentions in doc_mentions.items():
         for m in mentions:
-            eid = final_id(m["entity_id"])
-            e = ent.setdefault(eid, {
-                "entity_id": eid, "entity_type": m["entity_type"],
-                "status": "canonical" if is_authoritative_id(eid) else "provisional",
-                "confidence": 0.0, "usage_count": 0, "names": set(), "docs": set(),
-            })
-            e["confidence"] = max(e["confidence"], m["confidence"])
-            e["usage_count"] += 1
-            e["names"].add(m["text"])
-            e["docs"].add(did)
+            targets = [(final_id(m["entity_id"]), None)]
+            if m["entity_id"] in winner_of:
+                targets.append((m["entity_id"], winner_of[m["entity_id"]]))
+            for eid, merged_into in targets:
+                e = ent.setdefault(eid, {
+                    "entity_id": eid, "entity_type": m["entity_type"],
+                    "merged_into": merged_into,
+                    "confidence": 0.0, "usage_count": 0, "names": set(), "docs": set(),
+                })
+                e["confidence"] = max(e["confidence"], m["confidence"])
+                e["usage_count"] += 1
+                e["names"].add(m["text"])
+                e["docs"].add(did)
+    for e in ent.values():
+        # status mirrors export.entities_table: merged tombstone > authoritative
+        # id > force-promotion at conf ≥ 0.7 & usage ≥ min_usage
+        # (reference promotion.py:86-96) > provisional
+        if e["merged_into"] is not None:
+            e["status"] = "merged"
+        elif is_authoritative_id(e["entity_id"]) or (
+            e["confidence"] >= cfg.promotion.force_promote_confidence
+            and e["usage_count"] >= cfg.promotion.min_usage
+        ):
+            e["status"] = "canonical"
+        else:
+            e["status"] = "provisional"
 
     return {
         "mentions": doc_mentions,

@@ -86,7 +86,32 @@ def entities_table(
     return agg.withColumn(
         "status",
         F.when(is_auth | promoted, F.lit("canonical")).otherwise(F.lit("provisional")),
+    ).withColumn("merged_into", F.lit(None).cast("string"))
+
+
+def tombstone_entities(pre_merge_mentions: DataFrame, mapping: DataFrame) -> DataFrame:
+    """D12 merged-entity tombstones: losers of a SAME_AS/embedding merge stay
+    queryable as status='merged' rows pointing at the winner (reference
+    kgschema/entity.py:61-68: MERGED entities keep merged_into; its merge
+    tests look old ids up and follow the pointer).
+
+    pre_merge_mentions: resolved mentions BEFORE apply_merge (so loser ids
+    still appear); mapping: (entity_id=loser, final_id=winner). Output schema
+    == entities_table so the two union cleanly."""
+    losers = pre_merge_mentions.join(
+        F.broadcast(mapping), "entity_id", "inner"  # inner keeps loser rows only
     )
+    return losers.groupBy("entity_id").agg(
+        F.max_by(F.col("entity_type"), F.col("confidence")).alias("entity_type"),
+        F.max("confidence").alias("confidence"),
+        F.count("*").alias("usage_count"),
+        F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
+        F.array_sort(F.collect_set("text")).alias("synonyms"),
+        F.min("doc_id").alias("first_seen_document"),
+        F.count("*").alias("total_mentions"),
+        F.array_sort(F.collect_set("doc_id")).alias("supporting_documents"),
+        F.min("final_id").alias("merged_into"),  # constant per loser
+    ).withColumn("status", F.lit("merged"))
 
 
 def mentions_table(resolved_mentions: DataFrame) -> DataFrame:

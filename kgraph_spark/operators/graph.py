@@ -8,8 +8,16 @@ should be bucketed by subject_id so frontier joins co-locate."""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# reference kgserver/query/graph_traversal.py:20-23
+MAX_HOPS = 5
+MAX_NODES_LIMIT = 2000
+MAX_EDGES_LIMIT = 10000
+DEFAULT_MAX_NODES = 500
 
 
 def bfs_subgraph(
@@ -51,7 +59,63 @@ def bfs_subgraph(
     return out
 
 
-def run_bfs_query(edges: DataFrame, query: dict) -> tuple[DataFrame, DataFrame]:
+@dataclass
+class SubgraphResult:
+    """Mirror of the reference's SubgraphResponse (graph_traversal.py:283-291):
+    node/edge frames plus the truncation signal."""
+
+    nodes: DataFrame
+    edges: DataFrame
+    truncated: bool
+
+
+def extract_subgraph(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    max_nodes: int = DEFAULT_MAX_NODES,
+    max_edges: int = MAX_EDGES_LIMIT,
+    min_confidence: float | None = None,
+    directed: bool = False,
+) -> SubgraphResult:
+    """Full-parity subgraph extraction (reference extract_subgraph,
+    graph_traversal.py:178-290 + multi-seed 295-377):
+
+      * min_confidence filters edges BEFORE traversal (they shape topology,
+        graph_traversal.py:337-338);
+      * hop cap MAX_HOPS=5, node cap min(max_nodes, MAX_NODES_LIMIT=2000),
+        edge cap MAX_EDGES_LIMIT=10000;
+      * truncated=True whenever a cap dropped anything (node cap mid-BFS or
+        edge cap post-filter, graph_traversal.py:252-256, 277-280).
+
+    Truncation choice differs deliberately from the reference: its BFS stops
+    mid-hop at whatever iteration order the dict happened to produce; ours
+    truncates deterministically by (hop, entity_id) — same cap, stable
+    output on any executor layout."""
+    max_hops = min(max_hops, MAX_HOPS)
+    max_nodes = min(max_nodes, MAX_NODES_LIMIT) if max_nodes else MAX_NODES_LIMIT
+    max_edges = min(max_edges, MAX_EDGES_LIMIT) if max_edges else MAX_EDGES_LIMIT
+    e = edges
+    if min_confidence is not None and "confidence" in e.columns:
+        e = e.filter(F.coalesce(F.col("confidence"), F.lit(0.0)) >= min_confidence)
+    # cap+1 so the flag can distinguish "exactly at cap" from "truncated"
+    nodes = bfs_subgraph(e, seeds, max_hops=max_hops, max_nodes=max_nodes + 1,
+                         directed=directed).localCheckpoint()
+    truncated = False
+    if nodes.count() > max_nodes:
+        truncated = True
+        nodes = nodes.orderBy("hop", "entity_id").limit(max_nodes).localCheckpoint()
+    sub = subgraph_edges(e, nodes)
+    n_edges = sub.count()
+    if n_edges > max_edges:
+        truncated = True
+        sub = sub.orderBy("subject_id", "predicate", "object_id").limit(max_edges)
+    return SubgraphResult(nodes=nodes, edges=sub, truncated=truncated)
+
+
+def run_bfs_query(
+    edges: DataFrame, query: dict, entities: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """H2 BFS query language (reference bfsql.md:22-37): JSON query
     {seeds: [...], max_hops, node_filter: {entity_types: [...]},
      edge_filter: {predicates: [...]}} → (nodes, edges).
@@ -59,7 +123,12 @@ def run_bfs_query(edges: DataFrame, query: dict) -> tuple[DataFrame, DataFrame]:
     Filters affect PRESENTATION, not topology (bfsql.md semantics): the BFS
     runs over all edges; non-matching nodes come back as stubs
     (is_full=false), non-matching edges are dropped from the edge listing
-    only."""
+    only.
+
+    entities: the entities dimension (entity_id, entity_type) — node_filter
+    matches on the entity's REGISTERED type via a broadcast join (reference
+    semantics; an id prefix is not a type). Nodes absent from the dimension
+    are stubs when a filter is active."""
     spark = edges.sparkSession
     seeds = spark.createDataFrame([(s,) for s in query["seeds"]], "entity_id string")
     nodes = bfs_subgraph(
@@ -71,11 +140,21 @@ def run_bfs_query(edges: DataFrame, query: dict) -> tuple[DataFrame, DataFrame]:
     )
     etypes = (query.get("node_filter") or {}).get("entity_types")
     if etypes:
-        # presentation flag only — topology untouched
-        import re as _re
-
-        pat = "|".join(_re.escape(t) for t in etypes)
-        nodes = nodes.withColumn("is_full", F.col("entity_id").rlike(f"^(?:{pat})"))
+        if entities is None:
+            raise ValueError(
+                "node_filter.entity_types requires the entities dimension "
+                "(entity_id, entity_type) — id prefixes are not types"
+            )
+        dim = F.broadcast(
+            entities.select("entity_id", F.col("entity_type").alias("_ftype")).distinct()
+        )
+        nodes = (
+            nodes.join(dim, "entity_id", "left")
+            .withColumn(
+                "is_full", F.coalesce(F.col("_ftype").isin(*etypes), F.lit(False))
+            )
+            .drop("_ftype")
+        )
     else:
         nodes = nodes.withColumn("is_full", F.lit(True))
     sub_edges = subgraph_edges(edges, nodes)

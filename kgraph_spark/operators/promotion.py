@@ -73,7 +73,7 @@ def promote_and_rewrite(
     id_map = assign_canonical_ids(cands, kb).withColumnRenamed("assigned_id", "final_id")
 
     ent2 = apply_merge(entities, id_map, "entity_id")
-    promoted_status = F.when(
+    promoted_status = F.when(F.col("status") == "merged", F.lit("merged")).when(
         is_authoritative_col(F.col("entity_id"))
         | (
             (F.col("status") == "provisional")
@@ -84,10 +84,13 @@ def promote_and_rewrite(
     ).otherwise(F.col("status"))
     ent2 = ent2.withColumn("status", promoted_status)
     # id collisions after rewrite (two provs promoted to one canonical id)
+    extra = (
+        [F.min("merged_into").alias("merged_into")] if "merged_into" in ent2.columns else []
+    )
     ent2 = ent2.groupBy("entity_id").agg(
         F.max("confidence").alias("confidence"),
         F.sum("usage_count").alias("usage_count"),
-        F.min("status").alias("status"),  # 'canonical' < 'provisional'
+        F.min("status").alias("status"),  # 'canonical' < 'merged' < 'provisional'
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("synonyms")))).alias("synonyms"),
         F.min("first_seen_document").alias("first_seen_document"),
         F.sum("total_mentions").alias("total_mentions"),
@@ -96,6 +99,7 @@ def promote_and_rewrite(
         ),
         F.min("entity_type").alias("entity_type"),
         F.min("name").alias("name"),
+        *extra,
     )
 
     tri2 = apply_merge(triples, id_map, "subject_id", "object_id")

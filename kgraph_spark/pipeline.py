@@ -159,7 +159,10 @@ def run_pipeline_from_extracted(
 
     # ---- pass 3: accumulation + export tables -----------------------------
     triples = relationships.accumulate_triples(per_doc)
-    entities = export.entities_table(merged_mentions, cfg_promotion(cfg))
+    entities = export.entities_table(merged_mentions, cfg_promotion(cfg)).unionByName(
+        # D12 tombstones: merge losers stay queryable with merged_into
+        export.tombstone_entities(mentions, mapping)
+    )
     if promotion_kb is not None:
         # E2/E3 post-pass: provisional entities that name-match the KB get
         # their id swapped to the canonical id and triples rewritten. With

@@ -93,3 +93,5 @@ def test_entities_match(golden, result):
         assert row["usage_count"] == g["usage_count"], eid
         assert abs(row["confidence"] - g["confidence"]) < 1e-9, eid
         assert sorted(row["supporting_documents"]) == sorted(g["docs"]), eid
+        assert row["status"] == g["status"], eid
+        assert row["merged_into"] == g["merged_into"], eid

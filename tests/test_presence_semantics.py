@@ -95,3 +95,37 @@ def test_window_count_reflects_occurrences(spark):
         cfg.cooccur_base_conf + cfg.cooccur_step_conf * n_windows_with_beta,
     )
     assert abs(g["triples"][key]["confidence"] - expected_conf) < 1e-9
+
+
+def test_merged_tombstone_lookup_by_old_id(spark):
+    """D12 tombstones: a SAME_AS merge loser stays queryable with
+    status='merged' and merged_into=winner (reference kgschema/entity.py:61-68
+    — a user looking up an old entity id must not get nothing)."""
+    gaz = [
+        ("acme alpha", "MeSH:10", "disease", 1.0),
+        ("acme beta", "MeSH:20", "disease", 1.0),
+    ]
+    paras = [
+        f"acme alpha {PAD} one.",
+        "Acme alpha is also known as acme beta.",
+        f"acme beta {PAD} two.",
+        f"{PAD} three.",
+        f"{PAD} four.",
+    ]
+    res = run_pipeline(
+        spark,
+        spark.createDataFrame(
+            [("d1", [("text", p, None, i) for i, p in enumerate(paras)])],
+            "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+        ),
+        gaz,
+        persist_intermediates=False,
+    )
+    rows = {r["entity_id"]: r for r in res.entities.collect()}
+    # winner = lexicographically-smallest authoritative id (MeSH:10)
+    assert rows["MeSH:10"]["status"] == "canonical"
+    assert rows["MeSH:10"]["merged_into"] is None
+    loser = rows["MeSH:20"]
+    assert loser["status"] == "merged"
+    assert loser["merged_into"] == "MeSH:10"
+    assert loser["usage_count"] >= 1  # its own pre-merge mentions

@@ -194,21 +194,66 @@ def test_synonym_cache_lookup_and_idempotent_merge(spark):
 # ---- H2 query / B2 / C1 -------------------------------------------------------
 
 def test_bfs_query_language(spark):
+    """node_filter matches the REGISTERED entity type from the entities dim,
+    not the id prefix — ids here deliberately carry misleading prefixes
+    (HGNC:7 is a gene, prov-x is a drug)."""
+    import pytest
+
     from kgraph_spark.operators.graph import run_bfs_query
 
     edges = spark.createDataFrame(
-        [("A:1", "treats", "B:2"), ("B:2", "co_occurs_with", "C:3")],
+        [("HGNC:7", "treats", "prov-x"), ("prov-x", "co_occurs_with", "UMLS:3")],
         "subject_id string, predicate string, object_id string",
+    )
+    entities = spark.createDataFrame(
+        [("HGNC:7", "gene"), ("prov-x", "drug"), ("UMLS:3", "disease")],
+        "entity_id string, entity_type string",
     )
     nodes, sub = run_bfs_query(
         edges,
-        {"seeds": ["A:1"], "max_hops": 2, "directed": True,
-         "node_filter": {"entity_types": ["A", "B"]},
+        {"seeds": ["HGNC:7"], "max_hops": 2, "directed": True,
+         "node_filter": {"entity_types": ["gene", "drug"]},
          "edge_filter": {"predicates": ["treats"]}},
+        entities=entities,
     )
     n = {r["entity_id"]: (r["hop"], r["is_full"]) for r in nodes.collect()}
-    assert n == {"A:1": (0, True), "B:2": (1, True), "C:3": (2, False)}
-    assert [(r["subject_id"], r["object_id"]) for r in sub.collect()] == [("A:1", "B:2")]
+    assert n == {"HGNC:7": (0, True), "prov-x": (1, True), "UMLS:3": (2, False)}
+    assert [(r["subject_id"], r["object_id"]) for r in sub.collect()] == [("HGNC:7", "prov-x")]
+
+    # a filter without the dimension must refuse, not guess from prefixes
+    with pytest.raises(ValueError):
+        run_bfs_query(edges, {"seeds": ["HGNC:7"], "max_hops": 1,
+                              "node_filter": {"entity_types": ["gene"]}})
+
+
+def test_extract_subgraph_truncation_and_confidence(spark):
+    from kgraph_spark.operators.graph import extract_subgraph
+
+    # star: S -> n0..n9 (conf 0.9), S -> weak (conf 0.2)
+    rows = [("S", "r", f"n{i}", 0.9) for i in range(10)] + [("S", "r", "weak", 0.2)]
+    edges = spark.createDataFrame(
+        rows, "subject_id string, predicate string, object_id string, confidence double"
+    )
+    seeds = spark.createDataFrame([("S",)], "entity_id string")
+
+    full = extract_subgraph(edges, seeds, max_hops=1, directed=True)
+    assert not full.truncated
+    assert full.nodes.count() == 12 and full.edges.count() == 11
+
+    # min_confidence shapes topology (reference graph_traversal.py:337-338)
+    conf = extract_subgraph(edges, seeds, max_hops=1, min_confidence=0.5, directed=True)
+    got = {r["entity_id"] for r in conf.nodes.collect()}
+    assert "weak" not in got and not conf.truncated
+
+    # node cap → truncated flag + deterministic (hop, id) keep-set
+    capped = extract_subgraph(edges, seeds, max_hops=1, max_nodes=5, directed=True)
+    assert capped.truncated and capped.nodes.count() == 5
+    kept = {r["entity_id"] for r in capped.nodes.collect()}
+    assert "S" in kept  # seeds (hop 0) survive truncation first
+
+    # edge cap → truncated flag
+    ecap = extract_subgraph(edges, seeds, max_hops=1, max_edges=3, directed=True)
+    assert ecap.truncated and ecap.edges.count() == 3
 
 
 def test_chunk_spans_abstract_window_zero(spark):
