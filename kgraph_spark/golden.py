@@ -151,7 +151,7 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
     # ---- pass 2b: relationship validation + triples ----------------------
     triples: dict[tuple[str, str, str], dict] = {}
 
-    def add_triple(s: str, p: str, o: str, conf: float, did: str) -> None:
+    def add_triple(s: str, p: str, o: str, conf: float, did: str, quote: str | None = None) -> None:
         if s == o:
             return
         if p in SYMMETRIC_PREDICATES:
@@ -159,11 +159,16 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
         key = (s, p, o)
         t = triples.get(key)
         if t is None:
-            triples[key] = {"confidence": conf, "source_documents": {did}, "evidence_count": 1}
+            t = triples[key] = {
+                "confidence": conf, "source_documents": {did},
+                "evidence_count": 1, "evidence": [],
+            }
         else:
             t["confidence"] = max(t["confidence"], conf)
             t["source_documents"].add(did)
             t["evidence_count"] += 1
+        if quote is not None:
+            t["evidence"].append((conf, quote))
 
     for did, rels in doc_relations.items():
         validated: list[dict] = []
@@ -186,17 +191,22 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
                 else:
                     continue  # F7 reject
             validated.append(r)
-        # F8: per (subject, object) keep most specific predicate
+        # F8: per (subject, object) keep most specific predicate — ordering
+        # key mirrors the Spark min-of-struct EXACTLY: (spec DESC, conf DESC,
+        # predicate ASC, evidence ASC)
+        def _f8_key(r: dict) -> tuple:
+            return (-SPECIFICITY.get(r["predicate"], 0), -r["confidence"],
+                    r["predicate"], r["evidence"])
+
         best_so: dict[tuple[str, str], dict] = {}
         for r in validated:
             k = (r["subject_id"], r["object_id"])
             cur = best_so.get(k)
-            rank = (SPECIFICITY.get(r["predicate"], 0), r["confidence"], r["predicate"])
-            if cur is None or rank > (SPECIFICITY.get(cur["predicate"], 0), cur["confidence"], cur["predicate"]):
+            if cur is None or _f8_key(r) < _f8_key(cur):
                 best_so[k] = r
         for r in best_so.values():
             add_triple(final_id(r["subject_id"]), r["predicate"], final_id(r["object_id"]),
-                       r["confidence"], did)
+                       r["confidence"], did, quote=r["evidence"])
 
     # ---- pass 2c: appears_in + co-occurrence (F1) ------------------------
     for d in docs:
@@ -256,12 +266,25 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
         else:
             e["status"] = "provisional"
 
+    def _ev_summary(v: dict) -> dict:
+        # reference _relationship_evidence_summary (kgraph/export.py:114-130)
+        # with the deterministic (confidence, quote) tie-break the Spark
+        # max-of-struct applies
+        if not v["evidence"]:
+            return {"strongest_evidence_quote": None, "evidence_confidence_avg": None}
+        best = max(v["evidence"])
+        return {
+            "strongest_evidence_quote": best[1],
+            "evidence_confidence_avg": sum(c for c, _ in v["evidence"]) / len(v["evidence"]),
+        }
+
     return {
         "mentions": doc_mentions,
         "triples": {
             k: {"confidence": v["confidence"],
                 "source_documents": sorted(v["source_documents"]),
-                "evidence_count": v["evidence_count"]}
+                "evidence_count": v["evidence_count"],
+                **_ev_summary(v)}
             for k, v in triples.items()
         },
         "entities": ent,

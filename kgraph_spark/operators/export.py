@@ -128,10 +128,18 @@ def mentions_table(resolved_mentions: DataFrame) -> DataFrame:
 
 
 def evidence_table(validated_relations: DataFrame) -> DataFrame:
-    """EvidenceRow contract (models.py:82-96): relationship_key subj:pred:obj."""
+    """EvidenceRow contract (models.py:82-96): relationship_key subj:pred:obj
+    + the evidence quote as text_span (models.py:94) when the input carries
+    one (validated pattern relations do)."""
+    text_span = (
+        F.col("evidence")
+        if "evidence" in validated_relations.columns
+        else F.lit(None).cast("string")
+    )
     return validated_relations.select(
         F.concat_ws(":", "subject_id", "predicate", "object_id").alias("relationship_key"),
         F.col("doc_id").alias("document_id"),
+        text_span.alias("text_span"),
         "confidence",
         F.lit(True).alias("supports"),
     )
@@ -160,6 +168,55 @@ def write_bundle(tables: dict[str, DataFrame], out_dir: str) -> dict:
         df.write.mode("overwrite").parquet(path)
         m["counts"][name] = df.sparkSession.read.parquet(path).count()
     (out / "manifest.json").write_text(json.dumps(m, indent=2))
+    return m
+
+
+def _git_commit() -> str:
+    """Producing commit for the manifest (reference manifest carries the
+    exporter git hash, kgraph/export.py:176-288)."""
+    import subprocess
+
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=Path(__file__).resolve().parent,
+                capture_output=True,
+                text=True,
+                timeout=10,
+            ).stdout.strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def write_bundle_jsonl(tables: dict[str, DataFrame], out_dir: str) -> dict:
+    """A6 JSONL bundle sink — the kgbundle consumer contract
+    (kgraph/export.py:147-296): entities.jsonl / relationships.jsonl /
+    mentions.jsonl / evidence.jsonl + manifest.json with per-table counts
+    and the producing git commit.
+
+    Determinism contract: rows are totally ordered by their serialized JSON
+    (ties are identical lines), so two runs over the same inputs produce
+    byte-identical .jsonl files. The bundle is a corpus-level export —
+    orders of magnitude below the raw corpus — so a driver-side write
+    matches the reference exporter's single-process contract; the 100-TB
+    materialization path remains the parquet/Iceberg writer (write_bundle)."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    m: dict = {
+        "version": 1,
+        "created_at_unix": int(time.time()),
+        "git_commit": _git_commit(),
+        "counts": {},
+    }
+    for name, df in tables.items():
+        ordered = df.orderBy(F.to_json(F.struct(*df.columns)))
+        lines = ordered.toJSON().collect()
+        (out / f"{name}.jsonl").write_text("\n".join(lines) + ("\n" if lines else ""))
+        m["counts"][name] = len(lines)
+    (out / "manifest.json").write_text(json.dumps(m, indent=2, sort_keys=True))
     return m
 
 

@@ -103,15 +103,38 @@ def promote_and_rewrite(
     )
 
     tri2 = apply_merge(triples, id_map, "subject_id", "object_id")
+    t_aggs = [
+        F.max("confidence").alias("confidence"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("source_documents")))).alias(
+            "source_documents"
+        ),
+        F.sum("evidence_count").alias("evidence_count"),
+    ]
+    enriched = "strongest_evidence_quote" in tri2.columns
+    if enriched:
+        # merge the evidence summaries: strongest = max (confidence, quote)
+        # over groups that have one; avg = evidence-count-weighted mean
+        # (for enriched keys every accumulated row was an evidence row)
+        t_aggs += [
+            F.max(
+                F.when(
+                    F.col("strongest_evidence_quote").isNotNull(),
+                    F.struct(F.col("confidence").alias("c"),
+                             F.col("strongest_evidence_quote").alias("q")),
+                )
+            ).alias("_b"),
+            (
+                F.sum(F.col("evidence_confidence_avg") * F.col("evidence_count"))
+                / F.sum(
+                    F.when(F.col("evidence_confidence_avg").isNotNull(), F.col("evidence_count"))
+                )
+            ).alias("evidence_confidence_avg"),
+        ]
     tri2 = (
         tri2.filter(F.col("subject_id") != F.col("object_id"))
         .groupBy("subject_id", "predicate", "object_id")
-        .agg(
-            F.max("confidence").alias("confidence"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("source_documents")))).alias(
-                "source_documents"
-            ),
-            F.sum("evidence_count").alias("evidence_count"),
-        )
+        .agg(*t_aggs)
     )
+    if enriched:
+        tri2 = tri2.withColumn("strongest_evidence_quote", F.col("_b.q")).drop("_b")
     return ent2, tri2, id_map

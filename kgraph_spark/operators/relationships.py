@@ -68,17 +68,20 @@ def validate_relations(resolved: DataFrame, spec: DataFrame) -> DataFrame:
     )
 
     # F8: per (doc, subject, object) keep the most specific predicate
-    # (relationships.py:55-74; ties → max confidence, then predicate asc).
+    # (relationships.py:55-74; ties → max confidence, then predicate asc,
+    # then evidence asc — fully deterministic, mirrored in golden).
     # Hash min-of-struct aggregation instead of a sort-window: map-side
     # partial aggregation, no per-partition sort. min over
-    # (-specificity, -confidence, predicate) == (spec DESC, conf DESC,
-    # pred ASC).
+    # (-specificity, -confidence, predicate, evidence) == (spec DESC,
+    # conf DESC, pred ASC, evidence ASC).
+    ev = F.col("evidence") if "evidence" in r.columns else F.lit("")
     grouped = r.groupBy("doc_id", "subject_id", "object_id").agg(
         F.min(
             F.struct(
                 (-F.col("specificity")).alias("nspec"),
                 (-F.col("confidence")).alias("nconf"),
                 F.col("predicate").alias("predicate"),
+                ev.alias("evidence"),
                 F.col("confidence").alias("confidence"),
             )
         ).alias("_w")
@@ -89,6 +92,7 @@ def validate_relations(resolved: DataFrame, spec: DataFrame) -> DataFrame:
         F.col("_w.predicate").alias("predicate"),
         "object_id",
         F.col("_w.confidence").alias("confidence"),
+        F.col("_w.evidence").alias("evidence"),
     )
 
 
@@ -279,13 +283,36 @@ def symmetric_order(triples: DataFrame, spec: DataFrame) -> DataFrame:
 def accumulate_triples(per_doc_triples: DataFrame) -> DataFrame:
     """F10 cross-document accumulation (dedup.py:435-514): groupBy triple key,
     max confidence, union of source documents, evidence count. Map-side
-    partial aggregation makes this one well-behaved shuffle."""
-    return (
+    partial aggregation makes this one well-behaved shuffle.
+
+    When the input carries an `evidence` quote column (validated pattern
+    relations do; co-occurrence/appears_in rows carry null), the output is
+    enriched with the reference's RelationshipRow evidence summary
+    (kgbundle/models.py:59-61, built at kgraph/export.py:114-130):
+    strongest_evidence_quote = quote of the max-confidence evidence (ties →
+    max quote, deterministic) and evidence_confidence_avg = mean evidence
+    confidence; both null for quote-less relationship kinds."""
+    aggs = [
+        F.max("confidence").alias("confidence"),
+        F.array_sort(F.collect_set("doc_id")).alias("source_documents"),
+        F.count("*").alias("evidence_count"),
+    ]
+    if "evidence" in per_doc_triples.columns:
+        with_ev = F.when(
+            F.col("evidence").isNotNull(),
+            F.struct(F.col("confidence").alias("c"), F.col("evidence").alias("q")),
+        )
+        aggs += [
+            F.max(with_ev).alias("_best"),  # max ignores nulls
+            F.avg(F.when(F.col("evidence").isNotNull(), F.col("confidence"))).alias(
+                "evidence_confidence_avg"
+            ),
+        ]
+    out = (
         per_doc_triples.filter(F.col("subject_id") != F.col("object_id"))
         .groupBy("subject_id", "predicate", "object_id")
-        .agg(
-            F.max("confidence").alias("confidence"),
-            F.array_sort(F.collect_set("doc_id")).alias("source_documents"),
-            F.count("*").alias("evidence_count"),
-        )
+        .agg(*aggs)
     )
+    if "evidence" in per_doc_triples.columns:
+        out = out.withColumn("strongest_evidence_quote", F.col("_best.q")).drop("_best")
+    return out

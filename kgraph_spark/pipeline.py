@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kgraph_spark.config import PipelineConfig
 from kgraph_spark.operators import canonicalize, export, relationships, resolve
@@ -111,8 +112,6 @@ def run_pipeline_from_extracted(
     # ---- pass 2a: canonical merge (D8 connected components) --------------
     edges = relationships.same_as_edges(resolved_rel, cfg)
     if embedding_dedup:
-        from pyspark.sql import functions as F
-
         from kgraph_spark.functions.embeddings import embed_with_cache
         from kgraph_spark.operators.canonicalize import is_authoritative_col
         from kgraph_spark.operators.embedding_resolve import provisional_merge_edges
@@ -150,10 +149,11 @@ def run_pipeline_from_extracted(
     cooc = relationships.cooccurrence_triples_fast(presence, cfg)
     appear = relationships.appears_in_triples(merged_mentions, cfg)
 
+    no_quote = F.lit(None).cast("string").alias("evidence")
     per_doc = (
-        validated.select("doc_id", "subject_id", "predicate", "object_id", "confidence")
-        .unionByName(cooc)
-        .unionByName(appear)
+        validated.select("doc_id", "subject_id", "predicate", "object_id", "confidence", "evidence")
+        .unionByName(cooc.select("*", no_quote))
+        .unionByName(appear.select("*", no_quote))
     )
     per_doc = relationships.symmetric_order(per_doc, spec)
 
@@ -181,7 +181,9 @@ def run_pipeline_from_extracted(
         "mentions": export.mentions_table(merged_mentions),
         "evidence": export.evidence_table(
             relationships.symmetric_order(
-                validated.select("doc_id", "subject_id", "predicate", "object_id", "confidence"),
+                validated.select(
+                    "doc_id", "subject_id", "predicate", "object_id", "confidence", "evidence"
+                ),
                 spec,
             )
         ),

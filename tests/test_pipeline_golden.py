@@ -61,11 +61,20 @@ def test_triple_values_match(golden, result):
         (r["subject_id"], r["predicate"], r["object_id"]): r
         for r in result.triples.collect()
     }
+    n_quoted = 0
     for key, g in golden["triples"].items():
         row = got[key]
         assert abs(row["confidence"] - g["confidence"]) < 1e-9, (key, row, g)
         assert sorted(row["source_documents"]) == g["source_documents"], key
         assert row["evidence_count"] == g["evidence_count"], (key, row, g)
+        # RelationshipRow evidence enrichment (kgbundle/models.py:59-61)
+        assert row["strongest_evidence_quote"] == g["strongest_evidence_quote"], key
+        if g["evidence_confidence_avg"] is None:
+            assert row["evidence_confidence_avg"] is None, key
+        else:
+            n_quoted += 1
+            assert abs(row["evidence_confidence_avg"] - g["evidence_confidence_avg"]) < 1e-9, key
+    assert n_quoted > 0, "expected at least one quote-bearing triple"
 
 
 def test_mentions_match(golden, result):

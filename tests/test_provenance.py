@@ -38,3 +38,34 @@ def test_expand_provenance(spark):
     # empty author name and empty cited id dropped
     assert not any(s.startswith("Author:_") for s, _p, _o in out)
     assert ("PAPER:P1", "cites", "PAPER:") not in out
+
+
+def test_jsonl_bundle_byte_identical_across_runs(spark, tmp_path):
+    """A6 JSONL bundle contract: two runs over the same input produce
+    byte-identical .jsonl files; manifest carries counts + git commit."""
+    import json
+
+    from kgraph_spark import synth
+    from kgraph_spark.operators.export import write_bundle_jsonl
+    from kgraph_spark.pipeline import run_pipeline
+
+    outs = []
+    for run in ("a", "b"):
+        res = run_pipeline(
+            spark, synth.documents_df(spark, 60), synth.gazetteer_rows(),
+            persist_intermediates=False,
+        )
+        d = tmp_path / run
+        m = write_bundle_jsonl(res.tables, str(d))
+        outs.append((d, m))
+    (da, ma), (db, mb) = outs
+    for name in ("entities", "relationships", "mentions", "evidence"):
+        ba = (da / f"{name}.jsonl").read_bytes()
+        bb = (db / f"{name}.jsonl").read_bytes()
+        assert ba == bb, f"{name}.jsonl differs between identical runs"
+        assert ma["counts"][name] == mb["counts"][name] > 0
+        # round-trips through a JSON reader with the same row count
+        assert spark.read.json(str(da / f"{name}.jsonl")).count() == ma["counts"][name]
+    man = json.loads((da / "manifest.json").read_text())
+    assert man["git_commit"] not in ("", None)
+    assert len(man["git_commit"]) in (7, 40) or man["git_commit"] == "unknown"
