@@ -66,7 +66,13 @@ def run_pipeline(
     # caps the extraction stage at that task count regardless of cores —
     # measured as a flat 13s floor at any parallelism. A corpus at real
     # scale always has ≥ cores partitions, so this is a no-op there.
-    target = spark.sparkContext.defaultParallelism
+    #
+    # 3× cores, not 1×: the Python extraction stage is the longest stage in
+    # the job, and with exactly one task per core any straggler core (GC,
+    # hypervisor steal, data skew) sets the stage wall-clock. 3-4 waves let
+    # fast cores absorb a slow core's share — measured 1.27×→~3× stage
+    # scaling 4→16 cores under CPU steal. Same rule a real cluster uses.
+    target = spark.sparkContext.defaultParallelism * 3
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)
 
