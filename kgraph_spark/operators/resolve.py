@@ -118,6 +118,64 @@ def resolve_relation_endpoints(raw_relations: DataFrame, alias_index: DataFrame)
     )
 
 
+def preferred_authoritative_id(
+    bundle_rows: DataFrame, umls_to_hgnc: DataFrame | None = None
+) -> DataFrame:
+    """D7 per-class merge-key election (reference _preferred_authoritative_id,
+    examples/medlit/pipeline/dedup.py:96-121) over bundle-shaped rows that
+    carry multiple candidate ids (entity_class, canonical_id, umls_id,
+    hgnc_id, rxnorm_id, uniprot_id):
+
+      * Gene: HGNC first (bare digits formatted 'HGNC:n', dedup.py:88-94);
+        else UMLS→HGNC cross-lookup — a broadcast join against the
+        umls_to_hgnc dimension stands in for the reference's HTTP
+        lookup_hgnc_by_cui_sync — else the UMLS id itself; else canonical_id.
+      * Other classes: first authoritative id in (canonical_id, umls_id,
+        hgnc_id, rxnorm_id, uniprot_id).
+
+    Adds `merge_key` (null when nothing authoritative — the caller falls
+    back to the D5 provisional content hash). Pure column expressions plus
+    at most one broadcast join; never a per-row lookup."""
+    from kgraph_spark.operators.canonicalize import is_authoritative_col
+
+    def auth(name: str):
+        col = F.trim(F.col(name))
+        return F.when(col.isNotNull() & (col != "") & is_authoritative_col(col), col)
+
+    out = bundle_rows
+    if umls_to_hgnc is not None:
+        m = F.broadcast(
+            umls_to_hgnc.select(
+                F.col("umls_id").alias("_x_umls"), F.col("hgnc_id").alias("_x_hgnc")
+            )
+        )
+        out = out.join(m, F.trim(out["umls_id"]) == F.col("_x_umls"), "left")
+        cross = F.col("_x_hgnc")
+    else:
+        cross = F.lit(None).cast("string")
+
+    hgnc_trim = F.trim(F.col("hgnc_id"))
+    hgnc_fmt = F.when(hgnc_trim.rlike(r"^[0-9]+$"), F.concat(F.lit("HGNC:"), hgnc_trim)).otherwise(
+        hgnc_trim
+    )
+    gene_key = F.coalesce(
+        F.when(auth("hgnc_id").isNotNull(), hgnc_fmt),
+        F.when(auth("umls_id").isNotNull(), F.coalesce(cross, F.trim(F.col("umls_id")))),
+        auth("canonical_id"),
+    )
+    other_key = F.coalesce(
+        auth("canonical_id"), auth("umls_id"), auth("hgnc_id"),
+        auth("rxnorm_id"), auth("uniprot_id"),
+    )
+    out = out.withColumn(
+        "merge_key",
+        F.when(F.col("entity_class") == "Gene", gene_key).otherwise(other_key),
+    )
+    if umls_to_hgnc is not None:
+        out = out.drop("_x_umls", "_x_hgnc")
+    return out
+
+
 def usage_counts(resolved_mentions: DataFrame) -> DataFrame:
     """D6 usage accumulation: the reference's per-mention += 1
     (ingest.py:353-374) as a partial-aggregating groupBy."""

@@ -286,3 +286,46 @@ def test_mentions_from_metadata_filters(spark):
     assert len(out) == 1
     assert out[0]["text"] == "aspirin" and out[0]["canonical_id_hint"] == "RxNorm:1"
     assert out[0]["confidence"] == 0.9
+
+
+def test_preferred_authoritative_id_per_class(spark):
+    """D7 per-class merge-key election (reference dedup.py:96-121 +
+    test_dedup.py authoritative-ID preference): genes prefer HGNC with
+    UMLS→HGNC cross-lookup; other classes take the priority chain."""
+    from kgraph_spark.operators.resolve import preferred_authoritative_id
+
+    schema = ("eid string, entity_class string, canonical_id string, umls_id string, "
+              "hgnc_id string, rxnorm_id string, uniprot_id string")
+    rows = [
+        # gene with both umls and hgnc → hgnc wins, bare digits formatted
+        ("g1", "Gene", None, "C0017337", "1100", None, None),
+        # gene with umls only → cross-lookup resolves to HGNC
+        ("g2", "Gene", None, "C0079419", None, None, None),
+        # gene with umls only, no cross-lookup row → umls itself
+        ("g3", "Gene", None, "C0999999", None, None, None),
+        # gene with nothing authoritative → null merge key (D5 fallback)
+        ("g4", "Gene", None, None, None, None, None),
+        # non-gene: canonical_id first
+        ("d1", "Disease", "MeSH:D001", "C0006142", None, None, None),
+        # non-gene: umls before rxnorm
+        ("d2", "Drug", None, "C0004057", None, "1191", None),
+        # non-gene: rxnorm when umls absent
+        ("d3", "Drug", None, None, None, "1191", None),
+        # whitespace-padded ids still classify (config twin strips)
+        ("d4", "Disease", "  MeSH:D002  ", None, None, None, None),
+    ]
+    xl = spark.createDataFrame([("C0079419", "HGNC:11998")], "umls_id string, hgnc_id string")
+    out = {
+        r["eid"]: r["merge_key"]
+        for r in preferred_authoritative_id(spark.createDataFrame(rows, schema), xl).collect()
+    }
+    assert out == {
+        "g1": "HGNC:1100",
+        "g2": "HGNC:11998",
+        "g3": "C0999999",
+        "g4": None,
+        "d1": "MeSH:D001",
+        "d2": "C0004057",
+        "d3": "1191",
+        "d4": "MeSH:D002",
+    }
