@@ -498,6 +498,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     cooc_words = ", ".join(f"'{w}'" for w in COOC_WORDS)
+    kg_terms = ", ".join(f"'{w}'" for w in KG_TERMS)
+    # Flagship oracle. Restates the whole construction pipeline in SQL for
+    # the driver corpus, where it is exactly expressible because: documents
+    # are < 2000 chars (single chunk — no window-overlap effects), the
+    # gazetteer is single-token vocabulary terms (no canonical ids → all
+    # provisional sha256 ids, reproducible in DuckDB), and no relation
+    # phrases / same_as merges fire (verified: predicates are exactly
+    # appears_in + co_occurs_with). Mirrors: 12-token paragraphs
+    # (_docs_to_span_documents), word-regex occurrence presence (raw,
+    # pre-C5 — reference window-re-scan semantics), N=5 windows with the
+    # 40-char minimum, pair counting per window, conf = min(.95,.6+.1n),
+    # symmetric least/greatest ordering, cross-doc accumulation.
+    kg_pipeline_oracle = f"""
+        WITH base AS (
+            SELECT doc_id::VARCHAR AS doc_id,
+                   string_split_regex(trim(text), '\\s+') AS toks
+            FROM documents
+        ), paras AS (
+            SELECT doc_id, i AS para_idx,
+                   array_to_string(toks[i*12+1 : i*12+12], ' ') AS para
+            FROM base, unnest(range(0, ((len(toks) + 11) // 12)::BIGINT)) AS u(i)
+        ), pres AS (
+            SELECT DISTINCT doc_id, para_idx, lower(w) AS term
+            FROM paras, unnest(regexp_extract_all(para, '[A-Za-z0-9]+')) AS u(w)
+            WHERE lower(w) IN ({kg_terms})
+        ), plen AS (
+            SELECT doc_id, para_idx, length(para) AS plen FROM paras
+        ), nper AS (
+            SELECT doc_id, count(*) AS n FROM paras GROUP BY doc_id
+        ), wins AS (
+            SELECT doc_id, j AS win_j
+            FROM nper, unnest(range(0, greatest(n - 4, 0)::BIGINT)) AS w(j)
+        ), winlen AS (
+            SELECT w.doc_id, w.win_j
+            FROM wins w JOIN plen l
+              ON l.doc_id = w.doc_id AND l.para_idx BETWEEN w.win_j AND w.win_j + 4
+            GROUP BY 1, 2
+            HAVING sum(l.plen) + 4 >= 40
+        ), member AS (
+            SELECT DISTINCT wl.doc_id, wl.win_j, pr.term
+            FROM winlen wl JOIN pres pr
+              ON pr.doc_id = wl.doc_id AND pr.para_idx BETWEEN wl.win_j AND wl.win_j + 4
+        ), pair_counts AS (
+            SELECT a.doc_id, a.term AS ta, b.term AS tb, count(*) AS n
+            FROM member a JOIN member b
+              ON a.doc_id = b.doc_id AND a.win_j = b.win_j AND a.term < b.term
+            GROUP BY 1, 2, 3
+        ), eid AS (
+            SELECT DISTINCT term,
+                   'prov-' || substr(sha256(term || '|term'), 1, 12) AS id
+            FROM pres
+        ), cooc_doc AS (
+            SELECT p.doc_id,
+                   least(ea.id, eb.id) AS subject_id,
+                   greatest(ea.id, eb.id) AS object_id,
+                   least(0.95, 0.60 + 0.10 * p.n) AS conf
+            FROM pair_counts p
+            JOIN eid ea ON ea.term = p.ta
+            JOIN eid eb ON eb.term = p.tb
+        ), cooc AS (
+            SELECT subject_id, 'co_occurs_with' AS predicate, object_id,
+                   round(max(conf), 6) AS confidence, count(*) AS evidence_count
+            FROM cooc_doc GROUP BY 1, 3
+        ), appears AS (
+            SELECT DISTINCT e.id AS subject_id, 'appears_in' AS predicate,
+                   'DOC:' || pr.doc_id AS object_id,
+                   round(0.95, 6) AS confidence, 1::BIGINT AS evidence_count
+            FROM (SELECT DISTINCT doc_id, term FROM pres) pr
+            JOIN eid e ON e.term = pr.term
+        )
+        SELECT * FROM cooc UNION ALL SELECT * FROM appears
+    """
     mh_mins = ", ".join(f"min(md5(shingle || '#{i}')) AS h{i}" for i in range(64))
     mh_cols = ", ".join(f"h{i}" for i in range(64))
     hex60 = " + ".join(
@@ -523,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
         for i, plane in enumerate(_planes)
     )
     return {
+        "kg_pipeline_triples": kg_pipeline_oracle,
         "multimodal_features": """
             SELECT 'media-' || doc_id AS media_ref,
                    CASE WHEN doc_id % 7 = 0 THEN 'pdf'

@@ -39,8 +39,9 @@ _CONSTRAINTS = {p: (st, ot) for (p, st, ot, _sp, _sy, _ms) in PREDICATE_SPECS}
 
 def prov_id(name: str, entity_type: str) -> str:
     """Content-hashed provisional id (replaces reference uuid slug,
-    dedup.py:209-211) — deterministic across executors/runs."""
-    h = hashlib.sha1(f"{norm_dedup_py(name)}|{entity_type}".encode()).hexdigest()
+    dedup.py:209-211) — deterministic across executors/runs. sha256 (not
+    sha1) so the DuckDB driver oracle can recompute it."""
+    h = hashlib.sha256(f"{norm_dedup_py(name)}|{entity_type}".encode()).hexdigest()
     return PROV_PREFIX + h[:12]
 
 

@@ -24,10 +24,12 @@ from kgraph_spark.functions.normalize import norm_dedup_col
 def prov_id_col(name_col, type_col):
     """Spark twin of golden.prov_id — content-hashed provisional entity id
     (replaces the reference's uuid slug, dedup.py:209-211, for distributed
-    determinism). sha1 hex == hashlib.sha1(...).hexdigest()."""
+    determinism). sha256 hex == hashlib.sha256(...).hexdigest(), and is also
+    computable in DuckDB — so the driver oracle can reproduce provisional
+    ids (sha1 does not exist there)."""
     return F.concat(
         F.lit(PROV_PREFIX),
-        F.substring(F.sha1(F.concat(norm_dedup_col(name_col), F.lit("|"), type_col)), 1, 12),
+        F.substring(F.sha2(F.concat(norm_dedup_col(name_col), F.lit("|"), type_col), 256), 1, 12),
     )
 
 
@@ -53,7 +55,7 @@ def alias_index_df(spark: SparkSession, gazetteer_rows: list[tuple]) -> DataFram
         if key in best:
             continue  # KB-backed rows sort first and win
         eid = canonical_id or (
-            PROV_PREFIX + hashlib.sha1(f"{norm_dedup_py(alias)}|{etype}".encode()).hexdigest()[:12]
+            PROV_PREFIX + hashlib.sha256(f"{norm_dedup_py(alias)}|{etype}".encode()).hexdigest()[:12]
         )
         best[key] = (key, eid, etype)
     return spark.createDataFrame(
