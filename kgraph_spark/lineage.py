@@ -51,12 +51,24 @@ def run_sharded_stage(
     workdir: str,
     n_shards: int = 8,
     fail_after: int | None = None,
+    max_concurrent: int = 4,
 ) -> DataFrame:
     """Run `fn` over doc shards with skip-if-committed resume.
 
     fn: pure transform documents → stage output (must carry doc_id lineage
     implicitly; determinism is guaranteed by the content-hashed ID scheme).
-    fail_after: test hook — raise after N shards to simulate a killed job.
+    fail_after: test hook — raise after N shards to simulate a killed job
+    (forces the sequential path so "after N" is well-defined).
+
+    Uncommitted shards are submitted CONCURRENTLY from a small driver
+    thread pool: Spark's scheduler interleaves the independent write jobs,
+    so executors never sit idle between shard commits (the round-1 form ran
+    shards strictly sequentially — at 64+ shards on a cluster the
+    per-shard driver round-trips serialize the fleet). Shard input counts
+    come from ONE groupBy job up front instead of a count() per shard, and
+    lineage rows are buffered and appended once (concurrent appends to one
+    parquet dir race on _temporary). At real scale each shard write is an
+    Iceberg snapshot commit and this loop disappears into table commits.
 
     Returns the stage output DataFrame (reading all committed shards)."""
     out_root = Path(workdir) / stage
@@ -64,26 +76,41 @@ def run_sharded_stage(
     out_root.mkdir(parents=True, exist_ok=True)
 
     docs = docs.withColumn("_shard", shard_col(F.col("doc_id"), n_shards))
-    done = 0
-    for shard in range(n_shards):
-        shard_dir = out_root / f"shard={shard}"
-        if (shard_dir / "_SUCCESS").exists():
-            continue  # committed — resume skips it (skip-if-exists, I4)
-        if fail_after is not None and done >= fail_after:
-            raise RuntimeError(f"simulated kill after {done} shards")
+    pending = [
+        s for s in range(n_shards) if not (out_root / f"shard={s}" / "_SUCCESS").exists()
+    ]  # committed shards skipped — resume = skip-if-exists (I4)
+
+    lineage_rows: list[tuple] = []
+
+    def _run_one(shard: int, n_docs: int) -> None:
         t0 = time.time()
-        shard_docs = docs.filter(F.col("_shard") == shard).drop("_shard")
-        out = fn(shard_docs)
+        shard_dir = out_root / f"shard={shard}"
+        out = fn(docs.filter(F.col("_shard") == shard).drop("_shard"))
         out.write.mode("overwrite").parquet(str(shard_dir))
-        n_rows = spark.read.parquet(str(shard_dir)).count()
-        n_docs = shard_docs.count()
-        _append_rows(
-            spark,
-            lineage_path,
-            [(stage, shard, n_docs, n_rows, round(time.time() - t0, 3), "committed", int(time.time()))],
-            LINEAGE_SCHEMA,
+        n_rows = spark.read.parquet(str(shard_dir)).count()  # footer metadata only
+        lineage_rows.append(
+            (stage, shard, n_docs, n_rows, round(time.time() - t0, 3), "committed",
+             int(time.time()))
         )
-        done += 1
+
+    if pending:
+        if fail_after is not None:
+            for done, shard in enumerate(pending):
+                if done >= fail_after:
+                    _append_rows(spark, lineage_path, lineage_rows, LINEAGE_SCHEMA)
+                    raise RuntimeError(f"simulated kill after {done} shards")
+                _run_one(shard, docs.filter(F.col("_shard") == shard).count())
+        else:
+            counts = {
+                r["_shard"]: r["count"]
+                for r in docs.groupBy("_shard").count().collect()
+            }
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(len(pending), max_concurrent)) as ex:
+                list(ex.map(lambda s: _run_one(s, counts.get(s, 0)), pending))
+        if lineage_rows:
+            _append_rows(spark, lineage_path, lineage_rows, LINEAGE_SCHEMA)
     return spark.read.parquet(str(out_root))
 
 
