@@ -217,6 +217,16 @@ def q_evt_sessionize(spark, sf_dir):
     )
 
 
+def q_evt_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation, batch twin (the streaming
+    path — withWatermark + append-mode finalization — is the same function
+    on a streaming frame; tests/test_windowed_streaming.py)."""
+    from kgraph_spark.streaming.windowed import windowed_event_counts
+
+    ev = _read(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return windowed_event_counts(ev, window_duration="1 hour")
+
+
 def q_h1_bfs_2hop(spark, sf_dir):
     """H1 BFS subgraph: 2-hop frontier expansion customer→order→part."""
     from kgraph_spark.operators.graph import bfs_subgraph
@@ -430,6 +440,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: deterministic coarse quantizer (centroids = the 8
+    smallest vec_ids — SQL-restatable; kmeans_refine is the production
+    codebook seam), items in exactly one cell, probes scan their 2 nearest
+    cells. The inverted-file alternative to ann_lsh_topk."""
+    from kgraph_spark.operators.similarity import deterministic_centroids, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = deterministic_centroids(emb, 8)
+    probes = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("probe_id"), "embedding")
+    out = ivf_topk(emb, probes, cents, nprobe=2, k=10)
+    return out.select(
+        "probe_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary asset column → Arrow-batched mapInPandas
     feature extraction (decode deterministically stubbed — no decoder libs
@@ -492,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "evt_windowed_counts": q_evt_windowed_counts,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -624,6 +655,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT probe_id, vec_id, round(c, 6) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8
+            ), asg AS (
+                SELECT e.vec_id, e.emb, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cid) AS rn
+                FROM e CROSS JOIN cent c
+            ), cells AS (
+                SELECT vec_id, emb, cid AS cell FROM asg WHERE rn = 1
+            ), pasg AS (
+                SELECT vec_id AS probe_id, emb AS pe, cid AS cell
+                FROM asg WHERE vec_id < 5 AND rn <= 2
+            ), scored AS (
+                SELECT p.probe_id, c.vec_id,
+                       list_cosine_similarity(c.emb, p.pe) AS cos
+                FROM cells c JOIN pasg p USING (cell)
+            ), ranked AS (
+                SELECT probe_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            )
+            SELECT probe_id, vec_id, round(cos, 6) AS cosine, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "evt_windowed_counts": """
+            SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "simhash_near_dups": f"""
             WITH tok AS (

@@ -184,6 +184,12 @@ def main() -> None:
         t0 = time.time()
         fn(spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
+        # isolate queries: the pipeline query persists its fused extraction
+        # (correct within the query — three downstream branches share it),
+        # but a leaked cache steals executor storage memory from every
+        # later query in the session (measured: d8 4s → 30s when run after
+        # the pipeline with its cache still resident)
+        spark.catalog.clearCache()
 
     corpus = _synth_corpus_parquet(spark, BENCH_DOCS)
     warmup = _synth_corpus_parquet(spark, 2000)

@@ -138,6 +138,17 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gazc = _compiled(gaz_bcast)
+        # matched surfaces are a closed set (the gazetteer alternation), so
+        # normalization memoizes to once per distinct surface per worker —
+        # norm_dedup_py was the hottest per-occurrence call in this loop
+        _norm_cache: dict[str, str] = {}
+
+        def _norm(t: str) -> str:
+            v = _norm_cache.get(t)
+            if v is None:
+                v = _norm_cache[t] = norm_dedup_py(t)
+            return v
+
         for pdf in batches:
             rows = []
             for did, content, paras in zip(pdf["doc_id"], pdf["content"], pdf["paras"]):
@@ -148,25 +159,24 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
                     off += len(p) + 2
                 chunks = chunk_text(content or "", ccfg)
                 # valid co-occurrence windows (sherlock relationships.py:81-90):
-                # j ≤ n_paras - N and joined window text length ≥ min_chars
+                # j ≤ n_paras - N and joined window text length ≥ min_chars.
+                # No dedicated window rows hit the output: presence rows carry
+                # valid_wins, which downstream consumers (and
+                # windows_from_extracted) derive windows from — a window with
+                # no present entity yields no pair anyway.
                 P = len(paras)
-                valid = []
+                valid_set = set()
                 for j in range(P - (N - 1)):
                     wlen = sum(len(p) for p in paras[j:j + N]) + (N - 1)
                     if wlen >= min_chars:
-                        valid.append(j)
-                        rows.append(
-                            ("w", did, None, None, None, None, None, None,
-                             None, None, None, None, None, j, None, None, None, None)
-                        )
-                valid_set = set(valid)
+                        valid_set.add(j)
                 occs = extract_occurrences(chunks, gazc, para_starts)
                 for m in dedup_keepmax(occs):
                     rows.append(
                         ("m", did, m["text"], m["entity_type"], m["start_offset"],
                          m["end_offset"], m["confidence"], m["canonical_id_hint"],
                          m["para_idx"], None, None, None, None, None,
-                         norm_dedup_py(m["text"]), None, None, None)
+                         _norm(m["text"]), None, None, None)
                     )
                 # presence rows from RAW occurrences (pre-C5-dedup): one per
                 # distinct (norm surface, type, para); valid_wins = windows
@@ -174,7 +184,7 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
                 # window join downstream
                 pres: dict[tuple[str, str, int], dict] = {}
                 for o in occs:
-                    k = (norm_dedup_py(o["text"]), o["entity_type"], o["para_idx"])
+                    k = (_norm(o["text"]), o["entity_type"], o["para_idx"])
                     pres.setdefault(k, o)
                 for (nt, et, p_i), o in pres.items():
                     vw = [j for j in range(max(0, p_i - (N - 1)), p_i + 1) if j in valid_set]
@@ -189,7 +199,7 @@ def extract_all(docs: DataFrame, gaz_bcast, cfg=None) -> DataFrame:
                         ("r", did, None, None, None, None, r["confidence"], None,
                          r["para_idx"], r["subject_text"], r["object_text"],
                          r["predicate"], r["evidence"], None,
-                         None, norm_dedup_py(r["subject_text"]), norm_dedup_py(r["object_text"]), None)
+                         None, _norm(r["subject_text"]), _norm(r["object_text"]), None)
                     )
             yield pd.DataFrame(rows, columns=cols)
 
@@ -226,9 +236,17 @@ def relations_from_extracted(extracted: DataFrame) -> DataFrame:
 
 
 def windows_from_extracted(extracted: DataFrame) -> DataFrame:
+    """Valid co-occurrence windows, derived from the presence rows'
+    valid_wins arrays (the extractor emits no dedicated window rows: a
+    valid window with no present entity contributes no pair, so the
+    presence-derived set is pair-equivalent to the full enumeration)."""
     from pyspark.sql import functions as F
 
-    return extracted.filter(F.col("kind") == "w").select("doc_id", "win_j")
+    return (
+        extracted.filter(F.col("kind") == "p")
+        .select("doc_id", F.explode("valid_wins").alias("win_j"))
+        .distinct()
+    )
 
 
 KNOWN_TYPE_LABELS = frozenset(

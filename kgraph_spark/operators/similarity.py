@@ -99,6 +99,153 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer cells + nprobe search
+# ---------------------------------------------------------------------------
+
+def deterministic_centroids(
+    items: DataFrame, n_centroids: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Coarse-quantizer init: the n_centroids items with the smallest ids
+    (deterministic and SQL-restatable — the DuckDB oracle recomputes the
+    same quantizer). Production seam: swap in kmeans_refine output or an
+    offline-trained codebook; everything downstream only sees (cid, vector).
+    The collect is k rows × dim floats — quantizer-sized, never corpus-sized."""
+    rows = (
+        items.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(n_centroids).collect()
+    )
+    return [(i, [float(x) for x in r[1]]) for i, r in enumerate(rows)]
+
+
+def _centroid_score_arr(centroids: list[tuple[int, list[float]]], vec_col: str):
+    """array<struct<ns: -cosine, cid>> for every centroid — array_min picks
+    the best cell (max cosine, ties to the smallest cid), sort_array yields
+    the nprobe-nearest cells. Pure JVM expression; right for nlist ≲ 256
+    (literal size grows k×dim). Larger codebooks go through assign_cells_np."""
+    v = F.col(vec_col)
+    return F.array(
+        *[
+            F.struct(
+                (-cosine_col(v, F.array(*[F.lit(x) for x in cvec]))).alias("ns"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def assign_cells(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Nearest-centroid cell id per row (cosine metric; ties → smallest cid).
+    No shuffle: the codebook rides inside the expression, items never move."""
+    return df.withColumn("cell", F.array_min(_centroid_score_arr(centroids, vec_col))["cid"])
+
+
+def assign_cells_np(
+    df: DataFrame, centroids: list[tuple[int, list[float]]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Same contract as assign_cells via one Arrow-batched numpy matmul —
+    the large-nlist path (IVF codebooks of 1k-64k cells at 100-TB scale,
+    where a per-centroid JVM expression would not codegen). Batches of rows
+    × the whole codebook in one BLAS call; ties → smallest cid (argmax
+    returns the first maximum, and the codebook matrix is ordered by cid)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([c for c, _ in centroids])
+    cmat = np.array([v for _, v in centroids], dtype="float64")
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    in_fields = list(df.schema.fields)
+    out_schema = StructType(in_fields + [StructField("cell", IntegerType())])
+    cols = [f.name for f in in_fields]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                v = np.array(pdf[vec_col].tolist(), dtype="float64")
+                v = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True), 1e-12, None)
+                pdf = pdf.assign(cell=cids[np.argmax(v @ cmat.T, axis=1)])
+            else:
+                pdf = pdf.assign(cell=pd.Series([], dtype="int64"))
+            yield pdf[cols + ["cell"]]
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def kmeans_refine(
+    items: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 5,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement of the coarse quantizer, each iteration two narrow
+    shuffles: assign (map-only) → posexplode(dim) → groupBy(cell, pos) mean.
+    Only the k×dim codebook ever reaches the driver; empty cells keep their
+    previous centroid. Cosine-metric assignment (scale of a centroid does
+    not change any argmax, so plain means are fine)."""
+    cents = list(centroids)
+    for _ in range(iters):
+        assigned = assign_cells(items, cents, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.transform("pm", lambda s: s["m"]).alias("mean"))
+            .collect()
+        )
+        new = {r["cell"]: [float(x) for x in r["mean"]] for r in means}
+        cents = [(cid, new.get(cid, old)) for cid, old in cents]
+    return cents
+
+
+def ivf_topk(
+    items: DataFrame,
+    probes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int = 2,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    use_numpy_assign: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: items live in exactly one quantizer cell, each
+    probe scans its nprobe nearest cells — the classic inverted-file ANN
+    layout (alternative scale path to lsh_topk; recall trades via nprobe).
+    At cluster scale the items table is written bucketed/partitioned BY cell
+    so a probe touches only its nprobe partitions (partition pruning); here
+    the cell join expresses the same pruning.
+
+    Mirrors the reference's find_by_embedding contract
+    (kgraph/storage/memory.py:123-151) behind its "use ANN at scale" caveat
+    (kgraph/ingest.py:877-880)."""
+    assign = assign_cells_np if use_numpy_assign else assign_cells
+    bi = assign(items, centroids, vec_col)
+    pcells = probes.withColumn(
+        "_cells",
+        F.slice(
+            F.transform(
+                F.sort_array(_centroid_score_arr(centroids, vec_col)), lambda s: s["cid"]
+            ),
+            1,
+            nprobe,
+        ),
+    )
+    bp = pcells.select(
+        probe_id_col, F.col(vec_col).alias("_pvec"), F.explode("_cells").alias("cell")
+    )
+    scored = bi.join(F.broadcast(bp), "cell").select(
+        probe_id_col, id_col, cosine_col(F.col(vec_col), F.col("_pvec")).alias("cosine")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def blocked_pair_similarity(
     entities: DataFrame,
     threshold: float,

@@ -1,0 +1,54 @@
+"""Watermarked tumbling-window aggregation (Structured Streaming late-data
+handling).
+
+The reference accumulates batch statistics per ingest run (kgraph/ingest.py
+stage counters); the streaming restatement is the standard Spark shape:
+event-time tumbling windows + a watermark that bounds how late an event may
+arrive before it is dropped and the window's state is finalized and evicted
+— without the watermark, window state grows forever on an unbounded stream.
+
+`windowed_event_counts` works on BOTH a streaming and a batch DataFrame
+(`F.window` is the same expression either way), so the batch twin is the
+oracle-checkable `evt_windowed_counts` driver query and the streaming path
+is exercised by tests/test_windowed_streaming.py (append mode: a window row
+is emitted exactly once, when the watermark passes its end; late rows behind
+the watermark are dropped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per (tumbling event-time window, key) counts and value totals.
+
+    Streaming input: `withWatermark` bounds state (windows older than
+    max_event_time - watermark are finalized + evicted; later-arriving rows
+    for them are dropped). Batch input: identical grouping, no watermark —
+    the exact result the stream converges to.
+
+    window_start_us is epoch microseconds (UTC) rather than a timestamp so
+    the value is engine-portable for the DuckDB oracle (same trick as
+    evt_sessionize's unix_micros)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_duration).alias("w"), key_col)
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
