@@ -285,6 +285,7 @@ def q_text_token_stats(spark, sf_dir):
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_tokens_bpe").cast("long").alias("n_tokens_bpe"),
         F.round("avg_token_len", 6).alias("avg_token_len"),
     )
 
@@ -319,7 +320,8 @@ def q_fingerprint(spark, sf_dir):
     from kgraph_spark.operators.text_analysis import fingerprint
 
     return fingerprint(_read(spark, sf_dir, "documents")).select(
-        "doc_id", "fp_prefix", F.col("len_bucket").cast("long").alias("len_bucket")
+        "doc_id", "fp_prefix", F.col("fp_rolling").cast("long").alias("fp_rolling"),
+        F.col("len_bucket").cast("long").alias("len_bucket"),
     )
 
 
@@ -495,8 +497,10 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # dict order is execution order in bench.py: the flagship pipeline query
+    # runs LAST because its extraction churns the python-worker pool and
+    # JVM heap — everything after it would pay a respawn tax (bench.py note)
     return {
-        "kg_pipeline_triples": kg_pipeline_triples,
         "f10_triple_accumulate": q_f10_triple_accumulate,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
@@ -524,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "evt_windowed_counts": q_evt_windowed_counts,
         "multimodal_features": q_multimodal_features,
+        "kg_pipeline_triples": kg_pipeline_triples,
     }
 
 
@@ -854,6 +859,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    length(text)::BIGINT AS n_chars,
                    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT
+                       AS n_tokens_bpe,
                    round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
                          / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len
             FROM documents
@@ -892,6 +899,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id, md5(substr(text, 1, 64)) AS fp_prefix,
+                   list_reduce(
+                       list_transform(string_split(substr(text, 1, 256), ''),
+                                      c -> ascii(c)::BIGINT),
+                       (a, x) -> (a * 131 + x) % 1000000007
+                   )::BIGINT AS fp_rolling,
                    (length(text) // 64 * 64)::BIGINT AS len_bucket
             FROM documents
         """,

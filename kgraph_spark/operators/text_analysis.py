@@ -19,13 +19,24 @@ LANG_MARKERS = {
 }
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and each remaining
+# non-space symbol — the GPT-2-style split shape that approximates subword
+# token counts far better than whitespace on punctuated/code-mixed text.
+# Kept RE2/Java-portable so the DuckDB oracle evaluates it identically.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, n_chars, n_tokens, avg_token_len) — whitespace tokens."""
+    """(doc_id, n_chars, n_tokens, n_tokens_bpe, avg_token_len) —
+    whitespace tokens plus the BPE-ish regex token estimate."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     return docs.select(
         F.col(id_col),
         F.length(text_col).alias("n_chars"),
         F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "n_tokens_bpe"
+        ),
         (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / F.size(toks)).alias("avg_token_len"),
     )
 
@@ -78,11 +89,35 @@ def language_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     )
 
 
-def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", prefix: int = 64) -> DataFrame:
-    """Cheap content fingerprint: md5 of the first `prefix` chars + length
-    bucket — used for fast first-pass grouping before exact/near dedup."""
+ROLLING_BASE = 131
+ROLLING_MOD = 1_000_000_007  # keeps acc*131+cp < 2^63 — no overflow divergence
+
+
+def fingerprint(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 64,
+    rolling_chars: int = 256,
+) -> DataFrame:
+    """Cheap content fingerprints: md5 of the first `prefix` chars, a
+    Rabin-Karp-style polynomial rolling hash of the first `rolling_chars`
+    codepoints (acc = (acc·131 + cp) mod 1e9+7 — order-sensitive, so
+    transpositions change it while the md5 prefix would need a first-64
+    edit), and a length bucket — fast first-pass grouping before
+    exact/near dedup. Pure JVM fold via F.aggregate; no UDF."""
+    chars = F.filter(
+        F.split(F.substring(F.col(text_col), 1, rolling_chars), ""),
+        lambda c: F.length(c) > 0,
+    )
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )
     return docs.select(
         F.col(id_col),
         F.md5(F.substring(F.col(text_col), 1, prefix)).alias("fp_prefix"),
+        rolling.alias("fp_rolling"),
         (F.floor(F.length(text_col) / 64) * 64).alias("len_bucket"),
     )
