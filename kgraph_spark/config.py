@@ -39,6 +39,12 @@ class PipelineConfig:
     same_as_min_conf: float = 0.85   # dedup.py:379
     appears_in_conf: float = 0.95    # sherlock relationships.py:~50
     cc_max_iterations: int = 20      # hash-to-min bound; synonym clusters are tiny
+    # Scale guard: a hot entity pair can co-occur in an unbounded number of
+    # documents; the triple row keeps at most this many source ids (sorted,
+    # deterministic) while evidence_count stays exact. Per-doc provenance
+    # survives in full in the evidence table (normalized layout) — at 100 TB
+    # that table, not an in-row array, is the provenance contract.
+    max_source_documents: int = 10_000
 
 
 # British → American spelling for dedup lookups (dedup.py:29-35)

@@ -290,7 +290,7 @@ def symmetric_order(triples: DataFrame, spec: DataFrame) -> DataFrame:
     )
 
 
-def accumulate_triples(per_doc_triples: DataFrame) -> DataFrame:
+def accumulate_triples(per_doc_triples: DataFrame, max_source_documents: int = 10_000) -> DataFrame:
     """F10 cross-document accumulation (dedup.py:435-514): groupBy triple key,
     max confidence, union of source documents, evidence count. Map-side
     partial aggregation makes this one well-behaved shuffle.
@@ -302,9 +302,17 @@ def accumulate_triples(per_doc_triples: DataFrame) -> DataFrame:
     strongest_evidence_quote = quote of the max-confidence evidence (ties →
     max quote, deterministic) and evidence_confidence_avg = mean evidence
     confidence; both null for quote-less relationship kinds."""
+    # source_documents capped (sorted → deterministic prefix) so a hot pair
+    # co-occurring in millions of documents cannot blow up the triple row;
+    # evidence_count stays exact and the evidence table keeps full per-doc
+    # provenance. (The collect_set agg buffer itself still sees every id —
+    # at true 100-TB scale provenance should be read from the normalized
+    # evidence table, and this array treated as a bounded sample.)
     aggs = [
         F.max("confidence").alias("confidence"),
-        F.array_sort(F.collect_set("doc_id")).alias("source_documents"),
+        F.slice(
+            F.array_sort(F.collect_set("doc_id")), 1, max_source_documents
+        ).alias("source_documents"),
         F.count("*").alias("evidence_count"),
     ]
     if "evidence" in per_doc_triples.columns:

@@ -164,7 +164,7 @@ def run_pipeline_from_extracted(
     per_doc = relationships.symmetric_order(per_doc, spec)
 
     # ---- pass 3: accumulation + export tables -----------------------------
-    triples = relationships.accumulate_triples(per_doc)
+    triples = relationships.accumulate_triples(per_doc, cfg.max_source_documents)
     entities = export.entities_table(merged_mentions, cfg_promotion(cfg)).unionByName(
         # D12 tombstones: merge losers stay queryable with merged_into
         export.tombstone_entities(mentions, mapping)
