@@ -45,6 +45,10 @@ class PipelineConfig:
     # survives in full in the evidence table (normalized layout) — at 100 TB
     # that table, not an in-row array, is the provenance contract.
     max_source_documents: int = 10_000
+    # co-occurrence branch: fused F1+F10 with the pair stream
+    # dictionary-encoded as 8-byte codes (cooccurrence_accumulated) vs the
+    # per-doc string-pair path unioned into the shared accumulate
+    cooc_dict_encode: bool = True
 
 
 # British → American spelling for dedup lookups (dedup.py:29-35)

@@ -269,6 +269,94 @@ def cooccurrence_triples_fast(resolved_mentions: DataFrame, cfg: PipelineConfig)
     )
 
 
+def cooccurrence_accumulated(
+    resolved_mentions: DataFrame,
+    cfg: PipelineConfig,
+    max_source_documents: int = 10_000,
+) -> DataFrame:
+    """F1 + F10 fused for the co-occurrence branch: per-doc pair generation
+    (pair-once, intersect-counted — see cooccurrence_triples_fast) with the
+    69M-row pair stream DICTIONARY-ENCODED (xxhash64 codes, 8 bytes) instead
+    of carrying entity-id strings, accumulated cross-doc on the codes, and
+    decoded once on the ~1000× smaller accumulated output via a join against
+    the code→id dictionary (entity-vocabulary-sized: broadcast locally,
+    sort-merge at cluster scale — the same dictionary-encoded-shuffle trick
+    columnar engines use).
+
+    Legitimate because co_occurs_with shares no (s,p,o) group with the other
+    relationship branches (disjoint predicates), so accumulating it
+    separately is semantically identical to the unioned accumulate; and
+    conf = min(.95, .6+.1·n) is monotone in n, so max-over-docs(conf) =
+    conf(max n) — computed once per accumulated pair. Final ordering is
+    normalized to (least, greatest) on the DECODED ids, matching
+    symmetric_order/golden exactly.
+
+    xxhash64 codes: a collision would merge two entities' pair groups;
+    P ≈ k²/2^65 (k = entity vocabulary) — negligible below ~10^8 entities,
+    swap in a dense dictionary join above that."""
+    base = (
+        resolved_mentions.filter(F.size("valid_wins") > 0)
+        .select("doc_id", "entity_id", F.explode("valid_wins").alias("w"))
+        .withColumn("code", F.xxhash64("entity_id"))
+    )
+    # code→id dictionary: a column-pruned distinct over the entity column
+    # (map-side partial agg collapses to the vocabulary per partition)
+    ent_dict = (
+        resolved_mentions.select("entity_id")
+        .distinct()
+        .withColumn("code", F.xxhash64("entity_id"))
+    )
+    ent_wins = base.groupBy("doc_id", "code").agg(F.array_sort(F.collect_set("w")).alias("wins"))
+    docsets = ent_wins.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("code", "wins"))).alias("ents")
+    )
+    es = F.col("ents")
+    pair_arrays = F.flatten(
+        F.transform(
+            es,
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(es, i + 2, F.size(es)),
+                    lambda y: F.struct(
+                        x["code"].alias("s"),
+                        y["code"].alias("o"),
+                        F.size(F.array_intersect(x["wins"], y["wins"])).alias("n"),
+                    ),
+                ),
+                lambda p: p["n"] > 0,
+            ),
+        )
+    )
+    pairs = docsets.select("doc_id", F.explode(pair_arrays).alias("p"))
+    acc = pairs.groupBy(F.col("p.s").alias("sc"), F.col("p.o").alias("oc")).agg(
+        F.max("p.n").alias("max_n"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_source_documents).alias(
+            "source_documents"
+        ),
+        F.count("*").alias("evidence_count"),
+    )
+    conf = F.least(
+        F.lit(cfg.cooccur_max_conf),
+        F.lit(cfg.cooccur_base_conf) + F.lit(cfg.cooccur_step_conf) * F.col("max_n"),
+    )
+    # decode on the accumulated (small) side; broadcast — the dictionary is
+    # entity-vocabulary-sized, never corpus-sized (swap for a sort-merge
+    # join if the vocabulary outgrows executor memory)
+    ds = F.broadcast(ent_dict.select(F.col("code").alias("sc"), F.col("entity_id").alias("_s")))
+    do = F.broadcast(ent_dict.select(F.col("code").alias("oc"), F.col("entity_id").alias("_o")))
+    return (
+        acc.join(ds, "sc").join(do, "oc")
+        .select(
+            F.least("_s", "_o").alias("subject_id"),
+            F.lit("co_occurs_with").alias("predicate"),
+            F.greatest("_s", "_o").alias("object_id"),
+            conf.alias("confidence"),
+            "source_documents",
+            "evidence_count",
+        )
+    )
+
+
 def symmetric_order(triples: DataFrame, spec: DataFrame) -> DataFrame:
     """F11: symmetric predicates stored as (least, greatest)
     (examples/medlit/pipeline/utils.py:4-10) — built-in least/greatest."""

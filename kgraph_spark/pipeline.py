@@ -152,19 +152,35 @@ def run_pipeline_from_extracted(
         mapping,
         "entity_id",
     )
-    cooc = relationships.cooccurrence_triples_fast(presence, cfg)
     appear = relationships.appears_in_triples(merged_mentions, cfg)
-
     no_quote = F.lit(None).cast("string").alias("evidence")
-    per_doc = (
-        validated.select("doc_id", "subject_id", "predicate", "object_id", "confidence", "evidence")
-        .unionByName(cooc.select("*", no_quote))
-        .unionByName(appear.select("*", no_quote))
-    )
-    per_doc = relationships.symmetric_order(per_doc, spec)
+    per_doc = validated.select(
+        "doc_id", "subject_id", "predicate", "object_id", "confidence", "evidence"
+    ).unionByName(appear.select("*", no_quote))
 
     # ---- pass 3: accumulation + export tables -----------------------------
-    triples = relationships.accumulate_triples(per_doc, cfg.max_source_documents)
+    if cfg.cooc_dict_encode:
+        # co_occurs_with shares no (s,p,o) group with the other branches
+        # (disjoint predicates), so its F1+F10 run fused and
+        # dictionary-encoded (relationships.cooccurrence_accumulated) —
+        # the dominant pair stream shuffles 8-byte codes, not id strings
+        acc_cooc = relationships.cooccurrence_accumulated(
+            presence, cfg, cfg.max_source_documents
+        )
+        per_doc = relationships.symmetric_order(per_doc, spec)
+        triples = relationships.accumulate_triples(
+            per_doc, cfg.max_source_documents
+        ).unionByName(
+            acc_cooc.withColumn(
+                "evidence_confidence_avg", F.lit(None).cast("double")
+            ).withColumn("strongest_evidence_quote", F.lit(None).cast("string"))
+        )
+    else:
+        cooc = relationships.cooccurrence_triples_fast(presence, cfg)
+        per_doc = relationships.symmetric_order(
+            per_doc.unionByName(cooc.select("*", no_quote)), spec
+        )
+        triples = relationships.accumulate_triples(per_doc, cfg.max_source_documents)
     entities = export.entities_table(merged_mentions, cfg_promotion(cfg)).unionByName(
         # D12 tombstones: merge losers stay queryable with merged_into
         export.tombstone_entities(mentions, mapping)

@@ -37,3 +37,31 @@ def test_join_and_fast_cooccurrence_agree(spark):
     assert fast == joined
     assert fast, "expected co-occurrence pairs"
     ex.unpersist()
+
+
+def test_dict_encoded_pipeline_equals_string_pipeline(spark):
+    """The dictionary-encoded co-occurrence branch (fused F1+F10, 8-byte
+    codes through the accumulate shuffle) and the per-doc string-pair path
+    produce identical final triple tables."""
+    from kgraph_spark import synth
+    from kgraph_spark.config import PipelineConfig
+    from kgraph_spark.pipeline import run_pipeline
+
+    docs = synth.documents_df(spark, 120)
+    gaz = synth.gazetteer_rows()
+
+    def rows(enc):
+        cfg = PipelineConfig(cooc_dict_encode=enc)
+        res = run_pipeline(spark, docs, gaz, cfg)
+        out = {
+            (
+                r["subject_id"], r["predicate"], r["object_id"],
+                round(r["confidence"], 9), tuple(r["source_documents"]),
+                r["evidence_count"],
+            )
+            for r in res.triples.collect()
+        }
+        res.unpersist()
+        return out
+
+    assert rows(True) == rows(False)
