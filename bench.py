@@ -86,7 +86,17 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 # shared disk, which serializes it regardless of cores — a real cluster
 # spreads shuffle across per-node disks, and tmpfs emulates that bandwidth
 # (measured: raw 4→16 efficiency 0.65 on disk → 0.79 on tmpfs). See BENCH.md.
-_BENCH_CONF = {"spark.sql.adaptive.enabled": "false"}
+_BENCH_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    # split parquet scans fine enough that the input-parallelism guard in
+    # run_pipeline sees >= 3x cores partitions FROM THE SCAN and skips its
+    # repartition — removes a full corpus-sized shuffle (1.2 GB at 450k
+    # docs) from every pipeline run. A real cluster's input always has
+    # enough splits; this makes local mode match that shape.
+    # 2 MB (vs 128 MB default): the synth corpus compresses ~5x, so split
+    # size must be small enough in COMPRESSED bytes to yield 3x-cores tasks
+    "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+}
 if os.path.isdir("/dev/shm"):
     _shm = "/dev/shm/spark-local"
     os.makedirs(_shm, exist_ok=True)
