@@ -60,8 +60,11 @@ def _docs_to_span_documents(docs: DataFrame, tokens_per_para: int = 12) -> DataF
     )
     out = docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
     # single-file parquet inputs scan as one partition; spread the pUDF work
+    from kgraph_spark.session import estimated_scan_partitions
+
     spark = docs.sparkSession
-    if out.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    est = estimated_scan_partitions(out)  # no .rdd: file-size arithmetic only
+    if est is None or est < spark.sparkContext.defaultParallelism:
         out = out.repartition(spark.sparkContext.defaultParallelism)
     return out
 

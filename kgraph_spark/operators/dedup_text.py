@@ -116,19 +116,55 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
     )
 
 
-def ngram_jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.5, max_shingle_df: int | None = 10_000
+) -> DataFrame:
     """Exact n-gram Jaccard via shingle inverted index (not cross join):
     join docs sharing a shingle → pair intersection counts → |A∩B| /
-    (|A|+|B|-|A∩B|). Hot shingles can skew the self-join; AQE skew-join
-    handles it (cap very frequent shingles upstream if needed)."""
+    (|A|+|B|-|A∩B|).
+
+    Hot-shingle cap (max_shingle_df): one stopword-like shingle shared by k
+    documents emits k²/2 candidate pairs, so candidate GENERATION only uses
+    shingles with document frequency ≤ max_shingle_df; the Jaccard of every
+    surviving pair is then computed EXACTLY over the full shingle sets
+    (candidates ⨝ inverted index on (doc, shingle) — each join key is
+    unique, so no blowup). Recall contract: a pair is missed only if every
+    shingle it shares is hotter than the cap — for near-duplicates at
+    jaccard ≥ 0.5 that requires the whole document to consist of corpus-
+    hot shingles. Pass max_shingle_df=None for the uncapped single-join
+    form (exact recall, AQE skew-join as the only hot-key defense)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    if max_shingle_df is None:
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        rare_sh = sh.join(rare, "shingle", "left_semi")
+        ra = rare_sh.alias("a")
+        rb = rare_sh.alias("b")
+        candidates = (
+            ra.join(rb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            candidates.join(sa, "doc_a")
+            .join(sb, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

@@ -20,6 +20,51 @@ MAX_EDGES_LIMIT = 10000
 DEFAULT_MAX_NODES = 500
 
 
+def _bfs_visited(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    max_nodes: int | None,
+    directed: bool,
+) -> tuple[DataFrame, int]:
+    """BFS frontier loop returning (visited(entity_id, hop), visited_count).
+
+    ONE Spark action per hop: the frontier is lazily localCheckpoint-marked
+    and its count() both materializes the checkpoint and drives convergence
+    + the node-cap check (the round-2 form ran limit(1).count() + a visited
+    re-checkpoint + visited.count() — 3-4 driver round-trips per hop).
+    `visited` stays a lazy union of checkpointed hop frames, so its plan is
+    k shallow leaves, never a deep lineage."""
+    fwd = edges.select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
+    und = fwd if directed else fwd.union(
+        edges.select(F.col("object_id").alias("src"), F.col("subject_id").alias("dst"))
+    )
+    visited = (
+        seeds.select(F.col("entity_id")).distinct().withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
+    total = visited.count()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["entity_id"] == und["src"], "inner")
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        n_new = nxt.count()  # the hop's single action: compute+checkpoint+count
+        if n_new == 0:
+            break
+        visited = visited.union(nxt)
+        frontier = nxt
+        total += n_new
+        if max_nodes is not None and total >= max_nodes:
+            break
+    return visited, total
+
+
 def bfs_subgraph(
     edges: DataFrame,
     seeds: DataFrame,
@@ -32,31 +77,10 @@ def bfs_subgraph(
 
     Mirrors extract_subgraph BFS semantics (graph_traversal.py:178-290):
     frontier expansion with visited-set dedup and optional node cap."""
-    fwd = edges.select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
-    und = fwd if directed else fwd.union(
-        edges.select(F.col("object_id").alias("src"), F.col("subject_id").alias("dst"))
-    )
-    visited = seeds.select(F.col("entity_id")).distinct().withColumn("hop", F.lit(0))
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(und, frontier["entity_id"] == und["src"], "inner")
-            .select(F.col("dst").alias("entity_id"))
-            .distinct()
-            .join(visited.select("entity_id"), "entity_id", "left_anti")
-            .withColumn("hop", F.lit(hop))
-        )
-        nxt = nxt.localCheckpoint()
-        if nxt.limit(1).count() == 0:
-            break
-        visited = visited.union(nxt).localCheckpoint()
-        frontier = nxt
-        if max_nodes is not None and visited.count() >= max_nodes:
-            break
-    out = visited
-    if max_nodes is not None:
-        out = out.orderBy("hop", "entity_id").limit(max_nodes)
-    return out
+    visited, total = _bfs_visited(edges, seeds, max_hops, max_nodes, directed)
+    if max_nodes is not None and total > max_nodes:
+        return visited.orderBy("hop", "entity_id").limit(max_nodes)
+    return visited
 
 
 @dataclass
@@ -98,11 +122,11 @@ def extract_subgraph(
     e = edges
     if min_confidence is not None and "confidence" in e.columns:
         e = e.filter(F.coalesce(F.col("confidence"), F.lit(0.0)) >= min_confidence)
-    # cap+1 so the flag can distinguish "exactly at cap" from "truncated"
-    nodes = bfs_subgraph(e, seeds, max_hops=max_hops, max_nodes=max_nodes + 1,
-                         directed=directed).localCheckpoint()
+    # cap+1 so the flag can distinguish "exactly at cap" from "truncated";
+    # _bfs_visited already knows the visited count — no extra count action
+    nodes, total = _bfs_visited(e, seeds, max_hops, max_nodes + 1, directed)
     truncated = False
-    if nodes.count() > max_nodes:
+    if total > max_nodes:
         truncated = True
         nodes = nodes.orderBy("hop", "entity_id").limit(max_nodes).localCheckpoint()
     sub = subgraph_edges(e, nodes)

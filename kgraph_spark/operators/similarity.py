@@ -55,15 +55,10 @@ def brute_force_topk(
     )
 
 
-def hyperplane_buckets(
-    df: DataFrame,
-    dim: int,
-    n_planes: int = 12,
-    seed: int = 42,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Sign-random-projection LSH bucket id per vector (deterministic
-    seeded hyperplanes computed driver-side, shipped as literals)."""
+def _bucket_expr(dim: int, n_planes: int, seed: int, vec_col: str):
+    """Sign-random-projection bucket id as a pure column expression
+    (deterministic seeded hyperplanes computed driver-side, shipped as
+    literals)."""
     import random
 
     rng = random.Random(seed)
@@ -72,7 +67,54 @@ def hyperplane_buckets(
     for i, plane in enumerate(planes):
         proj = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    return bucket
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH bucket id per vector."""
+    return df.withColumn("bucket", _bucket_expr(dim, n_planes, seed, vec_col))
+
+
+def banded_hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_bands: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified LSH: n_bands independent sign-random-projection tables
+    (the cosine analogue of MinHash banding). Each input row explodes into
+    n_bands (band, bucket) rows; a candidate pair only needs to agree in ONE
+    band, so pair recall is 1-(1-p^n_planes)^n_bands where p = 1-θ/π —
+    ≥0.98 at cosine 0.88 with the defaults, vs ~0.36 for a single 6-plane
+    table. Row blowup is exactly n_bands (a constant), never quadratic."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _bucket_expr(dim, n_planes, seed + 7919 * (b + 1), vec_col).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        df.withColumn("_bb", F.explode(bands))
+        .withColumn("band", F.col("_bb.band"))
+        .withColumn("bucket", F.col("_bb.bucket"))
+        .drop("_bb")
+    )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    return None if row is None else len(row[0])
 
 
 def lsh_topk(
@@ -252,13 +294,42 @@ def blocked_pair_similarity(
     block_col: str = "entity_type",
     id_col: str = "entity_id",
     vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_bands: int = 6,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """D10/D11 blocked similarity self-join: same-block pairs with cosine ≥
     threshold (block by class — the reference's same-class provisional merge
-    at ≥0.88, dedup.py:640-761). Never a global cross join."""
-    a = entities.select(F.col(id_col).alias("id_a"), F.col(block_col).alias("blk"), F.col(vec_col).alias("va"))
-    b = entities.select(F.col(id_col).alias("id_b"), F.col(block_col).alias("blk"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, ["blk"]).filter(F.col("id_a") < F.col("id_b"))
+    at ≥0.88, dedup.py:640-761).
+
+    The self-join key is (block, band, LSH bucket), never the block alone:
+    blocks grow with the corpus (a web-scale corpus is dominated by one
+    class), so a class-only join is the O(n²) anti-pattern the reference
+    itself warns about (kgraph/ingest.py:877-880). Banded sign-random-
+    projection keeps recall ≥0.98 at the 0.88 merge threshold (see
+    banded_hyperplane_buckets); pair cardinality is bounded by similarity
+    structure. Candidate pairs are deduped across bands BEFORE the cosine
+    is computed, so each survivor pays for exactly one dot product."""
+    if dim is None:
+        dim = _infer_dim(entities, vec_col)
+        if dim is None:
+            return entities.sparkSession.createDataFrame(
+                [], "blk string, id_a string, id_b string, cosine double"
+            )
+    src = entities.select(
+        F.col(id_col).alias("_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("_v")
+    )
+    bucketed = banded_hyperplane_buckets(src, dim, n_planes, n_bands, seed, vec_col="_v")
+    a = bucketed.select("blk", "band", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = bucketed.select("blk", "band", "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    pairs = (
+        a.join(b, ["blk", "band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # same pair can collide in several bands; (va, vb) are functions of
+        # the ids so the kept row is value-identical whichever band wins
+        .dropDuplicates(["blk", "id_a", "id_b"])
+    )
     return (
         pairs.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)

@@ -73,7 +73,10 @@ def run_pipeline(
     # fast cores absorb a slow core's share — measured 1.27×→~3× stage
     # scaling 4→16 cores under CPU steal. Same rule a real cluster uses.
     target = spark.sparkContext.defaultParallelism * 3
-    if docs.rdd.getNumPartitions() < target:
+    from kgraph_spark.session import estimated_scan_partitions
+
+    est = estimated_scan_partitions(docs)  # no .rdd: file-size arithmetic only
+    if est is None or est < target:
         docs = docs.repartition(target)
 
     # ---- pass 1: fused extraction + resolution (map-only, one scan) ------

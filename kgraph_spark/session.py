@@ -64,3 +64,44 @@ def stop_spark() -> None:
         # allow a fresh master (local[8] vs local[32]) in the same process
         SparkSession._instantiatedSession = None  # noqa: SLF001
         SparkSession._activeSession = None  # noqa: SLF001
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string → bytes ('2097152', '134217728b', '128m', '1g')."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                      ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s)) * mult
+
+
+def estimated_scan_partitions(df) -> int | None:
+    """Estimate how many scan partitions a file-backed DataFrame yields:
+    Σ ceil(file_size / maxPartitionBytes) over its input files.
+
+    Replaces `df.rdd.getNumPartitions()` as the input-parallelism probe —
+    the RDD conversion forces plan translation (and at scale an extra
+    analysis pass) per call, while file sizes come straight from the
+    filesystem. Returns None for non-file inputs (in-memory test frames),
+    where the caller should assume the default-parallelism slice count."""
+    import urllib.parse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    maxpb = _parse_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    )
+    total = 0
+    for uri in files:
+        p = urllib.parse.urlparse(uri).path or uri
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            return None  # remote / unstat-able store: fall back conservatively
+        total += max(1, -(-size // maxpb))
+    return total

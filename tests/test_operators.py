@@ -234,3 +234,37 @@ def test_bfs_first_reach_hop(spark):
     seeds = spark.createDataFrame([("a",)], "entity_id string")
     out = {r["entity_id"]: r["hop"] for r in bfs_subgraph(edges, seeds, max_hops=3, directed=True).collect()}
     assert out == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A planted stopword shared by every doc must not generate pairs by
+    itself once its document frequency exceeds the cap; pairs that also
+    share rare shingles keep their EXACT full-set jaccard (the stopword
+    still counts in |A∩B| and the set sizes)."""
+    from kgraph_spark.operators.dedup_text import ngram_jaccard_pairs, shingles
+
+    # docs 1 and 2: near-dups sharing rare tokens + the stopword.
+    # docs 3..8: unrelated, share ONLY the stopword "the".
+    rows = [
+        (1, "the alpha beta gamma delta"),
+        (2, "the alpha beta gamma epsilon"),
+    ] + [(i, f"the uniq{i}a uniq{i}b uniq{i}c uniq{i}d") for i in range(3, 9)]
+    sh = shingles(spark.createDataFrame(rows, "doc_id long, text string"), k=1)
+
+    capped = ngram_jaccard_pairs(sh, min_jaccard=0.2, max_shingle_df=3)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # only the rare-shingle pair survives; all stopword-only pairs are gone
+    assert set(got) == {(1, 2)}
+    # exact jaccard over the FULL sets: |A∩B|=4 (the alpha beta gamma), |A∪B|=6
+    assert abs(got[(1, 2)] - 4 / 6) < 1e-9
+
+    # with an inert cap the output equals the uncapped form exactly
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh, min_jaccard=0.0, max_shingle_df=None).collect()
+    }
+    inert = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(sh, min_jaccard=0.0, max_shingle_df=10_000).collect()
+    }
+    assert uncapped == inert and len(uncapped) > 1
