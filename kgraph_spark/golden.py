@@ -283,7 +283,10 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
         "mentions": doc_mentions,
         "triples": {
             k: {"confidence": v["confidence"],
-                "source_documents": sorted(v["source_documents"]),
+                # same deterministic sorted-prefix cap the Spark
+                # accumulate_triples applies (config.max_source_documents),
+                # so oracle and pipeline stay comparable at every corpus size
+                "source_documents": sorted(v["source_documents"])[: cfg.max_source_documents],
                 "evidence_count": v["evidence_count"],
                 **_ev_summary(v)}
             for k, v in triples.items()

@@ -191,7 +191,9 @@ def _git_commit() -> str:
         return "unknown"
 
 
-def write_bundle_jsonl(tables: dict[str, DataFrame], out_dir: str) -> dict:
+def write_bundle_jsonl(
+    tables: dict[str, DataFrame], out_dir: str, max_driver_rows: int = 5_000_000
+) -> dict:
     """A6 JSONL bundle sink — the kgbundle consumer contract
     (kgraph/export.py:147-296): entities.jsonl / relationships.jsonl /
     mentions.jsonl / evidence.jsonl + manifest.json with per-table counts
@@ -199,9 +201,14 @@ def write_bundle_jsonl(tables: dict[str, DataFrame], out_dir: str) -> dict:
 
     Determinism contract: rows are totally ordered by their serialized JSON
     (ties are identical lines), so two runs over the same inputs produce
-    byte-identical .jsonl files. The bundle is a corpus-level export —
-    orders of magnitude below the raw corpus — so a driver-side write
-    matches the reference exporter's single-process contract; the 100-TB
+    byte-identical output. The bundle is a corpus-level export — orders of
+    magnitude below the raw corpus — so tables up to max_driver_rows are
+    written driver-side as a single .jsonl (the reference exporter's
+    single-file contract). A table ABOVE the guard falls back to a globally
+    sorted distributed text write (`<name>.jsonl.d/part-*`, range-partitioned
+    by the same sort key: concatenating parts in filename order reproduces
+    the exact single-file bytes) instead of silently OOMing the driver; the
+    manifest records which format each table used. The 100-TB
     materialization path remains the parquet/Iceberg writer (write_bundle)."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -210,12 +217,24 @@ def write_bundle_jsonl(tables: dict[str, DataFrame], out_dir: str) -> dict:
         "created_at_unix": int(time.time()),
         "git_commit": _git_commit(),
         "counts": {},
+        "formats": {},
     }
     for name, df in tables.items():
-        ordered = df.orderBy(F.to_json(F.struct(*df.columns)))
-        lines = ordered.toJSON().collect()
-        (out / f"{name}.jsonl").write_text("\n".join(lines) + ("\n" if lines else ""))
-        m["counts"][name] = len(lines)
+        key = F.to_json(F.struct(*df.columns))
+        n = df.count()
+        m["counts"][name] = n
+        if n <= max_driver_rows:
+            lines = df.orderBy(key).toJSON().collect()
+            (out / f"{name}.jsonl").write_text("\n".join(lines) + ("\n" if lines else ""))
+            m["formats"][name] = "jsonl"
+        else:
+            (
+                df.select(key.alias("value"))
+                .orderBy("value")
+                .write.mode("overwrite")
+                .text(str(out / f"{name}.jsonl.d"))
+            )
+            m["formats"][name] = "jsonl.d"
     (out / "manifest.json").write_text(json.dumps(m, indent=2, sort_keys=True))
     return m
 

@@ -178,6 +178,66 @@ def preferred_authoritative_id(
     return out
 
 
+def rerank_authority_candidates(
+    terms: DataFrame,
+    candidates: DataFrame,
+    threshold: float = 0.5,
+    term_col: str = "text",
+    key_col: str = "norm_key",
+) -> DataFrame:
+    """D4 seam: when an authority lookup returns SEVERAL candidate canonical
+    ids for one surface form, pick the candidate whose label is most similar
+    to the search term (reference _rerank_by_similarity,
+    examples/medlit/pipeline/authority_lookup.py:371-402: max embedding
+    cosine above similarity_threshold=0.5, authority_lookup.py:188).
+
+    Deterministic restatement: similarity = 1 - levenshtein/max(len) over
+    the normalized strings — a pure JVM expression (the hash embeddings are
+    identity, not semantics, so cosine can't grade label closeness; a real
+    encoder plugs into the same argmax via embed_with_cache + cosine_col).
+    Ties break to the smallest candidate_id; candidates below the threshold
+    are dropped (the reference returns None → caller falls through to its
+    next lookup strategy, i.e. the D5 provisional hash here).
+
+    terms(key_col, term_col) ⨝ broadcast candidates(key_col, candidate_id,
+    label) → (key_col, term_col, candidate_id, similarity); one broadcast
+    join + one min-of-struct agg, never a per-row lookup."""
+    lab = F.col("_lab")
+    term_norm = norm_dedup_col(F.col(term_col))
+    lab_norm = norm_dedup_col(lab)
+    sim = F.lit(1.0) - (
+        F.levenshtein(term_norm, lab_norm)
+        / F.greatest(F.length(term_norm), F.length(lab_norm), F.lit(1))
+    )
+    cand = F.broadcast(
+        candidates.select(
+            F.col(key_col),
+            F.col("candidate_id").alias("_cid"),
+            F.col("label").alias("_lab"),
+        )
+    )
+    scored = (
+        terms.join(cand, key_col, "inner")
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+    )
+    best = scored.groupBy(key_col, term_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("_sim")).alias("ns"),
+                F.col("_cid").alias("cid"),
+                F.col("_sim").alias("sim"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        key_col,
+        term_col,
+        F.col("_b.cid").alias("candidate_id"),
+        F.col("_b.sim").alias("similarity"),
+    )
+
+
 def usage_counts(resolved_mentions: DataFrame) -> DataFrame:
     """D6 usage accumulation: the reference's per-mention += 1
     (ingest.py:353-374) as a partial-aggregating groupBy."""

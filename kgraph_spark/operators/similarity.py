@@ -217,6 +217,47 @@ def assign_cells_np(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def probe_cells_np(
+    probes: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-nprobe nearest cells per probe via one Arrow-batched numpy matmul
+    + argsort — the large-nlist twin of the JVM `_centroid_score_arr` probe
+    ranking (1k-64k-cell codebooks would not codegen as literals). Adds a
+    `_cells` array<int> column; ties break to the smallest cid (stable
+    argsort over (-cosine, cid))."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    cids = np.array([c for c, _ in centroids])
+    cmat = np.array([v for _, v in centroids], dtype="float64")
+    cmat = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    order_by_cid = np.argsort(cids, kind="stable")
+    in_fields = list(probes.schema.fields)
+    out_schema = StructType(in_fields + [StructField("_cells", ArrayType(IntegerType()))])
+    cols = [f.name for f in in_fields]
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                v = np.array(pdf[vec_col].tolist(), dtype="float64")
+                v = v / np.clip(np.linalg.norm(v, axis=1, keepdims=True), 1e-12, None)
+                # rows ordered by cid, then stable argsort on -cosine:
+                # equal-cosine ties resolve to the smallest cid
+                sims = (v @ cmat.T)[:, order_by_cid]
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+                cells = cids[order_by_cid][top]
+                pdf = pdf.assign(_cells=[[int(c) for c in row] for row in cells])
+            else:
+                pdf = pdf.assign(_cells=pd.Series([], dtype="object"))
+            yield pdf[cols + ["_cells"]]
+
+    return probes.mapInPandas(run, schema=out_schema)
+
+
 def kmeans_refine(
     items: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -266,18 +307,24 @@ def ivf_topk(
     Mirrors the reference's find_by_embedding contract
     (kgraph/storage/memory.py:123-151) behind its "use ANN at scale" caveat
     (kgraph/ingest.py:877-880)."""
-    assign = assign_cells_np if use_numpy_assign else assign_cells
-    bi = assign(items, centroids, vec_col)
-    pcells = probes.withColumn(
-        "_cells",
-        F.slice(
-            F.transform(
-                F.sort_array(_centroid_score_arr(centroids, vec_col)), lambda s: s["cid"]
+    if use_numpy_assign:
+        # large-nlist path end-to-end: items AND probes rank cells via the
+        # numpy codebook matmul (a per-centroid literal expression would not
+        # codegen at 1k-64k cells)
+        bi = assign_cells_np(items, centroids, vec_col)
+        pcells = probe_cells_np(probes, centroids, nprobe, vec_col)
+    else:
+        bi = assign_cells(items, centroids, vec_col)
+        pcells = probes.withColumn(
+            "_cells",
+            F.slice(
+                F.transform(
+                    F.sort_array(_centroid_score_arr(centroids, vec_col)), lambda s: s["cid"]
+                ),
+                1,
+                nprobe,
             ),
-            1,
-            nprobe,
-        ),
-    )
+        )
     bp = pcells.select(
         probe_id_col, F.col(vec_col).alias("_pvec"), F.explode("_cells").alias("cell")
     )

@@ -32,6 +32,52 @@ def evidence_containment_filter(relations: DataFrame) -> DataFrame:
     )
 
 
+def evidence_containment_semantic_filter(
+    relations: DataFrame,
+    threshold: float = 0.5,
+    embed_fn=None,
+) -> DataFrame:
+    """F4 with the reference's semantic fallback: an endpoint passes if its
+    normalized surface is a substring of the evidence quote, OR — when the
+    substring check fails — if cosine(embed(evidence), embed(endpoint name))
+    ≥ threshold (reference _evidence_contains_both_entities_semantic,
+    examples/medlit/pipeline/relationships.py:142-206; default threshold 0.5
+    at relationships.py:225). Both endpoints must pass, each via either path.
+
+    Split-and-union keeps the Arrow UDF off the hot path: rows that already
+    pass the substring check (the deterministic extractor's guarantee) never
+    compute an embedding; only the residual rows pay for 3 embedding calls.
+    `embed_fn` is the I1 seam — defaults to the deterministic hash embedding
+    (functions/embeddings.embed_text); a real encoder plugs in with the same
+    (string column → array<float>) signature."""
+    from kgraph_spark.operators.similarity import cosine_col
+
+    if embed_fn is None:
+        from kgraph_spark.functions.embeddings import embed_text as embed_fn
+
+    norm_ev = norm_key_col(F.col("evidence"))
+    has_ev = F.col("evidence").isNotNull()
+    sub_ok = norm_ev.contains(F.col("subject_norm"))
+    obj_ok = norm_ev.contains(F.col("object_norm"))
+
+    fast = relations.filter(has_ev & sub_ok & obj_ok)
+    slow = (
+        relations.filter(has_ev & ~(sub_ok & obj_ok))
+        .withColumn("_ev_emb", embed_fn(F.col("evidence")))
+        .withColumn(
+            "_s_pass",
+            sub_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col("subject_norm"))) >= threshold),
+        )
+        .withColumn(
+            "_o_pass",
+            obj_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col("object_norm"))) >= threshold),
+        )
+        .filter(F.col("_s_pass") & F.col("_o_pass"))
+        .drop("_ev_emb", "_s_pass", "_o_pass")
+    )
+    return fast.unionByName(slow)
+
+
 def predicate_semantics_filter(relations: DataFrame) -> DataFrame:
     """F5: polarity sanity — 'treats'/'prevents' evidence must not be
     purely negative; 'causes'/'increases_risk' must not be purely positive

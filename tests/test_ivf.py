@@ -85,3 +85,32 @@ def test_kmeans_refine_shape_and_determinism(spark):
     assert all(len(v) == DIM and all(math.isfinite(x) for x in v) for _, v in a)
     # refinement actually moved the centroids off the seed points
     assert any(a[i][1] != init[i][1] for i in range(4))
+
+
+def test_ivf_numpy_path_matches_jvm_path(spark):
+    """use_numpy_assign=True must produce the exact same top-k as the JVM
+    literal-expression path — including the probe-side cell ranking (the
+    large-nlist path ranks probe cells via numpy argsort, not the codebook
+    literal)."""
+    items = _items(spark)
+    cents = deterministic_centroids(items, 8)
+    probes = items.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    jvm = {
+        (r["probe_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(items, probes, cents, nprobe=2, k=5).collect()
+    }
+    npy = {
+        (r["probe_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(items, probes, cents, nprobe=2, k=5, use_numpy_assign=True).collect()
+    }
+    assert jvm == npy
+
+    # both sides of the cell join ride the Arrow/numpy path: two MapInPandas
+    # nodes (item assignment + probe cell ranking), so the codebook is never
+    # embedded as a per-centroid literal expression on either side
+    plan = ivf_topk(
+        items, probes, cents, nprobe=2, k=5, use_numpy_assign=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan

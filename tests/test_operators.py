@@ -268,3 +268,37 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
         for r in ngram_jaccard_pairs(sh, min_jaccard=0.0, max_shingle_df=10_000).collect()
     }
     assert uncapped == inert and len(uncapped) > 1
+
+
+def test_authority_candidate_rerank_picks_closest_label(spark):
+    """D4 ambiguity: two KB candidates for one surface — the one whose label
+    is string-closest to the searched term wins (the reference's
+    _rerank_by_similarity pick); candidates below the similarity threshold
+    resolve to nothing (caller falls through to the provisional hash)."""
+    from kgraph_spark.operators.resolve import rerank_authority_candidates
+
+    terms = spark.createDataFrame(
+        [("acetylsalicylic acid", "acetylsalicylic acid"),
+         ("zzz totally unrelated", "zzz totally unrelated")],
+        "norm_key string, text string",
+    )
+    cands = spark.createDataFrame(
+        [("acetylsalicylic acid", "UMLS:C0004057", "aspirin"),
+         ("acetylsalicylic acid", "UMLS:C9999999", "acetylsalicylic acid"),
+         ("zzz totally unrelated", "UMLS:C0000001", "completely different label")],
+        "norm_key string, candidate_id string, label string",
+    )
+    out = {r["norm_key"]: (r["candidate_id"], r["similarity"])
+           for r in rerank_authority_candidates(terms, cands).collect()}
+    assert out["acetylsalicylic acid"][0] == "UMLS:C9999999"   # exact label wins
+    assert abs(out["acetylsalicylic acid"][1] - 1.0) < 1e-9
+    assert "zzz totally unrelated" not in out                  # below threshold → dropped
+
+    # deterministic tie-break: identical labels → smallest candidate id
+    tie = spark.createDataFrame(
+        [("k", "UMLS:C2", "same label"), ("k", "UMLS:C1", "same label")],
+        "norm_key string, candidate_id string, label string",
+    )
+    t = spark.createDataFrame([("k", "same label")], "norm_key string, text string")
+    got = rerank_authority_candidates(t, tie).collect()
+    assert len(got) == 1 and got[0]["candidate_id"] == "UMLS:C1"

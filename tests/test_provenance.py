@@ -69,3 +69,28 @@ def test_jsonl_bundle_byte_identical_across_runs(spark, tmp_path):
     man = json.loads((da / "manifest.json").read_text())
     assert man["git_commit"] not in ("", None)
     assert len(man["git_commit"]) in (7, 40) or man["git_commit"] == "unknown"
+
+
+def test_jsonl_bundle_distributed_fallback_above_guard(spark, tmp_path):
+    """A table above max_driver_rows must use the sorted distributed text
+    write (no driver collect); concatenating its parts in filename order
+    reproduces byte-for-byte what the driver-side path writes."""
+    from kgraph_spark.operators.export import write_bundle_jsonl
+
+    df = spark.createDataFrame(
+        [(i, f"name-{i % 7}", None if i % 3 else "x") for i in range(200)],
+        "id long, name string, flag string",
+    ).repartition(8)
+
+    small = tmp_path / "small"
+    big = tmp_path / "big"
+    m1 = write_bundle_jsonl({"t": df}, str(small))                      # driver path
+    m2 = write_bundle_jsonl({"t": df}, str(big), max_driver_rows=50)    # fallback
+    assert m1["formats"]["t"] == "jsonl" and m2["formats"]["t"] == "jsonl.d"
+    assert m1["counts"]["t"] == m2["counts"]["t"] == 200
+    assert not (big / "t.jsonl").exists()
+
+    parts = sorted((big / "t.jsonl.d").glob("part-*"))
+    assert len(parts) >= 1
+    concat = b"".join(p.read_bytes() for p in parts)
+    assert concat == (small / "t.jsonl").read_bytes()

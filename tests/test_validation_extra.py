@@ -3,6 +3,7 @@ reconciliation, H3/H4 lookups, and the C2/F2 interface stubs."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 
 from kgraph_spark.operators.canonicalize import reconcile_by_name
@@ -109,3 +110,50 @@ def test_extractor_stubs_raise():
     for stub in (llm_mention_extractor, llm_relation_extractor, local_ner_extractor):
         with pytest.raises(NotImplementedError):
             stub("x")
+
+
+def test_evidence_containment_semantic_fallback(spark):
+    """A paraphrased quote (no substring match) passes ONLY via the semantic
+    path; substring rows never touch the embedding seam; unrelated quotes
+    still drop. Injects a toy encoder where the paraphrase embeds parallel
+    to both endpoint names (a real encoder's behavior the deterministic
+    hash embedding deliberately lacks)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kgraph_spark.operators.validation_extra import (
+        evidence_containment_semantic_filter,
+    )
+
+    # toy semantic space: paraphrase + both endpoint names share direction
+    vecs = {
+        "aspirin": [1.0, 0.0],
+        "headache": [0.9, 0.1],
+        "the analgesic relieved cranial pain": [0.95, 0.05],
+        "stock prices rose sharply": [0.0, 1.0],
+    }
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def toy_embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: vecs.get(t, [0.0, -1.0]))
+
+    rels = spark.createDataFrame(
+        [("r1", "aspirin", "headache", "aspirin treats headache"),      # substring path
+         ("r2", "aspirin", "headache", "the analgesic relieved cranial pain"),  # semantic only
+         ("r3", "aspirin", "headache", "stock prices rose sharply"),    # fails both
+         ("r4", "aspirin", "headache", None)],                          # no evidence
+        "rel_id string, subject_norm string, object_norm string, evidence string",
+    )
+    kept = {r["rel_id"] for r in
+            evidence_containment_semantic_filter(rels, 0.5, embed_fn=toy_embed).collect()}
+    assert kept == {"r1", "r2"}
+
+    # with the default hash embedding (identity, not semantics) the
+    # paraphrase does NOT sneak through — the substring contract is intact
+    from kgraph_spark.operators.validation_extra import evidence_containment_filter
+
+    strict = {r["rel_id"] for r in evidence_containment_filter(rels).collect()}
+    default_sem = {r["rel_id"] for r in
+                   evidence_containment_semantic_filter(rels).collect()}
+    assert strict == {"r1"}
+    assert default_sem == {"r1"}
