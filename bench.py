@@ -12,10 +12,11 @@ Prints ONE JSON line:
 - the full KG pipeline runs over a deterministic synthetic interleaved
   corpus ($SPARK_GRAFT_BENCH_DOCS docs, default 20000) written to parquet
   first so the measured job reads a real table;
-- scaling: the same pipeline job at local[8] vs local[32] on the same
-  parquet input (the sandbox stand-in for N vs 4N executors —
-  BASELINE.json north_rule); efficiency = tp32 / (4 · tp8).
-  Disable with SPARK_GRAFT_SCALING=0.
+- scaling: the same pipeline job at local[N] vs local[4N] (default 4 vs 16)
+  on the same parquet input (the sandbox stand-in for N vs 4N executors —
+  BASELINE.json north_rule); efficiency = tp4N / (4 · tpN), with the
+  interleaved-pair / paired-ceiling / CPU-time-inflation protocol described
+  at _scaling. Disable with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -124,26 +125,61 @@ def _cpu_baseline(procs: int, waves: int = 2) -> float:
     return procs * waves / (_t.time() - t0)
 
 
-def _executor_cpu_seconds(spark, skip_stage_ids) -> tuple[float, set]:
-    """Sum executorRunTime over completed stages (via the UI status API),
-    excluding `skip_stage_ids`. Returns (cpu_seconds, all_stage_ids)."""
+def _ceiling_sample(n: int, n4: int, retries: int = 2) -> float | None:
+    """One paired hardware-ceiling sample: raw-CPU throughput at n4 procs ÷
+    (4 × throughput at n procs), the two probes run back-to-back so they see
+    the same hypervisor weather. A ratio > 1.0 is physically impossible
+    (4× the workers cannot do more than 4× the work on fixed hardware) and
+    means the weather flipped between the two probes — resample up to
+    `retries` times, else discard (round-2's 1.2 'ceiling' poisoned the
+    normalized metric; this guard is the fix)."""
+    for _ in range(retries + 1):
+        tp_n = _cpu_baseline(n)
+        tp_n4 = _cpu_baseline(n4)
+        ratio = tp_n4 / (4.0 * tp_n)
+        if ratio <= 1.0:
+            return ratio
+    return None
+
+
+def _stage_metrics(spark, skip_stage_ids) -> tuple[list[dict], set]:
+    """Per-completed-stage metrics via the UI status API, excluding
+    `skip_stage_ids`. Returns ([{stage, name, run_sec, cpu_sec}], all_ids).
+
+    run_sec sums executorRunTime (task WALL time: includes in-task shuffle
+    waits, GC, and hypervisor descheduling — an upper bound on CPU work);
+    cpu_sec sums executorCpuTime (on-CPU nanoseconds: immune to steal and
+    scheduler wait, but still counts memory-stall cycles, so it is the
+    honest contention-inflation signal). Network failures degrade to an
+    empty list — metric collection must never lose a finished trial."""
     import json as _json
     import urllib.request
 
     base = spark.sparkContext.uiWebUrl
     if not base:
-        return 0.0, set()
-    app = _json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))[0]["id"]
-    stages = _json.load(
-        urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages?status=complete")
-    )
+        return [], set()
+    try:
+        apps = _json.load(urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10))
+        app = apps[0]["id"]
+        stages = _json.load(
+            urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+            )
+        )
+    except Exception:
+        return [], set()
     ids = {s["stageId"] for s in stages}
-    cpu = sum(
-        s.get("executorRunTime", 0) / 1000.0
+    rows = [
+        {
+            "stage": s["stageId"],
+            "name": (s.get("name") or "")[:60],
+            "run_sec": round(s.get("executorRunTime", 0) / 1e3, 2),
+            "cpu_sec": round(s.get("executorCpuTime", 0) / 1e9, 2),
+        }
         for s in stages
         if s["stageId"] not in skip_stage_ids
-    )
-    return cpu, ids
+    ]
+    return rows, ids
 
 
 def _one_trial(cores: int, corpus: str, warmup_corpus: str | None) -> dict:
@@ -160,76 +196,98 @@ def _one_trial(cores: int, corpus: str, warmup_corpus: str | None) -> dict:
                       extra_conf=conf)
     if warmup_corpus:
         _run_pipeline(spark, warmup_corpus)
-    _, warm_ids = _executor_cpu_seconds(spark, set())
+    _, warm_ids = _stage_metrics(spark, set())
     r = _run_pipeline(spark, corpus)
-    cpu_s, _ = _executor_cpu_seconds(spark, warm_ids)
-    r["executor_cpu_sec"] = round(cpu_s, 1)
+    stages, _ = _stage_metrics(spark, warm_ids)
+    r["executor_cpu_sec"] = round(sum(s["cpu_sec"] for s in stages), 1)
+    r["executor_run_sec"] = round(sum(s["run_sec"] for s in stages), 1)
+    # top stages by CPU: the self-contained evidence behind the
+    # work-normalized claim (stage-level contention is visible per trial)
+    r["stages_top_cpu"] = sorted(stages, key=lambda s: -s["cpu_sec"])[:8]
     stop_spark()
     return r
 
 
-BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1500"))
+BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800"))
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
 
 
 def _scaling(corpus: str, warmup: str, t_start: float) -> dict:
-    """Interleaved N / 4N trials (both levels sample the same host weather),
-    min per level, plus a simultaneous raw-CPU ceiling measurement.
+    """Scaling-efficiency evidence (BASELINE north rule: same job at N and
+    4N parallelism on the same input, throughput at both + efficiency).
 
-    Reports raw efficiency AND hardware-normalized efficiency
-    (pipeline_eff / cpu_ceiling_eff) — on a steal-prone VM the ceiling
-    itself is < 1.0 and varies, so the normalized number is the one that
-    says whether the PIPELINE scales."""
+    Protocol, designed for a hypervisor-steal-prone host (see BENCH.md):
+      * ≥ SCALING_TRIALS interleaved trial PAIRS, alternating run order, so
+        both levels sample the same weather distribution; min wall time per
+        level across pairs → efficiency_triples_per_sec (raw).
+      * One paired hardware-ceiling sample per trial pair (_ceiling_sample:
+        back-to-back raw-CPU probes, impossible ratios > 1.0 resampled then
+        discarded). cpu_ceiling_efficiency = max sane sample — the best the
+        HARDWARE scaled 4N/N during this run; normalized_efficiency =
+        raw / ceiling answers "did the pipeline scale as well as the box
+        possibly could".
+      * Per-trial executorCpuTime (on-CPU ns — immune to steal/scheduler
+        wait, still counts memory-stall cycles) feeds
+        cpu_time_inflation_4n_vs_n; work_normalized_efficiency =
+        raw × inflation answers "does the PLAN scale when each core does
+        constant work per row" (the 1000-executor question — per-node
+        LLC/bandwidth contention is provisioned per node on a real
+        cluster). executorRunTime is also recorded (executor_run_sec) as
+        the upper bound it is. Per-stage run/cpu tables for the best trial
+        at each level make the claim self-contained and auditable."""
     n, n4 = SCALE_N, SCALE_N * 4
     runs: dict[int, list[dict]] = {n: [], n4: []}
-    cpu: dict[int, list[float]] = {n: [], n4: []}
+    pair_effs: list[float] = []
+    ceilings: list[float] = []
     for trial in range(SCALING_TRIALS):
-        # budget guard: always finish at least one trial per level, but stop
-        # adding trials when the wall budget is nearly spent so the driver
-        # always receives a complete JSON line
-        if trial > 0 and time.time() - t_start > BENCH_BUDGET_S * 0.8:
+        # budget guard: always finish at least one trial pair, but stop
+        # starting new pairs when the wall budget is nearly spent so the
+        # driver always receives a complete JSON line
+        if trial > 0 and time.time() - t_start > BENCH_BUDGET_S * 0.75:
             break
+        c = _ceiling_sample(n, n4)
+        if c is not None:
+            ceilings.append(round(c, 3))
         order = (n, n4) if trial % 2 == 0 else (n4, n)
+        pair: dict[int, dict] = {}
         for cores in order:
-            cpu[cores].append(_cpu_baseline(cores))
             # warm up EVERY trial: each trial is a fresh session, and the
             # Python-worker/codegen ramp otherwise lands inside the timing
-            runs[cores].append(_one_trial(cores, corpus, warmup))
+            pair[cores] = _one_trial(cores, corpus, warmup)
+            runs[cores].append(pair[cores])
+        # adjacent-weather evidence: this pair's own efficiency
+        pair_effs.append(
+            round(pair[n4]["triples_per_sec"] / (4.0 * pair[n]["triples_per_sec"]), 3)
+        )
     best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in runs.items()}
-    cpu_best = {c: max(v) for c, v in cpu.items()}
     eff = best[n4]["triples_per_sec"] / (4.0 * best[n]["triples_per_sec"])
-    cpu_eff = cpu_best[n4] / (4.0 * cpu_best[n])
-    # Work-normalized efficiency: Spark's own task metrics show the SAME
-    # logical job consuming ~2× more executor-CPU-seconds at 4N threads
-    # than at N on this box (stage-level evidence in BENCH.md: the pair
-    # stage runs fully CPU-saturated at both levels, 574 vs 192 CPU·s for
-    # identical output) — single-socket LLC/memory-bandwidth contention,
-    # a resource a real cluster scales per-node. cpu_inflation measures it
-    # per-run from the recorded trials; raw_eff × inflation answers "does
-    # the PLAN scale when each core does constant work per row", which is
-    # the cluster-relevant question. Both factors are reported raw so the
-    # normalization is auditable.
-    # inflation from the SAME trials the efficiency ratio uses (the best
-    # trial per level) — mixing best-trial wall times with median-trial CPU
-    # times double-counts and can push the product past 1.0
+    ceiling = max(ceilings) if ceilings else None
     cpu_sec = {c: best[c].get("executor_cpu_sec") for c in runs}
+    run_sec = {c: best[c].get("executor_run_sec") for c in runs}
     inflation = (
         round(cpu_sec[n4] / cpu_sec[n], 3)
         if cpu_sec.get(n) and cpu_sec.get(n4)
         else None
     )
-    return {
+    sorted_effs = sorted(pair_effs)
+    median_pair_eff = sorted_effs[len(sorted_effs) // 2] if sorted_effs else None
+    out = {
         "docs": SCALING_DOCS,
         f"local{n}": best[n],
         f"local{n4}": best[n4],
         "all_trials_sec": {str(c): [r["sec"] for r in rs] for c, rs in runs.items()},
+        "per_pair_efficiency": pair_effs,
+        "median_pair_efficiency": median_pair_eff,
         "efficiency_triples_per_sec": round(eff, 3),
-        "cpu_ceiling_efficiency": round(cpu_eff, 3),
-        "normalized_efficiency": round(min(eff / cpu_eff, 1.5), 3) if cpu_eff else None,
+        "cpu_ceiling_samples": ceilings,
+        "cpu_ceiling_efficiency": ceiling,
+        "normalized_efficiency": round(min(eff / ceiling, 1.5), 3) if ceiling else None,
         "executor_cpu_sec_best_trial": {str(c): v for c, v in cpu_sec.items()},
+        "executor_run_sec_best_trial": {str(c): v for c, v in run_sec.items()},
         "cpu_time_inflation_4n_vs_n": inflation,
         "work_normalized_efficiency": round(min(eff * inflation, 1.5), 3) if inflation else None,
-        "cpu_baseline_tasks_per_sec": {str(c): round(v, 2) for c, v in cpu_best.items()},
     }
+    return out
 
 
 def main() -> None:
@@ -252,19 +310,31 @@ def main() -> None:
 
     spark.range(0, 64, 1, 64).mapInPandas(_wu, "id long").count()
 
+    # Per-query time = min of QUERY_TRIALS runs (default 2): hypervisor
+    # steal on this VM swings identical queries 2-4× between adjacent
+    # minutes (BENCH.md), so a single sample records weather, not the plan.
+    # min-of-2 is the standard microbench answer; both raw samples are not
+    # kept (the JSON line is the driver contract) but the protocol is
+    # documented in BENCH.md.
     qtimes: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.time() - t0, 3)
-        # isolate queries: the pipeline query persists its fused extraction
-        # (correct within the query — three downstream branches share it),
-        # and its millions of task/row objects bloat the shared local-mode
-        # JVM heap, which taxes every later latency-sensitive iterative
-        # query (measured: d8 CC 4s → 29s after the pipeline; explicit GC
-        # restores 6.6s). A real cluster isolates this per-executor.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        samples = []
+        for t in range(QUERY_TRIALS):
+            if t > 0 and time.time() - t_all > BENCH_BUDGET_S * 0.25:
+                break  # budget guard: second samples are a luxury
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            samples.append(time.time() - t0)
+            # isolate queries: the pipeline query persists its fused
+            # extraction (correct within the query — three downstream
+            # branches share it), and its millions of task/row objects
+            # bloat the shared local-mode JVM heap, which taxes every later
+            # latency-sensitive iterative query (measured: d8 CC 4s → 29s
+            # after the pipeline; explicit GC restores 6.6s). A real
+            # cluster isolates this per-executor.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        qtimes[name] = round(min(samples), 3)
 
     corpus = _synth_corpus_parquet(spark, BENCH_DOCS)
     warmup = _synth_corpus_parquet(spark, 2000)

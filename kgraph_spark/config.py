@@ -49,6 +49,15 @@ class PipelineConfig:
     # dictionary-encoded as 8-byte codes (cooccurrence_accumulated) vs the
     # per-doc string-pair path unioned into the shared accumulate
     cooc_dict_encode: bool = True
+    # F4/F5 guard rails (validation_extra): evidence containment + predicate
+    # polarity, applied to raw relations BEFORE endpoint resolution. Off by
+    # default — the deterministic extractor guarantees containment by
+    # construction (parity-neutral when on); the seam exists for sloppier
+    # plug-in extractors (LLM/C2). semantic_evidence_threshold switches the
+    # containment check to the reference's embedding-cosine fallback
+    # (relationships.py:142-206, threshold 0.5 at :225).
+    evidence_validation: bool = False
+    semantic_evidence_threshold: float | None = None
 
 
 # British → American spelling for dedup lookups (dedup.py:29-35)

@@ -19,16 +19,26 @@ NEGATIVE_MARKERS = ["not", "no", "never", "failed", "without", "absence", "lack"
 POSITIVE_MARKERS = ["improved", "reduced", "effective", "benefit", "response"]
 
 
-def evidence_containment_filter(relations: DataFrame) -> DataFrame:
+def evidence_containment_filter(
+    relations: DataFrame,
+    subject_col: str = "subject_norm",
+    object_col: str = "object_norm",
+) -> DataFrame:
     """F4: both endpoints must appear (normalized substring) in the evidence
     quote (reference _evidence_contains_both_entities,
-    relationships.py:101-139). relations must carry subject_norm /
-    object_norm / evidence columns."""
+    relationships.py:101-139). relations must carry evidence plus the two
+    endpoint-key columns.
+
+    Column-choice caveat (mirrors the reference, which matches the RAW
+    surface name/synonyms against the evidence, relationships.py:114-125):
+    pass a norm_key-of-surface column here, NOT the spelling-normalized
+    dedup key — 'tumour' in a quote contains the surface key 'tumour' but
+    not the dedup key 'tumor'."""
     norm_ev = norm_key_col(F.col("evidence"))
     return relations.filter(
         F.col("evidence").isNotNull()
-        & norm_ev.contains(F.col("subject_norm"))
-        & norm_ev.contains(F.col("object_norm"))
+        & norm_ev.contains(F.col(subject_col))
+        & norm_ev.contains(F.col(object_col))
     )
 
 
@@ -36,6 +46,8 @@ def evidence_containment_semantic_filter(
     relations: DataFrame,
     threshold: float = 0.5,
     embed_fn=None,
+    subject_col: str = "subject_norm",
+    object_col: str = "object_norm",
 ) -> DataFrame:
     """F4 with the reference's semantic fallback: an endpoint passes if its
     normalized surface is a substring of the evidence quote, OR — when the
@@ -57,8 +69,8 @@ def evidence_containment_semantic_filter(
 
     norm_ev = norm_key_col(F.col("evidence"))
     has_ev = F.col("evidence").isNotNull()
-    sub_ok = norm_ev.contains(F.col("subject_norm"))
-    obj_ok = norm_ev.contains(F.col("object_norm"))
+    sub_ok = norm_ev.contains(F.col(subject_col))
+    obj_ok = norm_ev.contains(F.col(object_col))
 
     fast = relations.filter(has_ev & sub_ok & obj_ok)
     slow = (
@@ -66,11 +78,11 @@ def evidence_containment_semantic_filter(
         .withColumn("_ev_emb", embed_fn(F.col("evidence")))
         .withColumn(
             "_s_pass",
-            sub_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col("subject_norm"))) >= threshold),
+            sub_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col(subject_col))) >= threshold),
         )
         .withColumn(
             "_o_pass",
-            obj_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col("object_norm"))) >= threshold),
+            obj_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col(object_col))) >= threshold),
         )
         .filter(F.col("_s_pass") & F.col("_o_pass"))
         .drop("_ev_emb", "_s_pass", "_o_pass")

@@ -114,9 +114,37 @@ def run_pipeline_from_extracted(
     alias_index = resolve.alias_index_df(spark, gazetteer_rows)
     spec = relationships.predicate_spec_df(spark)
     mentions = resolve.resolve_mentions(mentions_from_extracted(extracted), alias_index)
-    resolved_rel = resolve.resolve_relation_endpoints(
-        relations_from_extracted(extracted), alias_index
-    )
+    raw_rel = relations_from_extracted(extracted)
+    if cfg.evidence_validation:
+        # F4/F5 guard rails run pre-resolution, where the raw rows still
+        # carry surfaces + evidence (parity-neutral for the deterministic
+        # extractor, whose quotes contain both surfaces by construction;
+        # the contract for plug-in extractors). Containment matches the
+        # RAW surface key (norm_key of subject_text), not the spelling-
+        # normalized dedup key — the reference checks name/synonym
+        # substrings of the quote (relationships.py:114-125), and a quote
+        # saying 'tumour' does not contain the dedup key 'tumor'.
+        from kgraph_spark.functions.normalize import norm_key_col
+        from kgraph_spark.operators import validation_extra
+
+        raw_rel = raw_rel.withColumn(
+            "_s_surf", norm_key_col(F.col("subject_text"))
+        ).withColumn("_o_surf", norm_key_col(F.col("object_text")))
+        if cfg.semantic_evidence_threshold is not None:
+            raw_rel = validation_extra.evidence_containment_semantic_filter(
+                raw_rel,
+                cfg.semantic_evidence_threshold,
+                subject_col="_s_surf",
+                object_col="_o_surf",
+            )
+        else:
+            raw_rel = validation_extra.evidence_containment_filter(
+                raw_rel, subject_col="_s_surf", object_col="_o_surf"
+            )
+        raw_rel = validation_extra.predicate_semantics_filter(raw_rel).drop(
+            "_s_surf", "_o_surf"
+        )
+    resolved_rel = resolve.resolve_relation_endpoints(raw_rel, alias_index)
 
     # ---- pass 2a: canonical merge (D8 connected components) --------------
     edges = relationships.same_as_edges(resolved_rel, cfg)

@@ -157,3 +157,35 @@ def test_evidence_containment_semantic_fallback(spark):
                    evidence_containment_semantic_filter(rels).collect()}
     assert strict == {"r1"}
     assert default_sem == {"r1"}
+
+
+def test_pipeline_evidence_validation_parity_neutral(spark):
+    """cfg.evidence_validation=True must not change the triple set on the
+    deterministic corpus (its quotes contain both surfaces by construction
+    — including British-spelling surfaces, which would break if containment
+    matched the spelling-normalized dedup key instead of the raw surface)."""
+    from kgraph_spark import synth
+    from kgraph_spark.config import PipelineConfig
+    from kgraph_spark.operators.mentions import extract_all
+    from kgraph_spark.pipeline import run_pipeline_from_extracted
+
+    docs = synth.documents_df(spark, 120)
+    gaz = synth.gazetteer_rows()
+    gb = spark.sparkContext.broadcast(gaz)
+    extracted = extract_all(docs, gb).persist()
+    base = run_pipeline_from_extracted(spark, extracted, gaz, persist_intermediates=False)
+    guarded = run_pipeline_from_extracted(
+        spark, extracted, gaz,
+        cfg=PipelineConfig(evidence_validation=True),
+        persist_intermediates=False,
+    )
+    semantic = run_pipeline_from_extracted(
+        spark, extracted, gaz,
+        cfg=PipelineConfig(evidence_validation=True, semantic_evidence_threshold=0.5),
+        persist_intermediates=False,
+    )
+    k = lambda df: {(r["subject_id"], r["predicate"], r["object_id"]) for r in df.collect()}
+    want = k(base.triples)
+    assert k(guarded.triples) == want
+    assert k(semantic.triples) == want
+    extracted.unpersist()
