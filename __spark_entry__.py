@@ -499,6 +499,61 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_d4_authority_rerank(spark, sf_dir):
+    """D4 authority-candidate re-ranking (reference _rerank_by_similarity,
+    examples/medlit/pipeline/authority_lookup.py:371-402) on driver data:
+    each p_brand is an ambiguous KB surface whose candidates are the brand's
+    part names; the search term is the name of the brand's smallest partkey,
+    EXCLUDED from the candidate set so the argmax must do real ranking."""
+    from kgraph_spark.operators.resolve import rerank_authority_candidates
+
+    part = _read(spark, sf_dir, "part")
+    terms_best = part.groupBy("p_brand").agg(
+        F.min(F.struct(F.col("p_partkey"), F.col("p_name"))).alias("_t")
+    )
+    terms = terms_best.select(
+        F.col("p_brand").alias("norm_key"),
+        F.col("_t.p_name").alias("text"),
+        F.col("_t.p_partkey").alias("_tk"),
+    )
+    cands = (
+        part.join(F.broadcast(terms.select("norm_key", "_tk")),
+                  part["p_brand"] == F.col("norm_key"))
+        .filter(F.col("p_partkey") != F.col("_tk"))
+        .select(
+            "norm_key",
+            F.col("p_partkey").cast("string").alias("candidate_id"),
+            F.col("p_name").alias("label"),
+        )
+    )
+    out = rerank_authority_candidates(terms.select("norm_key", "text"), cands, threshold=0.0)
+    return out.select(
+        "norm_key", "text", "candidate_id", F.round("similarity", 6).alias("similarity")
+    )
+
+
+def q_f4_evidence_containment(spark, sf_dir):
+    """F4 substring containment (reference _evidence_contains_both_entities,
+    examples/medlit/pipeline/relationships.py:101-139) over driver docs:
+    synthetic relation rows (fixed subject, object keyed off doc_id) kept
+    only when both normalized surfaces appear in the quote. The semantic
+    fallback (142-206) and marker-disease context rescue (765-774) are
+    pytest-covered with a toy encoder — hash embeddings in SQL would verify
+    noise, not semantics."""
+    from kgraph_spark.operators.validation_extra import evidence_containment_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    rels = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("data").alias("subject_norm"),
+        F.element_at(
+            F.array(*[F.lit(w) for w in COOC_WORDS]), (F.col("doc_id") % 8 + 1).cast("int")
+        ).alias("object_norm"),
+        F.col("text").alias("evidence"),
+    )
+    return evidence_containment_filter(rels).select("doc_id", "subject_norm", "object_norm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -531,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "evt_windowed_counts": q_evt_windowed_counts,
         "multimodal_features": q_multimodal_features,
+        "d4_authority_rerank": q_d4_authority_rerank,
+        "f4_evidence_containment": q_f4_evidence_containment,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -967,5 +1024,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        # D4 rerank: levenshtein similarity argmax, levenshtein + the
+        # norm_key pipeline (lower/strip/collapse) restated verbatim; the
+        # spelling map is a no-op on part names so it is omitted. Ties
+        # break (sim DESC, candidate_id ASC) — same struct-min order as
+        # resolve.rerank_authority_candidates.
+        "d4_authority_rerank": r"""
+            WITH terms AS (
+                SELECT p_brand AS norm_key,
+                       arg_min(p_name, p_partkey) AS text,
+                       min(p_partkey) AS tk
+                FROM part GROUP BY p_brand
+            ), cands AS (
+                SELECT p.p_brand AS norm_key,
+                       p.p_partkey::VARCHAR AS candidate_id,
+                       p.p_name AS label
+                FROM part p JOIN terms t ON p.p_brand = t.norm_key
+                WHERE p.p_partkey <> t.tk
+            ), scored AS (
+                SELECT c.norm_key, t.text, c.candidate_id,
+                       1.0 - levenshtein(
+                           trim(regexp_replace(regexp_replace(lower(trim(t.text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+                           trim(regexp_replace(regexp_replace(lower(trim(c.label)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                       )::DOUBLE / greatest(
+                           length(trim(regexp_replace(regexp_replace(lower(trim(t.text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))),
+                           length(trim(regexp_replace(regexp_replace(lower(trim(c.label)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))),
+                           1) AS sim
+                FROM cands c JOIN terms t USING (norm_key)
+            ), best AS (
+                SELECT norm_key, text, candidate_id, sim,
+                       row_number() OVER (PARTITION BY norm_key ORDER BY sim DESC, candidate_id ASC) AS rn
+                FROM scored
+            )
+            SELECT norm_key, text, candidate_id, round(sim, 6) AS similarity
+            FROM best WHERE rn = 1
+        """,
+        "f4_evidence_containment": r"""
+            WITH rels AS (
+                SELECT doc_id::VARCHAR AS doc_id,
+                       'data' AS subject_norm,
+                       list_extract(['join','filter','window','customer','spark','merge','stream','table'],
+                                    (doc_id % 8 + 1)::INT) AS object_norm,
+                       text AS evidence,
+                       trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_ev
+                FROM documents
+            )
+            SELECT doc_id, subject_norm, object_norm FROM rels
+            WHERE evidence IS NOT NULL
+              AND contains(norm_ev, subject_norm) AND contains(norm_ev, object_norm)
         """,
     }

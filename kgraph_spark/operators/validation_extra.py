@@ -42,26 +42,47 @@ def evidence_containment_filter(
     )
 
 
+# reference _EVIDENCE_DISEASE_CONTEXT_WORDS (relationships.py:83-85)
+DISEASE_CONTEXT_WORDS = [
+    "tumor", "cancer", "cell", "cells", "positive", "negativity", "negative",
+    "staining", "ihc", "immunohisto", "immunoreactivity", "positivity", "neoplastic",
+]
+
+
 def evidence_containment_semantic_filter(
     relations: DataFrame,
     threshold: float = 0.5,
     embed_fn=None,
     subject_col: str = "subject_norm",
     object_col: str = "object_norm",
+    documents: DataFrame | None = None,
 ) -> DataFrame:
-    """F4 with the reference's semantic fallback: an endpoint passes if its
-    normalized surface is a substring of the evidence quote, OR — when the
-    substring check fails — if cosine(embed(evidence), embed(endpoint name))
-    ≥ threshold (reference _evidence_contains_both_entities_semantic,
-    examples/medlit/pipeline/relationships.py:142-206; default threshold 0.5
-    at relationships.py:225). Both endpoints must pass, each via either path.
+    """F4 with the reference's full fallback ladder (relationships.py:744-774):
 
-    Split-and-union keeps the Arrow UDF off the hot path: rows that already
-    pass the substring check (the deterministic extractor's guarantee) never
-    compute an embedding; only the residual rows pay for 3 embedding calls.
-    `embed_fn` is the I1 seam — defaults to the deterministic hash embedding
-    (functions/embeddings.embed_text); a real encoder plugs in with the same
-    (string column → array<float>) signature."""
+      1. substring: both endpoint keys appear in the normalized quote → pass;
+      2. exactly ONE endpoint appears → DROP immediately (the reference's
+         early exit at relationships.py:747-750 — an anchored extraction
+         missing one endpoint is treated as a real signal, the semantic
+         check is NOT consulted);
+      3. neither appears → semantic fallback: both endpoints must reach
+         cosine(embed(evidence), embed(endpoint)) ≥ threshold
+         (_evidence_contains_both_entities_semantic, relationships.py:142-206;
+         default threshold 0.5 at :225);
+      4. marker-disease context rescue (relationships.py:765-774, only when
+         `documents` is provided): predicate ∈ {indicates, associated_with},
+         object_type == 'disease', subject reached the evidence semantically,
+         the disease name appears in the FULL document content, and the quote
+         carries a disease-context word (DISEASE_CONTEXT_WORDS) → pass.
+
+    Split-and-union keeps the Arrow UDF off the hot path: rows deciding at
+    steps 1-2 never compute an embedding; only the neither-endpoint residue
+    pays for 3 embedding calls. `embed_fn` is the I1 seam — defaults to the
+    deterministic hash embedding (functions/embeddings.embed_text); a real
+    encoder plugs in with the same (string column → array<float>) signature.
+    `documents(doc_id, content)` joins at most the residue rows. Step 4
+    needs `predicate` and `object_type` columns; absent those (or documents),
+    the rescue is skipped — matching the reference with no embedding/window
+    context available."""
     from kgraph_spark.operators.similarity import cosine_col
 
     if embed_fn is None:
@@ -73,21 +94,47 @@ def evidence_containment_semantic_filter(
     obj_ok = norm_ev.contains(F.col(object_col))
 
     fast = relations.filter(has_ev & sub_ok & obj_ok)
-    slow = (
-        relations.filter(has_ev & ~(sub_ok & obj_ok))
+    # rows where exactly one endpoint string-matched are dropped here by
+    # construction: the residue keeps only the neither-matched rows
+    residue = (
+        relations.filter(has_ev & ~sub_ok & ~obj_ok)
         .withColumn("_ev_emb", embed_fn(F.col("evidence")))
         .withColumn(
-            "_s_pass",
-            sub_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col(subject_col))) >= threshold),
+            "_s_sem",
+            cosine_col(F.col("_ev_emb"), embed_fn(F.col(subject_col))) >= threshold,
         )
         .withColumn(
-            "_o_pass",
-            obj_ok | (cosine_col(F.col("_ev_emb"), embed_fn(F.col(object_col))) >= threshold),
+            "_o_sem",
+            cosine_col(F.col("_ev_emb"), embed_fn(F.col(object_col))) >= threshold,
         )
-        .filter(F.col("_s_pass") & F.col("_o_pass"))
-        .drop("_ev_emb", "_s_pass", "_o_pass")
     )
-    return fast.unionByName(slow)
+    semantic = residue.filter(F.col("_s_sem") & F.col("_o_sem")).drop(
+        "_ev_emb", "_s_sem", "_o_sem"
+    )
+    out = fast.unionByName(semantic)
+    if (
+        documents is not None
+        and "predicate" in relations.columns
+        and "object_type" in relations.columns
+    ):
+        ctx_words = F.array(*[F.lit(w) for w in DISEASE_CONTEXT_WORDS])
+        has_ctx = F.exists(ctx_words, lambda w: norm_ev.contains(w))
+        d = documents.select(
+            "doc_id", F.lower(F.col("content")).alias("_doc_content")
+        )
+        rescued = (
+            residue.filter(F.col("_s_sem") & ~F.col("_o_sem"))
+            .filter(
+                F.col("predicate").isin("indicates", "associated_with")
+                & (F.col("object_type") == "disease")
+                & has_ctx
+            )
+            .join(d, "doc_id", "inner")
+            .filter(F.col("_doc_content").contains(F.col(object_col)))
+            .drop("_ev_emb", "_s_sem", "_o_sem", "_doc_content")
+        )
+        out = out.unionByName(rescued)
+    return out
 
 
 def predicate_semantics_filter(relations: DataFrame) -> DataFrame:

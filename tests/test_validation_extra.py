@@ -131,6 +131,8 @@ def test_evidence_containment_semantic_fallback(spark):
         "headache": [0.9, 0.1],
         "the analgesic relieved cranial pain": [0.95, 0.05],
         "stock prices rose sharply": [0.0, 1.0],
+        # near 'headache' — would pass the object semantically if consulted
+        "aspirin relieved the discomfort": [0.9, 0.1],
     }
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
@@ -141,7 +143,11 @@ def test_evidence_containment_semantic_fallback(spark):
         [("r1", "aspirin", "headache", "aspirin treats headache"),      # substring path
          ("r2", "aspirin", "headache", "the analgesic relieved cranial pain"),  # semantic only
          ("r3", "aspirin", "headache", "stock prices rose sharply"),    # fails both
-         ("r4", "aspirin", "headache", None)],                          # no evidence
+         ("r4", "aspirin", "headache", None),                           # no evidence
+         # exactly ONE endpoint string-matches → reference early exit
+         # (relationships.py:747-750): dropped WITHOUT consulting semantics,
+         # even though the toy encoder would pass the other endpoint
+         ("r5", "aspirin", "headache", "aspirin relieved the discomfort")],
         "rel_id string, subject_norm string, object_norm string, evidence string",
     )
     kept = {r["rel_id"] for r in
@@ -189,3 +195,56 @@ def test_pipeline_evidence_validation_parity_neutral(spark):
     assert k(guarded.triples) == want
     assert k(semantic.triples) == want
     extracted.unpersist()
+
+
+def test_evidence_marker_disease_context_rescue(spark):
+    """The marker-disease fallback (reference relationships.py:765-774):
+    an indicates/disease row whose quote names the marker (semantically)
+    and carries disease-context words is rescued IF the disease name
+    appears in the full document content; non-marker predicates and
+    missing-context quotes stay dropped."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kgraph_spark.operators.validation_extra import (
+        evidence_containment_semantic_filter,
+    )
+
+    vecs = {
+        "her2": [1.0, 0.0],
+        "breast cancer": [0.0, 1.0],
+        # quote embeds near the marker only
+        "strong ihc staining was observed for the receptor": [0.95, 0.05],
+        "the receptor was mentioned in passing": [0.95, 0.05],
+    }
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def toy_embed(texts):
+        return texts.map(lambda t: vecs.get(t, [-1.0, 0.0]))
+
+    rels = spark.createDataFrame(
+        [("r1", "d1", "her2", "breast cancer", "indicates", "disease",
+          "strong ihc staining was observed for the receptor"),   # rescued
+         ("r2", "d2", "her2", "breast cancer", "indicates", "disease",
+          "strong ihc staining was observed for the receptor"),   # disease NOT in doc → drop
+         ("r3", "d1", "her2", "breast cancer", "treats", "disease",
+          "strong ihc staining was observed for the receptor"),   # wrong predicate → drop
+         ("r4", "d1", "her2", "breast cancer", "indicates", "disease",
+          "the receptor was mentioned in passing")],              # no context word → drop
+        "rel_id string, doc_id string, subject_norm string, object_norm string, "
+        "predicate string, object_type string, evidence string",
+    )
+    docs = spark.createDataFrame(
+        [("d1", "patients with breast cancer showed HER2 overexpression"),
+         ("d2", "a completely unrelated document")],
+        "doc_id string, content string",
+    )
+    kept = {r["rel_id"] for r in evidence_containment_semantic_filter(
+        rels, 0.5, embed_fn=toy_embed, documents=docs).collect()}
+    assert kept == {"r1"}
+
+    # without the documents dimension the rescue is unavailable (reference
+    # with no window context): everything here fails containment
+    no_docs = {r["rel_id"] for r in evidence_containment_semantic_filter(
+        rels, 0.5, embed_fn=toy_embed).collect()}
+    assert no_docs == set()
