@@ -160,10 +160,12 @@ def _stage_metrics(spark, skip_stage_ids) -> tuple[list[dict], set]:
 
     run_sec sums executorRunTime (task WALL time: includes in-task shuffle
     waits, GC, and hypervisor descheduling — an upper bound on CPU work);
-    cpu_sec sums executorCpuTime (on-CPU nanoseconds: immune to steal and
-    scheduler wait, but still counts memory-stall cycles, so it is the
-    honest contention-inflation signal). Network failures degrade to an
-    empty list — metric collection must never lose a finished trial."""
+    cpu_sec sums executorCpuTime (thread CPU nanoseconds: excludes OS
+    scheduler wait and I/O, counts memory-stall cycles — the contention
+    signal — but on this virtualization stack guest CPU clocks still tick
+    through hypervisor steal, so cpu_sec is steal-REDUCED, not steal-free).
+    Network failures degrade to an empty list — metric collection must
+    never lose a finished trial."""
     import json as _json
     import urllib.request
 
@@ -238,15 +240,17 @@ def _scaling(corpus: str, warmup: str, t_start: float) -> dict:
         HARDWARE scaled 4N/N during this run; normalized_efficiency =
         raw / ceiling answers "did the pipeline scale as well as the box
         possibly could".
-      * Per-trial executorCpuTime (on-CPU ns — immune to steal/scheduler
-        wait, still counts memory-stall cycles) feeds
-        cpu_time_inflation_4n_vs_n; work_normalized_efficiency =
-        raw × inflation answers "does the PLAN scale when each core does
-        constant work per row" (the 1000-executor question — per-node
-        LLC/bandwidth contention is provisioned per node on a real
-        cluster). executorRunTime is also recorded (executor_run_sec) as
-        the upper bound it is. Per-stage run/cpu tables for the best trial
-        at each level make the claim self-contained and auditable."""
+      * Per-trial executorCpuTime (thread CPU ns — excludes scheduler wait,
+        counts memory-stall cycles; NOT fully steal-free on this hypervisor,
+        see _stage_metrics) feeds cpu_time_inflation_4n_vs_n;
+        work_normalized_efficiency = raw × inflation answers "does the PLAN
+        scale when each core does constant work per row". With the default
+        below-the-knee pair the inflation is ≈1 and this metric is
+        SECONDARY (steal leakage into guest CPU clocks can push it either
+        side of raw); the gate metrics are the raw and ceiling-normalized
+        efficiencies. executorRunTime is also recorded (executor_run_sec)
+        as the upper bound it is. Per-stage run/cpu tables for the best
+        trial at each level make the record self-contained and auditable."""
     n, n4 = SCALE_N, SCALE_N * 4
     runs: dict[int, list[dict]] = {n: [], n4: []}
     pair_effs: list[float] = []
@@ -351,7 +355,17 @@ def main() -> None:
 
     corpus = _synth_corpus_parquet(spark, BENCH_DOCS)
     warmup = _synth_corpus_parquet(spark, 2000)
+    # same min-of-QUERY_TRIALS protocol as the sweep (single samples record
+    # weather, not the plan); the reported throughput block is the best run
     pipeline = _run_pipeline(spark, corpus)
+    for t in range(1, QUERY_TRIALS):
+        if time.time() - t_all > BENCH_BUDGET_S * 0.3:
+            break
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        r = _run_pipeline(spark, corpus)
+        if r["sec"] < pipeline["sec"]:
+            pipeline = r
     qtimes["pipeline_synth"] = pipeline["sec"]
 
     scaling = None
