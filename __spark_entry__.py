@@ -554,6 +554,47 @@ def q_f4_evidence_containment(spark, sf_dir):
     return evidence_containment_filter(rels).select("doc_id", "subject_norm", "object_norm")
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection through the banded
+    sign-random-projection pairing (similarity.blocked_pair_similarity —
+    the D10/D11 blocking machinery itself, oracle-checked end to end:
+    band buckets, bucket-join candidate generation, cosine threshold).
+
+    The driver embeddings are random (max pairwise cosine ≈ 0.51), so the
+    query plants a deterministic twin per vec_id < 40 (first coordinate
+    +0.2, id offset +100000) — near-parallel pairs the banding must
+    recover; the oracle replicates the exact buckets, so even LSH recall
+    misses match bit-for-bit."""
+    from kgraph_spark.operators.similarity import blocked_pair_similarity
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    twins = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.2)),
+            F.slice("embedding", 2, dim - 1),
+        ).alias("embedding"),
+    )
+    ents = (
+        emb.select("vec_id", "embedding")
+        .unionByName(twins)
+        .select(
+            F.col("vec_id").alias("entity_id"),
+            F.lit("all").alias("entity_type"),
+            "embedding",
+        )
+    )
+    out = blocked_pair_similarity(ents, threshold=0.95, dim=dim)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -588,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "d4_authority_rerank": q_d4_authority_rerank,
         "f4_evidence_containment": q_f4_evidence_containment,
+        "embedding_near_dups": q_embedding_near_dups,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -689,6 +731,23 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(repr(x) for x in plane)
         + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, plane in enumerate(_planes)
+    )
+
+    # banded LSH planes EXACTLY as similarity.banded_hyperplane_buckets
+    # draws them: band b uses random.Random(42 + 7919*(b+1)), 4 planes
+    def _band_bucket_sql(band: int) -> str:
+        rng = _random.Random(42 + 7919 * (band + 1))
+        planes = [[rng.gauss(0.0, 1.0) for _ in range(64)] for _ in range(4)]
+        return " + ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in plane)
+            + f"]::DOUBLE[]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+
+    banded_union = "\n                UNION ALL\n".join(
+        f"                SELECT id, v, {b} AS band, ({_band_bucket_sql(b)})::BIGINT AS bucket FROM e"
+        for b in range(6)
     )
     return {
         "kg_pipeline_triples": kg_pipeline_oracle,
@@ -1059,6 +1118,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT norm_key, text, candidate_id, round(sim, 6) AS similarity
             FROM best WHERE rn = 1
+        """,
+        # Banded-LSH near-dup pairing: base vectors + planted twins, band
+        # buckets restated as literal hyperplane sign sums (one SELECT per
+        # band, UNION ALL = the Spark explode), DISTINCT candidate pairs,
+        # cosine >= 0.95 on survivors — replicates recall misses exactly.
+        "embedding_near_dups": f"""
+            WITH base AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+            ), twins AS (
+                SELECT vec_id + 100000 AS id,
+                       [v[1] + 0.2] || v[2:] AS v
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                      WHERE vec_id < 40)
+            ), e AS (
+                SELECT id, v FROM base UNION ALL SELECT id, v FROM twins
+            ), bands AS (
+{banded_union}
+            ), pairs AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            ), scored AS (
+                SELECT p.id_a, p.id_b, list_cosine_similarity(ea.v, eb.v) AS c
+                FROM pairs p
+                JOIN e ea ON ea.id = p.id_a
+                JOIN e eb ON eb.id = p.id_b
+            )
+            SELECT id_a, id_b, round(c, 6) AS cosine
+            FROM scored WHERE c >= 0.95
         """,
         "f4_evidence_containment": r"""
             WITH rels AS (

@@ -54,7 +54,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     nodes = und.select(F.col("src").alias("id")).distinct()
-    labels = nodes.withColumn("component", F.col("id")).localCheckpoint()
+    labels = nodes.withColumn("component", F.col("id")).localCheckpoint(eager=False)
 
     for _ in range(max_iterations):
         # each node proposes its current label to every neighbor
@@ -65,12 +65,14 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
             msgs.union(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # ONE action per round: the full convergence count both materializes
+        # the lazily-marked checkpoint and drives the loop (an eager
+        # checkpoint + limit(1) probe was 2 driver round-trips per round)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels

@@ -101,6 +101,56 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_ref string, media_type string, content binary, "
+    "width int, height int, resize_ok boolean"
+)
+
+
+def resize_images(assets: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """mapInPandas image resize: binary in → binary out with updated
+    width/height metadata — the decode→resize→re-encode stage of a training
+    pipeline. The pixel work is a deterministic STUB (no PIL in this
+    container): output content = sha256(ref ‖ payload ‖ 'WxH') stretched to
+    target_w·target_h bytes, standing in for the re-encoded image while
+    keeping the REAL contract — Arrow binary columns both directions,
+    per-batch processing, metadata rewrite, and a resize_ok error path for
+    non-images / empty payloads (a real PIL decode failure lands the same
+    way). Swap the stub body for PIL `Image.open(...).resize(...)` in
+    production; schema and dataflow do not change."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for pdf in batches:
+            contents, ws, hs, ok = [], [], [], []
+            for mtype, ref, payload in zip(pdf["media_type"], pdf["media_ref"], pdf["content"]):
+                if mtype != "image" or payload is None or len(payload) == 0:
+                    contents.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    ok.append(False)
+                    continue
+                seed = hashlib.sha256(
+                    (ref or "").encode() + bytes(payload) + f"{target_w}x{target_h}".encode()
+                ).digest()
+                contents.append((seed * (n_out // len(seed) + 1))[:n_out])
+                ws.append(target_w)
+                hs.append(target_h)
+                ok.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "content": contents,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "resize_ok": ok,
+                }
+            )
+
+    return assets.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: (media_ref, frame_ts_ms) rows — the
     explode-side plumbing for a real frame extractor (sequence + explode,

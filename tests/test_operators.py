@@ -302,3 +302,26 @@ def test_authority_candidate_rerank_picks_closest_label(spark):
     t = spark.createDataFrame([("k", "same label")], "norm_key string, text string")
     got = rerank_authority_candidates(t, tie).collect()
     assert len(got) == 1 and got[0]["candidate_id"] == "UMLS:C1"
+
+
+def test_multimodal_resize_contract(spark):
+    """Resize plumbing: binary→binary with rewritten metadata, deterministic
+    across runs, target-sized payloads, and an error path for non-images
+    and empty payloads."""
+    from kgraph_spark.operators.multimodal import resize_images
+
+    assets = spark.createDataFrame(
+        [("m1", "image", b"rawbytes-1", 64, 64, None),
+         ("m2", "image", b"", 64, 64, None),            # empty → resize_ok False
+         ("m3", "audio", b"pcm", None, None, 2000)],    # wrong type → False
+        "media_ref string, media_type string, content binary, "
+        "width int, height int, duration_ms int",
+    )
+    out = {r["media_ref"]: r for r in resize_images(assets, 8, 4).collect()}
+    assert out["m1"]["resize_ok"] and len(out["m1"]["content"]) == 32
+    assert (out["m1"]["width"], out["m1"]["height"]) == (8, 4)
+    assert not out["m2"]["resize_ok"] and out["m2"]["content"] is None
+    assert not out["m3"]["resize_ok"] and out["m3"]["width"] is None
+    # deterministic: identical input bytes → identical resized bytes
+    again = {r["media_ref"]: r for r in resize_images(assets, 8, 4).collect()}
+    assert again["m1"]["content"] == out["m1"]["content"]
