@@ -1,0 +1,42 @@
+"""Streaming exact deduplication (training-data ingest path).
+
+Batch twin: operators/dedup_text.exact_duplicates (content-hash groupBy).
+The streaming restatement uses Spark's built-in
+`dropDuplicatesWithinWatermark`: the first document with a given content
+hash is emitted immediately (append mode); subsequent copies arriving
+while the hash is inside the watermark horizon are suppressed; state for
+hashes older than max_event_time - watermark is evicted, which bounds the
+dedup state on an unbounded stream.
+
+Contract at 100-TB scale: within-watermark duplicates are exactly deduped;
+a copy arriving later than the watermark horizon can pass (state for its
+hash was evicted) — the standard bounded-state trade. Exact global dedup
+over all history is the batch operator's job (one shuffle on the 16-byte
+digest over the accumulated table); the stream guarantees uniqueness per
+watermark window with O(active-window) state. A real deployment composes
+both: streaming dedup trims the firehose, periodic batch dedup compacts
+the store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming input → one row per content hash within the watermark
+    horizon. Works on a batch DataFrame too (falls back to a plain
+    dropDuplicates — the exact result the stream converges to when every
+    duplicate arrives inside the horizon)."""
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    if not docs.isStreaming:
+        return hashed.dropDuplicates(["content_hash"])
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

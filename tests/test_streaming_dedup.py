@@ -1,0 +1,83 @@
+"""Streaming exact dedup: first copy of a content hash is emitted once;
+within-watermark duplicates (same batch or later batches) are suppressed;
+the batch twin returns the identical distinct-hash set."""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kgraph_spark.streaming.dedup import streaming_exact_dedup
+
+SCHEMA = "doc_id bigint, ts timestamp, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, ts=ts, text=tx) for i, (ts, tx) in enumerate(rows)],
+        schema="doc_id bigint, ts string, text string",
+    ).select("doc_id", F.col("ts").cast("timestamp").alias("ts"), "text")
+
+
+def _hashes(spark, table):
+    return [r["content_hash"] for r in spark.sql(f"SELECT * FROM {table}").collect()]
+
+
+def _wait_n(spark, table, n, timeout_s=90):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        got = _hashes(spark, table)
+        if len(got) >= n:
+            return got
+        time.sleep(1.0)
+    return _hashes(spark, table)
+
+
+def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
+    indir = tmp_path / "docs_in"
+    indir.mkdir()
+    table = f"sdedup_{uuid.uuid4().hex[:8]}"
+
+    def t(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    # batch 1: two copies of the same text + one unique → 2 rows out
+    _docs(spark, [(t(1), "same text"), (t(2), "same text"), (t(3), "other")]) \
+        .coalesce(1).write.mode("append").parquet(str(indir))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(indir))
+    q = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .select("doc_id", "content_hash")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = _wait_n(spark, table, 2)
+        assert len(got1) == 2 and len(set(got1)) == 2, got1
+
+        # batch 2: another copy of "same text" (within the 1h watermark →
+        # suppressed) plus a genuinely new text → exactly 1 new row
+        _docs(spark, [(t(10), "same text"), (t(11), "brand new")]) \
+            .coalesce(1).write.mode("append").parquet(str(indir))
+        q.processAllAvailable()
+        got2 = _wait_n(spark, table, 3)
+        assert len(got2) == 3 and len(set(got2)) == 3, got2
+    finally:
+        q.stop()
+
+    # batch twin over the union of both batches → identical hash set
+    allrows = _docs(
+        spark,
+        [(t(1), "same text"), (t(2), "same text"), (t(3), "other"),
+         (t(10), "same text"), (t(11), "brand new")],
+    )
+    twin = {r["content_hash"] for r in streaming_exact_dedup(allrows).collect()}
+    assert twin == set(got2)
