@@ -58,6 +58,12 @@ class PipelineConfig:
     # (relationships.py:142-206, threshold 0.5 at :225).
     evidence_validation: bool = False
     semantic_evidence_threshold: float | None = None
+    # two-phase salted (s,p,o) accumulation: bounds the per-reducer
+    # collect_set state for hot pairs to O(max_source_documents) per salt
+    # (relationships.accumulate_triples_salted — output equivalence-tested
+    # against the unsalted form). None = single-phase (fine until one pair's
+    # distinct-doc set itself is reducer-sized).
+    accumulate_n_salts: int | None = None
 
 
 # British → American spelling for dedup lookups (dedup.py:29-35)

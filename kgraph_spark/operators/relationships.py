@@ -422,3 +422,69 @@ def accumulate_triples(per_doc_triples: DataFrame, max_source_documents: int = 1
     if "evidence" in per_doc_triples.columns:
         out = out.withColumn("strongest_evidence_quote", F.col("_best.q")).drop("_best")
     return out
+
+
+def accumulate_triples_salted(
+    per_doc_triples: DataFrame,
+    max_source_documents: int = 10_000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """accumulate_triples with two-phase salted aggregation — the hot-pair
+    path (SURVEY.md §4; north_rule "salted keys for skewed mentions").
+
+    accumulate_triples' one residual skew exposure is the collect_set
+    buffer: for a pair co-occurring in 10% of a 100-TB corpus, ONE reducer
+    materializes every distinct doc_id before the sorted-prefix cap is
+    applied. Here phase 1 groups on (s, p, o, salt) and caps the sorted
+    doc-id set PER SALT; phase 2 merges the ≤ n_salts bounded arrays.
+    Output is EXACTLY accumulate_triples' (equivalence-tested): any id in
+    the global ascending top-k is also within its salt's top-k (it has
+    ≤ k-1 ids below it globally, so ≤ k-1 within its salt), hence the
+    final sorted prefix of the union of per-salt prefixes is the global
+    prefix. Per-reducer state drops from O(distinct docs of the hottest
+    pair) to O(max_source_documents).
+
+    The salt is hash(doc_id) — deterministic for resume, and it spreads
+    exactly the dimension that explodes (documents per pair)."""
+    salted = per_doc_triples.filter(F.col("subject_id") != F.col("object_id")).withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int")
+    )
+    has_ev = "evidence" in per_doc_triples.columns
+    partial = [
+        F.max("confidence").alias("_conf_p"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_source_documents).alias(
+            "_docs_p"
+        ),
+        F.count("*").alias("_cnt_p"),
+    ]
+    if has_ev:
+        with_ev = F.when(
+            F.col("evidence").isNotNull(),
+            F.struct(F.col("confidence").alias("c"), F.col("evidence").alias("q")),
+        )
+        partial += [
+            F.max(with_ev).alias("_best_p"),  # max ignores nulls
+            F.sum(F.when(F.col("evidence").isNotNull(), F.col("confidence"))).alias("_evs_p"),
+            F.count(F.col("evidence")).alias("_evn_p"),
+        ]
+    p1 = salted.groupBy("subject_id", "predicate", "object_id", "_salt").agg(*partial)
+    final = [
+        F.max("_conf_p").alias("confidence"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs_p")))),
+            1,
+            max_source_documents,
+        ).alias("source_documents"),
+        F.sum("_cnt_p").alias("evidence_count"),
+    ]
+    if has_ev:
+        final += [
+            F.max("_best_p").alias("_best"),
+            (F.sum("_evs_p") / F.when(F.sum("_evn_p") > 0, F.sum("_evn_p"))).alias(
+                "evidence_confidence_avg"
+            ),
+        ]
+    out = p1.groupBy("subject_id", "predicate", "object_id").agg(*final)
+    if has_ev:
+        out = out.withColumn("strongest_evidence_quote", F.col("_best.q")).drop("_best")
+    return out

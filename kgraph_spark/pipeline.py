@@ -190,6 +190,14 @@ def run_pipeline_from_extracted(
     ).unionByName(appear.select("*", no_quote))
 
     # ---- pass 3: accumulation + export tables -----------------------------
+    if cfg.accumulate_n_salts:
+        # hot-pair guard: per-salt capped partials bound reducer state
+        def _accumulate(df, max_src):
+            return relationships.accumulate_triples_salted(
+                df, max_src, cfg.accumulate_n_salts
+            )
+    else:
+        _accumulate = relationships.accumulate_triples
     if cfg.cooc_dict_encode:
         # co_occurs_with shares no (s,p,o) group with the other branches
         # (disjoint predicates), so its F1+F10 run fused and
@@ -199,7 +207,7 @@ def run_pipeline_from_extracted(
             presence, cfg, cfg.max_source_documents
         )
         per_doc = relationships.symmetric_order(per_doc, spec)
-        triples = relationships.accumulate_triples(
+        triples = _accumulate(
             per_doc, cfg.max_source_documents
         ).unionByName(
             acc_cooc.withColumn(
@@ -211,7 +219,7 @@ def run_pipeline_from_extracted(
         per_doc = relationships.symmetric_order(
             per_doc.unionByName(cooc.select("*", no_quote)), spec
         )
-        triples = relationships.accumulate_triples(per_doc, cfg.max_source_documents)
+        triples = _accumulate(per_doc, cfg.max_source_documents)
     entities = export.entities_table(merged_mentions, cfg_promotion(cfg)).unionByName(
         # D12 tombstones: merge losers stay queryable with merged_into
         export.tombstone_entities(mentions, mapping)
