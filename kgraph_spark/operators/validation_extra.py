@@ -89,28 +89,47 @@ def evidence_containment_semantic_filter(
         from kgraph_spark.functions.embeddings import embed_text as embed_fn
 
     norm_ev = norm_key_col(F.col("evidence"))
-    has_ev = F.col("evidence").isNotNull()
+    # empty/whitespace evidence rejects before any embedding work
+    # (reference 'evidence_empty', relationships.py:154-160 + its
+    # tests/test_evidence_semantic.py::test_evidence_empty_rejected)
+    has_ev = F.col("evidence").isNotNull() & (F.trim(F.col("evidence")) != "")
     sub_ok = norm_ev.contains(F.col(subject_col))
     obj_ok = norm_ev.contains(F.col(object_col))
 
     fast = relations.filter(has_ev & sub_ok & obj_ok)
     # rows where exactly one endpoint string-matched are dropped here by
     # construction: the residue keeps only the neither-matched rows
+    residue_base = relations.filter(has_ev & ~sub_ok & ~obj_ok)
+    # embedding caches as joins (the reference's evidence_cache /
+    # entity_name_cache, relationships.py:162-186): each DISTINCT quote and
+    # endpoint surface is embedded once, however many candidate relations
+    # share it — with a real encoder this is the difference between
+    # O(distinct strings) and O(rows) model calls. Name dictionaries are
+    # vocabulary-sized → broadcast.
+    ev_cache = (
+        residue_base.select(F.col("evidence").alias("_ev_txt"))
+        .distinct()
+        .withColumn("_ev_emb", embed_fn(F.col("_ev_txt")))
+    )
+    s_cache = F.broadcast(
+        residue_base.select(F.col(subject_col).alias("_s_txt"))
+        .distinct()
+        .withColumn("_s_emb", embed_fn(F.col("_s_txt")))
+    )
+    o_cache = F.broadcast(
+        residue_base.select(F.col(object_col).alias("_o_txt"))
+        .distinct()
+        .withColumn("_o_emb", embed_fn(F.col("_o_txt")))
+    )
     residue = (
-        relations.filter(has_ev & ~sub_ok & ~obj_ok)
-        .withColumn("_ev_emb", embed_fn(F.col("evidence")))
-        .withColumn(
-            "_s_sem",
-            cosine_col(F.col("_ev_emb"), embed_fn(F.col(subject_col))) >= threshold,
-        )
-        .withColumn(
-            "_o_sem",
-            cosine_col(F.col("_ev_emb"), embed_fn(F.col(object_col))) >= threshold,
-        )
+        residue_base.join(ev_cache, F.col("evidence") == F.col("_ev_txt"))
+        .join(s_cache, F.col(subject_col) == F.col("_s_txt"))
+        .join(o_cache, F.col(object_col) == F.col("_o_txt"))
+        .withColumn("_s_sem", cosine_col(F.col("_ev_emb"), F.col("_s_emb")) >= threshold)
+        .withColumn("_o_sem", cosine_col(F.col("_ev_emb"), F.col("_o_emb")) >= threshold)
+        .drop("_ev_txt", "_s_txt", "_o_txt", "_ev_emb", "_s_emb", "_o_emb")
     )
-    semantic = residue.filter(F.col("_s_sem") & F.col("_o_sem")).drop(
-        "_ev_emb", "_s_sem", "_o_sem"
-    )
+    semantic = residue.filter(F.col("_s_sem") & F.col("_o_sem")).drop("_s_sem", "_o_sem")
     out = fast.unionByName(semantic)
     if (
         documents is not None
@@ -131,7 +150,7 @@ def evidence_containment_semantic_filter(
             )
             .join(d, "doc_id", "inner")
             .filter(F.col("_doc_content").contains(F.col(object_col)))
-            .drop("_ev_emb", "_s_sem", "_o_sem", "_doc_content")
+            .drop("_s_sem", "_o_sem", "_doc_content")
         )
         out = out.unionByName(rescued)
     return out

@@ -133,6 +133,9 @@ def test_evidence_containment_semantic_fallback(spark):
         "stock prices rose sharply": [0.0, 1.0],
         # near 'headache' — would pass the object semantically if consulted
         "aspirin relieved the discomfort": [0.9, 0.1],
+        # empty evidence must reject BEFORE the encoder is consulted, even
+        # though this encoder would pass it (reference 'evidence_empty')
+        "": [0.95, 0.05],
     }
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
@@ -147,7 +150,8 @@ def test_evidence_containment_semantic_fallback(spark):
          # exactly ONE endpoint string-matches → reference early exit
          # (relationships.py:747-750): dropped WITHOUT consulting semantics,
          # even though the toy encoder would pass the other endpoint
-         ("r5", "aspirin", "headache", "aspirin relieved the discomfort")],
+         ("r5", "aspirin", "headache", "aspirin relieved the discomfort"),
+         ("r6", "aspirin", "headache", "")],                            # empty quote
         "rel_id string, subject_norm string, object_norm string, evidence string",
     )
     kept = {r["rel_id"] for r in
