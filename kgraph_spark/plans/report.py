@@ -113,6 +113,45 @@ def main() -> None:
         ["LeftSemi"],
     ))
 
+    from kgraph_spark.operators.export import write_bucketed_triples
+    from kgraph_spark.operators.graph import get_by_subject
+
+    triples_small = spark.createDataFrame(
+        [(f"E{i}", "treats", f"E{i+1}", 0.9, ["d1"], 1) for i in range(50)],
+        "subject_id string, predicate string, object_id string, confidence double, "
+        "source_documents array<string>, evidence_count long",
+    )
+    write_bucketed_triples(triples_small, "plans_triples_bucketed", buckets=8)
+    # autoBucketedScan drops the bucketed layout when it sees no join/agg
+    # to co-locate — but bucket-FILTER pruning needs it on (a lookup
+    # service would pin this, exactly like Iceberg keeps bucket metadata)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    lookup = get_by_subject(spark.table("plans_triples_bucketed"), "E7")
+    sections.append((
+        "H4 subject lookup over the bucketed triples table — bucket pruning: "
+        "an equality filter on the bucket key scans ONE bucket of 8 "
+        "(SelectedBucketsCount), the Iceberg bucket-transform equivalent",
+        _plan(lookup),
+        ["SelectedBucketsCount: 1 out of 8"],
+    ))
+    spark.sql("DROP TABLE plans_triples_bucketed")
+
+    from kgraph_spark.operators.relationships import accumulate_triples_salted
+
+    per_doc = synth_like = spark.createDataFrame(
+        [(f"d{i}", "A", "co_occurs_with", "B", 0.7, None) for i in range(20)],
+        "doc_id string, subject_id string, predicate string, object_id string, "
+        "confidence double, evidence string",
+    )
+    salted = accumulate_triples_salted(per_doc, max_source_documents=10, n_salts=4)
+    sections.append((
+        "Salted (s,p,o) accumulation — two aggregation phases around the "
+        "exchange: per-(key,salt) capped partials bound hot-pair reducer "
+        "state to O(cap); output equals the unsalted form exactly",
+        _plan(salted),
+        ["ObjectHashAggregate"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
