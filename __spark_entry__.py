@@ -554,6 +554,17 @@ def q_f4_evidence_containment(spark, sf_dir):
     return evidence_containment_filter(rels).select("doc_id", "subject_norm", "object_norm")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition features (duplicate-word and duplicate-
+    3-gram fractions) over the driver documents — the standard boilerplate
+    pre-filter for training-corpus cleaning."""
+    from kgraph_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "dup_word_frac", "dup_3gram_frac"
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate detection through the banded
     sign-random-projection pairing (similarity.blocked_pair_similarity —
@@ -630,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_authority_rerank": q_d4_authority_rerank,
         "f4_evidence_containment": q_f4_evidence_containment,
         "embedding_near_dups": q_embedding_near_dups,
+        "text_repetition": q_text_repetition,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1147,6 +1159,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(c, 6) AS cosine
             FROM scored WHERE c >= 0.95
+        """,
+        "text_repetition": r"""
+            WITH base AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(toks[i+1 : i+3], ' ') AS gram
+                FROM base,
+                     unnest(range(0, greatest(len(toks) - 2, 0)::BIGINT)) AS u(i)
+            ), gstat AS (
+                SELECT doc_id, count(*) AS ng, count(DISTINCT gram) AS ngd
+                FROM grams GROUP BY 1
+            )
+            SELECT b.doc_id,
+                   len(b.toks) AS n_tokens,
+                   round(CASE WHEN len(b.toks) > 0
+                         THEN 1.0 - len(list_distinct(b.toks))::DOUBLE / len(b.toks)
+                         ELSE 0.0 END, 6) AS dup_word_frac,
+                   round(coalesce(1.0 - g.ngd::DOUBLE / g.ng, 0.0), 6) AS dup_3gram_frac
+            FROM base b LEFT JOIN gstat g USING (doc_id)
         """,
         "f4_evidence_containment": r"""
             WITH rels AS (

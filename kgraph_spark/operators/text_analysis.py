@@ -121,3 +121,38 @@ def fingerprint(
         rolling.alias("fp_rolling"),
         (F.floor(F.length(text_col) / 64) * 64).alias("len_bucket"),
     )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", gram_n: int = 3
+) -> DataFrame:
+    """Gopher/C4-style repetition features for corpus cleaning: the
+    fraction of duplicate words and duplicate word n-grams in a document
+    (heavily templated / boilerplate pages score high and get filtered).
+
+    Pure built-in expressions (split → sliding window via transform over an
+    index sequence → array_distinct), one narrow projection — no shuffle,
+    no Python. dup fraction = 1 - distinct/total; 0 when the document is
+    too short to have any total (n-gram count 0)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    dup_word = F.when(
+        n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    n_grams = F.greatest(n - (gram_n - 1), F.lit(0))
+    # 1-based index sequence clamped to ≥ [1]: sequence(0, -1) would count
+    # DOWN and feed slice() an illegal 0 start on short docs; the clamped
+    # branch's value is discarded by the n_grams > 0 guard below
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, gram_n)),
+    )
+    dup_gram = F.when(
+        n_grams > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 6)
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        dup_word.alias("dup_word_frac"),
+        dup_gram.alias(f"dup_{gram_n}gram_frac"),
+    )

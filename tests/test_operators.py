@@ -325,3 +325,25 @@ def test_multimodal_resize_contract(spark):
     # deterministic: identical input bytes → identical resized bytes
     again = {r["media_ref"]: r for r in resize_images(assets, 8, 4).collect()}
     assert again["m1"]["content"] == out["m1"]["content"]
+
+
+def test_repetition_stats_edges(spark):
+    """Repeated-token docs score high; unique docs score 0; docs shorter
+    than the gram width neither crash (slice start must stay >= 1) nor
+    emit a gram fraction."""
+    from kgraph_spark.operators.text_analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "all tokens here are unique words"),
+         (3, "tiny doc"),          # < 3 tokens → dup_3gram_frac 0.0
+         (4, "a b a b a b a b")],  # alternating: grams 'a b a'/'b a b' repeat
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["dup_word_frac"] == round(1 - 1 / 6, 6)
+    assert out[1]["dup_3gram_frac"] == round(1 - 1 / 4, 6)
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["dup_3gram_frac"] == 0.0 and out[3]["n_tokens"] == 2
+    assert out[4]["dup_word_frac"] == round(1 - 2 / 8, 6)
+    assert out[4]["dup_3gram_frac"] == round(1 - 2 / 6, 6)
