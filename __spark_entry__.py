@@ -301,6 +301,7 @@ def q_text_quality_score(spark, sf_dir):
         "doc_id",
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("quality_score", 6).alias("quality_score"),
     )
@@ -1001,11 +1002,17 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
                        length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
                        len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
                 FROM documents
             )
             SELECT doc_id, round(alpha_ratio, 6) AS alpha_ratio,
-                   round(punct_ratio, 6) AS punct_ratio, n_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(stopword_ratio, 6) AS stopword_ratio, n_tokens,
                    round(0.5 * alpha_ratio + 0.3 * (1 - punct_ratio)
                          + 0.2 * least(1.0, n_tokens / 100.0), 6) AS quality_score
             FROM f

@@ -41,22 +41,39 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+# cheap English stopword set for the stopword-ratio quality feature (a
+# fluency proxy: natural prose sits around 0.2-0.5, keyword-stuffed or
+# non-English boilerplate near 0)
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Length / punctuation / alpha-ratio quality features + composite score.
+    """Length / punctuation / alpha-ratio / stopword-ratio quality features
+    + composite score.
 
     score = 0.5·alpha_ratio + 0.3·(1 − punct_ratio) + 0.2·min(1, n_tokens/100)
-    (the usual cheap pre-filter shape for corpus cleaning)."""
+    (the usual cheap pre-filter shape for corpus cleaning; stopword_ratio
+    is emitted as a feature for downstream threshold filters)."""
     txt = F.col(text_col)
     n = F.length(txt)
     alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
     punct = F.length(F.regexp_replace(txt, r"[^.,;:!?]", ""))
-    n_tokens = F.size(F.split(F.trim(txt), r"\s+"))
+    toks = F.split(F.trim(txt), r"\s+")
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    stopword_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
+    ) / n_tokens
     alpha_ratio = alpha / n
     punct_ratio = punct / n
     return docs.select(
         F.col(id_col),
         alpha_ratio.alias("alpha_ratio"),
         punct_ratio.alias("punct_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
         n_tokens.alias("n_tokens"),
         (
             0.5 * alpha_ratio
