@@ -4,8 +4,11 @@ entry()    — flagship: full KG-construction pipeline over sf0.001 documents
              re-shaped into interleaved span documents.
 queries()  — one entry per implemented operator family from SURVEY.md §2 +
              the training-data ops (dedup / similarity / text analysis).
-oracle_sql() — DuckDB twins for every SQL-expressible query; non-SQL ops
-             (full pipeline, minhash/simhash, multimodal) are rows-only.
+oracle_sql() — a DuckDB twin for EVERY query (32/32): the full pipeline is
+             restated as one SQL query, minhash/simhash run md5-portable
+             hash variants, ANN embeds its hyperplanes/centroids/banded
+             buckets as SQL literals, multimodal recomputes the byte
+             features — no rows-only checks remain.
 
 Column names and types are aliased identically on both sides; float columns
 are rounded where engine summation order could differ (verified empirically:
