@@ -340,7 +340,14 @@ def main() -> None:
             if t > 0 and time.time() - t_all > BENCH_BUDGET_S * 0.25:
                 break  # budget guard: second samples are a luxury
             t0 = time.time()
-            fn(spark, SF_DIR).count()
+            try:
+                fn(spark, SF_DIR).count()
+            except Exception as ex:  # noqa: BLE001
+                # one broken query must not cost the whole recorded artifact;
+                # -1 marks the failure loudly in the JSON
+                print(f"query {name} failed: {ex}", file=sys.stderr)
+                samples = [-1.0]
+                break
             samples.append(time.time() - t0)
             # isolate queries: the pipeline query persists its fused
             # extraction (correct within the query — three downstream
