@@ -558,6 +558,16 @@ def q_f4_evidence_containment(spark, sf_dir):
     return evidence_containment_filter(rels).select("doc_id", "subject_norm", "object_norm")
 
 
+def q_evt_session_windows(spark, sf_dir):
+    """Native merging session windows (F.session_window) over the events
+    table — batch twin of the watermarked streaming path
+    (streaming/windowed.session_window_counts; streaming semantics in
+    tests/test_windowed_streaming.py)."""
+    from kgraph_spark.streaming.windowed import session_window_counts
+
+    return session_window_counts(_read(spark, sf_dir, "events"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher/C4-style repetition features (duplicate-word and duplicate-
     3-gram fractions) over the driver documents — the standard boilerplate
@@ -646,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_evidence_containment": q_f4_evidence_containment,
         "embedding_near_dups": q_embedding_near_dups,
         "text_repetition": q_text_repetition,
+        "evt_session_windows": q_evt_session_windows,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1169,6 +1180,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(c, 6) AS cosine
             FROM scored WHERE c >= 0.95
+        """,
+        # session_window semantics: merge on window OVERLAP, so a gap
+        # EXACTLY equal to 30 min starts a new session (>=, unlike the lag
+        # formulation's strict >); end = last event + gap
+        "evt_session_windows": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value FROM events
+            ), m AS (
+                SELECT user_id, us, value,
+                       CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                                 >= 1800000000
+                            THEN 1 ELSE 0 END AS n
+                FROM e
+            ), s AS (
+                SELECT user_id, us, value,
+                       sum(n) OVER (PARTITION BY user_id ORDER BY us
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m
+            )
+            SELECT user_id,
+                   min(us) AS session_start_us,
+                   max(us) + 1800000000 AS session_end_us,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS session_value
+            FROM s GROUP BY user_id, sid
         """,
         "text_repetition": r"""
             WITH base AS (

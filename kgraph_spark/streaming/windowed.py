@@ -52,3 +52,48 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native merging session windows
+    (F.session_window) — the engine-managed state machine behind both the
+    lag+cumsum batch sessionizer (evt_sessionize) and the
+    applyInPandasWithState variant. A session's window is
+    [first event, last event + gap); two events share a session when their
+    gap is STRICTLY below `gap` (session_window merges on window overlap —
+    note the boundary differs from the lag formulation's `> gap` test, so
+    the oracle mirrors `>= gap → new session`).
+
+    Streaming input: withWatermark bounds session state — a session
+    finalizes and emits (append mode) once the watermark passes its end;
+    later events behind the watermark are dropped instead of re-opening it.
+    Batch input: identical expression, the exact result the stream
+    converges to. Epoch-microsecond outputs keep the values
+    engine-portable for the DuckDB oracle."""
+    # cast BEFORE the watermark: a cast inside session_window would be a
+    # different expression than the watermarked column and Spark would
+    # reject the append-mode aggregation as unwatermarked
+    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if events.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(key_col, F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("session_value"),
+        )
+        .select(
+            key_col,
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -102,3 +102,79 @@ def test_windowed_batch_twin_matches_sql(spark):
         (base, "click", 2, 3.5),
         (base + 3600 * 1_000_000, "view", 1, 3.0),
     }
+
+
+def test_session_windows_append_and_late_drop(spark, tmp_path):
+    """Native session windows on a stream: a session emits once when the
+    watermark passes its end (last event + gap); a late row behind the
+    watermark is dropped, not merged into a closed session."""
+    from kgraph_spark.streaming.windowed import session_window_counts
+
+    indir = tmp_path / "sess_in"
+    indir.mkdir()
+    table = f"sesswin_{uuid.uuid4().hex[:8]}"
+    schema = "event_id bigint, ts timestamp, user_id string, value double"
+
+    def t(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    def rows(spark, data):
+        return spark.createDataFrame(
+            [Row(event_id=i, ts=ts, user_id=u, value=v) for i, (ts, u, v) in enumerate(data)],
+            schema="event_id bigint, ts string, user_id string, value double",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value")
+
+    w0 = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC in epoch us
+
+    # batch 1: u1 events at :01,:03 (one session, end = 13) and :40 →
+    # watermark 35 > 13 closes the first session with n=2
+    rows(spark, [(t(1), "u1", 1.0), (t(3), "u1", 2.0), (t(40), "u1", 4.0)]) \
+        .coalesce(1).write.mode("append").parquet(str(indir))
+
+    stream = spark.readStream.schema(schema).parquet(str(indir))
+    q = (
+        session_window_counts(stream, gap="10 seconds", watermark="5 seconds")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+
+    def got():
+        return {
+            (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"],
+             r["session_value"])
+            for r in spark.sql(f"SELECT * FROM {table}").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        first = ("u1", w0 + 1_000_000, w0 + 13_000_000, 2, 3.0)
+        assert first in got(), got()
+
+        # batch 2: late :02 (behind watermark → dropped) + :80 → watermark
+        # 75 closes the [40, 50) session with exactly its one event
+        rows(spark, [(t(2), "u1", 99.0), (t(50), "u2", 1.0), (t(59) , "u2", 1.0)]) \
+            .coalesce(1).write.mode("append").parquet(str(indir))
+        q.processAllAvailable()
+        rows(spark, [("2024-01-01 00:02:00", "u1", 1.0)]) \
+            .coalesce(1).write.mode("append").parquet(str(indir))
+        q.processAllAvailable()
+        res = got()
+        assert ("u1", w0 + 40_000_000, w0 + 50_000_000, 1, 4.0) in res, res
+        # the closed first session was neither re-emitted nor bumped by :02
+        assert first in res and len([r for r in res if r[1] == w0 + 1_000_000]) == 1
+    finally:
+        q.stop()
+
+    # batch twin equals the same expression on a static frame
+    allrows = rows(spark, [(t(1), "u1", 1.0), (t(3), "u1", 2.0), (t(40), "u1", 4.0),
+                           (t(50), "u2", 1.0), (t(59), "u2", 1.0)])
+    twin = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"],
+         r["session_value"])
+        for r in session_window_counts(allrows, gap="10 seconds").collect()
+    }
+    assert ("u1", w0 + 1_000_000, w0 + 13_000_000, 2, 3.0) in twin
+    assert ("u2", w0 + 50_000_000, w0 + 69_000_000, 2, 2.0) in twin
