@@ -344,9 +344,12 @@ def main() -> None:
                 fn(spark, SF_DIR).count()
             except Exception as ex:  # noqa: BLE001
                 # one broken query must not cost the whole recorded artifact;
-                # -1 marks the failure loudly in the JSON
+                # -1 marks the failure loudly — but only when NO trial
+                # succeeded (a transient second-sample failure must not
+                # overwrite a valid first measurement)
                 print(f"query {name} failed: {ex}", file=sys.stderr)
-                samples = [-1.0]
+                if not samples:
+                    samples = [-1.0]
                 break
             samples.append(time.time() - t0)
             # isolate queries: the pipeline query persists its fused

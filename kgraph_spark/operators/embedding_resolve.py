@@ -109,7 +109,11 @@ def cross_type_candidates(
                 [], "id_a string, type_a string, id_b string, type_b string, cosine double"
             )
         dim = len(row[0])
-    bucketed = banded_hyperplane_buckets(entities, dim, n_planes=n_planes, n_bands=n_bands)
+    # null embeddings would share (band, bucket 0) everywhere — drop them
+    # pre-bucketing (they can never clear the cosine threshold)
+    bucketed = banded_hyperplane_buckets(
+        entities.filter(F.col("embedding").isNotNull()), dim, n_planes=n_planes, n_bands=n_bands
+    )
     a = bucketed.select(
         "band", "bucket",
         F.col("entity_id").alias("id_a"), F.col("entity_type").alias("type_a"),

@@ -221,19 +221,23 @@ def write_bundle_jsonl(
     }
     for name, df in tables.items():
         key = F.to_json(F.struct(*df.columns))
-        n = df.count()
-        m["counts"][name] = n
-        if n <= max_driver_rows:
-            lines = df.orderBy(key).toJSON().collect()
+        # single scan on the common (small-table) path: TakeOrdered of
+        # guard+1 rows both sorts and answers "over the guard?" — a
+        # separate count() would re-scan every table just to decide
+        lines = df.orderBy(key).limit(max_driver_rows + 1).toJSON().collect()
+        if len(lines) <= max_driver_rows:
             (out / f"{name}.jsonl").write_text("\n".join(lines) + ("\n" if lines else ""))
+            m["counts"][name] = len(lines)
             m["formats"][name] = "jsonl"
         else:
+            del lines
             (
                 df.select(key.alias("value"))
                 .orderBy("value")
                 .write.mode("overwrite")
                 .text(str(out / f"{name}.jsonl.d"))
             )
+            m["counts"][name] = df.count()
             m["formats"][name] = "jsonl.d"
     (out / "manifest.json").write_text(json.dumps(m, indent=2, sort_keys=True))
     return m

@@ -364,7 +364,11 @@ def blocked_pair_similarity(
             return entities.sparkSession.createDataFrame(
                 [], "blk string, id_a string, id_b string, cosine double"
             )
-    src = entities.select(
+    # null embeddings would all hash to bucket 0 in every band (a null
+    # projection falls through every sign test) — one mega-bucket and an
+    # O(n_null²) candidate set; they can never pass the cosine filter
+    # anyway, so drop them before bucketing
+    src = entities.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("_v")
     )
     bucketed = banded_hyperplane_buckets(src, dim, n_planes, n_bands, seed, vec_col="_v")

@@ -135,11 +135,17 @@ def evidence_containment_semantic_filter(
         documents is not None
         and "predicate" in relations.columns
         and "object_type" in relations.columns
+        and "doc_id" in relations.columns
     ):
         ctx_words = F.array(*[F.lit(w) for w in DISEASE_CONTEXT_WORDS])
         has_ctx = F.exists(ctx_words, lambda w: norm_ev.contains(w))
+        # content normalized with the SAME norm_key pipeline as the object
+        # key — lower() alone would never contain a punctuation-stripped
+        # key like 'nonhodgkin lymphoma' (reference compares raw-lower vs
+        # raw-lower, relationships.py:769-770; our column contract carries
+        # the normalized key, so both sides normalize)
         d = documents.select(
-            "doc_id", F.lower(F.col("content")).alias("_doc_content")
+            "doc_id", norm_key_col(F.col("content")).alias("_doc_content")
         )
         rescued = (
             residue.filter(F.col("_s_sem") & ~F.col("_o_sem"))

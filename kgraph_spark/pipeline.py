@@ -162,8 +162,12 @@ def run_pipeline_from_extracted(
             )
             .withColumn("status", F.lit("provisional"))
         )
+        from kgraph_spark.functions.embeddings import DIM as _EMB_DIM
+
         embedded = embed_with_cache(prov, None, text_col="name")
-        emb_edges = provisional_merge_edges(embedded).select("src", "dst")
+        # dim passed explicitly: inferring it would run a .first() action
+        # against the unpersisted groupBy+embed subplan, recomputing it
+        emb_edges = provisional_merge_edges(embedded, dim=_EMB_DIM).select("src", "dst")
         edges = edges.unionByName(emb_edges).distinct()
     mapping = canonicalize.merge_mapping(edges, cfg.cc_max_iterations).persist()
 

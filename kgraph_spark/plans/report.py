@@ -135,10 +135,11 @@ def main() -> None:
         ["SelectedBucketsCount: 1 out of 8"],
     ))
     spark.sql("DROP TABLE plans_triples_bucketed")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
 
     from kgraph_spark.operators.relationships import accumulate_triples_salted
 
-    per_doc = synth_like = spark.createDataFrame(
+    per_doc = spark.createDataFrame(
         [(f"d{i}", "A", "co_occurs_with", "B", 0.7, None) for i in range(20)],
         "doc_id string, subject_id string, predicate string, object_id string, "
         "confidence double, evidence string",

@@ -80,28 +80,37 @@ def _parse_bytes(v: str) -> int:
 
 
 def estimated_scan_partitions(df) -> int | None:
-    """Estimate how many scan partitions a file-backed DataFrame yields:
-    Σ ceil(file_size / maxPartitionBytes) over its input files.
+    """Estimate how many scan partitions a file-backed DataFrame yields,
+    mirroring Spark's bin-packing: ceil(Σ (size + openCost) / maxPartitionBytes)
+    — openCost makes many small files count as FEWER effective partitions
+    (they pack together), which a naive per-file split count overstates.
 
     Replaces `df.rdd.getNumPartitions()` as the input-parallelism probe —
     the RDD conversion forces plan translation (and at scale an extra
     analysis pass) per call, while file sizes come straight from the
-    filesystem. Returns None for non-file inputs (in-memory test frames),
-    where the caller should assume the default-parallelism slice count."""
+    filesystem.
+
+    Returns None for non-file inputs (in-memory test frames), where the
+    caller should assume the default-parallelism slice count and
+    repartition. Files on a remote store (not stat-able locally) return a
+    large sentinel instead: the repartition guard exists for tiny LOCAL
+    test inputs, and a corpus on a remote store at real scale always has
+    ≥ cores splits — forcing a corpus-sized shuffle because we could not
+    stat it would be the exact regression the guard avoids."""
     import urllib.parse
 
     files = df.inputFiles()
     if not files:
         return None
-    maxpb = _parse_bytes(
-        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-    )
-    total = 0
+    conf = df.sparkSession.conf
+    maxpb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304b"))
+    total_cost = 0
     for uri in files:
         p = urllib.parse.urlparse(uri).path or uri
         try:
             size = os.path.getsize(p)
         except OSError:
-            return None  # remote / unstat-able store: fall back conservatively
-        total += max(1, -(-size // maxpb))
-    return total
+            return 1 << 30  # remote store: assume scale-adequate splits
+        total_cost += size + open_cost
+    return max(1, -(-total_cost // maxpb))
