@@ -1,22 +1,31 @@
 #!/usr/bin/env python
 """Bench harness (driver contract + BASELINE.md scaling evidence).
 
-Prints ONE JSON line:
+Prints ONE COMPACT JSON line as the FINAL stdout line (the driver's tail
+capture is ~2000 chars, so the line carries headline numbers only):
   {"metric": "kg_construct_e2e_sec", "value": <total sec>, "unit": "sec",
    "queries": {<name>: sec, ...}, "sf": <sf>,
    "pipeline": {docs, triples, sec, docs_per_sec, triples_per_sec},
-   "scaling": {local8: {...}, local32: {...}, efficiency}}
+   "scaling": {pair, eff, ceil, norm_eff, infl, work_eff, median_pair_eff,
+               tp: {n, 4n}, aux: {pair, eff, ceil, infl}},
+   "detail": "BENCH_DETAIL_r<N>.json"}
+Full detail — per-stage CPU tables, all trial times, ceiling samples,
+per-query raw samples, the auxiliary saturated-pair record — goes to
+BENCH_DETAIL_r<N>.json next to this script (round inferred from existing
+BENCH_r*.json artifacts; override with $SPARK_GRAFT_ROUND).
 
 - headline operator queries from __spark_entry__ run at $SPARK_GRAFT_SF_DIR
   (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
 - the full KG pipeline runs over a deterministic synthetic interleaved
   corpus ($SPARK_GRAFT_BENCH_DOCS docs, default 20000) written to parquet
   first so the measured job reads a real table;
-- scaling: the same pipeline job at local[N] vs local[4N] (default 4 vs 16)
+- scaling: the same pipeline job at local[N] vs local[4N] (default 1 vs 4)
   on the same parquet input (the sandbox stand-in for N vs 4N executors —
   BASELINE.json north_rule); efficiency = tp4N / (4 · tpN), with the
   interleaved-pair / paired-ceiling / CPU-time-inflation protocol described
-  at _scaling. Disable with SPARK_GRAFT_SCALING=0.
+  at _scaling; one honest 4→16 pair rides along (aux) so the
+  memory-bandwidth-knee adjudication stays auditable every round.
+  Disable with SPARK_GRAFT_SCALING=0.
 """
 
 from __future__ import annotations
@@ -223,7 +232,56 @@ def _one_trial(cores: int, corpus: str, warmup_corpus: str | None) -> dict:
 
 
 BENCH_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2100"))
-QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2"))
+# clamp ≥1: min() over zero samples would lose the whole artifact (ADVICE r3)
+QUERY_TRIALS = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "2")))
+
+
+def _round_tag() -> str:
+    """r<N> for the detail-file name: $SPARK_GRAFT_ROUND, else one past the
+    newest BENCH_r*.json the driver has recorded next to this script."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return f"r{int(env):02d}"
+    here = Path(__file__).resolve().parent
+    rounds = []
+    for p in here.glob("BENCH_r*.json"):
+        try:
+            rounds.append(int(p.stem.split("_r")[-1]))
+        except ValueError:
+            continue
+    return f"r{(max(rounds) + 1) if rounds else 1:02d}"
+
+
+def _aux_pair(corpus: str, warmup: str) -> dict:
+    """One honest saturated pair (4→16) recorded alongside the gate pair.
+
+    The gate pair is 1→4 — the only pair below this box's memory-bandwidth
+    knee at both levels (see SCALE_N note above). The round-3 verdict
+    accepted that adjudication with the caveat that a 4→16 sample must keep
+    riding along in each round's record so the claim stays auditable: the
+    saturated pair's low raw efficiency together with its HIGH cpu-time
+    inflation (~1.6×: same job, more CPU-clock cycles per row = memory
+    stalls, not plan overhead) is the evidence that the residual is the
+    shared socket, not the shuffle plan."""
+    n, n4 = 4, 16
+    c = _ceiling_sample(n, n4)
+    a = _one_trial(n, corpus, warmup)
+    b = _one_trial(n4, corpus, warmup)
+    infl = (
+        round(b["executor_cpu_sec"] / a["executor_cpu_sec"], 3)
+        if a.get("executor_cpu_sec") and b.get("executor_cpu_sec")
+        else None
+    )
+    return {
+        "scale_pair": [n, n4],
+        f"local{n}": a,
+        f"local{n4}": b,
+        "efficiency_triples_per_sec": round(
+            b["triples_per_sec"] / (4.0 * a["triples_per_sec"]), 3
+        ),
+        "cpu_ceiling_sample": c,
+        "cpu_time_inflation_4n_vs_n": infl,
+    }
 
 
 def _scaling(corpus: str, warmup: str, t_start: float) -> dict:
@@ -330,10 +388,10 @@ def main() -> None:
     # Per-query time = min of QUERY_TRIALS runs (default 2): hypervisor
     # steal on this VM swings identical queries 2-4× between adjacent
     # minutes (BENCH.md), so a single sample records weather, not the plan.
-    # min-of-2 is the standard microbench answer; both raw samples are not
-    # kept (the JSON line is the driver contract) but the protocol is
-    # documented in BENCH.md.
+    # min-of-2 is the standard microbench answer; raw samples go to the
+    # detail file, the min to the compact driver line.
     qtimes: dict[str, float] = {}
+    qsamples: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
         samples = []
         for t in range(QUERY_TRIALS):
@@ -361,7 +419,8 @@ def main() -> None:
             # cluster isolates this per-executor.
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-        qtimes[name] = round(min(samples), 3)
+        qsamples[name] = [round(s, 3) for s in samples]
+        qtimes[name] = round(min(samples), 2)
 
     corpus = _synth_corpus_parquet(spark, BENCH_DOCS)
     warmup = _synth_corpus_parquet(spark, 2000)
@@ -379,13 +438,39 @@ def main() -> None:
     qtimes["pipeline_synth"] = pipeline["sec"]
 
     scaling = None
+    aux = None
     if RUN_SCALING:
         scaling_corpus = _synth_corpus_parquet(spark, SCALING_DOCS)
         stop_spark()
         scaling = _scaling(scaling_corpus, warmup, t_all)
+        # auditability rider: one saturated 4→16 pair, budget permitting
+        if time.time() - t_all < BENCH_BUDGET_S * 0.85:
+            try:
+                aux = _aux_pair(scaling_corpus, warmup)
+            except Exception as ex:  # noqa: BLE001
+                print(f"aux pair failed: {ex}", file=sys.stderr)
 
     total = round(time.time() - t_all, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    tag = _round_tag()
+    detail_name = f"BENCH_DETAIL_{tag}.json"
+
+    # full record → detail file (stage tables, all trials, raw samples)
+    detail = {
+        "value": total,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "query_samples_sec": qsamples,
+        "pipeline": pipeline,
+        "scaling": scaling,
+        "aux_pair_4_16": aux,
+        "scale_docs": SCALING_DOCS,
+        "cpus": CPUS,
+    }
+    detail_path = Path(__file__).resolve().parent / detail_name
+    detail_path.write_text(json.dumps(detail, indent=1))
+
+    # compact driver line: headline numbers only, FINAL stdout line.
+    # ~2000-char driver tail capture ate round 3's artifact; keep this lean.
     out = {
         "metric": "kg_construct_e2e_sec",
         "value": total,
@@ -395,8 +480,37 @@ def main() -> None:
         "pipeline": pipeline,
     }
     if scaling is not None:
-        out["scaling"] = scaling
-    print(json.dumps(out))
+        n, n4 = scaling["scale_pair"]
+        out["scaling"] = {
+            "pair": scaling["scale_pair"],
+            "docs": scaling["docs"],
+            "tp": {
+                str(n): scaling[f"local{n}"]["triples_per_sec"],
+                str(n4): scaling[f"local{n4}"]["triples_per_sec"],
+            },
+            "eff": scaling["efficiency_triples_per_sec"],
+            "median_pair_eff": scaling["median_pair_efficiency"],
+            "ceil": scaling["cpu_ceiling_efficiency"],
+            "norm_eff": scaling["normalized_efficiency"],
+            "infl": scaling["cpu_time_inflation_4n_vs_n"],
+            "work_eff": scaling["work_normalized_efficiency"],
+        }
+        if aux is not None:
+            out["scaling"]["aux"] = {
+                "pair": aux["scale_pair"],
+                "eff": aux["efficiency_triples_per_sec"],
+                "ceil": aux["cpu_ceiling_sample"],
+                "infl": aux["cpu_time_inflation_4n_vs_n"],
+            }
+    out["detail"] = detail_name
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # last-resort: never exceed the tail capture
+        out["queries"] = {
+            k: v for k, v in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]
+        }
+        out["queries_truncated_see_detail"] = True
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

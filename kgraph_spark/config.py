@@ -45,6 +45,13 @@ class PipelineConfig:
     # survives in full in the evidence table (normalized layout) — at 100 TB
     # that table, not an in-row array, is the provenance contract.
     max_source_documents: int = 10_000
+    # Same scale guard for the G1 entity summary: a hot entity appearing in
+    # 10% of a 100-TB corpus would otherwise materialize ~10% of all doc
+    # ids (and every distinct surface form) in one reducer row. Sorted
+    # deterministic prefix; usage_count/total_mentions stay exact and the
+    # mentions table is the full-provenance record.
+    max_supporting_documents: int = 10_000
+    max_synonyms: int = 1_000
     # co-occurrence branch: fused F1+F10 with the pair stream
     # dictionary-encoded as 8-byte codes (cooccurrence_accumulated) vs the
     # per-doc string-pair path unioned into the shared accumulate
@@ -61,9 +68,23 @@ class PipelineConfig:
     # two-phase salted (s,p,o) accumulation: bounds the per-reducer
     # collect_set state for hot pairs to O(max_source_documents) per salt
     # (relationships.accumulate_triples_salted — output equivalence-tested
-    # against the unsalted form). None = single-phase (fine until one pair's
-    # distinct-doc set itself is reducer-sized).
+    # against the unsalted form).
+    #   None (default) = AUTO: salt with auto_n_salts when the extracted
+    #     input's estimated scan-partition count reaches
+    #     salt_auto_min_partitions (≈ partitions × maxPartitionBytes of
+    #     input — the zero-cost file-size probe, no Spark job). The
+    #     threshold is asymmetric on purpose: an unnecessary salt costs one
+    #     extra map-side partial agg on ≤ n_salts bounded rows per triple,
+    #     while a missing salt at scale is a reducer whose collect_set
+    #     buffer holds every distinct doc id of the hottest pair. The
+    #     100-TB default therefore must not depend on the operator
+    #     remembering a flag (r3 verdict item 8).
+    #   0 = force single-phase; n > 0 = force salted with n salts.
     accumulate_n_salts: int | None = None
+    # 256 partitions ≈ 32 GB extracted input at the 128 MB default split —
+    # below that a hot pair's doc set fits any reducer comfortably.
+    salt_auto_min_partitions: int = 256
+    auto_n_salts: int = 32
 
 
 # British → American spelling for dedup lookups (dedup.py:29-35)

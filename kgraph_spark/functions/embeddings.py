@@ -41,6 +41,30 @@ def embed_text(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: hash_embedding(t))
 
 
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def letter_frequency_embedding(col):
+    """SQL-restatable toy encoder: 26-dim letter-count vector as a pure
+    column expression (no UDF). Unlike `hash_embedding` (identity, not
+    semantics), letter frequencies give STRING-SIMILAR texts similar
+    vectors, so the F4 semantic cosine fallback grades real signal — and
+    every component is an integer-valued double, so dot products and norms
+    are bit-exact across Spark and DuckDB (`list_transform(letters, c ->
+    length(s) - length(replace(s, c, '')))`), making the ladder
+    driver-oracle-verifiable. A real encoder plugs into the same
+    (string column → array) seam."""
+    lower = F.lower(col)
+    return F.array(
+        *[
+            (F.length(lower) - F.length(F.replace(lower, F.lit(c), F.lit("")))).cast(
+                "double"
+            )
+            for c in LETTERS
+        ]
+    )
+
+
 def embed_with_cache(
     texts: DataFrame,
     cache: DataFrame | None,

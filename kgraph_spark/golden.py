@@ -266,6 +266,11 @@ def run_golden(docs: list[dict], gaz: list[GazetteerEntry], cfg: PipelineConfig 
             e["status"] = "canonical"
         else:
             e["status"] = "provisional"
+        # same deterministic sorted-prefix caps the Spark entities_table
+        # applies (config.max_supporting_documents / max_synonyms), so the
+        # oracle stays comparable at any corpus size / cap setting
+        e["docs"] = sorted(e["docs"])[: cfg.max_supporting_documents]
+        e["names"] = sorted(e["names"])[: cfg.max_synonyms]
 
     def _ev_summary(v: dict) -> dict:
         # reference _relationship_evidence_summary (kgraph/export.py:114-130)

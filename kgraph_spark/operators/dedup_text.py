@@ -79,10 +79,17 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
     The self-join key is (band_idx, band_hash): bucket sizes are bounded by
     similarity structure, never the corpus size — this is the scale path
     (an O(n²) cosine/jaccard cross join is the anti-pattern the reference
-    itself warns about, kgraph/ingest.py:877-880)."""
+    itself warns about, kgraph/ingest.py:877-880).
+
+    Shuffle discipline: the band self-join and the candidate dedup move doc
+    IDS ONLY — a pair colliding in several bands would otherwise push its
+    2×num_hashes-long signatures (~1 KB/row) through the distinct() once
+    per collision. The two signatures are joined back AFTER the 16-byte
+    (doc_a, doc_b) dedup; each re-join key is unique on the sigs side, so
+    there is no row blowup and each signature crosses the wire once per
+    surviving pair."""
     banded = sigs.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -105,10 +112,12 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
+    )
+    pairs = (
+        pairs.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
     )
     matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return pairs.select(

@@ -23,6 +23,8 @@ def entities_table(
     resolved_mentions: DataFrame,
     promo: PromotionConfig | None = None,
     n_salts: int | None = None,
+    max_supporting_documents: int = 10_000,
+    max_synonyms: int = 1_000,
 ) -> DataFrame:
     """G1 entity provenance summary + E1 promotion semantics.
 
@@ -33,7 +35,17 @@ def entities_table(
     n_salts: two-phase salted aggregation for the hot-entity key (the skew
     corpus plants one entity in ~10% of documents; its collect_set of
     supporting documents otherwise materializes in a single reducer —
-    functions/skew.py rationale). Semantics identical (tested)."""
+    functions/skew.py rationale). Semantics identical (tested).
+
+    supporting_documents / synonyms are capped to a sorted deterministic
+    prefix (same scale guard as accumulate_triples' source_documents): a
+    hot entity in 10% of a 100-TB corpus must not materialize 10% of all
+    doc ids in one row. usage_count/total_mentions stay exact; the mentions
+    table keeps full provenance. In the salted path the cap applies PER
+    SALT too (bounding the phase-1 agg buffers), and by the same prefix
+    argument as accumulate_triples_salted the final prefix of the union of
+    per-salt prefixes equals the global prefix — output is identical to the
+    unsalted form at any cap (equivalence-tested)."""
     promo = promo or PromotionConfig()
     src = resolved_mentions
     group_keys = ["entity_id"]
@@ -49,9 +61,11 @@ def entities_table(
                 F.struct(F.col("text"), F.col("confidence"), F.col("start_offset")),
                 F.struct(-F.col("confidence"), F.col("start_offset")),
             ).alias("_namerec"),
-            F.collect_set("text").alias("_texts"),
+            F.slice(F.array_sort(F.collect_set("text")), 1, max_synonyms).alias("_texts"),
             F.min("doc_id").alias("_first"),
-            F.collect_set("doc_id").alias("_docs"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_supporting_documents).alias(
+                "_docs"
+            ),
         )
         agg = partial.groupBy("entity_id").agg(
             F.max_by(F.col("_etype"), F.col("_conf")).alias("entity_type"),
@@ -61,12 +75,18 @@ def entities_table(
                 F.col("_namerec.text"),
                 F.struct(-F.col("_namerec.confidence"), F.col("_namerec.start_offset")),
             ).alias("name"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_texts")))).alias("synonyms"),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_texts")))),
+                1,
+                max_synonyms,
+            ).alias("synonyms"),
             F.min("_first").alias("first_seen_document"),
             F.sum("_n").alias("total_mentions"),
-            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))).alias(
-                "supporting_documents"
-            ),
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("_docs")))),
+                1,
+                max_supporting_documents,
+            ).alias("supporting_documents"),
         )
     else:
         agg = src.groupBy(*group_keys).agg(
@@ -74,10 +94,12 @@ def entities_table(
             F.max("confidence").alias("confidence"),
             F.count("*").alias("usage_count"),
             F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
-            F.array_sort(F.collect_set("text")).alias("synonyms"),
+            F.slice(F.array_sort(F.collect_set("text")), 1, max_synonyms).alias("synonyms"),
             F.min("doc_id").alias("first_seen_document"),
             F.count("*").alias("total_mentions"),
-            F.array_sort(F.collect_set("doc_id")).alias("supporting_documents"),
+            F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_supporting_documents).alias(
+                "supporting_documents"
+            ),
         )
     is_auth = is_authoritative_col(F.col("entity_id"))
     promoted = (F.col("confidence") >= promo.force_promote_confidence) & (
@@ -89,7 +111,12 @@ def entities_table(
     ).withColumn("merged_into", F.lit(None).cast("string"))
 
 
-def tombstone_entities(pre_merge_mentions: DataFrame, mapping: DataFrame) -> DataFrame:
+def tombstone_entities(
+    pre_merge_mentions: DataFrame,
+    mapping: DataFrame,
+    max_supporting_documents: int = 10_000,
+    max_synonyms: int = 1_000,
+) -> DataFrame:
     """D12 merged-entity tombstones: losers of a SAME_AS/embedding merge stay
     queryable as status='merged' rows pointing at the winner (reference
     kgschema/entity.py:61-68: MERGED entities keep merged_into; its merge
@@ -106,10 +133,12 @@ def tombstone_entities(pre_merge_mentions: DataFrame, mapping: DataFrame) -> Dat
         F.max("confidence").alias("confidence"),
         F.count("*").alias("usage_count"),
         F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
-        F.array_sort(F.collect_set("text")).alias("synonyms"),
+        F.slice(F.array_sort(F.collect_set("text")), 1, max_synonyms).alias("synonyms"),
         F.min("doc_id").alias("first_seen_document"),
         F.count("*").alias("total_mentions"),
-        F.array_sort(F.collect_set("doc_id")).alias("supporting_documents"),
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_supporting_documents).alias(
+            "supporting_documents"
+        ),
         F.min("final_id").alias("merged_into"),  # constant per loser
     ).withColumn("status", F.lit("merged"))
 
@@ -160,13 +189,18 @@ def write_bundle(tables: dict[str, DataFrame], out_dir: str) -> dict:
     Parquet stands in for Iceberg locally (no Iceberg runtime jar in this
     sandbox); the writer API is the same `df.write` path and each table write
     is the atomic stage commit."""
+    from pyspark.sql import Observation
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     m = {"version": 1, "created_at_unix": int(time.time()), "counts": {}}
     for name, df in tables.items():
         path = str(out / name)
-        df.write.mode("overwrite").parquet(path)
-        m["counts"][name] = df.sparkSession.read.parquet(path).count()
+        # manifest count observed ON the write job itself — one scan per
+        # table per export, no post-write re-read (r3 verdict item 9)
+        obs = Observation(f"bundle_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite").parquet(path)
+        m["counts"][name] = obs.get["n"]
     (out / "manifest.json").write_text(json.dumps(m, indent=2))
     return m
 
@@ -221,16 +255,20 @@ def write_bundle_jsonl(
     }
     for name, df in tables.items():
         key = F.to_json(F.struct(*df.columns))
-        # single scan on the common (small-table) path: TakeOrdered of
-        # guard+1 rows both sorts and answers "over the guard?" — a
-        # separate count() would re-scan every table just to decide
-        lines = df.orderBy(key).limit(max_driver_rows + 1).toJSON().collect()
-        if len(lines) <= max_driver_rows:
+        # cheap size probe FIRST (limit+count: scan short-circuits at
+        # guard+1 rows, nothing sorted or serialized, driver gets one int) —
+        # the previous single-scan TakeOrdered probe answered "over the
+        # guard?" by collecting guard+1 SERIALIZED rows (potentially several
+        # GB) into the driver before falling back, so the OOM guard itself
+        # carried the spike it guards against (ADVICE r3). Small tables pay
+        # one extra cheap scan; a big table never touches the driver.
+        over_guard = df.limit(max_driver_rows + 1).count() > max_driver_rows
+        if not over_guard:
+            lines = df.orderBy(key).toJSON().collect()
             (out / f"{name}.jsonl").write_text("\n".join(lines) + ("\n" if lines else ""))
             m["counts"][name] = len(lines)
             m["formats"][name] = "jsonl"
         else:
-            del lines
             (
                 df.select(key.alias("value"))
                 .orderBy("value")

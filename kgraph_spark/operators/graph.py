@@ -198,22 +198,59 @@ def subgraph_edges(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def entity_alias_index(entities: DataFrame) -> DataFrame:
+    """H3 scale path: exploded lowercase alias index (alias_lc, entity_id) —
+    one narrow row per name/synonym instead of one wide entity row. Built
+    once per bundle (alongside the H4 bucketed triple writer), it turns
+    substring search into a scan of two small columns plus an id semi-join;
+    the wide entities table is only touched for the matching ids. Same
+    normalization (lower) as the scan path so results are identical."""
+    return (
+        entities.select(
+            "entity_id",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("name")), F.coalesce(F.col("synonyms"), F.array())
+                )
+            ).alias("_alias"),
+        )
+        .select(F.lower(F.col("_alias")).alias("alias_lc"), "entity_id")
+        .distinct()
+    )
+
+
 def find_entities(
-    entities: DataFrame, name_substring: str | None = None, entity_type: str | None = None
+    entities: DataFrame,
+    name_substring: str | None = None,
+    entity_type: str | None = None,
+    alias_index: DataFrame | None = None,
 ) -> DataFrame:
     """H3 entity search (reference find_by_name, memory.py:153-182):
     case-insensitive substring over name + synonyms, optional type filter.
-    At scale, back this with the normalized-alias index instead of a scan."""
+
+    With `alias_index` (entity_alias_index) the substring predicate runs on
+    the narrow index and the entities table is reached by LeftSemi on the
+    matching ids — no full wide-row scan (r3 verdict item 7; equivalence +
+    plan-asserted in tests). Without it, the scan path stands."""
     out = entities
     if entity_type is not None:
         out = out.filter(F.col("entity_type") == entity_type)
     if name_substring:
         needle = name_substring.lower()
-        in_name = F.lower(F.col("name")).contains(needle)
-        in_syn = F.exists(
-            F.coalesce(F.col("synonyms"), F.array()), lambda s: F.lower(s).contains(needle)
-        )
-        out = out.filter(in_name | in_syn)
+        if alias_index is not None:
+            ids = (
+                alias_index.filter(F.col("alias_lc").contains(needle))
+                .select("entity_id")
+                .distinct()
+            )
+            out = out.join(ids, "entity_id", "left_semi")
+        else:
+            in_name = F.lower(F.col("name")).contains(needle)
+            in_syn = F.exists(
+                F.coalesce(F.col("synonyms"), F.array()),
+                lambda s: F.lower(s).contains(needle),
+            )
+            out = out.filter(in_name | in_syn)
     return out
 
 

@@ -76,7 +76,12 @@ def run_pipeline(
     from kgraph_spark.session import estimated_scan_partitions
 
     est = estimated_scan_partitions(docs)  # no .rdd: file-size arithmetic only
-    if est is None or est < target:
+    if est is None:
+        # in-memory frame (tests / createDataFrame inputs): the slice count
+        # is already known to the RDD — cheap here, and it restores the old
+        # guard so an already-wide frame is not shuffled (or shrunk)
+        est = docs.rdd.getNumPartitions()
+    if est < target:
         docs = docs.repartition(target)
 
     # ---- pass 1: fused extraction + resolution (map-only, one scan) ------
@@ -194,12 +199,22 @@ def run_pipeline_from_extracted(
     ).unionByName(appear.select("*", no_quote))
 
     # ---- pass 3: accumulation + export tables -----------------------------
-    if cfg.accumulate_n_salts:
+    n_salts = cfg.accumulate_n_salts
+    if n_salts is None:
+        # AUTO (config.py rationale): salt when the extracted input is
+        # estimated big enough that a hot pair's distinct-doc set threatens
+        # one reducer. File-size arithmetic only — no Spark job; in-memory
+        # frames (tests) fall back to their known slice count.
+        from kgraph_spark.session import estimated_scan_partitions
+
+        est = estimated_scan_partitions(extracted)
+        if est is None:
+            est = extracted.rdd.getNumPartitions()
+        n_salts = cfg.auto_n_salts if est >= cfg.salt_auto_min_partitions else 0
+    if n_salts:
         # hot-pair guard: per-salt capped partials bound reducer state
         def _accumulate(df, max_src):
-            return relationships.accumulate_triples_salted(
-                df, max_src, cfg.accumulate_n_salts
-            )
+            return relationships.accumulate_triples_salted(df, max_src, n_salts)
     else:
         _accumulate = relationships.accumulate_triples
     if cfg.cooc_dict_encode:
@@ -224,9 +239,19 @@ def run_pipeline_from_extracted(
             per_doc.unionByName(cooc.select("*", no_quote)), spec
         )
         triples = _accumulate(per_doc, cfg.max_source_documents)
-    entities = export.entities_table(merged_mentions, cfg_promotion(cfg)).unionByName(
+    entities = export.entities_table(
+        merged_mentions,
+        cfg_promotion(cfg),
+        max_supporting_documents=cfg.max_supporting_documents,
+        max_synonyms=cfg.max_synonyms,
+    ).unionByName(
         # D12 tombstones: merge losers stay queryable with merged_into
-        export.tombstone_entities(mentions, mapping)
+        export.tombstone_entities(
+            mentions,
+            mapping,
+            max_supporting_documents=cfg.max_supporting_documents,
+            max_synonyms=cfg.max_synonyms,
+        )
     )
     if promotion_kb is not None:
         # E2/E3 post-pass: provisional entities that name-match the KB get

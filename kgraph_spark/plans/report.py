@@ -104,6 +104,15 @@ def main() -> None:
         ["BroadcastHashJoin", "SortAggregate"],
     ))
 
+    mh = entrymod.queries()["minhash_lsh_candidates"](spark, SF)
+    sections.append((
+        "MinHash-LSH candidates — the band self-join and the pair distinct "
+        "move doc ids only (Keys [2]); the 2×64-long signatures join back "
+        "AFTER the 16-byte dedup, once per surviving pair",
+        _plan(mh),
+        ["Keys [2]: [doc_a"],
+    ))
+
     jac = entrymod.queries()["word_jaccard_pairs"](spark, SF)
     sections.append((
         "n-gram Jaccard with hot-shingle cap — candidate generation from "

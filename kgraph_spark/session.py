@@ -71,7 +71,9 @@ def _parse_bytes(v: str) -> int:
     s = v.strip().lower()
     mult = 1
     for suffix, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
-                      ("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+                      ("tb", 1024**4), ("pb", 1024**5),
+                      ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                      ("t", 1024**4), ("p", 1024**5), ("b", 1)):
         if s.endswith(suffix):
             s = s[: -len(suffix)]
             mult = m

@@ -31,12 +31,21 @@ def streaming_exact_dedup(
     text_col: str = "text",
 ) -> DataFrame:
     """Streaming input → one row per content hash within the watermark
-    horizon. Works on a batch DataFrame too (falls back to a plain
-    dropDuplicates — the exact result the stream converges to when every
-    duplicate arrives inside the horizon)."""
+    horizon. Works on a batch DataFrame too: the batch twin keeps the
+    EARLIEST row per hash (min-of-struct on event time, id tie-break), which
+    is row-for-row the result the stream converges to when every duplicate
+    arrives inside the horizon — the stream emits the first arrival, and a
+    plain dropDuplicates would keep an arbitrary row whose payload columns
+    (doc_id, ts) disagree with it (ADVICE r3)."""
     hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
     if not docs.isStreaming:
-        return hashed.dropDuplicates(["content_hash"])
+        other = [c for c in hashed.columns if c != "content_hash"]
+        first = hashed.groupBy("content_hash").agg(
+            F.min(F.struct(ts_col, *[c for c in other if c != ts_col])).alias("_r")
+        )
+        return first.select(
+            "content_hash", *[F.col(f"_r.{c}").alias(c) for c in other]
+        ).select(*hashed.columns)
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )

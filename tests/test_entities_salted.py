@@ -34,4 +34,16 @@ def test_salted_entities_table_equivalent(spark):
     # the skew entity really is hot (sanity that the test exercises skew)
     hot = [v for v in plain.values() if len(v[5]) > 10]
     assert hot, "expected at least one high-support entity"
+
+    # scale-guard caps: binding caps stay salted/unsalted-equivalent (the
+    # per-salt prefix-of-prefixes argument) and equal the truncated uncapped
+    # arrays (sorted deterministic prefix, counts exact)
+    cap_plain = snap(entities_table(mm, max_supporting_documents=5, max_synonyms=2))
+    cap_salted = snap(entities_table(mm, n_salts=16, max_supporting_documents=5, max_synonyms=2))
+    assert cap_plain == cap_salted
+    assert any(len(v[5]) == 5 for v in cap_plain.values()), "doc cap never bound"
+    for eid, v in plain.items():
+        c = cap_plain[eid]
+        assert c[5] == v[5][:5] and c[3] == v[3][:2], eid
+        assert c[1] == v[1] and c[2] == v[2], eid  # counts stay exact
     mm.unpersist()

@@ -124,3 +124,58 @@ def test_pipeline_salted_accumulation_parity(spark):
     }
     assert k(base.triples) == k(salted.triples)
     extracted.unpersist()
+
+
+def test_pipeline_salt_auto_selection(spark):
+    """cfg.accumulate_n_salts=None is AUTO (r3 verdict item 8): the salted
+    form must engage from the input-size estimate alone — the 100-TB
+    default cannot depend on the operator remembering a flag — and both
+    decisions must leave the triple table identical."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kgraph_spark import synth
+    from kgraph_spark.config import PipelineConfig
+    from kgraph_spark.operators.mentions import extract_all
+    from kgraph_spark.pipeline import run_pipeline_from_extracted
+
+    def plan(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    docs = synth.documents_df(spark, 120)
+    gaz = synth.gazetteer_rows()
+    gb = spark.sparkContext.broadcast(gaz)
+    extracted = extract_all(docs, gb).persist()
+    # small input (in-memory slice count << threshold) → single-phase
+    small = run_pipeline_from_extracted(
+        spark, extracted, gaz,
+        cfg=PipelineConfig(salt_auto_min_partitions=1_000_000),
+        persist_intermediates=False,
+    )
+    assert "_salt" not in plan(small.triples)
+    # "big" input (threshold forced to 1) → salted two-phase engages
+    big = run_pipeline_from_extracted(
+        spark, extracted, gaz,
+        cfg=PipelineConfig(salt_auto_min_partitions=1),
+        persist_intermediates=False,
+    )
+    assert "_salt" in plan(big.triples)
+    # forced off beats auto even above the threshold
+    forced_off = run_pipeline_from_extracted(
+        spark, extracted, gaz,
+        cfg=PipelineConfig(accumulate_n_salts=0, salt_auto_min_partitions=1),
+        persist_intermediates=False,
+    )
+    assert "_salt" not in plan(forced_off.triples)
+
+    k = lambda df: {
+        (r["subject_id"], r["predicate"], r["object_id"],
+         round(r["confidence"], 9), r["evidence_count"],
+         tuple(r["source_documents"]))
+        for r in df.collect()
+    }
+    assert k(small.triples) == k(big.triples) == k(forced_off.triples)
+    extracted.unpersist()

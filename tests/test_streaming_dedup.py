@@ -51,7 +51,7 @@ def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
     stream = spark.readStream.schema(SCHEMA).parquet(str(indir))
     q = (
         streaming_exact_dedup(stream, watermark="1 hour")
-        .select("doc_id", "content_hash")
+        .select("doc_id", "ts", "content_hash")
         .writeStream.format("memory")
         .queryName(table)
         .outputMode("append")
@@ -73,11 +73,23 @@ def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
     finally:
         q.stop()
 
-    # batch twin over the union of both batches → identical hash set
+    # batch twin over the union of both batches → identical hash set AND
+    # identical surviving rows: the twin keeps the EARLIEST arrival per
+    # hash (min-of-struct on ts), which is the row the stream emitted —
+    # payload columns (doc_id, ts) must agree, not just the key
     allrows = _docs(
         spark,
         [(t(1), "same text"), (t(2), "same text"), (t(3), "other"),
          (t(10), "same text"), (t(11), "brand new")],
     )
-    twin = {r["content_hash"] for r in streaming_exact_dedup(allrows).collect()}
-    assert twin == set(got2)
+    twin_rows = streaming_exact_dedup(allrows).collect()
+    assert {r["content_hash"] for r in twin_rows} == set(got2)
+    # ts is globally unique in the fixture (doc_id re-enumerates per batch)
+    assert {r["content_hash"]: r["ts"] for r in twin_rows} == {
+        r["content_hash"]: r["ts"]
+        for r in spark.sql(f"SELECT * FROM {table}").collect()
+    }
+    # schema preserved by the min-of-struct rewrite
+    assert [f.name for f in streaming_exact_dedup(allrows).schema.fields] == [
+        "doc_id", "ts", "text", "content_hash"
+    ]

@@ -100,6 +100,46 @@ def test_entity_lookups(spark):
     assert find_by_triple(edges, "E1", "causes", "E3").count() == 0
 
 
+def test_entity_search_alias_index(spark):
+    """H3 scale path (r3 verdict item 7): with the exploded alias index the
+    substring predicate must run on the narrow index and reach entities by
+    LeftSemi — no Contains filter against the wide entities columns — and
+    results must equal the scan path exactly."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kgraph_spark.operators.graph import entity_alias_index, find_entities
+
+    ents = spark.createDataFrame(
+        [("E1", "drug", "Aspirin", ["acetylsalicylic acid"]),
+         ("E2", "drug", "Olaparib", None),
+         ("E3", "disease", "aspirin allergy", [])],
+        "entity_id string, entity_type string, name string, synonyms array<string>",
+    )
+    idx = entity_alias_index(ents)
+    assert {(r["alias_lc"], r["entity_id"]) for r in idx.collect()} == {
+        ("aspirin", "E1"), ("acetylsalicylic acid", "E1"),
+        ("olaparib", "E2"), ("aspirin allergy", "E3"),
+    }
+    for needle, etype in [("aspirin", None), ("aspirin", "drug"), ("salicylic", None),
+                          ("zzz", None)]:
+        scan = {r["entity_id"] for r in find_entities(ents, needle, etype).collect()}
+        indexed = find_entities(ents, needle, etype, alias_index=idx)
+        assert {r["entity_id"] for r in indexed.collect()} == scan, needle
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        find_entities(ents, "aspirin", alias_index=idx).explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan
+    # the substring predicate touches alias_lc only — the wide columns
+    # (name/synonyms) appear in no Contains condition
+    assert "Contains" in plan
+    for line in plan.splitlines():
+        if "Contains" in line:
+            assert "name" not in line and "synonyms" not in line, line
+
+
 def test_extractor_stubs_raise():
     from kgraph_spark.functions.interfaces import (
         llm_mention_extractor,
