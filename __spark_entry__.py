@@ -620,6 +620,198 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_d9_reconcile(spark, sf_dir):
+    """D9 post-dedup reconciliation (reference dedup.py:516-618) on driver
+    data: entity rows synthesized over customer with COLLIDING normalized
+    names (case / punctuation / leading-space / British-spelling variants,
+    so norm_dedup does real work) and mixed authoritative (MeSH:) /
+    provisional (prov-) ids. Groups by (norm_name, entity_type); any group
+    with > 1 distinct id elects a winner — authoritative first, else
+    lexicographically smallest — and emits the loser→winner map. The
+    min-of-struct election restates in the oracle as a row_number window."""
+    from kgraph_spark.operators.canonicalize import reconcile_by_name
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = k.cast("string")
+    base = F.concat(F.lit("Clinic "), (k % 40).cast("string"))
+    name = (
+        F.when(k % 5 == 0, F.lit("Tumour"))
+        .when(k % 5 == 1, F.lit("tumor!"))
+        .when(k % 3 == 0, F.upper(base))
+        .when(k % 3 == 1, F.concat(base, F.lit("!!")))
+        .otherwise(F.concat(F.lit("  "), base))
+    )
+    ents = cust.select(
+        F.when(k % 4 == 0, F.concat(F.lit("MeSH:D"), s))
+        .otherwise(F.concat(F.lit("prov-"), F.lpad(s, 8, "0")))
+        .alias("entity_id"),
+        F.when(k % 2 == 0, F.lit("disease")).otherwise(F.lit("location")).alias("entity_type"),
+        name.alias("name"),
+    )
+    return reconcile_by_name(ents)
+
+
+def q_d7_merge_key(spark, sf_dir):
+    """D7 per-class authoritative-id election (reference
+    examples/medlit/pipeline/dedup.py:96-121, _preferred_authoritative_id)
+    over bundle-shaped rows synthesized from part: Gene rows prefer HGNC
+    (bare digits formatted 'HGNC:n'), then the UMLS→HGNC broadcast
+    cross-lookup (the reference's HTTP lookup restated as a dimension
+    join), then the UMLS id, then canonical; other classes take the first
+    authoritative id in column order. Null merge_key = nothing
+    authoritative (caller falls back to the D5 provisional hash)."""
+    from kgraph_spark.operators.resolve import preferred_authoritative_id
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    nul = F.lit(None).cast("string")
+    rows = part.select(
+        s.alias("row_id"),
+        F.when(k % 2 == 0, F.lit("Gene")).otherwise(F.lit("Drug")).alias("entity_class"),
+        F.when(k % 5 == 0, F.concat(F.lit("MeSH:D"), s))
+        .when(k % 5 == 1, F.concat(F.lit("prov-"), s))
+        .otherwise(nul)
+        .alias("canonical_id"),
+        F.when(k % 3 == 0, F.concat(F.lit("C"), s)).otherwise(nul).alias("umls_id"),
+        F.when(k % 4 == 0, s)
+        .when(k % 4 == 1, F.concat(F.lit(" HGNC:"), s))
+        .otherwise(nul)
+        .alias("hgnc_id"),
+        F.when(k % 7 == 0, F.concat(F.lit("RxNorm:"), s)).otherwise(nul).alias("rxnorm_id"),
+        F.when(k % 11 == 0, F.concat(F.lit("UniProt:P"), s)).otherwise(nul).alias("uniprot_id"),
+    )
+    xmap = part.filter(k % 6 == 0).select(
+        F.concat(F.lit("C"), s).alias("umls_id"),
+        F.concat(F.lit("HGNC:"), (k + 7).cast("string")).alias("hgnc_id"),
+    )
+    return preferred_authoritative_id(rows, xmap).select("row_id", "entity_class", "merge_key")
+
+
+def q_f4_semantic_ladder(spark, sf_dir):
+    """F4 FULL fallback ladder (reference relationships.py:744-774) with the
+    SQL-restatable letter-frequency encoder (functions/embeddings.
+    letter_frequency_embedding — integer-valued vectors, bit-exact across
+    engines), so every rung gets a driver oracle (r3 verdict item 5):
+
+      doc_id%4==0  both endpoints usually substring-contained → rung 1;
+      doc_id%4==1  'zzzz' object: one endpoint contained → rung-2 drop, or
+                   neither → semantic reject (no z's in the corpus);
+      doc_id%4==2  doubled-letter endpoints never substring-match but their
+                   letter profiles straddle the 0.5 cosine threshold
+                   (measured 0.27–0.80 across sf0.01 docs) → rung 3 does
+                   real discrimination;
+      doc_id%4==3  'zyzzyva' disease object: semantically unreachable from
+                   the quote (max cosine 0.30) but present in the full
+                   document content, quote carries a disease-context word →
+                   rung-4 marker-disease rescue."""
+    from kgraph_spark.functions.embeddings import letter_frequency_embedding
+    from kgraph_spark.operators.validation_extra import (
+        evidence_containment_semantic_filter,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    m = F.col("doc_id").cast("long") % 4
+    rels = docs.select(
+        "doc_id",
+        F.when(m >= 2, F.lit("datta systemm")).otherwise(F.lit("data")).alias("subject_norm"),
+        F.when(m == 1, F.lit("zzzz"))
+        .when(m == 2, F.lit("tablee windoww"))
+        .when(m == 3, F.lit("zyzzyva"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(w) for w in COOC_WORDS]),
+                (F.col("doc_id").cast("long") % 8 + 1).cast("int"),
+            )
+        )
+        .alias("object_norm"),
+        F.when(m == 3, F.lit("indicates")).otherwise(F.lit("mentions")).alias("predicate"),
+        F.when(m == 3, F.lit("disease")).otherwise(F.lit("term")).alias("object_type"),
+        F.when(m == 3, F.concat(F.lit("tumor staining in "), F.substring("text", 1, 120)))
+        .otherwise(F.col("text"))
+        .alias("evidence"),
+    )
+    contents = docs.select("doc_id", F.concat("text", F.lit(" zyzzyva")).alias("content"))
+    out = evidence_containment_semantic_filter(
+        rels, threshold=0.5, embed_fn=letter_frequency_embedding, documents=contents
+    )
+    return out.select("doc_id", "subject_norm", "object_norm", "predicate")
+
+
+def q_h3_entity_search(spark, sf_dir):
+    """H3 entity search through the exploded alias index (graph.
+    entity_alias_index + find_entities — reference find_by_name,
+    kgraph/storage/memory.py:153-182): substring predicate on the narrow
+    index, LeftSemi back to the wide entity rows. Two needles: 'red' hits
+    names, 'economy' hits a synonym (p_type) — both alias sources."""
+    from kgraph_spark.operators.graph import entity_alias_index, find_entities
+
+    part = _read(spark, sf_dir, "part")
+    ents = part.select(
+        F.col("p_partkey").cast("string").alias("entity_id"),
+        F.lit("part").alias("entity_type"),
+        F.col("p_name").alias("name"),
+        F.array(F.col("p_brand"), F.col("p_type")).alias("synonyms"),
+    )
+    idx = entity_alias_index(ents)
+    out = None
+    for needle in ("red", "economy"):
+        hit = find_entities(ents, needle, alias_index=idx).select(
+            F.lit(needle).alias("needle"), "entity_id", "name"
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out
+
+
+def q_f5_predicate_polarity(spark, sf_dir):
+    """F5 predicate-polarity sanity (reference relationships.py:293-378):
+    planted marker suffixes make the filter do real work — ' not observed'
+    kills treats/prevents rows, ' improved response' kills
+    causes/increases_risk rows, everything else passes."""
+    from kgraph_spark.operators.validation_extra import predicate_semantics_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    preds = ["treats", "causes", "prevents", "increases_risk", "interacts_with"]
+    rels = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(F.array(*[F.lit(p) for p in preds]), (d % 5 + 1).cast("int")).alias(
+            "predicate"
+        ),
+        F.concat(
+            "text",
+            F.when(d % 3 == 0, F.lit(" not observed"))
+            .when(d % 3 == 1, F.lit(" improved response"))
+            .otherwise(F.lit("")),
+        ).alias("evidence"),
+    )
+    return predicate_semantics_filter(rels).select("doc_id", "predicate")
+
+
+def q_f13_evidence_repair(spark, sf_dir):
+    """F13 evidence-id repair (reference extract.py:60-103, 399-407):
+    placeholder first segments (PMC_UNKNOWN, ==CURRENT_PAPER==, or a
+    PMC-style id disagreeing with the real paper) are replaced with the
+    real paper id; the '{paper}:{section}:{para}:{method}' tail is kept."""
+    from kgraph_spark.operators.validation_extra import repair_evidence_ids
+
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("long")
+    pid = F.concat(F.lit("PMC"), F.col("doc_id").cast("string"))
+    df = docs.select(
+        pid.alias("doc_id"),
+        F.when(d % 4 == 0, F.lit("PMC_UNKNOWN:intro:1:llm"))
+        .when(d % 4 == 1, F.lit("==CURRENT_PAPER==:body:2:regex"))
+        .when(d % 4 == 2, F.concat(F.lit("PMC"), (d + 999999).cast("string"), F.lit(":abstract:3:llm")))
+        .otherwise(F.concat(pid, F.lit(":body:4:pattern")))
+        .alias("evidence_id"),
+    )
+    return repair_evidence_ids(df).select("doc_id", "evidence_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -657,6 +849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "text_repetition": q_text_repetition,
         "evt_session_windows": q_evt_session_windows,
+        "d9_reconcile": q_d9_reconcile,
+        "d7_merge_key": q_d7_merge_key,
+        "f4_semantic_ladder": q_f4_semantic_ladder,
+        "h3_entity_search": q_h3_entity_search,
+        "f5_predicate_polarity": q_f5_predicate_polarity,
+        "f13_evidence_repair": q_f13_evidence_repair,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1240,5 +1438,209 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, subject_norm, object_norm FROM rels
             WHERE evidence IS NOT NULL
               AND contains(norm_ev, subject_norm) AND contains(norm_ev, object_norm)
+        """,
+        # D9 winner election: authoritative-first then lexicographic — the
+        # Spark min-of-struct restated as a row_number window; norm_dedup =
+        # norm_key + whole-key British→American spelling map
+        "d9_reconcile": r"""
+            WITH base AS (
+                SELECT
+                    CASE WHEN c_custkey % 4 = 0 THEN 'MeSH:D' || c_custkey::VARCHAR
+                         ELSE 'prov-' || lpad(c_custkey::VARCHAR, 8, '0') END AS entity_id,
+                    CASE WHEN c_custkey % 2 = 0 THEN 'disease' ELSE 'location' END AS entity_type,
+                    CASE WHEN c_custkey % 5 = 0 THEN 'Tumour'
+                         WHEN c_custkey % 5 = 1 THEN 'tumor!'
+                         WHEN c_custkey % 3 = 0 THEN upper('Clinic ' || (c_custkey % 40)::VARCHAR)
+                         WHEN c_custkey % 3 = 1 THEN 'Clinic ' || (c_custkey % 40)::VARCHAR || '!!'
+                         ELSE '  Clinic ' || (c_custkey % 40)::VARCHAR END AS name
+                FROM customer
+            ), keyed AS (
+                SELECT DISTINCT entity_id, entity_type,
+                    CASE trim(regexp_replace(regexp_replace(lower(trim(name)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                         WHEN 'tumour' THEN 'tumor'
+                         WHEN 'hyperglycaemia' THEN 'hyperglycemia'
+                         WHEN 'haemoglobin' THEN 'hemoglobin'
+                         WHEN 'oesophagus' THEN 'esophagus'
+                         WHEN 'leukaemia' THEN 'leukemia'
+                         ELSE trim(regexp_replace(regexp_replace(lower(trim(name)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                    END AS norm_name
+                FROM base
+            ), ranked AS (
+                SELECT entity_id, entity_type, norm_name,
+                    row_number() OVER (
+                        PARTITION BY norm_name, entity_type
+                        ORDER BY (CASE WHEN starts_with(entity_id, 'MeSH:') THEN 0 ELSE 1 END),
+                                 entity_id
+                    ) AS rn,
+                    count(*) OVER (PARTITION BY norm_name, entity_type) AS n
+                FROM keyed
+            ), winners AS (
+                SELECT norm_name, entity_type, entity_id AS final_id
+                FROM ranked WHERE rn = 1 AND n > 1
+            )
+            SELECT k.entity_id, w.final_id
+            FROM keyed k JOIN winners w USING (norm_name, entity_type)
+            WHERE k.entity_id <> w.final_id
+        """,
+        # D7 priority chain: auth(x) = trimmed id when the trimmed form is
+        # authoritative for its known shape; Gene branch formats bare-digit
+        # HGNC and consults the UMLS→HGNC cross map before the raw UMLS id
+        "d7_merge_key": r"""
+            WITH rows AS (
+                SELECT p_partkey AS k, p_partkey::VARCHAR AS s,
+                    CASE WHEN p_partkey % 2 = 0 THEN 'Gene' ELSE 'Drug' END AS entity_class,
+                    CASE WHEN p_partkey % 5 = 0 THEN 'MeSH:D' || p_partkey::VARCHAR
+                         WHEN p_partkey % 5 = 1 THEN 'prov-' || p_partkey::VARCHAR END AS canonical_id,
+                    CASE WHEN p_partkey % 3 = 0 THEN 'C' || p_partkey::VARCHAR END AS umls_id,
+                    CASE WHEN p_partkey % 4 = 0 THEN p_partkey::VARCHAR
+                         WHEN p_partkey % 4 = 1 THEN ' HGNC:' || p_partkey::VARCHAR END AS hgnc_id,
+                    CASE WHEN p_partkey % 7 = 0 THEN 'RxNorm:' || p_partkey::VARCHAR END AS rxnorm_id,
+                    CASE WHEN p_partkey % 11 = 0 THEN 'UniProt:P' || p_partkey::VARCHAR END AS uniprot_id
+                FROM part
+            ), xmap AS (
+                SELECT 'C' || p_partkey::VARCHAR AS umls_id,
+                       'HGNC:' || (p_partkey + 7)::VARCHAR AS hgnc_id
+                FROM part WHERE p_partkey % 6 = 0
+            ), auth AS (
+                SELECT r.*, x.hgnc_id AS cross_hgnc,
+                    CASE WHEN starts_with(trim(r.canonical_id), 'MeSH:') THEN trim(r.canonical_id) END AS a_can,
+                    CASE WHEN regexp_matches(trim(r.umls_id), '^C[0-9]+$') THEN trim(r.umls_id) END AS a_umls,
+                    CASE WHEN regexp_matches(trim(r.hgnc_id), '^[0-9]+$')
+                           OR starts_with(trim(r.hgnc_id), 'HGNC:') THEN trim(r.hgnc_id) END AS a_hgnc,
+                    CASE WHEN starts_with(trim(r.rxnorm_id), 'RxNorm:') THEN trim(r.rxnorm_id) END AS a_rx,
+                    CASE WHEN starts_with(trim(r.uniprot_id), 'UniProt:') THEN trim(r.uniprot_id) END AS a_uni
+                FROM rows r LEFT JOIN xmap x ON trim(r.umls_id) = x.umls_id
+            )
+            SELECT s AS row_id, entity_class,
+                CASE WHEN entity_class = 'Gene' THEN
+                    coalesce(
+                        CASE WHEN a_hgnc IS NOT NULL THEN
+                            CASE WHEN regexp_matches(trim(hgnc_id), '^[0-9]+$')
+                                 THEN 'HGNC:' || trim(hgnc_id) ELSE trim(hgnc_id) END END,
+                        CASE WHEN a_umls IS NOT NULL THEN coalesce(cross_hgnc, trim(umls_id)) END,
+                        a_can)
+                ELSE coalesce(a_can, a_umls, a_hgnc, a_rx, a_uni) END AS merge_key
+            FROM auth
+        """,
+        # F4 full ladder with the letter-frequency encoder: integer-valued
+        # 26-dim vectors are bit-exact across engines; rung 1 = substring,
+        # rung 2 = one-endpoint early drop (residue keeps neither-matched
+        # only), rung 3 = both cosines >= 0.5, rung 4 = marker-disease
+        # context rescue against the full document content
+        "f4_semantic_ladder": r"""
+            WITH docs AS (
+                SELECT doc_id::VARCHAR AS doc_id, doc_id::BIGINT % 4 AS m, text FROM documents
+            ), rels AS (
+                SELECT doc_id, m, text,
+                    CASE WHEN m >= 2 THEN 'datta systemm' ELSE 'data' END AS subject_norm,
+                    CASE WHEN m = 1 THEN 'zzzz'
+                         WHEN m = 2 THEN 'tablee windoww'
+                         WHEN m = 3 THEN 'zyzzyva'
+                         ELSE list_extract(['join','filter','window','customer','spark','merge','stream','table'],
+                                           (doc_id::BIGINT % 8 + 1)::INT) END AS object_norm,
+                    CASE WHEN m = 3 THEN 'indicates' ELSE 'mentions' END AS predicate,
+                    CASE WHEN m = 3 THEN 'disease' ELSE 'term' END AS object_type,
+                    CASE WHEN m = 3 THEN 'tumor staining in ' || substr(text, 1, 120)
+                         ELSE text END AS evidence
+                FROM docs
+            ), flags AS (
+                SELECT *,
+                    trim(regexp_replace(regexp_replace(lower(trim(evidence)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_ev,
+                    (evidence IS NOT NULL AND trim(evidence) <> '') AS has_ev
+                FROM rels
+            ), marked AS (
+                SELECT *, contains(norm_ev, subject_norm) AS sub_ok,
+                          contains(norm_ev, object_norm) AS obj_ok
+                FROM flags
+            ), emb AS (
+                SELECT *,
+                    list_transform(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z'],
+                        c -> (length(lower(evidence)) - length(replace(lower(evidence), c, '')))::DOUBLE) AS ev_e,
+                    list_transform(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z'],
+                        c -> (length(lower(subject_norm)) - length(replace(lower(subject_norm), c, '')))::DOUBLE) AS s_e,
+                    list_transform(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z'],
+                        c -> (length(lower(object_norm)) - length(replace(lower(object_norm), c, '')))::DOUBLE) AS o_e
+                FROM marked WHERE has_ev AND NOT sub_ok AND NOT obj_ok
+            ), scored AS (
+                SELECT *,
+                    list_cosine_similarity(ev_e, s_e) >= 0.5 AS s_sem,
+                    list_cosine_similarity(ev_e, o_e) >= 0.5 AS o_sem
+                FROM emb
+            ), fast AS (
+                SELECT doc_id, subject_norm, object_norm, predicate
+                FROM marked WHERE has_ev AND sub_ok AND obj_ok
+            ), semantic AS (
+                SELECT doc_id, subject_norm, object_norm, predicate
+                FROM scored WHERE s_sem AND o_sem
+            ), rescued AS (
+                SELECT r.doc_id, r.subject_norm, r.object_norm, r.predicate
+                FROM scored r JOIN docs d ON d.doc_id = r.doc_id
+                WHERE r.s_sem AND NOT r.o_sem
+                  AND r.predicate IN ('indicates', 'associated_with')
+                  AND r.object_type = 'disease'
+                  AND len(list_filter(['tumor','cancer','cell','cells','positive','negativity','negative','staining','ihc','immunohisto','immunoreactivity','positivity','neoplastic'],
+                          w -> contains(r.norm_ev, w))) > 0
+                  AND contains(
+                        trim(regexp_replace(regexp_replace(lower(trim(d.text || ' zyzzyva')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')),
+                        r.object_norm)
+            )
+            SELECT * FROM fast
+            UNION ALL SELECT * FROM semantic
+            UNION ALL SELECT * FROM rescued
+        """,
+        # H3: alias set = name + synonyms (p_brand, p_type), lowercase
+        # substring — the index path is result-equivalent to this scan
+        "h3_entity_search": r"""
+            WITH ents AS (
+                SELECT p_partkey::VARCHAR AS entity_id, p_name AS name,
+                       lower(p_name) AS a1, lower(p_brand) AS a2, lower(p_type) AS a3
+                FROM part
+            )
+            SELECT 'red' AS needle, entity_id, name FROM ents
+            WHERE contains(a1, 'red') OR contains(a2, 'red') OR contains(a3, 'red')
+            UNION ALL
+            SELECT 'economy' AS needle, entity_id, name FROM ents
+            WHERE contains(a1, 'economy') OR contains(a2, 'economy') OR contains(a3, 'economy')
+        """,
+        "f5_predicate_polarity": r"""
+            WITH rels AS (
+                SELECT doc_id::VARCHAR AS doc_id,
+                    list_extract(['treats','causes','prevents','increases_risk','interacts_with'],
+                                 (doc_id % 5 + 1)::INT) AS predicate,
+                    text || CASE WHEN doc_id % 3 = 0 THEN ' not observed'
+                                 WHEN doc_id % 3 = 1 THEN ' improved response'
+                                 ELSE '' END AS evidence
+                FROM documents
+            ), flags AS (
+                SELECT *,
+                    list_has_any(string_split_regex(lower(coalesce(evidence, '')), '\s+'),
+                                 ['not','no','never','failed','without','absence','lack']) AS has_neg,
+                    list_has_any(string_split_regex(lower(coalesce(evidence, '')), '\s+'),
+                                 ['improved','reduced','effective','benefit','response']) AS has_pos
+                FROM rels
+            )
+            SELECT doc_id, predicate FROM flags
+            WHERE NOT ((predicate IN ('treats', 'prevents') AND has_neg AND NOT has_pos)
+                    OR (predicate IN ('causes', 'increases_risk') AND has_pos AND NOT has_neg))
+        """,
+        "f13_evidence_repair": r"""
+            WITH df AS (
+                SELECT 'PMC' || doc_id::VARCHAR AS doc_id,
+                    CASE WHEN doc_id % 4 = 0 THEN 'PMC_UNKNOWN:intro:1:llm'
+                         WHEN doc_id % 4 = 1 THEN '==CURRENT_PAPER==:body:2:regex'
+                         WHEN doc_id % 4 = 2 THEN 'PMC' || (doc_id + 999999)::VARCHAR || ':abstract:3:llm'
+                         ELSE 'PMC' || doc_id::VARCHAR || ':body:4:pattern' END AS evidence_id
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, evidence_id,
+                       split_part(evidence_id, ':', 1) AS first,
+                       substr(evidence_id, length(split_part(evidence_id, ':', 1)) + 1) AS rest
+                FROM df
+            )
+            SELECT doc_id,
+                CASE WHEN first IN ('PMC_UNKNOWN', '==CURRENT_PAPER==')
+                       OR (regexp_matches(first, '^PMC[0-9]+$') AND first <> doc_id)
+                     THEN doc_id || rest ELSE evidence_id END AS evidence_id
+            FROM parts
         """,
     }
