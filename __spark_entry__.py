@@ -812,6 +812,114 @@ def q_f13_evidence_repair(spark, sf_dir):
     return repair_evidence_ids(df).select("doc_id", "evidence_id")
 
 
+def q_b1_chunker(spark, sf_dir):
+    """B1 windowed chunker (reference WindowedDocumentChunker,
+    kgraph/pipeline/streaming.py:151-244) over driver documents with a
+    scaled-down window (120/30, min 40): stride = chunk_size - overlap,
+    short middle windows dropped, final tail always kept, chunk_index
+    counts EMITTED chunks. The corpus has no sentence punctuation, so the
+    boundary snap (a '.' rfind in the last 20%) is a deterministic no-op
+    here — the snap itself is pytest-covered with punctuated fixtures
+    (tests/test_spans.py); this oracle pins the window arithmetic."""
+    from kgraph_spark.config import ChunkingConfig
+    from kgraph_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    cfg = ChunkingConfig(chunk_size=120, overlap=30, min_chunk_size=40)
+    return chunk_documents(docs, cfg).select(
+        "doc_id", "content", "start_offset", "end_offset", "chunk_index"
+    )
+
+
+def q_e2_kb_assignment(spark, sf_dir):
+    """E2 canonical-ID assignment (reference promotion.py:132-220 strategy 3
+    restated as one broadcast join): promotion candidates vs an exploded
+    KB alias index on (norm_dedup key, entity_type). Candidate surfaces are
+    punctuation/case/spelling variants of the KB names so the key
+    normalization does real work; KB aliases are made unique by suffixing
+    the key, keeping the dropDuplicates seam deterministic."""
+    from kgraph_spark.operators.promotion import assign_canonical_ids
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    uniq = F.concat(F.col("p_name"), F.lit(" "), s)
+    kb = part.select(
+        uniq.alias("name"),
+        F.when(k % 3 == 0, F.array(F.concat(F.lit("alias "), uniq))).otherwise(
+            F.array().cast("array<string>")
+        ).alias("synonyms"),
+        F.concat(F.lit("MeSH:D"), s).alias("canonical_id"),
+        F.when(k % 2 == 0, F.lit("drug")).otherwise(F.lit("disease")).alias("entity_type"),
+    )
+    cands = part.select(
+        F.concat(F.lit("prov-"), s).alias("entity_id"),
+        F.when(k % 4 == 0, F.upper(uniq))
+        .when(k % 4 == 1, F.concat(uniq, F.lit("!!")))
+        .when(k % 4 == 2, F.concat(F.lit("alias "), uniq))
+        .otherwise(F.concat(F.lit("unknown thing "), s))
+        .alias("name"),
+        # half the candidates carry the WRONG type -> no assignment
+        F.when(k % 6 < 3, F.when(k % 2 == 0, F.lit("drug")).otherwise(F.lit("disease")))
+        .otherwise(F.lit("gene"))
+        .alias("entity_type"),
+        F.lit("provisional").alias("status"),
+        F.lit(0.8).alias("confidence"),
+        F.lit(2).alias("usage_count"),
+    )
+    return assign_canonical_ids(cands, kb)
+
+
+def q_f12_provenance(spark, sf_dir):
+    """F12 provenance expansion (reference examples/medlit/pipeline/
+    provenance_expansion.py:31-155): AUTHORED / AFFILIATED_WITH / CITES
+    edges from synthesized paper metadata (blank names filtered, ROR ids
+    preferred over institution slugs, blank citations dropped) + DESCRIBED
+    top-2 per paper from a triples table synthesized over orders."""
+    from kgraph_spark.operators.provenance import expand_provenance
+
+    cust = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = k.cast("string")
+    author1 = F.struct(
+        F.concat(F.lit("Ada "), F.lit("B. "), F.lit("Lovelace"), (k % 40).cast("string")).alias("name"),
+        F.when(k % 2 == 0, F.concat(F.lit("MIT CSAIL Lab #"), (k % 10).cast("string"))).otherwise(F.lit("")).alias("affiliation"),
+        F.when(k % 6 == 0, F.concat(F.lit("0"), (k % 100).cast("string"), F.lit("ab"))).otherwise(F.lit(None).cast("string")).alias("ror"),
+    )
+    author2 = F.struct(
+        F.when(k % 5 == 0, F.lit("  ")).otherwise(
+            F.concat(F.lit("Grace Hopper"), (k % 25).cast("string"))
+        ).alias("name"),
+        F.lit("Navy Research 7").alias("affiliation"),
+        F.lit(None).cast("string").alias("ror"),
+    )
+    papers = cust.select(
+        F.concat(F.lit("PMC"), s).alias("doc_id"),
+        F.when(k % 3 == 0, F.array(author1, author2)).otherwise(F.array(author1)).alias("authors"),
+        F.when(k % 4 == 0, F.array(F.concat(F.lit("PMC"), (k + 1).cast("string")), F.lit(" ")))
+        .when(k % 4 == 1, F.array().cast("array<string>"))
+        .otherwise(F.lit(None).cast("array<string>"))
+        .alias("cited"),
+    )
+    orders = _read(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    triples = orders.select(
+        F.concat(F.lit("E"), (ok % 7).cast("string")).alias("subject_id"),
+        F.array(F.concat(F.lit("PMC"), (ok % 100).cast("string"))).alias("source_documents"),
+    )
+    return expand_provenance(papers, triples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -855,6 +963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_entity_search": q_h3_entity_search,
         "f5_predicate_polarity": q_f5_predicate_polarity,
         "f13_evidence_repair": q_f13_evidence_repair,
+        "b1_chunker": q_b1_chunker,
+        "e2_kb_assignment": q_e2_kb_assignment,
+        "f12_provenance": q_f12_provenance,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1642,5 +1753,125 @@ def oracle_sql() -> dict[str, str]:
                        OR (regexp_matches(first, '^PMC[0-9]+$') AND first <> doc_id)
                      THEN doc_id || rest ELSE evidence_id END AS evidence_id
             FROM parts
+        """,
+        # B1 window arithmetic: stride/min-size/tail rules; the sentence
+        # snap is a no-op on this punctuation-free corpus (pytest-covered)
+        "b1_chunker": r"""
+            WITH docs AS (
+                SELECT doc_id::VARCHAR AS doc_id, text AS content, length(text) AS n
+                FROM documents WHERE length(text) > 0
+            ), single AS (
+                SELECT doc_id, content, 0 AS start_offset, n::INT AS end_offset, 0 AS chunk_index
+                FROM docs WHERE n <= 120
+            ), strided AS (
+                SELECT doc_id, content, n, (i * 90)::INT AS cur,
+                       least(i * 90 + 120, n)::INT AS e
+                FROM docs, unnest(range(0, n // 90 + 2)) AS u(i)
+                WHERE n > 120 AND i * 90 < n
+            ), emitted AS (
+                SELECT doc_id, substr(content, cur + 1, e - cur) AS content,
+                       cur AS start_offset, e AS end_offset,
+                       (row_number() OVER (PARTITION BY doc_id ORDER BY cur) - 1)::INT AS chunk_index
+                FROM strided WHERE (e - cur) >= 40 OR e >= n
+            )
+            SELECT doc_id, content, start_offset, end_offset, chunk_index FROM single
+            UNION ALL
+            SELECT doc_id, content, start_offset, end_offset, chunk_index FROM emitted
+        """,
+        # E2: norm_dedup-keyed broadcast KB alias join, type-checked
+        "e2_kb_assignment": r"""
+            WITH kbrows AS (
+                SELECT p_name || ' ' || p_partkey::VARCHAR AS alias,
+                       'MeSH:D' || p_partkey::VARCHAR AS canonical_id,
+                       CASE WHEN p_partkey % 2 = 0 THEN 'drug' ELSE 'disease' END AS kb_type
+                FROM part
+                UNION ALL
+                SELECT 'alias ' || p_name || ' ' || p_partkey::VARCHAR,
+                       'MeSH:D' || p_partkey::VARCHAR,
+                       CASE WHEN p_partkey % 2 = 0 THEN 'drug' ELSE 'disease' END
+                FROM part WHERE p_partkey % 3 = 0
+            ), kb AS (
+                SELECT trim(regexp_replace(regexp_replace(lower(trim(alias)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS kb_key,
+                       canonical_id, kb_type
+                FROM kbrows
+            ), cands AS (
+                SELECT 'prov-' || p_partkey::VARCHAR AS entity_id,
+                    CASE WHEN p_partkey % 4 = 0 THEN upper(p_name || ' ' || p_partkey::VARCHAR)
+                         WHEN p_partkey % 4 = 1 THEN p_name || ' ' || p_partkey::VARCHAR || '!!'
+                         WHEN p_partkey % 4 = 2 THEN 'alias ' || p_name || ' ' || p_partkey::VARCHAR
+                         ELSE 'unknown thing ' || p_partkey::VARCHAR END AS name,
+                    CASE WHEN p_partkey % 6 < 3 THEN
+                        CASE WHEN p_partkey % 2 = 0 THEN 'drug' ELSE 'disease' END
+                    ELSE 'gene' END AS entity_type
+                FROM part
+            )
+            SELECT c.entity_id, k.canonical_id AS assigned_id
+            FROM cands c
+            JOIN kb k ON k.kb_key = trim(regexp_replace(regexp_replace(lower(trim(c.name)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                     AND k.kb_type = c.entity_type
+        """,
+        # F12: author/institution id normalization, ROR preference, blank
+        # filters, DESCRIBED top-2 window
+        "f12_provenance": r"""
+            WITH cust AS (
+                SELECT c_custkey AS k, 'PMC' || c_custkey::VARCHAR AS doc_id FROM customer
+            ), a1 AS (
+                SELECT k, doc_id,
+                       'Ada B. Lovelace' || (k % 40)::VARCHAR AS name,
+                       CASE WHEN k % 2 = 0 THEN 'MIT CSAIL Lab #' || (k % 10)::VARCHAR ELSE '' END AS affiliation,
+                       CASE WHEN k % 6 = 0 THEN '0' || (k % 100)::VARCHAR || 'ab' END AS ror
+                FROM cust
+            ), a2 AS (
+                SELECT k, doc_id,
+                       CASE WHEN k % 5 = 0 THEN '  ' ELSE 'Grace Hopper' || (k % 25)::VARCHAR END AS name,
+                       'Navy Research 7' AS affiliation, NULL::VARCHAR AS ror
+                FROM cust WHERE k % 3 = 0
+            ), authors AS (
+                SELECT * FROM a1 UNION ALL SELECT * FROM a2
+            ), named AS (
+                SELECT *,
+                    'Author:' ||
+                    list_extract(string_split_regex(trim(lower(regexp_replace(name, '[^A-Za-z ]', '', 'g'))), '\s+'), -1)
+                    || '_' ||
+                    substr(list_extract(string_split_regex(trim(lower(regexp_replace(name, '[^A-Za-z ]', '', 'g'))), '\s+'), 1), 1, 1)
+                    AS author_id
+                FROM authors WHERE trim(name) <> ''
+            ), authored AS (
+                SELECT doc_id, author_id AS subject_id, 'authored' AS predicate,
+                       'PAPER:' || doc_id AS object_id, 1.0::DOUBLE AS confidence
+                FROM named
+            ), affiliated AS (
+                SELECT doc_id, author_id AS subject_id, 'affiliated_with' AS predicate,
+                    coalesce(
+                        CASE WHEN coalesce(trim(ror), '') <> '' THEN 'ROR:' || trim(ror) END,
+                        'Institution:' || substr(
+                            regexp_replace(regexp_replace(lower(trim(affiliation)), '[^a-z0-9]+', '-', 'g'), '^-|-$', '', 'g'),
+                            1, 50)
+                    ) AS object_id,
+                    1.0::DOUBLE AS confidence
+                FROM named WHERE coalesce(trim(affiliation), '') <> ''
+            ), cites AS (
+                SELECT doc_id, 'PAPER:' || doc_id AS subject_id, 'cites' AS predicate,
+                       'PAPER:PMC' || (k + 1)::VARCHAR AS object_id, 1.0::DOUBLE AS confidence
+                FROM cust WHERE k % 4 = 0
+            ), uniq AS (
+                SELECT DISTINCT * FROM (
+                    SELECT * FROM authored UNION ALL SELECT * FROM affiliated UNION ALL SELECT * FROM cites
+                )
+            ), counts AS (
+                SELECT 'PMC' || (o_orderkey % 100)::VARCHAR AS doc_id,
+                       'E' || (o_orderkey % 7)::VARCHAR AS subject_id,
+                       count(*) AS rel_count
+                FROM orders GROUP BY 1, 2
+            ), described AS (
+                SELECT doc_id, 'PAPER:' || doc_id AS subject_id, 'described' AS predicate,
+                       ent_id AS object_id, 0.9::DOUBLE AS confidence
+                FROM (
+                    SELECT doc_id, subject_id AS ent_id,
+                           row_number() OVER (PARTITION BY doc_id ORDER BY rel_count DESC, subject_id ASC) AS rn
+                    FROM counts
+                ) WHERE rn <= 2
+            )
+            SELECT * FROM uniq UNION ALL SELECT * FROM described
         """,
     }

@@ -90,8 +90,17 @@ def run_pipeline(
         # the single expensive Python pass — every downstream branch
         # (mentions, relations, windows) is a cached columnar filter
         extracted = extracted.persist()
+    docs_for_rescue = None
+    if cfg.evidence_validation and cfg.semantic_evidence_threshold is not None:
+        # F4 rung-4 marker-disease rescue needs the full document content
+        # (reference relationships.py:765-774); assembled lazily and joined
+        # only against the neither-endpoint residue rows
+        from kgraph_spark.operators.chunking import assemble_content
+
+        docs_for_rescue = assemble_content(docs).select("doc_id", "content")
     return run_pipeline_from_extracted(
-        spark, extracted, gazetteer_rows, cfg, persist_intermediates, _owns_extracted=True
+        spark, extracted, gazetteer_rows, cfg, persist_intermediates,
+        documents=docs_for_rescue, _owns_extracted=True,
     )
 
 
@@ -103,6 +112,8 @@ def run_pipeline_from_extracted(
     persist_intermediates: bool = True,
     embedding_dedup: bool = False,
     promotion_kb: DataFrame | None = None,
+    documents: DataFrame | None = None,
+    evidence_embed_fn=None,
     _owns_extracted: bool = False,
 ) -> PipelineResult:
     """Graph construction from an already-materialized extraction table —
@@ -136,12 +147,32 @@ def run_pipeline_from_extracted(
             "_s_surf", norm_key_col(F.col("subject_text"))
         ).withColumn("_o_surf", norm_key_col(F.col("object_text")))
         if cfg.semantic_evidence_threshold is not None:
+            had_object_type = "object_type" in raw_rel.columns
+            if documents is not None and not had_object_type:
+                # rung-4 rescue gates on the object's REGISTERED type
+                # (object_type == 'disease'); the raw pattern rows carry
+                # surfaces only, so look the type up on the dedup key via
+                # the broadcast alias index — residue-only cost, no shuffle
+                raw_rel = raw_rel.join(
+                    F.broadcast(
+                        alias_index.select(
+                            F.col("norm_key").alias("_ot_key"),
+                            F.col("entity_type").alias("object_type"),
+                        )
+                    ),
+                    F.col("object_norm") == F.col("_ot_key"),
+                    "left",
+                ).drop("_ot_key")
             raw_rel = validation_extra.evidence_containment_semantic_filter(
                 raw_rel,
                 cfg.semantic_evidence_threshold,
+                embed_fn=evidence_embed_fn,
                 subject_col="_s_surf",
                 object_col="_o_surf",
+                documents=documents,
             )
+            if documents is not None and not had_object_type:
+                raw_rel = raw_rel.drop("object_type")
         else:
             raw_rel = validation_extra.evidence_containment_filter(
                 raw_rel, subject_col="_s_surf", object_col="_o_surf"

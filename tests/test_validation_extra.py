@@ -292,3 +292,45 @@ def test_evidence_marker_disease_context_rescue(spark):
     no_docs = {r["rel_id"] for r in evidence_containment_semantic_filter(
         rels, 0.5, embed_fn=toy_embed).collect()}
     assert no_docs == set()
+
+
+def test_pipeline_semantic_rescue_wiring(spark):
+    """run_pipeline(documents=...) must reach F4 rung 4 end-to-end: the
+    object's registered type comes from the broadcast alias-index lookup,
+    the content join rescues the indicates/disease relation, and the same
+    relation is dropped when no documents frame is supplied. A twin row
+    whose quote lacks a disease-context word stays dropped either way."""
+    from kgraph_spark.config import PipelineConfig
+    from kgraph_spark.functions.embeddings import letter_frequency_embedding
+    from kgraph_spark.operators.mentions import EXTRACTED_SCHEMA
+    from kgraph_spark.pipeline import run_pipeline_from_extracted
+
+    gaz = [("datta systemm", None, "biomarker", 1.0), ("zyzzyva", None, "disease", 1.0)]
+    n = None
+    # neither endpoint appears in either quote; subject letter-profile
+    # reaches both quotes (cosine 0.79), object fails (0.13/0.15) — rung 4
+    # is the only way through, and only r1's quote carries a context word
+    r1 = ("r", "d1", n, n, n, n, 0.85, n, 0, "datta systemm", "zyzzyva",
+          "indicates", "tumor staining in the main data sample latest",
+          n, n, "datta systemm", "zyzzyva", n)
+    r2 = ("r", "d1", n, n, n, n, 0.85, n, 0, "datta systemm", "zyzzyva",
+          "associated_with", "observed in the main data sample latest",
+          n, n, "datta systemm", "zyzzyva", n)
+    extracted = spark.createDataFrame([r1, r2], EXTRACTED_SCHEMA)
+    docs = spark.createDataFrame(
+        [("d1", "the long report discusses zyzzyva cases throughout")],
+        "doc_id string, content string",
+    )
+    cfg = PipelineConfig(evidence_validation=True, semantic_evidence_threshold=0.5)
+
+    preds = lambda res: {r["predicate"] for r in res.triples.collect()}
+    rescued = run_pipeline_from_extracted(
+        spark, extracted, gaz, cfg=cfg, persist_intermediates=False,
+        documents=docs, evidence_embed_fn=letter_frequency_embedding,
+    )
+    assert preds(rescued) == {"indicates"}
+    dropped = run_pipeline_from_extracted(
+        spark, extracted, gaz, cfg=cfg, persist_intermediates=False,
+        evidence_embed_fn=letter_frequency_embedding,
+    )
+    assert preds(dropped) == set()
