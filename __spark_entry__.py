@@ -920,6 +920,173 @@ def q_f12_provenance(spark, sf_dir):
     return expand_provenance(papers, triples)
 
 
+def q_h2_bfs_filtered(spark, sf_dir):
+    """H2 BFS query language (reference bfsql.md:22-37 via graph.
+    run_bfs_query): literal seed list, directed 2-hop expansion over the
+    customer→order→part graph, node_filter {entity_types: [order]} against
+    the REGISTERED type dimension — filters affect presentation, not
+    topology: non-matching nodes return as stubs (is_full=false)."""
+    from kgraph_spark.operators.graph import run_bfs_query
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    e1 = orders.select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subject_id"),
+        F.lit("placed").alias("predicate"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("object_id"),
+    )
+    e2 = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    )
+    edges = e1.union(e2)
+    cust = _read(spark, sf_dir, "customer")
+    entities = (
+        cust.select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("entity_id"),
+                    F.lit("customer").alias("entity_type"))
+        .unionByName(orders.select(
+            F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("entity_id"),
+            F.lit("order").alias("entity_type")))
+        # parts deliberately ABSENT from the dimension -> stubs
+    )
+    nodes, _edges = run_bfs_query(
+        edges,
+        {"seeds": ["C1", "C2"], "max_hops": 2, "directed": True,
+         "node_filter": {"entity_types": ["order"]},
+         "edge_filter": {"predicates": ["placed"]}},
+        entities=entities,
+    )
+    return nodes.select("entity_id", "hop", "is_full")
+
+
+def q_i1_embed_cache(spark, sf_dir):
+    """I1 deterministic hash embeddings + cache-as-table (functions/
+    embeddings.embed_with_cache — reference CachedEmbeddingGenerator,
+    kgraph/pipeline/caching.py:171-533): even keys come from a
+    pre-computed cache (inner join), odd keys run the encoder (anti-join
+    misses); the oracle recomputes sha256-digest vectors byte-for-byte
+    (components float32-cast then rounded, absorbing summation-order
+    last-ulp differences in the L2 norm)."""
+    from kgraph_spark.functions.embeddings import embed_with_cache
+
+    part = _read(spark, sf_dir, "part")
+    texts = part.select(
+        F.col("p_partkey").cast("string").alias("entity_id"),
+        F.concat(F.col("p_name"), F.lit(" "), F.col("p_partkey").cast("string")).alias("name"),
+    )
+    cache = embed_with_cache(texts.filter(F.col("p_partkey") % 2 == 0), None)
+    out = embed_with_cache(texts, cache.select("entity_id", "embedding"))
+    return out.select(
+        "entity_id",
+        "name",
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: F.round(x, 6)).alias(
+            "embedding"
+        ),
+    )
+
+
+def q_d12_tombstones(spark, sf_dir):
+    """D12 merged-entity tombstones (export.tombstone_entities — reference
+    kgschema/entity.py:61-68): losers of a merge stay queryable as
+    status='merged' rows pointing at the winner; supporting-document and
+    synonym arrays use the capped sorted deterministic prefix (caps chosen
+    to BIND here so the scale guard itself is oracle-checked)."""
+    from kgraph_spark.operators.export import tombstone_entities
+
+    orders = _read(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    mentions = orders.select(
+        F.concat(F.lit("D"), (ok % 50).cast("string")).alias("doc_id"),
+        F.concat(F.lit("E"), (ok % 20).cast("string")).alias("entity_id"),
+        F.concat(F.lit("name "), (ok % 7).cast("string")).alias("text"),
+        (F.lit(0.5) + (ok % 5).cast("double") * F.lit(0.1)).alias("confidence"),
+        ok.cast("int").alias("start_offset"),
+        F.concat(F.lit("T"), ((ok % 20) % 3).cast("string")).alias("entity_type"),
+    )
+    mapping = spark.createDataFrame(
+        [(f"E{i}", f"E{i + 10}") for i in range(10)], "entity_id string, final_id string"
+    )
+    return tombstone_entities(
+        mentions, mapping, max_supporting_documents=5, max_synonyms=3
+    )
+
+
+def q_a8_cache_lookup(spark, sf_dir):
+    """A8 synonym cache + A9 negative cache (sources/caches — reference
+    synonym_cache.py:16-83, json_cache.py:214-277): normalized-key
+    broadcast lookup — a whole-key British-spelling hit ('Tumour' →
+    cached 'tumor' row), case/punctuation hits, odd-key misses — followed
+    by the known-bad anti-join (null lookups survive an anti-join on the
+    looked-up id, matching the reference's 'unknown is not known-bad')."""
+    from kgraph_spark.sources.caches import negative_cache_filter, synonym_cache_lookup
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    uniq = F.concat(F.col("p_name"), F.lit(" "), s)
+    cache = part.filter(k % 2 == 0).select(
+        F.lower(uniq).alias("norm_name"),
+        F.lit("disease").alias("entity_class"),
+        F.concat(F.lit("MeSH:D"), s).alias("canonical_id"),
+        F.lit(0.9).alias("confidence"),
+        F.lit("cache").alias("resolution"),
+        F.array().cast("array<string>").alias("source_papers"),
+    ).unionByName(
+        part.filter(k == 0).select(
+            F.lit("tumor").alias("norm_name"),
+            F.lit("disease").alias("entity_class"),
+            F.lit("MeSH:D999999").alias("canonical_id"),
+            F.lit(0.9).alias("confidence"),
+            F.lit("cache").alias("resolution"),
+            F.array().cast("array<string>").alias("source_papers"),
+        )
+    )
+    names = part.select(
+        F.when(k % 4 == 0, F.lit("Tumour"))              # whole-key spelling map hit
+        .when(k % 4 == 2, F.concat(F.upper(uniq), F.lit("!")))  # case/punct hit
+        .otherwise(uniq)                                  # odd keys: cache miss
+        .alias("name"),
+        F.lit("disease").alias("entity_class"),
+        s.alias("row_id"),
+    )
+    looked = synonym_cache_lookup(names, cache)
+    bad = part.filter(k % 8 == 2).select(
+        F.concat(F.lit("MeSH:D"), s).alias("cached_canonical_id")
+    )
+    out = negative_cache_filter(looked, bad, on=["cached_canonical_id"])
+    return out.select("row_id", "name", "cached_canonical_id")
+
+
+def q_a8_cache_merge(spark, sf_dir):
+    """A8 cache merge (synonym_cache_merge — add_same_as_to_cache
+    semantics): key-collision resolution keeps the max-(confidence, id)
+    record, source papers union sorted; idempotent by construction."""
+    from kgraph_spark.sources.caches import synonym_cache_merge
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    key = F.concat(F.lit("term "), (k % 60).cast("string"))
+    cache = part.filter(k % 3 == 0).select(
+        key.alias("norm_name"),
+        F.lit("drug").alias("entity_class"),
+        F.concat(F.lit("RxNorm:"), s).alias("canonical_id"),
+        (F.lit(0.5) + (k % 4).cast("double") * F.lit(0.1)).alias("confidence"),
+        F.lit("old").alias("resolution"),
+        F.array(F.concat(F.lit("PMC"), s)).alias("source_papers"),
+    )
+    new_links = part.filter(k % 3 == 1).select(
+        key.alias("norm_name"),
+        F.lit("drug").alias("entity_class"),
+        F.concat(F.lit("RxNorm:"), s).alias("canonical_id"),
+        (F.lit(0.4) + (k % 6).cast("double") * F.lit(0.1)).alias("confidence"),
+        F.lit("new").alias("resolution"),
+        F.array(F.concat(F.lit("PMC"), s), F.lit("PMCx")).alias("source_papers"),
+    )
+    return synonym_cache_merge(cache, new_links)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -966,6 +1133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b1_chunker": q_b1_chunker,
         "e2_kb_assignment": q_e2_kb_assignment,
         "f12_provenance": q_f12_provenance,
+        "h2_bfs_filtered": q_h2_bfs_filtered,
+        "i1_embed_cache": q_i1_embed_cache,
+        "d12_tombstones": q_d12_tombstones,
+        "a8_cache_lookup": q_a8_cache_lookup,
+        "a8_cache_merge": q_a8_cache_merge,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1873,5 +2045,160 @@ def oracle_sql() -> dict[str, str]:
                 ) WHERE rn <= 2
             )
             SELECT * FROM uniq UNION ALL SELECT * FROM described
+        """,
+        # H2: presentation-not-topology filters; hop = first-reach; stubs
+        # for nodes missing from the type dimension
+        "h2_bfs_filtered": r"""
+            WITH seeds AS (
+                SELECT * FROM (VALUES ('C1', 0), ('C2', 0)) AS t(entity_id, hop)
+            ), h1 AS (
+                SELECT DISTINCT 'O' || o_orderkey::VARCHAR AS entity_id, 1 AS hop
+                FROM orders WHERE o_custkey IN (1, 2)
+            ), h2 AS (
+                SELECT DISTINCT 'P' || l_partkey::VARCHAR AS entity_id, 2 AS hop
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_custkey IN (1, 2)
+                AND 'P' || l_partkey::VARCHAR NOT IN (SELECT entity_id FROM h1)
+            ), visited AS (
+                SELECT * FROM seeds UNION ALL SELECT * FROM h1 UNION ALL SELECT * FROM h2
+            ), dim AS (
+                SELECT 'C' || c_custkey::VARCHAR AS entity_id, 'customer' AS entity_type FROM customer
+                UNION ALL
+                SELECT 'O' || o_orderkey::VARCHAR, 'order' FROM orders
+            )
+            SELECT v.entity_id, v.hop,
+                   coalesce(d.entity_type = 'order', false) AS is_full
+            FROM visited v LEFT JOIN dim d USING (entity_id)
+        """,
+        # I1: sha256-digest vectors recomputed from hex pairs; float32 cast
+        # then round-6 absorbs norm-summation-order ulps
+        "i1_embed_cache": r"""
+            WITH texts AS (
+                SELECT p_partkey::VARCHAR AS entity_id,
+                       p_name || ' ' || p_partkey::VARCHAR AS name
+                FROM part
+            ), hashed AS (
+                SELECT entity_id, name,
+                       sha256(trim(regexp_replace(regexp_replace(lower(trim(name)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+                FROM texts
+            ), vecs AS (
+                SELECT entity_id, name,
+                    list_transform(range(0, 32), i ->
+                        ((strpos('0123456789abcdef', substr(h, (i * 2 + 1)::INT, 1)) - 1) * 16
+                         + strpos('0123456789abcdef', substr(h, (i * 2 + 2)::INT, 1)) - 1)::DOUBLE
+                        - 127.5) AS v
+                FROM hashed
+            ), normed AS (
+                SELECT entity_id, name, v,
+                       sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+                FROM vecs
+            )
+            SELECT entity_id, name,
+                   list_transform(v, x -> round((x / n)::FLOAT::DOUBLE, 6)) AS embedding
+            FROM normed
+        """,
+        # D12: loser aggregation with BINDING array caps (5 docs / 3 names)
+        "d12_tombstones": r"""
+            WITH mentions AS (
+                SELECT 'D' || (o_orderkey % 50)::VARCHAR AS doc_id,
+                       'E' || (o_orderkey % 20)::VARCHAR AS entity_id,
+                       'name ' || (o_orderkey % 7)::VARCHAR AS text,
+                       0.5 + (o_orderkey % 5)::DOUBLE * 0.1 AS confidence,
+                       o_orderkey::INT AS start_offset,
+                       'T' || ((o_orderkey % 20) % 3)::VARCHAR AS entity_type
+                FROM orders
+            ), mapping AS (
+                SELECT 'E' || i::VARCHAR AS entity_id, 'E' || (i + 10)::VARCHAR AS final_id
+                FROM unnest(range(0, 10)) AS t(i)
+            ), losers AS (
+                SELECT m.*, mp.final_id FROM mentions m JOIN mapping mp USING (entity_id)
+            ), best_name AS (
+                SELECT entity_id, text AS name FROM (
+                    SELECT entity_id, text,
+                           row_number() OVER (PARTITION BY entity_id
+                                              ORDER BY confidence DESC, start_offset ASC) AS rn
+                    FROM losers
+                ) WHERE rn = 1
+            )
+            SELECT l.entity_id,
+                   min(l.entity_type) AS entity_type,
+                   max(l.confidence) AS confidence,
+                   count(*) AS usage_count,
+                   min(b.name) AS name,
+                   list_sort(list_distinct(list(l.text)))[1:3] AS synonyms,
+                   min(l.doc_id) AS first_seen_document,
+                   count(*) AS total_mentions,
+                   list_sort(list_distinct(list(l.doc_id)))[1:5] AS supporting_documents,
+                   min(l.final_id) AS merged_into,
+                   'merged' AS status
+            FROM losers l JOIN best_name b USING (entity_id)
+            GROUP BY l.entity_id
+        """,
+        # A8/A9: whole-key spelling-map hit + case hit + known-bad anti-join
+        "a8_cache_lookup": r"""
+            WITH cache AS (
+                SELECT lower(p_name || ' ' || p_partkey::VARCHAR) AS norm_name,
+                       'MeSH:D' || p_partkey::VARCHAR AS canonical_id
+                FROM part WHERE p_partkey % 2 = 0
+                UNION ALL
+                SELECT 'tumor', 'MeSH:D999999' FROM part WHERE p_partkey = 0
+            ), names AS (
+                SELECT p_partkey::VARCHAR AS row_id,
+                    CASE WHEN p_partkey % 4 = 0 THEN 'Tumour'
+                         WHEN p_partkey % 4 = 2 THEN upper(p_name || ' ' || p_partkey::VARCHAR) || '!'
+                         ELSE p_name || ' ' || p_partkey::VARCHAR END AS name
+                FROM part
+            ), keyed AS (
+                SELECT row_id, name,
+                    CASE trim(regexp_replace(regexp_replace(lower(trim(name)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                         WHEN 'tumour' THEN 'tumor'
+                         WHEN 'hyperglycaemia' THEN 'hyperglycemia'
+                         WHEN 'haemoglobin' THEN 'hemoglobin'
+                         WHEN 'oesophagus' THEN 'esophagus'
+                         WHEN 'leukaemia' THEN 'leukemia'
+                         ELSE trim(regexp_replace(regexp_replace(lower(trim(name)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                    END AS key
+                FROM names
+            ), looked AS (
+                SELECT s.row_id, s.name, c.canonical_id AS cached_canonical_id
+                FROM keyed s LEFT JOIN cache c ON s.key = c.norm_name
+            )
+            SELECT row_id, name, cached_canonical_id FROM looked
+            WHERE cached_canonical_id IS NULL
+               OR cached_canonical_id NOT IN (
+                    SELECT 'MeSH:D' || p_partkey::VARCHAR FROM part WHERE p_partkey % 8 = 2)
+        """,
+        # A8 merge: max-(confidence, id) collision winner via row_number
+        "a8_cache_merge": r"""
+            WITH cache AS (
+                SELECT 'term ' || (p_partkey % 60)::VARCHAR AS norm_name,
+                       'drug' AS entity_class,
+                       'RxNorm:' || p_partkey::VARCHAR AS canonical_id,
+                       0.5 + (p_partkey % 4)::DOUBLE * 0.1 AS confidence,
+                       'old' AS resolution,
+                       ['PMC' || p_partkey::VARCHAR] AS source_papers
+                FROM part WHERE p_partkey % 3 = 0
+            ), new_links AS (
+                SELECT 'term ' || (p_partkey % 60)::VARCHAR AS norm_name,
+                       'drug' AS entity_class,
+                       'RxNorm:' || p_partkey::VARCHAR AS canonical_id,
+                       0.4 + (p_partkey % 6)::DOUBLE * 0.1 AS confidence,
+                       'new' AS resolution,
+                       ['PMC' || p_partkey::VARCHAR, 'PMCx'] AS source_papers
+                FROM part WHERE p_partkey % 3 = 1
+            ), all_rows AS (
+                SELECT * FROM cache UNION ALL SELECT * FROM new_links
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY norm_name, entity_class
+                                             ORDER BY confidence DESC, canonical_id DESC) AS rn
+                FROM all_rows
+            )
+            SELECT r.norm_name, r.entity_class,
+                   max(CASE WHEN r.rn = 1 THEN r.canonical_id END) AS canonical_id,
+                   max(r.confidence) AS confidence,
+                   max(CASE WHEN r.rn = 1 THEN r.resolution END) AS resolution,
+                   list_sort(list_distinct(flatten(list(r.source_papers)))) AS source_papers
+            FROM ranked r
+            GROUP BY 1, 2
         """,
     }
