@@ -1087,6 +1087,44 @@ def q_a8_cache_merge(spark, sf_dir):
     return synonym_cache_merge(cache, new_links)
 
 
+def q_b2_overlapping_windows(spark, sf_dir):
+    """B2 overlapping-window stream (chunking.chunk_spans — reference
+    iter_overlapping_windows, examples/medlit/pipeline/pmc_streaming.py:
+    66-114): the first span (abstract) is window 0 emitted whole; the
+    remaining paragraphs concatenate ('\\n\\n') into 120/30 sliding windows
+    that stop at the first window reaching the end — unlike B1 there is no
+    min-size drop and no multi-tail emission."""
+    from kgraph_spark.operators.chunking import chunk_spans
+
+    docs = _docs_to_span_documents(_read(spark, sf_dir, "documents"))
+    return chunk_spans(docs, window_size=120, overlap=30)
+
+
+def q_c1_metadata_mentions(spark, sf_dir):
+    """C1 metadata-entity conversion (mentions.mentions_from_metadata —
+    reference MedLitEntityExtractor.extract, mentions.py:183-238): planted
+    per-row edge cases — a too-short name, a bare type label, a name equal
+    to its own (non-label) type — are dropped; survivors carry conf 0.9,
+    lowercased type, and the canonical-id hint passthrough."""
+    from kgraph_spark.operators.mentions import mentions_from_metadata
+
+    part = _read(spark, sf_dir, "part")
+    s = F.col("p_partkey").cast("string")
+    nul = F.lit(None).cast("string")
+    ent = lambda n, t, c: F.struct(n.alias("name"), t.alias("entity_type"), c.alias("canonical_id"))
+    docs = part.select(
+        F.concat(F.lit("M"), s).alias("doc_id"),
+        F.array(
+            ent(F.col("p_name"), F.lit("chemical"), F.concat(F.lit("MeSH:D"), s)),
+            ent(F.lit("xy"), F.lit("drug"), nul),           # < 3 chars
+            ent(F.lit(" gene "), F.lit("gene"), nul),       # bare type label
+            ent(F.lit("Chemical"), F.lit("chemical"), nul), # name == own type
+            ent(F.concat(F.col("p_name"), F.lit(" extra")), F.lit("Drug"), nul),
+        ).alias("entities"),
+    )
+    return mentions_from_metadata(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1138,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_tombstones": q_d12_tombstones,
         "a8_cache_lookup": q_a8_cache_lookup,
         "a8_cache_merge": q_a8_cache_merge,
+        "b2_overlapping_windows": q_b2_overlapping_windows,
+        "c1_metadata_mentions": q_c1_metadata_mentions,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -2200,5 +2240,64 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list_distinct(flatten(list(r.source_papers)))) AS source_papers
             FROM ranked r
             GROUP BY 1, 2
+        """,
+        # B2: abstract window 0 + sliding body windows, stop at first
+        # end-reaching window; no min-size drop (unlike B1)
+        "b2_overlapping_windows": r"""
+            WITH base AS (
+                SELECT doc_id::VARCHAR AS doc_id,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ), paras AS (
+                SELECT doc_id, i AS para_idx,
+                       array_to_string(toks[i*12+1 : i*12+12], ' ') AS para
+                FROM base, unnest(range(0, ((len(toks) + 11) // 12)::BIGINT)) AS u(i)
+            ), abstract AS (
+                SELECT doc_id, para AS content, 0 AS start_offset,
+                       length(para)::INT AS end_offset, 0 AS chunk_index
+                FROM paras WHERE para_idx = 0
+            ), body AS (
+                SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY para_idx) AS b
+                FROM paras WHERE para_idx >= 1 GROUP BY doc_id
+            ), wind AS (
+                SELECT doc_id, b, i,
+                       (i * 90)::INT AS cur,
+                       least(i * 90 + 120, length(b))::INT AS e
+                FROM body, unnest(range(0, (length(b) // 90 + 2))) AS u(i)
+                WHERE length(b) > 0 AND i * 90 < length(b)
+                  AND (i = 0 OR (i - 1) * 90 + 120 < length(b))
+            )
+            SELECT doc_id, content, start_offset, end_offset, chunk_index FROM abstract
+            UNION ALL
+            SELECT doc_id, substr(b, cur + 1, e - cur), cur, e, (i + 1)::INT FROM wind
+        """,
+        # C1: explode + the three drop rules + lowercased type and hint
+        # passthrough at conf 0.9
+        "c1_metadata_mentions": r"""
+            WITH docs AS (
+                SELECT 'M' || p_partkey::VARCHAR AS doc_id,
+                       [struct_pack(name := p_name, entity_type := 'chemical',
+                                    canonical_id := 'MeSH:D' || p_partkey::VARCHAR),
+                        struct_pack(name := 'xy', entity_type := 'drug',
+                                    canonical_id := NULL::VARCHAR),
+                        struct_pack(name := ' gene ', entity_type := 'gene',
+                                    canonical_id := NULL::VARCHAR),
+                        struct_pack(name := 'Chemical', entity_type := 'chemical',
+                                    canonical_id := NULL::VARCHAR),
+                        struct_pack(name := p_name || ' extra', entity_type := 'Drug',
+                                    canonical_id := NULL::VARCHAR)] AS entities
+                FROM part
+            ), exploded AS (
+                SELECT doc_id, unnest(entities, recursive := true) FROM docs
+            )
+            SELECT doc_id, name AS text, lower(entity_type) AS entity_type,
+                   0 AS start_offset, 0 AS end_offset, 0.9::DOUBLE AS confidence,
+                   canonical_id AS canonical_id_hint, 0 AS para_idx
+            FROM exploded
+            WHERE length(trim(name)) >= 3
+              AND lower(trim(name)) NOT IN ('biomarker','condition','disease','drug',
+                    'entity','gene','hormone','location','pathway','procedure',
+                    'protein','symptom')
+              AND lower(trim(name)) <> lower(entity_type)
         """,
     }
