@@ -1125,6 +1125,68 @@ def q_c1_metadata_mentions(spark, sf_dir):
     return mentions_from_metadata(docs)
 
 
+def q_d2_alias_resolve(spark, sf_dir):
+    """D1+D2+D5 in one oracle (resolve.resolve_mentions): broadcast
+    alias-index join on the norm_dedup key (KB-backed index rows beat
+    vocabulary rows — 'Spark!' resolves to its MeSH id), D1 hint fallback
+    for index misses that carry canonical_id_hint, and the D5 content-hash
+    provisional id (sha256, spelling-normalized — 'Tumour' hashes as
+    'tumor') for everything else."""
+    from kgraph_spark.operators.resolve import alias_index_df, resolve_mentions
+
+    gaz = [("spark", "MeSH:D100", "term", 1.0)] + [
+        (w, None, "term", 1.0) for w in KG_TERMS
+    ]
+    idx = alias_index_df(spark, gaz)
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    mentions = part.select(
+        s.alias("row_id"),
+        F.when(k % 5 == 0, F.lit("Spark!"))
+        .when(k % 5 == 1, F.lit("JOIN"))
+        .when(k % 5 == 4, F.lit("Tumour"))
+        .otherwise(F.concat(F.lit("unknown widget "), s))
+        .alias("text"),
+        F.when(k % 5 == 4, F.lit("disease"))
+        .when(k % 5 <= 1, F.lit("term"))
+        .otherwise(F.lit("widget"))
+        .alias("entity_type"),
+        F.when(k % 5 == 2, F.concat(F.lit("HINT:"), s)).otherwise(
+            F.lit(None).cast("string")
+        ).alias("canonical_id_hint"),
+    )
+    return resolve_mentions(mentions, idx).select("row_id", "text", "entity_id")
+
+
+def q_f6_swap_validate(spark, sf_dir):
+    """F6 swap correction + F7 type constraints + F8 specificity dedup in
+    one pass (relationships.validate_relations — reference dedup.py:178-206,
+    relationships.py:55-74): backwards treats rows swap endpoints, a
+    type-invalid row drops, and colliding (doc, subject, object) groups
+    keep the most-specific predicate (ties → max confidence, predicate
+    asc, evidence asc) — the min-of-struct election restated as a
+    row_number window."""
+    from kgraph_spark.operators.relationships import predicate_spec_df, validate_relations
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    m = k % 6
+    pick = lambda *vals: F.element_at(F.array(*[F.lit(v) for v in vals]), (m + 1).cast("int"))
+    rows = part.select(
+        F.concat(F.lit("D"), (k % 20).cast("string")).alias("doc_id"),
+        F.concat(F.lit("S"), (k % 40).cast("string")).alias("subject_id"),
+        pick("drug", "disease", "gene", "biomarker", "location", "drug").alias("subject_type"),
+        pick("treats", "treats", "treats", "indicates", "associated_with",
+             "interacts_with").alias("predicate"),
+        F.concat(F.lit("O"), (k % 40).cast("string")).alias("object_id"),
+        pick("disease", "drug", "pathway", "disease", "hormone", "drug").alias("object_type"),
+        (F.lit(0.6) + (k % 4).cast("double") * F.lit(0.1)).alias("confidence"),
+        F.concat(F.lit("ev "), (k % 9).cast("string")).alias("evidence"),
+    )
+    return validate_relations(rows, predicate_spec_df(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1178,6 +1240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_cache_merge": q_a8_cache_merge,
         "b2_overlapping_windows": q_b2_overlapping_windows,
         "c1_metadata_mentions": q_c1_metadata_mentions,
+        "d2_alias_resolve": q_d2_alias_resolve,
+        "f6_swap_validate": q_f6_swap_validate,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -2299,5 +2363,99 @@ def oracle_sql() -> dict[str, str]:
                     'entity','gene','hormone','location','pathway','procedure',
                     'protein','symptom')
               AND lower(trim(name)) <> lower(entity_type)
+        """,
+        # D1/D2/D5: KB row beats vocab row for the same key; hint fallback;
+        # sha256 provisional ids on the spelling-normalized key
+        "d2_alias_resolve": r"""
+            WITH terms(w) AS (VALUES ('join'), ('filter'), ('window'), ('customer'), ('spark'), ('merge'), ('stream'), ('table'), ('query'), ('scan'), ('sort'), ('group'), ('batch'), ('data'), ('key'), ('row')),
+            idx AS (
+                SELECT 'spark' AS norm_key, 'MeSH:D100' AS entity_id
+                UNION ALL
+                SELECT w, 'prov-' || substr(sha256(w || '|term'), 1, 12)
+                FROM terms WHERE w <> 'spark'
+            ), men AS (
+                SELECT p_partkey::VARCHAR AS row_id,
+                    CASE WHEN p_partkey % 5 = 0 THEN 'Spark!'
+                         WHEN p_partkey % 5 = 1 THEN 'JOIN'
+                         WHEN p_partkey % 5 = 4 THEN 'Tumour'
+                         ELSE 'unknown widget ' || p_partkey::VARCHAR END AS text,
+                    CASE WHEN p_partkey % 5 = 4 THEN 'disease'
+                         WHEN p_partkey % 5 <= 1 THEN 'term'
+                         ELSE 'widget' END AS entity_type,
+                    CASE WHEN p_partkey % 5 = 2 THEN 'HINT:' || p_partkey::VARCHAR END AS hint
+                FROM part
+            ), keyed AS (
+                SELECT *,
+                    CASE trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                         WHEN 'tumour' THEN 'tumor'
+                         WHEN 'hyperglycaemia' THEN 'hyperglycemia'
+                         WHEN 'haemoglobin' THEN 'hemoglobin'
+                         WHEN 'oesophagus' THEN 'esophagus'
+                         WHEN 'leukaemia' THEN 'leukemia'
+                         ELSE trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                    END AS key
+                FROM men
+            )
+            SELECT m.row_id, m.text,
+                coalesce(i.entity_id, m.hint,
+                         'prov-' || substr(sha256(m.key || '|' || m.entity_type), 1, 12)
+                ) AS entity_id
+            FROM keyed m LEFT JOIN idx i ON m.key = i.norm_key
+        """,
+        # F6/F7/F8: swap flags + type constraints inlined per predicate;
+        # specificity election via row_number
+        "f6_swap_validate": r"""
+            WITH rows AS (
+                SELECT p_partkey % 6 AS m,
+                    'D' || (p_partkey % 20)::VARCHAR AS doc_id,
+                    'S' || (p_partkey % 40)::VARCHAR AS subject_id,
+                    'O' || (p_partkey % 40)::VARCHAR AS object_id,
+                    list_extract(['drug','disease','gene','biomarker','location','drug'],
+                                 (p_partkey % 6 + 1)::INT) AS subject_type,
+                    list_extract(['treats','treats','treats','indicates','associated_with','interacts_with'],
+                                 (p_partkey % 6 + 1)::INT) AS predicate,
+                    list_extract(['disease','drug','pathway','disease','hormone','drug'],
+                                 (p_partkey % 6 + 1)::INT) AS object_type,
+                    0.6 + (p_partkey % 4)::DOUBLE * 0.1 AS confidence,
+                    'ev ' || (p_partkey % 9)::VARCHAR AS evidence
+                FROM part
+            ), flags AS (
+                SELECT *,
+                    CASE predicate
+                        WHEN 'treats' THEN subject_type IN ('drug','procedure')
+                                       AND object_type IN ('disease','symptom')
+                        WHEN 'indicates' THEN subject_type IN ('biomarker','gene','protein')
+                                          AND object_type = 'disease'
+                        WHEN 'associated_with' THEN true
+                        WHEN 'interacts_with' THEN subject_type IN ('drug','protein','gene')
+                                               AND object_type IN ('drug','protein','gene')
+                    END AS valid_asis,
+                    CASE predicate
+                        WHEN 'treats' THEN object_type IN ('drug','procedure')
+                                       AND subject_type IN ('disease','symptom')
+                        WHEN 'indicates' THEN object_type IN ('biomarker','gene','protein')
+                                          AND subject_type = 'disease'
+                        WHEN 'associated_with' THEN true
+                        WHEN 'interacts_with' THEN object_type IN ('drug','protein','gene')
+                                               AND subject_type IN ('drug','protein','gene')
+                    END AS valid_swapped
+                FROM rows
+            ), kept AS (
+                SELECT doc_id,
+                    CASE WHEN valid_asis THEN subject_id ELSE object_id END AS subject_id,
+                    CASE WHEN valid_asis THEN object_id ELSE subject_id END AS object_id,
+                    predicate, confidence, evidence,
+                    CASE predicate WHEN 'indicates' THEN 2
+                                   WHEN 'associated_with' THEN 1 ELSE 0 END AS spec
+                FROM flags WHERE valid_asis OR valid_swapped
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, subject_id, object_id
+                    ORDER BY spec DESC, confidence DESC, predicate ASC, evidence ASC
+                ) AS rn
+                FROM kept
+            )
+            SELECT doc_id, subject_id, predicate, object_id, confidence, evidence
+            FROM ranked WHERE rn = 1
         """,
     }
