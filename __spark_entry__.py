@@ -1187,6 +1187,62 @@ def q_f6_swap_validate(spark, sf_dir):
     return validate_relations(rows, predicate_spec_df(spark))
 
 
+def q_a1_xml_parse(spark, sf_dir):
+    """A1 JATS-XML parse (sources/documents.parse_jats_xml — reference
+    examples/medlit/pipeline/parser.py:76-228) over XML synthesized from
+    part rows: id preference doi > pmid > pmc, no-id/malformed/empty
+    documents drop, abstract + body paragraphs become text spans with the
+    cursor arithmetic (+len+2 per text, +1 per media), <graphic> elements
+    become media:// spans. The oracle rebuilds the expected span rows from
+    the same fields — DuckDB has no XML, so this pins the parser against
+    the spec, span for span."""
+    from kgraph_spark.sources.documents import xml_documents
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    m = k % 6
+    ids = (
+        F.when(m == 0, F.concat(F.lit('<article-id pub-id-type="doi">10.1/x'), s,
+                                F.lit('</article-id><article-id pub-id-type="pmid">9'), s,
+                                F.lit("</article-id>")))
+        .when(m == 1, F.concat(F.lit('<article-id pub-id-type="pmid">9'), s, F.lit("</article-id>")))
+        .when(m == 2, F.concat(F.lit('<article-id pub-id-type="pmc">PMC'), s, F.lit("</article-id>")))
+        .otherwise(F.lit(""))
+    )
+    body = (
+        F.when(m == 5, F.lit("<body></body>"))
+        .otherwise(
+            F.concat(
+                F.lit("<body><sec><p>para  one "), s,
+                F.lit('</p><graphic href="img'), s,
+                F.lit('.png"/><p>para two</p></sec></body>'),
+            )
+        )
+    )
+    raw = F.when(m == 4, F.lit("<article><unclosed")).otherwise(
+        F.concat(
+            F.lit("<article><front><article-meta>"), ids,
+            F.lit("<article-title>T</article-title></article-meta></front>"),
+            F.when(m == 5, F.lit("")).otherwise(
+                F.concat(F.lit("<abstract><p>abstract text "), s, F.lit("</p></abstract>"))
+            ),
+            body,
+            F.lit("</article>"),
+        )
+    )
+    docs = xml_documents(part.select(raw.alias("raw")))
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "sp")
+    ).select(
+        "doc_id", "span_idx",
+        F.col("sp.kind").alias("kind"),
+        F.col("sp.text").alias("text"),
+        F.col("sp.media_ref").alias("media_ref"),
+        F.col("sp.offset").alias("offset"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1242,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_metadata_mentions": q_c1_metadata_mentions,
         "d2_alias_resolve": q_d2_alias_resolve,
         "f6_swap_validate": q_f6_swap_validate,
+        "a1_xml_parse": q_a1_xml_parse,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -2457,5 +2514,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, subject_id, predicate, object_id, confidence, evidence
             FROM ranked WHERE rn = 1
+        """,
+        # A1: expected spans rebuilt from the same fields (no XML in
+        # DuckDB) — id preference, drops, cursor arithmetic all pinned
+        "a1_xml_parse": r"""
+            WITH base AS (
+                SELECT p_partkey AS k, p_partkey::VARCHAR AS s, p_partkey % 6 AS m
+                FROM part WHERE p_partkey % 6 IN (0, 1, 2)
+            ), ids AS (
+                SELECT k, s,
+                    CASE WHEN m = 0 THEN '10.1/x' || s
+                         WHEN m = 1 THEN '9' || s
+                         ELSE 'PMC' || s END AS doc_id,
+                    'abstract text ' || s AS t0,
+                    'para one ' || s AS t1,
+                    'para two' AS t3
+                FROM base
+            ), spans AS (
+                SELECT doc_id, 0 AS span_idx, 'text' AS kind, t0 AS text,
+                       NULL::VARCHAR AS media_ref, 0 AS "offset"
+                FROM ids
+                UNION ALL
+                SELECT doc_id, 1, 'text', t1, NULL, length(t0) + 2 FROM ids
+                UNION ALL
+                SELECT doc_id, 2, 'media', '', 'media://' || doc_id || '/img' || s || '.png',
+                       length(t0) + 2 + length(t1) + 2
+                FROM ids
+                UNION ALL
+                SELECT doc_id, 3, 'text', t3, NULL, length(t0) + 2 + length(t1) + 2 + 1 FROM ids
+            )
+            SELECT doc_id, span_idx, kind, text, media_ref, "offset" FROM spans
         """,
     }
