@@ -438,79 +438,111 @@ def main() -> None:
     qtimes["pipeline_synth"] = pipeline["sec"]
 
     scaling = None
-    aux = None
+    scaling_corpus = None
     if RUN_SCALING:
         scaling_corpus = _synth_corpus_parquet(spark, SCALING_DOCS)
         stop_spark()
         scaling = _scaling(scaling_corpus, warmup, t_all)
-        # auditability rider: one saturated 4→16 pair, budget permitting
-        if time.time() - t_all < BENCH_BUDGET_S * 0.85:
-            try:
-                aux = _aux_pair(scaling_corpus, warmup)
-            except Exception as ex:  # noqa: BLE001
-                print(f"aux pair failed: {ex}", file=sys.stderr)
 
-    total = round(time.time() - t_all, 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     tag = _round_tag()
     detail_name = f"BENCH_DETAIL_{tag}.json"
 
-    # full record → detail file (stage tables, all trials, raw samples)
-    detail = {
-        "value": total,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "query_samples_sec": qsamples,
-        "pipeline": pipeline,
-        "scaling": scaling,
-        "aux_pair_4_16": aux,
-        "scale_docs": SCALING_DOCS,
-        "cpus": CPUS,
-    }
-    detail_path = Path(__file__).resolve().parent / detail_name
-    detail_path.write_text(json.dumps(detail, indent=1))
+    def emit(aux) -> None:
+        """Write the detail file and print the compact driver line.
 
-    # compact driver line: headline numbers only, FINAL stdout line.
-    # ~2000-char driver tail capture ate round 3's artifact; keep this lean.
-    out = {
-        "metric": "kg_construct_e2e_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": qtimes,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "pipeline": pipeline,
-    }
-    if scaling is not None:
-        n, n4 = scaling["scale_pair"]
-        out["scaling"] = {
-            "pair": scaling["scale_pair"],
-            "docs": scaling["docs"],
-            "tp": {
-                str(n): scaling[f"local{n}"]["triples_per_sec"],
-                str(n4): scaling[f"local{n4}"]["triples_per_sec"],
-            },
-            "eff": scaling["efficiency_triples_per_sec"],
-            "median_pair_eff": scaling["median_pair_efficiency"],
-            "ceil": scaling["cpu_ceiling_efficiency"],
-            "norm_eff": scaling["normalized_efficiency"],
-            "infl": scaling["cpu_time_inflation_4n_vs_n"],
-            "work_eff": scaling["work_normalized_efficiency"],
+        Called twice when the aux 4→16 rider runs: once BEFORE (so a
+        driver wall-clock kill mid-aux still leaves a complete artifact
+        as the last stdout line — the round-3 lost-artifact lesson) and
+        once after with the aux block added. The driver tails stdout, so
+        the final print wins when both happen."""
+        total = round(time.time() - t_all, 2)
+        # full record → detail file (stage tables, all trials, raw samples)
+        detail = {
+            "value": total,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "query_samples_sec": qsamples,
+            "pipeline": pipeline,
+            "scaling": scaling,
+            "aux_pair_4_16": aux,
+            "scale_docs": SCALING_DOCS,
+            "cpus": CPUS,
         }
-        if aux is not None:
-            out["scaling"]["aux"] = {
-                "pair": aux["scale_pair"],
-                "eff": aux["efficiency_triples_per_sec"],
-                "ceil": aux["cpu_ceiling_sample"],
-                "infl": aux["cpu_time_inflation_4n_vs_n"],
+        # a failed detail write (ENOSPC, read-only checkout) must not cost
+        # the compact driver line — the line is the round's recorded record
+        written_name = detail_name
+        try:
+            (Path(__file__).resolve().parent / detail_name).write_text(
+                json.dumps(detail, indent=1)
+            )
+        except OSError as ex:
+            print(f"detail write failed: {ex}", file=sys.stderr)
+            written_name = None
+
+        # compact driver line: headline numbers only, FINAL stdout line.
+        # ~2000-char driver tail capture ate round 3's artifact; keep lean.
+        out = {
+            "metric": "kg_construct_e2e_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qtimes,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "pipeline": pipeline,
+        }
+        if scaling is not None:
+            n, n4 = scaling["scale_pair"]
+            out["scaling"] = {
+                "pair": scaling["scale_pair"],
+                "docs": scaling["docs"],
+                "tp": {
+                    str(n): scaling[f"local{n}"]["triples_per_sec"],
+                    str(n4): scaling[f"local{n4}"]["triples_per_sec"],
+                },
+                "eff": scaling["efficiency_triples_per_sec"],
+                "median_pair_eff": scaling["median_pair_efficiency"],
+                "ceil": scaling["cpu_ceiling_efficiency"],
+                "norm_eff": scaling["normalized_efficiency"],
+                "infl": scaling["cpu_time_inflation_4n_vs_n"],
+                "work_eff": scaling["work_normalized_efficiency"],
             }
-    out["detail"] = detail_name
-    line = json.dumps(out, separators=(",", ":"))
-    if len(line) > 1900:  # last-resort: never exceed the tail capture
-        out["queries"] = {
-            k: v for k, v in sorted(qtimes.items(), key=lambda kv: -kv[1])[:20]
-        }
-        out["queries_truncated_see_detail"] = True
+            if aux is not None:
+                out["scaling"]["aux"] = {
+                    "pair": aux["scale_pair"],
+                    "eff": aux["efficiency_triples_per_sec"],
+                    "ceil": aux["cpu_ceiling_sample"],
+                    "infl": aux["cpu_time_inflation_4n_vs_n"],
+                }
+        out["detail"] = written_name
         line = json.dumps(out, separators=(",", ":"))
-    print(line)
+        if len(line) > 1900:  # last-resort: never exceed the tail capture
+            # failure markers (-1) survive truncation unconditionally — the
+            # slowest-20 cut must not hide exactly the queries that broke
+            failed = {k: v for k, v in qtimes.items() if v < 0}
+            slowest = sorted(
+                ((k, v) for k, v in qtimes.items() if v >= 0), key=lambda kv: -kv[1]
+            )[: max(0, 20 - len(failed))]
+            out["queries"] = {**failed, **dict(slowest)}
+            out["queries_truncated_see_detail"] = True
+            line = json.dumps(out, separators=(",", ":"))
+        print(line, flush=True)
+
+    emit(None)
+    # auditability rider: one saturated 4→16 pair (r3 verdict item 6),
+    # re-emitting the artifact with the aux block when it completes. A
+    # complete line is already on stdout, so a driver wall-clock kill
+    # mid-aux costs only the rider, never the record; 180 s floor skips
+    # the attempt when it clearly cannot finish a single trial.
+    if (
+        scaling is not None
+        and scaling_corpus is not None
+        and BENCH_BUDGET_S - (time.time() - t_all) > 180
+    ):
+        try:
+            aux = _aux_pair(scaling_corpus, warmup)
+        except Exception as ex:  # noqa: BLE001
+            print(f"aux pair failed: {ex}", file=sys.stderr)
+        else:
+            emit(aux)
 
 
 if __name__ == "__main__":

@@ -69,20 +69,24 @@ class PipelineConfig:
     # collect_set state for hot pairs to O(max_source_documents) per salt
     # (relationships.accumulate_triples_salted — output equivalence-tested
     # against the unsalted form).
-    #   None (default) = AUTO: salt with auto_n_salts when the extracted
-    #     input's estimated scan-partition count reaches
-    #     salt_auto_min_partitions (≈ partitions × maxPartitionBytes of
-    #     input — the zero-cost file-size probe, no Spark job). The
-    #     threshold is asymmetric on purpose: an unnecessary salt costs one
-    #     extra map-side partial agg on ≤ n_salts bounded rows per triple,
+    #   None (default) = AUTO: salt with auto_n_salts when the input's
+    #     estimated ON-DISK byte size reaches salt_auto_min_input_bytes
+    #     (zero-cost file-stat probe, no Spark job, and — unlike a
+    #     partition-count proxy — independent of the session's
+    #     maxPartitionBytes, which bench/test configs shrink 64×).
+    #     In-memory inputs (tests) have no file size; they fall back to
+    #     the RDD slice count vs salt_auto_min_partitions. The threshold
+    #     is asymmetric on purpose: an unnecessary salt costs one extra
+    #     map-side partial agg on ≤ n_salts bounded rows per triple,
     #     while a missing salt at scale is a reducer whose collect_set
     #     buffer holds every distinct doc id of the hottest pair. The
     #     100-TB default therefore must not depend on the operator
     #     remembering a flag (r3 verdict item 8).
     #   0 = force single-phase; n > 0 = force salted with n salts.
     accumulate_n_salts: int | None = None
-    # 256 partitions ≈ 32 GB extracted input at the 128 MB default split —
-    # below that a hot pair's doc set fits any reducer comfortably.
+    # 32 GiB of input — below that a hot pair's doc set fits any reducer.
+    salt_auto_min_input_bytes: int = 32 * 1024**3
+    # in-memory fallback threshold (slice count; tests flip this)
     salt_auto_min_partitions: int = 256
     auto_n_salts: int = 32
 

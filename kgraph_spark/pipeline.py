@@ -73,15 +73,9 @@ def run_pipeline(
     # fast cores absorb a slow core's share — measured 1.27×→~3× stage
     # scaling 4→16 cores under CPU steal. Same rule a real cluster uses.
     target = spark.sparkContext.defaultParallelism * 3
-    from kgraph_spark.session import estimated_scan_partitions
+    from kgraph_spark.session import scan_partitions_or_slices
 
-    est = estimated_scan_partitions(docs)  # no .rdd: file-size arithmetic only
-    if est is None:
-        # in-memory frame (tests / createDataFrame inputs): the slice count
-        # is already known to the RDD — cheap here, and it restores the old
-        # guard so an already-wide frame is not shuffled (or shrunk)
-        est = docs.rdd.getNumPartitions()
-    if est < target:
+    if scan_partitions_or_slices(docs) < target:
         docs = docs.repartition(target)
 
     # ---- pass 1: fused extraction + resolution (map-only, one scan) ------
@@ -152,7 +146,8 @@ def run_pipeline_from_extracted(
                 # rung-4 rescue gates on the object's REGISTERED type
                 # (object_type == 'disease'); the raw pattern rows carry
                 # surfaces only, so look the type up on the dedup key via
-                # the broadcast alias index — residue-only cost, no shuffle
+                # the broadcast alias index — a map-side hash probe per
+                # relation row, no shuffle
                 raw_rel = raw_rel.join(
                     F.broadcast(
                         alias_index.select(
@@ -232,16 +227,18 @@ def run_pipeline_from_extracted(
     # ---- pass 3: accumulation + export tables -----------------------------
     n_salts = cfg.accumulate_n_salts
     if n_salts is None:
-        # AUTO (config.py rationale): salt when the extracted input is
-        # estimated big enough that a hot pair's distinct-doc set threatens
-        # one reducer. File-size arithmetic only — no Spark job; in-memory
-        # frames (tests) fall back to their known slice count.
-        from kgraph_spark.session import estimated_scan_partitions
+        # AUTO (config.py rationale): salt when the input is estimated big
+        # enough that a hot pair's distinct-doc set threatens one reducer.
+        # File-stat bytes — no Spark job, and independent of the session's
+        # split size; in-memory frames (tests) fall back to slice count.
+        from kgraph_spark.session import estimated_scan_bytes
 
-        est = estimated_scan_partitions(extracted)
-        if est is None:
-            est = extracted.rdd.getNumPartitions()
-        n_salts = cfg.auto_n_salts if est >= cfg.salt_auto_min_partitions else 0
+        nbytes = estimated_scan_bytes(extracted)
+        if nbytes is not None:
+            big = nbytes >= cfg.salt_auto_min_input_bytes
+        else:
+            big = extracted.rdd.getNumPartitions() >= cfg.salt_auto_min_partitions
+        n_salts = cfg.auto_n_salts if big else 0
     if n_salts:
         # hot-pair guard: per-salt capped partials bound reducer state
         def _accumulate(df, max_src):

@@ -81,6 +81,39 @@ def _parse_bytes(v: str) -> int:
     return int(float(s)) * mult
 
 
+def estimated_scan_bytes(df) -> int | None:
+    """Total on-disk bytes behind a file-backed DataFrame (None for
+    in-memory frames; a large sentinel for remote stores we cannot stat —
+    at real scale a remote corpus is always big). Unlike
+    estimated_scan_partitions this does NOT depend on the session's
+    maxPartitionBytes, so size thresholds keep their documented meaning
+    under bench/test configs that shrink the split size."""
+    import urllib.parse
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        p = urllib.parse.urlparse(uri).path or uri
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return 1 << 50  # remote store: assume scale-adequate input
+    return total
+
+
+def scan_partitions_or_slices(df) -> int:
+    """estimated_scan_partitions with the in-memory fallback: the slice
+    count the RDD already knows (cheap — plan translation, no job). One
+    helper so the repartition guard and the auto-salt decision cannot
+    drift (they used to duplicate this two-step probe)."""
+    est = estimated_scan_partitions(df)
+    if est is None:
+        est = df.rdd.getNumPartitions()
+    return est
+
+
 def estimated_scan_partitions(df) -> int | None:
     """Estimate how many scan partitions a file-backed DataFrame yields,
     mirroring Spark's bin-packing: ceil(Σ (size + openCost) / maxPartitionBytes)

@@ -36,7 +36,19 @@ def streaming_exact_dedup(
     is row-for-row the result the stream converges to when every duplicate
     arrives inside the horizon — the stream emits the first arrival, and a
     plain dropDuplicates would keep an arbitrary row whose payload columns
-    (doc_id, ts) disagree with it (ADVICE r3)."""
+    (doc_id, ts) disagree with it (ADVICE r3).
+
+    Batch contract (narrower than a bare dropDuplicates): `ts_col` must
+    exist (the streaming path requires it anyway — checked here with a
+    clear error) and the payload columns must be struct-orderable (no map
+    types). Rows with NULL ts sort FIRST in the struct comparison and win
+    over real-timestamped rows; a stream would never emit such a row, so
+    feed the batch twin timestamped data if the two must agree."""
+    if ts_col not in docs.columns:
+        raise ValueError(
+            f"streaming_exact_dedup requires the event-time column {ts_col!r} "
+            f"(got columns {docs.columns})"
+        )
     hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
     if not docs.isStreaming:
         other = [c for c in hashed.columns if c != "content_hash"]

@@ -9,3 +9,14 @@ from kgraph_spark.session import get_spark
 def spark():
     s = get_spark("kgraph_spark_tests", parallelism=8, shuffle_partitions=8)
     yield s
+
+
+def plan_text(df) -> str:
+    """Formatted physical plan as a string (explain prints to stdout)."""
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()

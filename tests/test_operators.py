@@ -177,10 +177,9 @@ def test_lsh_candidate_pair_dedup_is_ids_only(spark):
     pair colliding in several bands must not shuttle its two 64-long
     signatures (~1 KB/row) through the dedup exchange once per collision
     (r3 verdict item 3). Signatures join back after the 16-byte dedup."""
-    import io
     import re
-    from contextlib import redirect_stdout
 
+    from conftest import plan_text
     from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
 
     docs = spark.createDataFrame(
@@ -188,10 +187,7 @@ def test_lsh_candidate_pair_dedup_is_ids_only(spark):
         "doc_id long, text string",
     )
     pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs, k=3)))
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        pairs.explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_text(pairs)
     dedup_aggs = [
         cols
         for _, cols in re.findall(r"Keys \[(\d+)\]: \[([^\]]*)\]", plan)

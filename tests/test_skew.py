@@ -131,19 +131,13 @@ def test_pipeline_salt_auto_selection(spark):
     form must engage from the input-size estimate alone — the 100-TB
     default cannot depend on the operator remembering a flag — and both
     decisions must leave the triple table identical."""
-    import io
-    from contextlib import redirect_stdout
-
+    from conftest import plan_text
     from kgraph_spark import synth
     from kgraph_spark.config import PipelineConfig
     from kgraph_spark.operators.mentions import extract_all
     from kgraph_spark.pipeline import run_pipeline_from_extracted
 
-    def plan(df):
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        return buf.getvalue()
+    plan = plan_text
 
     docs = synth.documents_df(spark, 120)
     gaz = synth.gazetteer_rows()
@@ -179,3 +173,24 @@ def test_pipeline_salt_auto_selection(spark):
     }
     assert k(small.triples) == k(big.triples) == k(forced_off.triples)
     extracted.unpersist()
+
+
+def test_estimated_scan_bytes(spark, tmp_path):
+    """The AUTO-salt size probe must report on-disk bytes independent of
+    the session's maxPartitionBytes (a partition-count proxy silently
+    rescaled with bench/test split configs — r4 review), and None for
+    in-memory frames."""
+    import os
+
+    from kgraph_spark.session import estimated_scan_bytes
+
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    assert estimated_scan_bytes(df) is None
+    out = str(tmp_path / "t")
+    df.write.parquet(out)
+    on_disk = sum(
+        os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    got = estimated_scan_bytes(spark.read.parquet(out))
+    assert got == on_disk and got > 0

@@ -105,9 +105,7 @@ def test_entity_search_alias_index(spark):
     substring predicate must run on the narrow index and reach entities by
     LeftSemi — no Contains filter against the wide entities columns — and
     results must equal the scan path exactly."""
-    import io
-    from contextlib import redirect_stdout
-
+    from conftest import plan_text
     from kgraph_spark.operators.graph import entity_alias_index, find_entities
 
     ents = spark.createDataFrame(
@@ -127,10 +125,7 @@ def test_entity_search_alias_index(spark):
         indexed = find_entities(ents, needle, etype, alias_index=idx)
         assert {r["entity_id"] for r in indexed.collect()} == scan, needle
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        find_entities(ents, "aspirin", alias_index=idx).explain("formatted")
-    plan = buf.getvalue()
+    plan = plan_text(find_entities(ents, "aspirin", alias_index=idx))
     assert "LeftSemi" in plan
     # the substring predicate touches alias_lc only — the wide columns
     # (name/synonyms) appear in no Contains condition
