@@ -1243,6 +1243,144 @@ def q_a1_xml_parse(spark, sf_dir):
     )
 
 
+def q_f3_name_index(spark, sf_dir):
+    """F3 entity-name index + endpoint resolution (resolve.entity_name_index
+    + resolve_relation_endpoints — reference _build_entity_index /
+    _pick_unique, examples/medlit/pipeline/relationships.py:44-52, 713-728):
+    surfaces claimed by MANY entities elect one winner by (canonical,
+    usage_count, confidence, id); relations whose subject/object names miss
+    the index drop (F14's ambiguity→drop path). The F3 norm key strips ALL
+    non-alnum (not just punctuation), so 'Term-7' and 'term 7' collide."""
+    from kgraph_spark.operators.resolve import (
+        entity_name_index,
+        norm_f3_col,
+        resolve_relation_endpoints,
+    )
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    entities = part.select(
+        F.concat(F.lit("E"), s).alias("entity_id"),
+        F.concat(F.lit("Term-"), (k % 50).cast("string")).alias("name"),
+        F.array(F.concat(F.lit("alias "), (k % 25).cast("string"))).alias("synonyms"),
+        F.when(k % 3 == 0, F.lit("canonical")).otherwise(F.lit("provisional")).alias("status"),
+        (k % 7).cast("long").alias("usage_count"),
+        (F.lit(0.5) + (k % 5).cast("double") * 0.1).alias("confidence"),
+        F.when(k % 2 == 0, F.lit("gene")).otherwise(F.lit("disease")).alias("entity_type"),
+    )
+    idx = entity_name_index(entities)
+    rels = part.select(
+        F.concat(F.lit("R"), s).alias("rel_id"),
+        F.concat(F.lit("term "), (k % 60).cast("string")).alias("subject_text"),
+        F.concat(F.lit("ALIAS-"), (k % 30).cast("string")).alias("object_text"),
+        F.element_at(
+            F.array(F.lit("treats"), F.lit("indicates"), F.lit("associated_with")),
+            (k % 3 + 1).cast("int"),
+        ).alias("predicate"),
+    )
+    rels = rels.withColumn("subject_norm", norm_f3_col(F.col("subject_text"))).withColumn(
+        "object_norm", norm_f3_col(F.col("object_text"))
+    )
+    return resolve_relation_endpoints(rels, idx).select(
+        "rel_id", "predicate", "subject_id", "subject_type", "object_id", "object_type"
+    )
+
+
+def q_e3_promote_rewrite(spark, sf_dir):
+    """E3 promote + reference rewrite (promotion.promote_and_rewrite —
+    reference ingest.py:668-757, memory.py:496-546): provisional entities
+    clearing the E1 thresholds and hitting the KB get their id swapped to
+    the canonical id; every triple endpoint is rewritten through the
+    broadcast id map; collided triples re-accumulate (max confidence, union
+    sources, summed evidence) and self-loops created by the rewrite drop."""
+    from kgraph_spark.operators.promotion import promote_and_rewrite
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    entities = part.select(
+        F.concat(F.lit("prov-p"), s).alias("entity_id"),
+        F.concat(F.lit("name "), (k % 40).cast("string")).alias("name"),
+        F.when(k % 2 == 0, F.lit("gene")).otherwise(F.lit("disease")).alias("entity_type"),
+        F.lit("provisional").alias("status"),
+        (k % 4).cast("long").alias("usage_count"),
+        (F.lit(0.3) + (k % 6).cast("double") * 0.1).alias("confidence"),
+        F.array().cast("array<string>").alias("synonyms"),
+        F.concat(F.lit("D"), (k % 9).cast("string")).alias("first_seen_document"),
+        (k % 5).cast("long").alias("total_mentions"),
+        F.array(F.concat(F.lit("D"), (k % 9).cast("string"))).alias("supporting_documents"),
+    )
+    j = F.col("j")
+    kb = (
+        part.select((k % 40).alias("j"))
+        .distinct()
+        .filter(j < 20)
+        .select(
+            F.concat(F.lit("KB:"), j.cast("string")).alias("canonical_id"),
+            F.concat(F.lit("name "), j.cast("string")).alias("name"),
+            F.array().cast("array<string>").alias("synonyms"),
+            F.when(j % 2 == 0, F.lit("gene")).otherwise(F.lit("disease")).alias("entity_type"),
+        )
+    )
+    triples = part.select(
+        F.concat(F.lit("prov-p"), (k % 200 + 1).cast("string")).alias("subject_id"),
+        F.element_at(
+            F.array(F.lit("treats"), F.lit("indicates"), F.lit("associated_with")),
+            (k % 3 + 1).cast("int"),
+        ).alias("predicate"),
+        F.concat(F.lit("prov-p"), ((k * 7) % 200 + 1).cast("string")).alias("object_id"),
+        (F.lit(0.5) + (k % 5).cast("double") * 0.1).alias("confidence"),
+        F.array(
+            F.concat(F.lit("D"), (k % 9).cast("string")),
+            F.concat(F.lit("D"), (k % 11).cast("string")),
+        ).alias("source_documents"),
+        (k % 3 + 1).cast("long").alias("evidence_count"),
+    )
+    _, tri2, _ = promote_and_rewrite(entities, triples, kb)
+    return tri2.select(
+        "subject_id",
+        "predicate",
+        "object_id",
+        F.round("confidence", 4).alias("confidence"),
+        "evidence_count",
+        F.size("source_documents").alias("n_sources"),
+    )
+
+
+def q_a2_json_parse(spark, sf_dir):
+    """A2 paper-JSON parse (sources.paper_spans — reference JSON Paper
+    ingestion, kgraph/extract.py section walk): abstract first then section
+    texts, empty texts dropped, offset re-numbered over the kept texts,
+    zero-span papers dropped entirely (planted: every 15th key has a null
+    abstract AND two empty sections)."""
+    from kgraph_spark.sources.documents import paper_spans
+
+    part = _read(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    s = k.cast("string")
+    sec = lambda name, text: F.struct(F.lit(name).alias("name"), text.alias("text"))
+    raw = part.select(
+        F.concat(F.lit("P"), s).alias("paper_id"),
+        F.when(k % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("abstract "), s))
+        .alias("abstract"),
+        F.array(
+            sec("intro", F.when(k % 3 == 0, F.lit("")).otherwise(F.concat(F.lit("sec one "), s))),
+            sec("methods", F.when(k % 5 == 0, F.lit("")).otherwise(F.concat(F.lit("sec two "), (k % 7).cast("string")))),
+        ).alias("sections"),
+    )
+    return paper_spans(raw).select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "sp")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("sp.kind").alias("kind"),
+        F.col("sp.text").alias("text"),
+        F.col("sp.offset").alias("offset"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1299,6 +1437,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_alias_resolve": q_d2_alias_resolve,
         "f6_swap_validate": q_f6_swap_validate,
         "a1_xml_parse": q_a1_xml_parse,
+        "f3_name_index": q_f3_name_index,
+        "e3_promote_rewrite": q_e3_promote_rewrite,
+        "a2_json_parse": q_a2_json_parse,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -2544,5 +2685,117 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 3, 'text', t3, NULL, length(t0) + 2 + length(t1) + 2 + 1 FROM ids
             )
             SELECT doc_id, span_idx, kind, text, media_ref, "offset" FROM spans
+        """,
+        # F3: explode name+synonyms to alnum-only keys; per-key election via
+        # row_number over (canonical, usage, confidence, id); inner joins
+        # drop unresolved endpoints (F14)
+        "f3_name_index": r"""
+            WITH ent AS (
+                SELECT 'E' || p_partkey::VARCHAR AS entity_id,
+                    'term' || (p_partkey % 50)::VARCHAR AS name_key,
+                    'alias' || (p_partkey % 25)::VARCHAR AS syn_key,
+                    CASE WHEN p_partkey % 3 = 0 THEN 'canonical' ELSE 'provisional' END AS status,
+                    (p_partkey % 7)::BIGINT AS usage_count,
+                    0.5 + (p_partkey % 5)::DOUBLE * 0.1 AS confidence,
+                    CASE WHEN p_partkey % 2 = 0 THEN 'gene' ELSE 'disease' END AS entity_type
+                FROM part
+            ), exploded AS (
+                SELECT unnest([name_key, syn_key]) AS norm_key,
+                       entity_id, entity_type, status, usage_count, confidence
+                FROM ent
+            ), elected AS (
+                SELECT norm_key, entity_id, entity_type,
+                    row_number() OVER (
+                        PARTITION BY norm_key
+                        ORDER BY (status = 'canonical') DESC, usage_count DESC,
+                                 confidence DESC, entity_id ASC
+                    ) AS rn
+                FROM exploded
+            ), idx AS (
+                SELECT norm_key, entity_id, entity_type FROM elected WHERE rn = 1
+            ), rels AS (
+                SELECT 'R' || p_partkey::VARCHAR AS rel_id,
+                    'term' || (p_partkey % 60)::VARCHAR AS s_key,
+                    'alias' || (p_partkey % 30)::VARCHAR AS o_key,
+                    list_extract(['treats','indicates','associated_with'],
+                                 (p_partkey % 3 + 1)::INT) AS predicate
+                FROM part
+            )
+            SELECT r.rel_id, r.predicate,
+                   si.entity_id AS subject_id, si.entity_type AS subject_type,
+                   oi.entity_id AS object_id, oi.entity_type AS object_type
+            FROM rels r
+            JOIN idx si ON r.s_key = si.norm_key
+            JOIN idx oi ON r.o_key = oi.norm_key
+        """,
+        # E3: E1 candidacy filter → KB join id map → both-endpoint rewrite →
+        # re-accumulation (max conf, union sources, summed evidence) with
+        # self-loops dropped
+        "e3_promote_rewrite": r"""
+            WITH ent AS (
+                SELECT 'prov-p' || p_partkey::VARCHAR AS entity_id,
+                    'name ' || (p_partkey % 40)::VARCHAR AS name,
+                    CASE WHEN p_partkey % 2 = 0 THEN 'gene' ELSE 'disease' END AS entity_type,
+                    (p_partkey % 4)::BIGINT AS usage_count,
+                    0.3 + (p_partkey % 6)::DOUBLE * 0.1 AS confidence
+                FROM part
+            ), kb AS (
+                SELECT DISTINCT 'KB:' || (p_partkey % 40)::VARCHAR AS canonical_id,
+                    'name ' || (p_partkey % 40)::VARCHAR AS name,
+                    CASE WHEN p_partkey % 40 % 2 = 0 THEN 'gene' ELSE 'disease' END AS entity_type
+                FROM part WHERE p_partkey % 40 < 20
+            ), id_map AS (
+                SELECT e.entity_id, k.canonical_id AS final_id
+                FROM ent e JOIN kb k
+                  ON e.name = k.name AND e.entity_type = k.entity_type
+                WHERE e.usage_count >= 1 AND e.confidence >= 0.4
+            ), tri AS (
+                SELECT 'prov-p' || (p_partkey % 200 + 1)::VARCHAR AS subject_id,
+                    list_extract(['treats','indicates','associated_with'],
+                                 (p_partkey % 3 + 1)::INT) AS predicate,
+                    'prov-p' || ((p_partkey * 7) % 200 + 1)::VARCHAR AS object_id,
+                    0.5 + (p_partkey % 5)::DOUBLE * 0.1 AS confidence,
+                    ['D' || (p_partkey % 9)::VARCHAR,
+                     'D' || (p_partkey % 11)::VARCHAR] AS source_documents,
+                    (p_partkey % 3 + 1)::BIGINT AS evidence_count
+                FROM part
+            ), rewritten AS (
+                SELECT coalesce(ms.final_id, t.subject_id) AS subject_id,
+                    t.predicate,
+                    coalesce(mo.final_id, t.object_id) AS object_id,
+                    t.confidence, t.source_documents, t.evidence_count
+                FROM tri t
+                LEFT JOIN id_map ms ON t.subject_id = ms.entity_id
+                LEFT JOIN id_map mo ON t.object_id = mo.entity_id
+            )
+            SELECT subject_id, predicate, object_id,
+                round(max(confidence), 4) AS confidence,
+                sum(evidence_count) AS evidence_count,
+                len(list_distinct(flatten(list(source_documents))))::INT AS n_sources
+            FROM rewritten
+            WHERE subject_id <> object_id
+            GROUP BY subject_id, predicate, object_id
+        """,
+        # A2: abstract-then-sections text list, empties filtered, offset
+        # re-numbered over kept texts, zero-span papers dropped
+        "a2_json_parse": r"""
+            WITH raw AS (
+                SELECT 'P' || p_partkey::VARCHAR AS doc_id,
+                    list_filter([
+                        CASE WHEN p_partkey % 5 = 0 THEN ''
+                             ELSE 'abstract ' || p_partkey::VARCHAR END,
+                        CASE WHEN p_partkey % 3 = 0 THEN ''
+                             ELSE 'sec one ' || p_partkey::VARCHAR END,
+                        CASE WHEN p_partkey % 5 = 0 THEN ''
+                             ELSE 'sec two ' || (p_partkey % 7)::VARCHAR END
+                    ], v -> v <> '') AS texts
+                FROM part
+            )
+            SELECT doc_id,
+                (generate_subscripts(texts, 1) - 1)::INT AS span_idx,
+                'text' AS kind,
+                unnest(texts) AS text,
+                (generate_subscripts(texts, 1) - 1)::INT AS "offset"
+            FROM raw WHERE len(texts) > 0
         """,
     }

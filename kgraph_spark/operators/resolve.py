@@ -120,6 +120,63 @@ def resolve_relation_endpoints(raw_relations: DataFrame, alias_index: DataFrame)
     )
 
 
+def norm_f3_col(col):
+    """F3's name key (reference _normalize_entity_name,
+    examples/medlit/pipeline/relationships.py:40-41): casefold + keep alnum
+    ONLY — unlike norm_dedup it also drops spaces, so 'beta blocker' and
+    'beta-blocker' land on one key. Empty keys are dropped by the caller
+    (the reference skips falsy keys, relationships.py:50)."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]", "")
+
+
+def entity_name_index(entities: DataFrame) -> DataFrame:
+    """F3 entity-name index with collision election (reference
+    _build_entity_index, examples/medlit/pipeline/relationships.py:44-52 +
+    _pick_unique 713-728): explode name+synonyms to F3-normalized surface
+    forms; a surface claimed by several entities elects ONE winner by
+    (is_canonical DESC, usage_count DESC, confidence DESC). The reference's
+    residual tie falls to Python-sort stability (entity insertion order); the
+    distributed restatement pins it to entity_id ASC for determinism.
+
+    Pure built-ins: explode + min-of-struct groupBy (partial agg map-side,
+    so the per-surface election never moves more than one candidate row per
+    (partition, key) into the shuffle). Output (norm_key, entity_id,
+    entity_type) is a dimension ≪ the relation table — feed it to
+    resolve_relation_endpoints, which broadcasts it."""
+    rows = (
+        entities.select(
+            F.explode(
+                F.array_distinct(
+                    F.concat(F.array(F.col("name")), F.coalesce(F.col("synonyms"), F.array()))
+                )
+            ).alias("_alias"),
+            "entity_id",
+            "entity_type",
+            "status",
+            "usage_count",
+            "confidence",
+        )
+        .withColumn("norm_key", norm_f3_col(F.col("_alias")))
+        .filter(F.col("norm_key") != "")
+    )
+    elected = rows.groupBy("norm_key").agg(
+        F.min(
+            F.struct(
+                F.when(F.col("status") == "canonical", 0).otherwise(1).alias("nc"),
+                (-F.col("usage_count")).cast("long").alias("nu"),
+                (-F.col("confidence")).alias("nf"),
+                F.col("entity_id").alias("entity_id"),
+                F.col("entity_type").alias("entity_type"),
+            )
+        ).alias("_b")
+    )
+    return elected.select(
+        "norm_key",
+        F.col("_b.entity_id").alias("entity_id"),
+        F.col("_b.entity_type").alias("entity_type"),
+    )
+
+
 def preferred_authoritative_id(
     bundle_rows: DataFrame, umls_to_hgnc: DataFrame | None = None
 ) -> DataFrame:

@@ -372,17 +372,27 @@ def blocked_pair_similarity(
         F.col(id_col).alias("_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("_v")
     )
     bucketed = banded_hyperplane_buckets(src, dim, n_planes, n_bands, seed, vec_col="_v")
-    a = bucketed.select("blk", "band", "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = bucketed.select("blk", "band", "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    # ids-only candidate exchange (same slimming as the MinHash band join):
+    # the bucket self-join and the cross-band pair dedup move (blk, id, id)
+    # rows, never the vectors — at n_bands=6 the fat variant shuffled 6n
+    # embedding copies into the join plus two more per surviving pair.
+    # Vectors re-enter via two id-keyed joins against the n-row source,
+    # each join key unique on the build side.
+    ids = bucketed.select("blk", "band", "bucket", "_id")
     pairs = (
-        a.join(b, ["blk", "band", "bucket"])
+        ids.select("blk", "band", "bucket", F.col("_id").alias("id_a"))
+        .join(ids.select("blk", "band", "bucket", F.col("_id").alias("id_b")),
+              ["blk", "band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # same pair can collide in several bands; (va, vb) are functions of
-        # the ids so the kept row is value-identical whichever band wins
+        .select("blk", "id_a", "id_b")
         .dropDuplicates(["blk", "id_a", "id_b"])
     )
+    va = src.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = src.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     return (
-        pairs.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("blk", "id_a", "id_b", "cosine")
     )

@@ -89,7 +89,16 @@ def xml_documents(xml_df: DataFrame, raw_col: str = "raw") -> DataFrame:
 def json_paper_documents(spark: SparkSession, path: str) -> DataFrame:
     """A2: med-lit-schema-ish Paper JSON → span documents. Expects
     {paper_id, title?, abstract?, sections:[{name?, text}]}."""
-    raw = spark.read.json(path)
+    return paper_spans(spark.read.json(path))
+
+
+def paper_spans(raw: DataFrame) -> DataFrame:
+    """A2 core transform over already-parsed paper rows (paper_id,
+    abstract?, sections:array<struct<…,text>>): abstract first, then section
+    texts in order; empty texts dropped; offset = position among the kept
+    texts; zero-span papers dropped (reference extract.py builds the same
+    section walk). Split from the reader so the driver oracle can feed
+    synthesized rows without a JSON file on disk."""
     sections = F.coalesce(F.col("sections"), F.array())
     texts = F.filter(
         F.concat(
