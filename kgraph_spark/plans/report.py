@@ -113,6 +113,16 @@ def main() -> None:
         ["Keys [2]: [doc_a"],
     ))
 
+    nd = entrymod.queries()["embedding_near_dups"](spark, SF)
+    sections.append((
+        "Embedding near-dup pairing — the banded bucket self-join and the "
+        "cross-band pair dedup exchange (blk, id_a, id_b) rows only "
+        "(Keys [3]); vectors re-enter via two id-keyed joins after the "
+        "dedup, one dot product per surviving pair",
+        _plan(nd),
+        ["Keys [3]: [blk"],
+    ))
+
     jac = entrymod.queries()["word_jaccard_pairs"](spark, SF)
     sections.append((
         "n-gram Jaccard with hot-shingle cap — candidate generation from "
