@@ -4,7 +4,7 @@ entry()    — flagship: full KG-construction pipeline over sf0.001 documents
              re-shaped into interleaved span documents.
 queries()  — one entry per implemented operator family from SURVEY.md §2 +
              the training-data ops (dedup / similarity / text analysis).
-oracle_sql() — a DuckDB twin for EVERY query (32/32): the full pipeline is
+oracle_sql() — a DuckDB twin for EVERY query: the full pipeline is
              restated as one SQL query, minhash/simhash run md5-portable
              hash variants, ANN embeds its hyperplanes/centroids/banded
              buckets as SQL literals, multimodal recomputes the byte
@@ -1381,6 +1381,37 @@ def q_a2_json_parse(spark, sf_dir):
     )
 
 
+def q_d13_identity_merge(spark, sf_dir):
+    """D13 identity server, batch restatement (identity.synonym_sweep +
+    merge_identities — reference kgschema/identity.py:31-194: the ABC's own
+    note that 'a batch sweep is equivalent to replaying on_entity_added for
+    every entity in the store'): a 30-entity store where entity g's synonym
+    bridges to g+1's name whenever g%5<2, producing chained components
+    {5m, 5m+1, 5m+2} plus singletons; every 4th id is authoritative
+    (MeSH:). Survivor per component = authoritative first, else smallest
+    id; losers become status='merged' tombstones pointing at the survivor
+    — the closed-form component structure lets DuckDB restate the CC result
+    without recursion."""
+    from kgraph_spark.operators.identity import merge_identities, synonym_sweep
+
+    part = _read(spark, sf_dir, "part")
+    g = F.col("g")
+    base = part.select((F.col("p_partkey") % 30).alias("g")).distinct()
+    ents = base.select(
+        F.when(g % 4 == 0, F.concat(F.lit("MeSH:D"), g.cast("string")))
+        .otherwise(F.concat(F.lit("prov-"), F.lpad(g.cast("string"), 2, "0")))
+        .alias("entity_id"),
+        F.concat(F.lit("drug "), g.cast("string")).alias("name"),
+        F.when(g % 5 < 2, F.array(F.concat(F.lit("drug "), (g + 1).cast("string"))))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("synonyms"),
+        F.lit("drug").alias("entity_type"),
+        F.when(g % 4 == 0, F.lit("canonical")).otherwise(F.lit("provisional")).alias("status"),
+    )
+    merged, _ = merge_identities(ents, synonym_sweep(ents))
+    return merged.select("entity_id", "name", "status", "merged_into")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1440,6 +1471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_name_index": q_f3_name_index,
         "e3_promote_rewrite": q_e3_promote_rewrite,
         "a2_json_parse": q_a2_json_parse,
+        "d13_identity_merge": q_d13_identity_merge,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -2797,5 +2829,35 @@ def oracle_sql() -> dict[str, str]:
                 unnest(texts) AS text,
                 (generate_subscripts(texts, 1) - 1)::INT AS "offset"
             FROM raw WHERE len(texts) > 0
+        """,
+        # D13: the g%5<2 synonym bridges close into components {5m,5m+1,5m+2}
+        # (three consecutive members, singletons elsewhere) — restated in
+        # closed form instead of recursive CC; survivor = authoritative
+        # (non-prov) min, else min id
+        "d13_identity_merge": r"""
+            WITH gs AS (
+                SELECT DISTINCT p_partkey % 30 AS g FROM part
+            ), e AS (
+                SELECT g,
+                    CASE WHEN g % 4 = 0 THEN 'MeSH:D' || g::VARCHAR
+                         ELSE 'prov-' || lpad(g::VARCHAR, 2, '0') END AS entity_id,
+                    'drug ' || g::VARCHAR AS name,
+                    CASE WHEN g % 4 = 0 THEN 'canonical' ELSE 'provisional' END AS status,
+                    CASE WHEN g % 5 <= 2 THEN g - (g % 5) ELSE g END AS comp
+                FROM gs
+            ), w AS (
+                SELECT comp,
+                    coalesce(
+                        min(CASE WHEN entity_id NOT LIKE 'prov-%' THEN entity_id END),
+                        min(entity_id)
+                    ) AS winner,
+                    count(*) AS n
+                FROM e GROUP BY comp
+            )
+            SELECT e.entity_id, e.name,
+                CASE WHEN w.n > 1 AND e.entity_id <> w.winner THEN 'merged'
+                     ELSE e.status END AS status,
+                CASE WHEN w.n > 1 AND e.entity_id <> w.winner THEN w.winner END AS merged_into
+            FROM e JOIN w USING (comp)
         """,
     }
