@@ -131,18 +131,12 @@ def synonym_sweep(entities: DataFrame) -> DataFrame:
     pluggable exactly like the reference's find_synonyms (identity.py:
     109-127): union these edges with blocked_pair_similarity output for the
     pgvector-cosine criterion."""
+    surfaces = F.array(F.col("name"))
+    if "synonyms" in entities.columns:
+        surfaces = F.concat(surfaces, F.coalesce(F.col("synonyms"), F.array()))
     keyed = (
         entities.select(
-            F.explode(
-                F.array_distinct(
-                    F.concat(
-                        F.array(F.col("name")),
-                        F.coalesce(F.col("synonyms"), F.array())
-                        if "synonyms" in entities.columns
-                        else F.array(),
-                    )
-                )
-            ).alias("_surface"),
+            F.explode(F.array_distinct(surfaces)).alias("_surface"),
             "entity_id",
             "entity_type",
         )
