@@ -241,7 +241,10 @@ def _round_tag() -> str:
     newest BENCH_r*.json the driver has recorded next to this script."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return f"r{int(env):02d}"
+        try:
+            return f"r{int(env.strip().lstrip('rR')):02d}"
+        except ValueError:
+            pass  # malformed env must not lose the artifact after the run
     here = Path(__file__).resolve().parent
     rounds = []
     for p in here.glob("BENCH_r*.json"):

@@ -54,12 +54,18 @@ def entities_table(
 
         src = with_salt(resolved_mentions, n_salts)
         partial = src.groupBy("entity_id", "_salt").agg(
-            F.max_by(F.col("entity_type"), F.col("confidence")).alias("_etype"),
+            # ties broken by the elected value itself (lexicographic) so the
+            # election is deterministic under any encounter order and the
+            # salted min-of-mins equals the unsalted global min exactly
+            F.min_by(
+                F.col("entity_type"),
+                F.struct(-F.col("confidence"), F.col("entity_type")),
+            ).alias("_etype"),
             F.max("confidence").alias("_conf"),
             F.count("*").alias("_n"),
             F.min_by(
                 F.struct(F.col("text"), F.col("confidence"), F.col("start_offset")),
-                F.struct(-F.col("confidence"), F.col("start_offset")),
+                F.struct(-F.col("confidence"), F.col("start_offset"), F.col("text")),
             ).alias("_namerec"),
             F.slice(F.array_sort(F.collect_set("text")), 1, max_synonyms).alias("_texts"),
             F.min("doc_id").alias("_first"),
@@ -68,12 +74,18 @@ def entities_table(
             ),
         )
         agg = partial.groupBy("entity_id").agg(
-            F.max_by(F.col("_etype"), F.col("_conf")).alias("entity_type"),
+            F.min_by(
+                F.col("_etype"), F.struct(-F.col("_conf"), F.col("_etype"))
+            ).alias("entity_type"),
             F.max("_conf").alias("confidence"),
             F.sum("_n").alias("usage_count"),
             F.min_by(
                 F.col("_namerec.text"),
-                F.struct(-F.col("_namerec.confidence"), F.col("_namerec.start_offset")),
+                F.struct(
+                    -F.col("_namerec.confidence"),
+                    F.col("_namerec.start_offset"),
+                    F.col("_namerec.text"),
+                ),
             ).alias("name"),
             F.slice(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("_texts")))),
@@ -90,10 +102,16 @@ def entities_table(
         )
     else:
         agg = src.groupBy(*group_keys).agg(
-            F.max_by(F.col("entity_type"), F.col("confidence")).alias("entity_type"),
+            F.min_by(
+                F.col("entity_type"),
+                F.struct(-F.col("confidence"), F.col("entity_type")),
+            ).alias("entity_type"),
             F.max("confidence").alias("confidence"),
             F.count("*").alias("usage_count"),
-            F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
+            F.min_by(
+                F.col("text"),
+                F.struct(-F.col("confidence"), F.col("start_offset"), F.col("text")),
+            ).alias("name"),
             F.slice(F.array_sort(F.collect_set("text")), 1, max_synonyms).alias("synonyms"),
             F.min("doc_id").alias("first_seen_document"),
             F.count("*").alias("total_mentions"),
@@ -129,10 +147,16 @@ def tombstone_entities(
         F.broadcast(mapping), "entity_id", "inner"  # inner keeps loser rows only
     )
     return losers.groupBy("entity_id").agg(
-        F.max_by(F.col("entity_type"), F.col("confidence")).alias("entity_type"),
+        F.min_by(
+            F.col("entity_type"),
+            F.struct(-F.col("confidence"), F.col("entity_type")),
+        ).alias("entity_type"),
         F.max("confidence").alias("confidence"),
         F.count("*").alias("usage_count"),
-        F.min_by(F.col("text"), F.struct(-F.col("confidence"), F.col("start_offset"))).alias("name"),
+        F.min_by(
+            F.col("text"),
+            F.struct(-F.col("confidence"), F.col("start_offset"), F.col("text")),
+        ).alias("name"),
         F.slice(F.array_sort(F.collect_set("text")), 1, max_synonyms).alias("synonyms"),
         F.min("doc_id").alias("first_seen_document"),
         F.count("*").alias("total_mentions"),
@@ -263,8 +287,16 @@ def write_bundle_jsonl(
         # carried the spike it guards against (ADVICE r3). Small tables pay
         # one extra cheap scan; a big table never touches the driver.
         over_guard = df.limit(max_driver_rows + 1).count() > max_driver_rows
+        lines = None
         if not over_guard:
-            lines = df.orderBy(key).toJSON().collect()
+            # the collect itself stays hard-bounded (limit+1): a table whose
+            # cardinality changed between the probe and this scan (sampling,
+            # rand()-derived filters, a growing source) must fall back to the
+            # distributed writer rather than truncate or OOM the driver
+            got = df.orderBy(key).limit(max_driver_rows + 1).toJSON().collect()
+            if len(got) <= max_driver_rows:
+                lines = got
+        if lines is not None:
             (out / f"{name}.jsonl").write_text("\n".join(lines) + ("\n" if lines else ""))
             m["counts"][name] = len(lines)
             m["formats"][name] = "jsonl"

@@ -62,6 +62,29 @@ from kgraph_spark.operators.canonicalize import (
 from kgraph_spark.operators.resolve import prov_id_col
 
 
+def keyed_surfaces(entities: DataFrame) -> DataFrame:
+    """(norm_key, entity_type, entity_id), one row per distinct normalized
+    name/synonym surface per entity — the ONE place surfaces are keyed.
+    store_name_index (resolve side) and synonym_sweep (merge side) both
+    build on this, so the two can never disagree about which normalized
+    key a surface maps to (the invariant the module's correctness argument
+    rests on)."""
+    surfaces = F.array(F.col("name"))
+    if "synonyms" in entities.columns:
+        surfaces = F.concat(surfaces, F.coalesce(F.col("synonyms"), F.array()))
+    return (
+        entities.select(
+            F.explode(F.array_distinct(surfaces)).alias("_surface"),
+            "entity_id",
+            "entity_type",
+        )
+        .withColumn("norm_key", norm_dedup_col(F.col("_surface")))
+        .filter(F.col("norm_key") != "")
+        .select("norm_key", "entity_type", "entity_id")
+        .distinct()
+    )
+
+
 def store_name_index(entities: DataFrame) -> DataFrame:
     """(entity_id, entity_type, name, synonyms?, status?) → one elected
     (norm_key, entity_type, entity_id) row per normalized surface+type.
@@ -69,19 +92,7 @@ def store_name_index(entities: DataFrame) -> DataFrame:
     Collisions elect authoritative-first then lexicographic — the same
     total order merge_identities uses for survivors, so resolve() and
     merge() can never disagree about which id a surface maps to."""
-    cols = [F.array(F.col("name"))]
-    if "synonyms" in entities.columns:
-        cols = [F.concat(F.array(F.col("name")), F.coalesce(F.col("synonyms"), F.array()))]
-    rows = (
-        entities.select(
-            F.explode(F.array_distinct(*cols)).alias("_surface"),
-            "entity_id",
-            "entity_type",
-        )
-        .withColumn("norm_key", norm_dedup_col(F.col("_surface")))
-        .filter(F.col("norm_key") != "")
-    )
-    elected = rows.groupBy("norm_key", "entity_type").agg(
+    elected = keyed_surfaces(entities).groupBy("norm_key", "entity_type").agg(
         F.min(
             F.struct(
                 F.when(is_authoritative_col(F.col("entity_id")), 0).otherwise(1).alias("na"),
@@ -131,20 +142,7 @@ def synonym_sweep(entities: DataFrame) -> DataFrame:
     pluggable exactly like the reference's find_synonyms (identity.py:
     109-127): union these edges with blocked_pair_similarity output for the
     pgvector-cosine criterion."""
-    surfaces = F.array(F.col("name"))
-    if "synonyms" in entities.columns:
-        surfaces = F.concat(surfaces, F.coalesce(F.col("synonyms"), F.array()))
-    keyed = (
-        entities.select(
-            F.explode(F.array_distinct(surfaces)).alias("_surface"),
-            "entity_id",
-            "entity_type",
-        )
-        .withColumn("norm_key", norm_dedup_col(F.col("_surface")))
-        .filter(F.col("norm_key") != "")
-        .select("norm_key", "entity_type", "entity_id")
-        .distinct()
-    )
+    keyed = keyed_surfaces(entities)
     hubs = keyed.groupBy("norm_key", "entity_type").agg(
         F.min("entity_id").alias("src"), F.count("*").alias("_n")
     )
@@ -177,6 +175,13 @@ def merge_identities(
         .drop("final_id")
     )
     kept = entities.join(F.broadcast(id_map.select("entity_id")), "entity_id", "left_anti")
+    if "status" not in entities.columns:
+        # a minimal store (status is optional in this module's contract)
+        # must still carry the losers' status='merged' marker through the
+        # union — losers are projected onto kept's columns below, so kept
+        # needs the column too or the tombstone marker is silently dropped
+        # and follow_tombstones fails on an unresolved column
+        kept = kept.withColumn("status", F.lit(None).cast("string"))
     if "merged_into" in entities.columns:
         # pre-existing tombstones whose survivor just merged again: rewrite
         # the pointer so every tombstone stays ONE hop from a live row

@@ -368,16 +368,27 @@ def blocked_pair_similarity(
     # projection falls through every sign test) — one mega-bucket and an
     # O(n_null²) candidate set; they can never pass the cosine filter
     # anyway, so drop them before bucketing
-    src = entities.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("_v")
+    src = (
+        entities.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"), F.col(block_col).alias("blk"), F.col(vec_col).alias("_v")
+        )
+        # the ids-only exchange below re-attaches vectors by (blk, id), so
+        # that key must be unique on the build side — duplicate input rows
+        # (an upstream union, an id carried under the same type twice)
+        # would otherwise multiply every surviving pair through the
+        # re-joins. One n-row dedup enforces the contract instead of
+        # assuming it.
+        .dropDuplicates(["blk", "_id"])
     )
     bucketed = banded_hyperplane_buckets(src, dim, n_planes, n_bands, seed, vec_col="_v")
     # ids-only candidate exchange (same slimming as the MinHash band join):
     # the bucket self-join and the cross-band pair dedup move (blk, id, id)
     # rows, never the vectors — at n_bands=6 the fat variant shuffled 6n
     # embedding copies into the join plus two more per surviving pair.
-    # Vectors re-enter via two id-keyed joins against the n-row source,
-    # each join key unique on the build side.
+    # Vectors re-enter via two (blk, id)-keyed joins against the n-row
+    # source — blk stays in the key so an id appearing in two blocks gets
+    # each block's own vector, never the other's.
     ids = bucketed.select("blk", "band", "bucket", "_id")
     pairs = (
         ids.select("blk", "band", "bucket", F.col("_id").alias("id_a"))
@@ -387,11 +398,11 @@ def blocked_pair_similarity(
         .select("blk", "id_a", "id_b")
         .dropDuplicates(["blk", "id_a", "id_b"])
     )
-    va = src.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    vb = src.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    va = src.select("blk", F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = src.select("blk", F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
     return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
+        pairs.join(va, ["blk", "id_a"])
+        .join(vb, ["blk", "id_b"])
         .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("blk", "id_a", "id_b", "cosine")

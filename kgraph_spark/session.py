@@ -95,11 +95,18 @@ def estimated_scan_bytes(df) -> int | None:
         return None
     total = 0
     for uri in files:
-        p = urllib.parse.urlparse(uri).path or uri
+        parsed = urllib.parse.urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return 1 << 50  # remote store: assume scale-adequate input
+        # inputFiles() percent-encodes (file:/data/my%20corpus/x.parquet);
+        # stat the decoded path, and treat a transiently unreadable LOCAL
+        # file as 0 bytes rather than as "remote" — the sentinel would
+        # silently force-enable salting on a small local input
+        p = urllib.parse.unquote(parsed.path) or uri
         try:
             total += os.path.getsize(p)
         except OSError:
-            return 1 << 50  # remote store: assume scale-adequate input
+            continue
     return total
 
 

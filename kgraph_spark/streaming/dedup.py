@@ -32,11 +32,15 @@ def streaming_exact_dedup(
 ) -> DataFrame:
     """Streaming input → one row per content hash within the watermark
     horizon. Works on a batch DataFrame too: the batch twin keeps the
-    EARLIEST row per hash (min-of-struct on event time, id tie-break), which
-    is row-for-row the result the stream converges to when every duplicate
-    arrives inside the horizon — the stream emits the first arrival, and a
-    plain dropDuplicates would keep an arbitrary row whose payload columns
-    (doc_id, ts) disagree with it (ADVICE r3).
+    EARLIEST row per hash (min-of-struct on event time, id tie-break). The
+    stream keeps each hash's first ARRIVAL, so the two agree row-for-row
+    only when duplicates arrive in event-time order (each hash's first
+    arrival is its earliest-timestamped row) and inside the horizon; under
+    out-of-order arrival the key column still matches but payload columns
+    (doc_id, ts) can differ — the batch twin's min-event-time choice is the
+    deterministic one (a plain dropDuplicates would keep an arbitrary row,
+    ADVICE r3); arrival order is not a function of the data, so no batch
+    restatement can reproduce it.
 
     Batch contract (narrower than a bare dropDuplicates): `ts_col` must
     exist (the streaming path requires it anyway — checked here with a
