@@ -1412,6 +1412,47 @@ def q_d13_identity_merge(spark, sf_dir):
     return merged.select("entity_id", "name", "status", "merged_into")
 
 
+def q_curation_keep_best(spark, sf_dir):
+    """Near-dup cluster keep-best election: MinHash+LSH candidates (md5
+    signature variant so the oracle recomputes them) thresholded at
+    est_jaccard >= 0.5 → connected components → per-cluster keeper by
+    (n_chars DESC, doc_id ASC). One row per document with its keep
+    decision; the DuckDB oracle restates the CC with a recursive CTE."""
+    from kgraph_spark.operators.corpus_curation import near_dup_keep_best
+    from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=64, hash_fn="md5")
+    pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    return near_dup_keep_best(docs, pairs)
+
+
+def q_curation_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-lang keep rates decided by
+    an md5 threshold on doc_id (engine-portable, reproducible, kept rows
+    stay kept as the corpus grows). Map-only — no shuffle."""
+    from kgraph_spark.operators.corpus_curation import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 0.25, "zh": 0.75}, default_rate=0.1
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_curation_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the benchmark set (doc_id % 7 == 0 plays the benchmark).
+    Benchmark shingle set is broadcast; the corpus never shuffles."""
+    from kgraph_spark.operators.corpus_curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate(train, bench, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1472,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_promote_rewrite": q_e3_promote_rewrite,
         "a2_json_parse": q_a2_json_parse,
         "d13_identity_merge": q_d13_identity_merge,
+        "curation_keep_best": q_curation_keep_best,
+        "curation_sample": q_curation_sample,
+        "curation_decontaminate": q_curation_decontaminate,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1705,6 +1749,97 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) / 64.0, 6)
                        AS est_jaccard
             FROM cand
+        """,
+        "curation_keep_best": f"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 500
+            ), sh AS (
+                SELECT DISTINCT doc_id, gram AS shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(t) - 3, 0) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+                    FROM toks
+                )
+                WHERE length(gram) > 0
+            ), sig AS (
+                SELECT doc_id, {{mh_mins}} FROM sh GROUP BY doc_id
+            ), sigl AS (
+                SELECT doc_id, [{{mh_cols}}] AS sig FROM sig
+            ), banded AS (
+                SELECT doc_id, sig, b,
+                       array_to_string(sig[4*b+1:4*b+4], ',') AS bkey
+                FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+            ), cand AS (
+                SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                       x.sig AS sig_a, y.sig AS sig_b
+                FROM banded x JOIN banded y
+                  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM cand
+                WHERE len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) / 64.0 >= 0.5
+            ), edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION
+                SELECT doc_b AS s, doc_a AS d FROM pairs
+            ), reach(id, lbl) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+            ), comp AS (
+                SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+            ), clustered AS (
+                SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                       d.n_chars
+                FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 500) d
+                LEFT JOIN comp c ON d.doc_id = c.id
+            ), elect AS (
+                SELECT cluster_id, doc_id AS keeper_doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM clustered
+            ), keepers AS (
+                SELECT cluster_id, keeper_doc_id FROM elect WHERE rn = 1
+            )
+            SELECT c.doc_id, c.cluster_id, k.keeper_doc_id,
+                   (c.doc_id = k.keeper_doc_id) AS keep
+            FROM clustered c JOIN keepers k USING (cluster_id)
+        """.format(mh_mins=mh_mins, mh_cols=mh_cols),
+        "curation_sample": """
+            -- md5-threshold Bernoulli sample, identical arithmetic to
+            -- stratified_sample(): keep iff first 6 hex digits of
+            -- md5(doc_id) < round(rate * 16^6) as 6-digit hex
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 6) <
+                  CASE lang WHEN 'en' THEN '800000'
+                            WHEN 'de' THEN '400000'
+                            WHEN 'zh' THEN 'c00000'
+                            ELSE '19999a' END
+        """,
+        "curation_decontaminate": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, gram AS shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(t) - 5, 0) + 1),
+                               i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+                    FROM toks
+                )
+                WHERE length(gram) > 0
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 7 = 0
+            )
+            SELECT s.doc_id,
+                   count(DISTINCT s.shingle) AS n_contaminated_shingles
+            FROM sh s JOIN bench b USING (shingle)
+            WHERE s.doc_id % 7 <> 0
+            GROUP BY 1
         """,
         "f10_triple_accumulate": """
             SELECT user_id AS subject_id, event_type AS predicate,

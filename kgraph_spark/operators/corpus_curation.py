@@ -1,0 +1,142 @@
+"""Corpus curation for training-data pipelines: near-dup cluster
+keep-best election, deterministic stratified sampling, and benchmark
+decontamination.
+
+These extend the dedup family (operators/dedup_text.py) from *detecting*
+duplicates to *acting* on them the way a 100-TB pretraining pipeline does:
+
+* keep-best — near-dup candidate pairs → connected components → elect ONE
+  keeper per cluster by a quality key. The cluster step reuses the D8
+  hash-to-min CC operator (operators/canonicalize.py); pair generation
+  reuses MinHash+LSH banding, so nothing here is O(n²) (the cross-join
+  anti-pattern the reference itself warns about, kgraph/ingest.py:877-880).
+* stratified sampling — per-stratum keep rates decided by a *content
+  hash threshold*, not rand(): md5 is bit-identical across engines and
+  runs, so the sample is reproducible, engine-portable (the DuckDB oracle
+  recomputes it exactly), and resumable — re-running over a grown corpus
+  keeps every previously-kept row. Map-only, zero shuffle.
+* decontamination — flag training documents sharing any word k-gram with
+  a benchmark/eval set. The benchmark shingle set is tiny relative to the
+  corpus → broadcast inner/semi join; the corpus-side shingle explode is
+  map-local and never collected.
+
+At 100 TB: keep-best shuffles candidate PAIRS (ids only) and the final
+(doc → cluster) labels — both orders of magnitude below the corpus;
+sampling is a pushed-down filter; decontamination is one broadcast join
+over an exploded scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgraph_spark.operators.canonicalize import connected_components
+from kgraph_spark.operators.dedup_text import shingles
+
+
+def near_dup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster near-dup pairs and elect one keeper per cluster.
+
+    docs: one row per document, must carry `id_col` and `quality_col`.
+    pairs: (doc_a, doc_b) near-duplicate candidate pairs (already
+    thresholded — e.g. lsh_candidate_pairs(...).filter(est_jaccard >= t)).
+
+    Returns one row PER INPUT DOCUMENT:
+      (doc_id, cluster_id, keeper_doc_id, keep)
+    Singletons (documents in no pair) are their own cluster and keeper.
+    Election is deterministic: max quality, then smallest id on ties —
+    expressed as min(struct(-quality, id)) so it is one hash aggregation,
+    no window shuffle over the full corpus.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)  # (id, component) — clustered docs only
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("_q"))
+    clustered = base.join(labels, base["doc_id"] == labels["id"], "left").select(
+        "doc_id",
+        "_q",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    keepers = clustered.groupBy("cluster_id").agg(
+        F.min(F.struct((-F.col("_q")).alias("nq"), F.col("doc_id").alias("id")))
+        .getField("id")
+        .alias("keeper_doc_id")
+    )
+    return clustered.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_doc_id",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("keep"),
+    )
+
+
+def _hex_threshold(rate: float, digits: int = 6) -> str:
+    """Keep-fraction → fixed-width lowercase hex string such that
+    `first-`digits`-of-md5 < threshold` keeps ~rate of uniformly-hashed
+    keys. rate >= 1 returns a sentinel above every hex string."""
+    if rate >= 1.0:
+        return "g" * digits  # 'g' > 'f': compares above every hex digest
+    n = max(0, min(16**digits, round(rate * 16**digits)))
+    return format(n, f"0{digits}x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling by content-hash threshold.
+
+    A row is kept iff the first 6 hex digits of md5(id || salt) compare
+    below the stratum's threshold — lexicographic compare on fixed-width
+    hex == numeric compare, and md5 is bit-identical everywhere, so the
+    sample is reproducible across engines, runs, and corpus growth
+    (Bernoulli per row: a kept row stays kept when new rows arrive —
+    unlike rand()-based sampleBy). Map-only: no shuffle, survives in the
+    scan stage's codegen span.
+    """
+    digest = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 6)
+    thr = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate))).otherwise(thr)
+    return docs.filter(digest < thr)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    remove: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination by word k-gram overlap.
+
+    remove=False (audit mode): one row per CONTAMINATED training document —
+      (doc_id, n_contaminated_shingles = distinct benchmark k-grams shared).
+    remove=True: the cleaned corpus (docs minus contaminated ones), via a
+      broadcast anti join.
+
+    The benchmark side collapses to its distinct shingle set before the
+    join — at real scale that set is millions of rows against a 100-TB
+    corpus, so Spark broadcasts it and the corpus never shuffles; the
+    per-doc count is a partial-aggregated groupBy on the (tiny) hit set.
+    """
+    bench_sh = shingles(benchmark, id_col=id_col, text_col=text_col, k=k).select("shingle").distinct()
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    if remove:
+        dirty = doc_sh.join(F.broadcast(bench_sh), "shingle").select("doc_id").distinct()
+        return docs.join(dirty, docs[id_col] == dirty["doc_id"], "left_anti")
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_contaminated_shingles"))
+    )

@@ -1,0 +1,114 @@
+"""Corpus curation: keep-best election, deterministic stratified
+sampling, benchmark decontamination (operators/corpus_curation.py).
+
+The DuckDB-parity check for the three driver queries lives in
+test_entry_oracles.py (auto-discovered); these tests pin the unit
+semantics on tiny synthetic frames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgraph_spark.operators.corpus_curation import (
+    _hex_threshold,
+    decontaminate,
+    near_dup_keep_best,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string, n_chars bigint")
+
+
+# ---------------------------------------------------------------- keep-best
+def test_keep_best_elects_quality_then_id(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "en", 100),
+            (2, "b", "en", 300),  # cluster {1,2,3}: keeper = 2 (max n_chars)
+            (3, "c", "en", 200),
+            (4, "d", "en", 50),
+            (5, "e", "en", 50),  # cluster {4,5}: tie on n_chars → keeper = 4 (min id)
+            (9, "z", "en", 10),  # singleton: its own keeper
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a bigint, doc_b bigint")
+    out = {r["doc_id"]: r for r in near_dup_keep_best(docs, pairs).collect()}
+    assert len(out) == 6
+    assert [out[i]["keeper_doc_id"] for i in (1, 2, 3)] == [2, 2, 2]
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["keeper_doc_id"] for i in (4, 5)] == [4, 4]
+    assert out[9]["cluster_id"] == 9 and out[9]["keeper_doc_id"] == 9 and out[9]["keep"]
+    assert {i for i, r in out.items() if r["keep"]} == {2, 4, 9}
+
+
+def test_keep_best_no_pairs_all_singletons(spark):
+    docs = _docs(spark, [(1, "a", "en", 10), (2, "b", "en", 20)])
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = near_dup_keep_best(docs, pairs).collect()
+    assert all(r["keep"] and r["cluster_id"] == r["doc_id"] for r in out)
+
+
+# ------------------------------------------------------------------ sampling
+def test_hex_threshold_edges():
+    assert _hex_threshold(0.0) == "000000"
+    assert _hex_threshold(0.5) == "800000"
+    assert _hex_threshold(1.0) > "ffffff"  # sentinel keeps every row
+
+
+def test_sample_deterministic_and_stratified(spark):
+    docs = _docs(spark, [(i, "t", "en" if i % 2 else "de", i) for i in range(400)])
+    a = sorted(r["doc_id"] for r in stratified_sample(docs, {"en": 0.5, "de": 0.0}).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(docs, {"en": 0.5, "de": 0.0}).collect())
+    assert a == b  # reproducible, not rand()
+    assert all(i % 2 == 1 for i in a)  # de rate 0 → only en rows
+    assert 0.3 < len(a) / 200 < 0.7  # en rate ~0.5
+
+
+def test_sample_kept_rows_stable_under_corpus_growth(spark):
+    """Bernoulli-by-hash: sampling a SUBSET yields exactly the kept rows
+    that fall in that subset — new arrivals never flip old decisions."""
+    full = _docs(spark, [(i, "t", "en", i) for i in range(300)])
+    sub = full.filter(F.col("doc_id") < 150)
+    kept_full = {r["doc_id"] for r in stratified_sample(full, {"en": 0.3}).collect()}
+    kept_sub = {r["doc_id"] for r in stratified_sample(sub, {"en": 0.3}).collect()}
+    assert kept_sub == {i for i in kept_full if i < 150}
+
+
+def test_sample_rate_one_and_salt(spark):
+    docs = _docs(spark, [(i, "t", "en", i) for i in range(50)])
+    assert stratified_sample(docs, {"en": 1.0}).count() == 50
+    a = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}, salt="a").collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}, salt="b").collect()}
+    assert a != b  # salt re-draws the sample
+
+
+# ----------------------------------------------------------- decontamination
+def test_decontaminate_flags_and_removes(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", 1)])
+    docs = _docs(
+        spark,
+        [
+            # shares the 5-gram "alpha beta gamma delta epsilon" (and one more)
+            (1, "x alpha beta gamma delta epsilon zeta y", "en", 1),
+            (2, "completely different words with no overlap here", "en", 1),
+            (3, "alpha beta gamma but too short", "en", 1),  # only 3-token prefix shared
+        ],
+    )
+    hits = {r["doc_id"]: r["n_contaminated_shingles"] for r in decontaminate(docs, bench, k=5).collect()}
+    assert set(hits) == {1}
+    assert hits[1] == 2  # "alpha..epsilon" and "beta..zeta"
+    clean = sorted(r["doc_id"] for r in decontaminate(docs, bench, k=5, remove=True).collect())
+    assert clean == [2, 3]
+
+
+def test_decontaminate_benchmark_broadcast_plan(spark):
+    from conftest import plan_text
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", 1)])
+    docs = _docs(spark, [(1, "x alpha beta gamma delta epsilon", "en", 1)])
+    plan = plan_text(decontaminate(docs, bench, k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
