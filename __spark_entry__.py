@@ -1412,6 +1412,48 @@ def q_d13_identity_merge(spark, sf_dir):
     return merged.select("entity_id", "name", "status", "merged_into")
 
 
+def q_h4_edge_lookup(spark, sf_dir):
+    """H4 edge lookups (reference memory.py:424-472): get_by_subject /
+    get_by_object / find_by_triple probes over a triple table derived from
+    lineitem. Probe keys are the minimum order/part keys — computed as
+    bounded 1-row aggregates here and scalar subqueries in the oracle.
+    With the bucketed writer (export.write_bucketed_triples) the subject
+    probe is a pruned single-bucket scan (plan-evidenced in PLANS.md)."""
+    from kgraph_spark.operators.graph import find_by_triple, get_by_object, get_by_subject
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    min_o, min_p = li.agg(F.min("l_orderkey"), F.min("l_partkey")).first()
+    s_key, o_key = f"O{min_o}", f"P{min_p}"
+    min_obj = (
+        get_by_subject(edges, s_key).agg(F.min("object_id")).first()[0]
+    )
+    return (
+        get_by_subject(edges, s_key).withColumn("probe", F.lit("subject"))
+        .unionByName(get_by_object(edges, o_key).withColumn("probe", F.lit("object")))
+        .unionByName(
+            find_by_triple(edges, s_key, "contains", min_obj).withColumn(
+                "probe", F.lit("triple")
+            )
+        )
+    )
+
+
+def q_curation_pack(spark, sf_dir):
+    """Sequence packing: documents → fixed-budget (4096-char) training
+    shards per lang via the two-phase distributed prefix sum. The oracle
+    restates it as one window cumsum — the equivalence IS the test that
+    the distributed scan is exact."""
+    from kgraph_spark.operators.corpus_curation import pack_sequences
+
+    return pack_sequences(_read(spark, sf_dir, "documents"), budget=4096)
+
+
 def q_curation_keep_best(spark, sf_dir):
     """Near-dup cluster keep-best election: MinHash+LSH candidates (md5
     signature variant so the oracle recomputes them) thresholded at
@@ -1516,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_best": q_curation_keep_best,
         "curation_sample": q_curation_sample,
         "curation_decontaminate": q_curation_decontaminate,
+        "curation_pack": q_curation_pack,
+        "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
 
@@ -1817,6 +1861,37 @@ def oracle_sql() -> dict[str, str]:
                             WHEN 'de' THEN '400000'
                             WHEN 'zh' THEN 'c00000'
                             ELSE '19999a' END
+        """,
+        "curation_pack": """
+            WITH c AS (
+                SELECT doc_id, lang, n_chars,
+                       sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_chars AS start
+                FROM documents
+            )
+            SELECT doc_id, lang, n_chars,
+                   (start // 4096)::BIGINT AS seq_id,
+                   (start % 4096)::BIGINT AS offset_in_seq
+            FROM c
+        """,
+        "h4_edge_lookup": """
+            WITH edges AS (
+                SELECT 'O' || l_orderkey AS subject_id, 'contains' AS predicate,
+                       'P' || l_partkey AS object_id, l_quantity::DOUBLE AS qty
+                FROM lineitem
+            ), keys AS (
+                SELECT 'O' || min(l_orderkey) AS s_key, 'P' || min(l_partkey) AS o_key
+                FROM lineitem
+            ), min_obj AS (
+                SELECT min(object_id) AS obj FROM edges, keys
+                WHERE subject_id = s_key
+            )
+            SELECT e.*, 'subject' AS probe FROM edges e, keys WHERE subject_id = s_key
+            UNION ALL
+            SELECT e.*, 'object' AS probe FROM edges e, keys WHERE object_id = o_key
+            UNION ALL
+            SELECT e.*, 'triple' AS probe FROM edges e, keys, min_obj
+            WHERE subject_id = s_key AND predicate = 'contains' AND object_id = obj
         """,
         "curation_decontaminate": """
             WITH toks AS (

@@ -110,6 +110,86 @@ def stratified_sample(
     return docs.filter(digest < thr)
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    weight_col: str = "n_chars",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Pack documents into fixed-budget training sequences (shards).
+
+    Semantics: within each stratum, documents ordered by id form one
+    contiguous token stream; a document is assigned to the sequence where
+    it STARTS — seq_id = floor(start / budget), offset_in_seq = start %
+    budget, where start = exclusive prefix sum of the weight column. This
+    is the deterministic rule a pretraining shard-writer uses, and it is
+    exactly one SQL window cumsum — which is how the oracle restates it.
+
+    Execution is the two-phase distributed prefix sum, NOT a window
+    partitioned by stratum: a per-stratum window puts an entire stratum in
+    one reducer (a 60%-English 100-TB corpus would hit one task). Instead:
+    range-partition by (stratum, id) → per-partition running sums in one
+    Arrow pass (mapInPandas, stateful across batches) → per-(partition,
+    stratum) totals (tiny) → exclusive prefix offsets over that tiny table
+    → broadcast join back. No task ever holds more than one range chunk.
+
+    Returns (doc_id, <stratum_col>, <weight_col>, seq_id, offset_in_seq);
+    sequences are per-stratum (seq key = (stratum, seq_id)).
+    """
+    spark = docs.sparkSession
+    n = num_chunks or spark.sparkContext.defaultParallelism * 2
+    base = docs.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
+    )
+    part = (
+        base.repartitionByRange(n, "stratum", "doc_id")
+        .sortWithinPartitions("stratum", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def local_cumsum(batches):
+        state: dict[str, int] = {}
+        for pdf in batches:
+            cums = []
+            for s, w in zip(pdf["stratum"], pdf["w"]):
+                state[s] = state.get(s, 0) + int(w)
+                cums.append(state[s])
+            yield pdf.assign(_local_cum=cums)
+
+    # pinned once (localCheckpoint, lazy): `local` feeds both the row side
+    # and the totals side — without pinning, a non-reused range exchange
+    # could resample boundaries and desynchronize _pid between the two
+    local = part.mapInPandas(
+        local_cumsum,
+        "stratum string, doc_id bigint, w long, _pid int, _local_cum long",
+    ).localCheckpoint(eager=False)
+
+    from pyspark.sql import Window
+
+    totals = local.groupBy("_pid", "stratum").agg(F.max("_local_cum").alias("_tot"))
+    w_off = (
+        Window.partitionBy("stratum")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0)))
+    start = F.col("_off") + F.col("_local_cum") - F.col("w")
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "stratum", "_off")), ["_pid", "stratum"])
+        .select(
+            "doc_id",
+            F.col("stratum").alias(stratum_col),
+            F.col("w").alias(weight_col),
+            F.floor(start / budget).cast("long").alias("seq_id"),
+            (start % budget).cast("long").alias("offset_in_seq"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

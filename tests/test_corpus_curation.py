@@ -85,6 +85,43 @@ def test_sample_rate_one_and_salt(spark):
     assert a != b  # salt re-draws the sample
 
 
+# ------------------------------------------------------------------- packing
+def test_pack_matches_single_window_reference(spark):
+    """Two-phase distributed prefix sum == the one-reducer window cumsum
+    it replaces (exactness of the distributed scan), on a skewed corpus."""
+    from pyspark.sql import Window
+
+    from kgraph_spark.operators.corpus_curation import pack_sequences
+
+    rows = [(i, "t", "en" if i % 10 else "de", (i * 37) % 400 + 1) for i in range(500)]
+    docs = _docs(spark, rows)
+    got = {
+        (r["doc_id"], r["seq_id"], r["offset_in_seq"])
+        for r in pack_sequences(docs, budget=1000, num_chunks=7).collect()
+    }
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = docs.select(
+        "doc_id", (F.sum("n_chars").over(w) - F.col("n_chars")).alias("start")
+    )
+    want = {
+        (r["doc_id"], r["start"] // 1000, r["start"] % 1000) for r in ref.collect()
+    }
+    assert got == want
+
+
+def test_pack_boundary_and_zero_weight(spark):
+    """A doc starting exactly on a budget boundary opens the next seq;
+    zero-weight docs take the seq of their start position."""
+    from kgraph_spark.operators.corpus_curation import pack_sequences
+
+    docs = _docs(
+        spark,
+        [(1, "t", "en", 100), (2, "t", "en", 0), (3, "t", "en", 100), (4, "t", "en", 100)],
+    )
+    out = {r["doc_id"]: (r["seq_id"], r["offset_in_seq"]) for r in pack_sequences(docs, budget=100).collect()}
+    assert out == {1: (0, 0), 2: (1, 0), 3: (1, 0), 4: (2, 0)}
+
+
 # ----------------------------------------------------------- decontamination
 def test_decontaminate_flags_and_removes(spark):
     bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta", "en", 1)])
