@@ -172,6 +172,29 @@ def main() -> None:
         ["ObjectHashAggregate"],
     ))
 
+    from kgraph_spark.operators.corpus_curation import decontaminate, pack_sequences
+
+    curation_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    decon = decontaminate(
+        curation_docs.filter("doc_id % 7 != 0"), curation_docs.filter("doc_id % 7 = 0"), k=5
+    )
+    sections.append((
+        "Benchmark decontamination — the benchmark shingle set is broadcast; "
+        "the corpus-side shingle explode is map-local and only the (small) "
+        "hit set is aggregated",
+        _plan(decon),
+        ["BroadcastHashJoin"],
+    ))
+
+    packed = pack_sequences(curation_docs, budget=4096)
+    sections.append((
+        "Sequence packing — two-phase distributed prefix sum: rows move once "
+        "(range partitioning); the per-(partition, stratum) offset table is "
+        "tiny and broadcast back, so no reducer ever holds a whole stratum",
+        _plan(packed),
+        ["BroadcastHashJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
