@@ -1495,6 +1495,76 @@ def q_curation_decontaminate(spark, sf_dir):
     return decontaminate(train, bench, k=5)
 
 
+_FOOTER = "SHARED BOILERPLATE FOOTER - generated page"
+
+# One source of truth for the PII regexes: the operator's own constants
+# (chosen to mean the same thing under Java regex and RE2 — see
+# corpus_curation.PII_PATTERNS).
+from kgraph_spark.operators.corpus_curation import PII_PATTERNS as _PII_PATTERNS
+
+_PII_EMAIL, _PII_IPV4, _PII_PHONE = (p for _, p, _ in _PII_PATTERNS)
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4-style corpus-wide line-level dedup. A deterministic boilerplate
+    footer line is appended to every document so cross-document duplicate
+    lines exist by construction; each distinct line survives only at its
+    min (doc_id, pos) occurrence and documents are reassembled. The oracle
+    restates the winner election as a row_number window over line text."""
+    from kgraph_spark.operators.corpus_curation import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit("\n" + _FOOTER))
+    )
+    return dedup_lines(docs)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing: email/IPv4/phone redaction with per-kind counts.
+    Deterministic PII is injected per doc_id so every pattern fires; the
+    patterns are NFA/RE2-agnostic (greedy character classes only) so the
+    DuckDB regexp oracle reproduces the redactions byte-for-byte."""
+    from kgraph_spark.operators.corpus_curation import scrub_pii
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-01"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit(" at 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ok"),
+        ),
+    )
+    return scrub_pii(docs)
+
+
+def q_domain_mix(spark, sf_dir):
+    """Token-budget domain mixing: per-lang keep rate = min(1,
+    budget / lang_char_total) from a tiny broadcast agg, then the
+    md5-threshold Bernoulli keep rule (float compare, no rounding —
+    bit-identical in DuckDB)."""
+    from kgraph_spark.operators.corpus_curation import domain_mix_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return domain_mix_sample(docs, budget=100_000).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_det_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: exact global rank by
+    (md5(doc_id || salt), doc_id) via the two-phase distributed prefix sum
+    (pack_sequences with budget=1) — no corpus-wide single-reducer window.
+    Oracle: one row_number window."""
+    from kgraph_spark.operators.corpus_curation import deterministic_shuffle
+
+    return deterministic_shuffle(_read(spark, sf_dir, "documents"), salt="epoch1")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1559,6 +1629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": q_curation_sample,
         "curation_decontaminate": q_curation_decontaminate,
         "curation_pack": q_curation_pack,
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
+        "domain_mix": q_domain_mix,
+        "det_shuffle": q_det_shuffle,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -1915,6 +1989,72 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN bench b USING (shingle)
             WHERE s.doc_id % 7 <> 0
             GROUP BY 1
+        """,
+        "line_dedup": f"""
+            WITH d AS (
+                SELECT doc_id, text || chr(10) || '{_FOOTER}' AS text FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM d
+            ), flag AS (
+                -- a partition mixes eligible/ineligible rows only if the
+                -- same exact line text had both, which is impossible
+                -- (eligibility is a function of the text)
+                SELECT doc_id, pos, line,
+                       length(trim(line)) >= 1 AS elig,
+                       row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                FROM l
+            ), kept AS (
+                SELECT doc_id, pos, line FROM flag WHERE NOT elig OR rn = 1
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_lines FROM l GROUP BY 1
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_lines_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(r.text, '') AS text, t.n_lines,
+                   coalesce(r.n_lines_kept, 0) AS n_lines_kept
+            FROM tot t LEFT JOIN reb r USING (doc_id)
+        """,
+        "pii_scrub": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id::VARCHAR
+                            || '@example.com or +1 555-01' || (doc_id % 90 + 10)::VARCHAR
+                            || ' at 192.168.' || (doc_id % 256)::VARCHAR || '.1 ok' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+                   len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4,
+                   len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone
+            FROM d
+        """,
+        "domain_mix": """
+            -- rate = min(1, budget / stratum total); keep iff the first 6
+            -- md5 hex digits of the id, as a fraction of 16^6, fall below
+            -- it — identical double arithmetic to domain_mix_sample()
+            WITH t AS (
+                SELECT lang, sum(n_chars)::DOUBLE AS tot FROM documents GROUP BY 1
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN t USING (lang)
+            WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT / 16777216.0
+                  < least(1.0, 100000 / t.tot)
+        """,
+        "det_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id)
+                       - 1 AS shuffle_rank
+            FROM documents
         """,
         "f10_triple_accumulate": """
             SELECT user_id AS subject_id, event_type AS predicate,

@@ -19,6 +19,19 @@ duplicates to *acting* on them the way a 100-TB pretraining pipeline does:
   a benchmark/eval set. The benchmark shingle set is tiny relative to the
   corpus → broadcast inner/semi join; the corpus-side shingle explode is
   map-local and never collected.
+* line-level dedup — C4-style: every exact duplicate line across the
+  corpus survives only in its first (doc, position) occurrence; documents
+  are reassembled from the surviving lines. Two narrow shuffles (16-byte
+  line digest, then doc id) — the line TEXT itself is never the join key.
+* PII scrubbing — email/IPv4/phone redaction with per-kind counts. Pure
+  JVM regexp expressions, zero shuffle, survives in the scan stage.
+* domain mixing — per-stratum keep rate derived from a token budget
+  (rate = budget / stratum total), then the same md5-threshold Bernoulli
+  keep rule as stratified sampling. Tiny per-stratum agg broadcast back;
+  the corpus side stays map-only.
+* deterministic shuffle — global training order by md5(id) with an exact
+  global rank, via the same two-phase distributed prefix sum as packing
+  (no single-reducer window over the corpus).
 
 At 100 TB: keep-best shuffles candidate PAIRS (ids only) and the final
 (doc → cluster) labels — both orders of magnitude below the corpus;
@@ -117,6 +130,7 @@ def pack_sequences(
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     num_chunks: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Pack documents into fixed-budget training sequences (shards).
 
@@ -137,17 +151,28 @@ def pack_sequences(
 
     Returns (doc_id, <stratum_col>, <weight_col>, seq_id, offset_in_seq);
     sequences are per-stratum (seq key = (stratum, seq_id)).
+
+    order_col: optional extra sort key — the stream order becomes
+    (stratum, order_col, id) instead of (stratum, id). Used by
+    deterministic_shuffle to rank by hash order.
     """
     spark = docs.sparkSession
     n = num_chunks or spark.sparkContext.defaultParallelism * 2
-    base = docs.select(
+    cols = [
         F.col(stratum_col).cast("string").alias("stratum"),
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
-    )
+    ]
+    okeys = ["stratum", "doc_id"]
+    schema = "stratum string, doc_id bigint, w long, _pid int, _local_cum long"
+    if order_col is not None:
+        cols.append(F.col(order_col).cast("string").alias("_ord"))
+        okeys = ["stratum", "_ord", "doc_id"]
+        schema = "stratum string, doc_id bigint, w long, _ord string, _pid int, _local_cum long"
+    base = docs.select(*cols)
     part = (
-        base.repartitionByRange(n, "stratum", "doc_id")
-        .sortWithinPartitions("stratum", "doc_id")
+        base.repartitionByRange(n, *okeys)
+        .sortWithinPartitions(*okeys)
         .withColumn("_pid", F.spark_partition_id())
     )
 
@@ -163,10 +188,7 @@ def pack_sequences(
     # pinned once (localCheckpoint, lazy): `local` feeds both the row side
     # and the totals side — without pinning, a non-reused range exchange
     # could resample boundaries and desynchronize _pid between the two
-    local = part.mapInPandas(
-        local_cumsum,
-        "stratum string, doc_id bigint, w long, _pid int, _local_cum long",
-    ).localCheckpoint(eager=False)
+    local = part.mapInPandas(local_cumsum, schema).localCheckpoint(eager=False)
 
     from pyspark.sql import Window
 
@@ -188,6 +210,181 @@ def pack_sequences(
             (start % budget).cast("long").alias("offset_in_seq"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style corpus-wide line-level exact dedup.
+
+    Split each document on newlines; a line whose trimmed length is
+    >= min_line_chars participates in dedup and survives ONLY at its first
+    occurrence across the whole corpus (min (doc, position)); shorter
+    lines (e.g. blanks) are always kept. Documents are reassembled from
+    surviving lines in original order.
+
+    Returns one row per input document:
+      (doc_id, text [reassembled], n_lines, n_lines_kept)
+
+    Scale: the winner election groups by the 16-byte md5 line digest —
+    line text never becomes a shuffle key — and reassembly shuffles the
+    surviving (doc, pos, line) rows once on doc id. Both shuffles are
+    bounded by the corpus line count; nothing is collected.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    elig = F.length(F.trim(F.col("line"))) >= min_line_chars
+    keyed = lines.withColumn("_h", F.when(elig, F.md5(F.col("line"))))
+    winners = (
+        keyed.filter(F.col("_h").isNotNull())
+        .groupBy("_h")
+        .agg(
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias("w")
+        )
+        .select("_h", F.col("w.d").alias("_wd"), F.col("w.p").alias("_wp"))
+    )
+    kept = (
+        keyed.join(winners, "_h", "left")
+        .filter(
+            F.col("_h").isNull()
+            | ((F.col("doc_id") == F.col("_wd")) & (F.col("pos") == F.col("_wp")))
+        )
+        .select("doc_id", "pos", "line")
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+    )
+
+
+# Redaction patterns chosen to mean the same thing under Java regex (Spark)
+# and RE2 (DuckDB oracle): greedy character-class quantifiers only — no
+# variable-length alternation where NFA leftmost-first and RE2
+# leftmost-longest could disagree.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and international-format phone
+    numbers; count each kind (counts are over the ORIGINAL text, replace
+    is sequential email → ip → phone).
+
+    Returns (doc_id, text [scrubbed], n_email, n_ipv4, n_phone). Map-only
+    JVM regexp expressions — no shuffle, no Python; stays inside the scan
+    stage's codegen span at any corpus size.
+    """
+    out = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.select("doc_id", scrubbed.alias("text"), *counts)
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    budget: int,
+    stratum_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget domain mixing: keep each stratum at rate
+    min(1, budget / stratum_weight_total) using the md5-threshold Bernoulli
+    rule (deterministic, engine-portable — same family as
+    stratified_sample, but the rates come FROM the data).
+
+    The keep test compares the first 6 md5 hex digits of the id as a
+    fraction of 16^6 against the stratum's rate — pure float compare, no
+    rounding, so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale: per-stratum totals are a partial-aggregated groupBy producing
+    one row per stratum (broadcast back); the corpus side is one map-only
+    filter. No driver collect.
+    """
+    totals = docs.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("_tot")
+    )
+    rates = totals.select(
+        "_s", F.least(F.lit(1.0), F.lit(budget) / F.col("_tot")).alias("_rate")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(16**6))
+    )
+    return (
+        docs.join(F.broadcast(rates), docs[stratum_col] == F.col("_s"))
+        .filter(frac < F.col("_rate"))
+        .drop("_s", "_rate")
+    )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "",
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Global deterministic training-order shuffle: order the corpus by
+    md5(id || salt) (id tie-break) and return each document's exact global
+    rank. Changing the salt is a fresh epoch permutation; the same salt
+    always reproduces the same order.
+
+    Returns (doc_id, shuffle_rank). Rank is the exclusive prefix sum of 1
+    over hash order — computed by pack_sequences' two-phase distributed
+    prefix sum (budget=1 ⇒ seq_id == global row index), so no task ever
+    holds more than one range chunk and there is no corpus-wide
+    single-reducer window.
+    """
+    keyed = docs.select(F.col(id_col).alias("doc_id")).withColumns(
+        {
+            "_sk": F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+            "_all": F.lit("all"),
+            "_one": F.lit(1),
+        }
+    )
+    packed = pack_sequences(
+        keyed,
+        budget=1,
+        weight_col="_one",
+        stratum_col="_all",
+        id_col="doc_id",
+        num_chunks=num_chunks,
+        order_col="_sk",
+    )
+    return packed.select("doc_id", F.col("seq_id").alias("shuffle_rank"))
 
 
 def decontaminate(

@@ -195,12 +195,46 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    from kgraph_spark.operators.corpus_curation import (
+        dedup_lines,
+        domain_mix_sample,
+        scrub_pii,
+    )
+
+    ld = dedup_lines(curation_docs)
+    sections.append((
+        "Line-level dedup — the winner election is a partial/final hash "
+        "aggregation on the 16-byte line digest (line text never a shuffle "
+        "key); reassembly is one id-keyed aggregation",
+        _plan(ld),
+        ["HashAggregate", "Keys [1]: [_h"],
+    ))
+
+    pii = scrub_pii(curation_docs)
+    sections.append((
+        "PII scrubbing — map-only: the whole redaction pipeline lives in "
+        "the scan stage, zero exchanges",
+        _plan(pii),
+        ["!Exchange"],
+    ))
+
+    mix = domain_mix_sample(curation_docs, budget=100_000)
+    sections.append((
+        "Domain mixing — per-stratum rates are a tiny aggregate broadcast "
+        "back to a map-only corpus filter; the corpus never shuffles",
+        _plan(mix),
+        ["BroadcastHashJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
         checks = []
         for needle in expectations:
-            ok = needle.split("(")[0] in plan if "(" in needle else needle in plan
+            if needle.startswith("!"):  # must-NOT-contain claim
+                ok = needle[1:] not in plan
+            else:
+                ok = needle.split("(")[0] in plan if "(" in needle else needle in plan
             checks.append(f"- {'✅' if ok else '❌'} expects `{needle}`")
             if not ok:
                 failures.append((title, needle))

@@ -1,7 +1,9 @@
 """Corpus curation: keep-best election, deterministic stratified
-sampling, benchmark decontamination (operators/corpus_curation.py).
+sampling, benchmark decontamination, sequence packing, line-level dedup,
+PII scrubbing, domain mixing, deterministic shuffle
+(operators/corpus_curation.py).
 
-The DuckDB-parity check for the three driver queries lives in
+The DuckDB-parity checks for the driver queries live in
 test_entry_oracles.py (auto-discovered); these tests pin the unit
 semantics on tiny synthetic frames."""
 
@@ -139,6 +141,88 @@ def test_decontaminate_flags_and_removes(spark):
     assert hits[1] == 2  # "alpha..epsilon" and "beta..zeta"
     clean = sorted(r["doc_id"] for r in decontaminate(docs, bench, k=5, remove=True).collect())
     assert clean == [2, 3]
+
+
+def test_dedup_lines_keeps_first_occurrence_and_blanks(spark):
+    from kgraph_spark.operators.corpus_curation import dedup_lines
+
+    docs = _docs(
+        spark,
+        [
+            (1, "unique one\nSHARED FOOTER\n\ntail one", "en", 1),
+            (2, "unique two\nSHARED FOOTER\n\ntail two", "en", 1),
+            (3, "SHARED FOOTER", "en", 1),  # every line a dup → empty text
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert len(out) == 3
+    # footer survives only at its first (doc, pos) occurrence — doc 1
+    assert out[1]["text"] == "unique one\nSHARED FOOTER\n\ntail one"
+    # blank line (below min_line_chars) is always kept
+    assert out[2]["text"] == "unique two\n\ntail two"
+    assert out[3]["text"] == ""
+    assert (out[1]["n_lines"], out[1]["n_lines_kept"]) == (4, 4)
+    assert (out[2]["n_lines"], out[2]["n_lines_kept"]) == (4, 3)
+    assert (out[3]["n_lines"], out[3]["n_lines_kept"]) == (1, 0)
+
+
+def test_dedup_lines_intra_document_dups_collapse(spark):
+    from kgraph_spark.operators.corpus_curation import dedup_lines
+
+    docs = _docs(spark, [(1, "same\nsame\nsame", "en", 1)])
+    out = dedup_lines(docs).collect()[0]
+    assert out["text"] == "same" and out["n_lines_kept"] == 1
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    from kgraph_spark.operators.corpus_curation import scrub_pii
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail a.b+c@ex-ample.org and 10.0.0.255 then +44 20-7946-0958 end", "en", 1),
+            (2, "no pii here", "en", 1),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert out[1]["text"] == "mail <EMAIL> and <IP> then <PHONE> end"
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[2]["text"] == "no pii here"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+
+
+def test_domain_mix_over_budget_subsamples_under_budget_keeps_all(spark):
+    from kgraph_spark.operators.corpus_curation import domain_mix_sample
+
+    rows = [(i, "t", "big" if i < 400 else "small", 100) for i in range(420)]
+    docs = _docs(spark, rows)
+    # big: 400*100 = 40k chars vs budget 10k → rate .25; small: 2k < 10k → all
+    kept = domain_mix_sample(docs, budget=10_000).collect()
+    small = [r for r in kept if r["lang"] == "small"]
+    big = [r for r in kept if r["lang"] == "big"]
+    assert len(small) == 20
+    assert 0.15 < len(big) / 400 < 0.35
+    again = domain_mix_sample(docs, budget=10_000).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_deterministic_shuffle_is_exact_permutation(spark):
+    from kgraph_spark.operators.corpus_curation import deterministic_shuffle
+
+    docs = _docs(spark, [(i, "t", "en", 1) for i in range(300)])
+    out = deterministic_shuffle(docs, salt="s1", num_chunks=5).collect()
+    ranks = sorted(r["shuffle_rank"] for r in out)
+    assert ranks == list(range(300))  # exact global permutation, 0-based
+    # rank order == (md5, id) order, independent of chunking
+    import hashlib
+
+    want = sorted(range(300), key=lambda i: (hashlib.md5(f"{i}s1".encode()).hexdigest(), i))
+    got = {r["doc_id"]: r["shuffle_rank"] for r in out}
+    assert [got[i] for i in want] == list(range(300))
+    other = deterministic_shuffle(docs, salt="s1", num_chunks=11).collect()
+    assert {r["doc_id"]: r["shuffle_rank"] for r in other} == got
+    resalted = deterministic_shuffle(docs, salt="s2", num_chunks=5).collect()
+    assert {r["doc_id"]: r["shuffle_rank"] for r in resalted} != got
 
 
 def test_decontaminate_benchmark_broadcast_plan(spark):
