@@ -1555,6 +1555,22 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet/Gopher-style LM quality scoring: build a Laplace-smoothed
+    unigram log-prob model from the corpus (top-1000 vocab, deterministic
+    tie-break), then score every document by mean negative log-prob
+    (≈ log-perplexity). Model logps are pre-rounded to 6 decimals so the
+    DuckDB restatement averages identical doubles."""
+    from kgraph_spark.operators.text_analysis import (
+        lm_quality_score,
+        unigram_logprob_model,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model, oov = unigram_logprob_model(docs, vocab_size=1000)
+    return lm_quality_score(docs, model, oov)
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle: exact global rank by
     (md5(doc_id || salt), doc_id) via the two-phase distributed prefix sum
@@ -1633,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_mix": q_domain_mix,
         "det_shuffle": q_det_shuffle,
+        "lm_perplexity": q_lm_perplexity,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -2055,6 +2072,37 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id)
                        - 1 AS shuffle_rank
             FROM documents
+        """,
+        "lm_perplexity": """
+            -- Laplace unigram model over the corpus itself: logp =
+            -- ln((c+1) / (T + V+1)) for the top-1000 vocab (count DESC,
+            -- token ASC), OOV slot ln(1 / (T + V+1)); both pre-rounded to
+            -- 6 decimals (identical arithmetic to unigram_logprob_model)
+            WITH toks AS (
+                SELECT doc_id, token
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                    FROM documents
+                ) WHERE length(token) > 0
+            ), counts AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY 1
+            ), tot AS (
+                SELECT sum(c)::DOUBLE AS t FROM counts
+            ), vocab AS (
+                SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 1000
+            ), vk AS (
+                SELECT count(*)::DOUBLE AS v FROM vocab
+            ), model AS (
+                SELECT token, round(ln((c + 1.0) / (t + (v + 1))), 6) AS logp
+                FROM vocab, tot, vk
+            ), oov AS (
+                SELECT round(ln(1.0 / (t + (v + 1))), 6) AS logp FROM tot, vk
+            )
+            SELECT d.doc_id, count(*) AS n_tokens,
+                   round(-avg(coalesce(m.logp, o.logp)), 4) AS avg_neg_logp
+            FROM toks d LEFT JOIN model m USING (token), oov o
+            GROUP BY 1
         """,
         "f10_triple_accumulate": """
             SELECT user_id AS subject_id, event_type AS predicate,

@@ -492,7 +492,9 @@ def main() -> None:
             "metric": "kg_construct_e2e_sec",
             "value": total,
             "unit": "sec",
-            "queries": qtimes,
+            # 1-decimal in the line (≈66 queries must fit the tail capture;
+            # 2-decimal minimums are in qtimes/detail)
+            "queries": {k: (round(v, 1) if v >= 0 else v) for k, v in qtimes.items()},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "pipeline": {k: pipeline[k] for k in ("docs", "triples", "sec")}
             if pipeline

@@ -173,3 +173,76 @@ def repetition_stats(
         dup_word.alias("dup_word_frac"),
         dup_gram.alias(f"dup_{gram_n}gram_frac"),
     )
+
+
+def unigram_logprob_model(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """Build a Laplace-smoothed unigram log-prob model from the corpus —
+    the table a CCNet/Gopher-style LM quality filter scores against.
+
+    Returns (model, oov_logp): model = (token, logp) for the `vocab_size`
+    most frequent lowercase whitespace tokens (count DESC, token ASC
+    tie-break — deterministic), logp = ln((c + alpha) / (T + alpha·(V+1)))
+    rounded to 6 decimals so a SQL restatement reproduces it bit-for-bit
+    after rounding; oov_logp = ln(alpha / (T + alpha·(V+1))) (rounded 6),
+    the smoothing slot lm_quality_score assigns to out-of-vocab tokens.
+    T = total token count, V = vocabulary rows actually kept.
+
+    Scale: one explode + one partial-aggregated groupBy(token); the top-K
+    cut is a TakeOrdered (bounded by vocab_size, never a full sort of the
+    corpus); T and V are two scalars.
+    """
+    import math
+
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
+    vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    v_kept = vocab.count()
+    denom = float(total) + alpha * (v_kept + 1)
+    model = vocab.select(
+        "token", F.round(F.log((F.col("c") + F.lit(alpha)) / F.lit(denom)), 6).alias("logp")
+    )
+    return model, round(math.log(alpha / denom), 6)
+
+
+def lm_quality_score(
+    docs: DataFrame,
+    model: DataFrame,
+    oov_logp: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a unigram log-prob model: (doc_id,
+    n_tokens, avg_neg_logp) where avg_neg_logp is the mean negative
+    log-prob of the document's tokens (≈ log-perplexity; higher = less
+    like the model corpus — the CCNet head/middle/tail split thresholds
+    this). `oov_logp` is the log-prob assigned to out-of-vocab tokens
+    (ln(alpha / (T + alpha·(V+1))) for the matching model).
+
+    The model is a broadcast dimension (≤ vocab_size rows): the corpus
+    explodes map-side, joins without shuffling, and aggregates back to one
+    row per document — one shuffle on doc_id. Because model logp values
+    are pre-rounded, the per-doc average is an average of identical
+    doubles in any engine; the result is rounded to 4 decimals like every
+    cross-engine float in this repo."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    scored = toks.join(F.broadcast(model), "token", "left").select(
+        "doc_id", F.coalesce("logp", F.lit(round(oov_logp, 6))).alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
+    )

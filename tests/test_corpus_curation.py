@@ -233,3 +233,31 @@ def test_decontaminate_benchmark_broadcast_plan(spark):
     plan = plan_text(decontaminate(docs, bench, k=5))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lm_model_and_score_semantics(spark):
+    from kgraph_spark.operators.text_analysis import (
+        lm_quality_score,
+        unigram_logprob_model,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat", "en", 1),
+            (2, "the dog sat on the log", "en", 1),
+            (3, "zq xv qj zz yy ww", "en", 1),  # all rare/OOV-ish tokens
+        ],
+    )
+    model, oov = unigram_logprob_model(docs, vocab_size=4)
+    rows = {r["token"]: r["logp"] for r in model.collect()}
+    assert len(rows) == 4
+    assert "the" in rows  # most frequent token always in vocab
+    assert all(lp < 0 for lp in rows.values()) and oov < min(rows.values())
+    scored = {r["doc_id"]: r for r in lm_quality_score(docs, model, oov).collect()}
+    assert scored[1]["n_tokens"] == 6
+    # the OOV-heavy doc scores strictly worse (higher neg-logp)
+    assert scored[3]["avg_neg_logp"] > scored[1]["avg_neg_logp"]
+    # vocab cut is deterministic: rebuild gives identical logps
+    model2, oov2 = unigram_logprob_model(docs, vocab_size=4)
+    assert {r["token"]: r["logp"] for r in model2.collect()} == rows and oov2 == oov
