@@ -1555,6 +1555,36 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_text_normalize(spark, sf_dir):
+    """Crawl-style normalization: C0 control strip (JVM) then Unicode NFC
+    (Arrow pandas UDF). A decomposed accent (e + U+0301) and a BEL control
+    char are injected per doc so both steps fire; DuckDB's nfc_normalize
+    is the oracle's NFC reference."""
+    from kgraph_spark.operators.corpus_curation import normalize_text
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" cafe\u0301 bell\x07end"))
+    )
+    return normalize_text(docs)
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot delta between two deterministic corpus versions (old =
+    doc_id %5 != 0, new = %7 != 0 with %3 docs rewritten): one full-outer
+    join of 16-byte content digests → added/removed/changed/unchanged."""
+    from kgraph_spark.operators.corpus_curation import corpus_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet/Gopher-style LM quality scoring: build a Laplace-smoothed
     unigram log-prob model from the corpus (top-1000 vocab, deterministic
@@ -1650,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "det_shuffle": q_det_shuffle,
         "lm_perplexity": q_lm_perplexity,
+        "text_normalize": q_text_normalize,
+        "corpus_diff": q_corpus_diff,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -2072,6 +2104,36 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY md5(doc_id::VARCHAR || 'epoch1'), doc_id)
                        - 1 AS shuffle_rank
             FROM documents
+        """,
+        "text_normalize": """
+            -- same order as normalize_text: C0 strip first, then NFC;
+            -- injected suffix = ' cafe' + U+0301 + ' bell' + BEL + 'end'
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' cafe' || chr(769) || ' bell' || chr(7) || 'end' AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS text,
+                   nfc_normalize(regexp_replace(t,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) <> t AS changed
+            FROM d
+        """,
+        "corpus_diff": """
+            WITH old AS (
+                SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 5 <> 0
+            ), new AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS nh
+                FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT doc_id,
+                   CASE WHEN o.oh IS NULL THEN 'added'
+                        WHEN n.nh IS NULL THEN 'removed'
+                        WHEN o.oh <> n.nh THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old o FULL JOIN new n USING (doc_id)
         """,
         "lm_perplexity": """
             -- Laplace unigram model over the corpus itself: logp =

@@ -417,3 +417,65 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count_distinct("shingle").alias("n_contaminated_shingles"))
     )
+
+
+# C0 control characters except \t \n \r — the crawl-cleaning strip set.
+CONTROL_CHAR_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def normalize_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Crawl-style text normalization: strip C0 control characters (JVM
+    regexp, keeps \\t \\n \\r), then Unicode NFC composition (ftfy-lite —
+    decomposed accents, compatibility artifacts from PDF/OCR extraction).
+
+    Returns (doc_id, text [normalized], changed). NFC runs in an
+    Arrow-batched pandas UDF (Python's unicodedata is the reference NFC
+    implementation; DuckDB's nfc_normalize agrees byte-for-byte, which is
+    what the oracle checks). The strip stays JVM-side so the scan stage
+    filters cheap cases before Arrow transfer; both steps are map-only —
+    zero shuffle at any corpus size.
+    """
+    import pandas as pd  # noqa: F401 (type context for the UDF)
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    stripped = F.regexp_replace(F.col(text_col), CONTROL_CHAR_RE, "")
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_orig"),
+        _nfc(stripped).alias("text"),
+    )
+    return out.select(
+        "doc_id", "text", (F.col("text") != F.col("_orig")).alias("changed")
+    )
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Snapshot delta between two corpus versions (daily-crawl refresh):
+    one row per doc id in either version with status
+    added | removed | changed | unchanged (content compared by md5).
+
+    One co-partitioned full-outer join on the id — both sides shuffle
+    16-byte digests, never text. (On an Iceberg/lakehouse deployment the
+    added/removed split falls out of snapshot metadata for free; the
+    content-hash compare is what catches in-place rewrites either way.)
+    """
+    o = old.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_oh"))
+    n = new.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_nh"))
+    status = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, "doc_id", "full_outer").select("doc_id", status.alias("status"))

@@ -261,3 +261,82 @@ def test_lm_model_and_score_semantics(spark):
     # vocab cut is deterministic: rebuild gives identical logps
     model2, oov2 = unigram_logprob_model(docs, vocab_size=4)
     assert {r["token"]: r["logp"] for r in model2.collect()} == rows and oov2 == oov
+
+
+def test_normalize_text_nfc_and_control_strip(spark):
+    from kgraph_spark.operators.corpus_curation import normalize_text
+
+    docs = _docs(
+        spark,
+        [
+            (1, "café and\x07 bell", "en", 1),  # decomposed accent + BEL
+            (2, "already clean", "en", 1),
+            (3, "tab\tand\nnewline stay", "en", 1),  # \t \n survive the strip
+        ],
+    )
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["text"] == "café and bell" and out[1]["changed"]
+    assert out[2]["text"] == "already clean" and not out[2]["changed"]
+    assert out[3]["text"] == "tab\tand\nnewline stay" and not out[3]["changed"]
+
+
+def test_corpus_diff_statuses(spark):
+    from kgraph_spark.operators.corpus_curation import corpus_diff
+
+    old = _docs(spark, [(1, "a", "en", 1), (2, "b", "en", 1), (3, "c", "en", 1)])
+    new = _docs(spark, [(2, "b", "en", 1), (3, "c2", "en", 1), (4, "d", "en", 1)])
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_dedup_lines_idempotent(spark):
+    """A second dedup pass is a no-op: every surviving line is already the
+    global first occurrence of its text."""
+    from kgraph_spark.operators.corpus_curation import dedup_lines
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x\nSHARED\ny", "en", 1),
+            (2, "SHARED\nz\nz", "en", 1),
+            (3, "x\nq", "en", 1),
+        ],
+    )
+    once = dedup_lines(docs)
+    twice = dedup_lines(once.selectExpr("doc_id", "text", "'en' AS lang", "0 AS n_chars"))
+    a = {(r["doc_id"], r["text"]) for r in once.collect()}
+    b = {(r["doc_id"], r["text"]) for r in twice.collect()}
+    assert a == b
+
+
+def test_scrub_pii_composes_with_streaming(spark, tmp_path):
+    """scrub_pii is pure map-side expressions, so the SAME operator runs
+    unchanged on a structured stream (the batch function IS the streaming
+    function — no separate code path)."""
+    import uuid
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kgraph_spark.operators.corpus_curation import scrub_pii
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _docs(spark, [(1, "mail a@b.io now", "en", 1), (2, "clean", "en", 1)]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(indir))
+    stream = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, n_chars bigint"
+    ).parquet(str(indir))
+    table = f"pii_{uuid.uuid4().hex[:8]}"
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {table}").collect()}
+    assert got[1]["text"] == "mail <EMAIL> now" and got[1]["n_email"] == 1
+    assert got[2]["text"] == "clean" and got[2]["n_email"] == 0
