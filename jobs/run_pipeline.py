@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--checkpoint-dir", help="enable resumable sharded extraction under this dir")
     p.add_argument("--shards", type=int, default=8, help="extraction shards for --checkpoint-dir")
     p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument(
+        "--fail-after-shards",
+        type=int,
+        default=None,
+        help="TEST HOOK: die after N committed extraction shards (simulates "
+        "a killed job; rerun the same command to resume)",
+    )
     args = p.parse_args(argv)
 
     spark = build_session("kgraph-construct", args.shuffle_partitions)
@@ -103,7 +110,12 @@ def main(argv: list[str] | None = None) -> int:
         from kgraph_spark.lineage import checkpointed_pipeline
 
         triples = checkpointed_pipeline(
-            spark, docs, gaz_rows, args.checkpoint_dir, n_shards=args.shards
+            spark,
+            docs,
+            gaz_rows,
+            args.checkpoint_dir,
+            n_shards=args.shards,
+            fail_after=args.fail_after_shards,
         )
         write_bundle({"relationships": triples}, args.output)
         out = {

@@ -204,9 +204,21 @@ def unigram_logprob_model(
         )
         .filter(F.length("token") > 0)
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    # counts feeds three actions (total, vocab cut, model select) and the
+    # scorer's broadcast join replays vocab — pin both so the corpus-wide
+    # explode+groupBy runs once; counts is vocabulary-sized, vocab is
+    # k-bounded
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("c").alias("t")).collect()[0]["t"] or 0
-    vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    vocab = (
+        counts.orderBy(F.col("c").desc(), F.col("token"))
+        .limit(vocab_size)
+        .localCheckpoint(eager=False)
+    )
     v_kept = vocab.count()
     denom = float(total) + alpha * (v_kept + 1)
     model = vocab.select(
