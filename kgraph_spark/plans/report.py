@@ -226,6 +226,30 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    from kgraph_spark.operators.corpus_curation import normalize_text
+    from kgraph_spark.operators.text_analysis import (
+        lm_quality_score,
+        unigram_logprob_model,
+    )
+
+    norm = normalize_text(curation_docs)
+    sections.append((
+        "Text normalization — JVM control-strip feeds one Arrow python "
+        "eval; map-only, zero exchanges at any corpus size",
+        _plan(norm),
+        ["ArrowEvalPython", "!Exchange"],
+    ))
+
+    lm_model, lm_oov = unigram_logprob_model(curation_docs, vocab_size=1000)
+    lm = lm_quality_score(curation_docs, lm_model, lm_oov)
+    sections.append((
+        "LM perplexity scoring — the vocab model joins as a broadcast "
+        "dimension (corpus tokens never shuffle for the lookup); the only "
+        "exchange is the per-doc aggregation on doc_id",
+        _plan(lm),
+        ["BroadcastHashJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
