@@ -95,8 +95,11 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     if args.synth is not None:
         docs = synth.documents_df(spark, args.synth)
+        n_docs = args.synth  # known by construction — no extra pass
     else:
         docs = spark.read.parquet(args.input)
+        # parquet count() is metadata-only (row-group stats), not a rescan
+        n_docs = docs.count()
 
     if args.gazetteer:
         gaz_rows = [
@@ -119,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         write_bundle({"relationships": triples}, args.output)
         out = {
-            "docs": docs.count(),
+            "docs": n_docs,
             "triples": triples.count(),
             "entities": None,
             "sec": round(time.time() - t0, 2),
@@ -130,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
         result = run_pipeline(spark, docs, gaz_rows)
         manifest = write_bundle(result.tables, args.output)
         out = {
-            "docs": docs.count(),
+            "docs": n_docs,
             "triples": manifest["counts"].get("relationships"),
             "entities": manifest["counts"].get("entities"),
             "sec": round(time.time() - t0, 2),

@@ -75,8 +75,11 @@ def near_dup_keep_best(
         "_q",
         F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
     )
+    # null quality must LOSE the election (struct comparison would sort a
+    # null field first and crown the null-quality doc): map it to +inf
+    nq = F.coalesce((-F.col("_q")).cast("double"), F.lit(float("inf")))
     keepers = clustered.groupBy("cluster_id").agg(
-        F.min(F.struct((-F.col("_q")).alias("nq"), F.col("doc_id").alias("id")))
+        F.min(F.struct(nq.alias("nq"), F.col("doc_id").alias("id")))
         .getField("id")
         .alias("keeper_doc_id")
     )
@@ -94,8 +97,10 @@ def _hex_threshold(rate: float, digits: int = 6) -> str:
     keys. rate >= 1 returns a sentinel above every hex string."""
     if rate >= 1.0:
         return "g" * digits  # 'g' > 'f': compares above every hex digest
-    n = max(0, min(16**digits, round(rate * 16**digits)))
-    return format(n, f"0{digits}x")
+    n = round(rate * 16**digits)
+    if n >= 16**digits:  # rate within rounding of 1.0: formatting it would
+        return "g" * digits  # produce a 7-char string that sorts BELOW most
+    return format(max(0, n), f"0{digits}x")  # 6-char digests (~6% kept)
 
 
 def stratified_sample(
@@ -158,17 +163,21 @@ def pack_sequences(
     """
     spark = docs.sparkSession
     n = num_chunks or spark.sparkContext.defaultParallelism * 2
+    id_type = dict(docs.dtypes)[id_col]  # schema follows the real id type
     cols = [
         F.col(stratum_col).cast("string").alias("stratum"),
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(weight_col).cast("long"), F.lit(0)).alias("w"),
     ]
     okeys = ["stratum", "doc_id"]
-    schema = "stratum string, doc_id bigint, w long, _pid int, _local_cum long"
+    schema = f"stratum string, doc_id {id_type}, w long, _pid int, _local_cum long"
     if order_col is not None:
         cols.append(F.col(order_col).cast("string").alias("_ord"))
         okeys = ["stratum", "_ord", "doc_id"]
-        schema = "stratum string, doc_id bigint, w long, _ord string, _pid int, _local_cum long"
+        schema = (
+            f"stratum string, doc_id {id_type}, w long, _ord string, "
+            "_pid int, _local_cum long"
+        )
     base = docs.select(*cols)
     part = (
         base.repartitionByRange(n, *okeys)
@@ -454,7 +463,11 @@ def normalize_text(
         _nfc(stripped).alias("text"),
     )
     return out.select(
-        "doc_id", "text", (F.col("text") != F.col("_orig")).alias("changed")
+        "doc_id",
+        "text",
+        # null-safe: a NULL-text row is "unchanged", not changed=NULL (which
+        # a downstream filter(~changed) would silently drop)
+        (~F.col("text").eqNullSafe(F.col("_orig"))).alias("changed"),
     )
 
 
@@ -470,12 +483,23 @@ def corpus_diff(
     added/removed split falls out of snapshot metadata for free; the
     content-hash compare is what catches in-place rewrites either way.)
     """
-    o = old.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_oh"))
-    n = new.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_nh"))
+    # presence flags, NOT hash nullness, decide added/removed — a NULL-text
+    # row present in both snapshots must not read as churn; the hash
+    # compare is null-safe for the same reason
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("_oh"),
+        F.lit(1).alias("_ohas"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("_nh"),
+        F.lit(1).alias("_nhas"),
+    )
     status = (
-        F.when(F.col("_oh").isNull(), F.lit("added"))
-        .when(F.col("_nh").isNull(), F.lit("removed"))
-        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+        F.when(F.col("_ohas").isNull(), F.lit("added"))
+        .when(F.col("_nhas").isNull(), F.lit("removed"))
+        .when(~F.col("_oh").eqNullSafe(F.col("_nh")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, "doc_id", "full_outer").select("doc_id", status.alias("status"))

@@ -64,11 +64,16 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     toks = F.split(F.trim(txt), r"\s+")
     n_tokens = F.size(toks)
     sw = F.array(*[F.lit(w) for w in STOPWORDS])
-    stopword_ratio = F.size(
-        F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))
-    ) / n_tokens
-    alpha_ratio = alpha / n
-    punct_ratio = punct / n
+    # zero-length guards: Spark 4 runs ANSI mode by default, where an
+    # unguarded x/0 aborts the whole job on the first empty-text crawl row
+    # (routine in web data). Empty docs score 0 on every ratio. The DuckDB
+    # oracle corpus has no empty docs, so oracle parity is unaffected.
+    stopword_ratio = F.when(
+        n_tokens > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
     return docs.select(
         F.col(id_col),
         alpha_ratio.alias("alpha_ratio"),

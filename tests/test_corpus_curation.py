@@ -340,3 +340,64 @@ def test_scrub_pii_composes_with_streaming(spark, tmp_path):
     got = {r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {table}").collect()}
     assert got[1]["text"] == "mail <EMAIL> now" and got[1]["n_email"] == 1
     assert got[2]["text"] == "clean" and got[2]["n_email"] == 0
+
+
+# ------------------------------------------------- review-fix regressions
+def test_quality_score_empty_text_does_not_crash_ansi(spark):
+    """Spark 4 ANSI mode: unguarded x/0 aborts the job on an empty doc."""
+    from kgraph_spark.operators.text_analysis import quality_score
+
+    out = quality_score(_docs(spark, [(1, "", "en", 0), (2, "real words", "en", 10)]))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["alpha_ratio"] == 0.0 and rows[1]["punct_ratio"] == 0.0
+    assert rows[1]["stopword_ratio"] == 0.0
+    assert rows[2]["alpha_ratio"] > 0
+
+
+def test_pack_and_shuffle_accept_string_ids(spark):
+    from kgraph_spark.operators.corpus_curation import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"DOC{i:03d}", "t", "en", 10) for i in range(40)],
+        "doc_id string, text string, lang string, n_chars bigint",
+    )
+    packed = {r["doc_id"]: r["seq_id"] for r in pack_sequences(docs, budget=100).collect()}
+    assert len(packed) == 40 and packed["DOC000"] == 0
+    ranks = sorted(r["shuffle_rank"] for r in deterministic_shuffle(docs).collect())
+    assert ranks == list(range(40))
+
+
+def test_keep_best_null_quality_loses(spark):
+    from kgraph_spark.operators.corpus_curation import near_dup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 100)], "doc_id bigint, n_chars bigint"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    out = {r["doc_id"]: r["keeper_doc_id"] for r in near_dup_keep_best(docs, pairs).collect()}
+    assert out == {1: 2, 2: 2}  # the real-quality doc wins
+
+
+def test_hex_threshold_near_one_keeps_everything():
+    assert _hex_threshold(1 - 1e-9) == "gggggg"  # not the 7-char '1000000'
+
+
+def test_corpus_diff_null_text_is_not_churn(spark):
+    from kgraph_spark.operators.corpus_curation import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, None)], "doc_id bigint, text string")
+    new = spark.createDataFrame([(1, "x"), (2, None)], "doc_id bigint, text string")
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_normalize_text_null_text_unchanged(spark):
+    from kgraph_spark.operators.corpus_curation import normalize_text
+
+    out = normalize_text(
+        spark.createDataFrame([(1, None)], "doc_id bigint, text string")
+    ).collect()[0]
+    assert out["text"] is None and out["changed"] is False
