@@ -1585,6 +1585,28 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (k=5 word-grams, window=4): the
+    passage-level dedup primitive — map-only, zero shuffle, selections
+    restated exactly in the DuckDB oracle via the md5 sortable-key trick."""
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return winnow_fingerprints(docs, k=5, window=4)
+
+
+def q_winnow_passages(spark, sf_dir):
+    """Cross-document shared-passage pairs over winnowed fingerprints —
+    detects copied passages inside otherwise-different documents, the case
+    whole-document MinHash dilutes away. Inverted-index join on the 8-byte
+    fp, df-capped, per-(doc,fp) deduped before pairing."""
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints, winnow_passage_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    return winnow_passage_pairs(fps, min_shared=2)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet/Gopher-style LM quality scoring: build a Laplace-smoothed
     unigram log-prob model from the corpus (top-1000 vocab, deterministic
@@ -1682,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "text_normalize": q_text_normalize,
         "corpus_diff": q_corpus_diff,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "winnow_passages": q_winnow_passages,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -2134,6 +2158,68 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.oh <> n.nh THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM old o FULL JOIN new n USING (doc_id)
+        """,
+        "winnow_fingerprint": """
+            -- winnowing selections restated exactly: sortable key =
+            -- hex15(md5(gram)) ++ lpad(99999999 - pos) so string min ==
+            -- (min hash, rightmost pos); windows/slices clamp identically
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents WHERE doc_id < 500
+            ), g AS (
+                SELECT doc_id,
+                    CASE WHEN len(t) >= 5 THEN
+                        list_transform(range(0, len(t) - 5 + 1), i ->
+                            substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15) ||
+                            lpad((99999999 - i)::VARCHAR, 8, '0'))
+                    ELSE []::VARCHAR[] END AS hs
+                FROM base
+            ), sel AS (
+                SELECT doc_id, unnest(list_distinct(
+                    list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+                                   j -> list_min(hs[j+1:j+4])))) AS s
+                FROM g WHERE len(hs) > 0
+            )
+            SELECT doc_id,
+                   ('0x' || substr(s, 1, 15))::BIGINT AS fp,
+                   99999999 - substr(s, 16, 8)::BIGINT AS pos
+            FROM sel
+        """,
+        "winnow_passages": """
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents WHERE doc_id < 500
+            ), g AS (
+                SELECT doc_id,
+                    CASE WHEN len(t) >= 5 THEN
+                        list_transform(range(0, len(t) - 5 + 1), i ->
+                            substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15) ||
+                            lpad((99999999 - i)::VARCHAR, 8, '0'))
+                    ELSE []::VARCHAR[] END AS hs
+                FROM base
+            ), fp AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(s, 1, 15))::BIGINT AS fp
+                FROM (
+                    SELECT doc_id, unnest(list_distinct(
+                        list_transform(range(0, greatest(len(hs) - 4, 0) + 1),
+                                       j -> list_min(hs[j+1:j+4])))) AS s
+                    FROM g WHERE len(hs) > 0
+                )
+            ), rare AS (
+                SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 10000
+            ), fps AS (
+                SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp)
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared_fps
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "lm_perplexity": """
             -- Laplace unigram model over the corpus itself: logp =

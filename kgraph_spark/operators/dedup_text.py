@@ -182,6 +182,93 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard).select("doc_a", "doc_b", "jaccard")
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) —
+    passage-level document fingerprints: (doc_id, fp, pos).
+
+    Positional word k-grams → 60-bit md5 hash per gram → in every window of
+    `window` consecutive gram hashes select the minimum (ties → RIGHTMOST
+    position, the classic rule that keeps selections stable under extension).
+    Guarantee: any shared token run of length ≥ window+k-1 between two
+    documents contributes at least one identical selected fingerprint;
+    expected density of selections is 2/(window+1). This catches *copied
+    passages* inside otherwise-different documents — the case whole-document
+    MinHash/SimHash dilutes away.
+
+    Tie-break without a struct: each gram is keyed by the sortable string
+    `hex15(md5(gram)) ++ zero-padded (99999999 - pos)` — lexicographic min
+    on fixed-width text == (min hash, max pos). md5 is bit-identical across
+    engines, so the driver's DuckDB oracle recomputes selections exactly.
+
+    Scale: everything is per-row array expressions inside the scan stage —
+    ZERO shuffle, no window function, no per-doc sort; a 100-TB corpus
+    fingerprints in one map-only pass (the alternative posexplode +
+    Window(partitionBy doc ORDER BY pos) form shuffles every gram of every
+    document). Docs shorter than k tokens emit no rows; docs with fewer
+    than `window` grams emit the single global-min fingerprint."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    gidx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hs = F.transform(
+        gidx,
+        lambda i: F.concat(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 15),
+            F.lpad((F.lit(99_999_999) - i).cast("string"), 8, "0"),
+        ),
+    )
+    ng = F.size(hs)
+    widx = F.when(ng > 0, F.sequence(F.lit(0), F.greatest(ng - window, F.lit(0)))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sel = F.array_distinct(F.transform(widx, lambda j: F.array_min(F.slice(hs, j + 1, window))))
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(sel).alias("_s")).select(
+        "doc_id",
+        F.conv(F.substring("_s", 1, 15), 16, 10).cast("long").alias("fp"),
+        (F.lit(99_999_999) - F.substring("_s", 16, 8).cast("long")).alias("pos"),
+    )
+
+
+def winnow_passage_pairs(
+    fps: DataFrame, min_shared: int = 2, max_fp_df: int | None = 10_000
+) -> DataFrame:
+    """Cross-document shared-passage pairs over winnowed fingerprints:
+    (doc_a, doc_b, shared_fps) for pairs sharing ≥ min_shared distinct
+    selected fingerprints.
+
+    Inverted-index self-join on the 8-byte fp — the same bounded-join shape
+    as ngram_jaccard_pairs, never all-pairs. max_fp_df caps the document
+    frequency of fingerprints used for pairing (a boilerplate passage shared
+    by k docs would emit k²/2 pair rows; at the default cap that is bounded
+    per fp and the survivors still pair on their rarer passages). Fingerprint
+    sets are deduped per (doc, fp) BEFORE the join, so a passage repeated
+    inside one document cannot multiply pair rows."""
+    fpset = fps.select("doc_id", "fp").distinct()
+    if max_fp_df is not None:
+        rare = (
+            fpset.groupBy("fp")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_fp_df)
+            .select("fp")
+        )
+        fpset = fpset.join(rare, "fp", "left_semi")
+    a = fpset.alias("a")
+    b = fpset.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash_fn: str = "xxhash64") -> DataFrame:
     """SimHash over whitespace tokens: per-bit vote of token hashes.
 

@@ -197,6 +197,87 @@ def test_lsh_candidate_pair_dedup_is_ids_only(spark):
     assert all("sig" not in cols for cols in dedup_aggs), dedup_aggs
 
 
+def test_winnow_shared_passage_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a token run of length
+    ≥ window+k-1 (= 8 here) share at least one selected fingerprint, even
+    when the rest of the documents is disjoint — the passage-level case
+    whole-document MinHash dilutes away."""
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints, winnow_passage_pairs
+
+    passage = " ".join(f"shared{i}" for i in range(8))
+    doc_a = " ".join(f"aa{i}" for i in range(40)) + " " + passage
+    doc_b = passage + " " + " ".join(f"bb{i}" for i in range(40))
+    doc_c = " ".join(f"cc{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in winnow_passage_pairs(fps, min_shared=1).collect()}
+    assert pairs == {(1, 2)}
+    # density sanity: ~2/(w+1) of grams selected, never more than gram count
+    n_grams = 41 + 8 - 5 + 1
+    assert 1 <= len(by_doc[1]) <= n_grams
+
+
+def test_winnow_tie_break_and_short_docs(spark):
+    """Ties (identical grams in one window) select the RIGHTMOST position;
+    docs shorter than k emit nothing; docs with fewer than `window` grams
+    emit their single global min."""
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 8)),   # 4 identical grams, one window
+            (2, "too short"),            # < k tokens: no grams
+            (3, " ".join(f"t{i}" for i in range(6))),  # 2 grams < window
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(docs, k=5, window=4).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append((r["fp"], r["pos"]))
+    assert [p for _, p in got[1]] == [3], "all-equal window must keep rightmost pos"
+    assert 2 not in got
+    assert len(got[3]) == 1 and got[3][0][1] in (0, 1)
+
+
+def test_winnow_fingerprints_map_only_plan(spark):
+    """The fingerprint pass is ZERO-shuffle: per-row array expressions in
+    the scan stage — no Exchange anywhere in the plan (the posexplode +
+    Window(partitionBy doc) alternative would shuffle every gram)."""
+    from conftest import plan_text
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, " ".join(["x"] * 30))], "doc_id long, text string")
+    plan = plan_text(winnow_fingerprints(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_passage_pairs_distinct_per_doc_fp(spark):
+    """A passage repeated N times inside one document must not multiply
+    pair rows: fingerprint sets are deduped per (doc, fp) before the join,
+    so shared_fps counts DISTINCT shared fingerprints."""
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints, winnow_passage_pairs
+
+    passage = " ".join(f"p{i}" for i in range(8))
+    filler = " ".join(f"f{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, passage + " " + filler + " " + passage), (2, passage)],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4)
+    out = winnow_passage_pairs(fps, min_shared=1).collect()
+    assert len(out) == 1
+    doc2_fps = fps.filter("doc_id = 2").select("fp").distinct().count()
+    assert out[0]["shared_fps"] <= doc2_fps
+
+
 def test_simhash_hamming_near_dups(spark):
     from kgraph_spark.operators.dedup_text import simhash, simhash_near_dups
 
