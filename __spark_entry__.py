@@ -1607,6 +1607,60 @@ def q_winnow_passages(spark, sf_dir):
     return winnow_passage_pairs(fps, min_shared=2)
 
 
+def q_semantic_sample(spark, sf_dir):
+    """Cluster-stratified diversity sampling (SemDeDup-shape curation):
+    IVF-cell assignment over the embedding column, then a deterministic
+    md5-rank keep of ≤20 items per cell. Same restatable quantizer as
+    ann_ivf_topk (centroids = 8 smallest vec_ids; kmeans_refine is the
+    production codebook seam)."""
+    from kgraph_spark.operators.corpus_curation import semantic_cluster_sample
+    from kgraph_spark.operators.similarity import deterministic_centroids
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = deterministic_centroids(emb, 8)
+    return semantic_cluster_sample(emb, cents, per_cell=20, salt="divsample")
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Daily-crawl-vs-history incremental dedup: Bloom sketch of the old
+    corpus broadcast + map-only probe, exact broadcast-confirm on the
+    maybe-old rows. The sketch is deliberately undersized here (2^15 bits,
+    3 hashes → a few % FPR at sf0.01) so the false-positive confirm path
+    does real work; the oracle is the exact NOT EXISTS — equality proves
+    stage 2 removes every FP and stage 1 drops no true new row."""
+    from kgraph_spark.operators.corpus_curation import incremental_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return incremental_dedup(new, old, n_bits=1 << 15, n_hashes=3)
+
+
+def q_incremental_near_dup(spark, sf_dir):
+    """Fuzzy incremental dedup: each NEW document (doc_id %5 == 0) gets a
+    verdict against the HISTORY (%5 != 0) — near_dup + deterministic best
+    match (max est_jaccard, then smallest old id). Asymmetric LSH: every
+    join streams the history against broadcast new-side data; est = n/64
+    is an exact binary fraction, so the cross-engine compare is float-safe."""
+    from kgraph_spark.operators.dedup_text import incremental_near_dup
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    out = incremental_near_dup(new, old, threshold=0.5, hash_fn="md5")
+    return out.select(
+        "doc_id", "near_dup", "matched_old",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet/Gopher-style LM quality scoring: build a Laplace-smoothed
     unigram log-prob model from the corpus (top-1000 vocab, deterministic
@@ -1706,6 +1760,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "winnow_fingerprint": q_winnow_fingerprint,
         "winnow_passages": q_winnow_passages,
+        "semantic_sample": q_semantic_sample,
+        "incremental_dedup": q_incremental_dedup,
+        "incremental_near_dup": q_incremental_near_dup,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -2220,6 +2277,87 @@ def oracle_sql() -> dict[str, str]:
             FROM fps a JOIN fps b
               ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "incremental_dedup": """
+            WITH old AS (
+                SELECT md5(coalesce(text, '')) AS h
+                FROM documents WHERE doc_id % 5 <> 0
+            ), new AS (
+                SELECT doc_id,
+                       md5(coalesce(CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                                         ELSE text END, '')) AS content_hash
+                FROM documents WHERE doc_id % 7 <> 0
+            )
+            SELECT doc_id, content_hash FROM new n
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.content_hash)
+        """,
+        "incremental_near_dup": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 500
+            ), sh AS (
+                SELECT DISTINCT doc_id, gram AS shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(t) - 3, 0) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+                    FROM toks
+                )
+                WHERE length(gram) > 0
+            ), sig AS (
+                SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id
+            ), sigl AS (
+                SELECT doc_id, [{mh_cols}] AS sig FROM sig
+            ), banded AS (
+                SELECT doc_id, sig, b,
+                       array_to_string(sig[4*b+1:4*b+4], ',') AS bkey
+                FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+            ), cand AS (
+                SELECT DISTINCT n.doc_id AS doc_id, o.doc_id AS old_doc_id,
+                       n.sig AS sig_n, o.sig AS sig_o
+                FROM banded n JOIN banded o ON n.b = o.b AND n.bkey = o.bkey
+                WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+            ), est AS (
+                SELECT doc_id, old_doc_id,
+                       len(list_filter(range(1, 65), i -> sig_n[i] = sig_o[i])) / 64.0 AS ej
+                FROM cand
+            ), best AS (
+                SELECT doc_id, old_doc_id, ej,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY ej DESC, old_doc_id) AS rn
+                FROM est WHERE ej >= 0.5
+            )
+            SELECT d.doc_id,
+                   b.old_doc_id IS NOT NULL AS near_dup,
+                   b.old_doc_id AS matched_old,
+                   round(b.ej, 6) AS est_jaccard
+            FROM (SELECT doc_id FROM documents
+                  WHERE doc_id < 500 AND doc_id % 5 = 0) d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        """,
+        "semantic_sample": """
+            -- same quantizer restatement as ann_ivf_topk (cells CTE), then
+            -- per-cell md5-rank keep — deterministic stratified selection
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8
+            ), asg AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cid) AS rn
+                FROM e CROSS JOIN cent c
+            ), cells AS (
+                SELECT vec_id, cid AS cell FROM asg WHERE rn = 1
+            ), ranked AS (
+                SELECT vec_id, cell,
+                       count(*) OVER (PARTITION BY cell) AS cell_size,
+                       row_number() OVER (PARTITION BY cell
+                           ORDER BY md5(vec_id::VARCHAR || 'divsample'), vec_id) AS rank
+                FROM cells
+            )
+            SELECT vec_id, cell, cell_size, rank FROM ranked WHERE rank <= 20
         """,
         "lm_perplexity": """
             -- Laplace unigram model over the corpus itself: logp =

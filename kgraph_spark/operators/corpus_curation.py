@@ -41,6 +41,7 @@ over an exploded scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -469,6 +470,171 @@ def normalize_text(
         # a downstream filter(~changed) would silently drop)
         (~F.col("text").eqNullSafe(F.col("_orig"))).alias("changed"),
     )
+
+
+def semantic_cluster_sample(
+    items: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+) -> DataFrame:
+    """Cluster-stratified diversity sampling over an embedding column
+    (the SemDeDup / cluster-balanced selection shape): assign every item to
+    its nearest centroid cell, then keep at most `per_cell` items per cell,
+    chosen by content-hash rank — deterministic, engine-portable, and
+    resumable (a kept item stays kept when the corpus grows, unlike rand()).
+
+    Returns (id, cell, cell_size, rank) for the kept rows. cell_size is the
+    pre-sampling cluster population — the caller's signal for rebalancing
+    budgets across semantic regions.
+
+    Scale: assignment is the IVF coarse-quantizer pass (operators/
+    similarity.py assign_cells — per-row JVM expressions, map-only; swap in
+    assign_cells_np for large nlist). The only shuffle keys on `cell`;
+    cell count grows with the corpus under the usual nlist ≈ √n sizing, so
+    cells are not a fixed-k skew hazard, and the per-cell sort behind
+    row_number is bounded by quantizer granularity. Centroids come from
+    deterministic_centroids / kmeans_refine (Lloyd) — k×dim driver-side,
+    broadcast into the expression."""
+    from pyspark.sql import Window
+
+    from kgraph_spark.operators.similarity import assign_cells
+
+    cells = assign_cells(items.select(F.col(id_col), F.col(vec_col)), centroids, vec_col)
+    digest = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("cell").orderBy(digest.asc(), F.col(id_col).asc())
+    ranked = cells.select(
+        F.col(id_col),
+        "cell",
+        F.count("*").over(Window.partitionBy("cell")).cast("long").alias("cell_size"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= per_cell)
+
+
+def _bloom_positions(digest_col, n_bits: int, n_hashes: int):
+    """array<long> of Bloom bit positions for a digest column — k seeded
+    xxhash64 values mod n_bits, computed JVM-side so the Python side only
+    ever touches bit lookups."""
+    return F.array(
+        *[F.pmod(F.xxhash64(digest_col, F.lit(seed)), F.lit(n_bits)) for seed in range(n_hashes)]
+    )
+
+
+def build_bloom(
+    hashes: DataFrame, col: str, n_bits: int = 1 << 23, n_hashes: int = 5
+) -> bytes:
+    """Distributed Bloom sketch of a hash column: each partition folds its
+    rows into a local n_bits/8-byte numpy bitmap (Arrow-batched
+    mapInPandas), the driver OR-merges one bitmap per partition — the
+    treeAggregate shape, never the rows themselves. Invariant under
+    repartitioning (OR is commutative).
+
+    Sizing: n_bits ≈ 10 bits/item keeps FPR ≈ 1%; at 10B historical docs
+    that is a ~1.5 GB sketch — still one broadcast, but shard by digest
+    prefix (one sketch per shard, probed by the matching prefix) before
+    reaching for that scale. False positives only cost stage-2 work in
+    incremental_dedup; false negatives are impossible."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    nbytes = n_bits // 8
+    pos_df = hashes.select(_bloom_positions(F.col(col), n_bits, n_hashes).alias("pos"))
+
+    def fold(batches):
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            for arr in b["pos"]:
+                idx = np.asarray(arr, dtype=np.int64)
+                np.bitwise_or.at(bm, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+                seen = True
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = pos_df.mapInPandas(fold, T.StructType([T.StructField("bm", T.BinaryType())]))
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts.collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    broadcast_max_survivors: int = 5_000_000,
+) -> DataFrame:
+    """Rows of `new_docs` whose content does NOT appear in the historical
+    corpus `old_docs` — the daily-crawl-vs-everything-so-far dedup. Returns
+    (id, content_hash) for the genuinely-new rows; result is EXACT.
+
+    Two stages:
+    1. Bloom split — a sketch of the old corpus' 16-byte content digests
+       (build_bloom) is broadcast and probed map-only. Bloom has no false
+       negatives, so rows FAILING the probe are *certainly* new and skip
+       stage 2 entirely; rows passing it ("maybe-old" — the bulk of a
+       steady-state re-crawl, plus an FPR-sized sliver of genuinely-new
+       rows) go on to the exact confirm.
+    2. Exact confirm on the maybe-old rows — a daily snapshot is orders of
+       magnitude below the history, so the maybe-old digest set is
+       broadcast TWICE instead of shuffling the old corpus: old is scanned
+       once with a broadcast semi-join probe (hits = old digests matching
+       a maybe-old row, |hits| ≤ |new|), then maybe-old anti-joins the
+       broadcast hit set — the false positives fall out here. The 100-TB
+       historical corpus never shuffles and is never a build side. A
+       maybe-old set too big to broadcast (a corpus-sized snapshot) falls
+       back to the plain shuffle anti-join — the honest cost when the
+       delta really is corpus-sized.
+
+    Intra-snapshot duplicates inside new_docs are out of scope (that is
+    exact_duplicates); a content present twice in new_docs and absent from
+    old_docs survives twice, matching the SQL `WHERE hash NOT IN old`."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    # NULL text hashes as the empty string (both stages need a non-null
+    # digest: the Bloom position array cannot carry nulls, and anti-join /
+    # NOT EXISTS null semantics would diverge between engines otherwise)
+    new_h = new_docs.select(
+        F.col(id_col), F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash")
+    )
+    old_h = old_docs.select(
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash")
+    )
+
+    bloom = build_bloom(old_h, "content_hash", n_bits=n_bits, n_hashes=n_hashes)
+    bc = new_docs.sparkSession.sparkContext.broadcast(bloom)
+
+    @pandas_udf(T.BooleanType())
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        idx = np.stack(pos.to_numpy())  # (rows, n_hashes) int64
+        bits = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    probed = new_h.withColumn(
+        "_maybe_old", might_contain(_bloom_positions(F.col("content_hash"), n_bits, n_hashes))
+    ).persist()
+    definite_new = probed.filter(~F.col("_maybe_old")).select(id_col, "content_hash")
+    maybe = probed.filter(F.col("_maybe_old")).select(id_col, "content_hash")
+
+    if maybe.limit(broadcast_max_survivors + 1).count() > broadcast_max_survivors:
+        confirmed = maybe.join(old_h, "content_hash", "left_anti")
+    else:
+        mset = maybe.select("content_hash").distinct()
+        hits = old_h.join(broadcast(mset), "content_hash", "left_semi").distinct()
+        confirmed = maybe.join(broadcast(hits), "content_hash", "left_anti")
+    return definite_new.unionByName(confirmed.select(id_col, "content_hash"))
 
 
 def corpus_diff(

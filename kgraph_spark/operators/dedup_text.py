@@ -88,18 +88,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
     (doc_a, doc_b) dedup; each re-join key is unique on the sigs side, so
     there is no row blowup and each signature crosses the wire once per
     surviving pair."""
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))),
-                    b,
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = _banded(sigs, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -122,6 +111,104 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
     matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     return pairs.select(
         "doc_a", "doc_b", (matches / F.size("sig_a")).alias("est_jaccard")
+    )
+
+
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH banding projection shared by
+    the symmetric self-join and the asymmetric new-vs-history probe."""
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice("sig", b * rows_per_band + 1, rows_per_band), lambda v: v.cast("string"))),
+                    b,
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs_against(
+    new_sigs: DataFrame, old_sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Asymmetric LSH: near-dup candidates of NEW documents against a
+    HISTORICAL signature table — the fuzzy twin of incremental_dedup
+    (corpus_curation.py). Returns (doc_id, old_doc_id, est_jaccard), one
+    row per (new, old) candidate pair.
+
+    Shuffle discipline: the snapshot is orders of magnitude below the
+    history, so every join streams the OLD side against a BROADCAST of
+    new-side data — banded new rows, then the deduped candidate pairs,
+    then pairs+new-sig. The historical table is scanned, never shuffled,
+    never a build side; at 100 TB you persist `minhash_signatures(old)`
+    once (bucketed by doc_id) and pay only the banding projection per
+    snapshot."""
+    from pyspark.sql.functions import broadcast
+
+    new_banded = _banded(new_sigs, bands, rows_per_band)
+    old_banded = _banded(old_sigs, bands, rows_per_band).select(
+        F.col("doc_id").alias("old_doc_id"), "band_idx", "band_hash"
+    )
+    pairs = (
+        old_banded.join(broadcast(new_banded), ["band_idx", "band_hash"])
+        .select("doc_id", "old_doc_id")
+        .distinct()
+    )
+    with_new = pairs.join(broadcast(new_sigs.select("doc_id", F.col("sig").alias("sig_new"))), "doc_id")
+    both = old_sigs.select(F.col("doc_id").alias("old_doc_id"), F.col("sig").alias("sig_old")).join(
+        broadcast(with_new), "old_doc_id"
+    )
+    matches = F.size(F.filter(F.zip_with("sig_new", "sig_old", lambda x, y: x == y), lambda v: v))
+    return both.select(
+        "doc_id", "old_doc_id", (matches / F.size("sig_new")).alias("est_jaccard")
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-NEW-document verdict against the historical corpus: one row per
+    new document — (doc_id, near_dup, matched_old, est_jaccard) where
+    near_dup says some historical document estimates ≥ threshold and
+    (matched_old, est_jaccard) is the deterministic best match (max est,
+    then smallest old id; NULLs for clean documents). The incremental form
+    of near_dup_keep_best's detection stage: yesterday's corpus is already
+    deduped, so only new×old pairs need scoring — new×new is a separate
+    intra-snapshot pass (lsh_candidate_pairs)."""
+    if id_col != "doc_id":
+        new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
+        old_docs = old_docs.withColumnRenamed(id_col, "doc_id")
+    new_sigs = minhash_signatures(
+        shingles(new_docs, text_col=text_col, k=k), num_hashes=num_hashes, hash_fn=hash_fn
+    )
+    old_sigs = minhash_signatures(
+        shingles(old_docs, text_col=text_col, k=k), num_hashes=num_hashes, hash_fn=hash_fn
+    )
+    cand = lsh_candidate_pairs_against(new_sigs, old_sigs, bands, rows_per_band).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("est_jaccard")).alias("ne"), F.col("old_doc_id").alias("oid"))).alias("_b")
+    )
+    from pyspark.sql.functions import broadcast
+
+    return new_docs.select("doc_id").distinct().join(broadcast(best), "doc_id", "left").select(
+        "doc_id",
+        F.col("_b").isNotNull().alias("near_dup"),
+        F.col("_b.oid").alias("matched_old"),
+        (-F.col("_b.ne")).alias("est_jaccard"),
     )
 
 

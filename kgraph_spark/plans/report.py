@@ -250,6 +250,42 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    from kgraph_spark.operators.dedup_text import winnow_fingerprints
+    from kgraph_spark.operators.corpus_curation import incremental_dedup
+
+    wf = winnow_fingerprints(curation_docs)
+    sections.append((
+        "Winnowing fingerprints — per-row array expressions in the scan "
+        "stage: ZERO exchanges (no per-gram explode+Window shuffle); a "
+        "100-TB corpus fingerprints in one map-only pass",
+        _plan(wf),
+        ["!Exchange"],
+    ))
+
+    inc_old = curation_docs.filter("doc_id % 5 != 0")
+    inc_new = curation_docs.filter("doc_id % 7 != 0")
+    inc = incremental_dedup(inc_new, inc_old, n_bits=1 << 15, n_hashes=3)
+    sections.append((
+        "Incremental dedup — Bloom probe is map-only ArrowEvalPython; the "
+        "exact confirm is broadcast-only (the historical corpus is never "
+        "sorted/shuffled as a join side)",
+        _plan(inc),
+        ["ArrowEvalPython", "BroadcastHashJoin", "!SortMergeJoin"],
+    ))
+
+    from kgraph_spark.operators.dedup_text import incremental_near_dup
+
+    ind = incremental_near_dup(
+        curation_docs.filter("doc_id % 5 = 0"), curation_docs.filter("doc_id % 5 != 0")
+    )
+    sections.append((
+        "Incremental near-dup (asymmetric LSH) — the history is streamed "
+        "against broadcast new-side banding/pairs/signatures; no sort-merge "
+        "join anywhere (history never shuffles as a join side)",
+        _plan(ind),
+        ["BroadcastHashJoin", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

