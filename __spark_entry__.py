@@ -1643,6 +1643,29 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(new, old, n_bits=1 << 15, n_hashes=3)
 
 
+def q_kmeans_lloyd(spark, sf_dir):
+    """One Lloyd iteration of the IVF codebook, oracle-backed end to end:
+    deterministic init (8 smallest vec_ids) → assign → per-(cell,dim) mean
+    ROUNDED to 6 decimals JVM-side (pins the codebook against summation-
+    order ulp drift) → re-assign under the refined centroids. The DuckDB
+    oracle recomputes the identical iteration (generate_subscripts means,
+    list(ORDER BY pos), coalesce for empty cells)."""
+    from kgraph_spark.operators.similarity import (
+        assign_cells,
+        deterministic_centroids,
+        kmeans_refine,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    c0 = deterministic_centroids(emb, 8)
+    c1 = kmeans_refine(emb, c0, iters=1, round_to=6)
+    return assign_cells(emb, c1).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Fuzzy incremental dedup: each NEW document (doc_id %5 == 0) gets a
     verdict against the HISTORY (%5 != 0) — near_dup + deterministic best
@@ -1763,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_sample": q_semantic_sample,
         "incremental_dedup": q_incremental_dedup,
         "incremental_near_dup": q_incremental_near_dup,
+        "kmeans_lloyd": q_kmeans_lloyd,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -2290,6 +2314,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, content_hash FROM new n
             WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.content_hash)
+        """,
+        "kmeans_lloyd": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cent0 AS (
+                SELECT vec_id AS cid, emb AS ce FROM e WHERE vec_id < 8
+            ), asg0 AS (
+                SELECT e.vec_id, e.emb, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cid) AS rn
+                FROM e CROSS JOIN cent0 c
+            ), cells0 AS (
+                SELECT vec_id, emb, cid AS cell FROM asg0 WHERE rn = 1
+            ), dims AS (
+                SELECT cell, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x
+                FROM cells0
+            ), m AS (
+                SELECT cell, pos, round(avg(x), 6) AS mm FROM dims GROUP BY 1, 2
+            ), newc AS (
+                SELECT cell AS cid, list(mm ORDER BY pos) AS ce FROM m GROUP BY cell
+            ), cent1 AS (
+                SELECT c0.cid, coalesce(n.ce, c0.ce) AS ce
+                FROM cent0 c0 LEFT JOIN newc n ON n.cid = c0.cid
+            ), asg1 AS (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.emb, c.ce) DESC, c.cid) AS rn
+                FROM e CROSS JOIN cent1 c
+            )
+            SELECT vec_id, cid AS cell FROM asg1 WHERE rn = 1
         """,
         "incremental_near_dup": f"""
             WITH toks AS (

@@ -263,19 +263,26 @@ def kmeans_refine(
     centroids: list[tuple[int, list[float]]],
     iters: int = 5,
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd refinement of the coarse quantizer, each iteration two narrow
     shuffles: assign (map-only) → posexplode(dim) → groupBy(cell, pos) mean.
     Only the k×dim codebook ever reaches the driver; empty cells keep their
     previous centroid. Cosine-metric assignment (scale of a centroid does
-    not change any argmax, so plain means are fine)."""
+    not change any argmax, so plain means are fine).
+
+    round_to: round each centroid coordinate to this many decimals JVM-side
+    (F.round, before collect) — pins the codebook against last-ulp
+    summation-order drift so an external engine recomputing the same means
+    (the driver's DuckDB oracle) lands on bit-identical centroids."""
     cents = list(centroids)
     for _ in range(iters):
         assigned = assign_cells(items, cents, vec_col)
+        mean_expr = F.avg("x") if round_to is None else F.round(F.avg("x"), round_to)
         means = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select("cell", F.transform("pm", lambda s: s["m"]).alias("mean"))

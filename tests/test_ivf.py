@@ -114,3 +114,21 @@ def test_ivf_numpy_path_matches_jvm_path(spark):
         items, probes, cents, nprobe=2, k=5, use_numpy_assign=True
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_kmeans_refine_round_to_pins_codebook(spark):
+    """round_to pins every refined coordinate to ≤N decimals (JVM round
+    before collect) and empty cells still keep their previous centroid."""
+    from kgraph_spark.operators.similarity import kmeans_refine
+
+    items = spark.createDataFrame(
+        [(1, [1.0, 0.1234567]), (2, [1.0, 0.7654321])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = kmeans_refine(
+        items, [(0, [1.0, 0.0]), (99, [-1.0, -1.0])], iters=1, round_to=3
+    )  # (99,·) attracts nothing
+    by = dict(cents)
+    assert by[99] == [-1.0, -1.0]  # empty cell unchanged
+    for x in by[0]:
+        assert x == round(x, 3)
