@@ -561,6 +561,29 @@ def build_bloom(
     return out.tobytes()
 
 
+def bloom_might_contain(spark, bloom: bytes, digest_col, n_bits: int, n_hashes: int):
+    """Boolean Column: digest is POSSIBLY in the sketch (false positives at
+    the sized FPR; false negatives never). Positions are computed JVM-side;
+    the Arrow-batched probe only does vectorized bit lookups against the
+    broadcast bitmap. Stateless — safe in Structured Streaming plans."""
+    import numpy as np
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(bloom)
+
+    @pandas_udf(T.BooleanType())
+    def probe(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        idx = np.stack(pos.to_numpy())  # (rows, n_hashes) int64
+        bits = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return probe(_bloom_positions(digest_col, n_bits, n_hashes))
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     old_docs: DataFrame,
@@ -595,10 +618,7 @@ def incremental_dedup(
     Intra-snapshot duplicates inside new_docs are out of scope (that is
     exact_duplicates); a content present twice in new_docs and absent from
     old_docs survives twice, matching the SQL `WHERE hash NOT IN old`."""
-    import numpy as np
-    from pyspark.sql import types as T
     from pyspark.sql.functions import broadcast
-    from pyspark.sql.pandas.functions import pandas_udf
 
     # NULL text hashes as the empty string (both stages need a non-null
     # digest: the Bloom position array cannot carry nulls, and anti-join /
@@ -611,19 +631,11 @@ def incremental_dedup(
     )
 
     bloom = build_bloom(old_h, "content_hash", n_bits=n_bits, n_hashes=n_hashes)
-    bc = new_docs.sparkSession.sparkContext.broadcast(bloom)
-
-    @pandas_udf(T.BooleanType())
-    def might_contain(pos: pd.Series) -> pd.Series:
-        if len(pos) == 0:
-            return pd.Series([], dtype=bool)
-        bm = np.frombuffer(bc.value, dtype=np.uint8)
-        idx = np.stack(pos.to_numpy())  # (rows, n_hashes) int64
-        bits = (bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-        return pd.Series(bits.all(axis=1))
-
     probed = new_h.withColumn(
-        "_maybe_old", might_contain(_bloom_positions(F.col("content_hash"), n_bits, n_hashes))
+        "_maybe_old",
+        bloom_might_contain(
+            new_docs.sparkSession, bloom, F.col("content_hash"), n_bits, n_hashes
+        ),
     ).persist()
     definite_new = probed.filter(~F.col("_maybe_old")).select(id_col, "content_hash")
     maybe = probed.filter(F.col("_maybe_old")).select(id_col, "content_hash")

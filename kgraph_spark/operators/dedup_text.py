@@ -292,6 +292,9 @@ def winnow_fingerprints(
     `hex15(md5(gram)) ++ zero-padded (99999999 - pos)` — lexicographic min
     on fixed-width text == (min hash, max pos). md5 is bit-identical across
     engines, so the driver's DuckDB oracle recomputes selections exactly.
+    (The 8-digit inverted position bounds a document at 10^8 k-grams —
+    ~0.5 GB of text in one row, far past any sane per-document cap; split
+    monster documents upstream before fingerprinting.)
 
     Scale: everything is per-row array expressions inside the scan stage —
     ZERO shuffle, no window function, no per-doc sort; a 100-TB corpus
@@ -299,24 +302,37 @@ def winnow_fingerprints(
     Window(partitionBy doc ORDER BY pos) form shuffles every gram of every
     document). Docs shorter than k tokens emit no rows; docs with fewer
     than `window` grams emit the single global-min fingerprint."""
+    # STAGED projections, one array per select: higher-order lambdas
+    # re-evaluate their argument subtree on every element, so an inlined
+    # `hs` inside the window transform would recompute the whole O(n)
+    # gram-hash array per window — O(n²) per row (measured 30s+ for 500
+    # docs at sf0.1). Non-cheap aliases referenced across selects are NOT
+    # collapsed by Catalyst (CollapseProject inlines only cheap exprs), so
+    # each stage materializes once per row and the total stays O(n·w).
     toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
-    n = F.size(toks)
+    d = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+
+    n = F.size("_toks")
     gidx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
     )
     hs = F.transform(
         gidx,
         lambda i: F.concat(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 15),
+            F.substring(F.md5(F.concat_ws(" ", F.slice("_toks", i + 1, k))), 1, 15),
             F.lpad((F.lit(99_999_999) - i).cast("string"), 8, "0"),
         ),
     )
-    ng = F.size(hs)
+    d = d.select("doc_id", hs.alias("_hs"))
+
+    ng = F.size("_hs")
     widx = F.when(ng > 0, F.sequence(F.lit(0), F.greatest(ng - window, F.lit(0)))).otherwise(
         F.array().cast("array<int>")
     )
-    sel = F.array_distinct(F.transform(widx, lambda j: F.array_min(F.slice(hs, j + 1, window))))
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(sel).alias("_s")).select(
+    sel = F.array_distinct(
+        F.transform(widx, lambda j: F.array_min(F.slice("_hs", j + 1, window)))
+    )
+    return d.select("doc_id", F.explode(sel).alias("_s")).select(
         "doc_id",
         F.conv(F.substring("_s", 1, 15), 16, 10).cast("long").alias("fp"),
         (F.lit(99_999_999) - F.substring("_s", 16, 8).cast("long")).alias("pos"),

@@ -65,3 +65,60 @@ def streaming_exact_dedup(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_incremental_dedup(
+    stream_docs: DataFrame,
+    old_hashes: DataFrame,
+    bloom: bytes,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: bool = True,
+) -> DataFrame:
+    """Continuous-crawl twin of corpus_curation.incremental_dedup: emit only
+    the stream rows whose content is absent from the HISTORICAL corpus.
+
+    stream_docs: streaming (or batch) DataFrame of incoming documents.
+    old_hashes:  static table with a `content_hash` column (md5 of text,
+                 NULL text hashed as '') — the history's digest store.
+    bloom:       build_bloom(old_hashes, 'content_hash', n_bits, n_hashes),
+                 computed once per history snapshot, broadcast here.
+
+    Dataflow (all stateless — no watermark, no streaming state store):
+      * bloom probe (Arrow map) — rows FAILING it are definitely new and
+        bypass the join entirely (novel content never pays join cost);
+      * rows passing it ("maybe-old": the steady-state bulk, plus an
+        FPR-sized sliver of new rows) take a stream-static LEFT OUTER join
+        against old_hashes and survive only when unmatched — exactly the
+        batch operator's confirm stage, so the emitted set is EXACT.
+    exact=False skips the confirm and drops every maybe-old row — the
+    firehose-trimming mode: bounded work per micro-batch with a documented
+    FPR-sized loss of genuinely-new rows.
+
+    Within-stream duplicates are streaming_exact_dedup's job (compose:
+    probe history first, then watermarked self-dedup)."""
+    if "content_hash" not in old_hashes.columns:
+        raise ValueError("old_hashes must carry a 'content_hash' column")
+    from kgraph_spark.operators.corpus_curation import bloom_might_contain
+
+    spark = stream_docs.sparkSession
+    h = stream_docs.withColumn(
+        "content_hash", F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    ).withColumn(
+        "_maybe_old",
+        bloom_might_contain(spark, bloom, F.col("content_hash"), n_bits, n_hashes),
+    )
+    definite = h.filter(~F.col("_maybe_old")).drop("_maybe_old")
+    if not exact:
+        return definite
+    seen = old_hashes.select("content_hash").distinct().withColumn("_seen", F.lit(True))
+    confirmed = (
+        h.filter(F.col("_maybe_old"))
+        .drop("_maybe_old")
+        .join(seen, "content_hash", "left_outer")
+        .filter(F.col("_seen").isNull())
+        .drop("_seen")
+    )
+    return definite.unionByName(confirmed)

@@ -93,3 +93,58 @@ def test_streaming_dedup_suppresses_within_watermark(spark, tmp_path):
     assert [f.name for f in streaming_exact_dedup(allrows).schema.fields] == [
         "doc_id", "ts", "text", "content_hash"
     ]
+
+
+def test_streaming_incremental_dedup_vs_history(spark, tmp_path):
+    """Stream rows already in the historical corpus are suppressed; new
+    content passes — EXACTLY (the tiny 64-bit sketch makes nearly every
+    row a Bloom false positive, so the stream-static confirm join must do
+    the real work). approximate mode (exact=False) still never emits an
+    old row."""
+    from kgraph_spark.operators.corpus_curation import build_bloom
+    from kgraph_spark.streaming.dedup import streaming_incremental_dedup
+
+    old = spark.createDataFrame(
+        [(i, f"hist {i}") for i in range(30)], "doc_id bigint, text string"
+    )
+    old_hashes = old.select(F.md5(F.coalesce("text", F.lit(""))).alias("content_hash"))
+    bloom = build_bloom(old_hashes, "content_hash", n_bits=64, n_hashes=3)
+
+    indir = tmp_path / "inc_in"
+    indir.mkdir()
+    table = f"sinc_{uuid.uuid4().hex[:8]}"
+    _docs(
+        spark,
+        [("2024-01-01 00:00:01", "hist 5"), ("2024-01-01 00:00:02", "hist 6"),
+         ("2024-01-01 00:00:03", "fresh A"), ("2024-01-01 00:00:04", "fresh B")],
+    ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(indir))
+    q = (
+        streaming_incremental_dedup(stream, old_hashes, bloom, n_bits=64, n_hashes=3)
+        .select("doc_id", "text", "content_hash")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["text"] for r in spark.sql(f"SELECT * FROM {table}").collect()}
+        assert got == {"fresh A", "fresh B"}, got
+    finally:
+        q.stop()
+
+    # batch twin of the same call: identical verdicts
+    batch = _docs(
+        spark,
+        [("2024-01-01 00:00:01", "hist 5"), ("2024-01-01 00:00:03", "fresh A")],
+    )
+    out = streaming_incremental_dedup(batch, old_hashes, bloom, n_bits=64, n_hashes=3)
+    assert {r["text"] for r in out.collect()} == {"fresh A"}
+    # approximate mode never emits an old row (may drop FP new rows)
+    approx = streaming_incremental_dedup(
+        batch, old_hashes, bloom, n_bits=64, n_hashes=3, exact=False
+    )
+    assert {r["text"] for r in approx.collect()} <= {"fresh A"}
