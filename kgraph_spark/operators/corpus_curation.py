@@ -483,8 +483,12 @@ def semantic_cluster_sample(
     """Cluster-stratified diversity sampling over an embedding column
     (the SemDeDup / cluster-balanced selection shape): assign every item to
     its nearest centroid cell, then keep at most `per_cell` items per cell,
-    chosen by content-hash rank — deterministic, engine-portable, and
-    resumable (a kept item stays kept when the corpus grows, unlike rand()).
+    chosen by content-hash rank — deterministic and engine-portable (unlike
+    rand()). NOT growth-stable: a rank cap means a new item hashing above an
+    existing rank-`per_cell` item displaces it on the next run (displacement
+    is confined to that item's cell); when kept-stays-kept matters more than
+    an exact per-cell count, use stratified_sample's md5-THRESHOLD rule with
+    `cell` as the stratum instead.
 
     Returns (id, cell, cell_size, rank) for the kept rows. cell_size is the
     pre-sampling cluster population — the caller's signal for rebalancing
@@ -540,7 +544,9 @@ def build_bloom(
     import numpy as np
     from pyspark.sql import types as T
 
-    nbytes = n_bits // 8
+    # ceil, not floor: positions range over [0, n_bits), so a non-multiple-
+    # of-8 n_bits must still allocate the byte holding its top bits
+    nbytes = (n_bits + 7) // 8
     pos_df = hashes.select(_bloom_positions(F.col(col), n_bits, n_hashes).alias("pos"))
 
     def fold(batches):
@@ -630,13 +636,18 @@ def incremental_dedup(
         F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("content_hash")
     )
 
+    # deliberately NOT persisted: the probe is a map-only Arrow pass, so
+    # recomputing it per consuming action (the maybe-count below + the
+    # caller's one action) is cheaper than pinning a cached dataset the
+    # operator can never safely unpersist; persist new_docs caller-side if
+    # the snapshot SCAN itself is the expensive part
     bloom = build_bloom(old_h, "content_hash", n_bits=n_bits, n_hashes=n_hashes)
     probed = new_h.withColumn(
         "_maybe_old",
         bloom_might_contain(
             new_docs.sparkSession, bloom, F.col("content_hash"), n_bits, n_hashes
         ),
-    ).persist()
+    )
     definite_new = probed.filter(~F.col("_maybe_old")).select(id_col, "content_hash")
     maybe = probed.filter(F.col("_maybe_old")).select(id_col, "content_hash")
 

@@ -29,8 +29,13 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) word k-gram shingle set — built-in transforms only:
-    split → sliding window via transform over index sequence → explode."""
-    toks = F.split(F.col(text_col), r"\s+")
+    split → sliding window via transform over index sequence → explode.
+
+    Text is trimmed before splitting: an untrimmed leading/trailing
+    whitespace would otherwise inject an empty token and shift every
+    k-gram (and diverge from the SQL oracles, which tokenize with
+    string_split_regex(trim(text)))."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
@@ -132,7 +137,11 @@ def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
 
 
 def lsh_candidate_pairs_against(
-    new_sigs: DataFrame, old_sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    broadcast_max_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Asymmetric LSH: near-dup candidates of NEW documents against a
     HISTORICAL signature table — the fuzzy twin of incremental_dedup
@@ -140,12 +149,19 @@ def lsh_candidate_pairs_against(
     row per (new, old) candidate pair.
 
     Shuffle discipline: the snapshot is orders of magnitude below the
-    history, so every join streams the OLD side against a BROADCAST of
-    new-side data — banded new rows, then the deduped candidate pairs,
-    then pairs+new-sig. The historical table is scanned, never shuffled,
-    never a build side; at 100 TB you persist `minhash_signatures(old)`
-    once (bucketed by doc_id) and pay only the banding projection per
-    snapshot."""
+    history, so the joins stream the OLD side against BROADCAST new-side
+    data: banded new rows, then the deduped ID-ONLY candidate pairs (16
+    bytes/row — the old signature attaches on the streamed side, and the
+    pair+sig_old rows then probe a broadcast of the new signatures, so
+    pair-sized data is never broadcast WITH a signature attached). The
+    historical table is scanned, never shuffled, never a build side; at
+    100 TB you persist `minhash_signatures(old)` once (bucketed by doc_id)
+    and pay only the banding projection per snapshot.
+
+    A candidate-pair set too big to broadcast even ids-only — boilerplate
+    snapshots colliding with much of the history — falls back to plain
+    shuffle joins past `broadcast_max_pairs` (costs one extra count
+    action; the honest cost when the pair set really is corpus-sized)."""
     from pyspark.sql.functions import broadcast
 
     new_banded = _banded(new_sigs, bands, rows_per_band)
@@ -157,9 +173,12 @@ def lsh_candidate_pairs_against(
         .select("doc_id", "old_doc_id")
         .distinct()
     )
-    with_new = pairs.join(broadcast(new_sigs.select("doc_id", F.col("sig").alias("sig_new"))), "doc_id")
-    both = old_sigs.select(F.col("doc_id").alias("old_doc_id"), F.col("sig").alias("sig_old")).join(
-        broadcast(with_new), "old_doc_id"
+    small = pairs.limit(broadcast_max_pairs + 1).count() <= broadcast_max_pairs
+    hint = broadcast if small else (lambda df: df)
+    olds = old_sigs.select(F.col("doc_id").alias("old_doc_id"), F.col("sig").alias("sig_old"))
+    with_old = olds.join(hint(pairs), "old_doc_id")
+    both = with_old.join(
+        hint(new_sigs.select("doc_id", F.col("sig").alias("sig_new"))), "doc_id"
     )
     matches = F.size(F.filter(F.zip_with("sig_new", "sig_old", lambda x, y: x == y), lambda v: v))
     return both.select(
@@ -187,6 +206,12 @@ def incremental_near_dup(
     of near_dup_keep_best's detection stage: yesterday's corpus is already
     deduped, so only new×old pairs need scoring — new×new is a separate
     intra-snapshot pass (lsh_candidate_pairs)."""
+    if bands * rows_per_band > num_hashes:
+        raise ValueError(
+            f"bands*rows_per_band ({bands}*{rows_per_band}) exceeds num_hashes "
+            f"({num_hashes}): out-of-range bands would slice to [] and hash "
+            f"every document into one universal bucket (all-pairs blowup)"
+        )
     if id_col != "doc_id":
         new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
         old_docs = old_docs.withColumnRenamed(id_col, "doc_id")

@@ -432,9 +432,14 @@ def test_semantic_sample_stratified_cap_and_stability(spark):
     # deterministic across runs
     again = semantic_cluster_sample(items, cents, per_cell=5, salt="s").collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
-    # different salt → different (still valid) selection
+    # the salt really feeds the ranking: a different salt re-draws the
+    # per-cell selection (deterministic, so this inequality is stable),
+    # while the cap and stratification invariants hold unchanged
     other = semantic_cluster_sample(items, cents, per_cell=5, salt="t").collect()
-    assert {r["vec_id"] for r in other} != {r["vec_id"] for r in out} or True
+    assert len(other) == 10 and {r["cell"] for r in other} == {0, 1}
+    assert {(r["cell"], r["rank"], r["vec_id"]) for r in other} != {
+        (r["cell"], r["rank"], r["vec_id"]) for r in out
+    }
 
 
 def test_incremental_dedup_exact_under_heavy_fp(spark):
@@ -504,3 +509,16 @@ def test_incremental_dedup_old_corpus_never_shuffles(spark):
     plan = plan_text(incremental_dedup(new, old))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_build_bloom_non_multiple_of_8_bits(spark):
+    """n_bits that is not a byte multiple must still cover its top bits
+    (ceil allocation) — positions in [96, 100) were out of bounds before."""
+    from kgraph_spark.operators.corpus_curation import build_bloom, incremental_dedup
+
+    h = spark.createDataFrame([(f"{i:032x}",) for i in range(50)], "content_hash string")
+    b = build_bloom(h, "content_hash", n_bits=100, n_hashes=3)
+    assert len(b) == 13  # ceil(100/8)
+    old = spark.createDataFrame([(i, f"t {i}") for i in range(20)], "doc_id bigint, text string")
+    got = incremental_dedup(old, old, n_bits=100, n_hashes=3).count()
+    assert got == 0

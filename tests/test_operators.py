@@ -494,3 +494,43 @@ def test_repetition_stats_edges(spark):
     assert out[3]["dup_3gram_frac"] == 0.0 and out[3]["n_tokens"] == 2
     assert out[4]["dup_word_frac"] == round(1 - 2 / 8, 6)
     assert out[4]["dup_3gram_frac"] == round(1 - 2 / 6, 6)
+
+
+def test_incremental_near_dup_rejects_band_overrun(spark):
+    """bands*rows_per_band > num_hashes would slice every band key to []
+    and bucket the whole corpus together — rejected loudly."""
+    import pytest
+
+    from kgraph_spark.operators.dedup_text import incremental_near_dup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="num_hashes"):
+        incremental_near_dup(docs, docs, num_hashes=32)
+
+
+def test_lsh_against_fallback_path_equal(spark):
+    """broadcast_max_pairs=0 forces the shuffle-join fallback; candidate
+    scores must be identical to the broadcast path."""
+    from kgraph_spark.operators.dedup_text import (
+        lsh_candidate_pairs_against,
+        minhash_signatures,
+        shingles,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base.replace("tok5 ", "tok5x ")), (10, base), (11, "x y z " * 20)],
+        "doc_id long, text string",
+    )
+    new_sigs = minhash_signatures(shingles(docs.filter("doc_id < 10"), k=3))
+    old_sigs = minhash_signatures(shingles(docs.filter("doc_id >= 10"), k=3))
+    a = sorted(map(tuple, lsh_candidate_pairs_against(new_sigs, old_sigs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lsh_candidate_pairs_against(
+                new_sigs, old_sigs, broadcast_max_pairs=0
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) >= 1
