@@ -1666,6 +1666,29 @@ def q_kmeans_lloyd(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the third leg of the LSH/IVF/PQ triad):
+    deterministic codebooks (subvectors of the 16 smallest vec_ids, 8
+    subspaces × width 8), map-only encode to an 8-int code, ADC top-10 per
+    probe. Every double — encode argmin, driver LUT, ADC sum — is a
+    left-to-right IEEE chain the DuckDB oracle reproduces bit-for-bit."""
+    from kgraph_spark.operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cbs = pq_codebooks(emb, m=8, k=16)
+    codes = pq_encode(emb, cbs)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    out = pq_topk(codes, probes, cbs, k=10)
+    return out.select(
+        "probe_id", "vec_id", F.round("adist", 6).alias("adist"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Fuzzy incremental dedup: each NEW document (doc_id %5 == 0) gets a
     verdict against the HISTORY (%5 != 0) — near_dup + deterministic best
@@ -1787,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_near_dup": q_incremental_near_dup,
         "kmeans_lloyd": q_kmeans_lloyd,
+        "pq_topk": q_pq_topk,
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
@@ -2314,6 +2338,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, content_hash FROM new n
             WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.h = n.content_hash)
+        """,
+        "pq_topk": """
+            -- PQ restated: codebooks = subvectors of the 16 smallest ids,
+            -- encode = per-(item, subspace) argmin of squared L2 (ties →
+            -- smallest centroid idx), ADC = ordered per-subspace LUT sum.
+            -- Every squared-L2 is a left-fold over range(1,9) and every
+            -- total is list_sum over list(d ORDER BY s) — the identical
+            -- association order the Spark expressions / Python LUT use.
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            ), cb AS (
+                SELECT s.s, row_number() OVER (PARTITION BY s.s ORDER BY vec_id) - 1 AS cid,
+                       emb[s.s*8+1 : s.s*8+8] AS ce
+                FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+                WHERE vec_id < 16
+            ), enc AS (
+                SELECT e.vec_id, c.s, c.cid,
+                       list_sum(list_transform(range(1, 9), i ->
+                           (e.emb[c.s*8 + i] - c.ce[i]) * (e.emb[c.s*8 + i] - c.ce[i]))) AS d
+                FROM e CROSS JOIN cb c
+            ), codes AS (
+                SELECT vec_id, s, cid
+                FROM (SELECT vec_id, s, cid,
+                             row_number() OVER (PARTITION BY vec_id, s
+                                 ORDER BY d, cid) AS rn
+                      FROM enc)
+                WHERE rn = 1
+            ), lut AS (
+                SELECT p.vec_id AS probe_id, c.s, c.cid,
+                       list_sum(list_transform(range(1, 9), i ->
+                           (p.emb[c.s*8 + i] - c.ce[i]) * (p.emb[c.s*8 + i] - c.ce[i]))) AS d
+                FROM e p CROSS JOIN cb c
+                WHERE p.vec_id < 5
+            ), adist AS (
+                SELECT l.probe_id, co.vec_id,
+                       list_sum(list(l.d ORDER BY l.s)) AS adist
+                FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+                GROUP BY 1, 2
+            ), ranked AS (
+                SELECT probe_id, vec_id, adist,
+                       row_number() OVER (PARTITION BY probe_id
+                           ORDER BY adist, vec_id) AS rank
+                FROM adist
+            )
+            SELECT probe_id, vec_id, round(adist, 6) AS adist, rank
+            FROM ranked WHERE rank <= 10
         """,
         "kmeans_lloyd": """
             WITH e AS (

@@ -293,6 +293,130 @@ def kmeans_refine(
     return cents
 
 
+def pq_codebooks(
+    items: DataFrame,
+    m: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Deterministic product-quantization codebooks: the full dimension is
+    split into `m` equal subspaces; subspace s's `k` centroids are the
+    s-th subvectors of the k smallest-id items (the same SQL-restatable
+    init rule as deterministic_centroids — run each subspace through
+    kmeans_refine on a sliced frame for a trained codebook). Returns
+    codebooks[s] = [(centroid_idx, subvector), ...]; only m×k×(dim/m)
+    floats ever reach the driver."""
+    rows = (
+        items.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    )
+    dim = len(rows[0][1])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    w = dim // m
+    return [
+        [(ci, [float(x) for x in r[1][s * w : (s + 1) * w]]) for ci, r in enumerate(rows)]
+        for s in range(m)
+    ]
+
+
+def _l2_expr(vec_col: str, offset: int, cvec: list[float]):
+    """Squared L2 between vec[offset:offset+len(cvec)] and a literal
+    subvector, as zip_with + aggregate — a LOOP in generated code, not an
+    unrolled term chain (m×k×w unrolled terms blew janino's 64 KB method
+    limit and dropped the whole stage to interpreted eval). aggregate is a
+    left fold seeded with 0.0, the exact association order the Python LUT
+    builder and the SQL oracle use, so all three engines produce
+    bit-identical doubles (0.0 + d0 == d0 in IEEE)."""
+    sub = F.slice(F.col(vec_col), offset + 1, len(cvec))
+    lits = F.array(*[F.lit(float(c)) for c in cvec])
+    sq = F.zip_with(sub, lits, lambda x, c: (x - c) * (x - c))
+    return F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _l2_py(a: list[float], b: list[float]) -> float:
+    d = 0.0
+    for x, y in zip(a, b):
+        diff = x - y
+        d = d + diff * diff
+    return d
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code: array<int>) — code[s] = index of the nearest subspace
+    centroid by squared L2 (ties → smallest index, via min-of-struct).
+    Pure JVM literal expressions, map-only, zero shuffle: a 100-TB vector
+    corpus compresses to m small ints per row in one scan pass (m bytes
+    conceptually — the 64-dim float vector becomes an 8-byte code at
+    m=8/k≤256, a 32× compression the ADC scan then reads instead of the
+    raw vectors)."""
+    m = len(codebooks)
+    w = len(codebooks[0][0][1])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        scored = F.array_min(
+            F.array(
+                *[
+                    F.struct(_l2_expr(vec_col, s * w, cvec).alias("d"), F.lit(ci).alias("c"))
+                    for ci, cvec in cb
+                ]
+            )
+        )
+        codes.append(scored["c"])
+    return items.select(F.col(id_col), F.array(*codes).alias("code"))
+
+
+def pq_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: each probe precomputes a
+    per-subspace lookup table of exact squared L2 distances probe↔centroid
+    driver-side (m×k floats, plain left-to-right Python arithmetic — IEEE-
+    deterministic, so the SQL oracle reproduces it bit-for-bit), then one
+    map-only scan over the CODES table scores every item as
+    sum_s lut[s][code[s]] via element_at on literal arrays. Items' raw
+    vectors are never read at query time; the only shuffle is the per-probe
+    top-k. Probes are collected by contract (the handful of query vectors —
+    same stance as brute_force_topk's broadcast). Compose with IVF cells to
+    prune the scan at scale (IVF-PQ)."""
+    m = len(codebooks)
+    rows = probes.select(probe_id_col, vec_col).collect()
+    from pyspark.sql import Window
+
+    out = None
+    for prow in rows:
+        pid, pvec = prow[0], [float(x) for x in prow[1]]
+        w_sub = len(codebooks[0][0][1])
+        dist = None
+        for s, cb in enumerate(codebooks):
+            lut = [ _l2_py(pvec[s * w_sub : (s + 1) * w_sub], cvec) for _, cvec in cb ]
+            term = F.element_at(
+                F.array(*[F.lit(d) for d in lut]), F.col("code")[s] + 1
+            )
+            dist = term if dist is None else dist + term
+        scored = codes.select(
+            F.lit(pid).alias(probe_id_col), F.col(id_col), dist.alias("adist")
+        )
+        out = scored if out is None else out.unionByName(scored)
+    w = Window.partitionBy(probe_id_col).orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_id_col, id_col, "adist", "rank")
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     probes: DataFrame,

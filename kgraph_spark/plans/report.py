@@ -286,6 +286,20 @@ def main() -> None:
         ["BroadcastHashJoin", "!SortMergeJoin"],
     ))
 
+    from kgraph_spark.operators.similarity import pq_codebooks, pq_encode
+
+    pq_emb = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    )
+    pq = pq_encode(pq_emb, pq_codebooks(pq_emb, m=8, k=16))
+    sections.append((
+        "PQ encode — 100-TB vector corpus compresses to m-int codes in one "
+        "map-only scan: zero exchanges; squared-L2 is zip_with/aggregate "
+        "loops so codegen stays under janino's method limit",
+        _plan(pq),
+        ["!Exchange"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

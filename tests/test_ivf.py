@@ -132,3 +132,46 @@ def test_kmeans_refine_round_to_pins_codebook(spark):
     assert by[99] == [-1.0, -1.0]  # empty cell unchanged
     for x in by[0]:
         assert x == round(x, 3)
+
+
+def test_pq_encode_map_only_and_adc_sanity(spark):
+    """PQ: encode is zero-shuffle JVM expressions; ADC with untrained
+    deterministic codebooks must still put each probe's true twin first
+    (identical vector → every subspace hits the same centroid → adist to
+    itself == distance between the shared codes == minimal)."""
+    from conftest import plan_text
+    from kgraph_spark.operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(40)]
+    # twin of item 3 under a new id: must share its code exactly
+    rows.append((100, list(rows[3][1])))
+    items = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cbs = pq_codebooks(items, m=4, k=8)
+    codes = pq_encode(items, cbs)
+    assert "Exchange" not in plan_text(codes)
+    by_id = {r["vec_id"]: list(r["code"]) for r in codes.collect()}
+    assert by_id[100] == by_id[3]
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in by_id.values())
+
+    probes = items.filter("vec_id = 3").select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    top = pq_topk(codes, probes, cbs, k=3).collect()
+    got = [(r["vec_id"], r["rank"]) for r in sorted(top, key=lambda r: r["rank"])]
+    # 3 and its twin 100 share a code → identical adist, id tie-break
+    assert [v for v, _ in got[:2]] == [3, 100]
+
+
+def test_pq_codebooks_reject_indivisible_dim(spark):
+    import pytest
+
+    from kgraph_spark.operators.similarity import pq_codebooks
+
+    items = spark.createDataFrame(
+        [(1, [0.0] * 10)], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_codebooks(items, m=4, k=1)
