@@ -27,6 +27,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship kgraph_spark to Python workers via addPyFile so queries work
+    regardless of the DRIVER process's cwd. sys.path above fixes the driver
+    side only; executors spawn their Python workers with the driver's cwd,
+    so a gate run from any other directory would fail to unpickle every
+    mapInPandas/pandas_udf closure (ModuleNotFoundError: kgraph_spark).
+    Same mechanism as spark-submit --py-files (jobs/run_pipeline.py), done
+    lazily here because the driver builds its own SparkSession."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_CONTEXTS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg = Path(__file__).resolve().parent / "kgraph_spark"
+    zpath = Path(tempfile.gettempdir()) / "kgraph_spark_shipped.zip"
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p in sorted(pkg.rglob("*.py")):
+            zf.write(p, p.relative_to(pkg.parent))
+    sc.addPyFile(str(zpath))
+    _SHIPPED_CONTEXTS.add(key)
+
 # corpus vocabulary words used as the gazetteer for driver-data KG queries
 KG_TERMS = [
     "join", "filter", "window", "customer", "spark", "merge", "stream",
@@ -90,6 +116,7 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_shipped(spark)
     return kg_pipeline_triples(spark, SF_SMOKE)
 
 
@@ -1737,7 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
     # JVM heap — everything after it would pay a respawn tax (bench.py note)
-    return {
+    raw = {
         "f10_triple_accumulate": q_f10_triple_accumulate,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
@@ -1814,6 +1841,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h4_edge_lookup": q_h4_edge_lookup,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
+    return {k: _with_shipping(v) for k, v in raw.items()}
+
+
+def _with_shipping(fn):
+    """Each query ships kgraph_spark to workers on first use (cwd-proof)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_shipped(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = fn.__name__
+    run.__doc__ = fn.__doc__
+    return run
 
 
 def oracle_sql() -> dict[str, str]:
