@@ -1760,6 +1760,106 @@ def q_det_shuffle(spark, sf_dir):
     return deterministic_shuffle(_read(spark, sf_dir, "documents"), salt="epoch1")
 
 
+def _li_edges(spark, sf_dir):
+    """Distinct directed O→P, O→S, P→S edges from lineitem — a graph with
+    real triangles (every lineitem row closes an order-part-supplier one)."""
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    return (
+        li.select(o.alias("subject_id"), p.alias("object_id"))
+        .union(li.select(o.alias("subject_id"), s.alias("object_id")))
+        .union(li.select(p.alias("subject_id"), s.alias("object_id")))
+        .distinct()
+    )
+
+
+def q_graph_degree(spark, sf_dir):
+    """Degree table over the lineitem entity graph: one union + one
+    partial-aggregated groupBy(node)."""
+    from kgraph_spark.operators.graph_analytics import degree_table
+
+    return degree_table(_li_edges(spark, sf_dir))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Per-node triangle counts via degree-ordered orientation (out-degree
+    bounded by O(sqrt m) — wedge work survives hub nodes). Oracle: naive
+    canonical a<b<c three-way self-join, same result set. The graph is the
+    l_partkey%3==0 third of lineitem: the NAIVE oracle is quadratic in hub
+    degree (92s in DuckDB on the full sf0.01 graph vs 9s for the oriented
+    Spark plan on all of it) — thinned so the gate stays fast while the
+    full-graph run remains the bench/scale evidence."""
+    from kgraph_spark.operators.graph_analytics import triangle_counts
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    edges = (
+        li.select(o.alias("subject_id"), p.alias("object_id"))
+        .union(li.select(o.alias("subject_id"), s.alias("object_id")))
+        .union(li.select(p.alias("subject_id"), s.alias("object_id")))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """5-iteration damped PageRank over C→N, S→N, N→R, R→N (back edges make
+    every node non-dangling, so the dangling term is exactly 0.0 in both
+    engines). exact_fold: per-node incoming sums are ordered folds ==
+    DuckDB list_sum(list(c ORDER BY src)); ranks re-rounded to 6 each round
+    keep both engines on the identical fixed-point trajectory."""
+    from kgraph_spark.operators.graph_analytics import pagerank
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    c = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("object_id"),
+    )
+    s = supp.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("object_id"),
+    )
+    nr = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("object_id"),
+    )
+    rn = nation.select(
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("object_id"),
+    )
+    edges = c.union(s).union(nr).union(rn)
+    return pagerank(edges, iterations=5, damping=0.85, exact_fold=True)
+
+
+BM25_TERMS = ["join", "filter", "stream", "window"]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-50 for a 4-term query over documents. Model scalars (idf,
+    avgdl) rounded to 6 before scoring; ties break on doc_id."""
+    from kgraph_spark.operators.relevance import bm25_topk
+
+    return bm25_topk(_read(spark, sf_dir, "documents"), BM25_TERMS, topk=50)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-bigram importance weights: target = the ~1/16 md5-prefix
+    sample of the corpus (stand-in for a curated exemplar set); raw = all
+    documents. Bucketing is md5-prefix arithmetic; per-doc sums are
+    position-ordered folds — both bit-identical across engines."""
+    from kgraph_spark.operators.relevance import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0")
+    return dsir_weights(docs, target, n_buckets=4096)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -1839,6 +1939,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": q_kmeans_lloyd,
         "pq_topk": q_pq_topk,
         "h4_edge_lookup": q_h4_edge_lookup,
+        "graph_degree": q_graph_degree,
+        "graph_triangles": q_graph_triangles,
+        "graph_pagerank": q_graph_pagerank,
+        "bm25_topk": q_bm25_topk,
+        "dsir_weights": q_dsir_weights,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -1854,6 +1959,50 @@ def _with_shipping(fn):
     run.__name__ = fn.__name__
     run.__doc__ = fn.__doc__
     return run
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-iteration PageRank over the C/S→N⇄R graph. Every
+    float literal is ::DOUBLE-cast so DuckDB runs the same IEEE ops as
+    Spark; per-node incoming sums are ordered folds (list_sum over
+    list(... ORDER BY src) == pagerank(exact_fold=True)); ranks re-rounded
+    to 6 each round. The graph has no dangling node by construction (R→N
+    back edges), so the dangling term — exactly 0.0 in pagerank() too — is
+    omitted here."""
+    parts = ["""
+            WITH e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+                    UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+                    UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+                    UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+                )
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ), od AS (
+                SELECT src AS node, count(*) AS od FROM e GROUP BY 1
+            ), nn AS (
+                SELECT count(*)::DOUBLE AS n FROM nodes
+            ), r0 AS (
+                SELECT node, round(1.0::DOUBLE / (SELECT n FROM nn), 6) AS rank
+                FROM nodes
+            )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", c{i} AS (
+                SELECT e.dst AS node,
+                       list_sum(list(r.rank / o.od ORDER BY e.src)) AS contrib
+                FROM e JOIN r{i - 1} r ON e.src = r.node
+                JOIN od o ON e.src = o.node
+                GROUP BY e.dst
+            ), r{i} AS (
+                SELECT nd.node,
+                       round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                             + 0.85::DOUBLE * coalesce(c.contrib, 0.0), 6) AS rank
+                FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+            )""")
+    parts.append(f"\n            SELECT node, rank FROM r{iterations}")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3707,5 +3856,128 @@ def oracle_sql() -> dict[str, str]:
                      ELSE e.status END AS status,
                 CASE WHEN w.n > 1 AND e.entity_id <> w.winner THEN w.winner END AS merged_into
             FROM e JOIN w USING (comp)
+        """,
+        "graph_degree": """
+            WITH e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM lineitem
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM lineitem
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+                )
+            ), sides AS (
+                SELECT s AS node, 1 AS o, 0 AS i FROM e
+                UNION ALL SELECT d, 0, 1 FROM e
+            )
+            SELECT node, sum(o)::BIGINT AS out_degree, sum(i)::BIGINT AS in_degree,
+                   count(*)::BIGINT AS degree
+            FROM sides GROUP BY 1
+        """,
+        "graph_triangles": """
+            -- naive canonical a<b<c enumeration; the Spark side runs the
+            -- degree-ordered orientation — identical triangle set
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM li
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), corners AS (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+            )
+            SELECT node, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1
+        """,
+        "graph_pagerank": _pagerank_oracle_sql(iterations=5),
+        "bm25_topk": """
+            -- BM25 restatement: every float literal is ::DOUBLE-cast so
+            -- DuckDB runs IEEE double ops (its bare decimal literals are
+            -- DECIMAL-typed and would fold 1.2+1.0 exactly, diverging from
+            -- the Python/Spark doubles); idf and per-term scores rounded
+            -- to 6, final sum to 4 — the repo float playbook
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> length(t) > 0) AS toks
+                FROM documents
+            ), lens AS (
+                SELECT doc_id, len(toks) AS dl FROM tk
+            ), st AS (
+                SELECT count(*)::DOUBLE AS n, round(avg(dl), 6) AS avgdl FROM lens
+            ), m AS (
+                SELECT doc_id, token
+                FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+                WHERE token IN ('join', 'filter', 'stream', 'window')
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM m GROUP BY 1, 2
+            ), idf AS (
+                SELECT token,
+                       round(ln(1.0::DOUBLE + ((SELECT n FROM st) - df + 0.5::DOUBLE)
+                                / (df + 0.5::DOUBLE)), 6) AS idf
+                FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            ), per AS (
+                SELECT tf.doc_id,
+                       round(idf.idf * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                             / (tf.tf + 1.2::DOUBLE
+                                * ((1.0::DOUBLE - 0.75::DOUBLE)
+                                   + 0.75::DOUBLE * l.dl / (SELECT avgdl FROM st))), 6) AS s
+                FROM tf JOIN idf USING (token) JOIN lens l ON tf.doc_id = l.doc_id
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matched, round(sum(s), 4) AS score
+            FROM per GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT 50
+        """,
+        "dsir_weights": """
+            -- DSIR: md5-prefix bigram buckets (bit-identical hash), add-1/2
+            -- smoothed target/raw log-ratio per bucket rounded to 6, per-doc
+            -- position-ordered fold == Spark aggregate over array_sort
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> length(t) > 0) AS toks
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, i AS pos,
+                       ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 6))::BIGINT
+                           % 4096 AS bucket
+                FROM tk, unnest(range(1, len(toks))) AS t(i)
+            ), rc AS (
+                SELECT bucket, count(*) AS cr FROM bg GROUP BY 1
+            ), tgt AS (
+                SELECT bucket FROM bg
+                WHERE doc_id IN (SELECT doc_id FROM documents
+                                 WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0')
+            ), tc AS (
+                SELECT bucket, count(*) AS ct FROM tgt GROUP BY 1
+            ), tots AS (
+                SELECT (SELECT coalesce(sum(cr), 0)::DOUBLE FROM rc) AS tr,
+                       (SELECT coalesce(sum(ct), 0)::DOUBLE FROM tc) AS tt
+            ), lam AS (
+                SELECT bucket,
+                       round(ln((coalesce(ct, 0) + 0.5::DOUBLE)
+                                / (tt + 0.5::DOUBLE * 4096))
+                             - ln((coalesce(cr, 0) + 0.5::DOUBLE)
+                                  / (tr + 0.5::DOUBLE * 4096)), 6) AS lam
+                FROM rc FULL OUTER JOIN tc USING (bucket), tots
+            ), folded AS (
+                SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+                       round(list_sum(list(l.lam ORDER BY bg.pos)), 4) AS log_weight
+                FROM bg JOIN lam l USING (bucket)
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(f.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(f.log_weight, 0.0) AS log_weight
+            FROM documents d LEFT JOIN folded f USING (doc_id)
         """,
     }

@@ -1,0 +1,197 @@
+"""Graph analytics over the materialized triple store: degree tables,
+degree-ordered triangle counting, and fixed-iteration PageRank.
+
+The reference serves its graph through per-seed BFS/lookup queries
+(kgserver/query/subgraph.py:32-120, kgraph H1-H4 parity in graph.py) but
+has no whole-graph analytics; these are the standard next questions a KG
+user asks of a materialized triple store (hub detection, clustering
+structure, entity importance) and are implemented Spark-first as
+extensions — declarative joins/aggs only, no RDDs, no driver loops over
+collected data.
+
+Scale notes (the 100-TB story for each):
+
+* degrees — one union + one groupBy(node); partial aggregation halves the
+  shuffle, output is node-cardinality.
+* triangles — the classic degree-ordered orientation: every undirected
+  edge is directed from the endpoint with the smaller (degree, id) key to
+  the larger, which bounds every node's out-degree by O(sqrt(m)) on any
+  graph. Wedges are generated only from each node's oriented out-list
+  (sum of out-deg^2 ≪ sum of deg^2 — the naive wedge count that kills
+  hub-heavy KGs), then closed with one semi-join against the oriented
+  edge list. No CartesianProduct; three shuffles total (degree, wedge
+  self-join, closing join), all on ids.
+* pagerank — fixed-iteration (the batch form used for ranking snapshots;
+  no convergence action needed). Rank and out-degree live in one frame
+  keyed by node; each iteration is one edges⋈ranks shuffle + one
+  groupBy(dst). The dangling-node mass is folded in via a broadcast
+  1-row aggregate (BroadcastNestedLoopJoin of a single row — no driver
+  collect inside the loop). Every iteration's rank is rounded to
+  `round_to` decimals so a SQL restatement replays the identical
+  fixed-point trajectory (same trick as kmeans_refine / the unigram LM:
+  downstream arithmetic starts from identical doubles in any engine).
+  `exact_fold=True` additionally sums each node's incoming contributions
+  as an ordered fold (sorted by source id) instead of a hash-aggregate
+  sum, making the per-iteration sum bit-identical to DuckDB's
+  list_sum(list(c ORDER BY src)) — the oracle-replay mode; the default
+  hash-agg sum is the at-scale mode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_table(edges: DataFrame, src: str = "subject_id", dst: str = "object_id") -> DataFrame:
+    """(node, out_degree, in_degree, degree) over a directed edge list.
+    Parallel edges count once each; self-loops count on both sides."""
+    outs = edges.select(F.col(src).alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i"))
+    ins = edges.select(F.col(dst).alias("node"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    return (
+        outs.unionByName(ins)
+        .groupBy("node")
+        .agg(
+            F.sum("o").cast("long").alias("out_degree"),
+            F.sum("i").cast("long").alias("in_degree"),
+            F.count(F.lit(1)).cast("long").alias("degree"),
+        )
+    )
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected simple edges (a < b, no self-loops, distinct)."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "subject_id", dst: str = "object_id") -> DataFrame:
+    """Per-node triangle participation counts (node, n_triangles) over the
+    undirected simple graph underlying `edges`. Nodes in no triangle are
+    absent (join the degree table for a dense report).
+
+    Degree-ordered node-iterator: orient a—b from the endpoint with the
+    smaller (degree, id) key; every triangle {x<y<z by that key} is then
+    counted exactly once as the wedge (x→y, x→z) closed by y→z."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # attach both endpoint keys, then orient low-key → high-key
+    keyed = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("v1"), F.col("kv").alias("k1"))
+    e2 = oriented.select("u", F.col("v").alias("v2"), F.col("kv").alias("k2"))
+    wedges = e1.join(e2, "u").filter(F.col("k1") < F.col("k2")).select("u", "v1", "v2")
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+        "leftsemi",
+    )
+    corners = (
+        closed.select(F.col("u").alias("node"))
+        .unionByName(closed.select(F.col("v1").alias("node")))
+        .unionByName(closed.select(F.col("v2").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 6,
+    exact_fold: bool = False,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(node, rank) after `iterations` rounds of damped PageRank with
+    uniform teleport and dangling-mass redistribution. Parallel edges are
+    collapsed first (simple directed graph).
+
+    r0 = round(1/N); each round:
+      contrib(v)   = Σ_{u→v} r(u) / outdeg(u)
+      dangling     = round(Σ_{outdeg(u)=0} r(u))          (broadcast 1-row)
+      r'(x)        = round((1-d)/N + d·(contrib(x) + dangling/N))
+    all rounds rounded to `round_to` decimals — the SQL-replayable
+    trajectory (module docstring). Each round ends in a lazy
+    localCheckpoint: r feeds BOTH the dangling aggregate and the contrib
+    join, so an unpinned loop doubles the logical plan every round
+    (exponential by iteration 10) and replays each round twice; pinning
+    keeps the plan linear and each round's stages run exactly once (under
+    AQE the checkpoint materializes that round — a few small jobs per
+    round, the intended behavior, same pattern as connected_components)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("outdeg"))
+    base = nodes.join(outdeg, "node", "left").localCheckpoint(eager=False)
+    n = base.count()
+    if n == 0:
+        return base.select("node", F.lit(0.0).alias("rank"))
+    r = base.select("node", "outdeg", F.round(F.lit(1.0 / n), round_to).alias("rank"))
+
+    for _ in range(iterations):
+        dangling = r.agg(
+            F.round(F.coalesce(F.sum(F.when(F.col("outdeg").isNull(), F.col("rank"))), F.lit(0.0)), round_to).alias("_dm")
+        )
+        contribs = e.join(r.select(F.col("node").alias("src"), "rank", "outdeg"), "src").select(
+            "src", "dst", (F.col("rank") / F.col("outdeg")).alias("c")
+        )
+        if exact_fold:
+            inc = (
+                contribs.groupBy(F.col("dst").alias("node"))
+                .agg(F.array_sort(F.collect_list(F.struct("src", "c"))).alias("cs"))
+                .select(
+                    "node",
+                    F.aggregate(F.col("cs"), F.lit(0.0), lambda acc, x: acc + x["c"]).alias("contrib"),
+                )
+            )
+        else:
+            inc = contribs.groupBy(F.col("dst").alias("node")).agg(F.sum("c").alias("contrib"))
+        r = (
+            base.join(inc, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "outdeg",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n))),
+                    round_to,
+                ).alias("rank"),
+            )
+        )
+        # pin_rounds=False exists for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            r = r.localCheckpoint(eager=False)
+    return r.select("node", "rank")

@@ -1,0 +1,181 @@
+"""Corpus relevance and importance scoring: BM25 keyword search and
+DSIR-style hashed-n-gram importance weights.
+
+Neither exists in the reference (its search surface is substring entity
+lookup, kgserver/query/routers/rest_api.py; H3 parity in graph.py) — these
+are the ranking/selection operators a training-data pipeline runs over the
+same documents table: BM25 for query-relevance retrieval, and importance
+resampling weights (Xie et al. 2023, "Data Selection for Language Models
+via Importance Resampling" — public method) for steering a raw corpus
+toward a target distribution.
+
+Cross-engine determinism (the repo's float playbook):
+* tokenizer shared with the unigram LM (lower + \\s+ split) so oracles
+  reuse the proven restatement;
+* every model scalar (idf, avgdl, per-bucket log-ratio) is rounded to 6
+  decimals before any downstream arithmetic — both engines then compute
+  over identical doubles;
+* per-document sums over hashed-bucket log-ratios are ordered folds
+  (position order) == DuckDB list_sum(list(x ORDER BY pos));
+* bucket assignment is md5-prefix arithmetic (bit-identical everywhere),
+  never engine hash functions.
+
+Scale: BM25's model side (df per query term, N, avgdl) is a handful of
+scalars plus a ≤|terms| broadcast; the corpus side is one explode filtered
+to the query terms BEFORE the shuffle (tf groupBy touches only matching
+tokens). DSIR's model is two B-row bucket tables (B=4096 default) built by
+partial-aggregated groupBys and broadcast back; the per-doc pass is one
+explode + one groupBy(doc_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT).alias("toks"),
+    ).select("doc_id", F.filter("toks", lambda t: F.length(t) > 0).alias("toks"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag of query terms:
+    (doc_id, n_matched, score). Standard Robertson/Sparck-Jones BM25 with
+    the +1 idf floor: idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score = Σ_t idf·tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Ranking ties break on doc_id ASC so the k-th slot is deterministic.
+    Per-term scores are rounded to 6 (identical doubles across engines);
+    the final sum over ≤|terms| values is rounded to 4."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = _tokens(docs, id_col, text_col)
+    # doc lengths BEFORE the term filter (BM25 normalizes by full length)
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("dl"), 6).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+    matched = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+    )
+    tf = matched.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "token",
+        F.round(
+            F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 6
+        ).alias("idf"),
+    )
+    per_term = (
+        tf.join(F.broadcast(idf), "token")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))),
+                6,
+            ).alias("s"),
+        )
+    )
+    scored = per_term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matched"),
+        F.round(F.sum("s"), 4).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(topk)
+
+
+def _bigram_buckets(toks: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, pos, bucket) for every adjacent token bigram, bucketed by
+    md5-prefix arithmetic: bucket = int(md5(w1||' '||w2)[:6], 16) % B —
+    bit-identical in any engine with md5 (the det_shuffle idiom)."""
+    bi = toks.select(
+        "doc_id",
+        F.expr(
+            # sequence(1, 0) is DESCENDING in Spark — guard short docs to
+            # an empty array instead of relying on a clamped upper bound
+            "case when size(toks) >= 2 then transform(sequence(1, size(toks) - 1),"
+            " i -> struct(i as pos, concat(toks[i-1], ' ', toks[i]) as bg))"
+            " else cast(array() as array<struct<pos: int, bg: string>>) end"
+        ).alias("bgs"),
+    )
+    ex = bi.select("doc_id", F.explode("bgs").alias("x")).select(
+        "doc_id", F.col("x.pos").alias("pos"), F.col("x.bg").alias("bg")
+    )
+    return ex.select(
+        "doc_id",
+        "pos",
+        (F.conv(F.substring(F.md5("bg"), 1, 6), 16, 10).cast("long") % n_buckets).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights: (doc_id, n_bigrams, log_weight) where
+    log_weight = Σ_i λ(bucket_i) over the document's bigrams in order and
+    λ(b) = ln p_target(b) − ln p_raw(b) under add-½ smoothed hashed-bigram
+    models (p(b) = (c_b + 0.5)/(T + 0.5·B)). Positive = more target-like;
+    resampling keeps docs ∝ exp(log_weight). `docs` is the raw corpus
+    being scored; `target` the (usually much smaller) exemplar corpus.
+
+    λ is rounded to 6 before broadcast; the per-doc sum is a position-
+    ordered fold, so DuckDB's list_sum(list(λ ORDER BY pos)) replays it
+    bit-for-bit. Docs with <2 tokens get log_weight 0.0 (no evidence)."""
+    raw_b = _bigram_buckets(_tokens(docs, id_col, text_col), n_buckets)
+    tgt_b = _bigram_buckets(_tokens(target, id_col, text_col), n_buckets)
+    rc = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tc = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    tot_r = rc.agg(F.sum("cr")).collect()[0][0] or 0
+    tot_t = tc.agg(F.sum("ct")).collect()[0][0] or 0
+    denom_r = float(tot_r) + 0.5 * n_buckets
+    denom_t = float(tot_t) + 0.5 * n_buckets
+    lam = (
+        rc.join(tc, "bucket", "outer")
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 0.5) / F.lit(denom_t))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + 0.5) / F.lit(denom_r)),
+                6,
+            ).alias("lam"),
+        )
+    )
+    contrib = raw_b.join(F.broadcast(lam), "bucket").select("doc_id", "pos", "lam")
+    folded = (
+        contrib.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "lam"))).alias("xs"))
+        .select(
+            "doc_id",
+            F.size("xs").cast("long").alias("n_bigrams"),
+            F.round(
+                F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["lam"]), 4
+            ).alias("log_weight"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(folded, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+    )

@@ -300,6 +300,59 @@ def main() -> None:
         ["!Exchange"],
     ))
 
+    from kgraph_spark.operators.graph_analytics import (
+        degree_table,
+        pagerank,
+        triangle_counts,
+    )
+
+    li_edges = entrymod._li_edges(spark, SF)
+    sections.append((
+        "Graph degrees — one union + one partial/final hash aggregation on "
+        "node; no joins at all",
+        _plan(degree_table(li_edges)),
+        ["HashAggregate", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Triangle counting — degree-ordered orientation: wedges come from "
+        "each node's oriented out-list (out-degree O(sqrt m) on any graph), "
+        "closed by one LeftSemi join; id-only rows in every exchange",
+        _plan(triangle_counts(li_edges)),
+        ["LeftSemi"],
+    ))
+
+    pr_edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7 + 1) % 40}") for i in range(40)],
+        "subject_id string, object_id string",
+    )
+    sections.append((
+        "PageRank round — one edges⋈ranks shuffle + one groupBy(dst); the "
+        "dangling-mass scalar enters as a broadcast 1-row aggregate "
+        "(BroadcastNestedLoopJoin on a single row, never a driver collect); "
+        "per-round lazy checkpoints keep the iterated plan linear",
+        _plan(pagerank(pr_edges, iterations=1, pin_rounds=False)),
+        ["BroadcastNestedLoopJoin", "HashAggregate"],
+    ))
+
+    bm = entrymod.queries()["bm25_topk"](spark, SF)
+    sections.append((
+        "BM25 — idf model is a ≤|terms| broadcast dimension; the corpus "
+        "explode is filtered to query terms BEFORE the tf shuffle; top-k is "
+        "a TakeOrderedAndProject, never a global sort",
+        _plan(bm),
+        ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    ))
+
+    dsir = entrymod.queries()["dsir_weights"](spark, SF)
+    sections.append((
+        "DSIR importance weights — the 4096-bucket log-ratio model joins "
+        "broadcast; the corpus-side bigram explode never shuffles before "
+        "the per-doc fold aggregation",
+        _plan(dsir),
+        ["BroadcastHashJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

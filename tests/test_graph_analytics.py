@@ -1,0 +1,91 @@
+"""Graph analytics: degrees, degree-ordered triangles, fixed-iteration
+PageRank — hand-computed small graphs plus invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraph_spark.operators.graph_analytics import (
+    degree_table,
+    pagerank,
+    triangle_counts,
+)
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b) for a, b in pairs], "subject_id string, object_id string"
+    )
+
+
+def test_degree_table(spark):
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")])
+    rows = {r["node"]: r for r in degree_table(e).collect()}
+    assert rows["a"]["out_degree"] == 2 and rows["a"]["in_degree"] == 1
+    assert rows["b"]["out_degree"] == 1 and rows["b"]["in_degree"] == 1
+    assert rows["c"]["out_degree"] == 1 and rows["c"]["in_degree"] == 2
+    assert all(r["degree"] == r["out_degree"] + r["in_degree"] for r in rows.values())
+
+
+def test_triangles_k4(spark):
+    # K4 has 4 triangles; every node sits in exactly 3
+    nodes = ["a", "b", "c", "d"]
+    e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y])
+    rows = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert rows == {n: 3 for n in nodes}
+
+
+def test_triangles_direction_and_dups_ignored(spark):
+    # same triangle expressed with mixed directions + parallel edges
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "c"), ("c", "d")])
+    rows = {r["node"]: r["n_triangles"] for r in triangle_counts(e).collect()}
+    assert rows == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_no_cartesian(spark):
+    from conftest import plan_text
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert "CartesianProduct" not in plan_text(triangle_counts(e))
+
+
+def test_pagerank_symmetric_cycle(spark):
+    # directed 3-cycle: perfectly symmetric → uniform ranks that sum to 1
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    assert rows == {"a": pytest.approx(1 / 3, abs=2e-6), "b": pytest.approx(1 / 3, abs=2e-6), "c": pytest.approx(1 / 3, abs=2e-6)}
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star into "hub": hub must outrank every leaf; mass conserved (no dangling
+    # once hub points back)
+    leaves = [f"l{i}" for i in range(6)]
+    e = _edges(spark, [(l, "hub") for l in leaves] + [("hub", l) for l in leaves])
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=8).collect()}
+    assert all(rows["hub"] > rows[l] for l in leaves)
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # "b" is dangling; without redistribution total rank leaks each round
+    e = _edges(spark, [("a", "b"), ("c", "b"), ("b2", "a"), ("b2", "c")])
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=6).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_exact_fold_matches_sum(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d"), ("d", "a")])
+    plain = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+    fold = {r["node"]: r["rank"] for r in pagerank(e, iterations=5, exact_fold=True).collect()}
+    assert plain == fold  # identical after per-round rounding
+
+
+def test_pagerank_deep_iteration_stays_linear(spark):
+    # r feeds both the dangling agg and the contrib join each round; the
+    # per-round pin keeps the plan linear — 12 rounds must stay cheap
+    # (an unpinned loop doubles the plan per round: 2^12 subtrees) and
+    # conserve probability mass
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "b")])
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=12).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
+    assert rows["b"] > rows["d"]  # b has two in-edges, d one

@@ -1,0 +1,79 @@
+"""BM25 relevance search and DSIR importance weights."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraph_spark.operators.relevance import bm25_topk, dsir_weights
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_bm25_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            ("d1", "spark spark join"),
+            ("d2", "join filter"),
+            ("d3", "window scan sort"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in bm25_topk(docs, ["spark"], topk=10).collect()}
+    assert list(out) == ["d1"]  # only d1 contains the term
+    # N=3, df=1 → idf = ln(1 + 2.5/1.5); tf=2, dl=3, avgdl=(3+2+3)/3
+    idf = round(math.log(1 + 2.5 / 1.5), 6)
+    avgdl = round(8 / 3, 6)
+    expect = round(round(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / avgdl)), 6), 4)
+    assert out["d1"]["score"] == pytest.approx(expect, abs=1e-9)
+    assert out["d1"]["n_matched"] == 1
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    docs = _docs(
+        spark,
+        [("d1", "alpha beta"), ("d2", "alpha gamma"), ("d3", "alpha delta"), ("d4", "beta zeta")],
+    )
+    out = bm25_topk(docs, ["alpha", "zeta"], topk=4).collect()
+    # zeta appears once in the corpus → d4 scores above the alpha-only docs
+    assert out[0]["doc_id"] == "d4"
+
+
+def test_bm25_topk_ties_break_on_id(spark):
+    docs = _docs(spark, [("b", "x y"), ("a", "x y"), ("c", "z")])
+    out = bm25_topk(docs, ["x"], topk=1).collect()
+    assert out[0]["doc_id"] == "a"
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    target = _docs(spark, [("t1", "gene protein binds receptor"), ("t2", "protein binds gene")])
+    raw = _docs(
+        spark,
+        [
+            ("r1", "gene protein binds receptor pathway"),  # target-like
+            ("r2", "stock market index falls sharply today"),  # not
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, target, n_buckets=512).collect()}
+    assert rows["r1"]["log_weight"] > rows["r2"]["log_weight"]
+    assert rows["r1"]["n_bigrams"] == 4 and rows["r2"]["n_bigrams"] == 5
+
+
+def test_dsir_short_docs_get_zero(spark):
+    target = _docs(spark, [("t", "a b")])
+    raw = _docs(spark, [("one", "single"), ("empty", "  "), ("ok", "a b")])
+    rows = {r["doc_id"]: r for r in dsir_weights(raw, target, n_buckets=64).collect()}
+    assert rows["one"]["log_weight"] == 0.0 and rows["one"]["n_bigrams"] == 0
+    assert rows["empty"]["log_weight"] == 0.0
+    assert rows["ok"]["n_bigrams"] == 1
+
+
+def test_dsir_every_raw_doc_scored(spark):
+    target = _docs(spark, [("t", "x y z")])
+    raw = _docs(spark, [(f"d{i}", f"w{i} w{i+1} w{i+2}") for i in range(20)])
+    out = dsir_weights(raw, target, n_buckets=128)
+    assert out.count() == 20
