@@ -1806,14 +1806,9 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
-def q_graph_pagerank(spark, sf_dir):
-    """5-iteration damped PageRank over C→N, S→N, N→R, R→N (back edges make
-    every node non-dangling, so the dangling term is exactly 0.0 in both
-    engines). exact_fold: per-node incoming sums are ordered folds ==
-    DuckDB list_sum(list(c ORDER BY src)); ranks re-rounded to 6 each round
-    keep both engines on the identical fixed-point trajectory."""
-    from kgraph_spark.operators.graph_analytics import pagerank
-
+def _pr_edges(spark, sf_dir):
+    """Directed C→N, S→N, N→R, R→N edges; the R→N back edges give every
+    node an out-edge, so the dangling mass is exactly 0.0 in any engine."""
     cust = _read(spark, sf_dir, "customer")
     supp = _read(spark, sf_dir, "supplier")
     nation = _read(spark, sf_dir, "nation")
@@ -1833,8 +1828,59 @@ def q_graph_pagerank(spark, sf_dir):
         F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("subject_id"),
         F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("object_id"),
     )
-    edges = c.union(s).union(nr).union(rn)
-    return pagerank(edges, iterations=5, damping=0.85, exact_fold=True)
+    return c.union(s).union(nr).union(rn)
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """5-iteration damped PageRank over C→N, S→N, N→R, R→N (back edges make
+    every node non-dangling, so the dangling term is exactly 0.0 in both
+    engines). exact_fold: per-node incoming sums are ordered folds ==
+    DuckDB list_sum(list(c ORDER BY src)); ranks re-rounded to 6 each round
+    keep both engines on the identical fixed-point trajectory."""
+    from kgraph_spark.operators.graph_analytics import pagerank
+
+    return pagerank(_pr_edges(spark, sf_dir), iterations=5, damping=0.85, exact_fold=True)
+
+
+PPR_SEEDS = ["C1", "C2", "C3"]
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from three seed
+    customers over the C/S→N⇄R graph: teleport and r0 concentrate on the
+    seeds; C/S nodes have no in-edges, so only the seeds and the N/R spine
+    carry mass — the 'relevance around these entities' KG query."""
+    from kgraph_spark.operators.graph_analytics import pagerank
+
+    return pagerank(
+        _pr_edges(spark, sf_dir), iterations=5, damping=0.85, exact_fold=True, seeds=PPR_SEEDS
+    )
+
+
+def q_graph_kcore(spark, sf_dir):
+    """Partial k-core peel (k=4, 3 synchronous rounds as pure lineage)
+    over the lineitem entity graph; integer-only arithmetic, oracle
+    unrolls the identical 3 peels as CTEs. rounds=None (the convergent
+    true k-core) is exercised in pytest."""
+    from kgraph_spark.operators.graph_analytics import kcore
+
+    return kcore(_li_edges(spark, sf_dir), k=4, rounds=3)
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality gate: sigmoid over the quality_score
+    feature vector, exact-binary weights, logit rounded to 6 before exp."""
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    return quality_classifier(_read(spark, sf_dir, "documents"))
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Top-5 keywords per doc by smoothed TF-IDF, (score DESC, token ASC)
+    deterministic ranking."""
+    from kgraph_spark.operators.relevance import tfidf_keywords
+
+    return tfidf_keywords(_read(spark, sf_dir, "documents"), topn=5)
 
 
 BM25_TERMS = ["join", "filter", "stream", "window"]
@@ -1942,8 +1988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
+        "graph_kcore": q_graph_kcore,
+        "graph_ppr": q_graph_ppr,
         "bm25_topk": q_bm25_topk,
         "dsir_weights": q_dsir_weights,
+        "quality_classifier": q_quality_classifier,
+        "tfidf_keywords": q_tfidf_keywords,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -1961,14 +2011,29 @@ def _with_shipping(fn):
     return run
 
 
-def _pagerank_oracle_sql(iterations: int = 5) -> str:
+def _pagerank_oracle_sql(iterations: int = 5, seeds: list[str] | None = None) -> str:
     """Unrolled fixed-iteration PageRank over the C/S→N⇄R graph. Every
     float literal is ::DOUBLE-cast so DuckDB runs the same IEEE ops as
     Spark; per-node incoming sums are ordered folds (list_sum over
     list(... ORDER BY src) == pagerank(exact_fold=True)); ranks re-rounded
     to 6 each round. The graph has no dangling node by construction (R→N
     back edges), so the dangling term — exactly 0.0 in pagerank() too — is
-    omitted here."""
+    omitted here. With `seeds`, restates the personalized variant: r0 and
+    the teleport concentrate on the seed set (1/|S|)."""
+    if seeds is not None:
+        seed_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+        n_t = f"{float(len(set(seeds)))!r}"
+        r0_expr = (
+            f"CASE WHEN node IN ({seed_list}) "
+            f"THEN round(1.0::DOUBLE / {n_t}, 6) ELSE 0.0 END"
+        )
+        tele_expr = (
+            f"CASE WHEN nd.node IN ({seed_list}) "
+            f"THEN (1.0::DOUBLE - 0.85::DOUBLE) / {n_t} ELSE 0.0 END"
+        )
+    else:
+        r0_expr = "round(1.0::DOUBLE / (SELECT n FROM nn), 6)"
+        tele_expr = "(1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)"
     parts = ["""
             WITH e AS (
                 SELECT DISTINCT * FROM (
@@ -1985,9 +2050,9 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
             ), nn AS (
                 SELECT count(*)::DOUBLE AS n FROM nodes
             ), r0 AS (
-                SELECT node, round(1.0::DOUBLE / (SELECT n FROM nn), 6) AS rank
+                SELECT node, {r0} AS rank
                 FROM nodes
-            )"""]
+            )""".replace("{r0}", r0_expr)]
     for i in range(1, iterations + 1):
         parts.append(f""", c{i} AS (
                 SELECT e.dst AS node,
@@ -1997,11 +2062,40 @@ def _pagerank_oracle_sql(iterations: int = 5) -> str:
                 GROUP BY e.dst
             ), r{i} AS (
                 SELECT nd.node,
-                       round((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn)
+                       round({tele_expr}
                              + 0.85::DOUBLE * coalesce(c.contrib, 0.0), 6) AS rank
                 FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
             )""")
     parts.append(f"\n            SELECT node, rank FROM r{iterations}")
+    return "".join(parts)
+
+
+def _kcore_oracle_sql(k: int = 4, rounds: int = 3) -> str:
+    """Unrolled synchronous k-core peels over the lineitem entity graph —
+    integer arithmetic only; each round = one degree aggregate + endpoint
+    IN-filters, exactly kcore(k, rounds)."""
+    parts = ["""
+            WITH e0 AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM lineitem
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM lineitem
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+                ) WHERE s <> d
+            )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", k{i} AS (
+                SELECT node FROM (
+                    SELECT a AS node FROM e{i - 1}
+                    UNION ALL SELECT b FROM e{i - 1}
+                ) GROUP BY 1 HAVING count(*) >= {k}
+            ), e{i} AS (
+                SELECT a, b FROM e{i - 1}
+                WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+            )""")
+    parts.append(f"""
+            SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+            ) GROUP BY 1""")
     return "".join(parts)
 
 
@@ -3899,6 +3993,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
+        "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
+        "graph_ppr": _pagerank_oracle_sql(iterations=5, seeds=PPR_SEEDS),
+        "quality_classifier": """
+            -- the quality_score feature vector (text_quality_score oracle)
+            -- fed through the linear classifier; every weight is an exact
+            -- binary fraction, the logit rounds to 6 before exp
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       round(-2.0 + 3.0 * alpha_ratio + 2.5 * stopword_ratio
+                             + (-4.0) * punct_ratio
+                             + 1.5 * least(1.0, n_tokens / 200.0), 6) AS logit
+                FROM f
+            )
+            SELECT doc_id, logit,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+                   round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep
+            FROM z
+        """,
+        "tfidf_keywords": """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> length(t) > 0) AS toks
+                FROM documents
+            ), nn AS (
+                SELECT count(*)::DOUBLE AS n FROM tk
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+                GROUP BY 1, 2
+            ), idf AS (
+                SELECT token,
+                       round(ln((1.0::DOUBLE + (SELECT n FROM nn))
+                                / (1.0::DOUBLE + df)) + 1.0::DOUBLE, 6) AS idf
+                FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            ), s AS (
+                SELECT doc_id, token, round(tf * idf, 6) AS tfidf
+                FROM tf JOIN idf USING (token)
+            )
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token)::BIGINT AS rank
+            FROM s QUALIFY rank <= 5
+        """,
         "bm25_topk": """
             -- BM25 restatement: every float literal is ::DOUBLE-cast so
             -- DuckDB runs IEEE double ops (its bare decimal literals are

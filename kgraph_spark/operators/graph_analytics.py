@@ -1,5 +1,6 @@
 """Graph analytics over the materialized triple store: degree tables,
-degree-ordered triangle counting, and fixed-iteration PageRank.
+degree-ordered triangle counting, fixed-iteration PageRank, and k-core
+peeling.
 
 The reference serves its graph through per-seed BFS/lookup queries
 (kgserver/query/subgraph.py:32-120, kgraph H1-H4 parity in graph.py) but
@@ -35,6 +36,12 @@ Scale notes (the 100-TB story for each):
   sum, making the per-iteration sum bit-identical to DuckDB's
   list_sum(list(c ORDER BY src)) — the oracle-replay mode; the default
   hash-agg sum is the at-scale mode.
+* k-core — synchronous peeling: each round computes degrees over the
+  surviving undirected edge list (one groupBy) and drops nodes below k
+  with a broadcast-friendly semi-join (the survivor set only shrinks).
+  Integer arithmetic only — no float playbook needed; a fixed `rounds`
+  unrolls into pure lineage for SQL replay, `rounds=None` loops to the
+  fixpoint with one count per round (the true k-core).
 """
 
 from __future__ import annotations
@@ -126,6 +133,7 @@ def pagerank(
     src: str = "subject_id",
     dst: str = "object_id",
     pin_rounds: bool = True,
+    seeds: list[str] | None = None,
 ) -> DataFrame:
     """(node, rank) after `iterations` rounds of damped PageRank with
     uniform teleport and dangling-mass redistribution. Parallel edges are
@@ -142,7 +150,14 @@ def pagerank(
     (exponential by iteration 10) and replays each round twice; pinning
     keeps the plan linear and each round's stages run exactly once (under
     AQE the checkpoint materializes that round — a few small jobs per
-    round, the intended behavior, same pattern as connected_components)."""
+    round, the intended behavior, same pattern as connected_components).
+
+    `seeds` switches to PERSONALIZED PageRank (random walk with restart):
+    the teleport and the dangling redistribution both target the seed set
+    uniformly (1/|S| each) instead of all nodes — the standard KG
+    "relevance around these entities" query. r0 = 1/|S| on seeds, 0
+    elsewhere; non-seeds receive rank only through incoming edges. Seeds
+    are a driver-side list (query entry points, not data-scale)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
@@ -156,7 +171,21 @@ def pagerank(
     n = base.count()
     if n == 0:
         return base.select("node", F.lit(0.0).alias("rank"))
-    r = base.select("node", "outdeg", F.round(F.lit(1.0 / n), round_to).alias("rank"))
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("seeds must be non-empty when provided")
+        n_t = float(len(set(seeds)))
+        is_seed = F.col("node").isin(sorted(set(seeds)))
+    else:
+        n_t = float(n)
+        is_seed = F.lit(True)
+    teleport = F.when(is_seed, F.lit((1.0 - damping) / n_t)).otherwise(F.lit(0.0))
+    dangling_share = F.when(is_seed, F.col("_dm") / F.lit(n_t)).otherwise(F.lit(0.0))
+    r = base.select(
+        "node",
+        "outdeg",
+        F.round(F.when(is_seed, F.lit(1.0 / n_t)).otherwise(F.lit(0.0)), round_to).alias("rank"),
+    )
 
     for _ in range(iterations):
         dangling = r.agg(
@@ -183,9 +212,9 @@ def pagerank(
                 "node",
                 "outdeg",
                 F.round(
-                    F.lit((1.0 - damping) / n)
+                    teleport
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n))),
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangling_share),
                     round_to,
                 ).alias("rank"),
             )
@@ -195,3 +224,70 @@ def pagerank(
         if pin_rounds:
             r = r.localCheckpoint(eager=False)
     return r.select("node", "rank")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int | None = None,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """Nodes surviving k-core peeling of the undirected simple graph, with
+    their degree inside the surviving subgraph: (node, degree).
+
+    Synchronous peel: every round removes ALL nodes with degree < k at
+    once (the parallel variant of the classic sequential peel — same
+    fixpoint). `rounds=None` iterates until no node is removed (one
+    count() action per round, converges in O(peel depth) — this is the
+    true k-core). A fixed `rounds` runs that many peels as pure lineage —
+    deterministic partial peel, unrollable as SQL CTEs for the oracle.
+
+    Each round is one degree groupBy + one LeftSemi join of the edge list
+    against the surviving nodes on each endpoint; edges only ever shrink,
+    and a lazy per-round checkpoint stops lineage growth (edges appear on
+    both sides of the semi-joins)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = _undirected(edges, src, dst).localCheckpoint(eager=False)
+
+    def peel(e: DataFrame) -> DataFrame:
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        return (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .select("a", "b")
+        )
+
+    e = und
+    if rounds is None:
+        n = e.count()
+        while True:
+            e = peel(e).localCheckpoint(eager=False)
+            m = e.count()
+            if m == n:
+                break
+            n = m
+    else:
+        for _ in range(rounds):
+            e = peel(e)
+            # pin_rounds=False is for plan inspection only (the checkpoint
+            # hides each round's physical plan behind an RDD scan)
+            if pin_rounds:
+                e = e.localCheckpoint(eager=False)
+    # degrees of the surviving subgraph — at the fixpoint every node is
+    # >= k by definition; under a fixed partial peel the raw degrees are
+    # reported as-is (the oracle restates the identical R peels)
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

@@ -29,7 +29,7 @@ explode + one groupBy(doc_id)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -99,6 +99,52 @@ def bm25_topk(
         F.round(F.sum("s"), 4).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(topk)
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    topn: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-n keywords per document by smoothed TF-IDF: (doc_id, token,
+    tfidf, rank). idf = ln((1+N)/(1+df)) + 1 (the sklearn smoothing — no
+    zero idf for corpus-wide terms), score = tf·idf, rank by (score DESC,
+    token ASC) — fully deterministic.
+
+    Scale: one tf groupBy (doc, token), one vocab-sized df groupBy, one
+    token-keyed join (auto-broadcast when the vocab fits), and a per-doc
+    row_number window partitioned on doc_id — no global sort; idf and
+    scores pre-rounded to 6 so the rank comparison orders identical
+    doubles in any engine."""
+    toks = _tokens(docs, id_col, text_col)
+    n_docs = toks.count()
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            F.round(
+                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0),
+                6,
+            ).alias("idf"),
+        )
+    )
+    scored = tf.join(idf, "token").select(
+        "doc_id", "token", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topn)
+        .select("doc_id", "token", "tfidf", "rank")
+    )
 
 
 def _bigram_buckets(toks: DataFrame, n_buckets: int) -> DataFrame:

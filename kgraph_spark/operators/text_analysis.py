@@ -88,6 +88,58 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+DEFAULT_CLASSIFIER_WEIGHTS = {
+    "bias": -2.0,
+    "alpha_ratio": 3.0,
+    "stopword_ratio": 2.5,
+    "punct_ratio": -4.0,
+    "len_feature": 1.5,  # min(1, n_tokens/200)
+}
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality classifier: (doc_id, logit, prob,
+    keep). prob = sigmoid(w·x + b) over the quality_score feature vector
+    (alpha ratio, stopword ratio, punctuation ratio, capped length);
+    keep = prob >= 0.5 — the binary filter decision a CCNet/fastText
+    quality gate makes per document.
+
+    The default weights are a hand-set stand-in for a trained model (the
+    repo's determinism stance: plug a trained coefficient dict into
+    `weights`); every weight is an exact binary fraction so the logit
+    chain is reproducible in any engine, and the logit is rounded to 6
+    before the sigmoid so exp() runs on identical doubles. Map-only:
+    scoring adds zero shuffles on top of the feature projection."""
+    w = dict(DEFAULT_CLASSIFIER_WEIGHTS)
+    if weights:
+        w.update(weights)
+    feats = quality_score(docs, id_col=id_col, text_col=text_col)
+    len_feature = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(200.0))
+    logit = F.round(
+        F.lit(w["bias"])
+        + F.lit(w["alpha_ratio"]) * F.col("alpha_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["len_feature"]) * len_feature,
+        6,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+    return (
+        feats.select(F.col(id_col), logit.alias("logit"))
+        .select(
+            F.col(id_col),
+            "logit",
+            prob.alias("prob"),
+        )
+        .withColumn("keep", F.col("prob") >= 0.5)
+    )
+
+
 def language_id_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, n_en, n_de, n_es, lang_guess) — SQL-mirrorable exactly."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

@@ -353,6 +353,34 @@ def main() -> None:
         ["BroadcastHashJoin"],
     ))
 
+    from kgraph_spark.operators.graph_analytics import kcore
+
+    sections.append((
+        "k-core peel round — degree aggregate + LeftSemi survivor filters; "
+        "the edge list only shrinks, id-only exchanges throughout",
+        _plan(kcore(li_edges, k=4, rounds=1, pin_rounds=False)),
+        ["LeftSemi", "HashAggregate"],
+    ))
+
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    sections.append((
+        "Quality classifier — the whole feature+logit+sigmoid pipeline is "
+        "map-only: zero exchanges at any corpus size",
+        _plan(quality_classifier(curation_docs)),
+        ["!Exchange"],
+    ))
+
+    from kgraph_spark.operators.relevance import tfidf_keywords
+
+    sections.append((
+        "TF-IDF keywords — tf/df are partial/final hash aggregations; the "
+        "top-n ranking is a per-doc Window (partition-local sort), never a "
+        "global sort of the corpus",
+        _plan(tfidf_keywords(curation_docs, topn=5)),
+        ["Window", "HashAggregate", "!Exchange SinglePartition"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from kgraph_spark.operators.graph_analytics import (
     degree_table,
+    kcore,
     pagerank,
     triangle_counts,
 )
@@ -78,6 +79,54 @@ def test_pagerank_exact_fold_matches_sum(spark):
     plain = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
     fold = {r["node"]: r["rank"] for r in pagerank(e, iterations=5, exact_fold=True).collect()}
     assert plain == fold  # identical after per-round rounding
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    # two disjoint 3-cycles; seeding in one leaves the other at exactly 0
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=6, seeds=["a"]).collect()}
+    assert rows["x"] == rows["y"] == rows["z"] == 0.0
+    assert rows["a"] > rows["b"] > 0 and rows["c"] > 0
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError):
+        pagerank(e, seeds=[])
+
+
+def test_kcore_converged_peels_tail(spark):
+    # triangle a-b-c plus a pendant path c-d-e: 2-core = the triangle only
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")])
+    rows = {r["node"]: r["degree"] for r in kcore(e, k=2).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_cascading_removal_needs_multiple_rounds(spark):
+    # chain hanging off a triangle peels one link per synchronous round
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"), ("e", "f")],
+    )
+    one_round = {r["node"] for r in kcore(e, k=2, rounds=1).collect()}
+    assert one_round == {"a", "b", "c", "d", "e"}  # only f's edge peeled
+    converged = {r["node"] for r in kcore(e, k=2).collect()}
+    assert converged == {"a", "b", "c"}
+
+
+def test_kcore_empty_when_k_exceeds_graph(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    assert kcore(e, k=3).count() == 0
+
+
+def test_kcore_direction_and_self_loops_ignored(spark):
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("a", "c")])
+    rows = {r["node"]: r["degree"] for r in kcore(e, k=2).collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
 
 
 def test_pagerank_deep_iteration_stays_linear(spark):

@@ -1,4 +1,5 @@
-"""BM25 relevance search and DSIR importance weights."""
+"""BM25 relevance search, TF-IDF keywords, DSIR importance weights, and
+the linear quality classifier."""
 
 from __future__ import annotations
 
@@ -7,7 +8,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from kgraph_spark.operators.relevance import bm25_topk, dsir_weights
+from kgraph_spark.operators.relevance import bm25_topk, dsir_weights, tfidf_keywords
+from kgraph_spark.operators.text_analysis import quality_classifier
 
 
 def _docs(spark, rows):
@@ -77,3 +79,45 @@ def test_dsir_every_raw_doc_scored(spark):
     raw = _docs(spark, [(f"d{i}", f"w{i} w{i+1} w{i+2}") for i in range(20)])
     out = dsir_weights(raw, target, n_buckets=128)
     assert out.count() == 20
+
+
+def test_tfidf_rare_term_is_top_keyword(spark):
+    docs = _docs(
+        spark,
+        [
+            ("d1", "common common zebra"),
+            ("d2", "common words here"),
+            ("d3", "common words there"),
+        ],
+    )
+    out = tfidf_keywords(docs, topn=2).collect()
+    d1 = sorted((r for r in out if r["doc_id"] == "d1"), key=lambda r: r["rank"])
+    # zebra: df=1 → idf ln(4/2)+1; common in d1: tf=2 but df=3 → idf ln(4/4)+1=1
+    assert d1[0]["token"] == "common" and d1[0]["tfidf"] == pytest.approx(2.0)
+    assert d1[1]["token"] == "zebra"
+    assert d1[1]["tfidf"] == pytest.approx(round(math.log(4 / 2) + 1, 6), abs=1e-9)
+
+
+def test_tfidf_rank_is_dense_per_doc_and_capped(spark):
+    docs = _docs(spark, [("a", "q w e r t y u i"), ("b", "q w")])
+    out = tfidf_keywords(docs, topn=3)
+    per_doc = {r["doc_id"]: r["cnt"] for r in out.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert per_doc == {"a": 3, "b": 2}
+    ranks = [r["rank"] for r in out.filter("doc_id = 'a'").orderBy("rank").collect()]
+    assert ranks == [1, 2, 3]
+
+
+def test_quality_classifier_orders_clean_above_junk(spark):
+    clean = "the quick brown fox jumps over the lazy dog and it was good to see"
+    junk = "!!! ??? ;;; ... ,,, !!! ??? ;;;"
+    docs = _docs(spark, [("clean", clean), ("junk", junk)])
+    rows = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    assert rows["clean"]["prob"] > rows["junk"]["prob"]
+    assert rows["clean"]["keep"] and not rows["junk"]["keep"]
+    assert 0.0 <= rows["junk"]["prob"] <= rows["clean"]["prob"] <= 1.0
+
+
+def test_quality_classifier_custom_weights(spark):
+    docs = _docs(spark, [("d", "hello world this is fine")])
+    flipped = quality_classifier(docs, weights={"bias": -100.0}).collect()[0]
+    assert flipped["prob"] < 0.001 and not flipped["keep"]
