@@ -1760,10 +1760,14 @@ def q_det_shuffle(spark, sf_dir):
     return deterministic_shuffle(_read(spark, sf_dir, "documents"), salt="epoch1")
 
 
-def _li_edges(spark, sf_dir):
+def _li_edges(spark, sf_dir, part_mod: int | None = None):
     """Distinct directed O→P, O→S, P→S edges from lineitem — a graph with
-    real triangles (every lineitem row closes an order-part-supplier one)."""
+    real triangles (every lineitem row closes an order-part-supplier one).
+    `part_mod` keeps only rows with l_partkey % part_mod == 0 (a
+    deterministic thinning some oracles need; see q_graph_triangles)."""
     li = _read(spark, sf_dir, "lineitem")
+    if part_mod is not None:
+        li = li.filter(F.col("l_partkey") % part_mod == 0)
     o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
     p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
     s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
@@ -1793,17 +1797,7 @@ def q_graph_triangles(spark, sf_dir):
     full-graph run remains the bench/scale evidence."""
     from kgraph_spark.operators.graph_analytics import triangle_counts
 
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
-    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
-    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
-    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
-    edges = (
-        li.select(o.alias("subject_id"), p.alias("object_id"))
-        .union(li.select(o.alias("subject_id"), s.alias("object_id")))
-        .union(li.select(p.alias("subject_id"), s.alias("object_id")))
-        .distinct()
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_li_edges(spark, sf_dir, part_mod=3))
 
 
 def _pr_edges(spark, sf_dir):
@@ -1881,6 +1875,52 @@ def q_tfidf_keywords(spark, sf_dir):
     from kgraph_spark.operators.relevance import tfidf_keywords
 
     return tfidf_keywords(_read(spark, sf_dir, "documents"), topn=5)
+
+
+def q_evt_asof(spark, sf_dir):
+    """As-of join: every click gains the user's latest purchase at or
+    before it (one window shuffle, no pair blowup). Right side is
+    pre-aggregated to one row per (user, instant) so the tie semantics
+    match DuckDB's native ASOF JOIN oracle exactly."""
+    from kgraph_spark.operators.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on=["user_id"], ts="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("ts_right").alias("last_purchase_ts"),
+        F.col("purchase_value_right").alias("last_purchase_value"),
+    )
+
+
+def q_evt_range_join(spark, sf_dir):
+    """Range join: events matched to 96 OVERLAPPING 90-minute promo
+    windows starting each hour from the corpus' first event — overlapping
+    intervals are exactly what a tumbling-window groupBy cannot express.
+    Bucketized equi-join plan; result provably independent of the bucket
+    size (integer-microsecond bucket keys + exact timestamp filter)."""
+    from kgraph_spark.operators.temporal import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    gmin = ev.agg(F.min("ts")).collect()[0][0]
+    # intervals stay TIMESTAMP_NTZ (the events column type) via exact
+    # integer interval arithmetic — no tz-dependent instant conversion
+    base = F.lit(gmin).cast("timestamp_ntz")
+    iv = spark.range(96).select(
+        F.col("id").cast("long").alias("interval_id"),
+        (base + F.expr("make_interval(0, 0, 0, 0, id, 0, 0)")).alias("start"),
+        (base + F.expr("make_interval(0, 0, 0, 0, id, 90, 0)")).alias("end"),
+    )
+    out = range_join(ev.select("event_id", "ts"), iv, ts="ts")
+    return out.select("interval_id", "event_id")
 
 
 BM25_TERMS = ["join", "filter", "stream", "window"]
@@ -1994,6 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "quality_classifier": q_quality_classifier,
         "tfidf_keywords": q_tfidf_keywords,
+        "evt_asof_join": q_evt_asof,
+        "evt_range_join": q_evt_range_join,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -3995,6 +4037,35 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
         "graph_ppr": _pagerank_oracle_sql(iterations=5, seeds=PPR_SEEDS),
+        "evt_asof_join": """
+            -- DuckDB's native ASOF JOIN is the independent restatement of
+            -- the union+running-last-window Spark formulation
+            WITH c AS (
+                SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, ts, round(max(value), 4) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT c.user_id, c.event_id, c.ts,
+                   p.ts AS last_purchase_ts,
+                   p.purchase_value AS last_purchase_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "evt_range_join": """
+            -- plain inequality join (DuckDB IEJoin) vs Spark's bucketized
+            -- equi-join + exact filter — identical match set
+            WITH g AS (
+                SELECT min(ts) AS t0 FROM events
+            ), iv AS (
+                SELECT i AS interval_id,
+                       t0 + to_microseconds(i * 3600000000) AS s,
+                       t0 + to_microseconds(i * 3600000000 + 5400000000) AS e
+                FROM range(0, 96) r(i), g
+            )
+            SELECT iv.interval_id, ev.event_id
+            FROM events ev JOIN iv ON iv.s <= ev.ts AND ev.ts < iv.e
+        """,
         "quality_classifier": """
             -- the quality_score feature vector (text_quality_score oracle)
             -- fed through the linear classifier; every weight is an exact

@@ -176,6 +176,13 @@ def pagerank(
             raise ValueError("seeds must be non-empty when provided")
         n_t = float(len(set(seeds)))
         is_seed = F.col("node").isin(sorted(set(seeds)))
+        # a seed absent from the graph would silently keep its 1/|S| share
+        # of teleport mass unpaid (ranks no longer sum to 1) — fail loudly
+        present = base.filter(is_seed).count()
+        if present != len(set(seeds)):
+            raise ValueError(
+                f"{len(set(seeds)) - present} seed(s) are not nodes of the graph"
+            )
     else:
         n_t = float(n)
         is_seed = F.lit(True)

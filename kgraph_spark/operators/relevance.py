@@ -62,7 +62,9 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
-    toks = _tokens(docs, id_col, text_col)
+    # pinned: the tokenization feeds the N/avgdl action AND the scoring
+    # plan — unpinned, the corpus would tokenize twice
+    toks = _tokens(docs, id_col, text_col).localCheckpoint(eager=False)
     # doc lengths BEFORE the term filter (BM25 normalizes by full length)
     lens = toks.select("doc_id", F.size("toks").alias("dl"))
     stats = lens.agg(
@@ -117,7 +119,8 @@ def tfidf_keywords(
     row_number window partitioned on doc_id — no global sort; idf and
     scores pre-rounded to 6 so the rank comparison orders identical
     doubles in any engine."""
-    toks = _tokens(docs, id_col, text_col)
+    # pinned: feeds the N count and the tf plan (one tokenization pass)
+    toks = _tokens(docs, id_col, text_col).localCheckpoint(eager=False)
     n_docs = toks.count()
     tf = (
         toks.select("doc_id", F.explode("toks").alias("token"))
@@ -190,8 +193,13 @@ def dsir_weights(
     bit-for-bit. Docs with <2 tokens get log_weight 0.0 (no evidence)."""
     raw_b = _bigram_buckets(_tokens(docs, id_col, text_col), n_buckets)
     tgt_b = _bigram_buckets(_tokens(target, id_col, text_col), n_buckets)
-    rc = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tc = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    # pin the two B-row bucket tables: they feed the totals collect AND the
+    # lam model, so an unpinned plan would re-run the whole-corpus bigram
+    # explode three times; pinning the ≤B-row aggregates (not the corpus-
+    # sized raw_b itself) caps the corpus scans at two — one to build the
+    # model, one to score
+    rc = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")).localCheckpoint(eager=False)
+    tc = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")).localCheckpoint(eager=False)
     tot_r = rc.agg(F.sum("cr")).collect()[0][0] or 0
     tot_t = tc.agg(F.sum("ct")).collect()[0][0] or 0
     denom_r = float(tot_r) + 0.5 * n_buckets

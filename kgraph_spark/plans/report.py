@@ -381,6 +381,25 @@ def main() -> None:
         ["Window", "HashAggregate", "!Exchange SinglePartition"],
     ))
 
+    asof = entrymod.queries()["evt_asof_join"](spark, SF)
+    sections.append((
+        "As-of join — union + running last-non-null window: ONE shuffle on "
+        "the key, no join pair blowup, no range condition for Catalyst to "
+        "degrade into a nested-loop join",
+        _plan(asof),
+        ["Window", "!BroadcastNestedLoopJoin", "!SortMergeJoin"],
+    ))
+
+    rj = entrymod.queries()["evt_range_join"](spark, SF)
+    sections.append((
+        "Range join — intervals explode to integer-microsecond buckets and "
+        "the point-in-interval predicate runs AFTER an equality join on the "
+        "bucket key; the raw inequality would be a BroadcastNestedLoopJoin "
+        "(or cartesian) in Catalyst",
+        _plan(rj),
+        ["!BroadcastNestedLoopJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -99,6 +99,13 @@ def test_personalized_pagerank_rejects_empty_seeds(spark):
         pagerank(e, seeds=[])
 
 
+def test_personalized_pagerank_rejects_unknown_seed(spark):
+    # a phantom seed would silently keep its 1/|S| teleport share unpaid
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="not nodes"):
+        pagerank(e, seeds=["a", "ghost"])
+
+
 def test_kcore_converged_peels_tail(spark):
     # triangle a-b-c plus a pendant path c-d-e: 2-core = the triangle only
     e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")])
