@@ -1877,6 +1877,30 @@ def q_tfidf_keywords(spark, sf_dir):
     return tfidf_keywords(_read(spark, sf_dir, "documents"), topn=5)
 
 
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient per node (degree, triangle count,
+    2T/(d(d-1))) over the thinned lineitem graph — same triangle machinery
+    as graph_triangles plus one degree join."""
+    from kgraph_spark.operators.graph_analytics import clustering_coefficient
+
+    return clustering_coefficient(_li_edges(spark, sf_dir, part_mod=3))
+
+
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the bipartite order-part graph:
+    non-adjacent pairs sharing ≥2 common neighbors, scored by
+    Σ 1/ln(deg(common)). min_common=2 is the operative filter — the
+    n_common=1 tail is ~320k pairs vs ~900 real candidates (docstring)."""
+    from kgraph_spark.operators.graph_analytics import adamic_adar
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    ).distinct()
+    return adamic_adar(edges, min_common=2)
+
+
 def q_evt_asof(spark, sf_dir):
     """As-of join: every click gains the user's latest purchase at or
     before it (one window shuffle, no pair blowup). Right side is
@@ -2036,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "evt_asof_join": q_evt_asof,
         "evt_range_join": q_evt_range_join,
+        "graph_clustering": q_graph_clustering,
+        "graph_adamic_adar": q_graph_adamic_adar,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -4037,6 +4063,73 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
         "graph_ppr": _pagerank_oracle_sql(iterations=5, seeds=PPR_SEEDS),
+        "graph_clustering": """
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM li
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), tcount AS (
+                SELECT node, count(*)::BIGINT AS n FROM (
+                    SELECT x AS node FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY 1
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS degree FROM (
+                    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            )
+            SELECT d.node, d.degree,
+                   coalesce(t.n, 0)::BIGINT AS n_triangles,
+                   CASE WHEN d.degree > 1
+                        THEN round((2.0::DOUBLE * coalesce(t.n, 0))
+                                   / (d.degree * (d.degree - 1)), 6)
+                        ELSE 0.0 END AS coefficient
+            FROM deg d LEFT JOIN tcount t USING (node)
+        """,
+        "graph_adamic_adar": """
+            -- wedge enumeration + ordered-fold scoring; the n_common >= 2
+            -- HAVING is the operative pruning (the 1-common tail is ~350x
+            -- larger); every float op ::DOUBLE, per-term w rounded to 6
+            WITH und AS (
+                SELECT DISTINCT 'O' || l_orderkey AS a, 'P' || l_partkey AS b
+                FROM lineitem WHERE l_partkey % 3 = 0
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS d FROM (
+                    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ), w AS (
+                SELECT node, round(1.0::DOUBLE / ln(d), 6) AS w
+                FROM deg WHERE d >= 2
+            ), adj AS (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und
+            ), wedges AS (
+                SELECT e1.u, e1.v AS na, e2.v AS nb
+                FROM adj e1 JOIN adj e2 USING (u) WHERE e1.v < e2.v
+            ), cand AS (
+                SELECT wg.* FROM wedges wg
+                ANTI JOIN und ON und.a = wg.na AND und.b = wg.nb
+            )
+            SELECT c.na AS node_a, c.nb AS node_b,
+                   count(*)::BIGINT AS n_common,
+                   round(list_sum(list(wt.w ORDER BY c.u)), 4) AS score
+            FROM cand c JOIN w wt ON c.u = wt.node
+            GROUP BY 1, 2
+            HAVING count(*) >= 2 AND round(list_sum(list(wt.w ORDER BY c.u)), 4) >= 0.0
+        """,
         "evt_asof_join": """
             -- DuckDB's native ASOF JOIN is the independent restatement of
             -- the union+running-last-window Spark formulation

@@ -233,6 +233,105 @@ def pagerank(
     return r.select("node", "rank")
 
 
+def clustering_coefficient(
+    edges: DataFrame, src: str = "subject_id", dst: str = "object_id"
+) -> DataFrame:
+    """Local clustering coefficient per node over the undirected simple
+    graph: (node, degree, n_triangles, coefficient) with coefficient =
+    2·T(v) / (deg(v)·(deg(v)−1)), 0 for degree-1 nodes, rounded to 6.
+    Composes degree_table's undirected degrees with triangle_counts — one
+    extra broadcast-sized join over the triangle machinery."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+    denom = F.col("degree") * (F.col("degree") - 1)
+    return joined.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.when(denom > 0, F.round(2.0 * F.col("n_triangles") / denom, 6))
+        .otherwise(F.lit(0.0))
+        .alias("coefficient"),
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    min_score: float = 0.0,
+    min_common: int = 1,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores for NON-adjacent node pairs with
+    at least one common neighbor: (node_a, node_b, n_common, score) with
+    a < b and score = Σ_{u ∈ Γ(a)∩Γ(b)} 1/ln(deg(u)), per-term values
+    rounded to 6 and summed as an ordered fold (by common-neighbor id) so
+    a SQL restatement reproduces the float exactly; final round 4.
+
+    Candidate pairs come from wedges (two edges sharing the center u), so
+    work is Σ_u deg(u)² — the inherent cost of enumerating common
+    neighbors. Degree-1 centers contribute no wedge; ln(1)=0 centers
+    (degree 1) cannot occur since a wedge center has degree ≥ 2. Known
+    edges are removed with one LeftAnti join against the canonical edge
+    list. `min_score` and `min_common` prune the long tail after scoring —
+    on dense graphs the n_common=1 pairs dominate by orders of magnitude
+    (measured 320k → ~900 pairs at min_common=2 on the order-part graph),
+    so real link-prediction use sets min_common ≥ 2."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # adjacency with both orientations: wedges pair each center's
+    # neighbor list against itself
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    # only degree-≥2 nodes can center a wedge; the filter also keeps the
+    # 1/ln(1)=∞ row out of the model table
+    w = deg.filter(F.col("d") >= 2).select(
+        "node", F.round(1.0 / F.log(F.col("d")), 6).alias("w")
+    )
+    e1 = adj.select(F.col("u"), F.col("v").alias("na"))
+    e2 = adj.select(F.col("u"), F.col("v").alias("nb"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("na") < F.col("nb"))
+        .join(w.withColumnRenamed("node", "u"), "u")
+    )
+    # drop pairs that are already edges BEFORE aggregation (smaller shuffle)
+    cand = wedges.join(
+        und.select(F.col("a").alias("na"), F.col("b").alias("nb")),
+        ["na", "nb"],
+        "leftanti",
+    )
+    folded = (
+        cand.groupBy(F.col("na").alias("node_a"), F.col("nb").alias("node_b"))
+        .agg(F.array_sort(F.collect_list(F.struct("u", "w"))).alias("ws"))
+        .select(
+            "node_a",
+            "node_b",
+            F.size("ws").cast("long").alias("n_common"),
+            F.round(
+                F.aggregate(F.col("ws"), F.lit(0.0), lambda acc, x: acc + x["w"]), 4
+            ).alias("score"),
+        )
+    )
+    return folded.filter((F.col("score") >= min_score) & (F.col("n_common") >= min_common))
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

@@ -400,6 +400,20 @@ def main() -> None:
         ["!BroadcastNestedLoopJoin"],
     ))
 
+    from kgraph_spark.operators.graph_analytics import adamic_adar
+
+    aa_edges = spark.createDataFrame(
+        [(f"o{i}", f"p{i % 7}") for i in range(30)],
+        "subject_id string, object_id string",
+    )
+    sections.append((
+        "Adamic-Adar link prediction — known edges drop via LeftAnti BEFORE "
+        "the pair aggregation; the degree-weight model joins in; no "
+        "cartesian anywhere in the wedge enumeration",
+        _plan(adamic_adar(aa_edges, min_common=2)),
+        ["LeftAnti"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

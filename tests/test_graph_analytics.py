@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from kgraph_spark.operators.graph_analytics import (
+    adamic_adar,
+    clustering_coefficient,
     degree_table,
     kcore,
     pagerank,
@@ -79,6 +81,45 @@ def test_pagerank_exact_fold_matches_sum(spark):
     plain = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
     fold = {r["node"]: r["rank"] for r in pagerank(e, iterations=5, exact_fold=True).collect()}
     assert plain == fold  # identical after per-round rounding
+
+
+def test_clustering_coefficient_k4_minus_edge(spark):
+    # K4 minus edge (a,d): triangles abc + bcd; coefficients by hand
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")])
+    rows = {r["node"]: r for r in clustering_coefficient(e).collect()}
+    assert rows["a"]["coefficient"] == 1.0 and rows["d"]["coefficient"] == 1.0
+    assert rows["b"]["coefficient"] == pytest.approx(2 / 3, abs=2e-6)
+    assert rows["b"]["degree"] == 3 and rows["b"]["n_triangles"] == 2
+
+
+def test_clustering_coefficient_degree_one_is_zero(spark):
+    e = _edges(spark, [("a", "b")])
+    rows = {r["node"]: r["coefficient"] for r in clustering_coefficient(e).collect()}
+    assert rows == {"a": 0.0, "b": 0.0}
+
+
+def test_adamic_adar_scores_common_neighbor(spark):
+    import math
+
+    # a-u-b path: (a,b) non-adjacent with common neighbor u of degree 2
+    e = _edges(spark, [("a", "u"), ("u", "b")])
+    rows = adamic_adar(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["node_a"], r["node_b"], r["n_common"]) == ("a", "b", 1)
+    assert r["score"] == pytest.approx(round(round(1 / math.log(2), 6), 4), abs=1e-9)
+
+
+def test_adamic_adar_excludes_existing_edges_and_honors_min_common(spark):
+    # square a-b-c-d-a: (a,c) and (b,d) are the diagonals, each with TWO
+    # common neighbors; adjacent pairs are excluded
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {(r["node_a"], r["node_b"]): r for r in adamic_adar(e, min_common=2).collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert all(r["n_common"] == 2 for r in got.values())
+    # triangle: all pairs adjacent → nothing to predict
+    tri = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert adamic_adar(tri).count() == 0
 
 
 def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
