@@ -441,7 +441,7 @@ def q_minhash_lsh(spark, sf_dir):
     from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=64, hash_fn="md5")
+    sigs = minhash_signatures(shingles(docs, k=3, dedupe=False), num_hashes=64, hash_fn="md5")
     return lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
@@ -1491,7 +1491,7 @@ def q_curation_keep_best(spark, sf_dir):
     from kgraph_spark.operators.dedup_text import lsh_candidate_pairs, minhash_signatures, shingles
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sigs = minhash_signatures(shingles(docs, k=3), num_hashes=64, hash_fn="md5")
+    sigs = minhash_signatures(shingles(docs, k=3, dedupe=False), num_hashes=64, hash_fn="md5")
     pairs = lsh_candidate_pairs(sigs, bands=16, rows_per_band=4).filter(
         F.col("est_jaccard") >= 0.5
     )

