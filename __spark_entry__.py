@@ -1901,6 +1901,34 @@ def q_graph_adamic_adar(spark, sf_dir):
     return adamic_adar(edges, min_common=2)
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Weighted shortest paths (3 Bellman-Ford relaxations) from the three
+    lowest orders over the O→P (min quantity) / P→S (min discount) edge
+    list. Every aggregate is a MIN, so the oracle needs no ordered folds —
+    just the identical unrolled relaxations."""
+    from kgraph_spark.operators.graph_analytics import shortest_paths
+
+    li = _read(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+        F.col("l_quantity").alias("w"),
+    )
+    ps = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("object_id"),
+        F.col("l_discount").alias("w"),
+    )
+    seeds = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .orderBy("k")
+        .limit(3)
+        .select(F.concat(F.lit("O"), F.col("k").cast("string")).alias("node"))
+    )
+    return shortest_paths(op.unionByName(ps), seeds, rounds=3, weight="w")
+
+
 def q_evt_asof(spark, sf_dir):
     """As-of join: every click gains the user's latest purchase at or
     before it (one window shuffle, no pair blowup). Right side is
@@ -2062,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_range_join": q_evt_range_join,
         "graph_clustering": q_graph_clustering,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_sssp": q_graph_sssp,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -2135,6 +2164,37 @@ def _pagerank_oracle_sql(iterations: int = 5, seeds: list[str] | None = None) ->
                 FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
             )""")
     parts.append(f"\n            SELECT node, rank FROM r{iterations}")
+    return "".join(parts)
+
+
+def _sssp_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled Bellman-Ford relaxations — every aggregate a plain min()
+    (order-independent), weights/distances round-6, one IEEE add per
+    candidate: no ordered folds required."""
+    parts = ["""
+            WITH e AS (
+                SELECT src, dst, min(w) AS w FROM (
+                    SELECT 'O' || l_orderkey AS src, 'P' || l_partkey AS dst,
+                           round(l_quantity, 6) AS w FROM lineitem
+                    UNION ALL
+                    SELECT 'P' || l_partkey, 'S' || l_suppkey,
+                           round(l_discount, 6) FROM lineitem
+                ) GROUP BY 1, 2
+            ), d0 AS (
+                SELECT 'O' || k AS node, 0.0::DOUBLE AS dist FROM (
+                    SELECT DISTINCT l_orderkey AS k FROM lineitem ORDER BY k LIMIT 3
+                )
+            )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", d{i} AS (
+                SELECT node, min(dist) AS dist FROM (
+                    SELECT node, dist FROM d{i - 1}
+                    UNION ALL
+                    SELECT e.dst, round(r.dist + e.w, 6)
+                    FROM e JOIN d{i - 1} r ON e.src = r.node
+                ) GROUP BY 1
+            )""")
+    parts.append(f"\n            SELECT node, dist FROM d{rounds}")
     return "".join(parts)
 
 
@@ -4062,6 +4122,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
+        "graph_sssp": _sssp_oracle_sql(rounds=3),
         "graph_ppr": _pagerank_oracle_sql(iterations=5, seeds=PPR_SEEDS),
         "graph_clustering": """
             WITH li AS (

@@ -332,6 +332,51 @@ def adamic_adar(
     return folded.filter((F.col("score") >= min_score) & (F.col("n_common") >= min_common))
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    weight: str | None = None,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    round_to: int = 6,
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(node, dist) single-source-set shortest paths after `rounds`
+    Bellman-Ford relaxations from the `sources` node set (dist 0.0);
+    nodes unreached within `rounds` hops are absent. `weight` names an
+    edge weight column (default: every edge costs 1.0). Parallel edges
+    collapse to their MIN weight first.
+
+    Cross-engine determinism is free here: every aggregate is a MIN
+    (order-independent), edge weights and distances are re-rounded to
+    `round_to`, and each candidate distance is one IEEE add of two
+    identical doubles — so the oracle restates the identical unrolled
+    relaxations with plain min() and no ordered folds. Each round is one
+    dist⋈edges shuffle + one groupBy(node) min, pinned lazily (dist feeds
+    the union twice)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    w_col = F.round(F.col(weight), round_to) if weight else F.lit(1.0)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    dist = sources.select(F.col(sources.columns[0]).alias("node"), F.lit(0.0).alias("dist")).distinct()
+    for _ in range(rounds):
+        relaxed = e.join(dist.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), F.round(F.col("dist") + F.col("w"), round_to).alias("dist")
+        )
+        dist = dist.unionByName(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            dist = dist.localCheckpoint(eager=False)
+    return dist
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

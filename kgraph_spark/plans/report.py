@@ -414,6 +414,17 @@ def main() -> None:
         ["LeftAnti"],
     ))
 
+    from kgraph_spark.operators.graph_analytics import shortest_paths
+
+    sp_seeds = spark.createDataFrame([("n0",)], "node string")
+    sections.append((
+        "Bellman-Ford relaxation round — one dist⋈edges join + one "
+        "groupBy(node) MIN; the frontier frame broadcasts (tiny vs the "
+        "edge list), no cartesian",
+        _plan(shortest_paths(pr_edges, sp_seeds, rounds=1, pin_rounds=False)),
+        ["HashAggregate"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

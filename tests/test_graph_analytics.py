@@ -83,6 +83,40 @@ def test_pagerank_exact_fold_matches_sum(spark):
     assert plain == fold  # identical after per-round rounding
 
 
+def _wedges(spark, rows):
+    return spark.createDataFrame(rows, "subject_id string, object_id string, w double")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+def test_sssp_prefers_cheaper_two_hop_path(spark):
+    from kgraph_spark.operators.graph_analytics import shortest_paths
+
+    e = _wedges(spark, [("a", "b", 1.0), ("b", "c", 1.0), ("a", "c", 3.0)])
+    rows = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, ["a"]), rounds=2, weight="w").collect()}
+    assert rows == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
+def test_sssp_rounds_bound_reach_and_parallel_edges_take_min(spark):
+    from kgraph_spark.operators.graph_analytics import shortest_paths
+
+    e = _wedges(spark, [("a", "b", 5.0), ("a", "b", 2.0), ("b", "c", 1.0), ("c", "d", 1.0)])
+    one = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, ["a"]), rounds=1, weight="w").collect()}
+    assert one == {"a": 0.0, "b": 2.0}  # parallel edge min; c,d unreached
+    three = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, ["a"]), rounds=3, weight="w").collect()}
+    assert three["d"] == 4.0
+
+
+def test_sssp_default_weight_is_hop_count(spark):
+    from kgraph_spark.operators.graph_analytics import shortest_paths
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    rows = {r["node"]: r["dist"] for r in shortest_paths(e, _seeds(spark, ["a"]), rounds=2).collect()}
+    assert rows == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
 def test_clustering_coefficient_k4_minus_edge(spark):
     # K4 minus edge (a,d): triangles abc + bcd; coefficients by hand
     e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")])
