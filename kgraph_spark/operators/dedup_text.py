@@ -48,32 +48,53 @@ def shingles(
     argument subtree per element, so the toks subtree (a regex split)
     re-ran ~n times per document — measured 3.8 s → 1.2 s at sf0.1 for
     the window form, identical output relation. The k-gram assembly costs
-    one doc_id window shuffle + one distinct; the set contract (one row
-    per (doc, shingle)) is what downstream Jaccard intersection counts
-    rely on. `dedupe=False` skips that distinct's shuffle for consumers
-    that are duplicate-insensitive (MIN-aggregating MinHash signatures,
+    one window shuffle + one distinct; the set contract (one row per
+    (doc, shingle)) is what downstream Jaccard intersection counts rely
+    on. `dedupe=False` skips that distinct's shuffle for consumers that
+    are duplicate-insensitive (MIN-aggregating MinHash signatures,
     count_distinct decontamination) — same downstream results, one fewer
-    exchange."""
+    exchange.
+
+    The window partitions on a per-ROW id, not doc_id: duplicate doc_id
+    rows (a re-ingested snapshot — plausible input for a dedup module)
+    must shingle independently like the old per-row transform did, never
+    interleave their tokens. Short documents are handled inside the same
+    pass: concat_ws skips the null lags, so the row at the LAST position
+    of a <k-token document carries the whole token run — no second scan
+    of the corpus."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
-    short = base.filter(F.size("_toks") < k).select(
-        "doc_id", F.concat_ws(" ", "_toks").alias("shingle")
+    # the row id MUST be assigned before the explode (own projection —
+    # nondeterministic exprs don't collapse): inside the generator select
+    # it would evaluate per exploded row, one window partition per token
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.monotonically_increasing_id().alias("_rid"),
+        toks.alias("_toks"),
     )
-    ex = base.filter(F.size("_toks") >= k).select(
-        "doc_id", F.posexplode("_toks").alias("_p", "_t")
+    ex = base.select(
+        "doc_id",
+        "_rid",
+        F.size("_toks").alias("_n"),
+        F.posexplode("_toks").alias("_p", "_t"),
     )
-    w = Window.partitionBy("doc_id").orderBy("_p")
+    w = Window.partitionBy("_rid").orderBy("_p")
     lags = [F.lag("_t", j).over(w) for j in range(k - 1, 0, -1)]
-    grams = (
+    if lags:
+        keep = lags[0].isNotNull() | (
+            (F.col("_n") < k) & (F.col("_p") == F.col("_n") - 1)
+        )
+    else:  # k == 1: every token is a shingle
+        keep = F.lit(True)
+    out = (
         ex.select(
             "doc_id",
             F.concat_ws(" ", *lags, F.col("_t")).alias("shingle"),
-            (lags[0] if lags else F.lit("")).isNotNull().alias("_full"),
+            keep.alias("_keep"),
         )
-        .filter(F.col("_full"))
+        .filter(F.col("_keep"))
         .select("doc_id", "shingle")
+        .filter(F.length("shingle") > 0)
     )
-    out = short.unionByName(grams).filter(F.length("shingle") > 0)
     return out.distinct() if dedupe else out
 
 

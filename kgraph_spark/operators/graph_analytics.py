@@ -341,9 +341,11 @@ def shortest_paths(
     dst: str = "object_id",
     round_to: int = 6,
     pin_rounds: bool = True,
+    node_col: str = "node",
 ) -> DataFrame:
     """(node, dist) single-source-set shortest paths after `rounds`
-    Bellman-Ford relaxations from the `sources` node set (dist 0.0);
+    Bellman-Ford relaxations from the `sources` node set (its `node_col`
+    column — named, never positional — dist 0.0);
     nodes unreached within `rounds` hops are absent. `weight` names an
     edge weight column (default: every edge costs 1.0). Parallel edges
     collapse to their MIN weight first.
@@ -357,14 +359,17 @@ def shortest_paths(
     the union twice)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
+    if node_col not in sources.columns:
+        raise ValueError(f"sources must carry a {node_col!r} column (has {sources.columns})")
     w_col = F.round(F.col(weight), round_to) if weight else F.lit(1.0)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"), w_col.alias("w"))
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))
-        .localCheckpoint(eager=False)
     )
-    dist = sources.select(F.col(sources.columns[0]).alias("node"), F.lit(0.0).alias("dist")).distinct()
+    if pin_rounds:
+        e = e.localCheckpoint(eager=False)
+    dist = sources.select(F.col(node_col).alias("node"), F.lit(0.0).alias("dist")).distinct()
     for _ in range(rounds):
         relaxed = e.join(dist.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), F.round(F.col("dist") + F.col("w"), round_to).alias("dist")

@@ -151,19 +151,28 @@ def tfidf_keywords(
 
 
 def _bigram_buckets(toks: DataFrame, n_buckets: int) -> DataFrame:
-    """(doc_id, pos, bucket) for every adjacent token bigram (pos = 1-based
-    index of the bigram's SECOND token), bucketed by md5-prefix
-    arithmetic: bucket = int(md5(w1||' '||w2)[:6], 16) % B — bit-identical
-    in any engine with md5 (the det_shuffle idiom).
+    """(doc_id, pos, bucket) for every adjacent token bigram (pos = the
+    0-based index of the bigram's SECOND token — equivalently the 1-based
+    index of its first), bucketed by md5-prefix arithmetic: bucket =
+    int(md5(w1||' '||w2)[:6], 16) % B — bit-identical in any engine with
+    md5 (the det_shuffle idiom).
 
     Built as posexplode + lag window instead of a transform() lambda with
     toks[i] indexing: Spark re-evaluates a higher-order function's
     argument subtree per element, and even a staged projection got
     inlined here, re-running the regex tokenizer ~2n times per document
-    (measured 17s → 2s for a 265k-bigram corpus). The window shuffles on
-    doc_id — the same key the downstream per-doc fold shuffles on."""
-    ex = toks.select("doc_id", F.posexplode("toks").alias("pos0", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos0")
+    (measured 17s → 2s for a 265k-bigram corpus). The window partitions
+    on a per-ROW id so duplicate doc_id rows bigram independently instead
+    of interleaving their tokens (the fold replay additionally assumes
+    unique doc_ids downstream — duplicate ids collide on pos in ANY
+    formulation, including the SQL oracle's)."""
+    # row id assigned BEFORE the explode (own projection — inside the
+    # generator select it would evaluate per exploded row)
+    base = toks.select(
+        "doc_id", F.monotonically_increasing_id().alias("_rid"), "toks"
+    )
+    ex = base.select("doc_id", "_rid", F.posexplode("toks").alias("pos0", "tok"))
+    w = Window.partitionBy("_rid").orderBy("pos0")
     bg = (
         ex.withColumn("prev", F.lag("tok").over(w))
         .filter(F.col("prev").isNotNull())
@@ -197,16 +206,15 @@ def dsir_weights(
     λ is rounded to 6 before broadcast; the per-doc sum is a position-
     ordered fold, so DuckDB's list_sum(list(λ ORDER BY pos)) replays it
     bit-for-bit. Docs with <2 tokens get log_weight 0.0 (no evidence)."""
-    # pin the bucketed bigram rows once: they feed the raw-count model AND
-    # the scoring join, so an unpinned plan re-runs the whole-corpus
-    # tokenize+md5 explode per consumer (three times originally; measured
-    # 12.4s → 6.4s at sf0.01 from pinning). Materializing (doc_id, pos,
-    # bucket) is the right trade at scale too — the fold aggregation
-    # shuffles exactly these rows anyway, so the checkpoint adds no new
-    # data volume, just persists what the shuffle would write
-    raw_b = _bigram_buckets(_tokens(docs, id_col, text_col), n_buckets).localCheckpoint(
-        eager=False
-    )
+    # pin ONLY the two ≤B-row bucket aggregates, not the corpus-sized
+    # raw_b: they feed the totals collect AND the lam model, so an
+    # unpinned plan would re-run the whole-corpus bigram explode per
+    # consumer. A corpus-sized localCheckpoint would pin one row per
+    # bigram occurrence into non-replicated executor-local blocks (no
+    # recompute path on executor loss at the 100-TB design point); the
+    # B-row pins cap corpus scans at two — one to build the model, one
+    # to score — without that exposure
+    raw_b = _bigram_buckets(_tokens(docs, id_col, text_col), n_buckets)
     tgt_b = _bigram_buckets(_tokens(target, id_col, text_col), n_buckets)
     rc = raw_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr")).localCheckpoint(eager=False)
     tc = tgt_b.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")).localCheckpoint(eager=False)

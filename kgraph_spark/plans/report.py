@@ -418,9 +418,10 @@ def main() -> None:
 
     sp_seeds = spark.createDataFrame([("n0",)], "node string")
     sections.append((
-        "Bellman-Ford relaxation round — one dist⋈edges join + one "
-        "groupBy(node) MIN; the frontier frame broadcasts (tiny vs the "
-        "edge list), no cartesian",
+        "Bellman-Ford relaxation round — one dist⋈edges equi-join + one "
+        "groupBy(node) MIN, no cartesian; the join side is deliberately "
+        "NOT broadcast-hinted (a converged frontier is node-cardinality — "
+        "AQE picks broadcast at runtime while the frontier is small)",
         _plan(shortest_paths(pr_edges, sp_seeds, rounds=1, pin_rounds=False)),
         ["HashAggregate"],
     ))

@@ -117,6 +117,25 @@ def test_sssp_default_weight_is_hop_count(spark):
     assert rows == {"a": 0.0, "b": 1.0, "c": 2.0}
 
 
+def test_sssp_rejects_missing_node_column(spark):
+    from kgraph_spark.operators.graph_analytics import shortest_paths
+
+    e = _edges(spark, [("a", "b")])
+    bad = spark.createDataFrame([("a",)], "wrong string")
+    with pytest.raises(ValueError, match="node"):
+        shortest_paths(e, bad)
+
+
+def test_shingles_duplicate_doc_id_rows_do_not_interleave(spark):
+    from kgraph_spark.operators.dedup_text import shingles
+
+    docs = spark.createDataFrame(
+        [("d", "a b c"), ("d", "x y z")], "doc_id string, text string"
+    )
+    got = {r["shingle"] for r in shingles(docs, k=3).collect()}
+    assert got == {"a b c", "x y z"}  # never a cross-row gram like "b c x"
+
+
 def test_clustering_coefficient_k4_minus_edge(spark):
     # K4 minus edge (a,d): triangles abc + bcd; coefficients by hand
     e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")])
