@@ -1929,6 +1929,27 @@ def q_graph_sssp(spark, sf_dir):
     return shortest_paths(op.unionByName(ps), seeds, rounds=3, weight="w")
 
 
+def q_graph_lpa(spark, sf_dir):
+    """Synchronous label-propagation communities (3 fixed rounds,
+    majority label with min tie-break) over the thinned lineitem entity
+    graph. Integer/string arithmetic only — the oracle unrolls the same
+    rounds with a QUALIFY row_number() argmax."""
+    from kgraph_spark.operators.graph_analytics import label_propagation
+
+    return label_propagation(_li_edges(spark, sf_dir, part_mod=3), rounds=3)
+
+
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities (3 rounds, L∞ normalization) over the
+    C/S→N⇄R graph. Max-normalization keeps every global reduce
+    order-independent; the per-node incoming sums are exact ordered folds
+    (list_sum(... ORDER BY counterpart)) and every intermediate is
+    round-6, so DuckDB replays the identical trajectory."""
+    from kgraph_spark.operators.graph_analytics import hits
+
+    return hits(_pr_edges(spark, sf_dir), iterations=3, exact_fold=True)
+
+
 def q_evt_asof(spark, sf_dir):
     """As-of join: every click gains the user's latest purchase at or
     before it (one window shuffle, no pair blowup). Right side is
@@ -2091,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_sssp": q_graph_sssp,
+        "graph_lpa": q_graph_lpa,
+        "graph_hits": q_graph_hits,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -2195,6 +2218,86 @@ def _sssp_oracle_sql(rounds: int = 3) -> str:
                 ) GROUP BY 1
             )""")
     parts.append(f"\n            SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation over the thinned lineitem
+    entity graph — integer/string arithmetic only; each round is one
+    adjacency⋈label join, a (node, label) count, and a QUALIFY
+    row_number() argmax (count DESC, label ASC), exactly
+    label_propagation(rounds)."""
+    parts = ["""
+            WITH und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d
+                    FROM lineitem WHERE l_partkey % 3 = 0
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey
+                    FROM lineitem WHERE l_partkey % 3 = 0
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey
+                    FROM lineitem WHERE l_partkey % 3 = 0
+                ) WHERE s <> d
+            ), adj AS (
+                SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+            ), l0 AS (
+                SELECT DISTINCT u AS node, u AS label FROM adj
+            )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""", c{i} AS (
+                SELECT adj.u AS node, l.label, count(*) AS c
+                FROM adj JOIN l{i - 1} l ON adj.v = l.node
+                GROUP BY 1, 2
+            ), l{i} AS (
+                SELECT node, label FROM c{i}
+                QUALIFY row_number() OVER (
+                    PARTITION BY node ORDER BY c DESC, label ASC) = 1
+            )""")
+    parts.append(f"\n            SELECT node, label FROM l{rounds}")
+    return "".join(parts)
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled HITS with L∞ normalization over the C/S→N⇄R graph —
+    ordered folds for the incoming sums (list_sum ORDER BY counterpart ≡
+    hits(exact_fold=True)), max() for the normalizers (order-independent),
+    round-6 everywhere: both engines walk the identical trajectory."""
+    parts = ["""
+            WITH e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'C' || c_custkey AS src, 'N' || c_nationkey AS dst FROM customer
+                    UNION ALL SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+                    UNION ALL SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+                    UNION ALL SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+                )
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+            ), h0 AS (
+                SELECT node, 1.0::DOUBLE AS hub FROM nodes
+            )"""]
+    for i in range(1, iterations + 1):
+        parts.append(f""", ar{i} AS (
+                SELECT e.dst AS node,
+                       round(list_sum(list(h.hub ORDER BY e.src)), 6) AS s
+                FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst
+            ), a{i} AS (
+                SELECT nd.node,
+                       round(coalesce(ar.s, 0.0::DOUBLE)
+                             / (SELECT max(s) FROM ar{i}), 6) AS authority
+                FROM nodes nd LEFT JOIN ar{i} ar ON nd.node = ar.node
+            ), hr{i} AS (
+                SELECT e.src AS node,
+                       round(list_sum(list(a.authority ORDER BY e.dst)), 6) AS s
+                FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+            ), h{i} AS (
+                SELECT nd.node,
+                       round(coalesce(hr.s, 0.0::DOUBLE)
+                             / (SELECT max(s) FROM hr{i}), 6) AS hub
+                FROM nodes nd LEFT JOIN hr{i} hr ON nd.node = hr.node
+            )""")
+    parts.append(f"""
+            SELECT h.node, h.hub, a.authority
+            FROM h{iterations} h JOIN a{iterations} a USING (node)""")
     return "".join(parts)
 
 
@@ -4123,6 +4226,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
         "graph_sssp": _sssp_oracle_sql(rounds=3),
+        "graph_lpa": _lpa_oracle_sql(rounds=3),
+        "graph_hits": _hits_oracle_sql(iterations=3),
         "graph_ppr": _pagerank_oracle_sql(iterations=5, seeds=PPR_SEEDS),
         "graph_clustering": """
             WITH li AS (

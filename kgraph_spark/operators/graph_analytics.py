@@ -382,6 +382,154 @@ def shortest_paths(
     return dist
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(node, label) community assignment after `rounds` of SYNCHRONOUS
+    label propagation over the undirected simple graph: every node starts
+    labelled with its own id; each round every node simultaneously adopts
+    the most frequent label among its neighbors, ties broken by the
+    smallest label. Deterministic by construction (no random visit order —
+    the async variant's nondeterminism is exactly what a distributed
+    engine can't replay), integer-and-string arithmetic only, so the SQL
+    restatement needs no float playbook: each round is one adjacency⋈label
+    join + a (node, label) count + an argmax via min-of-(−count, label)
+    struct ≡ QUALIFY row_number() ORDER BY c DESC, label ASC.
+
+    Synchronous LPA on bipartite regions can oscillate with period 2 —
+    irrelevant here because a FIXED round count is part of the operator
+    contract (same stance as the partial k-core peel).
+
+    Scale: per round one shuffle on dst (label join) + one on (node,
+    label) with partial aggregation; labels frame is node-cardinality.
+    Isolated nodes never appear in the edge list and are absent — join
+    the degree table for a dense report."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = _undirected(edges, src, dst)
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    if pin_rounds:
+        adj = adj.localCheckpoint(eager=False)
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        cnt = (
+            adj.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))).alias("w"))
+            .select("node", F.col("w.l").alias("label"))
+        )
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    round_to: int = 6,
+    exact_fold: bool = False,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(node, hub, authority) after `iterations` rounds of
+    Kleinberg-style HITS over the simple DIRECTED graph (parallel edges
+    collapsed). Each round:
+
+      auth(v) = round(Σ_{u→v} hub(u)) , then auth /= max(auth)
+      hub(u)  = round(Σ_{u→v} auth(v)), then hub  /= max(hub)
+
+    L∞ (max) normalization instead of the textbook L2: max is
+    order-independent, so the only float sums left are the per-node
+    incoming folds — with `exact_fold=True` those are ordered folds by
+    counterpart id (≡ DuckDB list_sum(list(x ORDER BY u)); the oracle
+    replay mode, same contract as pagerank), and every intermediate is
+    re-rounded to `round_to` so both engines walk the identical
+    fixed-point trajectory. Nodes with no in-edges hold authority 0;
+    no out-edges, hub 0.
+
+    Scale: each round is two edges⋈scores shuffles + two node-keyed
+    aggregations + two broadcast 1-row max joins; scores stay
+    node-cardinality, rounds pinned with lazy localCheckpoints (the score
+    frame feeds both the fold join and the max aggregate)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if pin_rounds:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def folded_sum(joined: DataFrame, key: str, other: str, val: str) -> DataFrame:
+        """Σ val per `key` — ordered fold by `other` when exact_fold."""
+        if exact_fold:
+            return (
+                joined.groupBy(F.col(key).alias("node"))
+                .agg(F.array_sort(F.collect_list(F.struct(F.col(other).alias("k"), F.col(val).alias("x")))).alias("xs"))
+                .select(
+                    "node",
+                    F.round(
+                        F.aggregate(F.col("xs"), F.lit(0.0), lambda acc, x: acc + x["x"]),
+                        round_to,
+                    ).alias("s"),
+                )
+            )
+        return joined.groupBy(F.col(key).alias("node")).agg(
+            F.round(F.sum(val), round_to).alias("s")
+        )
+
+    scores = nodes.select("node", F.lit(1.0).alias("hub"))
+    for _ in range(iterations):
+        a_raw = folded_sum(
+            e.join(scores.withColumnRenamed("node", "src"), "src"), "dst", "src", "hub"
+        )
+        a_max = a_raw.agg(F.max("s").alias("_m"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "node",
+                F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_m"), round_to).alias("authority"),
+            )
+        )
+        if pin_rounds:
+            auth = auth.localCheckpoint(eager=False)
+        h_raw = folded_sum(
+            e.join(auth.withColumnRenamed("node", "dst"), "dst"), "src", "dst", "authority"
+        )
+        h_max = h_raw.agg(F.max("s").alias("_m"))
+        scores = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "node",
+                F.round(F.coalesce(F.col("s"), F.lit(0.0)) / F.col("_m"), round_to).alias("hub"),
+            )
+        )
+        # pin_rounds=False is for plan inspection only
+        if pin_rounds:
+            scores = scores.localCheckpoint(eager=False)
+    return scores.join(auth, "node").select("node", "hub", "authority")
+
+
 def kcore(
     edges: DataFrame,
     k: int = 2,

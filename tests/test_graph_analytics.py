@@ -239,3 +239,95 @@ def test_pagerank_deep_iteration_stays_linear(spark):
     rows = {r["node"]: r["rank"] for r in pagerank(e, iterations=12).collect()}
     assert sum(rows.values()) == pytest.approx(1.0, abs=1e-4)
     assert rows["b"] > rows["d"]  # b has two in-edges, d one
+
+
+def test_label_propagation_triangle_converges_to_min(spark):
+    # triangle {a,b,c}: r1 → (a:b, b:a, c:a), r2 → all 'a' (hand-computed)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    from kgraph_spark.operators.graph_analytics import label_propagation
+
+    r1 = {r["node"]: r["label"] for r in label_propagation(e, rounds=1).collect()}
+    assert r1 == {"a": "b", "b": "a", "c": "a"}
+    r2 = {r["node"]: r["label"] for r in label_propagation(e, rounds=2).collect()}
+    assert r2 == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_label_propagation_components_get_distinct_labels(spark):
+    # two disjoint triangles → each converges to its own min id
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")],
+    )
+    from kgraph_spark.operators.graph_analytics import label_propagation
+
+    rows = {r["node"]: r["label"] for r in label_propagation(e, rounds=3).collect()}
+    assert {rows["a"], rows["b"], rows["c"]} == {"a"}
+    assert {rows["x"], rows["y"], rows["z"]} == {"x"}
+
+
+def test_label_propagation_majority_beats_min_tiebreak(spark):
+    # n's neighbors carry labels {p, p, q} after r1 seeds: majority p wins
+    # even though q < p would win a tie. Build: p1,p2 labelled p via
+    # self-converged pair; star center n with leaves p1, p2, q.
+    e = _edges(spark, [("n", "p1"), ("n", "p2"), ("n", "q"), ("p1", "p2")])
+    from kgraph_spark.operators.graph_analytics import label_propagation
+
+    # r1: n sees {p1, p2, q} → min p1; p1 sees {n, p2} → min n;
+    #     p2 sees {n, p1} → min n; q sees {n} → n
+    r1 = {r["node"]: r["label"] for r in label_propagation(e, rounds=1).collect()}
+    assert r1 == {"n": "p1", "p1": "n", "p2": "n", "q": "n"}
+    # r2: n sees labels {n, n, n} → n; majority of identical labels
+    r2 = {r["node"]: r["label"] for r in label_propagation(e, rounds=2).collect()}
+    assert r2["n"] == "n"
+
+
+def test_label_propagation_deterministic_and_no_cartesian(spark):
+    from conftest import plan_text
+    from kgraph_spark.operators.graph_analytics import label_propagation
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")])
+    one = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+    two = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+    assert one == two
+    assert "CartesianProduct" not in plan_text(label_propagation(e, rounds=2, pin_rounds=False))
+
+
+def test_hits_hand_computed_two_rounds(spark):
+    # h1→{a1,a2}, h2→a1 (hand-computed in the operator's L∞ form):
+    # r1: auth a1=1.0 a2=0.5; hub h1=1.0 h2=0.666667
+    # r2: auth a1=1.0 a2=0.6;  hub h1=1.0 h2=0.625
+    e = _edges(spark, [("h1", "a1"), ("h1", "a2"), ("h2", "a1")])
+    from kgraph_spark.operators.graph_analytics import hits
+
+    rows = {r["node"]: r for r in hits(e, iterations=2).collect()}
+    assert rows["a1"]["authority"] == pytest.approx(1.0)
+    assert rows["a2"]["authority"] == pytest.approx(0.6)
+    assert rows["h1"]["hub"] == pytest.approx(1.0)
+    assert rows["h2"]["hub"] == pytest.approx(0.625)
+    # sources hold no authority; sinks no hub score
+    assert rows["h1"]["authority"] == 0.0 and rows["a1"]["hub"] == 0.0
+
+
+def test_hits_exact_fold_matches_hash_sum(spark):
+    from kgraph_spark.operators.graph_analytics import hits
+
+    e = _edges(
+        spark,
+        [("u", "v"), ("u", "w"), ("v", "w"), ("w", "u"), ("x", "w"), ("x", "v")],
+    )
+    a = sorted(map(tuple, hits(e, iterations=3, exact_fold=True).collect()))
+    b = sorted(map(tuple, hits(e, iterations=3, exact_fold=False).collect()))
+    assert [t[0] for t in a] == [t[0] for t in b]
+    for ra, rb in zip(a, b):
+        assert ra[1] == pytest.approx(rb[1], abs=1e-6)
+        assert ra[2] == pytest.approx(rb[2], abs=1e-6)
+
+
+def test_hits_parallel_edges_collapse(spark):
+    from kgraph_spark.operators.graph_analytics import hits
+
+    e1 = _edges(spark, [("h", "a"), ("h", "a"), ("g", "a")])
+    e2 = _edges(spark, [("h", "a"), ("g", "a")])
+    assert sorted(map(tuple, hits(e1, iterations=2).collect())) == sorted(
+        map(tuple, hits(e2, iterations=2).collect())
+    )
