@@ -1750,6 +1750,57 @@ def q_lm_perplexity(spark, sf_dir):
     return lm_quality_score(docs, model, oov)
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-source boilerplate removal: lines shared by >= 3 distinct
+    documents of one source are chrome and every occurrence is stripped
+    (dedup_lines keeps first occurrence; this keeps none). The corpus has
+    single-line texts, so the footers are synthesized deterministically in
+    the query — same stance as pii_scrub's injected PII — giving each doc
+    a per-source shared footer (stripped) and a unique uid line (kept)."""
+    from kgraph_spark.operators.corpus_curation import strip_boilerplate
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("(c) "), F.col("source"), F.lit(" footer")),
+            F.concat(F.lit("uid "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(docs, min_docs=3)
+
+
+def q_hot_ngrams(spark, sf_dir):
+    """Hot-phrase mining: top-100 word 5-grams by occurrence count
+    (count DESC, gram ASC — deterministic at the cut). Per-occurrence
+    shingle rows (dedupe=False), one partial-agg shuffle, then a
+    TakeOrderedAndProject top-k — never a full sort."""
+    from kgraph_spark.operators.text_analysis import hot_ngrams
+
+    return hot_ngrams(_read(spark, sf_dir, "documents"), k=5, top=100)
+
+
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail: bucket every document into per-source
+    perplexity terciles. Exact ntile semantics WITHOUT a per-source
+    single-reducer window — the rank comes from pack_sequences' two-phase
+    distributed prefix sum, the remainder rule is integer DIV arithmetic."""
+    from kgraph_spark.operators.corpus_curation import quantile_buckets
+    from kgraph_spark.operators.text_analysis import (
+        lm_quality_score,
+        unigram_logprob_model,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    model, oov = unigram_logprob_model(docs, vocab_size=1000)
+    scored = lm_quality_score(docs, model, oov).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return quantile_buckets(scored, 3, "avg_neg_logp", group_col="source")
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle: exact global rank by
     (md5(doc_id || salt), doc_id) via the two-phase distributed prefix sum
@@ -2088,6 +2139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "det_shuffle": q_det_shuffle,
         "lm_perplexity": q_lm_perplexity,
+        "boilerplate_strip": q_boilerplate_strip,
+        "hot_ngrams": q_hot_ngrams,
+        "ppl_buckets": q_ppl_buckets,
         "text_normalize": q_text_normalize,
         "corpus_diff": q_corpus_diff,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -2328,6 +2382,39 @@ def _kcore_oracle_sql(k: int = 4, rounds: int = 3) -> str:
                 SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
             ) GROUP BY 1""")
     return "".join(parts)
+
+
+# Laplace unigram model over the corpus itself: logp = ln((c+1) / (T +
+# V+1)) for the top-1000 vocab (count DESC, token ASC), OOV slot
+# ln(1 / (T + V+1)); both pre-rounded to 6 decimals (identical arithmetic
+# to unigram_logprob_model). Shared by lm_perplexity and ppl_buckets.
+_LM_SCORED_CTES = """
+            WITH toks AS (
+                SELECT doc_id, token
+                FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                    FROM documents
+                ) WHERE length(token) > 0
+            ), counts AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY 1
+            ), tot AS (
+                SELECT sum(c)::DOUBLE AS t FROM counts
+            ), vocab AS (
+                SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 1000
+            ), vk AS (
+                SELECT count(*)::DOUBLE AS v FROM vocab
+            ), model AS (
+                SELECT token, round(ln((c + 1.0) / (t + (v + 1))), 6) AS logp
+                FROM vocab, tot, vk
+            ), oov AS (
+                SELECT round(ln(1.0 / (t + (v + 1))), 6) AS logp FROM tot, vk
+            ), scored AS (
+                SELECT d.doc_id, count(*) AS n_tokens,
+                       round(-avg(coalesce(m.logp, o.logp)), 4) AS avg_neg_logp
+                FROM toks d LEFT JOIN model m USING (token), oov o
+                GROUP BY 1
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2997,36 +3084,64 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cell, cell_size, rank FROM ranked WHERE rank <= 20
         """,
-        "lm_perplexity": """
-            -- Laplace unigram model over the corpus itself: logp =
-            -- ln((c+1) / (T + V+1)) for the top-1000 vocab (count DESC,
-            -- token ASC), OOV slot ln(1 / (T + V+1)); both pre-rounded to
-            -- 6 decimals (identical arithmetic to unigram_logprob_model)
-            WITH toks AS (
-                SELECT doc_id, token
-                FROM (
-                    SELECT doc_id,
-                           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
-                    FROM documents
-                ) WHERE length(token) > 0
-            ), counts AS (
-                SELECT token, count(*) AS c FROM toks GROUP BY 1
+        "lm_perplexity": _LM_SCORED_CTES + """
+            SELECT doc_id, n_tokens, avg_neg_logp FROM scored
+        """,
+        "ppl_buckets": _LM_SCORED_CTES + """
+            SELECT s.doc_id, d2.source, s.avg_neg_logp,
+                   ntile(3) OVER (PARTITION BY d2.source
+                                  ORDER BY s.avg_neg_logp, s.doc_id)::BIGINT AS bucket
+            FROM scored s JOIN documents d2 USING (doc_id)
+        """,
+        "boilerplate_strip": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       text || chr(10) || '(c) ' || source || ' footer'
+                            || chr(10) || 'uid ' || doc_id::VARCHAR AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id, source,
+                       generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM d
+            ), flagged AS (
+                SELECT source, line FROM l
+                WHERE length(trim(line)) >= 1
+                GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3
+            ), kept AS (
+                -- short lines can never be flagged (eligibility is a
+                -- function of the text), so one NOT EXISTS suffices
+                SELECT doc_id, pos, line FROM l
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM flagged f
+                    WHERE f.source = l.source AND f.line = l.line)
             ), tot AS (
-                SELECT sum(c)::DOUBLE AS t FROM counts
-            ), vocab AS (
-                SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 1000
-            ), vk AS (
-                SELECT count(*)::DOUBLE AS v FROM vocab
-            ), model AS (
-                SELECT token, round(ln((c + 1.0) / (t + (v + 1))), 6) AS logp
-                FROM vocab, tot, vk
-            ), oov AS (
-                SELECT round(ln(1.0 / (t + (v + 1))), 6) AS logp FROM tot, vk
+                SELECT doc_id, source, count(*)::BIGINT AS n_lines FROM l GROUP BY 1, 2
+            ), reb AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id
             )
-            SELECT d.doc_id, count(*) AS n_tokens,
-                   round(-avg(coalesce(m.logp, o.logp)), 4) AS avg_neg_logp
-            FROM toks d LEFT JOIN model m USING (token), oov o
-            GROUP BY 1
+            SELECT t.doc_id, t.source, coalesce(r.text, '') AS text, t.n_lines,
+                   (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+            FROM tot t LEFT JOIN reb r USING (doc_id)
+        """,
+        "hot_ngrams": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), oc AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, greatest(len(t) - 5, 0) + 1),
+                           i -> array_to_string(t[i+1:i+5], ' '))) AS shingle
+                FROM toks
+            )
+            SELECT shingle, count(*)::BIGINT AS n_occurrences,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM oc WHERE length(shingle) > 0
+            GROUP BY 1 ORDER BY n_occurrences DESC, shingle LIMIT 100
         """,
         "f10_triple_accumulate": """
             SELECT user_id AS subject_id, event_type AS predicate,

@@ -694,3 +694,141 @@ def corpus_diff(
         .otherwise(F.lit("unchanged"))
     )
     return o.join(n, "doc_id", "full_outer").select("doc_id", status.alias("status"))
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_docs: int = 3,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """RefinedWeb/CCNet-style boilerplate removal: a line whose exact text
+    appears in >= `min_docs` DISTINCT documents of the same `group_col`
+    (site/domain/source) is boilerplate — navigation chrome, cookie
+    banners, footers — and EVERY occurrence is stripped (contrast
+    dedup_lines, which keeps the first occurrence corpus-wide: that is
+    dedup; this is removal of per-domain chrome). Lines shorter than
+    `min_line_chars` after trim never participate and are always kept.
+
+    Returns one row per input document:
+      (doc_id, <group_col>, text [reassembled], n_lines, n_removed)
+
+    Scale: the frequency election groups on (group, 16-byte md5 digest) —
+    line text is never a shuffle key — and the flagged set (lines frequent
+    within one domain) is tiny relative to the corpus, so the removal
+    anti-join broadcasts under AQE; reassembly shuffles surviving (doc,
+    pos, line) rows once on doc id, the same two-narrow-shuffle shape as
+    dedup_lines."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    elig = F.length(F.trim(F.col("line"))) >= min_line_chars
+    keyed = lines.withColumn("_h", F.when(elig, F.md5(F.col("line"))))
+    flagged = (
+        keyed.filter(F.col("_h").isNotNull())
+        .groupBy("_grp", "_h")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_grp", "_h")
+    )
+    # NULL _h (ineligible short lines) never equi-matches → always kept
+    kept = keyed.join(flagged, ["_grp", "_h"], "left_anti").select(
+        "doc_id", "pos", "line"
+    )
+    totals = lines.groupBy("doc_id", "_grp").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("_grp").alias(group_col),
+        F.coalesce("text", F.lit("")).alias("text"),
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    score_col: str,
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    num_chunks: int | None = None,
+) -> DataFrame:
+    """Exact per-group NTILE over a score column WITHOUT a per-group
+    single-reducer window — the CCNet head/middle/tail split (bucket
+    documents by LM perplexity within each domain) and any other
+    quantile-bucketing a curation pipeline needs.
+
+    Semantics are exactly SQL ntile(n) OVER (PARTITION BY group ORDER BY
+    score, id): with cnt rows, base = cnt // n and rem = cnt % n, the
+    first rem buckets hold base+1 rows. Execution reuses pack_sequences'
+    two-phase distributed prefix sum for the per-group rank (budget=1 ⇒
+    seq_id == 0-based rank), so no task ever materializes a whole group —
+    a per-domain window on a 60%-one-domain corpus would put 60% of the
+    corpus in one reducer; this never does.
+
+    The rank key is (score, id). Scores ride through the ranking as a
+    fixed-width decimal string ('%015.6f'), which orders identically to
+    the number for values in [0, 1e8) — scores must be NON-NEGATIVE
+    (enforced per-row with raise_error: perplexities, probabilities,
+    quality scores all qualify) and are compared at 6 decimals, so feed
+    round-6 (or coarser) scores for engine-exact bucketing.
+
+    Returns df's (id, group, score) plus `bucket` (1-based)."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    grp = F.col(group_col).cast("string") if group_col else F.lit("all")
+    checked = F.when(
+        F.col(score_col) < 0,
+        F.raise_error(F.concat(F.lit(f"quantile_buckets: negative {score_col}: "),
+                               F.col(score_col).cast("string"))),
+    ).otherwise(F.col(score_col))
+    keyed = df.select(
+        F.col(id_col).alias("doc_id"),
+        grp.alias("_grp"),
+        F.col(score_col).alias("_score"),
+        F.format_string("%015.6f", checked).alias("_sk"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = pack_sequences(
+        keyed,
+        budget=1,
+        weight_col="_one",
+        stratum_col="_grp",
+        id_col="doc_id",
+        num_chunks=num_chunks,
+        order_col="_sk",
+    ).select("doc_id", "_grp", F.col("seq_id").alias("_rank"))
+    counts = ranked.groupBy("_grp").agg(F.count(F.lit(1)).alias("_cnt"))
+    # integer DIV end to end — double-division floors can cross an integer
+    # boundary near 2^53; CASE short-circuits the base=0 branch (tiny
+    # groups land entirely in the `rank < fat` arm), so no div-by-zero
+    bucket = F.expr(
+        f"CASE WHEN _rank < ((_cnt DIV {n_buckets}) + 1) * (_cnt % {n_buckets}) "
+        f"THEN _rank DIV ((_cnt DIV {n_buckets}) + 1) + 1 "
+        f"ELSE _cnt % {n_buckets} "
+        f"     + (_rank - ((_cnt DIV {n_buckets}) + 1) * (_cnt % {n_buckets})) "
+        f"       DIV (_cnt DIV {n_buckets}) + 1 END"
+    )
+    out = (
+        ranked.join(F.broadcast(counts), "_grp")
+        .select("doc_id", "_grp", bucket.cast("long").alias("bucket"))
+        .join(keyed.select("doc_id", "_grp", "_score"), ["doc_id", "_grp"])
+    )
+    cols = [F.col("doc_id").alias(id_col)]
+    if group_col:
+        cols.append(F.col("_grp").alias(group_col))
+    cols += [F.col("_score").alias(score_col), "bucket"]
+    return out.select(*cols)

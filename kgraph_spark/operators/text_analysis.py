@@ -315,3 +315,32 @@ def lm_quality_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(-F.avg("logp"), 4).alias("avg_neg_logp"),
     )
+
+
+def hot_ngrams(
+    docs: DataFrame,
+    k: int = 5,
+    top: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-`top` most frequent word k-grams across the corpus:
+    (shingle, n_occurrences, n_docs), ordered by (count DESC, shingle ASC)
+    — the hot-phrase miner behind boilerplate-template detection and
+    memorization audits ("which 5-grams does the corpus repeat most?").
+
+    Reuses the shingle generator with dedupe=False (every OCCURRENCE is a
+    row — occurrence counting is duplicate-sensitive, so the set-contract
+    distinct would be wrong here, not just wasteful). One partial-agg
+    shuffle on the gram, then a global top-k that Spark executes as
+    TakeOrderedAndProject (per-partition heaps, never a full sort).
+    Deterministic at the cut line: ties break on the gram text in both
+    engines."""
+    from kgraph_spark.operators.dedup_text import shingles
+
+    sh = shingles(docs, id_col=id_col, text_col=text_col, k=k, dedupe=False)
+    agg = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return agg.orderBy(F.col("n_occurrences").desc(), F.col("shingle").asc()).limit(top)

@@ -9,6 +9,7 @@ semantics on tiny synthetic frames."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgraph_spark.operators.corpus_curation import (
@@ -522,3 +523,112 @@ def test_build_bloom_non_multiple_of_8_bits(spark):
     old = spark.createDataFrame([(i, f"t {i}") for i in range(20)], "doc_id bigint, text string")
     got = incremental_dedup(old, old, n_bits=100, n_hashes=3).count()
     assert got == 0
+
+
+# ---- strip_boilerplate --------------------------------------------------
+
+
+def _bp_docs(spark):
+    footer = "(c) example corp - all rights reserved"
+    rows = [
+        (1, "A", f"alpha body one\n{footer}"),
+        (2, "A", f"alpha body two\n{footer}\nextra"),
+        (3, "A", f"alpha body three\n{footer}"),
+        (4, "B", f"beta body one\n{footer}"),
+        (5, "B", f"beta body two\n{footer}"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, source string, text string"), footer
+
+
+def test_strip_boilerplate_per_group_threshold(spark):
+    from kgraph_spark.operators.corpus_curation import strip_boilerplate
+
+    docs, footer = _bp_docs(spark)
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    # source A: footer in 3 distinct docs → stripped everywhere
+    assert out[1]["text"] == "alpha body one" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "alpha body two\nextra" and out[2]["n_removed"] == 1
+    # source B: only 2 docs carry it → below threshold, kept
+    assert footer in out[4]["text"] and out[4]["n_removed"] == 0
+    assert all(r["n_lines"] >= 1 for r in out.values())
+
+
+def test_strip_boilerplate_removes_every_occurrence(spark):
+    # contrast dedup_lines: no "first occurrence survives" — the line is
+    # chrome, every instance goes, including repeats inside one doc
+    from kgraph_spark.operators.corpus_curation import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "A", "nav\nbody1\nnav"), (2, "A", "nav\nbody2"), (3, "A", "nav\nbody3")],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "body1" and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "body2" and out[2]["n_removed"] == 1
+
+
+def test_strip_boilerplate_short_lines_always_kept(spark):
+    from kgraph_spark.operators.corpus_curation import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, "A", f"body {i}\n\n-") for i in range(1, 5)],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=2, min_line_chars=2).collect()}
+    # "" and "-" are sub-threshold → never counted, never stripped
+    assert out[1]["text"] == "body 1\n\n-" and out[1]["n_removed"] == 0
+
+
+def test_strip_boilerplate_fully_stripped_doc_is_empty(spark):
+    from kgraph_spark.operators.corpus_curation import strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "A", "same"), (2, "A", "same"), (3, "A", "same\nkeep me")],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, min_docs=3).collect()}
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 1
+    assert out[3]["text"] == "keep me"
+
+
+# ---- quantile_buckets ---------------------------------------------------
+
+
+def test_quantile_buckets_matches_sql_ntile(spark):
+    """The distributed two-phase form must equal ntile() exactly —
+    including the fat-bucket remainder rule — for several (cnt, n)."""
+    from pyspark.sql import Window
+    from kgraph_spark.operators.corpus_curation import quantile_buckets
+
+    rows = [(i, ["x", "y"][i % 2], float((i * 37) % 11)) for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, score double")
+    for n in (1, 3, 4, 7):
+        got = {
+            (r["doc_id"]): r["bucket"]
+            for r in quantile_buckets(df, n, "score", group_col="source").collect()
+        }
+        w = Window.partitionBy("source").orderBy("score", "doc_id")
+        want = {
+            r["doc_id"]: r["b"]
+            for r in df.select("doc_id", F.ntile(n).over(w).alias("b")).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+def test_quantile_buckets_global_and_tiny_group(spark):
+    from kgraph_spark.operators.corpus_curation import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 1.0)], "doc_id bigint, score double"
+    )
+    # cnt=2 < n=5: ntile gives each row its own bucket in rank order
+    got = {r["doc_id"]: r["bucket"] for r in quantile_buckets(df, 5, "score").collect()}
+    assert got == {2: 1, 1: 2}
+
+
+def test_quantile_buckets_negative_score_raises(spark):
+    from kgraph_spark.operators.corpus_curation import quantile_buckets
+
+    df = spark.createDataFrame([(1, -0.5)], "doc_id bigint, score double")
+    with pytest.raises(Exception, match="negative"):
+        quantile_buckets(df, 3, "score").collect()

@@ -121,3 +121,32 @@ def test_quality_classifier_custom_weights(spark):
     docs = _docs(spark, [("d", "hello world this is fine")])
     flipped = quality_classifier(docs, weights={"bias": -100.0}).collect()[0]
     assert flipped["prob"] < 0.001 and not flipped["keep"]
+
+
+def test_hot_ngrams_counts_and_cut(spark):
+    from kgraph_spark.operators.text_analysis import hot_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),      # "a b c" twice... (k=3 grams: abc bca cab abc)
+            (2, "a b c d"),           # abc bcd
+            (3, "z z"),               # short doc (<3 toks) → whole run "z z"
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = hot_ngrams(docs, k=3, top=3).collect()
+    as_map = {r["shingle"]: (r["n_occurrences"], r["n_docs"]) for r in rows}
+    assert as_map["a b c"] == (3, 2)  # 2 occurrences in doc1 + 1 in doc2
+    # deterministic cut: top-1 is the max-count gram
+    assert rows[0]["shingle"] == "a b c"
+    assert len(rows) == 3
+
+
+def test_hot_ngrams_tie_breaks_on_gram_text(spark):
+    from kgraph_spark.operators.text_analysis import hot_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "b b"), (2, "a a")], "doc_id bigint, text string"
+    )
+    rows = hot_ngrams(docs, k=2, top=1).collect()
+    assert rows[0]["shingle"] == "a a"  # count tie → lexicographic gram
