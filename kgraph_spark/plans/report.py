@@ -426,6 +426,61 @@ def main() -> None:
         ["HashAggregate"],
     ))
 
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.graph_analytics import hits, label_propagation
+
+    sections.append((
+        "Label propagation round — adjacency⋈labels equi-join, (node, label) "
+        "count with partial aggregation, then a min-of-struct argmax: three "
+        "hash aggregates, ids-only shuffles, no window over the whole graph",
+        _plan(label_propagation(aa_edges, rounds=1, pin_rounds=False)),
+        ["HashAggregate", "!Window"],
+    ))
+
+    sections.append((
+        "HITS round — two edges⋈scores equi-joins + node-keyed sums; the "
+        "L∞ normalizer is a broadcast ONE-ROW max (the only nested-loop "
+        "join in the plan is that 1-row crossJoin, by construction)",
+        _plan(hits(aa_edges, iterations=1, pin_rounds=False)),
+        ["HashAggregate", "BroadcastNestedLoopJoin"],
+    ))
+
+    from kgraph_spark.operators.corpus_curation import quantile_buckets, strip_boilerplate
+    from kgraph_spark.operators.text_analysis import hot_ngrams
+
+    bp_docs = curation_docs.select(
+        "doc_id", F.lit("s").alias("source"), "text"
+    )
+    sections.append((
+        "Boilerplate strip — frequency election groups on (source, 16-byte "
+        "md5); removal is a LeftAnti join against the tiny flagged set "
+        "(broadcast under AQE); line text is never a shuffle key",
+        _plan(strip_boilerplate(bp_docs, min_docs=3)),
+        ["LeftAnti", "HashAggregate"],
+    ))
+
+    sections.append((
+        "Exact ntile buckets — per-group rank via the two-phase distributed "
+        "prefix sum (the MapInPandas running-sum stage is pinned behind a "
+        "localCheckpoint, visible here as Scan ExistingRDD; its own plan is "
+        "the packing prefix-sum section); group counts broadcast back, no "
+        "corpus-wide window, no single-partition exchange",
+        _plan(quantile_buckets(
+            curation_docs.select("doc_id", F.lit("g").alias("src"),
+                                 (F.col("doc_id") % 7).cast("double").alias("score")),
+            3, "score", group_col="src")),
+        ["Scan ExistingRDD", "BroadcastHashJoin", "!Exchange SinglePartition"],
+    ))
+
+    sections.append((
+        "Hot n-grams — per-occurrence shingles, partial/final hash "
+        "aggregation on the gram, global top-k as TakeOrderedAndProject "
+        "(per-partition heaps) — no full sort, no single-partition exchange",
+        _plan(hot_ngrams(curation_docs, k=5, top=100)),
+        ["TakeOrderedAndProject", "HashAggregate", "!Exchange SinglePartition"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
