@@ -1801,6 +1801,38 @@ def q_ppl_buckets(spark, sf_dir):
     return quantile_buckets(scored, 3, "avg_neg_logp", group_col="source")
 
 
+def q_gopher_rules(spark, sf_dir):
+    """The published Gopher quality-filter rules (word count, mean word
+    length, symbol ratio, alpha-word fraction, stop-word hits) and the
+    composite keep flag — map-only JVM expressions, zero shuffle."""
+    from kgraph_spark.operators.text_analysis import gopher_rules
+
+    return gopher_rules(_read(spark, sf_dir, "documents"))
+
+
+def q_c4_clean(spark, sf_dir):
+    """The published C4 cleaning rules (terminal-punctuation + >=5-word
+    lines, >=3 surviving lines, lorem-ipsum / curly-brace page poison) —
+    line structure synthesized deterministically (single-line corpus, same
+    stance as pii_scrub): three passing lines, one punct-less line, and a
+    lorem-ipsum poison line on every 7th doc."""
+    from kgraph_spark.operators.corpus_curation import c4_clean
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("another perfectly good sentence right here."),
+            F.lit("yet another valid sentence appears here."),
+            F.lit("no terminal punctuation here at all"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet."))
+            .otherwise(F.lit("closing remarks of this document stand.")),
+        ).alias("text"),
+    )
+    return c4_clean(docs)
+
+
 def q_det_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle: exact global rank by
     (md5(doc_id || salt), doc_id) via the two-phase distributed prefix sum
@@ -2142,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "hot_ngrams": q_hot_ngrams,
         "ppl_buckets": q_ppl_buckets,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
         "text_normalize": q_text_normalize,
         "corpus_diff": q_corpus_diff,
         "winnow_fingerprint": q_winnow_fingerprint,
@@ -3126,6 +3160,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.source, coalesce(r.text, '') AS text, t.n_lines,
                    (t.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN reb r USING (doc_id)
+        """,
+        "gopher_rules": """
+            WITH f AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(t)::BIGINT AS n_words,
+                       round(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                             / len(t), 6) AS mean_word_len,
+                       round(((length(text) - length(replace(text, '#', '')))
+                              + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                             / len(t), 6) AS symbol_ratio,
+                       round(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                             / len(t), 6) AS alpha_word_frac,
+                       len(list_intersect(
+                           list_distinct(list_transform(t, x -> lower(x))),
+                           ['the','be','to','of','and','that','have','with']))::BIGINT
+                           AS n_stop_hits
+                FROM f
+            )
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_word_frac, n_stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3.0::DOUBLE AND 10.0::DOUBLE
+                    AND symbol_ratio < 0.1::DOUBLE
+                    AND alpha_word_frac > 0.8::DOUBLE
+                    AND n_stop_hits >= 2) AS keep
+            FROM s
+        """,
+        "c4_clean": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || '.' || chr(10)
+                            || 'another perfectly good sentence right here.' || chr(10)
+                            || 'yet another valid sentence appears here.' || chr(10)
+                            || 'no terminal punctuation here at all' || chr(10)
+                            || CASE WHEN doc_id % 7 = 0
+                                    THEN 'lorem ipsum dolor sit amet.'
+                                    ELSE 'closing remarks of this document stand.' END
+                           AS text
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(string_split(text, chr(10)),
+                                   l -> regexp_matches(trim(l), '[.!?\"]$')
+                                        AND len(string_split_regex(trim(l), '\\s+')) >= 5)
+                           AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text,
+                   len(lines)::BIGINT AS n_lines,
+                   len(kept)::BIGINT AS n_kept,
+                   (len(kept) >= 3
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(lower(text), '{')) AS keep
+            FROM s
         """,
         "hot_ngrams": """
             WITH toks AS (

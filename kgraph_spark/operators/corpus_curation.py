@@ -832,3 +832,43 @@ def quantile_buckets(
         cols.append(F.col("_grp").alias(group_col))
     cols += [F.col("_score").alias(score_col), "bucket"]
     return out.select(*cols)
+
+
+def c4_clean(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020, §2.2) as a
+    single map-only transform:
+
+      * keep only lines that end in a terminal punctuation mark
+        (. ! ? ") AND contain >= 5 words;
+      * drop the whole page if fewer than 3 lines survive, or if the page
+        contains "lorem ipsum" (any case) or a curly brace.
+
+    Returns (doc_id, text [kept lines rejoined], n_lines, n_kept, keep).
+
+    Zero shuffle: the line filter is a HOF `filter` over the split array
+    (elements bound directly — no positional indexing of a derived
+    array), the page predicates are plain string expressions; the whole
+    operator lives in the scan stage under whole-stage codegen. Contrast
+    dedup_lines/strip_boilerplate, which need corpus-wide frequency and
+    therefore shuffle — C4's rules are per-page, so the plan should be
+    (and is) a single Project."""
+    lines = F.split(F.col(text_col), "\n")
+    line_ok = lambda l: F.trim(l).rlike('[.!?"]$') & (  # noqa: E731
+        F.size(F.split(F.trim(l), r"\s+")) >= 5
+    )
+    kept = F.filter(lines, line_ok)
+    lower = F.lower(F.col(text_col))
+    keep = (
+        (F.size(kept) >= 3)
+        & ~lower.contains("lorem ipsum")
+        & ~lower.contains("{")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        keep.alias("keep"),
+    )

@@ -344,3 +344,68 @@ def hot_ngrams(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
     return agg.orderBy(F.col("n_occurrences").desc(), F.col("shingle").asc()).limit(top)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The published Gopher quality-filter signals (Rae et al. 2021,
+    Appendix A1.1) per document, plus the composite keep flag:
+
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio < 0.1  (hash marks + ellipses)
+      * > 80% of words contain at least one alphabetic character
+      * >= 2 of the 8 Gopher stop words present ({the, be, to, of, and,
+        that, have, with})
+
+    Returns (doc_id, n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, n_stop_hits, keep). Ratios are round-6 and the keep
+    flag compares the ROUNDED values, so the DuckDB restatement decides
+    identically.
+
+    Map-only: every signal is a JVM expression over the token array —
+    zero shuffle, survives in the scan stage under whole-stage codegen.
+    The HOF lambdas bind array ELEMENTS (filter/transform), never index a
+    derived array positionally — the re-evaluation trap that bit the
+    bigram builders doesn't apply."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(toks)
+    # total non-whitespace chars / words == mean word length (token_stats)
+    mean_len = F.round(
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / n_words, 6
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    keep = (
+        n_words.between(50, 100000)
+        & mean_len.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (alpha_frac > 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )

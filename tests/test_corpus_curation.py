@@ -632,3 +632,45 @@ def test_quantile_buckets_negative_score_raises(spark):
     df = spark.createDataFrame([(1, -0.5)], "doc_id bigint, score double")
     with pytest.raises(Exception, match="negative"):
         quantile_buckets(df, 3, "score").collect()
+
+
+# ---- c4_clean -------------------------------------------------------------
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from kgraph_spark.operators.corpus_curation import c4_clean
+
+    good = "\n".join(
+        [
+            "this is a perfectly fine sentence.",
+            "another quite reasonable line of text!",
+            'a third line that ends with a quote."',
+            "too short.",                      # < 5 words → dropped
+            "no terminal punctuation on this line",  # dropped
+        ]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nlorem IPSUM dolor sit amet."),   # page poison
+            (3, "one good sentence is not enough here."),  # < 3 kept lines
+            (4, good.replace("fine", "fine {")),           # curly brace
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_kept"] == 3 and out[1]["n_lines"] == 5
+    assert out[1]["text"].count("\n") == 2
+    assert "too short." not in out[1]["text"]
+    assert not out[2]["keep"]   # lorem ipsum, any case
+    assert not out[3]["keep"] and out[3]["n_kept"] == 1
+    assert not out[4]["keep"]   # curly brace
+
+
+def test_c4_clean_is_map_only(spark):
+    from conftest import plan_text
+    from kgraph_spark.operators.corpus_curation import c4_clean
+
+    docs = spark.createDataFrame([(1, "a.")], "doc_id bigint, text string")
+    plan = plan_text(c4_clean(docs))
+    assert "Exchange" not in plan, plan

@@ -150,3 +150,43 @@ def test_hot_ngrams_tie_breaks_on_gram_text(spark):
     )
     rows = hot_ngrams(docs, k=2, top=1).collect()
     assert rows[0]["shingle"] == "a a"  # count tie → lexicographic gram
+
+
+def test_gopher_rules_signals_and_keep(spark):
+    from kgraph_spark.operators.text_analysis import gopher_rules
+
+    # 60 words, all alphabetic, stopwords present → passes every rule
+    good = "the cat and the dog have gone to the house of friends with joy " * 4
+    # symbol-heavy: hash marks push symbol ratio over 0.1
+    hashy = "the code ### uses #tags and ### more #hash with that noise " * 6
+    # stopword-free → n_stop_hits 0 → dropped
+    nostop = "quick brown foxes jump over lazy dogs near rivers daily " * 6
+    docs = spark.createDataFrame(
+        [(1, good.strip()), (2, hashy.strip()), (3, nostop.strip()), (4, "tiny doc.")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["keep"] and out[1]["n_stop_hits"] >= 4
+    assert not out[2]["keep"] and out[2]["symbol_ratio"] >= 0.1
+    assert not out[3]["keep"] and out[3]["n_stop_hits"] == 0
+    assert not out[4]["keep"] and out[4]["n_words"] == 2  # < 50 words
+
+
+def test_gopher_rules_alpha_fraction_and_mean_length(spark):
+    from kgraph_spark.operators.text_analysis import gopher_rules
+
+    # half the words are pure digits → alpha fraction 0.5 → dropped
+    digits = ("word 123 " * 30).strip()
+    out = gopher_rules(
+        spark.createDataFrame([(1, digits)], "doc_id bigint, text string")
+    ).collect()[0]
+    assert out["alpha_word_frac"] == 0.5 and not out["keep"]
+    assert out["mean_word_len"] == 3.5  # (4+3)/2
+
+
+def test_gopher_rules_map_only(spark):
+    from conftest import plan_text
+    from kgraph_spark.operators.text_analysis import gopher_rules
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    assert "Exchange" not in plan_text(gopher_rules(docs))
