@@ -2012,6 +2012,64 @@ def q_graph_sssp(spark, sf_dir):
     return shortest_paths(op.unionByName(ps), seeds, rounds=3, weight="w")
 
 
+def q_graph_closure(spark, sf_dir):
+    """Taxonomy transitive closure (min-hop, depth <= 4) by iterative
+    doubling over a binary-tree is-a hierarchy on doc ids (child d → parent
+    d//2). Integer arithmetic + min aggregation only; the oracle is a plain
+    recursive CTE with a group-min."""
+    from kgraph_spark.operators.graph_analytics import transitive_closure
+
+    docs = _read(spark, sf_dir, "documents")
+    e = docs.filter(F.col("doc_id") >= 2).select(
+        F.col("doc_id").alias("subject_id"),
+        F.floor(F.col("doc_id") / 2).cast("long").alias("object_id"),
+    )
+    return transitive_closure(e, max_depth=4)
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Seed-set harmonic centrality (5 landmark orders, 3 hops) over the
+    thinned undirected lineitem entity graph. Distances stay integer hops
+    through every BFS round; the single float expression (sum of
+    count_h / h) is fixed-shape and round-6, so the oracle replays it
+    exactly."""
+    from kgraph_spark.operators.graph_analytics import harmonic_centrality
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
+    seeds = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .orderBy("k")
+        .limit(5)
+        .select(F.concat(F.lit("O"), F.col("k").cast("string")).alias("node"))
+    )
+    return harmonic_centrality(
+        _li_edges(spark, sf_dir, part_mod=3), seeds, max_hops=3
+    )
+
+
+def q_graph_walks(spark, sf_dir):
+    """Deterministic hash-guided walk sampling (node2vec p=q=1 with keyed
+    md5 replacing the RNG): 2 walks × 5 steps from each of 12 seed nodes
+    over a functional graph on doc ids (d → 2d+1 mod 500, d → 3d+2 mod
+    500). Replay-identical across engines; the oracle precomputes the
+    hash-argmin next-hop table and follows it with a recursive CTE."""
+    from kgraph_spark.operators.graph_analytics import deterministic_walks
+
+    docs = _read(spark, sf_dir, "documents")
+    e = docs.select(
+        F.col("doc_id").alias("subject_id"),
+        ((F.col("doc_id") * 2 + 1) % 500).alias("object_id"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("subject_id"),
+            ((F.col("doc_id") * 3 + 2) % 500).alias("object_id"),
+        )
+    )
+    seeds = docs.filter(F.col("doc_id") < 12).select(F.col("doc_id").alias("node"))
+    return deterministic_walks(e, seeds, walk_len=5, walks_per_seed=2)
+
+
 def q_graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (3 fixed rounds,
     majority label with min tie-break) over the thinned lineitem entity
@@ -2200,6 +2258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering": q_graph_clustering,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_sssp": q_graph_sssp,
+        "graph_closure": q_graph_closure,
+        "graph_harmonic": q_graph_harmonic,
+        "graph_walks": q_graph_walks,
         "graph_lpa": q_graph_lpa,
         "graph_hits": q_graph_hits,
         "kg_pipeline_triples": kg_pipeline_triples,
@@ -4435,6 +4496,87 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
         "graph_sssp": _sssp_oracle_sql(rounds=3),
+        "graph_closure": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS src, doc_id // 2 AS dst
+                FROM documents WHERE doc_id >= 2
+            ), r(src, dst, depth) AS (
+                SELECT src, dst, 1 FROM e
+                UNION ALL
+                SELECT r.src, e.dst, r.depth + 1
+                FROM r JOIN e ON r.dst = e.src WHERE r.depth < 4
+            )
+            SELECT src, dst, min(depth)::BIGINT AS depth FROM r GROUP BY 1, 2
+        """,
+        "graph_harmonic": """
+            WITH RECURSIVE li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM li
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), adj AS (
+                SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+            ), seeds AS (
+                SELECT 'O' || k AS s FROM (
+                    SELECT DISTINCT l_orderkey AS k FROM li ORDER BY k LIMIT 5
+                )
+            ), d(seed, node, hop) AS (
+                SELECT s, s, 0 FROM seeds
+                UNION
+                SELECT d.seed, adj.v, d.hop + 1
+                FROM d JOIN adj ON d.node = adj.u WHERE d.hop < 3
+            ), best AS (
+                SELECT seed, node, min(hop) AS hop FROM d GROUP BY 1, 2
+            ), per AS (
+                SELECT node,
+                       count(*) FILTER (hop = 1) AS c1,
+                       count(*) FILTER (hop = 2) AS c2,
+                       count(*) FILTER (hop = 3) AS c3
+                FROM best WHERE hop > 0 GROUP BY node
+            )
+            SELECT node, (c1 + c2 + c3)::BIGINT AS n_reached,
+                   round(c1 / 1.0 + c2 / 2.0 + c3 / 3.0, 6) AS harmonic
+            FROM per
+        """,
+        "graph_walks": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id * 2 + 1) % 500 AS dst FROM documents
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 3 + 2) % 500 FROM documents
+                )
+            ), init AS (
+                SELECT doc_id AS origin, w AS walk_idx
+                FROM documents, (SELECT unnest(range(2)) AS w) WHERE doc_id < 12
+            ), nxt AS (
+                SELECT e.src, i.origin, i.walk_idx, st.step,
+                       (min({'h': md5(i.origin::VARCHAR || '|' || i.walk_idx::VARCHAR
+                                      || '|' || st.step::VARCHAR || '|'
+                                      || e.src::VARCHAR || '|' || e.dst::VARCHAR),
+                             'd': e.dst})).d AS dst
+                FROM e CROSS JOIN init i
+                CROSS JOIN (SELECT unnest(range(1, 6)) AS step) st
+                GROUP BY 1, 2, 3, 4
+            ), walk(origin, walk_idx, step, cur, path) AS (
+                SELECT origin, walk_idx, 0, origin, [origin] FROM init
+                UNION ALL
+                SELECT w.origin, w.walk_idx, w.step + 1, n.dst,
+                       list_append(w.path, n.dst)
+                FROM walk w JOIN nxt n
+                  ON n.src = w.cur AND n.origin = w.origin
+                 AND n.walk_idx = w.walk_idx AND n.step = w.step + 1
+                WHERE w.step < 5
+            )
+            SELECT origin, walk_idx::BIGINT AS walk_idx, path,
+                   (len(path) - 1)::BIGINT AS n_steps
+            FROM walk WHERE step = 5
+        """,
         "graph_lpa": _lpa_oracle_sql(rounds=3),
         "graph_hits": _hits_oracle_sql(iterations=3),
         "graph_ppr": _pagerank_oracle_sql(iterations=5, seeds=PPR_SEEDS),

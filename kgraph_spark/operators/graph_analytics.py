@@ -595,3 +595,214 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def transitive_closure(
+    edges: DataFrame,
+    max_depth: int = 4,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(src, dst, depth) — every ordered pair connected by a directed path
+    of 1..max_depth hops, with depth = the MINIMUM hop count. The taxonomy
+    /ontology closure query (is-a ancestor expansion) a KG store answers
+    constantly; the reference serves per-seed expansions only
+    (kgserver/query/subgraph.py), this is the whole-relation form.
+
+    Iterative DOUBLING, not hop-at-a-time: round r holds all shortest
+    paths of depth <= 2^r, so ceil(log2(max_depth)) self-joins reach
+    max_depth — 2 rounds for depth 4, 5 for depth 32 — where frontier BFS
+    pays one shuffle PER HOP. Each round is one paths⋈paths shuffle on the
+    join node + one (src, dst) groupBy with partial min aggregation;
+    integer arithmetic only (min is order-independent), so the SQL
+    restatement is a plain recursive CTE + group-min with no float
+    playbook. Self-paths (cycles back to the start) are kept with their
+    true depth — a closure over a DAG never produces them, and on a cyclic
+    graph dropping them would silently hide the cycle."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    paths = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .withColumn("depth", F.lit(1))
+    )
+    if pin_rounds:
+        paths = paths.localCheckpoint(eager=False)
+    rounds = max(0, (max_depth - 1).bit_length())  # ceil(log2(max_depth))
+    for _ in range(rounds):
+        a = paths.select(F.col("src"), F.col("dst").alias("_mid"), F.col("depth").alias("_da"))
+        b = paths.select(F.col("src").alias("_mid"), F.col("dst"), F.col("depth").alias("_db"))
+        hop = a.join(b, "_mid").select(
+            "src", "dst", (F.col("_da") + F.col("_db")).alias("depth")
+        ).filter(F.col("depth") <= max_depth)
+        paths = (
+            paths.unionByName(hop)
+            .groupBy("src", "dst")
+            .agg(F.min("depth").alias("depth"))
+        )
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            paths = paths.localCheckpoint(eager=False)
+    return paths.select("src", "dst", F.col("depth").cast("long").alias("depth"))
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    node_col: str = "node",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(node, n_reached, harmonic) — seed-set harmonic centrality over the
+    undirected simple graph: harmonic(v) = sum over seeds s (v != s,
+    d(s,v) <= max_hops) of 1 / d(s,v). The landmark form used at scale
+    (exact all-pairs harmonic is O(n·m)); seeds are the landmarks.
+
+    Per-seed distances via multi-source BFS keyed on (seed, node) — the
+    same bounded relaxation as shortest_paths but WITHOUT collapsing
+    sources, since the reciprocal needs each seed's own distance. Float
+    discipline: distances stay INTEGER hops through every round (min is
+    order-independent); the only float op is the final fixed expression
+    sum_h count_h / h over the per-hop counts — one rounded expression per
+    node, no accumulation-order dependence, so the SQL oracle replays it
+    bit-for-bit. Each round: one dist⋈edges shuffle + one (seed, node)
+    groupBy min. State is |seeds|·|reachable| rows — the operator's honest
+    cost; cap the seed set, not the hop arithmetic."""
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    if node_col not in seeds.columns:
+        raise ValueError(f"seeds must carry a {node_col!r} column (has {seeds.columns})")
+    und = _undirected(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+    if pin_rounds:
+        adj = adj.localCheckpoint(eager=False)
+    dist = seeds.select(F.col(node_col).alias("seed")).distinct().select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("hop")
+    )
+    for _ in range(max_hops):
+        relaxed = dist.join(adj, dist["node"] == adj["u"]).select(
+            "seed", F.col("v").alias("node"), (F.col("hop") + 1).alias("hop")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("seed", "node")
+            .agg(F.min("hop").alias("hop"))
+        )
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            dist = dist.localCheckpoint(eager=False)
+    per_hop = (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("node")
+        .pivot("hop", list(range(1, max_hops + 1)))
+        .count()
+    )
+    harmonic = F.round(
+        sum(
+            (F.coalesce(F.col(str(h)), F.lit(0)) / float(h) for h in range(1, max_hops + 1)),
+            start=F.lit(0.0),
+        ),
+        6,
+    )
+    n_reached = sum(
+        (F.coalesce(F.col(str(h)), F.lit(0)) for h in range(1, max_hops + 1)),
+        start=F.lit(0),
+    )
+    return per_hop.select(
+        "node", n_reached.cast("long").alias("n_reached"), harmonic.alias("harmonic")
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    walk_len: int = 5,
+    walks_per_seed: int = 2,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    node_col: str = "node",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(origin, walk_idx, path, n_steps) — node2vec-style walk sampling
+    (p = q = 1) with the randomness replaced by a keyed hash: at step s,
+    walk w standing on node u moves to the out-neighbor minimizing
+    md5(origin|walk_idx|s|u|neighbor). Deterministic by construction —
+    rerunning the job (or an SQL engine) regenerates the identical corpus,
+    which is what makes hash-seeded walks the distributed idiom for
+    embedding-prep sampling (a stateful RNG per walker can't be replayed
+    across retried tasks). Walks halt early at sink nodes (path keeps its
+    length; n_steps reports actual hops).
+
+    Scale: walk state is (|seeds| · walks_per_seed) rows regardless of
+    graph size; each step is one state⋈edges shuffle on the current node
+    + one groupBy(walk) min — the hash argmin rides the aggregation
+    (min of (hash, dst) struct), so candidate rows never sort globally.
+    String/integer arithmetic only: no float playbook in the oracle."""
+    if walk_len < 1 or walks_per_seed < 1:
+        raise ValueError("walk_len and walks_per_seed must be >= 1")
+    if node_col not in seeds.columns:
+        raise ValueError(f"seeds must carry a {node_col!r} column (has {seeds.columns})")
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    if pin_rounds:
+        e = e.localCheckpoint(eager=False)
+    state = (
+        seeds.select(F.col(node_col).alias("origin"))
+        .distinct()
+        .select(
+            "origin",
+            F.explode(F.sequence(F.lit(0), F.lit(walks_per_seed - 1))).alias("walk_idx"),
+        )
+        .select(
+            "origin",
+            "walk_idx",
+            F.col("origin").alias("cur"),
+            F.array(F.col("origin")).alias("path"),
+        )
+    )
+    for step in range(1, walk_len + 1):
+        cand = state.join(e, state["cur"] == e["_u"]).select(
+            "origin",
+            "walk_idx",
+            F.struct(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("origin").cast("string"),
+                        F.col("walk_idx").cast("string"),
+                        F.lit(str(step)),
+                        F.col("cur").cast("string"),
+                        F.col("_v").cast("string"),
+                    )
+                ).alias("h"),
+                F.col("_v").alias("nxt"),
+            ).alias("pick"),
+        )
+        nxt = cand.groupBy("origin", "walk_idx").agg(F.min("pick").alias("pick"))
+        state = state.join(nxt, ["origin", "walk_idx"], "left").select(
+            "origin",
+            "walk_idx",
+            F.coalesce(F.col("pick.nxt"), F.col("cur")).alias("cur"),
+            F.when(
+                F.col("pick.nxt").isNotNull(),
+                F.concat(F.col("path"), F.array(F.col("pick.nxt"))),
+            )
+            .otherwise(F.col("path"))
+            .alias("path"),
+        )
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "origin",
+        F.col("walk_idx").cast("long").alias("walk_idx"),
+        "path",
+        (F.size("path") - 1).cast("long").alias("n_steps"),
+    )

@@ -331,3 +331,126 @@ def test_hits_parallel_edges_collapse(spark):
     assert sorted(map(tuple, hits(e1, iterations=2).collect())) == sorted(
         map(tuple, hits(e2, iterations=2).collect())
     )
+
+
+# ---- transitive_closure ----------------------------------------------------
+
+
+def test_transitive_closure_chain(spark):
+    from kgraph_spark.operators.graph_analytics import transitive_closure
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    got = {(r["src"], r["dst"]): r["depth"] for r in transitive_closure(e, max_depth=3).collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1, ("d", "e"): 1,
+        ("a", "c"): 2, ("b", "d"): 2, ("c", "e"): 2,
+        ("a", "d"): 3, ("b", "e"): 3,
+    }  # depth-4 pair (a,e) excluded by max_depth=3
+
+
+def test_transitive_closure_min_depth_on_shortcut(spark):
+    from kgraph_spark.operators.graph_analytics import transitive_closure
+
+    # diamond with a shortcut: a→b→c and a→c directly → depth(a,c) = 1
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    got = {(r["src"], r["dst"]): r["depth"] for r in transitive_closure(e, max_depth=4).collect()}
+    assert got[("a", "c")] == 1 and got[("a", "b")] == 1 and got[("b", "c")] == 1
+
+
+def test_transitive_closure_cycle_keeps_self_paths(spark):
+    from kgraph_spark.operators.graph_analytics import transitive_closure
+
+    e = _edges(spark, [("a", "b"), ("b", "a")])
+    got = {(r["src"], r["dst"]): r["depth"] for r in transitive_closure(e, max_depth=4).collect()}
+    assert got[("a", "a")] == 2 and got[("b", "b")] == 2
+
+
+def test_transitive_closure_rejects_bad_depth(spark):
+    from kgraph_spark.operators.graph_analytics import transitive_closure
+
+    with pytest.raises(ValueError, match="max_depth"):
+        transitive_closure(_edges(spark, [("a", "b")]), max_depth=0)
+
+
+# ---- harmonic_centrality ---------------------------------------------------
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from kgraph_spark.operators.graph_analytics import harmonic_centrality
+
+    # path a-b-c-d, seeds {a}: d(a,b)=1, d(a,c)=2, d(a,d)=3
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: (r["n_reached"], r["harmonic"]) for r in
+           harmonic_centrality(e, seeds, max_hops=3).collect()}
+    assert got == {"b": (1, 1.0), "c": (1, 0.5), "d": (1, round(1 / 3, 6))}
+
+
+def test_harmonic_centrality_two_seeds_sum(spark):
+    from kgraph_spark.operators.graph_analytics import harmonic_centrality
+
+    # path a-b-c, seeds {a, c}: b is 1 hop from both → harmonic 2.0;
+    # a is 0 from itself (excluded) and 2 from c → 0.5; symmetric for c
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    got = {r["node"]: r["harmonic"] for r in
+           harmonic_centrality(e, seeds, max_hops=2).collect()}
+    assert got == {"a": 0.5, "b": 2.0, "c": 0.5}
+
+
+def test_harmonic_centrality_requires_node_col(spark):
+    from kgraph_spark.operators.graph_analytics import harmonic_centrality
+
+    seeds = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError, match="node"):
+        harmonic_centrality(_edges(spark, [("a", "b")]), seeds)
+
+
+# ---- deterministic_walks ---------------------------------------------------
+
+
+def test_deterministic_walks_shape_and_determinism(spark):
+    from kgraph_spark.operators.graph_analytics import deterministic_walks
+
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+                       ("c", "a"), ("c", "b")])
+    seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+    r1 = sorted((r["origin"], r["walk_idx"], tuple(r["path"])) for r in
+                deterministic_walks(e, seeds, walk_len=4, walks_per_seed=3).collect())
+    r2 = sorted((r["origin"], r["walk_idx"], tuple(r["path"])) for r in
+                deterministic_walks(e, seeds, walk_len=4, walks_per_seed=3).collect())
+    assert r1 == r2  # replay-identical
+    assert len(r1) == 6  # 2 seeds × 3 walks
+    assert all(len(p) == 5 and p[0] == o for o, _, p in r1)
+    # consecutive path elements must be edges
+    edge_set = {("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"), ("c", "b")}
+    for _, _, p in r1:
+        assert all((p[i], p[i + 1]) in edge_set for i in range(len(p) - 1))
+    # different walk_idx explores differently somewhere (hash varies by walk)
+    by_origin = {}
+    for o, w, p in r1:
+        by_origin.setdefault(o, set()).add(p)
+    assert any(len(v) > 1 for v in by_origin.values())
+
+
+def test_deterministic_walks_halt_at_sink(spark):
+    from kgraph_spark.operators.graph_analytics import deterministic_walks
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])  # c is a sink
+    seeds = spark.createDataFrame([("a",)], "node string")
+    rows = deterministic_walks(e, seeds, walk_len=5, walks_per_seed=1).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["path"]) == ["a", "b", "c"] and rows[0]["n_steps"] == 2
+
+
+def test_deterministic_walks_validation(spark):
+    from kgraph_spark.operators.graph_analytics import deterministic_walks
+
+    seeds = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(ValueError, match="walk_len"):
+        deterministic_walks(_edges(spark, [("a", "b")]), seeds, walk_len=0)
+    with pytest.raises(ValueError, match="node"):
+        deterministic_walks(
+            _edges(spark, [("a", "b")]),
+            spark.createDataFrame([("a",)], "id string"),
+        )
