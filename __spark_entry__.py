@@ -260,6 +260,17 @@ def q_evt_windowed_counts(spark, sf_dir):
     return windowed_event_counts(ev, window_duration="1 hour")
 
 
+def q_evt_hopping_counts(spark, sf_dir):
+    """Hopping-window aggregation (1-hour windows sliding every 15 min —
+    each event lands in exactly 4 windows), batch twin of the watermarked
+    streaming path (tests/test_windowed_streaming.py). The oracle fans
+    each event out to its window set with integer epoch arithmetic."""
+    from kgraph_spark.streaming.windowed import hopping_event_counts
+
+    ev = _read(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    return hopping_event_counts(ev, window_duration="1 hour", slide_duration="15 minutes")
+
+
 def q_h1_bfs_2hop(spark, sf_dir):
     """H1 BFS subgraph: 2-hop frontier expansion customer→order→part."""
     from kgraph_spark.operators.graph import bfs_subgraph
@@ -2070,6 +2081,27 @@ def q_graph_walks(spark, sf_dir):
     return deterministic_walks(e, seeds, walk_len=5, walks_per_seed=2)
 
 
+def q_fuzzy_name_match(spark, sf_dir):
+    """Typo-tolerant dictionary match via deletion-neighborhood blocking
+    (edit distance <= 1, md5-hashed variant join keys — never a cross
+    join): queries are part names with one deterministically-chosen char
+    dropped. The oracle restates the SEMANTICS (best levenshtein <= 1
+    match) with a plain quadratic join — the blocking is the Spark-side
+    scale plan, not part of the contract."""
+    from kgraph_spark.operators.resolve import fuzzy_name_join
+
+    parts = _read(spark, sf_dir, "part")
+    pos = (F.floor(F.col("p_partkey") / 10) % F.length("p_name")) + 1
+    qsrc = parts.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("query_id"),
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos - 1),
+            F.col("p_name").substr(pos + 1, F.length("p_name")),
+        ).alias("query"),
+    )
+    return fuzzy_name_join(qsrc, parts.select(F.col("p_name").alias("name")))
+
+
 def q_graph_lpa(spark, sf_dir):
     """Synchronous label-propagation communities (3 fixed rounds,
     majority label with min tie-break) over the thinned lineitem entity
@@ -2191,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "evt_windowed_counts": q_evt_windowed_counts,
+        "evt_hopping_counts": q_evt_hopping_counts,
         "multimodal_features": q_multimodal_features,
         "d4_authority_rerank": q_d4_authority_rerank,
         "f4_evidence_containment": q_f4_evidence_containment,
@@ -2259,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_sssp": q_graph_sssp,
         "graph_closure": q_graph_closure,
+        "fuzzy_name_match": q_fuzzy_name_match,
         "graph_harmonic": q_graph_harmonic,
         "graph_walks": q_graph_walks,
         "graph_lpa": q_graph_lpa,
@@ -2691,6 +2725,17 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "evt_hopping_counts": """
+            -- 1h windows every 15min: each event belongs to the 4 slide
+            -- buckets ending at or after it (aligned hops: window starts
+            -- are exact multiples of 900000000 us, Spark's epoch alignment)
+            SELECT ((epoch_us(ts) // 900000000 - j.j) * 900000000)::BIGINT
+                       AS window_start_us,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events, (SELECT unnest(range(4)) AS j) j
+            GROUP BY 1, 2
         """,
         "simhash_near_dups": f"""
             WITH tok AS (
@@ -4496,6 +4541,28 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
         "graph_sssp": _sssp_oracle_sql(rounds=3),
+        "fuzzy_name_match": """
+            WITH q AS (
+                SELECT p_partkey AS query_id,
+                       substr(p_name, 1, pos - 1) || substr(p_name, pos + 1) AS query
+                FROM (
+                    SELECT p_partkey, p_name,
+                           ((p_partkey // 10) % length(p_name) + 1)::INTEGER AS pos
+                    FROM part WHERE p_partkey % 10 = 0
+                )
+            ), n AS (
+                SELECT DISTINCT p_name AS name FROM part
+            ), c AS (
+                SELECT q.query_id, q.query, n.name,
+                       levenshtein(q.query, n.name) AS d
+                FROM q CROSS JOIN n
+                WHERE levenshtein(q.query, n.name) <= 1
+            )
+            SELECT query_id, query,
+                   (min({'d': d, 'n': name})).n AS match_name,
+                   (min({'d': d, 'n': name})).d::BIGINT AS distance
+            FROM c GROUP BY 1, 2
+        """,
         "graph_closure": """
             WITH RECURSIVE e AS (
                 SELECT doc_id AS src, doc_id // 2 AS dst

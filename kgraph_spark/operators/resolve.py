@@ -302,3 +302,79 @@ def usage_counts(resolved_mentions: DataFrame) -> DataFrame:
         F.count("*").alias("usage_count"),
         F.countDistinct("doc_id").alias("document_count"),
     )
+
+
+def fuzzy_name_join(
+    queries: DataFrame,
+    names: DataFrame,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    name_col: str = "name",
+) -> DataFrame:
+    """(query_id, query, match_name, distance) — for each query string, the
+    best dictionary name within edit distance 1 (min distance, ties to the
+    lexicographically smallest name); queries with no match within 1 are
+    absent (inner semantics — compose with a left join for a dense report).
+
+    The scalable fuzzy join behind typo-tolerant entity linking (the D4
+    rerank, resolve.py above, assumes a CANDIDATE list exists; this builds
+    one without the O(|Q|·|N|) cross join the reference warns about,
+    kgraph/ingest.py:877-880). Blocking is the deletion neighborhood: two
+    strings within edit distance 1 — equal, one substitution, one
+    insert/delete — always share a member of {s} ∪ {s minus char i}, so
+    each side expands to length(s)+1 variants, the join runs on the
+    md5(variant) 16-byte digest (never the raw variant string — deletion
+    variants of long names would otherwise ship ~L bytes × L variants per
+    name through the shuffle), candidate pairs dedup on ids, and the exact
+    levenshtein verifies survivors. Intended for NAME-length strings: the
+    variant fan-out is O(Σ length) rows per side, the right trade for
+    alias dictionaries, wrong for documents (shingle/MinHash territory,
+    dedup_text.py).
+
+    The variant transform binds the STRING COLUMN inside the lambda (a
+    column ref, constant per row) — not a derived array, so the
+    HOF re-evaluation trap (see shingles) doesn't apply. Empty strings get
+    only their identity variant (sequence(1, 0) is DESCENDING in Spark —
+    guarded, not assumed)."""
+
+    def _variant_hashes(col):
+        dels = F.when(
+            F.length(col) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(col)),
+                lambda i: F.concat(
+                    col.substr(F.lit(1), i - 1),
+                    col.substr(i + 1, F.length(col)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(F.array_union(F.array(col), dels), F.md5)
+
+    # two-step selects: exploding variants of a column ALIASED in the same
+    # projection trips Spark's lateral-column-alias resolution
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col).alias("query")
+    ).select("query_id", "query", F.explode(_variant_hashes(F.col("query"))).alias("_vh"))
+    n = (
+        names.select(F.col(name_col).alias("match_name"))
+        .distinct()
+        .select("match_name", F.explode(_variant_hashes(F.col("match_name"))).alias("_vh"))
+    )
+    pairs = (
+        q.join(n, "_vh")
+        .select("query_id", "query", "match_name")
+        .distinct()
+        .withColumn("distance", F.levenshtein("query", "match_name"))
+        .filter(F.col("distance") <= 1)
+    )
+    best = pairs.groupBy("query_id", "query").agg(
+        F.min(
+            F.struct(F.col("distance").alias("d"), F.col("match_name").alias("n"))
+        ).alias("_b"),
+    )
+    return best.select(
+        "query_id",
+        "query",
+        F.col("_b.n").alias("match_name"),
+        F.col("_b.d").cast("long").alias("distance"),
+    )

@@ -97,3 +97,45 @@ def session_window_counts(
             "session_value",
         )
     )
+
+
+def hopping_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide_duration: str = "15 minutes",
+    watermark: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per (HOPPING event-time window, key) counts and value totals —
+    F.window with a slide shorter than the window, so every event lands in
+    window/slide overlapping windows (the moving-average shape tumbling
+    windows can't express; window must be a multiple of slide for aligned
+    hops).
+
+    Streaming input: withWatermark bounds state exactly as in the tumbling
+    form — each overlapping window finalizes independently when the
+    watermark passes ITS end, so one event's windows finalize across
+    several triggers. Batch input: identical expression, the exact result
+    the stream converges to. The fan-out is the honest cost: window/slide
+    state rows per event; size the slide, not the watermark, to control
+    state. Epoch-microsecond window starts keep values engine-portable
+    (the DuckDB oracle regenerates each event's window set with integer
+    epoch arithmetic — aligned hops make window starts exact multiples of
+    the slide, Spark's 1970-epoch alignment)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.window(ts_col, window_duration, slide_duration).alias("w"), key_col
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )

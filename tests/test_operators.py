@@ -534,3 +534,64 @@ def test_lsh_against_fallback_path_equal(spark):
         )
     )
     assert a == b and len(a) >= 1
+
+
+# ---- fuzzy_name_join (deletion-neighborhood edit-distance-1 blocking) -----
+
+
+def _fuzzy(spark, queries, names):
+    from kgraph_spark.operators.resolve import fuzzy_name_join
+
+    q = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(queries)], "query_id bigint, query string"
+    )
+    n = spark.createDataFrame([(s,) for s in names], "name string")
+    return {
+        r["query_id"]: (r["match_name"], r["distance"])
+        for r in fuzzy_name_join(q, n).collect()
+    }
+
+
+def test_fuzzy_join_all_edit_kinds(spark):
+    names = ["aspirin", "warfarin", "ibuprofen"]
+    got = _fuzzy(
+        spark,
+        ["aspirin",    # exact → dist 0
+         "asplrin",    # substitution
+         "asprin",     # deletion (query shorter)
+         "awspirin",   # insertion (query longer)
+         "ibuprofenix"],  # distance 3 → no match
+        names,
+    )
+    assert got[0] == ("aspirin", 0)
+    assert got[1] == ("aspirin", 1)
+    assert got[2] == ("aspirin", 1)
+    assert got[3] == ("aspirin", 1)
+    assert 4 not in got
+
+
+def test_fuzzy_join_prefers_exact_then_lexicographic(spark):
+    # "cat" is distance 1 from both "cap" and "car" → smallest name wins;
+    # a dist-0 name beats any dist-1 name
+    got = _fuzzy(spark, ["cat", "cap"], ["cap", "car"])
+    assert got[0] == ("cap", 1)
+    assert got[1] == ("cap", 0)
+
+
+def test_fuzzy_join_empty_and_single_char(spark):
+    got = _fuzzy(spark, ["", "x"], ["a", "ab"])
+    assert got[0] == ("a", 1)   # "" → one insert
+    assert got[1] == ("a", 1)   # substitution x→a; "ab" is dist 2
+    # duplicate dictionary names collapse before the join
+    got2 = _fuzzy(spark, ["cat"], ["cat", "cat"])
+    assert got2[0] == ("cat", 0)
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    from conftest import plan_text
+    from kgraph_spark.operators.resolve import fuzzy_name_join
+
+    q = spark.createDataFrame([(1, "abc")], "query_id bigint, query string")
+    n = spark.createDataFrame([("abd",)], "name string")
+    plan = plan_text(fuzzy_name_join(q, n))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

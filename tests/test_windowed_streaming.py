@@ -178,3 +178,65 @@ def test_session_windows_append_and_late_drop(spark, tmp_path):
     }
     assert ("u1", w0 + 1_000_000, w0 + 13_000_000, 2, 3.0) in twin
     assert ("u2", w0 + 50_000_000, w0 + 69_000_000, 2, 2.0) in twin
+
+
+def test_hopping_windows_fan_out_and_finalize(spark, tmp_path):
+    from kgraph_spark.streaming.windowed import hopping_event_counts
+
+    indir = tmp_path / "hop_in"
+    indir.mkdir()
+    table = f"hopagg_{uuid.uuid4().hex[:8]}"
+
+    def t(sec):
+        return f"2024-01-01 00:00:{sec:02d}"
+
+    w0 = 1704067200 * 1_000_000  # epoch us of 2024-01-01 00:00:00 UTC
+    s = 5_000_000  # 5s slide in us
+
+    # 10s windows hopping every 5s → every event sits in exactly 2 windows.
+    # :03 click → windows starting at :00 and -:05; :27 view advances the
+    # watermark to 22 so both click windows (ends 10 and 5) finalize.
+    _events(spark, [(t(3), "click", 1.0), (t(27), "view", 1.0)]) \
+        .coalesce(1).write.mode("append").parquet(str(indir))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(indir))
+    q = (
+        hopping_event_counts(
+            stream, window_duration="10 seconds", slide_duration="5 seconds",
+            watermark="5 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        want = {(w0, "click", 1), (w0 - s, "click", 1)}
+        got = _wait_rows(spark, table, want)
+        assert want <= got, got
+
+        # a late :02 click (behind watermark 22) must not re-open either
+        # finalized click window; :45 view finalizes the :27 view's
+        # earlier window [20,30)
+        _events(spark, [(t(2), "click", 99.0), (t(45), "view", 1.0)]) \
+            .coalesce(1).write.mode("append").parquet(str(indir))
+        q.processAllAvailable()
+        got2 = _wait_rows(spark, table, {(w0 + 4 * s, "view", 1)})
+        assert (w0 + 4 * s, "view", 1) in got2, got2
+        assert (w0, "click", 1) in got2 and (w0, "click", 2) not in got2
+    finally:
+        q.stop()
+
+
+def test_hopping_batch_twin_fans_out(spark):
+    from kgraph_spark.streaming.windowed import hopping_event_counts
+
+    ev = _events(spark, [("2024-01-01 00:00:03", "click", 1.5)])
+    rows = {(r["window_start_us"], r["n_events"], r["total_value"])
+            for r in hopping_event_counts(
+                ev, window_duration="10 seconds", slide_duration="5 seconds"
+            ).collect()}
+    w0 = 1704067200 * 1_000_000
+    assert rows == {(w0, 1, 1.5), (w0 - 5_000_000, 1, 1.5)}
