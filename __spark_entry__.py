@@ -271,6 +271,26 @@ def q_evt_hopping_counts(spark, sf_dir):
     return hopping_event_counts(ev, window_duration="1 hour", slide_duration="15 minutes")
 
 
+def q_evt_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase, 7-day window, earliest-
+    completion greedy semantics) — one filtered aggregate per step, k-1
+    user-keyed joins against the one-row-per-user frame."""
+    from kgraph_spark.operators.temporal import funnel
+
+    return funnel(
+        _read(spark, sf_dir, "events"), ["view", "click", "purchase"], within="7 days"
+    )
+
+
+def q_evt_retention(spark, sf_dir):
+    """Weekly cohort retention (cohort = ISO week of first event).
+    Integer week arithmetic; the single float division is fixed-shape
+    round-6."""
+    from kgraph_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(_read(spark, sf_dir, "events"))
+
+
 def q_h1_bfs_2hop(spark, sf_dir):
     """H1 BFS subgraph: 2-hop frontier expansion customer→order→part."""
     from kgraph_spark.operators.graph import bfs_subgraph
@@ -2224,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "evt_windowed_counts": q_evt_windowed_counts,
         "evt_hopping_counts": q_evt_hopping_counts,
+        "evt_funnel": q_evt_funnel,
+        "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
         "d4_authority_rerank": q_d4_authority_rerank,
         "f4_evidence_containment": q_f4_evidence_containment,
@@ -2725,6 +2747,54 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "evt_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+                SELECT b.user_id, min(b.ts) AS t2
+                FROM events b JOIN s1 USING (user_id)
+                WHERE b.event_type = 'click' AND b.ts > s1.t1
+                  AND b.ts <= s1.t1 + INTERVAL 7 DAY
+                GROUP BY 1
+            ), s3 AS (
+                SELECT b.user_id, min(b.ts) AS t3
+                FROM events b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                WHERE b.event_type = 'purchase' AND b.ts > s2.t2
+                  AND b.ts <= s1.t1 + INTERVAL 7 DAY
+                GROUP BY 1
+            )
+            SELECT s1.user_id,
+                   (1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT)::BIGINT
+                       AS n_completed,
+                   epoch_us(t1) AS t1_us, epoch_us(t2) AS t2_us,
+                   epoch_us(t3) AS t3_us
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "evt_retention": """
+            WITH base AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+            ), first AS (
+                SELECT user_id, min(week) AS cohort_week FROM base GROUP BY 1
+            ), sizes AS (
+                SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+                FROM first GROUP BY 1
+            ), active AS (
+                SELECT f.cohort_week, b.user_id,
+                       ((epoch_us(b.week) - epoch_us(f.cohort_week))
+                        // 604800000000) AS week_offset
+                FROM base b JOIN first f USING (user_id)
+            ), agg AS (
+                SELECT cohort_week, week_offset,
+                       count(DISTINCT user_id) AS n_active
+                FROM active GROUP BY 1, 2
+            )
+            SELECT epoch_us(cohort_week) AS cohort_week_us,
+                   week_offset::BIGINT AS week_offset, n_active::BIGINT AS n_active,
+                   cohort_size::BIGINT AS cohort_size,
+                   round(n_active::DOUBLE / cohort_size, 6) AS retention_rate
+            FROM agg JOIN sizes USING (cohort_week)
         """,
         "evt_hopping_counts": """
             -- 1h windows every 15min: each event belongs to the 4 slide

@@ -126,3 +126,126 @@ def range_join(
         .filter((F.col(start) <= F.col(ts)) & (F.col(ts) < F.col(end)))
         .drop("_b")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within: str = "7 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user — the earliest-completion
+    semantics every product-analytics engine ships: step 1's time is the
+    user's FIRST step-1 event; step k's time is the first step-k event
+    STRICTLY after step k-1 and within `within` of step 1. Returns one row
+    per user who performed step 1: (user_id, n_completed, t1_us..tk_us,
+    later steps NULL once the chain breaks). Users without a step-1 event
+    are absent (inner semantics on the anchor step).
+
+    Greedy earliest matching is the contract (not completion-maximal
+    matching — the standard funnel definition). All timestamps epoch-us
+    for engine portability.
+
+    Scale: one filtered aggregate per step over the (user-key) events —
+    k-1 joins keyed on user_id, each against the ALREADY-AGGREGATED
+    one-row-per-user frame (never event×event), so the heavy side streams
+    once per step and the per-user frame stays node-cardinality. A funnel
+    over 10^12 events is k passes of partial-aggregating groupBy — the
+    declarative restatement of the per-user state machine
+    (applyInPandasWithState territory only when steps must interleave with
+    resets)."""
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    iv = F.expr(f"INTERVAL {within}")
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("event_type"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+    )
+    cur = (
+        base.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        anchor = cur.filter(F.col(prev).isNotNull()).select("user_id", "t1", prev)
+        cand = (
+            base.filter(F.col("event_type") == step)
+            .join(anchor, "user_id")
+            .filter((F.col("ts") > F.col(prev)) & (F.col("ts") <= F.col("t1") + iv))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        cur = cur.join(cand, "user_id", "left")
+    n_completed = sum(
+        (F.col(f"t{i}").isNotNull().cast("int") for i in range(2, len(steps) + 1)),
+        start=F.lit(1),
+    )
+    return cur.select(
+        "user_id",
+        n_completed.cast("long").alias("n_completed"),
+        *[
+            F.unix_micros(F.col(f"t{i}")).alias(f"t{i}_us")
+            for i in range(1, len(steps) + 1)
+        ],
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_weeks: int | None = None,
+) -> DataFrame:
+    """Weekly cohort retention: cohort = ISO week of the user's first
+    event; for each (cohort, week offset) the count of cohort users active
+    that week and the retention rate vs the cohort size. Offset 0 is the
+    cohort week itself (rate 1.0 by construction). Returns
+    (cohort_week_us, week_offset, n_active, cohort_size, retention_rate).
+
+    Integer arithmetic end-to-end (epoch-us week starts, datediff in
+    whole weeks); the single float — n_active / cohort_size — is one
+    fixed-shape round-6 division, so the SQL restatement replays it
+    exactly. Scale: one groupBy(user) for first-seen, one distinct on
+    (user, week), one join back on user (node-cardinality dimension — a
+    candidate for broadcast when users ≪ events), one final groupBy."""
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("week", F.col(ts_col).cast("timestamp")).alias("week"),
+    )
+    first = base.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    active = (
+        base.distinct()
+        .join(first, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            (
+                F.floor(
+                    (F.unix_micros("week") - F.unix_micros("cohort_week"))
+                    / (7 * 24 * 3600 * 1_000_000)
+                )
+            ).alias("week_offset"),
+        )
+    )
+    if max_weeks is not None:
+        active = active.filter(F.col("week_offset") <= max_weeks)
+    agg = active.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        agg.join(sizes, "cohort_week")
+        .select(
+            F.unix_micros("cohort_week").alias("cohort_week_us"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention_rate"),
+        )
+    )

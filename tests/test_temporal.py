@@ -97,3 +97,104 @@ def test_range_join_rejects_bad_bucket(spark):
     iv = _intervals(spark, [(1, _t(0), _t(2))])
     with pytest.raises(ValueError):
         range_join(pts, iv, bucket_seconds=0)
+
+
+# ---- funnel ---------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string"
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+
+
+def test_funnel_orders_and_window(spark):
+    from kgraph_spark.operators.temporal import funnel
+
+    ev = _ev(spark, [
+        # user 1 completes view→click→purchase in order
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 02:00:00"),
+        # user 2: click BEFORE the first view never counts; the later one does
+        (2, "click", "2024-01-01 00:00:00"),
+        (2, "view", "2024-01-01 01:00:00"),
+        (2, "click", "2024-01-01 03:00:00"),
+        # user 3: purchase outside the 7-day window of the first view
+        (3, "view", "2024-01-01 00:00:00"),
+        (3, "click", "2024-01-02 00:00:00"),
+        (3, "purchase", "2024-01-09 00:00:01"),
+        # user 4: never views → absent
+        (4, "purchase", "2024-01-01 00:00:00"),
+    ])
+    got = {r["user_id"]: r for r in
+           funnel(ev, ["view", "click", "purchase"], within="7 days").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_completed"] == 3 and got[1]["t3_us"] is not None
+    assert got[2]["n_completed"] == 2
+    # user 2's click step must be the 03:00 one (after the first view)
+    assert got[2]["t2_us"] == got[2]["t1_us"] + 2 * 3600 * 1_000_000
+    assert got[3]["n_completed"] == 2 and got[3]["t3_us"] is None
+
+
+def test_funnel_earliest_completion_is_greedy(spark):
+    from kgraph_spark.operators.temporal import funnel
+
+    # greedy takes the 01:00 click; the only purchase precedes it → chain
+    # breaks even though (02:00 click, none) wouldn't help either; also
+    # asserts strict ordering (purchase at exactly t2 doesn't count)
+    ev = _ev(spark, [
+        (1, "view", "2024-01-01 00:00:00"),
+        (1, "click", "2024-01-01 01:00:00"),
+        (1, "purchase", "2024-01-01 01:00:00"),
+        (1, "click", "2024-01-01 02:00:00"),
+    ])
+    got = funnel(ev, ["view", "click", "purchase"]).collect()[0]
+    assert got["n_completed"] == 2 and got["t3_us"] is None
+
+
+def test_funnel_validation(spark):
+    import pytest
+    from kgraph_spark.operators.temporal import funnel
+
+    with pytest.raises(ValueError, match="2 steps"):
+        funnel(_ev(spark, [(1, "view", "2024-01-01 00:00:00")]), ["view"])
+
+
+# ---- retention_cohorts ------------------------------------------------------
+
+
+def test_retention_cohorts(spark):
+    from kgraph_spark.operators.temporal import retention_cohorts
+
+    # 2024-01-01 is a Monday: users 1,2 cohort that week; user 3 next week.
+    ev = _ev(spark, [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "view", "2024-01-09 10:00:00"),   # week offset 1
+        (1, "view", "2024-01-16 10:00:00"),   # week offset 2
+        (2, "view", "2024-01-03 10:00:00"),
+        (2, "view", "2024-01-10 10:00:00"),   # week offset 1
+        (3, "view", "2024-01-08 10:00:00"),   # cohort week 2
+    ])
+    rows = {(r["cohort_week_us"], r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention_rate"])
+            for r in retention_cohorts(ev).collect()}
+    w1 = 1704067200 * 1_000_000  # 2024-01-01 (Monday) epoch us
+    wk = 7 * 24 * 3600 * 1_000_000
+    assert rows[(w1, 0)] == (2, 2, 1.0)
+    assert rows[(w1, 1)] == (2, 2, 1.0)
+    assert rows[(w1, 2)] == (1, 2, 0.5)
+    assert rows[(w1 + wk, 0)] == (1, 1, 1.0)
+    assert len(rows) == 4
+
+
+def test_retention_cohorts_max_weeks(spark):
+    from kgraph_spark.operators.temporal import retention_cohorts
+
+    ev = _ev(spark, [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "view", "2024-03-01 10:00:00"),
+    ])
+    rows = retention_cohorts(ev, max_weeks=2).collect()
+    assert {r["week_offset"] for r in rows} == {0}
