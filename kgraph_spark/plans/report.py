@@ -481,6 +481,90 @@ def main() -> None:
         ["TakeOrderedAndProject", "HashAggregate", "!Exchange SinglePartition"],
     ))
 
+    from kgraph_spark.operators.graph_analytics import (
+        deterministic_walks,
+        harmonic_centrality,
+        transitive_closure,
+    )
+
+    sections.append((
+        "Transitive closure (doubling) round — paths⋈paths equi-join on the "
+        "middle node + (src, dst) groupBy MIN with partial aggregation; "
+        "log2(depth) rounds instead of depth frontier hops, integer "
+        "arithmetic only, id-only exchanges",
+        _plan(transitive_closure(pr_edges, max_depth=2, pin_rounds=False)),
+        ["HashAggregate", "!BroadcastNestedLoopJoin"],
+    ))
+
+    hc_seeds = spark.createDataFrame([("n0",), ("n3",)], "node string")
+    sections.append((
+        "Harmonic centrality round — (seed, node)-keyed BFS relaxation: one "
+        "dist⋈adjacency equi-join + one groupBy MIN per hop; distances stay "
+        "integer, the reciprocal sum is one fixed-shape expression over "
+        "pivoted per-hop counts — no float accumulation across rows",
+        _plan(harmonic_centrality(pr_edges, hc_seeds, max_hops=1, pin_rounds=False)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Deterministic walks step — state⋈edges equi-join on the current "
+        "node + per-walk min-of-(hash, dst) struct aggregate; walk state is "
+        "(seeds × walks) rows regardless of graph size, the hash argmin "
+        "rides the aggregation (no per-neighbor sort)",
+        _plan(deterministic_walks(pr_edges, hc_seeds, walk_len=1,
+                                  walks_per_seed=2, pin_rounds=False)),
+        ["Aggregate", "!CartesianProduct"],
+    ))
+
+    from kgraph_spark.operators.resolve import fuzzy_name_join
+
+    fz_q = spark.createDataFrame([(1, "aspirin")], "query_id bigint, query string")
+    fz_n = spark.createDataFrame([("aspirin",), ("warfarin",)], "name string")
+    sections.append((
+        "Fuzzy name join — deletion-neighborhood blocking: the equi-join "
+        "and pair dedup run on the 16-byte md5 variant digest (_vh), never "
+        "a raw-variant string key and never a cross join; exact levenshtein "
+        "verifies only surviving candidates",
+        _plan(fuzzy_name_join(fz_q, fz_n)),
+        ["_vh", "levenshtein", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    from kgraph_spark.operators.temporal import funnel as funnel_op
+    from kgraph_spark.operators.temporal import retention_cohorts
+
+    ev_small = spark.createDataFrame(
+        [(1, "view", "2024-01-01 00:00:00"), (1, "click", "2024-01-01 01:00:00")],
+        "user_id bigint, event_type string, ts string",
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    sections.append((
+        "Funnel — each step is a filtered partial/final hash aggregate; the "
+        "k-1 joins key on user_id against the already-aggregated one-row-"
+        "per-user frame (event×event pairing never happens)",
+        _plan(funnel_op(ev_small, ["view", "click"], within="7 days")),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Cohort retention — first-seen and activity are partial/final hash "
+        "aggregates; the cohort dimension joins back on user_id; integer "
+        "week arithmetic end-to-end",
+        _plan(retention_cohorts(ev_small)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    from kgraph_spark.streaming.windowed import hopping_event_counts
+
+    hop_ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sections.append((
+        "Hopping windows — the window/slide fan-out is a map-side Expand "
+        "(or generator) feeding ONE partial/final hash aggregation; state "
+        "per event is window/slide rows by construction, no self-join",
+        _plan(hopping_event_counts(hop_ev)),
+        ["HashAggregate", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
