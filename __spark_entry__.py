@@ -271,6 +271,68 @@ def q_evt_hopping_counts(spark, sf_dir):
     return hopping_event_counts(ev, window_duration="1 hour", slide_duration="15 minutes")
 
 
+def q_profile_docs(spark, sf_dir):
+    """Per-column table profile (nulls, exact cardinality, min/max) in ONE
+    wide aggregate pass — the input sanity check a 100-TB job runs before
+    spending cluster-hours; approx=True flips cardinality to HLL++."""
+    from kgraph_spark.operators.profiling import profile_table
+
+    return profile_table(_read(spark, sf_dir, "documents"))
+
+
+def q_evt_outliers(spark, sf_dir):
+    """Tukey-fence outliers per event type: exact interpolated Q1/Q3
+    (bit-identical to DuckDB quantile_cont), round-6 fences, flag decided
+    on rounded numbers."""
+    from kgraph_spark.operators.profiling import iqr_outliers
+
+    return iqr_outliers(
+        _read(spark, sf_dir, "events"), "value", "event_type", id_col="event_id"
+    )
+
+
+def q_curation_sample_k(spark, sf_dir):
+    """Deterministic k-per-group sampling: row_number over
+    (md5(id || salt), id) within each language, keep 5."""
+    from kgraph_spark.operators.corpus_curation import sample_k_per_group
+
+    return sample_k_per_group(_read(spark, sf_dir, "documents"), 5, group_col="lang")
+
+
+def q_graph_condense(spark, sf_dir):
+    """Component supergraph: connected components over the C/S→N→R
+    membership graph (components = region clusters), then the
+    customer→supplier trade edges from orders⋈lineitem aggregate to a
+    region×region matrix — |components|² rows, the scale story of
+    condensation."""
+    from kgraph_spark.operators.canonicalize import connected_components
+    from kgraph_spark.operators.graph_analytics import condense_components
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    e1 = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = supp.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    e3 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    labels = connected_components(e1.union(e2).union(e3).distinct())
+    trade = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("object_id"),
+    )
+    return condense_components(labels, trade)
+
+
 def q_evt_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase, 7-day window, earliest-
     completion greedy semantics) — one filtered aggregate per step, k-1
@@ -2244,6 +2306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "evt_windowed_counts": q_evt_windowed_counts,
         "evt_hopping_counts": q_evt_hopping_counts,
+        "profile_docs": q_profile_docs,
+        "evt_outliers": q_evt_outliers,
+        "curation_sample_k": q_curation_sample_k,
+        "graph_condense": q_graph_condense,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -2747,6 +2813,87 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "profile_docs": """
+            SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+                   (count(*) - count(doc_id))::BIGINT AS n_nulls,
+                   count(DISTINCT doc_id)::BIGINT AS n_distinct,
+                   min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+                   min(text), max(text) FROM documents
+            UNION ALL
+            SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+                   min(lang), max(lang) FROM documents
+            UNION ALL
+            SELECT 'source', count(*), count(*) - count(source), count(DISTINCT source),
+                   min(source), max(source) FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars), count(DISTINCT n_chars),
+                   min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM documents
+        """,
+        "evt_outliers": """
+            WITH f AS (
+                SELECT event_type AS g,
+                       round(quantile_cont(value, 0.25), 6) AS q1,
+                       round(quantile_cont(value, 0.75), 6) AS q3
+                FROM events GROUP BY 1
+            ), b AS (
+                SELECT g, round(q1 - 1.5::DOUBLE * (q3 - q1), 6) AS lo,
+                       round(q3 + 1.5::DOUBLE * (q3 - q1), 6) AS hi
+                FROM f
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+                   b.lo, b.hi,
+                   CASE WHEN e.value IS NULL THEN false
+                        ELSE (round(e.value, 6) < b.lo OR round(e.value, 6) > b.hi)
+                   END AS is_outlier
+            FROM events e JOIN b ON e.event_type = b.g
+        """,
+        "curation_sample_k": """
+            SELECT doc_id, text, lang, source, n_chars, rk::BIGINT AS sample_rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(doc_id::VARCHAR || 'v1'), doc_id
+                ) AS rk
+                FROM documents
+            ) WHERE rk <= 5
+        """,
+        "graph_condense": """
+            WITH members AS (
+                SELECT n_regionkey AS region, 'N' || n_nationkey AS id FROM nation
+                UNION ALL
+                SELECT n_regionkey, 'R' || n_regionkey FROM nation
+                UNION ALL
+                SELECT n_regionkey, 'C' || c_custkey
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT n_regionkey, 'S' || s_suppkey
+                FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            ), winners AS (
+                SELECT region, min(id) AS component FROM members GROUP BY region
+            ), trade AS (
+                SELECT 'C' || o_custkey AS cid, c_nationkey AS cn,
+                       'S' || l_suppkey AS sid, s_nationkey AS sn
+                FROM orders
+                JOIN lineitem ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+            ), withreg AS (
+                SELECT cid, sid, nc.n_regionkey AS rc, ns.n_regionkey AS rs
+                FROM trade
+                JOIN nation nc ON cn = nc.n_nationkey
+                JOIN nation ns ON sn = ns.n_nationkey
+            )
+            SELECT wc.component AS comp_src, ws.component AS comp_dst,
+                   count(*)::BIGINT AS n_edges,
+                   count(DISTINCT cid || '|' || sid)::BIGINT AS n_pairs
+            FROM withreg
+            JOIN winners wc ON rc = wc.region
+            JOIN winners ws ON rs = ws.region
+            GROUP BY 1, 2
         """,
         "evt_funnel": """
             WITH s1 AS (

@@ -872,3 +872,37 @@ def c4_clean(
         F.size(kept).cast("long").alias("n_kept"),
         keep.alias("keep"),
     )
+
+
+def sample_k_per_group(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by deterministic
+    hash ranking — the fixed-size twin of stratified_sample's rate-based
+    draw: rank rows inside each group by (md5(id || salt), id) and keep
+    the first k. Engine-portable and stable under reruns; bumping `salt`
+    redraws the sample without touching the data.
+
+    One row_number window per group (partition-local sort after a single
+    shuffle on the group key). The window partitions on the GROUP, so a
+    pathological group (half the corpus in one language) serializes
+    through one reducer — for group-skewed corpora pre-thin with
+    stratified_sample (rate ≈ k/|group|) and rank the survivors; the
+    composed draw is still deterministic."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col))
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
+    )

@@ -806,3 +806,35 @@ def deterministic_walks(
         "path",
         (F.size("path") - 1).cast("long").alias("n_steps"),
     )
+
+
+def condense_components(
+    labels: DataFrame,
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Component-level supergraph (graph condensation): map each edge
+    endpoint to its component via `labels` (id, component — e.g.
+    connected_components output, canonicalize.py) and aggregate to
+    (comp_src, comp_dst, n_edges, n_pairs). `n_edges` counts edge
+    multiplicity, `n_pairs` distinct endpoint pairs. Intra-component rows
+    (comp_src == comp_dst) are kept — dropping them would hide the
+    component's internal density; filter downstream.
+
+    Two id-keyed joins (the labels frame is node-cardinality — broadcast
+    when nodes ≪ edges) + one partial/final hash aggregation on the
+    component pair. The condensed graph is the scale win: downstream
+    analytics run on |components|² at most, not |edges|."""
+    l_src = labels.select(F.col("id").alias("_s"), F.col("component").alias("comp_src"))
+    l_dst = labels.select(F.col("id").alias("_d"), F.col("component").alias("comp_dst"))
+    return (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .join(l_src, "_s")
+        .join(l_dst, "_d")
+        .groupBy("comp_src", "comp_dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.countDistinct("_s", "_d").cast("long").alias("n_pairs"),
+        )
+    )

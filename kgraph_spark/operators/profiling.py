@@ -1,0 +1,112 @@
+"""Data-quality profiling for pipeline inputs: per-column summary stats
+and per-group IQR outlier detection.
+
+The reference accumulates per-stage statistics while ingesting
+(kgraph/ingest.py stage counters, export.py manifest counts); a 100-TB
+pipeline additionally profiles its INPUT before spending cluster-hours on
+it — null rates, cardinalities, range sanity, outlier contamination.
+Both operators are single-pass aggregations:
+
+* profile_table — ONE wide aggregate computes every column's stats in a
+  single scan (Catalyst expands the count-distincts; no per-column scan
+  loop), then a literal-array inline pivots the one result row into one
+  row per column. Exact count(DISTINCT) is the small-SF contract here;
+  at 100 TB you'd flip `approx=True` (HLL++ approx_count_distinct, one
+  pass, no expand) and accept the documented ±~2% — the shape of the
+  output is identical.
+* iqr_outliers — the Tukey fence: per-group Q1/Q3 by exact interpolated
+  percentile (verified bit-identical to DuckDB's quantile_cont — same
+  (1-g)·lower + g·upper interpolation), flag values outside
+  [Q1 - k·IQR, Q3 + k·IQR]. Bounds and values are round-6 and the flag
+  compares the ROUNDED numbers, so any SQL engine replays the decision.
+  Exact percentile buffers each GROUP's values on its reducer — right
+  for bounded-cardinality group columns (event types, languages,
+  sources); for unbounded groups swap in approx_percentile (same fence
+  shape, documented, not silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct, min_value, max_value) — one
+    row per profiled column, computed in ONE aggregate pass over the
+    table. min/max are rendered as strings so every column type shares a
+    schema (binary string ordering on both Spark and DuckDB). n_distinct
+    excludes NULLs (both engines' count-distinct semantics); `approx`
+    switches the cardinality to HLL++ approx_count_distinct for the
+    100-TB path."""
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    ndv = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            ndv(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select(
+        "p.column",
+        F.col("p.n_rows").cast("long").alias("n_rows"),
+        F.col("p.n_nulls").cast("long").alias("n_nulls"),
+        F.col("p.n_distinct").cast("long").alias("n_distinct"),
+        "p.min_value",
+        "p.max_value",
+    )
+
+
+def iqr_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Tukey-fence outlier flags per group: rows whose `value_col` falls
+    outside [Q1 - k·IQR, Q3 + k·IQR] of their group. Returns one row per
+    input row: (id?, group, value, lo, hi, is_outlier) with value/bounds
+    round-6 and the flag decided on the rounded numbers (engine-portable).
+    NULL values are never outliers (flag false, bounds attached).
+
+    One exact-percentile aggregate per group + one broadcast-friendly join
+    back on the group key — the fences frame is group-cardinality."""
+    fences = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.25)"), 6).alias("_q1"),
+        F.round(F.expr(f"percentile({value_col}, 0.75)"), 6).alias("_q3"),
+    )
+    lo = F.round(F.col("_q1") - k * (F.col("_q3") - F.col("_q1")), 6)
+    hi = F.round(F.col("_q3") + k * (F.col("_q3") - F.col("_q1")), 6)
+    v = F.round(F.col(value_col), 6)
+    out_cols = ([F.col(id_col)] if id_col else []) + [
+        F.col(group_col),
+        v.alias(value_col),
+        lo.alias("lo"),
+        hi.alias("hi"),
+        F.when(F.col(value_col).isNull(), F.lit(False))
+        .otherwise((v < lo) | (v > hi))
+        .alias("is_outlier"),
+    ]
+    return df.join(fences, df[group_col] == fences["_g"]).select(*out_cols)

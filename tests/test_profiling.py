@@ -1,0 +1,108 @@
+"""Profiling operators: per-column table profile, IQR outlier fences,
+deterministic k-per-group sampling, component condensation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraph_spark.operators.profiling import iqr_outliers, profile_table
+
+
+def test_profile_table_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, "a", 2.5), (4, None, None)],
+        "id bigint, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    assert got["id"]["n_distinct"] == 4
+    assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "4"
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["s"]["min_value"] == "a" and got["s"]["max_value"] == "b"
+    assert got["v"]["n_nulls"] == 2 and got["v"]["n_distinct"] == 2
+
+
+def test_profile_table_column_subset_and_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    assert profile_table(df, ["s"]).count() == 1
+    with pytest.raises(ValueError, match="unknown"):
+        profile_table(df, ["nope"])
+
+
+def test_profile_table_single_pass(spark):
+    from conftest import plan_text
+
+    df = spark.createDataFrame([(1, "x")], "id bigint, s string")
+    plan = plan_text(profile_table(df))
+    # one aggregation tree, not one scan per column ("Name (n)" tree lines)
+    assert plan.count("Scan ExistingRDD (") == 1
+
+
+def test_iqr_outliers_flags(spark):
+    # group g: 10 values (1..9 + a 100 spike) → interpolated Q1 = 3.25,
+    # Q3 = 7.75, IQR = 4.5 → fences [-3.5, 14.5] → only the spike flags
+    rows = [("g", float(v)) for v in range(1, 10)] + [("g", 100.0), ("h", 5.0)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    got = iqr_outliers(df, "value", "grp")
+    flagged = {(r["grp"], r["value"]) for r in got.collect() if r["is_outlier"]}
+    assert flagged == {("g", 100.0)}
+    g = {r["value"]: r for r in got.filter(F.col("grp") == "g").collect()}
+    assert g[1.0]["lo"] == -3.5 and g[1.0]["hi"] == 14.5
+    # single-value group: IQR 0 → its own value is inside [v, v]
+    h = got.filter(F.col("grp") == "h").collect()[0]
+    assert not h["is_outlier"] and h["lo"] == 5.0 == h["hi"]
+
+
+def test_iqr_outliers_null_values_never_flag(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None)], "grp string, value double"
+    )
+    rows = {r["value"]: r["is_outlier"] for r in iqr_outliers(df, "value", "grp").collect()}
+    assert rows[None] is False and len(rows) == 3
+
+
+def test_sample_k_per_group(spark):
+    from kgraph_spark.operators.corpus_curation import sample_k_per_group
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(40)], "doc_id bigint, lang string"
+    )
+    got = sample_k_per_group(df, 3, group_col="lang")
+    rows = got.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert all(len(v) == 3 for v in by_lang.values())
+    # deterministic: same rows on rerun
+    again = {tuple(sorted(v)) for v in by_lang.values()}
+    rows2 = sample_k_per_group(df, 3, group_col="lang").collect()
+    by2 = {}
+    for r in rows2:
+        by2.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {tuple(sorted(v)) for v in by2.values()} == again
+    # different salt redraws (40 docs, overwhelmingly unlikely identical)
+    rows3 = sample_k_per_group(df, 3, group_col="lang", salt="v2").collect()
+    assert {r["doc_id"] for r in rows3} != {r["doc_id"] for r in rows}
+    # k larger than the group keeps everything
+    assert sample_k_per_group(df, 100, group_col="lang").count() == 40
+    with pytest.raises(ValueError, match="k must"):
+        sample_k_per_group(df, 0)
+
+
+def test_condense_components(spark):
+    from kgraph_spark.operators.graph_analytics import condense_components
+
+    labels = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("x", "c2"), ("y", "c2")], "id string, component string"
+    )
+    edges = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y"), ("a", "b")],
+        "subject_id string, object_id string",
+    )
+    got = {(r["comp_src"], r["comp_dst"]): (r["n_edges"], r["n_pairs"])
+           for r in condense_components(labels, edges).collect()}
+    assert got[("c1", "c2")] == (3, 2)   # a→x twice counts 2 edges, 1 pair
+    assert got[("c1", "c1")] == (1, 1)   # intra edge kept
+    assert ("c2", "c1") not in got
