@@ -98,6 +98,59 @@ def _docs_to_span_documents(docs: DataFrame, tokens_per_para: int = 12) -> DataF
     return out
 
 
+def _docs_to_interleaved_spans(docs: DataFrame, limit: int = 400) -> DataFrame:
+    """documents → (doc_id, spans) with MIXED text+media spans, fully
+    deterministic so the DuckDB oracle can rebuild the same sequence:
+    every 12 tokens yield one text span; after paragraph i, i%3==2 inserts
+    one media span and i%6==5 inserts two consecutive media spans (the
+    only way a media run > 1 arises); asset ids are small residues so
+    assets are SHARED across documents (media_coref has real co-reference
+    to find). Text content is a cheap positional literal — rebuilding real
+    paragraph text would slice the token array per sequence element (the
+    HOF re-evaluation trap) and these ops never read span text."""
+    d = F.col("doc_id")
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.greatest(F.ceil(F.size(toks) / F.lit(12)).cast("int"), F.lit(1))
+    ns = F.lit(None).cast("string")
+
+    def sp(kind, text, ref):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    def ptext(i):
+        return F.concat(F.lit("para-"), i.cast("string"))
+
+    def m1(i):
+        return F.concat(F.lit("media://asset/"), ((d * 31 + i) % 41).cast("string"))
+
+    def m2(i):
+        return F.concat(F.lit("media://asset/"), (((d * 17 + i) % 37) + 50).cast("string"))
+
+    nested = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.when(
+            i % 6 == 5,
+            F.array(sp("text", ptext(i), ns), sp("media", ns, m1(i)), sp("media", ns, m2(i))),
+        )
+        .when(i % 3 == 2, F.array(sp("text", ptext(i), ns), sp("media", ns, m1(i))))
+        .otherwise(F.array(sp("text", ptext(i), ns))),
+    )
+    spans = F.transform(
+        F.flatten(nested),
+        lambda s, j: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            j.cast("int").alias("offset"),
+        ),
+    )
+    return docs.filter(d < limit).select(d.alias("doc_id"), spans.alias("spans"))
+
+
 def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full construction pipeline (mention→resolve→CC→co-occur→accumulate)
     over the driver corpus with a term gazetteer. Rows-only check (the
@@ -331,6 +384,26 @@ def q_graph_condense(spark, sf_dir):
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("object_id"),
     )
     return condense_components(labels, trade)
+
+
+def q_span_interleave(spark, sf_dir):
+    """Interleaving profile of the span-sequence corpus: one map-only
+    F.aggregate fold per document (no explode, no shuffle) computing span
+    counts, media fraction, kind transitions, longest media run and first
+    media position. The oracle rebuilds the identical kind sequence and
+    restates the fold with ordinality + gaps-and-islands windows."""
+    from kgraph_spark.operators.interleave import interleave_stats
+
+    return interleave_stats(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
+
+
+def q_media_coref(spark, sf_dir):
+    """Media co-reference over interleaved documents: explode ONLY media
+    spans (text never enters the shuffle), aggregate per media_ref with
+    O(1) per-key state — which assets are shared, by how many docs."""
+    from kgraph_spark.operators.interleave import media_coref
+
+    return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
 def q_evt_funnel(spark, sf_dir):
@@ -2310,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_outliers": q_evt_outliers,
         "curation_sample_k": q_curation_sample_k,
         "graph_condense": q_graph_condense,
+        "span_interleave": q_span_interleave,
+        "media_coref": q_media_coref,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -2894,6 +2969,75 @@ def oracle_sql() -> dict[str, str]:
             JOIN winners wc ON rc = wc.region
             JOIN winners ws ON rs = ws.region
             GROUP BY 1, 2
+        """,
+        "span_interleave": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 400
+            ), np AS (
+                SELECT doc_id, greatest(cast(ceil(len(t) / 12.0) AS INT), 1) AS n
+                FROM toks
+            ), kinds AS (
+                SELECT doc_id, flatten(list_transform(range(0, n), i ->
+                    CASE WHEN i % 6 = 5 THEN ['text', 'media', 'media']
+                         WHEN i % 3 = 2 THEN ['text', 'media']
+                         ELSE ['text'] END)) AS ks
+                FROM np
+            ), ex AS (
+                SELECT doc_id, unnest(ks) AS kind,
+                       generate_subscripts(ks, 1) AS pos
+                FROM kinds
+            ), w AS (
+                SELECT doc_id, kind, pos,
+                       lag(kind) OVER (PARTITION BY doc_id ORDER BY pos) AS pk,
+                       pos - row_number() OVER (
+                           PARTITION BY doc_id, kind ORDER BY pos) AS grp
+                FROM ex
+            ), base AS (
+                SELECT doc_id,
+                       count(*)::BIGINT AS n_spans,
+                       count(*) FILTER (WHERE kind = 'text')::BIGINT AS n_text,
+                       count(*) FILTER (WHERE kind = 'media')::BIGINT AS n_media,
+                       count(*) FILTER (WHERE pk IS NOT NULL AND pk <> kind)::BIGINT
+                           AS n_transitions,
+                       min(pos) FILTER (WHERE kind = 'media')::BIGINT AS first_media_pos
+                FROM w GROUP BY doc_id
+            ), mr AS (
+                SELECT doc_id, max(cnt)::BIGINT AS max_media_run
+                FROM (SELECT doc_id, grp, count(*) AS cnt FROM w
+                      WHERE kind = 'media' GROUP BY doc_id, grp)
+                GROUP BY doc_id
+            )
+            SELECT b.doc_id, n_spans, n_text, n_media,
+                   round(n_media::DOUBLE / greatest(n_spans, 1), 6) AS media_fraction,
+                   n_transitions,
+                   coalesce(max_media_run, 0)::BIGINT AS max_media_run,
+                   first_media_pos
+            FROM base b LEFT JOIN mr USING (doc_id)
+        """,
+        "media_coref": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 400
+            ), np AS (
+                SELECT doc_id, greatest(cast(ceil(len(t) / 12.0) AS INT), 1) AS n
+                FROM toks
+            ), refs AS (
+                SELECT doc_id, flatten(list_transform(range(0, n), i ->
+                    CASE WHEN i % 6 = 5 THEN
+                             ['media://asset/' || ((doc_id * 31 + i) % 41)::VARCHAR,
+                              'media://asset/' || (((doc_id * 17 + i) % 37) + 50)::VARCHAR]
+                         WHEN i % 3 = 2 THEN
+                             ['media://asset/' || ((doc_id * 31 + i) % 41)::VARCHAR]
+                         ELSE []::VARCHAR[] END)) AS rs
+                FROM np
+            ), ex AS (
+                SELECT doc_id, unnest(rs) AS media_ref FROM refs
+            )
+            SELECT media_ref, count(*)::BIGINT AS n_uses,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM ex GROUP BY 1
         """,
         "evt_funnel": """
             WITH s1 AS (

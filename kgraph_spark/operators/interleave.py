@@ -1,0 +1,111 @@
+"""Interleaved text+media span-sequence analytics.
+
+The pipeline's input rows are (doc_id, spans:array<struct<kind,text,
+media_ref,offset>>) — the interleaved document shape (the reference models
+documents as ordered (section, content) sequences, kgschema/document.py:
+28-87; media spans carry a media_ref instead of text). Before spending
+cluster-hours on extraction, a 100-TB job wants corpus-level answers to
+"how interleaved is this corpus?" and "which media assets are shared
+across documents?" — these two operators answer that.
+
+Scale notes:
+- `interleave_stats` is MAP-ONLY: every statistic, including the maximal
+  consecutive-media run, is a single JVM-side `F.aggregate` fold over the
+  span array — no explode, no window, no shuffle. At 10^12 documents this
+  is one pass over the scan.
+- `media_coref` explodes only the MEDIA spans (text spans are filtered
+  before the explode, so the shuffle carries refs + doc ids, never text)
+  and aggregates on media_ref — one shuffle keyed on the asset id. Hot
+  assets (a logo referenced by half the corpus) are bounded by the
+  min/max/count aggregate shape: state per key is O(1), no collect_list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Per-document interleaving profile of a span-sequence corpus.
+
+    Returns one row per document: total span count, text/media split,
+    media fraction, number of kind transitions (text→media or media→text
+    boundaries walking the sequence in order), the longest run of
+    consecutive media spans, and the ordinal position (1-based) of the
+    first media span (NULL if the document has no media).
+
+    Everything is computed in ONE fold (`F.aggregate`) over the array with
+    a struct accumulator — whole-stage-codegen'd, zero shuffle. The fold
+    carries (prev_kind, current_media_run, max_media_run, n_transitions);
+    counts and the first-media position come from `filter`/`transform` +
+    `array_position` over the same array, evaluated once per row."""
+    sp = F.col(spans_col)
+    n_spans = F.size(sp)
+    n_media = F.size(F.filter(sp, lambda s: s["kind"] == F.lit("media")))
+    kinds = F.transform(sp, lambda s: s["kind"])
+    first_media = F.array_position(kinds, "media")  # 0 when absent
+
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("cur"),
+        F.lit(0).alias("maxr"),
+        F.lit(0).alias("trans"),
+    )
+
+    def step(acc, s):
+        is_media = s["kind"] == F.lit("media")
+        cur = F.when(is_media, acc["cur"] + 1).otherwise(F.lit(0))
+        return F.struct(
+            s["kind"].alias("prev"),
+            cur.alias("cur"),
+            F.greatest(acc["maxr"], cur).alias("maxr"),
+            (
+                acc["trans"]
+                + F.when(
+                    acc["prev"].isNotNull() & (acc["prev"] != s["kind"]), 1
+                ).otherwise(0)
+            ).alias("trans"),
+        )
+
+    folded = F.aggregate(sp, acc0, step)
+    return docs.select(
+        F.col(id_col),
+        n_spans.cast("long").alias("n_spans"),
+        (n_spans - n_media).cast("long").alias("n_text"),
+        n_media.cast("long").alias("n_media"),
+        F.round(n_media / F.greatest(n_spans, F.lit(1)), 6).alias("media_fraction"),
+        folded["trans"].cast("long").alias("n_transitions"),
+        folded["maxr"].cast("long").alias("max_media_run"),
+        F.when(first_media > 0, first_media).cast("long").alias("first_media_pos"),
+    )
+
+
+def media_coref(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Media co-reference: which assets appear in how many documents.
+
+    Explodes ONLY the media spans (pre-filtered array, so text payloads
+    never enter the shuffle) and aggregates per media_ref: total uses,
+    distinct documents, and the min/max referencing doc id (a cheap stable
+    fingerprint of the usage set that avoids collect_set's unbounded
+    per-key state — the full usage list, if needed, is a re-join away).
+    Assets shared across many documents are dedup/caching candidates:
+    decode once, broadcast the features."""
+    media = F.filter(F.col(spans_col), lambda s: s["kind"] == F.lit("media"))
+    exploded = docs.select(
+        F.col(id_col).alias("_doc"), F.explode(media).alias("sp")
+    ).select("_doc", F.col("sp.media_ref").alias("media_ref"))
+    return exploded.groupBy("media_ref").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uses"),
+        F.countDistinct("_doc").cast("long").alias("n_docs"),
+        F.min("_doc").alias("first_doc"),
+        F.max("_doc").alias("last_doc"),
+    )

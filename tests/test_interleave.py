@@ -1,0 +1,83 @@
+"""interleave_stats / media_coref unit coverage: hand-computed sequences,
+no-media and all-media edges, shared-asset aggregation."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kgraph_spark.operators.interleave import interleave_stats, media_coref
+
+SPAN = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, T.StructType([T.StructField("doc_id", T.StringType()), T.StructField("spans", SPAN)])
+    )
+
+
+def _t(i):
+    return ("text", f"p{i}", None, i)
+
+
+def _m(i, ref):
+    return ("media", None, ref, i)
+
+
+def test_interleave_stats_hand_computed(spark):
+    # t m m t m t  -> 6 spans, 3 media, run max 2, transitions t|mm|t|m|t = 4
+    rows = [("d1", [_t(0), _m(1, "a"), _m(2, "b"), _t(3), _m(4, "a"), _t(5)])]
+    out = interleave_stats(_mk(spark, rows)).collect()[0].asDict()
+    assert out == {
+        "doc_id": "d1",
+        "n_spans": 6,
+        "n_text": 3,
+        "n_media": 3,
+        "media_fraction": 0.5,
+        "n_transitions": 4,
+        "max_media_run": 2,
+        "first_media_pos": 2,  # 1-based
+    }
+
+
+def test_interleave_stats_edges(spark):
+    rows = [
+        ("no_media", [_t(0), _t(1)]),
+        ("all_media", [_m(0, "x"), _m(1, "y"), _m(2, "z")]),
+        ("single", [_t(0)]),
+    ]
+    got = {r["doc_id"]: r.asDict() for r in interleave_stats(_mk(spark, rows)).collect()}
+    assert got["no_media"]["n_media"] == 0
+    assert got["no_media"]["max_media_run"] == 0
+    assert got["no_media"]["n_transitions"] == 0
+    assert got["no_media"]["first_media_pos"] is None
+    assert got["all_media"]["max_media_run"] == 3
+    assert got["all_media"]["media_fraction"] == 1.0
+    assert got["all_media"]["first_media_pos"] == 1
+    assert got["single"]["n_spans"] == 1
+
+
+def test_media_coref_shared_assets(spark):
+    rows = [
+        ("d1", [_t(0), _m(1, "logo"), _m(2, "fig1")]),
+        ("d2", [_m(0, "logo"), _t(1), _m(2, "logo")]),
+    ]
+    got = {r["media_ref"]: r.asDict() for r in media_coref(_mk(spark, rows)).collect()}
+    assert got["logo"] == {
+        "media_ref": "logo", "n_uses": 3, "n_docs": 2, "first_doc": "d1", "last_doc": "d2",
+    }
+    assert got["fig1"]["n_uses"] == 1 and got["fig1"]["n_docs"] == 1
+
+
+def test_interleave_stats_is_shuffle_free(spark):
+    rows = [("d1", [_t(0), _m(1, "a")])]
+    plan = interleave_stats(_mk(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
