@@ -406,6 +406,50 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_graph_jaccard(spark, sf_dir):
+    """Neighborhood-Jaccard link prediction over the thinned bipartite
+    order-part graph (same gate graph as adamic_adar; min_common=2 prunes
+    the dominant n_common=1 tail). Integer wedge counts + one division —
+    no ordered float folds needed."""
+    from kgraph_spark.operators.graph_analytics import neighborhood_jaccard
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    ).distinct()
+    return neighborhood_jaccard(edges, min_common=2)
+
+
+def q_curation_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5-band on
+    doc_id — map-only, engine-portable, docs never migrate between splits
+    as the corpus grows."""
+    from kgraph_spark.operators.corpus_curation import train_val_test_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return train_val_test_split(docs, 0.1, 0.1).select(
+        "doc_id", "lang", "source", "n_chars", "split"
+    )
+
+
+def q_evt_rolling(spark, sf_dir):
+    """Trailing 24h moving count/sum/avg per event row (RANGE window on
+    integer microseconds) — one shuffle on event_type then an ordered
+    partition-local sliding sweep."""
+    from kgraph_spark.operators.temporal import rolling_stats
+
+    return rolling_stats(_read(spark, sf_dir, "events"), window_hours=24)
+
+
+def q_evt_percentiles(spark, sf_dir):
+    """Exact interpolated p50/p90/p95/p99 + mean per event type in one
+    hash aggregate; approx_percentile is the documented 100-TB swap-in."""
+    from kgraph_spark.operators.profiling import group_percentiles
+
+    return group_percentiles(_read(spark, sf_dir, "events"), "value", "event_type")
+
+
 def q_evt_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase, 7-day window, earliest-
     completion greedy semantics) — one filtered aggregate per step, k-1
@@ -2385,6 +2429,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_condense": q_graph_condense,
         "span_interleave": q_span_interleave,
         "media_coref": q_media_coref,
+        "evt_rolling": q_evt_rolling,
+        "evt_percentiles": q_evt_percentiles,
+        "graph_jaccard": q_graph_jaccard,
+        "curation_split": q_curation_split,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3038,6 +3086,59 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "graph_jaccard": """
+            WITH e AS (
+                SELECT DISTINCT 'O' || l_orderkey AS a, 'P' || l_partkey AS b
+                FROM lineitem WHERE l_partkey % 3 = 0
+            ), und AS (
+                SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+            ), deg AS (
+                SELECT u AS node, count(*)::BIGINT AS d FROM und GROUP BY 1
+            ), wed AS (
+                SELECT x.v AS na, y.v AS nb, count(*)::BIGINT AS n_common
+                FROM und x JOIN und y ON x.u = y.u AND x.v < y.v
+                GROUP BY 1, 2
+            ), cand AS (
+                SELECT * FROM wed w WHERE n_common >= 2
+                AND NOT EXISTS (SELECT 1 FROM e
+                                WHERE (e.a = w.na AND e.b = w.nb)
+                                   OR (e.a = w.nb AND e.b = w.na))
+            )
+            SELECT na AS node_a, nb AS node_b, n_common,
+                   (da.d + db.d - n_common)::BIGINT AS n_union,
+                   round(n_common::DOUBLE / (da.d + db.d - n_common), 6) AS jaccard
+            FROM cand
+            JOIN deg da ON na = da.node
+            JOIN deg db ON nb = db.node
+        """,
+        "curation_split": """
+            SELECT doc_id, lang, source, n_chars,
+                   CASE WHEN substr(md5(doc_id::VARCHAR || 'split-v1'), 1, 6)
+                             < 'cccccd' THEN 'train'
+                        WHEN substr(md5(doc_id::VARCHAR || 'split-v1'), 1, 6)
+                             < 'e66666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "evt_rolling": """
+            SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+                   count(value) OVER w AS rolling_n,
+                   round(sum(value) OVER w, 4) AS rolling_sum,
+                   round(avg(value) OVER w, 6) AS rolling_avg
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "evt_percentiles": """
+            SELECT event_type, count(value)::BIGINT AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   round(avg(value), 6) AS mean
+            FROM events GROUP BY 1
         """,
         "evt_funnel": """
             WITH s1 AS (

@@ -906,3 +906,33 @@ def sample_k_per_group(
         .filter(F.col("sample_rank") <= k)
         .withColumn("sample_rank", F.col("sample_rank").cast("long"))
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 6 hex digits of
+    md5(id || salt) partition [0, 16^6) into train / val / test bands —
+    every row gets exactly one split, membership is a pure function of
+    the id (reproducible across engines and runs, stable as the corpus
+    grows: a doc never migrates between splits unless `salt` changes).
+    The holdout contract a training pipeline actually needs — rand()-based
+    randomSplit resplits on every retry and leaks val into train.
+
+    Map-only (no shuffle, stays in the scan's codegen span); compose with
+    stratified_sample for per-language holdout rates."""
+    if val_rate < 0 or test_rate < 0 or val_rate + test_rate >= 1:
+        raise ValueError("need val_rate, test_rate >= 0 and val+test < 1")
+    digest = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 6)
+    t_train = _hex_threshold(1.0 - val_rate - test_rate)
+    t_val = _hex_threshold(1.0 - test_rate)
+    return docs.withColumn(
+        "split",
+        F.when(digest < F.lit(t_train), F.lit("train"))
+        .when(digest < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

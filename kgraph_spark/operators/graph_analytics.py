@@ -838,3 +838,61 @@ def condense_components(
             F.countDistinct("_s", "_d").cast("long").alias("n_pairs"),
         )
     )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    min_common: int = 1,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Neighborhood-Jaccard link prediction: for non-adjacent node pairs
+    with >= min_common shared neighbors, |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| —
+    the set-overlap twin of adamic_adar (which weights each shared
+    neighbor by 1/ln(deg)). All-integer until the final division, so the
+    oracle needs no ordered float folds; round 6.
+
+    Same wedge enumeration as adamic_adar (cost Σ_u deg(u)² — thin hub
+    nodes first on dense graphs), ONE count aggregate per candidate pair,
+    union size by inclusion-exclusion from the two degrees (no second
+    neighbor-set pass), known edges removed with a LeftAnti join. The
+    n_common=1 tail dominates on dense graphs — production use sets
+    min_common >= 2."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    e1 = adj.select("u", F.col("v").alias("na"))
+    e2 = adj.select("u", F.col("v").alias("nb"))
+    pairs = (
+        e1.join(e2, "u")
+        .filter(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .join(
+            und.select(F.col("a").alias("na"), F.col("b").alias("nb")),
+            ["na", "nb"],
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("node").alias("na"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("nb"), F.col("d").alias("_db"))
+    union_sz = F.col("_da") + F.col("_db") - F.col("n_common")
+    return (
+        pairs.join(da, "na")
+        .join(db, "nb")
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            "n_common",
+            union_sz.cast("long").alias("n_union"),
+            F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
+        )
+    )

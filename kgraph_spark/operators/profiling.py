@@ -78,6 +78,31 @@ def profile_table(
     )
 
 
+def group_percentiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.95, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles per group (p50/p90/… latency-style
+    summary) plus count and round-6 mean — one hash aggregate, one row per
+    group. Spark's `percentile` is the same linear-interpolation estimator
+    as DuckDB's quantile_cont, so values are bit-comparable round-6.
+
+    Exact percentiles sort each group's values inside the aggregate
+    buffer; at 100-TB row counts swap `percentile` for
+    `approx_percentile(col, p, accuracy)` (t-digest-style sketch, bounded
+    memory, mergeable across partitions) — same call shape, same output
+    schema, documented error bound instead of exactness."""
+    aggs = [F.count(F.col(value_col)).cast("long").alias("n")] + [
+        F.round(F.expr(f"percentile({value_col}, {p})"), 6).alias(
+            "p" + str(p).replace("0.", "").ljust(2, "0")
+        )
+        for p in percentiles
+    ] + [F.round(F.avg(value_col), 6).alias("mean")]
+    return df.groupBy(group_col).agg(*aggs)
+
+
 def iqr_outliers(
     df: DataFrame,
     value_col: str,

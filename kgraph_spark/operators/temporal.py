@@ -249,3 +249,41 @@ def retention_cohorts(
             F.round(F.col("n_active") / F.col("cohort_size"), 6).alias("retention_rate"),
         )
     )
+
+
+def rolling_stats(
+    events: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    window_hours: int = 24,
+) -> DataFrame:
+    """Trailing event-time window per row: for every event, the count /
+    sum / mean of `value_col` over the preceding `window_hours` (inclusive
+    both ends) within its group — the moving-average / rate-limiter shape
+    every monitoring pipeline needs. RANGE framing on integer microseconds
+    (unix_micros after a timestamp cast — parquet event time arrives as
+    TIMESTAMP_NTZ), so timestamp ties are peers in both engines.
+
+    One shuffle on the group key, then a partition-local ordered sweep.
+    The frame is O(events-in-window) per row but Spark's RANGE window
+    keeps a sliding buffer, not a re-scan. Low-cardinality groups
+    serialize per group (5 event types → 5 reducers): at corpus scale
+    pre-split each group into coarse time buckets that OVERLAP by one
+    window length, compute per bucket, and keep rows from the bucket's
+    core — embarrassingly parallel, boundary-exact (same trick as the
+    as-of hot-key note above)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(us)
+        .rangeBetween(-window_hours * 3600 * 1_000_000, 0)
+    )
+    return events.select(
+        "event_id",
+        F.col(group_col),
+        us.alias("ts_us"),
+        F.count(F.col(value_col)).over(w).cast("long").alias("rolling_n"),
+        F.round(F.sum(value_col).over(w), 4).alias("rolling_sum"),
+        F.round(F.avg(value_col).over(w), 6).alias("rolling_avg"),
+    )

@@ -674,3 +674,26 @@ def test_c4_clean_is_map_only(spark):
     docs = spark.createDataFrame([(1, "a.")], "doc_id bigint, text string")
     plan = plan_text(c4_clean(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_train_val_test_split_partition_and_stability(spark):
+    import pytest
+
+    from kgraph_spark.operators.corpus_curation import train_val_test_split
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    rows = train_val_test_split(docs, 0.1, 0.1).collect()
+    assert len(rows) == 500  # every row assigned exactly once
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) == {"train", "val", "test"}
+    assert 0.7 < len(by["train"]) / 500 < 0.9
+    # growth stability: assignments on a prefix corpus are unchanged
+    small = train_val_test_split(
+        spark.createDataFrame([(i,) for i in range(100)], "doc_id long"), 0.1, 0.1
+    ).collect()
+    assignment = {r["doc_id"]: r["split"] for r in rows}
+    assert all(assignment[r["doc_id"]] == r["split"] for r in small)
+    with pytest.raises(ValueError):
+        train_val_test_split(docs, 0.6, 0.5)

@@ -454,3 +454,29 @@ def test_deterministic_walks_validation(spark):
             _edges(spark, [("a", "b")]),
             spark.createDataFrame([("a",)], "id string"),
         )
+
+
+def test_neighborhood_jaccard_hand_computed(spark):
+    # square a-b-c-d-a: diagonals (a,c) and (b,d) share 2 neighbors,
+    # union = 2+2-2 = 2 -> jaccard 1.0; adjacent pairs are removed
+    from kgraph_spark.operators.graph_analytics import neighborhood_jaccard
+
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    got = {(r["node_a"], r["node_b"]): r.asDict() for r in neighborhood_jaccard(e).collect()}
+    assert set(got) == {("a", "c"), ("b", "d")}
+    assert got[("a", "c")]["n_common"] == 2
+    assert got[("a", "c")]["n_union"] == 2
+    assert got[("a", "c")]["jaccard"] == 1.0
+
+
+def test_neighborhood_jaccard_min_common_and_partial_overlap(spark):
+    # star center u with leaves x,y + extra edge y-z:
+    # (x,y): common {u} =1, union deg(x)+deg(y)-1 = 1+2-1 = 2 -> 0.5
+    from kgraph_spark.operators.graph_analytics import neighborhood_jaccard
+
+    e = _edges(spark, [("u", "x"), ("u", "y"), ("y", "z")])
+    got = {(r["node_a"], r["node_b"]): r for r in neighborhood_jaccard(e).collect()}
+    assert got[("x", "y")]["jaccard"] == 0.5
+    # (u,z): common {y}, union 2+1-1=2 -> 0.5
+    assert got[("u", "z")]["jaccard"] == 0.5
+    assert neighborhood_jaccard(e, min_common=2).count() == 0

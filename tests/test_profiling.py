@@ -106,3 +106,18 @@ def test_condense_components(spark):
     assert got[("c1", "c2")] == (3, 2)   # a→x twice counts 2 edges, 1 pair
     assert got[("c1", "c1")] == (1, 1)   # intra edge kept
     assert ("c2", "c1") not in got
+
+
+def test_group_percentiles(spark):
+    from kgraph_spark.operators.profiling import group_percentiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", None)],
+        "g string, value double",
+    )
+    got = {r["g"]: r.asDict() for r in group_percentiles(df, "value", "g").collect()}
+    assert got["a"]["n"] == 100
+    assert got["a"]["p50"] == 50.5  # interpolated median of 1..100
+    assert got["a"]["p99"] == 99.01
+    assert got["a"]["mean"] == 50.5
+    assert got["b"]["n"] == 1 and got["b"]["p90"] == 5.0

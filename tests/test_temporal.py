@@ -198,3 +198,41 @@ def test_retention_cohorts_max_weeks(spark):
     ])
     rows = retention_cohorts(ev, max_weeks=2).collect()
     assert {r["week_offset"] for r in rows} == {0}
+
+
+def test_rolling_stats_trailing_window(spark):
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.temporal import rolling_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 10.0),
+            (2, "a", "2024-01-01 12:00:00", 20.0),
+            (3, "a", "2024-01-02 06:00:00", 30.0),  # event 1 aged out (30h)
+            (4, "b", "2024-01-01 01:00:00", 5.0),
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r.asDict() for r in rolling_stats(ev, window_hours=24).collect()}
+    assert got[1]["rolling_n"] == 1 and got[1]["rolling_sum"] == 10.0
+    assert got[2]["rolling_n"] == 2 and got[2]["rolling_sum"] == 30.0
+    assert got[3]["rolling_n"] == 2 and got[3]["rolling_sum"] == 50.0
+    assert got[3]["rolling_avg"] == 25.0
+    assert got[4]["rolling_n"] == 1  # groups are independent
+
+
+def test_rolling_stats_boundary_inclusive(spark):
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.temporal import rolling_stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 1.0),
+            (2, "a", "2024-01-02 00:00:00", 2.0),  # exactly 24h later: included
+        ],
+        "event_id long, event_type string, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["event_id"]: r for r in rolling_stats(ev, window_hours=24).collect()}
+    assert got[2]["rolling_n"] == 2
