@@ -565,6 +565,89 @@ def main() -> None:
         ["HashAggregate", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Table profile — every column's null/cardinality/range stats in ONE "
+        "wide aggregate pass (multi-column exact count-distinct expands "
+        "map-side, still a single scan; string min/max buffers make it a "
+        "sort-based aggregate); the result row pivots to one row per "
+        "column via a literal-array explode, no join, no second scan",
+        _plan(entrymod.queries()["profile_docs"](spark, SF)),
+        ["SortAggregate", "Expand", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "IQR outliers — the group-cardinality fences frame broadcasts back "
+        "onto the events; the event table itself never shuffles for the "
+        "flagging join",
+        _plan(entrymod.queries()["evt_outliers"](spark, SF)),
+        ["BroadcastHashJoin", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "k-per-group sampling — ONE shuffle on the group key, and Spark's "
+        "WindowGroupLimit prunes to the top-k per group MAP-SIDE before "
+        "the exchange: the shuffle moves at most k rows per group per "
+        "input partition, not the corpus",
+        _plan(entrymod.queries()["curation_sample_k"](spark, SF)),
+        ["hashpartitioning(lang", "WindowGroupLimit", "Window", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Graph condensation — edges map to component ids via two id-keyed "
+        "joins then ONE partial/final hash aggregation on the component "
+        "pair; |components|² output bounds all downstream work",
+        _plan(entrymod.queries()["graph_condense"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    sections.append((
+        "Interleave stats — map-only: every per-document statistic "
+        "including the max consecutive-media run is a JVM-side aggregate "
+        "fold over the span array; ZERO exchanges in the whole plan",
+        _plan(entrymod.queries()["span_interleave"](spark, SF)),
+        ["!Exchange"],
+    ))
+
+    sections.append((
+        "Media co-reference — only MEDIA spans are exploded (text payloads "
+        "never enter the shuffle); exact distinct-doc counting runs as the "
+        "standard two-level aggregate (partial per-(asset,doc) dedup, then "
+        "per-asset final), every level hash-based with O(1) key state",
+        _plan(entrymod.queries()["media_coref"](spark, SF)),
+        ["hashpartitioning(media_ref", "HashAggregate", "Generate"],
+    ))
+
+    sections.append((
+        "Rolling event-time stats — one exchange on the group key, then a "
+        "partition-local ordered RANGE window (sliding buffer, no self-join "
+        "and no per-row rescan)",
+        _plan(entrymod.queries()["evt_rolling"](spark, SF)),
+        ["hashpartitioning(event_type", "Window", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Group percentiles — one aggregate pass; exact interpolated "
+        "percentile is a typed-imperative aggregate (object hash agg), "
+        "still partial/final around a single exchange",
+        _plan(entrymod.queries()["evt_percentiles"](spark, SF)),
+        ["ObjectHashAggregate", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Neighborhood Jaccard — wedge enumeration via equi-join on the "
+        "center node, known edges removed by LeftAnti, union size from "
+        "degrees by inclusion-exclusion; never a cross join",
+        _plan(entrymod.queries()["graph_jaccard"](spark, SF)),
+        ["LeftAnti", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    sections.append((
+        "Train/val/test split — pure map: the md5-band CASE stays inside "
+        "the scan stage's codegen span; ZERO exchanges",
+        _plan(entrymod.queries()["curation_split"](spark, SF)),
+        ["!Exchange"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
