@@ -406,6 +406,65 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_kg_negatives(spark, sf_dir):
+    """Filtered deterministic negative sampling for KG-embedding training:
+    3 corrupted objects per (order)-contains-(part) triple, drawn by
+    md5-prefix over the dense part index; draws that are true objects are
+    LeftAnti-filtered out."""
+    from kgraph_spark.operators.negatives import negative_samples
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    triples = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    ).distinct()
+    ents = _read(spark, sf_dir, "part").select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("id")
+    )
+    return negative_samples(triples, ents, k=3)
+
+
+def q_dq_checks(spark, sf_dir):
+    """Batch data-quality gate: referential-integrity orphans (LeftAnti
+    against the distinct parent keys) + null/range rules, one (rule,
+    n_violations) row each, all counts in one unioned plan."""
+    from kgraph_spark.operators.profiling import dq_summary, fk_orphans
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cust = _read(spark, sf_dir, "customer")
+    ev = _read(spark, sf_dir, "events")
+    docs = _read(spark, sf_dir, "documents")
+    rules = {
+        "orders_orphan_customer": fk_orphans(orders, cust, "o_custkey", "c_custkey"),
+        "lineitem_orphan_order": fk_orphans(li, orders, "l_orderkey", "o_orderkey"),
+        "lineitem_nonpositive_qty": li.filter(F.col("l_quantity") <= 0),
+        "events_null_value": ev.filter(F.col("value").isNull()),
+        "documents_empty_text": docs.filter(F.length(F.trim("text")) == 0),
+    }
+    return dq_summary(rules)
+
+
+def q_inverted_index(spark, sf_dir):
+    """Capped impact-ordered inverted index (df≥2 terms, top-5 postings
+    per term by tf): the posting cap is the stopword heavy-hitter guard;
+    WindowGroupLimit prunes to top-k map-side before the term shuffle."""
+    from kgraph_spark.operators.relevance import inverted_index
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return inverted_index(docs, max_postings=5, min_df=2)
+
+
+def q_cooc_pmi(spark, sf_dir):
+    """PMI / NPMI word association over the query vocabulary — the
+    association score that separates collocations from frequency
+    artifacts; vocab filter runs before the presence self-join."""
+    from kgraph_spark.operators.relevance import pmi_collocations
+
+    return pmi_collocations(_read(spark, sf_dir, "documents"), COOC_WORDS)
+
+
 def q_graph_jaccard(spark, sf_dir):
     """Neighborhood-Jaccard link prediction over the thinned bipartite
     order-part graph (same gate graph as adamic_adar; min_common=2 prunes
@@ -2433,6 +2492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_percentiles": q_evt_percentiles,
         "graph_jaccard": q_graph_jaccard,
         "curation_split": q_curation_split,
+        "inverted_index": q_inverted_index,
+        "cooc_pmi": q_cooc_pmi,
+        "kg_negatives": q_kg_negatives,
+        "dq_checks": q_dq_checks,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3086,6 +3149,113 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "kg_negatives": """
+            WITH tri AS (
+                SELECT DISTINCT 'O' || l_orderkey AS s, 'contains' AS p,
+                       'P' || l_partkey AS o
+                FROM lineitem WHERE l_orderkey < 100
+            ), ents AS (
+                SELECT DISTINCT 'P' || p_partkey AS e FROM part
+            ), idx AS (
+                SELECT e, (row_number() OVER (ORDER BY e) - 1)::BIGINT AS i
+                FROM ents
+            ), n AS (
+                SELECT count(*)::BIGINT AS c FROM ents
+            ), ex AS (
+                SELECT s, p, o, j FROM tri
+                CROSS JOIN (SELECT unnest(range(0, 3)) AS j)
+            ), hashed AS (
+                SELECT s, p, o, j,
+                       ('0x' || substr(md5(s || '|' || p || '|' || o || '|'
+                            || j::VARCHAR || 'neg-v1'), 1, 6))::BIGINT
+                           % (SELECT c FROM n) AS hi
+                FROM ex
+            ), neg AS (
+                SELECT s, p, o, j, e FROM hashed JOIN idx ON hi = idx.i
+            )
+            SELECT s AS subject_id, p AS predicate, o AS object_id,
+                   j::BIGINT AS sample_idx, e AS neg_object_id
+            FROM neg
+            WHERE NOT EXISTS (SELECT 1 FROM tri t
+                              WHERE t.s = neg.s AND t.p = neg.p AND t.o = neg.e)
+        """,
+        "dq_checks": """
+            SELECT 'documents_empty_text' AS rule,
+                   (SELECT count(*) FROM documents
+                    WHERE length(trim(text)) = 0)::BIGINT AS n_violations
+            UNION ALL
+            SELECT 'events_null_value',
+                   (SELECT count(*) FROM events WHERE value IS NULL)::BIGINT
+            UNION ALL
+            SELECT 'lineitem_nonpositive_qty',
+                   (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)::BIGINT
+            UNION ALL
+            SELECT 'lineitem_orphan_order',
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+            UNION ALL
+            SELECT 'orders_orphan_customer',
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))::BIGINT
+        """,
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0) AS t
+                FROM documents WHERE doc_id < 200
+            ), ex AS (
+                SELECT doc_id, unnest(t) AS term FROM toks
+            ), tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM ex GROUP BY 1, 2
+            ), stats AS (
+                SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+                FROM tf GROUP BY 1 HAVING count(*) >= 2
+            ), ranked AS (
+                SELECT term, doc_id, tf,
+                       row_number() OVER (PARTITION BY term
+                           ORDER BY tf DESC, doc_id ASC)::BIGINT AS rank
+                FROM tf
+            )
+            SELECT r.term, s.df, s.cf, r.doc_id, r.tf, r.rank
+            FROM ranked r JOIN stats s USING (term)
+            WHERE r.rank <= 5
+        """,
+        "cooc_pmi": """
+            WITH toks AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0) AS t
+                FROM documents
+            ), pres AS (
+                SELECT DISTINCT doc_id, w FROM (
+                    SELECT doc_id, unnest(t) AS w FROM toks)
+                WHERE w IN ('join', 'filter', 'window', 'customer', 'spark',
+                            'merge', 'stream', 'table')
+            ), marg AS (
+                SELECT w, count(*)::BIGINT AS n FROM pres GROUP BY 1
+            ), nd AS (
+                SELECT count(*)::BIGINT AS n_docs FROM documents
+            ), pairs AS (
+                SELECT a.w AS wa, b.w AS wb, count(*)::BIGINT AS n_ab
+                FROM pres a JOIN pres b
+                  ON a.doc_id = b.doc_id AND a.w < b.w
+                GROUP BY 1, 2
+            )
+            SELECT wa AS word_a, wb AS word_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+                   round(ln(n_ab * n_docs::DOUBLE / (ma.n * mb.n)), 6) AS pmi,
+                   CASE WHEN n_ab < n_docs THEN
+                       round(ln(n_ab * n_docs::DOUBLE / (ma.n * mb.n))
+                             / (-ln(n_ab / n_docs::DOUBLE)), 6)
+                   END AS npmi
+            FROM pairs
+            CROSS JOIN nd
+            JOIN marg ma ON wa = ma.w
+            JOIN marg mb ON wb = mb.w
         """,
         "graph_jaccard": """
             WITH e AS (

@@ -135,3 +135,35 @@ def iqr_outliers(
         .alias("is_outlier"),
     ]
     return df.join(fences, df[group_col] == fences["_g"]).select(*out_cols)
+
+
+def fk_orphans(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Child rows whose foreign key has no parent — ONE LeftAnti join
+    against the distinct parent-key projection (broadcast when the parent
+    is a dimension; Spark never materializes the full parent row set)."""
+    keys = parent.select(F.col(pk).alias(fk)).distinct()
+    return child.join(keys, fk, "left_anti")
+
+
+def dq_summary(rules: dict[str, DataFrame]) -> DataFrame:
+    """Data-quality gate: each rule maps to a DataFrame of VIOLATING rows
+    (fk_orphans output, a null/range filter, …); returns one (rule,
+    n_violations) row per rule, computed as one unioned plan — Spark
+    runs every count in a single job, sharing scans where plans overlap.
+    The pipeline contract a 100-TB ingest runs before promoting a batch:
+    violations > 0 on a blocking rule fails the batch, the violating-row
+    frames themselves are the debug artifact."""
+    if not rules:
+        raise ValueError("no rules given")
+    parts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+            F.lit(name).alias("rule"), "n_violations"
+        )
+        for name, df in sorted(rules.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -251,3 +251,105 @@ def dsir_weights(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    max_postings: int = 5,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Capped inverted index: one flat row per KEPT posting —
+    (term, df, cf, doc_id, tf, rank) where df counts documents containing
+    the term, cf total occurrences, and rank orders a term's postings by
+    (tf DESC, doc_id ASC) with only the top `max_postings` kept — the
+    impact-ordered index head that query-time scoring actually reads.
+
+    The posting cap is the heavy-hitter guard (the same lesson as
+    accumulate_triples' source-document cap): a stopword appearing in
+    every document would otherwise materialize a corpus-length posting
+    list on one reducer. Flat rows, not array columns, so downstream
+    consumers and the oracle compare exactly.
+
+    Shape: one groupBy (doc, term) for tf (shuffle carries tokens once),
+    one term-keyed window for the rank — Spark's WindowGroupLimit prunes
+    to top-k per term map-side before the exchange — and a term-keyed
+    aggregate for df/cf joined back onto the kept postings."""
+    tf = (
+        _tokens(docs, id_col, text_col)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    if min_df > 1:
+        stats = stats.filter(F.col("df") >= min_df)
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    kept = (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max_postings)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+    return kept.join(stats, "term").select("term", "df", "cf", "doc_id", "tf", "rank")
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    vocab: list[str],
+    min_pairs: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level PMI / NPMI word association over a fixed vocabulary:
+    for vocab pairs (a < b), pmi = ln(n_ab·N / (n_a·n_b)) and
+    npmi = pmi / -ln(n_ab/N), round 6 — the association score that
+    separates real collocations from frequency artifacts (co-occurrence
+    COUNTS alone rank stopword pairs first; F1's count accumulation has
+    the same blind spot, which is why the reference ranks relationships
+    by evidence count AND this op exists for the corpus side).
+
+    The vocabulary filter runs BEFORE the distinct and the self-join, so
+    the pair join is |vocab-presence| rows keyed on doc — bounded by
+    |vocab| per doc, never the token stream. All counts are integers;
+    ln() on round-6-stable ratios, no ordered float folds needed."""
+    pres = (
+        _tokens(docs, id_col, text_col)
+        .select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.col("w").isin(vocab))
+        .distinct()
+    )
+    n_docs = docs.count()
+    marg = pres.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = pres.select("doc_id", F.col("w").alias("wa"))
+    b = pres.select("doc_id", F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("wa") < F.col("wb"))
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    ma = marg.select(F.col("w").alias("wa"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("w").alias("wb"), F.col("n").alias("n_b"))
+    p_ab = F.col("n_ab") / F.lit(float(n_docs))
+    pmi = F.log(F.col("n_ab") * F.lit(float(n_docs)) / (F.col("n_a") * F.col("n_b")))
+    return (
+        pairs.join(ma, "wa")
+        .join(mb, "wb")
+        .select(
+            F.col("wa").alias("word_a"),
+            F.col("wb").alias("word_b"),
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(pmi, 6).alias("pmi"),
+            # -ln(p_ab) = 0 when the pair is in EVERY doc: npmi undefined
+            F.when(
+                F.col("n_ab") < F.lit(n_docs), F.round(pmi / (-F.log(p_ab)), 6)
+            ).alias("npmi"),
+        )
+    )
