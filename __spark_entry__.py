@@ -406,6 +406,81 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components over a directed gate graph with REAL
+    cycles: one customer-cycle per nation (window next-pointer, wrap) plus
+    one-way min-customer chain edges between nations — SCCs must equal the
+    per-nation cycles, the chain must NOT merge them. Mutual-reachability
+    via bounded path doubling (max_depth=32 covers the longest cycle)."""
+    from pyspark.sql import Window
+
+    from kgraph_spark.operators.graph_analytics import strongly_connected_components
+
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select("c_custkey", "c_nationkey")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    ordered = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("cnt"),
+    )
+    a = ordered.select(
+        F.col("c_nationkey").alias("nk"), F.col("c_custkey").alias("sk"),
+        "rn", "cnt",
+    )
+    b = ordered.select(
+        F.col("c_nationkey").alias("nk"), F.col("c_custkey").alias("dk"),
+        F.col("rn").alias("rn2"),
+    )
+    cyc = a.join(b, ["nk"]).filter(F.col("rn2") == (F.col("rn") % F.col("cnt")) + 1)
+    cyc_e = cyc.select(
+        F.concat(F.lit("C"), F.col("sk").cast("string")).alias("subject_id"),
+        F.concat(F.lit("C"), F.col("dk").cast("string")).alias("object_id"),
+    )
+    mins = cust.groupBy("c_nationkey").agg(F.min("c_custkey").alias("mk"))
+    nxt = mins.select(
+        "mk", F.lead("mk").over(Window.orderBy("c_nationkey")).alias("nmk")
+    ).filter(F.col("nmk").isNotNull())
+    chain_e = nxt.select(
+        F.concat(F.lit("C"), F.col("mk").cast("string")).alias("subject_id"),
+        F.concat(F.lit("C"), F.col("nmk").cast("string")).alias("object_id"),
+    )
+    return strongly_connected_components(cyc_e.union(chain_e), max_depth=32)
+
+
+def q_evt_histogram(spark, sf_dir):
+    """Equi-width 10-bin histogram of event values per type with GLOBAL
+    edges (one 1-row min/max broadcast; binning is map-side; one hash agg
+    on (type, bin))."""
+    from kgraph_spark.operators.profiling import value_histogram
+
+    return value_histogram(_read(spark, sf_dir, "events"), "value", 10, "event_type")
+
+
+def q_docs_upsert(spark, sf_dir):
+    """MERGE-INTO batch twin: version-1 updates (every 5th doc, n_chars
+    bumped) upsert into the version-0 base, every 20th doc deleted via the
+    flag; last-writer-wins by (version, source) through ONE max_by
+    aggregate — no window sort, no join."""
+    from kgraph_spark.operators.export import merge_upsert
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = docs.withColumn("version", F.lit(0).cast("long"))
+    upd = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("version", F.lit(1).cast("long"))
+        .withColumn("is_deleted", F.col("doc_id") % 20 == 0)
+    )
+    return merge_upsert(base, upd, ["doc_id"], "version", "is_deleted")
+
+
 def q_kg_negatives(spark, sf_dir):
     """Filtered deterministic negative sampling for KG-embedding training:
     3 corrupted objects per (order)-contains-(part) triple, drawn by
@@ -2496,6 +2571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_pmi": q_cooc_pmi,
         "kg_negatives": q_kg_negatives,
         "dq_checks": q_dq_checks,
+        "graph_scc": q_graph_scc,
+        "evt_histogram": q_evt_histogram,
+        "docs_upsert": q_docs_upsert,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3150,6 +3228,76 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
         """,
+        "graph_scc": """
+            WITH RECURSIVE c AS (
+                SELECT c_custkey AS k, c_nationkey AS nk FROM customer
+                WHERE c_custkey < 300
+            ), o AS (
+                SELECT k, nk,
+                       row_number() OVER (PARTITION BY nk ORDER BY k) AS rn,
+                       count(*) OVER (PARTITION BY nk) AS cnt
+                FROM c
+            ), cyc AS (
+                SELECT 'C' || o1.k AS src, 'C' || o2.k AS dst
+                FROM o o1 JOIN o o2
+                  ON o1.nk = o2.nk AND o2.rn = (o1.rn % o1.cnt) + 1
+            ), mins AS (
+                SELECT nk, min(k) AS mk FROM c GROUP BY 1
+            ), nxt AS (
+                SELECT mk, lead(mk) OVER (ORDER BY nk) AS nmk FROM mins
+            ), chain AS (
+                SELECT 'C' || mk AS src, 'C' || nmk AS dst
+                FROM nxt WHERE nmk IS NOT NULL
+            ), e AS (
+                SELECT src, dst FROM cyc UNION SELECT src, dst FROM chain
+            ), nodes AS (
+                SELECT src AS n FROM e UNION SELECT dst FROM e
+            ), r(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e2.dst FROM r JOIN e e2 ON r.dst = e2.src
+            ), reach AS (
+                SELECT src, dst FROM r UNION SELECT n, n FROM nodes
+            )
+            SELECT a.src AS id, min(a.dst) AS scc_id
+            FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+            GROUP BY 1
+        """,
+        "evt_histogram": """
+            WITH b AS (
+                SELECT min(value) AS lo, max(value) AS hi
+                FROM events WHERE value IS NOT NULL
+            ), x AS (
+                SELECT event_type,
+                       least(floor((value - lo) / ((hi - lo) / 10)), 9)::BIGINT AS bin,
+                       lo, hi
+                FROM events, b WHERE value IS NOT NULL
+            )
+            SELECT event_type, bin,
+                   round(min(lo + bin * ((hi - lo) / 10)), 6) AS bin_lo,
+                   round(min(lo + (bin + 1) * ((hi - lo) / 10)), 6) AS bin_hi,
+                   count(*)::BIGINT AS n
+            FROM x GROUP BY 1, 2
+        """,
+        "docs_upsert": """
+            WITH base AS (
+                SELECT doc_id, lang, source, n_chars, 0::BIGINT AS version,
+                       0 AS tag, false AS del
+                FROM documents
+            ), upd AS (
+                SELECT doc_id, lang, source, n_chars + 1000 AS n_chars,
+                       1::BIGINT AS version, 1 AS tag, (doc_id % 20 = 0) AS del
+                FROM documents WHERE doc_id % 5 = 0
+            ), u AS (
+                SELECT * FROM base UNION ALL SELECT * FROM upd
+            ), w AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY version DESC, tag DESC) AS rn
+                FROM u
+            )
+            SELECT doc_id, lang, source, n_chars, version
+            FROM w WHERE rn = 1 AND NOT del
+        """,
         "kg_negatives": """
             WITH tri AS (
                 SELECT DISTINCT 'O' || l_orderkey AS s, 'contains' AS p,
@@ -3292,11 +3440,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "evt_rolling": """
+            WITH e AS (
+                SELECT event_id, event_type, ts,
+                       round(value * 10000, 0)::BIGINT AS u
+                FROM events
+            )
             SELECT event_id, event_type, epoch_us(ts) AS ts_us,
-                   count(value) OVER w AS rolling_n,
-                   round(sum(value) OVER w, 4) AS rolling_sum,
-                   round(avg(value) OVER w, 6) AS rolling_avg
-            FROM events
+                   count(u) OVER w AS rolling_n,
+                   round((sum(u) OVER w) / 10000.0, 4) AS rolling_sum,
+                   round((sum(u) OVER w) / 10000.0 / (count(u) OVER w), 6)
+                       AS rolling_avg
+            FROM e
             WINDOW w AS (PARTITION BY event_type ORDER BY ts
                          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
                                AND CURRENT ROW)

@@ -341,3 +341,50 @@ def stage_metrics(df: DataFrame, stage: str, group_col: str | None = None) -> Da
     return df.sparkSession.createDataFrame(
         [(stage, None, df.count())], "stage string, group_key string, n long"
     ).select("group_key", "n", "stage")
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Batch twin of Iceberg's MERGE INTO (the snapshot-commit seam
+    write_bundle documents): last-writer-wins upsert of `updates` into
+    `base` per key — highest `version_col` wins, updates beat base on
+    version ties, and a winning update row with `delete_col`=true removes
+    the key entirely. Contract: (key, version) unique within each input
+    (the Iceberg equality-delete precondition).
+
+    ONE shuffle on the key: both sides union with a source tag, then a
+    max_by(payload, (version, tag)) aggregate — O(1) state per key, no
+    window sort, no join. Under an Iceberg runtime the same statement is
+    `MERGE INTO ... WHEN MATCHED`, with bucket-transform pruning limiting
+    the rewrite to touched files; this operator restates the exact
+    row-level semantics on the parquet stand-in."""
+    cols = base.columns
+    if set(updates.columns) - set(cols + ([delete_col] if delete_col else [])):
+        raise ValueError("updates columns must be a subset of base (+ delete flag)")
+    dcol = (
+        F.coalesce(F.col(delete_col), F.lit(False))
+        if delete_col and delete_col in updates.columns
+        else F.lit(False)
+    )
+    b = base.select(*cols, F.lit(0).alias("_tag"), F.lit(False).alias("_del"))
+    u = updates.select(*cols, F.lit(1).alias("_tag"), dcol.alias("_del"))
+    payload = F.struct(*[F.col(c) for c in cols if c not in key_cols], F.col("_del"))
+    won = (
+        b.unionByName(u)
+        .groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                payload, F.struct(F.col(version_col), F.col("_tag"))
+            ).alias("_w")
+        )
+    )
+    out = won.select(
+        *key_cols, *[F.col(f"_w.{c}") for c in cols if c not in key_cols],
+        F.col("_w._del").alias("_del"),
+    )
+    return out.filter(~F.col("_del")).drop("_del").select(*cols)

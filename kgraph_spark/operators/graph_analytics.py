@@ -896,3 +896,39 @@ def neighborhood_jaccard(
             F.round(F.col("n_common") / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_depth: int = 16,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """(id, scc_id) — scc_id is the MIN node id in the node's strongly
+    connected component: n and m share a component iff n reaches m AND m
+    reaches n. Composes transitive_closure (path doubling, so max_depth=16
+    costs 4 self-join rounds) with its own reversal: mutual pairs are a
+    LeftSemi of the closure against its flip, then one min aggregate per
+    node. Directed cycles — the thing a DAG-shaped taxonomy must NOT have
+    — fall out as scc_size > 1; singletons are their own component.
+
+    Contract: max_depth must cover the longest in-component shortest path
+    (an SCC with internal distance > max_depth would split); integer/id
+    arithmetic only. The closure materializes O(reachable pairs) — right
+    for taxonomy cores and gate subgraphs; whole-web-graph SCC wants the
+    forward-backward coloring algorithm instead (noted, not needed at KG
+    relation scale where components are small and shallow)."""
+    clo = transitive_closure(edges, max_depth=max_depth, src=src, dst=dst).select(
+        "src", "dst"
+    )
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .union(edges.select(F.col(dst).alias("n")))
+        .distinct()
+    )
+    reach = clo.union(nodes.select(F.col("n").alias("src"), F.col("n").alias("dst")))
+    rev = reach.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = reach.join(rev, ["src", "dst"], "left_semi")
+    return mutual.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("scc_id")
+    )

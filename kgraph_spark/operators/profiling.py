@@ -167,3 +167,45 @@ def dq_summary(rules: dict[str, DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column (optionally per group,
+    with GLOBAL bin edges so groups are comparable): bin = clamp(floor(
+    (x - min) / width), 0, n_bins-1), width = (max - min)/n_bins. The
+    1-row global min/max aggregate broadcasts back (literal cross join of
+    a single row); binning itself is map-side arithmetic, then one hash
+    aggregate on (group, bin). NULLs are excluded; a constant column
+    (max == min) lands everything in bin 0. Bin edges round-6 for the
+    cross-engine record; bin MEMBERSHIP uses the raw IEEE arithmetic,
+    which both engines evaluate identically (same double ops)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.col(value_col)
+    bounds = df.filter(x.isNotNull()).agg(
+        F.min(x).cast("double").alias("_lo"), F.max(x).cast("double").alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(n_bins)
+    binned = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((x - F.col("_lo")) / width), F.lit(n_bins - 1)
+                )
+            ).cast("long"),
+        )
+    )
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return binned.groupBy(*keys).agg(
+        F.round(F.min(F.col("_lo") + F.col("bin") * width), 6).alias("bin_lo"),
+        F.round(F.min(F.col("_lo") + (F.col("bin") + 1) * width), 6).alias("bin_hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

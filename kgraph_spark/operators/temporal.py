@@ -272,18 +272,29 @@ def rolling_stats(
     pre-split each group into coarse time buckets that OVERLAP by one
     window length, compute per bucket, and keep rows from the bucket's
     core — embarrassingly parallel, boundary-exact (same trick as the
-    as-of hot-key note above)."""
+    as-of hot-key note above).
+
+    Float contract: values accumulate as round-4 FIXED-POINT micro-units
+    (long), because a float sliding-sum's association order is engine-
+    private (Spark's running buffer vs DuckDB's segment tree disagree in
+    the last ulps once windows hold hundreds of rows — observed at
+    sf0.01). Integer sums are order-free and exact; the 1e-4 quantization
+    is the operator's stated precision, not a hidden rounding."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    units = F.round(F.col(value_col) * 10000, 0).cast("long")
     w = (
         Window.partitionBy(group_col)
         .orderBy(us)
         .rangeBetween(-window_hours * 3600 * 1_000_000, 0)
     )
-    return events.select(
+    ev = events.withColumn("_u", units)
+    sum_u = F.sum("_u").over(w)
+    n = F.count("_u").over(w)
+    return ev.select(
         "event_id",
         F.col(group_col),
         us.alias("ts_us"),
-        F.count(F.col(value_col)).over(w).cast("long").alias("rolling_n"),
-        F.round(F.sum(value_col).over(w), 4).alias("rolling_sum"),
-        F.round(F.avg(value_col).over(w), 6).alias("rolling_avg"),
+        n.cast("long").alias("rolling_n"),
+        F.round(sum_u / F.lit(10000.0), 4).alias("rolling_sum"),
+        F.round(sum_u / F.lit(10000.0) / n, 6).alias("rolling_avg"),
     )

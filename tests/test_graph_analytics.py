@@ -480,3 +480,26 @@ def test_neighborhood_jaccard_min_common_and_partial_overlap(spark):
     # (u,z): common {y}, union 2+1-1=2 -> 0.5
     assert got[("u", "z")]["jaccard"] == 0.5
     assert neighborhood_jaccard(e, min_common=2).count() == 0
+
+
+def test_scc_cycle_vs_dag(spark):
+    from kgraph_spark.operators.graph_analytics import strongly_connected_components
+
+    # cycle a->b->c->a is one SCC; d hangs off one-way (its own SCC)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "subject_id string, object_id string",
+    )
+    got = {r["id"]: r["scc_id"] for r in strongly_connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d"}
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    from kgraph_spark.operators.graph_analytics import strongly_connected_components
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"), ("a", "x")],
+        "subject_id string, object_id string",
+    )
+    got = {r["id"]: r["scc_id"] for r in strongly_connected_components(e).collect()}
+    assert got == {"a": "a", "b": "a", "x": "x", "y": "x"}  # bridge does not merge

@@ -121,3 +121,35 @@ def test_group_percentiles(spark):
     assert got["a"]["p99"] == 99.01
     assert got["a"]["mean"] == 50.5
     assert got["b"]["n"] == 1 and got["b"]["p90"] == 5.0
+
+
+def test_value_histogram_bins_and_clamp(spark):
+    from kgraph_spark.operators.profiling import value_histogram
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(0, 101)] + [(None,)], "value double"
+    )
+    rows = {r["bin"]: r.asDict() for r in value_histogram(df, "value", 10).collect()}
+    # width 10: bins 0..9; value 100 (the max) clamps into bin 9
+    assert set(rows) == set(range(10))
+    assert rows[0]["n"] == 10 and rows[9]["n"] == 11
+    assert rows[0]["bin_lo"] == 0.0 and rows[0]["bin_hi"] == 10.0
+    assert rows[9]["bin_hi"] == 100.0
+    assert sum(r["n"] for r in rows.values()) == 101  # null excluded
+
+
+def test_value_histogram_constant_and_grouped(spark):
+    import pytest
+
+    from kgraph_spark.operators.profiling import value_histogram
+
+    const = spark.createDataFrame([(5.0,), (5.0,)], "value double")
+    rows = value_histogram(const, "value", 4).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
+    g = spark.createDataFrame(
+        [("a", 0.0), ("a", 9.0), ("b", 1.0)], "g string, value double"
+    )
+    by = {(r["g"], r["bin"]): r["n"] for r in value_histogram(g, "value", 3, "g").collect()}
+    assert by == {("a", 0): 1, ("a", 2): 1, ("b", 0): 1}
+    with pytest.raises(ValueError):
+        value_histogram(const, "value", 0)

@@ -94,3 +94,41 @@ def test_jsonl_bundle_distributed_fallback_above_guard(spark, tmp_path):
     assert len(parts) >= 1
     concat = b"".join(p.read_bytes() for p in parts)
     assert concat == (small / "t.jsonl").read_bytes()
+
+
+def test_merge_upsert_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.export import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 0), (3, "c", 0)], "id long, v string, version long"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 1, False), (3, "C", 1, True), (4, "d", 1, False)],
+        "id long, v string, version long, is_deleted boolean",
+    )
+    got = {r["id"]: r["v"] for r in merge_upsert(base, upd, ["id"], "version", "is_deleted").collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_version_tie_updates_win(spark):
+    from kgraph_spark.operators.export import merge_upsert
+
+    base = spark.createDataFrame([(1, "old", 5)], "id long, v string, version long")
+    upd = spark.createDataFrame([(1, "new", 5)], "id long, v string, version long")
+    got = merge_upsert(base, upd, ["id"], "version").collect()
+    assert got[0]["v"] == "new"  # same version: the update side wins
+
+
+def test_merge_upsert_stale_update_loses(spark):
+    import pytest
+
+    from kgraph_spark.operators.export import merge_upsert
+
+    base = spark.createDataFrame([(1, "cur", 7)], "id long, v string, version long")
+    upd = spark.createDataFrame([(1, "stale", 3)], "id long, v string, version long")
+    assert merge_upsert(base, upd, ["id"], "version").collect()[0]["v"] == "cur"
+    with pytest.raises(ValueError):
+        merge_upsert(base, upd.withColumn("extra", upd["v"]), ["id"], "version")
