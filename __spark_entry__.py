@@ -406,6 +406,22 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-class centroids as flat (label, pos, mean, n_vectors) rows —
+    round-6 fixed-point dimension sums, order-free and engine-identical."""
+    from kgraph_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(_read(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_dispersion(spark, sf_dir):
+    """Class cohesion: per-label mean/min cosine to the own-class centroid
+    (centroids broadcast; cosines quantized round-6 before aggregation)."""
+    from kgraph_spark.operators.similarity import embedding_dispersion
+
+    return embedding_dispersion(_read(spark, sf_dir, "embeddings"))
+
+
 def q_graph_scc(spark, sf_dir):
     """Strongly connected components over a directed gate graph with REAL
     cycles: one customer-cycle per nation (window next-pointer, wrap) plus
@@ -2574,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": q_graph_scc,
         "evt_histogram": q_evt_histogram,
         "docs_upsert": q_docs_upsert,
+        "embedding_centroids": q_embedding_centroids,
+        "embedding_dispersion": q_embedding_dispersion,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3227,6 +3245,43 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "embedding_centroids": """
+            WITH ex AS (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            )
+            SELECT label, (pos - 1)::BIGINT AS pos,
+                   round(sum(round(x * 1000000, 0)::BIGINT)
+                         / count(*) / 1000000.0, 6) AS mean,
+                   count(*)::BIGINT AS n_vectors
+            FROM ex GROUP BY 1, 2
+        """,
+        "embedding_dispersion": """
+            WITH ex AS (
+                SELECT label, generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ), su AS (
+                SELECT label, pos,
+                       sum(round(x * 1000000, 0)::BIGINT) AS s,
+                       count(*) AS n
+                FROM ex GROUP BY 1, 2
+            ), cent AS (
+                SELECT label,
+                       list(round(s / n / 1000000.0, 6) ORDER BY pos) AS c
+                FROM su GROUP BY 1
+            ), scored AS (
+                SELECT e.label,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[], c.c)
+                             * 1000000, 0)::BIGINT AS u
+                FROM embeddings e JOIN cent c ON e.label = c.label
+            )
+            SELECT label, count(*)::BIGINT AS n_vectors,
+                   round(sum(u) / count(*) / 1000000.0, 6) AS mean_cosine,
+                   round(min(u) / 1000000.0, 6) AS min_cosine
+            FROM scored GROUP BY 1
         """,
         "graph_scc": """
             WITH RECURSIVE c AS (

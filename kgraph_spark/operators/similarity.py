@@ -538,3 +538,74 @@ def blocked_pair_similarity(
         .filter(F.col("cosine") >= threshold)
         .select("blk", "id_a", "id_b", "cosine")
     )
+
+
+def embedding_centroids(
+    items: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class centroid of an embedding column as FLAT rows (label, pos,
+    mean, n_vectors) — the class-prototype table embedding-quality checks
+    and nearest-centroid classifiers start from. Per-dimension sums use
+    round-6 FIXED-POINT longs (round(x·10⁶) — float32→double promotion is
+    exact, integer sums are order-free), so the centroid is bit-identical
+    across engines and partitionings; means are round-6 doubles.
+
+    One posexplode + one (label, pos) hash aggregate: the shuffle carries
+    |labels|·dim running sums, not vectors. NULL labels form their own
+    group (profile them; filter upstream to drop)."""
+    ex = items.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("x") * 1000000, 0).cast("long")).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        )
+        .select(
+            "label",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("_s") / F.col("n_vectors") / 1000000.0, 6).alias("mean"),
+            "n_vectors",
+        )
+    )
+
+
+def embedding_dispersion(
+    items: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-class cohesion of the embedding space: each vector's cosine to
+    its OWN class centroid, aggregated to (label, n_vectors, mean_cosine,
+    min_cosine). Low mean = diffuse class; a low min pinpoints mislabeled
+    or outlier vectors (re-join the scored frame for the row level). The
+    drift check a recurring embedding job runs against last week's run.
+
+    Centroids come from embedding_centroids' fixed-point sums; per-item
+    cosines quantize to round-6 fixed-point longs BEFORE the class
+    aggregate, so mean/min are order-free and engine-identical. The
+    centroid table is |labels|×dim — broadcast; vectors never shuffle for
+    the scoring join, only for the final per-label aggregate."""
+    su = embedding_centroids(items, label_col, vec_col)
+    cents = (
+        su.select("label", "pos", F.col("mean").alias("_m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "_m"))).alias("_pm"))
+        .select("label", F.transform("_pm", lambda s: s["_m"]).alias("_c"))
+    )
+    scored = items.select(
+        F.col(label_col).alias("label"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(cents), "label")
+    u = F.round(cosine_col(F.col("_v"), F.col("_c")) * 1000000, 0).cast("long")
+    return (
+        scored.select("label", u.alias("_u"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.sum("_u") / F.count(F.lit(1)) / 1000000.0, 6).alias("mean_cosine"),
+            F.round(F.min("_u") / 1000000.0, 6).alias("min_cosine"),
+        )
+    )

@@ -648,6 +648,80 @@ def main() -> None:
         ["!Exchange"],
     ))
 
+    sections.append((
+        "Inverted index — WindowGroupLimit prunes each term's postings to "
+        "the top-k map-side BEFORE the exchange (the stopword heavy-hitter "
+        "guard is enforced in the shuffle itself, not after it)",
+        _plan(entrymod.queries()["inverted_index"](spark, SF)),
+        ["WindowGroupLimit", "hashpartitioning(term", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "PMI collocations — the vocabulary filter lands in the scan stage "
+        "(presence rows are |vocab|-bounded per doc before the self-join); "
+        "pair generation is a doc-keyed equi-join, never a cross join",
+        _plan(entrymod.queries()["cooc_pmi"](spark, SF)),
+        ["hashpartitioning(doc_id", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    sections.append((
+        "KG negative sampling — the dense entity index joins on the draw "
+        "(broadcastable dim), true positives removed by LeftAnti; the draw "
+        "itself is map-only md5 arithmetic",
+        _plan(entrymod.queries()["kg_negatives"](spark, SF)),
+        ["LeftAnti", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Data-quality gate — referential rules are LeftAnti joins against "
+        "distinct parent keys (broadcast); all five rule counts evaluate "
+        "in one unioned plan",
+        _plan(entrymod.queries()["dq_checks"](spark, SF)),
+        ["LeftAnti", "BroadcastHashJoin", "Union"],
+    ))
+
+    sections.append((
+        "SCC — mutual reachability composes the path-doubling closure "
+        "with its reversal via LeftSemi; id-only rows throughout, one min "
+        "aggregate per node (closure rounds hide behind per-round "
+        "checkpoints; this plan is the mutual+aggregate tail)",
+        _plan(entrymod.queries()["graph_scc"](spark, SF)),
+        ["LeftSemi", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Value histogram — the 1-row global min/max aggregate broadcasts "
+        "back (BroadcastNestedLoopJoin over a single row is the literal "
+        "cross join, not a pair blowup); binning is map arithmetic into "
+        "one partial/final hash aggregate",
+        _plan(entrymod.queries()["evt_histogram"](spark, SF)),
+        ["BroadcastNestedLoop", "HashAggregate"],
+    ))
+
+    sections.append((
+        "MERGE-INTO batch twin — last-writer-wins via ONE max_by aggregate "
+        "around a single key exchange: O(1) state per key, no window sort, "
+        "no join between base and updates",
+        _plan(entrymod.queries()["docs_upsert"](spark, SF)),
+        ["hashpartitioning(doc_id", "!SortMergeJoin", "!Window"],
+    ))
+
+    sections.append((
+        "Embedding centroids — posexplode + ONE (label, pos) hash "
+        "aggregate: the shuffle carries |labels|·dim fixed-point running "
+        "sums, never whole vectors",
+        _plan(entrymod.queries()["embedding_centroids"](spark, SF)),
+        ["hashpartitioning(label", "HashAggregate", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Embedding dispersion — the |labels|×dim centroid table broadcasts "
+        "for the scoring join (vectors never shuffle to be scored); "
+        "round-6 fixed-point cosines aggregate per label",
+        _plan(entrymod.queries()["embedding_dispersion"](spark, SF)),
+        ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

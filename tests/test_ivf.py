@@ -175,3 +175,36 @@ def test_pq_codebooks_reject_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         pq_codebooks(items, m=4, k=1)
+
+
+def test_embedding_centroids_hand_computed(spark):
+    from kgraph_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [3.0, 2.0]), (3, 1, [0.0, 5.0])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {(r["label"], r["pos"]): r.asDict() for r in embedding_centroids(df).collect()}
+    assert got[(0, 0)]["mean"] == 2.0 and got[(0, 1)]["mean"] == 1.0
+    assert got[(0, 0)]["n_vectors"] == 2
+    assert got[(1, 0)]["mean"] == 0.0 and got[(1, 1)]["mean"] == 5.0
+
+
+def test_embedding_dispersion_tight_vs_diffuse(spark):
+    from kgraph_spark.operators.similarity import embedding_dispersion
+
+    # label 0: identical vectors (cohesion 1.0); label 1: orthogonal pair
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.0]),
+            (3, 1, [1.0, 0.0]),
+            (4, 1, [0.0, 1.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {r["label"]: r.asDict() for r in embedding_dispersion(df).collect()}
+    assert got[0]["mean_cosine"] == 1.0 and got[0]["min_cosine"] == 1.0
+    # orthogonal pair vs centroid (.5,.5): cos = 1/sqrt(2) each
+    assert abs(got[1]["mean_cosine"] - 0.707107) < 1e-6
+    assert got[1]["n_vectors"] == 2
