@@ -406,6 +406,41 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric token-set containment |A∩B|/|A| — the quote/subset
+    duplicates Jaccard is blind to; same inverted-index + hot-shingle-cap
+    machinery as word_jaccard_pairs."""
+    from kgraph_spark.operators.dedup_text import containment_pairs, shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return containment_pairs(shingles(docs, k=1), min_containment=0.6)
+
+
+def q_domain_quality(spark, sf_dir):
+    """Domain-level quality gate: per-source mean quality_score (round-6
+    fixed-point mean) + keep flag — blocklist induction before per-doc
+    filtering."""
+    from kgraph_spark.operators.text_analysis import domain_quality
+
+    return domain_quality(_read(spark, sf_dir, "documents"), min_mean_quality=0.5)
+
+
+def q_cms_hot_terms(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the token stream: d=3×w=512
+    md5-hash counter table (bounded memory at ANY corpus size), estimate =
+    min over rows (never undercounts), exact count alongside to expose the
+    collision overcount."""
+    from kgraph_spark.operators.sketches import cms_heavy_hitters
+
+    toks = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    return cms_heavy_hitters(toks, "term", min_count=30, d=3, w=512)
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-class centroids as flat (label, pos, mean, n_vectors) rows —
     round-6 fixed-point dimension sums, order-free and engine-identical."""
@@ -2592,6 +2627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_upsert": q_docs_upsert,
         "embedding_centroids": q_embedding_centroids,
         "embedding_dispersion": q_embedding_dispersion,
+        "containment_pairs": q_containment_pairs,
+        "domain_quality": q_domain_quality,
+        "cms_hot_terms": q_cms_hot_terms,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3245,6 +3283,75 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "containment_pairs": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, t AS shingle
+                FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+                WHERE doc_id < 300 AND length(t) > 0
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, i::BIGINT AS n_shared,
+                   round(i::DOUBLE / sa.sz, 6) AS containment_a_in_b,
+                   round(i::DOUBLE / sb.sz, 6) AS containment_b_in_a
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE greatest(i::DOUBLE / sa.sz, i::DOUBLE / sb.sz) >= 0.6
+        """,
+        "domain_quality": """
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       round(0.5 * alpha_ratio + 0.3 * (1 - punct_ratio)
+                             + 0.2 * least(1.0, n_tokens / 100.0), 6) AS qs
+                FROM f
+            ), j AS (
+                SELECT source AS domain, round(qs * 1000000, 0)::BIGINT AS u
+                FROM q JOIN documents USING (doc_id)
+            )
+            SELECT domain, count(*)::BIGINT AS n_docs,
+                   round(sum(u) / count(*) / 1000000.0, 6) AS mean_quality,
+                   round(sum(u) / count(*) / 1000000.0, 6) >= 0.5 AS keep
+            FROM j GROUP BY 1
+        """,
+        "cms_hot_terms": """
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0)) AS key
+                FROM documents WHERE doc_id < 200
+            ), cells AS (
+                SELECT key, i,
+                       ('0x' || substr(md5(key || '#cms' || i::VARCHAR), 1, 8))::BIGINT
+                           % 512 AS bucket
+                FROM toks CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+            ), sk AS (
+                SELECT i, bucket, count(*)::BIGINT AS cnt
+                FROM cells GROUP BY 1, 2
+            ), keys AS (
+                SELECT key, count(*)::BIGINT AS exact FROM toks GROUP BY 1
+            ), probes AS (
+                SELECT k.key, k.exact, i,
+                       ('0x' || substr(md5(k.key || '#cms' || i::VARCHAR), 1, 8))::BIGINT
+                           % 512 AS bucket
+                FROM keys k CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+            ), est AS (
+                SELECT key, exact, min(cnt)::BIGINT AS estimate
+                FROM probes JOIN sk USING (i, bucket) GROUP BY 1, 2
+            )
+            SELECT key, exact, estimate, (estimate - exact)::BIGINT AS overcount
+            FROM est WHERE estimate >= 30
         """,
         "embedding_centroids": """
             WITH ex AS (

@@ -290,6 +290,76 @@ def incremental_near_dup(
     )
 
 
+def _pair_intersections(sh: DataFrame, max_shingle_df: int | None) -> DataFrame:
+    """(doc_a, doc_b, inter) shared-shingle counts via the inverted index;
+    with the df cap, candidate GENERATION uses rare shingles only and the
+    exact count runs over the full sets of surviving pairs (each join key
+    unique — no blowup). Shared by the symmetric Jaccard and the
+    asymmetric containment operators."""
+    a = sh.alias("a")
+    b = sh.alias("b")
+    if max_shingle_df is None:
+        return (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df)
+        .select("shingle")
+    )
+    rare_sh = sh.join(rare, "shingle", "left_semi")
+    ra = rare_sh.alias("a")
+    rb = rare_sh.alias("b")
+    candidates = (
+        ra.join(rb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
+def containment_pairs(
+    sh: DataFrame, min_containment: float = 0.8, max_shingle_df: int | None = 10_000
+) -> DataFrame:
+    """ASYMMETRIC shingle containment: c(A⊆B) = |A∩B| / |A| — the dedup
+    measure Jaccard is blind to. A paragraph quoted verbatim inside a
+    100×-longer page has Jaccard ≈ 0.01 but containment 1.0; C4/RefinedWeb
+    -style curation drops (or attributes) such subset duplicates, and
+    symmetric near-dup passes (minhash/jaccard) never surface them.
+
+    Same inverted-index machinery and hot-shingle recall contract as
+    ngram_jaccard_pairs (shared _pair_intersections); one extra sizes join
+    and two divisions. Emits one row per unordered pair where EITHER
+    direction clears min_containment, with both round-6 containments —
+    the consumer picks direction (usually: drop the smaller doc)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = _pair_intersections(sh, max_shingle_df)
+    c_ab = F.col("inter") / F.col("sz_a")
+    c_ba = F.col("inter") / F.col("sz_b")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .filter(F.greatest(c_ab, c_ba) >= min_containment)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("n_shared"),
+            F.round(c_ab, 6).alias("containment_a_in_b"),
+            F.round(c_ba, 6).alias("containment_b_in_a"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     sh: DataFrame, min_jaccard: float = 0.5, max_shingle_df: int | None = 10_000
 ) -> DataFrame:
@@ -308,37 +378,7 @@ def ngram_jaccard_pairs(
     hot shingles. Pass max_shingle_df=None for the uncapped single-join
     form (exact recall, AQE skew-join as the only hot-key defense)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    if max_shingle_df is None:
-        inter = (
-            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("inter"))
-        )
-    else:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_shingle_df)
-            .select("shingle")
-        )
-        rare_sh = sh.join(rare, "shingle", "left_semi")
-        ra = rare_sh.alias("a")
-        rb = rare_sh.alias("b")
-        candidates = (
-            ra.join(rb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            candidates.join(sa, "doc_a")
-            .join(sb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias("inter"))
-        )
+    inter = _pair_intersections(sh, max_shingle_df)
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")

@@ -409,3 +409,35 @@ def gopher_rules(
         stop_hits.cast("long").alias("n_stop_hits"),
         keep.alias("keep"),
     )
+
+
+def domain_quality(
+    docs: DataFrame,
+    min_mean_quality: float = 0.5,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-level quality gate: aggregate quality_score per source
+    domain into (domain, n_docs, mean_quality, keep) — the blocklist
+    induction step web-corpus curation runs BEFORE per-document filtering
+    (a domain whose mean quality is junk gets dropped wholesale; per-doc
+    filters then clean the survivors). Mean uses round-6 fixed-point
+    units over the round-6 scores (order-free integer sums); `keep`
+    compares the ROUNDED mean so any engine replays the decision.
+
+    One map-only feature pass (quality_score) + one hash aggregate on the
+    domain — the same single-shuffle shape as a word count."""
+    q = quality_score(docs, id_col=id_col, text_col=text_col)
+    dom = docs.select(F.col(id_col), F.col(domain_col).alias("domain"))
+    u = F.round(F.col("quality_score") * 1000000, 0).cast("long")
+    agg = (
+        q.join(dom, id_col)
+        .select("domain", u.alias("_u"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum("_u") / F.count(F.lit(1)) / 1000000.0, 6).alias("mean_quality"),
+        )
+    )
+    return agg.withColumn("keep", F.col("mean_quality") >= min_mean_quality)

@@ -92,3 +92,60 @@ def test_pmi_npmi_null_when_pair_everywhere(spark):
     docs = spark.createDataFrame([(1, "a b"), (2, "b a")], "doc_id long, text string")
     r = pmi_collocations(docs, ["a", "b"]).collect()[0]
     assert r["npmi"] is None
+
+
+def test_containment_subset_doc(spark):
+    from kgraph_spark.operators.dedup_text import containment_pairs, shingles
+
+    # doc 2's tokens are a strict subset of doc 1's; doc 3 unrelated
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "beta gamma"), (3, "zeta eta")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(shingles(docs, k=1), min_containment=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert (r["doc_a"], r["doc_b"], r["n_shared"]) == (1, 2, 2)
+    # containment is asymmetric: B fully inside A, A only 2/5 inside B
+    assert r["containment_b_in_a"] == 1.0
+    assert r["containment_a_in_b"] == 0.4
+
+
+def test_cms_estimate_never_undercounts(spark):
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.sketches import cms_heavy_hitters, cms_sketch
+
+    df = spark.createDataFrame(
+        [("hot",)] * 50 + [(f"k{i}",) for i in range(200)], "key string"
+    )
+    rows = cms_heavy_hitters(df, "key", min_count=1, d=3, w=64).collect()
+    assert all(r["estimate"] >= r["exact"] for r in rows)
+    hot = [r for r in rows if r["key"] == "hot"][0]
+    assert hot["exact"] == 50 and hot["estimate"] >= 50
+    # shortlist property: raising the threshold keeps the hot key
+    short = cms_heavy_hitters(df, "key", min_count=40, d=3, w=64).collect()
+    assert "hot" in {r["key"] for r in short}
+    # sketch is bounded: <= d*w cells regardless of input size
+    assert cms_sketch(df, "key", d=3, w=64).count() <= 3 * 64
+    import pytest
+
+    with pytest.raises(ValueError):
+        cms_sketch(df, "key", d=0)
+
+
+def test_domain_quality_gate(spark):
+    from kgraph_spark.operators.text_analysis import domain_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean readable English prose with many common words in it", "good.com"),
+            (2, "more clean readable text that scores well on the ratios", "good.com"),
+            (3, "@@@@ ;;;; !!!! ####", "junk.com"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["domain"]: r.asDict() for r in domain_quality(docs, 0.5).collect()}
+    assert got["good.com"]["keep"] is True and got["good.com"]["n_docs"] == 2
+    assert got["junk.com"]["keep"] is False
+    assert got["good.com"]["mean_quality"] > got["junk.com"]["mean_quality"]
