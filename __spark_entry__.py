@@ -406,6 +406,56 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_graph_smooth(spark, sf_dir):
+    """GNN-mean feature smoothing (2 rounds, alpha .5) over the supplier→
+    nation→region graph, account balances as the seed feature — nations
+    and regions inherit neighborhood means; round-6 re-round per round +
+    fixed-point neighbor sums make the trajectory SQL-replayable."""
+    from kgraph_spark.operators.graph_analytics import feature_propagation
+
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    e1 = supp.select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("object_id"),
+    )
+    e2 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("object_id"),
+    )
+    feats = (
+        supp.select(
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("id"),
+            F.col("s_acctbal").alias("f"),
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("id"),
+                F.lit(0.0).alias("f"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("R"), F.col("r_regionkey").cast("string")).alias("id"),
+                F.lit(0.0).alias("f"),
+            )
+        )
+    )
+    return feature_propagation(e1.union(e2), feats, rounds=2, alpha=0.5)
+
+
+def q_evt_mad_outliers(spark, sf_dir):
+    """MAD-based robust outlier flags per event type (|x−med| > 3·MAD,
+    all compared quantities round-6) — the 50%-contamination-tolerant
+    sibling of the IQR fence."""
+    from kgraph_spark.operators.profiling import mad_outliers
+
+    return mad_outliers(
+        _read(spark, sf_dir, "events"), "value", "event_type", k=3.0, id_col="event_id"
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric token-set containment |A∩B|/|A| — the quote/subset
     duplicates Jaccard is blind to; same inverted-index + hot-shingle-cap
@@ -2630,6 +2680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "domain_quality": q_domain_quality,
         "cms_hot_terms": q_cms_hot_terms,
+        "graph_smooth": q_graph_smooth,
+        "evt_mad_outliers": q_evt_mad_outliers,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3283,6 +3335,61 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "graph_smooth": """
+            WITH e AS (
+                SELECT 'S' || s_suppkey AS a, 'N' || s_nationkey AS b FROM supplier
+                UNION
+                SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+            ), adj AS (
+                SELECT a AS n, b AS nb FROM e UNION SELECT b, a FROM e
+            ), f0 AS (
+                SELECT 'S' || s_suppkey AS n, round(s_acctbal, 6) AS f FROM supplier
+                UNION ALL
+                SELECT 'N' || n_nationkey, 0.0::DOUBLE FROM nation
+                UNION ALL
+                SELECT 'R' || r_regionkey, 0.0::DOUBLE FROM region
+            ), m1 AS (
+                SELECT adj.n,
+                       sum(round(nf.f * 1000000, 0)::BIGINT) / count(*) / 1000000.0 AS mean
+                FROM adj JOIN f0 nf ON adj.nb = nf.n GROUP BY 1
+            ), f1 AS (
+                SELECT f0.n,
+                       round(CASE WHEN m1.mean IS NULL THEN f0.f
+                                  ELSE 0.5::DOUBLE * f0.f + 0.5::DOUBLE * m1.mean
+                             END, 6) AS f
+                FROM f0 LEFT JOIN m1 ON f0.n = m1.n
+            ), m2 AS (
+                SELECT adj.n,
+                       sum(round(nf.f * 1000000, 0)::BIGINT) / count(*) / 1000000.0 AS mean
+                FROM adj JOIN f1 nf ON adj.nb = nf.n GROUP BY 1
+            )
+            SELECT f1.n AS id,
+                   round(CASE WHEN m2.mean IS NULL THEN f1.f
+                              ELSE 0.5::DOUBLE * f1.f + 0.5::DOUBLE * m2.mean
+                         END, 6) AS f
+            FROM f1 LEFT JOIN m2 ON f1.n = m2.n
+        """,
+        "evt_mad_outliers": """
+            WITH med AS (
+                SELECT event_type AS g,
+                       round(quantile_cont(value, 0.5), 6) AS med
+                FROM events GROUP BY 1
+            ), d AS (
+                SELECT e.event_id, e.event_type, e.value, m.med,
+                       round(abs(round(e.value, 6) - m.med), 6) AS dev
+                FROM events e JOIN med m ON e.event_type = m.g
+            ), mad AS (
+                SELECT event_type AS g2,
+                       round(quantile_cont(dev, 0.5), 6) AS mad
+                FROM d GROUP BY 1
+            )
+            SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+                   d.med AS median, mad.mad,
+                   CASE WHEN d.value IS NULL THEN false
+                        ELSE d.dev > round(3.0::DOUBLE * mad.mad, 6)
+                   END AS is_outlier
+            FROM d JOIN mad ON d.event_type = mad.g2
         """,
         "containment_pairs": """
             WITH sh AS (

@@ -932,3 +932,67 @@ def strongly_connected_components(
     return mutual.groupBy(F.col("src").alias("id")).agg(
         F.min("dst").alias("scc_id")
     )
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    rounds: int = 2,
+    alpha: float = 0.5,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    id_col: str = "id",
+    feat_col: str = "f",
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """GraphSAGE-mean-style scalar feature smoothing over the undirected
+    graph: f' = alpha·f + (1-alpha)·mean_{u∈Γ(n)} f(u), `rounds` times —
+    the aggregation primitive of GNN message passing and of label/score
+    smoothing over a KG ("entities connected to high-confidence entities
+    inherit confidence"). Isolated nodes keep their own value.
+
+    Float playbook: each round's output re-rounds to 6 decimals (the
+    pagerank trajectory trick, so unrolled SQL replays it), and neighbor
+    means accumulate as round-6 FIXED-POINT longs — order-free integer
+    sums, no ordered folds needed. Per round: one adjacency⋈features join
+    keyed on the neighbor + one per-node sum/count aggregate + one join
+    back to the own value — two key shuffles, vectors... scalars only.
+    Nodes missing from `features` contribute nothing and stay absent
+    (provide a full feature table; degree_table ⋈ defaults builds one)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    und = _undirected(edges, src, dst)
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    f = features.select(F.col(id_col).alias("n"), F.round(feat_col, 6).alias("f"))
+    for _ in range(rounds):
+        nbr = (
+            adj.join(f.select(F.col("n").alias("nb"), F.col("f").alias("_nf")), "nb")
+            .groupBy("n")
+            .agg(
+                F.sum(F.round(F.col("_nf") * 1000000, 0).cast("long")).alias("_s"),
+                F.count(F.lit(1)).alias("_c"),
+            )
+            .select("n", (F.col("_s") / F.col("_c") / 1000000.0).alias("_mean"))
+        )
+        f = (
+            f.join(nbr, "n", "left")
+            .select(
+                "n",
+                F.round(
+                    F.when(
+                        F.col("_mean").isNotNull(),
+                        alpha * F.col("f") + (1.0 - alpha) * F.col("_mean"),
+                    ).otherwise(F.col("f")),
+                    6,
+                ).alias("f"),
+            )
+        )
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            f = f.localCheckpoint(eager=False)
+    return f.select(F.col("n").alias(id_col), F.col("f").alias(feat_col))

@@ -209,3 +209,42 @@ def value_histogram(
         F.round(F.min(F.col("_lo") + (F.col("bin") + 1) * width), 6).alias("bin_hi"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 3.0,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Median-absolute-deviation outlier flags per group — the robust
+    sibling of iqr_outliers (MAD tolerates up to 50% contamination where
+    the IQR fence breaks down at 25%): flag |x - median| > k·MAD, with
+    median and MAD from exact interpolated percentiles (≡ DuckDB
+    quantile_cont), every compared quantity round-6 so the decision
+    replays on any engine. NULLs are never outliers. A constant group has
+    MAD 0 — every deviating value flags, which is the correct reading.
+
+    Two group-cardinality aggregates (median, then median of deviations)
+    and two broadcast-friendly joins back on the group key."""
+    med = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("_med")
+    )
+    dev = F.round(F.abs(F.round(F.col(value_col), 6) - F.col("_med")), 6)
+    with_dev = df.join(med, df[group_col] == med["_g"]).withColumn("_dev", dev)
+    mad = with_dev.groupBy(F.col("_g").alias("_g2")).agg(
+        F.round(F.expr("percentile(_dev, 0.5)"), 6).alias("_mad")
+    )
+    out = with_dev.join(mad, with_dev["_g"] == mad["_g2"])
+    thr = F.round(F.lit(k) * F.col("_mad"), 6)
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.col(group_col),
+        F.round(F.col(value_col), 6).alias(value_col),
+        F.col("_med").alias("median"),
+        F.col("_mad").alias("mad"),
+        F.when(F.col(value_col).isNull(), F.lit(False))
+        .otherwise(F.col("_dev") > thr)
+        .alias("is_outlier"),
+    ]
+    return out.select(*cols)

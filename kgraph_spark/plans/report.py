@@ -722,6 +722,54 @@ def main() -> None:
         ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Containment pairs — same rare-shingle candidate generation as "
+        "Jaccard (LeftSemi df cap), exact counts on survivors only; no "
+        "cross join anywhere",
+        _plan(entrymod.queries()["containment_pairs"](spark, SF)),
+        ["LeftSemi", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Domain quality gate — map-only feature pass + ONE hash aggregate "
+        "on the domain (word-count shape); fixed-point mean needs no "
+        "ordered folds",
+        _plan(entrymod.queries()["domain_quality"](spark, SF)),
+        ["HashAggregate", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "CMS heavy hitters — the d×w sketch aggregates to a bounded row "
+        "count and BROADCASTS for the probe join; only the exact-count "
+        "comparison shuffles keys",
+        _plan(entrymod.queries()["cms_hot_terms"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    from kgraph_spark.operators.graph_analytics import feature_propagation
+
+    fp_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "subject_id string, object_id string"
+    )
+    fp_feats = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "id string, f double"
+    )
+    sections.append((
+        "Feature propagation — per round one neighbor-keyed join + one "
+        "per-node fixed-point hash aggregate, joined back to the own "
+        "value (pin_rounds=False exposes the full unrolled plan)",
+        _plan(feature_propagation(fp_edges, fp_feats, rounds=2, pin_rounds=False)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "MAD outliers — two group-cardinality percentile aggregates, each "
+        "joined back by broadcast; the event table never shuffles to be "
+        "flagged",
+        _plan(entrymod.queries()["evt_mad_outliers"](spark, SF)),
+        ["BroadcastHashJoin", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -503,3 +503,32 @@ def test_scc_two_cycles_one_way_bridge(spark):
     )
     got = {r["id"]: r["scc_id"] for r in strongly_connected_components(e).collect()}
     assert got == {"a": "a", "b": "a", "x": "x", "y": "x"}  # bridge does not merge
+
+
+def test_feature_propagation_hand_computed(spark):
+    from kgraph_spark.operators.graph_analytics import feature_propagation
+
+    # path a-b; isolated c. One round, alpha .5:
+    # a' = .5*10 + .5*0 = 5 ; b' = .5*0 + .5*10 = 5 ; c stays 7
+    e = _edges(spark, [("a", "b")])
+    feats = spark.createDataFrame(
+        [("a", 10.0), ("b", 0.0), ("c", 7.0)], "id string, f double"
+    )
+    got = {r["id"]: r["f"] for r in feature_propagation(e, feats, rounds=1).collect()}
+    assert got == {"a": 5.0, "b": 5.0, "c": 7.0}
+    # second round contracts toward the common mean
+    got2 = {r["id"]: r["f"] for r in feature_propagation(e, feats, rounds=2).collect()}
+    assert got2["a"] == 5.0 and got2["b"] == 5.0
+
+
+def test_feature_propagation_validation(spark):
+    import pytest
+
+    from kgraph_spark.operators.graph_analytics import feature_propagation
+
+    e = _edges(spark, [("a", "b")])
+    feats = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "id string, f double")
+    with pytest.raises(ValueError):
+        feature_propagation(e, feats, rounds=0)
+    with pytest.raises(ValueError):
+        feature_propagation(e, feats, alpha=1.5)

@@ -153,3 +153,28 @@ def test_value_histogram_constant_and_grouped(spark):
     assert by == {("a", 0): 1, ("a", 2): 1, ("b", 0): 1}
     with pytest.raises(ValueError):
         value_histogram(const, "value", 0)
+
+
+def test_mad_outliers_robust_to_heavy_contamination(spark):
+    from kgraph_spark.operators.profiling import mad_outliers
+
+    # 7 inliers near 10, 3 far contaminants: median 10, MAD small;
+    # contaminants flag, inliers don't
+    rows = [("g", float(v)) for v in (9, 9, 10, 10, 10, 11, 11, 500, 600, 700)]
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "event_id long, g string, value double"
+    )
+    got = {r["event_id"]: r.asDict() for r in mad_outliers(df, "value", "g", id_col="event_id").collect()}
+    assert got[0]["median"] == 10.5  # interpolated median of 10 values
+    flagged = {i for i, r in got.items() if r["is_outlier"]}
+    assert flagged == {7, 8, 9}
+
+
+def test_mad_outliers_null_never_flags(spark):
+    from kgraph_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0), (3, "g", None)], "event_id long, g string, value double"
+    )
+    got = {r["event_id"]: r["is_outlier"] for r in mad_outliers(df, "value", "g", id_col="event_id").collect()}
+    assert got[3] is False
