@@ -406,6 +406,29 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_entity_media_grounding(spark, sf_dir):
+    """Entity↔media association over the interleaved corpus: vocab
+    mentions within ±1 paragraph of a media span (the deterministic asset
+    schedule shared with the span builder) → (token, media_ref) counts.
+    Pure relational — posexplode to (doc, para, token), banded doc-keyed
+    join, no span arrays, no HOF hazard."""
+    from kgraph_spark.operators.interleave import entity_media_grounding
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return entity_media_grounding(docs, COOC_WORDS, window=1)
+
+
+def q_evt_norm_scores(spark, sf_dir):
+    """Per-type score normalization: min-max to [0,1] + robust
+    (x−median)/IQR, degenerate groups defined (constant → 0.5 / NULL);
+    one broadcast stats join, rows never shuffle."""
+    from kgraph_spark.operators.relevance import normalize_scores
+
+    return normalize_scores(
+        _read(spark, sf_dir, "events"), "value", "event_type", id_col="event_id"
+    )
+
+
 def q_graph_smooth(spark, sf_dir):
     """GNN-mean feature smoothing (2 rounds, alpha .5) over the supplier→
     nation→region graph, account balances as the seed feature — nations
@@ -2682,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_hot_terms": q_cms_hot_terms,
         "graph_smooth": q_graph_smooth,
         "evt_mad_outliers": q_evt_mad_outliers,
+        "entity_media_grounding": q_entity_media_grounding,
+        "evt_norm_scores": q_evt_norm_scores,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3335,6 +3360,57 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "entity_media_grounding": """
+            WITH base AS (
+                SELECT doc_id,
+                       generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) - 1 AS idx,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents WHERE doc_id < 400
+            ), mentions AS (
+                SELECT DISTINCT doc_id, (idx // 12)::BIGINT AS para, token
+                FROM base
+                WHERE token IN ('join', 'filter', 'window', 'customer', 'spark',
+                                'merge', 'stream', 'table')
+            ), np AS (
+                SELECT doc_id,
+                       greatest(cast(ceil(len(string_split_regex(trim(text), '\\s+')) / 12.0) AS INT), 1) AS n
+                FROM documents WHERE doc_id < 400
+            ), paras AS (
+                SELECT doc_id, unnest(range(0, n)) AS para FROM np
+            ), media AS (
+                SELECT doc_id, para,
+                       'media://asset/' || ((doc_id * 31 + para) % 41)::VARCHAR AS media_ref
+                FROM paras WHERE para % 3 = 2
+                UNION ALL
+                SELECT doc_id, para,
+                       'media://asset/' || (((doc_id * 17 + para) % 37) + 50)::VARCHAR
+                FROM paras WHERE para % 6 = 5
+            )
+            SELECT m.token, md.media_ref,
+                   count(*)::BIGINT AS n_cooccur,
+                   count(DISTINCT m.doc_id)::BIGINT AS n_docs
+            FROM mentions m JOIN media md
+              ON m.doc_id = md.doc_id AND abs(m.para - md.para) <= 1
+            GROUP BY 1, 2
+        """,
+        "evt_norm_scores": """
+            WITH s AS (
+                SELECT event_type AS g,
+                       round(min(value), 6) AS lo, round(max(value), 6) AS hi,
+                       round(quantile_cont(value, 0.25), 6) AS q1,
+                       round(quantile_cont(value, 0.5), 6) AS med,
+                       round(quantile_cont(value, 0.75), 6) AS q3
+                FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+                   CASE WHEN s.hi = s.lo THEN 0.5::DOUBLE
+                        ELSE round((round(e.value, 6) - s.lo) / (s.hi - s.lo), 6)
+                   END AS minmax_norm,
+                   CASE WHEN s.q3 <> s.q1 THEN
+                       round((round(e.value, 6) - s.med) / (s.q3 - s.q1), 6)
+                   END AS robust_norm
+            FROM events e JOIN s ON e.event_type = s.g
         """,
         "graph_smooth": """
             WITH e AS (

@@ -109,3 +109,74 @@ def media_coref(
         F.min("_doc").alias("first_doc"),
         F.max("_doc").alias("last_doc"),
     )
+
+
+def entity_media_grounding(
+    docs: DataFrame,
+    vocab: list[str],
+    window: int = 1,
+    tokens_per_para: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Entity↔media grounding over the interleaved corpus: which media
+    assets appear NEAR which entity mentions — the association a
+    multimodal KG needs to attach images to entities (the reference keeps
+    text-only evidence; media spans carry refs, kgschema/document.py
+    sections + the north-rule span schema). A mention in paragraph p and
+    a media span attached to paragraph m associate when |p − m| <= window.
+
+    Deliberately RELATIONAL, not array-shaped: tokens posexplode once to
+    (doc, para, token) — para = token_index ÷ tokens_per_para, no span
+    array is built, so there is no HOF re-evaluation hazard and every
+    stage is a plain equi-join/aggregate. Media placement mirrors
+    _docs_to_interleaved_spans' deterministic schedule (one asset after
+    every 3rd paragraph, a second after every 6th — shared residue
+    formulas), so the association is fully SQL-restatable.
+
+    Scale: the vocab filter lands before the distinct (mention rows are
+    |vocab|-bounded per doc-paragraph); the grounding join is doc-keyed
+    with a ±window band predicate — 2·window+1 candidate paragraphs per
+    media span, never a cross join."""
+    d = F.col(id_col)
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    base = docs.select(d.alias("doc_id"), F.posexplode(toks).alias("idx", "token"))
+    mentions = (
+        base.filter(F.col("token").isin(vocab))
+        .select(
+            "doc_id",
+            (F.col("idx") / F.lit(tokens_per_para)).cast("long").alias("para"),
+            "token",
+        )
+        .distinct()
+    )
+    n_paras = docs.select(
+        d.alias("doc_id"),
+        F.greatest(
+            F.ceil(F.size(F.split(F.trim(text_col), r"\s+")) / F.lit(tokens_per_para)).cast("int"),
+            F.lit(1),
+        ).alias("_n"),
+    )
+    paras = n_paras.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("para")
+    )
+    did = F.col("doc_id")
+    m1 = F.concat(F.lit("media://asset/"), ((did * 31 + F.col("para")) % 41).cast("string"))
+    m2 = F.concat(
+        F.lit("media://asset/"), (((did * 17 + F.col("para")) % 37) + 50).cast("string")
+    )
+    media = paras.filter(F.col("para") % 3 == 2).select(
+        "doc_id", "para", m1.alias("media_ref")
+    ).unionByName(
+        paras.filter(F.col("para") % 6 == 5).select(
+            "doc_id", "para", m2.alias("media_ref")
+        )
+    )
+    mm = media.select("doc_id", F.col("para").alias("_mp"), "media_ref")
+    assoc = mentions.join(mm, "doc_id").filter(
+        F.abs(F.col("para") - F.col("_mp")) <= window
+    )
+    return assoc.groupBy("token", "media_ref").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cooccur"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )

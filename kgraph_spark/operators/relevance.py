@@ -353,3 +353,43 @@ def pmi_collocations(
             ).alias("npmi"),
         )
     )
+
+
+def normalize_scores(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-group score normalization — the step that makes quality/
+    relevance scores COMPARABLE across domains before corpus-wide
+    selection (a 0.7 from a lenient domain ≠ a 0.7 from a strict one):
+    min-max to [0,1] plus the outlier-robust (x − median)/IQR form.
+    Degenerate groups are defined, not accidental: a constant group
+    min-max-normalizes to 0.5, and a zero-IQR group's robust score is
+    NULL (undefined, surfaced as such). All decided on round-6 numbers.
+
+    One group-cardinality stats aggregate (exact percentiles) broadcast
+    back onto the rows — the scored table never shuffles."""
+    stats = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.round(F.min(value_col), 6).alias("_lo"),
+        F.round(F.max(value_col), 6).alias("_hi"),
+        F.round(F.expr(f"percentile({value_col}, 0.25)"), 6).alias("_q1"),
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 6).alias("_med"),
+        F.round(F.expr(f"percentile({value_col}, 0.75)"), 6).alias("_q3"),
+    )
+    v = F.round(F.col(value_col), 6)
+    minmax = F.when(F.col("_hi") == F.col("_lo"), F.lit(0.5)).otherwise(
+        F.round((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 6)
+    )
+    robust = F.when(
+        F.col("_q3") != F.col("_q1"),
+        F.round((v - F.col("_med")) / (F.col("_q3") - F.col("_q1")), 6),
+    )
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.col(group_col),
+        v.alias(value_col),
+        minmax.alias("minmax_norm"),
+        robust.alias("robust_norm"),
+    ]
+    return df.join(stats, df[group_col] == stats["_g"]).select(*cols)

@@ -770,6 +770,21 @@ def main() -> None:
         ["BroadcastHashJoin", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Entity-media grounding — vocab filter lands before the distinct "
+        "(mention rows |vocab|-bounded per paragraph); the grounding join "
+        "is doc-keyed with a band predicate, never a cross join",
+        _plan(entrymod.queries()["entity_media_grounding"](spark, SF)),
+        ["hashpartitioning(doc_id", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    sections.append((
+        "Score normalization — one group-cardinality percentile aggregate "
+        "broadcast back; the scored rows never shuffle",
+        _plan(entrymod.queries()["evt_norm_scores"](spark, SF)),
+        ["BroadcastHashJoin", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

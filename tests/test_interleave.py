@@ -81,3 +81,24 @@ def test_interleave_stats_is_shuffle_free(spark):
     rows = [("d1", [_t(0), _m(1, "a")])]
     plan = interleave_stats(_mk(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_entity_media_grounding_window(spark):
+    from kgraph_spark.operators.interleave import entity_media_grounding
+
+    # 4 paragraphs (48 tokens); media after para 2 only. Put the vocab
+    # word in paras 1 and 3 (adjacent to media para 2) and para 0 (not).
+    words = []
+    for p in range(4):
+        ws = ["filler"] * 12
+        if p in (0, 1, 3):
+            ws[0] = "spark"
+        words.extend(ws)
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    rows = entity_media_grounding(docs, ["spark"], window=1).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    # doc 0, para 2: asset (0*31+2)%41 = 2
+    assert r["media_ref"] == "media://asset/2"
+    # paras 1 and 3 associate; para 0 is outside the +-1 window
+    assert r["n_cooccur"] == 2 and r["n_docs"] == 1

@@ -190,3 +190,20 @@ def test_gopher_rules_map_only(spark):
 
     docs = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     assert "Exchange" not in plan_text(gopher_rules(docs))
+
+
+def test_normalize_scores_semantics(spark):
+    from kgraph_spark.operators.relevance import normalize_scores
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.0), (2, "a", 5.0), (3, "a", 10.0), (4, "b", 7.0), (5, "b", 7.0)],
+        "event_id long, g string, value double",
+    )
+    got = {r["event_id"]: r.asDict() for r in normalize_scores(df, "value", "g", "event_id").collect()}
+    assert got[1]["minmax_norm"] == 0.0
+    assert got[2]["minmax_norm"] == 0.5
+    assert got[3]["minmax_norm"] == 1.0
+    # median 5, IQR = 7.5 - 2.5 = 5 -> robust(0.0) = -1.0
+    assert got[1]["robust_norm"] == -1.0
+    # constant group: minmax defined as 0.5, robust undefined
+    assert got[4]["minmax_norm"] == 0.5 and got[4]["robust_norm"] is None
