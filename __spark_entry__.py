@@ -406,6 +406,38 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_evt_user_lifecycle(spark, sf_dir):
+    """Per-user activity interval: first/last seen, distinct active days,
+    longest silence — integer day/µs arithmetic, day-dedup BEFORE the
+    per-user window."""
+    from kgraph_spark.operators.temporal import user_lifecycle
+
+    return user_lifecycle(_read(spark, sf_dir, "events"))
+
+
+def q_oov_rate(spark, sf_dir):
+    """Corpus-aware OOV rate per doc: fraction of token occurrences whose
+    type appears in < 2 documents — the cross-document gibberish signal
+    per-doc heuristics miss."""
+    from kgraph_spark.operators.text_analysis import oov_rate
+
+    return oov_rate(_read(spark, sf_dir, "documents"), min_df=2)
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman r) of the thinned order-part graph —
+    integer moment sums, one double combination; tells you whether hub
+    keys will skew a hub-keyed shuffle before you pick a partitioner."""
+    from kgraph_spark.operators.graph_analytics import degree_assortativity
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    ).distinct()
+    return degree_assortativity(edges)
+
+
 def q_entity_media_grounding(spark, sf_dir):
     """Entity↔media association over the interleaved corpus: vocab
     mentions within ±1 paragraph of a media span (the deterministic asset
@@ -2707,6 +2739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_mad_outliers": q_evt_mad_outliers,
         "entity_media_grounding": q_entity_media_grounding,
         "evt_norm_scores": q_evt_norm_scores,
+        "evt_user_lifecycle": q_evt_user_lifecycle,
+        "oov_rate": q_oov_rate,
+        "graph_assortativity": q_graph_assortativity,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3360,6 +3395,76 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "evt_user_lifecycle": """
+            WITH days AS (
+                SELECT DISTINCT user_id, ts::DATE AS d FROM events
+            ), g AS (
+                SELECT user_id, d,
+                       d - lag(d) OVER (PARTITION BY user_id ORDER BY d) AS gap
+                FROM days
+            ), pd AS (
+                SELECT user_id, count(*)::BIGINT AS n_active_days,
+                       coalesce(max(gap), 0)::BIGINT AS max_gap_days
+                FROM g GROUP BY 1
+            ), span AS (
+                SELECT user_id, epoch_us(min(ts)) AS first_seen_us,
+                       epoch_us(max(ts)) AS last_seen_us,
+                       count(*)::BIGINT AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT s.user_id, first_seen_us, last_seen_us, n_events,
+                   n_active_days, max_gap_days
+            FROM span s JOIN pd USING (user_id)
+        """,
+        "oov_rate": """
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0)) AS token
+                FROM documents
+            ), dfr AS (
+                SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ), rare AS (
+                SELECT token FROM dfr WHERE df < 2
+            ), pd AS (
+                SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1
+            ), rc AS (
+                SELECT doc_id, count(*)::BIGINT AS n_oov
+                FROM toks JOIN rare USING (token) GROUP BY 1
+            )
+            SELECT pd.doc_id, n_tokens,
+                   coalesce(n_oov, 0)::BIGINT AS n_oov,
+                   round(coalesce(n_oov, 0) / n_tokens, 6) AS oov_rate
+            FROM pd LEFT JOIN rc USING (doc_id)
+        """,
+        "graph_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT 'O' || l_orderkey AS a, 'P' || l_partkey AS b
+                FROM lineitem WHERE l_partkey % 3 = 0
+            ), und AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM e WHERE a <> b
+            ), deg AS (
+                SELECT n, count(*)::BIGINT AS d
+                FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            ), ends AS (
+                SELECT da.d AS x, db.d AS y
+                FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n
+            ), b2 AS (
+                SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends
+            ), m AS (
+                SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(x * x)::BIGINT AS sxx, sum(x * y)::BIGINT AS sxy
+                FROM b2
+            )
+            SELECT n AS n_ends,
+                   CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) <> 0 THEN
+                       round((n::DOUBLE * sxy - sx::DOUBLE * sx)
+                             / (n::DOUBLE * sxx - sx::DOUBLE * sx), 6)
+                   END AS assortativity
+            FROM m
         """,
         "entity_media_grounding": """
             WITH base AS (

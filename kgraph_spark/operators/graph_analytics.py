@@ -996,3 +996,50 @@ def feature_propagation(
         if pin_rounds:
             f = f.localCheckpoint(eager=False)
     return f.select(F.col("n").alias(id_col), F.col("f").alias(feat_col))
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Degree assortativity of the undirected graph — the Pearson
+    correlation of endpoint degrees over edge ENDS (Newman 2002): one row
+    (n_ends, r). Positive = hubs link hubs (social shape), negative =
+    hubs link leaves (the typical KG/web star shape — worth knowing
+    before choosing a partitioner, since disassortative graphs are
+    exactly the ones where hub-keyed shuffles skew).
+
+    Every moment (Σx, Σx², Σxy) aggregates as exact integer sums over
+    degree longs; the Pearson combination happens once, in doubles, on
+    the final scalars (round 6) — deterministic without ordered folds.
+    Each undirected edge contributes BOTH (deg_a, deg_b) and
+    (deg_b, deg_a), the standard edge-end convention that makes the
+    correlation symmetric."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ends = und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a").join(
+        deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b"
+    )
+    both = ends.select(F.col("da").alias("x"), F.col("db").alias("y")).unionByName(
+        ends.select(F.col("db").alias("x"), F.col("da").alias("y"))
+    )
+    m = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n, sx, sxx, sxy = F.col("n"), F.col("sx"), F.col("sxx"), F.col("sxy")
+    # symmetric ends: Σy = Σx and Σy² = Σx²
+    num = n.cast("double") * sxy - sx.cast("double") * sx
+    den = n.cast("double") * sxx - sx.cast("double") * sx
+    return m.select(
+        n.alias("n_ends"),
+        F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
+    )

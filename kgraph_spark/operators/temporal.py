@@ -298,3 +298,41 @@ def rolling_stats(
         F.round(sum_u / F.lit(10000.0), 4).alias("rolling_sum"),
         F.round(sum_u / F.lit(10000.0) / n, 6).alias("rolling_avg"),
     )
+
+
+def user_lifecycle(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user activity interval: first/last seen (µs), span days, count
+    of DISTINCT active days, and the longest silence between consecutive
+    active days — the churn/retention features a user table carries.
+    Integer microsecond/day arithmetic end-to-end (no float playbook
+    needed).
+
+    Two aggregates: events collapse to (user, active_day) first — the
+    shuffle dedups to day granularity before any window — then a per-user
+    lag window over the (small) day rows finds the max gap."""
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    days = events.select(
+        F.col(user_col).alias("user_id"), day.alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    gaps = days.withColumn(
+        "gap", F.datediff(F.col("d"), F.lag("d").over(w))
+    )
+    per_day = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.max("gap").cast("long").alias("max_gap_days"),
+    )
+    span = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.unix_micros(F.min(F.col(ts_col).cast("timestamp"))).alias("first_seen_us"),
+        F.unix_micros(F.max(F.col(ts_col).cast("timestamp"))).alias("last_seen_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return span.join(per_day, "user_id").select(
+        "user_id", "first_seen_us", "last_seen_us", "n_events",
+        "n_active_days",
+        F.coalesce(F.col("max_gap_days"), F.lit(0)).cast("long").alias("max_gap_days"),
+    )

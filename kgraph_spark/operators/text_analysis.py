@@ -441,3 +441,49 @@ def domain_quality(
         )
     )
     return agg.withColumn("keep", F.col("mean_quality") >= min_mean_quality)
+
+
+def oov_rate(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Out-of-vocabulary rate per document: the fraction of token
+    OCCURRENCES whose type appears in fewer than `min_df` documents
+    corpus-wide — high OOV flags gibberish, OCR noise, and wrong-language
+    contamination that per-doc heuristics (quality_score) miss because
+    they never look across documents.
+
+    Two passes over one tokenization: a vocab-sized df aggregate, then a
+    token-keyed join back (LeftSemi-shaped: only the rare-type rows
+    matter, common tokens aggregate map-side) and one per-doc count.
+    Ratio is an exact integer fraction round-6."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    df_tab = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    rare = df_tab.filter(F.col("_df") < min_df).select("token")
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    rare_counts = (
+        toks.join(rare, "token", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
+    )
+    return (
+        per_doc.join(rare_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+            F.round(
+                F.coalesce(F.col("n_oov"), F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -532,3 +532,21 @@ def test_feature_propagation_validation(spark):
         feature_propagation(e, feats, rounds=0)
     with pytest.raises(ValueError):
         feature_propagation(e, feats, alpha=1.5)
+
+
+def test_assortativity_star_is_negative(spark):
+    from kgraph_spark.operators.graph_analytics import degree_assortativity
+
+    # star: hub degree 4, leaves degree 1 -> perfectly disassortative (-1)
+    e = _edges(spark, [("h", x) for x in "abcd"])
+    r = degree_assortativity(e).collect()[0]
+    assert r["assortativity"] == -1.0
+    assert r["n_ends"] == 8
+
+
+def test_assortativity_regular_graph_undefined(spark):
+    from kgraph_spark.operators.graph_analytics import degree_assortativity
+
+    # 4-cycle: every degree 2 -> zero variance -> NULL (undefined)
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    assert degree_assortativity(e).collect()[0]["assortativity"] is None

@@ -207,3 +207,22 @@ def test_normalize_scores_semantics(spark):
     assert got[1]["robust_norm"] == -1.0
     # constant group: minmax defined as 0.5, robust undefined
     assert got[4]["minmax_norm"] == 0.5 and got[4]["robust_norm"] is None
+
+
+def test_oov_rate_cross_document_signal(spark):
+    from kgraph_spark.operators.text_analysis import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common xqzt"),   # xqzt appears only here
+            (2, "common words words"),
+            (3, "common words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in oov_rate(docs, min_df=2).collect()}
+    # doc1: 'xqzt' df=1 -> 1/3 OOV; 'common' df=3 fine
+    assert got[1]["n_oov"] == 1 and got[1]["oov_rate"] == round(1 / 3, 6)
+    # doc3: 'here' df=1 -> 1/3
+    assert got[3]["n_oov"] == 1
+    assert got[2]["n_oov"] == 0 and got[2]["oov_rate"] == 0.0

@@ -236,3 +236,25 @@ def test_rolling_stats_boundary_inclusive(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {r["event_id"]: r for r in rolling_stats(ev, window_hours=24).collect()}
     assert got[2]["rolling_n"] == 2
+
+
+def test_user_lifecycle_gaps_and_days(spark):
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.temporal import user_lifecycle
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 12:00:00"),  # same day: one active day
+            (1, "2024-01-05 09:00:00"),  # 4-day gap
+            (1, "2024-01-06 09:00:00"),
+            (2, "2024-02-01 00:00:00"),  # single event: gap 0
+        ],
+        "user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r.asDict() for r in user_lifecycle(ev).collect()}
+    assert got[1]["n_events"] == 4
+    assert got[1]["n_active_days"] == 3
+    assert got[1]["max_gap_days"] == 4
+    assert got[2]["n_active_days"] == 1 and got[2]["max_gap_days"] == 0
