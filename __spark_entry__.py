@@ -406,6 +406,52 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_kg_diff(spark, sf_dir):
+    """Snapshot diff between two KG builds (added/removed/changed/
+    unchanged per triple) — one full-outer join on the triple key; the
+    regression gate before promoting a weekly build."""
+    from kgraph_spark.operators.relationships import kg_diff
+
+    def build(lo, hi, bump):
+        li = _read(spark, sf_dir, "lineitem").filter(
+            (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+        )
+        t = (
+            li.select(
+                F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+                F.lit("contains").alias("predicate"),
+                F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+                F.col("l_partkey").alias("_pk"),
+            )
+            .groupBy("subject_id", "predicate", "object_id", "_pk")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        conf = F.round(F.least(F.lit(0.95), 0.6 + 0.1 * F.col("_cnt")), 6)
+        if bump:
+            conf = F.round(conf + F.when(F.col("_pk") % 2 == 0, 0.01).otherwise(0.0), 6)
+        return t.select("subject_id", "predicate", "object_id", conf.alias("confidence"))
+
+    return kg_diff(build(0, 200, False), build(50, 250, True))
+
+
+def q_d2_acronym(spark, sf_dir):
+    """Acronym resolution: short-form mentions join multiword dictionary
+    names on derived initials, ambiguity count attached — the synonym-
+    cache expansion derived from the names themselves."""
+    from kgraph_spark.operators.resolve import acronym_join
+
+    part = _read(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name"))
+    toks = F.split(F.trim(F.lower("p_name")), r"\s+")
+    initials = F.upper(F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), ""))
+    mentions = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(initials.alias("mention"))
+        .distinct()
+    )
+    return acronym_join(mentions, names)
+
+
 def q_evt_user_lifecycle(spark, sf_dir):
     """Per-user activity interval: first/last seen, distinct active days,
     longest silence — integer day/µs arithmetic, day-dedup BEFORE the
@@ -2742,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_user_lifecycle": q_evt_user_lifecycle,
         "oov_rate": q_oov_rate,
         "graph_assortativity": q_graph_assortativity,
+        "kg_diff": q_kg_diff,
+        "d2_acronym": q_d2_acronym,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3395,6 +3443,55 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "kg_diff": """
+            WITH old_t AS (
+                SELECT 'O' || l_orderkey AS subject_id, 'contains' AS predicate,
+                       'P' || l_partkey AS object_id,
+                       round(least(0.95::DOUBLE, 0.6::DOUBLE + 0.1::DOUBLE * count(*)), 6)
+                           AS old_confidence
+                FROM lineitem WHERE l_orderkey >= 0 AND l_orderkey < 200
+                GROUP BY 1, 2, 3, l_partkey
+            ), new_t AS (
+                SELECT 'O' || l_orderkey AS subject_id, 'contains' AS predicate,
+                       'P' || l_partkey AS object_id,
+                       round(round(least(0.95::DOUBLE, 0.6::DOUBLE + 0.1::DOUBLE * count(*)), 6)
+                             + CASE WHEN l_partkey % 2 = 0 THEN 0.01::DOUBLE
+                                    ELSE 0.0::DOUBLE END, 6) AS new_confidence
+                FROM lineitem WHERE l_orderkey >= 50 AND l_orderkey < 250
+                GROUP BY 1, 2, 3, l_partkey
+            )
+            SELECT coalesce(o.subject_id, n.subject_id) AS subject_id,
+                   coalesce(o.predicate, n.predicate) AS predicate,
+                   coalesce(o.object_id, n.object_id) AS object_id,
+                   o.old_confidence, n.new_confidence,
+                   CASE WHEN o.old_confidence IS NULL THEN 'added'
+                        WHEN n.new_confidence IS NULL THEN 'removed'
+                        WHEN o.old_confidence <> n.new_confidence THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM old_t o FULL OUTER JOIN new_t n
+              ON o.subject_id = n.subject_id AND o.predicate = n.predicate
+             AND o.object_id = n.object_id
+        """,
+        "d2_acronym": """
+            WITH acr AS (
+                SELECT p_name AS name,
+                       upper(array_to_string(list_transform(
+                           string_split_regex(lower(trim(p_name)), '\\s+'),
+                           t -> t[1:1]), '')) AS a,
+                       p_partkey
+                FROM part
+            ), idx AS (
+                SELECT DISTINCT name AS expansion, a AS _acr FROM acr
+                WHERE len(string_split_regex(lower(trim(name)), '\\s+')) >= 2
+            ), amb AS (
+                SELECT _acr, count(*)::BIGINT AS n_candidates FROM idx GROUP BY 1
+            ), m AS (
+                SELECT DISTINCT a AS mention FROM acr WHERE p_partkey % 7 = 0
+            )
+            SELECT m.mention, idx.expansion, amb.n_candidates
+            FROM m JOIN idx ON m.mention = idx._acr
+            JOIN amb ON idx._acr = amb._acr
         """,
         "evt_user_lifecycle": """
             WITH days AS (

@@ -488,3 +488,33 @@ def accumulate_triples_salted(
     if has_ev:
         out = out.withColumn("strongest_evidence_quote", F.col("_best.q")).drop("_best")
     return out
+
+
+def kg_diff(
+    old_triples: DataFrame,
+    new_triples: DataFrame,
+    key_cols: tuple[str, str, str] = ("subject_id", "predicate", "object_id"),
+    confidence_col: str = "confidence",
+) -> DataFrame:
+    """Triple-level diff between two KG builds — the regression check a
+    weekly pipeline runs before promoting a snapshot (the reference's
+    promotion gate is entity-level, promotion.py; triples change silently
+    without this). One row per (s, p, o) present in either build:
+    status ∈ added | removed | changed | unchanged, with both round-6
+    confidences (changed = present in both, confidence moved).
+
+    ONE full outer join on the triple key — the 16-byte-ish key is the
+    shuffle payload, confidences ride along; at Iceberg runtime the same
+    question is a snapshot-diff read (incremental scan between commits),
+    which this operator restates for any pair of tables."""
+    k = list(key_cols)
+    o = old_triples.select(*k, F.round(confidence_col, 6).alias("old_confidence"))
+    n = new_triples.select(*k, F.round(confidence_col, 6).alias("new_confidence"))
+    j = o.join(n, k, "full_outer")
+    status = (
+        F.when(F.col("old_confidence").isNull(), F.lit("added"))
+        .when(F.col("new_confidence").isNull(), F.lit("removed"))
+        .when(F.col("old_confidence") != F.col("new_confidence"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*k, "old_confidence", "new_confidence", status.alias("status"))

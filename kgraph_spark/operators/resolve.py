@@ -378,3 +378,42 @@ def fuzzy_name_join(
         F.col("_b.n").alias("match_name"),
         F.col("_b.d").cast("long").alias("distance"),
     )
+
+
+def acronym_join(
+    mentions: DataFrame,
+    names: DataFrame,
+    mention_col: str = "mention",
+    name_col: str = "name",
+    min_words: int = 2,
+) -> DataFrame:
+    """Acronym resolution: match short-form mentions ("CML") to the
+    multiword dictionary names whose initials spell them ("chronic
+    myeloid leukemia") — the expansion step the reference's synonym
+    cache covers only when the acronym was pre-registered
+    (kgschema/domain.py synonym lists); this derives it from the name
+    itself. Equality join on the derived acronym key (md5-free: the
+    initials ARE the key), so each dictionary name is indexed once and
+    ambiguous acronyms surface as multiple rows with n_candidates
+    attached — the caller disambiguates (D4 rerank shape).
+
+    Initials build as one JVM fold over the split name (no per-element
+    derived-array indexing); only names with >= min_words words index."""
+    toks = F.split(F.trim(F.lower(F.col(name_col))), r"\s+")
+    initials = F.upper(
+        F.array_join(F.transform(toks, lambda t: F.substring(t, 1, 1)), "")
+    )
+    idx = (
+        names.filter(F.size(toks) >= min_words)
+        .select(F.col(name_col).alias("expansion"), initials.alias("_acr"))
+        .distinct()
+    )
+    amb = idx.groupBy("_acr").agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    m = mentions.select(
+        F.col(mention_col).alias("mention"), F.upper(F.col(mention_col)).alias("_acr")
+    )
+    return (
+        m.join(idx, "_acr")
+        .join(amb, "_acr")
+        .select("mention", "expansion", "n_candidates")
+    )

@@ -595,3 +595,33 @@ def test_fuzzy_join_no_cartesian(spark):
     n = spark.createDataFrame([("abd",)], "name string")
     plan = plan_text(fuzzy_name_join(q, n))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_kg_diff_statuses(spark):
+    from kgraph_spark.operators.relationships import kg_diff
+
+    old = spark.createDataFrame(
+        [("a", "r", "b", 0.7), ("a", "r", "c", 0.8), ("a", "r", "d", 0.9)],
+        "subject_id string, predicate string, object_id string, confidence double",
+    )
+    new = spark.createDataFrame(
+        [("a", "r", "b", 0.7), ("a", "r", "c", 0.85), ("a", "r", "e", 0.5)],
+        "subject_id string, predicate string, object_id string, confidence double",
+    )
+    got = {r["object_id"]: r["status"] for r in kg_diff(old, new).collect()}
+    assert got == {"b": "unchanged", "c": "changed", "d": "removed", "e": "added"}
+
+
+def test_acronym_join_ambiguity_and_min_words(spark):
+    from kgraph_spark.operators.resolve import acronym_join
+
+    names = spark.createDataFrame(
+        [("chronic myeloid leukemia",), ("cml media lab",), ("aspirin",)],
+        "name string",
+    )
+    mentions = spark.createDataFrame([("CML",), ("ASA",)], "mention string")
+    rows = acronym_join(mentions, names).collect()
+    got = {(r["mention"], r["expansion"]) for r in rows}
+    # both 3-word names spell CML; single-word 'aspirin' never indexes
+    assert got == {("CML", "chronic myeloid leukemia"), ("CML", "cml media lab")}
+    assert all(r["n_candidates"] == 2 for r in rows)
