@@ -785,6 +785,43 @@ def main() -> None:
         ["BroadcastHashJoin", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "User lifecycle — day-dedup BEFORE the per-user window (the lag "
+        "runs over day rows, not events); two hash aggregates + one "
+        "user-keyed join",
+        _plan(entrymod.queries()["evt_user_lifecycle"](spark, SF)),
+        ["HashAggregate", "Window", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "OOV rate — rare-type filter as a LeftSemi against the df table; "
+        "common tokens never join",
+        _plan(entrymod.queries()["oov_rate"](spark, SF)),
+        ["LeftSemi", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Degree assortativity — integer moment sums partial-aggregate to "
+        "ONE row; the Pearson combination is a single projection",
+        _plan(entrymod.queries()["graph_assortativity"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "KG snapshot diff — one full-outer SortMergeJoin on the triple "
+        "key; confidences ride the shuffle, no second pass",
+        _plan(entrymod.queries()["kg_diff"](spark, SF)),
+        ["FullOuter", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Acronym resolution — equality join on the derived initials key "
+        "(the dictionary indexes once); never a string-similarity cross "
+        "join",
+        _plan(entrymod.queries()["d2_acronym"](spark, SF)),
+        ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
