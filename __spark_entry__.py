@@ -406,6 +406,37 @@ def q_media_coref(spark, sf_dir):
     return media_coref(_docs_to_interleaved_spans(_read(spark, sf_dir, "documents")))
 
 
+def q_evt_histogram_eqd(spark, sf_dir):
+    """Equi-depth histogram (8 bins — power of two so the percentile
+    fractions are exact binary in both engines): boundaries from exact
+    interpolated percentiles, assignment by comparison, no global sort."""
+    from kgraph_spark.operators.profiling import equi_depth_histogram
+
+    return equi_depth_histogram(_read(spark, sf_dir, "events"), "value", 8)
+
+
+def q_graph_ktruss(spark, sf_dir):
+    """3-truss over the part co-purchase projection (parts sharing an
+    order form cliques): synchronous support-recount peel, 3 unrolled
+    rounds, integer-only — the cohesive-subgraph filter one notch above
+    k-core."""
+    from kgraph_spark.operators.graph_analytics import ktruss
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 80)
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb"))
+    pp = (
+        a.join(b, "o")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            F.concat(F.lit("P"), F.col("pa").cast("string")).alias("subject_id"),
+            F.concat(F.lit("P"), F.col("pb").cast("string")).alias("object_id"),
+        )
+        .distinct()
+    )
+    return ktruss(pp, k=3, rounds=3)
+
+
 def q_kg_diff(spark, sf_dir):
     """Snapshot diff between two KG builds (added/removed/changed/
     unchanged per triple) — one full-outer join on the triple key; the
@@ -2790,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": q_graph_assortativity,
         "kg_diff": q_kg_diff,
         "d2_acronym": q_d2_acronym,
+        "evt_histogram_eqd": q_evt_histogram_eqd,
+        "graph_ktruss": q_graph_ktruss,
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
@@ -3443,6 +3476,74 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs,
                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM ex GROUP BY 1
+        """,
+        "evt_histogram_eqd": """
+            WITH b AS (
+                SELECT round(quantile_cont(value, 0.125), 6) AS q1,
+                       round(quantile_cont(value, 0.25), 6) AS q2,
+                       round(quantile_cont(value, 0.375), 6) AS q3,
+                       round(quantile_cont(value, 0.5), 6) AS q4,
+                       round(quantile_cont(value, 0.625), 6) AS q5,
+                       round(quantile_cont(value, 0.75), 6) AS q6,
+                       round(quantile_cont(value, 0.875), 6) AS q7
+                FROM events WHERE value IS NOT NULL
+            ), x AS (
+                SELECT round(value, 6) AS v FROM events WHERE value IS NOT NULL
+            ), binned AS (
+                SELECT v,
+                       (CASE WHEN v > q1 THEN 1 ELSE 0 END
+                        + CASE WHEN v > q2 THEN 1 ELSE 0 END
+                        + CASE WHEN v > q3 THEN 1 ELSE 0 END
+                        + CASE WHEN v > q4 THEN 1 ELSE 0 END
+                        + CASE WHEN v > q5 THEN 1 ELSE 0 END
+                        + CASE WHEN v > q6 THEN 1 ELSE 0 END
+                        + CASE WHEN v > q7 THEN 1 ELSE 0 END)::BIGINT AS bin
+                FROM x, b
+            )
+            SELECT bin, min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS n
+            FROM binned GROUP BY 1
+        """,
+        "graph_ktruss": """
+            WITH e0 AS (
+                SELECT DISTINCT
+                       least('P' || a.l_partkey, 'P' || b.l_partkey) AS a,
+                       greatest('P' || a.l_partkey, 'P' || b.l_partkey) AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                WHERE a.l_orderkey < 80 AND b.l_orderkey < 80
+            ), adj0 AS (
+                SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0
+            ), c0 AS (
+                SELECT x.v AS na, y.v AS nb, count(*)::BIGINT AS nc
+                FROM adj0 x JOIN adj0 y ON x.u = y.u AND x.v < y.v
+                GROUP BY 1, 2
+            ), s0 AS (
+                SELECT e0.a, e0.b, coalesce(nc, 0)::BIGINT AS support
+                FROM e0 LEFT JOIN c0 ON e0.a = c0.na AND e0.b = c0.nb
+            ), e1 AS (
+                SELECT a, b FROM s0 WHERE support >= 1
+            ), adj1 AS (
+                SELECT a AS u, b AS v FROM e1 UNION ALL SELECT b, a FROM e1
+            ), c1 AS (
+                SELECT x.v AS na, y.v AS nb, count(*)::BIGINT AS nc
+                FROM adj1 x JOIN adj1 y ON x.u = y.u AND x.v < y.v
+                GROUP BY 1, 2
+            ), s1 AS (
+                SELECT e1.a, e1.b, coalesce(nc, 0)::BIGINT AS support
+                FROM e1 LEFT JOIN c1 ON e1.a = c1.na AND e1.b = c1.nb
+            ), e2 AS (
+                SELECT a, b FROM s1 WHERE support >= 1
+            ), adj2 AS (
+                SELECT a AS u, b AS v FROM e2 UNION ALL SELECT b, a FROM e2
+            ), c2 AS (
+                SELECT x.v AS na, y.v AS nb, count(*)::BIGINT AS nc
+                FROM adj2 x JOIN adj2 y ON x.u = y.u AND x.v < y.v
+                GROUP BY 1, 2
+            ), s2 AS (
+                SELECT e2.a, e2.b, coalesce(nc, 0)::BIGINT AS support
+                FROM e2 LEFT JOIN c2 ON e2.a = c2.na AND e2.b = c2.nb
+            )
+            SELECT a, b, support FROM s2 WHERE support >= 1
         """,
         "kg_diff": """
             WITH old_t AS (

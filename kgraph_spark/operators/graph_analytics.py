@@ -1043,3 +1043,53 @@ def degree_assortativity(
         n.alias("n_ends"),
         F.when(den != 0, F.round(num / den, 6)).alias("assortativity"),
     )
+
+
+def ktruss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Fixed-round k-truss peel: repeatedly drop undirected edges whose
+    triangle SUPPORT (count of common neighbors of the endpoints) is
+    below k-2 — the standard cohesive-subgraph filter one notch stronger
+    than k-core (an edge must sit in k-2 triangles, not just touch a
+    busy node). Returns the surviving (a, b, support) edges after
+    `rounds` synchronous peels, support as of the LAST recount.
+
+    Fixed rounds = pure lineage (the kcore/pagerank stance): each round
+    is one wedge join (adjacency ⋈ adjacency on the shared endpoint →
+    common-neighbor counts, cost Σ deg² like adamic_adar) + one LeftSemi
+    survivor filter, integer-only, so the oracle unrolls identically.
+    Converged when a round removes nothing; `rounds` bounds work on
+    adversarial peel chains (run more rounds for the fixpoint)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    cur = _undirected(edges, src, dst)
+    support = None
+    for _ in range(rounds):
+        adj = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        e1 = adj.select("u", F.col("v").alias("na"))
+        e2 = adj.select("u", F.col("v").alias("nb"))
+        common = (
+            e1.join(e2, "u")
+            .filter(F.col("na") < F.col("nb"))
+            .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        support = (
+            cur.join(common, ["a", "b"], "left")
+            .select(
+                "a", "b",
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("support"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = support.filter(F.col("support") >= k - 2).select("a", "b")
+    return support.filter(F.col("support") >= k - 2)

@@ -248,3 +248,41 @@ def mad_outliers(
         .alias("is_outlier"),
     ]
     return out.select(*cols)
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bin boundaries are exact interpolated
+    percentiles (the quantile sketch every optimizer keeps for
+    selectivity estimation — this is the exact small-SF contract;
+    approx_percentile is the documented 100-TB swap-in, same shape).
+    Returns (bin, lo, hi, n): bin b covers (q_b, q_{b+1}] with values
+    assigned by comparison against the round-6 boundaries — NOT by a
+    global-sort ntile, so there is no single-reducer total order; counts
+    can deviate from n/bins exactly where ties straddle a boundary,
+    which is the honest equi-depth answer. NULLs excluded.
+
+    One group-cardinality percentile aggregate (n_bins-1 scalars)
+    broadcast back; binning is a map-side comparison fold."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    x = F.round(F.col(value_col), 6)
+    qs = [
+        F.round(F.expr(f"percentile({value_col}, {i / n_bins})"), 6).alias(f"_q{i}")
+        for i in range(n_bins + 1)
+    ]
+    bounds = df.filter(F.col(value_col).isNotNull()).agg(*qs)
+    inner = F.array(*[F.col(f"_q{i}") for i in range(1, n_bins)])
+    binned = (
+        df.filter(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .withColumn("bin", F.size(F.filter(inner, lambda b: x > b)).cast("long"))
+    )
+    return binned.groupBy("bin").agg(
+        F.min(x).alias("lo"),
+        F.max(x).alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )

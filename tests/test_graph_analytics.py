@@ -550,3 +550,28 @@ def test_assortativity_regular_graph_undefined(spark):
     # 4-cycle: every degree 2 -> zero variance -> NULL (undefined)
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
     assert degree_assortativity(e).collect()[0]["assortativity"] is None
+
+
+def test_ktruss_peels_tail_keeps_clique(spark):
+    from kgraph_spark.operators.graph_analytics import ktruss
+
+    # K4 clique (every edge in 2 triangles) + pendant edge d-e (support 0)
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    e = _edges(spark, k4 + [("d", "e")])
+    rows = ktruss(e, k=3, rounds=2).collect()
+    got = {(r["a"], r["b"]): r["support"] for r in rows}
+    assert len(got) == 6 and ("d", "e") not in got
+    assert all(s == 2 for s in got.values())
+    # k=4 demands support >= 2: the whole K4 survives
+    assert ktruss(e, k=4, rounds=2).count() == 6
+    # k=5 demands support >= 3: nothing survives
+    assert ktruss(e, k=5, rounds=2).count() == 0
+
+
+def test_ktruss_cascading_peel(spark):
+    from kgraph_spark.operators.graph_analytics import ktruss
+
+    # triangle a-b-c plus a chain that only peels over multiple rounds:
+    # edge c-d has support 0 -> round 1 removes it; nothing else cascades
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+    assert ktruss(e, k=3, rounds=1).count() == 3

@@ -178,3 +178,18 @@ def test_mad_outliers_null_never_flags(spark):
     )
     got = {r["event_id"]: r["is_outlier"] for r in mad_outliers(df, "value", "g", id_col="event_id").collect()}
     assert got[3] is False
+
+
+def test_equi_depth_histogram_balanced(spark):
+    import pytest
+
+    from kgraph_spark.operators.profiling import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(1, 81)], "value double")
+    rows = {r["bin"]: r.asDict() for r in equi_depth_histogram(df, "value", 4).collect()}
+    # 80 distinct values, 4 bins -> 20 each
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(rows[b]["n"] == 20 for b in rows)
+    assert rows[0]["lo"] == 1.0 and rows[3]["hi"] == 80.0
+    with pytest.raises(ValueError):
+        equi_depth_histogram(df, "value", 0)
