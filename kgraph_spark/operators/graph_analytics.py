@@ -1051,6 +1051,7 @@ def ktruss(
     rounds: int = 3,
     src: str = "subject_id",
     dst: str = "object_id",
+    pin_rounds: bool = True,
 ) -> DataFrame:
     """Fixed-round k-truss peel: repeatedly drop undirected edges whose
     triangle SUPPORT (count of common neighbors of the endpoints) is
@@ -1083,13 +1084,13 @@ def ktruss(
             .groupBy(F.col("na").alias("a"), F.col("nb").alias("b"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         )
-        support = (
-            cur.join(common, ["a", "b"], "left")
-            .select(
-                "a", "b",
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("support"),
-            )
-            .localCheckpoint(eager=False)
+        support = cur.join(common, ["a", "b"], "left").select(
+            "a", "b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("support"),
         )
+        # pin_rounds=False is for plan inspection only (the checkpoint
+        # hides each round's physical plan behind an RDD scan)
+        if pin_rounds:
+            support = support.localCheckpoint(eager=False)
         cur = support.filter(F.col("support") >= k - 2).select("a", "b")
     return support.filter(F.col("support") >= k - 2)

@@ -822,6 +822,29 @@ def main() -> None:
         ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ))
 
+    sections.append((
+        "Equi-depth histogram — the percentile boundary row broadcasts "
+        "(single-row nested-loop is the literal cross join); assignment "
+        "is a map-side comparison fold into one hash aggregate — no "
+        "global-sort ntile",
+        _plan(entrymod.queries()["evt_histogram_eqd"](spark, SF)),
+        ["BroadcastNestedLoop", "HashAggregate", "!Window"],
+    ))
+
+    from kgraph_spark.operators.graph_analytics import ktruss as ktruss_op
+
+    kt_edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")],
+        "subject_id string, object_id string",
+    )
+    sections.append((
+        "k-truss — per round one wedge equi-join + LeftSemi-shaped "
+        "survivor filter, integer-only (single-round plan shown; rounds "
+        "pin behind checkpoints)",
+        _plan(ktruss_op(kt_edges, k=3, rounds=1, pin_rounds=False)),
+        ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
