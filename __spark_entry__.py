@@ -492,6 +492,21 @@ def q_evt_user_lifecycle(spark, sf_dir):
     return user_lifecycle(_read(spark, sf_dir, "events"))
 
 
+def q_evt_scd2(spark, sf_dir):
+    """Type-2 SCD dimension build over the event stream: one row per
+    (user, version) with half-open µs validity intervals; a version opens
+    only when event_type actually changes. One key shuffle reused by the
+    instant-dedup aggregate and both windows."""
+    from kgraph_spark.operators.temporal import scd2_build
+
+    return scd2_build(
+        _read(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=("event_type",),
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """Corpus-aware OOV rate per doc: fraction of token occurrences whose
     type appears in < 2 documents — the cross-document gibberish signal
@@ -1222,6 +1237,35 @@ def q_embedding_near_dups(spark, sf_dir):
         F.col("id_b").cast("long").alias("id_b"),
         F.round("cosine", 6).alias("cosine"),
     )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: k-means cell assignment
+    (codebook = deterministic_centroids, the IVF quantizer seam), pairwise
+    round-6 cosine WITHIN a cell only, drop any vector with a lower-id
+    cell-mate at cosine >= 0.95. Same planted twins as embedding_near_dups
+    (vec_id < 40, first coord +0.2, id +100000) so the drop set is real;
+    the oracle replicates cells + pairs exactly, so cell-boundary LSH-style
+    misses also match bit-for-bit."""
+    from kgraph_spark.operators.similarity import (
+        deterministic_centroids,
+        semantic_dedup,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    twins = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.2)),
+            F.slice("embedding", 2, dim - 1),
+        ).alias("embedding"),
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(twins)
+    cents = deterministic_centroids(allv, 8)
+    return semantic_dedup(allv, cents, threshold=0.95)
 
 
 def q_d9_reconcile(spark, sf_dir):
@@ -2817,6 +2861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_media_grounding": q_entity_media_grounding,
         "evt_norm_scores": q_evt_norm_scores,
         "evt_user_lifecycle": q_evt_user_lifecycle,
+        "evt_scd2": q_evt_scd2,
         "oov_rate": q_oov_rate,
         "graph_assortativity": q_graph_assortativity,
         "kg_diff": q_kg_diff,
@@ -2829,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_authority_rerank": q_d4_authority_rerank,
         "f4_evidence_containment": q_f4_evidence_containment,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "text_repetition": q_text_repetition,
         "evt_session_windows": q_evt_session_windows,
         "d9_reconcile": q_d9_reconcile,
@@ -5067,6 +5113,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, round(c, 6) AS cosine
             FROM scored WHERE c >= 0.95
         """,
+        "semantic_dedup": """
+            -- SemDeDup restated: same planted twins as embedding_near_dups,
+            -- IVF cell assignment (argmax cosine to the 8 smallest-id
+            -- centroids, ties to smallest cid), within-cell pairs only,
+            -- drop when a lower-id cell-mate sits at round-6 cosine >= .95
+            WITH base AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+            ), twins AS (
+                SELECT vec_id + 100000 AS id,
+                       [v[1] + 0.2] || v[2:] AS v
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                      WHERE vec_id < 40)
+            ), e AS (
+                SELECT id, v FROM base UNION ALL SELECT id, v FROM twins
+            ), cent AS (
+                SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS ce
+                FROM e WHERE id < 8
+            ), asg AS (
+                SELECT e.id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.id
+                           ORDER BY list_cosine_similarity(e.v, c.ce) DESC, c.cid) AS rn
+                FROM e CROSS JOIN cent c
+            ), cells AS (
+                SELECT id, v, cid AS cell FROM asg WHERE rn = 1
+            ), pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                FROM cells a JOIN cells b USING (cell)
+                WHERE a.id < b.id
+            ), dups AS (
+                SELECT id_b AS id, min(id_a) AS dup_of
+                FROM pairs WHERE cos >= 0.95::DOUBLE GROUP BY 1
+            )
+            SELECT e.id AS vec_id, d.dup_of, d.dup_of IS NULL AS keep
+            FROM e LEFT JOIN dups d USING (id)
+        """,
         # session_window semantics: merge on window OVERLAP, so a gap
         # EXACTLY equal to 30 min starts a new session (>=, unlike the lag
         # formulation's strict >); end = last event + gap
@@ -6310,5 +6392,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(f.n_bigrams, 0)::BIGINT AS n_bigrams,
                    coalesce(f.log_weight, 0.0) AS log_weight
             FROM documents d LEFT JOIN folded f USING (doc_id)
+        """,
+        "evt_scd2": """
+            -- Type-2 SCD restated: same-instant dedup to the greatest
+            -- attr struct, change-only version opens, lead() interval
+            -- chaining. Integer-µs bounds — no float playbook needed.
+            WITH snap AS (
+                SELECT user_id AS _k, ts AS _ts, max(event_type) AS et
+                FROM events GROUP BY 1, 2
+            ), chg AS (
+                SELECT _k, _ts, et
+                FROM (SELECT _k, _ts, et,
+                             lag(et) OVER (PARTITION BY _k ORDER BY _ts) AS pet,
+                             lag(_ts) OVER (PARTITION BY _k ORDER BY _ts) AS pts
+                      FROM snap)
+                WHERE pts IS NULL OR et <> pet
+            )
+            SELECT _k AS user_id,
+                   row_number() OVER (PARTITION BY _k ORDER BY _ts)::BIGINT AS version,
+                   et AS event_type,
+                   epoch_us(_ts) AS valid_from_us,
+                   epoch_us(lead(_ts) OVER (PARTITION BY _k ORDER BY _ts)) AS valid_to_us,
+                   lead(_ts) OVER (PARTITION BY _k ORDER BY _ts) IS NULL AS is_current
+            FROM chg
         """,
     }

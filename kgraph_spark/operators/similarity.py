@@ -388,30 +388,46 @@ def pq_topk(
     sum_s lut[s][code[s]] via element_at on literal arrays. Items' raw
     vectors are never read at query time; the only shuffle is the per-probe
     top-k. Probes are collected by contract (the handful of query vectors —
-    same stance as brute_force_topk's broadcast). Compose with IVF cells to
-    prune the scan at scale (IVF-PQ)."""
+    same stance as brute_force_topk's broadcast). All probe LUTs ride ONE
+    broadcast table joined onto a SINGLE codes scan — the previous per-probe
+    union of scan branches re-evaluated the whole encode expression tree
+    once per probe, making pq_topk P× the cost of the scan it reads.
+    Compose with IVF cells to prune the scan at scale (IVF-PQ)."""
     m = len(codebooks)
+    w_sub = len(codebooks[0][0][1])
     rows = probes.select(probe_id_col, vec_col).collect()
     from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    out = None
-    for prow in rows:
-        pid, pvec = prow[0], [float(x) for x in prow[1]]
-        w_sub = len(codebooks[0][0][1])
-        dist = None
-        for s, cb in enumerate(codebooks):
-            lut = [ _l2_py(pvec[s * w_sub : (s + 1) * w_sub], cvec) for _, cvec in cb ]
-            term = F.element_at(
-                F.array(*[F.lit(d) for d in lut]), F.col("code")[s] + 1
-            )
-            dist = term if dist is None else dist + term
-        scored = codes.select(
-            F.lit(pid).alias(probe_id_col), F.col(id_col), dist.alias("adist")
+    lut_rows = [
+        (
+            prow[0],
+            [
+                [_l2_py([float(x) for x in prow[1]][s * w_sub : (s + 1) * w_sub], cvec) for _, cvec in cb]
+                for s, cb in enumerate(codebooks)
+            ],
         )
-        out = scored if out is None else out.unionByName(scored)
+        for prow in rows
+    ]
+    lut_schema = StructType(
+        [
+            StructField(probe_id_col, probes.schema[probe_id_col].dataType, False),
+            StructField("_lut", ArrayType(ArrayType(DoubleType(), False), False), False),
+        ]
+    )
+    lut_df = codes.sparkSession.createDataFrame(lut_rows, lut_schema)
+    # left-to-right term sum: identical IEEE association order to the LUT
+    # builder and the SQL oracle's ordered list_sum
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.element_at(F.col("_lut"), s + 1), F.col("code")[s] + 1)
+        dist = term if dist is None else dist + term
+    scored = codes.crossJoin(F.broadcast(lut_df)).select(
+        probe_id_col, F.col(id_col), dist.alias("adist")
+    )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("adist").asc(), F.col(id_col).asc())
     return (
-        out.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(probe_id_col, id_col, "adist", "rank")
     )
@@ -464,6 +480,55 @@ def ivf_topk(
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    items: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): items are
+    k-means-clustered (assign_cells — codebook rides the expression, items
+    never shuffle for assignment), pairwise cosine runs ONLY within a cell,
+    and an item is dropped when a LOWER-id cell-mate sits at rounded cosine
+    ≥ threshold. Returns one row per item: (id, dup_of, keep) where dup_of
+    is the smallest such lower-id neighbor (NULL ⇒ kept).
+
+    Determinism discipline: the keep decision is made on the ROUND(cos,
+    round_to) value, so engines differing by summation-order ulps agree;
+    min-id winner election needs no float at all. The cell equi-join bounds
+    pair work to Σ|cell|² — the same blast-radius contract as the LSH
+    bucket joins (dedup_text.py); at 100 TB you size the codebook so cells
+    stay ~10⁴-10⁵ rows and write the corpus bucketed by cell so the self-
+    join is shuffle-free. Unlike the paper (keeps the point farthest from
+    the centroid), winner = smallest id — replayable and SQL-restatable;
+    the keep-rule seam is the one-line struct in the min aggregate."""
+    a = assign_cells(items, centroids, vec_col).select(
+        "cell", F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    left = a.select("cell", F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    right = a.select("cell", F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    close = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("_va"), F.col("_vb")), round_to).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+    )
+    dups = close.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        items.select(id_col)
+        .join(dups, id_col, "left")
+        .select(id_col, "dup_of", F.col("dup_of").isNull().alias("keep"))
+    )
 
 
 def blocked_pair_similarity(

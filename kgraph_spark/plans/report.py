@@ -845,6 +845,35 @@ def main() -> None:
         ["HashAggregate", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ))
 
+    scd2_plan = _plan(entrymod.queries()["evt_scd2"](spark, SF))
+    one_exchange = scd2_plan.count("hashpartitioning") == 1
+    sections.append((
+        "SCD2 dimension build — ONE key exchange total: instant-dedup is a "
+        "window (not a (key,ts) groupBy, which would add a second "
+        "exchange); change-detect + interval-chain windows reuse it "
+        f"[single-hashpartitioning check: {'pass' if one_exchange else 'FAIL'}]",
+        scd2_plan,
+        ["hashpartitioning(_k", "!HashAggregate"] + ([] if one_exchange else ["IMPOSSIBLE"]),
+    ))
+
+    sections.append((
+        "Semantic dedup (SemDeDup) — pair generation is a cell EQUI-join "
+        "(SortMergeJoin/ShuffledHashJoin on cell), never an all-pairs "
+        "product; centroid assignment rides the expression (no shuffle "
+        "before the cell join)",
+        _plan(entrymod.queries()["semantic_dedup"](spark, SF)),
+        ["!CartesianProduct", "!BroadcastNestedLoopJoin", "Left keys [1]: [cell"],
+    ))
+
+    sections.append((
+        "PQ ADC top-k — ONE codes scan joined to a BROADCAST probe-LUT "
+        "table (the per-probe union-of-scans would re-run the encode "
+        "expression P times); distance is element_at into the broadcast "
+        "LUT, the only shuffle is the per-probe top-k window",
+        _plan(entrymod.queries()["pq_topk"](spark, SF)),
+        ["BroadcastNestedLoopJoin", "!Union", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

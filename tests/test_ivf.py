@@ -208,3 +208,37 @@ def test_embedding_dispersion_tight_vs_diffuse(spark):
     # orthogonal pair vs centroid (.5,.5): cos = 1/sqrt(2) each
     assert abs(got[1]["mean_cosine"] - 0.707107) < 1e-6
     assert got[1]["n_vectors"] == 2
+
+
+def test_semantic_dedup_drops_cell_mates_above_threshold(spark):
+    from kgraph_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal clusters; ids 1/2/3 near-identical, 10 orthogonal,
+    # 11 a near-copy of 10
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.998, 0.02, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.999, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+    out = {r["vec_id"]: r for r in semantic_dedup(df, cents, 0.99).collect()}
+    assert out[1]["keep"] and out[1]["dup_of"] is None
+    assert not out[2]["keep"] and out[2]["dup_of"] == 1
+    assert not out[3]["keep"] and out[3]["dup_of"] == 1   # smallest neighbor
+    assert out[10]["keep"]
+    assert not out[11]["keep"] and out[11]["dup_of"] == 10
+
+
+def test_semantic_dedup_cross_cell_pairs_never_compared(spark):
+    from kgraph_spark.operators.similarity import semantic_dedup
+
+    # identical vectors forced into different cells by construction:
+    # centroids equal to each vector, so each is its own cell → both kept
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = {r["vec_id"]: r["keep"] for r in semantic_dedup(df, cents, 0.0).collect()}
+    assert out == {1: True, 2: True}

@@ -258,3 +258,48 @@ def test_user_lifecycle_gaps_and_days(spark):
     assert got[1]["n_active_days"] == 3
     assert got[1]["max_gap_days"] == 4
     assert got[2]["n_active_days"] == 1 and got[2]["max_gap_days"] == 0
+
+
+def test_scd2_versions_open_only_on_change(spark):
+    from kgraph_spark.operators.temporal import scd2_build
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", _t(1), "view"),
+            ("u1", _t(2), "view"),      # duplicate attrs: absorbed
+            ("u1", _t(3), "click"),     # change: version 2
+            ("u1", _t(4), "click"),
+            ("u1", _t(5), "view"),      # change back: version 3
+            ("u2", _t(7), "buy"),       # single version, current
+        ],
+        "user_id string, ts timestamp, event_type string",
+    )
+    out = {
+        (r["user_id"], r["version"]): r
+        for r in scd2_build(ev, key_col="user_id").collect()
+    }
+    assert len(out) == 4
+    v1, v2, v3 = out[("u1", 1)], out[("u1", 2)], out[("u1", 3)]
+    assert (v1["event_type"], v2["event_type"], v3["event_type"]) == (
+        "view", "click", "view",
+    )
+    # intervals chain half-open: valid_to of version n = valid_from of n+1
+    assert v1["valid_to_us"] == v2["valid_from_us"]
+    assert v2["valid_to_us"] == v3["valid_from_us"]
+    assert v3["valid_to_us"] is None and v3["is_current"]
+    assert not v1["is_current"] and not v2["is_current"]
+    u2 = out[("u2", 1)]
+    assert u2["is_current"] and u2["valid_to_us"] is None
+
+
+def test_scd2_same_instant_tie_takes_greatest_struct(spark):
+    from kgraph_spark.operators.temporal import scd2_build
+
+    ev = spark.createDataFrame(
+        [("u1", _t(1), "aaa"), ("u1", _t(1), "zzz"), ("u1", _t(2), "zzz")],
+        "user_id string, ts timestamp, event_type string",
+    )
+    rows = scd2_build(ev, key_col="user_id").collect()
+    # instant dedup keeps 'zzz'; the t2 'zzz' row is then a non-change
+    assert len(rows) == 1
+    assert rows[0]["event_type"] == "zzz" and rows[0]["version"] == 1
