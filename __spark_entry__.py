@@ -507,6 +507,76 @@ def q_evt_scd2(spark, sf_dir):
     )
 
 
+def q_evt_grid_fill(spark, sf_dir):
+    """Gap-free per-(user, hour) value series with forward fill: per-user
+    sequence() grid, round-6 fixed-point observed sums, last(ignorenulls)
+    running fill — the resample/ffill pre-step for as-of joins."""
+    from kgraph_spark.operators.event_analytics import time_grid_fill
+
+    return time_grid_fill(_read(spark, sf_dir, "events"))
+
+
+def q_evt_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (ties break on event_id); probs row-normalize each from_type — the
+    one float op is an exact-integer division."""
+    from kgraph_spark.operators.event_analytics import transition_matrix
+
+    return transition_matrix(_read(spark, sf_dir, "events"))
+
+
+def q_d8_cluster_metrics(spark, sf_dir):
+    """Canonicalization QA gate: pairwise P/R/F1 of a DEGRADED D8
+    clustering (connected components with the nation→region authority
+    edges dropped for odd regions — the 'what did losing authority links
+    cost' experiment) against the gold region clustering. Dropping edges
+    only splits clusters, so precision stays 1.0 and recall quantifies the
+    damage. The oracle restates the degraded components in closed form
+    (even region → region-wide min id; odd region → per-nation min id)
+    and re-derives the exact contingency arithmetic."""
+    from kgraph_spark.operators.canonicalize import connected_components
+    from kgraph_spark.operators.eval_metrics import cluster_pair_metrics
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    nid = F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+    e1 = cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        cid.alias("src"), nid.alias("dst")
+    )
+    e2 = nation.filter(F.col("n_regionkey") % 2 == 0).select(
+        nid.alias("src"), rid.alias("dst")
+    )
+    pred = connected_components(e1.union(e2).distinct()).select(
+        F.col("id").alias("item_id"), F.col("component").alias("pred_cluster")
+    )
+    gold = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(cid.alias("item_id"), rid.alias("gold_cluster"))
+        .unionByName(nation.select(nid.alias("item_id"), rid.alias("gold_cluster")))
+        .unionByName(
+            nation.select(rid.alias("item_id"), rid.alias("gold_cluster")).distinct()
+        )
+    )
+    return cluster_pair_metrics(pred, gold)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count: the bounded-memory register sketch
+    (p=8, 256 registers from md5-prefix 60-bit hashes), its harmonic-mean
+    estimate (exact-integer denominator — no float-sum order dependence),
+    and the exact distinct alongside for context. The oracle rebuilds the
+    identical sketch and estimate in SQL, so the float estimate matches
+    to the final round(…, 2), not just approximately."""
+    from kgraph_spark.operators.sketches import hll_estimate, hll_sketch
+
+    ev = _read(spark, sf_dir, "events")
+    est = hll_estimate(hll_sketch(ev, "event_id"))
+    exact = ev.agg(F.count_distinct("event_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 def q_oov_rate(spark, sf_dir):
     """Corpus-aware OOV rate per doc: fraction of token occurrences whose
     type appears in < 2 documents — the cross-document gibberish signal
@@ -2862,6 +2932,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_norm_scores": q_evt_norm_scores,
         "evt_user_lifecycle": q_evt_user_lifecycle,
         "evt_scd2": q_evt_scd2,
+        "evt_grid_fill": q_evt_grid_fill,
+        "evt_transitions": q_evt_transitions,
+        "hll_distinct": q_hll_distinct,
+        "d8_cluster_metrics": q_d8_cluster_metrics,
         "oov_rate": q_oov_rate,
         "graph_assortativity": q_graph_assortativity,
         "kg_diff": q_kg_diff,
@@ -6415,5 +6489,122 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(lead(_ts) OVER (PARTITION BY _k ORDER BY _ts)) AS valid_to_us,
                    lead(_ts) OVER (PARTITION BY _k ORDER BY _ts) IS NULL AS is_current
             FROM chg
+        """,
+        "evt_grid_fill": """
+            -- per-user hour grid via range(); observed sums in round-6
+            -- fixed-point longs (order-free); ffill = last_value IGNORE
+            -- NULLS running window
+            WITH h AS (
+                SELECT user_id AS u,
+                       epoch_us(ts::TIMESTAMP) // 3600000000 AS b,
+                       round(sum(round(value * 1000000, 0)::BIGINT) / 1000000.0, 6) AS obs
+                FROM events GROUP BY 1, 2
+            ), s AS (
+                SELECT u, min(b) AS lo, max(b) AS hi FROM h GROUP BY 1
+            ), g AS (
+                SELECT u, unnest(range(lo, hi + 1)) AS b FROM s
+            ), j AS (
+                SELECT g.u, g.b, h.obs FROM g LEFT JOIN h USING (u, b)
+            )
+            SELECT u AS user_id, b * 3600000000 AS bucket_start_us,
+                   last_value(obs IGNORE NULLS) OVER (
+                       PARTITION BY u ORDER BY b ROWS UNBOUNDED PRECEDING
+                   ) AS value_filled,
+                   obs IS NOT NULL AS is_observed
+            FROM j
+        """,
+        "evt_transitions": """
+            WITH p AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, count(*)::BIGINT AS n_transitions,
+                   round(count(*) / (sum(count(*)) OVER (
+                       PARTITION BY from_type))::DOUBLE, 6) AS prob
+            FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        """,
+        "hll_distinct": """
+            -- HLL rebuilt exactly: 60-bit md5-prefix hash, register = low
+            -- 8 bits, rho = 53 - digits(bin(w)); harmonic denominator as
+            -- exact 2^(53-rho) longs; alpha literal = the same double
+            WITH h AS (
+                SELECT ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS hv
+                FROM events
+            ), rr AS (
+                SELECT hv & 255 AS register,
+                       max(53 - length(ltrim(bin(hv >> 8), '0'))) AS max_rho
+                FROM h GROUP BY 1
+            ), agg AS (
+                SELECT sum(1::BIGINT << (53 - max_rho))::BIGINT AS obs,
+                       count(*)::BIGINT AS n_registers
+                FROM rr
+            ), est AS (
+                SELECT n_registers,
+                       0.7182725932495458::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE /
+                           (obs + (256 - n_registers) * (1::BIGINT << 53))::DOUBLE AS raw,
+                       256 - n_registers AS empty
+                FROM agg
+            )
+            SELECT 256::BIGINT AS m, n_registers,
+                   round(CASE WHEN raw <= 640.0 AND empty > 0
+                              THEN 256.0 * ln(256.0 / empty::DOUBLE)
+                              ELSE raw END, 2) AS estimate,
+                   (SELECT count(DISTINCT event_id) FROM events)::BIGINT AS exact_distinct
+            FROM est
+        """,
+        "d8_cluster_metrics": """
+            -- degraded-D8 components in closed form: even region -> the
+            -- region-wide min node id; odd region -> per-nation min id
+            -- (odd R nodes and customer-less odd N nodes never enter the
+            -- degraded edge set). Pairwise P/R/F1 from exact C(n,2) sums.
+            WITH members AS (
+                SELECT 'C' || c_custkey::VARCHAR AS id,
+                       CASE WHEN n_regionkey % 2 = 0
+                            THEN 'R' || n_regionkey::VARCHAR
+                            ELSE 'N' || n_nationkey::VARCHAR END AS gkey,
+                       'R' || n_regionkey::VARCHAR AS gold
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'N' || n_nationkey::VARCHAR,
+                       CASE WHEN n_regionkey % 2 = 0
+                            THEN 'R' || n_regionkey::VARCHAR
+                            ELSE 'N' || n_nationkey::VARCHAR END,
+                       'R' || n_regionkey::VARCHAR
+                FROM nation
+                WHERE n_regionkey % 2 = 0
+                   OR EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+                UNION ALL
+                SELECT 'R' || n_regionkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR
+                FROM (SELECT DISTINCT n_regionkey FROM nation WHERE n_regionkey % 2 = 0)
+            ), pred AS (
+                SELECT id, min(id) OVER (PARTITION BY gkey) AS p, gold AS g
+                FROM members
+            ), cells AS (
+                SELECT p, g, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+            ), tot AS (
+                SELECT sum(n * (n - 1) // 2)::BIGINT AS pairs_both,
+                       sum(n)::BIGINT AS n_items
+                FROM cells
+            ), pp AS (
+                SELECT sum(a * (a - 1) // 2)::BIGINT AS pairs_pred
+                FROM (SELECT sum(n) AS a FROM cells GROUP BY p)
+            ), gg AS (
+                SELECT sum(b * (b - 1) // 2)::BIGINT AS pairs_gold
+                FROM (SELECT sum(n) AS b FROM cells GROUP BY g)
+            )
+            SELECT n_items, pairs_pred, pairs_gold, pairs_both,
+                   CASE WHEN pairs_pred > 0
+                        THEN round(pairs_both / pairs_pred::DOUBLE, 6) END AS pair_precision,
+                   CASE WHEN pairs_gold > 0
+                        THEN round(pairs_both / pairs_gold::DOUBLE, 6) END AS pair_recall,
+                   CASE WHEN pairs_pred + pairs_gold > 0
+                        THEN round(2 * pairs_both / (pairs_pred + pairs_gold)::DOUBLE, 6)
+                        END AS pair_f1
+            FROM tot, pp, gg
         """,
     }

@@ -1,0 +1,87 @@
+"""Clustering-quality metrics for the canonicalization stage — the QA
+gate a KG-construction pipeline runs when it changes ANY dedup knob
+(thresholds, blocking, authority links) and needs to know what happened
+to entity-merge quality before promoting (reference kgraph's merge logic:
+dedup.py — here the evaluation of its output, which the reference leaves
+to eyeballing).
+
+Pairwise precision/recall over clusterings (the standard entity-resolution
+metric): a pair of items is a predicted match when both sit in the same
+predicted cluster, a true match when both share a gold cluster.
+
+    precision = |pairs in both| / |predicted pairs|
+    recall    = |pairs in both| / |gold pairs|
+    F1        = 2·|both| / (|pred| + |gold|)   (harmonic identity — ONE
+                integer division, no compounding of rounded P and R)
+
+Everything accumulates as exact integers (C(n,2) per contingency cell via
+n·(n−1) div 2 — always even, so integer division is exact); the only
+float ops are three final divisions of exact longs. The heavy lifting is
+ONE groupBy over the item table (the contingency cells); every later
+aggregate runs on |pred-clusters × gold-clusters| cells, not items. At
+100 TB the item join shuffles once on item id and a hot cluster costs its
+row count — pair counts are ARITHMETIC on cell sizes, pairs are never
+materialized."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_pair_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """One row: (n_items, pairs_pred, pairs_gold, pairs_both,
+    pair_precision, pair_recall, pair_f1). Items present in only one of
+    the two frames are dropped (inner join) — evaluate on the common
+    universe. Degenerate denominators yield NULL, not a crash."""
+    j = pred.select(
+        F.col(item_col).alias("_i"), F.col(pred_col).alias("_p")
+    ).join(
+        gold.select(F.col(item_col).alias("_i"), F.col(gold_col).alias("_g")),
+        "_i",
+    )
+    cells = j.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("_n"))
+    both = cells.agg(
+        F.sum(F.expr("_n * (_n - 1) div 2")).cast("long").alias("pairs_both"),
+        F.sum("_n").cast("long").alias("n_items"),
+    )
+    predp = (
+        cells.groupBy("_p")
+        .agg(F.sum("_n").alias("_a"))
+        .agg(F.sum(F.expr("_a * (_a - 1) div 2")).cast("long").alias("pairs_pred"))
+    )
+    goldp = (
+        cells.groupBy("_g")
+        .agg(F.sum("_n").alias("_b"))
+        .agg(F.sum(F.expr("_b * (_b - 1) div 2")).cast("long").alias("pairs_gold"))
+    )
+    out = both.crossJoin(predp).crossJoin(goldp)
+    prec = F.when(
+        F.col("pairs_pred") > 0, F.round(F.col("pairs_both") / F.col("pairs_pred"), 6)
+    )
+    rec = F.when(
+        F.col("pairs_gold") > 0, F.round(F.col("pairs_both") / F.col("pairs_gold"), 6)
+    )
+    f1 = F.when(
+        (F.col("pairs_pred") + F.col("pairs_gold")) > 0,
+        F.round(
+            (F.lit(2) * F.col("pairs_both"))
+            / (F.col("pairs_pred") + F.col("pairs_gold")),
+            6,
+        ),
+    )
+    return out.select(
+        "n_items",
+        "pairs_pred",
+        "pairs_gold",
+        "pairs_both",
+        prec.alias("pair_precision"),
+        rec.alias("pair_recall"),
+        f1.alias("pair_f1"),
+    )

@@ -1,0 +1,111 @@
+"""Event-series analytics over a raw event stream — the query family a
+training-data platform runs on its OWN telemetry and on any interaction
+log that becomes training data. Two operators (funnel/retention live in
+temporal.py), each formulated for the minimum shuffle count:
+
+* time-grid forward fill — per-(user, hour) gap-free series: hour grid
+  generated with sequence() per user (explode bounded by span, not by
+  corpus), observed sums in round-6 FIXED-POINT longs (float sliding sums
+  are association-order-dependent across engines — temporal.rolling_stats
+  lesson), fill via last(ignorenulls) running window.
+* transition matrix — first-order Markov transitions from per-user lead()
+  pairs; row-normalized probabilities divide two exact integers, so the
+  only float op is one division (identical IEEE in any engine).
+
+At 100 TB every operator moves each event row through at most one user-
+keyed exchange plus one bounded aggregate; a hot user costs its own row
+count, never a pair count. No reference twin (wware/kgraph has no event
+analytics) — this is the beyond-reference family J addendum (COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_grid_fill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Gap-free per-(user, bucket) value series with forward fill — the
+    resample/ffill step a feature pipeline runs before any as-of join or
+    rolling window. Each user's grid spans their own [first, last] bucket
+    (sequence + explode — grid size bounded by the user's span, never by
+    the corpus or the global time range); missing buckets carry the last
+    observed sum forward. Returns (user_id, bucket_start_us, value_filled,
+    is_observed); value_filled is NULL only before a user's first
+    observation (can't happen here — grids start at an observed bucket).
+
+    Observed sums accumulate as round-6 fixed-point longs (order-free
+    integer addition; a float sum's association order differs per engine —
+    the rolling_stats lesson), divided back out once. The fill itself is a
+    last(ignorenulls) running window — no arithmetic, so forwarded values
+    are bit-identical to their source."""
+    us_per_bucket = bucket_seconds * 1_000_000
+    b = (F.unix_micros(F.col(ts_col).cast("timestamp")) / us_per_bucket).cast("long")
+    units = F.round(F.col(value_col) * 1000000, 0).cast("long")
+    hourly = (
+        events.select(F.col(user_col).alias("_u"), b.alias("_b"), units.alias("_v"))
+        .groupBy("_u", "_b")
+        .agg(F.round(F.sum("_v") / 1000000.0, 6).alias("_obs"))
+    )
+    span = hourly.groupBy("_u").agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi"))
+    grid = span.select("_u", F.explode(F.sequence("_lo", "_hi")).alias("_b"))
+    joined = grid.join(hourly, ["_u", "_b"], "left")
+    w = (
+        Window.partitionBy("_u")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("_u").alias(user_col),
+        (F.col("_b") * us_per_bucket).alias("bucket_start_us"),
+        F.last("_obs", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("_obs").isNotNull().alias("is_observed"),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    (from_type, to_type, n_transitions, prob) where prob row-normalizes
+    each from_type (round 6; the division is the only float op — both
+    engines divide the same two exact integers). Ordering ties on equal
+    timestamps break by order_col, so the pairing replays identically
+    under any arrival order.
+
+    One user exchange builds the lead() pairs; the count aggregate and the
+    tiny per-from_type normalization window run over |type|² rows, not
+    event rows."""
+    w = Window.partitionBy("_u").orderBy(F.col("_ts").asc(), F.col("_o").asc())
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(order_col).alias("_o"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wt), 6
+        ).alias("prob"),
+    )

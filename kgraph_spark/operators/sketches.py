@@ -85,3 +85,89 @@ def cms_heavy_hitters(
         est.filter(F.col("estimate") >= min_count)
         .select("key", "exact", "estimate", (F.col("estimate") - F.col("exact")).cast("long").alias("overcount"))
     )
+
+
+def hll_sketch(df: DataFrame, key_col: str, p: int = 8) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): (register,
+    max_rho), one row per OBSERVED register (≤ m = 2^p rows regardless of
+    input size — like cms_sketch, the shuffle carries a bounded counter
+    table, never per-key state).
+
+    Determinism discipline: the 60-bit hash is the md5-prefix integer the
+    repo uses everywhere (15 hex chars → always-positive long, identical
+    in Spark via conv() and DuckDB via ('0x'||…)::BIGINT); register = low
+    p bits, rho = leading-zero rank of the remaining (60−p)-bit word,
+    computed as width+1 − digits(bin(w)) with TRIM(LEADING '0') so both
+    engines agree on w = 0 (rho = width+1). The whole sketch — hence every
+    estimate and every merge — is bit-identical across engines and
+    partitionings; the oracle rebuilds it exactly in SQL.
+
+    Merging (cross-batch, cross-stream, cross-partition) is register-wise
+    MAX — see merge_hll; this is what makes HLL the right distinct-count
+    structure at 100 TB: count once per partition, merge m integers."""
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+    m = 1 << p
+    width = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = df.select(
+        h.bitwiseAND(m - 1).cast("long").alias("register"),
+        F.shiftright(h, p).alias("_w"),
+    )
+    rho = F.lit(width + 1) - F.length(F.expr("TRIM(LEADING '0' FROM bin(_w))"))
+    return (
+        staged.select("register", rho.cast("int").alias("_rho"))
+        .groupBy("register")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def merge_hll(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Register-wise MAX union of two HLL sketches built with the same p —
+    the streaming/incremental twin (the merge_cms pattern): a stream
+    folds each micro-batch's sketch onto the persisted one; the result is
+    bit-equal to the one-shot sketch over the unioned input."""
+    return (
+        base.unionByName(delta)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """One-row cardinality estimate from an hll_sketch register table:
+    (m, n_registers, estimate). The harmonic-mean denominator accumulates
+    as EXACT integers — each 2^-rho term scales to the long 1 << (s−rho)
+    with s = 61−p (max rho is s, so terms ∈ [1, 2^(s−1)] and the sum is
+    ≤ 2^61 — no overflow, no float-summation order dependence); empty
+    registers contribute 2^s each. The only float ops are one fixed-shape
+    multiply/divide chain (and the standard small-range ln correction when
+    it applies) on exact integers — engine-identical, so the estimate is
+    oracle-able to the last bit before the final round(…, 2)."""
+    m = 1 << p
+    s = 61 - p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    agg = registers.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - max_rho)")).alias("_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+    )
+    z_scaled = (
+        F.col("_obs")
+        + (F.lit(m) - F.col("n_registers")) * F.lit(1 << s).cast("long")
+    ).cast("double")
+    raw = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << s)) / z_scaled
+    empty = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_registers",
+        F.round(est, 2).alias("estimate"),
+    )

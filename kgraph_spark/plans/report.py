@@ -874,6 +874,48 @@ def main() -> None:
         ["BroadcastNestedLoopJoin", "!Union", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Time-grid forward fill — per-user sequence() grid (explode "
+        "bounded by user span, not corpus); fixed-point observed sums; "
+        "fill is a running last(ignorenulls) window, no re-aggregation",
+        _plan(entrymod.queries()["evt_grid_fill"](spark, SF)),
+        ["explode(sequence", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Markov transition matrix — ONE user exchange for lead() pairing; "
+        "the count aggregate and |type|² normalization window never touch "
+        "event-scale data again",
+        _plan(entrymod.queries()["evt_transitions"](spark, SF)),
+        ["hashpartitioning(_u", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "HyperLogLog sketch + estimate — ONE partial/final hash aggregate "
+        "whose result is ≤ 256 register rows at ANY input size; the "
+        "estimate is a single-row reduce; no join, no window over the "
+        "corpus",
+        _plan(entrymod.queries()["hll_distinct"](spark, SF)),
+        ["HashAggregate", "!Window", "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
+    from kgraph_spark.operators.eval_metrics import cluster_pair_metrics
+
+    pm_pred = spark.range(2000).selectExpr(
+        "CAST(id AS STRING) AS item_id", "CAST(id % 37 AS STRING) AS pred_cluster"
+    )
+    pm_gold = spark.range(2000).selectExpr(
+        "CAST(id AS STRING) AS item_id", "CAST(id % 11 AS STRING) AS gold_cluster"
+    )
+    sections.append((
+        "Pairwise clustering P/R/F1 — one item-keyed join + one groupBy to "
+        "contingency cells; every pair count is arithmetic on cell sizes "
+        "(C(n,2) as exact integers) — pairs are NEVER materialized, no "
+        "self-join on items",
+        _plan(cluster_pair_metrics(pm_pred, pm_gold)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
