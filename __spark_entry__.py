@@ -562,6 +562,24 @@ def q_d8_cluster_metrics(spark, sf_dir):
     return cluster_pair_metrics(pred, gold)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Morton (z-order) layout keys over (user_id, hour): the exact
+    integer quantize-and-interleave that makes per-file min/max stats
+    selective in BOTH dimensions (Delta OPTIMIZE ZORDER / Iceberg
+    z-ordered rewrite equivalent — write_zordered does the range-cluster;
+    this query oracles the key math itself, pure JVM bit ops)."""
+    from kgraph_spark.operators.layout import zorder_key
+
+    ev = _read(spark, sf_dir, "events")
+    hour = (F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000).cast(
+        "long"
+    )
+    base = ev.select(
+        "event_id", F.col("user_id").cast("long").alias("u"), hour.alias("h")
+    )
+    return zorder_key(base, ["u", "h"], bits=16).select("event_id", "z_key")
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count: the bounded-memory register sketch
     (p=8, 256 registers from md5-prefix 60-bit hashes), its harmonic-mean
@@ -2936,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_transitions": q_evt_transitions,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
+        "zorder_layout": q_zorder_layout,
         "oov_rate": q_oov_rate,
         "graph_assortativity": q_graph_assortativity,
         "kg_diff": q_kg_diff,
@@ -3381,6 +3400,12 @@ def oracle_sql() -> dict[str, str]:
     banded_union = "\n                UNION ALL\n".join(
         f"                SELECT id, v, {b} AS band, ({_band_bucket_sql(b)})::BIGINT AS bucket FROM e"
         for b in range(6)
+    )
+    # Morton interleave: column 0 (u) owns even bit positions, column 1
+    # (h) odd — the same fold zorder_key builds as JVM shifts
+    morton_2x16 = " + ".join(
+        f"(((qu >> {b}) & 1) << {2 * b}) + (((qh >> {b}) & 1) << {2 * b + 1})"
+        for b in range(16)
     )
     return {
         "kg_pipeline_triples": kg_pipeline_oracle,
@@ -6554,6 +6579,26 @@ def oracle_sql() -> dict[str, str]:
                               ELSE raw END, 2) AS estimate,
                    (SELECT count(DISTINCT event_id) FROM events)::BIGINT AS exact_distinct
             FROM est
+        """,
+        "zorder_layout": f"""
+            -- exact integer quantization + Morton interleave, restated
+            -- with DuckDB bit ops (// floor-div == Spark's div: both
+            -- operands non-negative by the greatest() clamp)
+            WITH base AS (
+                SELECT event_id, user_id::BIGINT AS u,
+                       epoch_us(ts::TIMESTAMP) // 3600000000 AS h
+                FROM events
+            ), bnd AS (
+                SELECT min(u) AS ulo, max(u) AS uhi,
+                       min(h) AS hlo, max(h) AS hhi
+                FROM base
+            ), q AS (
+                SELECT event_id,
+                       least(greatest(u - ulo, 0) * 65535 // (uhi - ulo), 65535) AS qu,
+                       least(greatest(h - hlo, 0) * 65535 // (hhi - hlo), 65535) AS qh
+                FROM base, bnd
+            )
+            SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
         """,
         "d8_cluster_metrics": """
             -- degraded-D8 components in closed form: even region -> the

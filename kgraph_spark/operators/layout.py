@@ -1,0 +1,102 @@
+"""Data layout for multi-dimensional skipping: Z-ORDER (Morton) keys.
+
+At 100 TB the cheapest scan is the one that never reads the file: parquet
+(and Iceberg/Delta) keep per-file column min/max, and a range-clustered
+layout makes those stats selective. A single-column sort only helps
+predicates on that column; interleaving the bits of SEVERAL quantized
+columns (the Morton curve) keeps files narrow in EVERY interleaved
+dimension at once — the same technique Delta OPTIMIZE ZORDER BY and
+Iceberg's z-ordered rewrites apply. This module builds the key with pure
+JVM integer expressions (no UDF) and writes with repartitionByRange +
+sortWithinPartitions, so the only data movement is one range exchange.
+
+Determinism discipline: quantization is EXACT integer arithmetic —
+q = (x − lo) · (2^bits − 1) div (hi − lo) — and the bit interleave is a
+fixed fold of shifts/masks, so the key (and therefore the layout and the
+SQL oracle) is engine- and partitioning-identical. Bounds come either
+from the caller (at scale: yesterday's table stats — one metadata read)
+or from one tiny global min/max aggregate (2 longs per column)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    bounds: dict[str, tuple[int, int]] | None = None,
+    key_name: str = "z_key",
+) -> DataFrame:
+    """Adds `key_name`: the Morton interleave of the `bits`-bit integer
+    quantizations of `cols` (column i owns bit positions b·ncols+i).
+    Columns must be integral (cast upstream; for floats, quantize to
+    fixed-point first — the repo-wide float stance). A constant column
+    quantizes to 0 everywhere. bits·len(cols) must fit a long (≤ 62)."""
+    n = len(cols)
+    if n < 1:
+        raise ValueError("need at least one column")
+    if bits * n > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    if bounds is None:
+        row = df.agg(
+            *[F.min(c).cast("long").alias(f"_lo{i}") for i, c in enumerate(cols)],
+            *[F.max(c).cast("long").alias(f"_hi{i}") for i, c in enumerate(cols)],
+        ).collect()[0]
+        bounds = {c: (row[f"_lo{i}"], row[f"_hi{i}"]) for i, c in enumerate(cols)}
+    qmax = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = bounds[c]
+        if hi == lo:
+            continue  # constant column: contributes 0 bits
+        # exact integer scaling; clamp keeps out-of-bounds rows legal
+        q = F.expr(
+            f"CAST(least(greatest(CAST({c} AS BIGINT) - {lo}L, 0L) * {qmax}L"
+            f" div ({hi}L - {lo}L), {qmax}L) AS BIGINT)"
+        )
+        spread = F.lit(0).cast("long")
+        for b in range(bits):
+            spread = spread + F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {b * n + i})"
+            ) * F.shiftright(q, b).bitwiseAND(1)
+        z = z + spread
+    return df.withColumn(key_name, z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 32,
+    bits: int = 16,
+    bounds: dict[str, tuple[int, int]] | None = None,
+) -> None:
+    """Range-cluster on the Morton key and write: ONE range exchange
+    (repartitionByRange samples the key, so files are evenly sized even
+    under key skew) + an in-partition sort that tightens per-page stats.
+    The key column itself is dropped from the files — it's layout, not
+    data; Iceberg's equivalent keeps it in metadata via a sort order."""
+    keyed = zorder_key(df, cols, bits=bits, bounds=bounds)
+    (
+        keyed.repartitionByRange(n_files, F.col("z_key"))
+        .sortWithinPartitions("z_key")
+        .drop("z_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file min/max of `cols` for a parquet directory — the exact
+    numbers a stats-based pruner consults. Used by tests to PROVE the
+    z-order layout skips: for a point predicate, a file prunes when the
+    value falls outside its [min, max]."""
+    df = spark.read.parquet(path).withColumn("_f", F.input_file_name())
+    return df.groupBy("_f").agg(
+        *[F.min(c).alias(f"min_{c}") for c in cols],
+        *[F.max(c).alias(f"max_{c}") for c in cols],
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -916,6 +916,24 @@ def main() -> None:
         ["HashAggregate", "!CartesianProduct"],
     ))
 
+    from kgraph_spark.operators.layout import zorder_key
+
+    zk = zorder_key(
+        spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+            "event_id", "CAST(user_id AS BIGINT) AS u", "CAST(event_id % 97 AS BIGINT) AS h"
+        ),
+        ["u", "h"],
+        bounds={"u": (0, 1000), "h": (0, 96)},
+    ).repartitionByRange(8, "z_key").sortWithinPartitions("z_key")
+    sections.append((
+        "Z-order layout — the Morton key is a pure JVM shift/mask fold "
+        "(whole-stage codegen, no UDF, no join); clustering is ONE "
+        "rangepartitioning exchange + in-partition sort (file-level "
+        "min/max stats become selective in every interleaved dimension)",
+        _plan(zk),
+        ["rangepartitioning(z_key", "!CartesianProduct", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
