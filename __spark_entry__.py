@@ -562,6 +562,56 @@ def q_d8_cluster_metrics(spark, sf_dir):
     return cluster_pair_metrics(pred, gold)
 
 
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of BM25 relevance with a doc-id recency
+    prior (rank-only combination — no score calibration): the standard
+    retrieval mix. Per-list ranks fold to columns on one (query, doc)
+    shuffle; the score is a fixed two-term expression sum of exact-integer
+    reciprocals — oracle-able bit-for-bit."""
+    from pyspark.sql import Window
+
+    from kgraph_spark.operators.relevance import bm25_topk, rrf_fuse
+
+    docs = _read(spark, sf_dir, "documents")
+    qid = F.lit("q1").alias("query_id")
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    r_bm25 = bm25_topk(docs, BM25_TERMS, topk=50).select(
+        qid, "doc_id", F.row_number().over(wb).alias("rank")
+    )
+    wf = Window.orderBy(F.col("doc_id").desc())
+    r_fresh = (
+        docs.select(qid, "doc_id", F.row_number().over(wf).alias("rank"))
+        .filter(F.col("rank") <= 50)
+    )
+    return rrf_fuse(
+        [r_bm25, r_fresh], k0=60, group_col="query_id", item_col="doc_id"
+    )
+
+
+def q_evt_incr_agg(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance: base state over 90%
+    of events, then a changelog (the other 10% as inserts, every
+    event_id%7==3 base row as a delete) refreshed with op-signed
+    arithmetic and one full-outer key merge. The oracle recomputes the
+    post-change aggregate FROM SCRATCH — refresh == recompute, exactly
+    (round-6 fixed-point sums make that equality engine-safe)."""
+    from kgraph_spark.operators.materialize import (
+        init_aggregate,
+        read_aggregate,
+        refresh_aggregate,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    keys = ["user_id", "event_type"]
+    base = init_aggregate(ev.filter(F.col("event_id") % 10 != 0), keys)
+    inserts = ev.filter(F.col("event_id") % 10 == 0).withColumn("op", F.lit(1))
+    deletes = ev.filter(
+        (F.col("event_id") % 10 != 0) & (F.col("event_id") % 7 == 3)
+    ).withColumn("op", F.lit(-1))
+    changelog = inserts.unionByName(deletes).select(*keys, "value", "op")
+    return read_aggregate(refresh_aggregate(base, changelog, keys))
+
+
 def q_zorder_layout(spark, sf_dir):
     """Morton (z-order) layout keys over (user_id, hour): the exact
     integer quantize-and-interleave that makes per-file min/max stats
@@ -2869,6 +2919,45 @@ def q_evt_range_join(spark, sf_dir):
 
 BM25_TERMS = ["join", "filter", "stream", "window"]
 
+# BM25 restatement: every float literal is ::DOUBLE-cast so DuckDB runs
+# IEEE double ops (its bare decimal literals are DECIMAL-typed and would
+# fold 1.2+1.0 exactly, diverging from the Python/Spark doubles); idf and
+# per-term scores rounded to 6, final sum to 4 — the repo float playbook.
+# Module-level so the rrf_fusion oracle can reuse it as a subquery.
+_BM25_ORACLE = """
+            WITH tk AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   t -> length(t) > 0) AS toks
+                FROM documents
+            ), lens AS (
+                SELECT doc_id, len(toks) AS dl FROM tk
+            ), st AS (
+                SELECT count(*)::DOUBLE AS n, round(avg(dl), 6) AS avgdl FROM lens
+            ), m AS (
+                SELECT doc_id, token
+                FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
+                WHERE token IN ('join', 'filter', 'stream', 'window')
+            ), tf AS (
+                SELECT doc_id, token, count(*) AS tf FROM m GROUP BY 1, 2
+            ), idf AS (
+                SELECT token,
+                       round(ln(1.0::DOUBLE + ((SELECT n FROM st) - df + 0.5::DOUBLE)
+                                / (df + 0.5::DOUBLE)), 6) AS idf
+                FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1)
+            ), per AS (
+                SELECT tf.doc_id,
+                       round(idf.idf * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+                             / (tf.tf + 1.2::DOUBLE
+                                * ((1.0::DOUBLE - 0.75::DOUBLE)
+                                   + 0.75::DOUBLE * l.dl / (SELECT avgdl FROM st))), 6) AS s
+                FROM tf JOIN idf USING (token) JOIN lens l ON tf.doc_id = l.doc_id
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_matched, round(sum(s), 4) AS score
+            FROM per GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT 50
+        """
+
 
 def q_bm25_topk(spark, sf_dir):
     """BM25 top-50 for a 4-term query over documents. Model scalars (idf,
@@ -2955,6 +3044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "zorder_layout": q_zorder_layout,
+        "rrf_fusion": q_rrf_fusion,
+        "evt_incr_agg": q_evt_incr_agg,
         "oov_rate": q_oov_rate,
         "graph_assortativity": q_graph_assortativity,
         "kg_diff": q_kg_diff,
@@ -6411,43 +6502,32 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY tfidf DESC, token)::BIGINT AS rank
             FROM s QUALIFY rank <= 5
         """,
-        "bm25_topk": """
-            -- BM25 restatement: every float literal is ::DOUBLE-cast so
-            -- DuckDB runs IEEE double ops (its bare decimal literals are
-            -- DECIMAL-typed and would fold 1.2+1.0 exactly, diverging from
-            -- the Python/Spark doubles); idf and per-term scores rounded
-            -- to 6, final sum to 4 — the repo float playbook
-            WITH tk AS (
+        "bm25_topk": _BM25_ORACLE,
+        "rrf_fusion": f"""
+            -- RRF of BM25 relevance and a doc-id recency prior: per-list
+            -- ranks from a FULL OUTER join of the two top-50 lists; score
+            -- is the fixed two-term sum 1/(60+r0) + 1/(60+r1)
+            WITH b AS (
                 SELECT doc_id,
-                       list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                   t -> length(t) > 0) AS toks
-                FROM documents
-            ), lens AS (
-                SELECT doc_id, len(toks) AS dl FROM tk
-            ), st AS (
-                SELECT count(*)::DOUBLE AS n, round(avg(dl), 6) AS avgdl FROM lens
-            ), m AS (
-                SELECT doc_id, token
-                FROM (SELECT doc_id, unnest(toks) AS token FROM tk)
-                WHERE token IN ('join', 'filter', 'stream', 'window')
-            ), tf AS (
-                SELECT doc_id, token, count(*) AS tf FROM m GROUP BY 1, 2
-            ), idf AS (
-                SELECT token,
-                       round(ln(1.0::DOUBLE + ((SELECT n FROM st) - df + 0.5::DOUBLE)
-                                / (df + 0.5::DOUBLE)), 6) AS idf
-                FROM (SELECT token, count(*) AS df FROM tf GROUP BY 1)
-            ), per AS (
-                SELECT tf.doc_id,
-                       round(idf.idf * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
-                             / (tf.tf + 1.2::DOUBLE
-                                * ((1.0::DOUBLE - 0.75::DOUBLE)
-                                   + 0.75::DOUBLE * l.dl / (SELECT avgdl FROM st))), 6) AS s
-                FROM tf JOIN idf USING (token) JOIN lens l ON tf.doc_id = l.doc_id
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r0
+                FROM ({_BM25_ORACLE})
+            ), f AS (
+                SELECT doc_id, r1 FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY doc_id DESC) AS r1
+                    FROM documents
+                ) WHERE r1 <= 50
+            ), u AS (
+                SELECT coalesce(b.doc_id, f.doc_id) AS doc_id, b.r0, f.r1,
+                       coalesce(1.0::DOUBLE / (60.0::DOUBLE + b.r0), 0.0::DOUBLE)
+                       + coalesce(1.0::DOUBLE / (60.0::DOUBLE + f.r1), 0.0::DOUBLE) AS s
+                FROM b FULL OUTER JOIN f ON b.doc_id = f.doc_id
             )
-            SELECT doc_id, count(*)::BIGINT AS n_matched, round(sum(s), 4) AS score
-            FROM per GROUP BY 1
-            ORDER BY score DESC, doc_id LIMIT 50
+            SELECT 'q1' AS query_id, doc_id,
+                   r0::BIGINT AS rank_0, r1::BIGINT AS rank_1,
+                   round(s, 6) AS rrf_score,
+                   row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT AS fused_rank
+            FROM u
         """,
         "dsir_weights": """
             -- DSIR: md5-prefix bigram buckets (bit-identical hash), add-1/2
@@ -6579,6 +6659,17 @@ def oracle_sql() -> dict[str, str]:
                               ELSE raw END, 2) AS estimate,
                    (SELECT count(DISTINCT event_id) FROM events)::BIGINT AS exact_distinct
             FROM est
+        """,
+        "evt_incr_agg": """
+            -- refresh == recompute: the from-scratch aggregate over the
+            -- post-change corpus (base minus deletes plus inserts).
+            -- %10=0 rows are the inserts; %7=3 base rows were deleted.
+            SELECT user_id, event_type, count(*)::BIGINT AS n,
+                   round(coalesce(sum(round(value * 1000000, 0)::BIGINT), 0)
+                         / 1000000.0, 6) AS value_sum
+            FROM events
+            WHERE event_id % 10 = 0 OR event_id % 7 <> 3
+            GROUP BY 1, 2
         """,
         "zorder_layout": f"""
             -- exact integer quantization + Morton interleave, restated

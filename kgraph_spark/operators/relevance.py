@@ -393,3 +393,66 @@ def normalize_scores(
         robust.alias("robust_norm"),
     ]
     return df.join(stats, df[group_col] == stats["_g"]).select(*cols)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k0: int = 60,
+    group_col: str = "probe_id",
+    item_col: str = "vec_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankings of the
+    same items: score(item) = Σ_i 1/(k0 + rank_i), items missing from a
+    list contribute 0 for it. The standard way a retrieval pipeline
+    combines BM25 with ANN (or any scorer mix) without calibrating scores
+    — only RANKS enter, so the fusion is immune to score-scale drift.
+
+    Float discipline: the per-list ranks fold into per-list COLUMNS via
+    conditional-min aggregation (one shuffle on (group, item)), and the
+    score is a FIXED left-to-right expression sum of N terms — never a
+    float SUM aggregate whose association order varies by partitioning.
+    Each 1/(k0+rank) divides exact integers, so any engine replays the
+    score bit-for-bit. Output: (group, item, per-list ranks, rrf_score
+    round-6, fused_rank); ties break on item id."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    tagged = None
+    for i, r in enumerate(rankings):
+        t = r.select(
+            F.col(group_col).alias("_g"),
+            F.col(item_col).alias("_i"),
+            F.col(rank_col).cast("long").alias("_r"),
+            F.lit(i).alias("_src"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_list = tagged.groupBy("_g", "_i").agg(
+        *[
+            F.min(F.when(F.col("_src") == i, F.col("_r"))).alias(f"rank_{i}")
+            for i in range(len(rankings))
+        ]
+    )
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("_g").orderBy(F.col("_score").desc(), F.col("_i").asc())
+    out = (
+        per_list.withColumn("_score", score)
+        .withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_i").alias(item_col),
+            *[f"rank_{i}" for i in range(len(rankings))],
+            F.round("_score", 6).alias("rrf_score"),
+            "fused_rank",
+        )
+    )
+    if top_k is not None:
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out

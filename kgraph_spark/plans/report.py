@@ -934,6 +934,24 @@ def main() -> None:
         ["rangepartitioning(z_key", "!CartesianProduct", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Incremental aggregate refresh — changelog delta is its own "
+        "bounded aggregate; the merge is ONE full-outer key join (bucket "
+        "both sides in Iceberg and it is shuffle-free); no rescan of the "
+        "base corpus",
+        _plan(entrymod.queries()["evt_incr_agg"](spark, SF)),
+        ["FullOuter", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "RRF fusion — per-list ranks fold to COLUMNS via conditional-min "
+        "on one (query, doc) aggregate; score is a fixed expression sum "
+        "(never a float SUM aggregate); fused rank is a rank-filter "
+        "window (map-side top-k prune eligible)",
+        _plan(entrymod.queries()["rrf_fusion"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
