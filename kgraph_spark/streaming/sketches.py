@@ -77,3 +77,52 @@ def start_streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_hll(
+    spark: SparkSession,
+    input_dir: str,
+    workdir: str,
+    key_col: str,
+    schema,
+    p: int = 8,
+):
+    """Streaming HyperLogLog twin (same shape as start_streaming_cms):
+    per micro-batch, sketch the new rows with the SAME hll_sketch the
+    batch path uses and fold register-wise MAX into the persisted ≤ 2^p
+    row table at <workdir>/hll. MAX is associative, commutative AND
+    idempotent — so unlike CMS, replayed batches cannot even inflate the
+    sketch; any interleaving equals the one-shot batch sketch over the
+    union (asserted by the test). Read the table any time and feed it to
+    operators/sketches.hll_estimate."""
+    from kgraph_spark.operators.sketches import hll_sketch, merge_hll
+
+    sketch_dir = str(Path(workdir) / "hll")
+    checkpoint_dir = str(Path(workdir) / "_hll_checkpoint")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        delta = hll_sketch(batch_df, key_col, p)
+        if Path(sketch_dir).exists():
+            merged = merge_hll(sess.read.parquet(sketch_dir), delta)
+        else:
+            merged = delta
+        rows = merged.collect()
+        sess.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -42,3 +42,29 @@ def test_streaming_cms_converges_to_batch_sketch(spark, tmp_path):
     assert got == want
     # bounded state: never more than d*w cells
     assert len(got) <= 3 * 64
+
+
+def test_streaming_hll_converges_to_batch_sketch(spark, tmp_path):
+    from kgraph_spark.operators.sketches import hll_sketch
+    from kgraph_spark.streaming.sketches import start_streaming_hll
+
+    inp = tmp_path / "in"
+    work = tmp_path / "work"
+    batch1 = spark.createDataFrame(_rows([f"k{i}" for i in range(300)]), SCHEMA)
+    # overlap with batch1: MAX-merge idempotence absorbs re-seen keys
+    batch2 = spark.createDataFrame(_rows([f"k{i}" for i in range(200, 500)]), SCHEMA)
+    batch1.write.parquet(str(inp / "p1"))
+
+    q = start_streaming_hll(spark, str(inp / "*"), str(work), "key", SCHEMA)
+    q.awaitTermination(120)
+
+    batch2.write.parquet(str(inp / "p2"))
+    q2 = start_streaming_hll(spark, str(inp / "*"), str(work), "key", SCHEMA)
+    q2.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(str(work / "hll")).collect()))
+    want = sorted(
+        map(tuple, hll_sketch(batch1.unionByName(batch2), "key").collect())
+    )
+    assert got == want
+    assert len(got) <= 256  # bounded state forever
