@@ -2979,6 +2979,38 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target, n_buckets=4096)
 
 
+def q_graph_transitivity(spark, sf_dir):
+    """Global transitivity (3·triangles / wedges) over the thinned lineitem
+    entity graph: one broadcastable summary row; all-integer until the one
+    final division (round-6)."""
+    from kgraph_spark.operators.graph_analytics import global_transitivity
+
+    return global_transitivity(_li_edges(spark, sf_dir, part_mod=3))
+
+
+def q_graph_wl(spark, sf_dir):
+    """Two rounds of Weisfeiler-Lehman color refinement: md5 structural-role
+    labels, engine-portable by construction (degree init, sorted-neighbor
+    concat, md5 — the oracle replays every label bit-for-bit)."""
+    from kgraph_spark.operators.graph_analytics import wl_labels
+
+    return wl_labels(_li_edges(spark, sf_dir, part_mod=3), rounds=2, pin_rounds=False)
+
+
+def q_graph_butterflies(spark, sf_dir):
+    """Butterfly (2×2 biclique) counts per order pair on the bipartite
+    order↔part graph: co-occurrence redundancy — wedge self-join on the
+    part key, exact integer C(c,2)."""
+    from kgraph_spark.operators.graph_analytics import butterfly_counts
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    )
+    return butterfly_counts(edges, min_common=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -3110,6 +3142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h4_edge_lookup": q_h4_edge_lookup,
         "graph_degree": q_graph_degree,
         "graph_triangles": q_graph_triangles,
+        "graph_transitivity": q_graph_transitivity,
+        "graph_wl": q_graph_wl,
+        "graph_butterflies": q_graph_butterflies,
         "graph_pagerank": q_graph_pagerank,
         "graph_kcore": q_graph_kcore,
         "graph_ppr": q_graph_ppr,
@@ -6243,6 +6278,89 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT z FROM tri
             )
             SELECT node, count(*)::BIGINT AS n_triangles FROM corners GROUP BY 1
+        """,
+        "graph_transitivity": """
+            -- naive triangle total + wedge sum from degrees; the one float
+            -- is the final division of two BIGINTs (round-6)
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM li
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), tri AS (
+                SELECT count(*)::BIGINT AS n_triangles
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS d FROM (
+                    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ), w AS (
+                SELECT (sum(d * (d - 1) / 2))::BIGINT AS n_wedges FROM deg
+            )
+            SELECT n_triangles, n_wedges,
+                   CASE WHEN n_wedges > 0
+                        THEN round(3 * n_triangles / n_wedges, 6) END AS transitivity
+            FROM tri, w
+        """,
+        "graph_wl": """
+            -- two unrolled WL rounds: label0 = degree, label(r+1) =
+            -- md5(own || '|' || sorted comma-joined neighbor labels)[:16]
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM li
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), adj AS (
+                SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+            ), lab0 AS (
+                SELECT a AS node, count(*)::VARCHAR AS wl_label FROM adj GROUP BY 1
+            ), lab1 AS (
+                SELECT l.node,
+                       substr(md5(l.wl_label || '|' || coalesce(n.nbrs, '')), 1, 16) AS wl_label
+                FROM lab0 l LEFT JOIN (
+                    SELECT adj.a AS node,
+                           array_to_string(list_sort(list(x.wl_label)), ',') AS nbrs
+                    FROM adj JOIN lab0 x ON adj.b = x.node GROUP BY 1
+                ) n USING (node)
+            ), lab2 AS (
+                SELECT l.node,
+                       substr(md5(l.wl_label || '|' || coalesce(n.nbrs, '')), 1, 16) AS wl_label
+                FROM lab1 l LEFT JOIN (
+                    SELECT adj.a AS node,
+                           array_to_string(list_sort(list(x.wl_label)), ',') AS nbrs
+                    FROM adj JOIN lab1 x ON adj.b = x.node GROUP BY 1
+                ) n USING (node)
+            )
+            SELECT node, wl_label FROM lab2
+        """,
+        "graph_butterflies": """
+            -- wedge self-join on the shared part, exact integer C(c,2)
+            WITH e AS (
+                SELECT DISTINCT 'O' || l_orderkey::VARCHAR AS l,
+                                'P' || l_partkey::VARCHAR AS r
+                FROM lineitem
+            ), p AS (
+                SELECT e1.l AS a, e2.l AS b, count(*)::BIGINT AS n_common
+                FROM e e1 JOIN e e2 ON e1.r = e2.r AND e1.l < e2.l
+                GROUP BY 1, 2
+            )
+            SELECT a, b, n_common,
+                   (n_common * (n_common - 1) / 2)::BIGINT AS n_butterflies
+            FROM p WHERE n_common >= 2
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),

@@ -1094,3 +1094,157 @@ def ktruss(
             support = support.localCheckpoint(eager=False)
         cur = support.filter(F.col("support") >= k - 2).select("a", "b")
     return support.filter(F.col("support") >= k - 2)
+
+
+def global_transitivity(
+    edges: DataFrame, src: str = "subject_id", dst: str = "object_id"
+) -> DataFrame:
+    """ONE-row global clustering summary (n_triangles, n_wedges,
+    transitivity) over the undirected simple graph: transitivity =
+    3·triangles / wedges — the whole-graph companion of the per-node
+    clustering_coefficient (how 'closed' the KG's neighborhood structure
+    is overall; a cheap drift gate between corpus builds).
+
+    Integer arithmetic end-to-end: triangles ride the degree-ordered
+    triangle_counts machinery (each triangle contributes 3 corner rows, so
+    Σ/3 is exact), wedges are Σ d(d−1)/2 over the degree table. The only
+    float is the final division, rounded to 6 — both engines divide the
+    same two integers, so the oracle matches bit-for-bit. Two bounded
+    aggregates on top of the triangle plan; the result is one broadcastable
+    row at ANY graph size."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - F.lit(1)) / F.lit(2)).cast("long").alias("n_wedges")
+    )
+    tri = triangle_counts(edges, src, dst).agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / F.lit(3)).cast("long").alias("n_triangles")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_triangles",
+        "n_wedges",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(F.lit(3) * F.col("n_triangles") / F.col("n_wedges"), 6),
+        ).alias("transitivity"),
+    )
+
+
+def wl_labels(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    init_labels: DataFrame | None = None,
+    pin_rounds: bool = True,
+) -> DataFrame:
+    """(node, wl_label) after `rounds` of Weisfeiler-Lehman relabeling over
+    the undirected graph — the structural-role fingerprint (1-WL / color
+    refinement): two nodes share a label after r rounds iff their r-hop
+    neighborhood trees agree, the same signal GNN message-passing can at
+    best distinguish. On a KG this groups entities by connection ROLE
+    (hub-of-leaves vs chain-link vs triangle-member) without any feature
+    engineering; label-histogram drift between corpus builds is a cheap
+    structural regression gate.
+
+    label₀ = degree (as string); labelᵣ₊₁ = md5(own || '|' || neighbor
+    labels sorted and comma-joined), truncated to 16 hex chars. Everything
+    is string/integer arithmetic on md5 — the repo's engine-portable hash —
+    so a SQL oracle replays the exact labels: DuckDB restates one round as
+    md5(own || '|' || array_to_string(list_sort(list(neighbor_label)), ',')).
+    Per round: one edges⋈labels join + one groupBy(node) whose state is the
+    sorted neighbor-label array — bounded by max degree, the same budget any
+    neighbor aggregation pays. Isolated nodes (no edges) keep refining on an
+    empty neighbor list. `init_labels` ((node, wl_label) frame) seeds
+    round 0 from existing node attributes instead of degree — every listed
+    node refines even if isolated; unlisted nodes are absent by contract."""
+    if rounds < 1:
+        raise ValueError("need rounds >= 1")
+    und = _undirected(edges, src, dst)
+    adj = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    if init_labels is not None:
+        if set(init_labels.columns) != {"node", "wl_label"}:
+            raise ValueError("init_labels must have exactly (node, wl_label)")
+        labels = init_labels.select("node", F.col("wl_label").cast("string"))
+    else:
+        labels = adj.groupBy(F.col("a").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").cast("string").alias("wl_label")
+        )
+    for _ in range(rounds):
+        nbr = (
+            adj.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"))
+            .agg(
+                F.concat_ws(",", F.array_sort(F.collect_list("wl_label"))).alias("_nbrs")
+            )
+        )
+        labels = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("wl_label"), F.lit("|"), F.coalesce(F.col("_nbrs"), F.lit(""))
+                        )
+                    ),
+                    1,
+                    16,
+                ).alias("wl_label"),
+            )
+        )
+        if pin_rounds:
+            labels = labels.localCheckpoint(eager=False)
+    return labels
+
+
+def butterfly_counts(
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    min_common: int = 2,
+) -> DataFrame:
+    """(a, b, n_common, n_butterflies) per left-node pair over a BIPARTITE
+    edge list (src = left partition, dst = right partition): butterflies —
+    2×2 bicliques, the bipartite analogue of triangles — between a and b
+    number C(c, 2) where c is their common right-neighbor count. On the
+    doc↔entity (or order↔part) bipartite graph this measures co-occurrence
+    REDUNDANCY: pairs backed by many independent shared contexts, the
+    signal one shared context can't give.
+
+    Wedge enumeration exactly like adamic_adar: self-join the edge list on
+    the right node (ids only cross the wire), count common neighbors per
+    (a < b) pair in one hash aggregate, then C(c,2) = c(c−1)/2 — exact
+    integer arithmetic end-to-end, so the oracle matches bit-for-bit.
+    `min_common` (default 2) prunes the c=1 tail at the aggregate — pairs
+    that close no butterfly — which is the bulk of pairs on any sparse
+    graph. Right-side hubs bound the work (Σ deg² over right nodes); cap
+    or sample hub right-nodes upstream on skewed corpora, exactly the
+    hot-shingle contract dedup_text documents."""
+    e = edges.select(F.col(src).alias("l"), F.col(dst).alias("r")).filter(
+        F.col("l").isNotNull() & F.col("r").isNotNull()
+    ).distinct()
+    e1 = e.select(F.col("l").alias("a"), "r")
+    e2 = e.select(F.col("l").alias("b"), "r")
+    pairs = (
+        e1.join(e2, "r")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return pairs.select(
+        "a",
+        "b",
+        "n_common",
+        (F.col("n_common") * (F.col("n_common") - F.lit(1)) / F.lit(2))
+        .cast("long")
+        .alias("n_butterflies"),
+    )

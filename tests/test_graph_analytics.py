@@ -575,3 +575,98 @@ def test_ktruss_cascading_peel(spark):
     # edge c-d has support 0 -> round 1 removes it; nothing else cascades
     e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
     assert ktruss(e, k=3, rounds=1).count() == 3
+
+
+# ---- global transitivity / WL relabeling / butterflies ----------------
+
+
+def test_transitivity_k4(spark):
+    from kgraph_spark.operators.graph_analytics import global_transitivity
+
+    nodes = ["a", "b", "c", "d"]
+    e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y])
+    row = global_transitivity(e).collect()[0]
+    # K4: 4 triangles, each node d=3 -> 4*3 = 12 wedges, 3*4/12 = 1.0
+    assert row["n_triangles"] == 4
+    assert row["n_wedges"] == 12
+    assert row["transitivity"] == 1.0
+
+
+def test_transitivity_star_zero(spark):
+    from kgraph_spark.operators.graph_analytics import global_transitivity
+
+    e = _edges(spark, [("hub", x) for x in ["a", "b", "c", "d"]])
+    row = global_transitivity(e).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 6  # C(4,2) wedges through the hub
+    assert row["transitivity"] == 0.0
+
+
+def test_transitivity_empty_wedges_null(spark):
+    from kgraph_spark.operators.graph_analytics import global_transitivity
+
+    e = _edges(spark, [("a", "b")])  # single edge: no wedge at all
+    row = global_transitivity(e).collect()[0]
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 0
+    assert row["transitivity"] is None
+
+
+def test_wl_distinguishes_roles(spark):
+    from kgraph_spark.operators.graph_analytics import wl_labels
+
+    # path a-b-c-d-e: by symmetry {a,e}, {b,d} share a role, c is its own
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+    rows = {r["node"]: r["wl_label"] for r in wl_labels(e, rounds=2).collect()}
+    assert rows["a"] == rows["e"]
+    assert rows["b"] == rows["d"]
+    assert len({rows["a"], rows["b"], rows["c"]}) == 3
+
+
+def test_wl_deterministic_and_direction_blind(spark):
+    from kgraph_spark.operators.graph_analytics import wl_labels
+
+    e1 = _edges(spark, [("a", "b"), ("b", "c")])
+    e2 = _edges(spark, [("b", "a"), ("c", "b"), ("a", "b")])  # flipped + dup
+    r1 = sorted((r["node"], r["wl_label"]) for r in wl_labels(e1, rounds=3).collect())
+    r2 = sorted((r["node"], r["wl_label"]) for r in wl_labels(e2, rounds=3).collect())
+    assert r1 == r2
+
+
+def test_wl_init_labels_seed(spark):
+    from kgraph_spark.operators.graph_analytics import wl_labels
+
+    e = _edges(spark, [("a", "b"), ("b", "c")])
+    # identical degree-1 endpoints diverge when seeded with distinct labels
+    seeds = spark.createDataFrame(
+        [("a", "x"), ("b", "y"), ("c", "z")], "node string, wl_label string"
+    )
+    rows = {r["node"]: r["wl_label"] for r in wl_labels(e, rounds=1, init_labels=seeds).collect()}
+    assert rows["a"] != rows["c"]
+    with pytest.raises(ValueError):
+        wl_labels(e, rounds=1, init_labels=seeds.withColumnRenamed("wl_label", "lbl"))
+    with pytest.raises(ValueError):
+        wl_labels(e, rounds=0)
+
+
+def test_butterflies_k22_and_k23(spark):
+    from kgraph_spark.operators.graph_analytics import butterfly_counts
+
+    # K(2,2): one butterfly; K(2,3) on (x,y): c=3 -> C(3,2)=3
+    e = _edges(
+        spark,
+        [("x", "r1"), ("x", "r2"), ("y", "r1"), ("y", "r2"),
+         ("u", "s1"), ("u", "s2"), ("u", "s3"), ("v", "s1"), ("v", "s2"), ("v", "s3")],
+    )
+    rows = {(r["a"], r["b"]): r for r in butterfly_counts(e).collect()}
+    assert rows[("x", "y")]["n_common"] == 2 and rows[("x", "y")]["n_butterflies"] == 1
+    assert rows[("u", "v")]["n_common"] == 3 and rows[("u", "v")]["n_butterflies"] == 3
+    assert len(rows) == 2  # cross pairs share nothing
+
+
+def test_butterflies_min_common_prunes_and_dedups(spark):
+    from kgraph_spark.operators.graph_analytics import butterfly_counts
+
+    e = _edges(spark, [("x", "r1"), ("y", "r1"), ("x", "r1")])  # dup edge
+    assert butterfly_counts(e).count() == 0  # c=1 pruned at default min_common=2
+    rows = butterfly_counts(e, min_common=1).collect()
+    assert len(rows) == 1 and rows[0]["n_common"] == 1 and rows[0]["n_butterflies"] == 0
