@@ -3011,6 +3011,64 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_d8_bcubed(spark, sf_dir):
+    """B³ (per-item) P/R/F1 of the same degraded-D8 clustering the pairwise
+    gate scores (d8_cluster_metrics): item-weighted, so the per-nation
+    splits cost recall in proportion to customers affected, not pairs.
+    Fixed-point longs end-to-end; oracle re-derives the identical sums."""
+    from kgraph_spark.operators.canonicalize import connected_components
+    from kgraph_spark.operators.eval_metrics import bcubed_metrics
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    nid = F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+    e1 = cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        cid.alias("src"), nid.alias("dst")
+    )
+    e2 = nation.filter(F.col("n_regionkey") % 2 == 0).select(
+        nid.alias("src"), rid.alias("dst")
+    )
+    pred = connected_components(e1.union(e2).distinct()).select(
+        F.col("id").alias("item_id"), F.col("component").alias("pred_cluster")
+    )
+    gold = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(cid.alias("item_id"), rid.alias("gold_cluster"))
+        .unionByName(nation.select(nid.alias("item_id"), rid.alias("gold_cluster")))
+        .unionByName(
+            nation.select(rid.alias("item_id"), rid.alias("gold_cluster")).distinct()
+        )
+    )
+    return bcubed_metrics(pred, gold)
+
+
+def q_bloom_prune(spark, sf_dir):
+    """Map-side Bloom join pruning: a 1-row 64Ki-bit filter built from the
+    URGENT orders is broadcast onto the lineitem scan; only passing keys
+    survive (members always do, plus the documented false-positive tail,
+    audited by is_member). The fact table never shuffles to learn
+    membership — the scale point of the operator."""
+    from kgraph_spark.operators.sketches import bloom_build, bloom_prune
+
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    members = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").cast("string").alias("orderkey")
+    )
+    bloom = bloom_build(members, "orderkey", m=65536, k=3)
+    pruned = bloom_prune(
+        li.select(F.col("l_orderkey").cast("string").alias("orderkey")),
+        "orderkey",
+        bloom,
+        verify_against=members,
+    )
+    return pruned.groupBy("orderkey", "is_member").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -3075,6 +3133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_transitions": q_evt_transitions,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
+        "d8_bcubed": q_d8_bcubed,
+        "bloom_prune": q_bloom_prune,
         "zorder_layout": q_zorder_layout,
         "rrf_fusion": q_rrf_fusion,
         "evt_incr_agg": q_evt_incr_agg,
@@ -6808,6 +6868,84 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "d8_bcubed": """
+            -- same closed-form degraded components as d8_cluster_metrics;
+            -- B-cubed sums as fixed-point longs: n*n*1e6 // cluster_size
+            WITH members AS (
+                SELECT 'C' || c_custkey::VARCHAR AS id,
+                       CASE WHEN n_regionkey % 2 = 0
+                            THEN 'R' || n_regionkey::VARCHAR
+                            ELSE 'N' || n_nationkey::VARCHAR END AS gkey,
+                       'R' || n_regionkey::VARCHAR AS gold
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                UNION ALL
+                SELECT 'N' || n_nationkey::VARCHAR,
+                       CASE WHEN n_regionkey % 2 = 0
+                            THEN 'R' || n_regionkey::VARCHAR
+                            ELSE 'N' || n_nationkey::VARCHAR END,
+                       'R' || n_regionkey::VARCHAR
+                FROM nation
+                WHERE n_regionkey % 2 = 0
+                   OR EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+                UNION ALL
+                SELECT 'R' || n_regionkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR
+                FROM (SELECT DISTINCT n_regionkey FROM nation WHERE n_regionkey % 2 = 0)
+            ), pred AS (
+                SELECT id, min(id) OVER (PARTITION BY gkey) AS p, gold AS g
+                FROM members
+            ), cells AS (
+                SELECT p, g, count(*)::BIGINT AS n FROM pred GROUP BY 1, 2
+            ), psize AS (
+                SELECT p, sum(n)::BIGINT AS np FROM cells GROUP BY 1
+            ), gsize AS (
+                SELECT g, sum(n)::BIGINT AS ng FROM cells GROUP BY 1
+            ), terms AS (
+                SELECT sum(n * n * 1000000 // np)::BIGINT AS sp,
+                       sum(n * n * 1000000 // ng)::BIGINT AS sr,
+                       sum(n)::BIGINT AS n_items
+                FROM cells JOIN psize USING (p) JOIN gsize USING (g)
+            )
+            SELECT n_items,
+                   CASE WHEN n_items > 0
+                        THEN round(sp / (n_items * 1000000), 6) END AS bcubed_precision,
+                   CASE WHEN n_items > 0
+                        THEN round(sr / (n_items * 1000000), 6) END AS bcubed_recall,
+                   CASE WHEN sp + sr > 0
+                        THEN round((2.0 * sp::DOUBLE * sr::DOUBLE)
+                                   / ((sp + sr)::DOUBLE * n_items::DOUBLE * 1000000.0), 6)
+                        END AS bcubed_f1
+            FROM terms
+        """,
+        "bloom_prune": """
+            -- membership decision restated on the SET of set bit positions
+            -- (bit-packing does not change membership); count(*) = k means
+            -- every probe position is set
+            WITH mem AS (
+                SELECT DISTINCT o_orderkey::VARCHAR AS key
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            ), bits AS (
+                SELECT DISTINCT
+                    ('0x' || substr(md5(key || '#bf' || i::VARCHAR), 1, 8))::BIGINT
+                        % 65536 AS pos
+                FROM mem CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+            ), keys AS (
+                SELECT l_orderkey::VARCHAR AS orderkey, count(*)::BIGINT AS n_rows
+                FROM lineitem GROUP BY 1
+            ), probes AS (
+                SELECT orderkey, n_rows, i,
+                       ('0x' || substr(md5(orderkey || '#bf' || i::VARCHAR), 1, 8))::BIGINT
+                           % 65536 AS pos
+                FROM keys CROSS JOIN (SELECT unnest(range(0, 3)) AS i)
+            ), pass AS (
+                SELECT orderkey, n_rows
+                FROM probes JOIN bits USING (pos)
+                GROUP BY 1, 2 HAVING count(*) = 3
+            )
+            SELECT p.orderkey, m.key IS NOT NULL AS is_member, p.n_rows
+            FROM pass p LEFT JOIN mem m ON p.orderkey = m.key
         """,
         "d8_cluster_metrics": """
             -- degraded-D8 components in closed form: even region -> the

@@ -85,3 +85,83 @@ def cluster_pair_metrics(
         rec.alias("pair_recall"),
         f1.alias("pair_f1"),
     )
+
+
+def bcubed_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    item_col: str = "item_id",
+    pred_col: str = "pred_cluster",
+    gold_col: str = "gold_cluster",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One row: (n_items, bcubed_precision, bcubed_recall, bcubed_f1) —
+    the per-ITEM entity-resolution metric (Bagga & Baldwin 1998): each
+    item's precision is |its pred cluster ∩ its gold cluster| / |its pred
+    cluster|, recall divides by the gold cluster instead, and the corpus
+    score is the mean over items. Unlike pairwise P/R (cluster_pair_metrics)
+    B³ weights every ITEM equally, so one botched mega-cluster can't drown
+    the long tail of small entities — run BOTH gates; they disagree exactly
+    when merge damage is concentrated.
+
+    Same contingency-cell plan as cluster_pair_metrics (ONE groupBy over
+    the joined item table; everything after runs on cells, items never
+    pair): a cell (p, g, n) contributes n items each scoring n/|p| and
+    n/|g|, i.e. Σ n²/|p| and Σ n²/|g|. Per-cell terms are FIXED-POINT
+    longs — n·n·scale div size, exact integer division — so the sums are
+    order-free exact integers and the three final divisions of exact longs
+    are engine-identical (the float playbook). Truncation error is ≤
+    |cells|/scale of an item — at the default scale, nanoscale vs the
+    round-6 output. Items in only one frame are dropped (inner join)."""
+    j = pred.select(
+        F.col(item_col).alias("_i"), F.col(pred_col).alias("_p")
+    ).join(
+        gold.select(F.col(item_col).alias("_i"), F.col(gold_col).alias("_g")),
+        "_i",
+    )
+    cells = j.groupBy("_p", "_g").agg(F.count(F.lit(1)).alias("_n"))
+    psize = cells.groupBy("_p").agg(F.sum("_n").alias("_np"))
+    gsize = cells.groupBy("_g").agg(F.sum("_n").alias("_ng"))
+    terms = (
+        cells.join(psize, "_p")
+        .join(gsize, "_g")
+        .agg(
+            F.sum(F.expr(f"_n * _n * CAST({scale} AS BIGINT) div _np"))
+            .cast("long")
+            .alias("_sp"),
+            F.sum(F.expr(f"_n * _n * CAST({scale} AS BIGINT) div _ng"))
+            .cast("long")
+            .alias("_sr"),
+            F.sum("_n").cast("long").alias("n_items"),
+        )
+    )
+    prec = F.when(
+        F.col("n_items") > 0,
+        F.round(F.col("_sp") / (F.col("n_items") * F.lit(scale)), 6),
+    )
+    rec = F.when(
+        F.col("n_items") > 0,
+        F.round(F.col("_sr") / (F.col("n_items") * F.lit(scale)), 6),
+    )
+    # products go through double BEFORE multiplying: the longs are exact
+    # (each < 2^53, so the double conversion is lossless) but their long
+    # product would overflow at corpus scale; the double product rounds
+    # once, identically in any IEEE engine
+    f1 = F.when(
+        (F.col("_sp") + F.col("_sr")) > 0,
+        F.round(
+            (F.lit(2.0) * F.col("_sp").cast("double") * F.col("_sr").cast("double"))
+            / (
+                (F.col("_sp") + F.col("_sr")).cast("double")
+                * F.col("n_items").cast("double")
+                * F.lit(float(scale))
+            ),
+            6,
+        ),
+    )
+    return terms.select(
+        "n_items",
+        prec.alias("bcubed_precision"),
+        rec.alias("bcubed_recall"),
+        f1.alias("bcubed_f1"),
+    )

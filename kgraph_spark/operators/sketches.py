@@ -19,6 +19,8 @@ already establishes)."""
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -171,3 +173,89 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
         "n_registers",
         F.round(est, 2).alias("estimate"),
     )
+
+
+def _bloom_positions(key, m: int, k: int):
+    """k md5-derived bit positions in [0, m) — engine-portable arithmetic
+    (same md5-prefix trick as the CMS buckets)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(key, F.lit(f"#bf{i}"))), 1, 8), 16, 10
+        ).cast("long") % m
+        for i in range(k)
+    ]
+
+
+def bloom_build(df: DataFrame, key_col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """ONE-row Bloom filter over df[key_col]: (m, k, words map<int,bigint>)
+    — bit i of words[i div 64] set iff some key hashed to position i. The
+    whole filter is ≤ m/64 map entries regardless of input size: one
+    explode (ids only) + one bounded hash aggregate + one 1-row map
+    assembly. Built for JOIN PRUNING at scale: broadcast this row onto a
+    100-TB fact table and drop non-members MAP-SIDE — the shuffle (or the
+    whole semi-join) happens only for keys that pass. Classic one-sided
+    error: members ALWAYS pass; non-members pass with the standard
+    (1−e^{−kn/m})^k false-positive rate, so downstream must tolerate (or
+    exactly re-check) the survivors — bloom_prune exposes both modes."""
+    if m < 64 or m % 64 != 0 or k < 1:
+        raise ValueError("need m >= 64 and divisible by 64, k >= 1")
+    key = F.col(key_col).cast("string")
+    pos = F.array(*_bloom_positions(key, m, k))
+    words = (
+        df.select(F.explode(pos).alias("_pos"))
+        .select(
+            (F.col("_pos") / 64).cast("int").alias("word"),
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("_pos") % 64).cast("int")
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    return words.agg(
+        F.lit(m).alias("m"),
+        F.lit(k).alias("k"),
+        F.map_from_arrays(F.collect_list("word"), F.collect_list("bits")).alias("words"),
+    )
+
+
+def bloom_prune(
+    big: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    verify_against: DataFrame | None = None,
+) -> DataFrame:
+    """Rows of `big` whose key PASSES the Bloom filter (a 1-row frame from
+    bloom_build, broadcast onto every partition) — the map-side semi-join:
+    no shuffle of `big`, no per-key state, just k md5 probes + bit tests
+    riding the scan as JVM expressions. With `verify_against` (the exact
+    membership source) the survivors get an `is_member` flag from a real
+    semi-ish join — the false-positive audit, which at scale you run on
+    the pruned (tiny) side only; that is the entire point."""
+    mrow = bloom.head()
+    if mrow is None:
+        raise ValueError("empty bloom frame")
+    m, k = int(mrow["m"]), int(mrow["k"])
+    key = F.col(key_col).cast("string")
+    checks = [
+        (
+            F.coalesce(
+                F.element_at(F.col("_bf.words"), (p / 64).cast("int")), F.lit(0)
+            ).bitwiseAND(
+                F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+            )
+            != 0
+        )
+        for p in _bloom_positions(key, m, k)
+    ]
+    passed = (
+        big.crossJoin(F.broadcast(bloom.select(F.struct("m", "k", "words").alias("_bf"))))
+        .filter(reduce(lambda a, b: a & b, checks))
+        .drop("_bf")
+    )
+    if verify_against is None:
+        return passed
+    members = verify_against.select(F.col(key_col).alias("_mk")).distinct()
+    return passed.join(
+        F.broadcast(members), passed[key_col] == F.col("_mk"), "left"
+    ).select(*big.columns, F.col("_mk").isNotNull().alias("is_member"))

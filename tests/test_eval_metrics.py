@@ -71,3 +71,62 @@ def test_composes_with_connected_components(spark):
         comp, gold, item_col="id", pred_col="component", gold_col="gold_cluster"
     ).collect()[0]
     assert r["pair_precision"] == 1.0 and r["pair_recall"] == 1.0 and r["pair_f1"] == 1.0
+
+
+# ---- B-cubed ------------------------------------------------------------
+
+
+def _clusters(spark, rows, col):
+    return spark.createDataFrame(rows, f"item_id string, {col} string")
+
+
+def test_bcubed_hand_example(spark):
+    from kgraph_spark.operators.eval_metrics import bcubed_metrics
+
+    pred = _clusters(
+        spark,
+        [("1", "p1"), ("2", "p1"), ("3", "p2"), ("4", "p3"), ("5", "p3")],
+        "pred_cluster",
+    )
+    gold = _clusters(
+        spark,
+        [("1", "g1"), ("2", "g1"), ("3", "g1"), ("4", "g2"), ("5", "g2")],
+        "gold_cluster",
+    )
+    row = bcubed_metrics(pred, gold).collect()[0]
+    # precision: every pred cluster is pure -> 1.0
+    # recall: (2/3 + 2/3 + 1/3 + 1 + 1) / 5 = 11/15; F1 = 22/26
+    assert row["n_items"] == 5
+    assert row["bcubed_precision"] == 1.0
+    assert abs(row["bcubed_recall"] - 11 / 15) < 2e-6
+    assert abs(row["bcubed_f1"] - 22 / 26) < 2e-6
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    from kgraph_spark.operators.eval_metrics import bcubed_metrics
+
+    pred = _clusters(spark, [("1", "a"), ("2", "a"), ("3", "b")], "pred_cluster")
+    row = bcubed_metrics(
+        pred, pred.withColumnRenamed("pred_cluster", "gold_cluster")
+    ).collect()[0]
+    assert (row["bcubed_precision"], row["bcubed_recall"], row["bcubed_f1"]) == (1.0, 1.0, 1.0)
+    # all-singleton pred vs one gold cluster of n=3: P=1, R=1/3
+    singles = _clusters(spark, [("1", "s1"), ("2", "s2"), ("3", "s3")], "pred_cluster")
+    gold = _clusters(spark, [("1", "g"), ("2", "g"), ("3", "g")], "gold_cluster")
+    row = bcubed_metrics(singles, gold).collect()[0]
+    assert row["bcubed_precision"] == 1.0
+    assert abs(row["bcubed_recall"] - 1 / 3) < 2e-6
+
+
+def test_bcubed_vs_pairwise_sensitivity(spark):
+    """The motivating disagreement: one mega-merge hurts pairwise precision
+    far more than B³ (pairs grow quadratically, items linearly)."""
+    from kgraph_spark.operators.eval_metrics import bcubed_metrics, cluster_pair_metrics
+
+    pred_rows = [(str(i), "mega") for i in range(20)]
+    gold_rows = [(str(i), f"g{i % 10}") for i in range(20)]
+    pred = _clusters(spark, pred_rows, "pred_cluster")
+    gold = _clusters(spark, gold_rows, "gold_cluster")
+    b3 = bcubed_metrics(pred, gold).collect()[0]
+    pw = cluster_pair_metrics(pred, gold).collect()[0]
+    assert pw["pair_precision"] < b3["bcubed_precision"] < 0.5

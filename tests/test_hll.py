@@ -3,6 +3,8 @@ insensitivity, estimate accuracy."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kgraph_spark.operators.sketches import hll_estimate, hll_sketch, merge_hll
 
 
@@ -55,3 +57,56 @@ def test_hll_p_validation(spark):
     df = spark.range(3).selectExpr("CAST(id AS STRING) AS k")
     with pytest.raises(ValueError):
         hll_sketch(df, "k", p=2)
+
+
+# ---- Bloom filter -------------------------------------------------------
+
+
+def test_bloom_members_always_pass(spark):
+    from kgraph_spark.operators.sketches import bloom_build, bloom_prune
+
+    members = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    bloom = bloom_build(members, "key", m=1024, k=3)
+    big = spark.createDataFrame([(f"k{i}",) for i in range(200)], "key string")
+    got = {r["key"] for r in bloom_prune(big, "key", bloom).collect()}
+    assert {f"k{i}" for i in range(50)} <= got  # zero false negatives, ever
+
+
+def test_bloom_verify_flags_false_positives(spark):
+    from kgraph_spark.operators.sketches import bloom_build, bloom_prune
+
+    members = spark.createDataFrame([(f"k{i}",) for i in range(50)], "key string")
+    bloom = bloom_build(members, "key", m=64, k=2)  # tiny m -> guaranteed FPs
+    big = spark.createDataFrame([(f"k{i}",) for i in range(500)], "key string")
+    rows = bloom_prune(big, "key", bloom, verify_against=members).collect()
+    by_key = {r["key"]: r["is_member"] for r in rows}
+    assert all(by_key[f"k{i}"] for i in range(50))
+    assert any(not v for v in by_key.values())  # the audit exposes FPs
+
+
+def test_bloom_bounded_and_validated(spark):
+    from kgraph_spark.operators.sketches import bloom_build
+
+    import pytest
+
+    df = spark.range(0, 10000).select(F.col("id").cast("string").alias("key"))
+    row = bloom_build(df, "key", m=256, k=3).collect()[0]
+    assert row["m"] == 256 and row["k"] == 3
+    assert len(row["words"]) <= 256 // 64  # bounded at ANY input size
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", m=100, k=3)
+    with pytest.raises(ValueError):
+        bloom_build(df, "key", m=256, k=0)
+
+
+def test_bloom_prune_is_map_side(spark):
+    """The big side must NOT shuffle: the filter rides the scan under a
+    broadcast nested-loop join of the 1-row bloom."""
+    from conftest import plan_text
+    from kgraph_spark.operators.sketches import bloom_build, bloom_prune
+
+    members = spark.createDataFrame([("a",), ("b",)], "key string")
+    bloom = bloom_build(members, "key", m=64, k=2)
+    big = spark.range(0, 100).select(F.col("id").cast("string").alias("key"))
+    plan = plan_text(bloom_prune(big, "key", bloom))
+    assert "BroadcastNestedLoopJoin" in plan
