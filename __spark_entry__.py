@@ -3011,6 +3011,22 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_text_entropy(spark, sf_dir):
+    """Per-document unigram entropy in bits — fixed-point long term sums
+    (the adamic_adar precedent for log-derived weights)."""
+    from kgraph_spark.operators.text_analysis import token_entropy
+
+    return token_entropy(_read(spark, sf_dir, "documents"))
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Corpus Zipf profile: OLS slope/intercept of log10(freq) vs
+    log10(rank) over the top-500 terms, exact fixed-point moment sums."""
+    from kgraph_spark.operators.text_analysis import zipf_slope
+
+    return zipf_slope(_read(spark, sf_dir, "documents"), top_n=500)
+
+
 def q_d8_bcubed(spark, sf_dir):
     """B³ (per-item) P/R/F1 of the same degraded-D8 clustering the pairwise
     gate scores (d8_cluster_metrics): item-weighted, so the per-nation
@@ -3134,6 +3150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
+        "text_entropy": q_text_entropy,
+        "zipf_slope": q_zipf_slope,
         "bloom_prune": q_bloom_prune,
         "zorder_layout": q_zorder_layout,
         "rrf_fusion": q_rrf_fusion,
@@ -6868,6 +6886,66 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "text_entropy": """
+            -- fixed-point long term sums: round((c/n)*log2(n/c)*1e6)
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0)) AS token
+                FROM documents
+            ), counts AS (
+                SELECT doc_id, token, count(*)::BIGINT AS c
+                FROM toks GROUP BY 1, 2
+            ), totals AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types
+                FROM counts GROUP BY 1
+            ), terms AS (
+                SELECT c.doc_id, t.n_tokens, t.n_types,
+                       round((c.c / t.n_tokens) * log2(t.n_tokens / c.c)
+                             * 1000000.0)::BIGINT AS ft
+                FROM counts c JOIN totals t USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   round(sum(ft) / 1000000.0, 6) AS entropy_bits
+            FROM terms GROUP BY 1, 2, 3
+        """,
+        "zipf_slope": """
+            -- fixed-point log10 coordinates; closed-form OLS on exact longs
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0)) AS token
+                FROM documents
+            ), freq AS (
+                SELECT token, count(*)::BIGINT AS freq FROM toks GROUP BY 1
+            ), ranked AS (
+                SELECT freq, row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+                FROM freq QUALIFY rank <= 500
+            ), fp AS (
+                SELECT round(log10(rank::DOUBLE) * 1000000.0)::BIGINT AS x,
+                       round(log10(freq::DOUBLE) * 1000000.0)::BIGINT AS y
+                FROM ranked
+            ), sums AS (
+                SELECT count(*)::BIGINT AS n_terms,
+                       sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                       sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+                FROM fp
+            )
+            SELECT n_terms,
+                   CASE WHEN n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+                        THEN round((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                                   / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+                        END AS slope,
+                   CASE WHEN n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE <> 0
+                        THEN round((sy::DOUBLE
+                                    - ((n_terms::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                                       / (n_terms::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                                      * sx::DOUBLE)
+                                   / n_terms::DOUBLE / 1000000.0, 6)
+                        END AS intercept
+            FROM sums
         """,
         "d8_bcubed": """
             -- same closed-form degraded components as d8_cluster_metrics;

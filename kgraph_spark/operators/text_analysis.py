@@ -487,3 +487,107 @@ def oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram entropy (doc_id, n_tokens, n_types,
+    entropy_bits): −Σ p·log2(p) over the doc's token-type distribution —
+    the information-density quality feature (near-zero = degenerate
+    repetition that n-gram repetition_stats can miss when the repeated
+    unit is one token; implausibly high = token soup / OCR noise). Ranks
+    documents where length/punct heuristics (quality_score) are blind.
+
+    Float playbook (the adamic_adar precedent for log-derived weights):
+    each type's term (c/n)·log2(n/c) is rounded to a FIXED-POINT long at
+    1e-6, summed as exact integers (order-free, engine-identical), and
+    divided back once at the end. One tokenize → one (doc, token) count →
+    one per-doc sum; all shuffles on doc_id."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    terms = counts.join(totals, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            (F.col("c") / F.col("n_tokens"))
+            * F.log2(F.col("n_tokens") / F.col("c"))
+            * F.lit(1_000_000.0)
+        )
+        .cast("long")
+        .alias("_t"),
+    )
+    return terms.groupBy("doc_id", "n_tokens", "n_types").agg(
+        F.round(F.sum("_t") / F.lit(1_000_000.0), 6).alias("entropy_bits")
+    )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    top_n: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-row corpus profile (n_terms, slope, intercept): OLS fit of
+    log10(freq) against log10(rank) over the `top_n` most frequent terms —
+    natural corpora track Zipf (slope ≈ −1); a flat slope flags template/
+    boilerplate floods, a cliff flags deduplicated-to-death or synthetic
+    text. The cross-build drift gate for corpus composition.
+
+    Ranks come from ONE global top-n (freq desc, term asc tie-break) over
+    the vocab-sized frequency table — top_n rows survive; at a 10^8-type
+    corpus swap the exact window for an approx-threshold pre-filter (take
+    freq ≥ the approx 1−top_n/|V| quantile, then rank the survivors), same
+    contract as the other global-sort swap-ins. Per-term log10 coordinates
+    are fixed-point longs at 1e-6 (exact integer Σx, Σy, Σxy, Σx²); the
+    closed-form slope combines those exact longs in double — one rounding
+    per product, engine-identical — and rounds to 6."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    ranked = (
+        freq.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))),
+        )
+        .filter(F.col("rank") <= top_n)
+    )
+    fp = ranked.select(
+        F.round(F.log10(F.col("rank").cast("double")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("x"),
+        F.round(F.log10(F.col("freq").cast("double")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    det = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    slope = (
+        n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / det
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / n / F.lit(1_000_000.0)
+    return sums.select(
+        "n_terms",
+        F.when(det != 0, F.round(slope, 6)).alias("slope"),
+        F.when(det != 0, F.round(intercept, 6)).alias("intercept"),
+    )

@@ -226,3 +226,46 @@ def test_oov_rate_cross_document_signal(spark):
     # doc3: 'here' df=1 -> 1/3
     assert got[3]["n_oov"] == 1
     assert got[2]["n_oov"] == 0 and got[2]["oov_rate"] == 0.0
+
+
+# ---- token entropy / zipf slope -----------------------------------------
+
+
+def test_token_entropy_hand_values(spark):
+    from kgraph_spark.operators.text_analysis import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),            # one type -> 0 bits
+            (2, "a b a b"),            # uniform over 2 -> 1 bit
+            (3, "a b c d"),            # uniform over 4 -> 2 bits
+            (4, "a a a b"),            # 3/4,1/4 -> 0.811278
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert rows[1]["entropy_bits"] == 0.0 and rows[1]["n_types"] == 1
+    assert rows[2]["entropy_bits"] == 1.0
+    assert rows[3]["entropy_bits"] == 2.0
+    assert abs(rows[4]["entropy_bits"] - 0.811278) < 2e-6
+    assert rows[4]["n_tokens"] == 4 and rows[4]["n_types"] == 2
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from kgraph_spark.operators.text_analysis import zipf_slope
+
+    # freq(rank) = 1200 / rank for ranks 1..6 (all integer) -> slope -1
+    text = " ".join(" ".join([f"t{r}"] * (1200 // r)) for r in range(1, 7))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_slope(docs, top_n=6).collect()[0]
+    assert row["n_terms"] == 6
+    assert abs(row["slope"] + 1.0) < 1e-4
+    assert abs(row["intercept"] - 3.079181) < 1e-4  # log10(1200)
+
+
+def test_zipf_slope_degenerate_single_term(spark):
+    from kgraph_spark.operators.text_analysis import zipf_slope
+
+    docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    row = zipf_slope(docs).collect()[0]
+    assert row["n_terms"] == 1 and row["slope"] is None and row["intercept"] is None
