@@ -3011,6 +3011,23 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_evt_cusum(spark, sf_dir):
+    """Per-user CUSUM drift summary over the events stream: the Page
+    detector restated as two running windows on one sorted exchange,
+    round-6 fixed-point throughout."""
+    from kgraph_spark.operators.event_analytics import cusum_changepoints
+
+    return cusum_changepoints(_read(spark, sf_dir, "events"), kappa=0.25, h=3.0)
+
+
+def q_curation_pps(spark, sf_dir):
+    """Deterministic systematic PPS sample of the documents table weighted
+    by n_chars: md5-ordered weight line, integer stride hits, Σ n_hits = n."""
+    from kgraph_spark.operators.corpus_curation import pps_systematic_sample
+
+    return pps_systematic_sample(_read(spark, sf_dir, "documents"), "n_chars", n=50)
+
+
 def q_text_entropy(spark, sf_dir):
     """Per-document unigram entropy in bits — fixed-point long term sums
     (the adamic_adar precedent for log-derived weights)."""
@@ -3151,6 +3168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
         "text_entropy": q_text_entropy,
+        "evt_cusum": q_evt_cusum,
+        "curation_pps": q_curation_pps,
         "zipf_slope": q_zipf_slope,
         "bloom_prune": q_bloom_prune,
         "zorder_layout": q_zorder_layout,
@@ -6886,6 +6905,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "evt_cusum": """
+            -- s+ = prefix - min(0, running-min prefix); fixed-point longs
+            WITH base AS (
+                SELECT user_id AS "group", ts, event_id,
+                       round(value * 1000000.0)::BIGINT AS v
+                FROM events WHERE value IS NOT NULL
+            ), mu AS (
+                SELECT "group", sum(v) // count(*) AS m FROM base GROUP BY 1
+            ), rows_ AS (
+                SELECT b."group", b.ts, b.event_id, b.v, mu.m,
+                       sum(b.v - mu.m - 250000) OVER w AS ph,
+                       sum(mu.m - 250000 - b.v) OVER w AS pl
+                FROM base b JOIN mu USING ("group")
+                WINDOW w AS (PARTITION BY b."group" ORDER BY b.ts, b.event_id
+                             ROWS UNBOUNDED PRECEDING)
+            ), s AS (
+                SELECT "group", ts,
+                       ph - least(min(ph) OVER w2, 0) AS sh,
+                       pl - least(min(pl) OVER w2, 0) AS sl
+                FROM rows_
+                WINDOW w2 AS (PARTITION BY "group" ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT "group", count(*)::BIGINT AS n_events,
+                   round(max(sh) / 1000000.0, 6) AS max_cusum_high,
+                   round(max(sl) / 1000000.0, 6) AS max_cusum_low,
+                   sum(CASE WHEN sh > 3000000 OR sl > 3000000 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_alarms,
+                   min(CASE WHEN sh > 3000000 OR sl > 3000000 THEN ts END) AS first_alarm_ts
+            FROM s GROUP BY 1
+        """,
+        "curation_pps": """
+            -- md5-ordered weight line; interval [a,a+w) hits stride k*T/n
+            -- iff ceil(a*n/T) < ceil((a+w)*n/T); all integer
+            WITH w AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       md5(doc_id::VARCHAR) AS k, n_chars::BIGINT AS wt
+                FROM documents WHERE n_chars > 0
+            ), c AS (
+                SELECT *, sum(wt) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(wt) OVER () AS total
+                FROM w
+            ), s AS (
+                SELECT doc_id, text, lang, source, n_chars,
+                       (((cum - wt + wt) * 50 + total - 1) // total
+                        - ((cum - wt) * 50 + total - 1) // total)::BIGINT AS n_hits
+                FROM c
+            )
+            SELECT * FROM s WHERE n_hits > 0
         """,
         "text_entropy": """
             -- fixed-point long term sums: round((c/n)*log2(n/c)*1e6)

@@ -936,3 +936,79 @@ def train_val_test_split(
         .when(digest < F.lit(t_val), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample of ~n rows:
+    systematic (Madow) sampling — lay every row's integer weight end to
+    end along a line in md5(id) order, then take one row at every stride
+    of total/n. A row with weight w is selected with probability exactly
+    min(1, n·w/total), rows with w ≥ total/n are ALWAYS selected, and the
+    draw is a pure function of (ids, weights, n): rerun/engine/resume
+    identical, no rand() — the weighted companion of sample_k_per_group's
+    md5-rank trick (which is uniform) and temperature-less cousin of
+    domain_mix_sample (which resamples per group). Rows heavier than one
+    stride absorb several stride multiples; `n_hits` carries that
+    multiplicity (Σ n_hits = n exactly — replicate by n_hits for an
+    unbiased weighted resample, or treat n_hits ≥ 1 as selection).
+
+    All arithmetic is integer: row interval [a, a+w) contains a stride
+    multiple k·(total/n) iff ceil(a·n/total) < ceil((a+w)·n/total) —
+    no floats anywhere, so the oracle matches row-for-row. Contract:
+    weights must be positive integers with total·n < 2^63 (at larger
+    scale pre-aggregate or sample per shard and merge). The cumulative
+    positions use a two-phase distributed prefix sum: 16 md5 buckets,
+    per-bucket window cumsum + broadcast bucket offsets — no global
+    single-partition sort."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError("need n >= 1")
+    w = F.col(weight_col).cast("long")
+    base = df.withColumn("_k", F.md5(F.col(id_col).cast("string"))).withColumn(
+        "_w", w
+    )
+    bad = base.filter((F.col("_w").isNull()) | (F.col("_w") <= 0))
+    base = base.filter(F.col("_w") > 0).withColumn(
+        "_b", F.conv(F.substring("_k", 1, 1), 16, 10).cast("int")
+    )
+    in_bucket = Window.partitionBy("_b").orderBy("_k", F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = base.withColumn("_c", F.sum("_w").over(in_bucket))
+    offsets = (
+        base.groupBy("_b")
+        .agg(F.sum("_w").alias("_bt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    total = offsets.agg(F.sum("_bt").cast("long").alias("_total"))
+    placed = (
+        cum.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_a", F.col("_off") + F.col("_c") - F.col("_w"))
+    )
+    # ceil(x·n/total) as (x·n + total − 1) div total — exact longs
+    lo = F.expr(f"(_a * {n} + _total - 1) div _total")
+    hi = F.expr(f"((_a + _w) * {n} + _total - 1) div _total")
+    picked = (
+        placed.withColumn("n_hits", (hi - lo).cast("long"))
+        .filter(F.col("n_hits") > 0)
+        .drop("_k", "_b", "_c", "_off", "_a", "_w", "_total")
+    )
+    _ = bad  # rows with non-positive weight are excluded by contract
+    return picked

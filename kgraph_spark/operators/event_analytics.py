@@ -109,3 +109,64 @@ def transition_matrix(
             F.col("n_transitions") / F.sum("n_transitions").over(wt), 6
         ).alias("prob"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    kappa: float = 0.25,
+    h: float = 3.0,
+    value_col: str = "value",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group CUSUM changepoint summary (group, n_events,
+    max_cusum_high, max_cusum_low, n_alarms, first_alarm_ts): the
+    classic Page (1954) drift detector — s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ−μ−κ))
+    catches upward level shifts, s⁻ₜ the mirror image, alarm when either
+    exceeds h. The per-metric drift gate a recurring corpus/telemetry
+    pipeline runs between builds; unlike per-window outlier flags
+    (mad_outliers) CUSUM accumulates SMALL persistent shifts.
+
+    The recursion is not computed as a recursion: s⁺ₜ = prefixₜ −
+    min(0, min_{j≤t} prefixⱼ) where prefixₜ = Σ(xᵢ−μ−κ) — two standard
+    running windows per group (cumulative sum + running min), both on the
+    ONE (group, ts, id)-sorted exchange, no HOF arrays, no per-row Python.
+    μ is the group's own mean. Everything is round-6 FIXED-POINT longs
+    (values quantized once; μ = sum div n exact integer division; κ, h
+    quantized params), so every s value — and the alarm decision — is
+    exact integer arithmetic, bit-identical in any engine. Event-id
+    tie-break makes equal-timestamp ordering deterministic."""
+    v = F.round(F.col(value_col) * scale).cast("long")
+    k_fp = int(round(kappa * scale))
+    h_fp = int(round(h * scale))
+    base = events.select(
+        F.col(group_col).alias("group"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        v.alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    mu = base.groupBy("group").agg(
+        F.expr("sum(_v) div count(*)").cast("long").alias("_mu"),
+    )
+    seq = Window.partitionBy("group").orderBy("_ts", "_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rows = (
+        base.join(mu, "group")
+        .withColumn("_dh", F.col("_v") - F.col("_mu") - F.lit(k_fp))
+        .withColumn("_dl", F.col("_mu") - F.lit(k_fp) - F.col("_v"))
+        .withColumn("_ph", F.sum("_dh").over(seq))
+        .withColumn("_pl", F.sum("_dl").over(seq))
+        .withColumn("_sh", F.col("_ph") - F.least(F.min("_ph").over(seq), F.lit(0)))
+        .withColumn("_sl", F.col("_pl") - F.least(F.min("_pl").over(seq), F.lit(0)))
+        .withColumn("_alarm", (F.col("_sh") > h_fp) | (F.col("_sl") > h_fp))
+    )
+    return rows.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max("_sh") / F.lit(float(scale)), 6).alias("max_cusum_high"),
+        F.round(F.max("_sl") / F.lit(float(scale)), 6).alias("max_cusum_low"),
+        F.sum(F.col("_alarm").cast("long")).cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("_alarm"), F.col("_ts"))).alias("first_alarm_ts"),
+    )

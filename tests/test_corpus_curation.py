@@ -697,3 +697,46 @@ def test_train_val_test_split_partition_and_stability(spark):
     assert all(assignment[r["doc_id"]] == r["split"] for r in small)
     with pytest.raises(ValueError):
         train_val_test_split(docs, 0.6, 0.5)
+
+
+# ---- PPS systematic sampling ---------------------------------------------
+
+
+def test_pps_sample_size_and_heavy_guarantee(spark):
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.corpus_curation import pps_systematic_sample
+
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("w")
+    )
+    # one heavy row: weight 600 >= total/n stride -> always selected
+    heavy = spark.createDataFrame([(999, 600)], "doc_id long, w int")
+    df = docs.unionByName(heavy)
+    rows = pps_systematic_sample(df, "w", n=20).collect()
+    ids = {r["doc_id"] for r in rows}
+    hits = {r["doc_id"]: r["n_hits"] for r in rows}
+    assert 999 in ids
+    assert sum(hits.values()) == 20      # Σ multiplicity = n exactly
+    assert hits[999] >= 4                # heavy row absorbs ~600/130 strides
+    assert all(h == 1 for d, h in hits.items() if d != 999)
+    # deterministic: rerun identical
+    again = {r["doc_id"] for r in pps_systematic_sample(df, "w", n=20).collect()}
+    assert ids == again
+
+
+def test_pps_uniform_weights_even_stride(spark):
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.corpus_curation import pps_systematic_sample
+
+    df = spark.range(0, 100).select(F.col("id").alias("doc_id"), F.lit(1).alias("w"))
+    got = pps_systematic_sample(df, "w", n=10).count()
+    assert got == 10
+    # non-positive weights are excluded, never crash the stride math
+    import pytest
+    mixed = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -2), (4, 5)], "doc_id long, w int"
+    )
+    ids = {r["doc_id"] for r in pps_systematic_sample(mixed, "w", n=2).collect()}
+    assert ids <= {1, 4} and len(ids) == 2
+    with pytest.raises(ValueError):
+        pps_systematic_sample(df, "w", n=0)

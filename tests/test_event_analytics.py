@@ -77,3 +77,48 @@ def test_transition_matrix_probs_and_ties(spark):
     assert got[("view", "click")] == (2, 1.0)
     assert got[("click", "view")] == (1, 1.0)
     assert len(got) == 2
+
+
+# ---- CUSUM ---------------------------------------------------------------
+
+
+def test_cusum_detects_level_shift(spark):
+    from kgraph_spark.operators.event_analytics import cusum_changepoints
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user A: flat 1.0 for 10 events then jumps to 3.0 for 10 -> alarms
+    for i in range(20):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "e", 1.0 if i < 10 else 3.0))
+    # user B: flat forever -> no alarm
+    for i in range(20):
+        rows.append((100 + i, t0 + dt.timedelta(minutes=i), 2, "e", 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {r["group"]: r for r in cusum_changepoints(ev, kappa=0.25, h=3.0).collect()}
+    assert got[1]["n_alarms"] > 0
+    assert got[1]["max_cusum_high"] > 3.0
+    assert got[1]["first_alarm_ts"] is not None
+    assert got[2]["n_alarms"] == 0
+    assert got[2]["max_cusum_high"] == 0.0 and got[2]["max_cusum_low"] == 0.0
+
+
+def test_cusum_hand_values(spark):
+    from kgraph_spark.operators.event_analytics import cusum_changepoints
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [0.0, 0.0, 4.0, 4.0]  # mu = 2; kappa=1 -> dev_hi = v-3: -3,-3,1,1
+    ev = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i), 1, "e", v) for i, v in enumerate(vals)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = cusum_changepoints(ev, kappa=1.0, h=1.5).collect()[0]
+    # s_hi walks: 0,0,1,2 ; s_lo (mu-k-v = 1-v): 1,2,0,0 -> max 2 both
+    assert row["max_cusum_high"] == 2.0
+    assert row["max_cusum_low"] == 2.0
+    assert row["n_alarms"] == 2  # s_hi=2 at t3, s_lo=2 at t1
