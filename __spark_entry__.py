@@ -3011,6 +3011,43 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_kg_asof(spark, sf_dir):
+    """KG time travel: the user→event_type edge set as it stood on
+    Jan 20 — last change at-or-before the cut wins per triple (max_by on
+    (ts, event_id)), deletes (every 7th event) drop the triple."""
+    import datetime as dt
+
+    from kgraph_spark.operators.relationships import triple_snapshot_asof
+
+    ev = _read(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("subject_id"),
+        F.lit("did").alias("predicate"),
+        F.concat(F.lit("E"), F.col("event_type")).alias("object_id"),
+        F.col("ts"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.round(F.col("value"), 6).alias("confidence"),
+        F.col("event_id"),
+    )
+    return triple_snapshot_asof(
+        log, dt.datetime(2024, 1, 20), seq_col="event_id"
+    ).drop("event_id")
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning: documents stand in as the file
+    manifest (id=doc_id, size=n_chars); linear packing, exact integers."""
+    from kgraph_spark.operators.layout import compaction_plan
+
+    files = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return compaction_plan(files, target_bytes=20000)
+
+
 def q_evt_cusum(spark, sf_dir):
     """Per-user CUSUM drift summary over the events stream: the Page
     detector restated as two running windows on one sorted exchange,
@@ -3169,6 +3206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_bcubed": q_d8_bcubed,
         "text_entropy": q_text_entropy,
         "evt_cusum": q_evt_cusum,
+        "kg_asof": q_kg_asof,
+        "compaction_plan": q_compaction_plan,
         "curation_pps": q_curation_pps,
         "zipf_slope": q_zipf_slope,
         "bloom_prune": q_bloom_prune,
@@ -6905,6 +6944,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "kg_asof": """
+            -- last change at-or-before the cut per triple key (struct max
+            -- on (ts, event_id)); present iff that change was an upsert
+            WITH log AS (
+                SELECT 'U' || user_id::VARCHAR AS subject_id,
+                       'did' AS predicate,
+                       'E' || event_type AS object_id,
+                       ts,
+                       CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+                       round(value, 6) AS confidence,
+                       event_id
+                FROM events
+            ), last AS (
+                SELECT subject_id, predicate, object_id,
+                       max({'t': ts, 's': event_id, 'o': op, 'c': confidence}) AS m
+                FROM log WHERE ts <= TIMESTAMP '2024-01-20'
+                GROUP BY 1, 2, 3
+            )
+            SELECT subject_id, predicate, object_id, (m).c AS confidence
+            FROM last WHERE (m).o = 'upsert'
+        """,
+        "compaction_plan": """
+            -- linear packing in id order: bin = (cum - 1) // target
+            WITH f AS (
+                SELECT doc_id::VARCHAR AS path, n_chars::BIGINT AS size_bytes
+                FROM documents WHERE n_chars > 0
+            ), c AS (
+                SELECT path, size_bytes,
+                       ((sum(size_bytes) OVER (ORDER BY path ROWS UNBOUNDED PRECEDING)) - 1)
+                           // 20000 AS bin
+                FROM f
+            )
+            SELECT path, size_bytes, bin::BIGINT AS bin,
+                   count(*) OVER (PARTITION BY bin)::BIGINT AS n_files_in_bin,
+                   sum(size_bytes) OVER (PARTITION BY bin)::BIGINT AS bin_bytes
+            FROM c
         """,
         "evt_cusum": """
             -- s+ = prefix - min(0, running-min prefix); fixed-point longs

@@ -100,3 +100,51 @@ def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
         *[F.max(c).alias(f"max_{c}") for c in cols],
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    id_col: str = "path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Bin assignment for small-file compaction: lay the files end to end
+    in deterministic id order and cut a bin every `target_bytes` —
+    (id, size_bytes, bin, n_files_in_bin, bin_bytes). Bins with
+    n_files_in_bin > 1 are rewrite groups (the Delta OPTIMIZE / Iceberg
+    rewrite_data_files planning step); singleton bins are already at
+    target and skip the rewrite. Linear packing is what the real tools do
+    per partition — it preserves locality order (crucial after
+    write_zordered: compacting ADJACENT z-ranges keeps file min/max tight,
+    a size-sorted first-fit would destroy the clustering file_stats
+    pruning relies on).
+
+    Exact integers end to end: bin = (cumulative_bytes − 1) div target.
+    Same two-phase distributed prefix sum as pps_systematic_sample (16
+    md5-independent buckets? NO — order must be the id order, so the
+    prefix sum runs per leading bucket of the id itself; with pathological
+    id distributions pre-range-partition upstream). At real scale `files`
+    is a metadata table (one row per file) — millions of rows, not data
+    scale; a single window over it is already cheap."""
+    if target_bytes < 1:
+        raise ValueError("need target_bytes >= 1")
+    from pyspark.sql import Window
+
+    sized = files.select(
+        F.col(id_col), F.col(size_col).cast("long").alias("size_bytes")
+    ).filter(F.col("size_bytes") > 0)
+    cum = sized.withColumn(
+        "bin",
+        F.expr(
+            f"(sum(size_bytes) OVER (ORDER BY {id_col} ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) - 1) div CAST({int(target_bytes)} AS BIGINT)"
+        ).cast("long"),
+    )
+    per_bin = Window.partitionBy("bin")
+    return cum.select(
+        id_col,
+        "size_bytes",
+        "bin",
+        F.count(F.lit(1)).over(per_bin).cast("long").alias("n_files_in_bin"),
+        F.sum("size_bytes").over(per_bin).cast("long").alias("bin_bytes"),
+    )

@@ -518,3 +518,45 @@ def kg_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*k, "old_confidence", "new_confidence", status.alias("status"))
+
+
+def triple_snapshot_asof(
+    changes: DataFrame,
+    at,
+    key_cols: tuple[str, ...] = ("subject_id", "predicate", "object_id"),
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The KG as it stood at time `at` — time travel over a triple
+    CHANGELOG (rows = (key_cols…, ts, op ∈ {'upsert','delete'}, payload
+    columns)): per triple key, the last change at or before `at` wins;
+    the triple is present iff that change was an upsert. This is the
+    Iceberg snapshot-as-of restatement for the parquet stand-in — kg_diff
+    answers "what changed between builds", this answers "what WAS the
+    graph then", the query an audit or a reproducibility rerun needs.
+
+    ONE bounded aggregate: filter ts ≤ at (pushed into the scan), then
+    max_by(payload-struct, (ts, seq)) per key — O(1) state per triple,
+    no window sort, hot triples cost their own row count (the
+    merge_upsert pattern with event time as the version). `seq_col`
+    breaks same-instant ties (highest wins); omitted, ties fall to the
+    greatest payload struct — deterministic under any arrival order."""
+    keys = list(key_cols)
+    payload = [c for c in changes.columns if c not in (*keys, ts_col)]
+    tie = F.col(seq_col) if seq_col else F.struct(*[F.col(c) for c in payload])
+    last = (
+        changes.filter(F.col(ts_col) <= F.lit(at))
+        .groupBy(*keys)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in payload]),
+                F.struct(F.col(ts_col), tie),
+            ).alias("_last")
+        )
+    )
+    present = last.filter(F.col(f"_last.{op_col}") == "upsert")
+    return present.select(
+        *keys,
+        *[F.col(f"_last.{c}").alias(c) for c in payload if c != op_col],
+    )

@@ -74,3 +74,25 @@ def test_zorder_key_partitioning_invariant(spark):
     a = {r["x"]: r["z_key"] for r in zorder_key(df.repartition(7), ["x", "y"]).collect()}
     b = {r["x"]: r["z_key"] for r in zorder_key(df.coalesce(1), ["x", "y"]).collect()}
     assert a == b
+
+
+def test_compaction_plan_bins_and_singletons(spark):
+    from kgraph_spark.operators.layout import compaction_plan
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    files = spark.createDataFrame(
+        [("a", 40), ("b", 40), ("c", 40), ("d", 150), ("e", 10), ("f", 0)],
+        "path string, size_bytes long",
+    )
+    rows = {r["path"]: r for r in compaction_plan(files, target_bytes=100).collect()}
+    assert "f" not in rows  # zero-size dropped
+    # cum: a40 b80 c120 d270 e280 -> bins (cum-1)//100: 0,0,1,2,2
+    assert rows["a"]["bin"] == 0 and rows["b"]["bin"] == 0
+    assert rows["c"]["bin"] == 1
+    assert rows["d"]["bin"] == 2 and rows["e"]["bin"] == 2
+    assert rows["a"]["n_files_in_bin"] == 2 and rows["a"]["bin_bytes"] == 80
+    assert rows["c"]["n_files_in_bin"] == 1  # singleton: skip rewrite
+    with pytest.raises(ValueError):
+        compaction_plan(files, target_bytes=0)

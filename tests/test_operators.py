@@ -625,3 +625,37 @@ def test_acronym_join_ambiguity_and_min_words(spark):
     # both 3-word names spell CML; single-word 'aspirin' never indexes
     assert got == {("CML", "chronic myeloid leukemia"), ("CML", "cml media lab")}
     assert all(r["n_candidates"] == 2 for r in rows)
+
+
+def test_triple_snapshot_asof(spark):
+    from kgraph_spark.operators.relationships import triple_snapshot_asof
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    log = spark.createDataFrame(
+        [
+            ("a", "p", "b", t(1), "upsert", 0.5),
+            ("a", "p", "b", t(3), "upsert", 0.9),   # later update
+            ("a", "p", "c", t(2), "upsert", 0.7),
+            ("a", "p", "c", t(4), "delete", 0.0),   # deleted before the cut
+            ("x", "p", "y", t(9), "upsert", 1.0),   # after the cut
+        ],
+        "subject_id string, predicate string, object_id string, ts timestamp,"
+        " op string, confidence double",
+    )
+    snap = {
+        (r["subject_id"], r["object_id"]): r
+        for r in triple_snapshot_asof(log, t(5)).collect()
+    }
+    assert set(snap) == {("a", "b")}
+    assert snap[("a", "b")]["confidence"] == 0.9
+    # earlier cut sees both triples, first confidence
+    snap2 = {
+        (r["subject_id"], r["object_id"]): r["confidence"]
+        for r in triple_snapshot_asof(log, t(2)).collect()
+    }
+    assert snap2 == {("a", "b"): 0.5, ("a", "c"): 0.7}
+    # op column never leaks into the snapshot
+    cols = triple_snapshot_asof(log, t(5)).columns
+    assert "op" not in cols and "confidence" in cols
