@@ -952,6 +952,61 @@ def main() -> None:
         ["HashAggregate", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Butterfly counting — wedge self-join on the right (part) key "
+        "carries ids only; exact integer C(c,2); no cartesian anywhere",
+        _plan(entrymod.queries()["graph_butterflies"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "WL role labels — per-round neighbor aggregation is ONE "
+        "groupBy(node) whose state is the sorted neighbor-label array "
+        "(bounded by max degree); md5 relabel rides the expression",
+        _plan(entrymod.queries()["graph_wl"](spark, SF)),
+        ["ObjectHashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Bloom join pruning — the 1-row bitmap broadcasts under a "
+        "BroadcastNestedLoopJoin; the fact side is filtered MAP-SIDE "
+        "(no SortMergeJoin, no exchange of the big side to decide "
+        "membership)",
+        _plan(entrymod.queries()["bloom_prune"](spark, SF)),
+        ["BroadcastNestedLoopJoin", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "B-cubed gate — contingency cells via one hash aggregate; "
+        "fixed-point long sums; items never pair",
+        _plan(entrymod.queries()["d8_bcubed"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "CUSUM — recursion eliminated into two running windows riding "
+        "ONE (group)-partitioned sort; fixed-point integer state",
+        _plan(entrymod.queries()["evt_cusum"](spark, SF)),
+        ["Window", "hashpartitioning(group", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "PPS systematic sample — two-phase distributed prefix sum: "
+        "in-bucket window partitioned by the md5 bucket (16-way "
+        "parallel), bucket offsets broadcast back; no global "
+        "single-partition sort of the data",
+        _plan(entrymod.queries()["curation_pps"](spark, SF)),
+        ["hashpartitioning(_b", "BroadcastHashJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "KG time travel — the as-of cut is PUSHED INTO the scan "
+        "(ts <= literal) and the last-writer election is one max_by "
+        "aggregate, O(1) state per triple (no window sort)",
+        _plan(entrymod.queries()["kg_asof"](spark, SF)),
+        ["PushedFilters", "LessThanOrEqual(ts", "!Window", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
