@@ -3011,6 +3011,22 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_mmr_topk(spark, sf_dir):
+    """MMR diversified top-3 per label over the embeddings table: probe =
+    the label's min-vec_id vector; λ=7/10 rational, fixed-point cosines,
+    min-of-struct argmax per unrolled round."""
+    from kgraph_spark.operators.relevance import mmr_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.groupBy(F.col("label").alias("_pl")).agg(
+        F.min("vec_id").alias("_pid")
+    )
+    probe_vecs = emb.join(
+        probes, (F.col("label") == F.col("_pl")) & (F.col("vec_id") == F.col("_pid"))
+    ).select("label", "embedding")
+    return mmr_topk(emb, probe_vecs, k=3)
+
+
 def q_kg_asof(spark, sf_dir):
     """KG time travel: the user→event_type edge set as it stood on
     Jan 20 — last change at-or-before the cut wins per triple (max_by on
@@ -3207,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "evt_cusum": q_evt_cusum,
         "kg_asof": q_kg_asof,
+        "mmr_topk": q_mmr_topk,
         "compaction_plan": q_compaction_plan,
         "curation_pps": q_curation_pps,
         "zipf_slope": q_zipf_slope,
@@ -6944,6 +6961,60 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "mmr_topk": """
+            -- three unrolled MMR rounds: fixed-point cosines, integer
+            -- marginal score 7*rel - 3*maxsim, min-of-struct argmax
+            WITH it AS (
+                SELECT label, vec_id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 1000000)::BIGINT) AS v
+                FROM embeddings
+            ), prk AS (
+                SELECT label, min(vec_id) AS pid FROM it GROUP BY 1
+            ), pr AS (
+                SELECT i.label, i.v AS pv
+                FROM it i JOIN prk ON i.label = prk.label AND i.vec_id = prk.pid
+            ), cand AS (
+                SELECT it.label, it.vec_id, it.v,
+                       round((list_sum(list_transform(list_zip(it.v, pr.pv), z -> z[1] * z[2]))::DOUBLE / (sqrt(list_sum(list_transform(it.v, x -> x * x))::DOUBLE) * sqrt(list_sum(list_transform(pr.pv, x -> x * x))::DOUBLE))) * 1000000)::BIGINT AS rel
+                FROM it JOIN pr USING (label)
+            ), s1 AS (
+                SELECT label, (min({'s': -rel, 'i': vec_id})).i AS i1 FROM cand GROUP BY 1
+            ), s1v AS (
+                SELECT c.label, c.vec_id AS i1, c.v AS v1, c.rel AS r1
+                FROM cand c JOIN s1 ON c.label = s1.label AND c.vec_id = s1.i1
+            ), sc2 AS (
+                SELECT c.label, c.vec_id, c.v, c.rel,
+                       7 * c.rel - 3 * round((list_sum(list_transform(list_zip(c.v, s.v1), z -> z[1] * z[2]))::DOUBLE / (sqrt(list_sum(list_transform(c.v, x -> x * x))::DOUBLE) * sqrt(list_sum(list_transform(s.v1, x -> x * x))::DOUBLE)))
+                                             * 1000000)::BIGINT AS score
+                FROM cand c JOIN s1v s ON c.label = s.label AND c.vec_id <> s.i1
+            ), s2 AS (
+                SELECT label, (min({'s': -score, 'i': vec_id})).i AS i2 FROM sc2 GROUP BY 1
+            ), s2v AS (
+                SELECT c.label, c.vec_id AS i2, c.v AS v2, c.rel AS r2
+                FROM cand c JOIN s2 ON c.label = s2.label AND c.vec_id = s2.i2
+            ), sc3 AS (
+                SELECT c.label, c.vec_id, c.rel,
+                       7 * c.rel - 3 * greatest(
+                           round((list_sum(list_transform(list_zip(c.v, a.v1), z -> z[1] * z[2]))::DOUBLE / (sqrt(list_sum(list_transform(c.v, x -> x * x))::DOUBLE) * sqrt(list_sum(list_transform(a.v1, x -> x * x))::DOUBLE))) * 1000000)::BIGINT,
+                           round((list_sum(list_transform(list_zip(c.v, b.v2), z -> z[1] * z[2]))::DOUBLE / (sqrt(list_sum(list_transform(c.v, x -> x * x))::DOUBLE) * sqrt(list_sum(list_transform(b.v2, x -> x * x))::DOUBLE))) * 1000000)::BIGINT
+                       ) AS score
+                FROM cand c
+                JOIN s1v a ON c.label = a.label
+                JOIN s2v b ON c.label = b.label
+                WHERE c.vec_id <> a.i1 AND c.vec_id <> b.i2
+            ), s3 AS (
+                SELECT label, (min({'s': -score, 'i': vec_id})).i AS i3 FROM sc3 GROUP BY 1
+            ), s3v AS (
+                SELECT c.label, c.vec_id AS i3, c.rel AS r3
+                FROM cand c JOIN s3 ON c.label = s3.label AND c.vec_id = s3.i3
+            )
+            SELECT label, 1::BIGINT AS rank, i1 AS vec_id, round(r1 / 1000000.0, 6) AS relevance FROM s1v
+            UNION ALL
+            SELECT label, 2::BIGINT, i2, round(r2 / 1000000.0, 6) FROM s2v
+            UNION ALL
+            SELECT label, 3::BIGINT, i3, round(r3 / 1000000.0, 6) FROM s3v
         """,
         "kg_asof": """
             -- last change at-or-before the cut per triple key (struct max

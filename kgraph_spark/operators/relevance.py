@@ -456,3 +456,115 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("fused_rank") <= top_k)
     return out
+
+
+def mmr_topk(
+    items: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    lam_num: int = 7,
+    lam_denom: int = 10,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance top-k per group (Carbonell & Goldstein
+    1998): greedily pick the item maximizing λ·relevance − (1−λ)·max
+    similarity to anything already picked — the diversity-aware re-rank a
+    retrieval/curation pipeline runs so the k exemplars aren't k copies
+    (the selection-side complement of semantic_dedup, which DROPS
+    near-dups; MMR keeps them but never picks two).
+
+    Determinism/oracle discipline: relevance and pairwise cosines quantize
+    to round-6 FIXED-POINT longs, λ is the rational lam_num/lam_denom so
+    the marginal score lam_num·rel − (lam_denom−lam_num)·maxsim is EXACT
+    integer arithmetic (scale-invariant argmax — never divided), and every
+    argmax is min-of-struct((−score, id)) — the repo's replayable-election
+    trick. k is a fixed unroll: each round joins candidates to the ≤(k−1)
+    already-selected rows per group (bounded), takes one max aggregate and
+    one argmax — pure lineage, SQL-replayable round by round. Relevance =
+    cosine(item, the group's probe vector from `probes` (group, vec)).
+    At scale: probes broadcast; per-round state is O(groups·k); candidate
+    rows shuffle once on group."""
+    if k < 1 or not 0 < lam_num <= lam_denom:
+        raise ValueError("need k >= 1 and 0 < lam_num <= lam_denom")
+    from kgraph_spark.operators.similarity import cosine_fixed
+
+    cand = (
+        items.select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_i"),
+            F.col(vec_col).alias("_v"),
+        )
+        .join(
+            F.broadcast(
+                probes.select(F.col(group_col).alias("_g"), F.col(vec_col).alias("_pv"))
+            ),
+            "_g",
+        )
+        .select(
+            "_g",
+            "_i",
+            "_v",
+            F.round(cosine_fixed(F.col("_v"), F.col("_pv")) * scale)
+            .cast("long")
+            .alias("_rel"),
+        )
+    )
+    sel = (
+        cand.groupBy("_g")
+        .agg(F.min(F.struct((-F.col("_rel")).alias("s"), F.col("_i").alias("i"))).alias("_m"))
+        .select("_g", F.col("_m.i").alias("_i"), F.lit(1).alias("rank"))
+        .join(cand.select("_g", "_i", "_v", "_rel"), ["_g", "_i"])
+    )
+    selected = sel.select("_g", "_i", "_v", "_rel", "rank")
+    for r in range(2, k + 1):
+        done = selected.select(F.col("_g").alias("_dg"), F.col("_i").alias("_done"))
+        pool = cand.join(
+            done,
+            (cand["_g"] == done["_dg"]) & (cand["_i"] == done["_done"]),
+            "left_anti",
+        )
+        selvecs = selected.select(F.col("_g").alias("_g2"), F.col("_v").alias("_sv"))
+        sims = (
+            pool.join(selvecs, pool["_g"] == selvecs["_g2"])
+            .select(
+                pool["_g"].alias("_g"),
+                pool["_i"].alias("_i"),
+                pool["_v"].alias("_v"),
+                pool["_rel"].alias("_rel"),
+                F.round(cosine_fixed(pool["_v"], selvecs["_sv"]) * scale)
+                .cast("long")
+                .alias("_sim"),
+            )
+            .groupBy("_g", "_i", "_v", "_rel")
+            .agg(F.max("_sim").alias("_maxsim"))
+        )
+        scored = sims.select(
+            "_g",
+            "_i",
+            "_v",
+            "_rel",
+            (
+                F.lit(lam_num) * F.col("_rel")
+                - F.lit(lam_denom - lam_num) * F.col("_maxsim")
+            ).alias("_score"),
+        )
+        nxt = (
+            scored.groupBy("_g")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_score")).alias("s"), F.col("_i").alias("i"))
+                ).alias("_m")
+            )
+            .select("_g", F.col("_m.i").alias("_i"), F.lit(r).alias("rank"))
+            .join(scored.select("_g", "_i", "_v", "_rel"), ["_g", "_i"])
+        )
+        selected = selected.unionByName(nxt.select("_g", "_i", "_v", "_rel", "rank"))
+    return selected.select(
+        F.col("_g").alias(group_col),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("_i").alias(id_col),
+        F.round(F.col("_rel") / F.lit(float(scale)), 6).alias("relevance"),
+    )

@@ -674,3 +674,30 @@ def embedding_dispersion(
             F.round(F.min("_u") / 1000000.0, 6).alias("min_cosine"),
         )
     )
+
+
+def cosine_fixed(a, b, q: int = 1_000_000):
+    """Cross-engine BIT-IDENTICAL cosine: quantize both vectors to integer
+    grids (round(x·q) — a binary float times 10^6 can never sit exactly on
+    a .5 boundary, the denominator would need a 5^6 factor no binary float
+    has, so the quantization itself is unambiguous), then dot and squared
+    norms are EXACT integer folds; the only float ops are two correctly-
+    rounded sqrts and one divide of exactly-representable integers —
+    identical IEEE doubles in any engine, so ANY later rounding of the
+    result is safe. Use where a round-6 of a float cosine must match an
+    oracle bit-for-bit (plain cosine_col folds can differ from another
+    engine's kernel in the last ulp and flip a rounding boundary)."""
+    qa = F.transform(a, lambda x: F.round(x * q).cast("long"))
+    qb = F.transform(b, lambda x: F.round(x * q).cast("long"))
+    dot = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    na2 = F.aggregate(
+        F.transform(qa, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    nb2 = F.aggregate(
+        F.transform(qb, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return dot.cast("double") / (
+        F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+    )

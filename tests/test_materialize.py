@@ -85,3 +85,53 @@ def test_rrf_top_k_and_tie_break(spark):
     r1 = spark.createDataFrame([("q", "y", 1), ("q", "z", 2)], "probe_id string, vec_id string, rank int")
     out = rrf_fuse([r0, r1], top_k=1).collect()
     assert len(out) == 1 and out[0]["vec_id"] == "y"
+
+
+# ---- MMR ------------------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "label int, vec_id long, embedding array<float>")
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from kgraph_spark.operators.relevance import mmr_topk
+
+    # probe = [1,0]; a1/a2 nearly identical high-relevance; b diverse mid
+    items = _vecs(
+        spark,
+        [
+            (0, 1, [1.0, 0.05]),   # rel ~.999
+            (0, 2, [1.0, 0.06]),   # near-dup of 1, rel ~.998
+            (0, 3, [0.6, 0.8]),    # diverse, rel .6
+        ],
+    )
+    probes = _vecs(spark, [(0, 99, [1.0, 0.0])]).select("label", "embedding")
+    got = {
+        r["rank"]: r["vec_id"]
+        for r in mmr_topk(items, probes, k=3, lam_num=3).collect()
+    }
+    assert got[1] == 1          # highest relevance first
+    assert got[3] == 2          # ...near-dup of #1 forced to LAST
+    assert got[2] == 3          # diversity wins round 2 at lambda=0.3
+    # relevance-heavy lambda keeps the greedy relevance order instead
+    rel = {r["rank"]: r["vec_id"] for r in mmr_topk(items, probes, k=3, lam_num=9).collect()}
+    assert rel[2] == 2
+
+
+def test_mmr_rank1_is_pure_relevance_and_validation(spark):
+    import pytest
+    from kgraph_spark.operators.relevance import mmr_topk
+
+    items = _vecs(spark, [(0, 1, [1.0, 0.0]), (0, 2, [0.0, 1.0]), (1, 5, [1.0, 1.0])])
+    probes = _vecs(spark, [(0, 9, [0.0, 1.0]), (1, 9, [1.0, 1.0])]).select(
+        "label", "embedding"
+    )
+    rows = mmr_topk(items, probes, k=2).collect()
+    r1 = {r["label"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    assert r1 == {0: 2, 1: 5}
+    assert {r["rank"] for r in rows if r["label"] == 1} == {1}  # pool exhausts
+    with pytest.raises(ValueError):
+        mmr_topk(items, probes, k=0)
+    with pytest.raises(ValueError):
+        mmr_topk(items, probes, lam_num=11, lam_denom=10)
