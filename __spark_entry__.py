@@ -3011,6 +3011,45 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_span_seq_dedup(spark, sf_dir):
+    """Exact dedup of interleaved docs under span-sequence EQUALITY (the
+    north-rule per-row contract as a 16-byte hash groupBy): serialization
+    is (kind, text, media_ref) with unit/record separators, md5-hashed
+    map-side; min-id keeper per group."""
+    from kgraph_spark.operators.interleave import interleaved_exact_dedup
+
+    return interleaved_exact_dedup(
+        _docs_to_interleaved_spans(_read(spark, sf_dir, "documents"))
+    )
+
+
+def q_multimodal_pack(spark, sf_dir):
+    """Interleaved training-sample packing: per-doc token budget (text =
+    1+len div 4, media = 256/span) via a map-only fold, then linear
+    packing into 2048-token bins through layout.compaction_plan — bins
+    never split a document."""
+    from kgraph_spark.operators.interleave import multimodal_token_cost
+    from kgraph_spark.operators.layout import compaction_plan
+
+    cost = multimodal_token_cost(
+        _docs_to_interleaved_spans(_read(spark, sf_dir, "documents"))
+    )
+    packed = compaction_plan(
+        cost.select(
+            F.col("doc_id").cast("string").alias("path"),
+            F.col("doc_tokens").alias("size_bytes"),
+        ),
+        target_bytes=2048,
+    )
+    return packed.select(
+        F.col("path").alias("doc_id"),
+        F.col("size_bytes").alias("doc_tokens"),
+        "bin",
+        F.col("n_files_in_bin").alias("n_docs_in_bin"),
+        F.col("bin_bytes").alias("bin_tokens"),
+    )
+
+
 def q_mmr_topk(spark, sf_dir):
     """MMR diversified top-3 per label over the embeddings table: probe =
     the label's min-vec_id vector; λ=7/10 rational, fixed-point cosines,
@@ -3224,6 +3263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_cusum": q_evt_cusum,
         "kg_asof": q_kg_asof,
         "mmr_topk": q_mmr_topk,
+        "span_seq_dedup": q_span_seq_dedup,
+        "multimodal_pack": q_multimodal_pack,
         "compaction_plan": q_compaction_plan,
         "curation_pps": q_curation_pps,
         "zipf_slope": q_zipf_slope,
@@ -6961,6 +7002,70 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "span_seq_dedup": """
+            -- rebuild the deterministic span sequence, serialize with
+            -- chr(31)/chr(30) separators, md5, group on the hash
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 400
+            ), np AS (
+                SELECT doc_id, greatest(cast(ceil(len(t) / 12.0) AS INT), 1) AS n
+                FROM toks
+            ), parts AS (
+                SELECT doc_id, flatten(list_transform(range(0, n), i ->
+                    CASE WHEN i % 6 = 5 THEN [
+                        'text' || chr(31) || 'para-' || i::VARCHAR || chr(31),
+                        'media' || chr(31) || chr(31) || 'media://asset/'
+                            || ((doc_id * 31 + i) % 41)::VARCHAR,
+                        'media' || chr(31) || chr(31) || 'media://asset/'
+                            || (((doc_id * 17 + i) % 37) + 50)::VARCHAR]
+                    WHEN i % 3 = 2 THEN [
+                        'text' || chr(31) || 'para-' || i::VARCHAR || chr(31),
+                        'media' || chr(31) || chr(31) || 'media://asset/'
+                            || ((doc_id * 31 + i) % 41)::VARCHAR]
+                    ELSE ['text' || chr(31) || 'para-' || i::VARCHAR || chr(31)]
+                    END)) AS ps
+                FROM np
+            ), hashed AS (
+                SELECT doc_id, md5(array_to_string(ps, chr(30))) AS seq_hash
+                FROM parts
+            )
+            SELECT seq_hash, min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM hashed GROUP BY 1
+        """,
+        "multimodal_pack": """
+            -- per-doc token fold (text = 1 + len div 4, media = 256) then
+            -- linear packing in doc-id-string order, bin = (cum-1)//2048
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 400
+            ), np AS (
+                SELECT doc_id, greatest(cast(ceil(len(t) / 12.0) AS INT), 1) AS n
+                FROM toks
+            ), cost AS (
+                SELECT doc_id,
+                       list_sum(list_transform(range(0, n), i ->
+                           1 + length('para-' || i::VARCHAR) // 4))::BIGINT AS txt,
+                       list_sum(list_transform(range(0, n), i ->
+                           CASE WHEN i % 6 = 5 THEN 2
+                                WHEN i % 3 = 2 THEN 1 ELSE 0 END))::BIGINT AS nm
+                FROM np
+            ), f AS (
+                SELECT doc_id::VARCHAR AS doc_id,
+                       (txt + nm * 256)::BIGINT AS doc_tokens
+                FROM cost WHERE txt + nm * 256 > 0
+            ), c AS (
+                SELECT doc_id, doc_tokens,
+                       ((sum(doc_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)) - 1)
+                           // 2048 AS bin
+                FROM f
+            )
+            SELECT doc_id, doc_tokens, bin::BIGINT AS bin,
+                   count(*) OVER (PARTITION BY bin)::BIGINT AS n_docs_in_bin,
+                   sum(doc_tokens) OVER (PARTITION BY bin)::BIGINT AS bin_tokens
+            FROM c
         """,
         "mmr_topk": """
             -- three unrolled MMR rounds: fixed-point cosines, integer

@@ -180,3 +180,86 @@ def entity_media_grounding(
         F.count(F.lit(1)).cast("long").alias("n_cooccur"),
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
     )
+
+
+def span_sequence_hash(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """(doc_id, seq_hash, n_spans): md5 of the CANONICAL serialization of
+    the span sequence — kind, text, media_ref joined with unit/record
+    separators (chr 31/30, which cannot appear in tokenized text) in
+    sequence order. This is the executable form of the north rule's
+    span-sequence equality contract: two documents are interleaved-equal
+    iff their hashes match, so exact dedup of interleaved docs becomes the
+    standard 16-byte hash groupBy (dedup_exact's twin for the spans shape
+    — text-only dedup would merge docs whose media differ). MAP-ONLY: one
+    JVM transform + concat fold per row, no explode, no shuffle."""
+    serial = F.concat_ws(
+        "\x1e",
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.concat_ws(
+                "\x1f",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+            ),
+        ),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(serial).alias("seq_hash"),
+        F.size(spans_col).cast("long").alias("n_spans"),
+    )
+
+
+def interleaved_exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", spans_col: str = "spans"
+) -> DataFrame:
+    """(seq_hash, keep_doc_id, n_dups): exact duplicate groups under
+    span-sequence equality — keeper is the min doc id (replayable), n_dups
+    counts the group. ONE shuffle on the 16-byte hash; at 100 TB this is
+    the same bounded plan as dedup_exact, media-aware."""
+    hashed = span_sequence_hash(docs, id_col, spans_col)
+    return hashed.groupBy("seq_hash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_dups"),
+    )
+
+
+def multimodal_token_cost(
+    docs: DataFrame,
+    chars_per_token: int = 4,
+    media_tokens: int = 256,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """(doc_id, n_text_tokens, n_media_spans, doc_tokens): the training
+    token budget of an interleaved document — text spans cost
+    1 + len div chars_per_token (the BPE-ish estimate token_stats uses),
+    media spans cost a flat `media_tokens` (the vision-encoder patch
+    budget, e.g. 256 for a 16×16-patch image). The pre-step for packing
+    interleaved sequences into fixed-budget training samples: feed the
+    result to layout.compaction_plan(target=context_length) and bins
+    become packed samples that never split a document. MAP-ONLY fold —
+    exact integer arithmetic, no explode, no shuffle."""
+    if chars_per_token < 1 or media_tokens < 0:
+        raise ValueError("need chars_per_token >= 1 and media_tokens >= 0")
+    text_cost = F.aggregate(
+        F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + 1
+        + F.floor(F.length(F.coalesce(s["text"], F.lit(""))) / chars_per_token).cast(
+            "long"
+        ),
+    )
+    n_media = F.size(F.filter(F.col(spans_col), lambda s: s["kind"] == "media")).cast(
+        "long"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        text_cost.alias("n_text_tokens"),
+        n_media.alias("n_media_spans"),
+        (text_cost + n_media * F.lit(media_tokens)).cast("long").alias("doc_tokens"),
+    )

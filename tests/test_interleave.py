@@ -102,3 +102,57 @@ def test_entity_media_grounding_window(spark):
     assert r["media_ref"] == "media://asset/2"
     # paras 1 and 3 associate; para 0 is outside the +-1 window
     assert r["n_cooccur"] == 2 and r["n_docs"] == 1
+
+
+# ---- span-sequence hash / dedup / token cost ------------------------------
+
+
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+
+
+def test_span_hash_equality_contract(spark):
+    from kgraph_spark.operators.interleave import span_sequence_hash
+
+    a = [("text", "hello", None, 0), ("media", None, "m://1", 1)]
+    b = [("text", "hello", None, 0), ("media", None, "m://1", 1)]
+    c = [("media", None, "m://1", 0), ("text", "hello", None, 1)]   # order differs
+    d = [("text", "hello", None, 0), ("media", None, "m://2", 1)]   # ref differs
+    df = _spans_df(spark, [(1, a), (2, b), (3, c), (4, d)])
+    h = {r["doc_id"]: r["seq_hash"] for r in span_sequence_hash(df).collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[3] and h[1] != h[4] and h[3] != h[4]
+
+
+def test_interleaved_dedup_groups(spark):
+    from kgraph_spark.operators.interleave import interleaved_exact_dedup
+
+    a = [("text", "x", None, 0)]
+    df = _spans_df(spark, [(5, a), (2, a), (9, list(a) + [("media", None, "m", 1)])])
+    rows = {r["keep_doc_id"]: r["n_dups"] for r in interleaved_exact_dedup(df).collect()}
+    assert rows == {2: 2, 9: 1}  # min id kept, media-extended doc distinct
+
+
+def test_multimodal_token_cost(spark):
+    import pytest
+    from kgraph_spark.operators.interleave import multimodal_token_cost
+
+    df = _spans_df(
+        spark,
+        [
+            (1, [("text", "abcdefgh", None, 0), ("media", None, "m", 1)]),  # 1+2 text, 256 media
+            (2, [("text", "", None, 0)]),                                    # empty text: 1 token
+            (3, []),                                                         # no spans
+        ],
+    )
+    rows = {r["doc_id"]: r for r in multimodal_token_cost(df).collect()}
+    assert rows[1]["n_text_tokens"] == 3 and rows[1]["n_media_spans"] == 1
+    assert rows[1]["doc_tokens"] == 3 + 256
+    assert rows[2]["doc_tokens"] == 1
+    assert rows[3]["doc_tokens"] == 0 and rows[3]["n_media_spans"] == 0
+    with pytest.raises(ValueError):
+        multimodal_token_cost(df, chars_per_token=0)
