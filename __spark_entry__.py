@@ -3011,6 +3011,33 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_predicate_profile(spark, sf_dir):
+    """Schema profile of the lineitem KG: contains / supplied_by / from
+    predicates — functionality ratios + key-likeness flags, the merge-
+    safety precondition measured instead of assumed."""
+    from kgraph_spark.operators.relationships import predicate_profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = (
+        li.select(o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id"))
+        .union(li.select(o.alias("subject_id"), F.lit("supplied_by").alias("predicate"), s.alias("object_id")))
+        .union(li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id")))
+    )
+    return predicate_profile(t)
+
+
+def q_random_projection(spark, sf_dir):
+    """JL sign projection of the 64-dim embeddings to 8 dims, flat
+    (id, pos, value) rows: quantized-integer dots, one division — the
+    oracle rebuilds the md5-parity sign matrix and matches bit-for-bit."""
+    from kgraph_spark.operators.similarity import random_projection
+
+    return random_projection(_read(spark, sf_dir, "embeddings"), out_dim=8)
+
+
 def q_span_seq_dedup(spark, sf_dir):
     """Exact dedup of interleaved docs under span-sequence EQUALITY (the
     north-rule per-row contract as a 16-byte hash groupBy): serialization
@@ -3264,6 +3291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_asof": q_kg_asof,
         "mmr_topk": q_mmr_topk,
         "span_seq_dedup": q_span_seq_dedup,
+        "kg_predicate_profile": q_predicate_profile,
+        "rp_project": q_random_projection,
         "multimodal_pack": q_multimodal_pack,
         "compaction_plan": q_compaction_plan,
         "curation_pps": q_curation_pps,
@@ -7002,6 +7031,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "kg_predicate_profile": """
+            WITH t AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey::VARCHAR AS s, 'contains' AS p,
+                           'P' || l_partkey::VARCHAR AS o FROM lineitem
+                    UNION ALL
+                    SELECT 'O' || l_orderkey::VARCHAR, 'supplied_by',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                    UNION ALL
+                    SELECT 'P' || l_partkey::VARCHAR, 'from',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                )
+            ), per_s AS (
+                SELECT p, s, count(*)::BIGINT AS k FROM t GROUP BY 1, 2
+            ), per_o AS (
+                SELECT p, o, count(*)::BIGINT AS k FROM t GROUP BY 1, 2
+            ), subj AS (
+                SELECT p, count(*)::BIGINT AS n_subjects, max(k) AS max_out,
+                       sum(k)::BIGINT AS n_triples
+                FROM per_s GROUP BY 1
+            ), obj AS (
+                SELECT p, count(*)::BIGINT AS n_objects, max(k) AS max_in
+                FROM per_o GROUP BY 1
+            )
+            SELECT subj.p AS predicate, n_triples, n_subjects, n_objects,
+                   round(n_triples / n_subjects, 6) AS functionality,
+                   round(n_triples / n_objects, 6) AS inverse_functionality,
+                   max_out = 1 AS is_functional,
+                   max_in = 1 AS is_inverse_functional
+            FROM subj JOIN obj USING (p)
+        """,
+        "rp_project": """
+            -- md5-parity sign matrix rebuilt in SQL; exact integer dots
+            WITH ex AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+                       round(unnest(embedding)::DOUBLE * 1000000)::BIGINT AS v
+                FROM embeddings
+            ), sj AS (
+                SELECT vec_id, j,
+                       sum(v * CASE WHEN ('0x' || substr(md5(j::VARCHAR || '#'
+                               || i::VARCHAR), 1, 1))::INT % 2 = 0
+                               THEN 1 ELSE -1 END)::BIGINT AS s
+                FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS j)
+                GROUP BY 1, 2
+            )
+            SELECT vec_id, j::BIGINT AS pos,
+                   round(s / (1000000.0 * sqrt(8)), 6) AS value
+            FROM sj
         """,
         "span_seq_dedup": """
             -- rebuild the deterministic span sequence, serialize with

@@ -560,3 +560,53 @@ def triple_snapshot_asof(
         *keys,
         *[F.col(f"_last.{c}").alias(c) for c in payload if c != op_col],
     )
+
+
+def predicate_profile(
+    triples: DataFrame,
+    subj_col: str = "subject_id",
+    pred_col: str = "predicate",
+    obj_col: str = "object_id",
+) -> DataFrame:
+    """Per-predicate schema profile of the triple store: (predicate,
+    n_triples, n_subjects, n_objects, functionality,
+    inverse_functionality, is_functional, is_inverse_functional). A
+    predicate is functional when no subject has two objects (person→
+    birth_date), inverse-functional when no object has two subjects (the
+    key-like predicates entity resolution can SAFELY merge on — exactly
+    the D7/D8 authority-link precondition, here measured instead of
+    assumed). functionality = triples/subjects (mean fan-out; 1.0 =
+    functional), inverse = triples/objects. The drift of these ratios
+    between builds is a schema-regression gate (a swapped extraction
+    suddenly making `treats` multi-valued shows up here before it poisons
+    merges).
+
+    Plan: dedup triple set, then three bounded aggregates keyed on
+    (pred, subj), (pred, obj), (pred) — partial aggregation throughout,
+    integer arithmetic with two final exact-long divisions round-6."""
+    t = triples.select(
+        F.col(subj_col).alias("_s"), F.col(pred_col).alias("_p"), F.col(obj_col).alias("_o")
+    ).distinct()
+    per_s = t.groupBy("_p", "_s").agg(F.count(F.lit(1)).alias("_k"))
+    per_o = t.groupBy("_p", "_o").agg(F.count(F.lit(1)).alias("_k"))
+    subj = per_s.groupBy("_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.max("_k").alias("_max_out"),
+        F.sum("_k").cast("long").alias("n_triples"),
+    )
+    obj = per_o.groupBy("_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_objects"),
+        F.max("_k").alias("_max_in"),
+    )
+    return subj.join(obj, "_p").select(
+        F.col("_p").alias(pred_col),
+        "n_triples",
+        "n_subjects",
+        "n_objects",
+        F.round(F.col("n_triples") / F.col("n_subjects"), 6).alias("functionality"),
+        F.round(F.col("n_triples") / F.col("n_objects"), 6).alias(
+            "inverse_functionality"
+        ),
+        (F.col("_max_out") == 1).alias("is_functional"),
+        (F.col("_max_in") == 1).alias("is_inverse_functional"),
+    )

@@ -701,3 +701,69 @@ def cosine_fixed(a, b, q: int = 1_000_000):
     return dot.cast("double") / (
         F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
     )
+
+
+def _rp_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}#{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    items: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q: int = 1_000_000,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection to `out_dim`
+    dimensions, FLAT output (id, pos, value) — the dimensionality-reduce
+    step before ANN/clustering when 64-4096-dim embeddings make distance
+    arithmetic the bottleneck (pairwise cost drops by in_dim/out_dim with
+    JL-bounded distortion; Achlioptas 2003 shows ±1 signs suffice).
+
+    Determinism discipline: the sign matrix is a PURE FUNCTION of
+    (row j, position i) — md5 parity, materialized once driver-side
+    (out_dim×in_dim ints, a literal in the plan; never per-row hashing)
+    and reproducible in SQL from the same md5. Inputs quantize to the
+    integer grid (the cosine_fixed argument: float·10^6 can't sit on a
+    rounding boundary), each output coordinate is an EXACT integer dot
+    Σ v_i·s_ji, and the single float op is one division by q·√out_dim —
+    identical IEEE everywhere, so the oracle matches bit-for-bit. One
+    map-only projection per row; no shuffle, no UDF."""
+    if out_dim < 1:
+        raise ValueError("need out_dim >= 1")
+    first = items.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty input")
+    in_dim = int(first["d"])
+    signs = _rp_signs(out_dim, in_dim)
+    qv = F.transform(F.col(vec_col), lambda x: F.round(x * q).cast("long"))
+    comps = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    denom = F.lit(float(q)) * F.sqrt(F.lit(float(out_dim)))
+    return items.select(
+        F.col(id_col), F.posexplode(comps).alias("pos", "_s")
+    ).select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        F.round(F.col("_s") / denom, 6).alias("value"),
+    )

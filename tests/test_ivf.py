@@ -242,3 +242,42 @@ def test_semantic_dedup_cross_cell_pairs_never_compared(spark):
     cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
     out = {r["vec_id"]: r["keep"] for r in semantic_dedup(df, cents, 0.0).collect()}
     assert out == {1: True, 2: True}
+
+
+def test_random_projection_shape_and_linearity(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [2.0, 0.0, 0.0, 0.0]), (3, [0.0] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = random_projection(df, out_dim=2).collect()
+    by = {(r["vec_id"], r["pos"]): r["value"] for r in rows}
+    assert len(by) == 6  # 3 rows x 2 dims, flat
+    # sign projection is linear: doubling the input doubles every output
+    for p in (0, 1):
+        assert abs(by[(2, p)] - 2 * by[(1, p)]) < 3e-6
+        assert by[(3, p)] == 0.0
+    # deterministic across calls
+    again = {(r["vec_id"], r["pos"]): r["value"] for r in random_projection(df, out_dim=2).collect()}
+    assert by == again
+    with pytest.raises(ValueError):
+        random_projection(df, out_dim=0)
+
+
+def test_random_projection_preserves_rough_geometry(spark):
+    """JL sanity: orthogonal inputs stay far apart, identical inputs map
+    identically — on average over dims (not a per-pair guarantee)."""
+    from kgraph_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 16), (2, [1.0] * 16), (3, [-1.0] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = random_projection(df, out_dim=4).collect()
+    by = {(r["vec_id"], r["pos"]): r["value"] for r in rows}
+    for p in range(4):
+        assert by[(1, p)] == by[(2, p)]
+        assert by[(3, p)] == -by[(1, p)]

@@ -659,3 +659,25 @@ def test_triple_snapshot_asof(spark):
     # op column never leaks into the snapshot
     cols = triple_snapshot_asof(log, t(5)).columns
     assert "op" not in cols and "confidence" in cols
+
+
+def test_predicate_profile(spark):
+    from kgraph_spark.operators.relationships import predicate_profile
+
+    t = spark.createDataFrame(
+        [
+            ("a", "born", "1990"), ("b", "born", "1990"),  # functional, not inverse
+            ("a", "knows", "b"), ("a", "knows", "c"), ("b", "knows", "c"),
+            ("a", "knows", "b"),  # duplicate triple must not inflate counts
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    rows = {r["predicate"]: r for r in predicate_profile(t).collect()}
+    born = rows["born"]
+    assert born["n_triples"] == 2 and born["n_subjects"] == 2 and born["n_objects"] == 1
+    assert born["is_functional"] and not born["is_inverse_functional"]
+    assert born["functionality"] == 1.0 and born["inverse_functionality"] == 2.0
+    knows = rows["knows"]
+    assert knows["n_triples"] == 3
+    assert not knows["is_functional"]  # a has two objects
+    assert knows["functionality"] == 1.5
