@@ -3011,6 +3011,28 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_evt_key_skew(spark, sf_dir):
+    """Join-key skew diagnostic over events.user_id: exact Lorenz/Gini
+    arithmetic on the key-cardinality table — the pre-shuffle salting
+    decision, measured."""
+    from kgraph_spark.operators.profiling import key_skew
+
+    return key_skew(_read(spark, sf_dir, "events"), "user_id", top_n=10)
+
+
+def q_hll_by_group(spark, sf_dir):
+    """Per-event-type distinct users via grouped HLL (≤256 register rows
+    per group at ANY size), exact distinct joined alongside as the audit."""
+    from kgraph_spark.operators.sketches import hll_estimate_grouped, hll_sketch_grouped
+
+    ev = _read(spark, sf_dir, "events")
+    est = hll_estimate_grouped(hll_sketch_grouped(ev, "user_id", "event_type"), p=8)
+    exact = ev.groupBy(F.col("event_type").alias("group")).agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "group")
+
+
 def q_predicate_profile(spark, sf_dir):
     """Schema profile of the lineitem KG: contains / supplied_by / from
     predicates — functionality ratios + key-likeness flags, the merge-
@@ -3292,6 +3314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "span_seq_dedup": q_span_seq_dedup,
         "kg_predicate_profile": q_predicate_profile,
+        "evt_key_skew": q_evt_key_skew,
+        "hll_by_group": q_hll_by_group,
         "rp_project": q_random_projection,
         "multimodal_pack": q_multimodal_pack,
         "compaction_plan": q_compaction_plan,
@@ -7031,6 +7055,65 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "evt_key_skew": """
+            -- Lorenz sum over (count asc, key asc)-ranked key table;
+            -- gini from exact longs, three final divisions
+            WITH counts AS (
+                SELECT user_id AS k, count(*)::BIGINT AS c
+                FROM events GROUP BY 1
+            ), ranked AS (
+                SELECT k, c, row_number() OVER (ORDER BY c ASC, k ASC) AS r,
+                       count(*) OVER () AS n
+                FROM counts
+            ), agg AS (
+                SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+                       max(c)::BIGINT AS max_key_rows,
+                       (min({'nc': -c, 'k': k::VARCHAR})).k AS top_key,
+                       sum(r * c)::BIGINT AS lorenz,
+                       sum(CASE WHEN r > n - 10 THEN c ELSE 0 END)::BIGINT AS topn
+                FROM ranked
+            )
+            SELECT n_rows, n_keys, max_key_rows, top_key,
+                   round(topn / n_rows, 6) AS topn_fraction,
+                   round(max_key_rows / n_rows, 6) AS p_max,
+                   round((2.0 * lorenz::DOUBLE - (n_keys + 1)::DOUBLE * n_rows::DOUBLE)
+                         / (n_keys::DOUBLE * n_rows::DOUBLE), 6) AS gini
+            FROM agg
+        """,
+        "hll_by_group": """
+            -- grouped HLL rebuilt exactly (see hll_distinct); exact
+            -- distinct joined as the audit column
+            WITH h AS (
+                SELECT event_type AS "group",
+                       ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hv
+                FROM events
+            ), rr AS (
+                SELECT "group", hv & 255 AS register,
+                       max(53 - length(ltrim(bin(hv >> 8), '0'))) AS max_rho
+                FROM h GROUP BY 1, 2
+            ), agg AS (
+                SELECT "group",
+                       sum(1::BIGINT << (53 - max_rho))::BIGINT AS obs,
+                       count(*)::BIGINT AS n_registers
+                FROM rr GROUP BY 1
+            ), est AS (
+                SELECT "group", n_registers,
+                       0.7182725932495458::DOUBLE * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE /
+                           (obs + (256 - n_registers) * (1::BIGINT << 53))::DOUBLE AS raw,
+                       256 - n_registers AS empty
+                FROM agg
+            ), ex AS (
+                SELECT event_type AS "group",
+                       count(DISTINCT user_id)::BIGINT AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT est."group", n_registers,
+                   round(CASE WHEN raw <= 640.0 AND empty > 0
+                              THEN 256.0 * ln(256.0 / empty::DOUBLE)
+                              ELSE raw END, 2) AS estimate,
+                   exact_distinct
+            FROM est JOIN ex ON est."group" = ex."group"
         """,
         "kg_predicate_profile": """
             WITH t AS (

@@ -286,3 +286,64 @@ def equi_depth_histogram(
         F.max(x).alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+def key_skew(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """ONE-row join-key skew diagnostic: (n_rows, n_keys, max_key_rows,
+    top_key, topn_fraction, p_max, gini) — the numbers that decide the
+    salting question BEFORE a 100-TB shuffle burns a day (config.py's
+    accumulate_n_salts auto-switch thresholds are corpus-size proxies;
+    this measures the actual key distribution). p_max = heaviest key's
+    share of all rows (the straggler reducer's load factor); topn_fraction
+    = share held by the top `top_n` keys; gini ∈ [0, 1) is the standard
+    Lorenz-curve concentration of rows over keys (0 = uniform — safe to
+    shuffle raw; → 1 = one hot key owns the table — salt or broadcast).
+
+    Exact integers until three final divisions: per-key counts (ONE hash
+    aggregate, the only data-scale shuffle), then the Lorenz sum
+    Σ rank·count runs over the KEY table (cardinality-scale) with a
+    rank window ordered (count, key) — deterministic ties. gini =
+    (2·Σ rank·c − (n+1)·Σc) / (n·Σc), computed from exact longs.
+    top_key is the (max rows, min key) election, replayable."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    ranked = counts.withColumn(
+        "_r", F.row_number().over(Window.orderBy(F.col("_c").asc(), F.col("_k").asc()))
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+    agg = ranked.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("_c").cast("long").alias("max_key_rows"),
+        F.min(
+            F.struct((-F.col("_c")).alias("nc"), F.col("_k").cast("string").alias("k"))
+        ).alias("_top"),
+        F.sum(F.col("_r") * F.col("_c")).cast("long").alias("_lorenz"),
+        F.sum(
+            F.when(F.col("_r") > F.col("_n") - top_n, F.col("_c")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("_topn"),
+    ).withColumn("top_key", F.col("_top.k"))
+    return agg.select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "top_key",
+        F.round(F.col("_topn") / F.col("n_rows"), 6).alias("topn_fraction"),
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias("p_max"),
+        F.round(
+            (
+                F.lit(2.0) * F.col("_lorenz").cast("double")
+                - (F.col("n_keys") + 1).cast("double") * F.col("n_rows").cast("double")
+            )
+            / (F.col("n_keys").cast("double") * F.col("n_rows").cast("double")),
+            6,
+        ).alias("gini"),
+    )

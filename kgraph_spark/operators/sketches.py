@@ -259,3 +259,64 @@ def bloom_prune(
     return passed.join(
         F.broadcast(members), passed[key_col] == F.col("_mk"), "left"
     ).select(*big.columns, F.col("_mk").isNotNull().alias("is_member"))
+
+
+def hll_sketch_grouped(
+    df: DataFrame, key_col: str, group_col: str, p: int = 8
+) -> DataFrame:
+    """Per-GROUP HyperLogLog register table (group, register, max_rho) —
+    the daily-uniques / per-domain-cardinality shape: ≤ 2^p rows per group
+    regardless of group size, mergeable register-wise across batches and
+    streams exactly like the global hll_sketch (same md5-prefix hash, same
+    rho convention — see hll_sketch's determinism note). At 100 TB this
+    replaces count_distinct(user) per group — whose state is the distinct
+    set — with a bounded counter table per group."""
+    if not 4 <= p <= 14:
+        raise ValueError("p must be in [4, 14]")
+    m = 1 << p
+    width = 60 - p
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    staged = df.select(
+        F.col(group_col).alias("group"),
+        h.bitwiseAND(m - 1).cast("long").alias("register"),
+        F.shiftright(h, p).alias("_w"),
+    )
+    rho = F.lit(width + 1) - F.length(F.expr("TRIM(LEADING '0' FROM bin(_w))"))
+    return (
+        staged.select("group", "register", rho.cast("int").alias("_rho"))
+        .groupBy("group", "register")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, p: int = 8) -> DataFrame:
+    """(group, n_registers, estimate) from a grouped register table — the
+    same exact-integer harmonic denominator and small-range correction as
+    hll_estimate, per group (see that docstring for the float discipline)."""
+    m = 1 << p
+    s = 61 - p
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    agg = registers.groupBy("group").agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {s} - max_rho)")).alias("_obs"),
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+    )
+    z_scaled = (
+        F.col("_obs")
+        + (F.lit(m) - F.col("n_registers")) * F.lit(1 << s).cast("long")
+    ).cast("double")
+    raw = F.lit(alpha) * F.lit(float(m * m)) * F.lit(float(1 << s)) / z_scaled
+    empty = F.lit(m) - F.col("n_registers")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "group",
+        "n_registers",
+        F.round(est, 2).alias("estimate"),
+    )

@@ -110,3 +110,37 @@ def test_bloom_prune_is_map_side(spark):
     big = spark.range(0, 100).select(F.col("id").cast("string").alias("key"))
     plan = plan_text(bloom_prune(big, "key", bloom))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_grouped_hll_matches_global_per_group(spark):
+    from kgraph_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_grouped,
+        hll_sketch,
+        hll_sketch_grouped,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 700).cast("string").alias("k")
+    )
+    grouped = hll_estimate_grouped(hll_sketch_grouped(df, "k", "g"), p=8).collect()
+    for row in grouped:
+        solo = hll_estimate(
+            hll_sketch(df.filter(F.col("g") == row["group"]), "k"), p=8
+        ).collect()[0]
+        assert row["estimate"] == solo["estimate"]
+        assert row["n_registers"] == solo["n_registers"]
+
+
+def test_grouped_hll_bounded_and_accurate(spark):
+    from kgraph_spark.operators.sketches import hll_estimate_grouped, hll_sketch_grouped
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2).alias("g"), F.col("id").cast("string").alias("k")
+    )
+    sk = hll_sketch_grouped(df, "k", "g", p=8)
+    assert sk.groupBy("group").count().agg(F.max("count")).collect()[0][0] <= 256
+    for r in hll_estimate_grouped(sk, p=8).collect():
+        # deterministic md5 draw: one group lands at 2.7 sigma (17.6%) of
+        # the 6.5% std err at p=8 — the bound pins observed behavior
+        assert abs(r["estimate"] - 10000) / 10000 < 0.2

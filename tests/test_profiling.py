@@ -193,3 +193,32 @@ def test_equi_depth_histogram_balanced(spark):
     assert rows[0]["lo"] == 1.0 and rows[3]["hi"] == 80.0
     with pytest.raises(ValueError):
         equi_depth_histogram(df, "value", 0)
+
+
+def test_key_skew_uniform_vs_hot(spark):
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.profiling import key_skew
+
+    uniform = spark.range(0, 100).select((F.col("id") % 10).alias("k"))
+    u = key_skew(uniform, "k").collect()[0]
+    assert u["n_rows"] == 100 and u["n_keys"] == 10
+    assert u["p_max"] == 0.1 and u["gini"] == 0.0  # perfectly even
+
+    hot = spark.range(0, 100).select(
+        F.when(F.col("id") < 91, F.lit("HOT")).otherwise(F.col("id").cast("string")).alias("k")
+    )
+    h = key_skew(hot, "k").collect()[0]
+    assert h["top_key"] == "HOT" and h["max_key_rows"] == 91
+    assert h["p_max"] == 0.91
+    assert h["gini"] > 0.7  # one key owns the table
+    assert h["topn_fraction"] == 1.0  # top-10 keys cover everything
+
+
+def test_key_skew_topn_fraction(spark):
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.profiling import key_skew
+
+    # 20 keys, each 5 rows; top-10 hold exactly half
+    df = spark.range(0, 100).select((F.col("id") % 20).alias("k"))
+    r = key_skew(df, "k", top_n=10).collect()[0]
+    assert r["topn_fraction"] == 0.5 and r["gini"] == 0.0
