@@ -3011,6 +3011,17 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_prefix_jaccard(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard pairs (recall-lossless by the
+    prefix-filter theorem — pytest proves set equality with the uncapped
+    join; the oracle restates the full join, which the theorem makes the
+    same answer)."""
+    from kgraph_spark.operators.dedup_text import prefix_filter_pairs, shingles
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return prefix_filter_pairs(shingles(docs, k=1), t_num=1, t_den=2)
+
+
 def q_evt_key_skew(spark, sf_dir):
     """Join-key skew diagnostic over events.user_id: exact Lorenz/Gini
     arithmetic on the key-cardinality table — the pre-shuffle salting
@@ -3315,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_seq_dedup": q_span_seq_dedup,
         "kg_predicate_profile": q_predicate_profile,
         "evt_key_skew": q_evt_key_skew,
+        "prefix_jaccard": q_prefix_jaccard,
         "hll_by_group": q_hll_by_group,
         "rp_project": q_random_projection,
         "multimodal_pack": q_multimodal_pack,
@@ -7055,6 +7067,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "prefix_jaccard": """
+            -- the prefix-filter theorem makes the full inverted-index
+            -- join the same answer; integer threshold i*2 >= union
+            WITH sh AS (
+                SELECT DISTINCT doc_id, t AS shingle
+                FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+                WHERE doc_id < 300 AND length(t) > 0
+            ), sz AS (
+                SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, i AS n_shared,
+                   round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE i * 2 >= sa.sz + sb.sz - i
         """,
         "evt_key_skew": """
             -- Lorenz sum over (count asc, key asc)-ranked key table;

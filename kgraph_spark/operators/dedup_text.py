@@ -569,3 +569,79 @@ def simhash_near_dups(
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def prefix_filter_pairs(
+    sh: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Exact-recall set-similarity join via PREFIX FILTERING (PPJoin,
+    Xiao et al. 2008): pairs with shingle Jaccard ≥ t_num/t_den, found
+    without a full inverted-index self-join. Under a common total order
+    (df asc, shingle asc — rarest first, deterministic tie-break) any two
+    sets with Jaccard ≥ t MUST share an element within their first
+    |x| − ⌈t·|x|⌉ + 1 elements, so candidates come from self-joining the
+    tiny PREFIX index only; exact Jaccard is then computed over the full
+    sets of the survivors. Unlike ngram_jaccard_pairs' hot-shingle df cap
+    (a recall CONTRACT), the prefix filter is RECALL-LOSSLESS — same
+    answer as the uncapped join — while skipping the quadratic hot-token
+    blowup by construction: a stopword shingle is almost never in anyone's
+    prefix because rare tokens sort first.
+
+    Integer discipline: prefix length uses ⌈t·sz⌉ = (t_num·sz + t_den − 1)
+    div t_den — no float thresholds; the final Jaccard is one exact
+    integer-ratio comparison (inter·t_den ≥ t_num·union) plus a round-6
+    report column. Shuffles: one df aggregate, one doc-keyed window, the
+    prefix self-join (rare keys by construction), one exact-count join."""
+    if not 0 < t_num <= t_den:
+        raise ValueError("need 0 < t_num <= t_den")
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = sh.join(dfreq, "shingle").withColumn(
+        "_pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+        ),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pref = (
+        ordered.join(sizes, "doc_id")
+        .filter(
+            F.col("_pos")
+            <= F.col("sz") - F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}") + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    pa = pref.alias("a")
+    pb = pref.alias("b")
+    candidates = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("_union", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .filter(F.col("inter") * t_den >= F.lit(t_num) * F.col("_union"))
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("n_shared"),
+        F.round(F.col("inter") / F.col("_union"), 6).alias("jaccard"),
+    )

@@ -681,3 +681,47 @@ def test_predicate_profile(spark):
     assert knows["n_triples"] == 3
     assert not knows["is_functional"]  # a has two objects
     assert knows["functionality"] == 1.5
+
+
+def test_prefix_filter_exact_recall_vs_uncapped(spark):
+    """The lossless claim: prefix-filtered pairs == the uncapped inverted-
+    index join at the same threshold, on a corpus with hot shingles."""
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.dedup_text import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+        shingles,
+    )
+
+    texts = []
+    for i in range(30):
+        base = f"alpha beta gamma delta epsilon zeta token{i % 7} token{i % 5}"
+        texts.append((i, base if i % 3 else base + f" extra{i}"))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sh = shingles(docs, k=3)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in prefix_filter_pairs(sh, 1, 2).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(sh, min_jaccard=0.5, max_shingle_df=None).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_prefix_filter_identical_docs_and_validation(spark):
+    import pytest
+    from kgraph_spark.operators.dedup_text import prefix_filter_pairs, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, k=3)
+    rows = prefix_filter_pairs(sh, 9, 10).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(sh, 0, 10)
+    with pytest.raises(ValueError):
+        prefix_filter_pairs(sh, 11, 10)
