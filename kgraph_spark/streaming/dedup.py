@@ -122,3 +122,49 @@ def streaming_incremental_dedup(
         .drop("_seen")
     )
     return definite.unionByName(confirmed)
+
+
+def streaming_span_dedup(
+    docs: DataFrame,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+    spans_col: str = "spans",
+) -> DataFrame:
+    """Streaming exact dedup of INTERLEAVED documents keyed on the
+    span-sequence hash (operators/interleave.span_sequence_hash's
+    serialization — kind, text, media_ref in order), not the text hash:
+    two docs whose prose matches but whose media differ are NOT merged,
+    and reordering text around media is a different document. Same
+    `dropDuplicatesWithinWatermark` machinery, bounded-state contract and
+    batch twin (earliest event-time row per hash, min-of-struct) as
+    streaming_exact_dedup — see that docstring for the horizon trade and
+    the arrival-vs-event-time caveat."""
+    if ts_col not in docs.columns:
+        raise ValueError(
+            f"streaming_span_dedup requires the event-time column {ts_col!r} "
+            f"(got columns {docs.columns})"
+        )
+    serial = F.concat_ws(
+        "\x1e",
+        F.transform(
+            F.col(spans_col),
+            lambda s: F.concat_ws(
+                "\x1f",
+                s["kind"],
+                F.coalesce(s["text"], F.lit("")),
+                F.coalesce(s["media_ref"], F.lit("")),
+            ),
+        ),
+    )
+    hashed = docs.withColumn("seq_hash", F.md5(serial))
+    if not docs.isStreaming:
+        other = [c for c in hashed.columns if c != "seq_hash"]
+        first = hashed.groupBy("seq_hash").agg(
+            F.min(F.struct(ts_col, *[c for c in other if c != ts_col])).alias("_r")
+        )
+        return first.select(
+            "seq_hash", *[F.col(f"_r.{c}").alias(c) for c in other]
+        ).select(*hashed.columns)
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["seq_hash"]
+    )

@@ -148,3 +148,83 @@ def test_streaming_incremental_dedup_vs_history(spark, tmp_path):
         batch, old_hashes, bloom, n_bits=64, n_hashes=3, exact=False
     )
     assert {r["text"] for r in approx.collect()} <= {"fresh A"}
+
+
+# ---- interleaved span-sequence streaming dedup -----------------------------
+
+SPAN_SCHEMA = (
+    "doc_id bigint, ts timestamp, spans array<struct<kind string,"
+    " text string, media_ref string, offset int>>"
+)
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+def _wait_rows(spark, table, n, timeout_s=90):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        got = spark.sql(f"SELECT * FROM {table}").collect()
+        if len(got) >= n:
+            return got
+        time.sleep(1.0)
+    return spark.sql(f"SELECT * FROM {table}").collect()
+
+
+def test_streaming_span_dedup_real_stream(spark, tmp_path):
+    import datetime as dt
+
+    from kgraph_spark.streaming.dedup import streaming_span_dedup
+
+    indir = tmp_path / "spans_in"
+    indir.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    a = [("text", "hello", None, 0), ("media", None, "m://1", 1)]
+    b = [("text", "hello", None, 0), ("media", None, "m://2", 1)]  # media differs
+    batch1 = _span_docs(spark, [(1, t0, a), (2, t0, a)])           # in-batch dup
+    batch1.coalesce(1).write.mode("overwrite").parquet(str(indir / "b1"))
+
+    src = spark.readStream.schema(SPAN_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(indir))
+    table = f"spandedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_span_dedup(src, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        got = _wait_rows(spark, table, 1)
+        assert len(got) == 1  # the in-batch duplicate was suppressed
+        batch2 = _span_docs(
+            spark, [(3, t0 + dt.timedelta(minutes=1), a),  # cross-batch dup
+                    (4, t0 + dt.timedelta(minutes=1), b)]  # new sequence
+        )
+        batch2.coalesce(1).write.mode("overwrite").parquet(str(indir / "b2"))
+        got = _wait_rows(spark, table, 2)
+        assert len(got) == 2  # only the media-differing doc added
+    finally:
+        q.stop()
+    # batch twin on the union: same distinct hash set, earliest row kept
+    union = _span_docs(
+        spark,
+        [(1, t0, a), (2, t0, a), (3, t0 + dt.timedelta(minutes=1), a),
+         (4, t0 + dt.timedelta(minutes=1), b)],
+    )
+    twin = streaming_span_dedup(union)
+    rows = {r["seq_hash"]: r["doc_id"] for r in twin.collect()}
+    assert len(rows) == 2 and sorted(rows.values()) == [1, 4]
+
+
+def test_streaming_span_dedup_validation(spark):
+    import pytest
+
+    from kgraph_spark.streaming.dedup import streaming_span_dedup
+
+    df = _span_docs(spark, []).drop("ts")
+    with pytest.raises(ValueError):
+        streaming_span_dedup(df)
