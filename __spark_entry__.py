@@ -3011,6 +3011,36 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_evt_psi(spark, sf_dir):
+    """PSI drift between first-half-month and second-half-month event
+    values: reference-derived equi-width bins, Laplace smoothing,
+    fixed-point ln terms."""
+    from kgraph_spark.operators.profiling import psi_drift
+
+    ev = _read(spark, sf_dir, "events")
+    ref = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    cur = ev.filter(F.col("ts") >= F.lit("2024-01-15").cast("timestamp"))
+    return psi_drift(ref, cur, "value", n_bins=10)
+
+
+def q_predicate_composition(spark, sf_dir):
+    """2-hop metapath census of the lineitem KG (which predicates
+    compose, how many paths/mid-nodes) with the degree-cap recall
+    contract exercised."""
+    from kgraph_spark.operators.relationships import predicate_composition
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = (
+        li.select(o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id"))
+        .union(li.select(o.alias("subject_id"), F.lit("supplied_by").alias("predicate"), s.alias("object_id")))
+        .union(li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id")))
+    )
+    return predicate_composition(t, max_node_degree=1000)
+
+
 def q_prefix_jaccard(spark, sf_dir):
     """PPJoin prefix-filtered exact Jaccard pairs (recall-lossless by the
     prefix-filter theorem — pytest proves set equality with the uncapped
@@ -3327,6 +3357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_profile": q_predicate_profile,
         "evt_key_skew": q_evt_key_skew,
         "prefix_jaccard": q_prefix_jaccard,
+        "evt_psi": q_evt_psi,
+        "kg_pred_compose": q_predicate_composition,
         "hll_by_group": q_hll_by_group,
         "rp_project": q_random_projection,
         "multimodal_pack": q_multimodal_pack,
@@ -7067,6 +7099,73 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "evt_psi": """
+            -- equi-width bins from the REFERENCE min/max; Laplace-smoothed
+            -- fractions; fixed-point ln terms summed as exact longs
+            WITH ref AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE ts < TIMESTAMP '2024-01-15' AND value IS NOT NULL
+            ), cur AS (
+                SELECT value::DOUBLE AS v FROM events
+                WHERE ts >= TIMESTAMP '2024-01-15' AND value IS NOT NULL
+            ), edges AS (
+                SELECT min(v) AS lo, (max(v) - min(v)) / 10 AS w FROM ref
+            ), rb AS (
+                SELECT greatest(0, least(9, floor((v - lo) / w)::BIGINT)) AS bin,
+                       count(*)::BIGINT AS rc
+                FROM ref, edges GROUP BY 1
+            ), cb AS (
+                SELECT greatest(0, least(9, floor((v - lo) / w)::BIGINT)) AS bin,
+                       count(*)::BIGINT AS cc
+                FROM cur, edges GROUP BY 1
+            ), bins AS (
+                SELECT unnest(range(0, 10)) AS bin
+            ), j AS (
+                SELECT bin, coalesce(rc, 0) AS rc, coalesce(cc, 0) AS cc
+                FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+            ), tot AS (
+                SELECT sum(rc)::BIGINT AS n_ref, sum(cc)::BIGINT AS n_cur FROM j
+            ), terms AS (
+                SELECT n_ref, n_cur,
+                       round(((rc + 1) / (n_ref + 10) - (cc + 1) / (n_cur + 10))
+                             * ln(((rc + 1) / (n_ref + 10)) / ((cc + 1) / (n_cur + 10)))
+                             * 1000000.0)::BIGINT AS t
+                FROM j, tot
+            )
+            SELECT n_ref, n_cur, 10::BIGINT AS n_bins,
+                   round(sum(t) / 1000000.0, 6) AS psi
+            FROM terms GROUP BY 1, 2
+        """,
+        "kg_pred_compose": """
+            -- mid nodes capped at in/out degree 1000 BEFORE the path join
+            WITH t AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey::VARCHAR AS s, 'contains' AS p,
+                           'P' || l_partkey::VARCHAR AS o FROM lineitem
+                    UNION ALL
+                    SELECT 'O' || l_orderkey::VARCHAR, 'supplied_by',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                    UNION ALL
+                    SELECT 'P' || l_partkey::VARCHAR, 'from',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                )
+            ), outd AS (
+                SELECT s AS n, count(*) AS d FROM t GROUP BY 1
+            ), ind AS (
+                SELECT o AS n, count(*) AS d FROM t GROUP BY 1
+            ), ok AS (
+                SELECT outd.n FROM outd JOIN ind USING (n)
+                WHERE outd.d <= 1000 AND ind.d <= 1000
+            ), lft AS (
+                SELECT * FROM t WHERE o IN (SELECT n FROM ok)
+            ), rgt AS (
+                SELECT * FROM t WHERE s IN (SELECT n FROM ok)
+            )
+            SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS n_paths,
+                   count(DISTINCT a.o)::BIGINT AS n_mid_nodes
+            FROM lft a JOIN rgt b ON a.o = b.s
+            GROUP BY 1, 2
         """,
         "prefix_jaccard": """
             -- the prefix-filter theorem makes the full inverted-index

@@ -347,3 +347,88 @@ def key_skew(
             6,
         ).alias("gini"),
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of `value_col` — the standard drift gate a recurring
+    corpus/feature pipeline runs between builds (PSI < 0.1 stable, 0.1-0.25
+    watch, > 0.25 investigate): psi = Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over shared
+    equi-width bins. Complements CUSUM (level shifts over TIME) and the
+    histogram family (shape of ONE build) by scoring the SHAPE DELTA
+    between two builds in one number.
+
+    Bin edges come from the REFERENCE side's min/max (1-row broadcast, the
+    value_histogram trick) unless (lo, hi) pin them explicitly —
+    pin them in production so the gate is stable under current-side
+    outliers. Laplace-smoothed counts ((c+1)/(n+bins)) keep empty bins
+    finite, exactly as credit-scoring PSI does. Float discipline: bin
+    fractions are exact integer ratios; each bin's term quantizes to a
+    fixed-point long at 1e-6 (the adamic_adar log precedent), the sum is
+    exact, ONE division back at the end. Returns one row: (n_ref, n_cur,
+    n_bins, psi)."""
+    if n_bins < 2:
+        raise ValueError("need n_bins >= 2")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        b = ref.agg(F.min(v).alias("_lo"), F.max(v).alias("_hi")).first()
+        if b is None or b["_lo"] is None:
+            raise ValueError("empty reference frame")
+        lo = float(b["_lo"]) if lo is None else lo
+        hi = float(b["_hi"]) if hi is None else hi
+    if not hi > lo:
+        raise ValueError("need hi > lo")
+    width = (hi - lo) / n_bins
+
+    def binned(df):
+        # clamp into [0, n_bins-1]: everything past the reference range
+        # piles into the edge bins (the standard PSI convention)
+        raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+        return df.filter(v.isNotNull()).select(
+            F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw)).alias("_bin")
+        )
+
+    rc = binned(ref).groupBy("_bin").agg(F.count(F.lit(1)).cast("long").alias("_rc"))
+    cc = binned(cur).groupBy("_bin").agg(F.count(F.lit(1)).cast("long").alias("_cc"))
+    bins = rc.sparkSession.range(0, n_bins).select(F.col("id").alias("_bin"))
+    joined = (
+        bins.join(rc, "_bin", "left")
+        .join(cc, "_bin", "left")
+        .select(
+            "_bin",
+            F.coalesce("_rc", F.lit(0)).alias("_rc"),
+            F.coalesce("_cc", F.lit(0)).alias("_cc"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("_rc").cast("long").alias("n_ref"), F.sum("_cc").cast("long").alias("n_cur")
+    )
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        "n_ref",
+        "n_cur",
+        F.round(
+            (
+                (F.col("_rc") + 1) / (F.col("n_ref") + n_bins)
+                - (F.col("_cc") + 1) / (F.col("n_cur") + n_bins)
+            )
+            * F.log(
+                ((F.col("_rc") + 1) / (F.col("n_ref") + n_bins))
+                / ((F.col("_cc") + 1) / (F.col("n_cur") + n_bins))
+            )
+            * F.lit(float(scale))
+        )
+        .cast("long")
+        .alias("_t"),
+    )
+    return terms.groupBy("n_ref", "n_cur").agg(
+        F.lit(n_bins).cast("long").alias("n_bins"),
+        F.round(F.sum("_t") / F.lit(float(scale)), 6).alias("psi"),
+    )

@@ -610,3 +610,53 @@ def predicate_profile(
         (F.col("_max_out") == 1).alias("is_functional"),
         (F.col("_max_in") == 1).alias("is_inverse_functional"),
     )
+
+
+def predicate_composition(
+    triples: DataFrame,
+    max_node_degree: int | None = 1000,
+    subj_col: str = "subject_id",
+    pred_col: str = "predicate",
+    obj_col: str = "object_id",
+) -> DataFrame:
+    """(p1, p2, n_paths, n_mid_nodes): how often predicate p1's object is
+    predicate p2's subject — the 2-hop metapath census that discovers
+    which relations COMPOSE (gene —codes→ protein —targets→ drug) before
+    anyone writes the join; feeds rule mining and the H2 path-query
+    planner with real composition frequencies.
+
+    The join is keyed on the shared mid node; a hub entity contributes
+    in-degree × out-degree paths, so `max_node_degree` drops nodes whose
+    in- OR out-degree exceeds the cap BEFORE the join (two degree
+    aggregates + LeftSemi — the documented recall contract, same shape as
+    the hot-shingle cap; None = uncapped). Exact integers throughout."""
+    t = triples.select(
+        F.col(subj_col).alias("_s"), F.col(pred_col).alias("_p"), F.col(obj_col).alias("_o")
+    ).distinct()
+    if max_node_degree is not None:
+        outd = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_d"))
+        ind = t.groupBy("_o").agg(F.count(F.lit(1)).alias("_d"))
+        ok = (
+            outd.filter(F.col("_d") <= max_node_degree)
+            .select(F.col("_s").alias("_n"))
+            .join(
+                ind.filter(F.col("_d") <= max_node_degree).select(
+                    F.col("_o").alias("_n")
+                ),
+                "_n",
+            )
+        )
+        left = t.join(ok.withColumnRenamed("_n", "_o"), "_o", "left_semi")
+        right = t.join(ok.withColumnRenamed("_n", "_s"), "_s", "left_semi")
+    else:
+        left, right = t, t
+    paths = left.alias("a").join(
+        right.alias("b"), F.col("a._o") == F.col("b._s")
+    )
+    return (
+        paths.groupBy(F.col("a._p").alias("p1"), F.col("b._p").alias("p2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct(F.col("a._o")).cast("long").alias("n_mid_nodes"),
+        )
+    )

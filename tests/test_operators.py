@@ -725,3 +725,28 @@ def test_prefix_filter_identical_docs_and_validation(spark):
         prefix_filter_pairs(sh, 0, 10)
     with pytest.raises(ValueError):
         prefix_filter_pairs(sh, 11, 10)
+
+
+def test_predicate_composition_paths_and_cap(spark):
+    from kgraph_spark.operators.relationships import predicate_composition
+
+    t = spark.createDataFrame(
+        [
+            ("g1", "codes", "p1"), ("g2", "codes", "p1"),
+            ("p1", "targets", "d1"), ("p1", "targets", "d2"),
+            ("d1", "treats", "x1"),
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    rows = {(r["p1"], r["p2"]): r for r in predicate_composition(t).collect()}
+    # codes->targets through p1: 2 in-edges x 2 out-edges = 4 paths, 1 mid
+    assert rows[("codes", "targets")]["n_paths"] == 4
+    assert rows[("codes", "targets")]["n_mid_nodes"] == 1
+    assert rows[("targets", "treats")]["n_paths"] == 1
+    # degree cap drops the p1 hub entirely (in-degree 2 > 1)
+    capped = {
+        (r["p1"], r["p2"]): r["n_paths"]
+        for r in predicate_composition(t, max_node_degree=1).collect()
+    }
+    assert ("codes", "targets") not in capped
+    assert capped[("targets", "treats")] == 1

@@ -222,3 +222,34 @@ def test_key_skew_topn_fraction(spark):
     df = spark.range(0, 100).select((F.col("id") % 20).alias("k"))
     r = key_skew(df, "k", top_n=10).collect()[0]
     assert r["topn_fraction"] == 0.5 and r["gini"] == 0.0
+
+
+def test_psi_identical_zero_and_shift_flags(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.profiling import psi_drift
+
+    ref = spark.range(0, 1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = psi_drift(ref, ref, "x").collect()[0]
+    assert same["psi"] == 0.0 and same["n_ref"] == 1000 and same["n_cur"] == 1000
+    # current shifted far right: mass piles into the top edge bin
+    cur = spark.range(0, 1000).select((F.col("id") % 100 + 80).cast("double").alias("x"))
+    drift = psi_drift(ref, cur, "x").collect()[0]
+    assert drift["psi"] > 0.25
+    with pytest.raises(ValueError):
+        psi_drift(ref, cur, "x", n_bins=1)
+    with pytest.raises(ValueError):
+        psi_drift(ref.filter(F.col("x") < 0), cur, "x")  # empty reference
+
+
+def test_psi_pinned_edges_and_null_exclusion(spark):
+    from pyspark.sql import functions as F
+    from kgraph_spark.operators.profiling import psi_drift
+
+    ref = spark.range(0, 100).select((F.col("id") % 10).cast("double").alias("x"))
+    cur = ref.unionByName(
+        spark.createDataFrame([(None,)], "x double")
+    )
+    r = psi_drift(ref, cur, "x", lo=0.0, hi=10.0).collect()[0]
+    assert r["n_cur"] == 100  # NULL excluded, not an edge-bin pile-up
+    assert r["psi"] == 0.0
