@@ -196,7 +196,11 @@ def bloom_build(df: DataFrame, key_col: str, m: int = 4096, k: int = 3) -> DataF
     whole semi-join) happens only for keys that pass. Classic one-sided
     error: members ALWAYS pass; non-members pass with the standard
     (1−e^{−kn/m})^k false-positive rate, so downstream must tolerate (or
-    exactly re-check) the survivors — bloom_prune exposes both modes."""
+    exactly re-check) the survivors — bloom_prune exposes both modes.
+    Sibling: corpus_curation.build_bloom is the DRIVER-side bytes variant
+    the incremental-dedup stream ships to executors as one broadcast blob;
+    this one stays a 1-row DataFrame so the whole build-and-probe is plan
+    lineage (oracle-able, resumable) with no driver materialization."""
     if m < 64 or m % 64 != 0 or k < 1:
         raise ValueError("need m >= 64 and divisible by 64, k >= 1")
     key = F.col(key_col).cast("string")

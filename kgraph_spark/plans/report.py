@@ -1007,6 +1007,50 @@ def main() -> None:
         ["PushedFilters", "LessThanOrEqual(ts", "!Window", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Prefix-filter similarity join — candidates from the rare-first "
+        "PREFIX index only (recall-lossless); exact Jaccard on survivors; "
+        "integer thresholds; no cartesian",
+        _plan(entrymod.queries()["prefix_jaccard"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "PSI drift — reference min/max is a 1-row broadcast; binning "
+        "rides the scan; term sum is one bounded aggregate over n_bins "
+        "rows",
+        _plan(entrymod.queries()["evt_psi"](spark, SF)),
+        ["BroadcastNestedLoopJoin", "HashAggregate", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Predicate composition — degree caps LeftSemi-prune hub mid "
+        "nodes BEFORE the path join; id-only exchanges",
+        _plan(entrymod.queries()["kg_pred_compose"](spark, SF)),
+        ["LeftSemi", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Span-sequence dedup — serialization + md5 ride the scan "
+        "(map-only); the ONLY exchange is the 16-byte hash groupBy",
+        _plan(entrymod.queries()["span_seq_dedup"](spark, SF)),
+        ["hashpartitioning(seq_hash", "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "JL random projection — sign matrix is a plan LITERAL; quantized "
+        "integer dots ride the scan; no exchange before the posexplode",
+        _plan(entrymod.queries()["rp_project"](spark, SF)),
+        ["Generate", "!Exchange", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "MMR top-k — probes broadcast; per-round candidate joins are "
+        "group-keyed hash joins; argmax is min-of-struct aggregate",
+        _plan(entrymod.queries()["mmr_topk"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
