@@ -3011,6 +3011,22 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_reading_ease(spark, sf_dir):
+    """Flesch reading ease per document — JVM regex marker-trick counts,
+    one fixed IEEE expression, round-6."""
+    from kgraph_spark.operators.text_analysis import reading_ease
+
+    return reading_ease(_read(spark, sf_dir, "documents"))
+
+
+def q_graph_alpha(spark, sf_dir):
+    """Hill power-law α of the lineitem entity-graph degree tail (d≥3):
+    round-6 fixed-point ln terms, one exact division."""
+    from kgraph_spark.operators.graph_analytics import degree_powerlaw_alpha
+
+    return degree_powerlaw_alpha(_li_edges(spark, sf_dir), d_min=3)
+
+
 def q_evt_psi(spark, sf_dir):
     """PSI drift between first-half-month and second-half-month event
     values: reference-derived equi-width bins, Laplace smoothing,
@@ -3358,6 +3374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_key_skew": q_evt_key_skew,
         "prefix_jaccard": q_prefix_jaccard,
         "evt_psi": q_evt_psi,
+        "text_reading_ease": q_reading_ease,
+        "graph_alpha": q_graph_alpha,
         "kg_pred_compose": q_predicate_composition,
         "hll_by_group": q_hll_by_group,
         "rp_project": q_random_projection,
@@ -7099,6 +7117,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "text_reading_ease": """
+            -- marker-trick run counts (global 'g' flag!); two exact-int
+            -- divisions in one fixed IEEE expression
+            WITH t AS (
+                SELECT doc_id, lower(trim(text)) AS x FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(x, '\\s+'),
+                                       w -> length(w) > 0))::BIGINT AS n_words,
+                       greatest(
+                           length(regexp_replace(x, '[.!?]+', chr(1), 'g'))
+                           - length(regexp_replace(x, '[.!?]+', '', 'g')),
+                           1)::BIGINT AS n_sentences,
+                       (length(regexp_replace(x, '[aeiouy]+', chr(1), 'g'))
+                        - length(regexp_replace(x, '[aeiouy]+', '', 'g')))::BIGINT AS vg
+                FROM t
+            )
+            SELECT doc_id, n_words, n_sentences,
+                   greatest(vg, n_words)::BIGINT AS n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       round(206.835 - 1.015 * (n_words / n_sentences)
+                             - 84.6 * (greatest(vg, n_words) / n_words), 6)
+                   END AS flesch
+            FROM c
+        """,
+        "graph_alpha": """
+            -- Hill MLE over the degree tail: round-6 fixed-point ln terms
+            WITH e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM lineitem
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM lineitem
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM lineitem
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS dg FROM (
+                    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ), tail AS (
+                SELECT round(ln(dg / 3.0) * 1000000.0)::BIGINT AS t
+                FROM deg WHERE dg >= 3
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n_tail, sum(t)::BIGINT AS s FROM tail
+            )
+            SELECT n_tail, 3::BIGINT AS d_min,
+                   CASE WHEN s > 0
+                        THEN round(1.0 + n_tail::DOUBLE * 1000000.0 / s::DOUBLE, 6)
+                        END AS alpha
+            FROM agg
         """,
         "evt_psi": """
             -- equi-width bins from the REFERENCE min/max; Laplace-smoothed

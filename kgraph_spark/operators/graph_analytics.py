@@ -1248,3 +1248,53 @@ def butterfly_counts(
         .cast("long")
         .alias("n_butterflies"),
     )
+
+
+def degree_powerlaw_alpha(
+    edges: DataFrame,
+    d_min: int = 2,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ONE-row Hill estimator of the degree-distribution power-law tail:
+    α = 1 + n / Σ ln(dᵢ/d_min) over nodes with degree ≥ d_min (Clauset/
+    Shalizi/Newman 2009's MLE at a fixed cutoff). KGs live near α ≈ 2-3;
+    drift toward 1 flags a hub explosion (an over-merged entity sucking in
+    edges — the D8 failure mode), drift high flags fragmentation. Pairs
+    with key_skew (row-level skew) as the graph-level structural gate.
+
+    The degree table is the only data-scale aggregate; the tail fold sums
+    round-6 FIXED-POINT ln terms (exact longs, order-free) and the single
+    α division happens on exact integers. Nodes below d_min are excluded
+    exactly (integer compare)."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    tail = deg.filter(F.col("d") >= d_min).select(
+        F.round(F.log(F.col("d") / F.lit(float(d_min))) * F.lit(float(scale)))
+        .cast("long")
+        .alias("_t")
+    )
+    agg = tail.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tail"),
+        F.sum("_t").cast("long").alias("_s"),
+    )
+    return agg.select(
+        "n_tail",
+        F.lit(d_min).cast("long").alias("d_min"),
+        F.when(
+            F.col("_s") > 0,
+            F.round(
+                F.lit(1.0)
+                + F.col("n_tail").cast("double")
+                * F.lit(float(scale))
+                / F.col("_s").cast("double"),
+                6,
+            ),
+        ).alias("alpha"),
+    )

@@ -670,3 +670,25 @@ def test_butterflies_min_common_prunes_and_dedups(spark):
     assert butterfly_counts(e).count() == 0  # c=1 pruned at default min_common=2
     rows = butterfly_counts(e, min_common=1).collect()
     assert len(rows) == 1 and rows[0]["n_common"] == 1 and rows[0]["n_butterflies"] == 0
+
+
+def test_powerlaw_alpha_hand_values(spark):
+    from kgraph_spark.operators.graph_analytics import degree_powerlaw_alpha
+
+    # star with 8 leaves: hub degree 8, leaves degree 1 (below d_min=2)
+    e = _edges(spark, [("hub", f"x{i}") for i in range(8)])
+    row = degree_powerlaw_alpha(e, d_min=2).collect()[0]
+    # tail = {hub}: alpha = 1 + 1/ln(8/2) = 1 + 1/ln 4
+    import math
+
+    assert row["n_tail"] == 1
+    assert abs(row["alpha"] - (1 + 1 / math.log(4))) < 1e-5
+
+
+def test_powerlaw_alpha_degenerate_null(spark):
+    from kgraph_spark.operators.graph_analytics import degree_powerlaw_alpha
+
+    # every tail node at exactly d_min: sum of ln terms = 0 -> NULL alpha
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    row = degree_powerlaw_alpha(e, d_min=2).collect()[0]
+    assert row["n_tail"] == 3 and row["alpha"] is None

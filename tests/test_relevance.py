@@ -269,3 +269,38 @@ def test_zipf_slope_degenerate_single_term(spark):
     docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
     row = zipf_slope(docs).collect()[0]
     assert row["n_terms"] == 1 and row["slope"] is None and row["intercept"] is None
+
+
+def test_reading_ease_hand_counts(spark):
+    from kgraph_spark.operators.text_analysis import reading_ease
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),       # 6 words, 2 sentences
+            (2, "a"),                                # degenerate: 1 word, min 1 sentence
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in reading_ease(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6 and r1["n_sentences"] == 2
+    # vowel groups: the(1) cat(1) sat(1) the(1) dog(1) ran(1) = 6
+    assert r1["n_syllables"] == 6
+    expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r1["flesch"] - round(expect, 6)) < 1e-9
+    r2 = rows[2]
+    assert r2["n_sentences"] == 1 and r2["n_syllables"] == 1
+
+
+def test_reading_ease_harder_text_scores_lower(spark):
+    from kgraph_spark.operators.text_analysis import reading_ease
+
+    docs = spark.createDataFrame(
+        [
+            (1, "I like tea. We sip it."),
+            (2, "Multisyllabic terminology overcomplicates comprehension extraordinarily."),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["flesch"] for r in reading_ease(docs).collect()}
+    assert rows[2] < rows[1]
