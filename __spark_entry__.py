@@ -3011,6 +3011,44 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_scd2_lookup(spark, sf_dir):
+    """Fact-to-type-2-dimension event-time join: every event enriched with
+    the SCD2 version valid at its timestamp (key-hash join + interval
+    residual; pre-first-version and unknown keys keep NULLs)."""
+    from kgraph_spark.operators.temporal import scd2_build, scd2_lookup
+
+    ev = _read(spark, sf_dir, "events")
+    dim = scd2_build(ev.select("user_id", "ts", "event_type"))
+    return scd2_lookup(ev.select("event_id", "ts", "user_id", "value"), dim)
+
+
+def q_evt_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credited to the most recent
+    view/click on one (user, ts, id)-sorted window — no self-join."""
+    from kgraph_spark.operators.event_analytics import conversion_attribution
+
+    return conversion_attribution(
+        _read(spark, sf_dir, "events"),
+        touch_types=("view", "click"),
+        conversion_type="purchase",
+        model="last",
+    )
+
+
+def q_dq_fd(spark, sf_dir):
+    """Functional-dependency audit: the orders PK (holds) and the
+    documents lang→source pair (violates) in one labeled report."""
+    from kgraph_spark.operators.profiling import fd_violations
+
+    a = fd_violations(_read(spark, sf_dir, "orders"), "o_orderkey", "o_custkey").select(
+        F.lit("orders_pk").alias("check"), "*"
+    )
+    b = fd_violations(_read(spark, sf_dir, "documents"), "lang", "source").select(
+        F.lit("docs_lang_source").alias("check"), "*"
+    )
+    return a.unionByName(b)
+
+
 def q_reading_ease(spark, sf_dir):
     """Flesch reading ease per document — JVM regex marker-trick counts,
     one fixed IEEE expression, round-6."""
@@ -3375,6 +3413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard": q_prefix_jaccard,
         "evt_psi": q_evt_psi,
         "text_reading_ease": q_reading_ease,
+        "evt_scd2_lookup": q_scd2_lookup,
+        "evt_attribution": q_evt_attribution,
+        "dq_fd": q_dq_fd,
         "graph_alpha": q_graph_alpha,
         "kg_pred_compose": q_predicate_composition,
         "hll_by_group": q_hll_by_group,
@@ -7117,6 +7158,77 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "evt_scd2_lookup": """
+            -- SCD2 dim restated (see evt_scd2), then a key join with the
+            -- interval as residual predicate; left join keeps every event
+            WITH snap AS (
+                SELECT user_id AS _k, ts AS _ts, max(event_type) AS et
+                FROM events GROUP BY 1, 2
+            ), chg AS (
+                SELECT _k, _ts, et
+                FROM (SELECT _k, _ts, et,
+                             lag(et) OVER (PARTITION BY _k ORDER BY _ts) AS pet,
+                             lag(_ts) OVER (PARTITION BY _k ORDER BY _ts) AS pts
+                      FROM snap)
+                WHERE pts IS NULL OR et <> pet
+            ), dim AS (
+                SELECT _k AS user_id,
+                       row_number() OVER (PARTITION BY _k ORDER BY _ts)::BIGINT AS version,
+                       et AS event_type,
+                       epoch_us(_ts) AS vf,
+                       epoch_us(lead(_ts) OVER (PARTITION BY _k ORDER BY _ts)) AS vt
+                FROM chg
+            )
+            SELECT e.event_id, e.ts, e.user_id, e.value,
+                   d.version AS dim_version, d.event_type AS dim_event_type
+            FROM events e LEFT JOIN dim d
+              ON e.user_id = d.user_id
+             AND epoch_us(e.ts) >= d.vf
+             AND (d.vt IS NULL OR epoch_us(e.ts) < d.vt)
+        """,
+        "evt_attribution": """
+            -- last-touch via last_value(IGNORE NULLS) over the running
+            -- (ts, id)-ordered frame; unattributed conversions keep NULLs
+            WITH base AS (
+                SELECT user_id AS "group", ts AS _ts, event_id AS _id,
+                       event_type AS _ty,
+                       CASE WHEN event_type IN ('view', 'click')
+                            THEN {'ts': ts, 'id': event_id, 'ty': event_type}
+                       END AS touch
+                FROM events
+            ), w AS (
+                SELECT "group", _ts, _id, _ty,
+                       last_value(touch IGNORE NULLS) OVER (
+                           PARTITION BY "group" ORDER BY _ts, _id
+                           ROWS UNBOUNDED PRECEDING) AS t
+                FROM base
+            )
+            SELECT "group", _id AS conversion_id, _ts AS conversion_ts,
+                   (t).id AS touch_id, (t).ts AS touch_ts, (t).ty AS touch_type
+            FROM w WHERE _ty = 'purchase'
+        """,
+        "dq_fd": """
+            WITH o AS (
+                SELECT count(*)::BIGINT AS n_lhs_values,
+                       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating
+                FROM (SELECT o_orderkey,
+                             count(DISTINCT {'v': o_custkey}) AS n
+                      FROM orders GROUP BY 1)
+            ), d AS (
+                SELECT count(*)::BIGINT AS n_lhs_values,
+                       sum(CASE WHEN n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating
+                FROM (SELECT lang, count(DISTINCT {'v': source}) AS n
+                      FROM documents GROUP BY 1)
+            )
+            SELECT 'orders_pk' AS check, n_lhs_values, n_violating,
+                   round(n_violating / n_lhs_values, 6) AS violation_rate,
+                   n_violating = 0 AS holds
+            FROM o
+            UNION ALL
+            SELECT 'docs_lang_source', n_lhs_values, n_violating,
+                   round(n_violating / n_lhs_values, 6), n_violating = 0
+            FROM d
         """,
         "text_reading_ease": """
             -- marker-trick run counts (global 'g' flag!); two exact-int

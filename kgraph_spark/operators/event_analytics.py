@@ -170,3 +170,59 @@ def cusum_changepoints(
         F.sum(F.col("_alarm").cast("long")).cast("long").alias("n_alarms"),
         F.min(F.when(F.col("_alarm"), F.col("_ts"))).alias("first_alarm_ts"),
     )
+
+
+def conversion_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click",),
+    conversion_type: str = "purchase",
+    model: str = "last",
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Touch attribution: for every conversion event, the touch event that
+    gets the credit — `model='last'` (the touch most recently before or at
+    the conversion) or `'first'` (the user's earliest touch up to that
+    point). The events-log question behind ads/referral accounting and,
+    in a data-pipeline setting, "which ingest source fed this accepted
+    document". Returns (group, conversion_id, conversion_ts, touch_id,
+    touch_ts, touch_type); conversions with no prior touch keep NULLs
+    (unattributed — counted, not dropped).
+
+    ONE (group, ts, id)-sorted exchange: touches and conversions ride the
+    same window; last-touch is last_value(ignorenulls) over the running
+    frame, first-touch is first_value(ignorenulls) — no self-join, no
+    per-conversion scan. Event-id tie-break; a same-instant touch sorts
+    BEFORE the conversion (id order) and may claim credit, the documented
+    tie rule."""
+    if model not in ("last", "first"):
+        raise ValueError("model must be 'last' or 'first'")
+    base = events.select(
+        F.col(group_col).alias("group"),
+        F.col(ts_col).alias("_ts"),
+        F.col(id_col).alias("_id"),
+        F.col(type_col).alias("_ty"),
+    )
+    touch = F.when(
+        F.col("_ty").isin(*touch_types),
+        F.struct(F.col("_ts").alias("ts"), F.col("_id").alias("id"), F.col("_ty").alias("ty")),
+    )
+    seq = Window.partitionBy("group").orderBy("_ts", "_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    picker = F.last(touch, ignorenulls=True) if model == "last" else F.first(
+        touch, ignorenulls=True
+    )
+    rows = base.withColumn("_touch", picker.over(seq)).filter(
+        F.col("_ty") == conversion_type
+    )
+    return rows.select(
+        "group",
+        F.col("_id").alias("conversion_id"),
+        F.col("_ts").alias("conversion_ts"),
+        F.col("_touch.id").alias("touch_id"),
+        F.col("_touch.ts").alias("touch_ts"),
+        F.col("_touch.ty").alias("touch_type"),
+    )

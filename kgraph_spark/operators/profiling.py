@@ -432,3 +432,32 @@ def psi_drift(
         F.lit(n_bins).cast("long").alias("n_bins"),
         F.round(F.sum("_t") / F.lit(float(scale)), 6).alias("psi"),
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs: str,
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency check lhs → rhs: ONE row (n_lhs_values,
+    n_violating, violation_rate, holds) — does the left column DETERMINE
+    the right one (violating value = an lhs value mapping to ≥2 distinct
+    rhs values)? The relational cousin of predicate_profile's
+    is_functional: run it before declaring a join key, a dedup key, or a
+    dimension natural key; a nonzero rate on a column pair the schema
+    claims is 1:1 is an upstream-corruption alarm. NULL rhs counts as a
+    value (a key mapping to both NULL and 'x' IS a violation). One
+    two-column aggregate + one bounded aggregate; exact integers, one
+    division."""
+    per = df.groupBy(F.col(lhs).alias("_l")).agg(
+        F.size(F.collect_set(F.struct(F.col(rhs).alias("v")))).alias("_n")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+        F.sum((F.col("_n") > 1).cast("long")).cast("long").alias("n_violating"),
+    ).select(
+        "n_lhs_values",
+        "n_violating",
+        F.round(F.col("n_violating") / F.col("n_lhs_values"), 6).alias("violation_rate"),
+        (F.col("n_violating") == 0).alias("holds"),
+    )

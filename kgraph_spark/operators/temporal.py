@@ -389,3 +389,43 @@ def user_lifecycle(
         "n_active_days",
         F.coalesce(F.col("max_gap_days"), F.lit(0)).cast("long").alias("max_gap_days"),
     )
+
+
+def scd2_lookup(
+    events: DataFrame,
+    dim: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Enrich an event stream with the dimension attributes that were
+    VALID AT EVENT TIME from an scd2_build table — the fact-to-dimension
+    join every warehouse pipeline runs against a type-2 dimension
+    (event at 10:05 gets the version whose [valid_from_us, valid_to_us)
+    interval contains 10:05, not today's row). Events before the key's
+    first version (or for unknown keys) keep NULL attributes — the
+    late-dimension contract, explicit rather than dropped.
+
+    Plan: an equi-join ON THE KEY plus interval predicates — Spark executes
+    it as a hash join keyed on `key_col` with the interval as a residual
+    filter (never a range-only join, never a cartesian); each event meets
+    only its own key's versions, so a hot key costs its version count, not
+    a pair count. Versions per key are bounded by change count — the SCD2
+    dedup already collapsed consecutive duplicates."""
+    ev_us = F.unix_micros(F.col(f"e.{ts_col}").cast("timestamp"))
+    attrs = [
+        c
+        for c in dim.columns
+        if c not in (key_col, "version", "valid_from_us", "valid_to_us", "is_current")
+    ]
+    joined = events.alias("e").join(
+        dim.alias("d"),
+        (F.col(f"e.{key_col}") == F.col(f"d.{key_col}"))
+        & (ev_us >= F.col("d.valid_from_us"))
+        & (F.col("d.valid_to_us").isNull() | (ev_us < F.col("d.valid_to_us"))),
+        "left",
+    )
+    return joined.select(
+        *[F.col(f"e.{c}") for c in events.columns],
+        F.col("d.version").alias("dim_version"),
+        *[F.col(f"d.{c}").alias(f"dim_{c}") for c in attrs],
+    )

@@ -122,3 +122,35 @@ def test_cusum_hand_values(spark):
     assert row["max_cusum_high"] == 2.0
     assert row["max_cusum_low"] == 2.0
     assert row["n_alarms"] == 2  # s_hi=2 at t3, s_lo=2 at t1
+
+
+# ---- attribution -----------------------------------------------------------
+
+
+def test_attribution_last_and_first_touch(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import conversion_attribution
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, t(0), 1, "click", 0.0), (2, t(5), 1, "click", 0.0),
+            (3, t(6), 1, "purchase", 1.0),
+            (4, t(9), 1, "purchase", 1.0),           # same last touch (id 2)
+            (5, t(1), 2, "purchase", 1.0),            # no prior touch
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    last = {r["conversion_id"]: r for r in conversion_attribution(ev).collect()}
+    assert last[3]["touch_id"] == 2 and last[4]["touch_id"] == 2
+    assert last[5]["touch_id"] is None
+    first = {
+        r["conversion_id"]: r["touch_id"]
+        for r in conversion_attribution(ev, model="first").collect()
+    }
+    assert first[3] == 1 and first[4] == 1
+    import pytest
+
+    with pytest.raises(ValueError):
+        conversion_attribution(ev, model="linear")

@@ -253,3 +253,19 @@ def test_psi_pinned_edges_and_null_exclusion(spark):
     r = psi_drift(ref, cur, "x", lo=0.0, hi=10.0).collect()[0]
     assert r["n_cur"] == 100  # NULL excluded, not an edge-bin pile-up
     assert r["psi"] == 0.0
+
+
+def test_fd_violations_detects_and_holds(spark):
+    from kgraph_spark.operators.profiling import fd_violations
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 3), ("c", None), ("c", 4)],
+        "k string, v int",
+    )
+    r = fd_violations(df, "k", "v").collect()[0]
+    # b -> {2,3} violates; c -> {NULL,4} violates (NULL is a value)
+    assert r["n_lhs_values"] == 3 and r["n_violating"] == 2
+    assert not r["holds"]
+    clean = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "k string, v int")
+    r2 = fd_violations(clean, "k", "v").collect()[0]
+    assert r2["holds"] and r2["violation_rate"] == 0.0

@@ -303,3 +303,29 @@ def test_scd2_same_instant_tie_takes_greatest_struct(spark):
     # instant dedup keeps 'zzz'; the t2 'zzz' row is then a non-change
     assert len(rows) == 1
     assert rows[0]["event_type"] == "zzz" and rows[0]["version"] == 1
+
+
+def test_scd2_lookup_event_time_versions(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.temporal import scd2_build, scd2_lookup
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    changes = spark.createDataFrame(
+        [(1, t(0), "bronze"), (1, t(10), "gold"), (2, t(5), "silver")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    dim = scd2_build(changes)
+    events = spark.createDataFrame(
+        [(100, t(1), 1), (101, t(10), 1), (102, t(20), 1),
+         (103, t(0), 2),   # before user 2's first version
+         (104, t(9), 9)],  # unknown key
+        "event_id long, ts timestamp, user_id long",
+    )
+    rows = {r["event_id"]: r for r in scd2_lookup(events, dim).collect()}
+    assert rows[100]["dim_event_type"] == "bronze" and rows[100]["dim_version"] == 1
+    assert rows[101]["dim_event_type"] == "gold"   # boundary: from is inclusive
+    assert rows[102]["dim_event_type"] == "gold"   # open current version
+    assert rows[103]["dim_version"] is None        # pre-first-version
+    assert rows[104]["dim_version"] is None        # unknown key
+    assert len(rows) == 5                          # left join never drops events
