@@ -3011,6 +3011,39 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the region partition over the customer-nation
+    -region graph — exact fixed-point community terms, gold-free merge-
+    quality gate."""
+    from kgraph_spark.operators.graph_analytics import modularity
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    nid = F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+    edges = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(cid.alias("subject_id"), nid.alias("object_id"))
+        .unionByName(nation.select(nid.alias("subject_id"), rid.alias("object_id")))
+    )
+    labels = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(cid.alias("node"), rid.alias("label"))
+        .unionByName(nation.select(nid.alias("node"), rid.alias("label")))
+        .unionByName(nation.select(rid.alias("node"), rid.alias("label")).distinct())
+    )
+    return modularity(edges, labels)
+
+
+def q_graph_ball(spark, sf_dir):
+    """Exact 1/2-hop neighborhood sizes over the thinned lineitem graph —
+    the ANF head with the degree-cap recall contract."""
+    from kgraph_spark.operators.graph_analytics import neighborhood_sizes
+
+    return neighborhood_sizes(_li_edges(spark, sf_dir, part_mod=3), max_node_degree=1000)
+
+
 def q_scd2_lookup(spark, sf_dir):
     """Fact-to-type-2-dimension event-time join: every event enriched with
     the SCD2 version valid at its timestamp (key-hash join + interval
@@ -3414,6 +3447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_psi": q_evt_psi,
         "text_reading_ease": q_reading_ease,
         "evt_scd2_lookup": q_scd2_lookup,
+        "graph_modularity": q_graph_modularity,
+        "graph_ball": q_graph_ball,
         "evt_attribution": q_evt_attribution,
         "dq_fd": q_dq_fd,
         "graph_alpha": q_graph_alpha,
@@ -7158,6 +7193,88 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "graph_modularity": """
+            -- Q = sum_c (ec*S div m - ((dc*S div 2m)*dc div 2m)) / S,
+            -- the exact two-step integer-division form the operator uses
+            WITH cust AS (
+                SELECT 'C' || c_custkey::VARCHAR AS cid,
+                       'N' || n_nationkey::VARCHAR AS nid,
+                       'R' || n_regionkey::VARCHAR AS rid
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), e AS (
+                SELECT cid AS s, nid AS d FROM cust
+                UNION ALL
+                SELECT DISTINCT 'N' || n_nationkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR FROM nation
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), lab AS (
+                SELECT cid AS node, rid AS label FROM cust
+                UNION ALL SELECT DISTINCT 'N' || n_nationkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR FROM nation
+                UNION ALL SELECT DISTINCT 'R' || n_regionkey::VARCHAR,
+                       'R' || n_regionkey::VARCHAR FROM nation
+            ), tagged AS (
+                SELECT coalesce(la.label, chr(2) || u.a) AS la,
+                       coalesce(lb.label, chr(2) || u.b) AS lb
+                FROM und u
+                LEFT JOIN lab la ON u.a = la.node
+                LEFT JOIN lab lb ON u.b = lb.node
+            ), mm AS (
+                SELECT count(*)::BIGINT AS m FROM tagged
+            ), intra AS (
+                SELECT la AS c, count(*)::BIGINT AS ec FROM tagged
+                WHERE la = lb GROUP BY 1
+            ), dsum AS (
+                SELECT c, count(*)::BIGINT AS dc FROM (
+                    SELECT la AS c FROM tagged UNION ALL SELECT lb FROM tagged
+                ) GROUP BY 1
+            ), terms AS (
+                SELECT m,
+                       coalesce(ec, 0) * 1000000000 // m
+                       - ((dc * 1000000000 // (2 * m)) * dc // (2 * m)) AS t
+                FROM dsum LEFT JOIN intra USING (c), mm
+            )
+            SELECT m, count(*)::BIGINT AS n_communities,
+                   round(sum(t) / 1000000000.0, 6) AS modularity
+            FROM terms GROUP BY 1
+        """,
+        "graph_ball": """
+            -- adjacency both ways, hub mids (deg > 1000) skipped for the
+            -- 2-hop join, distinct reach counts
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d FROM li
+                    UNION ALL SELECT 'O' || l_orderkey, 'S' || l_suppkey FROM li
+                    UNION ALL SELECT 'P' || l_partkey, 'S' || l_suppkey FROM li
+                )
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM e WHERE s <> d
+            ), adj AS (
+                SELECT a, b FROM und UNION ALL SELECT b, a FROM und
+            ), deg AS (
+                SELECT a, count(*)::BIGINT AS d FROM adj GROUP BY 1
+            ), mids AS (
+                SELECT a AS m FROM deg WHERE d <= 1000
+            ), hop2 AS (
+                SELECT x.a, y.b AS c
+                FROM adj x JOIN mids ON x.b = mids.m
+                JOIN adj y ON y.a = x.b
+                WHERE y.b <> x.a
+            ), reach AS (
+                SELECT DISTINCT a, c FROM (
+                    SELECT a, b AS c FROM adj UNION ALL SELECT a, c FROM hop2
+                )
+            ), cnt AS (
+                SELECT a, count(*)::BIGINT AS n_2hop FROM reach GROUP BY 1
+            )
+            SELECT deg.a AS node, deg.d AS n_1hop, cnt.n_2hop
+            FROM deg JOIN cnt ON deg.a = cnt.a
         """,
         "evt_scd2_lookup": """
             -- SCD2 dim restated (see evt_scd2), then a key join with the

@@ -1298,3 +1298,126 @@ def degree_powerlaw_alpha(
             ),
         ).alias("alpha"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    label_col: str = "label",
+    node_col: str = "node",
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """ONE-row Newman modularity Q of a community assignment over the
+    undirected simple graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the standard
+    "was this clustering better than chance" score for label_propagation
+    (or any D8-style grouping projected onto the graph). Q ≈ 0 = random,
+    0.3+ = real structure; between-build drift is a merge-quality gate
+    that needs no gold labels (complement of the B³/pairwise gates, which
+    do).
+
+    Exact arithmetic: e_c (intra-community edges) and d_c (community
+    degree sums) are integer aggregates; each community's term scales to
+    fixed-point longs — e_c·scale div m and d_c²·scale div (4m²) — summed
+    exactly, ONE division back at the end (contract: m·scale < 2^63 —
+    drop `scale` a decade per decade of edges past 9×10^9; the (d_c/2m)²
+    term is two chained integer divisions so it never overflows when
+    m·scale fits). Nodes missing from `labels`
+    form their own singleton communities (explicit coalesce, so a partial
+    labeling is scored honestly rather than crashing). Two id-keyed joins
+    + community-cardinality aggregates."""
+    und = _undirected(edges, src, dst)
+    la = labels.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("_la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("b"), F.col(label_col).alias("_lb")
+    )
+    tagged = (
+        und.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce(F.col("_la").cast("string"), F.concat(F.lit("\x02"), F.col("a"))).alias("la"),
+            F.coalesce(F.col("_lb").cast("string"), F.concat(F.lit("\x02"), F.col("b"))).alias("lb"),
+        )
+    )
+    m_row = tagged.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    intra = (
+        tagged.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("ec"))
+    )
+    dsum = (
+        tagged.select(F.col("la").alias("c"))
+        .unionByName(tagged.select(F.col("lb").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("dc"))
+    )
+    per_c = dsum.join(intra, "c", "left").select(
+        "c",
+        F.coalesce("ec", F.lit(0)).cast("long").alias("ec"),
+        "dc",
+    )
+    terms = per_c.crossJoin(F.broadcast(m_row)).select(
+        "m",
+        (
+            F.expr(f"ec * CAST({scale} AS BIGINT) div m")
+            # (dc/2m)^2·scale in two integer divisions — dc·dc·scale would
+            # overflow a long at graph scale; the two-step form stays under
+            # 2^63 whenever m·scale does, at ≤ 1 fixed-point unit of loss
+            - F.expr(
+                f"((CAST(dc AS BIGINT) * CAST({scale} AS BIGINT)) div (2 * m))"
+                f" * dc div (2 * m)"
+            )
+        ).alias("_t"),
+    )
+    return terms.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.round(F.sum("_t") / F.lit(float(scale)), 6).alias("modularity"),
+    ).select("m", "n_communities", "modularity")
+
+
+def neighborhood_sizes(
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    max_node_degree: int | None = 1000,
+) -> DataFrame:
+    """(node, n_1hop, n_2hop): exact distinct-node counts within one and
+    two hops (self excluded) — the head of the neighborhood function
+    (ANF), the KG locality profile behind "how much graph does a 2-hop
+    query touch" (H1/H2 cost estimation) and hub-blast-radius audits
+    before a merge. n_2hop counts nodes at distance ≤ 2.
+
+    Wedge-join shape (Σ deg² work) with the composition/hot-shingle
+    degree-cap contract: `max_node_degree` LeftSemi-drops hub MID nodes
+    before the 2-hop join (a hub's own row survives; paths THROUGH it are
+    skipped — documented recall trade, None = exact). Exact integers; two
+    id-only joins + one distinct + one count. At full ANF depth swap the
+    distinct for per-node HLL registers (sketches.hll_sketch_grouped) —
+    the standard ANF move; the exact head is the oracle-able form."""
+    und = _undirected(edges, src, dst)
+    adj = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+    mids = (
+        deg.filter(F.col("_d") <= max_node_degree).select("a")
+        if max_node_degree is not None
+        else adj.select("a").distinct()
+    )
+    hop2 = (
+        adj.withColumnRenamed("b", "m")
+        .join(mids.withColumnRenamed("a", "m"), "m", "left_semi")
+        .join(
+            adj.select(F.col("a").alias("m"), F.col("b").alias("c")),
+            "m",
+        )
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "c")
+    )
+    reach = adj.select("a", F.col("b").alias("c")).unionByName(hop2).distinct()
+    counts = reach.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
+    return (
+        deg.join(counts, "a")
+        .select(F.col("a").alias("node"), F.col("_d").alias("n_1hop"), "n_2hop")
+    )

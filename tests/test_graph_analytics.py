@@ -692,3 +692,50 @@ def test_powerlaw_alpha_degenerate_null(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
     row = degree_powerlaw_alpha(e, d_min=2).collect()[0]
     assert row["n_tail"] == 3 and row["alpha"] is None
+
+
+def test_modularity_two_cliques_vs_random(spark):
+    from kgraph_spark.operators.graph_analytics import modularity
+
+    # two 4-cliques joined by one bridge: the natural 2-community split
+    c1 = [f"a{i}" for i in range(4)]
+    c2 = [f"b{i}" for i in range(4)]
+    pairs = [(x, y) for x in c1 for y in c1 if x < y] + [
+        (x, y) for x in c2 for y in c2 if x < y
+    ] + [("a0", "b0")]
+    e = _edges(spark, pairs)
+    good = spark.createDataFrame(
+        [(n, "A") for n in c1] + [(n, "B") for n in c2], "node string, label string"
+    )
+    row = modularity(e, good).collect()[0]
+    # m=13; e_A=e_B=6, d_A=13, d_B=13: Q = 2*(6/13 - (13/26)^2) ~ 0.42307
+    assert row["m"] == 13 and row["n_communities"] == 2
+    assert abs(row["modularity"] - (2 * (6 / 13 - 0.25))) < 1e-5
+    # everything in ONE community scores ~0 by construction
+    allone = good.select("node", F.lit("X").alias("label"))
+    assert abs(modularity(e, allone).collect()[0]["modularity"]) < 1e-9
+
+
+def test_modularity_partial_labels_singletons(spark):
+    from kgraph_spark.operators.graph_analytics import modularity
+
+    e = _edges(spark, [("x", "y"), ("y", "z")])
+    labels = spark.createDataFrame([("x", "L")], "node string, label string")
+    row = modularity(e, labels).collect()[0]
+    # y and z become singletons: no intra edges anywhere
+    assert row["n_communities"] == 3
+    assert row["modularity"] < 0  # all-cut partitions score negative
+
+
+def test_neighborhood_sizes_path_and_cap(spark):
+    from kgraph_spark.operators.graph_analytics import neighborhood_sizes
+
+    # path a-b-c-d: 2-hop balls are 2,3,3,2
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    rows = {r["node"]: r for r in neighborhood_sizes(e).collect()}
+    assert {n: r["n_2hop"] for n, r in rows.items()} == {"a": 2, "b": 3, "c": 3, "d": 2}
+    assert rows["b"]["n_1hop"] == 2
+    # capping out the hub b (degree 2 > 1) removes paths THROUGH it:
+    # a's ball shrinks to its direct neighbor only
+    capped = {r["node"]: r["n_2hop"] for r in neighborhood_sizes(e, max_node_degree=1).collect()}
+    assert capped["a"] == 1
