@@ -3011,6 +3011,24 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_emb_diversity(spark, sf_dir):
+    """Diversity audit of a small selected set (vec_id < 60) per label:
+    exact fixed-point pairwise cosines, group-keyed C(k,2) pairing."""
+    from kgraph_spark.operators.similarity import sample_diversity
+
+    return sample_diversity(
+        _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    )
+
+
+def q_evt_interarrival(spark, sf_dir):
+    """Per-user inter-arrival cadence profile: integer-µs gaps on one
+    sorted exchange, exact lower median."""
+    from kgraph_spark.operators.temporal import interarrival_stats
+
+    return interarrival_stats(_read(spark, sf_dir, "events"))
+
+
 def q_graph_modularity(spark, sf_dir):
     """Newman modularity of the region partition over the customer-nation
     -region graph — exact fixed-point community terms, gold-free merge-
@@ -3448,6 +3466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_reading_ease": q_reading_ease,
         "evt_scd2_lookup": q_scd2_lookup,
         "graph_modularity": q_graph_modularity,
+        "emb_diversity": q_emb_diversity,
+        "evt_interarrival": q_evt_interarrival,
         "graph_ball": q_graph_ball,
         "evt_attribution": q_evt_attribution,
         "dq_fd": q_dq_fd,
@@ -7193,6 +7213,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM base, bnd
             )
             SELECT event_id, ({morton_2x16})::BIGINT AS z_key FROM q
+        """,
+        "emb_diversity": """
+            -- quantized-integer cosines (cosine_fixed restated), exact
+            -- fixed-point sums, lower-id < higher-id pairing
+            WITH it AS (
+                SELECT label, vec_id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 1000000)::BIGINT) AS v
+                FROM embeddings WHERE vec_id < 60
+            ), pairs AS (
+                SELECT a.label,
+                       round((list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))::DOUBLE / (sqrt(list_sum(list_transform(a.v, x -> x * x))::DOUBLE) * sqrt(list_sum(list_transform(b.v, x -> x * x))::DOUBLE))) * 1000000)::BIGINT AS c
+                FROM it a JOIN it b ON a.label = b.label AND a.vec_id < b.vec_id
+            ), sizes AS (
+                SELECT label, count(*)::BIGINT AS n_items FROM it GROUP BY 1
+            ), agg AS (
+                SELECT label, count(*)::BIGINT AS n_pairs,
+                       sum(c)::BIGINT AS s, max(c) AS m
+                FROM pairs GROUP BY 1
+            )
+            SELECT sizes.label, n_items,
+                   coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+                   CASE WHEN n_pairs IS NOT NULL
+                        THEN round(s / n_pairs / 1000000.0, 6) END
+                       AS mean_pairwise_cosine,
+                   CASE WHEN n_pairs IS NOT NULL
+                        THEN round(m / 1000000.0, 6) END AS max_pairwise_cosine
+            FROM sizes LEFT JOIN agg USING (label)
+        """,
+        "evt_interarrival": """
+            -- integer-us lag gaps; exact lower median at rank (n+1)//2
+            WITH base AS (
+                SELECT user_id AS "group", epoch_us(ts) AS us, event_id AS id
+                FROM events
+            ), gaps AS (
+                SELECT "group", id,
+                       us - lag(us) OVER (PARTITION BY "group" ORDER BY us, id) AS gap
+                FROM base QUALIFY gap IS NOT NULL
+            ), ranked AS (
+                SELECT "group", gap,
+                       row_number() OVER (PARTITION BY "group" ORDER BY gap, id) AS r,
+                       count(*) OVER (PARTITION BY "group") AS n
+                FROM gaps
+            ), med AS (
+                SELECT "group", gap AS medgap FROM ranked WHERE r = (n + 1) // 2
+            ), agg AS (
+                SELECT "group", count(*)::BIGINT AS n_gaps,
+                       sum(gap)::BIGINT AS s, max(gap)::BIGINT AS mx
+                FROM gaps GROUP BY 1
+            ), sizes AS (
+                SELECT "group", count(*)::BIGINT AS n_events FROM base GROUP BY 1
+            )
+            SELECT sizes."group", n_events,
+                   coalesce(n_gaps, 0)::BIGINT AS n_gaps,
+                   round(s / n_gaps / 1000000.0, 6) AS mean_gap_s,
+                   round(medgap / 1000000.0, 6) AS median_gap_s,
+                   round(mx / 1000000.0, 6) AS max_gap_s
+            FROM sizes LEFT JOIN agg USING ("group") LEFT JOIN med USING ("group")
         """,
         "graph_modularity": """
             -- Q = sum_c (ec*S div m - ((dc*S div 2m)*dc div 2m)) / S,

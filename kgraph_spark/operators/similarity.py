@@ -767,3 +767,56 @@ def random_projection(
         F.col("pos").cast("long").alias("pos"),
         F.round(F.col("_s") / denom, 6).alias("value"),
     )
+
+
+def sample_diversity(
+    items: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group diversity audit of a SELECTED set (group, n_items,
+    n_pairs, mean_pairwise_cosine, max_pairwise_cosine): the acceptance
+    check after any sampling/selection stage — MMR, semantic_cluster_
+    sample, PPS — answering "did the selection actually spread out, or
+    did k near-copies get through". mean high → redundant sample; max
+    near 1.0 → an outright duplicate pair slipped in.
+
+    Built for SMALL selected sets (k items per group → C(k,2) pairs; the
+    self-join is group-keyed, so cost is Σ k_g², never corpus-scale — by
+    contract this runs on selection OUTPUT, not the corpus; for corpus-
+    scale pairing use the banded-LSH blocked operators). Cosines are
+    cosine_fixed (bit-identical cross-engine), aggregated as exact
+    fixed-point longs, mean = one division of exact longs."""
+    a = items.select(
+        F.col(group_col).alias("_g"), F.col(id_col).alias("_i"), F.col(vec_col).alias("_v")
+    )
+    b = a.select(F.col("_g"), F.col("_i").alias("_j"), F.col("_v").alias("_w"))
+    pairs = a.join(b, "_g").filter(F.col("_i") < F.col("_j")).select(
+        "_g",
+        F.round(cosine_fixed(F.col("_v"), F.col("_w")) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("_c"),
+    )
+    sizes = a.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    agg = pairs.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_c").cast("long").alias("_s"),
+        F.max("_c").alias("_m"),
+    )
+    return (
+        sizes.join(agg, "_g", "left")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_items",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.when(
+                F.col("n_pairs").isNotNull(),
+                F.round(F.col("_s") / F.col("n_pairs") / F.lit(1_000_000.0), 6),
+            ).alias("mean_pairwise_cosine"),
+            F.when(
+                F.col("n_pairs").isNotNull(),
+                F.round(F.col("_m") / F.lit(1_000_000.0), 6),
+            ).alias("max_pairwise_cosine"),
+        )
+    )

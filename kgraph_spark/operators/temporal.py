@@ -429,3 +429,58 @@ def scd2_lookup(
         F.col("d.version").alias("dim_version"),
         *[F.col(f"d.{c}").alias(f"dim_{c}") for c in attrs],
     )
+
+
+def interarrival_stats(
+    events: DataFrame,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group inter-arrival profile (group, n_events, n_gaps,
+    mean_gap_s, median_gap_s, max_gap_s): the cadence fingerprint behind
+    bot detection (sub-second uniform gaps), churn risk (growing gaps —
+    user_lifecycle's longest_silence generalized to the distribution) and
+    ingest-source health (a feed whose median gap doubles is stalling).
+
+    ONE (group, ts, id)-sorted exchange: gaps are integer-µs lag diffs on
+    the same window sessionize uses; mean is an exact-integer division;
+    the median is the exact lower-median (element at ceil(n/2) of the
+    sorted gap list — deterministic, no interpolation) via one more
+    group-keyed window rank. All integer µs until the three final /1e6
+    conversions (round-6)."""
+    from pyspark.sql import Window
+
+    base = events.select(
+        F.col(group_col).alias("group"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+        F.col(id_col).alias("_id"),
+    )
+    seq = Window.partitionBy("group").orderBy("_us", "_id")
+    gaps = base.withColumn("_gap", F.col("_us") - F.lag("_us").over(seq)).filter(
+        F.col("_gap").isNotNull()
+    )
+    ranked = gaps.withColumn(
+        "_r", F.row_number().over(Window.partitionBy("group").orderBy("_gap", "_id"))
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("group")))
+    med = ranked.filter(F.col("_r") == F.expr("CAST((_n + 1) div 2 AS INT)")).select(
+        "group", F.col("_gap").alias("_med")
+    )
+    agg = gaps.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("_gap").cast("long").alias("_sum"),
+        F.max("_gap").cast("long").alias("_max"),
+    )
+    sizes = base.groupBy("group").agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return (
+        sizes.join(agg, "group", "left")
+        .join(med, "group", "left")
+        .select(
+            "group",
+            "n_events",
+            F.coalesce("n_gaps", F.lit(0)).cast("long").alias("n_gaps"),
+            F.round(F.col("_sum") / F.col("n_gaps") / F.lit(1_000_000.0), 6).alias("mean_gap_s"),
+            F.round(F.col("_med") / F.lit(1_000_000.0), 6).alias("median_gap_s"),
+            F.round(F.col("_max") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
+        )
+    )

@@ -281,3 +281,21 @@ def test_random_projection_preserves_rough_geometry(spark):
     for p in range(4):
         assert by[(1, p)] == by[(2, p)]
         assert by[(3, p)] == -by[(1, p)]
+
+
+def test_sample_diversity_redundant_vs_spread(spark):
+    from kgraph_spark.operators.similarity import sample_diversity
+
+    df = spark.createDataFrame(
+        [
+            (0, 1, [1.0, 0.0]), (0, 2, [1.0, 0.001]), (0, 3, [1.0, 0.002]),  # redundant
+            (1, 4, [1.0, 0.0]), (1, 5, [0.0, 1.0]),                           # orthogonal
+            (2, 6, [1.0, 1.0]),                                               # singleton
+        ],
+        "label int, vec_id long, embedding array<float>",
+    )
+    rows = {r["label"]: r for r in sample_diversity(df).collect()}
+    assert rows[0]["mean_pairwise_cosine"] > 0.999
+    assert rows[0]["n_pairs"] == 3
+    assert rows[1]["mean_pairwise_cosine"] == 0.0
+    assert rows[2]["n_pairs"] == 0 and rows[2]["mean_pairwise_cosine"] is None

@@ -329,3 +329,24 @@ def test_scd2_lookup_event_time_versions(spark):
     assert rows[103]["dim_version"] is None        # pre-first-version
     assert rows[104]["dim_version"] is None        # unknown key
     assert len(rows) == 5                          # left join never drops events
+
+
+def test_interarrival_stats_hand_values(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.temporal import interarrival_stats
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(1, t(0), 1), (2, t(10), 1), (3, t(40), 1), (4, t(41), 1),  # gaps 10,30,1
+         (5, t(5), 2)],                                              # single event
+        "event_id long, ts timestamp, user_id long",
+    )
+    rows = {r["group"]: r for r in interarrival_stats(ev).collect()}
+    u1 = rows[1]
+    assert u1["n_gaps"] == 3
+    assert abs(u1["mean_gap_s"] - (41 / 3)) < 2e-6
+    assert u1["median_gap_s"] == 10.0  # lower median of {1,10,30}
+    assert u1["max_gap_s"] == 30.0
+    u2 = rows[2]
+    assert u2["n_events"] == 1 and u2["n_gaps"] == 0 and u2["mean_gap_s"] is None
