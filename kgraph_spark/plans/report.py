@@ -1051,6 +1051,41 @@ def main() -> None:
         ["HashAggregate", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "SCD2 event-time lookup — hash join ON THE KEY with the validity "
+        "interval as residual predicate; never a range-only join",
+        _plan(entrymod.queries()["evt_scd2_lookup"](spark, SF)),
+        ["HashJoin LeftOuter", "Join condition", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Touch attribution — one sorted window, last_value(ignorenulls); "
+        "no self-join of the event log",
+        _plan(entrymod.queries()["evt_attribution"](spark, SF)),
+        ["Window", "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Modularity — two id-keyed label joins + community-cardinality "
+        "aggregates; fixed-point terms; 1-row m broadcast",
+        _plan(entrymod.queries()["graph_modularity"](spark, SF)),
+        ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Neighborhood sizes — hub mids LeftSemi-capped BEFORE the 2-hop "
+        "wedge join; id-only exchanges",
+        _plan(entrymod.queries()["graph_ball"](spark, SF)),
+        ["LeftSemi", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Inter-arrival profile — gaps + median rank ride (group)-keyed "
+        "windows; integer-microsecond arithmetic",
+        _plan(entrymod.queries()["evt_interarrival"](spark, SF)),
+        ["Window", "hashpartitioning(group", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
