@@ -3011,6 +3011,33 @@ def q_graph_butterflies(spark, sf_dir):
     return butterfly_counts(edges, min_common=2)
 
 
+def q_graph_component_sizes(spark, sf_dir):
+    """KG fragmentation profile: connected-component SIZE HISTOGRAM
+    (component_size, n_components, n_nodes) over the degraded-D8 graph —
+    one groupBy(component) + one groupBy(size) on top of the proven CC;
+    the one-number view of how shattered the graph is (a merge regression
+    moves mass from the giant component into the small-size rows)."""
+    from kgraph_spark.operators.canonicalize import connected_components
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+    nid = F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+    e1 = cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        cid.alias("src"), nid.alias("dst")
+    )
+    e2 = nation.filter(F.col("n_regionkey") % 2 == 0).select(
+        nid.alias("src"), rid.alias("dst")
+    )
+    comp = connected_components(e1.union(e2).distinct())
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("component_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("sz").cast("long").alias("n_nodes"),
+    )
+
+
 def q_emb_diversity(spark, sf_dir):
     """Diversity audit of a small selected set (vec_id < 60) per label:
     exact fixed-point pairwise cosines, group-keyed C(k,2) pairing."""
@@ -3550,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_transitivity": q_graph_transitivity,
         "graph_wl": q_graph_wl,
         "graph_butterflies": q_graph_butterflies,
+        "graph_component_sizes": q_graph_component_sizes,
         "graph_pagerank": q_graph_pagerank,
         "graph_kcore": q_graph_kcore,
         "graph_ppr": q_graph_ppr,
@@ -6766,6 +6794,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, n_common,
                    (n_common * (n_common - 1) / 2)::BIGINT AS n_butterflies
             FROM p WHERE n_common >= 2
+        """,
+        "graph_component_sizes": """
+            -- component membership restated closed-form: even-region nations
+            -- fuse into their region's cluster, odd-region nations stand alone
+            -- with their customers (no nation->region edge exists for them).
+            WITH grp AS (
+                SELECT CASE WHEN n_regionkey % 2 = 0 THEN 'R' || n_regionkey
+                            ELSE 'N' || n_nationkey END AS g,
+                       n_nationkey, n_regionkey
+                FROM nation
+            ), members AS (
+                SELECT g.g AS g, 'C' || c_custkey AS id
+                FROM customer JOIN grp g ON c_nationkey = g.n_nationkey
+                UNION ALL
+                SELECT g.g, 'N' || g.n_nationkey FROM grp g
+                WHERE g.n_regionkey % 2 = 0
+                   OR EXISTS (SELECT 1 FROM customer
+                              WHERE c_nationkey = g.n_nationkey)
+                UNION ALL
+                SELECT g.g, 'R' || g.n_regionkey FROM grp g
+                WHERE g.n_regionkey % 2 = 0
+            ), dedup AS (
+                SELECT DISTINCT g, id FROM members
+            ), sizes AS (
+                SELECT g, count(*)::BIGINT AS sz FROM dedup GROUP BY g
+            )
+            SELECT sz AS component_size, count(*)::BIGINT AS n_components,
+                   sum(sz)::BIGINT AS n_nodes
+            FROM sizes GROUP BY sz
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),
