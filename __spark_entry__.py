@@ -1033,6 +1033,87 @@ def q_d8_connected_components(spark, sf_dir):
     return connected_components(e1.union(e2).distinct())
 
 
+def q_kg_conflicts(spark, sf_dir):
+    """KG contradiction audit: supplier→part edges asserted as both
+    'ships' (l_returnflag <> 'R') and 'returns' (l_returnflag = 'R') —
+    polarity-conflict detection with per-predicate evidence counts."""
+    from kgraph_spark.operators.relationships import conflicting_triples
+
+    li = _read(spark, sf_dir, "lineitem")
+    triples = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subject_id"),
+        F.when(F.col("l_returnflag") == "R", F.lit("returns"))
+        .otherwise(F.lit("ships"))
+        .alias("predicate"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    )
+    return conflicting_triples(triples, [("ships", "returns")])
+
+
+def q_snm_candidates(spark, sf_dir):
+    """Sorted-neighborhood ER blocking over part names: every pair within
+    3 sorted positions — skew-proof candidate generation complementary to
+    LSH banding; global rank via the two-phase distributed prefix sum, no
+    corpus-wide single-reducer window."""
+    from kgraph_spark.operators.dedup_text import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _read(spark, sf_dir, "part"), "p_name", id_col="p_partkey", window=3
+    )
+
+
+def q_join_plan(spark, sf_dir):
+    """Shuffle-join planner dry-run over customer ⋈ orders: exact output
+    cardinality, straggler-key load, amplification, broadcast/salt
+    recommendation — from per-key histograms only, the join itself never
+    materialized."""
+    from kgraph_spark.operators.profiling import join_plan_stats
+
+    return join_plan_stats(
+        _read(spark, sf_dir, "customer"),
+        _read(spark, sf_dir, "orders"),
+        "c_custkey",
+        "o_custkey",
+        broadcast_threshold_rows=1_000_000,
+        target_partition_rows=5_000_000,
+    )
+
+
+def q_d8_incremental_cc(spark, sf_dir):
+    """Incremental D8: fold a SAME_AS delta (odd-region-1 nation→region
+    links + sparse supplier→nation attachments, some between brand-new
+    nodes) into the degraded-graph component mapping WITHOUT re-running CC
+    over the full graph — iterative work bounded by the condensed delta.
+    Ground truth is the same closed-form region clustering, extended by
+    which links the delta restores."""
+    from kgraph_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    supp = _read(spark, sf_dir, "supplier")
+    nid = F.concat(F.lit("N"), F.col("n_nationkey").cast("string"))
+    rid = F.concat(F.lit("R"), F.col("n_regionkey").cast("string"))
+    e1 = cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        nid.alias("dst"),
+    )
+    e2 = nation.filter(F.col("n_regionkey") % 2 == 0).select(
+        nid.alias("src"), rid.alias("dst")
+    )
+    mapping = connected_components(e1.union(e2).distinct())
+    d1 = nation.filter(F.col("n_regionkey") == 1).select(
+        nid.alias("src"), rid.alias("dst")
+    )
+    d2 = supp.filter(F.col("s_suppkey") % 100 == 0).select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("s_nationkey").cast("string")).alias("dst"),
+    )
+    return incremental_components(mapping, d1.union(d2).distinct())
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: md5 hash-groupBy."""
     from kgraph_spark.operators.dedup_text import exact_duplicates
@@ -3433,6 +3514,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sessionize": q_evt_sessionize,
         "h1_bfs_2hop": q_h1_bfs_2hop,
         "d8_connected_components": q_d8_connected_components,
+        "d8_incremental_cc": q_d8_incremental_cc,
+        "join_plan": q_join_plan,
+        "kg_conflicts": q_kg_conflicts,
+        "snm_candidates": q_snm_candidates,
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
@@ -5585,6 +5670,101 @@ def oracle_sql() -> dict[str, str]:
                 SELECT region, min(id) AS component FROM dedup GROUP BY region
             )
             SELECT d.id, w.component FROM dedup d JOIN winners w USING (region)
+        """,
+        "kg_conflicts": """
+            WITH t AS (
+                SELECT 'S' || l_suppkey AS s,
+                       CASE WHEN l_returnflag = 'R' THEN 'returns'
+                            ELSE 'ships' END AS p,
+                       'P' || l_partkey AS o
+                FROM lineitem
+            ), c AS (
+                SELECT s, o, p, count(*)::BIGINT AS n FROM t GROUP BY 1, 2, 3
+            )
+            SELECT a.s AS subject_id, a.o AS object_id,
+                   'ships' AS pred_a, 'returns' AS pred_b,
+                   a.n AS n_a, b.n AS n_b
+            FROM c a JOIN c b ON a.s = b.s AND a.o = b.o
+            WHERE a.p = 'ships' AND b.p = 'returns'
+        """,
+        "snm_candidates": """
+            WITH r AS (
+                SELECT p_partkey AS id, p_name AS k,
+                       row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+                FROM part
+            )
+            SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+                   (b.rn - a.rn)::INTEGER AS rank_distance
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+        """,
+        "join_plan": """
+            WITH lc AS (
+                SELECT c_custkey AS k, count(*)::BIGINT AS nl
+                FROM customer GROUP BY 1
+            ), rc AS (
+                SELECT o_custkey AS k, count(*)::BIGINT AS nr
+                FROM orders GROUP BY 1
+            ), j AS (
+                SELECT lc.k::VARCHAR AS k, (nl * nr)::BIGINT AS outr
+                FROM lc JOIN rc USING (k)
+            ), lt AS (SELECT sum(nl)::BIGINT AS left_rows FROM lc),
+               rt AS (SELECT sum(nr)::BIGINT AS right_rows FROM rc),
+               pa AS (
+                SELECT coalesce(sum(outr), 0)::BIGINT AS out_rows,
+                       count(*)::BIGINT AS matching_keys,
+                       coalesce(max(outr), 0)::BIGINT AS max_key_out,
+                       (SELECT min(k) FROM j
+                        WHERE outr = (SELECT max(outr) FROM j)) AS top_key
+                FROM j
+            )
+            SELECT out_rows, left_rows, right_rows, matching_keys,
+                   max_key_out, top_key,
+                   CASE WHEN out_rows > 0
+                        THEN round(max_key_out::DOUBLE / out_rows, 6)
+                        END AS p_max_out,
+                   round(out_rows::DOUBLE / (left_rows + right_rows), 6)
+                       AS amplification,
+                   right_rows <= 1000000 AS broadcast_ok,
+                   greatest(1, (max_key_out + 4999999) // 5000000)::BIGINT
+                       AS recommended_salts
+            FROM pa, lt, rt
+        """,
+        "d8_incremental_cc": """
+            -- union-graph membership closed form: even regions were fused
+            -- already, region 1 fuses via the delta, other odd-region
+            -- nations stand alone; qualifying suppliers attach to their
+            -- nation's cluster. component = min member id (C < N < R < S).
+            WITH grp AS (
+                SELECT CASE WHEN n_regionkey % 2 = 0 OR n_regionkey = 1
+                            THEN 'R' || n_regionkey
+                            ELSE 'N' || n_nationkey END AS g,
+                       n_nationkey, n_regionkey
+                FROM nation
+            ), qsupp AS (
+                SELECT s_suppkey, s_nationkey FROM supplier
+                WHERE s_suppkey % 100 = 0
+            ), members AS (
+                SELECT g.g AS g, 'C' || c_custkey AS id
+                FROM customer JOIN grp g ON c_nationkey = g.n_nationkey
+                UNION ALL
+                SELECT g.g, 'S' || s.s_suppkey
+                FROM qsupp s JOIN grp g ON s.s_nationkey = g.n_nationkey
+                UNION ALL
+                SELECT g.g, 'N' || g.n_nationkey FROM grp g
+                WHERE g.n_regionkey % 2 = 0 OR g.n_regionkey = 1
+                   OR EXISTS (SELECT 1 FROM customer
+                              WHERE c_nationkey = g.n_nationkey)
+                   OR EXISTS (SELECT 1 FROM qsupp
+                              WHERE s_nationkey = g.n_nationkey)
+                UNION ALL
+                SELECT g.g, 'R' || g.n_regionkey FROM grp g
+                WHERE g.n_regionkey % 2 = 0 OR g.n_regionkey = 1
+            ), dedup AS (
+                SELECT DISTINCT g, id FROM members
+            ), winners AS (
+                SELECT g, min(id) AS component FROM dedup GROUP BY g
+            )
+            SELECT d.id, w.component FROM dedup d JOIN winners w USING (g)
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,

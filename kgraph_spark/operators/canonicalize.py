@@ -204,3 +204,55 @@ def apply_merge(df: DataFrame, mapping: DataFrame, *cols: str) -> DataFrame:
             .drop(f"_m_{c}", f"_f_{c}")
         )
     return out
+
+
+def incremental_components(mapping: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental D8: fold a DELTA of SAME_AS edges into an existing
+    (id, component) mapping WITHOUT re-running connected components over
+    the full graph — the Iceberg-maintenance twin of `connected_components`
+    (the reference recomputes merges per batch, dedup.py:370-404; at 10^12
+    documents the accumulated SAME_AS graph is re-derived from scratch only
+    on backfill).
+
+    Algorithm (contract: `component` = min node id reachable, same as
+    `connected_components`):
+      1. endpoints of `new_edges` missing from `mapping` become singleton
+         components (id → id);
+      2. project the delta edges onto component ids — the CONDENSED graph,
+         bounded by 2·|delta| nodes regardless of corpus size;
+      3. run hash-to-min on the condensed graph only (component ids are the
+         min node ids of their clusters, so min-over-merged-components
+         IS min-over-all-member-nodes);
+      4. one key-partitioned join rewrites the full mapping through the
+         supercomponent map (broadcast-sized: ≤ merged components).
+
+    Scale shape: the 10^12-node mapping is touched by exactly ONE join on
+    `component`; every iterative step runs on the condensed delta graph.
+    Equivalence `incremental_components(cc(E), D) == cc(E ∪ D)` (restricted
+    to nodes of E ∪ D) is pytest-proven and driver-oracled
+    (d8_incremental_cc)."""
+    ends = (
+        new_edges.select(F.col("src").alias("id"))
+        .union(new_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    singletons = ends.join(mapping, "id", "left_anti").withColumn(
+        "component", F.col("id")
+    )
+    full = mapping.union(singletons)
+
+    src_c = full.select(F.col("id").alias("src"), F.col("component").alias("c_src"))
+    dst_c = full.select(F.col("id").alias("dst"), F.col("component").alias("c_dst"))
+    cond = (
+        new_edges.join(src_c, "src")
+        .join(dst_c, "dst")
+        .filter(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    superc = connected_components(cond).select(
+        F.col("id").alias("component"), F.col("component").alias("supercomponent")
+    )
+    return full.join(F.broadcast(superc), "component", "left").select(
+        "id", F.coalesce("supercomponent", "component").alias("component")
+    )

@@ -645,3 +645,68 @@ def prefix_filter_pairs(
         F.col("inter").cast("long").alias("n_shared"),
         F.round(F.col("inter") / F.col("_union"), 6).alias("jaccard"),
     )
+
+
+def sorted_neighborhood_pairs(
+    records: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández-Stolfo SNM): order records
+    by a sort key, emit every pair within `window` positions — the classic
+    record-linkage blocking strategy that is COMPLEMENTARY to LSH banding:
+    typo'd keys that hash apart still sort adjacently, and a hot token
+    can't explode a bucket because the candidate count is exactly
+    (n − w + 1)·(w − 1) + C(w−1, 2) regardless of value skew.
+
+    Execution has NO corpus-wide single-reducer window: the global rank in
+    (key, id) order comes from `pack_sequences`' two-phase distributed
+    prefix sum (budget=1 ⇒ seq_id == exact global row index). Pair
+    generation is a (window−1)-way explode on the rank column joined back
+    on rank equality — an equi-join on a dense unique integer key, so the
+    exchange carries (id, key, rank) only and every join key matches at
+    most one row. Total shuffle ≈ (w−1)·|records| rank probes.
+
+    Returns (id_a, id_b, key_a, key_b, rank_distance) with id_a the
+    lower-RANK record of the pair (replayable: rank order is (key, id)).
+
+    At 100 TB: multi-pass SNM (different sort keys per pass — name,
+    reversed name, phonetic key) is this operator called once per key with
+    the pair sets unioned; the rank join stays ids-only either way."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from kgraph_spark.operators.corpus_curation import pack_sequences
+
+    keyed = records.select(
+        F.col(id_col).alias("_id"), F.col(key_col).cast("string").alias("_key")
+    ).withColumns({"_all": F.lit("all"), "_one": F.lit(1)})
+    ranked = (
+        pack_sequences(
+            keyed,
+            budget=1,
+            weight_col="_one",
+            stratum_col="_all",
+            id_col="_id",
+            order_col="_key",
+        )
+        .select(F.col("doc_id").alias("_id"), F.col("seq_id").alias("_rank"))
+        .join(keyed.select("_id", "_key"), "_id")
+        .localCheckpoint(eager=False)  # both pair sides read it; pin once
+    )
+    probes = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.col("_rank").alias("_rank_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("rank_distance"),
+    ).withColumn("_rank_b", F.col("_rank_a") + F.col("rank_distance"))
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_key").alias("key_b"),
+        F.col("_rank").alias("_rank_b"),
+    )
+    return probes.join(right, "_rank_b").select(
+        "id_a", "id_b", "key_a", "key_b", F.col("rank_distance").cast("int").alias("rank_distance")
+    )

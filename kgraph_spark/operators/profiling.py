@@ -461,3 +461,79 @@ def fd_violations(
         F.round(F.col("n_violating") / F.col("n_lhs_values"), 6).alias("violation_rate"),
         (F.col("n_violating") == 0).alias("holds"),
     )
+
+
+def join_plan_stats(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    broadcast_threshold_rows: int = 10_000_000,
+    target_partition_rows: int = 5_000_000,
+) -> DataFrame:
+    """ONE-row shuffle-join PLANNER: exact join output cardinality + skew
+    profile computed from the two sides' per-key histograms — the join is
+    never materialized. |A ⋈ B| = Σ_k n_A(k)·n_B(k), so the planner costs
+    two count aggregates (each side shuffles ONCE on the very key the real
+    join would shuffle on, but carrying 8-byte counts instead of payload
+    rows) plus a key-cardinality-scale histogram join. At 100 TB this is
+    the cheap dry-run that decides: broadcast the small side? salt the hot
+    key? abort the accidental many-to-many explosion before it runs?
+
+    Output (exact longs until the two final round-6 divisions):
+      out_rows        exact |A ⋈ B|
+      left_rows/right_rows/matching_keys
+      max_key_out     heaviest key's output (the straggler reducer's load)
+      top_key         that key — (max product, min key) election, replayable
+      p_max_out       max_key_out / out_rows
+      amplification   out_rows / (left_rows + right_rows) — >1 flags fan-out
+      broadcast_ok    right_rows ≤ broadcast_threshold_rows
+      recommended_salts  ⌈max_key_out / target_partition_rows⌉ (≥1), the
+                         salt factor accumulate_triples_salted would need
+    Pairs `key_skew` (single-table concentration) the way EXPLAIN pairs a
+    query: measure, then pick the physical strategy."""
+    lc = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nl")
+    )
+    rc = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nr")
+    )
+    per = lc.join(rc, "_k").select(
+        F.col("_k").cast("string").alias("_k"),
+        (F.col("_nl") * F.col("_nr")).cast("long").alias("_out"),
+    )
+    lt = lc.agg(F.sum("_nl").cast("long").alias("left_rows"))
+    rt = rc.agg(F.sum("_nr").cast("long").alias("right_rows"))
+    pa = per.agg(
+        F.coalesce(F.sum("_out"), F.lit(0)).cast("long").alias("out_rows"),
+        F.count(F.lit(1)).cast("long").alias("matching_keys"),
+        F.coalesce(F.max("_out"), F.lit(0)).cast("long").alias("max_key_out"),
+        F.min(F.struct((-F.col("_out")).alias("no"), F.col("_k").alias("k"))).alias(
+            "_top"
+        ),
+    )
+    row = pa.crossJoin(F.broadcast(lt)).crossJoin(F.broadcast(rt))
+    return row.select(
+        "out_rows",
+        "left_rows",
+        "right_rows",
+        "matching_keys",
+        "max_key_out",
+        F.col("_top.k").alias("top_key"),
+        F.when(
+            F.col("out_rows") > 0,
+            F.round(F.col("max_key_out").cast("double") / F.col("out_rows"), 6),
+        ).alias("p_max_out"),
+        F.round(
+            F.col("out_rows").cast("double")
+            / (F.col("left_rows") + F.col("right_rows")),
+            6,
+        ).alias("amplification"),
+        (F.col("right_rows") <= F.lit(broadcast_threshold_rows)).alias("broadcast_ok"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(max_key_out + {target_partition_rows - 1}) div {target_partition_rows}"
+            ).cast("long"),
+        ).alias("recommended_salts"),
+    )

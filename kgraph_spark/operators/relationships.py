@@ -660,3 +660,55 @@ def predicate_composition(
             F.countDistinct(F.col("a._o")).cast("long").alias("n_mid_nodes"),
         )
     )
+
+
+def conflicting_triples(
+    triples: DataFrame,
+    conflict_pairs: list[tuple[str, str]],
+    subject_col: str = "subject_id",
+    predicate_col: str = "predicate",
+    object_col: str = "object_id",
+) -> DataFrame:
+    """KG contradiction detection: (subject, object) pairs asserted under
+    BOTH predicates of a declared conflict pair (e.g. TREATS vs CAUSES —
+    the polarity table validate_relations consults per-edge, applied
+    ACROSS edges; reference predicate semantics:
+    examples/medlit/pipeline/relationships.py predicate spec). Emits one
+    row per conflicted pair with per-predicate evidence counts so triage
+    can keep the better-attested side.
+
+    Plan shape: ONE (s,p,o) hash aggregate over the KG (partial+final,
+    ids only), both sides pre-pruned to the conflict dictionary's
+    predicates with a literal isin BEFORE the self-join — at 100 TB the
+    join inputs are only the dictionary-predicate slices, keyed on
+    (subject, object). The dictionary itself stays driver-side literal
+    (conflict taxonomies are tens of rows)."""
+    if not conflict_pairs:
+        raise ValueError("conflict_pairs must be non-empty")
+    spark = triples.sparkSession
+    conf = F.broadcast(
+        spark.createDataFrame(
+            [(a, b) for a, b in conflict_pairs], "pred_a string, pred_b string"
+        )
+    )
+    preds = sorted({p for ab in conflict_pairs for p in ab})
+    counts = (
+        triples.filter(F.col(predicate_col).isin(preds))
+        .groupBy(
+            F.col(subject_col).alias("subject_id"),
+            F.col(object_col).alias("object_id"),
+            F.col(predicate_col).alias("_p"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    a = counts.select(
+        "subject_id", "object_id", F.col("_p").alias("pred_a"), F.col("_n").alias("n_a")
+    )
+    b = counts.select(
+        "subject_id", "object_id", F.col("_p").alias("pred_b"), F.col("_n").alias("n_b")
+    )
+    return (
+        a.join(conf, "pred_a")
+        .join(b, ["subject_id", "object_id", "pred_b"])
+        .select("subject_id", "object_id", "pred_a", "pred_b", "n_a", "n_b")
+    )

@@ -750,3 +750,96 @@ def test_predicate_composition_paths_and_cap(spark):
     }
     assert ("codes", "targets") not in capped
     assert capped[("targets", "treats")] == 1
+
+
+def test_incremental_components_equals_scratch(spark):
+    from kgraph_spark.operators.canonicalize import incremental_components
+
+    old = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("p", "q")], "src string, dst string"
+    )
+    # delta: bridge two old components, attach a brand-new node, and one
+    # edge entirely between unseen nodes
+    delta = spark.createDataFrame(
+        [("d", "c"), ("x", "p"), ("m", "n")], "src string, dst string"
+    )
+    inc = {
+        r["id"]: r["component"]
+        for r in incremental_components(connected_components(old), delta).collect()
+    }
+    scratch = {
+        r["id"]: r["component"]
+        for r in connected_components(old.union(delta)).collect()
+    }
+    assert inc == scratch
+    assert inc["d"] == "a" and inc["x"] == "p" and inc["m"] == "m"
+
+
+def test_incremental_components_noop_delta_keeps_mapping(spark):
+    from kgraph_spark.operators.canonicalize import incremental_components
+
+    old = spark.createDataFrame([("b", "a"), ("y", "x")], "src string, dst string")
+    base = connected_components(old)
+    # delta edges inside existing components: nothing merges
+    delta = spark.createDataFrame([("a", "b")], "src string, dst string")
+    inc = {r["id"]: r["component"] for r in incremental_components(base, delta).collect()}
+    assert inc == {"a": "a", "b": "a", "x": "x", "y": "x"}
+
+
+def test_sorted_neighborhood_pairs_hand_case(spark):
+    from kgraph_spark.operators.dedup_text import sorted_neighborhood_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "smith"), (2, "smyth"), (3, "adams"), (4, "adamz"), (5, "smith")],
+        "doc_id long, name string",
+    )
+    # sort order by (name, id): adams(3), adamz(4), smith(1), smith(5), smyth(2)
+    out = sorted_neighborhood_pairs(recs, "name", window=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(3, 4), (4, 1), (1, 5), (5, 2)}
+    # window=3 adds the distance-2 neighbors
+    out3 = sorted_neighborhood_pairs(recs, "name", window=3)
+    rows = {(r["id_a"], r["id_b"]): r["rank_distance"] for r in out3.collect()}
+    assert rows[(3, 1)] == 2 and rows[(1, 2)] == 2 and rows[(3, 4)] == 1
+    # candidate count is skew-independent: (n-1) + (n-2)
+    assert len(rows) == 4 + 3
+
+
+def test_sorted_neighborhood_window_validation(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.dedup_text import sorted_neighborhood_pairs
+
+    recs = spark.createDataFrame([(1, "a")], "doc_id long, name string")
+    with _pytest.raises(ValueError):
+        sorted_neighborhood_pairs(recs, "name", window=1)
+
+
+def test_conflicting_triples_detects_polarity_clash(spark):
+    from kgraph_spark.operators.relationships import conflicting_triples
+
+    triples = spark.createDataFrame(
+        [
+            ("d1", "TREATS", "x"), ("d1", "TREATS", "x"), ("d1", "CAUSES", "x"),
+            ("d2", "TREATS", "y"),                       # no clash
+            ("d3", "CAUSES", "z"),                       # no clash
+            ("d4", "ASSOCIATED_WITH", "x"),              # not in dictionary
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    out = conflicting_triples(triples, [("TREATS", "CAUSES")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["subject_id"], r["object_id"]) == ("d1", "x")
+    assert r["pred_a"] == "TREATS" and r["pred_b"] == "CAUSES"
+    assert r["n_a"] == 2 and r["n_b"] == 1
+
+
+def test_conflicting_triples_empty_dictionary_rejected(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.relationships import conflicting_triples
+
+    t = spark.createDataFrame([("a", "P", "b")], "subject_id string, predicate string, object_id string")
+    with _pytest.raises(ValueError):
+        conflicting_triples(t, [])

@@ -269,3 +269,39 @@ def test_fd_violations_detects_and_holds(spark):
     clean = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "k string, v int")
     r2 = fd_violations(clean, "k", "v").collect()[0]
     assert r2["holds"] and r2["violation_rate"] == 0.0
+
+
+def test_join_plan_stats_hand_case(spark):
+    from kgraph_spark.operators.profiling import join_plan_stats
+
+    left = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("c",), ("c",), ("c",), ("c",)], "j string"
+    )
+    r = join_plan_stats(
+        left, right, "k", "j",
+        broadcast_threshold_rows=5, target_partition_rows=4,
+    ).collect()[0]
+    assert r["out_rows"] == 6            # 2*3 for 'a'; 'b','c' never match
+    assert r["left_rows"] == 3 and r["right_rows"] == 7
+    assert r["matching_keys"] == 1
+    assert r["max_key_out"] == 6 and r["top_key"] == "a"
+    assert r["p_max_out"] == 1.0
+    assert r["amplification"] == 0.6     # 6 / (3 + 7)
+    assert r["broadcast_ok"] is False    # 7 > 5
+    assert r["recommended_salts"] == 2   # ceil(6 / 4)
+    # exactness: the stats row equals the materialized join's truth
+    assert left.join(right, left["k"] == right["j"]).count() == r["out_rows"]
+
+
+def test_join_plan_stats_disjoint_keys(spark):
+    from kgraph_spark.operators.profiling import join_plan_stats
+
+    left = spark.createDataFrame([("a",)], "k string")
+    right = spark.createDataFrame([("b",)], "j string")
+    r = join_plan_stats(left, right, "k", "j").collect()[0]
+    assert r["out_rows"] == 0 and r["matching_keys"] == 0
+    assert r["p_max_out"] is None and r["recommended_salts"] == 1
+    assert r["broadcast_ok"] is True
