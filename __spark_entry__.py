@@ -1033,6 +1033,28 @@ def q_d8_connected_components(spark, sf_dir):
     return connected_components(e1.union(e2).distinct())
 
 
+def q_evt_ema(spark, sf_dir):
+    """Per-user truncated EMA (k=8 half-life lags) over the event stream:
+    the recursion-free window form, exact integer micro-unit arithmetic
+    until one final round-6 division."""
+    from kgraph_spark.operators.event_analytics import ema_smooth
+
+    return ema_smooth(_read(spark, sf_dir, "events"), k=8)
+
+
+def q_rbm_align(spark, sf_dir):
+    """Cross-KB alignment by reciprocal best match: even-id vs odd-id
+    embedding halves as the two KBs, blocked on label, integer
+    micro-cosine argmax elections — only mutual best pairs survive."""
+    from kgraph_spark.operators.similarity import reciprocal_best_match
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return reciprocal_best_match(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 def q_kg_conflicts(spark, sf_dir):
     """KG contradiction audit: supplier→part edges asserted as both
     'ships' (l_returnflag <> 'R') and 'returns' (l_returnflag = 'R') —
@@ -3516,7 +3538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_connected_components": q_d8_connected_components,
         "d8_incremental_cc": q_d8_incremental_cc,
         "join_plan": q_join_plan,
+        "evt_ema": q_evt_ema,
         "kg_conflicts": q_kg_conflicts,
+        "rbm_align": q_rbm_align,
         "snm_candidates": q_snm_candidates,
         "dedup_exact": q_dedup_exact,
         "text_token_stats": q_text_token_stats,
@@ -5670,6 +5694,75 @@ def oracle_sql() -> dict[str, str]:
                 SELECT region, min(id) AS component FROM dedup GROUP BY region
             )
             SELECT d.id, w.component FROM dedup d JOIN winners w USING (region)
+        """,
+        "evt_ema": """
+            -- k=8 truncated EMA: power-of-two weights, exact long
+            -- numerator/denominator, ONE round-6 division (ema_smooth)
+            WITH q AS (
+                SELECT user_id, ts, event_id,
+                       round(value * 1000000)::BIGINT AS qv
+                FROM events
+            ), lagged AS (
+                SELECT user_id, ts, event_id, qv,
+                       lag(qv, 1) OVER w AS l1, lag(qv, 2) OVER w AS l2,
+                       lag(qv, 3) OVER w AS l3, lag(qv, 4) OVER w AS l4,
+                       lag(qv, 5) OVER w AS l5, lag(qv, 6) OVER w AS l6,
+                       lag(qv, 7) OVER w AS l7
+                FROM q
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, ts, event_id,
+                   round((qv * 128 + coalesce(l1, 0) * 64
+                          + coalesce(l2, 0) * 32 + coalesce(l3, 0) * 16
+                          + coalesce(l4, 0) * 8 + coalesce(l5, 0) * 4
+                          + coalesce(l6, 0) * 2 + coalesce(l7, 0))::DOUBLE
+                         / ((128
+                             + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+                             + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+                             + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+                             + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+                             + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+                             + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+                             + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+                            * 1000000)::DOUBLE, 6) AS ema
+            FROM lagged
+        """,
+        "rbm_align": """
+            -- mutual argmax on integer micro-cosines (cosine_fixed
+            -- restated), ties to the smaller id via the window order
+            WITH l AS (
+                SELECT label, vec_id AS left_id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 1000000)::BIGINT) AS v
+                FROM embeddings WHERE vec_id % 2 = 0
+            ), r AS (
+                SELECT label, vec_id AS right_id,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 1000000)::BIGINT) AS v
+                FROM embeddings WHERE vec_id % 2 = 1
+            ), s AS (
+                SELECT left_id, right_id,
+                       round((list_sum(list_transform(list_zip(l.v, r.v), z -> z[1] * z[2]))::DOUBLE
+                              / (sqrt(list_sum(list_transform(l.v, x -> x * x))::DOUBLE)
+                                 * sqrt(list_sum(list_transform(r.v, x -> x * x))::DOUBLE)))
+                             * 1000000)::BIGINT AS c
+                FROM l JOIN r USING (label)
+            ), bl AS (
+                SELECT left_id, right_id, c,
+                       row_number() OVER (PARTITION BY left_id
+                                          ORDER BY c DESC, right_id ASC) AS rn
+                FROM s
+            ), br AS (
+                SELECT left_id, right_id,
+                       row_number() OVER (PARTITION BY right_id
+                                          ORDER BY c DESC, left_id ASC) AS rn
+                FROM s
+            )
+            SELECT bl.left_id, bl.right_id,
+                   round(bl.c / 1000000.0, 6) AS cosine
+            FROM bl JOIN br ON bl.left_id = br.left_id
+                           AND bl.right_id = br.right_id
+            WHERE bl.rn = 1 AND br.rn = 1
         """,
         "kg_conflicts": """
             WITH t AS (

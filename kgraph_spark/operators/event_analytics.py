@@ -226,3 +226,46 @@ def conversion_attribution(
         F.col("_touch.ts").alias("touch_ts"),
         F.col("_touch.ty").alias("touch_type"),
     )
+
+
+def ema_smooth(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_cols: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    k: int = 8,
+) -> DataFrame:
+    """Per-key exponential moving average with the recursion ELIMINATED:
+    a k-lag truncated EMA (half-life decay, weight 2^(k-1-j) for lag j)
+    instead of the textbook ema_t = α·x + (1-α)·ema_{t-1} — the recursive
+    form forces strictly sequential evaluation; the truncated form is k
+    window lags on ONE sorted per-key exchange, and the dropped tail's
+    weight is 2^-k (< 0.4% at k=8) — the same recursion-removal move as
+    cusum_changepoints' prefix-min identity.
+
+    Exactness contract: values quantized to integer micro-units, the
+    weighted numerator and the present-lag weight denominator are EXACT
+    longs (weights are powers of two, so the fold is just shifts), one
+    double division + round-6 at the end — replayable bit-for-bit in any
+    SQL engine. Warm-up rows (< k history) normalize by the weights
+    actually present, not the full window.
+
+    Returns events' key/order columns + `ema` (round-6 double)."""
+    if not 1 <= k <= 62:
+        raise ValueError("k must be in [1, 62]")
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    q = F.round(F.col(value_col) * 1_000_000).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(k):
+        weight = 1 << (k - 1 - j)
+        lagged = F.lag(q, j).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    return events.select(
+        key_col,
+        *order_cols,
+        F.round(num.cast("double") / (den * F.lit(1_000_000)).cast("double"), 6).alias(
+            "ema"
+        ),
+    )

@@ -820,3 +820,65 @@ def sample_diversity(
             ).alias("max_pairwise_cosine"),
         )
     )
+
+
+def reciprocal_best_match(
+    left: DataFrame,
+    right: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Cross-KB entity ALIGNMENT by reciprocal best match: a (left, right)
+    pair survives iff right is left's single best match AND left is
+    right's — the mutual-argmax rule that kills the asymmetric hub
+    problem (one generic entity being everyone's best match) without any
+    tuned threshold. The D3/D4 cross-ontology analogue: align two
+    embedding-keyed KBs before SAME_AS merging.
+
+    Pairing is BLOCKED on `block_col` (never a cartesian across blocks;
+    at corpus scale feed the banded-LSH bucket key, exactly like
+    embedding near-dup pairing). Scores are integer micro-cosines
+    (round(cosine_fixed·10⁶) — exact longs), so both argmax elections and
+    any later rounding replay bit-for-bit in SQL; ties break to the
+    smaller id. Each side's best table is one groupBy over the scored
+    pairs (ids + one long), and the mutual check is an equi-join of the
+    two best tables on the pair key.
+
+    Returns (left_id, right_id, cosine) with cosine = micro/10⁶ (round-6
+    exact)."""
+    l = left.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("_lv"),
+    )
+    r = right.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("_rv"),
+    )
+    scored = l.join(r, "_blk").select(
+        "left_id",
+        "right_id",
+        F.round(cosine_fixed(F.col("_lv"), F.col("_rv")) * 1_000_000)
+        .cast("long")
+        .alias("_c"),
+    )
+    if min_cosine is not None:
+        scored = scored.filter(F.col("_c") >= int(round(min_cosine * 1_000_000)))
+    best_l = scored.groupBy("left_id").agg(
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col("right_id").alias("rid"))).alias("_b")
+    )
+    best_r = scored.groupBy("right_id").agg(
+        F.min(F.struct((-F.col("_c")).alias("nc"), F.col("left_id").alias("lid"))).alias("_b")
+    )
+    m1 = best_l.select(
+        "left_id", F.col("_b.rid").alias("right_id"), (-F.col("_b.nc")).alias("_c")
+    )
+    m2 = best_r.select(F.col("_b.lid").alias("left_id"), "right_id")
+    return m1.join(m2, ["left_id", "right_id"]).select(
+        "left_id",
+        "right_id",
+        F.round(F.col("_c") / 1_000_000.0, 6).alias("cosine"),
+    )

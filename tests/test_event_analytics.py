@@ -154,3 +154,42 @@ def test_attribution_last_and_first_touch(spark):
 
     with pytest.raises(ValueError):
         conversion_attribution(ev, model="linear")
+
+
+def test_ema_smooth_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import ema_smooth
+
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 0, 0, s), 100 + s, float(v))
+        for s, v in enumerate([10.0, 20.0, 40.0])
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = {r["event_id"]: r["ema"] for r in ema_smooth(ev, k=2).collect()}
+    # k=2: weights current=2, prev=1.
+    assert out[100] == 10.0                      # warm-up: only own value
+    assert out[101] == round((2 * 20 + 1 * 10) / 3, 6)
+    assert out[102] == round((2 * 40 + 1 * 20) / 3, 6)
+
+
+def test_ema_smooth_keys_independent_and_validation(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from kgraph_spark.operators.event_analytics import ema_smooth
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 1), 1, 100.0),
+            (2, dt.datetime(2026, 1, 2), 2, 0.0),
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    out = {r["user_id"]: r["ema"] for r in ema_smooth(ev, k=4).collect()}
+    assert out[1] == 100.0 and out[2] == 0.0     # no cross-user leakage
+    with _pytest.raises(ValueError):
+        ema_smooth(ev, k=0)

@@ -299,3 +299,51 @@ def test_sample_diversity_redundant_vs_spread(spark):
     assert rows[0]["n_pairs"] == 3
     assert rows[1]["mean_pairwise_cosine"] == 0.0
     assert rows[2]["n_pairs"] == 0 and rows[2]["mean_pairwise_cosine"] is None
+
+
+def test_reciprocal_best_match_mutual_argmax(spark):
+    from kgraph_spark.operators.similarity import reciprocal_best_match
+
+    # block g: l1 ~ r1 (identical), l2's best is r1 too but r1 prefers l1
+    # → l2 unmatched; r2 orthogonal to everything → unmatched.
+    left = spark.createDataFrame(
+        [
+            ("g", 1, [1.0, 0.0, 0.0]),
+            ("g", 2, [0.9, 0.1, 0.0]),
+        ],
+        "label string, vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [
+            ("g", 10, [1.0, 0.0, 0.0]),
+            ("g", 20, [0.0, 0.0, 1.0]),
+        ],
+        "label string, vec_id long, embedding array<double>",
+    )
+    out = {(r["left_id"], r["right_id"]): r["cosine"]
+           for r in reciprocal_best_match(left, right).collect()}
+    # l1<->r10 mutual best; l2's best r10 is taken (r10 prefers l1);
+    # r20's best is l2 but l2's best is r10 → only one aligned pair... plus
+    # l2/r20: l2 best = r10 (cos .993) not r20 (0) → not mutual.
+    assert out == {(1, 10): 1.0}
+
+
+def test_reciprocal_best_match_blocking_and_threshold(spark):
+    from kgraph_spark.operators.similarity import reciprocal_best_match
+
+    left = spark.createDataFrame(
+        [("a", 1, [1.0, 0.0]), ("b", 2, [1.0, 0.0])],
+        "label string, vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, [0.0, 1.0]), ("b", 20, [1.0, 0.0])],
+        "label string, vec_id long, embedding array<double>",
+    )
+    # without threshold: within block a the only pair (cos 0) is mutual best
+    no_thr = {(r["left_id"], r["right_id"])
+              for r in reciprocal_best_match(left, right).collect()}
+    assert no_thr == {(1, 10), (2, 20)}
+    # threshold kills the orthogonal pair; cross-block pairing never happens
+    thr = {(r["left_id"], r["right_id"])
+           for r in reciprocal_best_match(left, right, min_cosine=0.5).collect()}
+    assert thr == {(2, 20)}
