@@ -1033,6 +1033,52 @@ def q_d8_connected_components(spark, sf_dir):
     return connected_components(e1.union(e2).distinct())
 
 
+def q_graph_edge_lift(spark, sf_dir):
+    """Configuration-model edge surprise over the supplier—part shipment
+    graph (weight = lineitem count): observed weight over the
+    degree-preserving null expectation — the hub-inflation pruning score
+    for co-occurrence edges entering the KG."""
+    from kgraph_spark.operators.graph_analytics import edge_lift
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("subject_id"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("object_id"),
+    )
+    return edge_lift(edges)
+
+
+def q_er_blocking_quality(spark, sf_dir):
+    """Blocking-quality gate: the SNM window-3 name blocker scored against
+    brand as gold — reduction ratio / pairs completeness / pairs quality,
+    exact C(n,2) integer arithmetic, gold pairs counted from sizes."""
+    from kgraph_spark.operators.dedup_text import sorted_neighborhood_pairs
+    from kgraph_spark.operators.eval_metrics import blocking_quality
+
+    part = _read(spark, sf_dir, "part")
+    cands = sorted_neighborhood_pairs(part, "p_name", id_col="p_partkey", window=3)
+    gold = part.select(
+        F.col("p_partkey").alias("item_id"), F.col("p_brand").alias("gold_cluster")
+    )
+    return blocking_quality(cands, gold)
+
+
+def q_evt_interval_coalesce(spark, sf_dir):
+    """Gaps-and-islands episode coalescing: each event opens a 1-hour
+    validity interval per (user, event_type); overlapping/touching
+    intervals merge into maximal episodes — exact integer-microsecond
+    island decisions on ONE key exchange."""
+    from kgraph_spark.operators.temporal import coalesce_intervals
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("valid_to"),
+    )
+    return coalesce_intervals(ev, ["user_id", "event_type"])
+
+
 def q_evt_ema(spark, sf_dir):
     """Per-user truncated EMA (k=8 half-life lags) over the event stream:
     the recursion-free window form, exact integer micro-unit arithmetic
@@ -3538,7 +3584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_connected_components": q_d8_connected_components,
         "d8_incremental_cc": q_d8_incremental_cc,
         "join_plan": q_join_plan,
+        "er_blocking_quality": q_er_blocking_quality,
         "evt_ema": q_evt_ema,
+        "evt_interval_coalesce": q_evt_interval_coalesce,
         "kg_conflicts": q_kg_conflicts,
         "rbm_align": q_rbm_align,
         "snm_candidates": q_snm_candidates,
@@ -3687,6 +3735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_wl": q_graph_wl,
         "graph_butterflies": q_graph_butterflies,
         "graph_component_sizes": q_graph_component_sizes,
+        "graph_edge_lift": q_graph_edge_lift,
         "graph_pagerank": q_graph_pagerank,
         "graph_kcore": q_graph_kcore,
         "graph_ppr": q_graph_ppr,
@@ -5695,6 +5744,75 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.id, w.component FROM dedup d JOIN winners w USING (region)
         """,
+        "er_blocking_quality": """
+            WITH r AS (
+                SELECT p_partkey AS id,
+                       row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+                FROM part
+            ), cand AS (
+                SELECT DISTINCT least(a.id, b.id) AS ia,
+                                greatest(a.id, b.id) AS ib
+                FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+            ), g AS (
+                SELECT p_partkey AS id, p_brand AS gc FROM part
+            ), lab AS (
+                SELECT ga.gc AS ga, gb.gc AS gb
+                FROM cand c JOIN g ga ON c.ia = ga.id
+                            JOIN g gb ON c.ib = gb.id
+            ), ca AS (
+                SELECT count(*)::BIGINT AS n_candidate_pairs,
+                       sum(CASE WHEN ga = gb THEN 1 ELSE 0 END)::BIGINT
+                           AS covered_gold_pairs
+                FROM lab
+            ), tot AS (
+                SELECT sum(n)::BIGINT AS n_items,
+                       sum(n * (n - 1) // 2)::BIGINT AS gold_pairs
+                FROM (SELECT count(*) AS n FROM g GROUP BY gc)
+            )
+            SELECT n_items,
+                   (n_items * (n_items - 1) // 2)::BIGINT AS total_pairs,
+                   n_candidate_pairs, gold_pairs, covered_gold_pairs,
+                   round(1 - n_candidate_pairs::DOUBLE
+                           / (n_items * (n_items - 1) // 2), 6)
+                       AS reduction_ratio,
+                   round(covered_gold_pairs::DOUBLE / gold_pairs, 6)
+                       AS pairs_completeness,
+                   round(covered_gold_pairs::DOUBLE / n_candidate_pairs, 6)
+                       AS pairs_quality
+            FROM ca, tot
+        """,
+        "evt_interval_coalesce": """
+            -- gaps-and-islands: island opens where start > running max end
+            WITH iv AS (
+                SELECT user_id, event_type, ts AS s,
+                       ts + INTERVAL 1 HOUR AS e
+                FROM events
+            ), flagged AS (
+                SELECT user_id, event_type, s, e,
+                       CASE WHEN max(e) OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+                              OR s > max(e) OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+                            THEN 1 ELSE 0 END AS opens
+                FROM iv
+            ), islands AS (
+                SELECT user_id, event_type, s, e,
+                       sum(opens) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND CURRENT ROW) AS isl
+                FROM flagged
+            )
+            SELECT user_id, event_type, min(s) AS valid_from,
+                   max(e) AS valid_to, count(*)::BIGINT AS n_source_intervals
+            FROM islands GROUP BY user_id, event_type, isl
+        """,
         "evt_ema": """
             -- k=8 truncated EMA: power-of-two weights, exact long
             -- numerator/denominator, ONE round-6 division (ema_smooth)
@@ -7096,6 +7214,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT sz AS component_size, count(*)::BIGINT AS n_components,
                    sum(sz)::BIGINT AS n_nodes
             FROM sizes GROUP BY sz
+        """,
+        "graph_edge_lift": """
+            WITH p AS (
+                SELECT least('S' || l_suppkey, 'P' || l_partkey) AS a,
+                       greatest('S' || l_suppkey, 'P' || l_partkey) AS b,
+                       count(*)::BIGINT AS w
+                FROM lineitem GROUP BY 1, 2
+            ), s AS (
+                SELECT n, sum(w)::BIGINT AS s FROM (
+                    SELECT a AS n, w FROM p
+                    UNION ALL SELECT b, w FROM p
+                ) GROUP BY n
+            ), t AS (SELECT (sum(w) * 2)::BIGINT AS w2 FROM p)
+            SELECT p.a AS subject_id, p.b AS object_id, p.w AS weight,
+                   round((p.w * t.w2)::DOUBLE / (sa.s * sb.s)::DOUBLE, 6)
+                       AS lift
+            FROM p JOIN s sa ON p.a = sa.n JOIN s sb ON p.b = sb.n, t
         """,
         "graph_pagerank": _pagerank_oracle_sql(iterations=5),
         "graph_kcore": _kcore_oracle_sql(k=4, rounds=3),

@@ -165,3 +165,72 @@ def bcubed_metrics(
         rec.alias("bcubed_recall"),
         f1.alias("bcubed_f1"),
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    gold: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    item_col: str = "item_id",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """ONE-row blocking-quality gate: reduction ratio + pairs completeness
+    + pairs quality for ANY candidate generator (SNM, MinHash/SimHash
+    bands, prefix filter, embedding buckets) against gold cluster labels
+    — the standard record-linkage triple (Christen 2012): how much of the
+    C(n,2) pair space the blocker pruned (RR), how many true-match pairs
+    survived the pruning (PC — the recall ceiling for everything
+    downstream), and what fraction of kept pairs are true matches (PQ).
+
+    Universe = gold-labeled items (candidates touching unlabeled items
+    are dropped from ALL counts, matching cluster_pair_metrics). Pairs
+    are normalized to unordered-distinct with self-pairs removed, so
+    double-emitted or flipped candidates can't inflate RR or PQ. Exact
+    C(n,2) integer arithmetic throughout — gold pairs are counted from
+    cluster SIZES, never materialized; three final round-6 divisions."""
+    g = gold.select(F.col(item_col).alias("_i"), F.col(gold_col).alias("_g"))
+    pairs = (
+        candidates.select(
+            F.least(F.col(left_col), F.col(right_col)).alias("_a"),
+            F.greatest(F.col(left_col), F.col(right_col)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    labeled = (
+        pairs.join(g.select(F.col("_i").alias("_a"), F.col("_g").alias("_ga")), "_a")
+        .join(g.select(F.col("_i").alias("_b"), F.col("_g").alias("_gb")), "_b")
+    )
+    cand = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("_ga") == F.col("_gb"), 1).otherwise(0))
+        .cast("long")
+        .alias("covered_gold_pairs"),
+    )
+    totals = g.groupBy("_g").agg(F.count(F.lit(1)).alias("_n")).agg(
+        F.sum("_n").cast("long").alias("n_items"),
+        F.sum(F.expr("_n * (_n - 1) div 2")).cast("long").alias("gold_pairs"),
+    )
+    out = cand.crossJoin(F.broadcast(totals)).withColumn(
+        "total_pairs", F.expr("n_items * (n_items - 1) div 2").cast("long")
+    )
+    return out.select(
+        "n_items",
+        "total_pairs",
+        "n_candidate_pairs",
+        "gold_pairs",
+        "covered_gold_pairs",
+        F.when(
+            F.col("total_pairs") > 0,
+            F.round(1.0 - F.col("n_candidate_pairs") / F.col("total_pairs"), 6),
+        ).alias("reduction_ratio"),
+        F.when(
+            F.col("gold_pairs") > 0,
+            F.round(F.col("covered_gold_pairs") / F.col("gold_pairs"), 6),
+        ).alias("pairs_completeness"),
+        F.when(
+            F.col("n_candidate_pairs") > 0,
+            F.round(F.col("covered_gold_pairs") / F.col("n_candidate_pairs"), 6),
+        ).alias("pairs_quality"),
+    )

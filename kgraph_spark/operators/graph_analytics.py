@@ -1421,3 +1421,65 @@ def neighborhood_sizes(
         deg.join(counts, "a")
         .select(F.col("a").alias("node"), F.col("_d").alias("n_1hop"), "n_2hop")
     )
+
+
+def edge_lift(
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    weight: str | None = None,
+) -> DataFrame:
+    """Configuration-model edge surprise: lift(u,v) = w_uv · 2W /
+    (s_u · s_v) — observed edge weight over its expectation under the
+    degree-preserving null model (the same null modularity Q scores
+    communities against, applied per EDGE). lift ≫ 1 = the connection is
+    stronger than the endpoints' popularity explains (a real association);
+    lift ≈ 1 = exactly what two hubs would produce by chance — the
+    graph-level complement of doc-level PMI (cooc_pmi) for pruning
+    hub-inflated co-occurrence edges before they enter the KG.
+
+    Exact integer arithmetic: per-pair weights and node strengths are
+    long sums, the numerator w·2W and denominator s_u·s_v are exact longs
+    (overflow contract: w·2W < 2^63 — at larger totals pre-divide by a
+    documented scale), ONE round-6 division at the end. Plan: one pair
+    aggregate (undirected-canonical key), one strength aggregate, two
+    id-keyed joins to attach strengths — ids and longs only.
+
+    Returns (src, dst, weight, lift) with src < dst."""
+    w_col = (
+        F.coalesce(F.col(weight).cast("long"), F.lit(0))
+        if weight
+        else F.lit(1).cast("long")
+    )
+    pairs = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+            w_col.alias("_w"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.sum("_w").cast("long").alias("weight"))
+    )
+    strengths = (
+        pairs.select(F.col("_a").alias("_n"), "weight")
+        .union(pairs.select(F.col("_b").alias("_n"), "weight"))
+        .groupBy("_n")
+        .agg(F.sum("weight").cast("long").alias("_s"))
+    )
+    total = pairs.agg((F.sum("weight") * 2).cast("long").alias("_w2"))
+    return (
+        pairs.join(strengths.select(F.col("_n").alias("_a"), F.col("_s").alias("_sa")), "_a")
+        .join(strengths.select(F.col("_n").alias("_b"), F.col("_s").alias("_sb")), "_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("_a").alias(src),
+            F.col("_b").alias(dst),
+            "weight",
+            F.round(
+                (F.col("weight") * F.col("_w2")).cast("double")
+                / (F.col("_sa") * F.col("_sb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )

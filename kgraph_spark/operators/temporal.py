@@ -484,3 +484,51 @@ def interarrival_stats(
             F.round(F.col("_max") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
         )
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    max_gap_micros: int = 0,
+) -> DataFrame:
+    """Gaps-and-islands interval coalescing: merge overlapping/adjacent
+    validity intervals per key into maximal episodes — the temporal-KG
+    normalization step after accumulating per-document triple assertions
+    with validity windows (N sources asserting [t1,t2], [t2,t3] collapse
+    to one [t1,t3] fact row), and the generic sessionizer for
+    interval-shaped (not point-shaped) events.
+
+    The classic recursion-free plan: per key in (start, end) order, an
+    island opens where start exceeds the running max end of all EARLIER
+    intervals by more than `max_gap_micros`; island id = running sum of
+    open flags; one aggregate per (key, island). ONE key exchange carries
+    both windows and the final aggregate. Decisions compare exact integer
+    microseconds (unix_micros), never floats.
+
+    Returns key_cols + (valid_from, valid_to, n_source_intervals)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    # unix_micros only accepts TIMESTAMP — cast first so TIMESTAMP_NTZ
+    # parquet columns work too (session tz pinned to UTC in session.py)
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    w = Window.partitionBy(*key_cols).orderBy(s_us.asc(), e_us.asc())
+    prev_max_end = F.max(e_us).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = F.when(
+        prev_max_end.isNull() | (s_us > prev_max_end + F.lit(max_gap_micros)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    island = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.select(*key_cols, F.col(start_col), F.col(end_col))
+        .withColumn("_island", island)
+        .groupBy(*key_cols, "_island")
+        .agg(
+            F.min(start_col).alias("valid_from"),
+            F.max(end_col).alias("valid_to"),
+            F.count(F.lit(1)).cast("long").alias("n_source_intervals"),
+        )
+        .drop("_island")
+    )

@@ -1086,6 +1086,81 @@ def main() -> None:
         ["Window", "hashpartitioning(group", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Component size histogram — two bounded hash aggregates over the "
+        "CC label table; labels pinned once by the CC checkpoint",
+        _plan(entrymod.queries()["graph_component_sizes"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Incremental CC — the full mapping is touched by ONE broadcast "
+        "join on component; iterative work runs on the condensed delta",
+        _plan(entrymod.queries()["d8_incremental_cc"](spark, SF)),
+        ["BroadcastHashJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Join planner — per-key count aggregates with map-side partials; "
+        "the planned join itself never materializes (histograms only)",
+        _plan(entrymod.queries()["join_plan"](spark, SF)),
+        ["partial_count", "HashAggregate", "BroadcastNestedLoopJoin"],
+    ))
+
+    sections.append((
+        "Sorted-neighborhood blocking — two-phase prefix-sum rank (no "
+        "corpus-wide single-reducer window), pair join is an equi-join "
+        "on the dense rank key",
+        _plan(entrymod.queries()["snm_candidates"](spark, SF)),
+        ["Generate", "HashJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "KG conflicts — dictionary isin prunes BEFORE the (s,o) self-join; "
+        "one (s,p,o) hash aggregate with partial agg",
+        _plan(entrymod.queries()["kg_conflicts"](spark, SF)),
+        ["partial_count", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Reciprocal best match — label-blocked pairing (never cartesian), "
+        "argmax elections are min-of-struct aggregates (SortAggregate — "
+        "struct-typed min), mutual check is an equi-join on the pair key",
+        _plan(entrymod.queries()["rbm_align"](spark, SF)),
+        ["BroadcastHashJoin", "SortAggregate", "SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "EMA smoothing — ONE per-user sorted window carries all k lags; "
+        "no self-join of the event log",
+        _plan(entrymod.queries()["evt_ema"](spark, SF)),
+        ["Window", "hashpartitioning(user_id", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Interval coalescing — ONE key exchange carries both "
+        "gaps-and-islands windows and the final aggregate",
+        _plan(entrymod.queries()["evt_interval_coalesce"](spark, SF)),
+        ["Window", "hashpartitioning(user_id", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Blocking quality — gold pairs from cluster-size aggregates "
+        "(never materialized); candidate pairs normalized then id-joined",
+        _plan(entrymod.queries()["er_blocking_quality"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Edge lift — pair + strength hash aggregates, two id-keyed "
+        "strength joins, 1-row total broadcast",
+        _plan(entrymod.queries()["graph_edge_lift"](spark, SF)),
+        ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

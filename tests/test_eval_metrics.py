@@ -130,3 +130,43 @@ def test_bcubed_vs_pairwise_sensitivity(spark):
     b3 = bcubed_metrics(pred, gold).collect()[0]
     pw = cluster_pair_metrics(pred, gold).collect()[0]
     assert pw["pair_precision"] < b3["bcubed_precision"] < 0.5
+
+
+def test_blocking_quality_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import blocking_quality
+
+    gold = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y")],
+        "item_id long, gold_cluster string",
+    )
+    # gold pairs: C(3,2)+C(2,2)... = 3 + 1 = 4; total = C(5,2) = 10
+    cands = spark.createDataFrame(
+        [
+            (1, 2),     # true pair
+            (2, 1),     # flipped duplicate — must not double count
+            (3, 3),     # self pair — dropped
+            (4, 5),     # true pair
+            (1, 4),     # false pair
+            (1, 99),    # endpoint outside gold universe — dropped
+        ],
+        "id_a long, id_b long",
+    )
+    r = blocking_quality(cands, gold).collect()[0]
+    assert r["n_items"] == 5 and r["total_pairs"] == 10
+    assert r["n_candidate_pairs"] == 3
+    assert r["gold_pairs"] == 4 and r["covered_gold_pairs"] == 2
+    assert r["reduction_ratio"] == 0.7
+    assert r["pairs_completeness"] == 0.5
+    assert r["pairs_quality"] == round(2 / 3, 6)
+
+
+def test_blocking_quality_perfect_blocker(spark):
+    from kgraph_spark.operators.eval_metrics import blocking_quality
+
+    gold = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "item_id long, gold_cluster string"
+    )
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = blocking_quality(cands, gold).collect()[0]
+    assert r["pairs_completeness"] == 1.0 and r["pairs_quality"] == 1.0
+    assert r["reduction_ratio"] == round(1 - 1 / 3, 6)

@@ -739,3 +739,34 @@ def test_neighborhood_sizes_path_and_cap(spark):
     # a's ball shrinks to its direct neighbor only
     capped = {r["node"]: r["n_2hop"] for r in neighborhood_sizes(e, max_node_degree=1).collect()}
     assert capped["a"] == 1
+
+
+def test_edge_lift_hand_case(spark):
+    from kgraph_spark.operators.graph_analytics import edge_lift
+
+    # triangle a-b (w2), b-c (w1), a-c (w1): W=4, 2W=8
+    # strengths: a=3, b=3, c=2
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 1)],
+        "subject_id string, object_id string, w int",
+    )
+    out = {(r["subject_id"], r["object_id"]): r["lift"]
+           for r in edge_lift(edges, weight="w").collect()}
+    assert out[("a", "b")] == round(2 * 8 / (3 * 3), 6)
+    assert out[("b", "c")] == round(1 * 8 / (3 * 2), 6)
+    assert out[("a", "c")] == round(1 * 8 / (3 * 2), 6)
+
+
+def test_edge_lift_direction_blind_and_unweighted(spark):
+    from kgraph_spark.operators.graph_analytics import edge_lift
+
+    # b->a and a->b fold to one undirected pair of weight 2; self loop drops
+    edges = spark.createDataFrame(
+        [("b", "a"), ("a", "b"), ("x", "x")],
+        "subject_id string, object_id string",
+    )
+    rows = edge_lift(edges).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["subject_id"], r["object_id"], r["weight"]) == ("a", "b", 2)
+    assert r["lift"] == round(2 * 4 / (2 * 2), 6)  # single-pair graph: 2W=4

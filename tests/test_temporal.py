@@ -350,3 +350,40 @@ def test_interarrival_stats_hand_values(spark):
     assert u1["max_gap_s"] == 30.0
     u2 = rows[2]
     assert u2["n_events"] == 1 and u2["n_gaps"] == 0 and u2["mean_gap_s"] is None
+
+
+def test_coalesce_intervals_islands_and_gap(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.temporal import coalesce_intervals
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [
+        ("a", T(0), T(10)),   # island 1
+        ("a", T(5), T(8)),    # contained — same island
+        ("a", T(10), T(15)),  # touches running max end — same island
+        ("a", T(20), T(25)),  # gap of 5 min — new island
+        ("b", T(0), T(1)),    # other key unaffected
+    ]
+    df = spark.createDataFrame(rows, "k string, valid_from timestamp, valid_to timestamp")
+    out = {(r["k"], r["valid_from"], r["valid_to"]): r["n_source_intervals"]
+           for r in coalesce_intervals(df, ["k"]).collect()}
+    assert out == {
+        ("a", T(0), T(15)): 3,
+        ("a", T(20), T(25)): 1,
+        ("b", T(0), T(1)): 1,
+    }
+    # gap tolerance of 5 min fuses the last island
+    out2 = {(r["k"], r["valid_from"], r["valid_to"]): r["n_source_intervals"]
+            for r in coalesce_intervals(df, ["k"], max_gap_micros=5 * 60 * 1_000_000).collect()}
+    assert out2 == {("a", T(0), T(25)): 4, ("b", T(0), T(1)): 1}
+
+
+def test_coalesce_intervals_validation(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.temporal import coalesce_intervals
+
+    df = spark.createDataFrame([], "k string, valid_from timestamp, valid_to timestamp")
+    with _pytest.raises(ValueError):
+        coalesce_intervals(df, [])
