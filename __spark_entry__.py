@@ -1063,6 +1063,121 @@ def q_er_blocking_quality(spark, sf_dir):
     return blocking_quality(cands, gold)
 
 
+def q_er_fs_weights(spark, sf_dir):
+    """Fellegi-Sunter agreement weights measured on the SNM window-3
+    candidate pairs: label = same brand, comparison fields = mfgr /
+    container / size agreement — m, u, and the m/u likelihood ratio per
+    field, exact smoothed-count arithmetic."""
+    from kgraph_spark.operators.dedup_text import sorted_neighborhood_pairs
+    from kgraph_spark.operators.eval_metrics import fs_agreement_weights
+
+    part = _read(spark, sf_dir, "part")
+    cands = sorted_neighborhood_pairs(
+        part, "p_name", id_col="p_partkey", window=3
+    ).select("id_a", "id_b")
+    attrs = part.select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        F.split(F.col("p_name"), " ").getItem(0).alias("p_prefix"),
+    )
+    a = attrs.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("_br_a"),
+        F.col("p_type").alias("_ty_a"),
+        F.col("p_size").alias("_sz_a"),
+        F.col("p_prefix").alias("_px_a"),
+    )
+    b = attrs.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("_br_b"),
+        F.col("p_type").alias("_ty_b"),
+        F.col("p_size").alias("_sz_b"),
+        F.col("p_prefix").alias("_px_b"),
+    )
+    pairs = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_br_a") == F.col("_br_b")).alias("is_match"),
+            (F.col("_ty_a") == F.col("_ty_b")).alias("same_type"),
+            (F.col("_sz_a") == F.col("_sz_b")).alias("same_size"),
+            (F.col("_px_a") == F.col("_px_b")).alias("same_name_prefix"),
+        )
+    )
+    return fs_agreement_weights(pairs, ["same_type", "same_size", "same_name_prefix"])
+
+
+def q_er_rank_eval(spark, sf_dir):
+    """Entity-linking ranking gate over the embeddings table: probes =
+    every 5th vector, gold = the smallest-id other vector sharing the
+    probe's label, candidates = ALL other vectors scored by integer
+    micro-cosine (cosine_fixed ×1e6) — MRR / Hits@k / mean rank with ties
+    broken to the smaller candidate id."""
+    from kgraph_spark.operators.eval_metrics import ranking_metrics
+    from kgraph_spark.operators.similarity import cosine_fixed
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        F.col("embedding").alias("_qe"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"), F.col("embedding").alias("_ce")
+    )
+    scored = cands.join(
+        F.broadcast(probes), F.col("candidate_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine_fixed(F.col("_qe"), F.col("_ce")) * 1_000_000)
+        .cast("long")
+        .alias("score"),
+    )
+    gold = (
+        emb.select(F.col("vec_id").alias("_v"), F.col("label").alias("_ql"))
+        .join(F.broadcast(probes.select("query_id", "_ql")), "_ql")
+        .filter(F.col("_v") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.min("_v").alias("gold_id"))
+    )
+    return ranking_metrics(scored, gold, ks=(1, 3, 10))
+
+
+def q_d8_merge_audit(spark, sf_dir):
+    """Post-merge single-valued-attribute audit of the D8 components
+    (customer→nation→region graph): members carry c_mktsegment — every
+    region component mixes segments, so the audit flags them all; counts
+    are the exact per-component composition."""
+    from kgraph_spark.operators.canonicalize import (
+        component_attribute_audit,
+        connected_components,
+    )
+
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    e1 = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    e2 = nation.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    mapping = connected_components(e1.union(e2).distinct())
+    attrs = cust.select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return component_attribute_audit(mapping, attrs, "segment")
+
+
 def q_evt_interval_coalesce(spark, sf_dir):
     """Gaps-and-islands episode coalescing: each event opens a 1-hour
     validity interval per (user, event_type); overlapping/touching
@@ -3585,6 +3700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_incremental_cc": q_d8_incremental_cc,
         "join_plan": q_join_plan,
         "er_blocking_quality": q_er_blocking_quality,
+        "er_fs_weights": q_er_fs_weights,
+        "er_rank_eval": q_er_rank_eval,
+        "d8_merge_audit": q_d8_merge_audit,
         "evt_ema": q_evt_ema,
         "evt_interval_coalesce": q_evt_interval_coalesce,
         "kg_conflicts": q_kg_conflicts,
@@ -5780,6 +5898,133 @@ def oracle_sql() -> dict[str, str]:
                    round(covered_gold_pairs::DOUBLE / n_candidate_pairs, 6)
                        AS pairs_quality
             FROM ca, tot
+        """,
+        "er_fs_weights": """
+            -- Fellegi-Sunter m/u per comparison field on the SNM pairs:
+            -- exact counts, add-one smoothing, cross-multiplied ratio
+            WITH r AS (
+                SELECT p_partkey AS id,
+                       row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+                FROM part
+            ), cand AS (
+                SELECT DISTINCT least(a.id, b.id) AS ia,
+                                greatest(a.id, b.id) AS ib
+                FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 2
+            ), pa AS (
+                SELECT (a.p_brand = b.p_brand) AS m,
+                       (a.p_type = b.p_type) AS f_type,
+                       (a.p_size = b.p_size) AS f_size,
+                       (split_part(a.p_name, ' ', 1)
+                        = split_part(b.p_name, ' ', 1)) AS f_prefix
+                FROM cand c JOIN part a ON c.ia = a.p_partkey
+                            JOIN part b ON c.ib = b.p_partkey
+            ), agg AS (
+                SELECT sum(CASE WHEN m THEN 1 ELSE 0 END)::BIGINT AS nm,
+                       sum(CASE WHEN m THEN 0 ELSE 1 END)::BIGINT AS nn,
+                       sum(CASE WHEN m AND f_type THEN 1 ELSE 0 END)::BIGINT AS am1,
+                       sum(CASE WHEN NOT m AND f_type THEN 1 ELSE 0 END)::BIGINT AS an1,
+                       sum(CASE WHEN m AND f_size THEN 1 ELSE 0 END)::BIGINT AS am2,
+                       sum(CASE WHEN NOT m AND f_size THEN 1 ELSE 0 END)::BIGINT AS an2,
+                       sum(CASE WHEN m AND f_prefix THEN 1 ELSE 0 END)::BIGINT AS am3,
+                       sum(CASE WHEN NOT m AND f_prefix THEN 1 ELSE 0 END)::BIGINT AS an3
+                FROM pa
+            )
+            SELECT 'same_type' AS field, nm AS n_match, nn AS n_nonmatch,
+                   am1 AS agree_match, an1 AS agree_nonmatch,
+                   round((am1 + 1) / (nm + 2), 6) AS m_prob,
+                   round((an1 + 1) / (nn + 2), 6) AS u_prob,
+                   round(((am1 + 1) * (nn + 2))::DOUBLE
+                         / ((an1 + 1) * (nm + 2))::DOUBLE, 6) AS mu_ratio
+            FROM agg
+            UNION ALL
+            SELECT 'same_size', nm, nn, am2, an2,
+                   round((am2 + 1) / (nm + 2), 6),
+                   round((an2 + 1) / (nn + 2), 6),
+                   round(((am2 + 1) * (nn + 2))::DOUBLE
+                         / ((an2 + 1) * (nm + 2))::DOUBLE, 6)
+            FROM agg
+            UNION ALL
+            SELECT 'same_name_prefix', nm, nn, am3, an3,
+                   round((am3 + 1) / (nm + 2), 6),
+                   round((an3 + 1) / (nn + 2), 6),
+                   round(((am3 + 1) * (nn + 2))::DOUBLE
+                         / ((an3 + 1) * (nm + 2))::DOUBLE, 6)
+            FROM agg
+        """,
+        "er_rank_eval": """
+            -- MRR/Hits@k on integer micro-cosines (cosine_fixed restated);
+            -- rank = 1 + better-than-gold count, ties to the smaller id;
+            -- per-query reciprocal ranks are micro-unit integer divisions
+            WITH e AS (
+                SELECT vec_id, label,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 1000000)::BIGINT) AS v
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS qid, label AS ql, v FROM e WHERE vec_id % 5 = 0
+            ), s AS (
+                SELECT q.qid, e.vec_id AS cid,
+                       round((list_sum(list_transform(list_zip(q.v, e.v),
+                                                      z -> z[1] * z[2]))::DOUBLE
+                              / (sqrt(list_sum(list_transform(q.v, x -> x * x))::DOUBLE)
+                                 * sqrt(list_sum(list_transform(e.v, x -> x * x))::DOUBLE)))
+                             * 1000000)::BIGINT AS sc
+                FROM q JOIN e ON e.vec_id != q.qid
+            ), g AS (
+                SELECT q.qid, min(e.vec_id) AS gid
+                FROM q JOIN e ON e.label = q.ql AND e.vec_id != q.qid
+                GROUP BY q.qid
+            ), gs AS (
+                SELECT s.qid, s.sc AS gsc, s.cid AS gcid
+                FROM s JOIN g ON s.qid = g.qid AND s.cid = g.gid
+            ), ranks AS (
+                SELECT s.qid,
+                       (1 + sum(CASE WHEN s.sc > gs.gsc
+                                      OR (s.sc = gs.gsc AND s.cid < gs.gcid)
+                                     THEN 1 ELSE 0 END))::BIGINT AS r
+                FROM s JOIN gs ON s.qid = gs.qid
+                GROUP BY s.qid
+            ), nq AS (SELECT count(*)::BIGINT AS n_queries FROM g)
+            SELECT n_queries,
+                   count(*)::BIGINT AS n_found,
+                   round(sum(1000000 // r)::DOUBLE / (n_queries * 1000000), 6)
+                       AS mrr,
+                   round(sum(r)::DOUBLE / count(*), 6) AS mean_rank,
+                   round(sum(CASE WHEN r <= 1 THEN 1 ELSE 0 END)::DOUBLE
+                         / n_queries, 6) AS hits_at_1,
+                   round(sum(CASE WHEN r <= 3 THEN 1 ELSE 0 END)::DOUBLE
+                         / n_queries, 6) AS hits_at_3,
+                   round(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END)::DOUBLE
+                         / n_queries, 6) AS hits_at_10
+            FROM ranks, nq GROUP BY n_queries
+        """,
+        "d8_merge_audit": """
+            -- closed-form region components + per-component segment audit
+            WITH members AS (
+                SELECT n_regionkey AS region, 'N' || n_nationkey AS id FROM nation
+                UNION ALL
+                SELECT n_regionkey AS region, 'R' || n_regionkey AS id FROM nation
+                UNION ALL
+                SELECT n_regionkey AS region, 'C' || c_custkey AS id
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), dedup AS (
+                SELECT DISTINCT region, id FROM members
+            ), winners AS (
+                SELECT region, min(id) AS component FROM dedup GROUP BY region
+            ), mapped AS (
+                SELECT d.id, w.component FROM dedup d JOIN winners w USING (region)
+            ), attrs AS (
+                SELECT 'C' || c_custkey AS id, c_mktsegment AS v FROM customer
+            )
+            SELECT m.component,
+                   count(*)::BIGINT AS n_members,
+                   count(a.v)::BIGINT AS n_with_attr,
+                   count(DISTINCT a.v)::BIGINT AS n_distinct_attr,
+                   min(a.v) AS attr_min,
+                   max(a.v) AS attr_max,
+                   count(DISTINCT a.v) > 1 AS is_conflicted
+            FROM mapped m LEFT JOIN attrs a USING (id)
+            GROUP BY m.component
         """,
         "evt_interval_coalesce": """
             -- gaps-and-islands: island opens where start > running max end

@@ -256,3 +256,45 @@ def incremental_components(mapping: DataFrame, new_edges: DataFrame) -> DataFram
     return full.join(F.broadcast(superc), "component", "left").select(
         "id", F.coalesce("supercomponent", "component").alias("component")
     )
+
+
+def component_attribute_audit(
+    mapping: DataFrame,
+    attrs: DataFrame,
+    attr_col: str,
+    id_col: str = "id",
+    comp_col: str = "component",
+    attr_id_col: str = "id",
+) -> DataFrame:
+    """Per-component single-valued-attribute audit of a SAME_AS merge: for
+    every component of the D8 mapping, how many members carry `attr_col`,
+    how many DISTINCT values they carry, and the min/max value — the
+    post-merge QA gate for attributes that must be single-valued per
+    canonical entity (entity class, taxonomy id, authority source). A
+    component whose members disagree (n_distinct_attr > 1) is either an
+    over-merge (the reference's reconcile step would have kept them apart,
+    kgraph/dedup.py:516-618) or an upstream attribute error; either way it
+    must be surfaced BEFORE tombstoning rewrites the ids (D12).
+
+    ONE broadcast-eligible join of the attribute table onto the mapping
+    (left join — members without the attribute still count in n_members)
+    and ONE component-keyed aggregate; a hot component costs its member
+    count, nothing global. NULL attribute values mean 'not asserted' and
+    never conflict. Returns (component, n_members, n_with_attr,
+    n_distinct_attr, attr_min, attr_max, is_conflicted)."""
+    a = attrs.select(
+        F.col(attr_id_col).alias("_id"), F.col(attr_col).alias("_v")
+    ).filter(F.col("_v").isNotNull())
+    return (
+        mapping.select(F.col(id_col).alias("_id"), F.col(comp_col).alias("component"))
+        .join(a, "_id", "left")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.count("_v").cast("long").alias("n_with_attr"),
+            F.countDistinct("_v").cast("long").alias("n_distinct_attr"),
+            F.min("_v").alias("attr_min"),
+            F.max("_v").alias("attr_max"),
+        )
+        .withColumn("is_conflicted", F.col("n_distinct_attr") > 1)
+    )

@@ -234,3 +234,182 @@ def blocking_quality(
             F.round(F.col("covered_gold_pairs") / F.col("n_candidate_pairs"), 6),
         ).alias("pairs_quality"),
     )
+
+
+def ranking_metrics(
+    scored: DataFrame,
+    gold: DataFrame,
+    query_col: str = "query_id",
+    cand_col: str = "candidate_id",
+    score_col: str = "score",
+    gold_col: str = "gold_id",
+    ks: tuple[int, ...] = (1, 3, 10),
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ONE-row ranking evaluation — MRR, Hits@k, mean rank — for any
+    scored candidate table against one gold answer per query: the standard
+    entity-linking / KG-link-prediction gate (how high does the TRUE KB
+    entity sit in the candidate ranking the D3/D4 scorers produced?). Run
+    it when a linking knob changes (embedding model, rerank formula,
+    candidate budget) before the new ranking feeds canonicalization.
+
+    Rank is computed WITHOUT sorting the candidate lists: rank(gold) =
+    1 + |{c : score_c > score_gold, or tied with lower candidate id}| —
+    one join to pin each query's gold score, one conditional count per
+    query, so a hot query costs its candidate count and nothing global.
+    Queries whose gold candidate is absent from `scored` (fell outside
+    the ANN budget) contribute 0 to MRR and Hits@k and are excluded from
+    mean_rank — the standard filtered convention, surfaced via n_found.
+
+    Float discipline: ties must be broken identically cross-engine, so
+    feed scores that are engine-identical doubles (cosine_fixed) or exact
+    integers. Per-query reciprocal ranks are micro-unit LONGS
+    (scale div rank — exact integer division), summed exactly; the only
+    float ops are four final divisions of exact longs."""
+    sc = scored.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).alias("_c"),
+        F.col(score_col).alias("_s"),
+    )
+    gq = gold.select(F.col(query_col).alias("_q"), F.col(gold_col).alias("_gold"))
+    gold_scored = sc.join(gq, "_q").filter(F.col("_c") == F.col("_gold")).select(
+        "_q", F.col("_s").alias("_gs"), F.col("_c").alias("_gc")
+    )
+    ranks = (
+        sc.join(gold_scored, "_q")
+        .groupBy("_q")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        (F.col("_s") > F.col("_gs"))
+                        | ((F.col("_s") == F.col("_gs")) & (F.col("_c") < F.col("_gc"))),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("_rank")
+        )
+    )
+    n_queries = gq.select("_q").distinct().count()
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("n_found"),
+        # coalesce: zero found queries must yield MRR/Hits 0.0, not NULL
+        F.coalesce(
+            F.sum(F.expr(f"CAST({scale} AS BIGINT) div _rank")), F.lit(0)
+        )
+        .cast("long")
+        .alias("_rr"),
+        F.coalesce(F.sum("_rank"), F.lit(0)).cast("long").alias("_rsum"),
+    ]
+    agg_cols += [
+        F.coalesce(F.sum(F.when(F.col("_rank") <= k, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(f"_h{k}")
+        for k in ks
+    ]
+    out = ranks.agg(*agg_cols).withColumn("n_queries", F.lit(n_queries).cast("long"))
+    sel = [
+        "n_queries",
+        "n_found",
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(F.col("_rr") / (F.col("n_queries") * F.lit(scale)), 6),
+        ).alias("mrr"),
+        F.when(
+            F.col("n_found") > 0, F.round(F.col("_rsum") / F.col("n_found"), 6)
+        ).alias("mean_rank"),
+    ]
+    sel += [
+        F.when(
+            F.col("n_queries") > 0, F.round(F.col(f"_h{k}") / F.col("n_queries"), 6)
+        ).alias(f"hits_at_{k}")
+        for k in ks
+    ]
+    return out.select(*sel)
+
+
+def fs_agreement_weights(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    label_col: str = "is_match",
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+) -> DataFrame:
+    """Fellegi-Sunter agreement statistics — one row per comparison field:
+    m = P(fields agree | pair is a match), u = P(agree | non-match), and
+    the likelihood ratio m/u whose log is the classic record-linkage match
+    weight (Fellegi & Sunter 1969). Fields with m/u ≫ 1 are the ones worth
+    scoring on; m/u ≈ 1 fields are noise regardless of how often they
+    agree. This turns a labeled pair sample into the scoring weights the
+    D4 reranker / merge-candidate scorer would use — measured from data
+    instead of hand-tuned.
+
+    Input: candidate pairs carrying boolean agreement columns and a
+    boolean match label (from gold clusters or adjudication). Pairs are
+    normalized to unordered-distinct (flipped duplicates can't double
+    count); NULL agreement values count as disagreement, NULL labels drop
+    the pair. Add-one (Laplace) smoothing keeps every ratio finite:
+    m = (agree_m + 1)/(n_match + 2), u likewise. All counts are exact
+    longs from ONE aggregate over the pair table (the per-field unpivot
+    multiplies rows by |fields| before the aggregate, map-side combined);
+    the three outputs are single divisions / one double ratio of exact
+    smoothed longs."""
+    if not agreement_cols:
+        raise ValueError("agreement_cols must be non-empty")
+    norm = (
+        pairs.filter(F.col(label_col).isNotNull())
+        .select(
+            F.least(F.col(left_col), F.col(right_col)).alias("_a"),
+            F.greatest(F.col(left_col), F.col(right_col)).alias("_b"),
+            F.col(label_col).cast("boolean").alias("_m"),
+            *[
+                F.coalesce(F.col(c).cast("boolean"), F.lit(False)).alias(f"_f_{c}")
+                for c in agreement_cols
+            ],
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .dropDuplicates(["_a", "_b"])
+    )
+    unpivoted = norm.select(
+        "_m",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("field"), F.col(f"_f_{c}").alias("agree")
+                    )
+                    for c in agreement_cols
+                ]
+            )
+        ).alias("_e"),
+    ).select("_m", F.col("_e.field").alias("field"), F.col("_e.agree").alias("_agree"))
+    counts = unpivoted.groupBy("field").agg(
+        F.sum(F.when(F.col("_m"), 1).otherwise(0)).cast("long").alias("n_match"),
+        F.sum(F.when(~F.col("_m"), 1).otherwise(0)).cast("long").alias("n_nonmatch"),
+        F.sum(F.when(F.col("_m") & F.col("_agree"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree_match"),
+        F.sum(F.when(~F.col("_m") & F.col("_agree"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree_nonmatch"),
+    )
+    m = (F.col("agree_match") + 1) / (F.col("n_match") + 2)
+    u = (F.col("agree_nonmatch") + 1) / (F.col("n_nonmatch") + 2)
+    # ratio of the exact smoothed rationals, cross-multiplied in longs so
+    # the ONE double division is of exactly-representable integers
+    ratio = ((F.col("agree_match") + 1) * (F.col("n_nonmatch") + 2)).cast(
+        "double"
+    ) / ((F.col("agree_nonmatch") + 1) * (F.col("n_match") + 2)).cast("double")
+    return counts.select(
+        "field",
+        "n_match",
+        "n_nonmatch",
+        "agree_match",
+        "agree_nonmatch",
+        F.round(m, 6).alias("m_prob"),
+        F.round(u, 6).alias("u_prob"),
+        F.round(ratio, 6).alias("mu_ratio"),
+    )

@@ -1161,6 +1161,29 @@ def main() -> None:
         ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Ranking eval (MRR/Hits@k) — probes broadcast (items never "
+        "shuffle for scoring), rank = per-query conditional count, no "
+        "candidate-list sort",
+        _plan(entrymod.queries()["er_rank_eval"](spark, SF)),
+        ["BroadcastNestedLoopJoin", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Fellegi-Sunter weights — pair normalization + ONE unpivoted "
+        "aggregate with map-side partials; attrs attach by id equi-join",
+        _plan(entrymod.queries()["er_fs_weights"](spark, SF)),
+        ["Generate", "partial_sum", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Merge-attribute audit — ONE broadcast left join of attrs onto "
+        "the mapping + ONE component-keyed aggregate (partial/final "
+        "SortAggregate: string min/max + the countDistinct rewrite)",
+        _plan(entrymod.queries()["d8_merge_audit"](spark, SF)),
+        ["BroadcastHashJoin LeftOuter", "SortAggregate", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -170,3 +170,84 @@ def test_blocking_quality_perfect_blocker(spark):
     r = blocking_quality(cands, gold).collect()[0]
     assert r["pairs_completeness"] == 1.0 and r["pairs_quality"] == 1.0
     assert r["reduction_ratio"] == round(1 - 1 / 3, 6)
+
+
+def test_ranking_metrics_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import ranking_metrics
+
+    # q1: gold c3 outranked by nothing → rank 1
+    # q2: gold c1 beaten by c2 (higher) and tied-with-lower-id c0 → rank 3
+    # q3: gold c9 absent from scored → contributes 0, excluded from mean
+    scored = spark.createDataFrame(
+        [
+            (1, 3, 90), (1, 4, 50),
+            (2, 1, 70), (2, 2, 80), (2, 0, 70), (2, 5, 10),
+            (3, 7, 99),
+        ],
+        "query_id long, candidate_id long, score long",
+    )
+    gold = spark.createDataFrame(
+        [(1, 3), (2, 1), (3, 9)], "query_id long, gold_id long"
+    )
+    r = ranking_metrics(scored, gold, ks=(1, 3)).collect()[0]
+    assert r["n_queries"] == 3 and r["n_found"] == 2
+    assert r["mrr"] == round((1_000_000 + 1_000_000 // 3) / 3_000_000, 6)
+    assert r["mean_rank"] == 2.0          # (1 + 3) / 2 found
+    assert r["hits_at_1"] == round(1 / 3, 6)
+    assert r["hits_at_3"] == round(2 / 3, 6)
+
+
+def test_ranking_metrics_no_gold_found(spark):
+    from kgraph_spark.operators.eval_metrics import ranking_metrics
+
+    scored = spark.createDataFrame(
+        [(1, 2, 10)], "query_id long, candidate_id long, score long"
+    )
+    gold = spark.createDataFrame([(1, 99)], "query_id long, gold_id long")
+    r = ranking_metrics(scored, gold, ks=(1,)).collect()[0]
+    assert r["n_queries"] == 1 and r["n_found"] == 0
+    assert r["mrr"] == 0.0 and r["hits_at_1"] == 0.0
+    assert r["mean_rank"] is None
+
+
+def test_fs_agreement_weights_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import fs_agreement_weights
+
+    # 2 matches, 2 non-matches after normalization: (1,2) duplicated
+    # flipped (must count once), (3,3) self-pair dropped, NULL label dropped
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, True, True, False),
+            (2, 1, True, True, False),   # flipped dup of (1,2)
+            (3, 4, True, False, None),   # NULL agreement = disagree
+            (5, 6, False, True, True),
+            (7, 8, False, False, False),
+            (3, 3, True, True, True),    # self pair dropped
+            (9, 10, None, True, True),   # NULL label dropped
+        ],
+        "id_a long, id_b long, is_match boolean, f1 boolean, f2 boolean",
+    )
+    rows = {r["field"]: r for r in fs_agreement_weights(pairs, ["f1", "f2"]).collect()}
+    assert set(rows) == {"f1", "f2"}
+    f1 = rows["f1"]
+    assert f1["n_match"] == 2 and f1["n_nonmatch"] == 2
+    # matches: (1,2) agrees, (3,4) disagrees; non-matches: (5,6) agrees
+    assert f1["agree_match"] == 1 and f1["agree_nonmatch"] == 1
+    assert f1["m_prob"] == 0.5             # (1+1)/(2+2)
+    assert f1["u_prob"] == 0.5             # (1+1)/(2+2)
+    assert f1["mu_ratio"] == 1.0           # (2·4)/(2·4)
+    f2 = rows["f2"]
+    assert f2["agree_match"] == 0 and f2["agree_nonmatch"] == 1
+    assert f2["m_prob"] == 0.25 and f2["mu_ratio"] == 0.5
+
+
+def test_fs_agreement_weights_validation(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.eval_metrics import fs_agreement_weights
+
+    pairs = spark.createDataFrame(
+        [(1, 2, True, True)], "id_a long, id_b long, is_match boolean, f boolean"
+    )
+    with _pytest.raises(ValueError):
+        fs_agreement_weights(pairs, [])

@@ -843,3 +843,26 @@ def test_conflicting_triples_empty_dictionary_rejected(spark):
     t = spark.createDataFrame([("a", "P", "b")], "subject_id string, predicate string, object_id string")
     with _pytest.raises(ValueError):
         conflicting_triples(t, [])
+
+
+def test_component_attribute_audit_hand_case(spark):
+    from kgraph_spark.operators.canonicalize import component_attribute_audit
+
+    mapping = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c1"), ("d", "c2"), ("e", "c2")],
+        "id string, component string",
+    )
+    # c1: two members agree on X, one has no attribute → not conflicted;
+    # c2: members disagree (X vs Y) → conflicted; NULL attr never conflicts
+    attrs = spark.createDataFrame(
+        [("a", "X"), ("b", "X"), ("c", None), ("d", "X"), ("e", "Y")],
+        "id string, cls string",
+    )
+    rows = {r["component"]: r for r in
+            component_attribute_audit(mapping, attrs, "cls").collect()}
+    c1, c2 = rows["c1"], rows["c2"]
+    assert c1["n_members"] == 3 and c1["n_with_attr"] == 2
+    assert c1["n_distinct_attr"] == 1 and not c1["is_conflicted"]
+    assert c1["attr_min"] == "X" and c1["attr_max"] == "X"
+    assert c2["n_distinct_attr"] == 2 and c2["is_conflicted"]
+    assert c2["attr_min"] == "X" and c2["attr_max"] == "Y"
