@@ -1194,6 +1194,80 @@ def q_evt_interval_coalesce(spark, sf_dir):
     return coalesce_intervals(ev, ["user_id", "event_type"])
 
 
+def q_kg_rule_confidence(spark, sf_dir):
+    """AMIE-lite rule confidence over the lineitem KG: every
+    p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) composition scored by closed-world
+    confidence — distinct body pairs, one (x,z) head join, degree-capped
+    path join (the kg_pred_compose recall contract)."""
+    from kgraph_spark.operators.relationships import rule_confidence
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = (
+        li.select(o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id"))
+        .union(li.select(o.alias("subject_id"), F.lit("supplied_by").alias("predicate"), s.alias("object_id")))
+        .union(li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id")))
+    )
+    return rule_confidence(t, max_node_degree=1000)
+
+
+def q_evt_temporal_conflicts(spark, sf_dir):
+    """Functional-predicate temporal contradictions: each event asserts
+    'user's activity = event_type' valid [ts, ts+30min); overlapping
+    different-value assertions for the same user are the conflicts a
+    point-in-time query would trip over — exact integer-µs half-open
+    overlap test on ONE user-keyed self-join."""
+    from kgraph_spark.operators.temporal import interval_conflicts
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("activity"),
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("valid_to"),
+    )
+    return interval_conflicts(ev, ["user_id"], "activity")
+
+
+def q_lang_pr_sweep(spark, sf_dir):
+    """Threshold sweep for the lang-ID marker gate: predict 'English'
+    when n_en >= t for t = 1..5, scored against the documents table's
+    true lang column — the P/R/F1 curve that picks the gate, exact
+    integer confusion counts."""
+    from kgraph_spark.operators.eval_metrics import pr_threshold_sweep
+    from kgraph_spark.operators.text_analysis import language_id_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = (
+        language_id_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            F.col("n_en").cast("long").alias("score"),
+            (F.col("lang") == "en").alias("label"),
+        )
+    )
+    return pr_threshold_sweep(
+        scored, [1, 2, 3, 4, 5], score_col="score", label_col="label"
+    ).withColumn("threshold", F.col("threshold").cast("long"))
+
+
+def q_lang_kappa(spark, sf_dir):
+    """Cohen's kappa between the lang-ID heuristic's guess and the true
+    lang column — chance-corrected agreement via the exact-long identity
+    kappa = (agree·n − Σ nₐ·n_b)/(n² − Σ nₐ·n_b), one division."""
+    from kgraph_spark.operators.eval_metrics import cohens_kappa
+    from kgraph_spark.operators.text_analysis import language_id_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    labels = (
+        language_id_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(F.col("lang").alias("label_a"), F.col("lang_guess").alias("label_b"))
+    )
+    return cohens_kappa(labels)
+
+
 def q_evt_ema(spark, sf_dir):
     """Per-user truncated EMA (k=8 half-life lags) over the event stream:
     the recursion-free window form, exact integer micro-unit arithmetic
@@ -3705,6 +3779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_merge_audit": q_d8_merge_audit,
         "evt_ema": q_evt_ema,
         "evt_interval_coalesce": q_evt_interval_coalesce,
+        "evt_temporal_conflicts": q_evt_temporal_conflicts,
+        "kg_rule_confidence": q_kg_rule_confidence,
+        "lang_pr_sweep": q_lang_pr_sweep,
+        "lang_kappa": q_lang_kappa,
         "kg_conflicts": q_kg_conflicts,
         "rbm_align": q_rbm_align,
         "snm_candidates": q_snm_candidates,
@@ -6057,6 +6135,126 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, min(s) AS valid_from,
                    max(e) AS valid_to, count(*)::BIGINT AS n_source_intervals
             FROM islands GROUP BY user_id, event_type, isl
+        """,
+        "evt_temporal_conflicts": """
+            -- half-open overlap, value_a < value_b orders each conflict once
+            WITH iv AS (
+                SELECT user_id, event_type AS v, ts AS s,
+                       ts + INTERVAL 30 MINUTE AS e
+                FROM events
+            )
+            SELECT DISTINCT a.user_id, a.v AS value_a, b.v AS value_b,
+                   greatest(a.s, b.s) AS overlap_from,
+                   least(a.e, b.e) AS overlap_to
+            FROM iv a JOIN iv b ON a.user_id = b.user_id
+            WHERE a.v < b.v AND a.s < b.e AND b.s < a.e
+        """,
+        "kg_rule_confidence": """
+            -- AMIE-lite: distinct body pairs, (x,z) head join, degree cap
+            WITH t AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey::VARCHAR AS s, 'contains' AS p,
+                           'P' || l_partkey::VARCHAR AS o FROM lineitem
+                    UNION ALL
+                    SELECT 'O' || l_orderkey::VARCHAR, 'supplied_by',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                    UNION ALL
+                    SELECT 'P' || l_partkey::VARCHAR, 'from',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                )
+            ), outd AS (
+                SELECT s AS n, count(*) AS d FROM t GROUP BY 1
+            ), ind AS (
+                SELECT o AS n, count(*) AS d FROM t GROUP BY 1
+            ), ok AS (
+                SELECT outd.n FROM outd JOIN ind USING (n)
+                WHERE outd.d <= 1000 AND ind.d <= 1000
+            ), lft AS (
+                SELECT * FROM t WHERE o IN (SELECT n FROM ok)
+            ), rgt AS (
+                SELECT * FROM t WHERE s IN (SELECT n FROM ok)
+            ), bodies AS (
+                SELECT DISTINCT a.s AS x, b.o AS z, a.p AS p1, b.p AS p2
+                FROM lft a JOIN rgt b ON a.o = b.s
+            ), closed AS (
+                SELECT bd.p1, bd.p2, h.p AS p3, count(*)::BIGINT AS support
+                FROM bodies bd JOIN t h ON bd.x = h.s AND bd.z = h.o
+                GROUP BY 1, 2, 3
+            ), bc AS (
+                SELECT p1, p2, count(*)::BIGINT AS body_support
+                FROM bodies GROUP BY 1, 2
+            )
+            SELECT c.p1, c.p2, c.p3, bc.body_support, c.support,
+                   round(c.support::DOUBLE / bc.body_support, 6) AS confidence
+            FROM closed c JOIN bc USING (p1, p2)
+        """,
+        "lang_pr_sweep": """
+            -- predict 'en' when n_en >= t; exact confusion counts,
+            -- harmonic-identity F1 (ONE division)
+            WITH f AS (
+                SELECT len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('the', 'and', 'of')))::BIGINT AS score,
+                       (lang = 'en') AS label
+                FROM documents
+            ), cells AS (
+                SELECT t.threshold, (f.score >= t.threshold) AS pos, f.label
+                FROM f, (VALUES (1), (2), (3), (4), (5)) AS t(threshold)
+            ), agg AS (
+                SELECT threshold::BIGINT AS threshold,
+                       sum(CASE WHEN pos AND label THEN 1 ELSE 0 END)::BIGINT AS tp,
+                       sum(CASE WHEN pos AND NOT label THEN 1 ELSE 0 END)::BIGINT AS fp,
+                       sum(CASE WHEN NOT pos AND label THEN 1 ELSE 0 END)::BIGINT AS fn,
+                       sum(CASE WHEN NOT pos AND NOT label THEN 1 ELSE 0 END)::BIGINT AS tn
+                FROM cells GROUP BY 1
+            )
+            SELECT threshold, tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp::DOUBLE / (tp + fp), 6) END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp::DOUBLE / (tp + fn), 6) END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0
+                        THEN round((2 * tp)::DOUBLE / (2 * tp + fp + fn), 6)
+                   END AS f1
+            FROM agg
+        """,
+        "lang_kappa": """
+            -- kappa = (agree·n − Σ na·nb)/(n² − Σ na·nb): exact longs,
+            -- one division (lang-ID guess restated from lang_id_heuristic)
+            WITH f AS (
+                SELECT lang AS a,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('the', 'and', 'of')))::BIGINT AS n_en,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('der', 'und', 'das')))::BIGINT AS n_de,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('el', 'los', 'que')))::BIGINT AS n_es
+                FROM documents
+            ), g AS (
+                SELECT a,
+                       CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 THEN 'und'
+                            WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+                            WHEN n_de >= n_es THEN 'de'
+                            ELSE 'es' END AS b
+                FROM f
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT AS n_agree
+                FROM g
+            ), na AS (
+                SELECT a AS k, count(*)::BIGINT AS c FROM g GROUP BY 1
+            ), nb AS (
+                SELECT b AS k, count(*)::BIGINT AS c FROM g GROUP BY 1
+            ), sm AS (
+                SELECT coalesce(sum(na.c * nb.c), 0)::BIGINT AS s
+                FROM na JOIN nb USING (k)
+            )
+            SELECT n, n_agree,
+                   CASE WHEN n > 0 THEN round(n_agree::DOUBLE / n, 6) END AS po,
+                   CASE WHEN n > 0 THEN round(s::DOUBLE / (n * n), 6) END AS pe,
+                   CASE WHEN n * n - s > 0
+                        THEN round((n_agree * n - s)::DOUBLE / (n * n - s), 6)
+                   END AS kappa
+            FROM tot, sm
         """,
         "evt_ema": """
             -- k=8 truncated EMA: power-of-two weights, exact long

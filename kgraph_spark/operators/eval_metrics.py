@@ -413,3 +413,131 @@ def fs_agreement_weights(
         F.round(u, 6).alias("u_prob"),
         F.round(ratio, 6).alias("mu_ratio"),
     )
+
+
+def pr_threshold_sweep(
+    scored: DataFrame,
+    thresholds: list,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Precision/recall/F1 at each candidate decision threshold — the
+    curve a curation pipeline reads before freezing a classifier gate
+    (quality filter, language gate, dedup verdict): one row per
+    threshold with the full confusion matrix. Predict positive when
+    score >= threshold; rows with NULL labels are dropped, NULL scores
+    never predict positive.
+
+    ONE pass over the scored table: each row is exploded into
+    |thresholds| (threshold, outcome) cells (thresholds are literals —
+    tens, not thousands), aggregated with map-side partial combine on
+    the tiny threshold key. Counts are exact longs; F1 uses the
+    harmonic identity 2·tp / (2·tp + fp + fn) — ONE division, no
+    compounding of rounded P and R. Feed binary-exact thresholds
+    (k/2^m) or integer scores so the >= comparison is engine-exact."""
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    base = scored.filter(F.col(label_col).isNotNull()).select(
+        F.col(score_col).alias("_sc"), F.col(label_col).cast("boolean").alias("_y")
+    )
+    cells = base.select(
+        "_sc",
+        "_y",
+        F.explode(F.array(*[F.lit(t) for t in thresholds])).alias("threshold"),
+    ).withColumn("_pos", F.col("_sc").isNotNull() & (F.col("_sc") >= F.col("threshold")))
+    agg = cells.groupBy("threshold").agg(
+        F.sum(F.when(F.col("_pos") & F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("_pos") & ~F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("_pos") & F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("_pos") & ~F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+        F.when(
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+            F.round(
+                (2 * F.col("tp")) / (2 * F.col("tp") + F.col("fp") + F.col("fn")), 6
+            ),
+        ).alias("f1"),
+    )
+
+
+def cohens_kappa(
+    labels: DataFrame,
+    a_col: str = "label_a",
+    b_col: str = "label_b",
+) -> DataFrame:
+    """ONE-row Cohen's kappa — inter-annotator (or
+    annotator-vs-heuristic) agreement corrected for chance: po =
+    observed agreement rate, pe = Σ_k P_a(k)·P_b(k) the agreement two
+    independent annotators with these marginals would produce, kappa =
+    (po − pe)/(1 − pe). The labeling-QA gate for weak-supervision
+    pipelines: raw agreement flatters labelers on skewed data; kappa
+    doesn't.
+
+    Exact arithmetic throughout: with S = Σ_k n_a(k)·n_b(k),
+    kappa = (agree·n − S)/(n² − S) — numerator and denominator are
+    EXACT longs (contract: n < ~3·10⁹ keeps n² inside int64; past that,
+    sample — kappa is a statistic, not an aggregate that must see every
+    row), so the single division is engine-identical. Marginal counts
+    come from two tiny per-category aggregates joined on category
+    (categories absent from one side contribute 0 to S via the inner
+    join). Rows with a NULL on either side are dropped."""
+    base = labels.select(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    na = base.groupBy(F.col("_a").alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_na")
+    )
+    nb = base.groupBy(F.col("_b").alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nb")
+    )
+    s = na.join(nb, "_k").agg(
+        F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0))
+        .cast("long")
+        .alias("_s")
+    )
+    out = tot.crossJoin(F.broadcast(s))
+    return out.select(
+        "n",
+        "n_agree",
+        F.when(F.col("n") > 0, F.round(F.col("n_agree") / F.col("n"), 6)).alias("po"),
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("_s") / (F.col("n") * F.col("n")), 6),
+        ).alias("pe"),
+        F.when(
+            (F.col("n") * F.col("n") - F.col("_s")) > 0,
+            F.round(
+                (F.col("n_agree") * F.col("n") - F.col("_s"))
+                / (F.col("n") * F.col("n") - F.col("_s")),
+                6,
+            ),
+        ).alias("kappa"),
+    )

@@ -662,6 +662,80 @@ def predicate_composition(
     )
 
 
+def rule_confidence(
+    triples: DataFrame,
+    max_node_degree: int | None = 1000,
+    subj_col: str = "subject_id",
+    pred_col: str = "predicate",
+    obj_col: str = "object_id",
+) -> DataFrame:
+    """AMIE-lite composition-rule mining: for every predicate triple
+    (p1, p2, p3) score the Horn rule  p1(x,y) ∧ p2(y,z) ⇒ p3(x,z)  —
+    body_support = #distinct (x,z) pairs connected by a p1∘p2 path,
+    support = those pairs that ALSO carry a direct p3 edge, confidence =
+    support / body_support (standard closed-world confidence, Galárraga
+    et al. 2013). High-confidence rules are the KG-completion candidates
+    (assert the missing p3 edges) and the redundancy detectors (a p3
+    edge implied at ~1.0 confidence adds no information to the graph).
+
+    Execution: the path join reuses predicate_composition's shape — mid
+    node key, in/out degree cap BEFORE the join (documented recall
+    contract) — then body pairs are deduped to distinct (x, z, p1, p2)
+    so path multiplicity can't inflate support, and heads attach by ONE
+    (x, z)-keyed join of the distinct triple set. Exact longs; one
+    round-6 division per rule."""
+    t = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("_p"),
+        F.col(obj_col).alias("_o"),
+    ).distinct()
+    if max_node_degree is not None:
+        outd = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_d"))
+        ind = t.groupBy("_o").agg(F.count(F.lit(1)).alias("_d"))
+        ok = (
+            outd.filter(F.col("_d") <= max_node_degree)
+            .select(F.col("_s").alias("_n"))
+            .join(
+                ind.filter(F.col("_d") <= max_node_degree).select(
+                    F.col("_o").alias("_n")
+                ),
+                "_n",
+            )
+        )
+        left = t.join(ok.withColumnRenamed("_n", "_o"), "_o", "left_semi")
+        right = t.join(ok.withColumnRenamed("_n", "_s"), "_s", "left_semi")
+    else:
+        left, right = t, t
+    bodies = (
+        left.alias("a")
+        .join(right.alias("b"), F.col("a._o") == F.col("b._s"))
+        .select(
+            F.col("a._s").alias("_x"),
+            F.col("b._o").alias("_z"),
+            F.col("a._p").alias("p1"),
+            F.col("b._p").alias("p2"),
+        )
+        .distinct()
+    )
+    heads = t.select(
+        F.col("_s").alias("_x"), F.col("_o").alias("_z"), F.col("_p").alias("p3")
+    )
+    closed = bodies.join(heads, ["_x", "_z"]).groupBy("p1", "p2", "p3").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    body_counts = bodies.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("body_support")
+    )
+    return closed.join(body_counts, ["p1", "p2"]).select(
+        "p1",
+        "p2",
+        "p3",
+        "body_support",
+        "support",
+        F.round(F.col("support") / F.col("body_support"), 6).alias("confidence"),
+    )
+
+
 def conflicting_triples(
     triples: DataFrame,
     conflict_pairs: list[tuple[str, str]],

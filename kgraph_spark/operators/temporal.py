@@ -532,3 +532,68 @@ def coalesce_intervals(
         )
         .drop("_island")
     )
+
+
+def interval_conflicts(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+) -> DataFrame:
+    """Functional-predicate temporal contradiction detection: pairs of
+    assertions with the same key (e.g. (subject, predicate) of a
+    single-valued fact), DIFFERENT values, and OVERLAPPING validity
+    intervals — the temporal-KG analogue of conflicting_triples: a
+    point-in-time query inside the overlap would return two answers for
+    a fact that must have one. Run it after accumulating per-document
+    validity windows and before promoting the temporal KG; the fix is
+    either interval truncation (latest assertion wins inside the
+    overlap) or routing to reconciliation.
+
+    ONE key exchange: the self-join is keyed on `key_cols`, pairs are
+    ordered value_a < value_b (each conflict reported once), overlap
+    test is half-open exact integer microseconds (s_a < e_b AND s_b <
+    e_a — touching intervals do NOT conflict). A hot key costs its
+    own assertion count squared — cap upstream (coalesce_intervals
+    first collapses same-value runs, usually the bulk) — and nothing
+    global. Returns key_cols + (value_a, value_b, overlap_from,
+    overlap_to)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    s_us = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_us = F.unix_micros(F.col(end_col).cast("timestamp"))
+    base = df.select(
+        *key_cols,
+        F.col(value_col).alias("_v"),
+        s_us.alias("_s"),
+        e_us.alias("_e"),
+    )
+    a = base.select(
+        *key_cols,
+        F.col("_v").alias("value_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_e").alias("_ea"),
+    )
+    b = base.select(
+        *key_cols,
+        F.col("_v").alias("value_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_e").alias("_eb"),
+    )
+    return (
+        a.join(b, key_cols)
+        .filter(
+            (F.col("value_a") < F.col("value_b"))
+            & (F.col("_sa") < F.col("_eb"))
+            & (F.col("_sb") < F.col("_ea"))
+        )
+        .select(
+            *key_cols,
+            "value_a",
+            "value_b",
+            F.timestamp_micros(F.greatest("_sa", "_sb")).alias("overlap_from"),
+            F.timestamp_micros(F.least("_ea", "_eb")).alias("overlap_to"),
+        )
+        .distinct()
+    )

@@ -1184,6 +1184,37 @@ def main() -> None:
         ["BroadcastHashJoin LeftOuter", "SortAggregate", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Rule confidence — degree-capped mid-node path join, distinct "
+        "body pairs, (x,z)-keyed head join; no cartesian anywhere",
+        _plan(entrymod.queries()["kg_rule_confidence"](spark, SF)),
+        ["HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Temporal conflicts — the self-join is keyed on the entity key "
+        "(equi hash join — broadcast at this SF, sort-merge at scale; "
+        "never nested-loop over the corpus); overlap filter runs "
+        "post-join on integer microseconds",
+        _plan(entrymod.queries()["evt_temporal_conflicts"](spark, SF)),
+        ["HashJoin", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
+    sections.append((
+        "PR threshold sweep — ONE scan exploded by |thresholds| literals, "
+        "partial+final aggregate on the tiny threshold key",
+        _plan(entrymod.queries()["lang_pr_sweep"](spark, SF)),
+        ["Generate", "partial_sum", "HashAggregate", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Cohen's kappa — two tiny per-category aggregates joined on "
+        "category + ONE global aggregate; the only wide row is the 1-row "
+        "broadcast of S",
+        _plan(entrymod.queries()["lang_kappa"](spark, SF)),
+        ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -251,3 +251,63 @@ def test_fs_agreement_weights_validation(spark):
     )
     with _pytest.raises(ValueError):
         fs_agreement_weights(pairs, [])
+
+
+def test_pr_threshold_sweep_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import pr_threshold_sweep
+
+    scored = spark.createDataFrame(
+        [
+            (5, True), (3, True), (1, False), (4, False),
+            (None, True),          # NULL score never predicts positive
+            (9, None),             # NULL label dropped
+        ],
+        "score long, label boolean",
+    )
+    rows = {r["threshold"]: r for r in
+            pr_threshold_sweep(scored, [2, 4]).collect()}
+    t2 = rows[2]   # pos: 5T,3T,4F → tp=2 fp=1 fn=1(null-score T) tn=1
+    assert (t2["tp"], t2["fp"], t2["fn"], t2["tn"]) == (2, 1, 1, 1)
+    assert t2["precision"] == round(2 / 3, 6)
+    assert t2["recall"] == round(2 / 3, 6)
+    assert t2["f1"] == round(4 / 6, 6)
+    t4 = rows[4]   # pos: 5T,4F → tp=1 fp=1 fn=2 tn=1
+    assert (t4["tp"], t4["fp"], t4["fn"], t4["tn"]) == (1, 1, 2, 1)
+    assert t4["recall"] == round(1 / 3, 6)
+
+
+def test_pr_threshold_sweep_validation(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.eval_metrics import pr_threshold_sweep
+
+    df = spark.createDataFrame([(1, True)], "score long, label boolean")
+    with _pytest.raises(ValueError):
+        pr_threshold_sweep(df, [])
+
+
+def test_cohens_kappa_chance_and_perfect(spark):
+    from kgraph_spark.operators.eval_metrics import cohens_kappa
+
+    # balanced marginals, half agreement → kappa exactly 0 (pure chance)
+    chance = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")],
+        "label_a string, label_b string",
+    )
+    r = cohens_kappa(chance).collect()[0]
+    assert r["n"] == 4 and r["n_agree"] == 2
+    assert r["po"] == 0.5 and r["pe"] == 0.5 and r["kappa"] == 0.0
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z"), (None, "x")],
+        "label_a string, label_b string",
+    )
+    p = cohens_kappa(perfect).collect()[0]
+    assert p["n"] == 3 and p["kappa"] == 1.0
+
+    # degenerate: single shared category → pe = 1, kappa undefined (NULL)
+    deg = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "label_a string, label_b string"
+    )
+    d = cohens_kappa(deg).collect()[0]
+    assert d["pe"] == 1.0 and d["kappa"] is None

@@ -866,3 +866,39 @@ def test_component_attribute_audit_hand_case(spark):
     assert c1["attr_min"] == "X" and c1["attr_max"] == "X"
     assert c2["n_distinct_attr"] == 2 and c2["is_conflicted"]
     assert c2["attr_min"] == "X" and c2["attr_max"] == "Y"
+
+
+def test_rule_confidence_hand_case(spark):
+    from kgraph_spark.operators.relationships import rule_confidence
+
+    # body p∘q pairs: (a,c) via b, (a,d) via b — head r closes only (a,c);
+    # duplicate path (a,b) asserted twice must not inflate body_support
+    triples = spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("a", "p", "b"),
+            ("b", "q", "c"), ("b", "q", "d"),
+            ("a", "r", "c"),
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    rows = {(r["p1"], r["p2"], r["p3"]): r
+            for r in rule_confidence(triples).collect()}
+    # p∘q ⇒ r: bodies {(a,c),(a,d)}, closed {(a,c)} → 1/2
+    r1 = rows[("p", "q", "r")]
+    assert r1["body_support"] == 2 and r1["support"] == 1
+    assert r1["confidence"] == 0.5
+    # p∘r ⇒ nothing (c has no in-edge head)... p∘r bodies: a-p->b? r starts
+    # at a, not b — the only other composition is r∘nothing; p∘q is it.
+    assert set(rows) == {("p", "q", "r")}
+
+
+def test_rule_confidence_degree_cap(spark):
+    from kgraph_spark.operators.relationships import rule_confidence
+
+    # hub mid node b exceeds the cap → no bodies survive
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("b", "q", "d"), ("a", "r", "c")],
+        "subject_id string, predicate string, object_id string",
+    )
+    assert rule_confidence(triples, max_node_degree=1).count() == 0
+    assert rule_confidence(triples, max_node_degree=None).count() == 1

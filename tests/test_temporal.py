@@ -6,6 +6,8 @@ from datetime import datetime
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from kgraph_spark.operators.temporal import asof_join, range_join
 
 
@@ -387,3 +389,51 @@ def test_coalesce_intervals_validation(spark):
     df = spark.createDataFrame([], "k string, valid_from timestamp, valid_to timestamp")
     with _pytest.raises(ValueError):
         coalesce_intervals(df, [])
+
+
+def test_interval_conflicts_hand_case(spark):
+    from kgraph_spark.operators.temporal import interval_conflicts
+
+    rows = [
+        # u1: A [0,10) vs B [5,15) overlap [5,10) — conflict
+        ("u1", "A", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+        ("u1", "B", "2024-01-01 00:00:05", "2024-01-01 00:00:15"),
+        # u1: C [10,20) touches A's end — NOT a conflict (half-open)
+        ("u1", "C", "2024-01-01 00:00:10", "2024-01-01 00:00:20"),
+        # u2 same window as u1's A but different key — no cross-key pairs
+        ("u2", "B", "2024-01-01 00:00:00", "2024-01-01 00:00:10"),
+        # u1: same value overlapping — never conflicts with itself
+        ("u1", "A", "2024-01-01 00:00:02", "2024-01-01 00:00:12"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, v string, valid_from string, valid_to string"
+    ).select(
+        "user_id",
+        "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    out = interval_conflicts(df, ["user_id"], "v").collect()
+    got = {(r["user_id"], r["value_a"], r["value_b"],
+            str(r["overlap_from"]), str(r["overlap_to"])) for r in out}
+    assert ("u1", "A", "B", "2024-01-01 00:00:05", "2024-01-01 00:00:10") in got
+    # second A copy [2,12) also overlaps B [5,15) → [5,12)
+    assert ("u1", "A", "B", "2024-01-01 00:00:05", "2024-01-01 00:00:12") in got
+    # A[2,12) overlaps C[10,20) → [10,12)
+    assert ("u1", "A", "C", "2024-01-01 00:00:10", "2024-01-01 00:00:12") in got
+    # B[5,15) overlaps C[10,20) → [10,15)
+    assert ("u1", "B", "C", "2024-01-01 00:00:10", "2024-01-01 00:00:15") in got
+    assert len(got) == 4
+
+
+def test_interval_conflicts_validation(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.temporal import interval_conflicts
+
+    df = spark.createDataFrame(
+        [("u", "A", "2024-01-01 00:00:00", "2024-01-01 00:00:10")],
+        "user_id string, v string, valid_from string, valid_to string",
+    )
+    with _pytest.raises(ValueError):
+        interval_conflicts(df, [], "v")
