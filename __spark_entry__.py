@@ -1150,6 +1150,58 @@ def q_er_rank_eval(spark, sf_dir):
     return ranking_metrics(scored, gold, ks=(1, 3, 10))
 
 
+def q_er_ndcg(spark, sf_dir):
+    """Graded linking quality — mean nDCG@10 over the embedding probes:
+    relevance = 2 (same label) / 1 (adjacent label) / 0, candidates
+    scored by integer micro-cosine; discounts are shared integer-micro
+    literals so no engine evaluates a log."""
+    from kgraph_spark.operators.eval_metrics import ndcg_at_k
+    from kgraph_spark.operators.similarity import cosine_fixed
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("_ql"),
+        F.col("embedding").alias("_qe"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("candidate_id"),
+        F.col("label").alias("_cl"),
+        F.col("embedding").alias("_ce"),
+    )
+    scored = cands.join(
+        F.broadcast(probes), F.col("candidate_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "candidate_id",
+        F.round(cosine_fixed(F.col("_qe"), F.col("_ce")) * 1_000_000)
+        .cast("long")
+        .alias("score"),
+        F.greatest(
+            F.lit(0), F.lit(2) - F.abs(F.col("_ql") - F.col("_cl"))
+        ).alias("relevance"),
+    )
+    return ndcg_at_k(scored, k=10)
+
+
+def q_kmv_vocab_overlap(spark, sf_dir):
+    """KMV k=256 sketch of the word-bigram Jaccard between the English
+    and German document slices — corpus-overlap planning without joining
+    the full shingle sets; md5-string order is the cross-engine
+    contract."""
+    from kgraph_spark.operators.dedup_text import shingles
+    from kgraph_spark.operators.sketches import kmv_jaccard
+
+    docs = _read(spark, sf_dir, "documents")
+
+    def grams(lang):
+        return shingles(docs.filter(F.col("lang") == lang), k=2, dedupe=False)
+
+    return kmv_jaccard(grams("en"), grams("de"), "shingle", k=256)
+
+
 def q_d8_merge_audit(spark, sf_dir):
     """Post-merge single-valued-attribute audit of the D8 components
     (customer→nation→region graph): members carry c_mktsegment — every
@@ -3776,6 +3828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_quality": q_er_blocking_quality,
         "er_fs_weights": q_er_fs_weights,
         "er_rank_eval": q_er_rank_eval,
+        "er_ndcg": q_er_ndcg,
+        "kmv_vocab_overlap": q_kmv_vocab_overlap,
         "d8_merge_audit": q_d8_merge_audit,
         "evt_ema": q_evt_ema,
         "evt_interval_coalesce": q_evt_interval_coalesce,
@@ -4202,6 +4256,11 @@ _LM_SCORED_CTES = """
 def oracle_sql() -> dict[str, str]:
     cooc_words = ", ".join(f"'{w}'" for w in COOC_WORDS)
     kg_terms = ", ".join(f"'{w}'" for w in KG_TERMS)
+    # the SAME integer discount literals the Spark plan uses — no engine
+    # evaluates a log (eval_metrics.ndcg_discount_micro)
+    from kgraph_spark.operators.eval_metrics import ndcg_discount_micro
+
+    ndcg_w10 = "[" + ", ".join(str(w) for w in ndcg_discount_micro(10)) + "]"
     # Flagship oracle. Restates the whole construction pipeline in SQL for
     # the driver corpus, where it is exactly expressible because: documents
     # are < 2000 chars (single chunk — no window-overlap effects), the
@@ -6075,6 +6134,92 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END)::DOUBLE
                          / n_queries, 6) AS hits_at_10
             FROM ranks, nq GROUP BY n_queries
+        """,
+        "er_ndcg": f"""
+            -- mean nDCG@10 on micro-cosine scores; discounts are the
+            -- shared integer-micro literals, per-query nDCG is ONE
+            -- integer micro-division, the mean sums exact longs
+            WITH e AS (
+                SELECT vec_id, label,
+                       list_transform(embedding::DOUBLE[],
+                                      x -> round(x * 1000000)::BIGINT) AS v
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS qid, label AS ql, v FROM e WHERE vec_id % 5 = 0
+            ), s AS (
+                SELECT q.qid, e.vec_id AS cid,
+                       greatest(0, 2 - abs(q.ql - e.label))::BIGINT AS rel,
+                       round((list_sum(list_transform(list_zip(q.v, e.v),
+                                                      z -> z[1] * z[2]))::DOUBLE
+                              / (sqrt(list_sum(list_transform(q.v, x -> x * x))::DOUBLE)
+                                 * sqrt(list_sum(list_transform(e.v, x -> x * x))::DOUBLE)))
+                             * 1000000)::BIGINT AS sc
+                FROM q JOIN e ON e.vec_id != q.qid
+            ), r1 AS (
+                SELECT qid, rel,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY sc DESC, cid ASC) AS rn
+                FROM s
+            ), r2 AS (
+                SELECT qid, rel,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY rel DESC, cid ASC) AS ri
+                FROM s
+            ), d AS (
+                SELECT qid, sum(rel * ({ndcg_w10}[rn]))::BIGINT AS dcg
+                FROM r1 WHERE rn <= 10 GROUP BY qid
+            ), i AS (
+                SELECT qid, sum(rel * ({ndcg_w10}[ri]))::BIGINT AS idcg
+                FROM r2 WHERE ri <= 10 GROUP BY qid
+            ), pq AS (
+                SELECT d.qid, d.dcg, i.idcg FROM d JOIN i USING (qid)
+            ), ns AS (
+                SELECT count(*)::BIGINT AS n_scored FROM pq
+            ), v AS (
+                SELECT (dcg * 1000000 // idcg)::BIGINT AS nm
+                FROM pq WHERE idcg > 0
+            )
+            SELECT ns.n_scored AS n_scored_queries,
+                   count(*)::BIGINT AS n_queries,
+                   round(sum(nm)::DOUBLE / (count(*) * 1000000), 6)
+                       AS ndcg_at_10
+            FROM v, ns GROUP BY ns.n_scored
+        """,
+        "kmv_vocab_overlap": """
+            -- k=256 KMV union sketch over word bigrams; md5 hex strings
+            -- ARE the hash order
+            WITH ta AS (
+                SELECT DISTINCT md5(g) AS h FROM (
+                    SELECT unnest(list_transform(
+                               range(0, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i+1:i+2], ' '))) AS g
+                    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+                          FROM documents WHERE lang = 'en')
+                ) WHERE length(g) > 0
+            ), tb AS (
+                SELECT DISTINCT md5(g) AS h FROM (
+                    SELECT unnest(list_transform(
+                               range(0, greatest(len(t) - 2, 0) + 1),
+                               i -> array_to_string(t[i+1:i+2], ' '))) AS g
+                    FROM (SELECT string_split_regex(trim(text), '\\s+') AS t
+                          FROM documents WHERE lang = 'de')
+                ) WHERE length(g) > 0
+            ), m AS (
+                SELECT coalesce(ta.h, tb.h) AS h,
+                       CASE WHEN ta.h IS NOT NULL THEN 1 ELSE 0 END AS ina,
+                       CASE WHEN tb.h IS NOT NULL THEN 1 ELSE 0 END AS inb
+                FROM ta FULL OUTER JOIN tb ON ta.h = tb.h
+            ), sk AS (
+                SELECT * FROM m ORDER BY h LIMIT 256
+            )
+            SELECT 256::BIGINT AS k,
+                   count(*)::BIGINT AS k_used,
+                   coalesce(sum(ina * inb), 0)::BIGINT AS n_common,
+                   CASE WHEN count(*) > 0
+                        THEN round(sum(ina * inb)::DOUBLE / count(*), 6)
+                   END AS jaccard_est,
+                   max(h) AS theta
+            FROM sk
         """,
         "d8_merge_audit": """
             -- closed-form region components + per-component segment audit

@@ -541,3 +541,92 @@ def cohens_kappa(
             ),
         ).alias("kappa"),
     )
+
+
+def ndcg_discount_micro(k: int) -> list[int]:
+    """Position-discount table for ndcg_at_k in exact micro-units:
+    round(10⁶ / log2(i + 1)) for ranks i = 1..k. Computed ONCE driver-side
+    and fed to both the Spark plan and any SQL restatement as the same
+    integer literals — no engine ever evaluates a log, so the downstream
+    arithmetic stays exact-integer."""
+    import math
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    scored: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    cand_col: str = "candidate_id",
+    score_col: str = "score",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """ONE-row graded ranking quality — mean nDCG@k over queries: DCG of
+    the score-ordered top-k (ties to the smaller candidate id) divided by
+    the ideal DCG of the same candidates relevance-ordered. The graded
+    complement of ranking_metrics' MRR/Hits: a linker that puts a
+    partially-right KB entity at rank 1 and the exact one at rank 3
+    scores between the binary extremes.
+
+    Float discipline: discounts are the ndcg_discount_micro integer
+    literals, per-rank contributions rel·w are exact longs, per-query
+    nDCG is ONE integer micro-division (dcg·10⁶ div idcg), and the mean
+    is a sum of exact longs with one final division — order-free, so the
+    distributed sum can't wobble the result. Queries with idcg = 0 (no
+    relevant candidate at all) are excluded and surfaced via n_queries
+    vs n_scored_queries. Relevance must be a small non-negative integer
+    (graded 0/1/2... — the standard convention)."""
+    w_micro = ndcg_discount_micro(k)
+    from pyspark.sql import Window
+
+    sc = scored.select(
+        F.col(query_col).alias("_q"),
+        F.col(cand_col).alias("_c"),
+        F.col(score_col).alias("_s"),
+        F.col(rel_col).cast("long").alias("_r"),
+    )
+    weights = F.array(*[F.lit(w).cast("long") for w in w_micro])
+    by_score = Window.partitionBy("_q").orderBy(
+        F.col("_s").desc(), F.col("_c").asc()
+    )
+    by_rel = Window.partitionBy("_q").orderBy(F.col("_r").desc(), F.col("_c").asc())
+    ranked = sc.withColumn("_rn", F.row_number().over(by_score)).withColumn(
+        "_ri", F.row_number().over(by_rel)
+    )
+    dcg = (
+        ranked.filter(F.col("_rn") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(F.col("_r") * F.element_at(weights, F.col("_rn").cast("int")))
+            .cast("long")
+            .alias("_dcg")
+        )
+    )
+    idcg = (
+        ranked.filter(F.col("_ri") <= k)
+        .groupBy("_q")
+        .agg(
+            F.sum(F.col("_r") * F.element_at(weights, F.col("_ri").cast("int")))
+            .cast("long")
+            .alias("_idcg")
+        )
+    )
+    per_q = dcg.join(idcg, "_q")
+    n_scored = per_q.count()
+    valid = per_q.filter(F.col("_idcg") > 0).withColumn(
+        "_ndcg_micro", F.expr("_dcg * CAST(1000000 AS BIGINT) div _idcg")
+    )
+    return valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.coalesce(F.sum("_ndcg_micro"), F.lit(0)).cast("long").alias("_sum"),
+    ).select(
+        F.lit(n_scored).cast("long").alias("n_scored_queries"),
+        "n_queries",
+        F.when(
+            F.col("n_queries") > 0,
+            F.round(F.col("_sum") / (F.col("n_queries") * F.lit(1_000_000)), 6),
+        ).alias(f"ndcg_at_{k}"),
+    )

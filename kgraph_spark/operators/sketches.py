@@ -324,3 +324,71 @@ def hll_estimate_grouped(registers: DataFrame, p: int = 8) -> DataFrame:
         "n_registers",
         F.round(est, 2).alias("estimate"),
     )
+
+
+def kmv_jaccard(
+    a: DataFrame,
+    b: DataFrame,
+    element_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """ONE-row KMV (k-minimum-values) set-overlap sketch: estimate the
+    Jaccard similarity of two element sets from the k smallest hashes of
+    their union — the corpus-planning question ("how much does this new
+    crawl overlap what we already have", "how much vocabulary do these
+    two language slices share") answered WITHOUT joining the full sets
+    (Beyer et al. 2007). Jaccard ≈ |{h ∈ sketch : h in A AND h in B}| /
+    |sketch| — an unbiased estimate with σ ≈ 1/√k.
+
+    Hash = md5 hex of the element compared as STRINGS — the proven
+    cross-engine recipe (same as the MinHash signatures); fully
+    deterministic, so the estimate is reproducible and oracle-able. Plan:
+    per-side distinct on the hash (map-side combined), a hash-keyed
+    merge aggregate for membership flags, then TakeOrdered — each
+    partition contributes a k-element heap and the driver merges k·P
+    rows, so the full union never sorts globally and never lands on one
+    reducer. Exact integer counts; one round-6 division.
+
+    Returns (k, k_used, n_common, jaccard_est, theta): k_used < k means
+    the union had fewer than k distinct elements (the estimate is then
+    exact); theta is the sketch boundary hash for sketch composition."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ha = (
+        a.select(F.md5(F.col(element_col).cast("string")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+        .withColumn("_ina", F.lit(1))
+    )
+    hb = (
+        b.select(F.md5(F.col(element_col).cast("string")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+        .withColumn("_inb", F.lit(1))
+    )
+    merged = (
+        ha.join(hb, "_h", "full_outer")
+        .select(
+            "_h",
+            F.coalesce("_ina", F.lit(0)).alias("_ina"),
+            F.coalesce("_inb", F.lit(0)).alias("_inb"),
+        )
+        .orderBy("_h")
+        .limit(k)
+    )
+    return merged.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.coalesce(F.sum(F.col("_ina") * F.col("_inb")), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+        F.max("_h").alias("theta"),
+    ).select(
+        "k",
+        "k_used",
+        "n_common",
+        F.when(
+            F.col("k_used") > 0, F.round(F.col("n_common") / F.col("k_used"), 6)
+        ).alias("jaccard_est"),
+        "theta",
+    )

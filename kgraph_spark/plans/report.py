@@ -1215,6 +1215,21 @@ def main() -> None:
         ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "nDCG@10 — probes broadcast for scoring, per-query windows on "
+        "the query key, integer micro-division per query; no global sort",
+        _plan(entrymod.queries()["er_ndcg"](spark, SF)),
+        ["Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "KMV overlap — per-side distinct on the hash, full-outer "
+        "hash-keyed merge, TakeOrdered (per-partition k-heaps, never a "
+        "global sort of the union)",
+        _plan(entrymod.queries()["kmv_vocab_overlap"](spark, SF)),
+        ["TakeOrderedAndProject", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -311,3 +311,45 @@ def test_cohens_kappa_chance_and_perfect(spark):
     )
     d = cohens_kappa(deg).collect()[0]
     assert d["pe"] == 1.0 and d["kappa"] is None
+
+
+def test_ndcg_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import ndcg_at_k, ndcg_discount_micro
+
+    w = ndcg_discount_micro(3)
+    scored = spark.createDataFrame(
+        [
+            # q1: score order c1(rel2) c2(rel0) c3(rel1); ideal 2,1,0
+            (1, 1, 90, 2), (1, 2, 50, 0), (1, 3, 10, 1),
+            # q2: nothing relevant → idcg 0, excluded from the mean
+            (2, 4, 99, 0), (2, 5, 1, 0),
+        ],
+        "query_id long, candidate_id long, score long, relevance long",
+    )
+    r = ndcg_at_k(scored, k=3).collect()[0]
+    dcg = 2 * w[0] + 0 * w[1] + 1 * w[2]
+    idcg = 2 * w[0] + 1 * w[1] + 0 * w[2]
+    expected = ((dcg * 1_000_000) // idcg) / 1_000_000
+    assert r["n_scored_queries"] == 2 and r["n_queries"] == 1
+    assert r["ndcg_at_3"] == round(expected, 6)
+
+
+def test_ndcg_perfect_ranking(spark):
+    from kgraph_spark.operators.eval_metrics import ndcg_at_k
+
+    scored = spark.createDataFrame(
+        [(1, 1, 9, 2), (1, 2, 5, 1), (1, 3, 1, 0)],
+        "query_id long, candidate_id long, score long, relevance long",
+    )
+    r = ndcg_at_k(scored, k=3).collect()[0]
+    assert r["ndcg_at_3"] == 1.0
+
+
+def test_ndcg_discount_validation():
+    import pytest as _pytest
+
+    from kgraph_spark.operators.eval_metrics import ndcg_discount_micro
+
+    assert ndcg_discount_micro(3) == [1000000, 630930, 500000]
+    with _pytest.raises(ValueError):
+        ndcg_discount_micro(0)

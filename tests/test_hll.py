@@ -144,3 +144,35 @@ def test_grouped_hll_bounded_and_accurate(spark):
         # deterministic md5 draw: one group lands at 2.7 sigma (17.6%) of
         # the 6.5% std err at p=8 — the bound pins observed behavior
         assert abs(r["estimate"] - 10000) / 10000 < 0.2
+
+
+def test_kmv_jaccard_exact_when_union_fits(spark):
+    from kgraph_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([("a",), ("b",), ("c",), ("b",)], "x string")
+    b = spark.createDataFrame([("b",), ("c",), ("d",)], "x string")
+    r = kmv_jaccard(a, b, "x", k=10).collect()[0]
+    # union {a,b,c,d} fits the sketch → exact Jaccard 2/4
+    assert r["k"] == 10 and r["k_used"] == 4
+    assert r["n_common"] == 2 and r["jaccard_est"] == 0.5
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    from kgraph_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(str(i),) for i in range(50)], "x string")
+    same = kmv_jaccard(a, a, "x", k=16).collect()[0]
+    assert same["k_used"] == 16 and same["jaccard_est"] == 1.0
+    b = spark.createDataFrame([(str(i + 100),) for i in range(50)], "x string")
+    disj = kmv_jaccard(a, b, "x", k=16).collect()[0]
+    assert disj["n_common"] == 0 and disj["jaccard_est"] == 0.0
+
+
+def test_kmv_jaccard_validation(spark):
+    import pytest as _pytest
+
+    from kgraph_spark.operators.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([("a",)], "x string")
+    with _pytest.raises(ValueError):
+        kmv_jaccard(a, a, "x", k=0)
