@@ -1265,6 +1265,32 @@ def q_kg_rule_confidence(spark, sf_dir):
     return rule_confidence(t, max_node_degree=1000)
 
 
+def q_kg_rule_pca(spark, sf_dir):
+    """Head-sparse rule mining: supplied_by is asserted only for
+    quantity ≥ 25 lines, so many orders never mention the head predicate
+    — PCA confidence (deny only under x's that assert p3) rises above
+    the closed-world standard confidence, exactly the incomplete-KG case
+    PCA was designed for."""
+    from kgraph_spark.operators.relationships import rule_confidence
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = (
+        li.select(o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id"))
+        .union(
+            li.filter(F.col("l_quantity") >= 25).select(
+                o.alias("subject_id"),
+                F.lit("supplied_by").alias("predicate"),
+                s.alias("object_id"),
+            )
+        )
+        .union(li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id")))
+    )
+    return rule_confidence(t, max_node_degree=1000)
+
+
 def q_evt_temporal_conflicts(spark, sf_dir):
     """Functional-predicate temporal contradictions: each event asserts
     'user's activity = event_type' valid [ts, ts+30min); overlapping
@@ -3835,6 +3861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_interval_coalesce": q_evt_interval_coalesce,
         "evt_temporal_conflicts": q_evt_temporal_conflicts,
         "kg_rule_confidence": q_kg_rule_confidence,
+        "kg_rule_pca": q_kg_rule_pca,
         "lang_pr_sweep": q_lang_pr_sweep,
         "lang_kappa": q_lang_kappa,
         "kg_conflicts": q_kg_conflicts,
@@ -6328,10 +6355,72 @@ def oracle_sql() -> dict[str, str]:
             ), bc AS (
                 SELECT p1, p2, count(*)::BIGINT AS body_support
                 FROM bodies GROUP BY 1, 2
+            ), xp AS (
+                SELECT DISTINCT s AS x, p AS p3 FROM t
+            ), pca AS (
+                SELECT bd.p1, bd.p2, xp.p3,
+                       count(*)::BIGINT AS pca_body_support
+                FROM bodies bd JOIN xp ON bd.x = xp.x
+                GROUP BY 1, 2, 3
             )
-            SELECT c.p1, c.p2, c.p3, bc.body_support, c.support,
-                   round(c.support::DOUBLE / bc.body_support, 6) AS confidence
-            FROM closed c JOIN bc USING (p1, p2)
+            SELECT c.p1, c.p2, c.p3, bc.body_support,
+                   pca.pca_body_support, c.support,
+                   round(c.support::DOUBLE / bc.body_support, 6) AS confidence,
+                   round(c.support::DOUBLE / pca.pca_body_support, 6)
+                       AS pca_confidence
+            FROM closed c JOIN bc USING (p1, p2) JOIN pca USING (p1, p2, p3)
+        """,
+        "kg_rule_pca": """
+            -- head-sparse variant: supplied_by asserted only for qty >= 25
+            -- lines, so PCA confidence (x-asserts-p3 denominator) exceeds
+            -- the closed-world standard confidence
+            WITH t AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'O' || l_orderkey::VARCHAR AS s, 'contains' AS p,
+                           'P' || l_partkey::VARCHAR AS o FROM lineitem
+                    UNION ALL
+                    SELECT 'O' || l_orderkey::VARCHAR, 'supplied_by',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                    WHERE l_quantity >= 25
+                    UNION ALL
+                    SELECT 'P' || l_partkey::VARCHAR, 'from',
+                           'S' || l_suppkey::VARCHAR FROM lineitem
+                )
+            ), outd AS (
+                SELECT s AS n, count(*) AS d FROM t GROUP BY 1
+            ), ind AS (
+                SELECT o AS n, count(*) AS d FROM t GROUP BY 1
+            ), ok AS (
+                SELECT outd.n FROM outd JOIN ind USING (n)
+                WHERE outd.d <= 1000 AND ind.d <= 1000
+            ), lft AS (
+                SELECT * FROM t WHERE o IN (SELECT n FROM ok)
+            ), rgt AS (
+                SELECT * FROM t WHERE s IN (SELECT n FROM ok)
+            ), bodies AS (
+                SELECT DISTINCT a.s AS x, b.o AS z, a.p AS p1, b.p AS p2
+                FROM lft a JOIN rgt b ON a.o = b.s
+            ), closed AS (
+                SELECT bd.p1, bd.p2, h.p AS p3, count(*)::BIGINT AS support
+                FROM bodies bd JOIN t h ON bd.x = h.s AND bd.z = h.o
+                GROUP BY 1, 2, 3
+            ), bc AS (
+                SELECT p1, p2, count(*)::BIGINT AS body_support
+                FROM bodies GROUP BY 1, 2
+            ), xp AS (
+                SELECT DISTINCT s AS x, p AS p3 FROM t
+            ), pca AS (
+                SELECT bd.p1, bd.p2, xp.p3,
+                       count(*)::BIGINT AS pca_body_support
+                FROM bodies bd JOIN xp ON bd.x = xp.x
+                GROUP BY 1, 2, 3
+            )
+            SELECT c.p1, c.p2, c.p3, bc.body_support,
+                   pca.pca_body_support, c.support,
+                   round(c.support::DOUBLE / bc.body_support, 6) AS confidence,
+                   round(c.support::DOUBLE / pca.pca_body_support, 6)
+                       AS pca_confidence
+            FROM closed c JOIN bc USING (p1, p2) JOIN pca USING (p1, p2, p3)
         """,
         "lang_pr_sweep": """
             -- predict 'en' when n_en >= t; exact confusion counts,

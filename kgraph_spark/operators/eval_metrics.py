@@ -293,7 +293,7 @@ def ranking_metrics(
             .alias("_rank")
         )
     )
-    n_queries = gq.select("_q").distinct().count()
+    nq = gq.agg(F.countDistinct("_q").cast("long").alias("n_queries"))
     agg_cols = [
         F.count(F.lit(1)).cast("long").alias("n_found"),
         # coalesce: zero found queries must yield MRR/Hits 0.0, not NULL
@@ -310,7 +310,9 @@ def ranking_metrics(
         .alias(f"_h{k}")
         for k in ks
     ]
-    out = ranks.agg(*agg_cols).withColumn("n_queries", F.lit(n_queries).cast("long"))
+    # 1-row aggregates cross-joined — the whole metric is one job, no
+    # separate driver-side count() action recomputing the gold table
+    out = ranks.agg(*agg_cols).crossJoin(F.broadcast(nq))
     sel = [
         "n_queries",
         "n_found",
@@ -615,15 +617,27 @@ def ndcg_at_k(
         )
     )
     per_q = dcg.join(idcg, "_q")
-    n_scored = per_q.count()
-    valid = per_q.filter(F.col("_idcg") > 0).withColumn(
-        "_ndcg_micro", F.expr("_dcg * CAST(1000000 AS BIGINT) div _idcg")
-    )
-    return valid.agg(
-        F.count(F.lit(1)).cast("long").alias("n_queries"),
-        F.coalesce(F.sum("_ndcg_micro"), F.lit(0)).cast("long").alias("_sum"),
+    # ONE aggregate pass — no driver-side count() that would force the
+    # per-query table to compute twice; idcg = 0 queries are excluded
+    # from the mean by the conditional sums
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored_queries"),
+        F.coalesce(F.sum(F.when(F.col("_idcg") > 0, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_queries"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("_idcg") > 0,
+                    F.expr("_dcg * CAST(1000000 AS BIGINT) div _idcg"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_sum"),
     ).select(
-        F.lit(n_scored).cast("long").alias("n_scored_queries"),
+        "n_scored_queries",
         "n_queries",
         F.when(
             F.col("n_queries") > 0,

@@ -678,12 +678,19 @@ def rule_confidence(
     (assert the missing p3 edges) and the redundancy detectors (a p3
     edge implied at ~1.0 confidence adds no information to the graph).
 
+    Also emits PCA confidence (the paper's partial-completeness metric):
+    denominator restricted to bodies whose x asserts p3 for SOME object —
+    a missing p3 edge under an x that never mentions p3 is treated as
+    unknown, not false, so incomplete KGs don't drag good rules down.
+    Output rows are rules with ≥ 1 closing instance (support ≥ 1).
+
     Execution: the path join reuses predicate_composition's shape — mid
     node key, in/out degree cap BEFORE the join (documented recall
     contract) — then body pairs are deduped to distinct (x, z, p1, p2)
-    so path multiplicity can't inflate support, and heads attach by ONE
-    (x, z)-keyed join of the distinct triple set. Exact longs; one
-    round-6 division per rule."""
+    so path multiplicity can't inflate support, heads attach by ONE
+    (x, z)-keyed join of the distinct triple set, and the PCA
+    denominator is ONE x-keyed join against the distinct (x, p3) table.
+    Exact longs; two round-6 divisions per rule."""
     t = triples.select(
         F.col(subj_col).alias("_s"),
         F.col(pred_col).alias("_p"),
@@ -726,13 +733,27 @@ def rule_confidence(
     body_counts = bodies.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).cast("long").alias("body_support")
     )
-    return closed.join(body_counts, ["p1", "p2"]).select(
-        "p1",
-        "p2",
-        "p3",
-        "body_support",
-        "support",
-        F.round(F.col("support") / F.col("body_support"), 6).alias("confidence"),
+    x_preds = heads.select("_x", "p3").distinct()
+    pca_counts = (
+        bodies.join(x_preds, "_x")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("pca_body_support"))
+    )
+    return (
+        closed.join(body_counts, ["p1", "p2"])
+        .join(pca_counts, ["p1", "p2", "p3"])
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "body_support",
+            "pca_body_support",
+            "support",
+            F.round(F.col("support") / F.col("body_support"), 6).alias("confidence"),
+            F.round(F.col("support") / F.col("pca_body_support"), 6).alias(
+                "pca_confidence"
+            ),
+        )
     )
 
 

@@ -871,11 +871,13 @@ def test_component_attribute_audit_hand_case(spark):
 def test_rule_confidence_hand_case(spark):
     from kgraph_spark.operators.relationships import rule_confidence
 
-    # body p∘q pairs: (a,c) via b, (a,d) via b — head r closes only (a,c);
-    # duplicate path (a,b) asserted twice must not inflate body_support
+    # body p∘q pairs: (a,c),(a,d) via b plus (e,c),(e,d) via b — head r
+    # closes only (a,c); duplicate path (a,b) asserted twice must not
+    # inflate body_support; e never asserts r, so the PCA denominator
+    # keeps only a's two bodies
     triples = spark.createDataFrame(
         [
-            ("a", "p", "b"), ("a", "p", "b"),
+            ("a", "p", "b"), ("a", "p", "b"), ("e", "p", "b"),
             ("b", "q", "c"), ("b", "q", "d"),
             ("a", "r", "c"),
         ],
@@ -883,12 +885,13 @@ def test_rule_confidence_hand_case(spark):
     )
     rows = {(r["p1"], r["p2"], r["p3"]): r
             for r in rule_confidence(triples).collect()}
-    # p∘q ⇒ r: bodies {(a,c),(a,d)}, closed {(a,c)} → 1/2
+    # p∘q ⇒ r: bodies {(a,c),(a,d),(e,c),(e,d)}, closed {(a,c)} → 1/4;
+    # PCA: only x=a asserts r → denominator 2 → 1/2
     r1 = rows[("p", "q", "r")]
-    assert r1["body_support"] == 2 and r1["support"] == 1
-    assert r1["confidence"] == 0.5
-    # p∘r ⇒ nothing (c has no in-edge head)... p∘r bodies: a-p->b? r starts
-    # at a, not b — the only other composition is r∘nothing; p∘q is it.
+    assert r1["body_support"] == 4 and r1["support"] == 1
+    assert r1["pca_body_support"] == 2
+    assert r1["confidence"] == 0.25
+    assert r1["pca_confidence"] == 0.5
     assert set(rows) == {("p", "q", "r")}
 
 
