@@ -1156,7 +1156,7 @@ def q_er_ndcg(spark, sf_dir):
     scored by integer micro-cosine; discounts are shared integer-micro
     literals so no engine evaluates a log."""
     from kgraph_spark.operators.eval_metrics import ndcg_at_k
-    from kgraph_spark.operators.similarity import cosine_fixed
+    from kgraph_spark.operators.similarity import fixed_dot_pairs, fixed_micro_cosine
 
     emb = _read(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -1164,21 +1164,30 @@ def q_er_ndcg(spark, sf_dir):
     probes = emb.filter(F.col("vec_id") % 5 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("_ql"),
-        F.col("embedding").alias("_qe"),
+        "embedding",
     )
     cands = emb.select(
         F.col("vec_id").alias("candidate_id"),
         F.col("label").alias("_cl"),
-        F.col("embedding").alias("_ce"),
+        "embedding",
     )
-    scored = cands.join(
-        F.broadcast(probes), F.col("candidate_id") != F.col("query_id")
-    ).select(
+    # bulk int64-matmul scorer (probes broadcast, items never shuffle) —
+    # bit-equal to the per-pair cosine_fixed it replaced at a fraction of
+    # the interpreted-expression work (80 s → ~2 s at sf0.1)
+    pairs = fixed_dot_pairs(
+        cands,
+        probes,
+        item_id_col="candidate_id",
+        probe_id_col="query_id",
+        item_extra=("_cl",),
+        probe_extra=("_ql",),
+    )
+    scored = pairs.filter(F.col("candidate_id") != F.col("query_id")).select(
         "query_id",
         "candidate_id",
-        F.round(cosine_fixed(F.col("_qe"), F.col("_ce")) * 1_000_000)
-        .cast("long")
-        .alias("score"),
+        fixed_micro_cosine(
+            F.col("dot"), F.col("n2_probe"), F.col("n2_item")
+        ).alias("score"),
         F.greatest(
             F.lit(0), F.lit(2) - F.abs(F.col("_ql") - F.col("_cl"))
         ).alias("relevance"),
@@ -3832,12 +3841,162 @@ def q_bloom_prune(spark, sf_dir):
     )
 
 
+def q_stat_pearson(spark, sf_dir):
+    """Pearson correlation of lineitem quantity vs extended price — the
+    feature-sanity gate (price should co-move with quantity): exact
+    wide-integer moments, one sqrt-combination, round 6."""
+    from kgraph_spark.operators.stats import pearson_corr
+
+    li = _read(spark, sf_dir, "lineitem")
+    return pearson_corr(li, "l_quantity", "l_extendedprice", x_scale=1, y_scale=100)
+
+
+def q_stat_spearman(spark, sf_dir):
+    """Spearman rank correlation of part size vs retail price — the
+    monotone-association twin (robust to the nonlinear price curve):
+    doubled midranks on the distinct-value grid, then the Pearson
+    machinery."""
+    from kgraph_spark.operators.stats import spearman_corr
+
+    return spearman_corr(
+        _read(spark, sf_dir, "part"), "p_size", "p_retailprice", x_scale=1, y_scale=100
+    )
+
+
+def q_stat_ks_drift(spark, sf_dir):
+    """Two-sample KS distance between click-event and purchase-event
+    value distributions — the binning-free drift gate (PSI's
+    complement): integer cumulative-count cross-products, ONE division."""
+    from kgraph_spark.operators.stats import ks_2sample
+
+    ev = _read(spark, sf_dir, "events")
+    return ks_2sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+def q_stat_mwu(spark, sf_dir):
+    """Mann-Whitney U between view-event and error-event values — the
+    nonparametric did-the-filter-shift-anything gate with tie-corrected
+    z and the common-language AUC effect size."""
+    from kgraph_spark.operators.stats import mann_whitney_u
+
+    ev = _read(spark, sf_dir, "events")
+    return mann_whitney_u(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "error"),
+        "value",
+    )
+
+
+def q_stat_ols_trend(spark, sf_dir):
+    """Per-user least-squares value trend over event time (epoch
+    seconds) — the metric-drift fit: x centered on each user's first
+    event (exact integer shift) so epoch-scale moments stay exact."""
+    from kgraph_spark.operators.stats import ols_trend
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "x_sec",
+        # parquet stores NTZ; session tz is UTC — floor-µs ≡ epoch_us//1e6
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long"),
+    )
+    return ols_trend(ev, "x_sec", "value", "user_id")
+
+
+def q_stat_chi2(spark, sf_dir):
+    """Chi-squared independence of document language × ingestion source
+    (+ Cramér's V) — the stratification-sanity gate before per-source
+    quality comparisons: fixed-point micro terms summed exactly."""
+    from kgraph_spark.operators.stats import chi2_independence
+
+    return chi2_independence(_read(spark, sf_dir, "documents"), "lang", "source")
+
+
+def q_er_soundex_blocks(spark, sf_dir):
+    """Phonetic (Soundex) blocking census over the part-name + document
+    vocabulary — the misspelling-tolerant ER blocking dimension
+    (rod/red → R300): pure expression chain, no UDF."""
+    from kgraph_spark.operators.phonetic import phonetic_blocks
+
+    part = _read(spark, sf_dir, "part").select(F.col("p_name").alias("text"))
+    docs = _read(spark, sf_dir, "documents").select("text")
+    return phonetic_blocks(part.unionByName(docs), "text")
+
+
+def q_stat_anova(spark, sf_dir):
+    """One-way ANOVA F of event value across event types — the
+    do-these-strata-share-a-mean gate: per-group exact moments,
+    fixed-point between-group terms, two hash aggregates."""
+    from kgraph_spark.operators.stats import anova_f
+
+    return anova_f(_read(spark, sf_dir, "events"), "value", "event_type")
+
+
+def q_stat_prop_ztest(spark, sf_dir):
+    """Two-proportion z-test on error rate between even/odd user shards
+    — the A/B conversion gate: exact integer counts, one sqrt."""
+    from kgraph_spark.operators.stats import prop_ztest
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    ).withColumn("is_err", F.col("event_type") == "error")
+    return prop_ztest(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "is_err",
+    )
+
+
+def q_stat_cohens_d(spark, sf_dir):
+    """Cohen's d between signup-event and click-event values — the
+    effect-size companion: at corpus scale everything is 'significant',
+    d says whether it matters."""
+    from kgraph_spark.operators.stats import cohens_d
+
+    ev = _read(spark, sf_dir, "events")
+    return cohens_d(
+        ev.filter(F.col("event_type") == "signup"),
+        ev.filter(F.col("event_type") == "click"),
+        "value",
+    )
+
+
+def q_evt_autocorr(spark, sf_dir):
+    """Per-user lag-1 autocorrelation of event values — the
+    is-this-series-sticky profile feeding the CUSUM/EMA parameter
+    choice: one lead() window, then the grouped Pearson aggregate."""
+    from kgraph_spark.operators.stats import pearson_corr
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "value", F.lead("value").over(w).alias("value_next")
+    )
+    return pearson_corr(
+        lagged, "value", "value_next", group_col="user_id",
+        x_scale=1_000_000, y_scale=1_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
     # JVM heap — everything after it would pay a respawn tax (bench.py note)
     raw = {
         "f10_triple_accumulate": q_f10_triple_accumulate,
+        "stat_pearson": q_stat_pearson,
+        "stat_spearman": q_stat_spearman,
+        "stat_ks_drift": q_stat_ks_drift,
+        "stat_mwu": q_stat_mwu,
+        "stat_ols_trend": q_stat_ols_trend,
+        "stat_chi2": q_stat_chi2,
+        "er_soundex_blocks": q_er_soundex_blocks,
+        "evt_autocorr": q_evt_autocorr,
+        "stat_anova": q_stat_anova,
+        "stat_prop_ztest": q_stat_prop_ztest,
+        "stat_cohens_d": q_stat_cohens_d,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
         "d6_usage_count": q_d6_usage_count,
@@ -9209,5 +9368,374 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(2 * pairs_both / (pairs_pred + pairs_gold)::DOUBLE, 6)
                         END AS pair_f1
             FROM tot, pp, gg
+        """,
+        "stat_pearson": """
+            -- exact HUGEINT moments, sqrt (correctly rounded) combination
+            -- once, round 6 (stats.pearson_corr)
+            WITH q AS (
+                SELECT round(l_quantity * 1)::BIGINT AS qx,
+                       round(l_extendedprice * 100)::BIGINT AS qy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), m AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(qx::HUGEINT) AS sx, sum(qy::HUGEINT) AS sy,
+                       sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qy::HUGEINT * qy) AS syy,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM q
+            )
+            SELECT n,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)::DOUBLE
+                                   / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                                      * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+                   END AS corr
+            FROM m
+        """,
+        "stat_spearman": """
+            -- doubled midranks (2·below + t + 1) on the distinct-value
+            -- grid, then the exact Pearson machinery (stats.spearman_corr)
+            WITH q AS (
+                SELECT p_size::BIGINT AS vx,
+                       round(p_retailprice * 100)::BIGINT AS vy
+                FROM part
+                WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+            ), rx AS (
+                SELECT vx, 2 * (sum(t) OVER (ORDER BY vx ROWS UNBOUNDED PRECEDING) - t)
+                           + t + 1 AS r2x
+                FROM (SELECT vx, count(*)::BIGINT AS t FROM q GROUP BY vx)
+            ), ry AS (
+                SELECT vy, 2 * (sum(t) OVER (ORDER BY vy ROWS UNBOUNDED PRECEDING) - t)
+                           + t + 1 AS r2y
+                FROM (SELECT vy, count(*)::BIGINT AS t FROM q GROUP BY vy)
+            ), ranked AS (
+                SELECT r2x::BIGINT AS qx, r2y::BIGINT AS qy
+                FROM q JOIN rx USING (vx) JOIN ry USING (vy)
+            ), m AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(qx::HUGEINT) AS sx, sum(qy::HUGEINT) AS sy,
+                       sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qy::HUGEINT * qy) AS syy,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM ranked
+            )
+            SELECT n,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)::DOUBLE
+                                   / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                                      * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+                   END AS spearman
+            FROM m
+        """,
+        "stat_ks_drift": """
+            -- D's numerator is the integer max |cum_a·n_b − cum_b·n_a|;
+            -- ONE division finishes it; smallest grid value on ties
+            -- (stats.ks_2sample)
+            WITH a AS (
+                SELECT round(value * 1000000)::BIGINT AS qv FROM events
+                WHERE event_type = 'click' AND value IS NOT NULL
+            ), b AS (
+                SELECT round(value * 1000000)::BIGINT AS qv FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL
+            ), ca AS (SELECT qv, count(*)::BIGINT AS na_c FROM a GROUP BY qv),
+            cb AS (SELECT qv, count(*)::BIGINT AS nb_c FROM b GROUP BY qv),
+            mg AS (
+                SELECT qv, coalesce(na_c, 0) AS na_c, coalesce(nb_c, 0) AS nb_c
+                FROM ca FULL OUTER JOIN cb USING (qv)
+            ), cum AS (
+                SELECT qv,
+                       sum(na_c) OVER w AS cum_a, sum(nb_c) OVER w AS cum_b
+                FROM mg WINDOW w AS (ORDER BY qv ROWS UNBOUNDED PRECEDING)
+            ), tot AS (
+                SELECT sum(na_c)::BIGINT AS n_a, sum(nb_c)::BIGINT AS n_b FROM mg
+            ), d AS (
+                SELECT n_a, n_b,
+                       abs(cum_a * n_b - cum_b * n_a)::BIGINT AS d_num, qv
+                FROM cum, tot
+            )
+            SELECT n_a, n_b,
+                   round(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) AS ks_d,
+                   round(qv::DOUBLE / 1000000.0, 6) AS at_value
+            FROM d ORDER BY d_num DESC, qv ASC LIMIT 1
+        """,
+        "stat_mwu": """
+            -- doubled midranks → exact rank sums; tie-corrected z is a
+            -- fixed double-op sequence with one sqrt (stats.mann_whitney_u)
+            WITH p AS (
+                SELECT round(value * 1000000)::BIGINT AS qv, 1 AS is_a FROM events
+                WHERE event_type = 'view' AND value IS NOT NULL
+                UNION ALL
+                SELECT round(value * 1000000)::BIGINT AS qv, 0 AS is_a FROM events
+                WHERE event_type = 'error' AND value IS NOT NULL
+            ), pv AS (
+                SELECT qv, count(*)::BIGINT AS t, sum(is_a)::BIGINT AS t_a
+                FROM p GROUP BY qv
+            ), r AS (
+                SELECT qv, t, t_a,
+                       (2 * (sum(t) OVER (ORDER BY qv ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM pv
+            ), m AS (
+                SELECT sum(t_a)::BIGINT AS n_a,
+                       (sum(t) - sum(t_a))::BIGINT AS n_b,
+                       sum(t_a::HUGEINT * r2) AS r2_a,
+                       sum(t::HUGEINT * t * t - t) AS ties_t
+                FROM r
+            )
+            SELECT n_a, n_b,
+                   (r2_a - n_a::HUGEINT * (n_a + 1))::DOUBLE / 2.0 AS u_a,
+                   n_a::DOUBLE * n_b::DOUBLE
+                     - (r2_a - n_a::HUGEINT * (n_a + 1))::DOUBLE / 2.0 AS u_b,
+                   round(((r2_a - n_a::HUGEINT * (n_a + 1))::DOUBLE / 2.0)
+                         / (n_a::DOUBLE * n_b::DOUBLE), 6) AS auc,
+                   CASE WHEN (n_a::DOUBLE * n_b::DOUBLE) / 12.0
+                             * (((n_a + n_b)::DOUBLE + 1)
+                                - ties_t::DOUBLE
+                                  / ((n_a + n_b)::DOUBLE * ((n_a + n_b)::DOUBLE - 1))) > 0
+                        THEN round(((r2_a - n_a::HUGEINT * (n_a + 1))::DOUBLE / 2.0
+                                    - (n_a::DOUBLE * n_b::DOUBLE) / 2)
+                                   / sqrt((n_a::DOUBLE * n_b::DOUBLE) / 12.0
+                                          * (((n_a + n_b)::DOUBLE + 1)
+                                             - ties_t::DOUBLE
+                                               / ((n_a + n_b)::DOUBLE
+                                                  * ((n_a + n_b)::DOUBLE - 1)))), 6)
+                   END AS z
+            FROM m
+        """,
+        "stat_ols_trend": """
+            -- x centered on the group min (exact integer shift) before the
+            -- moments — the cancellation dodge done in integers; slope and
+            -- intercept are one division each (stats.ols_trend)
+            WITH q AS (
+                SELECT user_id AS g, (epoch_us(ts) // 1000000)::BIGINT AS x,
+                       round(value * 1000000)::BIGINT AS qy
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+            ), c AS (
+                SELECT g, min(x) OVER (PARTITION BY g) AS x_min,
+                       x - min(x) OVER (PARTITION BY g) AS qx, qy
+                FROM q
+            ), m AS (
+                SELECT g, x_min, count(*)::BIGINT AS n,
+                       sum(qx::HUGEINT) AS sx, sum(qy::HUGEINT) AS sy,
+                       sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM c GROUP BY g, x_min
+            )
+            SELECT g AS user_id, n, x_min,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN round((n * sxy - sx * sy)::DOUBLE
+                                   / ((n * sxx - sx * sx)::DOUBLE * 1000000.0), 6)
+                   END AS slope,
+                   CASE WHEN (n * sxx - sx * sx) > 0
+                        THEN round((sy * sxx - sx * sxy)::DOUBLE
+                                   / ((n * sxx - sx * sx)::DOUBLE * 1000000.0), 6)
+                   END AS intercept
+            FROM m
+        """,
+        "stat_chi2": """
+            -- per-cell (n·O − R·C)²/(n·R·C) terms rounded ONCE to integer
+            -- micros, summed exactly; Cramér's V via one sqrt
+            -- (stats.chi2_independence)
+            WITH base AS (
+                SELECT lang AS a, source AS b FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cells AS (
+                SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY a, b
+            ), ra AS (SELECT a, count(*)::BIGINT AS ra FROM base GROUP BY a),
+            cb AS (SELECT b, count(*)::BIGINT AS cb FROM base GROUP BY b),
+            tot AS (
+                SELECT count(*)::BIGINT AS n,
+                       count(DISTINCT a)::BIGINT AS k_a,
+                       count(DISTINCT b)::BIGINT AS k_b
+                FROM base
+            ), terms AS (
+                SELECT n, k_a, k_b,
+                       round((n::DOUBLE * o - ra::DOUBLE * cb)
+                             * (n::DOUBLE * o - ra::DOUBLE * cb)
+                             / (n::DOUBLE * ra::DOUBLE * cb::DOUBLE)
+                             * 1000000.0)::BIGINT AS tm
+                FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+            ), s AS (
+                SELECT n, k_a, k_b, sum(tm)::BIGINT AS chi2_micro
+                FROM terms GROUP BY n, k_a, k_b
+            )
+            SELECT n, k_a, k_b,
+                   (k_a - 1) * (k_b - 1) AS dof,
+                   round(chi2_micro::DOUBLE / 1000000.0, 6) AS chi2,
+                   CASE WHEN least(k_a - 1, k_b - 1) > 0
+                        THEN round(sqrt((chi2_micro::DOUBLE / 1000000.0)
+                                        / (n::DOUBLE
+                                           * least(k_a - 1, k_b - 1)::DOUBLE)), 6)
+                   END AS cramers_v
+            FROM s
+        """,
+        "er_soundex_blocks": """
+            -- the identical expression chain: translate → collapse runs
+            -- (backref) → drop zeros → pad (phonetic.soundex_key)
+            WITH txt AS (
+                SELECT p_name AS text FROM part
+                UNION ALL SELECT text FROM documents
+            ), w AS (
+                SELECT DISTINCT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                       AS word
+                FROM txt
+            ), ww AS (SELECT word FROM w WHERE word <> ''),
+            k AS (
+                SELECT word, upper(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS u
+                FROM ww
+            ), c AS (
+                -- DuckDB regex is RE2 (no backreferences): the Spark-side
+                -- single-pass '(.)\\1+' run-collapse is restated as seven
+                -- per-digit collapses — equivalent, since runs of one
+                -- character collapse independently of the other digits
+                SELECT word, u,
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(
+                           translate(u, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                        '01230120022455012623010202'),
+                           '00+', '0', 'g'), '11+', '1', 'g'),
+                           '22+', '2', 'g'), '33+', '3', 'g'),
+                           '44+', '4', 'g'), '55+', '5', 'g'),
+                           '66+', '6', 'g') AS coll
+                FROM k
+            ), keyed AS (
+                SELECT word,
+                       CASE WHEN length(u) > 0 THEN
+                           substr(u, 1, 1)
+                           || rpad(substr(replace(substr(coll, 2), '0', ''), 1, 3),
+                                   3, '0')
+                       END AS soundex_key
+                FROM c
+            ), sizes AS (
+                SELECT soundex_key, count(*)::BIGINT AS n_in_block
+                FROM keyed GROUP BY soundex_key
+            )
+            SELECT soundex_key, word, n_in_block
+            FROM keyed JOIN sizes USING (soundex_key)
+        """,
+        "stat_anova": """
+            -- per-group exact moments; each (Σx/scale)²/n term is one
+            -- fixed IEEE sequence in value² units (stats.anova_f)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 1000)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), pg AS (
+                SELECT g, count(*)::BIGINT AS ng,
+                       sum(qv::HUGEINT) AS sg, sum(qv::HUGEINT * qv) AS ssg
+                FROM q GROUP BY g
+            ), tm AS (
+                SELECT ng, sg, ssg,
+                       (sg::DOUBLE / 1000.0) * (sg::DOUBLE / 1000.0)
+                           / ng::DOUBLE AS tg
+                FROM pg
+            ), tot AS (
+                SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+                       sum(sg) AS s, sum(ssg) AS ss, sum(tg) AS a
+                FROM tm
+            ), parts AS (
+                SELECT n, k,
+                       a - (s::DOUBLE / 1000.0) * (s::DOUBLE / 1000.0)
+                           / n::DOUBLE AS ssb,
+                       ss::DOUBLE / (1000.0 * 1000.0) - a AS ssw
+                FROM tot
+            )
+            SELECT n, k,
+                   round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+                   CASE WHEN k > 1 AND n > k AND ssw > 0
+                        THEN round((ssb / (k - 1)::DOUBLE)
+                                   / (ssw / (n - k)::DOUBLE), 6)
+                   END AS f_stat,
+                   CASE WHEN ssb + ssw > 0
+                        THEN round(ssb / (ssb + ssw), 6)
+                   END AS eta_sq
+            FROM parts
+        """,
+        "stat_prop_ztest": """
+            -- z's numerator is the integer x_a·n_b − x_b·n_a; ONE sqrt of
+            -- the pooled expression (stats.prop_ztest)
+            WITH a AS (
+                SELECT count(*)::BIGINT AS n_a,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS x_a
+                FROM events WHERE user_id % 2 = 0 AND event_type IS NOT NULL
+            ), b AS (
+                SELECT count(*)::BIGINT AS n_b,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS x_b
+                FROM events WHERE user_id % 2 = 1 AND event_type IS NOT NULL
+            ), j AS (SELECT * FROM a CROSS JOIN b)
+            SELECT n_a, n_b, x_a, x_b,
+                   round(x_a::DOUBLE / n_a::DOUBLE, 6) AS p_a,
+                   round(x_b::DOUBLE / n_b::DOUBLE, 6) AS p_b,
+                   CASE WHEN ((x_a + x_b) * ((n_a + n_b) - (x_a + x_b)))::DOUBLE
+                             * n_a::DOUBLE * n_b::DOUBLE / (n_a + n_b)::DOUBLE > 0
+                        THEN round((x_a * n_b - x_b * n_a)::DOUBLE
+                                   / sqrt(((x_a + x_b) * ((n_a + n_b) - (x_a + x_b)))::DOUBLE
+                                          * n_a::DOUBLE * n_b::DOUBLE
+                                          / (n_a + n_b)::DOUBLE), 6)
+                   END AS z
+            FROM j
+        """,
+        "stat_cohens_d": """
+            -- pooled-variance standardized mean difference; exact moments
+            -- per side, one sqrt (stats.cohens_d)
+            WITH a AS (
+                SELECT count(*)::BIGINT AS n_a,
+                       sum(round(value * 1000000)::BIGINT::HUGEINT) AS s_a,
+                       sum(round(value * 1000000)::BIGINT::HUGEINT
+                           * round(value * 1000000)::BIGINT) AS ss_a
+                FROM events WHERE event_type = 'signup' AND value IS NOT NULL
+            ), b AS (
+                SELECT count(*)::BIGINT AS n_b,
+                       sum(round(value * 1000000)::BIGINT::HUGEINT) AS s_b,
+                       sum(round(value * 1000000)::BIGINT::HUGEINT
+                           * round(value * 1000000)::BIGINT) AS ss_b
+                FROM events WHERE event_type = 'click' AND value IS NOT NULL
+            ), j AS (SELECT * FROM a CROSS JOIN b), parts AS (
+                SELECT n_a, n_b,
+                       s_a::DOUBLE / n_a::DOUBLE / 1000000.0 AS mean_a,
+                       s_b::DOUBLE / n_b::DOUBLE / 1000000.0 AS mean_b,
+                       ((ss_a::DOUBLE - (s_a * s_a)::DOUBLE / n_a::DOUBLE)
+                        + (ss_b::DOUBLE - (s_b * s_b)::DOUBLE / n_b::DOUBLE))
+                       / (n_a + n_b - 2)::DOUBLE AS pooled
+                FROM j
+            )
+            SELECT n_a, n_b,
+                   round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+                   CASE WHEN n_a + n_b > 2 AND pooled > 0
+                        THEN round((mean_a - mean_b)
+                                   / (sqrt(pooled) / 1000000.0), 6)
+                   END AS d
+            FROM parts
+        """,
+        "evt_autocorr": """
+            -- lead() pairs per user, then the grouped exact Pearson
+            -- aggregate (stats.pearson_corr via q_evt_autocorr)
+            WITH l AS (
+                SELECT user_id, value,
+                       lead(value) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS value_next
+                FROM events
+            ), q AS (
+                SELECT user_id,
+                       round(value * 1000000)::BIGINT AS qx,
+                       round(value_next * 1000000)::BIGINT AS qy
+                FROM l WHERE value IS NOT NULL AND value_next IS NOT NULL
+            ), m AS (
+                SELECT user_id, count(*)::BIGINT AS n,
+                       sum(qx::HUGEINT) AS sx, sum(qy::HUGEINT) AS sy,
+                       sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qy::HUGEINT * qy) AS syy,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM q GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)::DOUBLE
+                                   / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                                      * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+                   END AS corr
+            FROM m
         """,
     }

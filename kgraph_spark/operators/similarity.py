@@ -703,6 +703,132 @@ def cosine_fixed(a, b, q: int = 1_000_000):
     )
 
 
+def quantized_with_norm(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q: int = 1_000_000,
+    qv_col: str = "_qv",
+    n2_col: str = "_n2",
+) -> DataFrame:
+    """Per-ROW integer-grid quantization + exact squared norm — the
+    pre-pass for pairwise fixed-point cosine work. cosine_fixed re-derives
+    quantization and both norms per CALL, which is fine for one pair
+    column but O(pairs)·7-HOF interpreted work under a pair join;
+    computing them once per row makes the per-pair residual a single
+    fold (fixed_dot) or a batched matmul (fixed_dot_pairs)."""
+    out = df.withColumn(
+        qv_col, F.transform(F.col(vec_col), lambda x: F.round(x * q).cast("long"))
+    )
+    return out.withColumn(
+        n2_col,
+        F.aggregate(
+            F.transform(F.col(qv_col), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def fixed_dot(qa, qb):
+    """EXACT integer dot of two pre-quantized long vectors — ONE fold."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def fixed_micro_cosine(dot, n2a, n2b):
+    """round(cosine·10⁶) as long from exact integer parts — the identical
+    float tail cosine_fixed ends with (one divide of exact integers, two
+    correctly-rounded sqrts), so results are bit-equal to
+    round(cosine_fixed(a, b)·10⁶)."""
+    return (
+        F.round(
+            dot.cast("double")
+            / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double")))
+            * 1_000_000
+        )
+        .cast("long")
+    )
+
+
+def fixed_dot_pairs(
+    items: DataFrame,
+    probes: DataFrame,
+    item_id_col: str = "vec_id",
+    probe_id_col: str = "probe_id",
+    vec_col: str = "embedding",
+    q: int = 1_000_000,
+    item_extra: tuple[str, ...] = (),
+    probe_extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """ALL (probe, item) EXACT integer-grid dot products via ONE
+    Arrow-batched int64 matmul per item batch — the bulk twin of
+    cosine_fixed for probe×corpus scoring (nDCG evaluation, alignment):
+    int64 matmul is exact for micro-grid vectors (|dot| ≤ dim·q² ≪ 2^63),
+    so the emitted integers equal the JVM fold's bit-for-bit; finish with
+    fixed_micro_cosine for the identical float tail.
+
+    Scale shape: probes quantize in the JVM and collect driver-side
+    (bounded probe-set contract — the IVF codebook-pull precedent), then
+    broadcast in the closure; items stream through once and never
+    shuffle. Output: (probe_id, item_id, dot, n2_probe, n2_item,
+    *item_extra, *probe_extra)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pq = quantized_with_norm(
+        probes.filter(F.col(vec_col).isNotNull()), vec_col, q
+    ).select(probe_id_col, "_qv", "_n2", *probe_extra)
+    prows = pq.collect()
+    pmat = np.array([r["_qv"] for r in prows], dtype="int64")
+    pids = np.array([r[probe_id_col] for r in prows])
+    pn2 = np.array([r["_n2"] for r in prows], dtype="int64")
+    pext = {c: np.array([r[c] for r in prows]) for c in probe_extra}
+
+    iq = quantized_with_norm(
+        items.filter(F.col(vec_col).isNotNull()), vec_col, q
+    ).select(item_id_col, "_qv", "_n2", *item_extra)
+    it_types = {f.name: f.dataType for f in iq.schema.fields}
+    pr_types = {f.name: f.dataType for f in pq.schema.fields}
+    out_schema = StructType(
+        [StructField(probe_id_col, pr_types[probe_id_col])]
+        + [StructField(item_id_col, it_types[item_id_col])]
+        + [
+            StructField("dot", LongType()),
+            StructField("n2_probe", LongType()),
+            StructField("n2_item", LongType()),
+        ]
+        + [StructField(c, it_types[c]) for c in item_extra]
+        + [StructField(c, pr_types[c]) for c in probe_extra]
+    )
+    n_p = len(prows)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf) or not n_p:
+                continue
+            m = np.array(pdf["_qv"].tolist(), dtype="int64")
+            dots = m @ pmat.T  # exact: int64 micro-grid magnitudes
+            b = len(pdf)
+            out = {
+                probe_id_col: np.tile(pids, b),
+                item_id_col: np.repeat(pdf[item_id_col].to_numpy(), n_p),
+                "dot": dots.reshape(-1),
+                "n2_probe": np.tile(pn2, b),
+                "n2_item": np.repeat(pdf["_n2"].to_numpy(), n_p),
+            }
+            for c in item_extra:
+                out[c] = np.repeat(pdf[c].to_numpy(), n_p)
+            for c in probe_extra:
+                out[c] = np.tile(pext[c], b)
+            yield pd.DataFrame(out)
+
+    return iq.mapInPandas(run, schema=out_schema)
+
+
 def _rp_signs(out_dim: int, in_dim: int) -> list[list[int]]:
     import hashlib
 
@@ -848,22 +974,35 @@ def reciprocal_best_match(
 
     Returns (left_id, right_id, cosine) with cosine = micro/10⁶ (round-6
     exact)."""
-    l = left.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("left_id"),
-        F.col(vec_col).alias("_lv"),
-    )
-    r = right.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("right_id"),
-        F.col(vec_col).alias("_rv"),
-    )
+    l = quantized_with_norm(
+        left.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("left_id"),
+            F.col(vec_col).alias("_lv"),
+        ),
+        "_lv",
+        qv_col="_lqv",
+        n2_col="_ln2",
+    ).drop("_lv")
+    r = quantized_with_norm(
+        right.select(
+            F.col(block_col).alias("_blk"),
+            F.col(id_col).alias("right_id"),
+            F.col(vec_col).alias("_rv"),
+        ),
+        "_rv",
+        qv_col="_rqv",
+        n2_col="_rn2",
+    ).drop("_rv")
+    # quantize + norm once per ROW; the per-pair residual is one fold —
+    # bit-equal to round(cosine_fixed(lv, rv)·10⁶) at O(pairs)/7 the
+    # interpreted-HOF work
     scored = l.join(r, "_blk").select(
         "left_id",
         "right_id",
-        F.round(cosine_fixed(F.col("_lv"), F.col("_rv")) * 1_000_000)
-        .cast("long")
-        .alias("_c"),
+        fixed_micro_cosine(
+            fixed_dot(F.col("_lqv"), F.col("_rqv")), F.col("_ln2"), F.col("_rn2")
+        ).alias("_c"),
     )
     if min_cosine is not None:
         scored = scored.filter(F.col("_c") >= int(round(min_cosine * 1_000_000)))

@@ -1,0 +1,530 @@
+"""Statistical QA gates: correlation, two-sample drift tests, grouped
+trend fits, and contingency independence — the numeric acceptance layer
+a curation pipeline puts between "computed a feature" and "trusted it".
+
+Reference parity: the reference validates distributions informally in
+its eval notebooks (kgraph/eval/stats.py is the closest analogue); these
+operators restate that intent as engine-exact, oracle-checkable gates.
+
+Cross-engine float discipline (the repo-wide recipe):
+- inputs quantize to an integer grid (caller-chosen scale) — the grid is
+  part of the operator contract, not a fudge;
+- every moment (Σx, Σx², Σxy) accumulates as EXACT wide-integer sums
+  (Spark decimal(38,0) ≡ DuckDB HUGEINT), so partition order can never
+  wobble a result;
+- the floating combination happens once, on final scalars, with sqrt
+  (correctly rounded per IEEE-754 in both engines) and a round-6 finish.
+
+Scale notes (the 100-TB reading): moment aggregates are single hash
+aggregations with map-side partials — no sort, no window, no collect.
+The two-sample tests (KS, Mann-Whitney) rank over the DISTINCT value
+grid, not raw rows: values are quantized to a bounded grid first, so the
+global ordered window runs over |grid| rows (≤ scale·range), not |data|
+rows. For genuinely unbounded grids, pre-bucket with
+profiling.equi_depth_histogram or reuse the two-phase distributed prefix
+sum (dedup_text.sorted_neighborhood_pairs) — documented, not silently
+assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "pearson_corr",
+    "spearman_corr",
+    "ks_2sample",
+    "mann_whitney_u",
+    "ols_trend",
+    "chi2_independence",
+    "anova_f",
+    "prop_ztest",
+    "cohens_d",
+]
+
+_DEC = "decimal(38,0)"
+
+
+def _quant(col: Column, scale: int) -> Column:
+    """Quantize to the integer grid: round(x·scale) as long."""
+    return F.round(col * F.lit(scale), 0).cast("long")
+
+
+def _moment_aggs() -> list[Column]:
+    """Exact wide-integer moment sums over pre-quantized (qx, qy)."""
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    return [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qx").cast(_DEC)).alias("sx"),
+        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
+        F.sum(d19("qx") * d19("qx")).alias("sxx"),
+        F.sum(d19("qy") * d19("qy")).alias("syy"),
+        F.sum(d19("qx") * d19("qy")).alias("sxy"),
+    ]
+
+
+def _corr_from_moments() -> Column:
+    """r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)), round 6.
+
+    Numerator/denominators combine IN DECIMAL (exact), cast to double
+    once; sqrt is correctly rounded in every IEEE engine, so the final
+    expression is a fixed op sequence both engines replay identically.
+    """
+    nd = F.col("n").cast(_DEC)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return F.when(
+        (dx > 0) & (dy > 0), F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6)
+    ).alias("corr")
+
+
+def pearson_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Pearson correlation of two numeric columns, optionally per group:
+    (group?, n, corr). NULL in either column drops the row (pairwise
+    complete); a constant column yields NULL corr (undefined, not 0).
+
+    ONE hash aggregation (map-side partials) — rows never sort or pair.
+    At 100 TB this is the cheapest shape a correlation can take: 6 sums
+    and a count on the group key (or a single global reduce).
+    """
+    for c in (x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"unknown column {c!r}")
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *([F.col(group_col)] if group_col else []),
+        _quant(F.col(x_col), x_scale).alias("qx"),
+        _quant(F.col(y_col), y_scale).alias("qy"),
+    )
+    keys = [group_col] if group_col else []
+    m = q.groupBy(*keys).agg(*_moment_aggs())
+    return m.select(*keys, F.col("n"), _corr_from_moments())
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """Spearman rank correlation: Pearson over average ranks, with ties
+    given the conventional midrank. Midranks are half-integers, so they
+    ride as DOUBLED integer ranks (2·rank_min + tiecount − 1) and stay
+    exact — the corr is scale-invariant, so the doubling cancels.
+
+    Two rank windows over the global value order (bounded by the
+    quantized grid — see module docstring) + the same single moment
+    aggregation as pearson_corr.
+    """
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        _quant(F.col(x_col), x_scale).alias("vx"),
+        _quant(F.col(y_col), y_scale).alias("vy"),
+    )
+
+    def midranks(col: str) -> DataFrame:
+        """Distinct-value grid → doubled midrank (2·below + t + 1)."""
+        per_v = q.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per_v.select(
+            col,
+            (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1)
+            .cast("long")
+            .alias(f"r2{col}"),
+        )
+
+    ranked = (
+        q.join(midranks("vx"), "vx")
+        .join(midranks("vy"), "vy")
+        .select(F.col("r2vx").alias("qx"), F.col("r2vy").alias("qy"))
+    )
+    m = ranked.agg(*_moment_aggs())
+    return m.select(F.col("n"), _corr_from_moments().alias("spearman"))
+
+
+def ks_2sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance — the distribution-drift
+    gate that needs no binning choice (complement to profiling.psi_drift,
+    which needs reference bins): one row
+    (n_a, n_b, ks_d, at_value) where ks_d = max |F̂_a(v) − F̂_b(v)| and
+    at_value is the grid value achieving it (smallest on ties).
+
+    Exact until the last step: D's numerator is the integer
+    max |cum_a·n_b − cum_b·n_a|; ONE division by n_a·n_b finishes it.
+    Plan: two per-value hash aggregates, a full-outer merge on the grid,
+    one ordered window over the DISTINCT grid (not the rows), one max.
+    """
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    ca = qa.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    cb = qb.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    merged = (
+        ca.join(cb, "qv", "full_outer")
+        .select(
+            "qv",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "qv",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    totals = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    diff = cum.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")).alias(
+            "d_num"
+        ),
+        F.col("qv"),
+    )
+    # argmax with smallest-value tie-break: max of (d_num, -qv) struct
+    best = diff.groupBy("n_a", "n_b").agg(
+        F.max(F.struct(F.col("d_num"), (-F.col("qv")).alias("nv"))).alias("m")
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("m.d_num").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("ks_d"),
+        F.round((-F.col("m.nv")).cast("double") / F.lit(scale).cast("double"), 6).alias(
+            "at_value"
+        ),
+    )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric "did this
+    filter shift the distribution" gate: one row
+    (n_a, n_b, u_a, u_b, auc, z). u_a counts (a>b) pairs with half credit
+    for ties; auc = u_a/(n_a·n_b) is the common-language effect size
+    (P(a > b) + ½P(a = b)); z is the tie-corrected normal approximation.
+
+    Midranks ride doubled (integers, exact — same trick as
+    spearman_corr); rank sums accumulate as wide integers; the z
+    combination is a fixed double-op sequence with one sqrt.
+    Ranks are assigned on the DISTINCT value grid and joined back, so
+    the ordered window is grid-sized, not data-sized.
+    """
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(1).alias("is_a")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(0).alias("is_a")
+    )
+    pooled = qa.unionByName(qb)
+    per_v = pooled.groupBy("qv").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_a").cast("long").alias("t_a"),
+    )
+    w = Window.orderBy("qv")
+    # doubled midrank of a value = 2·(rows before it) + t + 1
+    ranked = per_v.select(
+        "qv",
+        "t",
+        "t_a",
+        (
+            2 * (F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("long").alias("n_b"),
+        F.sum(F.col("t_a").cast(_DEC) * F.col("r2").cast(_DEC)).alias("r2_a"),
+        F.sum(
+            F.col("t").cast(_DEC) * F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+            - F.col("t").cast(_DEC)
+        ).alias("ties_t"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    nn = (na + nb).cast("double")
+    # doubled U_a = doubled R_a − n_a(n_a+1)
+    u_a2 = (F.col("r2_a") - (na * (na + 1)).cast(_DEC)).cast("double")
+    u_a = u_a2 / F.lit(2.0)
+    prod = na.cast("double") * nb.cast("double")
+    var = (
+        prod
+        / F.lit(12.0)
+        * (
+            (nn + 1)
+            - F.col("ties_t").cast("double") / (nn * (nn - 1))
+        )
+    )
+    return agg.select(
+        na,
+        nb,
+        u_a.alias("u_a"),
+        (prod - u_a).alias("u_b"),
+        F.round(u_a / prod, 6).alias("auc"),
+        F.when(var > 0, F.round((u_a - prod / 2) / F.sqrt(var), 6)).alias("z"),
+    )
+
+
+def ols_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group least-squares line y ≈ slope·(x − min(x)) + intercept —
+    the "is this metric drifting over time" fit (x is typically epoch
+    seconds): (group, n, x_min, slope, intercept). Groups with n < 2 or
+    constant x report NULL slope.
+
+    x centers on the group minimum FIRST (exact integer shift; slope is
+    shift-invariant) so x² moments stay small enough for exact
+    wide-integer sums even with epoch-second x — the standard
+    catastrophic-cancellation dodge, done in integers instead of floats.
+    One window min + one hash aggregation on the same group key.
+    """
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        _quant(F.col(y_col), y_scale).alias("qy"),
+    )
+    wg = Window.partitionBy("g")
+    centered = q.select(
+        "g",
+        F.min("x").over(wg).alias("x_min"),
+        (F.col("x") - F.min("x").over(wg)).alias("qx"),
+        "qy",
+    )
+    m = centered.groupBy("g", "x_min").agg(*_moment_aggs())
+    nd = F.col("n").cast(_DEC)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    bnum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    ys = F.lit(float(y_scale))
+    return m.select(
+        F.col("g").alias(group_col),
+        "n",
+        "x_min",
+        F.when(dx > 0, F.round(num / (dx * ys), 6)).alias("slope"),
+        F.when(dx > 0, F.round(bnum / (dx * ys), 6)).alias("intercept"),
+    )
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-squared independence of two categoricals + Cramér's V — the
+    "is lang independent of source" style contingency gate: one row
+    (n, k_a, k_b, dof, chi2, cramers_v). NULL categories drop.
+
+    Per-cell terms (n·O − R·C)²/(n·R·C) are a fixed double-op sequence
+    (identical in any IEEE engine), rounded ONCE to integer micros, then
+    summed exactly — so the distributed sum order can't wobble the
+    statistic (the incremental-aggregate fixed-point recipe).
+    One (a,b) cell aggregate + two marginal aggregates, all hash;
+    marginals broadcast back onto the cells.
+    """
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = base.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("ra"))
+    cb = base.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("k_a"),
+        F.countDistinct("b").cast("long").alias("k_b"),
+    )
+    j = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    od = F.col("o").cast("double")
+    rad = F.col("ra").cast("double")
+    cbd = F.col("cb").cast("double")
+    dev = nd * od - rad * cbd
+    term_micro = F.round(dev * dev / (nd * rad * cbd) * F.lit(1_000_000.0), 0).cast(
+        "long"
+    )
+    summed = j.groupBy("n", "k_a", "k_b").agg(
+        F.sum(term_micro).cast("long").alias("chi2_micro")
+    )
+    chi2 = F.col("chi2_micro").cast("double") / F.lit(1_000_000.0)
+    mink = F.least(F.col("k_a") - 1, F.col("k_b") - 1)
+    return summed.select(
+        "n",
+        "k_a",
+        "k_b",
+        ((F.col("k_a") - 1) * (F.col("k_b") - 1)).alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.when(
+            mink > 0,
+            F.round(F.sqrt(chi2 / (F.col("n").cast("double") * mink.cast("double"))), 6),
+        ).alias("cramers_v"),
+    )
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 1_000,
+) -> DataFrame:
+    """One-way ANOVA F over k groups — the "do these strata share a
+    mean" gate (e.g. value by event_type): one row
+    (n, k, ss_between, ss_within, f_stat, eta_sq). Groups of any size;
+    k < 2 or zero within-variance reports NULL f_stat.
+
+    Per-group moments are exact wide integers; each group's
+    (Σx/scale)²/n term is ONE fixed IEEE op sequence in value² units, and
+    with k small the cross-group double sum is order-sensitive only at
+    sub-ulp scale — absorbed by the round-6 finish (the entry-module
+    empirical-rounding note). Two hash aggregates (per-group, then
+    global) — no sort, no window.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv"))
+    per_g = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("qv").cast(_DEC)).alias("sg"),
+        F.sum(F.col("qv").cast("decimal(19,0)") * F.col("qv").cast("decimal(19,0)")).alias("ssg"),
+    )
+    sc = F.lit(float(scale))
+    mg = F.col("sg").cast("double") / sc
+    term = mg * mg / F.col("ng").cast("double")
+    tot = per_g.select(
+        "ng", "sg", "ssg", term.alias("tg")
+    ).agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("sg")).alias("s"),
+        F.sum(F.col("ssg")).alias("ss"),
+        F.sum("tg").alias("a"),
+    )
+    ms = F.col("s").cast("double") / sc
+    ssb = F.col("a") - ms * ms / F.col("n").cast("double")
+    ssw = F.col("ss").cast("double") / (sc * sc) - F.col("a")
+    k, n = F.col("k"), F.col("n")
+    f_stat = (ssb / (k - 1).cast("double")) / (ssw / (n - k).cast("double"))
+    return tot.select(
+        "n",
+        "k",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.when((k > 1) & (n > k) & (ssw > 0), F.round(f_stat, 6)).alias("f_stat"),
+        F.when(ssb + ssw > 0, F.round(ssb / (ssb + ssw), 6)).alias("eta_sq"),
+    )
+
+
+def prop_ztest(df_a: DataFrame, df_b: DataFrame, flag_col: str) -> DataFrame:
+    """Two-proportion z-test — the conversion/error-rate A/B gate: one
+    row (n_a, n_b, x_a, x_b, p_a, p_b, z) where z uses the pooled
+    proportion. Exact integer counts throughout; z's numerator is the
+    integer x_a·n_b − x_b·n_a and its denominator takes ONE sqrt of a
+    fixed double expression — z = num / √(x(n−x)·n_a·n_b/n).
+    Degenerate pools (all true / all false) report NULL z.
+    """
+    cnt = lambda d: d.filter(F.col(flag_col).isNotNull()).agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("x"),
+    )
+    a = cnt(df_a).select(F.col("n").alias("n_a"), F.col("x").alias("x_a"))
+    b = cnt(df_b).select(F.col("n").alias("n_b"), F.col("x").alias("x_b"))
+    j = a.crossJoin(F.broadcast(b))
+    na, nb, xa, xb = F.col("n_a"), F.col("n_b"), F.col("x_a"), F.col("x_b")
+    x, n = xa + xb, na + nb
+    num = (xa * nb - xb * na).cast("double")
+    den_sq = (
+        (x * (n - x)).cast("double")
+        * na.cast("double")
+        * nb.cast("double")
+        / n.cast("double")
+    )
+    return j.select(
+        na,
+        nb,
+        xa,
+        xb,
+        F.round(xa.cast("double") / na.cast("double"), 6).alias("p_a"),
+        F.round(xb.cast("double") / nb.cast("double"), 6).alias("p_b"),
+        F.when(den_sq > 0, F.round(num / F.sqrt(den_sq), 6)).alias("z"),
+    )
+
+
+def cohens_d(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cohen's d standardized mean difference — the effect-size companion
+    to mann_whitney_u/prop_ztest (a significant z on 100 TB of rows can
+    be a trivial effect): one row (n_a, n_b, mean_a, mean_b, d) with the
+    pooled-variance denominator. n_a+n_b < 3 or zero pooled variance
+    reports NULL d.
+
+    One moment aggregate per side on exact wide integers; the d
+    combination is a fixed double sequence with one sqrt.
+    """
+    mom = lambda d: d.filter(F.col(value_col).isNotNull()).select(  # noqa: E731
+        _quant(F.col(value_col), scale).alias("qv")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("s"),
+        F.sum(F.col("qv").cast("decimal(19,0)") * F.col("qv").cast("decimal(19,0)")).alias("ss"),
+    )
+    a = mom(df_a).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = mom(df_b).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a"), F.col("n_b")
+    sc = F.lit(float(scale))
+    mean_a = F.col("s_a").cast("double") / na.cast("double") / sc
+    mean_b = F.col("s_b").cast("double") / nb.cast("double") / sc
+    # (n−1)·s² in micro² units = ss − s²/n, computed per side in doubles
+    dev_a = F.col("ss_a").cast("double") - (F.col("s_a") * F.col("s_a")).cast(
+        "double"
+    ) / na.cast("double")
+    dev_b = F.col("ss_b").cast("double") - (F.col("s_b") * F.col("s_b")).cast(
+        "double"
+    ) / nb.cast("double")
+    pooled = (dev_a + dev_b) / (na + nb - 2).cast("double")
+    d_val = (mean_a - mean_b) / (F.sqrt(pooled) / sc)
+    return j.select(
+        na,
+        nb,
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.when((na + nb > 2) & (pooled > 0), F.round(d_val, 6)).alias("d"),
+    )

@@ -1216,10 +1216,12 @@ def main() -> None:
     ))
 
     sections.append((
-        "nDCG@10 — probes broadcast for scoring, per-query windows on "
-        "the query key, integer micro-division per query; no global sort",
+        "nDCG@10 — pair scores via the Arrow-batched int64 matmul "
+        "(probes in the closure, items stream once — no pair join at "
+        "all); per-query windows on the query key; no global sort",
         _plan(entrymod.queries()["er_ndcg"](spark, SF)),
-        ["Window", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+        ["MapInPandas", "Window", "!CartesianProduct",
+         "!BroadcastNestedLoopJoin"],
     ))
 
     sections.append((
@@ -1228,6 +1230,52 @@ def main() -> None:
         "global sort of the union)",
         _plan(entrymod.queries()["kmv_vocab_overlap"](spark, SF)),
         ["TakeOrderedAndProject", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Pearson correlation — ONE hash aggregation with map-side partial "
+        "moment sums (exact decimals); rows never sort, pair, or collect",
+        _plan(entrymod.queries()["stat_pearson"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Spearman correlation — midranks on the DISTINCT value grid "
+        "(grid-sized windows), joined back by value, then the same single "
+        "moment aggregate",
+        _plan(entrymod.queries()["stat_spearman"](spark, SF)),
+        ["Window", "HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "KS two-sample — per-value hash aggregates, full-outer grid merge, "
+        "ONE grid-sized cumulative window, integer max; totals broadcast",
+        _plan(entrymod.queries()["stat_ks_drift"](spark, SF)),
+        ["Window", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Chi-squared independence — cell aggregate + two broadcast "
+        "marginals + 1-row totals broadcast; fixed-point micro terms sum "
+        "exactly in a final hash aggregate",
+        _plan(entrymod.queries()["stat_chi2"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "ANOVA F — two chained hash aggregates (per-group moments, then "
+        "global), map-side partials; no sort, no window, no Python",
+        _plan(entrymod.queries()["stat_anova"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Soundex blocking — pure expression chain (translate/regexp), "
+        "vocabulary distinct + broadcast block sizes; no UDF anywhere",
+        _plan(entrymod.queries()["er_soundex_blocks"](spark, SF)),
+        ["BroadcastHashJoin", "translate", "!BatchEvalPython",
+         "!CartesianProduct"],
     ))
 
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]

@@ -1,0 +1,271 @@
+"""Statistical QA gates (stats.py) + phonetic blocking (phonetic.py):
+hand-checked values, tie handling, NULL discipline, degenerate groups."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kgraph_spark.operators.phonetic import phonetic_blocks, soundex_key
+from kgraph_spark.operators.stats import (
+    chi2_independence,
+    ks_2sample,
+    mann_whitney_u,
+    ols_trend,
+    pearson_corr,
+    spearman_corr,
+)
+
+
+def _pearson(xs, ys):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    return num / (math.sqrt(dx) * math.sqrt(dy))
+
+
+def test_pearson_hand_case(spark):
+    xs = [1, 2, 3, 4, 10]
+    ys = [2, 1, 4, 3, 9]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    row = pearson_corr(df, "x", "y").first()
+    assert row["n"] == 5
+    assert row["corr"] == pytest.approx(round(_pearson(xs, ys), 6), abs=1e-9)
+
+
+def test_pearson_null_rows_and_constant(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (None, 3.0), (3, 2.0)], "x long, y double"
+    )
+    row = pearson_corr(df, "x", "y", y_scale=10).first()
+    assert row["n"] == 2  # pairwise-complete only
+    const = spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "x long, y long")
+    assert pearson_corr(const, "x", "y").first()["corr"] is None
+
+
+def test_pearson_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("b", 1, 3), ("b", 2, 2), ("b", 3, 1)],
+        "g string, x long, y long",
+    )
+    got = {r["g"]: r["corr"] for r in pearson_corr(df, "x", "y", "g").collect()}
+    assert got["a"] == pytest.approx(1.0)
+    assert got["b"] == pytest.approx(-1.0)
+
+
+def test_spearman_monotone_and_ties(spark):
+    # monotone but nonlinear → spearman 1, pearson < 1
+    df = spark.createDataFrame([(1, 1), (2, 4), (3, 9), (4, 100)], "x long, y long")
+    assert spearman_corr(df, "x", "y").first()["spearman"] == pytest.approx(1.0)
+    # tie case checked against midrank formula by hand:
+    # x = [1,1,2], midranks [1.5,1.5,3]; y = [2,3,3], midranks [1,2.5,2.5]
+    tied = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "x long, y long")
+    expect = _pearson([3, 3, 6], [2, 5, 5])  # doubled midranks
+    assert tied.count() == 3
+    got = spearman_corr(tied, "x", "y").first()["spearman"]
+    assert got == pytest.approx(round(expect, 6), abs=1e-9)
+
+
+def test_ks_hand_case(spark):
+    a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "v double")
+    b = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]], "v double")
+    row = ks_2sample(a, b, "v").first()
+    # F_a - F_b maxes at v=2: |2/4 - 0/4| = 0.5
+    assert (row["n_a"], row["n_b"]) == (4, 4)
+    assert row["ks_d"] == pytest.approx(0.5)
+    assert row["at_value"] == pytest.approx(2.0)
+
+
+def test_ks_identical_and_tiebreak(spark):
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    same = ks_2sample(a, a, "v").first()
+    assert same["ks_d"] == pytest.approx(0.0)
+    # two values reach the max diff → smallest reported
+    b = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    row = ks_2sample(a, b, "v").first()
+    assert row["ks_d"] == pytest.approx(1.0)
+    assert row["at_value"] == pytest.approx(2.0)
+
+
+def _mwu_brute(a, b):
+    u = 0.0
+    for x in a:
+        for y in b:
+            u += 1.0 if x > y else (0.5 if x == y else 0.0)
+    return u
+
+
+def test_mwu_hand_case_with_ties(spark):
+    a_vals = [1.0, 2.0, 2.0, 5.0]
+    b_vals = [2.0, 3.0, 4.0]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    row = mann_whitney_u(a, b, "v").first()
+    u_a = _mwu_brute(a_vals, b_vals)
+    assert (row["n_a"], row["n_b"]) == (4, 3)
+    assert row["u_a"] == pytest.approx(u_a)
+    assert row["u_b"] == pytest.approx(4 * 3 - u_a)
+    assert row["auc"] == pytest.approx(round(u_a / 12, 6))
+    # tie-corrected z against the textbook formula
+    n, na, nb = 7, 4, 3
+    ties_t = (3**3 - 3)  # value 2.0 appears 3 times
+    var = na * nb / 12 * ((n + 1) - ties_t / (n * (n - 1)))
+    z = (u_a - na * nb / 2) / math.sqrt(var)
+    assert row["z"] == pytest.approx(round(z, 6), abs=1e-9)
+
+
+def test_mwu_all_tied_z_null(spark):
+    a = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    row = mann_whitney_u(a, a, "v").first()
+    assert row["auc"] == pytest.approx(0.5)
+    assert row["z"] is None
+
+
+def test_ols_trend_exact_line_and_degenerate(spark):
+    rows = [("u", 100, 1.0), ("u", 200, 3.0), ("u", 300, 5.0), ("v", 50, 7.0)]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {r["g"]: r for r in ols_trend(df, "x", "y", "g").collect()}
+    # exact line y = 0.02·(x−100) + 1
+    assert got["u"]["slope"] == pytest.approx(0.02)
+    assert got["u"]["intercept"] == pytest.approx(1.0)
+    assert got["u"]["x_min"] == 100
+    # single point → NULL fit, but the row still reports
+    assert got["v"]["slope"] is None and got["v"]["intercept"] is None
+
+
+def test_chi2_hand_case(spark):
+    # classic 2x2: [[10, 20], [20, 10]]
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20 + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = chi2_independence(df, "a", "b").first()
+    # chi2 = n(ad-bc)^2 / (r1 r2 c1 c2) = 60*(100-400)^2/30^4 = 6.666...
+    assert row["n"] == 60 and row["dof"] == 1
+    assert row["chi2"] == pytest.approx(6.666667, abs=2e-6)
+    assert row["cramers_v"] == pytest.approx(round(math.sqrt(6.666667 / 60), 6), abs=2e-6)
+
+
+def test_chi2_independent_is_zero(spark):
+    rows = [(a, b) for a in ("a", "b") for b in ("x", "y") for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    row = chi2_independence(df, "a", "b").first()
+    assert row["chi2"] == pytest.approx(0.0)
+
+
+def _soundex_ref(word: str) -> str:
+    codes = dict(zip("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"))
+    u = "".join(ch for ch in word.upper() if ch.isalpha())
+    if not u:
+        return None
+    s = "".join(codes[c] for c in u)
+    # drop runs: keep chars differing from predecessor
+    out = [s[0]]
+    for c in s[1:]:
+        if c != out[-1]:
+            out.append(c)
+    tail = "".join(out)[1:].replace("0", "")
+    return u[0] + (tail + "000")[:3]
+
+
+def test_soundex_known_keys(spark):
+    words = ["Robert", "Rupert", "Pfister", "Tymczak", "red", "rod", "dad", "a", "x9"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["k"] for r in df.select("w", soundex_key(F.col("w")).alias("k")).collect()}
+    for w in words:
+        assert got[w] == _soundex_ref(w), w
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Pfister"] == "P236"  # lead-letter code collapses with F
+    assert got["red"] == got["rod"] == "R300"
+    assert got["a"] == "A000"
+
+
+def test_phonetic_blocks(spark):
+    df = spark.createDataFrame(
+        [("the red rod, a red gear",), ("blue gear!",)], "text string"
+    )
+    got = phonetic_blocks(df, "text", min_block=2).collect()
+    block = {(r["word"], r["soundex_key"], r["n_in_block"]) for r in got}
+    assert block == {("red", "R300", 2), ("rod", "R300", 2)}
+    allrows = phonetic_blocks(df, "text").collect()
+    assert {r["word"] for r in allrows} == {"the", "red", "rod", "a", "gear", "blue"}
+
+
+def test_anova_two_groups_matches_hand_formula(spark):
+    a_vals = [1.0, 2.0, 3.0]
+    b_vals = [4.0, 6.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = __import__("kgraph_spark.operators.stats", fromlist=["anova_f"]).anova_f(
+        df, "v", "g"
+    ).first()
+    all_vals = a_vals + b_vals
+    grand = sum(all_vals) / len(all_vals)
+    ssb = sum(
+        len(g) * (sum(g) / len(g) - grand) ** 2 for g in (a_vals, b_vals)
+    )
+    ssw = sum(
+        (v - sum(g) / len(g)) ** 2 for g in (a_vals, b_vals) for v in g
+    )
+    f = (ssb / 1) / (ssw / 3)
+    assert row["n"] == 5 and row["k"] == 2
+    assert row["ss_between"] == pytest.approx(ssb, abs=1e-5)
+    assert row["ss_within"] == pytest.approx(ssw, abs=1e-5)
+    assert row["f_stat"] == pytest.approx(f, abs=1e-4)
+    assert row["eta_sq"] == pytest.approx(ssb / (ssb + ssw), abs=1e-5)
+
+
+def test_anova_single_group_null_f(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    from kgraph_spark.operators.stats import anova_f
+
+    row = anova_f(df, "v", "g").first()
+    assert row["k"] == 1 and row["f_stat"] is None
+
+
+def test_prop_ztest_hand_case(spark):
+    from kgraph_spark.operators.stats import prop_ztest
+
+    a = spark.createDataFrame([(True,)] * 30 + [(False,)] * 70, "f boolean")
+    b = spark.createDataFrame([(True,)] * 20 + [(False,)] * 80, "f boolean")
+    row = prop_ztest(a, b, "f").first()
+    assert (row["n_a"], row["x_a"], row["n_b"], row["x_b"]) == (100, 30, 100, 20)
+    p = 50 / 200
+    z = (0.3 - 0.2) / math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    assert row["z"] == pytest.approx(z, abs=1e-5)
+    assert row["p_a"] == pytest.approx(0.3) and row["p_b"] == pytest.approx(0.2)
+
+
+def test_prop_ztest_degenerate_null_z(spark):
+    from kgraph_spark.operators.stats import prop_ztest
+
+    a = spark.createDataFrame([(True,), (True,)], "f boolean")
+    assert prop_ztest(a, a, "f").first()["z"] is None
+
+
+def test_cohens_d_hand_case(spark):
+    from kgraph_spark.operators.stats import cohens_d
+
+    a_vals = [2.0, 4.0, 6.0]
+    b_vals = [1.0, 2.0, 3.0]
+    a = spark.createDataFrame([(v,) for v in a_vals], "v double")
+    b = spark.createDataFrame([(v,) for v in b_vals], "v double")
+    row = cohens_d(a, b, "v").first()
+    ma, mb = 4.0, 2.0
+    pooled = ((2 * 4.0) + (2 * 1.0)) / 4  # (n-1)s² sums / (n_a+n_b-2)
+    d = (ma - mb) / math.sqrt(pooled)
+    assert row["mean_a"] == pytest.approx(ma) and row["mean_b"] == pytest.approx(mb)
+    assert row["d"] == pytest.approx(d, abs=1e-5)
+
+
+def test_cohens_d_zero_variance_null(spark):
+    from kgraph_spark.operators.stats import cohens_d
+
+    a = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    assert cohens_d(a, a, "v").first()["d"] is None
