@@ -625,39 +625,43 @@ def predicate_composition(
     anyone writes the join; feeds rule mining and the H2 path-query
     planner with real composition frequencies.
 
-    The join is keyed on the shared mid node; a hub entity contributes
-    in-degree × out-degree paths, so `max_node_degree` drops nodes whose
-    in- OR out-degree exceeds the cap BEFORE the join (two degree
-    aggregates + LeftSemi — the documented recall contract, same shape as
-    the hot-shingle cap; None = uncapped). Exact integers throughout."""
+    A hub entity contributes in-degree × out-degree paths, so
+    `max_node_degree` drops nodes whose in- OR out-degree exceeds the cap
+    (the documented recall contract, same shape as the hot-shingle cap;
+    None = uncapped). Exact integers throughout.
+
+    Execution: paths are NEVER materialized. For a fixed mid node y,
+    #paths(p1, p2 via y) = in_cnt(y, p1) × out_cnt(y, p2), so the census
+    is two per-(node, predicate) degree aggregates over the distinct edge
+    set joined on the mid node — |nodes|×|preds| rows instead of
+    Σ in·out path rows (18M path rows → 60k degree rows at sf0.1; at
+    100 TB the path join this replaces is quadratic in hub degree while
+    the degree table stays linear in nodes)."""
     t = triples.select(
         F.col(subj_col).alias("_s"), F.col(pred_col).alias("_p"), F.col(obj_col).alias("_o")
     ).distinct()
-    if max_node_degree is not None:
-        outd = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_d"))
-        ind = t.groupBy("_o").agg(F.count(F.lit(1)).alias("_d"))
-        ok = (
-            outd.filter(F.col("_d") <= max_node_degree)
-            .select(F.col("_s").alias("_n"))
-            .join(
-                ind.filter(F.col("_d") <= max_node_degree).select(
-                    F.col("_o").alias("_n")
-                ),
-                "_n",
-            )
-        )
-        left = t.join(ok.withColumnRenamed("_n", "_o"), "_o", "left_semi")
-        right = t.join(ok.withColumnRenamed("_n", "_s"), "_s", "left_semi")
-    else:
-        left, right = t, t
-    paths = left.alias("a").join(
-        right.alias("b"), F.col("a._o") == F.col("b._s")
+    inc = t.groupBy(F.col("_o").alias("_mid"), F.col("_p").alias("p1")).agg(
+        F.count(F.lit(1)).cast("long").alias("_in_cnt")
     )
+    outc = t.groupBy(F.col("_s").alias("_mid"), F.col("_p").alias("p2")).agg(
+        F.count(F.lit(1)).cast("long").alias("_out_cnt")
+    )
+    if max_node_degree is not None:
+        # total (all-predicate) degrees derive from the tiny per-pred tables
+        in_ok = inc.groupBy("_mid").agg(F.sum("_in_cnt").alias("_d")).filter(
+            F.col("_d") <= max_node_degree
+        ).select("_mid")
+        out_ok = outc.groupBy("_mid").agg(F.sum("_out_cnt").alias("_d")).filter(
+            F.col("_d") <= max_node_degree
+        ).select("_mid")
+        inc = inc.join(in_ok, "_mid", "left_semi").join(out_ok, "_mid", "left_semi")
+        outc = outc.join(in_ok, "_mid", "left_semi").join(out_ok, "_mid", "left_semi")
     return (
-        paths.groupBy(F.col("a._p").alias("p1"), F.col("b._p").alias("p2"))
+        inc.join(outc, "_mid")
+        .groupBy("p1", "p2")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_paths"),
-            F.countDistinct(F.col("a._o")).cast("long").alias("n_mid_nodes"),
+            F.sum(F.col("_in_cnt") * F.col("_out_cnt")).cast("long").alias("n_paths"),
+            F.countDistinct("_mid").cast("long").alias("n_mid_nodes"),
         )
     )
 
@@ -687,15 +691,25 @@ def rule_confidence(
     Execution: the path join reuses predicate_composition's shape — mid
     node key, in/out degree cap BEFORE the join (documented recall
     contract) — then body pairs are deduped to distinct (x, z, p1, p2)
-    so path multiplicity can't inflate support, heads attach by ONE
-    (x, z)-keyed join of the distinct triple set, and the PCA
-    denominator is ONE x-keyed join against the distinct (x, p3) table.
-    Exact longs; two round-6 divisions per rule."""
-    t = triples.select(
-        F.col(subj_col).alias("_s"),
-        F.col(pred_col).alias("_p"),
-        F.col(obj_col).alias("_o"),
-    ).distinct()
+    so path multiplicity can't inflate support. The distinct triple set
+    and the distinct body-pair set are each pinned once (lazy
+    localCheckpoint) because three consumers read them — without the pin
+    Spark recomputes the path join + distinct per consumer. Both
+    denominators come from ONE per-(x, p1, p2) pre-aggregation of the
+    bodies (|x|-scale rows): body_support = Σ_x n_z, and the PCA join
+    attaches the distinct (x, p3) table to the pre-aggregate instead of
+    to the full body set — the x-keyed join shrinks from |bodies| to |x|
+    rows, the skew-and-size win at 100 TB. Heads attach by ONE
+    (x, z)-keyed join. Exact longs; two round-6 divisions per rule."""
+    t = (
+        triples.select(
+            F.col(subj_col).alias("_s"),
+            F.col(pred_col).alias("_p"),
+            F.col(obj_col).alias("_o"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # degree caps + both join sides + heads read it
+    )
     if max_node_degree is not None:
         outd = t.groupBy("_s").agg(F.count(F.lit(1)).alias("_d"))
         ind = t.groupBy("_o").agg(F.count(F.lit(1)).alias("_d"))
@@ -723,6 +737,7 @@ def rule_confidence(
             F.col("b._p").alias("p2"),
         )
         .distinct()
+        .localCheckpoint(eager=False)  # closed-support join + x-level pre-agg read it
     )
     heads = t.select(
         F.col("_s").alias("_x"), F.col("_o").alias("_z"), F.col("_p").alias("p3")
@@ -730,14 +745,17 @@ def rule_confidence(
     closed = bodies.join(heads, ["_x", "_z"]).groupBy("p1", "p2", "p3").agg(
         F.count(F.lit(1)).cast("long").alias("support")
     )
-    body_counts = bodies.groupBy("p1", "p2").agg(
-        F.count(F.lit(1)).cast("long").alias("body_support")
+    x_body = bodies.groupBy("_x", "p1", "p2").agg(
+        F.count(F.lit(1)).cast("long").alias("_nz")
+    )
+    body_counts = x_body.groupBy("p1", "p2").agg(
+        F.sum("_nz").cast("long").alias("body_support")
     )
     x_preds = heads.select("_x", "p3").distinct()
     pca_counts = (
-        bodies.join(x_preds, "_x")
+        x_body.join(x_preds, "_x")
         .groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).cast("long").alias("pca_body_support"))
+        .agg(F.sum("_nz").cast("long").alias("pca_body_support"))
     )
     return (
         closed.join(body_counts, ["p1", "p2"])

@@ -1024,8 +1024,10 @@ def main() -> None:
     ))
 
     sections.append((
-        "Predicate composition — degree caps LeftSemi-prune hub mid "
-        "nodes BEFORE the path join; id-only exchanges",
+        "Predicate composition — degree-product aggregation: paths are "
+        "never materialized (n_paths = Σ_mid in·out over two per-(node, "
+        "pred) degree tables); caps LeftSemi-prune hub mids on those "
+        "tiny tables",
         _plan(entrymod.queries()["kg_pred_compose"](spark, SF)),
         ["LeftSemi", "!CartesianProduct"],
     ))
@@ -1186,7 +1188,9 @@ def main() -> None:
 
     sections.append((
         "Rule confidence — degree-capped mid-node path join, distinct "
-        "body pairs, (x,z)-keyed head join; no cartesian anywhere",
+        "body pairs pinned once (lazy localCheckpoint) for the head join "
+        "+ the per-x pre-aggregate that feeds both denominators; no "
+        "cartesian anywhere",
         _plan(entrymod.queries()["kg_rule_confidence"](spark, SF)),
         ["HashAggregate", "!CartesianProduct"],
     ))
