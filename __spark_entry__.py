@@ -1563,6 +1563,179 @@ def q_word_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """The dedup DECISION: exact token-Jaccard pairs (≥0.5, df-capped
+    inverted index) → connected components → keep-best canonical per
+    cluster (longest trimmed text, ties to the smaller doc_id). Singleton
+    docs emit keep=true rows, so the output is the complete per-doc
+    verdict a curation pipeline acts on."""
+    from kgraph_spark.operators.dedup_text import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(shingles(docs, k=1), min_jaccard=0.5).select(
+        "doc_a", "doc_b"
+    )
+    ranked = docs.select("doc_id", F.length(F.trim(F.col("text"))).alias("_rank"))
+    return near_dup_clusters(ranked, pairs)
+
+
+def q_kg_type_constraints(spark, sf_dir):
+    """Schema induction + violation audit over a deliberately noisy
+    lineitem KG: qty=1 'contains' lines are mis-typed (part→supplier) to
+    simulate extraction bugs — the gate elects each predicate's dominant
+    (subject_type, object_type) signature and counts the tail."""
+    from kgraph_spark.operators.relationships import type_constraints
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    clean = li.filter(F.col("l_quantity") != 1).select(
+        o.alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        p.alias("object_id"),
+        F.lit("order").alias("subject_type"),
+        F.lit("part").alias("object_type"),
+    )
+    noisy = li.filter(F.col("l_quantity") == 1).select(
+        p.alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        s.alias("object_id"),
+        F.lit("part").alias("subject_type"),
+        F.lit("supplier").alias("object_type"),
+    )
+    supplied = li.select(
+        o.alias("subject_id"),
+        F.lit("supplied_by").alias("predicate"),
+        s.alias("object_id"),
+        F.lit("order").alias("subject_type"),
+        F.lit("supplier").alias("object_type"),
+    )
+    return type_constraints(clean.union(noisy).union(supplied))
+
+
+def q_text_lexical_diversity(spark, sf_dir):
+    """Per-doc lexical-diversity gate (TTR / hapax share / Simpson repeat
+    concentration) — exact-integer micro ratios, one (doc, token) shuffle."""
+    from kgraph_spark.operators.text_analysis import lexical_diversity
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return lexical_diversity(docs)
+
+
+def q_stat_benford(spark, sf_dir):
+    """Benford first-digit audit of orders.o_totalprice — the fabricated-
+    data / broken-ETL detector; expected shares are driver-side log10
+    micro literals shared with the oracle (no engine evaluates a log)."""
+    from kgraph_spark.operators.profiling import benford_audit
+
+    return benford_audit(_read(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_graph_katz(spark, sf_dir):
+    """Katz centrality (β=1/2, 3 walk lengths) over the C/S→N⇄R graph —
+    exact integer micro-units: 10⁶/2ᵏ divides evenly so no float enters
+    the fold; three chained sparse matvec joins."""
+    from kgraph_spark.operators.graph_analytics import katz_centrality
+
+    return katz_centrality(_pr_edges(spark, sf_dir), iterations=3)
+
+
+def q_media_captions(spark, sf_dir):
+    """Caption mining over interleaved span sequences: every media span
+    paired with its nearest preceding text span (the image-text pair
+    extraction step before multimodal packing) — one posexplode + one
+    per-doc running-last window, no join, no Python."""
+    from kgraph_spark.operators.interleave import media_captions
+
+    return media_captions(
+        _docs_to_interleaved_spans(_read(spark, sf_dir, "documents"))
+    )
+
+
+def q_er_weighted_overlap(spark, sf_dir):
+    """Brand-blocked part-name matching with EXACT integer IDF-like
+    weights (w = N div df): weighted overlap needs one integer division,
+    no sqrt — rare discriminative tokens dominate as tf-idf intends."""
+    from kgraph_spark.operators.similarity import weighted_token_overlap
+
+    names = _read(spark, sf_dir, "part").filter(F.col("p_partkey") < 500).select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_brand").alias("block"),
+        F.col("p_name").alias("name"),
+    )
+    return weighted_token_overlap(names, min_overlap_micro=200_000)
+
+
+def q_curation_power_mix(spark, sf_dir):
+    """α-power domain mixing weights (α=2, exact integer powers) over the
+    language mix: weight, natural share, and upsample factor per domain —
+    the mix-planning table a corpus scheduler consumes."""
+    from kgraph_spark.operators.corpus_curation import power_mix_weights
+
+    return power_mix_weights(_read(spark, sf_dir, "documents"), "lang", alpha=2)
+
+
+def q_kg_completion_candidates(spark, sf_dir):
+    """KG completion materialized: missing supplied_by edges implied by
+    contains(x,y) ∧ from(y,z) on the incomplete KG (supplied_by asserted
+    only for qty ≥ 25 lines — the head-sparse setup) — predicate-filtered
+    body sides, distinct implied pairs, ONE LeftAnti against existing
+    heads."""
+    from kgraph_spark.operators.relationships import rule_completion_candidates
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = (
+        li.select(o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id"))
+        .union(li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id")))
+        .union(
+            li.filter(F.col("l_quantity") >= 25).select(
+                o.alias("subject_id"),
+                F.lit("supplied_by").alias("predicate"),
+                s.alias("object_id"),
+            )
+        )
+    )
+    return rule_completion_candidates(t, "contains", "from", "supplied_by")
+
+
+def q_er_cluster_cohesion(spark, sf_dir):
+    """Transitive-merge QA over the dedup clusters: per multi-member
+    cluster, verified-pair density C(m,2) vs direct edges — the
+    hub-induced over-merge detector."""
+    from kgraph_spark.operators.dedup_text import (
+        cluster_cohesion,
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+        shingles,
+    )
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = ngram_jaccard_pairs(shingles(docs, k=1), min_jaccard=0.5).select(
+        "doc_a", "doc_b"
+    )
+    ranked = docs.select("doc_id", F.length(F.trim(F.col("text"))).alias("_rank"))
+    labels = near_dup_clusters(ranked, pairs).select("doc_id", "cluster_id")
+    return cluster_cohesion(labels, pairs)
+
+
+def q_text_ngram_novelty(spark, sf_dir):
+    """Corpus novelty curve: per doc, share of word 3-grams first seen in
+    this doc (min-doc_id attribution via ONE gram aggregate + join —
+    no sequential scan)."""
+    from kgraph_spark.operators.text_analysis import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return ngram_novelty(docs, k=3)
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (not single-SQL-expressible)
 # ---------------------------------------------------------------------------
@@ -4035,6 +4208,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_cooccurrence_docs": q_f1_cooccurrence_docs,
         "c6_vocab_prepass": q_c6_vocab_prepass,
         "word_jaccard_pairs": q_word_jaccard_pairs,
+        "kg_completion_candidates": q_kg_completion_candidates,
+        "er_cluster_cohesion": q_er_cluster_cohesion,
+        "text_ngram_novelty": q_text_ngram_novelty,
+        "graph_katz": q_graph_katz,
+        "media_captions": q_media_captions,
+        "er_weighted_overlap": q_er_weighted_overlap,
+        "curation_power_mix": q_curation_power_mix,
+        "dedup_clusters": q_dedup_clusters,
+        "kg_type_constraints": q_kg_type_constraints,
+        "text_lexical_diversity": q_text_lexical_diversity,
+        "stat_benford": q_stat_benford,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -4447,6 +4631,12 @@ def oracle_sql() -> dict[str, str]:
     from kgraph_spark.operators.eval_metrics import ndcg_discount_micro
 
     ndcg_w10 = "[" + ", ".join(str(w) for w in ndcg_discount_micro(10)) + "]"
+    # the SAME Benford first-digit micro literals the Spark plan embeds
+    from kgraph_spark.operators.profiling import benford_first_digit_micro
+
+    benford_vals = ", ".join(
+        f"('{d}', {m})" for d, m in zip(range(1, 10), benford_first_digit_micro())
+    )
     # Flagship oracle. Restates the whole construction pipeline in SQL for
     # the driver corpus, where it is exactly expressible because: documents
     # are < 2000 chars (single chunk — no window-overlap effects), the
@@ -6933,6 +7123,332 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = doc_a
             JOIN sz sb ON sb.doc_id = doc_b
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "kg_completion_candidates": """
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_orderkey < 500
+            ), t1 AS (
+                SELECT DISTINCT 'O' || l_orderkey AS x, 'P' || l_partkey AS y FROM li
+            ), t2 AS (
+                SELECT DISTINCT 'P' || l_partkey AS y, 'S' || l_suppkey AS z FROM li
+            ), imp AS (
+                SELECT DISTINCT x, z FROM t1 JOIN t2 USING (y)
+            ), hd AS (
+                SELECT DISTINCT 'O' || l_orderkey AS x, 'S' || l_suppkey AS z
+                FROM li WHERE l_quantity >= 25
+            )
+            SELECT i.x AS subject_id, 'supplied_by' AS predicate, i.z AS object_id
+            FROM imp i
+            WHERE NOT EXISTS (SELECT 1 FROM hd WHERE hd.x = i.x AND hd.z = i.z)
+        """,
+        # cluster labels restated via the dedup_clusters recursive CC,
+        # then pair density per multi-member cluster
+        "er_cluster_cohesion": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, t AS shingle
+                FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+                WHERE doc_id < 300 AND length(t) > 0
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+                WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+            ), edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach AS (
+                SELECT s AS id, s AS lab FROM edges
+                UNION
+                SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+            ), comp AS (
+                SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+            ), base AS (
+                SELECT doc_id FROM documents WHERE doc_id < 300
+            ), lab AS (
+                SELECT b.doc_id, coalesce(c.cluster_id, b.doc_id) AS cluster_id
+                FROM base b LEFT JOIN comp c ON c.id = b.doc_id
+            ), sizes AS (
+                SELECT cluster_id, count(*)::BIGINT AS m FROM lab
+                GROUP BY 1 HAVING count(*) >= 2
+            ), direct AS (
+                SELECT la.cluster_id, count(*)::BIGINT AS nd
+                FROM pairs p
+                JOIN lab la ON la.doc_id = p.doc_a
+                JOIN lab lb ON lb.doc_id = p.doc_b
+                WHERE la.cluster_id = lb.cluster_id
+                GROUP BY 1
+            )
+            SELECT s.cluster_id, s.m AS n_members,
+                   (s.m * (s.m - 1) // 2)::BIGINT AS n_possible_pairs,
+                   coalesce(d.nd, 0)::BIGINT AS n_direct_pairs,
+                   ((1000000 * coalesce(d.nd, 0)) // (s.m * (s.m - 1) // 2))::BIGINT
+                       AS cohesion_micro
+            FROM sizes s LEFT JOIN direct d USING (cluster_id)
+        """,
+        "text_ngram_novelty": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 500
+            ), sh AS (
+                SELECT DISTINCT doc_id, gram AS shingle
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(0, greatest(len(t) - 3, 0) + 1),
+                               i -> array_to_string(t[i+1:i+3], ' '))) AS gram
+                    FROM toks
+                )
+                WHERE length(gram) > 0
+            ), first AS (
+                SELECT shingle, min(doc_id) AS fd FROM sh GROUP BY 1
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+                   ((1000000 * sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END))
+                    // count(*))::BIGINT AS novelty_micro
+            FROM sh JOIN first USING (shingle)
+            GROUP BY doc_id
+        """,
+        "graph_katz": """
+            WITH e AS (
+                SELECT 'C' || c_custkey AS s, 'N' || c_nationkey AS d FROM customer
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+                UNION ALL
+                SELECT 'N' || n_nationkey, 'R' || n_regionkey FROM nation
+                UNION ALL
+                SELECT 'R' || n_regionkey, 'N' || n_nationkey FROM nation
+            ), nodes AS (
+                SELECT s AS node FROM e UNION SELECT d FROM e
+            ), w1 AS (
+                SELECT d AS node, count(*)::BIGINT AS w FROM e GROUP BY 1
+            ), w2 AS (
+                SELECT e.d AS node, sum(w1.w)::BIGINT AS w
+                FROM e JOIN w1 ON w1.node = e.s GROUP BY 1
+            ), w3 AS (
+                SELECT e.d AS node, sum(w2.w)::BIGINT AS w
+                FROM e JOIN w2 ON w2.node = e.s GROUP BY 1
+            )
+            SELECT n.node,
+                   (coalesce(w1.w, 0) * 500000 + coalesce(w2.w, 0) * 250000
+                    + coalesce(w3.w, 0) * 125000)::BIGINT AS katz_micro
+            FROM nodes n
+            LEFT JOIN w1 USING (node)
+            LEFT JOIN w2 USING (node)
+            LEFT JOIN w3 USING (node)
+        """,
+        # rebuilds the deterministic interleaved span sequence (same
+        # residue arithmetic as _docs_to_interleaved_spans), then pairs
+        # each media span with the latest preceding text span
+        "media_captions": """
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents WHERE doc_id < 400
+            ), np AS (
+                SELECT doc_id, greatest(cast(ceil(len(t) / 12.0) AS INT), 1) AS n
+                FROM toks
+            ), kv AS (
+                SELECT doc_id,
+                       flatten(list_transform(range(0, n), i ->
+                           CASE WHEN i % 6 = 5 THEN ['text', 'media', 'media']
+                                WHEN i % 3 = 2 THEN ['text', 'media']
+                                ELSE ['text'] END)) AS ks,
+                       flatten(list_transform(range(0, n), i ->
+                           CASE WHEN i % 6 = 5 THEN
+                                    ['para-' || i,
+                                     'media://asset/' || ((doc_id * 31 + i) % 41),
+                                     'media://asset/' || (((doc_id * 17 + i) % 37) + 50)]
+                                WHEN i % 3 = 2 THEN
+                                    ['para-' || i,
+                                     'media://asset/' || ((doc_id * 31 + i) % 41)]
+                                ELSE ['para-' || i] END)) AS vs
+                FROM np
+            ), ex AS (
+                SELECT doc_id, unnest(ks) AS kind, unnest(vs) AS val,
+                       generate_subscripts(ks, 1) AS pos
+                FROM kv
+            ), w AS (
+                SELECT doc_id, pos, kind, val,
+                       max(CASE WHEN kind = 'text' THEN pos END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS cap_pos
+                FROM ex
+            )
+            SELECT m.doc_id, (m.pos - 1)::BIGINT AS span_pos, m.val AS media_ref,
+                   t.val AS caption, (t.pos - 1)::BIGINT AS caption_pos,
+                   (m.pos - t.pos)::BIGINT AS caption_distance
+            FROM w m
+            LEFT JOIN ex t ON t.doc_id = m.doc_id AND t.pos = m.cap_pos
+            WHERE m.kind = 'media'
+        """,
+        "er_weighted_overlap": """
+            WITH names AS (
+                SELECT p_partkey AS id, p_brand AS blk, p_name AS nm
+                FROM part WHERE p_partkey < 500
+            ), toks AS (
+                SELECT DISTINCT id, blk, t AS tok
+                FROM names, unnest(string_split_regex(lower(trim(nm)), '\\s+')) AS u(t)
+                WHERE length(t) > 0
+            ), n AS (
+                SELECT count(DISTINCT id)::BIGINT AS n FROM names
+            ), dfw AS (
+                SELECT tok, (n.n // count(DISTINCT id))::BIGINT AS w
+                FROM toks, n GROUP BY tok, n.n
+            ), wt AS (
+                SELECT id, blk, toks.tok, w FROM toks JOIN dfw USING (tok)
+            ), tot AS (
+                SELECT id, sum(w)::BIGINT AS tw FROM wt GROUP BY 1
+            ), sh AS (
+                SELECT a.id AS id_a, b.id AS id_b, sum(a.w)::BIGINT AS shared_w
+                FROM wt a JOIN wt b
+                  ON a.blk = b.blk AND a.tok = b.tok AND a.id < b.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, shared_w,
+                   (ta.tw + tb.tw - shared_w)::BIGINT AS union_w,
+                   ((1000000 * shared_w) // (ta.tw + tb.tw - shared_w))::BIGINT
+                       AS overlap_micro
+            FROM sh
+            JOIN tot ta ON ta.id = id_a
+            JOIN tot tb ON tb.id = id_b
+            WHERE (1000000 * shared_w) // (ta.tw + tb.tw - shared_w) >= 200000
+        """,
+        "curation_power_mix": """
+            WITH c AS (
+                SELECT lang AS domain, count(*)::BIGINT AS n_docs
+                FROM documents GROUP BY 1
+            ), t AS (
+                SELECT domain, n_docs,
+                       sum(n_docs) OVER ()::BIGINT AS tot,
+                       (n_docs * n_docs)::BIGINT AS pw,
+                       sum(n_docs * n_docs) OVER ()::BIGINT AS ptot
+                FROM c
+            )
+            SELECT domain, n_docs,
+                   ((1000000 * n_docs) // tot)::BIGINT AS share_micro,
+                   ((1000000 * pw) // ptot)::BIGINT AS weight_micro,
+                   ((1000000 * tot * n_docs) // ptot)::BIGINT AS upsample_micro
+            FROM t
+        """,
+        # CC restated as a recursive reachable-min-label fixpoint — safe
+        # here because near-dup clusters are tiny (the recursion enumerates
+        # (node, reachable-seed) pairs within a cluster only)
+        "dedup_clusters": """
+            WITH RECURSIVE sh AS (
+                SELECT DISTINCT doc_id, t AS shingle
+                FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS u(t)
+                WHERE doc_id < 300 AND length(t) > 0
+            ), sz AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = doc_a
+                JOIN sz sb ON sb.doc_id = doc_b
+                WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+            ), edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs
+            ), reach AS (
+                SELECT s AS id, s AS lab FROM edges
+                UNION
+                SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.id
+            ), comp AS (
+                SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+            ), base AS (
+                SELECT doc_id, length(trim(text)) AS len
+                FROM documents WHERE doc_id < 300
+            ), lab AS (
+                SELECT b.doc_id, b.len,
+                       coalesce(c.cluster_id, b.doc_id) AS cluster_id
+                FROM base b LEFT JOIN comp c ON c.id = b.doc_id
+            ), canon AS (
+                SELECT cluster_id, doc_id AS canonical_id
+                FROM (SELECT cluster_id, doc_id,
+                             row_number() OVER (PARTITION BY cluster_id
+                                                ORDER BY len DESC, doc_id ASC) AS rn
+                      FROM lab)
+                WHERE rn = 1
+            )
+            SELECT l.doc_id, l.cluster_id, c.canonical_id,
+                   l.doc_id = c.canonical_id AS keep
+            FROM lab l JOIN canon c USING (cluster_id)
+        """,
+        "kg_type_constraints": """
+            WITH t AS (
+                SELECT 'contains' AS predicate,
+                       CASE WHEN l_quantity = 1 THEN 'part' ELSE 'order' END AS st,
+                       CASE WHEN l_quantity = 1 THEN 'supplier' ELSE 'part' END AS ot
+                FROM lineitem
+                UNION ALL
+                SELECT 'supplied_by', 'order', 'supplier' FROM lineitem
+            ), sig AS (
+                SELECT predicate, st, ot, count(*)::BIGINT AS n
+                FROM t GROUP BY 1, 2, 3
+            ), dom AS (
+                SELECT predicate, st AS dom_subject_type, ot AS dom_object_type,
+                       n AS n_conforming,
+                       sum(n) OVER (PARTITION BY predicate)::BIGINT AS n_total,
+                       row_number() OVER (PARTITION BY predicate
+                                          ORDER BY n DESC, st ASC, ot ASC) AS rn
+                FROM sig
+            )
+            SELECT predicate, dom_subject_type, dom_object_type, n_total,
+                   n_conforming,
+                   (n_total - n_conforming)::BIGINT AS n_violations,
+                   ((1000000 * n_conforming) // n_total)::BIGINT AS conform_micro
+            FROM dom WHERE rn = 1
+        """,
+        "text_lexical_diversity": """
+            WITH per AS (
+                SELECT doc_id, t AS token, count(*) AS n
+                FROM documents,
+                     unnest(string_split_regex(lower(trim(text)), '\\s+')) AS u(t)
+                WHERE doc_id < 500 AND length(t) > 0
+                GROUP BY 1, 2
+            ), agg AS (
+                SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types,
+                       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+                       sum(n * (n - 1))::BIGINT AS rep
+                FROM per GROUP BY 1
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   ((1000000 * n_types) // n_tokens)::BIGINT AS ttr_micro,
+                   ((1000000 * n_hapax) // n_types)::BIGINT AS hapax_micro,
+                   CASE WHEN n_tokens >= 2
+                        THEN ((1000000 * rep) // (n_tokens * (n_tokens - 1)))::BIGINT
+                        ELSE 0::BIGINT END AS simpson_micro
+            FROM agg
+        """,
+        "stat_benford": f"""
+            WITH d AS (
+                SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                   AS VARCHAR), 1, 1) AS digit
+                FROM orders
+            ), f AS (
+                SELECT digit, count(*)::BIGINT AS n FROM d
+                WHERE digit BETWEEN '1' AND '9' GROUP BY 1
+            ), t AS (
+                SELECT digit, n, sum(n) OVER ()::BIGINT AS total FROM f
+            ), e AS (
+                SELECT * FROM (VALUES {benford_vals}) AS v(digit, benford_micro)
+            )
+            SELECT t.digit, t.n,
+                   ((1000000 * t.n) // t.total)::BIGINT AS share_micro,
+                   e.benford_micro::BIGINT AS benford_micro,
+                   abs((1000000 * t.n) // t.total - e.benford_micro)::BIGINT AS dev_micro
+            FROM t JOIN e USING (digit)
         """,
         # D4 rerank: levenshtein similarity argmax, levenshtein + the
         # norm_key pipeline (lower/strip/collapse) restated verbatim; the

@@ -1012,3 +1012,44 @@ def pps_systematic_sample(
     )
     _ = bad  # rows with non-positive weight are excluded by contract
     return picked
+
+
+def power_mix_weights(
+    docs: DataFrame, domain_col: str = "lang", alpha: int = 2
+) -> DataFrame:
+    """α-power domain mixing weights (GPT-3/Pile-style mix reweighting)
+    with INTEGER α so every number is exact: w_d = n_d^α / Σ n^α and the
+    upsample factor vs the natural share, upsample_d = w_d / (n_d/N) =
+    N·n_d^(α−1) / Σ n^α — both quantized to micro by ONE integer division
+    each. Integer α ≥ 1 sharpens toward large domains; the α < 1
+    flattening used for low-resource boosting is the same formula with
+    rational powers (float fast path — not oracle-bound, by design).
+
+    Scale: one count aggregate on the domain key + a window over
+    |domains| rows. Nothing touches the corpus twice."""
+    if alpha < 1:
+        raise ValueError("alpha must be an integer >= 1 (exact-integer path)")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    counts = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    # integer powers by repeated multiplication — float pow() silently
+    # loses exactness past 2^53
+    pow_a = "1" + " * n_docs" * alpha
+    pow_a1 = "1" + " * n_docs" * (alpha - 1)
+    powed = counts.withColumn("_pow", F.expr(pow_a).cast("long"))
+    return (
+        powed.withColumn("_tot", F.sum("n_docs").over(w))
+        .withColumn("_ptot", F.sum("_pow").over(w))
+        .select(
+            "domain",
+            "n_docs",
+            F.expr("1000000 * n_docs div _tot").alias("share_micro"),
+            F.expr("1000000 * _pow div _ptot").alias("weight_micro"),
+            F.expr(f"(1000000 * _tot * ({pow_a1})) div _ptot")
+            .cast("long")
+            .alias("upsample_micro"),
+        )
+    )

@@ -710,3 +710,98 @@ def sorted_neighborhood_pairs(
     return probes.join(right, "_rank_b").select(
         "id_a", "id_b", "key_a", "key_b", F.col("rank_distance").cast("int").alias("rank_distance")
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    rank_col: str = "_rank",
+) -> DataFrame:
+    """The dedup DECISION stage: verified near-dup pairs → connected
+    components → one canonical survivor per cluster. This is what turns
+    pair detection (MinHash / Jaccard / embedding) into "which rows to
+    drop" for a training corpus (reference dedup semantics: one surviving
+    record per duplicate group, best-attested wins —
+    /root/reference/kgraph/dedup.py keep-best election).
+
+    `docs` carries every document in scope plus a rank column (higher =
+    better survivor; e.g. text length or a quality score); `pairs` is any
+    verified (doc_a, doc_b) edge set. Canonical per cluster = max rank,
+    ties to the smaller id. Docs in no pair are their own singleton
+    cluster (keep = true), so the output is the COMPLETE per-doc verdict.
+
+    Scale: clusters come from the vetted hash-to-min CC (iterations ~
+    cluster diameter — near-dup clusters are shallow); the election is
+    one min-of-struct aggregate on cluster_id; both joins are id-only."""
+    from kgraph_spark.operators.canonicalize import connected_components
+
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = connected_components(edges)
+    lab = (
+        docs.select(F.col(id_col), F.col(rank_col).alias("_r"))
+        .join(labels, docs[id_col] == labels["id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("_r"),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    canon = (
+        lab.groupBy("cluster_id")
+        .agg(
+            F.min(F.struct((-F.col("_r")).alias("_nr"), F.col(id_col).alias("_id"))).alias("_w")
+        )
+        .select("cluster_id", F.col("_w._id").alias("canonical_id"))
+    )
+    return lab.join(canon, "cluster_id").select(
+        F.col(id_col),
+        "cluster_id",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+    )
+
+
+def cluster_cohesion(labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Transitive-merge QA: connected components chain A–B–C into one
+    cluster even when (A, C) was never directly verified — this measures
+    how much of each cluster is held together by transitivity alone.
+    cohesion_micro = 10⁶ · n_direct_pairs ÷ C(m, 2); a large low-cohesion
+    cluster is the classic hub-induced over-merge (one boilerplate doc
+    gluing unrelated near-dup groups) a curation pass must re-split.
+
+    labels: (doc_id, cluster_id); pairs: verified (doc_a, doc_b) edges.
+    Multi-member clusters only (singletons have no pairs to audit).
+
+    Scale: two id-only broadcast-or-hash joins to attach cluster ids to
+    the pair list + two count aggregates on cluster_id. Nothing touches
+    document content."""
+    sizes = (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    la = labels.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("_ca"))
+    lb = labels.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_cb"))
+    direct = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("n_direct_pairs"))
+    )
+    return (
+        sizes.join(direct, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.expr("n_members * (n_members - 1) div 2")
+            .cast("long")
+            .alias("n_possible_pairs"),
+            F.coalesce(F.col("n_direct_pairs"), F.lit(0)).cast("long").alias("n_direct_pairs"),
+        )
+        .withColumn(
+            "cohesion_micro",
+            F.expr("1000000 * n_direct_pairs div n_possible_pairs"),
+        )
+    )

@@ -1483,3 +1483,51 @@ def edge_lift(
             ).alias("lift"),
         )
     )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Katz centrality with attenuation β = 1/2, unrolled to `iterations`
+    walk lengths, in EXACT integer micro-units: katz_micro(v) =
+    Σ_{k=1..K} (10⁶ / 2^k) · walks_k(v), where walks_k(v) counts directed
+    walks of length k ending at v. β = 1/2 keeps every per-length
+    contribution an exact integer (10⁶/2ᵏ for k ≤ 3 divides evenly), so
+    any engine chaining the same joins reproduces the hash — no float
+    ever enters the fold. Nodes include both endpoints; walks₀ seeds 1.
+
+    Scale: k chained equi-joins of the walk-count vector (|nodes| rows)
+    against the edge list — the standard sparse matrix-vector product;
+    each round is one shuffle on the join key, partial aggregation
+    map-side. Hub blowup is bounded because counts grow only along real
+    edges (cap the iteration count, not the data)."""
+    if iterations < 1 or iterations > 6:
+        raise ValueError("iterations must be in [1, 6] (10^6/2^k must divide evenly)")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    walks = nodes.withColumn("w", F.lit(1).cast("long"))
+    acc = nodes.withColumn("katz_micro", F.lit(0).cast("long"))
+    for k in range(1, iterations + 1):
+        beta_micro = 1_000_000 >> k
+        walks = (
+            e.join(walks, e["_s"] == walks["node"])
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+        )
+        acc = (
+            acc.join(walks.withColumnRenamed("w", "_wk"), "node", "left")
+            .withColumn(
+                "katz_micro",
+                F.col("katz_micro")
+                + F.coalesce(F.col("_wk"), F.lit(0)) * F.lit(beta_micro),
+            )
+            .drop("_wk")
+        )
+    return acc.select("node", F.col("katz_micro").cast("long").alias("katz_micro"))

@@ -263,3 +263,48 @@ def multimodal_token_cost(
         n_media.alias("n_media_spans"),
         (text_cost + n_media * F.lit(media_tokens)).cast("long").alias("doc_tokens"),
     )
+
+
+def media_captions(span_docs: DataFrame) -> DataFrame:
+    """Caption mining over interleaved span sequences: each media span is
+    paired with the NEAREST PRECEDING text span in document order — the
+    image-text pair extraction a multimodal training pipeline runs before
+    packing (alt-text/caption heuristics all reduce to "closest text in
+    sequence"). Emits (doc_id, span_pos, media_ref, caption, caption_pos,
+    caption_distance); media with no preceding text keeps a null caption
+    (the pair a curation filter would drop).
+
+    Scale: ONE posexplode rides the scan, ONE shuffle on doc_id for the
+    running last-text window (sequences are per-document and bounded, so
+    the window state is tiny); no join, no Python."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ex = span_docs.select(
+        "doc_id", F.posexplode("spans").alias("span_pos", "_sp")
+    ).select(
+        "doc_id",
+        "span_pos",
+        F.col("_sp.kind").alias("kind"),
+        F.col("_sp.text").alias("_text"),
+        F.col("_sp.media_ref").alias("media_ref"),
+    )
+    txt = F.when(F.col("kind") == "text", F.col("_text"))
+    pos = F.when(F.col("kind") == "text", F.col("span_pos"))
+    return (
+        ex.withColumn("caption", F.last(txt, ignorenulls=True).over(w))
+        .withColumn("caption_pos", F.last(pos, ignorenulls=True).over(w))
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            F.col("span_pos").cast("long").alias("span_pos"),
+            "media_ref",
+            "caption",
+            F.col("caption_pos").cast("long").alias("caption_pos"),
+            (F.col("span_pos") - F.col("caption_pos")).cast("long").alias("caption_distance"),
+        )
+    )

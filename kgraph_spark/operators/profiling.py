@@ -537,3 +537,60 @@ def join_plan_stats(
             ).cast("long"),
         ).alias("recommended_salts"),
     )
+
+
+def benford_first_digit_micro() -> list[int]:
+    """Expected Benford first-digit shares log10(1 + 1/d), d = 1..9, as
+    exact micro-int literals. Computed DRIVER-side with Python's log10 and
+    interpolated into plans/oracles as literals — no engine evaluates a
+    log (the ndcg_discount_micro recipe)."""
+    import math
+
+    return [int(round(math.log10(1.0 + 1.0 / d) * 1_000_000)) for d in range(1, 10)]
+
+
+def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
+    """Benford's-law first-digit audit over a positive monetary column —
+    the classic fabricated-data / broken-ETL detector: synthetic or
+    truncated amounts drift from the log-uniform first-digit law long
+    before summary stats move.
+
+    First digit is taken from the INTEGER cent representation
+    (floor(x·100 + 0.5) → string), never from float formatting, so the
+    digit is engine-portable. observed share = 1e6·n ÷ N (one integer
+    division); expected = benford_first_digit_micro literals; dev_micro =
+    |observed − expected|.
+
+    Scale: one partial+final count aggregate on a 9-value key; the window
+    total runs over 9 rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    exp_map = F.create_map(
+        *[
+            x
+            for d, m in zip(range(1, 10), benford_first_digit_micro())
+            for x in (F.lit(str(d)), F.lit(m))
+        ]
+    )
+    digits = df.select(
+        F.substring(
+            F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("long").cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    ).filter(F.col("digit").between("1", "9"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("_total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.expr("1000000 * n div _total").alias("share_micro"),
+            exp_map[F.col("digit")].cast("long").alias("benford_micro"),
+            F.abs(
+                F.expr("1000000 * n div _total") - exp_map[F.col("digit")]
+            ).cast("long").alias("dev_micro"),
+        )
+    )

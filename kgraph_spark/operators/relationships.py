@@ -825,3 +825,101 @@ def conflicting_triples(
         .join(b, ["subject_id", "object_id", "pred_b"])
         .select("subject_id", "object_id", "pred_a", "pred_b", "n_a", "n_b")
     )
+
+
+def type_constraints(
+    typed_triples: DataFrame,
+    pred_col: str = "predicate",
+    subj_type_col: str = "subject_type",
+    obj_type_col: str = "object_type",
+) -> DataFrame:
+    """Schema induction + violation audit: for each predicate, elect the
+    dominant (subject_type, object_type) signature by edge count (ties to
+    the lexicographically smaller pair — deterministic) and count the
+    edges that violate it. This is the KG-construction QA gate that
+    catches extraction bugs (a TREATS edge whose subject is a Disease) on
+    a corpus where no hand-written schema exists yet — induce the schema
+    from the bulk, flag the tail.
+
+    conform_micro = 1e6·n_conforming ÷ n_total (one integer division).
+
+    Scale: ONE partial+final count aggregate on (predicate, types) — type
+    signatures are low-cardinality, so the election and the violation
+    rollup both run over |preds|·|type-pairs| rows, never the edge set."""
+    sig = typed_triples.groupBy(
+        F.col(pred_col).alias("predicate"),
+        F.col(subj_type_col).alias("_st"),
+        F.col(obj_type_col).alias("_ot"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    dom = (
+        sig.groupBy("predicate")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("_nn"),
+                    F.col("_st").alias("_s"),
+                    F.col("_ot").alias("_o"),
+                )
+            ).alias("_w"),
+            F.sum("n").cast("long").alias("n_total"),
+        )
+        .select(
+            "predicate",
+            F.col("_w._s").alias("dom_subject_type"),
+            F.col("_w._o").alias("dom_object_type"),
+            "n_total",
+            (-F.col("_w._nn")).cast("long").alias("n_conforming"),
+        )
+    )
+    return dom.select(
+        "predicate",
+        "dom_subject_type",
+        "dom_object_type",
+        "n_total",
+        "n_conforming",
+        (F.col("n_total") - F.col("n_conforming")).cast("long").alias("n_violations"),
+        F.expr("1000000 * n_conforming div n_total").alias("conform_micro"),
+    )
+
+
+def rule_completion_candidates(
+    triples: DataFrame,
+    p1: str,
+    p2: str,
+    p3: str,
+    subj_col: str = "subject_id",
+    pred_col: str = "predicate",
+    obj_col: str = "object_id",
+) -> DataFrame:
+    """KG completion, operationalized: apply the mined rule
+    p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) and emit the (x, p3, z) edges the rule
+    IMPLIES but the graph does not yet assert — the actual work-list a
+    completion pass writes (rule_confidence scores the rules; this
+    materializes one rule's missing heads).
+
+    Execution: both body sides are pre-filtered to their predicate BEFORE
+    the mid-node join (predicate pushdown into the scan), implied pairs
+    are deduped to distinct (x, z), and the existing-head check is ONE
+    LeftAnti join on (x, z) — no negation subquery, no second pass.
+    At 100 TB the anti-join is the same shuffle shape as the head join in
+    rule_confidence."""
+    t = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("_p"),
+        F.col(obj_col).alias("_o"),
+    )
+    left = t.filter(F.col("_p") == p1).select(
+        F.col("_s").alias("_x"), F.col("_o").alias("_y")
+    ).distinct()
+    right = t.filter(F.col("_p") == p2).select(
+        F.col("_s").alias("_y"), F.col("_o").alias("_z")
+    ).distinct()
+    implied = left.join(right, "_y").select("_x", "_z").distinct()
+    heads = t.filter(F.col("_p") == p3).select(
+        F.col("_s").alias("_x"), F.col("_o").alias("_z")
+    )
+    return implied.join(heads, ["_x", "_z"], "left_anti").select(
+        F.col("_x").alias("subject_id"),
+        F.lit(p3).alias("predicate"),
+        F.col("_z").alias("object_id"),
+    )

@@ -1021,3 +1021,67 @@ def reciprocal_best_match(
         "right_id",
         F.round(F.col("_c") / 1_000_000.0, 6).alias("cosine"),
     )
+
+
+def weighted_token_overlap(
+    names: DataFrame,
+    id_col: str = "id",
+    text_col: str = "name",
+    block_col: str = "block",
+    min_overlap_micro: int = 0,
+) -> DataFrame:
+    """ER name matching with IDF-LIKE weights that stay EXACT integers:
+    token weight = N div df(token) (total records integer-divided by the
+    token's document frequency), so rare discriminative tokens dominate
+    the way tf-idf intends, but every weight, intersection and union sum
+    is a long — weighted-overlap_micro = 10⁶·Σ_shared w ÷ (Σ_A w + Σ_B w
+    − Σ_shared w) needs ONE integer division (the cosine_fixed recipe,
+    no sqrt anywhere).
+
+    Pairs are generated ONLY within `block_col` (Soundex / brand / LSH
+    bucket — caller's choice), the blocked-pair discipline every 100-TB
+    ER pass needs; within a block the token inverted index joins ids, not
+    names.
+
+    Emits (id_a, id_b, shared_w, union_w, overlap_micro)."""
+    toks = (
+        names.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
+        )
+        .filter(F.length("_tok") > 0)
+        .distinct()
+    )
+    n_total = names.select(F.countDistinct(id_col).alias("_n"))
+    df_w = (
+        toks.groupBy("_tok")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .crossJoin(F.broadcast(n_total))
+        .select("_tok", F.expr("_n div _df").cast("long").alias("_w"))
+    )
+    wt = toks.join(df_w, "_tok")
+    totals = wt.groupBy("_id").agg(F.sum("_w").cast("long").alias("_tw"))
+    shared = (
+        wt.alias("a")
+        .join(
+            wt.alias("b"),
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.sum("a._w").cast("long").alias("shared_w"))
+    )
+    out = (
+        shared.join(totals.withColumnRenamed("_id", "id_a").withColumnRenamed("_tw", "_ta"), "id_a")
+        .join(totals.withColumnRenamed("_id", "id_b").withColumnRenamed("_tw", "_tb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared_w",
+            (F.col("_ta") + F.col("_tb") - F.col("shared_w")).cast("long").alias("union_w"),
+            F.expr("1000000 * shared_w div (_ta + _tb - shared_w)").alias("overlap_micro"),
+        )
+    )
+    return out.filter(F.col("overlap_micro") >= min_overlap_micro)

@@ -635,3 +635,82 @@ def reading_ease(
         syllables.alias("n_syllables"),
         F.when(words > 0, F.round(flesch, 6)).alias("flesch"),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc lexical-diversity gate: type-token ratio, hapax share, and
+    Simpson's repeat concentration — the vocabulary-collapse signals that
+    catch template/boilerplate docs a length filter misses (low TTR =
+    few distinct words; high Simpson = one word dominates).
+
+    Float discipline: all three are exact-integer ratios quantized to
+    micro by ONE integer division each (the cosine_fixed recipe) —
+      ttr_micro     = 1e6·n_types ÷ n_tokens
+      hapax_micro   = 1e6·n_hapax ÷ n_types
+      simpson_micro = 1e6·Σ nᵢ(nᵢ−1) ÷ N(N−1)   (0 when N < 2)
+    so any engine computing the same token counts reproduces the hash.
+
+    Scale: ONE shuffle on (doc, token) with map-side partial counts, then
+    a per-doc aggregate — no joins, no UDFs."""
+    per_tok = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+            F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("_rep"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_types",
+            F.expr("1000000 * n_types div n_tokens").alias("ttr_micro"),
+            F.expr("1000000 * n_hapax div n_types").alias("hapax_micro"),
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr("1000000 * _rep div (n_tokens * (n_tokens - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("simpson_micro"),
+        )
+    )
+
+
+def ngram_novelty(docs: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """Corpus novelty curve: per document, the share of its word k-grams
+    whose FIRST corpus occurrence (min doc_id order) is this document —
+    late documents full of already-seen n-grams are recombinations or
+    near-dups the dedup pass missed; a healthy crawl keeps novelty high.
+    novelty_micro = 10⁶ · n_novel ÷ n_grams (one integer division).
+
+    Scale: one (gram → min doc) aggregate over the shingle set + one
+    broadcast-or-hash join back on the gram key + a per-doc rollup. The
+    ingestion-order attribution is a pure aggregate — no sequential scan,
+    no window over the corpus."""
+    from kgraph_spark.operators.dedup_text import shingles
+
+    sh = shingles(docs, id_col=id_col, k=k)
+    first = sh.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty_micro", F.expr("1000000 * n_novel div n_grams"))
+    )

@@ -1282,6 +1282,100 @@ def main() -> None:
          "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Dedup clusters — pair verification via the LeftSemi-capped "
+        "inverted index, CC labels from checkpointed id-only rounds, "
+        "canonical election is one min-of-struct hash aggregate on "
+        "cluster_id",
+        _plan(entrymod.queries()["dedup_clusters"](spark, SF)),
+        # struct-min election compiles to SortAggregate (Spark lowers
+        # struct min/max to sort-based agg); joins are equi (SMJ pre-AQE)
+        ["SortAggregate", "Join Inner", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Type constraints — ONE partial+final count aggregate on "
+        "(predicate, type-pair); election + violation rollup run over "
+        "signature-cardinality rows, never the edge set; no join, no UDF",
+        _plan(entrymod.queries()["kg_type_constraints"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Lexical diversity — explode rides the scan, ONE (doc, token) "
+        "shuffle with map-side partial counts, per-doc rollup; exact "
+        "integer micro ratios, no Python, no join",
+        _plan(entrymod.queries()["text_lexical_diversity"](spark, SF)),
+        ["Generate", "HashAggregate", "partial_", "!BatchEvalPython",
+         "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Benford audit — digit from INTEGER cents (no float formatting), "
+        "9-key count aggregate, window total over 9 rows, expected shares "
+        "are plan literals (driver-side log10 micro)",
+        _plan(entrymod.queries()["stat_benford"](spark, SF)),
+        ["HashAggregate", "Window", "!BatchEvalPython", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Katz centrality — three chained sparse matvec equi-joins with "
+        "partial+final sum aggregation; attenuation is integer micro "
+        "literals, no float in the fold",
+        _plan(entrymod.queries()["graph_katz"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Media captions — posexplode rides the scan, ONE per-doc window "
+        "(running last text span); no join, no Python",
+        _plan(entrymod.queries()["media_captions"](spark, SF)),
+        ["Generate", "Window", "!BatchEvalPython", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Weighted token overlap — blocked (block, token) inverted-index "
+        "self-join, id-only pair exchange, integer df-reciprocal weights; "
+        "total-count side is a 1-row broadcast",
+        _plan(entrymod.queries()["er_weighted_overlap"](spark, SF)),
+        ["BroadcastNestedLoopJoin", "HashAggregate", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Power mix weights — one count aggregate on the domain key + a "
+        "window over |domains| rows; integer powers by repeated multiply",
+        _plan(entrymod.queries()["curation_power_mix"](spark, SF)),
+        ["HashAggregate", "Window", "!BatchEvalPython", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Rule completion candidates — predicate filters pushed below the "
+        "mid-node join, distinct implied pairs, ONE LeftAnti against "
+        "existing heads (no negation subquery)",
+        _plan(entrymod.queries()["kg_completion_candidates"](spark, SF)),
+        ["LeftAnti", "HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Cluster cohesion — id-only joins attach cluster labels to the "
+        "verified pair list; two count aggregates on cluster_id",
+        _plan(entrymod.queries()["er_cluster_cohesion"](spark, SF)),
+        ["HashAggregate", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "N-gram novelty — ONE (gram → min doc) aggregate + gram-keyed "
+        "join back + per-doc rollup; ingestion-order attribution without "
+        "a corpus-wide window or sequential scan",
+        _plan(entrymod.queries()["text_ngram_novelty"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
