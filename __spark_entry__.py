@@ -4153,6 +4153,182 @@ def q_evt_autocorr(spark, sf_dir):
     )
 
 
+def q_stat_gini(spark, sf_dir):
+    """Gini concentration of per-user event counts per event type — the
+    inequality gate for "does one user own this event stream": exact
+    sorted-rank identity, wide-integer sums, ONE round-6 division."""
+    from kgraph_spark.operators.stats import gini_coefficient
+
+    cu = (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return gini_coefficient(cu, "cnt", group_col="event_type")
+
+
+def _evt_int_xy(spark, sf_dir, mod: int = 11):
+    """Deterministic event subsample (event_id % mod == 0) as all-integer
+    (x = epoch seconds, y = round-4 fixed-point value) — the bounded-group
+    feed both O(n²) robust statistics share."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % mod == 0)
+    return ev.select(
+        "event_type",
+        # parquet stores NTZ; session tz is UTC — floor-µs ≡ epoch_us//1e6
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("xs"),
+        F.round(F.col("value") * 10000, 0).cast("long").alias("yv"),
+    )
+
+
+def q_stat_kendall_tau(spark, sf_dir):
+    """Kendall tau-a of (event time, value) per event type on the
+    deterministic %11 subsample — integer concordant/discordant pair
+    counts, one division; the bounded-group pair join IS the
+    distributed shape (see operator docstring)."""
+    from kgraph_spark.operators.stats import kendall_tau
+
+    return kendall_tau(_evt_int_xy(spark, sf_dir), "xs", "yv",
+                       group_col="event_type")
+
+
+def q_stat_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend (median pairwise slope) per event type on
+    the same %11 subsample — every slope ONE IEEE division of exact
+    integers, median an element (or exact mean of two), so the double
+    compares bit-identically cross-engine with no rounding at all."""
+    from kgraph_spark.operators.stats import theil_sen_slope
+
+    return theil_sen_slope(_evt_int_xy(spark, sf_dir), "xs", "yv",
+                           group_col="event_type")
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Directed-edge reciprocity of the word-bigram graph per language —
+    the extraction-direction drift gate (F6 family, corpus-wide): one
+    flip-join of the distinct bigram set, integer counts, round-6."""
+    from kgraph_spark.operators.graph_analytics import reciprocity
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    z = F.explode(
+        F.arrays_zip(
+            F.slice(F.col("t"), 1, F.size("t") - 1).alias("u"),
+            F.slice(F.col("t"), 2, F.size("t") - 1).alias("v"),
+        )
+    ).alias("z")
+    edges = toks.select("lang", z).select(
+        "lang",
+        F.col("z.u").alias("subject_id"),
+        F.col("z.v").alias("object_id"),
+    )
+    return reciprocity(edges, group_col="lang")
+
+
+def q_graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient sweep φ(k), k ∈ {1,2,4,8,16}, over the
+    thinned lineitem graph — hub-core density audit; one pass over the
+    edge list with the k-grid crossed in as a literal."""
+    from kgraph_spark.operators.graph_analytics import rich_club
+
+    return rich_club(_li_edges(spark, sf_dir, part_mod=3), k_grid=[1, 2, 4, 8, 16])
+
+
+def _kg_synth_triples(spark, sf_dir):
+    """Synthetic typed KG over the TPC-H tables (located_in / placed_by /
+    contains / supplied_by) — the fixture for schema induction and SHACL
+    validation; every edge is a real FK so the graph has honest shape."""
+
+    def _id(pfx, col):
+        return F.concat(F.lit(pfx), F.col(col).cast("string"))
+
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    t1 = cust.select(
+        _id("C", "c_custkey").alias("subject_id"),
+        F.lit("located_in").alias("predicate"),
+        _id("N", "c_nationkey").alias("object_id"),
+    )
+    t2 = supp.select(
+        _id("S", "s_suppkey").alias("subject_id"),
+        F.lit("located_in").alias("predicate"),
+        _id("N", "s_nationkey").alias("object_id"),
+    )
+    t3 = orders.select(
+        _id("O", "o_orderkey").alias("subject_id"),
+        F.lit("placed_by").alias("predicate"),
+        _id("C", "o_custkey").alias("object_id"),
+    )
+    t4 = li.select(
+        _id("O", "l_orderkey").alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        _id("P", "l_partkey").alias("object_id"),
+    ).distinct()
+    t5 = li.select(
+        _id("P", "l_partkey").alias("subject_id"),
+        F.lit("supplied_by").alias("predicate"),
+        _id("S", "l_suppkey").alias("object_id"),
+    ).distinct()
+    return t1.unionByName(t2).unionByName(t3).unionByName(t4).unionByName(t5)
+
+
+def _kg_entity_types(spark, sf_dir):
+    """Partial type table for the synthetic KG: every key ≡ 0 (mod 3) is
+    deliberately untyped — the residue type inference must recover."""
+
+    def _typed(tbl, key, pfx, tname, all_typed=False):
+        df = _read(spark, sf_dir, tbl)
+        if not all_typed:
+            df = df.filter(F.col(key) % 3 != 0)
+        return df.select(
+            F.concat(F.lit(pfx), F.col(key).cast("string")).alias("entity_id"),
+            F.lit(tname).alias("type"),
+        )
+
+    return (
+        _typed("customer", "c_custkey", "C", "Customer")
+        .unionByName(_typed("supplier", "s_suppkey", "S", "Supplier"))
+        .unionByName(_typed("nation", "n_nationkey", "N", "Nation", all_typed=True))
+        .unionByName(_typed("part", "p_partkey", "P", "Part"))
+        .unionByName(_typed("orders", "o_orderkey", "O", "Order"))
+    )
+
+
+def q_kg_type_inference(spark, sf_dir):
+    """Schema-induction residue typing: predicate (position) signatures
+    from the typed 2/3 of the KG vote types onto the untyped 1/3 —
+    deterministic majority (count desc, type asc) both passes."""
+    from kgraph_spark.operators.validation_extra import infer_entity_types
+
+    return infer_entity_types(
+        _kg_synth_triples(spark, sf_dir), _kg_entity_types(spark, sf_dir)
+    )
+
+
+def q_kg_shacl_report(spark, sf_dir):
+    """SHACL-lite sweep over the synthetic KG: functional cardinality,
+    required property, domain, range, and closed-object checks unioned
+    into one violation table — every branch non-empty on this corpus."""
+    from kgraph_spark.operators.validation_extra import shacl_report
+
+    shapes = [
+        {"kind": "max_count", "predicate": "contains", "max": 5},
+        {"kind": "min_count", "predicate": "contains",
+         "subject_type": "Order", "min": 1},
+        {"kind": "domain", "predicate": "placed_by", "subject_type": "Order"},
+        {"kind": "range", "predicate": "placed_by", "object_type": "Customer"},
+        {"kind": "closed_object", "predicate": "supplied_by"},
+    ]
+    return shacl_report(
+        _kg_synth_triples(spark, sf_dir), _kg_entity_types(spark, sf_dir), shapes
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -4170,6 +4346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_anova": q_stat_anova,
         "stat_prop_ztest": q_stat_prop_ztest,
         "stat_cohens_d": q_stat_cohens_d,
+        "stat_gini": q_stat_gini,
+        "stat_kendall_tau": q_stat_kendall_tau,
+        "stat_theil_sen": q_stat_theil_sen,
+        "graph_reciprocity": q_graph_reciprocity,
+        "graph_rich_club": q_graph_rich_club,
+        "kg_type_inference": q_kg_type_inference,
+        "kg_shacl_report": q_kg_shacl_report,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
         "d6_usage_count": q_d6_usage_count,
@@ -10253,5 +10436,281 @@ def oracle_sql() -> dict[str, str]:
                                       * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
                    END AS corr
             FROM m
+        """,
+        "stat_gini": """
+            WITH cu AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS x
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT event_type, x,
+                       row_number() OVER (PARTITION BY event_type ORDER BY x)
+                           AS i
+                FROM cu
+            )
+            SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+                   CASE WHEN count(*)::HUGEINT * sum(x)::HUGEINT > 0 THEN
+                       round((2::HUGEINT * sum(i::HUGEINT * x)
+                              - (count(*)::HUGEINT + 1) * sum(x)::HUGEINT)::DOUBLE
+                             / (count(*)::HUGEINT * sum(x)::HUGEINT)::DOUBLE, 6)
+                   END AS gini
+            FROM r GROUP BY 1
+        """,
+        "stat_kendall_tau": """
+            WITH e AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1000000)::BIGINT AS x,
+                       round(value * 10000, 0)::BIGINT AS y
+                FROM events WHERE event_id % 11 = 0
+            ), r AS (
+                SELECT event_type, x, y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY x, y) AS i
+                FROM e
+            ), p AS (
+                SELECT a.event_type,
+                       CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0
+                           END AS c,
+                       CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0
+                           END AS d
+                FROM r a JOIN r b
+                  ON a.event_type = b.event_type AND a.i < b.i
+            ), ag AS (
+                SELECT event_type, sum(c)::BIGINT AS concordant,
+                       sum(d)::BIGINT AS discordant,
+                       count(*)::BIGINT AS n_pairs
+                FROM p GROUP BY 1
+            ), nn AS (
+                SELECT event_type, count(*)::BIGINT AS n FROM r GROUP BY 1
+            )
+            SELECT nn.event_type, n, concordant, discordant,
+                   CASE WHEN n_pairs > 0 THEN
+                       round((concordant - discordant)::DOUBLE / n_pairs, 6)
+                   END AS tau
+            FROM ag JOIN nn USING (event_type)
+        """,
+        "stat_theil_sen": """
+            WITH e AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1000000)::BIGINT AS x,
+                       round(value * 10000, 0)::BIGINT AS y
+                FROM events WHERE event_id % 11 = 0
+            ), r0 AS (
+                SELECT event_type, x, y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY x, y) AS i
+                FROM e
+            ), p AS (
+                SELECT a.event_type, (b.y - a.y)::DOUBLE / (b.x - a.x) AS s
+                FROM r0 a JOIN r0 b
+                  ON a.event_type = b.event_type AND a.i < b.i AND a.x <> b.x
+            ), rr AS (
+                SELECT event_type, s,
+                       row_number() OVER (PARTITION BY event_type ORDER BY s)
+                           AS r,
+                       count(*) OVER (PARTITION BY event_type) AS m
+                FROM p
+            ), med AS (
+                SELECT event_type, avg(s) AS slope
+                FROM rr
+                WHERE r = (m + 1) / 2 OR r = m / 2 + 1 OR r = m / 2
+                GROUP BY 1
+            ), nn AS (
+                SELECT event_type, count(*)::BIGINT AS n FROM r0 GROUP BY 1
+            ), ns AS (
+                SELECT event_type, count(*)::BIGINT AS n_slopes
+                FROM p GROUP BY 1
+            )
+            SELECT nn.event_type, n, n_slopes, slope
+            FROM med JOIN nn USING (event_type) JOIN ns USING (event_type)
+        """,
+        "graph_reciprocity": """
+            WITH tk AS (
+                SELECT lang, string_split_regex(trim(text), '\\s+') AS t
+                FROM documents
+            ), e0 AS (
+                SELECT lang,
+                       unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS z
+                FROM tk WHERE len(t) >= 2
+            ), e AS (
+                SELECT DISTINCT lang, z[1] AS u, z[2] AS v
+                FROM e0 WHERE z[1] <> z[2]
+            ), m AS (
+                SELECT e.lang, count(*)::BIGINT AS n_reciprocated
+                FROM e JOIN e r
+                  ON e.lang = r.lang AND e.u = r.v AND e.v = r.u
+                GROUP BY 1
+            ), tot AS (
+                SELECT lang, count(*)::BIGINT AS n_edges FROM e GROUP BY 1
+            )
+            SELECT tot.lang, n_edges,
+                   coalesce(n_reciprocated, 0)::BIGINT AS n_reciprocated,
+                   round(coalesce(n_reciprocated, 0)::DOUBLE / n_edges, 6)
+                       AS reciprocity
+            FROM tot LEFT JOIN m ON tot.lang = m.lang
+        """,
+        "graph_rich_club": """
+            WITH raw AS (
+                SELECT 'O' || l_orderkey AS s, 'P' || l_partkey AS d
+                FROM lineitem WHERE l_partkey % 3 = 0
+                UNION
+                SELECT 'O' || l_orderkey, 'S' || l_suppkey
+                FROM lineitem WHERE l_partkey % 3 = 0
+                UNION
+                SELECT 'P' || l_partkey, 'S' || l_suppkey
+                FROM lineitem WHERE l_partkey % 3 = 0
+            ), und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM raw WHERE s <> d
+            ), deg AS (
+                SELECT n AS node, count(*)::BIGINT AS dg
+                FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+                GROUP BY 1
+            ), grid AS (SELECT unnest([1, 2, 4, 8, 16]) AS k),
+            nk AS (
+                SELECT k, count(*)::BIGINT AS n_nodes
+                FROM grid JOIN deg ON deg.dg > grid.k GROUP BY 1
+            ), ek AS (
+                SELECT k, count(*)::BIGINT AS n_edges
+                FROM und
+                JOIN deg da ON und.a = da.node
+                JOIN deg db ON und.b = db.node
+                CROSS JOIN grid
+                WHERE da.dg > grid.k AND db.dg > grid.k
+                GROUP BY 1
+            )
+            SELECT grid.k, coalesce(n_nodes, 0)::BIGINT AS n_nodes,
+                   coalesce(n_edges, 0)::BIGINT AS n_edges,
+                   CASE WHEN coalesce(n_nodes, 0) >= 2 THEN
+                       round(coalesce(n_edges, 0)::DOUBLE
+                             / (n_nodes * (n_nodes - 1) / 2), 6)
+                   END AS phi
+            FROM grid LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+        """,
+        "kg_type_inference": """
+            WITH tri AS (
+                SELECT 'C' || c_custkey AS s, 'located_in' AS p,
+                       'N' || c_nationkey AS o FROM customer
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'located_in', 'N' || s_nationkey
+                FROM supplier
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'placed_by', 'C' || o_custkey
+                FROM orders
+                UNION ALL
+                SELECT DISTINCT 'O' || l_orderkey, 'contains',
+                       'P' || l_partkey FROM lineitem
+                UNION ALL
+                SELECT DISTINCT 'P' || l_partkey, 'supplied_by',
+                       'S' || l_suppkey FROM lineitem
+            ), ty AS (
+                SELECT 'C' || c_custkey AS entity_id, 'Customer' AS type
+                FROM customer WHERE c_custkey % 3 <> 0
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'Supplier' FROM supplier
+                WHERE s_suppkey % 3 <> 0
+                UNION ALL
+                SELECT 'N' || n_nationkey, 'Nation' FROM nation
+                UNION ALL
+                SELECT 'P' || p_partkey, 'Part' FROM part
+                WHERE p_partkey % 3 <> 0
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'Order' FROM orders
+                WHERE o_orderkey % 3 <> 0
+            ), pos_typed AS (
+                SELECT tri.p, 's' AS pos, ty.type
+                FROM tri JOIN ty ON tri.s = ty.entity_id
+                UNION ALL
+                SELECT tri.p, 'o', ty.type
+                FROM tri JOIN ty ON tri.o = ty.entity_id
+            ), sig AS (
+                SELECT p, pos, type AS dom_type FROM (
+                    SELECT p, pos, type,
+                           row_number() OVER (PARTITION BY p, pos
+                                              ORDER BY count(*) DESC, type)
+                               AS rn
+                    FROM pos_typed GROUP BY p, pos, type
+                ) WHERE rn = 1
+            ), unty AS (
+                SELECT tri.s AS entity_id, tri.p, 's' AS pos
+                FROM tri LEFT JOIN ty ON tri.s = ty.entity_id
+                WHERE ty.entity_id IS NULL
+                UNION ALL
+                SELECT tri.o, tri.p, 'o'
+                FROM tri LEFT JOIN ty ON tri.o = ty.entity_id
+                WHERE ty.entity_id IS NULL
+            ), votes AS (
+                SELECT entity_id, dom_type, count(*)::BIGINT AS v
+                FROM unty JOIN sig
+                  ON unty.p = sig.p AND unty.pos = sig.pos
+                GROUP BY 1, 2
+            )
+            SELECT entity_id, dom_type AS inferred_type, v AS n_votes
+            FROM (
+                SELECT entity_id, dom_type, v,
+                       row_number() OVER (PARTITION BY entity_id
+                                          ORDER BY v DESC, dom_type) AS rn
+                FROM votes
+            ) WHERE rn = 1 AND v >= 1
+        """,
+        "kg_shacl_report": """
+            WITH tri AS (
+                SELECT 'C' || c_custkey AS s, 'located_in' AS p,
+                       'N' || c_nationkey AS o FROM customer
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'located_in', 'N' || s_nationkey
+                FROM supplier
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'placed_by', 'C' || o_custkey
+                FROM orders
+                UNION ALL
+                SELECT DISTINCT 'O' || l_orderkey, 'contains',
+                       'P' || l_partkey FROM lineitem
+                UNION ALL
+                SELECT DISTINCT 'P' || l_partkey, 'supplied_by',
+                       'S' || l_suppkey FROM lineitem
+            ), ty AS (
+                SELECT 'C' || c_custkey AS entity_id, 'Customer' AS type
+                FROM customer WHERE c_custkey % 3 <> 0
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'Supplier' FROM supplier
+                WHERE s_suppkey % 3 <> 0
+                UNION ALL
+                SELECT 'N' || n_nationkey, 'Nation' FROM nation
+                UNION ALL
+                SELECT 'P' || p_partkey, 'Part' FROM part
+                WHERE p_partkey % 3 <> 0
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'Order' FROM orders
+                WHERE o_orderkey % 3 <> 0
+            )
+            SELECT s AS entity_id, 'contains' AS predicate,
+                   'max_count>5' AS violation, count(DISTINCT o)::BIGINT AS n
+            FROM tri WHERE p = 'contains' GROUP BY 1
+            HAVING count(DISTINCT o) > 5
+            UNION ALL
+            SELECT t.entity_id, 'contains', 'min_count<1',
+                   coalesce(h.n, 0)::BIGINT
+            FROM (SELECT entity_id FROM ty WHERE type = 'Order') t
+            LEFT JOIN (SELECT s, count(DISTINCT o)::BIGINT AS n FROM tri
+                       WHERE p = 'contains' GROUP BY 1) h
+              ON t.entity_id = h.s
+            WHERE coalesce(h.n, 0) < 1
+            UNION ALL
+            SELECT s, 'placed_by', 'domain!=Order', count(*)::BIGINT
+            FROM tri LEFT JOIN ty ON tri.s = ty.entity_id
+            WHERE p = 'placed_by'
+              AND (ty.type IS NULL OR ty.type <> 'Order')
+            GROUP BY 1
+            UNION ALL
+            SELECT o, 'placed_by', 'range!=Customer', count(*)::BIGINT
+            FROM tri LEFT JOIN ty ON tri.o = ty.entity_id
+            WHERE p = 'placed_by'
+              AND (ty.type IS NULL OR ty.type <> 'Customer')
+            GROUP BY 1
+            UNION ALL
+            SELECT o, 'supplied_by', 'closed_object', count(*)::BIGINT
+            FROM tri LEFT JOIN ty ON tri.o = ty.entity_id
+            WHERE p = 'supplied_by' AND ty.entity_id IS NULL
+            GROUP BY 1
         """,
     }

@@ -1531,3 +1531,110 @@ def katz_centrality(
             .drop("_wk")
         )
     return acc.select("node", F.col("katz_micro").cast("long").alias("katz_micro"))
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Directed-edge reciprocity per group: (group?, n_edges,
+    n_reciprocated, reciprocity). An edge u→v is reciprocated when v→u
+    exists IN THE SAME GROUP. The KG-health read: a symmetric predicate
+    (interacts_with) should sit near 1.0, an asymmetric one (is_a,
+    part_of) near 0 — drift is an extraction-direction bug (the F6 swap
+    family), caught here corpus-wide instead of per-triple.
+
+    Self-loops are excluded (u→u is trivially its own reverse); edges
+    dedup first so multi-evidence triples count once. ONE equi-join of
+    the distinct edge set against its flip on (group, src, dst) — both
+    sides shuffle-partition on the same key, integer counts, one round-6
+    division. At 100 TB this is a self-join of the DISTINCT edge list
+    (orders below raw mentions); AQE handles the hub-key skew."""
+    keys = [group_col] if group_col else []
+    e = (
+        edges.select(*keys, F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    rev = e.select(*keys, F.col("v").alias("u"), F.col("u").alias("v"))
+    marked = e.join(rev, [*keys, "u", "v"], "left_semi").groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reciprocated")
+    )
+    totals = e.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    out = (
+        totals.join(marked, keys, "left") if keys else totals.crossJoin(marked)
+    ).withColumn("n_reciprocated", F.coalesce("n_reciprocated", F.lit(0)))
+    return out.select(
+        *keys,
+        "n_edges",
+        F.col("n_reciprocated").cast("long").alias("n_reciprocated"),
+        F.round(F.col("n_reciprocated") / F.col("n_edges"), 6).alias("reciprocity"),
+    )
+
+
+def rich_club(
+    edges: DataFrame,
+    k_grid: list[int],
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Rich-club coefficient φ(k) over the undirected simple graph, for
+    each k in k_grid: among nodes with degree > k, the realized fraction
+    of possible edges — (k, n_nodes, n_edges, phi). A rising φ(k) says
+    the hubs wire to each other (one densely-connected core of canonical
+    entities); flat/falling says hub connections spread out. The
+    structural audit for "did canonicalization collapse the hubs into a
+    clique".
+
+    Degrees come from one aggregate; each edge then carries its two
+    endpoint degrees (two broadcast-size joins against the degree table —
+    or shuffle joins at full scale) and the tiny k_grid crosses in as a
+    literal array, so the whole sweep is ONE pass over the edge list, not
+    |grid| passes. Integer counts, one round-6 division; φ undefined
+    (NULL) when fewer than 2 nodes clear k."""
+    und = _undirected(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ks = F.explode(F.array(*[F.lit(int(k)) for k in sorted(set(k_grid))])).alias("k")
+    nodes_k = (
+        deg.select("d").select(ks, "d")
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    ed = und.join(da, "a").join(db, "b")
+    edges_k = (
+        ed.select(ks, "_da", "_db")
+        .filter((F.col("_da") > F.col("k")) & (F.col("_db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    grid = und.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(set(k_grid))], "k int"
+    )
+    out = (
+        grid.join(nodes_k, "k", "left")
+        .join(edges_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        )
+    )
+    possible = F.col("n_nodes") * (F.col("n_nodes") - 1) / 2
+    return out.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2, F.round(F.col("n_edges") / possible, 6)
+        ).alias("phi"),
+    )

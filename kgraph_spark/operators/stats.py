@@ -41,6 +41,9 @@ __all__ = [
     "anova_f",
     "prop_ztest",
     "cohens_d",
+    "gini_coefficient",
+    "kendall_tau",
+    "theil_sen_slope",
 ]
 
 _DEC = "decimal(38,0)"
@@ -528,3 +531,172 @@ def cohens_d(
         F.round(mean_b, 6).alias("mean_b"),
         F.when((na + nb > 2) & (pooled > 0), F.round(d_val, 6)).alias("d"),
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Gini concentration coefficient of a non-negative integer quantity
+    (per group): (group?, n, total, gini). The canonical inequality gate
+    for a corpus — "how concentrated are events per user / mentions per
+    entity / bytes per domain" — 0 = uniform, →1 = one key owns it all.
+
+    Sorted-rank identity G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with the
+    rank window ordered on (value, tie) — ties swap equal values so the
+    Σ i·x_(i) term is order-invariant; numerator and denominator are
+    EXACT wide-integer sums, one round-6 division at the end (module
+    float discipline). NULL / negative values are rejected rows (a
+    negative quantity has no Gini).
+
+    Scale: one rank window per group over the (key, value) rows — these
+    are PRE-AGGREGATED rows (one per user/entity/domain), orders of
+    magnitude below raw events, so the per-group sort is the cheap part;
+    a single group with billions of distinct keys wants the two-phase
+    distributed prefix-sum variant (dedup_text.sorted_neighborhood_pairs
+    pattern), documented not assumed."""
+    if value_col not in df.columns:
+        raise ValueError(f"unknown column {value_col!r}")
+    keys = [group_col] if group_col else []
+    q = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0)).select(
+        *keys, F.col(value_col).cast("long").alias("x")
+    )
+    w = Window.partitionBy(*keys).orderBy("x") if keys else Window.orderBy("x")
+    ranked = q.select(*keys, "x", F.row_number().over(w).alias("i"))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast(_DEC).alias("sx"),
+        F.sum(F.col("i").cast(_DEC) * F.col("x")).cast(_DEC).alias("six"),
+    )
+    num = F.lit(2).cast(_DEC) * F.col("six") - (F.col("n") + 1).cast(_DEC) * F.col("sx")
+    den = F.col("n").cast(_DEC) * F.col("sx")
+    return agg.select(
+        *keys,
+        "n",
+        F.col("sx").cast("long").alias("total"),
+        F.when(den > 0, F.round(num.cast("double") / den.cast("double"), 6)).alias(
+            "gini"
+        ),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kendall rank correlation tau-a per group: (group?, n, concordant,
+    discordant, tau). Pairs tied on x OR y count as neither (tau-a keeps
+    the denominator at n(n-1)/2) — integer pair counts, ONE round-6
+    division. Complements spearman_corr: tau is the probability-of-
+    agreement statistic, robust to the midrank subtleties.
+
+    Cost is the honest O(n²) pair join PER GROUP (self-join on the group
+    key with id inequality) — the contract is bounded groups: feed it a
+    deterministic subsample (id % k == 0) or pre-aggregated rows, exactly
+    as a 100-TB run would. Knight's O(n log n) merge-sort count is the
+    single-machine trick, not a shuffle-friendly one; the bounded-group
+    join IS the distributed shape (each group's pairs shard across
+    executors).
+
+    Inputs must already be integers (quantize upstream: epoch seconds,
+    round-4 fixed-point) so comparisons are exact cross-engine."""
+    keys = [group_col] if group_col else []
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy(*keys).orderBy("x", "y") if keys else Window.orderBy("x", "y")
+    ranked = q.select(*keys, "x", "y", F.row_number().over(w).alias("i"))
+    a = ranked.select(*keys, F.col("x").alias("xa"), F.col("y").alias("ya"),
+                      F.col("i").alias("ia"))
+    b = ranked.select(*keys, F.col("x").alias("xb"), F.col("y").alias("yb"),
+                      F.col("i").alias("ib"))
+    pairs = a.join(b, keys) if keys else a.crossJoin(b)
+    pairs = pairs.filter(F.col("ia") < F.col("ib"))
+    sgn = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    agg = pairs.groupBy(*keys).agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    n_from_pairs = ranked.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    joined = agg.join(n_from_pairs, keys) if keys else agg.crossJoin(n_from_pairs)
+    return joined.select(
+        *keys,
+        "n",
+        "concordant",
+        "discordant",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(
+                (F.col("concordant") - F.col("discordant")) / F.col("n_pairs"), 6
+            ),
+        ).alias("tau"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i), x_i ≠ x_j — (group?, n, n_slopes,
+    slope). The breakdown-point-29% twin of ols_trend: one outlying
+    reading moves OLS, not the slope median.
+
+    Exactness without rounding: x and y must arrive as integers (epoch
+    seconds, fixed-point values), so every slope is ONE IEEE division of
+    exact integers — bit-identical in any engine — and the median is an
+    ELEMENT of that set (odd count) or one exact mean of two (even).
+    Same bounded-group O(n²) contract and subsample guidance as
+    kendall_tau."""
+    keys = [group_col] if group_col else []
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy(*keys).orderBy("x", "y") if keys else Window.orderBy("x", "y")
+    ranked = q.select(*keys, "x", "y", F.row_number().over(w).alias("i"))
+    a = ranked.select(*keys, F.col("x").alias("xa"), F.col("y").alias("ya"),
+                      F.col("i").alias("ia"))
+    b = ranked.select(*keys, F.col("x").alias("xb"), F.col("y").alias("yb"),
+                      F.col("i").alias("ib"))
+    pairs = (a.join(b, keys) if keys else a.crossJoin(b)).filter(
+        (F.col("ia") < F.col("ib")) & (F.col("xa") != F.col("xb"))
+    )
+    slopes = pairs.select(
+        *keys,
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s"),
+    )
+    ws = Window.partitionBy(*keys).orderBy("s") if keys else Window.orderBy("s")
+    med = slopes.select(
+        *keys,
+        "s",
+        F.row_number().over(ws).alias("r"),
+        F.count(F.lit(1)).over(
+            (Window.partitionBy(*keys) if keys else Window.partitionBy())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("m"),
+    ).filter(
+        (F.col("r") == (F.col("m") + 1) / 2)
+        | (F.col("r") == F.col("m") / 2 + 1)
+        | (F.col("r") == F.col("m") / 2)
+    )
+    # odd m: keeps exactly rank (m+1)/2; even m: keeps ranks m/2 and m/2+1
+    slope = med.groupBy(*keys).agg(
+        F.avg("s").alias("slope"), F.count(F.lit(1)).alias("_k")
+    )
+    n_rows = ranked.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_slopes = slopes.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_slopes")
+    )
+    out = slope.join(n_rows, keys) if keys else slope.crossJoin(n_rows)
+    out = out.join(n_slopes, keys) if keys else out.crossJoin(n_slopes)
+    return out.select(*keys, "n", "n_slopes", "slope")

@@ -213,3 +213,168 @@ def vocab_prepass(mentions: DataFrame) -> DataFrame:
             F.max("confidence").alias("max_confidence"),
         )
     )
+
+
+def infer_entity_types(
+    triples: DataFrame,
+    types: DataFrame,
+    min_votes: int = 1,
+) -> DataFrame:
+    """Type inference for untyped entities from predicate signatures —
+    the schema-induction step a KG-construction pipeline runs after
+    linking, when authority lookups typed only part of the graph
+    (reference entity classes come from the KB, kgraph/models.py; here we
+    propagate them to the residue).
+
+    Two passes, both plain aggregates:
+    1. SIGNATURE: per predicate, the dominant subject type and dominant
+       object type among ALREADY-TYPED endpoints (majority count,
+       tie-break lexicographic min — deterministic argmax via min-of-
+       struct on (-count, type)).
+    2. VOTE: each untyped entity collects one vote per (predicate,
+       position) edge it touches — the predicate's dominant type for that
+       position — and takes the same deterministic majority.
+
+    Returns (entity_id, inferred_type, n_votes) for entities ABSENT from
+    `types` with n_votes >= min_votes. Integer counts only. Scale: two
+    shuffles on predicate (signature is tiny — |predicates| rows,
+    broadcast back), one shuffle on entity_id for the vote; hub entities
+    salt via AQE."""
+    typed_s = triples.join(
+        types.select(F.col("entity_id").alias("subject_id"), "type"), "subject_id"
+    ).select(F.col("predicate"), F.lit("s").alias("pos"), F.col("type"))
+    typed_o = triples.join(
+        types.select(F.col("entity_id").alias("object_id"), "type"), "object_id"
+    ).select(F.col("predicate"), F.lit("o").alias("pos"), F.col("type"))
+    sig = (
+        typed_s.unionByName(typed_o)
+        .groupBy("predicate", "pos", "type")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("predicate", "pos")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "type")).alias("w"))
+        .select("predicate", "pos", F.col("w.type").alias("dom_type"))
+    )
+    untyped_s = triples.join(
+        types.select(F.col("entity_id").alias("subject_id")), "subject_id", "left_anti"
+    ).select(F.col("subject_id").alias("entity_id"), "predicate", F.lit("s").alias("pos"))
+    untyped_o = triples.join(
+        types.select(F.col("entity_id").alias("object_id")), "object_id", "left_anti"
+    ).select(F.col("object_id").alias("entity_id"), "predicate", F.lit("o").alias("pos"))
+    votes = (
+        untyped_s.unionByName(untyped_o)
+        .join(F.broadcast(sig), ["predicate", "pos"])
+        .groupBy("entity_id", "dom_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+    )
+    return (
+        votes.groupBy("entity_id")
+        .agg(F.min(F.struct((-F.col("v")).alias("nv"), F.col("dom_type"))).alias("w"))
+        .select(
+            "entity_id",
+            F.col("w.dom_type").alias("inferred_type"),
+            (-F.col("w.nv")).cast("long").alias("n_votes"),
+        )
+        .filter(F.col("n_votes") >= min_votes)
+    )
+
+
+def shacl_report(
+    triples: DataFrame,
+    types: DataFrame,
+    shapes: list[dict],
+) -> DataFrame:
+    """SHACL-lite validation sweep: one violation table over the whole
+    KG — (entity_id, predicate, violation, n). `shapes` is a list of
+    constraint dicts, each one of:
+      {kind: 'max_count', predicate, max}          — functional cardinality
+      {kind: 'min_count', predicate, subject_type, min} — required property
+      {kind: 'domain', predicate, subject_type}    — subject must be typed T
+      {kind: 'range', predicate, object_type}      — object must be typed T
+      {kind: 'closed_object', predicate}           — object must EXIST in types
+    The batch restatement of per-commit schema checks (reference
+    validates constraints inline during relationship building,
+    examples/medlit/pipeline/relationships.py:293-378); as a corpus-wide
+    sweep each constraint is one aggregate or anti-join and the union is
+    a handful of cheap jobs over the deduped triple table.
+
+    Deterministic, integer-only. Violation rows carry n = the offending
+    multiplicity (max_count: observed count; min_count: observed count,
+    possibly 0; domain/range/closed_object: offending-triple count per
+    entity)."""
+    parts: list[DataFrame] = []
+    t = triples.select("subject_id", "predicate", "object_id")
+    for sh in shapes:
+        kind = sh["kind"]
+        pred = sh["predicate"]
+        tp = t.filter(F.col("predicate") == pred)
+        if kind == "max_count":
+            v = (
+                tp.groupBy("subject_id")
+                .agg(F.count_distinct("object_id").cast("long").alias("n"))
+                .filter(F.col("n") > int(sh["max"]))
+                .select(
+                    F.col("subject_id").alias("entity_id"),
+                    F.lit(pred).alias("predicate"),
+                    F.lit(f"max_count>{sh['max']}").alias("violation"),
+                    "n",
+                )
+            )
+        elif kind == "min_count":
+            have = tp.groupBy("subject_id").agg(
+                F.count_distinct("object_id").cast("long").alias("n")
+            )
+            v = (
+                types.filter(F.col("type") == sh["subject_type"])
+                .select(F.col("entity_id").alias("subject_id"))
+                .join(have, "subject_id", "left")
+                .withColumn("n", F.coalesce("n", F.lit(0)).cast("long"))
+                .filter(F.col("n") < int(sh["min"]))
+                .select(
+                    F.col("subject_id").alias("entity_id"),
+                    F.lit(pred).alias("predicate"),
+                    F.lit(f"min_count<{sh['min']}").alias("violation"),
+                    "n",
+                )
+            )
+        elif kind in ("domain", "range"):
+            col = "subject_id" if kind == "domain" else "object_id"
+            want = sh["subject_type"] if kind == "domain" else sh["object_type"]
+            tagged = tp.join(
+                types.select(F.col("entity_id").alias(col), "type"), col, "left"
+            )
+            v = (
+                tagged.filter(
+                    F.col("type").isNull() | (F.col("type") != want)
+                )
+                .groupBy(col)
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .select(
+                    F.col(col).alias("entity_id"),
+                    F.lit(pred).alias("predicate"),
+                    F.lit(f"{kind}!={want}").alias("violation"),
+                    "n",
+                )
+            )
+        elif kind == "closed_object":
+            v = (
+                tp.join(
+                    types.select(F.col("entity_id").alias("object_id")),
+                    "object_id",
+                    "left_anti",
+                )
+                .groupBy("object_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .select(
+                    F.col("object_id").alias("entity_id"),
+                    F.lit(pred).alias("predicate"),
+                    F.lit("closed_object").alias("violation"),
+                    "n",
+                )
+            )
+        else:
+            raise ValueError(f"unknown shape kind {kind!r}")
+        parts.append(v)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -770,3 +770,45 @@ def test_edge_lift_direction_blind_and_unweighted(spark):
     r = rows[0]
     assert (r["subject_id"], r["object_id"], r["weight"]) == ("a", "b", 2)
     assert r["lift"] == round(2 * 4 / (2 * 2), 6)  # single-pair graph: 2W=4
+
+
+def test_reciprocity_hand_graph(spark):
+    from kgraph_spark.operators.graph_analytics import reciprocity
+
+    # a→b, b→a (reciprocated pair), a→c (one-way), d→d (self loop, dropped)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("d", "d"), ("a", "b")],
+        "subject_id string, object_id string",
+    )
+    row = reciprocity(e).first()
+    assert row["n_edges"] == 3 and row["n_reciprocated"] == 2
+    assert row["reciprocity"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_reciprocity_grouped_zero_and_full(spark):
+    from kgraph_spark.operators.graph_analytics import reciprocity
+
+    e = spark.createDataFrame(
+        [("sym", "x", "y"), ("sym", "y", "x"), ("asym", "x", "y")],
+        "p string, subject_id string, object_id string",
+    )
+    out = {r["p"]: r for r in reciprocity(e, group_col="p").collect()}
+    assert out["sym"]["reciprocity"] == 1.0
+    assert out["asym"]["reciprocity"] == 0.0
+
+
+def test_rich_club_star_vs_clique(spark):
+    from kgraph_spark.operators.graph_analytics import rich_club
+
+    # 4-clique + 3 pendant nodes on a: deg(a)=6, deg(b,c,d)=3, pendants 1
+    clique = [(u, v) for u in "abcd" for v in "abcd" if u < v]
+    pend = [("a", p) for p in ("p1", "p2", "p3")]
+    e = spark.createDataFrame(
+        clique + pend, "subject_id string, object_id string"
+    )
+    out = {r["k"]: r for r in rich_club(e, k_grid=[1, 2, 5]).collect()}
+    # k=1: clique nodes + a all have deg>1 → 4 nodes, 6 edges → phi=1.0
+    assert out[1]["n_nodes"] == 4 and out[1]["phi"] == pytest.approx(1.0)
+    assert out[2]["n_nodes"] == 4  # same club at k=2
+    # k=5: only the hub clears → phi NULL
+    assert out[5]["n_nodes"] == 1 and out[5]["phi"] is None

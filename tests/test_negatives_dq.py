@@ -149,3 +149,59 @@ def test_domain_quality_gate(spark):
     assert got["good.com"]["keep"] is True and got["good.com"]["n_docs"] == 2
     assert got["junk.com"]["keep"] is False
     assert got["good.com"]["mean_quality"] > got["junk.com"]["mean_quality"]
+
+
+def test_infer_entity_types_majority_and_tiebreak(spark):
+    from kgraph_spark.operators.validation_extra import infer_entity_types
+
+    triples = spark.createDataFrame(
+        [
+            # typed signature rows: p1 subjects are Gene (2 votes vs 1 Drug)
+            ("g1", "p1", "x1"), ("g2", "p1", "x2"), ("d1", "p1", "x3"),
+            # untyped u1 appears twice as p1-subject → inferred Gene
+            ("u1", "p1", "x4"), ("u1", "p1", "x5"),
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    types = spark.createDataFrame(
+        [("g1", "Gene"), ("g2", "Gene"), ("d1", "Drug")],
+        "entity_id string, type string",
+    )
+    out = {r["entity_id"]: r for r in infer_entity_types(triples, types).collect()}
+    assert out["u1"]["inferred_type"] == "Gene" and out["u1"]["n_votes"] == 2
+    # x* objects have no typed-object signature for p1 → no votes, absent
+    assert all(k == "u1" for k in out)
+
+
+def test_shacl_report_all_kinds(spark):
+    from kgraph_spark.operators.validation_extra import shacl_report
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "has_code", "c1"), ("s1", "has_code", "c2"),  # max 1 violated
+            ("s2", "has_code", "c1"),
+            ("s1", "treats", "zz"),   # range violation (zz untyped)
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    types = spark.createDataFrame(
+        [("s1", "Drug"), ("s2", "Drug"), ("s3", "Drug"), ("c1", "Code"),
+         ("c2", "Code")],
+        "entity_id string, type string",
+    )
+    shapes = [
+        {"kind": "max_count", "predicate": "has_code", "max": 1},
+        {"kind": "min_count", "predicate": "has_code",
+         "subject_type": "Drug", "min": 1},
+        {"kind": "domain", "predicate": "treats", "subject_type": "Disease"},
+        {"kind": "range", "predicate": "treats", "object_type": "Disease"},
+        {"kind": "closed_object", "predicate": "treats"},
+    ]
+    rows = {(r["entity_id"], r["violation"]): r["n"]
+            for r in shacl_report(triples, types, shapes).collect()}
+    assert rows[("s1", "max_count>1")] == 2
+    assert rows[("s3", "min_count<1")] == 0  # typed Drug with no code
+    assert rows[("s1", "domain!=Disease")] == 1
+    assert rows[("zz", "range!=Disease")] == 1
+    assert rows[("zz", "closed_object")] == 1
+    assert ("s2", "max_count>1") not in rows

@@ -269,3 +269,74 @@ def test_cohens_d_zero_variance_null(spark):
 
     a = spark.createDataFrame([(1.0,), (1.0,)], "v double")
     assert cohens_d(a, a, "v").first()["d"] is None
+
+
+def test_gini_uniform_is_zero(spark):
+    from kgraph_spark.operators.stats import gini_coefficient
+
+    df = spark.createDataFrame([(5,)] * 4, "x long")
+    row = gini_coefficient(df, "x").first()
+    assert row["n"] == 4 and row["total"] == 20 and row["gini"] == 0.0
+
+
+def test_gini_total_concentration(spark):
+    from kgraph_spark.operators.stats import gini_coefficient
+
+    # one key owns everything: G = (n-1)/n
+    df = spark.createDataFrame([(0,), (0,), (0,), (12,)], "x long")
+    row = gini_coefficient(df, "x").first()
+    assert row["gini"] == pytest.approx(0.75)
+
+
+def test_gini_hand_case_grouped(spark):
+    from kgraph_spark.operators.stats import gini_coefficient
+
+    # g1: x = [1,2,3] → G = (2*(1+4+9) - 4*6) / (3*6) = 4/18
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 7)], "g string, x long"
+    )
+    out = {r["g"]: r for r in gini_coefficient(df, "x", "g").collect()}
+    assert out["g1"]["gini"] == pytest.approx(4 / 18, abs=1e-6)
+    assert out["g2"]["gini"] == 0.0  # single key: no inequality measurable
+
+
+def test_kendall_tau_perfect_and_reversed(spark):
+    from kgraph_spark.operators.stats import kendall_tau
+
+    up = spark.createDataFrame([(i, i * 2) for i in range(5)], "x long, y long")
+    row = kendall_tau(up, "x", "y").first()
+    assert row["tau"] == 1.0 and row["concordant"] == 10 and row["discordant"] == 0
+    down = spark.createDataFrame([(i, -i) for i in range(5)], "x long, y long")
+    assert kendall_tau(down, "x", "y").first()["tau"] == -1.0
+
+
+def test_kendall_tau_ties_counted_in_denominator(spark):
+    from kgraph_spark.operators.stats import kendall_tau
+
+    # (1,1),(2,1),(3,2): pair(1,2) tied on y → tau-a = 2/3
+    df = spark.createDataFrame([(1, 1), (2, 1), (3, 2)], "x long, y long")
+    row = kendall_tau(df, "x", "y").first()
+    assert row["concordant"] == 2 and row["discordant"] == 0
+    assert row["tau"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_theil_sen_exact_line_with_outlier(spark):
+    from kgraph_spark.operators.stats import theil_sen_slope
+
+    # y = 3x except one wild outlier; median slope stays 3
+    rows = [(x, 3 * x) for x in range(1, 8)] + [(9, 1000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    row = theil_sen_slope(df, "x", "y").first()
+    assert row["n"] == 8 and row["slope"] == pytest.approx(3.0)
+
+
+def test_theil_sen_even_count_mean_of_middles(spark):
+    from kgraph_spark.operators.stats import theil_sen_slope
+
+    # points (0,0),(1,1),(2,4): slopes 1, 2, 3 → odd → median 2
+    df = spark.createDataFrame([(0, 0), (1, 1), (2, 4)], "x long, y long")
+    assert theil_sen_slope(df, "x", "y").first()["slope"] == pytest.approx(2.0)
+    # (0,0),(1,1),(2,4),(3,9): 6 slopes [1,2,3,3,4,5]... median = (3+3)/2
+    df4 = spark.createDataFrame([(0, 0), (1, 1), (2, 4), (3, 9)], "x long, y long")
+    row = theil_sen_slope(df4, "x", "y").first()
+    assert row["n_slopes"] == 6 and row["slope"] == pytest.approx(3.0)
