@@ -4329,6 +4329,69 @@ def q_kg_shacl_report(spark, sf_dir):
     )
 
 
+def q_kg_pra_features(spark, sf_dir):
+    """PRA link-prediction features over the thinned lineitem KG:
+    length-2 metapath counts per (src, dst) pair, mid-hub capped at 50 —
+    the per-pair feature matrix a completion ranker consumes."""
+    from kgraph_spark.operators.relationships import pra_path_features
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = li.select(
+        o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id")
+    ).union(
+        li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id"))
+    )
+    return pra_path_features(t, max_mid_degree=50)
+
+
+def q_evt_seasonality(spark, sf_dir):
+    """Hour-of-week load shape per event type with lift vs uniform —
+    dow/hour from convention-free epoch arithmetic (0 = Monday)."""
+    from kgraph_spark.operators.event_analytics import seasonality_profile
+
+    return seasonality_profile(_read(spark, sf_dir, "events"))
+
+
+def q_evt_rfm(spark, sf_dir):
+    """RFM quintile banding per user (recency anchored on the corpus max
+    timestamp, monetary as round-4 fixed-point, rank-derived bands with
+    total (metric, user_id) tie order — never engine-luck ntile)."""
+    from kgraph_spark.operators.event_analytics import rfm_scores
+
+    return rfm_scores(_read(spark, sf_dir, "events"))
+
+
+def q_graph_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition (CORE/IN/OUT/OTHER around the largest
+    SCC) of a deterministic functional digraph on doc ids — the directed
+    macro-shape audit; oracle recomputes reachability by recursive CTE."""
+    from kgraph_spark.operators.graph_analytics import bowtie_classification
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    e = docs.select(
+        F.col("doc_id").alias("subject_id"),
+        ((F.col("doc_id") * 2 + 1) % 200).alias("object_id"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("subject_id"),
+            ((F.col("doc_id") * 7 + 3) % 200).alias("object_id"),
+        )
+    )
+    return bowtie_classification(e)
+
+
+def q_text_burstiness(spark, sf_dir):
+    """Church–Gale term burstiness + corpus variance-to-mean ratio per
+    token (zeros implicit in the closed form) — boilerplate-signature
+    vs topic-anchor separation, exact integer sums."""
+    from kgraph_spark.operators.text_analysis import term_burstiness
+
+    return term_burstiness(_read(spark, sf_dir, "documents"), min_df=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -4353,6 +4416,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_rich_club": q_graph_rich_club,
         "kg_type_inference": q_kg_type_inference,
         "kg_shacl_report": q_kg_shacl_report,
+        "kg_pra_features": q_kg_pra_features,
+        "evt_seasonality": q_evt_seasonality,
+        "evt_rfm": q_evt_rfm,
+        "graph_bowtie": q_graph_bowtie,
+        "text_burstiness": q_text_burstiness,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
         "d6_usage_count": q_d6_usage_count,
@@ -10712,5 +10780,140 @@ def oracle_sql() -> dict[str, str]:
             FROM tri LEFT JOIN ty ON tri.o = ty.entity_id
             WHERE p = 'supplied_by' AND ty.entity_id IS NULL
             GROUP BY 1
+        """,
+        "kg_pra_features": """
+            WITH t AS (
+                SELECT DISTINCT 'O' || l_orderkey AS s, 'contains' AS p,
+                       'P' || l_partkey AS o
+                FROM lineitem WHERE l_partkey % 5 = 0
+                UNION
+                SELECT DISTINCT 'P' || l_partkey, 'from', 'S' || l_suppkey
+                FROM lineitem WHERE l_partkey % 5 = 0
+            ), ind AS (
+                SELECT o AS mid, count(*)::BIGINT AS di FROM t GROUP BY 1
+            ), outd AS (
+                SELECT s AS mid, count(*)::BIGINT AS dof FROM t GROUP BY 1
+            ), ok AS (
+                SELECT ind.mid FROM ind JOIN outd USING (mid)
+                WHERE di <= 50 AND dof <= 50
+            )
+            SELECT l.s AS src, r.o AS dst, l.p AS p1, r.p AS p2,
+                   count(*)::BIGINT AS n_paths
+            FROM t l
+            JOIN ok ON l.o = ok.mid
+            JOIN t r ON r.s = l.o
+            WHERE l.s <> r.o
+            GROUP BY 1, 2, 3, 4
+        """,
+        "evt_seasonality": """
+            WITH c AS (
+                SELECT event_type,
+                       ((epoch_us(ts) // 86400000000 + 3) % 7)::INT AS dow,
+                       ((epoch_us(ts) // 3600000000) % 24)::INT AS hour,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2, 3
+            ), tot AS (
+                SELECT event_type, sum(n)::BIGINT AS t FROM c GROUP BY 1
+            )
+            SELECT c.event_type, dow, hour, n,
+                   round(168 * n / t, 6) AS lift
+            FROM c JOIN tot USING (event_type)
+        """,
+        "evt_rfm": """
+            WITH pu AS (
+                SELECT user_id, max(epoch_us(ts)) AS last_us,
+                       count(*)::BIGINT AS frequency,
+                       sum(round(value * 10000, 0)::BIGINT)::BIGINT
+                           AS monetary_fp
+                FROM events GROUP BY 1
+            ), base AS (
+                SELECT user_id,
+                       ((SELECT max(last_us) FROM pu) - last_us) // 1000000
+                           AS recency_s,
+                       frequency, monetary_fp,
+                       count(*) OVER () AS nu
+                FROM pu
+            ), banded AS (
+                SELECT user_id, recency_s, frequency, monetary_fp,
+                       (1 + floor(5 * (row_number() OVER
+                            (ORDER BY recency_s DESC, user_id) - 1) / nu))::INT
+                           AS r,
+                       (1 + floor(5 * (row_number() OVER
+                            (ORDER BY frequency, user_id) - 1) / nu))::INT
+                           AS f,
+                       (1 + floor(5 * (row_number() OVER
+                            (ORDER BY monetary_fp, user_id) - 1) / nu))::INT
+                           AS m
+                FROM base
+            )
+            SELECT user_id, recency_s, frequency, monetary_fp, r, f, m,
+                   'R' || r || 'F' || f || 'M' || m AS segment
+            FROM banded
+        """,
+        "graph_bowtie": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id FROM documents WHERE doc_id < 200
+            ), e AS (
+                SELECT doc_id AS s, (doc_id * 2 + 1) % 200 AS t FROM d
+                UNION ALL
+                SELECT doc_id, (doc_id * 7 + 3) % 200 FROM d
+            ), nodes AS (
+                SELECT DISTINCT n
+                FROM (SELECT s AS n FROM e UNION ALL SELECT t FROM e)
+            ), rr AS (
+                SELECT s AS src, t AS dst FROM e
+                UNION
+                SELECT rr.src, e.t FROM rr JOIN e ON rr.dst = e.s
+            ), reach AS (
+                SELECT DISTINCT src, dst FROM rr
+            ), allr AS (
+                SELECT src, dst FROM reach
+                UNION
+                SELECT n, n FROM nodes
+            ), scc AS (
+                SELECT a.src AS id, min(a.dst) AS scc_id
+                FROM allr a JOIN allr b ON a.src = b.dst AND a.dst = b.src
+                GROUP BY 1
+            ), sizes AS (
+                SELECT scc_id, count(*)::BIGINT AS sz FROM scc GROUP BY 1
+            ), top AS (
+                SELECT scc_id FROM sizes ORDER BY sz DESC, scc_id LIMIT 1
+            ), core AS (
+                SELECT id FROM scc WHERE scc_id = (SELECT scc_id FROM top)
+            ), rc AS (
+                SELECT DISTINCT src AS id FROM reach
+                WHERE dst IN (SELECT id FROM core)
+            ), rf AS (
+                SELECT DISTINCT dst AS id FROM reach
+                WHERE src IN (SELECT id FROM core)
+            )
+            SELECT n AS id,
+                   CASE WHEN n IN (SELECT id FROM core) THEN 'CORE'
+                        WHEN n IN (SELECT id FROM rc) THEN 'IN'
+                        WHEN n IN (SELECT id FROM rf) THEN 'OUT'
+                        ELSE 'OTHER' END AS cls
+            FROM nodes
+        """,
+        "text_burstiness": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, count(*)::BIGINT AS c
+                FROM tok WHERE len(token) > 0 GROUP BY 1, 2
+            ), nd AS (
+                SELECT count(*)::HUGEINT AS n FROM documents
+            ), pt AS (
+                SELECT token, count(*)::BIGINT AS df, sum(c)::BIGINT AS cf,
+                       sum(c::HUGEINT * c) AS sc2
+                FROM tf GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT token, df, cf,
+                   round(cf::DOUBLE / df, 6) AS per_doc_rate,
+                   round((n * sc2 - cf::HUGEINT * cf)::DOUBLE
+                         / (n * cf::HUGEINT)::DOUBLE, 6) AS vmr
+            FROM pt, nd
         """,
     }

@@ -269,3 +269,95 @@ def ema_smooth(
             "ema"
         ),
     )
+
+
+def seasonality_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Hour-of-week seasonality per group: (group, dow, hour, n, lift) —
+    lift = observed / uniform expectation (168·n_cell / n_group), the
+    load-shape fingerprint batch schedulers and anomaly baselines read.
+    dow is computed FROM EPOCH ARITHMETIC (0 = Monday), never from an
+    engine dayofweek() — DuckDB says Sunday=0, Spark says Sunday=1, and
+    session timezones bend both; integer µs division is convention-free.
+    ONE hash aggregate + one group-total broadcast join; a single
+    round-6 division."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    days = F.floor(us / 86_400_000_000).cast("long")
+    cells = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            ((days + 3) % 7).cast("int").alias("dow"),  # 1970-01-01 = Thursday
+            ((F.floor(us / 3_600_000_000)) % 24).cast("int").alias("hour"),
+        )
+        .groupBy("grp", "dow", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = cells.groupBy("grp").agg(F.sum("n").cast("long").alias("_tot"))
+    return (
+        cells.join(F.broadcast(totals), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "dow",
+            "hour",
+            "n",
+            F.round(F.lit(168) * F.col("n") / F.col("_tot"), 6).alias("lift"),
+        )
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    n_bands: int = 5,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) banding per user: (user_id,
+    recency_s, frequency, monetary_fp, r, f, m, segment). Recency is
+    seconds from the user's last event to the CORPUS max timestamp (a
+    data-derived anchor, so reruns are deterministic — never wall-clock
+    now()); monetary rides as round-4 fixed-point longs. Bands are
+    rank-derived quantile bins with total tie order (metric, user_id):
+    band = 1 + n_bands·(rank−1) div n_users — exact integer arithmetic,
+    identical in any engine, unlike ntile() whose tie placement is
+    engine-luck. r is REVERSED (most recent = highest band) so every
+    axis reads "bigger = better".
+
+    One per-user aggregate, then three rank windows over the per-user
+    frame (|users| rows — orders below raw events; the 100-TB variant
+    swaps exact ranks for approx_percentile boundaries, documented)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.max(us).alias("_last_us"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col(value_col) * 10000, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_fp"),
+    )
+    anchor = per_user.agg(F.max("_last_us").alias("_anchor")).select("_anchor")
+    pu = per_user.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_s",
+        F.floor((F.col("_anchor") - F.col("_last_us")) / 1_000_000).cast("long"),
+    )
+    n_users = F.count(F.lit(1)).over(Window.partitionBy())
+
+    def band(metric, reverse=False):
+        order = [F.col(metric).desc() if reverse else F.col(metric), "user_id"]
+        rank = F.row_number().over(Window.orderBy(*order))
+        return (1 + F.floor(F.lit(n_bands) * (rank - 1) / n_users)).cast("int")
+
+    return pu.select(
+        "user_id",
+        "recency_s",
+        "frequency",
+        "monetary_fp",
+        band("recency_s", reverse=True).alias("r"),
+        band("frequency").alias("f"),
+        band("monetary_fp").alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(F.lit("R"), F.col("r"), F.lit("F"), F.col("f"), F.lit("M"), F.col("m")),
+    )

@@ -1638,3 +1638,66 @@ def rich_club(
             F.col("n_nodes") >= 2, F.round(F.col("n_edges") / possible, 6)
         ).alias("phi"),
     )
+
+
+def bowtie_classification(
+    edges: DataFrame,
+    max_depth: int = 16,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Broder bow-tie decomposition around the largest SCC: (node, cls)
+    with cls ∈ {CORE, IN, OUT, OTHER}. CORE = the largest strongly
+    connected component (ties broken to the min scc_id); IN = reaches
+    the core but isn't in it; OUT = reached from the core; OTHER = the
+    tendrils/disconnected rest. The macro-shape audit for a directed KG:
+    a healthy taxonomy is almost all OTHER/OUT (DAG-shaped), a citation
+    or link graph grows a fat core — drift between snapshots is
+    structural news.
+
+    IN ∩ OUT = ∅ by construction (a non-core node both reaching and
+    reached by the core would close a cycle through the core and be IN
+    the core) — so the classification is a partition, asserted cheaply
+    by the class sum. Reuses the path-doubling transitive closure
+    (2^max_depth reach, 4 self-join rounds at 16) and the SCC pass that
+    already rides on it; reach sets materialize O(reachable pairs) —
+    right for KG relation graphs (components small and shallow), the
+    forward-backward coloring algorithm is the whole-web swap-in, as
+    strongly_connected_components documents."""
+    scc = strongly_connected_components(edges, max_depth=max_depth, src=src, dst=dst)
+    sizes = scc.groupBy("scc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    top = sizes.orderBy(F.col("sz").desc(), F.col("scc_id")).limit(1)
+    core = scc.join(
+        F.broadcast(top.select("scc_id")), "scc_id", "left_semi"
+    ).select("id")
+    clo = transitive_closure(edges, max_depth=max_depth, src=src, dst=dst).select(
+        "src", "dst"
+    )
+    reaches_core = (
+        clo.join(core.select(F.col("id").alias("dst")), "dst", "left_semi")
+        .select(F.col("src").alias("id"))
+        .distinct()
+    )
+    reached_from_core = (
+        clo.join(core.select(F.col("id").alias("src")), "src", "left_semi")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .union(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(core.withColumn("_core", F.lit(1)), "id", "left")
+        .join(reaches_core.withColumn("_in", F.lit(1)), "id", "left")
+        .join(reached_from_core.withColumn("_out", F.lit(1)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_core") == 1, F.lit("CORE"))
+            .when(F.col("_in") == 1, F.lit("IN"))
+            .when(F.col("_out") == 1, F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("cls"),
+        )
+    )

@@ -923,3 +923,57 @@ def rule_completion_candidates(
         F.lit(p3).alias("predicate"),
         F.col("_z").alias("object_id"),
     )
+
+
+def pra_path_features(
+    triples: DataFrame,
+    max_mid_degree: int = 50,
+    subj_col: str = "subject_id",
+    pred_col: str = "predicate",
+    obj_col: str = "object_id",
+) -> DataFrame:
+    """Path-Ranking-Algorithm feature extraction: for every entity pair
+    connected by a length-2 metapath, (src, dst, p1, p2, n_paths) — the
+    per-PAIR twin of predicate_composition's per-PREDICATE census, and
+    the feature matrix a KG-completion ranker consumes (each (p1, p2)
+    column scores candidate (src, dst) links; Lao & Cohen 2010).
+
+    Unlike the census, pairs ARE materialized (they are the output), so
+    the hub cap is not optional: a mid node contributes in·out pairs and
+    `max_mid_degree` bounds that product per node — the documented
+    recall contract (paths through super-hubs are the least informative
+    PRA features precisely because the hub connects everything).
+    Self-pairs (src == dst, a path out and back) are dropped.
+
+    ONE mid-node equi-join of the distinct edge set against itself +
+    one (src, dst, p1, p2) count aggregate — both shuffle-partition on
+    the mid key first, then on the pair, and AQE's skew split handles
+    any residual imbalance under the cap."""
+    t = triples.select(
+        F.col(subj_col).alias("_s"),
+        F.col(pred_col).alias("_p"),
+        F.col(obj_col).alias("_o"),
+    ).distinct()
+    in_deg = t.groupBy(F.col("_o").alias("_mid")).agg(
+        F.count(F.lit(1)).cast("long").alias("_di")
+    )
+    out_deg = t.groupBy(F.col("_s").alias("_mid")).agg(
+        F.count(F.lit(1)).cast("long").alias("_do")
+    )
+    ok = (
+        in_deg.join(out_deg, "_mid")
+        .filter((F.col("_di") <= max_mid_degree) & (F.col("_do") <= max_mid_degree))
+        .select("_mid")
+    )
+    left = t.select(
+        F.col("_s").alias("src"), F.col("_p").alias("p1"), F.col("_o").alias("_mid")
+    ).join(ok, "_mid", "left_semi")
+    right = t.select(
+        F.col("_s").alias("_mid"), F.col("_p").alias("p2"), F.col("_o").alias("dst")
+    ).join(ok, "_mid", "left_semi")
+    return (
+        left.join(right, "_mid")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst", "p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+    )

@@ -714,3 +714,58 @@ def ngram_novelty(docs: DataFrame, k: int = 3, id_col: str = "doc_id") -> DataFr
         )
         .withColumn("novelty_micro", F.expr("1000000 * n_novel div n_grams"))
     )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-term burstiness profile: (token, df, cf, per_doc_rate,
+    vmr) — df = documents containing the term, cf = total occurrences,
+    per_doc_rate = cf/df (Church & Gale's burstiness: how hard the term
+    repeats once it shows up), vmr = variance-to-mean ratio of the
+    per-document count ACROSS THE WHOLE CORPUS including zero docs
+    (≈1 for Poisson-scattered function words, ≫1 for topical terms that
+    clump). The dedup/quality reading: high-vmr high-df terms are
+    boilerplate signatures; high-vmr low-df terms are topic anchors.
+
+    Exactness: with per-doc counts c over N docs (zeros implicit),
+    vmr = (N·Σc² − (Σc)²) / (N·Σc) — integer numerator/denominator from
+    one (doc, token) aggregate, zeros contribute nothing to either sum
+    so they never materialize; two round-6 divisions total. ONE shuffle
+    on (doc, token), one on token, plus a 1-row corpus-count broadcast."""
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy(id_col, "token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).cast("long").alias("_nd"))
+    per_term = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast(_DEC := "decimal(38,0)").alias("_sc2"),
+    )
+    num = (
+        F.col("_nd").cast(_DEC) * F.col("_sc2")
+        - F.col("cf").cast(_DEC) * F.col("cf").cast(_DEC)
+    )
+    den = F.col("_nd").cast(_DEC) * F.col("cf").cast(_DEC)
+    return (
+        per_term.filter(F.col("df") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            "cf",
+            F.round(F.col("cf") / F.col("df"), 6).alias("per_doc_rate"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias("vmr"),
+        )
+    )

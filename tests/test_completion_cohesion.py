@@ -74,3 +74,34 @@ def test_ngram_novelty_first_occurrence_attribution(spark):
     # doc 2 grams: "a b c" (seen), "b c d" (novel) → 1/2
     assert got[2]["n_grams"] == 2 and got[2]["n_novel"] == 1
     assert got[2]["novelty_micro"] == 500_000
+
+
+def test_pra_path_features_hand_counts(spark):
+    from kgraph_spark.operators.relationships import pra_path_features
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "m"), ("b", "p", "m"),      # two in-edges to mid m
+            ("m", "q", "x"), ("m", "q2", "x"),     # two out-edges m→x
+            ("a", "p", "a2"),                       # mid a2 has no out
+        ],
+        "subject_id string, predicate string, object_id string",
+    )
+    out = {(r["src"], r["dst"], r["p1"], r["p2"]): r["n_paths"]
+           for r in pra_path_features(t).collect()}
+    assert out[("a", "x", "p", "q")] == 1 and out[("b", "x", "p", "q2")] == 1
+    assert len(out) == 4  # {a,b} × {q,q2}, nothing through a2
+
+
+def test_pra_hub_cap_and_self_pairs(spark):
+    from kgraph_spark.operators.relationships import pra_path_features
+
+    hub = [(f"s{i}", "p", "hub") for i in range(4)] + [
+        ("hub", "q", f"t{i}") for i in range(4)
+    ]
+    loop = [("u", "p", "m2"), ("m2", "q", "u")]  # path u→m2→u: self, dropped
+    t = spark.createDataFrame(
+        hub + loop, "subject_id string, predicate string, object_id string"
+    )
+    assert pra_path_features(t, max_mid_degree=3).count() == 0
+    assert pra_path_features(t, max_mid_degree=4).count() == 16

@@ -740,3 +740,22 @@ def test_pps_uniform_weights_even_stride(spark):
     assert ids <= {1, 4} and len(ids) == 2
     with pytest.raises(ValueError):
         pps_systematic_sample(df, "w", n=0)
+
+
+def test_term_burstiness_hand_case(spark):
+    from kgraph_spark.operators.text_analysis import term_burstiness
+
+    # corpus of 4 docs; "aa" clumps (3+1 in two docs), "bb" scatters
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "aa bb"), (3, "bb cc"), (4, "cc")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in term_burstiness(docs, min_df=2).collect()}
+    aa = out["aa"]
+    assert aa["df"] == 2 and aa["cf"] == 4
+    assert aa["per_doc_rate"] == 2.0
+    # vmr = (N·Σc² − cf²)/(N·cf) = (4·10 − 16)/(4·4) = 1.5
+    assert aa["vmr"] == 1.5
+    # bb: counts 1,1,1 → Σc²=3, cf=3 → (12−9)/12 = 0.25
+    assert out["bb"]["vmr"] == 0.25
+    assert "dd" not in out  # below min_df

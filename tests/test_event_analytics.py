@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from kgraph_spark.operators.event_analytics import (
     time_grid_fill,
     transition_matrix,
@@ -193,3 +195,35 @@ def test_ema_smooth_keys_independent_and_validation(spark):
     assert out[1] == 100.0 and out[2] == 0.0     # no cross-user leakage
     with _pytest.raises(ValueError):
         ema_smooth(ev, k=0)
+
+
+def test_seasonality_dow_epoch_convention(spark):
+    from kgraph_spark.operators.event_analytics import seasonality_profile
+
+    # 2024-01-01 was a Monday → dow 0; 14:30 UTC → hour 14
+    ev = spark.createDataFrame(
+        [("a", "2024-01-01 14:30:00"), ("a", "2024-01-07 03:00:00")],
+        "event_type string, ts_s string",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"))
+    out = {(r["dow"], r["hour"]): r for r in seasonality_profile(ev).collect()}
+    assert (0, 14) in out and (6, 3) in out  # Monday=0 … Sunday=6
+    assert out[(0, 14)]["lift"] == 84.0  # 168 * 1/2
+
+
+def test_rfm_bands_deterministic(spark):
+    from kgraph_spark.operators.event_analytics import rfm_scores
+
+    rows = []
+    for u in range(10):
+        for k in range(u + 1):  # user u has u+1 events, value 1.0 each
+            rows.append((u, f"2024-01-0{(u % 9) + 1} 00:00:00", 1.0))
+    ev = spark.createDataFrame(rows, "user_id long, ts_s string, value double") \
+        .select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = {r["user_id"]: r for r in rfm_scores(ev).collect()}
+    # frequency strictly increasing with user id → f bands step 1..5 by pairs
+    assert out[0]["f"] == 1 and out[9]["f"] == 5
+    assert out[9]["frequency"] == 10 and out[9]["monetary_fp"] == 100000
+    # most recent user (u=8, Jan 9) gets the top recency band
+    assert out[8]["r"] == 5 and out[8]["recency_s"] == 0
+    assert all(r["segment"] == f"R{r['r']}F{r['f']}M{r['m']}"
+               for r in out.values())

@@ -812,3 +812,31 @@ def test_rich_club_star_vs_clique(spark):
     assert out[2]["n_nodes"] == 4  # same club at k=2
     # k=5: only the hub clears → phi NULL
     assert out[5]["n_nodes"] == 1 and out[5]["phi"] is None
+
+
+def test_bowtie_hand_graph(spark):
+    from kgraph_spark.operators.graph_analytics import bowtie_classification
+
+    # core cycle a→b→c→a; i→a (IN); c→o (OUT); x→y island (OTHER)
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("i", "a"), ("c", "o"),
+         ("x", "y")],
+        "subject_id string, object_id string",
+    )
+    out = {r["id"]: r["cls"] for r in bowtie_classification(e).collect()}
+    assert out == {"a": "CORE", "b": "CORE", "c": "CORE", "i": "IN",
+                   "o": "OUT", "x": "OTHER", "y": "OTHER"}
+
+
+def test_bowtie_partition_covers_all_nodes(spark):
+    from kgraph_spark.operators.graph_analytics import bowtie_classification
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    e = docs.select(
+        F.col("doc_id").alias("subject_id"),
+        ((F.col("doc_id") * 2 + 1) % 60).alias("object_id"),
+    )
+    rows = bowtie_classification(e).collect()
+    assert len(rows) == 60 and all(
+        r["cls"] in ("CORE", "IN", "OUT", "OTHER") for r in rows
+    )
