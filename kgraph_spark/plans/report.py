@@ -1376,6 +1376,94 @@ def main() -> None:
         ["HashAggregate", "partial_", "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Gini concentration — one rank window over PRE-AGGREGATED "
+        "(type,user) rows + one hash aggregate; exact wide-int sums, "
+        "one division",
+        _plan(entrymod.queries()["stat_gini"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Kendall tau-a — bounded-group pair join (the distributed shape) "
+        "+ integer concordance counts; deterministic %11 subsample "
+        "pushed to the scan",
+        _plan(entrymod.queries()["stat_kendall_tau"](spark, SF)),
+        ["HashAggregate", "PushedFilters", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Theil–Sen slope — same bounded-group pair join; median picked "
+        "by rank positions (window), every slope one IEEE division of "
+        "exact integers",
+        _plan(entrymod.queries()["stat_theil_sen"](spark, SF)),
+        ["Window", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Edge reciprocity — LeftSemi flip-join of the distinct bigram "
+        "set per language; integer counts",
+        _plan(entrymod.queries()["graph_reciprocity"](spark, SF)),
+        ["Semi", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Rich-club φ(k) — ONE pass over the edge list with the k-grid "
+        "crossed in as a literal array (explode), degrees joined once",
+        _plan(entrymod.queries()["graph_rich_club"](spark, SF)),
+        ["HashAggregate", "Generate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Residue type inference — tiny predicate-position signature "
+        "BROADCAST back onto the untyped residue; two majority "
+        "aggregates (min-of-struct argmax)",
+        _plan(entrymod.queries()["kg_type_inference"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "SHACL-lite sweep — five shape checks, each ONE aggregate or "
+        "anti-join over the deduped triple table, unioned",
+        _plan(entrymod.queries()["kg_shacl_report"](spark, SF)),
+        ["HashAggregate", "Union", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "PRA path features — mid-keyed equi-join under the mandatory "
+        "hub cap, then one (src,dst,p1,p2) count aggregate",
+        _plan(entrymod.queries()["kg_pra_features"](spark, SF)),
+        ["HashJoin", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Hour-of-week seasonality — ONE hash aggregate on epoch-derived "
+        "(dow,hour) cells + broadcast group totals",
+        _plan(entrymod.queries()["evt_seasonality"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "RFM banding — one per-user aggregate then rank windows over the "
+        "|users| frame; corpus-max anchor broadcast, never wall-clock",
+        _plan(entrymod.queries()["evt_rfm"](spark, SF)),
+        ["HashAggregate", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Bow-tie decomposition — path-doubling closure + SCC pass, core "
+        "membership broadcast, three left joins classify every node",
+        _plan(entrymod.queries()["graph_bowtie"](spark, SF)),
+        ["HashJoin", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Term burstiness — one (doc,token) shuffle with map-side "
+        "partials, one token aggregate, 1-row corpus count broadcast",
+        _plan(entrymod.queries()["text_burstiness"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
