@@ -4392,6 +4392,86 @@ def q_text_burstiness(spark, sf_dir):
     return term_burstiness(_read(spark, sf_dir, "documents"), min_df=2)
 
 
+def q_text_tvd_drift(spark, sf_dir):
+    """Per-source unigram drift vs the REST of the corpus as total
+    variation distance — exact wide-integer |cross-product| sums with
+    the absent-word mass folded in closed form, ONE double division
+    per source."""
+    from kgraph_spark.operators.text_analysis import source_tvd_drift
+
+    return source_tvd_drift(_read(spark, sf_dir, "documents"))
+
+
+def q_stat_runs_test(spark, sf_dir):
+    """Wald–Wolfowitz serial-randomness gate on event values per type:
+    exact lower-median split on the cents grid, runs counted in
+    event_id order, z from exact-long radicands."""
+    from kgraph_spark.operators.stats import runs_test
+
+    return runs_test(
+        _read(spark, sf_dir, "events"), "value", "event_id", group_col="event_type"
+    )
+
+
+def q_graph_triads(spark, sf_dir):
+    """Directed triangle motif census (cyclic 3-cycles vs transitive
+    shortcut triads) on a deterministic +1/+2/−3 circulant over doc ids
+    — the hierarchy-vs-feedback motif signature; oracle re-enumerates
+    both joins exactly."""
+    from kgraph_spark.operators.graph_analytics import directed_triad_motifs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    e = None
+    for step in (1, 2, 47):
+        part = docs.select(
+            F.col("doc_id").alias("subject_id"),
+            ((F.col("doc_id") + step) % 50).alias("object_id"),
+        )
+        e = part if e is None else e.unionByName(part)
+    return directed_triad_motifs(e)
+
+
+def q_kg_inverse_predicates(spark, sf_dir):
+    """OWL inverseOf induction over a lineitem KG where contained_in
+    reverses contains only for quantity ≥ 20 lines (and supplies
+    reverses `from` at ≥ 40) — confidence = overlap/support on exact
+    distinct-fact counts, one division."""
+    from kgraph_spark.operators.relationships import inverse_predicate_scores
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = (
+        li.select(o.alias("subject_id"), F.lit("contains").alias("predicate"), p.alias("object_id"))
+        .union(
+            li.filter(F.col("l_quantity") >= 20).select(
+                p.alias("subject_id"),
+                F.lit("contained_in").alias("predicate"),
+                o.alias("object_id"),
+            )
+        )
+        .union(li.select(p.alias("subject_id"), F.lit("from").alias("predicate"), s.alias("object_id")))
+        .union(
+            li.filter(F.col("l_quantity") >= 40).select(
+                s.alias("subject_id"),
+                F.lit("supplies").alias("predicate"),
+                p.alias("object_id"),
+            )
+        )
+    )
+    return inverse_predicate_scores(t)
+
+
+def q_text_discovery_curve(spark, sf_dir):
+    """Heaps-law vocabulary growth over 10 equal-width doc_id slices:
+    one first-occurrence hash agg + per-bucket rollup; the only ordered
+    window runs over the 10-row bucket table."""
+    from kgraph_spark.operators.text_analysis import vocabulary_discovery_curve
+
+    return vocabulary_discovery_curve(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -4421,6 +4501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_rfm": q_evt_rfm,
         "graph_bowtie": q_graph_bowtie,
         "text_burstiness": q_text_burstiness,
+        "text_tvd_drift": q_text_tvd_drift,
+        "stat_runs_test": q_stat_runs_test,
+        "graph_triads": q_graph_triads,
+        "kg_inverse_predicates": q_kg_inverse_predicates,
+        "text_discovery_curve": q_text_discovery_curve,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
         "d6_usage_count": q_d6_usage_count,
@@ -10915,5 +11000,188 @@ def oracle_sql() -> dict[str, str]:
                    round((n * sc2 - cf::HUGEINT * cf)::DOUBLE
                          / (n * cf::HUGEINT)::DOUBLE, 6) AS vmr
             FROM pt, nd
+        """,
+        "text_tvd_drift": """
+            -- per-(source,word) |c·t_r − r·t_s| as exact HUGEINT, absent-word
+            -- mass in closed form, one double division (text_analysis.source_tvd_drift)
+            WITH tok AS (
+                SELECT source AS src,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ), per_sw AS (
+                SELECT src, token, count(*)::BIGINT AS c
+                FROM tok WHERE len(token) > 0 GROUP BY 1, 2
+            ), per_w AS (
+                SELECT token, sum(c)::BIGINT AS tot_w FROM per_sw GROUP BY 1
+            ), totals AS (
+                SELECT src, sum(c)::BIGINT AS t_s FROM per_sw GROUP BY 1
+            ), grand AS (
+                SELECT sum(t_s)::BIGINT AS t_all FROM totals
+            ), per_src AS (
+                SELECT s.src, t.t_s, g.t_all,
+                       sum(abs(s.c::HUGEINT * (g.t_all - t.t_s)
+                               - (w.tot_w - s.c)::HUGEINT * t.t_s)) AS present_sum,
+                       sum((w.tot_w - s.c)::HUGEINT) AS rest_present
+                FROM per_sw s
+                JOIN per_w w USING (token)
+                JOIN totals t USING (src)
+                CROSS JOIN grand g
+                GROUP BY 1, 2, 3
+            )
+            SELECT src AS source, t_s AS n_tokens,
+                   (t_all - t_s)::BIGINT AS n_rest_tokens,
+                   CASE WHEN t_all > t_s THEN round(
+                       (present_sum
+                        + ((t_all - t_s)::HUGEINT - rest_present) * t_s)::DOUBLE
+                       / (2::HUGEINT * t_s * (t_all - t_s))::DOUBLE, 6)
+                   END AS tvd
+            FROM per_src
+        """,
+        "stat_runs_test": """
+            -- exact lower-median split on the cents grid, runs in event_id
+            -- order, z = diff·√(n−1)/√(2m(2m−n)) on exact longs (stats.runs_test)
+            WITH q AS (
+                SELECT event_type, event_id AS ord,
+                       round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ), ranked AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY event_type ORDER BY qv, ord) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n_all
+                FROM q
+            ), med AS (
+                SELECT event_type, qv AS med FROM ranked
+                WHERE rn = (n_all + 1) // 2
+            ), signed AS (
+                SELECT q.event_type, q.ord,
+                       CASE WHEN q.qv > m.med THEN 1 ELSE 0 END AS sign
+                FROM q JOIN med m USING (event_type)
+                WHERE q.qv <> m.med
+            ), flips AS (
+                SELECT event_type, sign,
+                       CASE WHEN lag(sign) OVER w IS NULL THEN 1
+                            WHEN lag(sign) OVER w <> sign THEN 1
+                            ELSE 0 END AS flip
+                FROM signed
+                WINDOW w AS (PARTITION BY event_type ORDER BY ord)
+            ), agg AS (
+                SELECT event_type,
+                       sum(sign)::BIGINT AS n_pos,
+                       (count(*) - sum(sign))::BIGINT AS n_neg,
+                       sum(flip)::BIGINT AS runs
+                FROM flips GROUP BY 1
+            )
+            SELECT event_type, n_pos, n_neg, runs,
+                   CASE WHEN n_pos + n_neg > 0 THEN round(
+                       (n_pos + n_neg + 2 * n_pos * n_neg)::DOUBLE
+                       / (n_pos + n_neg)::DOUBLE, 6) END AS expected_runs,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                             AND 2 * n_pos * n_neg <> n_pos + n_neg THEN round(
+                       ((runs - 1) * (n_pos + n_neg) - 2 * n_pos * n_neg)::DOUBLE
+                       * sqrt((n_pos + n_neg - 1)::DOUBLE)
+                       / sqrt((2 * n_pos * n_neg
+                               * (2 * n_pos * n_neg - (n_pos + n_neg)))::DOUBLE), 6)
+                   END AS z
+            FROM agg
+        """,
+        "graph_triads": """
+            -- re-enumerates open paths + closing edges exactly; cycles
+            -- collapse 3 rotations by integer div (graph_analytics.directed_triad_motifs)
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+            e AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT doc_id AS a, (doc_id + 1) % 50 AS b FROM d
+                    UNION ALL SELECT doc_id, (doc_id + 2) % 50 FROM d
+                    UNION ALL SELECT doc_id, (doc_id + 47) % 50 FROM d
+                ) WHERE a <> b
+            ), paths AS (
+                SELECT e1.a, e1.b, e2.b AS c
+                FROM e e1 JOIN e e2 ON e1.b = e2.a
+                WHERE e2.b <> e1.a
+            ), cyc AS (
+                SELECT (count(*) // 3)::BIGINT AS cyclic_triangles
+                FROM paths p JOIN e ON e.a = p.c AND e.b = p.a
+            ), tr AS (
+                SELECT count(*)::BIGINT AS transitive_triads
+                FROM paths p
+                WHERE EXISTS (SELECT 1 FROM e WHERE e.a = p.a AND e.b = p.c)
+            ), ne AS (SELECT count(*)::BIGINT AS n_edges FROM e)
+            SELECT n_edges, cyclic_triangles, transitive_triads
+            FROM ne, cyc, tr
+        """,
+        "kg_inverse_predicates": """
+            -- distinct facts joined to their own reversal on the (s,o) key;
+            -- one division (relationships.inverse_predicate_scores)
+            WITH t AS (
+                SELECT DISTINCT subject_id, predicate, object_id FROM (
+                    SELECT 'O' || l_orderkey AS subject_id,
+                           'contains' AS predicate,
+                           'P' || l_partkey AS object_id
+                    FROM lineitem
+                    UNION ALL
+                    SELECT 'P' || l_partkey, 'contained_in', 'O' || l_orderkey
+                    FROM lineitem WHERE l_quantity >= 20
+                    UNION ALL
+                    SELECT 'P' || l_partkey, 'from', 'S' || l_suppkey
+                    FROM lineitem
+                    UNION ALL
+                    SELECT 'S' || l_suppkey, 'supplies', 'P' || l_partkey
+                    FROM lineitem WHERE l_quantity >= 40
+                )
+            ), support AS (
+                SELECT predicate, count(*)::BIGINT AS support FROM t GROUP BY 1
+            ), ov AS (
+                SELECT t1.predicate AS p, t2.predicate AS q,
+                       count(*)::BIGINT AS overlap
+                FROM t t1
+                JOIN t t2 ON t1.subject_id = t2.object_id
+                         AND t1.object_id = t2.subject_id
+                GROUP BY 1, 2
+            )
+            SELECT p, q, sp.support AS support_p, sq.support AS support_q,
+                   overlap,
+                   round(overlap::DOUBLE / sp.support::DOUBLE, 6) AS confidence
+            FROM ov
+            JOIN support sp ON sp.predicate = p
+            JOIN support sq ON sq.predicate = q
+            WHERE overlap >= 1
+        """,
+        "text_discovery_curve": """
+            -- equal-width doc_id buckets by exact integer div; first
+            -- occurrence = min bucket (text_analysis.vocabulary_discovery_curve)
+            WITH b AS (
+                SELECT min(doc_id)::BIGINT AS lo,
+                       (max(doc_id) - min(doc_id) + 1)::BIGINT AS span
+                FROM documents
+            ), db AS (
+                SELECT least(9, ((doc_id - lo) * 10) // span)::BIGINT AS bucket,
+                       text
+                FROM documents, b
+            ), tok AS (
+                SELECT bucket,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM db
+            ), tok2 AS (
+                SELECT bucket, token FROM tok WHERE len(token) > 0
+            ), dc AS (
+                SELECT bucket, count(*)::BIGINT AS n_docs FROM db GROUP BY 1
+            ), tc AS (
+                SELECT bucket, count(*)::BIGINT AS n_tokens FROM tok2 GROUP BY 1
+            ), fb AS (
+                SELECT token, min(bucket) AS first_bucket FROM tok2 GROUP BY 1
+            ), nt AS (
+                SELECT first_bucket AS bucket, count(*)::BIGINT AS new_types
+                FROM fb GROUP BY 1
+            ), per AS (
+                SELECT dc.bucket, dc.n_docs,
+                       coalesce(tc.n_tokens, 0)::BIGINT AS n_tokens,
+                       coalesce(nt.new_types, 0)::BIGINT AS new_types
+                FROM dc LEFT JOIN tc USING (bucket) LEFT JOIN nt USING (bucket)
+            )
+            SELECT bucket, n_docs, n_tokens, new_types,
+                   sum(n_tokens) OVER (ORDER BY bucket)::BIGINT AS tokens_cum,
+                   sum(new_types) OVER (ORDER BY bucket)::BIGINT AS types_cum
+            FROM per
         """,
     }

@@ -1701,3 +1701,56 @@ def bowtie_classification(
             .alias("cls"),
         )
     )
+
+
+def directed_triad_motifs(
+    edges: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Directed triangle motif census: ONE row (n_edges,
+    cyclic_triangles, transitive_triads). A cyclic triangle is a
+    directed 3-cycle a→b→c→a (each counted once — the 3 rotations the
+    join enumerates collapse by an exact `div 3`); a transitive triad is
+    an ordered triple of distinct nodes with a→b, b→c AND the shortcut
+    a→c (counted once per (a,b,c) instance). The feed-forward-vs-cycle
+    mix is the classic motif signature separating hierarchy-shaped KGs
+    (taxonomies: all transitive) from feedback-shaped ones
+    (cyclic mass = contradiction/loop pressure for rule mining).
+
+    Self-loops drop and edges dedup first, so multiplicity never
+    inflates a motif. Scale: the open-path join e(a,b)⋈e(b,c) fans out
+    as Σ_b in(b)·out(b) — the same hub-bound as kg_pred_compose; at
+    100 TB cap hub degree first (degree_table + semi-join, the
+    documented recall contract) or orient by (degree, id) as
+    triangle_counts does. The cycle close is an id-pair join; the
+    transitive close is a LEFT SEMI (path rows never duplicate).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    paths = (
+        e.join(
+            e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+        )
+        .filter(F.col("c") != F.col("a"))
+        .select("a", "b", "c")
+    )
+    closing = e.select(F.col("a").alias("cl_c"), F.col("b").alias("cl_a"))
+    cyc = (
+        paths.join(
+            closing,
+            (F.col("c") == F.col("cl_c")) & (F.col("a") == F.col("cl_a")),
+        )
+        .agg(F.expr("count(*) div 3").cast("long").alias("cyclic_triangles"))
+    )
+    shortcut = e.select(F.col("a").alias("sc_a"), F.col("b").alias("sc_c"))
+    trans = paths.join(
+        shortcut,
+        (F.col("a") == F.col("sc_a")) & (F.col("c") == F.col("sc_c")),
+        "left_semi",
+    ).agg(F.count(F.lit(1)).cast("long").alias("transitive_triads"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return n_edges.crossJoin(cyc).crossJoin(trans)

@@ -977,3 +977,68 @@ def pra_path_features(
         .groupBy("src", "dst", "p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
     )
+
+
+def inverse_predicate_scores(
+    triples: DataFrame,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """OWL inverseOf induction: for every ordered predicate pair (p, q),
+    how often does p(s,o) co-occur with the REVERSED fact q(o,s)?
+    Returns (p, q, support_p, support_q, overlap, confidence) with
+    confidence = overlap / support_p — confidence ≈ 1 both ways means
+    q is p's inverse (contains/contained_in); high one way only means q
+    subsumes p's reverse. Rows with p = q measure SYMMETRY (same_as,
+    interacts_with) — kept, because a symmetric predicate is exactly an
+    inverse of itself. The schema-induction sibling of rule_confidence:
+    run it before kg_completion_candidates so completion doesn't
+    hallucinate edges a declared inverse already implies.
+
+    Reference parity: the reference hand-declares predicate direction
+    and polarity per edge (examples/medlit/pipeline/relationships.py
+    predicate spec — the same table kg_conflicts consults); this
+    operator LEARNS the inverse/symmetry structure from the data
+    instead, so an undeclared pair surfaces as schema-induction output
+    rather than silent duplication.
+
+    Exactness: overlap and supports are exact distinct-fact counts;
+    ONE double division at the end. Scale: facts dedup once, then the
+    overlap is a single equi-join on the (subject, object) pair key —
+    no pair enumeration, no skew beyond hot (s,o) pairs, which a
+    distinct fact table cannot duplicate. Output is |P|² rows at most —
+    driver-small for any real ontology."""
+    t = triples.select("subject_id", "predicate", "object_id").distinct()
+    support = t.groupBy("predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    rev = t.select(
+        F.col("object_id").alias("subject_id"),
+        F.col("predicate").alias("q"),
+        F.col("subject_id").alias("object_id"),
+    )
+    overlap = (
+        t.join(rev, ["subject_id", "object_id"])
+        .groupBy(F.col("predicate").alias("p"), "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+    return (
+        overlap.join(
+            F.broadcast(support.select(F.col("predicate").alias("p"), F.col("support").alias("support_p"))),
+            "p",
+        )
+        .join(
+            F.broadcast(support.select(F.col("predicate").alias("q"), F.col("support").alias("support_q"))),
+            "q",
+        )
+        .select(
+            "p",
+            "q",
+            "support_p",
+            "support_q",
+            "overlap",
+            F.round(
+                F.col("overlap").cast("double") / F.col("support_p").cast("double"), 6
+            ).alias("confidence"),
+        )
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "gini_coefficient",
     "kendall_tau",
     "theil_sen_slope",
+    "runs_test",
 ]
 
 _DEC = "decimal(38,0)"
@@ -700,3 +701,78 @@ def theil_sen_slope(
     out = slope.join(n_rows, keys) if keys else slope.crossJoin(n_rows)
     out = out.join(n_slopes, keys) if keys else out.crossJoin(n_slopes)
     return out.select(*keys, "n", "n_slopes", "slope")
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test for serial randomness per group:
+    (group?, n_pos, n_neg, runs, expected_runs, z). Values quantize to
+    the integer grid, split above/below the group's exact LOWER median
+    (the grid element at ordered position ⌈n/2⌉ — never an interpolated
+    midpoint), ties-at-median drop (the standard treatment), and a run
+    is a maximal same-sign stretch in `order_col` order. Too few runs
+    (z ≪ 0) = trending/sticky sequence; too many = oscillation — the
+    is-this-metric-actually-random gate behind evt_cusum.
+
+    Exactness: n₁, n₂, R are exact integers; E[R] = 1 + 2m/n (m = n₁n₂)
+    is ONE double division; z = ((R−1)·n − 2m) · √(n−1) / √(2m(2m−n)) —
+    numerator and radicands combine as exact longs, then a fixed
+    double·sqrt/sqrt op sequence both engines replay identically
+    (the _corr_from_moments discipline). Degenerate groups (one sign,
+    or 2m = n) return NULL z.
+
+    Scale: one rank window + one lag window, both partitioned by group —
+    per-group sequential semantics, so groups must be bounded (the
+    ks_2sample contract); the median lookup is a broadcast join back.
+    """
+    keys = [group_col] if group_col else []
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(order_col).isNotNull()
+    ).select(*keys, F.col(order_col).alias("ord"), _quant(F.col(value_col), scale).alias("qv"))
+    w_rank = Window.partitionBy(*keys).orderBy("qv", "ord")
+    counts = q.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    ranked = q.withColumn("rn", F.row_number().over(w_rank))
+    med = (
+        (ranked.join(counts, keys) if keys else ranked.crossJoin(counts))
+        .filter(F.col("rn") == F.floor((F.col("n_all") + 1) / 2).cast("long"))
+        .select(*keys, F.col("qv").alias("med"))
+    )
+    signed = (
+        (q.join(F.broadcast(med), keys) if keys else q.crossJoin(F.broadcast(med)))
+        .filter(F.col("qv") != F.col("med"))
+        .select(*keys, "ord", (F.col("qv") > F.col("med")).cast("int").alias("sign"))
+    )
+    w_seq = Window.partitionBy(*keys).orderBy("ord")
+    flips = signed.withColumn(
+        "flip",
+        F.when(F.lag("sign").over(w_seq).isNull(), F.lit(1))
+        .when(F.lag("sign").over(w_seq) != F.col("sign"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    agg = flips.groupBy(*keys).agg(
+        F.sum("sign").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("sign")).cast("long").alias("n_neg"),
+        F.sum("flip").cast("long").alias("runs"),
+    )
+    n = (F.col("n_pos") + F.col("n_neg")).cast("long")
+    m = (F.col("n_pos") * F.col("n_neg")).cast("long")
+    diff = ((F.col("runs") - 1) * n - 2 * m).cast("double")
+    den = (2 * m * (2 * m - n)).cast("double")
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        "runs",
+        F.when(n > 0, F.round((n + 2 * m).cast("double") / n.cast("double"), 6)).alias(
+            "expected_runs"
+        ),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (2 * m != n),
+            F.round(diff * F.sqrt((n - 1).cast("double")) / F.sqrt(den), 6),
+        ).alias("z"),
+    )

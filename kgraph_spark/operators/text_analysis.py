@@ -769,3 +769,144 @@ def term_burstiness(
             F.round(num.cast("double") / den.cast("double"), 6).alias("vmr"),
         )
     )
+
+
+def source_tvd_drift(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source unigram drift vs the REST of the corpus as total
+    variation distance: (source, n_tokens, n_rest_tokens, tvd). TVD =
+    ½·Σ_w |p_w − q_w| over the union vocabulary — the log-free drift
+    divergence (KL/JS need logs the cross-engine contract can't have):
+    0 = same word mix, →1 = disjoint vocabularies. The corpus-QA read:
+    a source whose TVD jumps between builds changed its content mix
+    (new boilerplate, language shift, scraper breakage).
+
+    Exactness: with source counts c_w (total t_s) and rest counts r_w
+    (total t_r), each term is |c_w·t_r − r_w·t_s| — exact wide integers
+    summed exactly; ONE double division by 2·t_s·t_r at the end.
+    Rest counts come from corpus − source (no per-pair re-scan): one
+    (source, token) aggregate, one token aggregate joined back, then a
+    per-source rollup. Sources with an empty complement (single-source
+    corpus) return NULL tvd."""
+    tok = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 0)
+    )
+    per_sw = tok.groupBy("src", "token").agg(F.count("*").cast("long").alias("c"))
+    per_w = per_sw.groupBy("token").agg(F.sum("c").cast("long").alias("tot_w"))
+    totals = per_sw.groupBy("src").agg(F.sum("c").cast("long").alias("t_s"))
+    grand = totals.agg(F.sum("t_s").cast("long").alias("t_all"))
+    dec = "decimal(38,0)"
+    # per (source, word): |c·t_r − r·t_s| with r = tot_w − c, t_r = t_all − t_s.
+    # Words ABSENT from the source still contribute r_w·t_s; handling them
+    # per-pair would need a |sources|×|vocab| dense frame, so fold them in
+    # CLOSED FORM: Σ_{w∉s} r_w = t_r − Σ_{w∈s}(tot_w − c_w).
+    joined = (
+        per_sw.join(per_w, "token")
+        .join(F.broadcast(totals), "src")
+        .crossJoin(F.broadcast(grand))
+    )
+    per_src = joined.groupBy("src", "t_s", "t_all").agg(
+        F.sum(
+            F.abs(
+                F.col("c").cast(dec) * (F.col("t_all") - F.col("t_s")).cast(dec)
+                - (F.col("tot_w") - F.col("c")).cast(dec) * F.col("t_s").cast(dec)
+            )
+        ).alias("_present_sum"),
+        F.sum((F.col("tot_w") - F.col("c")).cast(dec)).alias("_rest_mass_present"),
+    )
+    t_r = (F.col("t_all") - F.col("t_s")).cast(dec)
+    absent = (t_r - F.col("_rest_mass_present")) * F.col("t_s").cast(dec)
+    num = F.col("_present_sum") + absent
+    den = F.lit(2).cast(dec) * F.col("t_s").cast(dec) * t_r
+    return per_src.select(
+        F.col("src").alias(source_col),
+        F.col("t_s").alias("n_tokens"),
+        (F.col("t_all") - F.col("t_s")).cast("long").alias("n_rest_tokens"),
+        F.when(
+            F.col("t_all") > F.col("t_s"),
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("tvd"),
+    )
+
+
+def vocabulary_discovery_curve(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary growth: scan the corpus in `id_col` order,
+    split the id range into `n_buckets` equal-width slices, and report
+    per slice (bucket, n_docs, n_tokens, new_types, tokens_cum,
+    types_cum) — new_types = tokens whose FIRST occurrence lands in the
+    bucket. The curve flattening early = the corpus repeats itself
+    (crawl loops, boilerplate); a still-steep tail = more data still
+    buys vocabulary — the keep-crawling-or-stop signal for a training
+    corpus, and the empirical Heaps exponent feed for zipf_slope.
+
+    Buckets are EQUAL-WIDTH over [min_id, max_id] (exact integer `div`,
+    clamped to n_buckets−1), not equal-count: no global row ordering is
+    ever materialized. Plan shape: one (token → min doc_id) hash
+    aggregate for first occurrences, one per-bucket rollup, and a final
+    window over ≤ n_buckets rows for the cumulative sums — the only
+    ordered scan is over the bucket table itself. Empty buckets (sparse
+    id ranges) are absent rather than zero-filled (evt_grid_fill closes
+    gaps when a dense axis is needed)."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    bounds = F.broadcast(
+        docs.agg(
+            F.min(F.col(id_col)).cast("long").alias("_lo"),
+            (F.max(F.col(id_col)) - F.min(F.col(id_col)) + 1).cast("long").alias("_span"),
+        )
+    )
+    bucket = F.least(
+        F.lit(int(n_buckets) - 1),
+        F.expr(f"(({id_col} - _lo) * {int(n_buckets)}) div _span"),
+    ).cast("long")
+    tok = (
+        docs.crossJoin(bounds)
+        .select(
+            bucket.alias("bucket"),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    doc_counts = (
+        docs.crossJoin(bounds)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    per_bucket = doc_counts.join(
+        tok.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_tokens")),
+        "bucket",
+        "left",
+    ).na.fill({"n_tokens": 0})
+    firsts = tok.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
+    news = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(news, "bucket", "left")
+        .na.fill({"new_types": 0})
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "new_types",
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+            F.sum("new_types").over(w).cast("long").alias("types_cum"),
+        )
+    )

@@ -1464,6 +1464,45 @@ def main() -> None:
         ["HashAggregate", "partial_", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Source TVD drift — one (source,token) shuffle with map-side "
+        "partials; token totals joined once, corpus total broadcast as "
+        "a 1-row frame; absent-word mass folded in closed form",
+        _plan(entrymod.queries()["text_tvd_drift"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Runs test — rank + lag windows partitioned by the bounded "
+        "group key, median broadcast back; exact-long radicands",
+        _plan(entrymod.queries()["stat_runs_test"](spark, SF)),
+        ["Window", "BroadcastHashJoin", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Directed triad motifs — open-path equi-join, id-pair cycle "
+        "close, LEFT SEMI transitive shortcut (path rows never "
+        "duplicate); 1-row count frames combine broadcast-side",
+        _plan(entrymod.queries()["graph_triads"](spark, SF)),
+        ["HashJoin", "Semi", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Inverse-predicate induction — distinct fact table equi-joined "
+        "to its own reversal on the (s,o) pair key; supports broadcast "
+        "onto the ≤|P|² pair frame",
+        _plan(entrymod.queries()["kg_inverse_predicates"](spark, SF)),
+        ["HashJoin", "HashAggregate", "partial_", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Vocabulary discovery curve — bucket by exact integer div on "
+        "broadcast bounds; first-occurrence hash agg; the only ordered "
+        "window runs over the ≤n_buckets bucket table",
+        _plan(entrymod.queries()["text_discovery_curve"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
