@@ -4413,6 +4413,21 @@ def q_stat_runs_test(spark, sf_dir):
     )
 
 
+def q_stat_welch_t(spark, sf_dir):
+    """Welch unequal-variance t-test: weekend vs weekday event value per
+    type — exact (n, Σ, Σ²) moments on the cents grid, ONE double
+    division per side, then a fixed IEEE t / Welch–Satterthwaite-df
+    sequence both engines replay identically."""
+    from kgraph_spark.operators.stats import welch_t
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    )
+    return welch_t(e, "value", "is_weekend", group_col="event_type")
+
+
 def q_graph_triads(spark, sf_dir):
     """Directed triangle motif census (cyclic 3-cycles vs transitive
     shortcut triads) on a deterministic +1/+2/−3 circulant over doc ids
@@ -4503,6 +4518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_burstiness": q_text_burstiness,
         "text_tvd_drift": q_text_tvd_drift,
         "stat_runs_test": q_stat_runs_test,
+        "stat_welch_t": q_stat_welch_t,
         "graph_triads": q_graph_triads,
         "kg_inverse_predicates": q_kg_inverse_predicates,
         "text_discovery_curve": q_text_discovery_curve,
@@ -11084,6 +11100,56 @@ def oracle_sql() -> dict[str, str]:
                                * (2 * n_pos * n_neg - (n_pos + n_neg)))::DOUBLE), 6)
                    END AS z
             FROM agg
+        """,
+        "stat_welch_t": """
+            -- exact (n, Σ, Σ²) per side on the cents grid; u = side
+            -- variance/n as ONE double division, then the fixed IEEE
+            -- t / Welch–Satterthwaite df sequence (stats.welch_t)
+            WITH q AS (
+                SELECT event_type,
+                       (date_part('dow', ts) IN (0, 6)) AS side,
+                       round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), per AS (
+                SELECT event_type, side,
+                       count(*)::BIGINT AS n,
+                       sum(qv::HUGEINT)::HUGEINT AS s,
+                       sum(qv::HUGEINT * qv)::HUGEINT AS ss
+                FROM q GROUP BY 1, 2
+            ), wide AS (
+                SELECT event_type,
+                       max(CASE WHEN side THEN n END) AS n_a,
+                       max(CASE WHEN side THEN s END) AS s_a,
+                       max(CASE WHEN side THEN ss END) AS ss_a,
+                       max(CASE WHEN NOT side THEN n END) AS n_b,
+                       max(CASE WHEN NOT side THEN s END) AS s_b,
+                       max(CASE WHEN NOT side THEN ss END) AS ss_b
+                FROM per GROUP BY 1
+            ), calc AS (
+                SELECT *,
+                       (n_a::HUGEINT * ss_a - s_a * s_a)::DOUBLE
+                         / ((n_a::HUGEINT * n_a * (n_a - 1))::DOUBLE
+                            * 10000.0) AS ua,
+                       (n_b::HUGEINT * ss_b - s_b * s_b)::DOUBLE
+                         / ((n_b::HUGEINT * n_b * (n_b - 1))::DOUBLE
+                            * 10000.0) AS ub,
+                       (s_a::DOUBLE / 100.0) / n_a::DOUBLE AS ma,
+                       (s_b::DOUBLE / 100.0) / n_b::DOUBLE AS mb
+                FROM wide
+                WHERE n_a IS NOT NULL AND n_b IS NOT NULL
+            )
+            SELECT event_type, n_a, n_b,
+                   round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND ua + ub > 0
+                        THEN round((ma - mb) / sqrt(ua + ub), 6)
+                   END AS t_stat,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND ua + ub > 0
+                        THEN round(((ua + ub) * (ua + ub))
+                             / (ua * ua / (n_a - 1)::DOUBLE
+                                + ub * ub / (n_b - 1)::DOUBLE), 6)
+                   END AS df_welch
+            FROM calc
         """,
         "graph_triads": """
             -- re-enumerates open paths + closing edges exactly; cycles

@@ -45,6 +45,7 @@ __all__ = [
     "kendall_tau",
     "theil_sen_slope",
     "runs_test",
+    "welch_t",
 ]
 
 _DEC = "decimal(38,0)"
@@ -775,4 +776,84 @@ def runs_test(
             (F.col("n_pos") > 0) & (F.col("n_neg") > 0) & (2 * m != n),
             F.round(diff * F.sqrt((n - 1).cast("double")) / F.sqrt(den), 6),
         ).alias("z"),
+    )
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Welch's unequal-variance t-test per group: side_col (boolean) splits
+    each group into samples A (true) and B (false); returns (group?, n_a,
+    n_b, mean_a, mean_b, t_stat, df_welch). The A/B acceptance gate that
+    does NOT assume equal variances — the correct default when comparing a
+    metric across cohorts whose sizes and spreads differ (weekend vs
+    weekday values, treatment vs holdout), where Student's pooled test
+    silently miscalibrates.
+
+    Exactness: values quantize to the integer grid; per-side moments
+    (n, Σx, Σx²) are exact wide integers. Each side's variance-over-n
+    u = (n·Σx² − (Σx)²) / (n²(n−1)·scale²) is ONE double division of two
+    exactly-representable integers, then t = (mean_a − mean_b)/√(u_a+u_b)
+    and Welch–Satterthwaite df = (u_a+u_b)²/(u_a²/(n_a−1) + u_b²/(n_b−1))
+    are fixed IEEE op sequences both engines replay identically (the
+    runs_test / _corr_from_moments discipline). Sides with n < 2 or zero
+    combined variance report NULL t.
+
+    Scale: ONE hash aggregate keyed on (group, side) with map-side
+    partials, then a pivot of exactly two rows per group — no sort, no
+    window, no collect."""
+    keys = [group_col] if group_col else []
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(side_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(side_col).cast("boolean").alias("side"),
+        _quant(F.col(value_col), scale).alias("qv"),
+    )
+    d19 = F.col("qv").cast("decimal(19,0)")
+    per = q.groupBy(*keys, "side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("s"),
+        F.sum(d19 * d19).alias("ss"),
+    )
+    side = lambda c, flag: F.max(F.when(F.col("side") == flag, F.col(c)))  # noqa: E731
+    wide = per.groupBy(*keys).agg(
+        side("n", True).alias("n_a"),
+        side("s", True).alias("s_a"),
+        side("ss", True).alias("ss_a"),
+        side("n", False).alias("n_b"),
+        side("s", False).alias("s_b"),
+        side("ss", False).alias("ss_b"),
+    )
+    sc = float(scale)
+    sc2 = sc * sc
+
+    def u(n, s, ss):
+        num = (F.col(n).cast(_DEC) * F.col(ss) - F.col(s) * F.col(s)).cast("double")
+        den = (
+            F.col(n).cast(_DEC) * F.col(n).cast(_DEC) * (F.col(n) - 1).cast(_DEC)
+        ).cast("double") * F.lit(sc2)
+        return num / den
+
+    mean = lambda n, s: F.col(s).cast("double") / F.lit(sc) / F.col(n).cast("double")  # noqa: E731
+    ua, ub = u("n_a", "s_a", "ss_a"), u("n_b", "s_b", "ss_b")
+    se2 = ua + ub
+    t = (mean("n_a", "s_a") - mean("n_b", "s_b")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        ua * ua / (F.col("n_a") - 1).cast("double")
+        + ub * ub / (F.col("n_b") - 1).cast("double")
+    )
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return wide.filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull()).select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.round(mean("n_a", "s_a"), 6).alias("mean_a"),
+        F.round(mean("n_b", "s_b"), 6).alias("mean_b"),
+        F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
+        F.when(ok & (se2 > 0), F.round(dfw, 6)).alias("df_welch"),
     )

@@ -340,3 +340,38 @@ def test_theil_sen_even_count_mean_of_middles(spark):
     df4 = spark.createDataFrame([(0, 0), (1, 1), (2, 4), (3, 9)], "x long, y long")
     row = theil_sen_slope(df4, "x", "y").first()
     assert row["n_slopes"] == 6 and row["slope"] == pytest.approx(3.0)
+
+
+def test_welch_t_hand_case(spark):
+    from kgraph_spark.operators.stats import welch_t
+
+    # A=[1,2,3]: mean 2, u = 1/3; B=[2,4,6,8]: mean 5, u = (20/3)/4 = 5/3
+    # t = -3/sqrt(2); df = 4/(1/18 + 25/27) = 216/53
+    rows = [(1.0, True), (2.0, True), (3.0, True)] + [
+        (float(v), False) for v in (2, 4, 6, 8)
+    ]
+    df = spark.createDataFrame(rows, "v double, side boolean")
+    r = welch_t(df, "v", "side").first()
+    assert r["n_a"] == 3 and r["n_b"] == 4
+    assert r["mean_a"] == pytest.approx(2.0) and r["mean_b"] == pytest.approx(5.0)
+    assert r["t_stat"] == pytest.approx(-3 / math.sqrt(2), abs=1e-6)
+    assert r["df_welch"] == pytest.approx(216 / 53, abs=1e-6)
+
+
+def test_welch_t_degenerate_sides(spark):
+    from kgraph_spark.operators.stats import welch_t
+
+    # zero combined variance -> NULL t; single-element side -> NULL t;
+    # a group missing one side entirely is dropped
+    rows = [
+        ("flat", 5.0, True), ("flat", 5.0, True),
+        ("flat", 5.0, False), ("flat", 5.0, False),
+        ("tiny", 1.0, True),
+        ("tiny", 2.0, False), ("tiny", 9.0, False),
+        ("onesided", 3.0, True), ("onesided", 4.0, True),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, side boolean")
+    out = {r["g"]: r for r in welch_t(df, "v", "side", "g").collect()}
+    assert set(out) == {"flat", "tiny"}
+    assert out["flat"]["t_stat"] is None and out["flat"]["df_welch"] is None
+    assert out["tiny"]["t_stat"] is None
