@@ -1503,6 +1503,14 @@ def main() -> None:
         ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Welch t-test — ONE hash aggregate on (group, side) with "
+        "map-side partials, two-row pivot per group; no sort, no "
+        "window, no collect",
+        _plan(entrymod.queries()["stat_welch_t"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
