@@ -4428,6 +4428,28 @@ def q_stat_welch_t(spark, sf_dir):
     return welch_t(e, "value", "is_weekend", group_col="event_type")
 
 
+def q_stat_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity gate across event types —
+    ANOVA-F over |value − group median| on the cents grid; exact lower
+    medians, then the anova_f moment sequence verbatim."""
+    from kgraph_spark.operators.stats import brown_forsythe
+
+    return brown_forsythe(
+        _read(spark, sf_dir, "events"), "value", "event_type", scale=100
+    )
+
+
+def q_stat_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend z of (event time, value) per event type on the
+    deterministic %11 subsample — S from time-ordered pairs, Var(S)
+    with BOTH tie corrections on exact longs, fixed IEEE finish."""
+    from kgraph_spark.operators.stats import mann_kendall
+
+    return mann_kendall(
+        _evt_int_xy(spark, sf_dir), "xs", "yv", group_col="event_type"
+    )
+
+
 def q_graph_triads(spark, sf_dir):
     """Directed triangle motif census (cyclic 3-cycles vs transitive
     shortcut triads) on a deterministic +1/+2/−3 circulant over doc ids
@@ -4519,6 +4541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tvd_drift": q_text_tvd_drift,
         "stat_runs_test": q_stat_runs_test,
         "stat_welch_t": q_stat_welch_t,
+        "stat_brown_forsythe": q_stat_brown_forsythe,
+        "stat_mann_kendall": q_stat_mann_kendall,
         "graph_triads": q_graph_triads,
         "kg_inverse_predicates": q_kg_inverse_predicates,
         "text_discovery_curve": q_text_discovery_curve,
@@ -11150,6 +11174,113 @@ def oracle_sql() -> dict[str, str]:
                                 + ub * ub / (n_b - 1)::DOUBLE), 6)
                    END AS df_welch
             FROM calc
+        """,
+        "stat_brown_forsythe": """
+            -- exact lower median per group on the cents grid, then the
+            -- anova_f moment sequence over |x − med| (stats.brown_forsythe)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), ranked AS (
+                SELECT g, qv,
+                       row_number() OVER (PARTITION BY g ORDER BY qv) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n_all
+                FROM q
+            ), med AS (
+                SELECT g, qv AS med FROM ranked WHERE rn = (n_all + 1) // 2
+            ), z AS (
+                SELECT q.g, abs(q.qv - m.med)::BIGINT AS qv
+                FROM q JOIN med m USING (g)
+            ), pg AS (
+                SELECT g, count(*)::BIGINT AS ng,
+                       sum(qv::HUGEINT) AS sg, sum(qv::HUGEINT * qv) AS ssg
+                FROM z GROUP BY g
+            ), tm AS (
+                SELECT ng, sg, ssg,
+                       (sg::DOUBLE / 100.0) * (sg::DOUBLE / 100.0)
+                           / ng::DOUBLE AS tg
+                FROM pg
+            ), tot AS (
+                SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+                       sum(sg) AS s, sum(ssg) AS ss, sum(tg) AS a
+                FROM tm
+            ), parts AS (
+                SELECT n, k,
+                       a - (s::DOUBLE / 100.0) * (s::DOUBLE / 100.0)
+                           / n::DOUBLE AS ssb,
+                       ss::DOUBLE / (100.0 * 100.0) - a AS ssw
+                FROM tot
+            )
+            SELECT n, k,
+                   round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+                   CASE WHEN k > 1 AND n > k AND ssw > 0
+                        THEN round((ssb / (k - 1)::DOUBLE)
+                                   / (ssw / (n - k)::DOUBLE), 6)
+                   END AS f_stat,
+                   CASE WHEN ssb + ssw > 0
+                        THEN round(ssb / (ssb + ssw), 6)
+                   END AS eta_sq
+            FROM parts
+        """,
+        "stat_mann_kendall": """
+            -- S = concordant − discordant over time-ordered pairs;
+            -- Var(S) with BOTH tie corrections on exact longs, fixed
+            -- three-division IEEE finish (stats.mann_kendall)
+            WITH e AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 1000000)::BIGINT AS x,
+                       round(value * 10000, 0)::BIGINT AS y
+                FROM events WHERE event_id % 11 = 0
+            ), r AS (
+                SELECT event_type, x, y,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY x, y) AS i
+                FROM e
+            ), p AS (
+                SELECT a.event_type,
+                       CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0
+                           END AS c,
+                       CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0
+                           END AS d
+                FROM r a JOIN r b
+                  ON a.event_type = b.event_type AND a.i < b.i
+            ), sa AS (
+                SELECT event_type,
+                       (sum(c) - sum(d))::BIGINT AS s
+                FROM p GROUP BY 1
+            ), tx AS (
+                SELECT event_type,
+                       sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tx_a,
+                       sum(t * (t - 1) * (t - 2))::BIGINT AS tx_b,
+                       sum(t * (t - 1))::BIGINT AS tx_c,
+                       sum(t)::BIGINT AS n
+                FROM (SELECT event_type, x, count(*)::BIGINT AS t
+                      FROM e GROUP BY 1, 2) GROUP BY 1
+            ), ty AS (
+                SELECT event_type,
+                       sum(t * (t - 1) * (2 * t + 5))::BIGINT AS ty_a,
+                       sum(t * (t - 1) * (t - 2))::BIGINT AS ty_b,
+                       sum(t * (t - 1))::BIGINT AS ty_c
+                FROM (SELECT event_type, y, count(*)::BIGINT AS t
+                      FROM e GROUP BY 1, 2) GROUP BY 1
+            ), j AS (
+                SELECT sa.event_type, s, n, tx_a, tx_b, tx_c, ty_a, ty_b, ty_c,
+                       (n * (n - 1) * (2 * n + 5) - tx_a - ty_a)::DOUBLE / 18.0
+                       + (tx_b * ty_b)::DOUBLE
+                         / (9 * n * (n - 1) * (n - 2))::DOUBLE
+                       + (tx_c * ty_c)::DOUBLE
+                         / (2 * n * (n - 1))::DOUBLE AS var_s
+                FROM sa JOIN tx USING (event_type) JOIN ty USING (event_type)
+            )
+            SELECT event_type, n, s,
+                   CASE WHEN n >= 3 THEN round(var_s, 6) END AS var_s,
+                   CASE WHEN n >= 3 AND var_s > 0 THEN round(
+                       CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(var_s)
+                            WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(var_s)
+                            ELSE 0.0 END, 6)
+                   END AS z
+            FROM j
         """,
         "graph_triads": """
             -- re-enumerates open paths + closing edges exactly; cycles

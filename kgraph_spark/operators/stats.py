@@ -46,6 +46,8 @@ __all__ = [
     "theil_sen_slope",
     "runs_test",
     "welch_t",
+    "brown_forsythe",
+    "mann_kendall",
 ]
 
 _DEC = "decimal(38,0)"
@@ -417,6 +419,13 @@ def anova_f(
     q = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
     ).select(F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv"))
+    return _anova_core(q, scale)
+
+
+def _anova_core(q: DataFrame, scale: int) -> DataFrame:
+    """Shared one-way-ANOVA moment machinery over pre-quantized (g, qv)
+    — the exact op sequence anova_f documents; brown_forsythe reuses it
+    on absolute deviations from the group median."""
     per_g = q.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("ng"),
         F.sum(F.col("qv").cast(_DEC)).alias("sg"),
@@ -856,4 +865,130 @@ def welch_t(
         F.round(mean("n_b", "s_b"), 6).alias("mean_b"),
         F.when(ok & (se2 > 0), F.round(t, 6)).alias("t_stat"),
         F.when(ok & (se2 > 0), F.round(dfw, 6)).alias("df_welch"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Brown–Forsythe (median-based Levene) variance-homogeneity test:
+    one-way ANOVA F over |x − group median| — the "may I pool these
+    strata / trust that pooled test" gate that belongs BEFORE anova_f
+    and cohens_d, robust to non-normal tails where classic Levene
+    (mean-based) miscalibrates. One row (n, k, ss_between, ss_within,
+    f_stat, eta_sq) — large F = spreads differ across groups.
+
+    Exactness: values quantize to the integer grid; the group median is
+    the exact LOWER median on that grid (the runs_test recipe — never an
+    interpolated midpoint), so every |x − med| is an exact integer and
+    the downstream moments reuse _anova_core's documented op sequence
+    verbatim.
+
+    Scale: one rank window partitioned by the bounded group key, a
+    broadcast median join back, then the same two hash aggregates as
+    anova_f — no extra shuffle beyond ANOVA itself."""
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv"))
+    w_rank = Window.partitionBy("g").orderBy("qv")
+    counts = q.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    med = (
+        q.withColumn("rn", F.row_number().over(w_rank))
+        .join(counts, "g")
+        .filter(F.col("rn") == F.floor((F.col("n_all") + 1) / 2).cast("long"))
+        .select("g", F.col("qv").alias("med"))
+    )
+    z = q.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("qv") - F.col("med")).alias("qv")
+    )
+    return _anova_core(z, scale)
+
+
+def mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per group: (group?, n, s, var_s,
+    z) where S = concordant − discordant over time-ordered pairs and
+    Var(S) carries BOTH tie corrections (tied values AND tied
+    timestamps — the Kendall 1975 form), which kendall_tau's tau-a
+    deliberately skips. The distribution-free is-this-metric-drifting
+    gate: |z| > 1.96 rejects "no trend" at 5%.
+
+    Exactness: inputs must already be integers (epoch seconds, fixed-
+    point values — the kendall_tau contract). S, n and every tie term
+    t(t−1)(2t+5) / t(t−1)(t−2) / t(t−1) are exact longs; Var(S) is the
+    fixed three-division sequence v18/18 + c2/(9n(n−1)(n−2)) +
+    c3/(2n(n−1)) on exact integers, then z = (S∓1)/√Var — the same IEEE
+    replay both engines share. Time-tied pairs contribute 0 to S by
+    construction ((x_b−x_a)=0 ⇒ product 0). n < 3 or Var ≤ 0 → NULL z;
+    S = 0 → z = 0.
+
+    Scale: the honest O(n²) pair join per bounded group (the kendall_tau
+    contract — feed a deterministic subsample), plus two tiny tie
+    aggregations on (group, value) / (group, time)."""
+    keys = [group_col] if group_col else []
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w = Window.partitionBy(*keys).orderBy("x", "y") if keys else Window.orderBy("x", "y")
+    ranked = q.select(*keys, "x", "y", F.row_number().over(w).alias("i"))
+    a = ranked.select(*keys, F.col("x").alias("xa"), F.col("y").alias("ya"),
+                      F.col("i").alias("ia"))
+    b = ranked.select(*keys, F.col("x").alias("xb"), F.col("y").alias("yb"),
+                      F.col("i").alias("ib"))
+    pairs = (a.join(b, keys) if keys else a.crossJoin(b)).filter(
+        F.col("ia") < F.col("ib")
+    )
+    sgn = (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+    s_agg = pairs.groupBy(*keys).agg(
+        (
+            F.sum(F.when(sgn > 0, 1).otherwise(0))
+            - F.sum(F.when(sgn < 0, 1).otherwise(0))
+        ).cast("long").alias("s"),
+    )
+
+    def _ties(col: str, pfx: str) -> DataFrame:
+        t = F.col("t")
+        return (
+            q.groupBy(*keys, col).agg(F.count(F.lit(1)).cast("long").alias("t"))
+            .groupBy(*keys).agg(
+                F.count(F.lit(1)).cast("long").alias(f"{pfx}_n"),  # distinct levels
+                F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias(f"{pfx}_a"),
+                F.sum(t * (t - 1) * (t - 2)).cast("long").alias(f"{pfx}_b"),
+                F.sum(t * (t - 1)).cast("long").alias(f"{pfx}_c"),
+                F.sum(t).cast("long").alias(f"{pfx}_tot"),
+            )
+        )
+
+    tx, ty = _ties("x", "tx"), _ties("y", "ty")
+    j = s_agg.join(tx, keys).join(ty, keys) if keys else (
+        s_agg.crossJoin(tx).crossJoin(ty)
+    )
+    n = F.col("tx_tot")
+    v18 = (
+        n * (n - 1) * (2 * n + 5) - F.col("tx_a") - F.col("ty_a")
+    ).cast("double")
+    c2 = (F.col("tx_b") * F.col("ty_b")).cast("double")
+    den2 = (9 * n * (n - 1) * (n - 2)).cast("double")
+    c3 = (F.col("tx_c") * F.col("ty_c")).cast("double")
+    den3 = (2 * n * (n - 1)).cast("double")
+    var_s = v18 / F.lit(18.0) + c2 / den2 + c3 / den3
+    s = F.col("s")
+    z = F.when(s > 0, (s - 1).cast("double") / F.sqrt(var_s)).when(
+        s < 0, (s + 1).cast("double") / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        *keys,
+        n.alias("n"),
+        "s",
+        F.when(n >= 3, F.round(var_s, 6)).alias("var_s"),
+        F.when((n >= 3) & (var_s > 0), F.round(z, 6)).alias("z"),
     )

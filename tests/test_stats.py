@@ -375,3 +375,56 @@ def test_welch_t_degenerate_sides(spark):
     assert set(out) == {"flat", "tiny"}
     assert out["flat"]["t_stat"] is None and out["flat"]["df_welch"] is None
     assert out["tiny"]["t_stat"] is None
+
+
+def test_brown_forsythe_hand_case(spark):
+    from kgraph_spark.operators.stats import brown_forsythe
+
+    # g1=[1,2,3,4,10]: med 3, |z|=[2,1,0,1,7]; g2=[5]*5: all-zero z
+    # SSB = 121/5 - 121/10 = 12.1; SSW = 55 - 24.2 = 30.8
+    # F = 12.1 / (30.8/8) = 3.142857
+    rows = [("g1", float(v)) for v in (1, 2, 3, 4, 10)] + [("g2", 5.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brown_forsythe(df, "v", "g", scale=1).first()
+    assert r["n"] == 10 and r["k"] == 2
+    assert r["ss_between"] == pytest.approx(12.1, abs=1e-6)
+    assert r["ss_within"] == pytest.approx(30.8, abs=1e-6)
+    assert r["f_stat"] == pytest.approx(12.1 / (30.8 / 8), abs=1e-6)
+
+
+def test_mann_kendall_no_ties(spark):
+    from kgraph_spark.operators.stats import mann_kendall
+
+    # strictly increasing n=5: S=10, Var=5*4*15/18, z=9/sqrt(Var)
+    df = spark.createDataFrame([(i, i) for i in range(1, 6)], "x long, y long")
+    r = mann_kendall(df, "x", "y").first()
+    assert r["n"] == 5 and r["s"] == 10
+    assert r["var_s"] == pytest.approx(300 / 18, abs=1e-6)
+    assert r["z"] == pytest.approx(9 / math.sqrt(300 / 18), abs=1e-6)
+
+
+def test_mann_kendall_value_ties(spark):
+    from kgraph_spark.operators.stats import mann_kendall
+
+    # y=[1,1,2,2,3]: S=8, value-tie term 2*(2*1*9)=36 -> Var=(300-36)/18
+    df = spark.createDataFrame(
+        list(zip(range(1, 6), (1, 1, 2, 2, 3))), "x long, y long"
+    )
+    r = mann_kendall(df, "x", "y").first()
+    assert r["s"] == 8
+    assert r["var_s"] == pytest.approx(264 / 18, abs=1e-6)
+    assert r["z"] == pytest.approx(7 / math.sqrt(264 / 18), abs=1e-6)
+
+
+def test_mann_kendall_time_ties_and_flat(spark):
+    from kgraph_spark.operators.stats import mann_kendall
+
+    # tied timestamps contribute 0 to S; constant y -> Var 0 -> NULL z
+    df = spark.createDataFrame(
+        [(1, 1), (1, 5), (2, 2), (2, 9)], "x long, y long"
+    )
+    r = mann_kendall(df, "x", "y").first()
+    # only the 4 cross-time pairs count: 3 up, 1 down ((1,5)->(2,2))
+    assert r["s"] == 2
+    flat = spark.createDataFrame([(i, 7) for i in range(5)], "x long, y long")
+    assert mann_kendall(flat, "x", "y").first()["z"] is None
