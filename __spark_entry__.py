@@ -4468,6 +4468,72 @@ def q_graph_triads(spark, sf_dir):
     return directed_triad_motifs(e)
 
 
+def q_kg_rdfs_entailment(spark, sf_dir):
+    """RDFS-lite materialization over the synthetic KG: subproperty
+    lift, domain/range typing, subclass closure — recovers every
+    deliberately-untyped entity with rule provenance; schema closures
+    broadcast, the instance side never shuffles before the final
+    (entity, type) aggregate."""
+    from kgraph_spark.operators.validation_extra import rdfs_entailment
+
+    subclass = spark.createDataFrame(
+        [("Customer", "Party"), ("Supplier", "Party"),
+         ("Party", "LegalEntity"), ("Part", "Product")],
+        "child string, parent string",
+    )
+    subprop = spark.createDataFrame(
+        [("supplied_by", "sourced_from")], "child string, parent string"
+    )
+    domains = spark.createDataFrame(
+        [("placed_by", "Order"), ("located_in", "Party"),
+         ("contains", "Order"), ("supplied_by", "Part"),
+         ("sourced_from", "Product")],
+        "predicate string, cls string",
+    )
+    ranges = spark.createDataFrame(
+        [("placed_by", "Customer"), ("located_in", "Nation"),
+         ("contains", "Part"), ("supplied_by", "Supplier"),
+         ("sourced_from", "Organization")],
+        "predicate string, cls string",
+    )
+    return rdfs_entailment(
+        _kg_synth_triples(spark, sf_dir),
+        _kg_entity_types(spark, sf_dir),
+        subclass, subprop, domains, ranges,
+    )
+
+
+def q_kg_fact_fusion(spark, sf_dir):
+    """Two-round truth discovery over three sources claiming customer
+    nations (one clean, two with disjoint deterministic corruption) —
+    accuracy-weighted round 2 overturns naive-majority ties exactly on
+    the keys where both sloppy sources disagree (flipped=true rows)."""
+    from kgraph_spark.operators.validation_extra import fact_fusion
+
+    cust = _read(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey")
+
+    def claim(src, okey):
+        return cust.select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string"))
+            .alias("subject_id"),
+            F.lit("located_in").alias("predicate"),
+            F.concat(F.lit("N"), okey.cast("string")).alias("object_id"),
+            F.lit(src).alias("source"),
+        )
+
+    a = claim("src_a", nk)
+    b = claim(
+        "src_b",
+        F.when(F.col("c_custkey") % 5 == 0, (nk + 1) % 25).otherwise(nk),
+    )
+    c = claim(
+        "src_c",
+        F.when(F.col("c_custkey") % 3 == 0, (nk + 2) % 25).otherwise(nk),
+    )
+    return fact_fusion(a.unionByName(b).unionByName(c))
+
+
 def q_kg_inverse_predicates(spark, sf_dir):
     """OWL inverseOf induction over a lineitem KG where contained_in
     reverses contains only for quantity ≥ 20 lines (and supplies
@@ -4545,6 +4611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_mann_kendall": q_stat_mann_kendall,
         "graph_triads": q_graph_triads,
         "kg_inverse_predicates": q_kg_inverse_predicates,
+        "kg_rdfs_entailment": q_kg_rdfs_entailment,
+        "kg_fact_fusion": q_kg_fact_fusion,
         "text_discovery_curve": q_text_discovery_curve,
         "f11_symmetric_order": q_f11_symmetric_order,
         "f8_keepmax_dedup": q_f8_keepmax_dedup,
@@ -11281,6 +11349,140 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0 END, 6)
                    END AS z
             FROM j
+        """,
+        "kg_rdfs_entailment": """
+            -- stratified RDFS fixpoint: subproperty lift, domain/range
+            -- typing, subclass closure; via = min rule label
+            -- (validation_extra.rdfs_entailment)
+            WITH RECURSIVE tri AS (
+                SELECT 'C' || c_custkey AS s, 'located_in' AS p,
+                       'N' || c_nationkey AS o FROM customer
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'located_in', 'N' || s_nationkey
+                FROM supplier
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'placed_by', 'C' || o_custkey
+                FROM orders
+                UNION ALL
+                SELECT DISTINCT 'O' || l_orderkey, 'contains',
+                       'P' || l_partkey FROM lineitem
+                UNION ALL
+                SELECT DISTINCT 'P' || l_partkey, 'supplied_by',
+                       'S' || l_suppkey FROM lineitem
+            ), ty AS (
+                SELECT 'C' || c_custkey AS entity_id, 'Customer' AS type
+                FROM customer WHERE c_custkey % 3 <> 0
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'Supplier' FROM supplier
+                WHERE s_suppkey % 3 <> 0
+                UNION ALL
+                SELECT 'N' || n_nationkey, 'Nation' FROM nation
+                UNION ALL
+                SELECT 'P' || p_partkey, 'Part' FROM part
+                WHERE p_partkey % 3 <> 0
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'Order' FROM orders
+                WHERE o_orderkey % 3 <> 0
+            ), sub AS (
+                SELECT * FROM (VALUES
+                    ('Customer', 'Party'), ('Supplier', 'Party'),
+                    ('Party', 'LegalEntity'), ('Part', 'Product')
+                ) t(child, parent)
+            ), cclo(src, dst) AS (
+                SELECT child, parent FROM sub
+                UNION
+                SELECT c.src, s.parent FROM cclo c JOIN sub s
+                  ON c.dst = s.child
+            ), pclo AS (
+                SELECT 'supplied_by' AS src, 'sourced_from' AS dst
+            ), dom AS (
+                SELECT * FROM (VALUES
+                    ('placed_by', 'Order'), ('located_in', 'Party'),
+                    ('contains', 'Order'), ('supplied_by', 'Part'),
+                    ('sourced_from', 'Product')
+                ) t(pp, cls)
+            ), rng AS (
+                SELECT * FROM (VALUES
+                    ('placed_by', 'Customer'), ('located_in', 'Nation'),
+                    ('contains', 'Part'), ('supplied_by', 'Supplier'),
+                    ('sourced_from', 'Organization')
+                ) t(pp, cls)
+            ), ext AS (
+                SELECT s, p, o FROM tri
+                UNION ALL
+                SELECT tri.s, pclo.dst, tri.o FROM tri
+                JOIN pclo ON tri.p = pclo.src
+            ), base AS (
+                SELECT entity_id, type, min(via) AS via FROM (
+                    SELECT entity_id, type, 'asserted' AS via FROM ty
+                    UNION ALL
+                    SELECT ext.s, d.cls, 'rdfs2' FROM ext
+                    JOIN dom d ON ext.p = d.pp
+                    UNION ALL
+                    SELECT ext.o, r.cls, 'rdfs3' FROM ext
+                    JOIN rng r ON ext.p = r.pp
+                ) GROUP BY 1, 2
+            )
+            SELECT entity_id, type, min(via) AS via FROM (
+                SELECT entity_id, type, via FROM base
+                UNION ALL
+                SELECT b.entity_id, c.dst, 'rdfs9' FROM base b
+                JOIN cclo c ON b.type = c.src
+            ) GROUP BY 1, 2
+        """,
+        "kg_fact_fusion": """
+            -- round-1 majority (count DESC, object ASC), integer-micro
+            -- source accuracy (ONE division + round), round-2 weighted
+            -- re-election (validation_extra.fact_fusion)
+            WITH cl AS (
+                SELECT DISTINCT * FROM (
+                    SELECT 'C' || c_custkey AS s, 'located_in' AS p,
+                           'N' || c_nationkey AS o, 'src_a' AS src
+                    FROM customer
+                    UNION ALL
+                    SELECT 'C' || c_custkey, 'located_in',
+                           'N' || (CASE WHEN c_custkey % 5 = 0
+                                        THEN (c_nationkey + 1) % 25
+                                        ELSE c_nationkey END), 'src_b'
+                    FROM customer
+                    UNION ALL
+                    SELECT 'C' || c_custkey, 'located_in',
+                           'N' || (CASE WHEN c_custkey % 3 = 0
+                                        THEN (c_nationkey + 2) % 25
+                                        ELSE c_nationkey END), 'src_c'
+                    FROM customer
+                )
+            ), votes AS (
+                SELECT s, p, o, count(*)::BIGINT AS n1
+                FROM cl GROUP BY 1, 2, 3
+            ), maj AS (
+                SELECT s, p, o AS maj_o FROM (
+                    SELECT s, p, o,
+                           row_number() OVER (PARTITION BY s, p
+                                              ORDER BY n1 DESC, o) AS rn
+                    FROM votes
+                ) WHERE rn = 1
+            ), acc AS (
+                SELECT src,
+                       round(sum(CASE WHEN cl.o = m.maj_o THEN 1 ELSE 0
+                                 END)::DOUBLE * 1000000.0
+                             / count(*)::DOUBLE)::BIGINT AS acc_micro
+                FROM cl JOIN maj m USING (s, p) GROUP BY src
+            ), wt AS (
+                SELECT s, p, o, sum(acc_micro)::BIGINT AS w,
+                       count(*)::BIGINT AS ns
+                FROM cl JOIN acc USING (src) GROUP BY 1, 2, 3
+            ), win AS (
+                SELECT s, p, o, w, ns FROM (
+                    SELECT *, row_number() OVER (PARTITION BY s, p
+                                                 ORDER BY w DESC, o) AS rn
+                    FROM wt
+                ) WHERE rn = 1
+            )
+            SELECT win.s AS subject_id, win.p AS predicate,
+                   win.o AS object_id, w AS weight_micro,
+                   ns AS n_sources, (win.o <> m.maj_o) AS flipped
+            FROM win JOIN maj m ON win.s = m.s AND win.p = m.p
         """,
         "graph_triads": """
             -- re-enumerates open paths + closing edges exactly; cycles

@@ -378,3 +378,172 @@ def shacl_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rdfs_entailment(
+    triples: DataFrame,
+    types: DataFrame,
+    subclass: DataFrame,
+    subprop: DataFrame,
+    domains: DataFrame,
+    ranges: DataFrame,
+    max_depth: int = 8,
+) -> DataFrame:
+    """RDFS-lite entailment materialization: the full derived rdf:type
+    table (entity_id, type, via) under the four instance-visible RDFS
+    rules — rdfs7 (subPropertyOf lifts every triple to its
+    super-properties), rdfs2 (property domain types the subject), rdfs3
+    (range types the object), rdfs9/11 (subClassOf closure lifts every
+    type to its ancestors). `via` records the CHEAPEST derivation
+    (min over 'asserted' < 'rdfs2' < 'rdfs3' < 'rdfs9'), so asserted
+    facts are distinguishable from inferred ones — the KG-construction
+    step that turns a partial, extraction-grade type table into a
+    closed one (it recovers every deliberately-untyped entity in the
+    infer_entity_types fixture through domain/range evidence, with
+    provenance).
+
+    Evaluation is the standard stratification (property closure →
+    domain/range → class closure), which reaches the RDFS fixpoint in
+    one pass — no instance-level iteration.
+
+    Scale: both ontology closures run through
+    graph_analytics.transitive_closure on the SCHEMA graph (tiny by
+    definition) and come back as broadcasts; the instance table takes
+    three broadcast joins and never shuffles until the final
+    (entity, type) hash aggregate — whose size is bounded by
+    |entities| × |class hierarchy depth|, not by |triples|.
+
+    Reference parity: the reference hard-codes its class hierarchy in
+    per-domain Python (examples/medlit/pipeline/entities.py type maps);
+    this is the declarative, ontology-driven restatement."""
+    from kgraph_spark.operators.graph_analytics import transitive_closure
+
+    pclo = transitive_closure(subprop, max_depth, src="child", dst="parent")
+    cclo = transitive_closure(subclass, max_depth, src="child", dst="parent")
+    inst = triples.select("subject_id", "predicate", "object_id")
+    lifted = inst.join(
+        F.broadcast(pclo.select(F.col("src").alias("predicate"),
+                                F.col("dst").alias("_super"))),
+        "predicate",
+    ).select("subject_id", F.col("_super").alias("predicate"), "object_id")
+    ext = inst.unionByName(lifted)
+    t_asserted = types.select(
+        "entity_id", "type", F.lit("asserted").alias("via")
+    )
+    t_dom = ext.join(F.broadcast(domains), "predicate").select(
+        F.col("subject_id").alias("entity_id"),
+        F.col("cls").alias("type"),
+        F.lit("rdfs2").alias("via"),
+    )
+    t_rng = ext.join(F.broadcast(ranges), "predicate").select(
+        F.col("object_id").alias("entity_id"),
+        F.col("cls").alias("type"),
+        F.lit("rdfs3").alias("via"),
+    )
+    base = (
+        t_asserted.unionByName(t_dom).unionByName(t_rng)
+        .groupBy("entity_id", "type")
+        .agg(F.min("via").alias("via"))
+    )
+    up = base.join(
+        F.broadcast(cclo.select(F.col("src").alias("type"),
+                                F.col("dst").alias("_anc"))),
+        "type",
+    ).select(
+        "entity_id", F.col("_anc").alias("type"), F.lit("rdfs9").alias("via")
+    )
+    return (
+        base.unionByName(up)
+        .groupBy("entity_id", "type")
+        .agg(F.min("via").alias("via"))
+    )
+
+
+def fact_fusion(
+    claims: DataFrame,
+    subject_col: str = "subject_id",
+    predicate_col: str = "predicate",
+    object_col: str = "object_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Two-round truth discovery over conflicting multi-source claims
+    (the TruthFinder/ACCU shape, one reweighting round, fully
+    deterministic): round 1 elects a per-(s,p) majority object
+    (count DESC, object ASC); each source's accuracy against that
+    majority becomes an integer-micro weight (ONE double division +
+    round per source); round 2 re-elects with accuracy-weighted votes
+    (exact long sums). Output one row per (s,p): the winning object,
+    its weight, how many sources back it, and `flipped` — whether
+    reweighting overturned the naive majority (the rows where a
+    reliable source outvoted two sloppy ones).
+
+    Determinism: duplicate (source, s, p, o) claims dedup first; both
+    elections tie-break on the object string; weights are exact longs
+    after the single documented rounding.
+
+    Scale: three hash aggregates on (s,p[,o]) plus a broadcast of the
+    per-source accuracy table (|sources| rows — tiny by definition).
+    No window over the full claim set, no collect."""
+    c = claims.select(
+        F.col(subject_col).alias("s"),
+        F.col(predicate_col).alias("p"),
+        F.col(object_col).alias("o"),
+        F.col(source_col).alias("src"),
+    ).distinct()
+    votes = c.groupBy("s", "p", "o").agg(
+        F.count(F.lit(1)).cast("long").alias("n1")
+    )
+    maj = votes.groupBy("s", "p").agg(
+        F.min(F.struct((-F.col("n1")).alias("neg"), F.col("o").alias("o")))
+        .alias("w")
+    ).select("s", "p", F.col("w.o").alias("maj_o"))
+    acc = (
+        c.join(maj, ["s", "p"])
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum((F.col("o") == F.col("maj_o")).cast("long"))
+            .cast("long")
+            .alias("agree"),
+        )
+        .select(
+            "src",
+            F.round(
+                F.col("agree").cast("double") * 1_000_000.0
+                / F.col("total").cast("double"),
+                0,
+            ).cast("long").alias("acc_micro"),
+        )
+    )
+    weighted = (
+        c.join(F.broadcast(acc), "src")
+        .groupBy("s", "p", "o")
+        .agg(
+            F.sum("acc_micro").cast("long").alias("w"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+        )
+    )
+    win = weighted.groupBy("s", "p").agg(
+        F.min(
+            F.struct(
+                (-F.col("w")).alias("neg"),
+                F.col("o").alias("o"),
+                F.col("n_sources").alias("ns"),
+            )
+        ).alias("t")
+    )
+    return win.join(maj, ["s", "p"]).select(
+        F.col("s").alias("subject_id"),
+        F.col("p").alias("predicate"),
+        F.col("t.o").alias("object_id"),
+        F.col("t.neg").cast("long").alias("_negw"),
+        F.col("t.ns").alias("n_sources"),
+        (F.col("t.o") != F.col("maj_o")).alias("flipped"),
+    ).select(
+        "subject_id",
+        "predicate",
+        "object_id",
+        (-F.col("_negw")).alias("weight_micro"),
+        "n_sources",
+        "flipped",
+    )

@@ -205,3 +205,73 @@ def test_shacl_report_all_kinds(spark):
     assert rows[("zz", "range!=Disease")] == 1
     assert rows[("zz", "closed_object")] == 1
     assert ("s2", "max_count>1") not in rows
+
+
+def test_rdfs_entailment_hand_case(spark):
+    from kgraph_spark.operators.validation_extra import rdfs_entailment
+
+    triples = spark.createDataFrame(
+        [("e1", "treats", "d1"), ("e2", "prescribes", "d1")],
+        "subject_id string, predicate string, object_id string",
+    )
+    types = spark.createDataFrame(
+        [("e1", "Drug")], "entity_id string, type string"
+    )
+    subclass = spark.createDataFrame(
+        [("Drug", "Substance"), ("Substance", "Thing")],
+        "child string, parent string",
+    )
+    subprop = spark.createDataFrame(
+        [("prescribes", "treats")], "child string, parent string"
+    )
+    domains = spark.createDataFrame(
+        [("treats", "Therapy")], "predicate string, cls string"
+    )
+    ranges = spark.createDataFrame(
+        [("treats", "Disease")], "predicate string, cls string"
+    )
+    out = {
+        (r["entity_id"], r["type"]): r["via"]
+        for r in rdfs_entailment(
+            triples, types, subclass, subprop, domains, ranges
+        ).collect()
+    }
+    # asserted survives; subclass closure lifts Drug two levels
+    assert out[("e1", "Drug")] == "asserted"
+    assert out[("e1", "Substance")] == "rdfs9"
+    assert out[("e1", "Thing")] == "rdfs9"
+    # e1 also typed by domain(treats); d1 by range(treats)
+    assert out[("e1", "Therapy")] == "rdfs2"
+    assert out[("d1", "Disease")] == "rdfs3"
+    # e2 reaches Therapy ONLY through the subproperty lift
+    assert out[("e2", "Therapy")] == "rdfs2"
+    assert len(out) == 6
+
+
+def test_fact_fusion_reliable_source_overturns_tie(spark):
+    from kgraph_spark.operators.validation_extra import fact_fusion
+
+    # key k1: three-way tie that round-1 min-string resolves to 'x1';
+    # src_a (wrong only there, per round-1 credit) outweighs b and c
+    # (each wrong twice incl. the tie credit) so round 2 flips to 'z9'
+    rows = [
+        ("k1", "p", "z9", "src_a"), ("k1", "p", "x1", "src_b"),
+        ("k1", "p", "y5", "src_c"),
+        ("k2", "p", "v", "src_a"), ("k2", "p", "w", "src_b"),
+        ("k2", "p", "v", "src_c"),
+        ("k3", "p", "u", "src_a"), ("k3", "p", "u", "src_b"),
+        ("k3", "p", "t", "src_c"),
+        ("k4", "p", "q", "src_a"), ("k4", "p", "q", "src_b"),
+        ("k4", "p", "q", "src_c"),
+        ("k5", "p", "m", "src_a"), ("k5", "p", "n", "src_b"),
+        ("k5", "p", "m", "src_c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subject_id string, predicate string, object_id string, source string"
+    )
+    out = {r["subject_id"]: r for r in fact_fusion(df).collect()}
+    # accuracies vs round-1 majorities: a=4/5, b=3/5, c=3/5
+    assert out["k1"]["object_id"] == "z9" and out["k1"]["flipped"]
+    assert out["k1"]["weight_micro"] == 800_000
+    assert out["k2"]["object_id"] == "v" and not out["k2"]["flipped"]
+    assert out["k4"]["object_id"] == "q" and out["k4"]["n_sources"] == 3
