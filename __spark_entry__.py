@@ -4534,6 +4534,48 @@ def q_kg_fact_fusion(spark, sf_dir):
     return fact_fusion(a.unionByName(b).unionByName(c))
 
 
+def q_evt_stationary(spark, sf_dir):
+    """Equilibrium of the user-behaviour Markov chain: five exact
+    integer-micro power steps from uniform over the transition matrix
+    — where event-type mass settles; bit-identical fixed-point replay
+    in both engines."""
+    from kgraph_spark.operators.event_analytics import stationary_distribution
+
+    return stationary_distribution(_read(spark, sf_dir, "events"))
+
+
+def q_media_phash_dedup(spark, sf_dir):
+    """aHash near-dup sweep over media grids with planted re-encodes:
+    every doc%7 gets an exact copy (hamming 0), every doc%10 a
+    perturbed variant (two grid cells bumped — a few bits flip);
+    banded pigeonhole candidates, ids-only shuffle, exact hamming."""
+    from kgraph_spark.operators.multimodal import phash_near_dups
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hx = F.sha2(F.col("text").cast("string"), 256)
+
+    def grid(bump):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                F.conv(F.substring(hx, (i % 32) * 2 + 1, F.lit(2)), 16, 10)
+                .cast("int")
+                + F.when((i % 32) == 0, F.lit(bump)).otherwise(F.lit(0))
+            )
+            % 256,
+        )
+
+    ref = F.concat(F.lit("media-"), F.col("doc_id").cast("string"))
+    base = docs.select(ref.alias("media_ref"), grid(0).alias("grid"))
+    var = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(ref, F.lit("~v")).alias("media_ref"), grid(8).alias("grid")
+    )
+    copy = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(ref, F.lit("~c")).alias("media_ref"), grid(0).alias("grid")
+    )
+    return phash_near_dups(base.unionByName(var).unionByName(copy))
+
+
 def q_kg_inverse_predicates(spark, sf_dir):
     """OWL inverseOf induction over a lineitem KG where contained_in
     reverses contains only for quantity ≥ 20 lines (and supplies
@@ -4699,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_scd2": q_evt_scd2,
         "evt_grid_fill": q_evt_grid_fill,
         "evt_transitions": q_evt_transitions,
+        "evt_stationary": q_evt_stationary,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -4740,6 +4783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_funnel": q_evt_funnel,
         "evt_retention": q_evt_retention,
         "multimodal_features": q_multimodal_features,
+        "media_phash_dedup": q_media_phash_dedup,
         "d4_authority_rerank": q_d4_authority_rerank,
         "f4_evidence_containment": q_f4_evidence_containment,
         "embedding_near_dups": q_embedding_near_dups,
@@ -11483,6 +11527,115 @@ def oracle_sql() -> dict[str, str]:
                    win.o AS object_id, w AS weight_micro,
                    ns AS n_sources, (win.o <> m.maj_o) AS flipped
             FROM win JOIN maj m ON win.s = m.s AND win.p = m.p
+        """,
+        "media_phash_dedup": """
+            -- division-free aHash (len·g > Σg), 4×16-bit bands,
+            -- pigeonhole candidates on ids only, exact XOR-popcount
+            -- hamming on survivors (multimodal.phash_near_dups)
+            WITH g0 AS (
+                SELECT doc_id, 'media-' || doc_id AS media_ref,
+                       sha256(text) AS hx
+                FROM documents WHERE doc_id < 300
+            ), assets AS (
+                SELECT media_ref,
+                       list_transform(range(64), i ->
+                           (('0x' || substr(hx, ((i % 32) * 2) + 1, 2))::INT
+                            + 0) % 256) AS grid
+                FROM g0
+                UNION ALL
+                SELECT media_ref || '~v',
+                       list_transform(range(64), i ->
+                           (('0x' || substr(hx, ((i % 32) * 2) + 1, 2))::INT
+                            + CASE WHEN i % 32 = 0 THEN 8 ELSE 0 END) % 256)
+                FROM g0 WHERE doc_id % 10 = 0
+                UNION ALL
+                SELECT media_ref || '~c',
+                       list_transform(range(64), i ->
+                           (('0x' || substr(hx, ((i % 32) * 2) + 1, 2))::INT
+                            + 0) % 256)
+                FROM g0 WHERE doc_id % 7 = 0
+            ), summed AS (
+                SELECT media_ref, grid, list_sum(grid)::BIGINT AS gsum
+                FROM assets
+            ), bitsed AS (
+                SELECT media_ref,
+                       list_transform(grid, x ->
+                           CASE WHEN x * 64 > gsum THEN 1::BIGINT
+                                ELSE 0::BIGINT END) AS bits
+                FROM summed
+            ), hashed AS (
+                SELECT media_ref,
+                       list_transform(range(4), j ->
+                           list_sum(list_transform(range(16), k ->
+                               bits[j * 16 + k + 1] * (1::BIGINT << k)))
+                           ::BIGINT) AS bands
+                FROM bitsed
+            ), eb AS (
+                SELECT media_ref, j, bands[j + 1] AS v
+                FROM hashed, range(4) t(j)
+            ), cand AS (
+                SELECT DISTINCT a.media_ref AS ref_a, b.media_ref AS ref_b
+                FROM eb a JOIN eb b
+                  ON a.j = b.j AND a.v = b.v AND a.media_ref < b.media_ref
+            ), pairs AS (
+                SELECT ref_a, ref_b,
+                       list_sum(list_transform(range(4), j ->
+                           bit_count(xor(ha.bands[j + 1], hb.bands[j + 1]))))
+                       ::BIGINT AS hamming
+                FROM cand
+                JOIN hashed ha ON cand.ref_a = ha.media_ref
+                JOIN hashed hb ON cand.ref_b = hb.media_ref
+            )
+            SELECT ref_a, ref_b, hamming FROM pairs WHERE hamming <= 3
+        """,
+        "evt_stationary": """
+            -- integer-micro power iteration: p = round(n·1e6/rowsum),
+            -- π' = ⌊Σπ·p/1e6⌋ each step — exact longs throughout
+            -- (event_analytics.stationary_distribution)
+            WITH p AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_type
+                FROM events
+            ), counts AS (
+                SELECT from_type, to_type, count(*)::BIGINT AS n
+                FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+            ), trans AS (
+                SELECT from_type, to_type,
+                       round(n::DOUBLE * 1000000.0 / (sum(n) OVER (
+                           PARTITION BY from_type))::DOUBLE)::BIGINT
+                           AS p_micro
+                FROM counts
+            ), states AS (
+                SELECT DISTINCT from_type AS state FROM trans
+            ), pi0 AS (
+                SELECT state,
+                       (1000000 // (SELECT count(*) FROM states))::BIGINT
+                           AS mass
+                FROM states
+            ), it1 AS (
+                SELECT t.to_type AS state,
+                       (sum(q.mass * t.p_micro) // 1000000)::BIGINT AS mass
+                FROM pi0 q JOIN trans t ON q.state = t.from_type GROUP BY 1
+            ), it2 AS (
+                SELECT t.to_type AS state,
+                       (sum(q.mass * t.p_micro) // 1000000)::BIGINT AS mass
+                FROM it1 q JOIN trans t ON q.state = t.from_type GROUP BY 1
+            ), it3 AS (
+                SELECT t.to_type AS state,
+                       (sum(q.mass * t.p_micro) // 1000000)::BIGINT AS mass
+                FROM it2 q JOIN trans t ON q.state = t.from_type GROUP BY 1
+            ), it4 AS (
+                SELECT t.to_type AS state,
+                       (sum(q.mass * t.p_micro) // 1000000)::BIGINT AS mass
+                FROM it3 q JOIN trans t ON q.state = t.from_type GROUP BY 1
+            ), it5 AS (
+                SELECT t.to_type AS state,
+                       (sum(q.mass * t.p_micro) // 1000000)::BIGINT AS mass
+                FROM it4 q JOIN trans t ON q.state = t.from_type GROUP BY 1
+            )
+            SELECT state, mass AS pi_micro FROM it5
         """,
         "graph_triads": """
             -- re-enumerates open paths + closing edges exactly; cycles

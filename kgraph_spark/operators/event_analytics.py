@@ -361,3 +361,78 @@ def rfm_scores(
         "segment",
         F.concat(F.lit("R"), F.col("r"), F.lit("F"), F.col("f"), F.lit("M"), F.col("m")),
     )
+
+
+def stationary_distribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    iterations: int = 5,
+) -> DataFrame:
+    """Near-stationary distribution of the per-user event-type Markov
+    chain: (state, pi_micro) after `iterations` deterministic power
+    steps from the uniform start — "where does user behaviour settle",
+    the equilibrium companion to transition_matrix (which reports the
+    one-step dynamics).
+
+    Exact fixed-point discipline (no engine ever sums floats): the
+    transition row p_micro = round(n·10⁶/row_total) is ONE double
+    division per matrix cell; masses start at ⌊10⁶/k⌋ and every step is
+    π'[j] = ⌊Σᵢ πᵢ·p_micro[i,j] / 10⁶⌋ — the inner products are exact
+    longs (Σπ·p ≤ 10¹² < 2⁵³, so Spark's floor-of-double IS DuckDB's
+    integer division), so k iterations replay bit-identically anywhere.
+    Floor rounding leaks ≤ k·|states| micro of mass by design — the
+    masses are a distribution up to that documented dust.
+
+    Contract: every state must have outgoing transitions (true of any
+    chain built by transition_matrix's pairing over types that occur
+    mid-sequence); purely-absorbing states would silently shed mass.
+
+    Scale: the chain matrix is |types|² rows (tiny); each step is one
+    join + one hash aggregate on it. The only event-scale work is the
+    same single lead() exchange transition_matrix pays."""
+    w = Window.partitionBy("_u").orderBy(F.col("_ts").asc(), F.col("_o").asc())
+    pairs = (
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.col(ts_col).alias("_ts"),
+            F.col(order_col).alias("_o"),
+            F.col(type_col).alias("from_type"),
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    trans = counts.select(
+        "from_type",
+        "to_type",
+        F.round(
+            F.col("n").cast("double") * F.lit(1_000_000.0)
+            / F.sum("n").over(wt).cast("double"),
+            0,
+        ).cast("long").alias("p_micro"),
+    ).localCheckpoint(eager=False)
+    states = trans.select(F.col("from_type").alias("state")).distinct()
+    k = states.agg(F.count(F.lit(1)).alias("_k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        "state",
+        F.floor(F.lit(1_000_000) / F.col("_k")).cast("long").alias("mass"),
+    )
+    for _ in range(iterations):
+        pi = (
+            pi.join(trans, pi["state"] == trans["from_type"])
+            .groupBy("to_type")
+            .agg(
+                F.floor(
+                    F.sum(F.col("mass") * F.col("p_micro"))
+                    / F.lit(1_000_000.0)
+                ).cast("long").alias("mass")
+            )
+            .select(F.col("to_type").alias("state"), "mass")
+        )
+    return pi.select("state", F.col("mass").alias("pi_micro"))

@@ -227,3 +227,44 @@ def test_rfm_bands_deterministic(spark):
     assert out[8]["r"] == 5 and out[8]["recency_s"] == 0
     assert all(r["segment"] == f"R{r['r']}F{r['f']}M{r['m']}"
                for r in out.values())
+
+
+def _seq_events(spark, seq):
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, t, 1.0)
+        for i, t in enumerate(seq)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_stationary_period2_chain_stays_uniform(spark):
+    from kgraph_spark.operators.event_analytics import stationary_distribution
+
+    # A<->B deterministic swap: uniform is stationary, no floor dust
+    out = {r["state"]: r["pi_micro"]
+           for r in stationary_distribution(_seq_events(spark, "ABABAB")).collect()}
+    assert out == {"A": 500_000, "B": 500_000}
+
+
+def test_stationary_3cycle_preserves_uniform_and_mass(spark):
+    from kgraph_spark.operators.event_analytics import stationary_distribution
+
+    # A->B->C->A rotation: mass rotates wholly, floor(1e6/3) each
+    out = {r["state"]: r["pi_micro"]
+           for r in stationary_distribution(_seq_events(spark, "ABCABCABC")).collect()}
+    assert out == {"A": 333_333, "B": 333_333, "C": 333_333}
+
+
+def test_stationary_biased_chain_concentrates(spark):
+    from kgraph_spark.operators.event_analytics import stationary_distribution
+
+    # p(A->A)=2/3, p(A->B)=1/3, p(B->A)=1: stationary pi(A)=0.75
+    out = {r["state"]: r["pi_micro"]
+           for r in stationary_distribution(_seq_events(spark, "AAABAAAB")).collect()}
+    assert 740_000 < out["A"] < 760_000 and out["B"] < 260_000
+    # mass conservation up to documented floor dust (<= iters * states)
+    assert 1_000_000 - 10 <= out["A"] + out["B"] <= 1_000_000

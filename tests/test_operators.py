@@ -905,3 +905,28 @@ def test_rule_confidence_degree_cap(spark):
     )
     assert rule_confidence(triples, max_node_degree=1).count() == 0
     assert rule_confidence(triples, max_node_degree=None).count() == 1
+
+
+def test_phash_near_dups_hand_case(spark):
+    from kgraph_spark.operators.multimodal import phash_near_dups
+
+    # A: flat grid -> all bits 0. B: one hot cell -> exactly 1 bit set
+    # (shares 3 of 4 bands with A -> pigeonhole finds it, hamming 1).
+    # C: alternating 0/255 -> bands 0xAAAA, no band shared with A or B.
+    flat = [100] * 64
+    hot = [228] + [100] * 63
+    alt = [0, 255] * 32
+    df = spark.createDataFrame(
+        [("A", flat), ("B", hot), ("C", alt)],
+        "media_ref string, grid array<int>",
+    )
+    rows = phash_near_dups(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["ref_a"], r["ref_b"], r["hamming"]) == ("A", "B", 1)
+    # exact duplicate detected at hamming 0
+    df2 = spark.createDataFrame(
+        [("X", flat), ("Y", list(flat))], "media_ref string, grid array<int>"
+    )
+    r2 = phash_near_dups(df2).collect()
+    assert len(r2) == 1 and r2[0]["hamming"] == 0
