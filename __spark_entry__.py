@@ -4534,6 +4534,57 @@ def q_kg_fact_fusion(spark, sf_dir):
     return fact_fusion(a.unionByName(b).unionByName(c))
 
 
+def q_graph_eccentricity(spark, sf_dir):
+    """4-hop eccentricity profile on a +1/+7 circulant over 60 doc ids
+    — per-node longest-shortest-path and horizon size; k-radius/
+    k-diameter derivable as min/max(ecc); oracle re-derives min
+    distances with a depth-bounded recursive closure."""
+    from kgraph_spark.operators.graph_analytics import eccentricity_profile
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    e = None
+    for step in (1, 7):
+        part = docs.select(
+            F.col("doc_id").alias("subject_id"),
+            ((F.col("doc_id") + step) % 60).alias("object_id"),
+        )
+        e = part if e is None else e.unionByName(part)
+    return eccentricity_profile(e, max_depth=4)
+
+
+def q_evt_median2p(spark, sf_dir):
+    """Exact lower median of event value per type via the two-pass
+    bucket walk (largest sort = one 1/1024 cell) — the oracle computes
+    the same element with a plain ordered median, proving the two-scan
+    path is bit-identical to the full sort."""
+    from kgraph_spark.operators.profiling import two_pass_median
+
+    return two_pass_median(
+        _read(spark, sf_dir, "events"), "value", "event_type", scale=100
+    )
+
+
+def q_dq_inclusion(spark, sf_dir):
+    """Inclusion-dependency discovery over nine TPC-H key columns —
+    containment fractions and is_ind flags recover every true FK
+    (o_custkey⊆c_custkey, l_partkey⊆p_partkey, ...) from values alone;
+    one distinct per column + one value-keyed self-join."""
+    from kgraph_spark.operators.profiling import inclusion_dependencies
+
+    cols = [
+        ("c_custkey", _read(spark, sf_dir, "customer").select("c_custkey")),
+        ("o_custkey", _read(spark, sf_dir, "orders").select("o_custkey")),
+        ("n_nationkey", _read(spark, sf_dir, "nation").select("n_nationkey")),
+        ("c_nationkey", _read(spark, sf_dir, "customer").select("c_nationkey")),
+        ("s_nationkey", _read(spark, sf_dir, "supplier").select("s_nationkey")),
+        ("p_partkey", _read(spark, sf_dir, "part").select("p_partkey")),
+        ("l_partkey", _read(spark, sf_dir, "lineitem").select("l_partkey")),
+        ("s_suppkey", _read(spark, sf_dir, "supplier").select("s_suppkey")),
+        ("l_suppkey", _read(spark, sf_dir, "lineitem").select("l_suppkey")),
+    ]
+    return inclusion_dependencies(cols)
+
+
 def q_evt_stationary(spark, sf_dir):
     """Equilibrium of the user-behaviour Markov chain: five exact
     integer-micro power steps from uniform over the transition matrix
@@ -4742,6 +4793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_grid_fill": q_evt_grid_fill,
         "evt_transitions": q_evt_transitions,
         "evt_stationary": q_evt_stationary,
+        "evt_median2p": q_evt_median2p,
+        "graph_eccentricity": q_graph_eccentricity,
+        "dq_inclusion": q_dq_inclusion,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -11636,6 +11690,83 @@ def oracle_sql() -> dict[str, str]:
                 FROM it4 q JOIN trans t ON q.state = t.from_type GROUP BY 1
             )
             SELECT state, mass AS pi_micro FROM it5
+        """,
+        "graph_eccentricity": """
+            -- depth-bounded recursive closure, min distance per pair,
+            -- max + count per source (graph_analytics.eccentricity_profile)
+            WITH RECURSIVE edges AS (
+                SELECT doc_id AS s, (doc_id + 1) % 60 AS o
+                FROM documents WHERE doc_id < 60
+                UNION ALL
+                SELECT doc_id, (doc_id + 7) % 60
+                FROM documents WHERE doc_id < 60
+            ), paths(s, o, d) AS (
+                SELECT s, o, 1 FROM edges
+                UNION
+                SELECT p.s, e.o, p.d + 1
+                FROM paths p JOIN edges e ON p.o = e.s WHERE p.d < 4
+            ), md AS (
+                SELECT s, o, min(d) AS d FROM paths GROUP BY 1, 2
+            )
+            SELECT s AS node, max(d)::BIGINT AS ecc,
+                   count(*)::BIGINT AS n_reached
+            FROM md GROUP BY 1
+        """,
+        "evt_median2p": """
+            -- independent restatement: plain ordered LOWER median —
+            -- proves the two-pass bucket walk lands on the same grid
+            -- element (profiling.two_pass_median)
+            WITH q AS (
+                SELECT event_type, round(value * 100)::BIGINT AS qv
+                FROM events WHERE value IS NOT NULL
+            ), r AS (
+                SELECT event_type, qv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY qv) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM q
+            )
+            SELECT event_type, n::BIGINT AS n,
+                   round(qv::DOUBLE / 100.0, 6) AS median
+            FROM r WHERE rn = (n + 1) // 2
+        """,
+        "dq_inclusion": """
+            -- distinct value sets tagged by column, one value-keyed
+            -- self-join; containment = ONE exact-integer division
+            -- (profiling.inclusion_dependencies)
+            WITH tagged AS (
+                SELECT DISTINCT 'c_custkey' AS cname, c_custkey::VARCHAR AS v
+                FROM customer WHERE c_custkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 'o_custkey', o_custkey::VARCHAR
+                FROM orders WHERE o_custkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 'n_nationkey', n_nationkey::VARCHAR
+                FROM nation WHERE n_nationkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 'c_nationkey', c_nationkey::VARCHAR
+                FROM customer WHERE c_nationkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 's_nationkey', s_nationkey::VARCHAR
+                FROM supplier WHERE s_nationkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 'p_partkey', p_partkey::VARCHAR
+                FROM part WHERE p_partkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 'l_partkey', l_partkey::VARCHAR
+                FROM lineitem WHERE l_partkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 's_suppkey', s_suppkey::VARCHAR
+                FROM supplier WHERE s_suppkey IS NOT NULL
+                UNION ALL SELECT DISTINCT 'l_suppkey', l_suppkey::VARCHAR
+                FROM lineitem WHERE l_suppkey IS NOT NULL
+            ), totals AS (
+                SELECT cname, count(*)::BIGINT AS n_a
+                FROM tagged GROUP BY 1
+            ), inter AS (
+                SELECT a.cname AS col_a, b.cname AS col_b,
+                       count(*)::BIGINT AS n_inter
+                FROM tagged a JOIN tagged b
+                  ON a.v = b.v AND a.cname <> b.cname
+                GROUP BY 1, 2
+            )
+            SELECT col_a, col_b, n_a, n_inter,
+                   round(n_inter::DOUBLE / n_a::DOUBLE, 6) AS containment,
+                   (n_inter = n_a) AS is_ind
+            FROM inter JOIN totals t ON inter.col_a = t.cname
         """,
         "graph_triads": """
             -- re-enumerates open paths + closing edges exactly; cycles

@@ -1754,3 +1754,31 @@ def directed_triad_motifs(
     ).agg(F.count(F.lit(1)).cast("long").alias("transitive_triads"))
     n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     return n_edges.crossJoin(cyc).crossJoin(trans)
+
+
+def eccentricity_profile(
+    edges: DataFrame,
+    max_depth: int = 4,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Bounded-hop eccentricity per node: (node, ecc, n_reached) where
+    ecc = the longest shortest-path (≤ max_depth) leaving the node and
+    n_reached = how much of the graph it sees within the horizon.
+    min(ecc) over nodes is the k-radius, max(ecc) the k-diameter — the
+    "how stringy is this KG" profile that complements
+    component_size_histogram (fragment count) and graph_ball (single
+    seed). Nodes with no outgoing path are absent (their horizon is
+    empty, not zero).
+
+    Exact integers end to end. Scale: rides transitive_closure's
+    doubling join (log₂(max_depth) shuffles, min-depth hash aggregates)
+    plus ONE more groupBy on src; the honest caveat transitive_closure
+    documents applies — the closure materializes reachable PAIRS, so
+    keep max_depth small on dense graphs (the profile is most telling
+    at 3-5 hops anyway)."""
+    clo = transitive_closure(edges, max_depth, src=src, dst=dst)
+    return clo.groupBy(F.col("src").alias("node")).agg(
+        F.max("depth").cast("long").alias("ecc"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )

@@ -594,3 +594,121 @@ def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
             ).cast("long").alias("dev_micro"),
         )
     )
+
+
+def two_pass_median(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    scale: int = 100,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact LOWER median per group WITHOUT a global sort — the 100-TB
+    median path: pass 1 buckets the quantized values into n_buckets
+    equal-width cells ((qv−min)·B // (max−min+1), exact integer
+    arithmetic) and walks the tiny per-group cumulative histogram to
+    the cell holding ordered position ⌈n/2⌉; pass 2 ranks ONLY inside
+    that cell (≈ n/B rows) and picks the exact element. Returns
+    (group?, n, median) with median = the grid element / scale (one
+    division, round 6) — bit-identical to a full-sort lower median.
+
+    group_percentiles is the one-aggregate exact form for data that
+    fits a percentile buffer; this is the two-scan form whose largest
+    sort is a 1/B-sized partition — the classic trade on corpora where
+    neither a global window nor percentile_approx's error is
+    acceptable.
+
+    Scale: two scans, two hash aggregates, one window over the ≤B-row
+    per-group histogram, one window over the single surviving cell's
+    rows."""
+    from pyspark.sql import Window
+
+    keys = [group_col] if group_col else []
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.round(F.col(value_col) * scale, 0).cast("long").alias("qv")
+    )
+    ext = q.groupBy(*keys).agg(
+        F.min("qv").alias("_lo"),
+        F.max("qv").alias("_hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    qb = (q.join(F.broadcast(ext), keys) if keys else q.crossJoin(F.broadcast(ext))).select(
+        *keys,
+        "qv",
+        ((F.col("qv") - F.col("_lo")) * n_buckets
+         / (F.col("_hi") - F.col("_lo") + 1)).cast("long").alias("b"),
+    )
+    hist = qb.groupBy(*keys, "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wcum = Window.partitionBy(*keys).orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        *keys, "b", (F.sum("c").over(wcum) - F.col("c")).alias("before"),
+        (F.sum("c").over(wcum)).alias("through"),
+    )
+    tgt = (cum.join(ext, keys) if keys else cum.crossJoin(ext)).filter(
+        (F.floor((F.col("n") + 1) / 2) > F.col("before"))
+        & (F.floor((F.col("n") + 1) / 2) <= F.col("through"))
+    ).select(*keys, "b", "before", "n")
+    inb = qb.join(F.broadcast(tgt), [*keys, "b"])
+    wr = Window.partitionBy(*keys).orderBy("qv")
+    return (
+        inb.withColumn("_r", F.row_number().over(wr))
+        .filter(
+            F.col("_r")
+            == F.floor((F.col("n") + 1) / 2).cast("long") - F.col("before")
+        )
+        .select(
+            *keys, "n",
+            F.round(F.col("qv").cast("double") / F.lit(float(scale)), 6)
+            .alias("median"),
+        )
+    )
+
+
+def inclusion_dependencies(
+    columns: list[tuple[str, DataFrame]],
+) -> DataFrame:
+    """Inclusion-dependency (FK-candidate) profile over named columns:
+    for every ordered pair (a, b), how much of a's DISTINCT value set
+    lies inside b's — (col_a, col_b, n_a, n_inter, containment,
+    is_ind). containment = n_inter/n_a is ONE exact-integer division;
+    is_ind (containment = 1) is the classic Binder/Spider "a references
+    b" signal that discovers join keys in an unlabeled lake — the
+    discovery complement to fk_orphans (which CHECKS a declared FK).
+
+    Each input is (name, single-column DataFrame); values compare as
+    strings so heterogeneous lakes profile uniformly (cast upstream
+    when 1 vs '1' must differ).
+
+    Scale: one distinct per column (shuffles only the distinct value
+    sets), then ONE self-join keyed on the value — a value shared by k
+    columns contributes k² rows where k ≤ |columns|, so skew is bounded
+    by the column count, never by row counts."""
+    tagged = None
+    for name, cdf in columns:
+        col = cdf.columns[0]
+        part = cdf.filter(F.col(col).isNotNull()).select(
+            F.lit(name).alias("cname"), F.col(col).cast("string").alias("v")
+        ).distinct()
+        tagged = part if tagged is None else tagged.unionByName(part)
+    totals = tagged.groupBy("cname").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    a = tagged.select(F.col("cname").alias("col_a"), "v")
+    b = tagged.select(F.col("cname").alias("col_b"), "v")
+    inter = (
+        a.join(b, "v")
+        .filter(F.col("col_a") != F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return inter.join(
+        F.broadcast(totals.select(F.col("cname").alias("col_a"), "n_a")), "col_a"
+    ).select(
+        "col_a",
+        "col_b",
+        "n_a",
+        "n_inter",
+        F.round(F.col("n_inter").cast("double") / F.col("n_a").cast("double"), 6)
+        .alias("containment"),
+        (F.col("n_inter") == F.col("n_a")).alias("is_ind"),
+    )

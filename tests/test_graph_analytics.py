@@ -840,3 +840,19 @@ def test_bowtie_partition_covers_all_nodes(spark):
     assert len(rows) == 60 and all(
         r["cls"] in ("CORE", "IN", "OUT", "OTHER") for r in rows
     )
+
+
+def test_eccentricity_profile_path_graph(spark):
+    from kgraph_spark.operators.graph_analytics import eccentricity_profile
+
+    # path 0->1->2->3: ecc(0)=3, ecc(1)=2, ecc(2)=1; node 3 absent
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "subject_id long, object_id long"
+    )
+    out = {r["node"]: r for r in eccentricity_profile(e, max_depth=4).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["ecc"] == 3 and out[0]["n_reached"] == 3
+    assert out[1]["ecc"] == 2 and out[2]["ecc"] == 1
+    # horizon clips: max_depth=2 caps node 0 at ecc 2
+    out2 = {r["node"]: r for r in eccentricity_profile(e, max_depth=2).collect()}
+    assert out2[0]["ecc"] == 2 and out2[0]["n_reached"] == 2

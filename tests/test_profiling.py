@@ -305,3 +305,32 @@ def test_join_plan_stats_disjoint_keys(spark):
     assert r["out_rows"] == 0 and r["matching_keys"] == 0
     assert r["p_max_out"] is None and r["recommended_salts"] == 1
     assert r["broadcast_ok"] is True
+
+
+def test_two_pass_median_matches_full_sort(spark):
+    from kgraph_spark.operators.profiling import two_pass_median
+
+    # odd group: lower median = 3rd of 5; even group: lower of middles
+    rows = [("a", v) for v in (7.0, 1.0, 5.0, 3.0, 9.0)] + [
+        ("b", v) for v in (10.0, 20.0, 30.0, 40.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in two_pass_median(df, "v", "g", scale=100, n_buckets=4).collect()}
+    assert out["a"]["median"] == 5.0 and out["a"]["n"] == 5
+    assert out["b"]["median"] == 20.0 and out["b"]["n"] == 4
+    # single-value group: degenerate bucket width path
+    one = spark.createDataFrame([("c", 2.5)] * 3, "g string, v double")
+    assert two_pass_median(one, "v", "g").first()["median"] == 2.5
+
+
+def test_inclusion_dependencies_hand_case(spark):
+    from kgraph_spark.operators.profiling import inclusion_dependencies
+
+    child = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = {(r["col_a"], r["col_b"]): r for r in inclusion_dependencies(
+        [("child", child), ("parent", parent)]).collect()}
+    fk = out[("child", "parent")]
+    assert fk["is_ind"] and fk["n_a"] == 2 and fk["containment"] == 1.0
+    rev = out[("parent", "child")]
+    assert not rev["is_ind"] and rev["containment"] == pytest.approx(2 / 3, abs=1e-6)
