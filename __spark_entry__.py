@@ -4585,6 +4585,24 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_text_burrows_delta(spark, sf_dir):
+    """Burrows' Delta style distance between the corpus' 20 sources over
+    the top-50 function words — integer-micro z-scores, exact-long
+    |z| sums, one final division per pair."""
+    from kgraph_spark.operators.text_analysis import burrows_delta
+
+    return burrows_delta(_read(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_emb_sq8_error(spark, sf_dir):
+    """int8 scalar-quantization audit over the embeddings table:
+    per-vector reconstruction SSE / max error / rmse on the exact
+    micro grid — the memory-vs-recall gate for a quantized ANN index."""
+    from kgraph_spark.operators.similarity import sq8_error_profile
+
+    return sq8_error_profile(_read(spark, sf_dir, "embeddings"))
+
+
 def q_evt_stationary(spark, sf_dir):
     """Equilibrium of the user-behaviour Markov chain: five exact
     integer-micro power steps from uniform over the transition matrix
@@ -4796,6 +4814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_median2p": q_evt_median2p,
         "graph_eccentricity": q_graph_eccentricity,
         "dq_inclusion": q_dq_inclusion,
+        "text_burrows_delta": q_text_burrows_delta,
+        "emb_sq8_error": q_emb_sq8_error,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -11690,6 +11710,87 @@ def oracle_sql() -> dict[str, str]:
                 FROM it4 q JOIN trans t ON q.state = t.from_type GROUP BY 1
             )
             SELECT state, mass AS pi_micro FROM it5
+        """,
+        "text_burrows_delta": """
+            -- micro relative freqs (one division, absent = exact 0),
+            -- z = (n·f−S)·1e6/√(nQ−S²) rounded to micro, |z| diffs sum
+            -- as exact longs (text_analysis.burrows_delta)
+            WITH tok AS (
+                SELECT source AS src,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ), cnt AS (
+                SELECT src, token, count(*)::BIGINT AS c
+                FROM tok WHERE len(token) > 0 GROUP BY 1, 2
+            ), tot AS (
+                SELECT src, sum(c)::BIGINT AS t FROM cnt GROUP BY 1
+            ), topk AS (
+                SELECT token FROM (
+                    SELECT token, sum(c) AS cf FROM cnt GROUP BY 1
+                    ORDER BY cf DESC, token LIMIT 50
+                )
+            ), f AS (
+                SELECT t.src, k.token,
+                       round(coalesce(c.c, 0)::DOUBLE * 1000000.0
+                             / t.t::DOUBLE)::BIGINT AS f
+                FROM tot t CROSS JOIN topk k
+                LEFT JOIN cnt c ON c.src = t.src AND c.token = k.token
+            ), st AS (
+                SELECT token, count(*)::BIGINT AS n, sum(f)::BIGINT AS s,
+                       sum(f::HUGEINT * f) AS q
+                FROM f GROUP BY 1
+            ), z AS (
+                SELECT f.src, f.token,
+                       round((st.n * f.f - st.s)::DOUBLE * 1000000.0
+                             / sqrt((st.n::HUGEINT * st.q
+                                     - st.s::HUGEINT * st.s)::DOUBLE))
+                           ::BIGINT AS z
+                FROM f JOIN st USING (token)
+                WHERE st.n::HUGEINT * st.q - st.s::HUGEINT * st.s > 0
+            ), p AS (
+                SELECT a.src AS source_a, b.src AS source_b,
+                       count(*)::BIGINT AS n_tokens,
+                       sum(abs(a.z - b.z))::BIGINT AS d
+                FROM z a JOIN z b
+                  ON a.token = b.token AND a.src < b.src
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b, n_tokens,
+                   round(d::DOUBLE / n_tokens::DOUBLE / 1000000.0, 6)
+                       AS delta
+            FROM p
+        """,
+        "emb_sq8_error": """
+            -- per-dim affine uint8 on the exact micro grid; code and
+            -- dequant are each ONE fixed double op; per-dim errors are
+            -- exact longs (similarity.sq8_error_profile)
+            WITH ex AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                       round(unnest(embedding)::DOUBLE * 1000000.0)
+                           ::BIGINT AS q
+                FROM embeddings
+            ), dims AS (
+                SELECT pos, min(q) AS mn, max(q) AS mx FROM ex GROUP BY 1
+            ), coded AS (
+                SELECT vec_id, q, mn, mx,
+                       CASE WHEN mx > mn THEN round(
+                           (q - mn)::DOUBLE * 255.0 / (mx - mn)::DOUBLE)
+                           ::BIGINT ELSE 0 END AS code
+                FROM ex JOIN dims USING (pos)
+            ), errs AS (
+                SELECT vec_id,
+                       q - (mn + CASE WHEN mx > mn THEN round(
+                           code::DOUBLE * (mx - mn)::DOUBLE / 255.0)::BIGINT
+                           ELSE 0 END) AS e
+                FROM coded
+            )
+            SELECT vec_id, count(*)::BIGINT AS n_dims,
+                   sum(e * e)::BIGINT AS sse,
+                   max(abs(e))::BIGINT AS max_abs_err_micro,
+                   round(sqrt(sum(e * e)::DOUBLE / count(*)::DOUBLE)
+                         / 1000000.0, 6) AS rmse
+            FROM errs GROUP BY 1
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

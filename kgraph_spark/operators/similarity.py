@@ -1085,3 +1085,70 @@ def weighted_token_overlap(
         )
     )
     return out.filter(F.col("overlap_micro") >= min_overlap_micro)
+
+
+def sq8_error_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization audit: quantize every embedding to
+    per-dimension affine uint8 codes (the 4× memory cut an ANN index
+    takes at 100 TB) and report what it costs — (vec_id, n_dims, sse,
+    max_abs_err_micro, rmse) with sse/max in integer micro² / micro
+    units and rmse back in embedding units. Vectors with large rmse
+    are the ones a quantized index will mis-rank — the acceptance gate
+    before swapping ann_ivf_topk's codebook to int8.
+
+    Exact discipline: coordinates land on the integer-micro grid;
+    per-dim [min, max] are exact longs; code = round((q−min)·255/range)
+    and dequant = min + round(code·range/255) are each ONE fixed double
+    op on exactly-representable integers, so per-dim errors are EXACT
+    LONGS that sum without order sensitivity; the single sqrt happens
+    on the final scalar. Constant dimensions (range 0) encode to 0 with
+    zero error.
+
+    Scale: one narrow posexplode (dim× rows of 3 ints), a 64-row
+    per-dim aggregate broadcast back, one vec_id hash aggregate — no
+    window, no pairwise work."""
+    ex = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select(
+        "vid", "pos",
+        F.round(F.col("x").cast("double") * F.lit(1_000_000.0), 0)
+        .cast("long").alias("q"),
+    )
+    dims = ex.groupBy("pos").agg(
+        F.min("q").alias("mn"), F.max("q").alias("mx")
+    )
+    rng = (F.col("mx") - F.col("mn")).cast("double")
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.round((F.col("q") - F.col("mn")).cast("double") * F.lit(255.0) / rng, 0),
+    ).otherwise(F.lit(0.0)).cast("long")
+    j = ex.join(F.broadcast(dims), "pos").select(
+        "vid", "q", "mn", "mx", code.alias("code")
+    )
+    deq = F.col("mn") + F.when(
+        F.col("mx") > F.col("mn"),
+        F.round(F.col("code").cast("double") * (F.col("mx") - F.col("mn")).cast("double")
+                / F.lit(255.0), 0),
+    ).otherwise(F.lit(0.0)).cast("long")
+    err = (F.col("q") - deq).alias("e")
+    per = j.select("vid", err).groupBy("vid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum(F.col("e") * F.col("e")).cast("long").alias("sse"),
+        F.max(F.abs("e")).cast("long").alias("max_abs_err_micro"),
+    )
+    return per.select(
+        F.col("vid").alias(id_col),
+        "n_dims",
+        "sse",
+        "max_abs_err_micro",
+        F.round(
+            F.sqrt(F.col("sse").cast("double") / F.col("n_dims").cast("double"))
+            / F.lit(1_000_000.0),
+            6,
+        ).alias("rmse"),
+    )

@@ -910,3 +910,98 @@ def vocabulary_discovery_curve(
             F.sum("new_types").over(w).cast("long").alias("types_cum"),
         )
     )
+
+
+def burrows_delta(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: (source_a,
+    source_b, n_tokens, delta) where delta = mean over the corpus'
+    top_k most-frequent words of |z_a − z_b|, z = the source's relative
+    frequency standardized across sources — THE classical authorship /
+    style-drift measure (Burrows 2002): low delta = same register
+    (template mills, one crawler), high = distinct voices. The curation
+    reading: a source whose delta to everything is tiny is boilerplate.
+
+    Exact discipline: relative frequencies land on the integer-micro
+    grid (ONE division per (source, token), absent tokens an exact 0);
+    per-token moments (n, Σf, Σf²) are exact integers, so
+    z = (n·f − S)·10⁶ / √(n·Q − S²) is one fixed IEEE sequence, rounded
+    to micro; |z_a − z_b| then SUMS AS EXACT LONGS (the nDCG lesson —
+    never sum raw doubles across tokens) with one final division.
+    Zero-variance tokens drop (every source identical — no signal).
+
+    Scale: one (source, token) aggregate on the corpus, a top-k
+    TakeOrdered (k rows to the driver plan, never data), the
+    |sources|·k grid and |sources|²·k/2 pair rows — bounded by source
+    count, never by corpus size."""
+    tok = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    cnt = tok.groupBy("src", "token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    topk = (
+        cnt.groupBy("token")
+        .agg(F.sum("c").cast("long").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("token").asc())
+        .limit(top_k)
+        .select("token")
+    )
+    grid = tot.crossJoin(F.broadcast(topk))
+    f = grid.join(cnt, ["src", "token"], "left").select(
+        "src",
+        "token",
+        F.round(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double") * F.lit(1_000_000.0)
+            / F.col("t").cast("double"),
+            0,
+        ).cast("long").alias("f"),
+    )
+    d38 = "decimal(38,0)"
+    st = f.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("f").cast("long").alias("s"),
+        F.sum(F.col("f").cast("decimal(19,0)") * F.col("f").cast("decimal(19,0)"))
+        .alias("q"),
+    )
+    den = (F.col("n").cast(d38) * F.col("q")
+           - F.col("s").cast(d38) * F.col("s").cast(d38)).cast("double")
+    z = (
+        f.join(F.broadcast(st), "token")
+        .filter(den > 0)
+        .select(
+            "src",
+            "token",
+            F.round(
+                (F.col("n") * F.col("f") - F.col("s")).cast("double")
+                * F.lit(1_000_000.0)
+                / F.sqrt(den),
+                0,
+            ).cast("long").alias("z"),
+        )
+    )
+    a = z.select(F.col("src").alias("source_a"), "token", F.col("z").alias("za"))
+    b = z.select(F.col("src").alias("source_b"), "token", F.col("z").alias("zb"))
+    return (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("long").alias("_d"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_tokens",
+            F.round(
+                F.col("_d").cast("double") / F.col("n_tokens").cast("double")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("delta"),
+        )
+    )

@@ -759,3 +759,31 @@ def test_term_burstiness_hand_case(spark):
     # bb: counts 1,1,1 → Σc²=3, cf=3 → (12−9)/12 = 0.25
     assert out["bb"]["vmr"] == 0.25
     assert "dd" not in out  # below min_df
+
+
+def test_burrows_delta_hand_case(spark):
+    from kgraph_spark.operators.text_analysis import burrows_delta
+
+    # A and B share a style profile exactly; C inverts it
+    docs = spark.createDataFrame(
+        [(1, "x x y", "A"), (2, "x x y", "B"), (3, "x y y", "C")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): r
+           for r in burrows_delta(docs, top_k=2).collect()}
+    assert out[("A", "B")]["delta"] == 0.0
+    assert out[("A", "C")]["delta"] == out[("B", "C")]["delta"] > 0.5
+    assert out[("A", "C")]["n_tokens"] == 2
+
+
+def test_burrows_delta_drops_zero_variance_tokens(spark):
+    from kgraph_spark.operators.text_analysis import burrows_delta
+
+    # 'same' has identical relative freq everywhere -> no signal;
+    # only the discriminating token survives into n_tokens
+    docs = spark.createDataFrame(
+        [(1, "same hot", "A"), (2, "same cold", "B")],
+        "doc_id long, text string, source string",
+    )
+    rows = burrows_delta(docs, top_k=3).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 2  # hot + cold, not 'same'

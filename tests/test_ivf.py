@@ -347,3 +347,29 @@ def test_reciprocal_best_match_blocking_and_threshold(spark):
     thr = {(r["left_id"], r["right_id"])
            for r in reciprocal_best_match(left, right, min_cosine=0.5).collect()}
     assert thr == {(2, 20)}
+
+
+def test_sq8_error_profile_hand_case(spark):
+    from kgraph_spark.operators.similarity import sq8_error_profile
+
+    # endpoints encode exactly; the midpoint misses by the half-step
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in sq8_error_profile(emb).collect()}
+    assert out[1]["sse"] == 0 and out[2]["sse"] == 0 and out[1]["rmse"] == 0.0
+    # q=500000 -> code round(127.5)=128 -> deq 501961 -> err -1961
+    assert out[3]["max_abs_err_micro"] == 1961
+    assert out[3]["sse"] == 2 * 1961 * 1961
+    assert out[3]["rmse"] == 0.001961
+
+
+def test_sq8_constant_dimension_zero_error(spark):
+    from kgraph_spark.operators.similarity import sq8_error_profile
+
+    emb = spark.createDataFrame(
+        [(1, [0.7, 0.1]), (2, [0.7, 0.9])], "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in sq8_error_profile(emb).collect()}
+    assert out[1]["sse"] == 0 and out[2]["sse"] == 0
