@@ -1511,6 +1511,87 @@ def main() -> None:
         ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
     ))
 
+    sections.append((
+        "Brown–Forsythe — one rank window on the bounded group key, "
+        "broadcast median join back, then the anova_f hash aggregates",
+        _plan(entrymod.queries()["stat_brown_forsythe"](spark, SF)),
+        ["Window", "BroadcastHashJoin", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Mann–Kendall — bounded-group pair join + two tiny tie "
+        "aggregates, exact-long variance terms",
+        _plan(entrymod.queries()["stat_mann_kendall"](spark, SF)),
+        ["HashJoin", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "RDFS entailment — schema closures broadcast; the instance "
+        "table takes broadcast joins only and first shuffles at the "
+        "(entity, type) aggregate",
+        _plan(entrymod.queries()["kg_rdfs_entailment"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Fact fusion — three (s,p[,o]) hash aggregates, per-source "
+        "accuracy broadcast back",
+        _plan(entrymod.queries()["kg_fact_fusion"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "pHash near-dups — band self-join on ids only (no grids or "
+        "hashes ride the pair shuffle), unique-key joins bring the "
+        "4-int band arrays back for exact hamming",
+        _plan(entrymod.queries()["media_phash_dedup"](spark, SF)),
+        ["Generate", "HashJoin", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Stationary distribution — |types|² chain matrix pinned once; "
+        "each power step is one join + one hash aggregate on it",
+        _plan(entrymod.queries()["evt_stationary"](spark, SF)),
+        ["HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Eccentricity profile — rides the closure's pinned doubling "
+        "rounds; one extra src aggregate",
+        _plan(entrymod.queries()["graph_eccentricity"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Two-pass median — histogram walk replaces the global sort; "
+        "the only row-scale window runs inside the single surviving "
+        "1/B bucket",
+        _plan(entrymod.queries()["evt_median2p"](spark, SF)),
+        ["Window", "HashAggregate", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Inclusion dependencies — per-column distincts, ONE value-"
+        "keyed self-join, totals broadcast",
+        _plan(entrymod.queries()["dq_inclusion"](spark, SF)),
+        ["HashAggregate", "partial_", "HashJoin", "BroadcastHashJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Burrows' Delta — one (source, token) aggregate at corpus "
+        "scale; top-k, grid, moments and pairs all bounded by source "
+        "count",
+        _plan(entrymod.queries()["text_burrows_delta"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin", "TakeOrdered", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "SQ8 audit — narrow posexplode, 64-row dim stats broadcast "
+        "back, one vec_id aggregate; no window, no pairs",
+        _plan(entrymod.queries()["emb_sq8_error"](spark, SF)),
+        ["Generate", "HashAggregate", "partial_", "BroadcastHashJoin", "!BatchEvalPython", "!Window"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
