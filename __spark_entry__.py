@@ -4585,6 +4585,42 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_graph_temporal_reach(spark, sf_dir):
+    """Earliest-arrival time-respecting reachability from two seeds
+    over a timestamped doc circulant — every hop departs no earlier
+    than it arrived; pure integer min-folds, 4 pinned rounds; the
+    oracle re-derives arrivals with a depth-bounded recursive CTE."""
+    from kgraph_spark.operators.temporal import temporal_reachability
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d + 1) % 50).alias("dst"),
+                     ((d % 7) * 3).alias("t"))
+    e2 = docs.select(d.alias("src"), ((d + 11) % 50).alias("dst"),
+                     ((d % 5) * 5 + 1).alias("t"))
+    seeds = spark.createDataFrame([(0, 0), (25, 2)], "node long, t0 long")
+    return temporal_reachability(e1.unionByName(e2), seeds, max_hops=4)
+
+
+def q_graph_mixing(spark, sf_dir):
+    """Categorical mixing matrix + Newman assortativity over the typed
+    synthetic KG (types = id prefix) — all mass off-diagonal, so r
+    comes out strongly disassortative; exact cross-multiplied counts,
+    one division each for frac and r."""
+    from kgraph_spark.operators.graph_analytics import attribute_mixing
+
+    tri = _kg_synth_triples(spark, sf_dir)
+    ents = (
+        tri.select(F.col("subject_id").alias("entity_id"))
+        .unionByName(tri.select(F.col("object_id").alias("entity_id")))
+        .distinct()
+    )
+    types = ents.select(
+        "entity_id", F.substring("entity_id", 1, 1).alias("type")
+    )
+    return attribute_mixing(tri, types)
+
+
 def q_text_burrows_delta(spark, sf_dir):
     """Burrows' Delta style distance between the corpus' 20 sources over
     the top-50 function words — integer-micro z-scores, exact-long
@@ -4816,6 +4852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_inclusion": q_dq_inclusion,
         "text_burrows_delta": q_text_burrows_delta,
         "emb_sq8_error": q_emb_sq8_error,
+        "graph_temporal_reach": q_graph_temporal_reach,
+        "graph_mixing": q_graph_mixing,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -11791,6 +11829,75 @@ def oracle_sql() -> dict[str, str]:
                    round(sqrt(sum(e * e)::DOUBLE / count(*)::DOUBLE)
                          / 1000000.0, 6) AS rmse
             FROM errs GROUP BY 1
+        """,
+        "graph_temporal_reach": """
+            -- time-respecting min-arrival: edge usable only if its
+            -- timestamp ≥ the arrival at its tail; earliest-arrival
+            -- dominance makes the per-node min lossless
+            -- (temporal.temporal_reachability)
+            WITH RECURSIVE edges AS (
+                SELECT doc_id AS s, (doc_id + 1) % 50 AS o,
+                       (doc_id % 7) * 3 AS t
+                FROM documents WHERE doc_id < 50
+                UNION ALL
+                SELECT doc_id, (doc_id + 11) % 50, (doc_id % 5) * 5 + 1
+                FROM documents WHERE doc_id < 50
+            ), seeds(node, t0) AS (
+                SELECT * FROM (VALUES (0, 0), (25, 2)) v(node, t0)
+            ), r(node, arr, h) AS (
+                SELECT node, t0, 0 FROM seeds
+                UNION
+                SELECT e.o, e.t, r.h + 1
+                FROM r JOIN edges e ON r.node = e.s AND e.t >= r.arr
+                WHERE r.h < 4
+            )
+            SELECT node::BIGINT AS node,
+                   min(arr)::BIGINT AS earliest_arrival
+            FROM r GROUP BY 1
+        """,
+        "graph_mixing": """
+            -- typed mixing counts; r = (m·Tr − Σab)/(m² − Σab) on
+            -- exact cross-multiplied longs
+            -- (graph_analytics.attribute_mixing)
+            WITH tri AS (
+                SELECT 'C' || c_custkey AS s, 'N' || c_nationkey AS o
+                FROM customer
+                UNION ALL
+                SELECT 'S' || s_suppkey, 'N' || s_nationkey FROM supplier
+                UNION ALL
+                SELECT 'O' || o_orderkey, 'C' || o_custkey FROM orders
+                UNION ALL
+                SELECT DISTINCT 'O' || l_orderkey, 'P' || l_partkey
+                FROM lineitem
+                UNION ALL
+                SELECT DISTINCT 'P' || l_partkey, 'S' || l_suppkey
+                FROM lineitem
+            ), typed AS (
+                SELECT substr(s, 1, 1) AS type_a, substr(o, 1, 1) AS type_b
+                FROM tri
+            ), mat AS (
+                SELECT type_a, type_b, count(*)::BIGINT AS n_edges
+                FROM typed GROUP BY 1, 2
+            ), at AS (
+                SELECT type_a, sum(n_edges)::BIGINT AS a FROM mat GROUP BY 1
+            ), bt AS (
+                SELECT type_b, sum(n_edges)::BIGINT AS b FROM mat GROUP BY 1
+            ), sab AS (
+                SELECT sum(coalesce(a, 0) * coalesce(b, 0))::BIGINT AS sab
+                FROM at FULL JOIN bt ON at.type_a = bt.type_b
+            ), g AS (
+                SELECT sum(n_edges)::BIGINT AS m,
+                       sum(CASE WHEN type_a = type_b THEN n_edges
+                           ELSE 0 END)::BIGINT AS tr
+                FROM mat
+            )
+            SELECT type_a, type_b, n_edges,
+                   round(n_edges::DOUBLE * 1000000.0 / m::DOUBLE)::BIGINT
+                       AS frac_micro,
+                   CASE WHEN m * m <> sab THEN round(
+                       (m * tr - sab)::DOUBLE / (m * m - sab)::DOUBLE, 6)
+                   END AS assortativity
+            FROM mat, g, sab
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

@@ -1782,3 +1782,71 @@ def eccentricity_profile(
         F.max("depth").cast("long").alias("ecc"),
         F.count(F.lit(1)).cast("long").alias("n_reached"),
     )
+
+
+def attribute_mixing(
+    edges: DataFrame,
+    types: DataFrame,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Categorical mixing matrix + Newman assortativity over a typed
+    graph: one row per (type_a, type_b) with the directed edge count,
+    its micro fraction of all typed edges, and the graph-level
+    coefficient r = (m·Tr − Σaᵢbᵢ)/(m² − Σaᵢbᵢ) repeated on every row
+    (Tr = same-type edge count, aᵢ/bᵢ = out/in totals per type) —
+    r → 1 when edges stay inside a type (assortative KG layers), r < 0
+    when types alternate (bipartite-ish wiring). The categorical
+    companion to degree_assortativity; types come as (entity_id, type).
+
+    Exact: every term is an integer count cross-multiplied before the
+    ONE division each for frac and r. Edges with an untyped endpoint
+    drop (inner joins) — measured mixing is over the typed subgraph.
+
+    Scale: two type-lookup joins (broadcast when the type table is a
+    dimension), one |types|² aggregate, 1-row totals broadcast back."""
+    ta = types.select(F.col(types.columns[0]).alias("_sid"),
+                      F.col(types.columns[1]).alias("type_a"))
+    tb = types.select(F.col(types.columns[0]).alias("_oid"),
+                      F.col(types.columns[1]).alias("type_b"))
+    typed = (
+        edges.select(F.col(src).alias("_sid"), F.col(dst).alias("_oid"))
+        .join(F.broadcast(ta), "_sid")
+        .join(F.broadcast(tb), "_oid")
+    )
+    mat = typed.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    a_tot = mat.groupBy("type_a").agg(F.sum("n_edges").cast("long").alias("_a"))
+    b_tot = mat.groupBy("type_b").agg(F.sum("n_edges").cast("long").alias("_b"))
+    ab = (
+        a_tot.join(
+            b_tot, a_tot["type_a"] == b_tot["type_b"], "full_outer"
+        )
+        .select(
+            (F.coalesce(F.col("_a"), F.lit(0)) * F.coalesce(F.col("_b"), F.lit(0)))
+            .alias("_ab")
+        )
+        .agg(F.sum("_ab").cast("long").alias("sab"))
+    )
+    glob = mat.agg(
+        F.sum("n_edges").cast("long").alias("m"),
+        F.sum(F.when(F.col("type_a") == F.col("type_b"), F.col("n_edges"))
+              .otherwise(F.lit(0))).cast("long").alias("tr"),
+    ).crossJoin(F.broadcast(ab))
+    r = F.when(
+        F.col("m") * F.col("m") != F.col("sab"),
+        F.round(
+            (F.col("m") * F.col("tr") - F.col("sab")).cast("double")
+            / (F.col("m") * F.col("m") - F.col("sab")).cast("double"),
+            6,
+        ),
+    )
+    return mat.crossJoin(F.broadcast(glob)).select(
+        "type_a",
+        "type_b",
+        "n_edges",
+        F.round(F.col("n_edges").cast("double") * F.lit(1_000_000.0)
+                / F.col("m").cast("double"), 0).cast("long").alias("frac_micro"),
+        r.alias("assortativity"),
+    )

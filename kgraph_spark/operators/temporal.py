@@ -597,3 +597,55 @@ def interval_conflicts(
         )
         .distinct()
     )
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    t_col: str = "t",
+) -> DataFrame:
+    """Earliest-arrival TIME-RESPECTING reachability: which nodes can a
+    seed's influence reach when every hop must depart no earlier than
+    it arrived (an edge (u, v, t) is usable only if t ≥ arrival(u)) —
+    the propagation/contagion query a static closure silently gets
+    wrong (it happily routes through edges that fired BEFORE the
+    information existed). seeds = (node, t0); returns (node,
+    earliest_arrival) for everything reachable in ≤ max_hops
+    time-respecting hops, seeds included at their t0.
+
+    Correctness rests on the earliest-arrival dominance property: if
+    arrival a₁ < a₂ at a node, every edge usable from a₂ is usable
+    from a₁ — so keeping only min(arrival) per node between rounds is
+    lossless, and round i holds the exact earliest arrival over all
+    ≤ i-hop time-respecting paths (Bellman-Ford over the time order).
+    Pure integer min-aggregation — no float playbook at all.
+
+    Scale: max_hops rounds of one frontier⋈edges join (on the src key)
+    + one min hash aggregate, each round pinned with a lazy
+    localCheckpoint (ONE action at the end — the D8/H1 fold
+    discipline); state is one (node, long) row per reached node."""
+    state = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.col(seeds.columns[1]).cast("long").alias("arr"),
+    ).groupBy("node").agg(F.min("arr").alias("arr"))
+    e = edges.select(
+        F.col(src).alias("_src"),
+        F.col(dst).alias("_dst"),
+        F.col(t_col).cast("long").alias("_t"),
+    )
+    for _ in range(max_hops):
+        hop = (
+            state.join(e, state["node"] == e["_src"])
+            .filter(F.col("_t") >= F.col("arr"))
+            .select(F.col("_dst").alias("node"), F.col("_t").alias("arr"))
+        )
+        state = (
+            state.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("arr").alias("arr"))
+            .localCheckpoint(eager=False)
+        )
+    return state.select("node", F.col("arr").alias("earliest_arrival"))

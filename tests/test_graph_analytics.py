@@ -856,3 +856,31 @@ def test_eccentricity_profile_path_graph(spark):
     # horizon clips: max_depth=2 caps node 0 at ecc 2
     out2 = {r["node"]: r for r in eccentricity_profile(e, max_depth=2).collect()}
     assert out2[0]["ecc"] == 2 and out2[0]["n_reached"] == 2
+
+
+def test_attribute_mixing_perfectly_assortative(spark):
+    from kgraph_spark.operators.graph_analytics import attribute_mixing
+
+    e = spark.createDataFrame(
+        [(1, 2), (3, 4)], "subject_id long, object_id long"
+    )
+    t = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "y")], "entity_id long, type string"
+    )
+    rows = attribute_mixing(e, t).collect()
+    assert all(r["assortativity"] == 1.0 for r in rows)
+    assert {(r["type_a"], r["type_b"]) for r in rows} == {("x", "x"), ("y", "y")}
+
+
+def test_attribute_mixing_perfectly_disassortative(spark):
+    from kgraph_spark.operators.graph_analytics import attribute_mixing
+
+    e = spark.createDataFrame(
+        [(1, 3), (3, 1)], "subject_id long, object_id long"
+    )
+    t = spark.createDataFrame(
+        [(1, "x"), (3, "y")], "entity_id long, type string"
+    )
+    rows = attribute_mixing(e, t).collect()
+    assert all(r["assortativity"] == -1.0 for r in rows)
+    assert all(r["frac_micro"] == 500_000 for r in rows)

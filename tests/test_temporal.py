@@ -437,3 +437,31 @@ def test_interval_conflicts_validation(spark):
     )
     with _pytest.raises(ValueError):
         interval_conflicts(df, [], "v")
+
+
+def test_temporal_reachability_respects_time_order(spark):
+    from kgraph_spark.operators.temporal import temporal_reachability
+
+    # B->C fired BEFORE influence arrives at B -> C stays unreachable
+    e = spark.createDataFrame(
+        [("A", "B", 5), ("B", "C", 3), ("B", "D", 7)],
+        "src string, dst string, t long",
+    )
+    seeds = spark.createDataFrame([("A", 0)], "node string, t0 long")
+    out = {r["node"]: r["earliest_arrival"]
+           for r in temporal_reachability(e, seeds, max_hops=3).collect()}
+    assert out == {"A": 0, "B": 5, "D": 7}
+
+
+def test_temporal_reachability_earliest_arrival_wins(spark):
+    from kgraph_spark.operators.temporal import temporal_reachability
+
+    # two routes to C: direct at t=9, via B at t=2 -> min arrival 2
+    e = spark.createDataFrame(
+        [("A", "C", 9), ("A", "B", 1), ("B", "C", 2)],
+        "src string, dst string, t long",
+    )
+    seeds = spark.createDataFrame([("A", 0)], "node string, t0 long")
+    out = {r["node"]: r["earliest_arrival"]
+           for r in temporal_reachability(e, seeds, max_hops=2).collect()}
+    assert out["C"] == 2
