@@ -4585,6 +4585,41 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall@10 of the LSH index against brute-force ground truth per
+    probe — the measure-don't-guess gate on the ANN scale path; exact
+    hit counts, one division. On this corpus it reads 0.1/probe: a
+    single 8-plane hash table shatters 500 vectors over 256 buckets
+    and finds only the probe itself — precisely the defect the gate
+    exists to expose before an index ships (the banded OR-amplified
+    variant and IVF multi-probe are the fixes; see ann_lsh_topk /
+    ann_ivf_topk)."""
+    from kgraph_spark.operators.eval_metrics import retrieval_recall
+    from kgraph_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), "embedding"
+    )
+    bf = brute_force_topk(emb, probes, k=10)
+    lsh = lsh_topk(emb, probes, dim=dim, k=10, n_planes=8)
+    return retrieval_recall(bf, lsh)
+
+
+def q_curation_neyman(spark, sf_dir):
+    """Neyman minimum-variance allocation of a 1000-draw eval budget
+    across event-type strata — n_h ∝ N_h·σ_h on exact moments, milli-
+    rounded weights summed as exact longs, one division per stratum."""
+    from kgraph_spark.operators.corpus_curation import neyman_allocation
+
+    return neyman_allocation(
+        _read(spark, sf_dir, "events"), "value", "event_type", budget=1_000
+    )
+
+
 def q_graph_temporal_reach(spark, sf_dir):
     """Earliest-arrival time-respecting reachability from two seeds
     over a timestamped doc circulant — every hop departs no earlier
@@ -4854,6 +4889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_sq8_error": q_emb_sq8_error,
         "graph_temporal_reach": q_graph_temporal_reach,
         "graph_mixing": q_graph_mixing,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "curation_neyman": q_curation_neyman,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -5385,6 +5422,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT probe_id, vec_id, round(c, 6) AS cosine, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "ann_recall_lsh": f"""
+            -- LSH top-10 vs brute-force top-10 per probe; exact hit
+            -- counts, one division (eval_metrics.retrieval_recall)
+            WITH b AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       ({ann_bucket})::BIGINT AS bucket
+                FROM embeddings
+            ), p AS (
+                SELECT vec_id AS probe_id, e AS pe, bucket FROM b
+                WHERE vec_id < 5
+            ), scored AS (
+                SELECT p.probe_id, b.vec_id,
+                       list_cosine_similarity(b.e, p.pe) AS c
+                FROM b JOIN p USING (bucket)
+            ), lsh AS (
+                SELECT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id,
+                           row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c DESC, vec_id) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
+            ), s2 AS (
+                SELECT p.probe_id, i.vec_id,
+                       list_cosine_similarity(i.embedding::DOUBLE[],
+                                              p.pe) AS c
+                FROM embeddings i, p
+            ), bf AS (
+                SELECT probe_id, vec_id FROM (
+                    SELECT probe_id, vec_id,
+                           row_number() OVER (PARTITION BY probe_id
+                               ORDER BY c DESC, vec_id) AS rank
+                    FROM s2
+                ) WHERE rank <= 10
+            ), hits AS (
+                SELECT bf.probe_id, count(*)::BIGINT AS n_hits
+                FROM bf JOIN lsh USING (probe_id, vec_id) GROUP BY 1
+            ), base AS (
+                SELECT probe_id, count(*)::BIGINT AS k FROM bf GROUP BY 1
+            )
+            SELECT base.probe_id, k,
+                   coalesce(n_hits, 0)::BIGINT AS n_hits,
+                   round(coalesce(n_hits, 0)::DOUBLE / k::DOUBLE, 6)
+                       AS recall
+            FROM base LEFT JOIN hits USING (probe_id)
         """,
         "ann_ivf_topk": """
             WITH e AS (
@@ -11898,6 +11980,45 @@ def oracle_sql() -> dict[str, str]:
                        (m * tr - sab)::DOUBLE / (m * m - sab)::DOUBLE, 6)
                    END AS assortativity
             FROM mat, g, sab
+        """,
+        "curation_neyman": """
+            -- n_h ∝ N_h·σ_h: exact moments, ONE division + sqrt per
+            -- stratum, milli weights sum as exact longs, one division
+            -- per allocation (corpus_curation.neyman_allocation)
+            WITH q AS (
+                SELECT event_type AS stratum,
+                       round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), per AS (
+                SELECT stratum, count(*)::BIGINT AS n_rows,
+                       sum(qv::HUGEINT) AS s, sum(qv::HUGEINT * qv) AS ss
+                FROM q GROUP BY 1
+            ), wd AS (
+                SELECT stratum, n_rows,
+                       CASE WHEN n_rows > 1 THEN sqrt(
+                           (n_rows::HUGEINT * ss - s * s)::DOUBLE
+                           / ((n_rows::HUGEINT * (n_rows - 1))::DOUBLE
+                              * 10000.0))
+                       ELSE 0.0 END AS sdv
+                FROM per
+            ), w AS (
+                SELECT stratum, n_rows, round(sdv, 6) AS sd,
+                       round(n_rows::DOUBLE * sdv * 1000.0)::BIGINT
+                           AS weight_milli
+                FROM wd
+            ), t AS (
+                SELECT sum(weight_milli)::BIGINT AS tw FROM w
+            )
+            SELECT stratum, n_rows, sd, weight_milli,
+                   CASE WHEN tw > 0 THEN round(
+                       1000.0 * weight_milli::DOUBLE / tw::DOUBLE)::BIGINT
+                   ELSE 0 END AS alloc,
+                   CASE WHEN tw > 0 THEN least(round(
+                       1000.0 * weight_milli::DOUBLE / tw::DOUBLE)::BIGINT,
+                       n_rows)
+                   ELSE 0 END AS alloc_capped
+            FROM w, t
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

@@ -1053,3 +1053,71 @@ def power_mix_weights(
             .alias("upsample_micro"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    value_col: str,
+    stratum_col: str,
+    budget: int = 1_000,
+    scale: int = 100,
+) -> DataFrame:
+    """Neyman (minimum-variance) stratified sample allocation: given a
+    stratified corpus and a labelling/eval budget, how many draws go to
+    each stratum — n_h ∝ N_h·σ_h, the allocation that minimizes the
+    estimator variance for a fixed budget (vs proportional allocation,
+    which over-samples big homogeneous strata). Returns (stratum,
+    n_rows, sd, weight_milli, alloc, alloc_capped): `alloc` is the raw
+    Neyman share of `budget`, `alloc_capped` clips at the stratum size
+    (re-spread the clipped surplus manually if it triggers).
+
+    Exactness: values quantize to the integer grid; per-stratum sample
+    sd comes from exact moments with ONE division + sqrt; the Neyman
+    weight rounds to integer milli (N_h·σ_h·1000) so the cross-stratum
+    total is an EXACT long sum (never an order-sensitive float sum),
+    and each allocation is one further division. Zero-variance or
+    single-row strata weigh 0 — they need one draw at most, which the
+    capped column makes explicit (alloc 0 → sample nothing there).
+
+    Scale: ONE hash aggregate over the corpus + a |strata|-row finish
+    with a 1-row total broadcast."""
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(stratum_col).isNotNull()
+    ).select(
+        F.col(stratum_col).alias("stratum"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("qv"),
+    )
+    d19 = F.col("qv").cast("decimal(19,0)")
+    per = q.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
+        F.sum(d19 * d19).alias("ss"),
+    )
+    nd = F.col("n_rows").cast("decimal(38,0)")
+    var = (nd * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        (nd * (F.col("n_rows") - 1).cast("decimal(38,0)")).cast("double")
+        * F.lit(float(scale * scale))
+    )
+    sd = F.when(F.col("n_rows") > 1, F.sqrt(var)).otherwise(F.lit(0.0))
+    w = per.select(
+        "stratum",
+        "n_rows",
+        F.round(sd, 6).alias("sd"),
+        F.round(F.col("n_rows").cast("double") * sd * F.lit(1_000.0), 0)
+        .cast("long").alias("weight_milli"),
+    )
+    tot = w.agg(F.sum("weight_milli").cast("long").alias("_tw"))
+    alloc = F.round(
+        F.lit(float(budget)) * F.col("weight_milli").cast("double")
+        / F.col("_tw").cast("double"),
+        0,
+    ).cast("long")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_rows",
+        "sd",
+        "weight_milli",
+        F.when(F.col("_tw") > 0, alloc).otherwise(F.lit(0)).alias("alloc"),
+        F.when(F.col("_tw") > 0, F.least(alloc, F.col("n_rows")))
+        .otherwise(F.lit(0)).alias("alloc_capped"),
+    )

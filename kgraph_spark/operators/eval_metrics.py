@@ -644,3 +644,42 @@ def ndcg_at_k(
             F.round(F.col("_sum") / (F.col("n_queries") * F.lit(1_000_000)), 6),
         ).alias(f"ndcg_at_{k}"),
     )
+
+
+def retrieval_recall(
+    truth: DataFrame,
+    approx: DataFrame,
+    probe_col: str = "probe_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-probe recall of an approximate retrieval against exact truth:
+    (probe, k, n_hits, recall) where k = |truth set| and n_hits =
+    |truth ∩ approx| — the measure-don't-guess gate behind every ANN
+    shortcut (lsh_topk / ivf_topk vs brute_force_topk): an index whose
+    recall@k sags below target needs more bands/probes BEFORE it ships,
+    and this is the number that says so. Probes with no approx rows
+    score an honest 0, not a missing row.
+
+    Exact integer counts; recall = ONE round-6 division.
+
+    Scale: one (probe, id) equi-join of two k-row-per-probe frames +
+    two probe-keyed aggregates — nothing touches the corpus."""
+    t = truth.select(F.col(probe_col).alias("_p"), F.col(id_col).alias("_i"))
+    a = approx.select(F.col(probe_col).alias("_p"), F.col(id_col).alias("_i"))
+    base = t.groupBy("_p").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    hits = t.join(a, ["_p", "_i"]).groupBy("_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        base.join(hits, "_p", "left")
+        .select(
+            F.col("_p").alias(probe_col),
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("k").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -787,3 +787,26 @@ def test_burrows_delta_drops_zero_variance_tokens(spark):
     )
     rows = burrows_delta(docs, top_k=3).collect()
     assert len(rows) == 1 and rows[0]["n_tokens"] == 2  # hot + cold, not 'same'
+
+
+def test_neyman_allocation_favors_spread_strata(spark):
+    from kgraph_spark.operators.corpus_curation import neyman_allocation
+
+    # equal sizes: wide stratum (sd 10x) must get ~10x the budget
+    rows = [("wide", float(v)) for v in (0, 20, 40, 60)] + [
+        ("narrow", float(v)) for v in (10, 12, 14, 16)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["stratum"]: r for r in
+           neyman_allocation(df, "v", "g", budget=110).collect()}
+    # sd(wide)/sd(narrow) = 25.82/2.582 = 10 -> alloc 100 vs 10
+    assert out["wide"]["alloc"] == 100 and out["narrow"]["alloc"] == 10
+    # raw alloc exceeds the 4-row stratum; capped column clips
+    assert out["wide"]["alloc_capped"] == 4
+    # zero-variance stratum weighs nothing
+    df2 = spark.createDataFrame(
+        rows + [("flat", 5.0)] * 4, "g string, v double"
+    )
+    out2 = {r["stratum"]: r for r in
+            neyman_allocation(df2, "v", "g", budget=110).collect()}
+    assert out2["flat"]["alloc"] == 0

@@ -353,3 +353,21 @@ def test_ndcg_discount_validation():
     assert ndcg_discount_micro(3) == [1000000, 630930, 500000]
     with _pytest.raises(ValueError):
         ndcg_discount_micro(0)
+
+
+def test_retrieval_recall_hand_case(spark):
+    import pytest
+
+    from kgraph_spark.operators.eval_metrics import retrieval_recall
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "probe_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11), (1, 99), (1, 12)], "probe_id long, vec_id long"
+    )
+    out = {r["probe_id"]: r for r in retrieval_recall(truth, approx).collect()}
+    assert out[1]["n_hits"] == 2 and out[1]["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    # probe 2 absent from approx -> honest zero, not a missing row
+    assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
