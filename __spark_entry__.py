@@ -4585,6 +4585,58 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_stat_cvm_drift(spark, sf_dir):
+    """Cramér–von Mises whole-CDF drift between weekend and weekday
+    event values — integrates the squared ECDF gap where KS takes only
+    the max; exact cross-multiplied gap integers, ONE division."""
+    from kgraph_spark.operators.stats import cvm_2sample
+
+    ev = _read(spark, sf_dir, "events").select(
+        "value", F.dayofweek("ts").isin(1, 7).alias("wk")
+    )
+    return cvm_2sample(
+        ev.filter(F.col("wk")), ev.filter(~F.col("wk")), "value", scale=100
+    )
+
+
+def q_graph_dag_levels(spark, sf_dir):
+    """Longest-path stratification of a +7/+11 doc DAG from its 7 roots
+    — the dependency-tier schedule; integer max-folds, 8 pinned
+    rounds; oracle re-derives levels with a recursive CTE."""
+    from kgraph_spark.operators.graph_analytics import dag_levels
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    d = F.col("doc_id")
+    e = None
+    for step in (7, 11):
+        part = docs.filter(d + step < 60).select(
+            d.alias("subject_id"), (d + step).alias("object_id")
+        )
+        e = part if e is None else e.unionByName(part)
+    return dag_levels(e, max_depth=8)
+
+
+def q_evt_lateness(spark, sf_dir):
+    """Watermark design advisor: per event type, how many events a
+    streaming job would drop at candidate watermark delays, from a
+    deterministic (event_id %13)² arrival skew — the data-driven
+    withWatermark bound; exact counts, one division per row."""
+    from kgraph_spark.operators.event_analytics import watermark_lateness_audit
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long").alias("et"),
+        (F.col("event_id") % 13).alias("_m"),
+    ).select(
+        "event_type", "et",
+        (F.col("et") + F.col("_m") * F.col("_m")).alias("at"),
+    )
+    return watermark_lateness_audit(
+        ev, "et", "at", thresholds=(0, 25, 64, 144), group_col="event_type"
+    )
+
+
 def q_ann_recall_lsh(spark, sf_dir):
     """Recall@10 of the LSH index against brute-force ground truth per
     probe — the measure-don't-guess gate on the ANN scale path; exact
@@ -4891,6 +4943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mixing": q_graph_mixing,
         "ann_recall_lsh": q_ann_recall_lsh,
         "curation_neyman": q_curation_neyman,
+        "stat_cvm_drift": q_stat_cvm_drift,
+        "graph_dag_levels": q_graph_dag_levels,
+        "evt_lateness": q_evt_lateness,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -12019,6 +12074,99 @@ def oracle_sql() -> dict[str, str]:
                        n_rows)
                    ELSE 0 END AS alloc_capped
             FROM w, t
+        """,
+        "stat_cvm_drift": """
+            -- Σ(c_a+c_b)·(cum_a·n_b − cum_b·n_a)² in HUGEINT, ONE
+            -- division by n_a·n_b·(n_a+n_b)² (stats.cvm_2sample)
+            WITH qa AS (
+                SELECT round(value * 100)::BIGINT AS qv FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+                  AND date_part('dow', ts) IN (0, 6)
+            ), qb AS (
+                SELECT round(value * 100)::BIGINT AS qv FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+                  AND date_part('dow', ts) NOT IN (0, 6)
+            ), ca AS (
+                SELECT qv, count(*)::BIGINT AS ca FROM qa GROUP BY 1
+            ), cb AS (
+                SELECT qv, count(*)::BIGINT AS cb FROM qb GROUP BY 1
+            ), merged AS (
+                SELECT coalesce(ca.qv, cb.qv) AS qv,
+                       coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+                FROM ca FULL OUTER JOIN cb USING (qv)
+            ), cum AS (
+                SELECT ca, cb,
+                       sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b
+                FROM merged
+                WINDOW w AS (ORDER BY qv ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+            ), tot AS (
+                SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+                FROM merged
+            ), agg AS (
+                SELECT sum((ca + cb)::HUGEINT
+                           * (cum_a::HUGEINT * n_b - cum_b::HUGEINT * n_a)
+                           * (cum_a::HUGEINT * n_b - cum_b::HUGEINT * n_a))
+                           ::HUGEINT AS num,
+                       max(n_a) AS n_a, max(n_b) AS n_b
+                FROM cum, tot
+            )
+            SELECT n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN round(
+                       num::DOUBLE
+                       / (n_a::HUGEINT * n_b
+                          * ((n_a + n_b) * (n_a + n_b)))::DOUBLE, 6)
+                   END AS t_stat,
+                   CASE WHEN n_a > 0 AND n_b > 0 THEN round(
+                       (1.0 + 1.0 / (n_a + n_b)::DOUBLE) / 6.0, 6)
+                   END AS t_expected
+            FROM agg
+        """,
+        "graph_dag_levels": """
+            -- roots = no incoming edge; level = max predecessor level
+            -- + 1, depth-bounded recursion (graph_analytics.dag_levels)
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS s, doc_id + 7 AS d FROM documents
+                WHERE doc_id < 60 AND doc_id + 7 < 60
+                UNION ALL
+                SELECT doc_id, doc_id + 11 FROM documents
+                WHERE doc_id < 60 AND doc_id + 11 < 60
+            ), nodes AS (
+                SELECT s AS node FROM e UNION SELECT d FROM e
+            ), roots AS (
+                SELECT node FROM nodes
+                WHERE node NOT IN (SELECT d FROM e)
+            ), r(node, lev) AS (
+                SELECT node, 0 FROM roots
+                UNION
+                SELECT e.d, r.lev + 1 FROM r JOIN e ON r.node = e.s
+                WHERE r.lev < 8
+            )
+            SELECT node::BIGINT AS node, max(lev)::BIGINT AS level
+            FROM r GROUP BY 1
+        """,
+        "evt_lateness": """
+            -- lateness = deterministic (event_id%13)² arrival skew;
+            -- per (type, W) drop counts, one division
+            -- (event_analytics.watermark_lateness_audit)
+            WITH q AS (
+                SELECT event_type,
+                       (event_id % 13) * (event_id % 13) AS late
+                FROM events
+                WHERE ts IS NOT NULL AND event_id IS NOT NULL
+            ), x AS (
+                SELECT event_type, late,
+                       unnest([0, 25, 64, 144]) AS w_sec
+                FROM q
+            )
+            SELECT event_type, w_sec::INT AS w_sec,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN late > w_sec THEN 1 ELSE 0 END)::BIGINT
+                       AS n_late,
+                   round(sum(CASE WHEN late > w_sec THEN 1 ELSE 0
+                             END)::DOUBLE * 1000000.0
+                         / count(*)::DOUBLE)::BIGINT AS late_micro
+            FROM x GROUP BY 1, 2
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

@@ -436,3 +436,48 @@ def stationary_distribution(
             .select(F.col("to_type").alias("state"), "mass")
         )
     return pi.select("state", F.col("mass").alias("pi_micro"))
+
+
+def watermark_lateness_audit(
+    events: DataFrame,
+    event_time_col: str,
+    arrival_time_col: str,
+    thresholds: tuple[int, ...] = (0, 60, 300),
+    group_col: str | None = None,
+) -> DataFrame:
+    """Watermark design advisor: for each candidate watermark delay W
+    (seconds), how many events would a streaming job DROP because they
+    arrived more than W after their event time — (group?, w_sec,
+    n_events, n_late, late_micro). The number that picks
+    `withWatermark`'s delay FROM THE DATA instead of folklore: the
+    smallest W whose late_micro clears the loss budget bounds the
+    streaming state, and streaming/windowed.py's watermarked operators
+    consume exactly that bound. Exact integer counts, one division per
+    row.
+
+    Scale: ONE pass — the thresholds explode is a |W|-way literal
+    fan-out, then a single (group, w) hash aggregate with map-side
+    partials."""
+    keys = [group_col] if group_col else []
+    lateness = (
+        F.col(arrival_time_col).cast("long") - F.col(event_time_col).cast("long")
+    )
+    ws = F.array(*[F.lit(int(w)) for w in thresholds])
+    q = events.filter(
+        F.col(event_time_col).isNotNull() & F.col(arrival_time_col).isNotNull()
+    ).select(*keys, lateness.alias("_late"), F.explode(ws).alias("w_sec"))
+    return q.groupBy(*keys, "w_sec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum((F.col("_late") > F.col("w_sec")).cast("long"))
+        .cast("long").alias("n_late"),
+    ).select(
+        *keys,
+        "w_sec",
+        "n_events",
+        "n_late",
+        F.round(
+            F.col("n_late").cast("double") * F.lit(1_000_000.0)
+            / F.col("n_events").cast("double"),
+            0,
+        ).cast("long").alias("late_micro"),
+    )

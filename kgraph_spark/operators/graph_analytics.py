@@ -1850,3 +1850,49 @@ def attribute_mixing(
                 / F.col("m").cast("double"), 0).cast("long").alias("frac_micro"),
         r.alias("assortativity"),
     )
+
+
+def dag_levels(
+    edges: DataFrame,
+    max_depth: int = 8,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Longest-path level per node from the DAG's roots: (node, level)
+    with roots (no incoming edge) at 0 and level(v) = max over
+    predecessors of level(u)+1 — the topological STRATIFICATION that
+    schedules dependency evaluation (rule tiers, materialized-view
+    refresh order, pipeline stages): everything in level k may run
+    concurrently once k−1 finished. The max-path dual of sssp's
+    min-fold.
+
+    Contract: a DAG with longest path ≤ max_depth (levels are exact
+    there); on a cycle the fold would climb forever, so levels clamp at
+    max_depth rounds — a node AT max_depth in the output is the
+    documented "suspect a cycle here" signal. Pure integer max-folds —
+    no float playbook.
+
+    Scale: one anti-join for roots, then max_depth rounds of one
+    frontier⋈edges join + one max hash aggregate, pinned lazily (one
+    action at the end — the temporal_reachability/D8 discipline)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+    state = nodes.join(
+        e.select(F.col("_d").alias("node")).distinct(), "node", "left_anti"
+    ).select("node", F.lit(0).cast("long").alias("level"))
+    for _ in range(max_depth):
+        hop = (
+            state.join(e, state["node"] == e["_s"])
+            .select(F.col("_d").alias("node"), (F.col("level") + 1).alias("level"))
+        )
+        state = (
+            state.unionByName(hop)
+            .groupBy("node")
+            .agg(F.max("level").alias("level"))
+            .localCheckpoint(eager=False)
+        )
+    return state

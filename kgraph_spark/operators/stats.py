@@ -992,3 +992,74 @@ def mann_kendall(
         F.when(n >= 3, F.round(var_s, 6)).alias("var_s"),
         F.when((n >= 3) & (var_s > 0), F.round(z, 6)).alias("z"),
     )
+
+
+def cvm_2sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic — the whole-CDF drift gate
+    that integrates the squared gap between the two empirical CDFs
+    where KS takes only its maximum, so a distribution that drifts a
+    little EVERYWHERE (tails, shoulders) trips this before it trips
+    ks_2sample. One row (n_a, n_b, t_stat, t_expected): t_expected =
+    (1 + 1/(n+m))/6 is E[T] under H₀ (Anderson–Darling 1962), so
+    t_stat ≫ t_expected reads as drift without a table lookup.
+
+    Exact until the last step: at each pooled grid value the CDF gap
+    cross-multiplies to the integer D = cum_a·n_b − cum_b·n_a, and
+    T's numerator Σ (c_a+c_b)·D² accumulates in decimal(38,0) ≡
+    HUGEINT; T = num / (n_a·n_b·(n_a+n_b)²) is ONE division (the
+    pooled-count weighting is the standard computational form of
+    nm/(n+m)² ∫(F_a−F_b)² dH). Same plan as ks_2sample: two per-value
+    aggregates, a grid merge, one window over the DISTINCT grid."""
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    ca = qa.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    cb = qb.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    merged = ca.join(cb, "qv", "full_outer").select(
+        "qv",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "ca", "cb",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"), F.sum("cb").cast("long").alias("n_b")
+    )
+    d19 = "decimal(19,0)"
+    j = cum.crossJoin(F.broadcast(tot))
+    dgap = (
+        F.col("cum_a").cast(d19) * F.col("n_b") - F.col("cum_b").cast(d19) * F.col("n_a")
+    )
+    num = j.agg(
+        F.sum(((F.col("ca") + F.col("cb")).cast(d19) * dgap * dgap).cast(_DEC))
+        .alias("num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    den = (na.cast(_DEC) * nb.cast(_DEC) * (n * n).cast(_DEC)).cast("double")
+    return num.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (na > 0) & (nb > 0),
+            F.round(F.col("num").cast("double") / den, 6),
+        ).alias("t_stat"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.round((F.lit(1.0) + F.lit(1.0) / n.cast("double")) / F.lit(6.0), 6),
+        ).alias("t_expected"),
+    )

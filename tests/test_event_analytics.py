@@ -268,3 +268,16 @@ def test_stationary_biased_chain_concentrates(spark):
     assert 740_000 < out["A"] < 760_000 and out["B"] < 260_000
     # mass conservation up to documented floor dust (<= iters * states)
     assert 1_000_000 - 10 <= out["A"] + out["B"] <= 1_000_000
+
+
+def test_watermark_lateness_audit_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import watermark_lateness_audit
+
+    rows = [("a", 100, 100), ("a", 100, 150), ("a", 100, 400), ("b", 0, 30)]
+    df = spark.createDataFrame(rows, "g string, et long, at long")
+    out = {(r["g"], r["w_sec"]): r for r in watermark_lateness_audit(
+        df, "et", "at", thresholds=(0, 60), group_col="g").collect()}
+    # W=0: anything with skew > 0 drops; W=60: only the 300s straggler
+    assert out[("a", 0)]["n_late"] == 2 and out[("a", 60)]["n_late"] == 1
+    assert out[("a", 60)]["late_micro"] == 333333
+    assert out[("b", 60)]["n_late"] == 0 and out[("b", 60)]["late_micro"] == 0

@@ -884,3 +884,26 @@ def test_attribute_mixing_perfectly_disassortative(spark):
     rows = attribute_mixing(e, t).collect()
     assert all(r["assortativity"] == -1.0 for r in rows)
     assert all(r["frac_micro"] == 500_000 for r in rows)
+
+
+def test_dag_levels_diamond(spark):
+    from kgraph_spark.operators.graph_analytics import dag_levels
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)],
+        "subject_id long, object_id long",
+    )
+    out = {r["node"]: r["level"] for r in dag_levels(e, max_depth=6).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_dag_levels_cycle_clamps_at_max_depth(spark):
+    from kgraph_spark.operators.graph_analytics import dag_levels
+
+    # 0 -> 1 <-> 2: the cycle has no root-free fold, levels clamp
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "subject_id long, object_id long"
+    )
+    out = {r["node"]: r["level"] for r in dag_levels(e, max_depth=4).collect()}
+    assert out[0] == 0
+    assert max(out.values()) <= 4  # documented cycle clamp, not divergence

@@ -428,3 +428,16 @@ def test_mann_kendall_time_ties_and_flat(spark):
     assert r["s"] == 2
     flat = spark.createDataFrame([(i, 7) for i in range(5)], "x long, y long")
     assert mann_kendall(flat, "x", "y").first()["z"] is None
+
+
+def test_cvm_identical_and_disjoint(spark):
+    from kgraph_spark.operators.stats import cvm_2sample
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    same = cvm_2sample(a, a, "v", scale=1).first()
+    assert same["t_stat"] == 0.0
+    # a=[1,2] vs b=[3,4]: num = 4+16+4+0 = 24, T = 24/(2*2*16)
+    b = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    r = cvm_2sample(a, b, "v", scale=1).first()
+    assert r["t_stat"] == pytest.approx(0.375)
+    assert r["t_expected"] == pytest.approx((1 + 1 / 4) / 6, abs=1e-6)
