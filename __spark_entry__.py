@@ -4585,6 +4585,49 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_stat_wilson(spark, sf_dir):
+    """Wilson 95% score interval for the share of high-value events per
+    type — the edge-honest rate CI; exact counts, one fixed IEEE
+    sequence with the z literal shared verbatim with the oracle."""
+    from kgraph_spark.operators.stats import prop_wilson
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("value") > 100).alias("hi")
+    )
+    return prop_wilson(ev, "hi", group_col="event_type")
+
+
+def q_evt_cuped(spark, sf_dir):
+    """CUPED-adjusted weekend-vs-weekday value means using each user's
+    previous event value as the covariate — pooled θ from exact
+    cross-multiplied moments, one division each for θ / means / r²."""
+    from kgraph_spark.operators.event_analytics import cuped_adjust
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = _read(spark, sf_dir, "events").select(
+        "value",
+        F.lag("value").over(w).alias("prev"),
+        F.dayofweek("ts").isin(1, 7).alias("wk"),
+    )
+    return cuped_adjust(q, "value", "prev", "wk")
+
+
+def q_layout_zonemap(spark, sf_dir):
+    """What sorting buys the scan: 16-file zone maps under arrival vs
+    value-clustered order, files scanned for three value bands — the
+    quantified case for zorder/compaction; exact zone integers, one
+    division per row."""
+    from kgraph_spark.operators.layout import zonemap_prune_stats
+
+    return zonemap_prune_stats(
+        _read(spark, sf_dir, "events"),
+        "event_id",
+        "value",
+        n_files=16,
+        bands=[(0.0, 50.0), (100.0, 110.0), (400.0, 500.0)],
+    )
+
+
 def q_stat_cvm_drift(spark, sf_dir):
     """Cramér–von Mises whole-CDF drift between weekend and weekday
     event values — integrates the squared ECDF gap where KS takes only
@@ -4946,6 +4989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_cvm_drift": q_stat_cvm_drift,
         "graph_dag_levels": q_graph_dag_levels,
         "evt_lateness": q_evt_lateness,
+        "stat_wilson": q_stat_wilson,
+        "evt_cuped": q_evt_cuped,
+        "layout_zonemap": q_layout_zonemap,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -12167,6 +12213,120 @@ def oracle_sql() -> dict[str, str]:
                              END)::DOUBLE * 1000000.0
                          / count(*)::DOUBLE)::BIGINT AS late_micro
             FROM x GROUP BY 1, 2
+        """,
+        "stat_wilson": """
+            -- Wilson score interval, z literal shared verbatim; the
+            -- fixed op order denom/center/rad (stats.prop_wilson)
+            WITH agg AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)::BIGINT
+                           AS x
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ), c AS (
+                SELECT event_type, n, x,
+                       x::DOUBLE / n::DOUBLE AS p,
+                       1.0 + 3.8414588206941254 / n::DOUBLE AS denom,
+                       x::DOUBLE / n::DOUBLE
+                           + 3.8414588206941254 / (2.0 * n::DOUBLE)
+                           AS center,
+                       sqrt((x::DOUBLE / n::DOUBLE
+                             * (1.0 - x::DOUBLE / n::DOUBLE)
+                             + 3.8414588206941254 / (4.0 * n::DOUBLE))
+                            / n::DOUBLE) AS rad
+                FROM agg
+            )
+            SELECT event_type, n, x, round(p, 6) AS p,
+                   round((center - 1.959963984540054 * rad) / denom, 6)
+                       AS lo,
+                   round((center + 1.959963984540054 * rad) / denom, 6)
+                       AS hi
+            FROM c
+        """,
+        "evt_cuped": """
+            -- pooled θ = (nΣxy−ΣxΣy)/(nΣxx−Σx²) on exact integers;
+            -- adjusted mean = ȳ_s − θ(x̄_s − x̄), one division per term
+            -- (event_analytics.cuped_adjust)
+            WITH base AS (
+                SELECT value,
+                       lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev,
+                       (date_part('dow', ts) IN (0, 6)) AS side
+                FROM events
+            ), q AS (
+                SELECT side, round(value * 100)::BIGINT AS qy,
+                       round(prev * 100)::BIGINT AS qx
+                FROM base
+                WHERE value IS NOT NULL AND prev IS NOT NULL
+                  AND side IS NOT NULL
+            ), per AS (
+                SELECT side, count(*)::BIGINT AS n,
+                       sum(qy::HUGEINT) AS sy, sum(qx::HUGEINT) AS sx
+                FROM q GROUP BY 1
+            ), pool AS (
+                SELECT count(*)::BIGINT AS pn,
+                       sum(qy::HUGEINT) AS py, sum(qx::HUGEINT) AS px,
+                       sum(qx::HUGEINT * qx) AS pxx,
+                       sum(qy::HUGEINT * qy) AS pyy,
+                       sum(qx::HUGEINT * qy) AS pxy
+                FROM q
+            ), c AS (
+                SELECT per.*, pool.*,
+                       (pn * pxy - px * py)::DOUBLE AS cov,
+                       (pn * pxx - px * px)::DOUBLE AS varx,
+                       (pn * pyy - py * py)::DOUBLE AS vary
+                FROM per, pool
+            )
+            SELECT side, n,
+                   round((sy::DOUBLE / 100.0) / n::DOUBLE, 6) AS mean_y,
+                   round((sx::DOUBLE / 100.0) / n::DOUBLE, 6) AS mean_x,
+                   CASE WHEN varx > 0 THEN round(cov / varx, 6) END
+                       AS theta,
+                   round(CASE WHEN varx > 0 THEN
+                       (sy::DOUBLE / 100.0) / n::DOUBLE
+                       - (cov / varx)
+                         * ((sx::DOUBLE / 100.0) / n::DOUBLE
+                            - (px::DOUBLE / 100.0) / pn::DOUBLE)
+                   ELSE (sy::DOUBLE / 100.0) / n::DOUBLE END, 6)
+                       AS mean_y_adj,
+                   CASE WHEN varx > 0 AND vary > 0 THEN
+                       round(cov * cov * 1000000.0
+                             / (varx * vary))::BIGINT
+                   END AS r2_micro
+            FROM c
+        """,
+        "layout_zonemap": """
+            -- ntile(16) zone maps under arrival vs clustered order;
+            -- scanned iff zmax ≥ lo AND zmin ≤ hi — parquet row-group
+            -- pruning arithmetic (layout.zonemap_prune_stats)
+            WITH q AS (
+                SELECT event_id AS ord, round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_id IS NOT NULL
+            ), za AS (
+                SELECT 'arrival' AS layout,
+                       ntile(16) OVER (ORDER BY ord) AS f, qv FROM q
+            ), zc AS (
+                SELECT 'clustered' AS layout,
+                       ntile(16) OVER (ORDER BY qv, ord) AS f, qv FROM q
+            ), zz AS (
+                SELECT layout, f, min(qv) AS zmin, max(qv) AS zmax
+                FROM (SELECT * FROM za UNION ALL SELECT * FROM zc)
+                GROUP BY 1, 2
+            ), x AS (
+                SELECT layout, zmin, zmax, band_lo, band_hi
+                FROM zz CROSS JOIN (VALUES (0, 5000), (10000, 11000),
+                                           (40000, 50000))
+                     b(band_lo, band_hi)
+            )
+            SELECT layout, band_lo::BIGINT AS band_lo,
+                   band_hi::BIGINT AS band_hi,
+                   count(*)::BIGINT AS files_total,
+                   sum(CASE WHEN zmax >= band_lo AND zmin <= band_hi
+                       THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+                   round(sum(CASE WHEN zmax >= band_lo AND zmin <= band_hi
+                             THEN 1 ELSE 0 END)::DOUBLE * 1000000.0
+                         / count(*)::DOUBLE)::BIGINT AS scan_micro
+            FROM x GROUP BY 1, 2, 3
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

@@ -148,3 +148,76 @@ def compaction_plan(
         F.count(F.lit(1)).over(per_bin).cast("long").alias("n_files_in_bin"),
         F.sum("size_bytes").over(per_bin).cast("long").alias("bin_bytes"),
     )
+
+
+def zonemap_prune_stats(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n_files: int = 16,
+    bands: list[tuple[float, float]] | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Measure what a layout choice buys at the scan: split the table
+    into n_files equal row-count files under TWO orders — `arrival`
+    (the ingest order, order_col) and `clustered` (sorted by
+    value_col) — record each file's [min, max] zone map, and count how
+    many files a range predicate on value_col must scan under each:
+    (layout, band_lo, band_hi, files_total, files_scanned, scan_micro).
+    The quantified companion to zorder_key/compaction_plan: 'sorting
+    this column cuts predicate X's scan from 100% of files to 2'. Run
+    it on a sample — the ntile is a total sort, an advisor cost, not a
+    production operator (the kendall_tau bounded-input contract).
+
+    Exact: values quantize to the grid; zone mins/maxes and overlap
+    counts are exact integers; scan_micro is ONE division.
+
+    Scale (of the ADVISED layout, not the advisor): a file is scanned
+    iff zone_max ≥ lo AND zone_min ≤ hi — precisely parquet row-group
+    pruning; the operator exposes the arithmetic the engine applies."""
+    from pyspark.sql import Window
+
+    bands = bands or [(0.0, 10.0)]
+    q = df.filter(F.col(value_col).isNotNull() & F.col(order_col).isNotNull()).select(
+        F.col(order_col).alias("ord"),
+        F.round(F.col(value_col) * scale, 0).cast("long").alias("qv"),
+    )
+    layouts = {
+        "arrival": Window.orderBy("ord"),
+        "clustered": Window.orderBy("qv", "ord"),
+    }
+    zones = None
+    for name, w in layouts.items():
+        z = (
+            q.withColumn("f", F.ntile(n_files).over(w))
+            .groupBy("f")
+            .agg(F.min("qv").alias("zmin"), F.max("qv").alias("zmax"))
+            .select(F.lit(name).alias("layout"), "zmin", "zmax")
+        )
+        zones = z if zones is None else zones.unionByName(z)
+    bl = F.array(*[
+        F.struct(
+            F.lit(int(round(lo * scale))).cast("long").alias("blo"),
+            F.lit(int(round(hi * scale))).cast("long").alias("bhi"),
+        )
+        for lo, hi in bands
+    ])
+    x = zones.select("layout", "zmin", "zmax", F.explode(bl).alias("b"))
+    return x.groupBy("layout", F.col("b.blo").alias("band_lo"), F.col("b.bhi").alias("band_hi")).agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.sum(
+            ((F.col("zmax") >= F.col("b.blo")) & (F.col("zmin") <= F.col("b.bhi")))
+            .cast("long")
+        ).cast("long").alias("files_scanned"),
+    ).select(
+        "layout",
+        "band_lo",
+        "band_hi",
+        "files_total",
+        "files_scanned",
+        F.round(
+            F.col("files_scanned").cast("double") * F.lit(1_000_000.0)
+            / F.col("files_total").cast("double"),
+            0,
+        ).cast("long").alias("scan_micro"),
+    )

@@ -1063,3 +1063,46 @@ def cvm_2sample(
             F.round((F.lit(1.0) + F.lit(1.0) / n.cast("double")) / F.lit(6.0), 6),
         ).alias("t_expected"),
     )
+
+
+def prop_wilson(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str | None = None,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Wilson score interval for a proportion per group: (group?, n, x,
+    p, lo, hi) — the rate CI that stays honest at the edges where the
+    Wald interval collapses (p near 0/1, small strata): a conversion or
+    error rate whose Wilson band still includes the SLA bound is not
+    yet evidence of regression. z defaults to the exact two-sided 95%
+    normal quantile literal (shared with any restatement — never an
+    engine's quantile function).
+
+    Determinism: x and n are exact longs; lo/hi are ONE fixed IEEE op
+    sequence on (x, n, z) — written in the same order everywhere:
+    denom = 1+z²/n, center = p+z²/2n, rad = √((p(1−p)+z²/4n)/n),
+    bounds = (center ∓ z·rad)/denom, round 6. n = 0 groups are absent
+    by construction; x ∈ {0, n} still yields a proper interval (the
+    Wilson point).
+
+    Scale: ONE hash aggregate with map-side partials."""
+    keys = [group_col] if group_col else []
+    agg = df.filter(F.col(flag_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(flag_col).cast("long")).cast("long").alias("x"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("x").cast("double") / nd
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / nd
+    center = p + z2 / (F.lit(2.0) * nd)
+    rad = F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * nd)) / nd)
+    return agg.select(
+        *keys,
+        "n",
+        "x",
+        F.round(p, 6).alias("p"),
+        F.round((center - F.lit(z) * rad) / denom, 6).alias("lo"),
+        F.round((center + F.lit(z) * rad) / denom, 6).alias("hi"),
+    )

@@ -281,3 +281,27 @@ def test_watermark_lateness_audit_hand_case(spark):
     assert out[("a", 0)]["n_late"] == 2 and out[("a", 60)]["n_late"] == 1
     assert out[("a", 60)]["late_micro"] == 333333
     assert out[("b", 60)]["n_late"] == 0 and out[("b", 60)]["late_micro"] == 0
+
+
+def test_cuped_removes_covariate_imbalance(spark):
+    from kgraph_spark.operators.event_analytics import cuped_adjust
+
+    # y = 10x exactly; sides differ ONLY through covariate imbalance,
+    # so adjusted means must coincide at 25 with theta 10, r2 = 1
+    rows = [(True, 10.0, 1.0), (True, 20.0, 2.0), (True, 30.0, 3.0),
+            (False, 20.0, 2.0), (False, 30.0, 3.0), (False, 40.0, 4.0)]
+    df = spark.createDataFrame(rows, "side boolean, y double, x double")
+    out = {r["side"]: r for r in cuped_adjust(df, "y", "x", "side").collect()}
+    assert out[True]["theta"] == 10.0 and out[False]["theta"] == 10.0
+    assert out[True]["mean_y"] == 20.0 and out[False]["mean_y"] == 30.0
+    assert out[True]["mean_y_adj"] == 25.0 and out[False]["mean_y_adj"] == 25.0
+    assert out[True]["r2_micro"] == 1_000_000
+
+
+def test_cuped_zero_variance_covariate_falls_back(spark):
+    from kgraph_spark.operators.event_analytics import cuped_adjust
+
+    rows = [(True, 10.0, 5.0), (True, 20.0, 5.0), (False, 30.0, 5.0)]
+    df = spark.createDataFrame(rows, "side boolean, y double, x double")
+    out = {r["side"]: r for r in cuped_adjust(df, "y", "x", "side").collect()}
+    assert out[True]["theta"] is None and out[True]["mean_y_adj"] == 15.0

@@ -96,3 +96,17 @@ def test_compaction_plan_bins_and_singletons(spark):
     assert rows["c"]["n_files_in_bin"] == 1  # singleton: skip rewrite
     with pytest.raises(ValueError):
         compaction_plan(files, target_bytes=0)
+
+
+def test_zonemap_prune_clustered_beats_arrival(spark):
+    from kgraph_spark.operators.layout import zonemap_prune_stats
+
+    # 32 rows, arrival order scatters values ((i*13) % 32); clustered
+    # zones partition [0..31] into 4 tight files of 8
+    rows = [(i, float((i * 13) % 32)) for i in range(1, 33)]
+    df = spark.createDataFrame(rows, "ord long, v double")
+    out = {(r["layout"], r["band_lo"]): r for r in zonemap_prune_stats(
+        df, "ord", "v", n_files=4, bands=[(10.0, 12.0)]).collect()}
+    assert out[("clustered", 1000)]["files_scanned"] == 1
+    assert out[("arrival", 1000)]["files_scanned"] == 4
+    assert out[("clustered", 1000)]["scan_micro"] == 250_000

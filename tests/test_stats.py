@@ -441,3 +441,25 @@ def test_cvm_identical_and_disjoint(spark):
     r = cvm_2sample(a, b, "v", scale=1).first()
     assert r["t_stat"] == pytest.approx(0.375)
     assert r["t_expected"] == pytest.approx((1 + 1 / 4) / 6, abs=1e-6)
+
+
+def test_prop_wilson_hand_case(spark):
+    from kgraph_spark.operators.stats import prop_wilson
+
+    df = spark.createDataFrame([(True,)] * 5 + [(False,)] * 5, "f boolean")
+    r = prop_wilson(df, "f").first()
+    assert (r["n"], r["x"], r["p"]) == (10, 5, 0.5)
+    # textbook Wilson 95% for 5/10, same op order
+    z = 1.959963984540054
+    n, p = 10.0, 0.5
+    denom = 1.0 + z * z / n
+    center = p + z * z / (2.0 * n)
+    rad = math.sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n)
+    assert r["lo"] == round((center - z * rad) / denom, 6)
+    assert r["hi"] == round((center + z * rad) / denom, 6)
+    assert 0.23 < r["lo"] < 0.24 and 0.76 < r["hi"] < 0.77
+    # boundary: all failures still yields a proper interval
+    z0 = prop_wilson(
+        spark.createDataFrame([(False,)] * 4, "f boolean"), "f"
+    ).first()
+    assert z0["p"] == 0.0 and z0["lo"] == 0.0 and z0["hi"] > 0.4
