@@ -1592,6 +1592,78 @@ def main() -> None:
         ["Generate", "HashAggregate", "partial_", "BroadcastHashJoin", "!BatchEvalPython", "!Window"],
     ))
 
+    sections.append((
+        "Temporal reachability — pinned min-fold rounds (the lazy "
+        "checkpoint IS the plan evidence: the returned frame reads the "
+        "pinned state, per-round join+agg plans checked on eccentricity"
+        "/closure which share the machinery)",
+        _plan(entrymod.queries()["graph_temporal_reach"](spark, SF)),
+        ["Scan ExistingRDD", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Attribute mixing — broadcast type lookups, |types|² matrix "
+        "aggregate, 1-row totals broadcast back",
+        _plan(entrymod.queries()["graph_mixing"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "ANN recall gate — two k-row-per-probe frames equi-join on "
+        "(probe, id); nothing touches the corpus after the top-ks",
+        _plan(entrymod.queries()["ann_recall_lsh"](spark, SF)),
+        ["HashJoin", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Neyman allocation — ONE corpus aggregate with map-side "
+        "partials + |strata|-row finish, 1-row total broadcast",
+        _plan(entrymod.queries()["curation_neyman"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Cramér–von Mises — grid aggregates + one window over the "
+        "DISTINCT grid (the ks_2sample shape), HUGEINT-exact numerator",
+        _plan(entrymod.queries()["stat_cvm_drift"](spark, SF)),
+        ["HashAggregate", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "DAG levels — anti-join roots, pinned max-fold rounds (same "
+        "lazy-checkpoint shape as temporal reachability)",
+        _plan(entrymod.queries()["graph_dag_levels"](spark, SF)),
+        ["Scan ExistingRDD", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Lateness audit — |W|-way literal fan-out, ONE (group, w) hash "
+        "aggregate with partials; no window, no join",
+        _plan(entrymod.queries()["evt_lateness"](spark, SF)),
+        ["Generate", "HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Wilson interval — ONE hash aggregate with partials, fixed "
+        "IEEE finish; no window, no join",
+        _plan(entrymod.queries()["stat_wilson"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window", "!Join"],
+    ))
+
+    sections.append((
+        "CUPED — one side aggregate + 1-row pooled-moment broadcast; "
+        "the only window is the per-user covariate lag",
+        _plan(entrymod.queries()["evt_cuped"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Zone-map advisor — two ntile windows (the documented advisor "
+        "sort), zone aggregate, literal band fan-out",
+        _plan(entrymod.queries()["layout_zonemap"](spark, SF)),
+        ["Window", "HashAggregate", "Generate", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
