@@ -4585,6 +4585,65 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_eval_lang_report(spark, sf_dir):
+    """Per-class precision/recall/F1 of the lang-ID heuristic against
+    the labeled lang column — the WHERE-does-it-fail companion to
+    lang_kappa; exact counts, integer-identity F1."""
+    from kgraph_spark.operators.eval_metrics import classification_report
+    from kgraph_spark.operators.text_analysis import language_id_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    labels = (
+        language_id_scores(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(F.col("lang").alias("truth"), F.col("lang_guess").alias("pred"))
+    )
+    return classification_report(labels, "truth", "pred")
+
+
+def q_emb_centroid_drift(spark, sf_dir):
+    """Per-label centroid cosine between the two vec_id-parity halves of
+    the embedding table — the encoder-drift monitor; fixed-point
+    centroids, the proven cosine recipe, one row per label."""
+    from kgraph_spark.operators.similarity import centroid_drift
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
+def q_kg_literal_profile(spark, sf_dir):
+    """Lexical datatype census over a literal-bearing order KG — every
+    class branch lands on a different predicate (numeric price, ISO
+    date, id-like FK, other status); deterministic dominant election,
+    one division."""
+    from kgraph_spark.operators.validation_extra import literal_type_profile
+
+    orders = _read(spark, sf_dir, "orders")
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+
+    def tri(pred, obj):
+        return orders.select(
+            okey.alias("subject_id"),
+            F.lit(pred).alias("predicate"),
+            obj.alias("object_id"),
+        )
+
+    t = (
+        tri("total_price", F.round(F.col("o_totalprice"), 0).cast("long").cast("string"))
+        .unionByName(tri("order_date", F.date_format("o_orderdate", "yyyy-MM-dd")))
+        .unionByName(tri("status", F.col("o_orderstatus")))
+        .unionByName(
+            tri("placed_by", F.concat(F.lit("C"), F.col("o_custkey").cast("string")))
+        )
+    )
+    return literal_type_profile(t)
+
+
 def q_stat_wilson(spark, sf_dir):
     """Wilson 95% score interval for the share of high-value events per
     type — the edge-honest rate CI; exact counts, one fixed IEEE
@@ -4992,6 +5051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_wilson": q_stat_wilson,
         "evt_cuped": q_evt_cuped,
         "layout_zonemap": q_layout_zonemap,
+        "eval_lang_report": q_eval_lang_report,
+        "emb_centroid_drift": q_emb_centroid_drift,
+        "kg_literal_profile": q_kg_literal_profile,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -12327,6 +12389,134 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END)::DOUBLE * 1000000.0
                          / count(*)::DOUBLE)::BIGINT AS scan_micro
             FROM x GROUP BY 1, 2, 3
+        """,
+        "eval_lang_report": """
+            -- per-class P/R/F1; F1 = 2tp/(n_true+n_pred) integer
+            -- identity (eval_metrics.classification_report; lang guess
+            -- restated from lang_id_heuristic)
+            WITH f AS (
+                SELECT lang AS a,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('the', 'and', 'of')))::BIGINT AS n_en,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('der', 'und', 'das')))::BIGINT AS n_de,
+                       len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x IN ('el', 'los', 'que')))::BIGINT AS n_es
+                FROM documents
+            ), g AS (
+                SELECT a,
+                       CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 THEN 'und'
+                            WHEN n_en >= n_de AND n_en >= n_es THEN 'en'
+                            WHEN n_de >= n_es THEN 'de'
+                            ELSE 'es' END AS b
+                FROM f
+            ), nt AS (
+                SELECT a AS label, count(*)::BIGINT AS n_true
+                FROM g GROUP BY 1
+            ), np AS (
+                SELECT b AS label, count(*)::BIGINT AS n_pred
+                FROM g GROUP BY 1
+            ), tp AS (
+                SELECT a AS label, count(*)::BIGINT AS tp
+                FROM g WHERE a = b GROUP BY 1
+            ), j AS (
+                SELECT coalesce(nt.label, np.label) AS label,
+                       coalesce(n_true, 0)::BIGINT AS n_true,
+                       coalesce(n_pred, 0)::BIGINT AS n_pred
+                FROM nt FULL OUTER JOIN np ON nt.label = np.label
+            )
+            SELECT j.label, n_true, n_pred,
+                   coalesce(tp.tp, 0)::BIGINT AS tp,
+                   CASE WHEN n_pred > 0 THEN round(
+                       coalesce(tp.tp, 0)::DOUBLE / n_pred::DOUBLE, 6)
+                   END AS precision,
+                   CASE WHEN n_true > 0 THEN round(
+                       coalesce(tp.tp, 0)::DOUBLE / n_true::DOUBLE, 6)
+                   END AS recall,
+                   CASE WHEN n_true + n_pred > 0 THEN round(
+                       2.0 * coalesce(tp.tp, 0)::DOUBLE
+                       / (n_true + n_pred)::DOUBLE, 6)
+                   END AS f1
+            FROM j LEFT JOIN tp ON j.label = tp.label
+        """,
+        "emb_centroid_drift": """
+            -- fixed-point per-half centroids, proven cosine recipe
+            -- (similarity.centroid_drift)
+            WITH ex AS (
+                SELECT vec_id % 2 AS half, label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding)::DOUBLE AS x
+                FROM embeddings
+            ), su AS (
+                SELECT half, label, pos,
+                       sum(round(x * 1000000, 0)::BIGINT) AS s,
+                       count(*) AS n
+                FROM ex GROUP BY 1, 2, 3
+            ), cent AS (
+                SELECT half, label,
+                       list(round(s / n / 1000000.0, 6) ORDER BY pos) AS c,
+                       max(n)::BIGINT AS nv
+                FROM su GROUP BY 1, 2
+            )
+            SELECT a.label, a.nv AS n_a, b.nv AS n_b,
+                   round(list_cosine_similarity(a.c, b.c), 6)
+                       AS centroid_cosine
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.half = 0 AND b.half = 1
+        """,
+        "kg_literal_profile": """
+            -- disjoint anchored regex classes, deterministic dominant
+            -- election (validation_extra.literal_type_profile)
+            WITH tri AS (
+                SELECT 'total_price' AS p,
+                       round(o_totalprice)::BIGINT::VARCHAR AS o
+                FROM orders
+                UNION ALL
+                SELECT 'order_date', strftime(o_orderdate, '%Y-%m-%d')
+                FROM orders
+                UNION ALL
+                SELECT 'status', o_orderstatus FROM orders
+                UNION ALL
+                SELECT 'placed_by', 'C' || o_custkey FROM orders
+            ), cls AS (
+                SELECT p,
+                       CASE WHEN regexp_matches(o, '^[0-9]+$')
+                                THEN 'numeric'
+                            WHEN regexp_matches(o,
+                                '^[0-9]{4}-[0-9]{2}-[0-9]{2}')
+                                THEN 'date'
+                            WHEN regexp_matches(o, '^[A-Z][0-9]+$')
+                                THEN 'id'
+                            ELSE 'other' END AS c
+                FROM tri WHERE o IS NOT NULL
+            ), agg AS (
+                SELECT p AS predicate, count(*)::BIGINT AS n,
+                       sum(CASE WHEN c = 'numeric' THEN 1 ELSE 0
+                           END)::BIGINT AS n_numeric,
+                       sum(CASE WHEN c = 'date' THEN 1 ELSE 0
+                           END)::BIGINT AS n_date,
+                       sum(CASE WHEN c = 'id' THEN 1 ELSE 0
+                           END)::BIGINT AS n_id,
+                       sum(CASE WHEN c = 'other' THEN 1 ELSE 0
+                           END)::BIGINT AS n_other
+                FROM cls GROUP BY 1
+            ), d AS (
+                SELECT predicate, 'date' AS cls, n_date AS cnt FROM agg
+                UNION ALL SELECT predicate, 'id', n_id FROM agg
+                UNION ALL SELECT predicate, 'numeric', n_numeric FROM agg
+                UNION ALL SELECT predicate, 'other', n_other FROM agg
+            ), win AS (
+                SELECT predicate, cls AS dominant, cnt FROM (
+                    SELECT *, row_number() OVER (PARTITION BY predicate
+                        ORDER BY cnt DESC, cls) AS rn
+                    FROM d
+                ) WHERE rn = 1
+            )
+            SELECT agg.predicate, n, n_numeric, n_date, n_id, n_other,
+                   dominant,
+                   round(cnt::DOUBLE * 1000000.0 / n::DOUBLE)::BIGINT
+                       AS dominant_micro
+            FROM agg JOIN win ON agg.predicate = win.predicate
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

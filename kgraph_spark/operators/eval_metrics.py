@@ -683,3 +683,70 @@ def retrieval_recall(
             ).alias("recall"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame,
+    truth_col: str = "truth",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class precision/recall/F1 from (truth, pred) pairs: (label,
+    n_true, n_pred, tp, precision, recall, f1) — the full confusion
+    summary behind every classifier gate (lang-ID, quality classifier,
+    type inference): cohens_kappa says WHETHER agreement beats chance,
+    this says WHERE it fails (which class over-predicts, which never
+    gets recalled). Labels that appear only in truth or only in pred
+    still get a row (the silent-class failure mode).
+
+    Exact counts; precision = tp/n_pred, recall = tp/n_true, and f1
+    uses the integer identity 2·tp/(n_true+n_pred) — ONE division
+    each, never the p·r/(p+r) float chain. Undefined ratios (zero
+    denominator) are NULL, not 0 — a class with no predictions has no
+    precision, which is different from bad precision.
+
+    Scale: three label-keyed hash aggregates with map-side partials,
+    two |labels|-row outer joins."""
+    q = df.filter(
+        F.col(truth_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(F.col(truth_col).alias("_t"), F.col(pred_col).alias("_p"))
+    nt = q.groupBy(F.col("_t").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    np_ = q.groupBy(F.col("_p").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pred")
+    )
+    tp = q.filter(F.col("_t") == F.col("_p")).groupBy(
+        F.col("_t").alias("label")
+    ).agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    j = (
+        nt.join(np_, "label", "full_outer")
+        .join(tp, "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return j.select(
+        "label",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_pred").cast("double"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("tp").cast("double") / F.col("n_true").cast("double"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_true") + F.col("n_pred") > 0,
+            F.round(
+                F.lit(2.0) * F.col("tp").cast("double")
+                / (F.col("n_true") + F.col("n_pred")).cast("double"),
+                6,
+            ),
+        ).alias("f1"),
+    )

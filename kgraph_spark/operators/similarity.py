@@ -1152,3 +1152,48 @@ def sq8_error_profile(
             6,
         ).alias("rmse"),
     )
+
+
+def centroid_drift(
+    items_a: DataFrame,
+    items_b: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid movement between two embedding snapshots:
+    (label, n_a, n_b, centroid_cosine) — the embedding-space
+    distribution-shift monitor a recurring encoder job runs against
+    last week's table (a re-trained encoder that silently rotated a
+    class shows up here before it poisons ANN recall). Labels present
+    in only one snapshot are absent (no drift to measure).
+
+    Exactness: both centroids come from embedding_centroids' fixed-
+    point means (round-6), then the cosine is the cosine_fixed recipe
+    — both centroid lists quantize to the 10⁻⁶ grid, dot and norms
+    fold as EXACT integers, two sqrts + one division finish it. No
+    engine ever sums raw floats.
+
+    Scale: two |labels|×dim centroid aggregates, one |labels|-row
+    join; item vectors never pair."""
+
+    def _cents(items, na):
+        su = embedding_centroids(items, label_col, vec_col)
+        return (
+            su.select("label", "pos", F.col("mean").alias("_m"),
+                      F.col("n_vectors").alias("_n"))
+            .groupBy("label")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "_m"))).alias("_pm"),
+                F.max("_n").cast("long").alias(na),
+            )
+            .select("label", F.transform("_pm", lambda s: s["_m"]).alias(f"_c{na}"), na)
+        )
+    a = _cents(items_a, "n_a")
+    b = _cents(items_b, "n_b")
+    return a.join(b, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        F.round(cosine_col(F.col("_cn_a"), F.col("_cn_b")), 6)
+        .alias("centroid_cosine"),
+    )

@@ -547,3 +547,66 @@ def fact_fusion(
         "n_sources",
         "flipped",
     )
+
+
+def literal_type_profile(
+    triples: DataFrame,
+    pred_col: str = "predicate",
+    obj_col: str = "object_id",
+) -> DataFrame:
+    """Lexical-type census of each predicate's object values: (predicate,
+    n, n_numeric, n_date, n_id, n_other, dominant, dominant_micro) —
+    the literal-vs-entity half of schema induction (infer_entity_types
+    does the entity half): a predicate whose objects are 99% ISO dates
+    with a 1% 'other' tail is a typed property with dirty rows to
+    quarantine, and `dominant` drives the datatype the promoted KG
+    declares. Classes: numeric ^[0-9]+$, date ^\\d{4}-\\d{2}-\\d{2},
+    id-like ^[A-Z][0-9]+$, other — anchored character-class regexes
+    that mean the same thing in every engine.
+
+    Determinism: classes are disjoint, tested in a fixed order; counts
+    exact; dominant breaks ties by class name ascending; ONE division
+    for the dominant share.
+
+    Scale: one predicate-keyed hash aggregate with map-side partials —
+    classification is a JVM regex per row, no UDF."""
+    o = F.col(obj_col).cast("string")
+    cls = (
+        F.when(o.rlike("^[0-9]+$"), F.lit("numeric"))
+        .when(o.rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}"), F.lit("date"))
+        .when(o.rlike("^[A-Z][0-9]+$"), F.lit("id"))
+        .otherwise(F.lit("other"))
+    )
+    q = triples.filter(o.isNotNull()).select(
+        F.col(pred_col).alias("predicate"), cls.alias("_c")
+    )
+    agg = q.groupBy("predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("_c") == "numeric").cast("long")).cast("long").alias("n_numeric"),
+        F.sum((F.col("_c") == "date").cast("long")).cast("long").alias("n_date"),
+        F.sum((F.col("_c") == "id").cast("long")).cast("long").alias("n_id"),
+        F.sum((F.col("_c") == "other").cast("long")).cast("long").alias("n_other"),
+    )
+    best = F.array_min(
+        F.array(*[
+            F.struct((-F.col(c)).alias("neg"), F.lit(name).alias("cls"))
+            for name, c in (
+                ("date", "n_date"), ("id", "n_id"),
+                ("numeric", "n_numeric"), ("other", "n_other"),
+            )
+        ])
+    )
+    return agg.select(
+        "predicate",
+        "n",
+        "n_numeric",
+        "n_date",
+        "n_id",
+        "n_other",
+        best["cls"].alias("dominant"),
+        F.round(
+            (-best["neg"]).cast("double") * F.lit(1_000_000.0)
+            / F.col("n").cast("double"),
+            0,
+        ).cast("long").alias("dominant_micro"),
+    )

@@ -371,3 +371,29 @@ def test_retrieval_recall_hand_case(spark):
     assert out[1]["n_hits"] == 2 and out[1]["recall"] == pytest.approx(2 / 3, abs=1e-6)
     # probe 2 absent from approx -> honest zero, not a missing row
     assert out[2]["n_hits"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_classification_report_hand_case(spark):
+    import pytest
+
+    from kgraph_spark.operators.eval_metrics import classification_report
+
+    # truths: a,a,b,c ; preds: a,b,b,b — 'c' never predicted, 'b' over-predicted
+    rows = [("a", "a"), ("a", "b"), ("b", "b"), ("c", "b")]
+    df = spark.createDataFrame(rows, "truth string, pred string")
+    out = {r["label"]: r for r in classification_report(df).collect()}
+    assert out["a"]["tp"] == 1 and out["a"]["precision"] == 1.0
+    assert out["a"]["recall"] == 0.5
+    assert out["a"]["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["b"]["precision"] == pytest.approx(1 / 3, abs=1e-6)
+    # never-predicted class: NULL precision (not 0), zero recall
+    assert out["c"]["precision"] is None and out["c"]["recall"] == 0.0
+
+
+def test_classification_report_pred_only_label(spark):
+    from kgraph_spark.operators.eval_metrics import classification_report
+
+    df = spark.createDataFrame([("a", "z")], "truth string, pred string")
+    out = {r["label"]: r for r in classification_report(df).collect()}
+    assert out["z"]["n_true"] == 0 and out["z"]["recall"] is None
+    assert out["z"]["precision"] == 0.0

@@ -373,3 +373,21 @@ def test_sq8_constant_dimension_zero_error(spark):
     )
     out = {r["vec_id"]: r for r in sq8_error_profile(emb).collect()}
     assert out[1]["sse"] == 0 and out[2]["sse"] == 0
+
+
+def test_centroid_drift_identical_and_rotated(spark):
+    from kgraph_spark.operators.similarity import centroid_drift
+
+    a = spark.createDataFrame(
+        [(1, "x", [1.0, 0.0]), (2, "x", [1.0, 0.0]), (3, "y", [0.0, 2.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    # same centroids -> cosine 1; y rotated 90 degrees -> cosine 0
+    b = spark.createDataFrame(
+        [(4, "x", [2.0, 0.0]), (5, "y", [2.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    out = {r["label"]: r for r in centroid_drift(a, b).collect()}
+    assert out["x"]["centroid_cosine"] == 1.0
+    assert out["y"]["centroid_cosine"] == 0.0
+    assert out["x"]["n_a"] == 2 and out["x"]["n_b"] == 1

@@ -275,3 +275,21 @@ def test_fact_fusion_reliable_source_overturns_tie(spark):
     assert out["k1"]["weight_micro"] == 800_000
     assert out["k2"]["object_id"] == "v" and not out["k2"]["flipped"]
     assert out["k4"]["object_id"] == "q" and out["k4"]["n_sources"] == 3
+
+
+def test_literal_type_profile_classes_and_dominant(spark):
+    from kgraph_spark.operators.validation_extra import literal_type_profile
+
+    rows = [
+        ("s", "amount", "123"), ("s", "amount", "99"), ("s", "amount", "oops"),
+        ("s", "born", "2024-01-31"), ("s", "ref", "C42"),
+    ]
+    t = spark.createDataFrame(
+        rows, "subject_id string, predicate string, object_id string"
+    )
+    out = {r["predicate"]: r for r in literal_type_profile(t).collect()}
+    assert out["amount"]["dominant"] == "numeric"
+    assert out["amount"]["n_numeric"] == 2 and out["amount"]["n_other"] == 1
+    assert out["amount"]["dominant_micro"] == 666667
+    assert out["born"]["dominant"] == "date"
+    assert out["ref"]["dominant"] == "id" and out["ref"]["dominant_micro"] == 1_000_000
