@@ -4585,6 +4585,57 @@ def q_dq_inclusion(spark, sf_dir):
     return inclusion_dependencies(cols)
 
 
+def q_graph_efficiency(spark, sf_dir):
+    """Bounded-horizon global efficiency of the +1/+7 doc circulant —
+    mean 1/d over ordered pairs, unreached = 0; per-pair micro
+    rounding once, exact sum, two-division finish."""
+    from kgraph_spark.operators.graph_analytics import global_efficiency
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    e = None
+    for step in (1, 7):
+        part = docs.select(
+            F.col("doc_id").alias("subject_id"),
+            ((F.col("doc_id") + step) % 60).alias("object_id"),
+        )
+        e = part if e is None else e.unionByName(part)
+    return global_efficiency(e, max_depth=4)
+
+
+def q_stat_paired_t(spark, sf_dir):
+    """Paired t on (value, previous value) within user, grouped by the
+    current event's type — the within-subject drift gate; scale
+    cancels, integer radicands, one fixed sqrt sequence."""
+    from kgraph_spark.operators.stats import paired_t
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = _read(spark, sf_dir, "events").select(
+        "event_type", "value", F.lag("value").over(w).alias("prev")
+    )
+    return paired_t(q, "value", "prev", group_col="event_type")
+
+
+def q_er_cannot_link(spark, sf_dir):
+    """Cannot-link audit of the nation clustering against consecutive-
+    customer constraints — every constrained pair the clustering
+    nevertheless merged, canonically ordered; constraint table
+    broadcast twice, assignments never self-join."""
+    from kgraph_spark.operators.canonicalize import cannot_link_violations
+
+    cust = _read(spark, sf_dir, "customer")
+    cid = lambda c: F.concat(F.lit("C"), c.cast("string"))  # noqa: E731
+    asg = cust.select(
+        cid(F.col("c_custkey")).alias("entity_id"),
+        F.concat(F.lit("N"), F.col("c_nationkey").cast("string"))
+        .alias("cluster_id"),
+    )
+    cons = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        cid(F.col("c_custkey")).alias("id_a"),
+        cid(F.col("c_custkey") + 1).alias("id_b"),
+    )
+    return cannot_link_violations(asg, cons)
+
+
 def q_eval_lang_report(spark, sf_dir):
     """Per-class precision/recall/F1 of the lang-ID heuristic against
     the labeled lang column — the WHERE-does-it-fail companion to
@@ -5054,6 +5105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_lang_report": q_eval_lang_report,
         "emb_centroid_drift": q_emb_centroid_drift,
         "kg_literal_profile": q_kg_literal_profile,
+        "graph_efficiency": q_graph_efficiency,
+        "stat_paired_t": q_stat_paired_t,
+        "er_cannot_link": q_er_cannot_link,
         "hll_distinct": q_hll_distinct,
         "d8_cluster_metrics": q_d8_cluster_metrics,
         "d8_bcubed": q_d8_bcubed,
@@ -12517,6 +12571,89 @@ def oracle_sql() -> dict[str, str]:
                    round(cnt::DOUBLE * 1000000.0 / n::DOUBLE)::BIGINT
                        AS dominant_micro
             FROM agg JOIN win ON agg.predicate = win.predicate
+        """,
+        "graph_efficiency": """
+            -- Σ round(1e6/d) over min-distance pairs, two-division
+            -- finish (graph_analytics.global_efficiency)
+            WITH RECURSIVE edges AS (
+                SELECT doc_id AS s, (doc_id + 1) % 60 AS o
+                FROM documents WHERE doc_id < 60
+                UNION ALL
+                SELECT doc_id, (doc_id + 7) % 60
+                FROM documents WHERE doc_id < 60
+            ), paths(s, o, d) AS (
+                SELECT s, o, 1 FROM edges
+                UNION
+                SELECT p.s, e.o, p.d + 1
+                FROM paths p JOIN edges e ON p.o = e.s WHERE p.d < 4
+            ), md AS (
+                SELECT s, o, min(d) AS d FROM paths GROUP BY 1, 2
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n_pairs,
+                       sum(round(1000000.0 / d::DOUBLE)::BIGINT)::BIGINT
+                           AS s_micro
+                FROM md WHERE s <> o
+            ), nn AS (
+                SELECT count(DISTINCT node)::BIGINT AS n_nodes FROM (
+                    SELECT s AS node FROM edges
+                    UNION ALL SELECT o FROM edges
+                )
+            )
+            SELECT n_nodes, n_pairs AS n_reachable_pairs,
+                   CASE WHEN n_nodes > 1 THEN round(
+                       s_micro::DOUBLE
+                       / (n_nodes * (n_nodes - 1))::DOUBLE
+                       / 1000000.0, 6)
+                   END AS efficiency
+            FROM agg, nn
+        """,
+        "stat_paired_t": """
+            -- d = qx − qy exact longs; t = Σd·√(n−1)/√(nΣd²−(Σd)²),
+            -- scale cancels (stats.paired_t)
+            WITH base AS (
+                SELECT event_type, value,
+                       lag(value) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+                FROM events
+            ), q AS (
+                SELECT event_type,
+                       round(value * 100)::BIGINT
+                       - round(prev * 100)::BIGINT AS d
+                FROM base WHERE value IS NOT NULL AND prev IS NOT NULL
+            ), agg AS (
+                SELECT event_type, count(*)::BIGINT AS n,
+                       sum(d::HUGEINT) AS s, sum(d::HUGEINT * d) AS ss
+                FROM q GROUP BY 1
+            )
+            SELECT event_type, n,
+                   round((s::DOUBLE / 100.0) / n::DOUBLE, 6) AS mean_diff,
+                   CASE WHEN n >= 2 AND n * ss - s * s > 0 THEN round(
+                       s::DOUBLE * sqrt((n - 1)::DOUBLE)
+                       / sqrt((n * ss - s * s)::DOUBLE), 6)
+                   END AS t_stat,
+                   (n - 1)::BIGINT AS df
+            FROM agg
+        """,
+        "er_cannot_link": """
+            -- constrained pairs the clustering merged anyway, canonical
+            -- string order (canonicalize.cannot_link_violations)
+            WITH asg AS (
+                SELECT 'C' || c_custkey AS i, 'N' || c_nationkey AS c
+                FROM customer
+            ), cons AS (
+                SELECT 'C' || c_custkey AS ra,
+                       'C' || (c_custkey + 1) AS rb
+                FROM customer WHERE c_custkey % 2 = 0
+            ), norm AS (
+                SELECT DISTINCT least(ra, rb) AS id_a,
+                       greatest(ra, rb) AS id_b
+                FROM cons WHERE ra <> rb
+            )
+            SELECT id_a, id_b, a.c AS cluster_id
+            FROM norm
+            JOIN asg a ON norm.id_a = a.i
+            JOIN asg b ON norm.id_b = b.i
+            WHERE a.c = b.c
         """,
         "graph_eccentricity": """
             -- depth-bounded recursive closure, min distance per pair,

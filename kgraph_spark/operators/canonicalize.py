@@ -298,3 +298,40 @@ def component_attribute_audit(
         )
         .withColumn("is_conflicted", F.col("n_distinct_attr") > 1)
     )
+
+
+def cannot_link_violations(
+    assignments: DataFrame,
+    constraints: DataFrame,
+    item_col: str = "entity_id",
+    cluster_col: str = "cluster_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Audit a clustering against cannot-link constraints: every
+    constrained pair that D8/dedup nevertheless merged, as (id_a, id_b,
+    cluster_id) — the negative-feedback guard rail entity resolution
+    accumulates (user-reported false merges, licensing walls, known
+    homonyms). Run after every merge pass; a non-empty result is a
+    release blocker and the cluster_id says which merge to unwind.
+    Constraints are unordered: (a,b) and (b,a) mean the same pair and
+    report once, canonically ordered.
+
+    Scale: two broadcast-size joins of the constraint table (tiny by
+    definition — human-curated) against the assignment table; the big
+    table never self-joins."""
+    c = constraints.select(
+        F.least(F.col(a_col), F.col(b_col)).alias("id_a"),
+        F.greatest(F.col(a_col), F.col(b_col)).alias("id_b"),
+    ).filter(F.col("id_a") != F.col("id_b")).distinct()
+    asg = assignments.select(
+        F.col(item_col).alias("_i"), F.col(cluster_col).alias("_c")
+    )
+    ja = asg.select(F.col("_i").alias("id_a"), F.col("_c").alias("_ca"))
+    jb = asg.select(F.col("_i").alias("id_b"), F.col("_c").alias("_cb"))
+    return (
+        c.join(ja, "id_a")
+        .join(jb, "id_b")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .select("id_a", "id_b", F.col("_ca").alias("cluster_id"))
+    )

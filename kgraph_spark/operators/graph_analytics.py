@@ -1896,3 +1896,51 @@ def dag_levels(
             .localCheckpoint(eager=False)
         )
     return state
+
+
+def global_efficiency(
+    edges: DataFrame,
+    max_depth: int = 4,
+    src: str = "subject_id",
+    dst: str = "object_id",
+) -> DataFrame:
+    """Bounded-horizon global efficiency: mean over ALL ordered node
+    pairs of 1/d(u,v), pairs unreachable within max_depth contributing
+    the standard 0 — one number for "how navigable is this KG" that
+    moves when hub deletion or over-aggressive dedup fragments it
+    (component counts stay flat until a cut actually disconnects;
+    efficiency degrades smoothly first). One row: (n_nodes,
+    n_reachable_pairs, efficiency).
+
+    Exactness: each pair's 1/d rounds ONCE to integer micro (d is a
+    small integer, round(10⁶/d) is the same long everywhere), the sum
+    is exact, and efficiency = (Σ/n(n−1))/10⁶ is a fixed two-division
+    finish.
+
+    Scale: rides transitive_closure (the materialized-pairs caveat
+    applies — keep the horizon small on dense graphs) + ONE global
+    aggregate; node census is a distinct over edge endpoints."""
+    clo = transitive_closure(edges, max_depth, src=src, dst=dst)
+    pairs = clo.filter(F.col("src") != F.col("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.round(F.lit(1_000_000.0) / F.col("depth").cast("double"), 0)
+            .cast("long")
+        ).cast("long").alias("s_micro"),
+    )
+    e = edges.select(F.col(src).alias("node")).unionByName(
+        edges.select(F.col(dst).alias("node"))
+    )
+    n = e.distinct().agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    j = pairs.crossJoin(F.broadcast(n))
+    denom = (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double")
+    return j.select(
+        "n_nodes",
+        F.col("n_pairs").alias("n_reachable_pairs"),
+        F.when(
+            F.col("n_nodes") > 1,
+            F.round(
+                F.col("s_micro").cast("double") / denom / F.lit(1_000_000.0), 6
+            ),
+        ).alias("efficiency"),
+    )

@@ -1106,3 +1106,54 @@ def prop_wilson(
         F.round((center - F.lit(z) * rad) / denom, 6).alias("lo"),
         F.round((center + F.lit(z) * rad) / denom, 6).alias("hi"),
     )
+
+
+def paired_t(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str | None = None,
+    scale: int = 100,
+) -> DataFrame:
+    """Paired t-test per group on matched observations (before/after,
+    metric vs its own lag): (group?, n, mean_diff, t_stat, df). The
+    within-subject gate welch_t can't give you — pairing cancels the
+    between-subject variance, so a small consistent shift that drowns
+    in welch_t's pooled spread is significant here.
+
+    Exactness: differences d = qx − qy are exact longs on the shared
+    grid and the scale CANCELS in t: t = Σd·√(n−1)/√(nΣd²−(Σd)²) —
+    integer numerator and radicands, one fixed double·sqrt/sqrt
+    sequence (the runs_test discipline). mean_diff = (Σd/scale)/n, two
+    divisions. n < 2 or zero difference-variance → NULL t.
+
+    Scale: ONE hash aggregate with map-side partials."""
+    keys = [group_col] if group_col else []
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys,
+        (_quant(F.col(x_col), scale) - _quant(F.col(y_col), scale)).alias("d"),
+    )
+    agg = q.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d").cast(_DEC)).alias("s"),
+        F.sum(F.col("d").cast("decimal(19,0)") * F.col("d").cast("decimal(19,0)"))
+        .alias("ss"),
+    )
+    nd = F.col("n").cast(_DEC)
+    rad = (nd * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    t = (
+        F.col("s").cast("double")
+        * F.sqrt((F.col("n") - 1).cast("double"))
+        / F.sqrt(rad)
+    )
+    return agg.select(
+        *keys,
+        "n",
+        F.round(
+            (F.col("s").cast("double") / F.lit(float(scale)))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("mean_diff"),
+        F.when((F.col("n") >= 2) & (rad > 0), F.round(t, 6)).alias("t_stat"),
+        (F.col("n") - 1).cast("long").alias("df"),
+    )

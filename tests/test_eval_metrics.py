@@ -397,3 +397,21 @@ def test_classification_report_pred_only_label(spark):
     out = {r["label"]: r for r in classification_report(df).collect()}
     assert out["z"]["n_true"] == 0 and out["z"]["recall"] is None
     assert out["z"]["precision"] == 0.0
+
+
+def test_cannot_link_violations_hand_case(spark):
+    from kgraph_spark.operators.canonicalize import cannot_link_violations
+
+    asg = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("c", "c2"), ("d", "c2")],
+        "entity_id string, cluster_id string",
+    )
+    cons = spark.createDataFrame(
+        # (b,a) duplicates (a,b); (a,c) crosses clusters; self pair dropped
+        [("a", "b"), ("b", "a"), ("a", "c"), ("d", "d"), ("d", "c")],
+        "id_a string, id_b string",
+    )
+    rows = cannot_link_violations(asg, cons).collect()
+    got = {(r["id_a"], r["id_b"], r["cluster_id"]) for r in rows}
+    assert got == {("a", "b", "c1"), ("c", "d", "c2")}
+    assert len(rows) == 2  # flipped duplicate reported once

@@ -907,3 +907,17 @@ def test_dag_levels_cycle_clamps_at_max_depth(spark):
     out = {r["node"]: r["level"] for r in dag_levels(e, max_depth=4).collect()}
     assert out[0] == 0
     assert max(out.values()) <= 4  # documented cycle clamp, not divergence
+
+
+def test_global_efficiency_path_and_complete(spark):
+    from kgraph_spark.operators.graph_analytics import global_efficiency
+
+    # directed path 0->1->2: pairs (0,1)d1 (1,2)d1 (0,2)d2
+    # sum micro = 1e6+1e6+5e5; ordered pairs = 3*2 = 6
+    e = spark.createDataFrame([(0, 1), (1, 2)], "subject_id long, object_id long")
+    r = global_efficiency(e, max_depth=4).first()
+    assert r["n_nodes"] == 3 and r["n_reachable_pairs"] == 3
+    assert r["efficiency"] == round(2_500_000 / 6 / 1e6, 6)
+    # complete digraph on 2 nodes: efficiency 1
+    k2 = spark.createDataFrame([(0, 1), (1, 0)], "subject_id long, object_id long")
+    assert global_efficiency(k2).first()["efficiency"] == 1.0

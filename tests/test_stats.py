@@ -463,3 +463,19 @@ def test_prop_wilson_hand_case(spark):
         spark.createDataFrame([(False,)] * 4, "f boolean"), "f"
     ).first()
     assert z0["p"] == 0.0 and z0["lo"] == 0.0 and z0["hi"] > 0.4
+
+
+def test_paired_t_hand_case(spark):
+    from kgraph_spark.operators.stats import paired_t
+
+    # d = [1,1,2] (scale 1): S=4, SS=6, n=3 -> t = 4*sqrt(2)/sqrt(2)
+    rows = [(2.0, 1.0), (3.0, 2.0), (5.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = paired_t(df, "x", "y", scale=1).first()
+    assert r["n"] == 3 and r["df"] == 2
+    assert r["mean_diff"] == pytest.approx(4 / 3, abs=1e-6)
+    assert r["t_stat"] == pytest.approx(4.0, abs=1e-6)
+    # constant differences: zero variance -> NULL t, exact mean
+    same = spark.createDataFrame([(5.0, 3.0)] * 4, "x double, y double")
+    r2 = paired_t(same, "x", "y").first()
+    assert r2["t_stat"] is None and r2["mean_diff"] == 2.0
