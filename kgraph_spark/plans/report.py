@@ -1664,6 +1664,48 @@ def main() -> None:
         ["Window", "HashAggregate", "Generate", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Classification report — three label-keyed aggregates with "
+        "partials, |labels|-row outer joins",
+        _plan(entrymod.queries()["eval_lang_report"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Centroid drift — two |labels|×dim centroid aggregates, one "
+        "|labels|-row join; vectors never pair",
+        _plan(entrymod.queries()["emb_centroid_drift"](spark, SF)),
+        ["Generate", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Literal type census — JVM regex classification, ONE predicate "
+        "aggregate with partials; no UDF, no window",
+        _plan(entrymod.queries()["kg_literal_profile"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Global efficiency — closure pairs aggregate + 1-row node "
+        "census broadcast",
+        _plan(entrymod.queries()["graph_efficiency"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Paired t — per-user lag window feeds ONE moment aggregate "
+        "with partials",
+        _plan(entrymod.queries()["stat_paired_t"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Cannot-link audit — constraint distinct + two joins against "
+        "assignments; the big table never self-joins",
+        _plan(entrymod.queries()["er_cannot_link"](spark, SF)),
+        ["HashJoin", "HashAggregate", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:
