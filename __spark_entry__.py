@@ -4962,6 +4962,47 @@ def q_text_discovery_curve(spark, sf_dir):
     return vocabulary_discovery_curve(_read(spark, sf_dir, "documents"))
 
 
+def q_stat_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H across all five event types' values — the
+    k-group nonparametric omnibus gate (anova_f without the normality
+    assumption); doubled midranks on the distinct value grid, per-group
+    terms micro-rounded once and summed exactly."""
+    from kgraph_spark.operators.stats import kruskal_wallis
+
+    return kruskal_wallis(_read(spark, sf_dir, "events"), "value", "event_type")
+
+
+def q_stat_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend of finished-order share across the ordered
+    priority bands 1..5 — one degree of freedom spent on the ordering;
+    exact cross-multiplied integers, one sqrt."""
+    from kgraph_spark.operators.stats import cochran_armitage
+
+    q = _read(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        (F.col("o_orderstatus") == "F").alias("f"),
+    )
+    return cochran_armitage(q, "w", "f")
+
+
+def q_stat_poisson_rate(spark, sf_dir):
+    """Two-sample Poisson rate test: error-event arrivals per second vs
+    click-event arrivals per second over each stream's observed span —
+    the count-process companion to stat_prop_ztest."""
+    from kgraph_spark.operators.stats import poisson_rate_test
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "t_sec",
+        # parquet stores NTZ; session tz is UTC — floor-µs ≡ epoch_us//1e6
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long"),
+    )
+    return poisson_rate_test(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        "t_sec",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5228,6 +5269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_walks": q_graph_walks,
         "graph_lpa": q_graph_lpa,
         "graph_hits": q_graph_hits,
+        "stat_kruskal": q_stat_kruskal,
+        "stat_cochran_armitage": q_stat_cochran_armitage,
+        "stat_poisson_rate": q_stat_poisson_rate,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -12830,5 +12874,119 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_tokens) OVER (ORDER BY bucket)::BIGINT AS tokens_cum,
                    sum(new_types) OVER (ORDER BY bucket)::BIGINT AS types_cum
             FROM per
+        """,
+        "stat_kruskal": """
+            -- doubled midranks on the distinct value grid; per-group
+            -- R²/n terms normalized by N(N+1) inside the fixed double
+            -- sequence, micro-rounded once, summed exactly
+            -- (stats.kruskal_wallis)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 1000000)::BIGINT AS qv
+                FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), pvg AS (
+                SELECT qv, g, count(*)::BIGINT AS t_g FROM q GROUP BY 1, 2
+            ), pv AS (
+                SELECT qv, sum(t_g)::BIGINT AS t FROM pvg GROUP BY 1
+            ), r AS (
+                SELECT qv, t,
+                       (2 * (sum(t) OVER (ORDER BY qv ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM pv
+            ), pg AS (
+                SELECT g, sum(t_g)::BIGINT AS n_g,
+                       sum(t_g::HUGEINT * r2) AS r2_g
+                FROM pvg JOIN r USING (qv) GROUP BY 1
+            ), tot AS (
+                SELECT sum(t)::BIGINT AS n,
+                       sum(t::HUGEINT * t * t - t) AS ties_t
+                FROM r
+            ), terms AS (
+                SELECT n, ties_t,
+                       round(r2_g::DOUBLE * r2_g::DOUBLE
+                             / (4.0 * n_g::DOUBLE * n::DOUBLE * (n::DOUBLE + 1.0))
+                             * 1000000000.0)::BIGINT AS tm
+                FROM pg, tot
+            ), s AS (
+                SELECT n, ties_t, sum(tm)::BIGINT AS s_nano,
+                       count(*)::BIGINT AS k
+                FROM terms GROUP BY 1, 2
+            )
+            SELECT n, k, (k - 1)::BIGINT AS dof,
+                   round(12.0 * s_nano::DOUBLE / 1000000000.0
+                         - 3.0 * (n::DOUBLE + 1.0), 6) AS h,
+                   CASE WHEN (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) > 0
+                             AND (1.0 - ties_t::DOUBLE
+                                  / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)) > 0
+                        THEN round((12.0 * s_nano::DOUBLE / 1000000000.0
+                                    - 3.0 * (n::DOUBLE + 1.0))
+                                   / (1.0 - ties_t::DOUBLE
+                                      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 6)
+                   END AS h_tie_corrected
+            FROM s
+        """,
+        "stat_cochran_armitage": """
+            -- z = Σw(x·N − n·X) / √(X(N−X)(NΣw²n − (Σwn)²)/N); numerator
+            -- and radicand factors exact wide integers, one sqrt
+            -- (stats.cochran_armitage)
+            WITH q AS (
+                SELECT left(o_orderpriority, 1)::BIGINT AS w,
+                       (o_orderstatus = 'F')::INT AS s
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            ), pg AS (
+                SELECT w, count(*)::BIGINT AS n_g, sum(s)::BIGINT AS x_g
+                FROM q GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+                       sum(x_g)::BIGINT AS x,
+                       sum(w::HUGEINT * n_g) AS swn,
+                       sum(w::HUGEINT * w * n_g) AS swwn,
+                       sum(w::HUGEINT * x_g) AS swx
+                FROM pg
+            )
+            SELECT k, n, x,
+                   CASE WHEN x::DOUBLE * (n::DOUBLE - x::DOUBLE)
+                             * (n::HUGEINT * swwn - swn * swn)::DOUBLE
+                             / n::DOUBLE > 0
+                        THEN round((n::HUGEINT * swx - x::HUGEINT * swn)::DOUBLE
+                                   / sqrt(x::DOUBLE * (n::DOUBLE - x::DOUBLE)
+                                          * (n::HUGEINT * swwn - swn * swn)::DOUBLE
+                                          / n::DOUBLE), 6)
+                   END AS z
+            FROM tot
+        """,
+        "stat_poisson_rate": """
+            -- rates over observed spans (whole seconds, exact longs);
+            -- z = (r_a − r_b)/√(λ̂(1/T_a + 1/T_b)) as one fixed double
+            -- sequence (stats.poisson_rate_test)
+            WITH a AS (
+                SELECT count(*)::BIGINT AS n_a,
+                       (max(epoch_us(ts) // 1000000)
+                        - min(epoch_us(ts) // 1000000))::BIGINT AS span_a_sec
+                FROM events WHERE event_type = 'error' AND ts IS NOT NULL
+            ), b AS (
+                SELECT count(*)::BIGINT AS n_b,
+                       (max(epoch_us(ts) // 1000000)
+                        - min(epoch_us(ts) // 1000000))::BIGINT AS span_b_sec
+                FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+            )
+            SELECT n_a, n_b, span_a_sec, span_b_sec,
+                   CASE WHEN span_a_sec > 0
+                        THEN round(n_a::DOUBLE / span_a_sec::DOUBLE, 6) END AS rate_a,
+                   CASE WHEN span_b_sec > 0
+                        THEN round(n_b::DOUBLE / span_b_sec::DOUBLE, 6) END AS rate_b,
+                   CASE WHEN span_a_sec > 0 AND span_b_sec > 0
+                             AND (n_a::DOUBLE + n_b::DOUBLE)
+                                 / (span_a_sec::DOUBLE + span_b_sec::DOUBLE)
+                                 * (1.0 / span_a_sec::DOUBLE
+                                    + 1.0 / span_b_sec::DOUBLE) > 0
+                        THEN round((n_a::DOUBLE / span_a_sec::DOUBLE
+                                    - n_b::DOUBLE / span_b_sec::DOUBLE)
+                                   / sqrt((n_a::DOUBLE + n_b::DOUBLE)
+                                          / (span_a_sec::DOUBLE + span_b_sec::DOUBLE)
+                                          * (1.0 / span_a_sec::DOUBLE
+                                             + 1.0 / span_b_sec::DOUBLE)), 6)
+                   END AS z
+            FROM a, b
         """,
     }

@@ -48,6 +48,9 @@ __all__ = [
     "welch_t",
     "brown_forsythe",
     "mann_kendall",
+    "kruskal_wallis",
+    "cochran_armitage",
+    "poisson_rate_test",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1156,4 +1159,192 @@ def paired_t(
         ).alias("mean_diff"),
         F.when((F.col("n") >= 2) & (rad > 0), F.round(t, 6)).alias("t_stat"),
         (F.col("n") - 1).cast("long").alias("df"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-group extension of mann_whitney_u (the
+    nonparametric anova_f): one row (n, k, dof, h, h_tie_corrected).
+    The "did ANY of these k curation variants shift the distribution"
+    omnibus gate where anova_f's normality assumption is indefensible
+    (long-tailed quality scores, token counts).
+
+    Machinery: the doubled-midrank grid of mann_whitney_u, grouped —
+    ranks are assigned on the DISTINCT value grid (grid-sized window,
+    not data-sized) and joined back to per-(value, group) counts, so
+    per-group rank sums accumulate as exact wide integers. The
+    per-group term R_g²/n_g is normalized by N(N+1) INSIDE the fixed
+    per-group double sequence so it is ≤ 1, NANO-rounded once, summed
+    exactly (the chi2_independence recipe at 1000× the precision —
+    the 12× multiplier would push micro dust into round-6 territory),
+    then H = 12·S − 3(N+1). Tie
+    correction C = 1 − Σ(t³−t)/(N³−N) on exact integers; all-tied
+    input → C = 0 → NULL h_tie_corrected.
+
+    Reference parity: the reference's eval notebooks reach for scipy
+    kruskal on curation A/B/n comparisons; this is the distributed,
+    oracle-checkable restatement.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv")
+    )
+    per_vg = q.groupBy("qv", "g").agg(F.count(F.lit(1)).cast("long").alias("t_g"))
+    per_v = per_vg.groupBy("qv").agg(F.sum("t_g").cast("long").alias("t"))
+    w = Window.orderBy("qv")
+    ranked = per_v.select(
+        "qv",
+        "t",
+        (
+            2 * (F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    per_g = (
+        per_vg.join(ranked.select("qv", "r2"), "qv")
+        .groupBy("g")
+        .agg(
+            F.sum("t_g").cast("long").alias("n_g"),
+            F.sum(F.col("t_g").cast(_DEC) * F.col("r2").cast(_DEC)).alias("r2_g"),
+        )
+    )
+    tot = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t").cast(_DEC) * F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+            - F.col("t").cast(_DEC)
+        ).alias("ties_t"),
+    )
+    j = per_g.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    r2d = F.col("r2_g").cast("double")
+    ngd = F.col("n_g").cast("double")
+    # R_g²/n_g normalized by N(N+1): term = R2_g²/(4·n_g·N·(N+1)) ≤ 1
+    term_nano = F.round(
+        r2d * r2d / (F.lit(4.0) * ngd * nd * (nd + F.lit(1.0)))
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    s = j.groupBy("n", "ties_t").agg(
+        F.sum(term_nano).cast("long").alias("s_nano"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    h = F.lit(12.0) * F.col("s_nano").cast("double") / F.lit(
+        1_000_000_000.0
+    ) - F.lit(3.0) * (nd + F.lit(1.0))
+    c = F.lit(1.0) - F.col("ties_t").cast("double") / (nd * nd * nd - nd)
+    return s.select(
+        "n",
+        "k",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(h, 6).alias("h"),
+        F.when((nd * nd * nd - nd > 0) & (c > 0), F.round(h / c, 6)).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+def cochran_armitage(df: DataFrame, score_col: str, flag_col: str) -> DataFrame:
+    """Cochran-Armitage trend test — "does the success rate trend
+    monotonically across ORDERED groups" (dose-response for proportions):
+    one row (k, n, x, z). The gate chi2_independence can't give you —
+    chi2 sees any association, this one spends its single degree of
+    freedom on the ordering, so a monotone drift of (say) completion
+    rate across priority bands 1..5 is significant here long before the
+    omnibus test fires.
+
+    z = Σw(x_g·N − n_g·X) / √(X(N−X)·(N·Σw²n − (Σwn)²)/N): the
+    numerator and every radicand factor accumulate as exact wide
+    integers (cross-multiplied before any division — the prop_ztest
+    discipline); ONE fixed double sequence with one sqrt at the end.
+    Degenerate (all-success, all-failure, or single group) → NULL z.
+
+    Scale: one hash aggregate per group key + one single-row fold.
+    """
+    q = df.filter(
+        F.col(score_col).isNotNull() & F.col(flag_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("long").alias("w"),
+        F.col(flag_col).cast("boolean").cast("int").alias("s"),
+    )
+    per_g = q.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("s").cast("long").alias("x_g"),
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("x_g").cast("long").alias("x"),
+        F.sum(F.col("w").cast(_DEC) * F.col("n_g").cast(_DEC)).alias("swn"),
+        F.sum(
+            F.col("w").cast(_DEC) * F.col("w").cast(_DEC) * F.col("n_g").cast(_DEC)
+        ).alias("swwn"),
+        F.sum(F.col("w").cast(_DEC) * F.col("x_g").cast(_DEC)).alias("swx"),
+    )
+    nD = F.col("n").cast(_DEC)
+    xD = F.col("x").cast(_DEC)
+    a = (nD * F.col("swx") - xD * F.col("swn")).cast("double")
+    c = (nD * F.col("swwn") - F.col("swn") * F.col("swn")).cast("double")
+    xd = F.col("x").cast("double")
+    ndd = F.col("n").cast("double")
+    rad = xd * (ndd - xd) * c / ndd
+    return tot.select(
+        "k",
+        "n",
+        "x",
+        F.when(rad > 0, F.round(a / F.sqrt(rad), 6)).alias("z"),
+    )
+
+
+def poisson_rate_test(
+    df_a: DataFrame, df_b: DataFrame, ts_col: str
+) -> DataFrame:
+    """Two-sample Poisson rate comparison — "is stream A arriving
+    faster than stream B" for event/error/ingest rates: one row
+    (n_a, n_b, span_a_sec, span_b_sec, rate_a, rate_b, z). The
+    COUNT-process companion to prop_ztest (which compares shares of a
+    fixed denominator; this compares arrivals per unit time).
+
+    Exposure is each side's observed span (max − min event time, whole
+    seconds — exact longs); rates and the pooled-rate z
+    (λ̂ = (x_a+x_b)/(T_a+T_b), z = (r_a−r_b)/√(λ̂(1/T_a+1/T_b))) are
+    ONE fixed double sequence with one sqrt. Either span 0 → NULL z
+    (and NULL rate for that side). Spans are observed, not designed —
+    for a designed-exposure test, pre-compute T and pass a literal
+    timestamp pair; documented, not silently assumed.
+
+    Scale: two single-row aggregates, broadcast together.
+    """
+    def side(d: DataFrame, tag: str) -> DataFrame:
+        t = F.col(ts_col).cast("long")
+        return d.filter(F.col(ts_col).isNotNull()).agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+            (F.max(t) - F.min(t)).cast("long").alias(f"span_{tag}_sec"),
+        )
+
+    j = side(df_a, "a").crossJoin(F.broadcast(side(df_b, "b")))
+    xa, xb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ta = F.col("span_a_sec").cast("double")
+    tb = F.col("span_b_sec").cast("double")
+    lam = (xa + xb) / (ta + tb)
+    var = lam * (F.lit(1.0) / ta + F.lit(1.0) / tb)
+    ok = (F.col("span_a_sec") > 0) & (F.col("span_b_sec") > 0)
+    return j.select(
+        "n_a",
+        "n_b",
+        "span_a_sec",
+        "span_b_sec",
+        F.when(F.col("span_a_sec") > 0, F.round(xa / ta, 6)).alias("rate_a"),
+        F.when(F.col("span_b_sec") > 0, F.round(xb / tb, 6)).alias("rate_b"),
+        F.when(ok & (var > 0), F.round((xa / ta - xb / tb) / F.sqrt(var), 6)).alias(
+            "z"
+        ),
     )

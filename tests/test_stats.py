@@ -479,3 +479,81 @@ def test_paired_t_hand_case(spark):
     same = spark.createDataFrame([(5.0, 3.0)] * 4, "x double, y double")
     r2 = paired_t(same, "x", "y").first()
     assert r2["t_stat"] is None and r2["mean_diff"] == 2.0
+
+
+def test_kruskal_wallis_no_ties_hand_case(spark):
+    from kgraph_spark.operators.stats import kruskal_wallis
+
+    # perfectly separated thirds: rank sums 6/15/24, H = 7.2 (scipy kruskal)
+    rows = [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (4, 5, 6)] + [
+        ("c", v) for v in (7, 8, 9)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "v", "g", scale=1).first()
+    assert (r["n"], r["k"], r["dof"]) == (9, 3, 2)
+    assert r["h"] == pytest.approx(7.2, abs=1e-5)
+    # no ties: correction is the identity
+    assert r["h_tie_corrected"] == pytest.approx(r["h"], abs=1e-5)
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    from kgraph_spark.operators.stats import kruskal_wallis
+
+    # a=[1,1], b=[1,2]: H = 0.6, C = 0.6 -> corrected 1.0 (scipy kruskal)
+    rows = [("a", 1), ("a", 1), ("b", 1), ("b", 2)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "v", "g", scale=1).first()
+    assert r["h"] == pytest.approx(0.6, abs=1e-5)
+    assert r["h_tie_corrected"] == pytest.approx(1.0, abs=1e-5)
+    # all observations tied: H ~ 0 and the correction divides by zero -> NULL
+    flat = spark.createDataFrame([("a", 7), ("b", 7), ("c", 7)], "g string, v long")
+    r2 = kruskal_wallis(flat, "v", "g", scale=1).first()
+    assert abs(r2["h"]) < 1e-5 and r2["h_tie_corrected"] is None
+
+
+def test_cochran_armitage_hand_case(spark):
+    from kgraph_spark.operators.stats import cochran_armitage
+
+    # w=0: 2/10, w=1: 5/10, w=2: 8/10 -> T=21, E=15, Var=5, z = 6/sqrt(5)
+    rows = (
+        [(0, True)] * 2 + [(0, False)] * 8
+        + [(1, True)] * 5 + [(1, False)] * 5
+        + [(2, True)] * 8 + [(2, False)] * 2
+    )
+    df = spark.createDataFrame(rows, "w long, f boolean")
+    r = cochran_armitage(df, "w", "f").first()
+    assert (r["k"], r["n"], r["x"]) == (3, 30, 15)
+    assert r["z"] == pytest.approx(6.0 / math.sqrt(5.0), abs=1e-6)
+    # reversed trend flips the sign
+    rev = df.select((2 - F.col("w")).alias("w"), "f")
+    assert cochran_armitage(rev, "w", "f").first()["z"] == pytest.approx(
+        -6.0 / math.sqrt(5.0), abs=1e-6
+    )
+    # all-success: zero variance -> NULL z
+    allw = spark.createDataFrame([(0, True), (1, True)], "w long, f boolean")
+    assert cochran_armitage(allw, "w", "f").first()["z"] is None
+
+
+def test_poisson_rate_test_hand_case(spark):
+    from kgraph_spark.operators.stats import poisson_rate_test
+    from datetime import datetime
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, sec)
+
+    # a: 10 events over 5 s (rate 2), b: 4 events over 4 s (rate 1)
+    a = spark.createDataFrame(
+        [(ts(s % 6),) for s in range(10)] + [(ts(5),)] * 0, "t timestamp"
+    )
+    b = spark.createDataFrame([(ts(s),) for s in (0, 1, 3, 4)], "t timestamp")
+    r = poisson_rate_test(a, b, "t").first()
+    assert (r["n_a"], r["n_b"]) == (10, 4)
+    assert (r["span_a_sec"], r["span_b_sec"]) == (5, 4)
+    assert r["rate_a"] == 2.0 and r["rate_b"] == 1.0
+    lam = 14.0 / 9.0
+    var = lam * (1.0 / 5.0 + 1.0 / 4.0)
+    assert r["z"] == pytest.approx(round((2.0 - 1.0) / math.sqrt(var), 6), abs=1e-9)
+    # single-event side: zero span -> NULL rate and z
+    one = spark.createDataFrame([(ts(2),)], "t timestamp")
+    r2 = poisson_rate_test(a, one, "t").first()
+    assert r2["rate_b"] is None and r2["z"] is None
