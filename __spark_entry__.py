@@ -5003,6 +5003,88 @@ def q_stat_poisson_rate(spark, sf_dir):
     )
 
 
+def q_eval_auc_roc(spark, sf_dir):
+    """Exact rank-based ROC-AUC of the event value as a purchase
+    discriminator — midranks on the distinct stored-double grid, the
+    Mann-Whitney identity on exact wide integers, ONE division."""
+    from kgraph_spark.operators.eval_metrics import auc_roc
+
+    e = _read(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    return auc_roc(e, "value", "y")
+
+
+def q_eval_calibration(spark, sf_dir):
+    """Reliability diagram of the fastText-style quality classifier
+    against the lang='en' label: micro-quantized per-bin confidence,
+    exact accuracy, exact-integer ECE contributions."""
+    from kgraph_spark.operators.eval_metrics import calibration_bins
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return calibration_bins(scored, n_bins=10, score_col="prob", label_col="y")
+
+
+def _session_lifetimes(spark, sf_dir):
+    from kgraph_spark.operators.survival import session_lifetimes
+
+    return session_lifetimes(_read(spark, sf_dir, "events"))
+
+
+def q_evt_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier curve over right-censored session durations (30-min
+    gap sessionization; sessions ending within one gap of the corpus
+    close are censored): nano-rounded log-survival prefix sums on the
+    distinct duration grid — the censoring-aware curve evt_sessionize's
+    point summaries can't give."""
+    from kgraph_spark.operators.survival import kaplan_meier
+
+    return kaplan_meier(_session_lifetimes(spark, sf_dir))
+
+
+def q_stat_logrank(spark, sf_dir):
+    """Two-group log-rank test: weekend-started vs weekday-started
+    session survival — micro-rounded hypergeometric expectation/variance
+    terms summed exactly, one sqrt. Weekend from pure epoch-day
+    arithmetic ((days+4) % 7 ∈ {0,6}), no timezone dependence in either
+    engine."""
+    from kgraph_spark.operators.survival import logrank_test
+
+    lt = _session_lifetimes(spark, sf_dir).withColumn(
+        "grp",
+        ((F.floor(F.col("start_sec") / 86400).cast("long") + 4) % 7).isin(0, 6),
+    )
+    return logrank_test(lt)
+
+
+def q_stat_mcnemar(spark, sf_dir):
+    """McNemar paired-gate disagreement: the linear quality classifier vs
+    the E1 length+language rule on the same documents — exact discordant
+    cells, one division per statistic."""
+    from kgraph_spark.operators.stats import mcnemar
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    paired = (
+        quality_classifier(docs)
+        .select("doc_id", F.col("keep").alias("a"))
+        .join(
+            docs.select(
+                "doc_id",
+                (
+                    (F.col("n_chars") >= 300) & F.col("lang").isin("en", "de", "es")
+                ).alias("b"),
+            ),
+            "doc_id",
+        )
+    )
+    return mcnemar(paired, "a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5272,6 +5354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_kruskal": q_stat_kruskal,
         "stat_cochran_armitage": q_stat_cochran_armitage,
         "stat_poisson_rate": q_stat_poisson_rate,
+        "stat_mcnemar": q_stat_mcnemar,
+        "stat_logrank": q_stat_logrank,
+        "eval_auc_roc": q_eval_auc_roc,
+        "eval_calibration": q_eval_calibration,
+        "evt_kaplan_meier": q_evt_kaplan_meier,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -12988,5 +13075,249 @@ def oracle_sql() -> dict[str, str]:
                                              + 1.0 / span_b_sec::DOUBLE)), 6)
                    END AS z
             FROM a, b
+        """,
+        "stat_mcnemar": """
+            -- discordant cells of the classifier gate vs the E1 rule on
+            -- the same docs; exact longs, one division per statistic
+            -- (stats.mcnemar)
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       round(-2.0 + 3.0 * alpha_ratio + 2.5 * stopword_ratio
+                             + (-4.0) * punct_ratio
+                             + 1.5 * least(1.0, n_tokens / 200.0), 6) AS logit
+                FROM f
+            ), ga AS (
+                SELECT doc_id, round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS a
+                FROM z
+            ), gb AS (
+                SELECT doc_id,
+                       (n_chars >= 300 AND lang IN ('en', 'de', 'es')) AS b
+                FROM documents
+            ), p AS (
+                SELECT ga.a AS a, gb.b AS b
+                FROM ga JOIN gb USING (doc_id)
+                WHERE ga.a IS NOT NULL AND gb.b IS NOT NULL
+            ), t AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum((a AND NOT b)::INT)::BIGINT AS b,
+                       sum((NOT a AND b)::INT)::BIGINT AS c
+                FROM p
+            )
+            SELECT n, b, c,
+                   CASE WHEN b + c > 0
+                        THEN round((b::DOUBLE - c::DOUBLE) * (b::DOUBLE - c::DOUBLE)
+                                   / (b::DOUBLE + c::DOUBLE), 6) END AS chi2,
+                   CASE WHEN b + c > 0
+                        THEN round((abs(b::DOUBLE - c::DOUBLE) - 1.0)
+                                   * (abs(b::DOUBLE - c::DOUBLE) - 1.0)
+                                   / (b::DOUBLE + c::DOUBLE), 6) END AS chi2_corrected
+            FROM t
+        """,
+        "stat_logrank": """
+            -- two-group log-rank on right-censored session durations
+            -- (30-min gap sessions; weekend cohort from pure epoch-day
+            -- arithmetic); micro-rounded hypergeometric terms summed
+            -- exactly, one sqrt (survival.logrank_test)
+            WITH marked AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS _new
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), sess AS (
+                SELECT user_id, us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), per_s AS (
+                SELECT user_id, sid, min(us) AS smin, max(us) AS smax
+                FROM sess GROUP BY 1, 2
+            ), h AS (SELECT max(smax) AS gmax FROM per_s),
+            lt AS (
+                SELECT (smax - smin) // 1000000 AS dur,
+                       (smax <= gmax - 1800 * 1000000)::INT AS e,
+                       (((((smin // 1000000) // 86400) + 4) % 7) IN (0, 6))::INT AS g
+                FROM per_s, h
+            ), pt AS (
+                SELECT dur AS t, sum(e)::BIGINT AS d, sum(e * g)::BIGINT AS d1,
+                       count(*)::BIGINT AS leave, sum(g)::BIGINT AS leave1
+                FROM lt GROUP BY 1
+            ), tot AS (
+                SELECT sum(leave)::BIGINT AS n, sum(leave1)::BIGINT AS n1 FROM pt
+            ), r AS (
+                SELECT t, d, d1,
+                       (n - (sum(leave) OVER w - leave))::BIGINT AS nr,
+                       (n1 - (sum(leave1) OVER w - leave1))::BIGINT AS nr1
+                FROM pt, tot
+                WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            ), terms AS (
+                SELECT d1,
+                       round(d::DOUBLE * nr1::DOUBLE / nr::DOUBLE * 1000000.0)::BIGINT AS et,
+                       CASE WHEN nr >= 2
+                            THEN round(d::DOUBLE * (nr1::DOUBLE / nr::DOUBLE)
+                                       * (1.0 - nr1::DOUBLE / nr::DOUBLE)
+                                       * (nr::DOUBLE - d::DOUBLE)
+                                       / (nr::DOUBLE - 1.0) * 1000000.0)::BIGINT
+                            ELSE 0 END AS vt
+                FROM r WHERE d > 0
+            ), fold AS (
+                SELECT sum(d1)::BIGINT AS o1, sum(et)::BIGINT AS e1u,
+                       sum(vt)::BIGINT AS vu
+                FROM terms
+            )
+            SELECT n, n1, o1,
+                   round(e1u::DOUBLE / 1000000.0, 6) AS e1,
+                   round(vu::DOUBLE / 1000000.0, 6) AS v,
+                   CASE WHEN vu > 0
+                        THEN round((o1::DOUBLE - e1u::DOUBLE / 1000000.0)
+                                   / sqrt(vu::DOUBLE / 1000000.0), 6) END AS z,
+                   CASE WHEN vu > 0
+                        THEN round(((o1::DOUBLE - e1u::DOUBLE / 1000000.0)
+                                    / sqrt(vu::DOUBLE / 1000000.0))
+                                   * ((o1::DOUBLE - e1u::DOUBLE / 1000000.0)
+                                      / sqrt(vu::DOUBLE / 1000000.0)), 6) END AS chi2
+            FROM fold, tot
+        """,
+        "eval_auc_roc": """
+            -- exact rank-based AUC (Mann-Whitney identity) on the distinct
+            -- stored-double grid: doubled midranks, wide-int numerator,
+            -- ONE division (eval_metrics.auc_roc)
+            WITH q AS (
+                SELECT value AS s, (event_type = 'purchase')::INT AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), ps AS (
+                SELECT s, count(*)::BIGINT AS t, sum(y)::BIGINT AS p
+                FROM q GROUP BY 1
+            ), r AS (
+                SELECT p, t,
+                       (2 * (sum(t) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM ps
+            ), tot AS (
+                SELECT sum(p)::BIGINT AS n_pos, sum(t - p)::BIGINT AS n_neg,
+                       sum(p::HUGEINT * r2) AS r2_pos
+                FROM r
+            )
+            SELECT n_pos, n_neg,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round((r2_pos - n_pos::HUGEINT * (n_pos + 1))::DOUBLE
+                                   / (2::HUGEINT * n_pos * n_neg)::DOUBLE, 6)
+                   END AS auc,
+                   CASE WHEN n_pos > 0 AND n_neg > 0
+                        THEN round(2.0 * ((r2_pos - n_pos::HUGEINT * (n_pos + 1))::DOUBLE
+                                   / (2::HUGEINT * n_pos * n_neg)::DOUBLE) - 1.0, 6)
+                   END AS gini
+            FROM tot
+        """,
+        "eval_calibration": """
+            -- reliability bins of the classifier prob vs lang='en':
+            -- micro-quantized confidence sums (exact longs), exact
+            -- accuracy, exact-integer ECE contribution per bin
+            -- (eval_metrics.calibration_bins)
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       round(-2.0 + 3.0 * alpha_ratio + 2.5 * stopword_ratio
+                             + (-4.0) * punct_ratio
+                             + 1.5 * least(1.0, n_tokens / 200.0), 6) AS logit
+                FROM f
+            ), sc AS (
+                SELECT z.doc_id, round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+                       (d.lang = 'en') AS y
+                FROM z JOIN documents d USING (doc_id)
+            ), q AS (
+                SELECT round(prob * 1000000.0)::BIGINT AS pm, y::INT AS y
+                FROM sc WHERE prob IS NOT NULL AND y IS NOT NULL
+            ), agg AS (
+                SELECT least(floor(pm * 10 / 1000000), 9)::BIGINT AS bin,
+                       count(*)::BIGINT AS n, sum(pm)::BIGINT AS pms,
+                       sum(y)::BIGINT AS pos
+                FROM q GROUP BY 1
+            )
+            SELECT bin, n,
+                   round(pms::DOUBLE / (n::DOUBLE * 1000000.0), 6) AS confidence,
+                   round(pos::DOUBLE / n::DOUBLE, 6) AS accuracy,
+                   -- difference of the ROUNDED columns: tie-free by
+                   -- construction (see eval_metrics.calibration_bins)
+                   round(round(pms::DOUBLE / (n::DOUBLE * 1000000.0), 6)
+                         - round(pos::DOUBLE / n::DOUBLE, 6), 6) AS gap,
+                   abs(pms - pos * 1000000)::BIGINT AS weighted_gap_micro
+            FROM agg
+        """,
+        "evt_kaplan_meier": """
+            -- Kaplan-Meier product limit on right-censored session
+            -- durations (30-min gap sessions): exact at-risk prefix sums
+            -- on the duration grid, nano-rounded ln(1 - d/n) terms summed
+            -- exactly, one exp (survival.kaplan_meier)
+            WITH marked AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS _new
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), sess AS (
+                SELECT user_id, us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), per_s AS (
+                SELECT user_id, sid, min(us) AS smin, max(us) AS smax
+                FROM sess GROUP BY 1, 2
+            ), h AS (SELECT max(smax) AS gmax FROM per_s),
+            lt AS (
+                SELECT (smax - smin) // 1000000 AS dur,
+                       (smax <= gmax - 1800 * 1000000)::INT AS e
+                FROM per_s, h
+            ), g AS (
+                SELECT dur AS t, sum(e)::BIGINT AS d, sum(1 - e)::BIGINT AS c
+                FROM lt GROUP BY 1
+            ), tot AS (SELECT sum(d + c)::BIGINT AS nn FROM g),
+            r AS (
+                SELECT t, d, c AS censored,
+                       (nn - (sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                              - (d + c)))::BIGINT AS n_risk
+                FROM g, tot
+            ), ev AS (
+                SELECT t, n_risk, d, censored,
+                       CASE WHEN d < n_risk
+                            THEN round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE)
+                                       * 1000000000.0)::BIGINT END AS lnn,
+                       (d = n_risk)::INT AS dead
+                FROM r WHERE d > 0
+            ), st AS (
+                SELECT t, n_risk, d, censored,
+                       sum(lnn) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns,
+                       max(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS deadc
+                FROM ev
+            )
+            SELECT t, n_risk, d, censored,
+                   CASE WHEN deadc = 1 THEN 0.0
+                        ELSE round(exp(lns::DOUBLE / 1000000000.0), 6)
+                   END AS survival
+            FROM st
         """,
     }

@@ -750,3 +750,128 @@ def classification_report(
             ),
         ).alias("f1"),
     )
+
+
+def auc_roc(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Exact ROC-AUC via the rank (Mann-Whitney) identity — one row
+    (n_pos, n_neg, auc, gini): AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where
+    R⁺ is the positive class' midrank sum. Ties get midranks (each tied
+    pair contributes exactly ½), so this is the trapezoid-rule AUC a
+    threshold sweep converges to — without materializing a sweep. The
+    "is this quality/relevance score actually discriminative" gate that
+    pr_threshold_sweep can't answer threshold-free.
+
+    Exactness: ranks come from the DISTINCT score grid with the
+    mann_whitney_u doubled-midrank trick (r2 = 2·rank is always an
+    integer), so the numerator 2R⁺ − n⁺(n⁺+1)·... accumulates as exact
+    wide integers; AUC is ONE division of exact longs, round-6'd.
+    gini = 2·AUC − 1 from the same division.
+
+    Scale: one hash aggregate to the (score, label) grid, one ordered
+    window over |grid| rows, one single-row fold. Scores must already be
+    engine-exact (integers, stored doubles, or round-6 outputs of an
+    upstream operator) — the grid is the contract.
+    """
+    from pyspark.sql import Window
+
+    q = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_s = q.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.orderBy("s")
+    ranked = per_s.select(
+        "p",
+        "t",
+        (
+            2 * (F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    _dec = "decimal(38,0)"
+    tot = ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p").cast(_dec) * F.col("r2").cast(_dec)).alias("r2_pos"),
+    )
+    npos = F.col("n_pos").cast(_dec)
+    # 2·U = Σp·r2 − n⁺(n⁺+1); AUC = 2U / (2·n⁺·n⁻) — exact ints, one division
+    num = (F.col("r2_pos") - npos * (npos + 1)).cast("double")
+    den = (
+        F.lit(2).cast(_dec) * npos * F.col("n_neg").cast(_dec)
+    ).cast("double")
+    auc = num / den
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        F.when(ok, F.round(auc, 6)).alias("auc"),
+        F.when(ok, F.round(F.lit(2.0) * auc - F.lit(1.0), 6)).alias("gini"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "prob",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: one row per
+    occupied confidence bin (bin, n, confidence, accuracy, gap,
+    weighted_gap_micro). bin = min(⌊prob·n_bins⌋, n_bins−1) (the
+    conventional right-closed top bin); confidence is the bin's mean
+    predicted probability, accuracy its observed positive rate, gap
+    their signed difference. ECE = Σ weighted_gap_micro / (N·10⁶) —
+    emitted as the exact per-bin integer so the caller's fold stays
+    engine-exact instead of summing rounded doubles.
+
+    Exactness: probs are MICRO-quantized per row (exact long sum per
+    bin — the repo grid recipe), positives are exact counts; confidence
+    and accuracy are each ONE division, round-6'd. weighted_gap_micro =
+    |Σprob_micro − pos·10⁶| is an exact long — no float in the ECE path
+    at all.
+
+    Scale: ONE hash aggregate on the tiny bin key, map-side partials.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    q = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.round(F.col(score_col) * F.lit(1_000_000.0), 0).cast("long").alias("pm"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    bin_ = F.least(
+        F.floor(F.col("pm") * F.lit(n_bins) / F.lit(1_000_000)).cast("long"),
+        F.lit(n_bins - 1).cast("long"),
+    )
+    agg = q.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pm").cast("long").alias("_pms"),
+        F.sum("y").cast("long").alias("_pos"),
+    )
+    nd = F.col("n").cast("double")
+    conf = F.round(F.col("_pms").cast("double") / (nd * F.lit(1_000_000.0)), 6)
+    acc = F.round(F.col("_pos").cast("double") / nd, 6)
+    return agg.select(
+        "bin",
+        "n",
+        conf.alias("confidence"),
+        acc.alias("accuracy"),
+        # difference of the two ROUNDED columns (a near-exact multiple of
+        # 1e-6 — never lands on a round-half tie, where Spark's HALF_UP on
+        # the shortest decimal string and DuckDB's correctly-rounded-double
+        # semantics can disagree by one ulp of the 6th decimal)
+        F.round(conf - acc, 6).alias("gap"),
+        F.abs(F.col("_pms") - F.col("_pos") * F.lit(1_000_000)).alias(
+            "weighted_gap_micro"
+        ),
+    )

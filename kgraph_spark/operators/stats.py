@@ -51,6 +51,7 @@ __all__ = [
     "kruskal_wallis",
     "cochran_armitage",
     "poisson_rate_test",
+    "mcnemar",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1346,5 +1347,44 @@ def poisson_rate_test(
         F.when(F.col("span_b_sec") > 0, F.round(xb / tb, 6)).alias("rate_b"),
         F.when(ok & (var > 0), F.round((xa / ta - xb / tb) / F.sqrt(var), 6)).alias(
             "z"
+        ),
+    )
+
+
+def mcnemar(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """McNemar's paired-binary test — "do two gates disagree
+    ASYMMETRICALLY on the same rows": one row (n, b, c, chi2,
+    chi2_corrected). The paired companion to prop_ztest (which compares
+    two independent proportions; this one conditions on the concordant
+    pairs and tests only the discordant cells): b = rows where A fires
+    and B doesn't, c = the reverse; chi2 = (b−c)²/(b+c) and the
+    Edwards continuity-corrected (|b−c|−1)²/(b+c), both 1 dof. The
+    "did swapping quality gates actually change decisions, or just
+    shuffle ties" check a curation pipeline runs before replacing a
+    filter. No discordant pairs (b+c = 0) → NULL statistics.
+
+    All cells are exact longs from ONE hash aggregate; each statistic is
+    a single integer-ratio division, round-6'd.
+    """
+    q = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).cast("boolean").alias("a"),
+        F.col(b_col).cast("boolean").alias("b"),
+    )
+    t = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("a") & ~F.col("b")).cast("int")).cast("long").alias("b"),
+        F.sum((~F.col("a") & F.col("b")).cast("int")).cast("long").alias("c"),
+    )
+    bd = F.col("b").cast("double")
+    cd = F.col("c").cast("double")
+    disc = F.col("b") + F.col("c")
+    corr = F.abs(bd - cd) - F.lit(1.0)
+    return t.select(
+        "n",
+        "b",
+        "c",
+        F.when(disc > 0, F.round((bd - cd) * (bd - cd) / (bd + cd), 6)).alias("chi2"),
+        F.when(disc > 0, F.round(corr * corr / (bd + cd), 6)).alias(
+            "chi2_corrected"
         ),
     )

@@ -1706,6 +1706,62 @@ def main() -> None:
         ["HashJoin", "HashAggregate", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Kruskal-Wallis H — grid-sized rank window feeds per-group "
+        "aggregates with partials; raw rows never sort",
+        _plan(entrymod.queries()["stat_kruskal"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Cochran-Armitage trend — one hash aggregate per ordered band + "
+        "single-row fold; no window, no UDF",
+        _plan(entrymod.queries()["stat_cochran_armitage"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Poisson rate test — two single-row span aggregates broadcast "
+        "together",
+        _plan(entrymod.queries()["stat_poisson_rate"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "McNemar paired gates — classifier and rule joined on doc_id, "
+        "ONE cell aggregate with partials",
+        _plan(entrymod.queries()["stat_mcnemar"](spark, SF)),
+        ["HashJoin", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "ROC-AUC — (score,label) grid aggregate, grid-sized rank window, "
+        "single-row fold; rows never sort globally",
+        _plan(entrymod.queries()["eval_auc_roc"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Calibration bins — ONE tiny-key hash aggregate with map-side "
+        "partials; no window, no UDF",
+        _plan(entrymod.queries()["eval_calibration"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Kaplan-Meier — per-user session window, duration-grid "
+        "aggregate, grid-sized at-risk/log-survival prefix windows",
+        _plan(entrymod.queries()["evt_kaplan_meier"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Log-rank test — (t,grp) grid aggregate, grid prefix sums, "
+        "single-row hypergeometric fold",
+        _plan(entrymod.queries()["stat_logrank"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

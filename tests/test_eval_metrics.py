@@ -415,3 +415,49 @@ def test_cannot_link_violations_hand_case(spark):
     got = {(r["id_a"], r["id_b"], r["cluster_id"]) for r in rows}
     assert got == {("a", "b", "c1"), ("c", "d", "c2")}
     assert len(rows) == 2  # flipped duplicate reported once
+
+
+def test_auc_roc_hand_case(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kgraph_spark.operators.eval_metrics import auc_roc
+
+    # pos [0.8, 0.6], neg [0.4, 0.6, 0.2]: midranks give R+ = 3.5 + 5,
+    # U = 5.5, AUC = 5.5/6
+    rows = [(0.8, 1), (0.6, 1), (0.4, 0), (0.6, 0), (0.2, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = auc_roc(df).first()
+    assert (r["n_pos"], r["n_neg"]) == (2, 3)
+    assert r["auc"] == pytest.approx(round(5.5 / 6.0, 6), abs=1e-9)
+    assert r["gini"] == pytest.approx(round(2 * 5.5 / 6.0 - 1.0, 6), abs=1e-9)
+    # perfect separation -> 1.0; label inversion -> 0.0
+    sep = spark.createDataFrame([(0.9, 1), (0.8, 1), (0.1, 0)], "score double, label int")
+    assert auc_roc(sep).first()["auc"] == 1.0
+    inv = sep.select("score", (1 - F.col("label")).alias("label"))
+    assert auc_roc(inv).first()["auc"] == 0.0
+    # single-class input -> NULL
+    onec = spark.createDataFrame([(0.5, 1)], "score double, label int")
+    assert auc_roc(onec).first()["auc"] is None
+
+
+def test_calibration_bins_hand_case(spark):
+    import pytest
+
+    from kgraph_spark.operators.eval_metrics import calibration_bins
+
+    rows = [(0.05, 0), (0.15, 1), (0.95, 1), (1.0, 1)]
+    df = spark.createDataFrame(rows, "prob double, label int")
+    out = {r["bin"]: r for r in calibration_bins(df, n_bins=10).collect()}
+    assert sorted(out) == [0, 1, 9]  # prob=1.0 clamps into the top bin
+    assert (out[0]["n"], out[0]["accuracy"]) == (1, 0.0)
+    assert out[0]["confidence"] == pytest.approx(0.05, abs=1e-9)
+    assert out[0]["gap"] == pytest.approx(0.05, abs=1e-9)
+    assert out[0]["weighted_gap_micro"] == 50000
+    assert out[1]["gap"] == pytest.approx(-0.85, abs=1e-9)
+    assert out[1]["weighted_gap_micro"] == 850000
+    assert (out[9]["n"], out[9]["accuracy"]) == (2, 1.0)
+    assert out[9]["confidence"] == pytest.approx(0.975, abs=1e-9)
+    # exact-integer ECE fold: sum |pms - pos*1e6| / (N * 1e6)
+    ece = sum(r["weighted_gap_micro"] for r in out.values()) / (4 * 1_000_000)
+    assert ece == pytest.approx((50000 + 850000 + 50000) / 4e6, abs=1e-12)

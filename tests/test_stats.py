@@ -557,3 +557,21 @@ def test_poisson_rate_test_hand_case(spark):
     one = spark.createDataFrame([(ts(2),)], "t timestamp")
     r2 = poisson_rate_test(a, one, "t").first()
     assert r2["rate_b"] is None and r2["z"] is None
+
+
+def test_mcnemar_hand_case(spark):
+    from kgraph_spark.operators.stats import mcnemar
+
+    rows = (
+        [(True, False)] * 5 + [(False, True)] * 2
+        + [(True, True)] * 2 + [(False, False)] * 1
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar(df, "a", "b").first()
+    assert (r["n"], r["b"], r["c"]) == (10, 5, 2)
+    assert r["chi2"] == pytest.approx(9.0 / 7.0, abs=1e-6)
+    assert r["chi2_corrected"] == pytest.approx(4.0 / 7.0, abs=1e-6)
+    # perfectly concordant gates: no discordant pairs -> NULL statistics
+    conc = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
+    r2 = mcnemar(conc, "a", "b").first()
+    assert r2["chi2"] is None and r2["chi2_corrected"] is None
