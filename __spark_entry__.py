@@ -5085,6 +5085,41 @@ def q_stat_mcnemar(spark, sf_dir):
     return mcnemar(paired, "a", "b")
 
 
+def q_evt_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over the same censored session
+    durations as evt_kaplan_meier — nano-exact hazard increments summed
+    on the duration grid, Fleming-Harrington survival as exp(−H)."""
+    from kgraph_spark.operators.survival import nelson_aalen
+
+    return nelson_aalen(_session_lifetimes(spark, sf_dir))
+
+
+def q_stat_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between the weekend and weekday
+    event-type distributions — the bounded symmetric drift companion to
+    text_tvd_drift/evt_psi; nano-rounded per-category terms summed
+    exactly."""
+    from kgraph_spark.operators.stats import jensen_shannon
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).alias("is_weekend"),
+    )
+    return jensen_shannon(e, "event_type", "is_weekend")
+
+
+def q_stat_friedman(spark, sf_dir):
+    """Friedman within-block rank test: do the five event types rank
+    consistently differently across users (blocks = users, cell = the
+    user×type micro-grid mean) — complete blocks only, doubled midranks
+    per block, exact rank-sum integers."""
+    from kgraph_spark.operators.stats import friedman
+
+    return friedman(
+        _read(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5356,9 +5391,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_poisson_rate": q_stat_poisson_rate,
         "stat_mcnemar": q_stat_mcnemar,
         "stat_logrank": q_stat_logrank,
+        "stat_jsd": q_stat_jsd,
+        "stat_friedman": q_stat_friedman,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
+        "evt_nelson_aalen": q_evt_nelson_aalen,
         "kg_pipeline_triples": kg_pipeline_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
@@ -13319,5 +13357,150 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(exp(lns::DOUBLE / 1000000000.0), 6)
                    END AS survival
             FROM st
+        """,
+        "evt_nelson_aalen": """
+            -- Nelson-Aalen cumulative hazard on the censored session
+            -- durations: exact at-risk prefix sums, nano-rounded d/n
+            -- increments summed exactly, Fleming-Harrington exp(-H)
+            -- (survival.nelson_aalen)
+            WITH marked AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS _new
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), sess AS (
+                SELECT user_id, us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), per_s AS (
+                SELECT user_id, sid, min(us) AS smin, max(us) AS smax
+                FROM sess GROUP BY 1, 2
+            ), h AS (SELECT max(smax) AS gmax FROM per_s),
+            lt AS (
+                SELECT (smax - smin) // 1000000 AS dur,
+                       (smax <= gmax - 1800 * 1000000)::INT AS e
+                FROM per_s, h
+            ), g AS (
+                SELECT dur AS t, sum(e)::BIGINT AS d, sum(1 - e)::BIGINT AS c
+                FROM lt GROUP BY 1
+            ), tot AS (SELECT sum(d + c)::BIGINT AS nn FROM g),
+            r AS (
+                SELECT t, d, c AS censored,
+                       (nn - (sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                              - (d + c)))::BIGINT AS n_risk
+                FROM g, tot
+            ), ev AS (
+                SELECT t, n_risk, d, censored,
+                       round(d::DOUBLE / n_risk::DOUBLE * 1000000000.0)::BIGINT AS inc
+                FROM r WHERE d > 0
+            ), st AS (
+                SELECT t, n_risk, d, censored,
+                       sum(inc) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS hn
+                FROM ev
+            )
+            SELECT t, n_risk, d, censored,
+                   round(hn::DOUBLE / 1000000000.0, 6) AS cumhaz,
+                   round(exp(-(hn::DOUBLE / 1000000000.0)), 6) AS survival_fh
+            FROM st
+        """,
+        "stat_jsd": """
+            -- JSD between weekend/weekday event-type mixes: per-category
+            -- 0.5·p·ln(p/m) + 0.5·q·ln(q/m) terms nano-rounded once and
+            -- summed exactly (stats.jensen_shannon)
+            WITH q AS (
+                SELECT event_type AS key,
+                       (date_part('dow', ts) IN (0, 6))::INT AS s
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            ), pk AS (
+                SELECT key, sum(1 - s)::BIGINT AS a, sum(s)::BIGINT AS b
+                FROM q GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS k, sum(a)::BIGINT AS n_a,
+                       sum(b)::BIGINT AS n_b
+                FROM pk
+            ), terms AS (
+                SELECT k, n_a, n_b,
+                       round((CASE WHEN a > 0
+                                   THEN 0.5 * (a::DOUBLE / n_a::DOUBLE)
+                                        * ln((a::DOUBLE / n_a::DOUBLE)
+                                             / ((a::DOUBLE / n_a::DOUBLE
+                                                 + b::DOUBLE / n_b::DOUBLE) / 2.0))
+                                   ELSE 0.0 END
+                              + CASE WHEN b > 0
+                                     THEN 0.5 * (b::DOUBLE / n_b::DOUBLE)
+                                          * ln((b::DOUBLE / n_b::DOUBLE)
+                                               / ((a::DOUBLE / n_a::DOUBLE
+                                                   + b::DOUBLE / n_b::DOUBLE) / 2.0))
+                                     ELSE 0.0 END) * 1000000000.0)::BIGINT AS tn
+                FROM pk, tot
+            ), s AS (
+                SELECT k, n_a, n_b, sum(tn)::BIGINT AS tns
+                FROM terms GROUP BY 1, 2, 3
+            )
+            SELECT k, n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(tns::DOUBLE / 1000000000.0, 6) END AS jsd_nats,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(tns::DOUBLE / 1000000000.0 / ln(2.0), 6)
+                   END AS jsd_bits
+            FROM s
+        """,
+        "stat_friedman": """
+            -- Friedman within-block rank test: user×type micro-grid mean
+            -- cells, complete blocks only, doubled midranks per block,
+            -- Q = 3·ΣR2² / (n·k·(k+1)) − 3·n·(k+1) (stats.friedman)
+            WITH cells AS (
+                SELECT user_id AS blk, event_type AS trt,
+                       sum(round(value * 1000000)::BIGINT)::HUGEINT::DOUBLE
+                           / count(*)::DOUBLE AS v
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                      AND value IS NOT NULL
+                GROUP BY 1, 2
+            ), kr AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+            complete AS (
+                SELECT blk FROM cells, kr GROUP BY blk, k
+                HAVING count(*) = any_value(k)
+            ), cc AS (
+                SELECT cells.* FROM cells JOIN complete USING (blk)
+            ), per_bv AS (
+                SELECT blk, v, count(*)::BIGINT AS t FROM cc GROUP BY 1, 2
+            ), ranked AS (
+                SELECT blk, v, t,
+                       (2 * (sum(t) OVER (PARTITION BY blk ORDER BY v
+                                          ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM per_bv
+            ), per_trt AS (
+                SELECT trt, sum(r2::HUGEINT) AS r2_j
+                FROM cc JOIN ranked USING (blk, v) GROUP BY 1
+            ), ties AS (
+                SELECT sum(t::HUGEINT * t * t - t) AS ties_t FROM per_bv
+            ), nr AS (SELECT count(*)::BIGINT AS n_blocks FROM complete),
+            folded AS (
+                SELECT sum(r2_j * r2_j) AS sr2 FROM per_trt
+            )
+            SELECT n_blocks, k, (k - 1)::BIGINT AS dof,
+                   CASE WHEN n_blocks > 0 AND k >= 2
+                        THEN round(3.0 * sr2::DOUBLE
+                                   / (n_blocks::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0))
+                                   - 3.0 * n_blocks::DOUBLE * (k::DOUBLE + 1.0), 6)
+                   END AS q,
+                   CASE WHEN n_blocks > 0 AND k >= 2
+                             AND (1.0 - ties_t::DOUBLE
+                                  / (n_blocks::DOUBLE * k::DOUBLE
+                                     * (k::DOUBLE * k::DOUBLE - 1.0))) > 0
+                        THEN round((3.0 * sr2::DOUBLE
+                                    / (n_blocks::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0))
+                                    - 3.0 * n_blocks::DOUBLE * (k::DOUBLE + 1.0))
+                                   / (1.0 - ties_t::DOUBLE
+                                      / (n_blocks::DOUBLE * k::DOUBLE
+                                         * (k::DOUBLE * k::DOUBLE - 1.0))), 6)
+                   END AS q_tie_corrected
+            FROM folded, kr, nr, ties
         """,
     }

@@ -52,6 +52,8 @@ __all__ = [
     "cochran_armitage",
     "poisson_rate_test",
     "mcnemar",
+    "jensen_shannon",
+    "friedman",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1387,4 +1389,164 @@ def mcnemar(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.when(disc > 0, F.round(corr * corr / (bd + cd), 6)).alias(
             "chi2_corrected"
         ),
+    )
+
+
+def jensen_shannon(df: DataFrame, key_col: str, side_col: str) -> DataFrame:
+    """Jensen-Shannon divergence between the two sides' categorical
+    distributions — one row (k, n_a, n_b, jsd_nats, jsd_bits). The
+    symmetric, bounded (≤ ln 2) drift metric for "did the event-type /
+    source / predicate mix shift between cohorts": unlike KL it never
+    blows up on a category one side lacks, unlike TVD it weights
+    log-ratio surprise, and √JSD is a metric. side TRUE rows form
+    distribution q, FALSE rows p.
+
+    Per-key term 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m = (p+q)/2; a zero
+    side contributes zero by the x·ln x limit) is computed as ONE fixed
+    double sequence from exact count ratios, NANO-rounded once, summed
+    exactly; jsd_bits divides the same exact nano sum by ln 2.
+
+    Scale: one hash aggregate on the category key + a broadcast
+    single-row totals join; terms live on |categories| rows.
+    """
+    q = df.filter(F.col(key_col).isNotNull() & F.col(side_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(side_col).cast("boolean").cast("int").alias("s"),
+    )
+    per_k = q.groupBy("key").agg(
+        F.sum(1 - F.col("s")).cast("long").alias("a"),
+        F.sum("s").cast("long").alias("b"),
+    )
+    tot = per_k.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    j = per_k.crossJoin(F.broadcast(tot))
+    # empty-side guard: 0/0 would poison m with NaN (ANSI long-cast abort)
+    # even though the output is NULLed; the result is gated on ok anyway
+    p = F.when(
+        F.col("n_a") > 0, F.col("a").cast("double") / F.col("n_a").cast("double")
+    ).otherwise(F.lit(0.0))
+    qq = F.when(
+        F.col("n_b") > 0, F.col("b").cast("double") / F.col("n_b").cast("double")
+    ).otherwise(F.lit(0.0))
+    m = (p + qq) / F.lit(2.0)
+    term = F.when(F.col("a") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("b") > 0, F.lit(0.5) * qq * F.log(qq / m)).otherwise(F.lit(0.0))
+    term_nano = F.round(term * F.lit(1_000_000_000.0), 0).cast("long")
+    s = j.groupBy("k", "n_a", "n_b").agg(F.sum(term_nano).cast("long").alias("_tn"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    nats = F.col("_tn").cast("double") / F.lit(1_000_000_000.0)
+    return s.select(
+        "k",
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(nats, 6)).alias("jsd_nats"),
+        F.when(ok, F.round(nats / F.log(F.lit(2.0)), 6)).alias("jsd_bits"),
+    )
+
+
+def friedman(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Friedman test — the within-block k-treatment rank test (the
+    repeated-measures kruskal_wallis): one row (n_blocks, k, dof, q,
+    q_tie_corrected). "Do the k variants rank consistently differently
+    across users/documents" where between-block level differences would
+    drown a pooled test: each block is ranked internally, so a user who
+    clicks 10× more than another contributes exactly the same rank
+    information.
+
+    Construction: the cell observation is the block×treatment mean on
+    the micro grid (exact Σ/count, ONE division — identical doubles in
+    both engines); only COMPLETE blocks (all k treatments present)
+    enter, per the test's definition. Within-block midranks come from
+    the doubled-rank grid per block (k rows each); rank sums per
+    treatment accumulate as exact wide integers, and
+    Q = 3·ΣR2_j²/(n·k·(k+1)) − 3·n·(k+1) is one fixed double sequence.
+    Tie correction C = 1 − Σ(t³−t)/(n·k·(k²−1)) on exact integers;
+    C ≤ 0 (all cells tied) → NULL q_tie_corrected.
+
+    Scale: one cell aggregate (hash, partial), per-block windows over k
+    rows, one treatment aggregate — blocks never pair, raw rows never
+    sort.
+    """
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(block_col).alias("blk"), F.col(treatment_col).alias("trt")
+        )
+        .agg(
+            F.sum(_quant(F.col(value_col), scale)).cast(_DEC).alias("_sm"),
+            F.count(F.lit(1)).cast("long").alias("_cn"),
+        )
+        .select(
+            "blk",
+            "trt",
+            (F.col("_sm").cast("double") / F.col("_cn").cast("double")).alias("v"),
+        )
+    )
+    k_row = cells.agg(F.countDistinct("trt").cast("long").alias("k"))
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("_kb"))
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("_kb") == F.col("k"))
+        .select("blk")
+    )
+    cc = cells.join(complete, "blk")
+    per_bv = cc.groupBy("blk", "v").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wb = Window.partitionBy("blk").orderBy("v")
+    ranked = per_bv.select(
+        "blk",
+        "v",
+        "t",
+        (
+            2 * (F.sum("t").over(wb.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    per_trt = (
+        cc.join(ranked.select("blk", "v", "r2"), ["blk", "v"])
+        .groupBy("trt")
+        .agg(F.sum(F.col("r2").cast(_DEC)).alias("r2_j"))
+    )
+    ties = per_bv.agg(
+        F.sum(
+            F.col("t").cast(_DEC) * F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+            - F.col("t").cast(_DEC)
+        ).alias("ties_t")
+    )
+    n_row = complete.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    folded = per_trt.agg(
+        F.sum(F.col("r2_j") * F.col("r2_j")).alias("_sr2")
+    ).crossJoin(F.broadcast(k_row)).crossJoin(F.broadcast(n_row)).crossJoin(
+        F.broadcast(ties)
+    )
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    q_stat = F.lit(3.0) * F.col("_sr2").cast("double") / (
+        nd * kd * (kd + F.lit(1.0))
+    ) - F.lit(3.0) * nd * (kd + F.lit(1.0))
+    c = F.lit(1.0) - F.col("ties_t").cast("double") / (
+        nd * kd * (kd * kd - F.lit(1.0))
+    )
+    ok = (F.col("n_blocks") > 0) & (F.col("k") >= 2)
+    return folded.select(
+        "n_blocks",
+        "k",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.when(ok, F.round(q_stat, 6)).alias("q"),
+        F.when(ok & (c > 0), F.round(q_stat / c, 6)).alias("q_tie_corrected"),
     )

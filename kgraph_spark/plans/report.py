@@ -1762,6 +1762,27 @@ def main() -> None:
         ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Nelson-Aalen — session window, duration-grid aggregate, "
+        "grid-sized hazard prefix window",
+        _plan(entrymod.queries()["evt_nelson_aalen"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Jensen-Shannon — category-key aggregate with partials + "
+        "broadcast totals; terms on |categories| rows, no window",
+        _plan(entrymod.queries()["stat_jsd"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Friedman — cell aggregate, per-block k-row rank windows, "
+        "treatment fold; blocks never pair",
+        _plan(entrymod.queries()["stat_friedman"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -575,3 +575,62 @@ def test_mcnemar_hand_case(spark):
     conc = spark.createDataFrame([(True, True), (False, False)], "a boolean, b boolean")
     r2 = mcnemar(conc, "a", "b").first()
     assert r2["chi2"] is None and r2["chi2_corrected"] is None
+
+
+def test_jensen_shannon_hand_case(spark):
+    from kgraph_spark.operators.stats import jensen_shannon
+
+    # identical mixes -> 0
+    rows = [("x", False)] * 2 + [("y", False)] * 2 + [("x", True)] * 3 + [
+        ("y", True)
+    ] * 3
+    df = spark.createDataFrame(rows, "key string, side boolean")
+    r = jensen_shannon(df, "key", "side").first()
+    assert (r["k"], r["n_a"], r["n_b"]) == (2, 4, 6)
+    assert r["jsd_nats"] == pytest.approx(0.0, abs=1e-6)
+    # disjoint supports -> the ln 2 maximum (1 bit)
+    dis = spark.createDataFrame(
+        [("x", False), ("y", True)], "key string, side boolean"
+    )
+    r2 = jensen_shannon(dis, "key", "side").first()
+    assert r2["jsd_nats"] == pytest.approx(math.log(2.0), abs=1e-6)
+    assert r2["jsd_bits"] == pytest.approx(1.0, abs=1e-6)
+    # hand case p=(1/2,1/2), q=(1,0): m=(3/4,1/4)
+    mix = spark.createDataFrame(
+        [("x", False), ("y", False), ("x", True), ("x", True)],
+        "key string, side boolean",
+    )
+    expected = 0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)) + \
+        0.5 * (1.0 * math.log(1.0 / 0.75))
+    r3 = jensen_shannon(mix, "key", "side").first()
+    assert r3["jsd_nats"] == pytest.approx(expected, abs=1e-6)
+    # one side empty -> NULL
+    onesided = spark.createDataFrame([("x", True)], "key string, side boolean")
+    assert jensen_shannon(onesided, "key", "side").first()["jsd_nats"] is None
+
+
+def test_friedman_hand_case(spark):
+    from kgraph_spark.operators.stats import friedman
+
+    # 2 complete blocks, 3 treatments, consistent ordering a<b<c:
+    # rank sums 2/4/6 -> Q = 12/(2*3*4)*(4+16+36) - 3*2*4 = 4 (scipy)
+    rows = [
+        (1, "a", 1.0), (1, "b", 2.0), (1, "c", 3.0),
+        (2, "a", 4.0), (2, "b", 5.0), (2, "c", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "blk long, trt string, val double")
+    r = friedman(df, "blk", "trt", "val").first()
+    assert (r["n_blocks"], r["k"], r["dof"]) == (2, 3, 2)
+    assert r["q"] == pytest.approx(4.0, abs=1e-5)
+    assert r["q_tie_corrected"] == pytest.approx(4.0, abs=1e-5)  # no ties
+    # incomplete block is excluded from n_blocks
+    df2 = df.union(spark.createDataFrame([(3, "a", 9.0)], "blk long, trt string, val double"))
+    r2 = friedman(df2, "blk", "trt", "val").first()
+    assert r2["n_blocks"] == 2 and r2["q"] == pytest.approx(4.0, abs=1e-5)
+    # all-tied cells: Q = 0 and the correction divides by zero -> NULL
+    flat = spark.createDataFrame(
+        [(1, "a", 7.0), (1, "b", 7.0), (2, "a", 7.0), (2, "b", 7.0)],
+        "blk long, trt string, val double",
+    )
+    r3 = friedman(flat, "blk", "trt", "val").first()
+    assert abs(r3["q"]) < 1e-9 and r3["q_tie_corrected"] is None

@@ -107,3 +107,26 @@ def test_user_lifetimes_censoring(spark):
     out = {r["user_id"]: r for r in user_lifetimes(df).collect()}
     assert (out[1]["dur_sec"], out[1]["event"]) == (86400, 1)
     assert (out[2]["dur_sec"], out[2]["event"]) == (9 * 86400, 0)
+
+
+def test_nelson_aalen_hand_case(spark):
+    from kgraph_spark.operators.survival import nelson_aalen
+
+    # durations: 1 (event), 2 (event), 2 (censored), 3 (event)
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1)], "dur_sec long, event int"
+    )
+    rows = {r["t"]: r for r in nelson_aalen(df).collect()}
+    # H(1) = 1/4; H(2) = 1/4 + 1/3; H(3) = ... + 1/1
+    assert rows[1]["cumhaz"] == pytest.approx(0.25, abs=1e-6)
+    assert rows[2]["cumhaz"] == pytest.approx(0.25 + 1 / 3, abs=1e-6)
+    assert rows[3]["cumhaz"] == pytest.approx(0.25 + 1 / 3 + 1.0, abs=1e-6)
+    assert rows[2]["survival_fh"] == pytest.approx(
+        math.exp(-(0.25 + 1 / 3)), abs=1e-6
+    )
+    # Fleming-Harrington survival dominates Kaplan-Meier everywhere
+    from kgraph_spark.operators.survival import kaplan_meier
+
+    km = {r["t"]: r["survival"] for r in kaplan_meier(df).collect()}
+    for t, r in rows.items():
+        assert r["survival_fh"] >= km[t] - 1e-9
