@@ -5120,6 +5120,29 @@ def q_stat_friedman(spark, sf_dir):
     )
 
 
+def q_stat_jt(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative test: does order value
+    shift monotonically across the ordered priority bands 1..5 — exact
+    2J over the dense (cents grid × band) frame, Hollander-Wolfe
+    tie-corrected null moments, one sqrt."""
+    from kgraph_spark.operators.stats import jonckheere_terpstra
+
+    o = _read(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+        F.col("o_totalprice").alias("v"),
+    )
+    return jonckheere_terpstra(o, "v", "w", scale=100)
+
+
+def q_evt_rmst(spark, sf_dir):
+    """Restricted mean survival time of sessions in their first 10
+    minutes — the exact step integral of the Kaplan-Meier curve,
+    micro-rounded segment areas summed exactly."""
+    from kgraph_spark.operators.survival import restricted_mean_survival
+
+    return restricted_mean_survival(_session_lifetimes(spark, sf_dir), tau=600)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5393,6 +5416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_logrank": q_stat_logrank,
         "stat_jsd": q_stat_jsd,
         "stat_friedman": q_stat_friedman,
+        "stat_jt": q_stat_jt,
+        "evt_rmst": q_evt_rmst,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -13502,5 +13527,140 @@ def oracle_sql() -> dict[str, str]:
                                          * (k::DOUBLE * k::DOUBLE - 1.0))), 6)
                    END AS q_tie_corrected
             FROM folded, kr, nr, ties
+        """,
+        "stat_jt": """
+            -- Jonckheere-Terpstra: exact 2J on the dense (cents grid ×
+            -- band) frame, Hollander-Wolfe tie-corrected moments, one
+            -- sqrt (stats.jonckheere_terpstra)
+            WITH q AS (
+                SELECT left(o_orderpriority, 1)::BIGINT AS g,
+                       round(o_totalprice * 100)::BIGINT AS qv
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+            ), pvg AS (
+                SELECT qv, g, count(*)::BIGINT AS t FROM q GROUP BY 1, 2
+            ), grid AS (SELECT DISTINCT qv FROM pvg),
+            grp AS (SELECT DISTINCT g FROM pvg),
+            dense AS (
+                SELECT grid.qv, grp.g, coalesce(pvg.t, 0)::BIGINT AS t
+                FROM grid CROSS JOIN grp
+                LEFT JOIN pvg ON pvg.qv = grid.qv AND pvg.g = grp.g
+            ), cum AS (
+                SELECT qv, g, t,
+                       (sum(t) OVER (PARTITION BY g ORDER BY qv
+                                     ROWS UNBOUNDED PRECEDING) - t)::BIGINT AS cum_lt
+                FROM dense
+            ), pairs AS (
+                SELECT h.t AS t_h, c.cum_lt, c.t AS t_g
+                FROM pvg h JOIN cum c ON c.qv = h.qv AND c.g < h.g
+            ), s2j AS (
+                SELECT sum(t_h::HUGEINT * (2::HUGEINT * cum_lt + t_g)) AS s2
+                FROM pairs
+            ), per_g AS (
+                SELECT g, sum(t)::BIGINT AS n_g FROM pvg GROUP BY 1
+            ), g_tot AS (
+                SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+                       sum(n_g::HUGEINT * n_g) AS sn2,
+                       sum(n_g::HUGEINT * (n_g - 1) * (2 * n_g + 5)) AS g1,
+                       sum(n_g::HUGEINT * (n_g - 1) * (n_g - 2)) AS g2,
+                       sum(n_g::HUGEINT * (n_g - 1)) AS g3
+                FROM per_g
+            ), per_v AS (
+                SELECT qv, sum(t)::BIGINT AS tv FROM pvg GROUP BY 1
+            ), t_tot AS (
+                SELECT sum(tv::HUGEINT * (tv - 1) * (2 * tv + 5)) AS t1,
+                       sum(tv::HUGEINT * (tv - 1) * (tv - 2)) AS t2,
+                       sum(tv::HUGEINT * (tv - 1)) AS t3
+                FROM per_v
+            )
+            SELECT n, k,
+                   round(s2::DOUBLE / 2.0, 6) AS j,
+                   round((n::HUGEINT * n - sn2)::DOUBLE / 4.0, 6) AS e_j,
+                   CASE WHEN k >= 2 AND n >= 3
+                             AND ((n::HUGEINT * (n - 1) * (2 * n + 5) - g1 - t1)::DOUBLE / 72.0
+                                  + (g2 * t2)::DOUBLE
+                                    / (36.0 * n::DOUBLE * (n::DOUBLE - 1.0) * (n::DOUBLE - 2.0))
+                                  + (g3 * t3)::DOUBLE
+                                    / (8.0 * n::DOUBLE * (n::DOUBLE - 1.0))) > 0
+                        THEN round((s2::DOUBLE / 2.0
+                                    - (n::HUGEINT * n - sn2)::DOUBLE / 4.0)
+                                   / sqrt((n::HUGEINT * (n - 1) * (2 * n + 5) - g1 - t1)::DOUBLE / 72.0
+                                          + (g2 * t2)::DOUBLE
+                                            / (36.0 * n::DOUBLE * (n::DOUBLE - 1.0) * (n::DOUBLE - 2.0))
+                                          + (g3 * t3)::DOUBLE
+                                            / (8.0 * n::DOUBLE * (n::DOUBLE - 1.0))), 6)
+                   END AS z
+            FROM s2j, g_tot, t_tot
+        """,
+        "evt_rmst": """
+            -- RMST: exact step integral of the Kaplan-Meier curve over
+            -- the first 600 s — micro-rounded segment areas summed
+            -- exactly (survival.restricted_mean_survival)
+            WITH marked AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS _new
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), sess AS (
+                SELECT user_id, us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), per_s AS (
+                SELECT user_id, sid, min(us) AS smin, max(us) AS smax
+                FROM sess GROUP BY 1, 2
+            ), h AS (SELECT max(smax) AS gmax FROM per_s),
+            lt AS (
+                SELECT (smax - smin) // 1000000 AS dur,
+                       (smax <= gmax - 1800 * 1000000)::INT AS e
+                FROM per_s, h
+            ), g AS (
+                SELECT dur AS t, sum(e)::BIGINT AS d, sum(1 - e)::BIGINT AS c
+                FROM lt GROUP BY 1
+            ), tot AS (SELECT sum(d + c)::BIGINT AS nn FROM g),
+            r AS (
+                SELECT t, d,
+                       (nn - (sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                              - (d + c)))::BIGINT AS n_risk
+                FROM g, tot
+            ), ev AS (
+                SELECT t, n_risk, d,
+                       CASE WHEN d < n_risk
+                            THEN round(ln(1.0 - d::DOUBLE / n_risk::DOUBLE)
+                                       * 1000000000.0)::BIGINT END AS lnn,
+                       (d = n_risk)::INT AS dead
+                FROM r WHERE d > 0
+            ), st AS (
+                SELECT t, d,
+                       sum(lnn) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns,
+                       max(dead) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS deadc
+                FROM ev
+            ), km AS (
+                SELECT t, d,
+                       CASE WHEN deadc = 1 THEN 0.0
+                            ELSE round(exp(lns::DOUBLE / 1000000000.0), 6)
+                       END AS survival
+                FROM st WHERE t <= 600
+            ), seg AS (
+                SELECT t, d, survival,
+                       lag(t, 1, 0) OVER (ORDER BY t) AS pt,
+                       lag(survival, 1, 1.0) OVER (ORDER BY t) AS ps
+                FROM km
+            ), folded AS (
+                SELECT sum(round(ps * (t - pt)::DOUBLE * 1000000.0)::BIGINT)::BIGINT AS amid,
+                       sum(d)::BIGINT AS d_events,
+                       max_by(survival, t) AS last_s, max(t) AS last_t
+                FROM seg
+            ), nrow AS (SELECT sum(d + c)::BIGINT AS n FROM g)
+            SELECT 600::BIGINT AS tau, n,
+                   coalesce(d_events, 0)::BIGINT AS d_events,
+                   round((coalesce(amid, 0)
+                          + round(coalesce(last_s, 1.0)
+                                  * (600 - coalesce(last_t, 0))::DOUBLE
+                                  * 1000000.0)::BIGINT)::DOUBLE / 1000000.0, 6)
+                       AS rmst_sec
+            FROM folded, nrow
         """,
     }

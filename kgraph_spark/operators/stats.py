@@ -54,6 +54,7 @@ __all__ = [
     "mcnemar",
     "jensen_shannon",
     "friedman",
+    "jonckheere_terpstra",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1549,4 +1550,114 @@ def friedman(
         (F.col("k") - 1).cast("long").alias("dof"),
         F.when(ok, F.round(q_stat, 6)).alias("q"),
         F.when(ok & (c > 0), F.round(q_stat / c, 6)).alias("q_tie_corrected"),
+    )
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative test — "does the value
+    distribution shift MONOTONICALLY across ordered groups" for
+    continuous outcomes (the dose-response companion to
+    cochran_armitage, which handles proportions; kruskal_wallis spends
+    k−1 dof on ANY difference, this spends one on the ordering): one
+    row (n, k, j, e_j, z). J = Σ_{g<h} U_gh with midrank ½-credit for
+    cross-group ties; z uses the Hollander-Wolfe tie-corrected null
+    mean/variance.
+
+    Exactness: everything before the final z is integer arithmetic —
+    2J accumulates per (grid value, higher group) as
+    Σ t_hv·(2·cum_g(<v) + t_gv) in exact wide integers over the dense
+    (distinct value × group) grid; E(J) = (N² − Σn_g²)/4 and the three
+    tie-corrected variance terms are exact integer folds; ONE double
+    sequence with one sqrt at the end. Degenerate (< 2 groups, zero
+    variance) → NULL z.
+
+    Scale: the dense grid is |distinct values| × k rows (k = #groups —
+    single digits); the pair expansion is grid × k², still grid-bounded.
+    Raw rows never sort and never pair.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("long").alias("g"),
+        _quant(F.col(value_col), scale).alias("qv"),
+    )
+    per_vg = q.groupBy("qv", "g").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    grid = per_vg.select("qv").distinct()
+    groups = per_vg.select("g").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(groups))
+        .join(per_vg, ["qv", "g"], "left")
+        .select("qv", "g", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
+    )
+    wg = Window.partitionBy("g").orderBy("qv")
+    cum = dense.select(
+        "qv",
+        "g",
+        "t",
+        (
+            F.sum("t").over(wg.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t")
+        ).cast("long").alias("cum_lt"),
+    )
+    h_side = per_vg.select(
+        F.col("qv").alias("qv_h"), F.col("g").alias("h"), F.col("t").alias("t_h")
+    )
+    pairs = h_side.join(
+        cum.select(
+            F.col("qv").alias("qv_g"), F.col("g"), "cum_lt",
+            F.col("t").alias("t_g"),
+        ),
+        (F.col("qv_h") == F.col("qv_g")) & (F.col("g") < F.col("h")),
+    )
+    s2j = pairs.agg(
+        F.sum(
+            F.col("t_h").cast(_DEC)
+            * (F.lit(2).cast(_DEC) * F.col("cum_lt").cast(_DEC) + F.col("t_g").cast(_DEC))
+        ).alias("_s2j")
+    )
+    per_g = per_vg.groupBy("g").agg(F.sum("t").cast("long").alias("n_g"))
+    gd = F.col("n_g").cast(_DEC)
+    g_tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(gd * gd).alias("_sn2"),
+        F.sum(gd * (gd - 1) * (F.lit(2).cast(_DEC) * gd + 5)).alias("_g1"),
+        F.sum(gd * (gd - 1) * (gd - 2)).alias("_g2"),
+        F.sum(gd * (gd - 1)).alias("_g3"),
+    )
+    per_v = per_vg.groupBy("qv").agg(F.sum("t").cast("long").alias("tv"))
+    td = F.col("tv").cast(_DEC)
+    t_tot = per_v.agg(
+        F.sum(td * (td - 1) * (F.lit(2).cast(_DEC) * td + 5)).alias("_t1"),
+        F.sum(td * (td - 1) * (td - 2)).alias("_t2"),
+        F.sum(td * (td - 1)).alias("_t3"),
+    )
+    out = (
+        s2j.crossJoin(F.broadcast(g_tot)).crossJoin(F.broadcast(t_tot))
+    )
+    nd = F.col("n").cast("double")
+    nD = F.col("n").cast(_DEC)
+    j_stat = F.col("_s2j").cast("double") / F.lit(2.0)
+    e_j = (nD * nD - F.col("_sn2")).cast("double") / F.lit(4.0)
+    v1 = (
+        nD * (nD - 1) * (F.lit(2).cast(_DEC) * nD + 5) - F.col("_g1") - F.col("_t1")
+    ).cast("double") / F.lit(72.0)
+    v2 = (F.col("_g2") * F.col("_t2")).cast("double") / (
+        F.lit(36.0) * nd * (nd - F.lit(1.0)) * (nd - F.lit(2.0))
+    )
+    v3 = (F.col("_g3") * F.col("_t3")).cast("double") / (
+        F.lit(8.0) * nd * (nd - F.lit(1.0))
+    )
+    var = v1 + v2 + v3
+    ok = (F.col("k") >= 2) & (F.col("n") >= 3)
+    return out.select(
+        "n",
+        "k",
+        F.round(j_stat, 6).alias("j"),
+        F.round(e_j, 6).alias("e_j"),
+        F.when(ok & (var > 0), F.round((j_stat - e_j) / F.sqrt(var), 6)).alias("z"),
     )

@@ -1783,6 +1783,20 @@ def main() -> None:
         ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Jonckheere-Terpstra — dense grid×band frame, per-band prefix "
+        "windows, grid-bounded pair join; raw rows never pair",
+        _plan(entrymod.queries()["stat_jt"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "RMST — KM grid machinery + one |grid|-row segment window, "
+        "single-row fold",
+        _plan(entrymod.queries()["evt_rmst"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -634,3 +634,32 @@ def test_friedman_hand_case(spark):
     )
     r3 = friedman(flat, "blk", "trt", "val").first()
     assert abs(r3["q"]) < 1e-9 and r3["q_tie_corrected"] is None
+
+
+def test_jonckheere_terpstra_hand_cases(spark):
+    from kgraph_spark.operators.stats import jonckheere_terpstra
+
+    # no ties: g1=[1,2], g2=[3,4] -> J=4, E=2, Var=120/72
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (2, 3.0), (2, 4.0)], "g long, v double"
+    )
+    r = jonckheere_terpstra(df, "v", "g", scale=1).first()
+    assert (r["n"], r["k"]) == (4, 2)
+    assert r["j"] == 4.0 and r["e_j"] == 2.0
+    assert r["z"] == pytest.approx(2.0 / math.sqrt(120.0 / 72.0), abs=1e-6)
+    # cross-group ties get half credit: g1=[1,1], g2=[1,2] -> J=3,
+    # E=2, Var = 54/72 + 0 + 24/96 = 1 -> z = 1
+    tied = spark.createDataFrame(
+        [(1, 1.0), (1, 1.0), (2, 1.0), (2, 2.0)], "g long, v double"
+    )
+    r2 = jonckheere_terpstra(tied, "v", "g", scale=1).first()
+    assert r2["j"] == 3.0 and r2["e_j"] == 2.0
+    assert r2["z"] == pytest.approx(1.0, abs=1e-6)
+    # reversed ordering flips the direction
+    rev = df.select((3 - F.col("g")).alias("g"), "v")
+    assert jonckheere_terpstra(rev, "v", "g", scale=1).first()["z"] == pytest.approx(
+        -r["z"], abs=1e-6
+    )
+    # single group -> NULL z
+    one = spark.createDataFrame([(1, 1.0), (1, 2.0), (1, 3.0)], "g long, v double")
+    assert jonckheere_terpstra(one, "v", "g", scale=1).first()["z"] is None

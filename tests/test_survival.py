@@ -130,3 +130,28 @@ def test_nelson_aalen_hand_case(spark):
     km = {r["t"]: r["survival"] for r in kaplan_meier(df).collect()}
     for t, r in rows.items():
         assert r["survival_fh"] >= km[t] - 1e-9
+
+
+def test_rmst_hand_case(spark):
+    from kgraph_spark.operators.survival import restricted_mean_survival
+
+    # KM steps: S=0.75 at 1, 0.5 at 2, 0 at 3
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (3, 1)], "dur_sec long, event int"
+    )
+    r = restricted_mean_survival(df, tau=4).first()
+    # 1*1 + 0.75*1 + 0.5*1 + 0*(4-3) = 2.25
+    assert (r["tau"], r["n"], r["d_events"]) == (4, 4, 3)
+    assert r["rmst_sec"] == pytest.approx(2.25, abs=1e-6)
+    # tau before the first event: curve flat at 1 -> rmst = tau
+    early = restricted_mean_survival(df, tau=1).first()
+    # t=1 event is included (t <= tau): 1*1 + 0.75*(1-1) = 1.0
+    assert early["rmst_sec"] == pytest.approx(1.0, abs=1e-6)
+    # all censored -> no steps -> rmst = tau exactly
+    cens = spark.createDataFrame([(5, 0), (7, 0)], "dur_sec long, event int")
+    rc = restricted_mean_survival(cens, tau=3).first()
+    assert rc["d_events"] == 0 and rc["rmst_sec"] == pytest.approx(3.0, abs=1e-9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        restricted_mean_survival(df, tau=0)
