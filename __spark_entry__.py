@@ -5143,6 +5143,45 @@ def q_evt_rmst(spark, sf_dir):
     return restricted_mean_survival(_session_lifetimes(spark, sf_dir), tau=600)
 
 
+def q_text_chao1(spark, sf_dir):
+    """Chao1 vocabulary-richness asymptote + Good-Turing unseen mass —
+    the keep-crawling-or-stop estimate paired with the discovery curve;
+    exact singleton/doubleton longs, one division each."""
+    from kgraph_spark.operators.text_analysis import chao1_richness
+
+    return chao1_richness(_read(spark, sf_dir, "documents"))
+
+
+def q_stat_capture_recapture(spark, sf_dir):
+    """Chapman capture-recapture estimate of the total distinct-part
+    population from two independent 10%-of-orders captures (orderkey
+    deciles 0 and 1) — recovers ~200/~2000 true parts from partial
+    captures; exact-integer estimator and SE, one division + one sqrt."""
+    from kgraph_spark.operators.stats import capture_recapture
+
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter((F.col("l_orderkey") % 10).isin(0, 1))
+        .select(
+            "l_partkey",
+            (F.col("l_orderkey") % 10 == 1).alias("side"),
+        )
+    )
+    return capture_recapture(li, "l_partkey", "side")
+
+
+def q_evt_sprt(spark, sf_dir):
+    """Wald SPRT sequential monitor: daily purchase share tested at
+    H0 p=0.1875 vs H1 p=0.25 with 5%/5% boundaries — nano-exact LLR
+    prefix sums over the day grid."""
+    from kgraph_spark.operators.event_analytics import sprt_monitor
+
+    e = _read(spark, sf_dir, "events").select(
+        "ts", (F.col("event_type") == "purchase").alias("success")
+    )
+    return sprt_monitor(e)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5418,6 +5457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_friedman": q_stat_friedman,
         "stat_jt": q_stat_jt,
         "evt_rmst": q_evt_rmst,
+        "stat_capture_recapture": q_stat_capture_recapture,
+        "text_chao1": q_text_chao1,
+        "evt_sprt": q_evt_sprt,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -13662,5 +13704,91 @@ def oracle_sql() -> dict[str, str]:
                                   * 1000000.0)::BIGINT)::DOUBLE / 1000000.0, 6)
                        AS rmst_sec
             FROM folded, nrow
+        """,
+        "text_chao1": """
+            -- Chao1 bias-corrected richness + Good-Turing unseen mass
+            -- from exact singleton/doubleton counts on the lowercased
+            -- whitespace token grid (text_analysis.chao1_richness)
+            WITH tok AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents WHERE text IS NOT NULL
+            ), per_w AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1
+            ), agg AS (
+                SELECT sum(n)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types,
+                       sum((n = 1)::INT)::BIGINT AS f1,
+                       sum((n = 2)::INT)::BIGINT AS f2
+                FROM per_w
+            )
+            SELECT n_tokens, n_types, f1, f2,
+                   round(n_types::DOUBLE
+                         + f1::DOUBLE * (f1::DOUBLE - 1.0)
+                           / (2.0 * (f2::DOUBLE + 1.0)), 6) AS chao1,
+                   CASE WHEN n_tokens > 0
+                        THEN round(f1::DOUBLE / n_tokens::DOUBLE, 6)
+                   END AS unseen_mass
+            FROM agg
+        """,
+        "stat_capture_recapture": """
+            -- Chapman capture-recapture of the distinct-part population
+            -- from two 10-percent-of-orders captures: exact estimator
+            -- and SE, one division + one sqrt (stats.capture_recapture)
+            WITH q AS (
+                SELECT l_partkey AS key,
+                       (l_orderkey % 10 = 1)::INT AS s
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_orderkey % 10 IN (0, 1)
+            ), per_k AS (
+                SELECT key, max(1 - s)::INT AS in1, max(s)::INT AS in2
+                FROM q GROUP BY 1
+            ), t AS (
+                SELECT sum(in1)::BIGINT AS n1, sum(in2)::BIGINT AS n2,
+                       sum(in1 * in2)::BIGINT AS m,
+                       count(*)::BIGINT AS n_seen
+                FROM per_k
+            )
+            SELECT n1, n2, m, n_seen,
+                   round(((n1 + 1)::HUGEINT * (n2 + 1))::DOUBLE
+                         / (m::DOUBLE + 1.0) - 1.0, 6) AS chapman,
+                   CASE WHEN ((n1 + 1)::HUGEINT * (n2 + 1) * (n1 - m) * (n2 - m))::DOUBLE
+                             / ((m::DOUBLE + 1.0) * (m::DOUBLE + 1.0)
+                                * (m::DOUBLE + 2.0)) > 0
+                        THEN round(sqrt(((n1 + 1)::HUGEINT * (n2 + 1) * (n1 - m)
+                                         * (n2 - m))::DOUBLE
+                                        / ((m::DOUBLE + 1.0) * (m::DOUBLE + 1.0)
+                                           * (m::DOUBLE + 2.0))), 6)
+                   END AS se
+            FROM t
+        """,
+        "evt_sprt": """
+            -- Wald SPRT daily monitor: per-day exact (x, n), nano-rounded
+            -- LLR increments prefix-summed exactly, literal-double
+            -- boundaries (event_analytics.sprt_monitor)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                       count(*)::BIGINT AS n,
+                       sum((event_type = 'purchase')::INT)::BIGINT AS x
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1
+            ), cum AS (
+                SELECT day, n, x,
+                       sum(n) OVER w::BIGINT AS n_cum,
+                       sum(x) OVER w::BIGINT AS x_cum,
+                       sum(round((x::DOUBLE * ln(0.25 / 0.1875)
+                                  + (n - x)::DOUBLE * ln((1.0 - 0.25) / (1.0 - 0.1875)))
+                                 * 1000000000.0)::BIGINT) OVER w AS lln
+                FROM per_d
+                WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT day, n, x, n_cum, x_cum,
+                   round(lln::DOUBLE / 1000000000.0, 6) AS llr,
+                   CASE WHEN lln::DOUBLE / 1000000000.0 >= ln((1.0 - 0.05) / 0.05)
+                            THEN 'accept_h1'
+                        WHEN lln::DOUBLE / 1000000000.0 <= ln(0.05 / (1.0 - 0.05))
+                            THEN 'accept_h0'
+                        ELSE 'continue' END AS decision
+            FROM cum
         """,
     }

@@ -557,3 +557,80 @@ def cuped_adjust(
             F.round(cov * cov * F.lit(1_000_000.0) / (varx * vary), 0).cast("long"),
         ).alias("r2_micro"),
     )
+
+
+def sprt_monitor(
+    events: DataFrame,
+    ts_col: str = "ts",
+    success_col: str = "success",
+    p0: float = 0.1875,
+    p1: float = 0.25,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald SPRT sequential monitor over a daily Bernoulli stream — one
+    row per UTC day (day, n, x, n_cum, x_cum, llr, decision): the
+    cumulative log-likelihood ratio of H1: rate = p1 vs H0: rate = p0,
+    with the standard decision boundaries ln((1−β)/α) / ln(β/(1−α)).
+    The "stop the experiment the day the evidence suffices" view that a
+    fixed-horizon prop_ztest can't give — and the classic guard against
+    peeking-inflated false positives, because the boundaries are BUILT
+    for continuous monitoring.
+
+    Exactness: daily (x, n) are exact longs; the per-day LLR increment
+    x·ln(p1/p0) + (n−x)·ln((1−p1)/(1−p0)) is NANO-rounded once and
+    prefix-summed exactly over the day grid; boundary constants are the
+    same literal-double expressions in both engines, and the llr grid
+    value never lands exactly on the irrational boundary.
+
+    Scale: one hash aggregate onto the day key (map-side partials),
+    one window over |days| rows.
+    """
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0) or p0 == p1:
+        raise ValueError("need 0 < p0, p1 < 1 and p0 != p1")
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    per_d = (
+        events.filter(F.col(ts_col).isNotNull() & F.col(success_col).isNotNull())
+        .groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(success_col).cast("boolean").cast("int"))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    l1 = F.log(F.lit(p1) / F.lit(p0))
+    l0 = F.log((F.lit(1.0) - F.lit(p1)) / (F.lit(1.0) - F.lit(p0)))
+    term_nano = F.round(
+        (F.col("x").cast("double") * l1 + (F.col("n") - F.col("x")).cast("double") * l0)
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    w = Window.orderBy("day")
+    cum = per_d.select(
+        "day",
+        "n",
+        "x",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("n_cum"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("x_cum"),
+        F.sum(term_nano)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_lln"),
+    )
+    llr = F.col("_lln").cast("double") / F.lit(1_000_000_000.0)
+    upper = F.log((F.lit(1.0) - F.lit(beta)) / F.lit(alpha))
+    lower = F.log(F.lit(beta) / (F.lit(1.0) - F.lit(alpha)))
+    return cum.select(
+        "day",
+        "n",
+        "x",
+        "n_cum",
+        "x_cum",
+        F.round(llr, 6).alias("llr"),
+        F.when(llr >= upper, F.lit("accept_h1"))
+        .when(llr <= lower, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

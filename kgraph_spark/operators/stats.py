@@ -55,6 +55,7 @@ __all__ = [
     "jensen_shannon",
     "friedman",
     "jonckheere_terpstra",
+    "capture_recapture",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1660,4 +1661,55 @@ def jonckheere_terpstra(
         F.round(j_stat, 6).alias("j"),
         F.round(e_j, 6).alias("e_j"),
         F.when(ok & (var > 0), F.round((j_stat - e_j) / F.sqrt(var), 6)).alias("z"),
+    )
+
+
+def capture_recapture(df: DataFrame, key_col: str, side_col: str) -> DataFrame:
+    """Chapman capture-recapture population estimate — "how many
+    distinct keys exist that NEITHER sample saw": one row (n1, n2, m,
+    n_seen, chapman, se). Treat the two sides as independent captures
+    of the same population; the overlap m calibrates completeness.
+    The KG/corpus-coverage question (how many entities/users/domains
+    are we missing) that raw distinct counts can't answer.
+
+    chapman = (n1+1)(n2+1)/(m+1) − 1 (bias-corrected Lincoln-Petersen,
+    finite even at m=0) and its standard error from the exact-integer
+    variance (n1+1)(n2+1)(n1−m)(n2−m)/((m+1)²(m+2)) — every factor an
+    exact long, ONE division + one sqrt.
+
+    Scale: one hash aggregate on the key (map-side partials), one
+    single-row fold.
+    """
+    q = df.filter(F.col(key_col).isNotNull() & F.col(side_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(side_col).cast("boolean").cast("int").alias("s"),
+    )
+    per_k = q.groupBy("key").agg(
+        F.max(1 - F.col("s")).cast("int").alias("in1"),
+        F.max("s").cast("int").alias("in2"),
+    )
+    t = per_k.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    n1 = F.col("n1").cast(_DEC)
+    n2 = F.col("n2").cast(_DEC)
+    m = F.col("m").cast(_DEC)
+    est = ((n1 + 1) * (n2 + 1)).cast("double") / (
+        F.col("m").cast("double") + F.lit(1.0)
+    ) - F.lit(1.0)
+    var = ((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)).cast("double") / (
+        (F.col("m").cast("double") + F.lit(1.0))
+        * (F.col("m").cast("double") + F.lit(1.0))
+        * (F.col("m").cast("double") + F.lit(2.0))
+    )
+    return t.select(
+        "n1",
+        "n2",
+        "m",
+        "n_seen",
+        F.round(est, 6).alias("chapman"),
+        F.when(var > 0, F.round(F.sqrt(var), 6)).alias("se"),
     )

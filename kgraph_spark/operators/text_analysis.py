@@ -1005,3 +1005,53 @@ def burrows_delta(
             ).alias("delta"),
         )
     )
+
+
+def chao1_richness(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing unseen mass —
+    one row (n_tokens, n_types, f1, f2, chao1, unseen_mass). The
+    "how much vocabulary exists that this corpus has NOT seen yet"
+    companion to vocabulary_discovery_curve (which shows the trajectory;
+    this estimates the asymptote): chao1 = S + f1(f1−1)/(2(f2+1)) (the
+    bias-corrected form, defined even with no doubletons) from the
+    singleton/doubleton counts, and Good-Turing unseen probability
+    mass p₀ = f1/N — the expected share of the NEXT crawl's tokens that
+    are new types. The keep-crawling-or-stop pair: discovery curve
+    still steep + large chao1 gap + high p₀ = more data buys vocabulary.
+
+    Tokens are the repo-standard lowercased whitespace tokens. All five
+    inputs are exact longs from one type-frequency aggregate; chao1 and
+    p₀ are each ONE division of exact integers, round-6'd.
+
+    Scale: one shuffle on the token key (map-side partials collapse
+    per-partition repeats), then |types| rows fold to one.
+    """
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    )
+    per_w = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = per_w.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("int")).cast("long").alias("f1"),
+        F.sum((F.col("n") == 2).cast("int")).cast("long").alias("f2"),
+    )
+    f1d = F.col("f1").cast("double")
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.round(
+            F.col("n_types").cast("double")
+            + f1d * (f1d - F.lit(1.0))
+            / (F.lit(2.0) * (F.col("f2").cast("double") + F.lit(1.0))),
+            6,
+        ).alias("chao1"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(f1d / F.col("n_tokens").cast("double"), 6),
+        ).alias("unseen_mass"),
+    )

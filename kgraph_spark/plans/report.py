@@ -1797,6 +1797,27 @@ def main() -> None:
         ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Chao1 richness — one token-key aggregate with partials, "
+        "|types|-row fold; no window",
+        _plan(entrymod.queries()["text_chao1"](spark, SF)),
+        ["HashAggregate", "partial_", "Generate", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Capture-recapture — decile filter pushed to the scan, one "
+        "key aggregate, single-row fold",
+        _plan(entrymod.queries()["stat_capture_recapture"](spark, SF)),
+        ["HashAggregate", "partial_", "PushedFilters", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "SPRT monitor — day-key aggregate with partials, one window "
+        "over |days| rows",
+        _plan(entrymod.queries()["evt_sprt"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

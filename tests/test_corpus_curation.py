@@ -810,3 +810,23 @@ def test_neyman_allocation_favors_spread_strata(spark):
     out2 = {r["stratum"]: r for r in
             neyman_allocation(df2, "v", "g", budget=110).collect()}
     assert out2["flat"]["alloc"] == 0
+
+
+def test_chao1_richness_hand_case(spark):
+    import pytest
+
+    from kgraph_spark.operators.text_analysis import chao1_richness
+
+    # tokens: a a a b b c d -> S=4, f1=2 (c,d), f2=1 (b), N=7
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c d")], "doc_id long, text string"
+    )
+    r = chao1_richness(docs).first()
+    assert (r["n_tokens"], r["n_types"], r["f1"], r["f2"]) == (7, 4, 2, 1)
+    # chao1 = 4 + 2*1/(2*2) = 4.5; unseen mass = 2/7
+    assert r["chao1"] == pytest.approx(4.5, abs=1e-6)
+    assert r["unseen_mass"] == pytest.approx(round(2 / 7, 6), abs=1e-9)
+    # saturated corpus: no singletons -> chao1 = S, zero unseen mass
+    sat = spark.createDataFrame([(1, "x x y y")], "doc_id long, text string")
+    r2 = chao1_richness(sat).first()
+    assert r2["chao1"] == 2.0 and r2["unseen_mass"] == 0.0

@@ -305,3 +305,36 @@ def test_cuped_zero_variance_covariate_falls_back(spark):
     df = spark.createDataFrame(rows, "side boolean, y double, x double")
     out = {r["side"]: r for r in cuped_adjust(df, "y", "x", "side").collect()}
     assert out[True]["theta"] is None and out[True]["mean_y_adj"] == 15.0
+
+
+def test_sprt_monitor_hand_case(spark):
+    import math
+    from datetime import datetime
+
+    import pytest
+
+    from kgraph_spark.operators.event_analytics import sprt_monitor
+
+    # day 0: 2/4 successes; day 1: 3/4 — H0 p=0.25 vs H1 p=0.5
+    def ts(day, i):
+        return datetime(2024, 1, 1 + day, 0, 0, i)
+
+    rows = [(ts(0, i), i < 2) for i in range(4)] + [(ts(1, i), i < 3) for i in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, success boolean")
+    out = {r["day"]: r for r in sprt_monitor(df, p0=0.25, p1=0.5).collect()}
+    days = sorted(out)
+    l1, l0 = math.log(0.5 / 0.25), math.log(0.5 / 0.75)
+    d0 = round((2 * l1 + 2 * l0) * 1e9)
+    d1 = round((3 * l1 + 1 * l0) * 1e9)
+    assert out[days[0]]["llr"] == pytest.approx(round(d0 / 1e9, 6), abs=1e-9)
+    assert out[days[1]]["llr"] == pytest.approx(round((d0 + d1) / 1e9, 6), abs=1e-9)
+    assert (out[days[1]]["n_cum"], out[days[1]]["x_cum"]) == (8, 5)
+    # day-2 llr 1.55 < ln(19): still 'continue'
+    assert out[days[1]]["decision"] == "continue"
+    # a long success run crosses the upper boundary
+    many = spark.createDataFrame(
+        [(ts(0, i % 60), True) for i in range(12)], "ts timestamp, success boolean"
+    )
+    assert sprt_monitor(many, p0=0.25, p1=0.5).first()["decision"] == "accept_h1"
+    with pytest.raises(ValueError):
+        sprt_monitor(df, p0=0.5, p1=0.5)

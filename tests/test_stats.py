@@ -663,3 +663,24 @@ def test_jonckheere_terpstra_hand_cases(spark):
     # single group -> NULL z
     one = spark.createDataFrame([(1, 1.0), (1, 2.0), (1, 3.0)], "g long, v double")
     assert jonckheere_terpstra(one, "v", "g", scale=1).first()["z"] is None
+
+
+def test_capture_recapture_hand_case(spark):
+    from kgraph_spark.operators.stats import capture_recapture
+
+    # capture 1 sees {a,b,c}, capture 2 sees {b,c,d}: n1=3, n2=3, m=2
+    rows = [("a", False), ("b", False), ("c", False),
+            ("b", True), ("c", True), ("d", True)]
+    df = spark.createDataFrame(rows, "key string, side boolean")
+    r = capture_recapture(df, "key", "side").first()
+    assert (r["n1"], r["n2"], r["m"], r["n_seen"]) == (3, 3, 2, 4)
+    # chapman = 4*4/3 - 1 = 13/3; var = 4*4*1*1/(9*4) = 4/9 -> se = 2/3
+    assert r["chapman"] == pytest.approx(16.0 / 3.0 - 1.0, abs=1e-6)
+    assert r["se"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    # full overlap: estimator collapses to the census, zero-variance NULL se
+    full = spark.createDataFrame(
+        [("a", False), ("a", True), ("b", False), ("b", True)],
+        "key string, side boolean",
+    )
+    r2 = capture_recapture(full, "key", "side").first()
+    assert r2["chapman"] == pytest.approx(2.0, abs=1e-6) and r2["se"] is None
