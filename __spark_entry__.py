@@ -5182,6 +5182,39 @@ def q_evt_sprt(spark, sf_dir):
     return sprt_monitor(e)
 
 
+def _daily_mean_series(spark, sf_dir):
+    e = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    return e.groupBy(day.alias("t")).agg(
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("v")
+    )
+
+
+def q_evt_pettitt(spark, sf_dir):
+    """Pettitt rank changepoint on the daily mean-value series: exact
+    doubled-midrank U_t integers, earliest-argmax |U|, one exp for the
+    approximate p."""
+    from kgraph_spark.operators.event_analytics import pettitt_test
+
+    return pettitt_test(_daily_mean_series(spark, sf_dir))
+
+
+def q_evt_ewma(spark, sf_dir):
+    """EWMA control chart over the daily mean-value series: λ=½ k=8
+    truncated EMA (exact shifted-long weights) with steady-state 3σ/√3
+    limits from exact micro moments."""
+    from kgraph_spark.operators.event_analytics import ewma_chart
+
+    return ewma_chart(_daily_mean_series(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5460,6 +5493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_capture_recapture": q_stat_capture_recapture,
         "text_chao1": q_text_chao1,
         "evt_sprt": q_evt_sprt,
+        "evt_pettitt": q_evt_pettitt,
+        "evt_ewma": q_evt_ewma,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -13790,5 +13825,99 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'accept_h0'
                         ELSE 'continue' END AS decision
             FROM cum
+        """,
+        "evt_pettitt": """
+            -- Pettitt rank changepoint on the daily mean series: exact
+            -- doubled-midrank U_t, earliest max |U|, one exp
+            -- (event_analytics.pettitt_test)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(round(value * 1000000)::BIGINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), pv AS (
+                SELECT v, count(*)::BIGINT AS tc FROM per_d GROUP BY 1
+            ), rk AS (
+                SELECT v,
+                       (2 * (sum(tc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - tc)
+                        + tc + 1)::BIGINT AS r2
+                FROM pv
+            ), tot AS (SELECT count(*)::BIGINT AS n FROM per_d),
+            cum AS (
+                SELECT t, n,
+                       (sum(r2) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                        - row_number() OVER (ORDER BY t) * (n + 1))::BIGINT AS u,
+                       row_number() OVER (ORDER BY t) AS i
+                FROM per_d JOIN rk USING (v), tot
+            )
+            SELECT n, t AS t_star, u AS u_star, abs(u)::BIGINT AS k_u,
+                   round(least(1.0,
+                               2.0 * exp(-6.0 * (abs(u)::DOUBLE * abs(u)::DOUBLE)
+                                         / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                                            + n::DOUBLE * n::DOUBLE))), 6) AS p_approx
+            FROM cum WHERE i < n
+            ORDER BY abs(u) DESC, t ASC LIMIT 1
+        """,
+        "evt_ewma": """
+            -- EWMA control chart on the daily mean series: k=8 truncated
+            -- EMA (exact shifted longs) + steady-state 3sigma/sqrt(3)
+            -- limits from exact micro moments (event_analytics.ewma_chart)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(round(value * 1000000)::BIGINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT t, v, round(v * 1000000)::BIGINT AS qv FROM per_d
+            ), lagged AS (
+                SELECT t, v, qv,
+                       lag(qv, 1) OVER w AS l1, lag(qv, 2) OVER w AS l2,
+                       lag(qv, 3) OVER w AS l3, lag(qv, 4) OVER w AS l4,
+                       lag(qv, 5) OVER w AS l5, lag(qv, 6) OVER w AS l6,
+                       lag(qv, 7) OVER w AS l7
+                FROM q
+                WINDOW w AS (ORDER BY t)
+            ), e AS (
+                SELECT t, v,
+                       round((qv * 128 + coalesce(l1, 0) * 64
+                              + coalesce(l2, 0) * 32 + coalesce(l3, 0) * 16
+                              + coalesce(l4, 0) * 8 + coalesce(l5, 0) * 4
+                              + coalesce(l6, 0) * 2 + coalesce(l7, 0))::DOUBLE
+                             / ((128
+                                 + CASE WHEN l1 IS NOT NULL THEN 64 ELSE 0 END
+                                 + CASE WHEN l2 IS NOT NULL THEN 32 ELSE 0 END
+                                 + CASE WHEN l3 IS NOT NULL THEN 16 ELSE 0 END
+                                 + CASE WHEN l4 IS NOT NULL THEN 8 ELSE 0 END
+                                 + CASE WHEN l5 IS NOT NULL THEN 4 ELSE 0 END
+                                 + CASE WHEN l6 IS NOT NULL THEN 2 ELSE 0 END
+                                 + CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+                                * 1000000)::DOUBLE, 6) AS ema
+                FROM lagged
+            ), mom AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(qv::HUGEINT) AS s1,
+                       sum(qv::HUGEINT * qv) AS s2
+                FROM q
+            )
+            SELECT t, v, ema,
+                   round(s1::DOUBLE / (n::DOUBLE * 1000000.0), 6) AS center,
+                   round(s1::DOUBLE / (n::DOUBLE * 1000000.0)
+                         + 3.0 * sqrt((n::HUGEINT * s2 - s1 * s1)::DOUBLE
+                                      / (n::DOUBLE * n::DOUBLE) / 1e12 / 3.0), 6)
+                       AS ucl,
+                   round(s1::DOUBLE / (n::DOUBLE * 1000000.0)
+                         - 3.0 * sqrt((n::HUGEINT * s2 - s1 * s1)::DOUBLE
+                                      / (n::DOUBLE * n::DOUBLE) / 1e12 / 3.0), 6)
+                       AS lcl,
+                   (ema > round(s1::DOUBLE / (n::DOUBLE * 1000000.0)
+                                + 3.0 * sqrt((n::HUGEINT * s2 - s1 * s1)::DOUBLE
+                                             / (n::DOUBLE * n::DOUBLE) / 1e12 / 3.0), 6)
+                    OR ema < round(s1::DOUBLE / (n::DOUBLE * 1000000.0)
+                                   - 3.0 * sqrt((n::HUGEINT * s2 - s1 * s1)::DOUBLE
+                                                / (n::DOUBLE * n::DOUBLE) / 1e12 / 3.0), 6))
+                       AS out_of_control
+            FROM e, mom
         """,
     }

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_DEC = "decimal(38,0)"
+
 
 def time_grid_fill(
     events: DataFrame,
@@ -633,4 +635,146 @@ def sprt_monitor(
         .when(llr <= lower, F.lit("accept_h0"))
         .otherwise(F.lit("continue"))
         .alias("decision"),
+    )
+
+
+def pettitt_test(
+    series: DataFrame, order_col: str = "t", value_col: str = "v"
+) -> DataFrame:
+    """Pettitt rank changepoint test — one row (n, t_star, u_star, k_u,
+    p_approx): the nonparametric "WHERE did the level shift" that cusum
+    (which needs a known target mean) and mann_kendall (which detects a
+    monotone trend, not a break) don't answer. U_t = 2R_t − t(n+1) via
+    midranks; the change point t_star maximizes |U_t| over t < max(t)
+    (earliest wins ties), K = |U_{t*}|, and the standard approximation
+    p ≈ min(1, 2·exp(−6K²/(n³+n²))).
+
+    U_t is EXACT integer arithmetic end to end (doubled midranks from
+    the distinct value grid, prefix-summed; t(n+1) exact), so the argmax
+    is engine-exact; only the final p is one double exp. Ordering ties
+    in `value_col` get midranks, so identical series halves give U ≡ 0.
+
+    Scale: one value-grid aggregate + two grid-sized ordered windows;
+    intended for pre-aggregated series (daily/hourly rollups), where the
+    grid IS the series.
+    """
+    s = series.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(order_col).alias("t"), F.col(value_col).alias("v"))
+    per_v = s.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    wv = Window.orderBy("v")
+    ranked = per_v.select(
+        "v",
+        (
+            2 * (F.sum("tc").over(wv.rowsBetween(Window.unboundedPreceding, 0)) - F.col("tc"))
+            + F.col("tc")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.orderBy("t")
+    cum = (
+        s.join(ranked, "v")
+        .select(
+            "t",
+            F.sum("r2").over(wt.rowsBetween(Window.unboundedPreceding, 0)).alias("_s2"),
+            F.row_number().over(wt).alias("_i"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "n",
+            (F.col("_s2") - F.col("_i") * (F.col("n") + 1)).cast("long").alias("u"),
+            "_i",
+        )
+        .filter(F.col("_i") < F.col("n"))
+    )
+    top = (
+        cum.select("n", "t", "u", F.abs("u").alias("_au"))
+        .orderBy(F.col("_au").desc(), F.col("t").asc())
+        .limit(1)
+    )
+    nd = F.col("n").cast("double")
+    k2 = F.col("_au").cast("double") * F.col("_au").cast("double")
+    return top.select(
+        "n",
+        F.col("t").alias("t_star"),
+        F.col("u").alias("u_star"),
+        F.col("_au").alias("k_u"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0) * F.exp(-F.lit(6.0) * k2 / (nd * nd * nd + nd * nd)),
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+def ewma_chart(
+    series: DataFrame,
+    order_col: str = "t",
+    value_col: str = "v",
+    k: int = 8,
+) -> DataFrame:
+    """EWMA control chart over an ordered series — per point (t, v, ema,
+    center, ucl, lcl, out_of_control): the ema_smooth machinery (λ = ½,
+    k-lag truncated, exact power-of-two weights) plus the textbook
+    steady-state 3σ_z limits σ_z = σ·√(λ/(2−λ)) = σ/√3 around the series
+    mean. The drift alarm that point-wise outlier flags miss: EWMA
+    accumulates many small same-direction deviations into one crossing.
+
+    Exactness: the EMA numerator/denominator are exact shifted longs
+    (ema_smooth contract); μ and σ come from exact micro moments with
+    the cross-multiplied variance identity, so center/ucl/lcl are ONE
+    fixed double sequence; the flag compares two round-6 doubles.
+
+    Scale: one ordered window over the series (pre-aggregated rollups —
+    the grid IS the series) + a broadcast single-row moment join.
+    """
+    if not 1 <= k <= 62:
+        raise ValueError("k must be in [1, 62]")
+    s = series.filter(
+        F.col(order_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(order_col).alias("t"),
+        F.col(value_col).alias("v"),
+        F.round(F.col(value_col) * 1_000_000).cast("long").alias("_q"),
+    )
+    w = Window.orderBy("t")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for j in range(k):
+        weight = 1 << (k - 1 - j)
+        lagged = F.lag("_q", j).over(w)
+        num = num + F.coalesce(lagged * weight, F.lit(0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    qd = F.col("_q").cast(_DEC)
+    mom = s.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(qd).alias("_s1"),
+        F.sum(qd * qd).alias("_s2"),
+    )
+    ema = F.round(num.cast("double") / (den * F.lit(1_000_000)).cast("double"), 6)
+    staged = s.select("t", "v", ema.alias("ema")).crossJoin(F.broadcast(mom))
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s1").cast("double") / (nd * F.lit(1_000_000.0))
+    var = (
+        (F.col("_n").cast(_DEC) * F.col("_s2") - F.col("_s1") * F.col("_s1")).cast(
+            "double"
+        )
+        / (nd * nd)
+        / F.lit(1e12)
+    )
+    sigma_z = F.sqrt(var / F.lit(3.0))
+    ucl = F.round(mu + F.lit(3.0) * sigma_z, 6)
+    lcl = F.round(mu - F.lit(3.0) * sigma_z, 6)
+    return staged.select(
+        "t",
+        "v",
+        "ema",
+        F.round(mu, 6).alias("center"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((F.col("ema") > ucl) | (F.col("ema") < lcl)).alias("out_of_control"),
     )

@@ -1818,6 +1818,21 @@ def main() -> None:
         ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Pettitt changepoint — day-grid aggregate, two grid windows, "
+        "deterministic top-1 sort on |days| rows",
+        _plan(entrymod.queries()["evt_pettitt"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "TakeOrderedAndProject",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "EWMA control chart — day-grid aggregate, one lag window, "
+        "broadcast moment join",
+        _plan(entrymod.queries()["evt_ewma"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

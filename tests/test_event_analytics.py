@@ -338,3 +338,51 @@ def test_sprt_monitor_hand_case(spark):
     assert sprt_monitor(many, p0=0.25, p1=0.5).first()["decision"] == "accept_h1"
     with pytest.raises(ValueError):
         sprt_monitor(df, p0=0.5, p1=0.5)
+
+
+def test_pettitt_hand_case(spark):
+    import math
+
+    import pytest
+
+    from kgraph_spark.operators.event_analytics import pettitt_test
+
+    # clean level shift after t=3: [1,2,3 | 10,11,12]
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0), (4, 10.0), (5, 11.0), (6, 12.0)],
+        "t long, v double",
+    )
+    r = pettitt_test(df).first()
+    # U_3 = 2*(1+2+3) - 3*7 = -9 is the extreme -> split after t=3
+    assert (r["n"], r["t_star"], r["u_star"], r["k_u"]) == (6, 3, -9, 9)
+    p = min(1.0, 2.0 * math.exp(-6.0 * 81 / (216.0 + 36.0)))
+    assert r["p_approx"] == pytest.approx(round(p, 6), abs=1e-9)
+    # constant series: every U_t = 0, earliest t wins, p capped at 1
+    flat = spark.createDataFrame([(i, 5.0) for i in range(1, 5)], "t long, v double")
+    rf = pettitt_test(flat).first()
+    assert (rf["t_star"], rf["k_u"], rf["p_approx"]) == (1, 0, 1.0)
+
+
+def test_ewma_chart_hand_case(spark):
+    import pytest
+
+    from kgraph_spark.operators.event_analytics import ewma_chart
+
+    # long stable run with one big final spike: only the spike day flags
+    # (the in-sample sigma includes the spike, so the run must be long
+    # enough that one point can't inflate the limits past its own EMA)
+    rows = [(i, 10.0) for i in range(1, 30)] + [(30, 60.0)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["t"]: r for r in ewma_chart(df).collect()}
+    # warm-up row: ema = v exactly
+    assert out[1]["ema"] == pytest.approx(10.0, abs=1e-6)
+    # spike day: ema = (60*128 + 10*(64+...+1)) / 255
+    expected = (60 * 128 + 10 * 127) / 255.0
+    assert out[30]["ema"] == pytest.approx(round(expected, 6), abs=1e-6)
+    assert out[30]["out_of_control"] is True
+    assert all(not out[t]["out_of_control"] for t in range(1, 30))
+    # limits are symmetric around the mean
+    r = out[5]
+    assert r["ucl"] - r["center"] == pytest.approx(r["center"] - r["lcl"], abs=1e-5)
+    with pytest.raises(ValueError):
+        ewma_chart(df, k=0)
