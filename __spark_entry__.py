@@ -5215,6 +5215,32 @@ def q_evt_ewma(spark, sf_dir):
     return ewma_chart(_daily_mean_series(spark, sf_dir))
 
 
+def q_stat_cochran_q(spark, sf_dir):
+    """Cochran's Q: do the five event types differ in their rate of
+    producing a high-value (≥100) event for the SAME user — the binary
+    within-block k-treatment test; exact-integer Q, one division."""
+    from kgraph_spark.operators.stats import cochran_q
+
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", (F.col("value") >= 100.0).alias("hi")
+    )
+    return cochran_q(e, "user_id", "event_type", "hi")
+
+
+def q_stat_bowker(spark, sf_dir):
+    """Bowker symmetry test on the per-user event-type transition
+    matrix: is A→B traffic balanced with B→A — micro-rounded per-pair
+    McNemar terms summed exactly."""
+    from kgraph_spark.operators.stats import bowker_symmetry
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return bowker_symmetry(p, "prev", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5495,6 +5521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_sprt": q_evt_sprt,
         "evt_pettitt": q_evt_pettitt,
         "evt_ewma": q_evt_ewma,
+        "stat_cochran_q": q_stat_cochran_q,
+        "stat_bowker": q_stat_bowker,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -13919,5 +13947,76 @@ def oracle_sql() -> dict[str, str]:
                                                 / (n::DOUBLE * n::DOUBLE) / 1e12 / 3.0), 6))
                        AS out_of_control
             FROM e, mom
+        """,
+        "stat_cochran_q": """
+            -- Cochran's Q: binary within-block k-treatment test over the
+            -- user x event_type grid (did the type produce a >=100 event
+            -- for the SAME user); complete blocks only, exact integer
+            -- arithmetic, one division (stats.cochran_q)
+            WITH cells AS (
+                SELECT user_id AS blk, event_type AS trt,
+                       max(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)::BIGINT AS x
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                      AND value IS NOT NULL
+                GROUP BY 1, 2
+            ), kr AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+            per_blk AS (
+                SELECT blk, count(*)::BIGINT AS kb, sum(x)::BIGINT AS r
+                FROM cells GROUP BY 1
+            ), complete AS (
+                SELECT blk, r FROM per_blk, kr WHERE kb = k
+            ), blk_tot AS (
+                SELECT count(*)::BIGINT AS n_blocks,
+                       sum(r)::BIGINT AS nn,
+                       sum(r::HUGEINT * r) AS sr2
+                FROM complete
+            ), per_trt AS (
+                SELECT trt, sum(x)::BIGINT AS c
+                FROM cells JOIN complete USING (blk) GROUP BY 1
+            ), trt_tot AS (SELECT sum(c::HUGEINT * c) AS sc2 FROM per_trt)
+            SELECT n_blocks, k, (k - 1)::BIGINT AS dof,
+                   CASE WHEN (k::HUGEINT * nn - sr2)::DOUBLE > 0
+                        THEN round(((k - 1)::HUGEINT
+                                    * (k::HUGEINT * sc2 - nn::HUGEINT * nn))::DOUBLE
+                                   / (k::HUGEINT * nn - sr2)::DOUBLE, 6)
+                   END AS q
+            FROM blk_tot, trt_tot, kr
+        """,
+        "stat_bowker": """
+            -- Bowker symmetry on the per-user event-type transition
+            -- matrix: per unordered off-diagonal pair, micro-rounded
+            -- (fwd-rev)^2/(fwd+rev) summed exactly (stats.bowker_symmetry)
+            WITH trans AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS a,
+                       event_type AS b
+                FROM events
+            ), q AS (
+                SELECT a::VARCHAR AS a, b::VARCHAR AS b FROM trans
+                WHERE a IS NOT NULL AND b IS NOT NULL
+            ), cells AS (
+                SELECT a, b, count(*)::BIGINT AS c FROM q GROUP BY 1, 2
+            ), canon AS (
+                SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+                       sum(CASE WHEN a < b THEN c ELSE 0 END)::BIGINT AS fwd,
+                       sum(CASE WHEN a > b THEN c ELSE 0 END)::BIGINT AS rev
+                FROM cells WHERE a <> b GROUP BY 1, 2
+            ), folded AS (
+                SELECT count(*)::BIGINT AS k_pairs,
+                       sum(round((fwd::DOUBLE - rev::DOUBLE)
+                                 * (fwd::DOUBLE - rev::DOUBLE)
+                                 / (fwd::DOUBLE + rev::DOUBLE)
+                                 * 1000000.0, 0)::BIGINT) AS qm
+                FROM canon
+            ), tot AS (SELECT count(*)::BIGINT AS n FROM q)
+            SELECT n,
+                   coalesce(k_pairs, 0)::BIGINT AS k_pairs,
+                   coalesce(k_pairs, 0)::BIGINT AS dof,
+                   CASE WHEN k_pairs > 0
+                        THEN round(qm::DOUBLE / 1000000.0, 6)
+                   END AS q
+            FROM folded, tot
         """,
     }

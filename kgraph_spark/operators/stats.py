@@ -56,6 +56,8 @@ __all__ = [
     "friedman",
     "jonckheere_terpstra",
     "capture_recapture",
+    "cochran_q",
+    "bowker_symmetry",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1712,4 +1714,128 @@ def capture_recapture(df: DataFrame, key_col: str, side_col: str) -> DataFrame:
         "n_seen",
         F.round(est, 6).alias("chapman"),
         F.when(var > 0, F.round(F.sqrt(var), 6)).alias("se"),
+    )
+
+
+def cochran_q(
+    df: DataFrame, block_col: str, treatment_col: str, success_col: str
+) -> DataFrame:
+    """Cochran's Q — the BINARY within-block k-treatment test (the
+    k-sample McNemar / binary Friedman): one row (n_blocks, k, dof, q).
+    "Do the k gates/variants fire at different rates on the SAME items"
+    — pairing within block removes the item-difficulty confound that a
+    pooled prop_ztest per pair would drown in.
+
+    Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²) with C_j = per-treatment
+    successes, R_i = per-block successes, N = ΣR — EXACT integer
+    arithmetic end to end, ONE division. Only COMPLETE blocks (all k
+    treatments observed) enter; blocks with all-0 or all-1 rows carry
+    no information and the denominator drops them naturally —
+    denominator 0 (every block degenerate) → NULL q.
+
+    Scale: one cell aggregate (hash, partials), two tiny folds; blocks
+    never pair.
+    """
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(success_col).isNotNull()
+        )
+        .groupBy(F.col(block_col).alias("blk"), F.col(treatment_col).alias("trt"))
+        .agg(
+            F.max(F.col(success_col).cast("boolean").cast("int")).alias("x")
+        )
+    )
+    k_row = cells.agg(F.countDistinct("trt").cast("long").alias("k"))
+    per_blk = cells.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("_kb"),
+        F.sum("x").cast("long").alias("r"),
+    )
+    complete = (
+        per_blk.crossJoin(F.broadcast(k_row))
+        .filter(F.col("_kb") == F.col("k"))
+        .select("blk", "r")
+    )
+    rd = F.col("r").cast(_DEC)
+    blk_tot = complete.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("r").cast("long").alias("_nn"),
+        F.sum(rd * rd).alias("_sr2"),
+    )
+    per_trt = (
+        cells.join(complete.select("blk"), "blk")
+        .groupBy("trt")
+        .agg(F.sum("x").cast("long").alias("c"))
+    )
+    cd = F.col("c").cast(_DEC)
+    trt_tot = per_trt.agg(F.sum(cd * cd).alias("_sc2"))
+    out = blk_tot.crossJoin(F.broadcast(trt_tot)).crossJoin(F.broadcast(k_row))
+    kD = F.col("k").cast(_DEC)
+    nD = F.col("_nn").cast(_DEC)
+    num = (kD - 1) * (kD * F.col("_sc2") - nD * nD)
+    den = kD * nD - F.col("_sr2")
+    return out.select(
+        "n_blocks",
+        "k",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.when(
+            den.cast("double") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("q"),
+    )
+
+
+def bowker_symmetry(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Bowker symmetry test — McNemar generalized to a k×k contingency
+    table: one row (n, k_pairs, dof, q). "Are the off-diagonal flows
+    balanced" — for transition matrices (is A→B as common as B→A),
+    label-revision audits (old label vs new label), or dual-annotator
+    matrices. chi2_independence can't see this: a perfectly symmetric
+    matrix can still be strongly associated.
+
+    Q = Σ_{i<j} (n_ij − n_ji)² / (n_ij + n_ji) over unordered cell pairs
+    with traffic; dof = #such pairs. Each per-pair term is an exact-
+    integer ratio MICRO-rounded once and summed exactly (the
+    chi2_independence recipe), so partition order can never wobble Q.
+    Diagonal cells (a = b) are ignored by definition. No off-diagonal
+    traffic at all → NULL q, dof 0.
+
+    Scale: one (a,b) cell aggregate with partials, one canonical-pair
+    aggregate on |cells| rows, one fold.
+    """
+    q = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).cast("string").alias("a"),
+        F.col(b_col).cast("string").alias("b"),
+    )
+    cells = q.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    off = cells.filter(F.col("a") != F.col("b"))
+    canon = off.select(
+        F.least("a", "b").alias("lo"),
+        F.greatest("a", "b").alias("hi"),
+        F.when(F.col("a") < F.col("b"), F.col("c")).otherwise(F.lit(0)).alias("fwd"),
+        F.when(F.col("a") > F.col("b"), F.col("c")).otherwise(F.lit(0)).alias("rev"),
+    ).groupBy("lo", "hi").agg(
+        F.sum("fwd").cast("long").alias("fwd"),
+        F.sum("rev").cast("long").alias("rev"),
+    )
+    fd = F.col("fwd").cast("double")
+    rd = F.col("rev").cast("double")
+    term_micro = F.round(
+        (fd - rd) * (fd - rd) / (fd + rd) * F.lit(1_000_000.0), 0
+    ).cast("long")
+    tot = q.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    folded = canon.agg(
+        F.count(F.lit(1)).cast("long").alias("k_pairs"),
+        F.sum(term_micro).cast("long").alias("_qm"),
+    )
+    out = folded.crossJoin(F.broadcast(tot))
+    return out.select(
+        "n",
+        F.coalesce(F.col("k_pairs"), F.lit(0)).alias("k_pairs"),
+        F.coalesce(F.col("k_pairs"), F.lit(0)).alias("dof"),
+        F.when(
+            F.col("k_pairs") > 0,
+            F.round(F.col("_qm").cast("double") / F.lit(1_000_000.0), 6),
+        ).alias("q"),
     )

@@ -1833,6 +1833,20 @@ def main() -> None:
         ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Cochran's Q — (block,treatment) cell aggregate with partials, "
+        "tiny broadcast folds; blocks never pair",
+        _plan(entrymod.queries()["stat_cochran_q"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Bowker symmetry — one per-user lag window, (a,b) cell aggregate "
+        "with partials, |pairs|-row canonical fold",
+        _plan(entrymod.queries()["stat_bowker"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

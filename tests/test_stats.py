@@ -684,3 +684,57 @@ def test_capture_recapture_hand_case(spark):
     )
     r2 = capture_recapture(full, "key", "side").first()
     assert r2["chapman"] == pytest.approx(2.0, abs=1e-6) and r2["se"] is None
+
+
+def test_cochran_q_hand_case(spark):
+    from kgraph_spark.operators.stats import cochran_q
+
+    # 4 complete blocks x 3 treatments: C=(3,2,1), R=(2,1,3,0), N=6
+    # Q = 2*(3*14 - 36)/(3*6 - 14) = 12/4 = 3
+    rows = [
+        (1, "a", True), (1, "b", True), (1, "c", False),
+        (2, "a", True), (2, "b", False), (2, "c", False),
+        (3, "a", True), (3, "b", True), (3, "c", True),
+        (4, "a", False), (4, "b", False), (4, "c", False),
+    ]
+    df = spark.createDataFrame(rows, "blk long, trt string, s boolean")
+    r = cochran_q(df, "blk", "trt", "s").first()
+    assert (r["n_blocks"], r["k"], r["dof"]) == (4, 3, 2)
+    assert r["q"] == pytest.approx(3.0, abs=1e-6)
+    # an incomplete block (only one treatment observed) is dropped
+    df2 = df.union(
+        spark.createDataFrame([(5, "a", True)], "blk long, trt string, s boolean")
+    )
+    r2 = cochran_q(df2, "blk", "trt", "s").first()
+    assert r2["n_blocks"] == 4 and r2["q"] == pytest.approx(3.0, abs=1e-6)
+    # every block degenerate (all-1): denominator 0 -> NULL q
+    flat = spark.createDataFrame(
+        [(1, "a", True), (1, "b", True), (2, "a", True), (2, "b", True)],
+        "blk long, trt string, s boolean",
+    )
+    r3 = cochran_q(flat, "blk", "trt", "s").first()
+    assert r3["n_blocks"] == 2 and r3["q"] is None
+
+
+def test_bowker_symmetry_hand_case(spark):
+    from kgraph_spark.operators.stats import bowker_symmetry
+
+    # (a,b): fwd 3 rev 1 -> 4/4=1; (a,c): 2 vs 2 -> 0; (b,c): 5 vs 0 -> 5
+    # diagonal a->a ignored; Q = 6, dof = 3 pairs, n = 17
+    rows = (
+        [("a", "b")] * 3 + [("b", "a")] + [("a", "c")] * 2
+        + [("c", "a")] * 2 + [("b", "c")] * 5 + [("a", "a")] * 4
+    )
+    df = spark.createDataFrame(rows, "x string, y string")
+    r = bowker_symmetry(df, "x", "y").first()
+    assert (r["n"], r["k_pairs"], r["dof"]) == (17, 3, 3)
+    assert r["q"] == pytest.approx(6.0, abs=1e-6)
+    # symmetric flow only: Q = 0 but the pair still counts toward dof
+    sym = spark.createDataFrame([("a", "b"), ("b", "a")], "x string, y string")
+    r2 = bowker_symmetry(sym, "x", "y").first()
+    assert (r2["k_pairs"], r2["q"]) == (1, 0.0)
+    # diagonal-only traffic: no pairs, NULL q
+    diag = spark.createDataFrame([("a", "a"), ("b", "b")], "x string, y string")
+    r3 = bowker_symmetry(diag, "x", "y").first()
+    assert (r3["n"], r3["k_pairs"], r3["dof"]) == (2, 0, 0)
+    assert r3["q"] is None
