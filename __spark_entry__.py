@@ -5241,6 +5241,80 @@ def q_stat_bowker(spark, sf_dir):
     return bowker_symmetry(p, "prev", "event_type")
 
 
+def q_stat_mood_median(spark, sf_dir):
+    """Mood's median test: do the five event types share a median value
+    — dichotomize every value at the exact pooled grand median (lower
+    median on the micro grid), chi2 on the k×2 group-by-side table; the
+    outlier-immune location gate complementing kruskal/anova."""
+    from kgraph_spark.operators.stats import mood_median
+
+    return mood_median(_read(spark, sf_dir, "events"), "value", "event_type")
+
+
+def q_stat_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa across three deterministic document-quality
+    'raters' (char-length band, word-count band, avg-word-length band,
+    each rating {low,mid,high}): do the quality heuristics agree beyond
+    what their marginals force — exact-integer kappa, one division."""
+    from kgraph_spark.operators.stats import fleiss_kappa
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("wc"),
+        )
+    )
+    band = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, "low").when(c < hi, "mid").otherwise("high")
+    )
+    ratings = (
+        d.select(
+            F.col("doc_id").alias("item"),
+            F.lit("len").alias("rater"),
+            band(F.col("n_chars"), 220, 380).alias("cat"),
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("item"),
+                F.lit("words").alias("rater"),
+                band(F.col("wc"), 40, 70).alias("cat"),
+            )
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("item"),
+                F.lit("awl").alias("rater"),
+                # avg word length bands 5.45 / 5.60, cross-multiplied so the
+                # comparison stays in exact integers
+                F.when(F.col("n_chars") * 100 < F.col("wc") * 545, "low")
+                .when(F.col("n_chars") * 100 < F.col("wc") * 560, "mid")
+                .otherwise("high")
+                .alias("cat"),
+            )
+        )
+    )
+    return fleiss_kappa(ratings, "item", "rater", "cat")
+
+
+def q_stat_hellinger(spark, sf_dir):
+    """Hellinger distance between even- and odd-user event-type
+    distributions — the bounded true-metric A/B drift gate (IEEE-exact
+    sqrts, nano-rounded Bhattacharyya terms summed exactly)."""
+    from kgraph_spark.operators.stats import hellinger_distance
+
+    e = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2 == 1).alias("odd_user")
+    )
+    return hellinger_distance(e, "event_type", "odd_user")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5523,6 +5597,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_ewma": q_evt_ewma,
         "stat_cochran_q": q_stat_cochran_q,
         "stat_bowker": q_stat_bowker,
+        "stat_mood_median": q_stat_mood_median,
+        "stat_fleiss_kappa": q_stat_fleiss_kappa,
+        "stat_hellinger": q_stat_hellinger,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -14018,5 +14095,166 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(qm::DOUBLE / 1000000.0, 6)
                    END AS q
             FROM folded, tot
+        """,
+        "stat_mood_median": """
+            -- Mood's median test: exact lower grand median on the micro
+            -- grid, per-group above/<= splits, micro-rounded chi2 terms
+            -- summed exactly (stats.mood_median)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 1000000)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), cells AS (
+                SELECT g, qv, count(*)::BIGINT AS t FROM q GROUP BY 1, 2
+            ), per_v AS (
+                SELECT qv, sum(t)::BIGINT AS tv FROM cells GROUP BY 1
+            ), cum AS (
+                SELECT qv,
+                       sum(tv) OVER (ORDER BY qv
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT AS cum,
+                       sum(tv) OVER ()::BIGINT AS n
+                FROM per_v
+            ), med AS (
+                SELECT n, min(qv)::BIGINT AS med FROM cum
+                WHERE cum * 2 >= n GROUP BY n
+            ), per_g AS (
+                SELECT g, n, med,
+                       sum(CASE WHEN qv > med THEN t ELSE 0 END)::BIGINT AS a,
+                       sum(CASE WHEN qv <= med THEN t ELSE 0 END)::BIGINT AS l
+                FROM cells, med GROUP BY 1, 2, 3
+            ), col_tot AS (
+                SELECT n, med, count(*)::BIGINT AS k,
+                       sum(a)::BIGINT AS ca, sum(l)::BIGINT AS cl
+                FROM per_g GROUP BY 1, 2
+            ), terms AS (
+                SELECT n, med, k, ca, cl,
+                       sum(CASE WHEN ca > 0 AND cl > 0 THEN
+                           round((n::DOUBLE * a::DOUBLE
+                                  - (a + l)::DOUBLE * ca::DOUBLE)
+                                 * (n::DOUBLE * a::DOUBLE
+                                    - (a + l)::DOUBLE * ca::DOUBLE)
+                                 / (n::DOUBLE * (a + l)::DOUBLE * ca::DOUBLE)
+                                 * 1000000.0, 0)::BIGINT
+                         + round((n::DOUBLE * l::DOUBLE
+                                  - (a + l)::DOUBLE * cl::DOUBLE)
+                                 * (n::DOUBLE * l::DOUBLE
+                                    - (a + l)::DOUBLE * cl::DOUBLE)
+                                 / (n::DOUBLE * (a + l)::DOUBLE * cl::DOUBLE)
+                                 * 1000000.0, 0)::BIGINT
+                       END) AS cm
+                FROM per_g JOIN col_tot USING (n, med)
+                GROUP BY 1, 2, 3, 4, 5
+            )
+            SELECT n, k,
+                   round(med::DOUBLE / 1000000.0, 6) AS grand_median,
+                   ca AS n_above, (k - 1)::BIGINT AS dof,
+                   CASE WHEN ca > 0 AND cl > 0 AND k >= 2
+                        THEN round(cm::DOUBLE / 1000000.0, 6) END AS chi2
+            FROM terms
+        """,
+        "stat_fleiss_kappa": """
+            -- Fleiss' kappa among three deterministic quality raters
+            -- (len / words / avg-word-length bands): complete items only,
+            -- exact HUGEINT kappa identity, one division
+            -- (stats.fleiss_kappa)
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS wc
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), ratings AS (
+                SELECT doc_id AS item, 'len' AS rater,
+                       CASE WHEN n_chars < 220 THEN 'low'
+                            WHEN n_chars < 380 THEN 'mid'
+                            ELSE 'high' END AS cat
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'words',
+                       CASE WHEN wc < 40 THEN 'low'
+                            WHEN wc < 70 THEN 'mid'
+                            ELSE 'high' END
+                FROM d
+                UNION ALL
+                SELECT doc_id, 'awl',
+                       CASE WHEN n_chars * 100 < wc * 545 THEN 'low'
+                            WHEN n_chars * 100 < wc * 560 THEN 'mid'
+                            ELSE 'high' END
+                FROM d
+            ), r_row AS (
+                SELECT count(DISTINCT rater)::BIGINT AS r FROM ratings
+            ), ij AS (
+                SELECT item, cat, count(*)::BIGINT AS c
+                FROM ratings GROUP BY 1, 2
+            ), per_item AS (
+                SELECT item, sum(c)::BIGINT AS m, sum(c::HUGEINT * c) AS s2
+                FROM ij GROUP BY 1
+            ), complete AS (
+                SELECT item, s2 FROM per_item, r_row WHERE m = r
+            ), items_tot AS (
+                SELECT count(*)::BIGINT AS n_items, sum(s2) AS s FROM complete
+            ), per_cat AS (
+                SELECT cat, sum(c)::BIGINT AS cj
+                FROM ij JOIN complete USING (item) GROUP BY 1
+            ), cat_tot AS (
+                SELECT count(*)::BIGINT AS k, sum(cj::HUGEINT * cj) AS cc
+                FROM per_cat
+            )
+            SELECT n_items, r, k,
+                   CASE WHEN n_items > 0 AND r >= 2
+                        THEN round((s - n_items::HUGEINT * r)::DOUBLE
+                                   / (n_items::HUGEINT * r * (r - 1))::DOUBLE, 6)
+                   END AS p_bar,
+                   CASE WHEN n_items > 0
+                        THEN round(cc::DOUBLE
+                                   / ((n_items::HUGEINT * r)
+                                      * (n_items::HUGEINT * r))::DOUBLE, 6)
+                   END AS p_e,
+                   CASE WHEN (n_items::HUGEINT * r * (r - 1)
+                              * ((n_items::HUGEINT * r) * (n_items::HUGEINT * r)
+                                 - cc))::DOUBLE > 0
+                        THEN round(((s - n_items::HUGEINT * r)
+                                    * (n_items::HUGEINT * r)
+                                    * (n_items::HUGEINT * r)
+                                    - n_items::HUGEINT * r * (r - 1) * cc)::DOUBLE
+                                   / (n_items::HUGEINT * r * (r - 1)
+                                      * ((n_items::HUGEINT * r)
+                                         * (n_items::HUGEINT * r) - cc))::DOUBLE,
+                                   6)
+                   END AS kappa
+            FROM items_tot, cat_tot, r_row
+        """,
+        "stat_hellinger": """
+            -- Hellinger distance between even- and odd-user event-type
+            -- distributions: nano-rounded per-category sqrt(p*q) terms
+            -- summed exactly, H = sqrt(max(0, 1 - BC))
+            -- (stats.hellinger_distance)
+            WITH q AS (
+                SELECT event_type AS key,
+                       CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS s
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            ), per_k AS (
+                SELECT key, sum(1 - s)::BIGINT AS a, sum(s)::BIGINT AS b
+                FROM q GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS k, sum(a)::BIGINT AS n_a,
+                       sum(b)::BIGINT AS n_b
+                FROM per_k
+            ), terms AS (
+                SELECT k, n_a, n_b,
+                       sum(round(CASE WHEN n_a > 0 AND n_b > 0
+                                 THEN sqrt(a::DOUBLE * b::DOUBLE)
+                                      / sqrt(n_a::DOUBLE * n_b::DOUBLE)
+                                 ELSE 0.0 END * 1000000000.0, 0)::BIGINT) AS bn
+                FROM per_k, tot GROUP BY 1, 2, 3
+            )
+            SELECT k, n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(bn::DOUBLE / 1000000000.0, 6) END AS bc,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(sqrt(greatest(0.0,
+                                        1.0 - bn::DOUBLE / 1000000000.0)), 6)
+                   END AS hellinger
+            FROM terms
         """,
     }

@@ -58,6 +58,9 @@ __all__ = [
     "capture_recapture",
     "cochran_q",
     "bowker_symmetry",
+    "mood_median",
+    "fleiss_kappa",
+    "hellinger_distance",
 ]
 
 _DEC = "decimal(38,0)"
@@ -1838,4 +1841,226 @@ def bowker_symmetry(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
             F.col("k_pairs") > 0,
             F.round(F.col("_qm").cast("double") / F.lit(1_000_000.0), 6),
         ).alias("q"),
+    )
+
+
+def mood_median(
+    df: DataFrame, value_col: str, group_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Mood's median test — the ROBUST k-sample location gate: one row
+    (n, k, grand_median, n_above, chi2, dof). Dichotomizes every value
+    at the pooled grand median and chi2-tests the k×2 (group × side)
+    table — outlier-immune where anova_f is not, and cheaper than
+    kruskal_wallis when only a location shift matters.
+
+    The grand median is the EXACT lower median on the quantized grid
+    (smallest value whose cumulative count reaches ceil(n/2)); per-group
+    above/≤ splits are exact longs; each group's two chi2 terms
+    (n·O − R·C)²/(n·R·C) are a fixed IEEE double sequence micro-rounded
+    ONCE and summed exactly (the chi2_independence recipe). A degenerate
+    split (every value on one side of the median) reports NULL chi2.
+
+    Scale: one (group, value) cell aggregate with partials; the ordered
+    cumulative runs on the |grid| rows, not |data| rows; the median is a
+    broadcast single-row join.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv"))
+    cells = q.groupBy("g", "qv").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    per_v = cells.groupBy("qv").agg(F.sum("t").cast("long").alias("tv"))
+    w = Window.orderBy("qv")
+    cum = per_v.select(
+        "qv",
+        F.sum("tv").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("tv").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("n")
+        .agg(F.min("qv").alias("med"))
+    )
+    per_g = (
+        cells.crossJoin(F.broadcast(med))
+        .groupBy("g", "n", "med")
+        .agg(
+            F.sum(F.when(F.col("qv") > F.col("med"), F.col("t")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("qv") <= F.col("med"), F.col("t")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("l"),
+        )
+    )
+    col_tot = per_g.groupBy("n", "med").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("a").cast("long").alias("ca"),
+        F.sum("l").cast("long").alias("cl"),
+    )
+    j = per_g.join(F.broadcast(col_tot), ["n", "med"])
+    nd = F.col("n").cast("double")
+    rg = (F.col("a") + F.col("l")).cast("double")
+    cad = F.col("ca").cast("double")
+    cld = F.col("cl").cast("double")
+    dev_a = nd * F.col("a").cast("double") - rg * cad
+    dev_l = nd * F.col("l").cast("double") - rg * cld
+    term_micro = (
+        F.round(dev_a * dev_a / (nd * rg * cad) * F.lit(1_000_000.0), 0)
+        + F.round(dev_l * dev_l / (nd * rg * cld) * F.lit(1_000_000.0), 0)
+    ).cast("long")
+    ok = (F.col("ca") > 0) & (F.col("cl") > 0)
+    summed = j.groupBy("n", "med", "k", "ca", "cl").agg(
+        F.sum(F.when(ok, term_micro)).cast("long").alias("_cm")
+    )
+    return summed.select(
+        "n",
+        "k",
+        F.round(F.col("med").cast("double") / F.lit(float(scale)), 6).alias(
+            "grand_median"
+        ),
+        F.col("ca").alias("n_above"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.when(
+            (F.col("ca") > 0) & (F.col("cl") > 0) & (F.col("k") >= 2),
+            F.round(F.col("_cm").cast("double") / F.lit(1_000_000.0), 6),
+        ).alias("chi2"),
+    )
+
+
+def fleiss_kappa(
+    df: DataFrame, item_col: str, rater_col: str, category_col: str
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among r ≥ 2 raters
+    assigning categories to shared items (the k-rater generalization of
+    eval_metrics.cohens_kappa): one row (n_items, r, k, p_bar, p_e,
+    kappa). The training-data gate for "do my quality heuristics /
+    annotators actually agree beyond what their marginals force".
+
+    Contract: one rating per (item, rater). r = the GLOBAL number of
+    distinct raters; only items rated by all r raters enter (the
+    complete-blocks rule, as cochran_q). With S = ΣᵢΣⱼ n_ij²,
+    C = Σⱼ(Σᵢ n_ij)², P̄ = (S − Nr)/(Nr(r−1)) and P̄ₑ = C/(Nr)²:
+
+        kappa = ((S − Nr)·(Nr)² − Nr(r−1)·C) / (Nr(r−1)·((Nr)² − C))
+
+    — numerator and denominator EXACT decimal(38,0) integers (safe to
+    ~10¹² ratings), ONE double division at the end. P̄ₑ = 1 (a single
+    category ever used) → NULL kappa.
+
+    Scale: one (item, category) cell aggregate, one per-item fold, two
+    tiny broadcast joins; items never pair with items.
+    """
+    q = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(category_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater"),
+        F.col(category_col).cast("string").alias("cat"),
+    )
+    r_row = q.agg(F.countDistinct("rater").cast("long").alias("r"))
+    ij = q.groupBy("item", "cat").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cd = F.col("c").cast(_DEC)
+    per_item = ij.groupBy("item").agg(
+        F.sum("c").cast("long").alias("m"),
+        F.sum(cd * cd).alias("s2"),
+    )
+    complete = (
+        per_item.crossJoin(F.broadcast(r_row))
+        .filter(F.col("m") == F.col("r"))
+        .select("item", "s2")
+    )
+    items_tot = complete.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("s2").alias("_s"),
+    )
+    per_cat = (
+        ij.join(complete.select("item"), "item")
+        .groupBy("cat")
+        .agg(F.sum("c").cast("long").alias("cj"))
+    )
+    cjd = F.col("cj").cast(_DEC)
+    cat_tot = per_cat.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(cjd * cjd).alias("_c"),
+    )
+    out = items_tot.crossJoin(F.broadcast(cat_tot)).crossJoin(F.broadcast(r_row))
+    nr = F.col("n_items").cast(_DEC) * F.col("r").cast(_DEC)
+    rm1 = (F.col("r") - 1).cast(_DEC)
+    s_ = F.col("_s")
+    c_ = F.col("_c")
+    p_bar = F.when(
+        (F.col("n_items") > 0) & (F.col("r") >= 2),
+        (s_ - nr).cast("double") / (nr * rm1).cast("double"),
+    )
+    p_e = F.when(
+        F.col("n_items") > 0, c_.cast("double") / (nr * nr).cast("double")
+    )
+    num = (s_ - nr) * nr * nr - nr * rm1 * c_
+    den = nr * rm1 * (nr * nr - c_)
+    return out.select(
+        "n_items",
+        "r",
+        "k",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.when(
+            den.cast("double") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
+def hellinger_distance(df: DataFrame, key_col: str, side_col: str) -> DataFrame:
+    """Hellinger distance between the two sides' categorical
+    distributions — one row (k, n_a, n_b, bc, hellinger). The bounded
+    [0,1] TRUE-METRIC drift companion to jensen_shannon (which weights
+    log-surprise) and TVD (which ignores mass geometry): H² = 1 − BC
+    with BC = Σⱼ √(pⱼ·qⱼ) the Bhattacharyya coefficient. side TRUE rows
+    form q, FALSE rows p.
+
+    Float discipline: per-key √(aⱼ·bⱼ)/√(n_a·n_b) is a fixed IEEE
+    sequence (multiply, two sqrts, divide — sqrt is correctly rounded in
+    every IEEE engine), NANO-rounded once and summed exactly; the final
+    H = √max(0, 1 − BC) clamps the sub-nano negative that exact-nano BC
+    can leave. Either side empty → NULL bc/hellinger.
+
+    Scale: one hash aggregate on the category key + a broadcast
+    single-row totals join; terms live on |categories| rows.
+    """
+    q = df.filter(F.col(key_col).isNotNull() & F.col(side_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(side_col).cast("boolean").cast("int").alias("s"),
+    )
+    per_k = q.groupBy("key").agg(
+        F.sum(1 - F.col("s")).cast("long").alias("a"),
+        F.sum("s").cast("long").alias("b"),
+    )
+    tot = per_k.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+    )
+    j = per_k.crossJoin(F.broadcast(tot))
+    ok_tot = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    term = F.when(
+        ok_tot,
+        F.sqrt(F.col("a").cast("double") * F.col("b").cast("double"))
+        / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+    ).otherwise(F.lit(0.0))
+    term_nano = F.round(term * F.lit(1_000_000_000.0), 0).cast("long")
+    s = j.groupBy("k", "n_a", "n_b").agg(F.sum(term_nano).cast("long").alias("_bn"))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    bc = F.col("_bn").cast("double") / F.lit(1_000_000_000.0)
+    return s.select(
+        "k",
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(bc, 6)).alias("bc"),
+        F.when(ok, F.round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 6)).alias(
+            "hellinger"
+        ),
     )

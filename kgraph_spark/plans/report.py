@@ -1847,6 +1847,27 @@ def main() -> None:
         ["Window", "HashAggregate", "partial_", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Mood's median — (group,value) cell aggregate with partials, "
+        "grid-sized cumulative window, broadcast median join",
+        _plan(entrymod.queries()["stat_mood_median"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Fleiss' kappa — three-rater union, (item,cat) cell aggregate "
+        "with partials, tiny broadcast folds; no window",
+        _plan(entrymod.queries()["stat_fleiss_kappa"](spark, SF)),
+        ["Union", "HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Hellinger drift — one category-key aggregate with partials, "
+        "broadcast totals join; no window, no sort",
+        _plan(entrymod.queries()["stat_hellinger"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window", "!Sort"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -738,3 +738,81 @@ def test_bowker_symmetry_hand_case(spark):
     r3 = bowker_symmetry(diag, "x", "y").first()
     assert (r3["n"], r3["k_pairs"], r3["dof"]) == (2, 0, 0)
     assert r3["q"] is None
+
+
+def test_mood_median_hand_case(spark):
+    from kgraph_spark.operators.stats import mood_median
+
+    # A=[1,2,3], B=[4,5,6]: pooled lower median 3; 2x2 table [[0,3],[3,0]]
+    # chi2 = 6*(0*0-3*3)^2/(3*3*3*3) = 6
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mood_median(df, "v", "g").first()
+    assert (r["n"], r["k"], r["dof"], r["n_above"]) == (6, 2, 1, 3)
+    assert r["grand_median"] == pytest.approx(3.0, abs=1e-9)
+    assert r["chi2"] == pytest.approx(6.0, abs=1e-5)
+    # all values equal: everything <= median, degenerate split -> NULL
+    flat = spark.createDataFrame(
+        [("A", 7.0), ("A", 7.0), ("B", 7.0)], "g string, v double"
+    )
+    r2 = mood_median(flat, "v", "g").first()
+    assert r2["n_above"] == 0 and r2["chi2"] is None
+
+
+def test_fleiss_kappa_hand_case(spark):
+    from kgraph_spark.operators.stats import fleiss_kappa
+
+    # 3 raters, 3 items: S=17, C=41, Nr=9 -> kappa = -90/720 = -0.125
+    rows = [
+        (1, "r1", "x"), (1, "r2", "x"), (1, "r3", "x"),
+        (2, "r1", "x"), (2, "r2", "x"), (2, "r3", "y"),
+        (3, "r1", "x"), (3, "r2", "y"), (3, "r3", "z"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    r = fleiss_kappa(df, "item", "rater", "cat").first()
+    assert (r["n_items"], r["r"], r["k"]) == (3, 3, 3)
+    assert r["p_bar"] == pytest.approx(8.0 / 18.0, abs=1e-6)
+    assert r["p_e"] == pytest.approx(41.0 / 81.0, abs=1e-6)
+    assert r["kappa"] == pytest.approx(-0.125, abs=1e-6)
+    # an item rated by only 2 of 3 raters is excluded
+    df2 = df.union(
+        spark.createDataFrame([(4, "r1", "x"), (4, "r2", "x")],
+                              "item long, rater string, cat string")
+    )
+    r2 = fleiss_kappa(df2, "item", "rater", "cat").first()
+    assert r2["n_items"] == 3 and r2["kappa"] == pytest.approx(-0.125, abs=1e-6)
+    # single category ever used: P_e = 1 -> NULL kappa
+    uni = spark.createDataFrame(
+        [(1, "r1", "x"), (1, "r2", "x"), (2, "r1", "x"), (2, "r2", "x")],
+        "item long, rater string, cat string",
+    )
+    r3 = fleiss_kappa(uni, "item", "rater", "cat").first()
+    assert r3["p_bar"] == pytest.approx(1.0) and r3["kappa"] is None
+
+
+def test_hellinger_hand_case(spark):
+    import math as m
+
+    from kgraph_spark.operators.stats import hellinger_distance
+
+    # p = (0.5, 0.5), q = (1, 0): BC = sqrt(0.5), H = sqrt(1 - BC)
+    rows = [("a", False), ("a", False), ("b", False), ("b", False)] + [
+        ("a", True)
+    ] * 4
+    df = spark.createDataFrame(rows, "key string, s boolean")
+    r = hellinger_distance(df, "key", "s").first()
+    assert (r["k"], r["n_a"], r["n_b"]) == (2, 4, 4)
+    assert r["bc"] == pytest.approx(m.sqrt(0.5), abs=1e-6)
+    assert r["hellinger"] == pytest.approx(m.sqrt(1.0 - m.sqrt(0.5)), abs=1e-6)
+    # identical distributions: BC = 1, H = 0
+    same = spark.createDataFrame(
+        [("a", False), ("a", True), ("b", False), ("b", True)],
+        "key string, s boolean",
+    )
+    r2 = hellinger_distance(same, "key", "s").first()
+    assert r2["bc"] == pytest.approx(1.0, abs=1e-6)
+    assert r2["hellinger"] == pytest.approx(0.0, abs=1e-6)
+    # one side empty -> NULLs
+    onesided = spark.createDataFrame([("a", False)], "key string, s boolean")
+    r3 = hellinger_distance(onesided, "key", "s").first()
+    assert r3["bc"] is None and r3["hellinger"] is None
