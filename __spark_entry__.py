@@ -5315,6 +5315,80 @@ def q_stat_hellinger(spark, sf_dir):
     return hellinger_distance(e, "event_type", "odd_user")
 
 
+def q_stat_cliffs_delta(spark, sf_dir):
+    """Cliff's delta + Vargha-Delaney A for purchase vs view event
+    values — the rank-based effect-size pair (how MUCH did the
+    distribution shift, not just whether), computed on the distinct
+    quantized-value grid with exact doubled midranks (never the
+    O(n·m) textbook pair sweep)."""
+    from kgraph_spark.operators.stats import cliffs_delta
+
+    ev = _read(spark, sf_dir, "events")
+    return cliffs_delta(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def q_stat_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between the char-length and word-count document
+    quality raters (same bands the Fleiss query uses) — the exact
+    2-rater crosstab identity: (n·agree − Σr·c)/(n² − Σr·c), wide
+    integers, one division."""
+    from kgraph_spark.operators.stats import cohen_kappa
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("wc"),
+        )
+    )
+    band = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, "low").when(c < hi, "mid").otherwise("high")
+    )
+    rated = d.select(
+        band(F.col("n_chars"), 220, 380).alias("len_band"),
+        band(F.col("wc"), 40, 70).alias("wc_band"),
+    )
+    return cohen_kappa(rated, "len_band", "wc_band")
+
+
+def q_stat_gamma_somers(spark, sf_dir):
+    """Goodman-Kruskal gamma + Somers' D between ordinal char-length
+    and word-count bands (0/1/2) over documents — concordance computed
+    on the k×k crosstab (cells self-join, broadcast), never the O(n²)
+    pair sweep; every statistic is exact integers + one division."""
+    from kgraph_spark.operators.stats import ordinal_concordance
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("wc"),
+        )
+    )
+    iband = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, 0).when(c < hi, 1).otherwise(2)
+    )
+    rated = d.select(
+        iband(F.col("n_chars"), 220, 380).alias("len_band"),
+        iband(F.col("wc"), 40, 70).alias("wc_band"),
+    )
+    return ordinal_concordance(rated, "len_band", "wc_band")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5600,6 +5674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_mood_median": q_stat_mood_median,
         "stat_fleiss_kappa": q_stat_fleiss_kappa,
         "stat_hellinger": q_stat_hellinger,
+        "stat_cliffs_delta": q_stat_cliffs_delta,
+        "stat_cohen_kappa": q_stat_cohen_kappa,
+        "stat_gamma_somers": q_stat_gamma_somers,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -14256,5 +14333,152 @@ def oracle_sql() -> dict[str, str]:
                                         1.0 - bn::DOUBLE / 1000000000.0)), 6)
                    END AS hellinger
             FROM terms
+        """,
+        "stat_cliffs_delta": """
+            -- Cliff's delta + Vargha-Delaney A for purchase vs view
+            -- values: doubled midranks on the distinct quantized grid,
+            -- exact-integer U, one division each (stats.cliffs_delta)
+            WITH pooled AS (
+                SELECT round(value * 1000000)::BIGINT AS qv,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS is_a
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'view')
+            ), per_v AS (
+                SELECT qv, count(*)::BIGINT AS t, sum(is_a)::BIGINT AS t_a
+                FROM pooled GROUP BY 1
+            ), ranked AS (
+                SELECT t, t_a,
+                       (2 * (sum(t) OVER (ORDER BY qv
+                                          ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM per_v
+            ), agg AS (
+                SELECT sum(t_a)::HUGEINT AS n_a,
+                       (sum(t) - sum(t_a))::HUGEINT AS n_b,
+                       sum(t_a::HUGEINT * r2::HUGEINT) AS r2_a
+                FROM ranked
+            ), s AS (
+                SELECT n_a, n_b,
+                       (r2_a - n_a * (n_a + 1)) AS u_a2,
+                       n_a * n_b AS prod
+                FROM agg
+            ), o AS (
+                SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+                       u_a2::DOUBLE / 2.0 AS u_a,
+                       round((u_a2 - prod)::DOUBLE / prod::DOUBLE, 6)
+                           AS delta,
+                       round(u_a2::DOUBLE / (2.0 * prod::DOUBLE), 6)
+                           AS vda_a
+                FROM s
+            )
+            SELECT n_a, n_b, u_a, delta, vda_a,
+                   CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+                        WHEN abs(delta) < 0.33 THEN 'small'
+                        WHEN abs(delta) < 0.474 THEN 'medium'
+                        ELSE 'large' END AS magnitude
+            FROM o
+        """,
+        "stat_cohen_kappa": """
+            -- Cohen's kappa between the len-band and wc-band raters:
+            -- exact crosstab identity (n*agree - Sum r*c)/(n^2 - Sum r*c),
+            -- wide integers, one division (stats.cohen_kappa)
+            WITH d AS (
+                SELECT n_chars,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS wc
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), rated AS (
+                SELECT CASE WHEN n_chars < 220 THEN 'low'
+                            WHEN n_chars < 380 THEN 'mid'
+                            ELSE 'high' END AS a,
+                       CASE WHEN wc < 40 THEN 'low'
+                            WHEN wc < 70 THEN 'mid'
+                            ELSE 'high' END AS b
+                FROM d
+            ), ra AS (
+                SELECT a, count(*)::BIGINT AS rk FROM rated GROUP BY 1
+            ), cb AS (
+                SELECT b, count(*)::BIGINT AS ck FROM rated GROUP BY 1
+            ), rc AS (
+                SELECT sum(rk::HUGEINT * ck::HUGEINT) AS src
+                FROM ra JOIN cb ON ra.a = cb.b
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(CASE WHEN a = b THEN 1 ELSE 0 END)::BIGINT
+                           AS agree,
+                       count(DISTINCT a)::BIGINT AS k_a,
+                       count(DISTINCT b)::BIGINT AS k_b
+                FROM rated
+            )
+            SELECT n, greatest(k_a, k_b) AS k_cats, agree,
+                   round(agree::DOUBLE / n::DOUBLE, 6) AS po,
+                   round(coalesce(src, 0)::DOUBLE
+                         / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+                   CASE WHEN (n::HUGEINT * n::HUGEINT
+                              - coalesce(src, 0))::DOUBLE > 0
+                        THEN round((n::HUGEINT * agree::HUGEINT
+                                    - coalesce(src, 0))::DOUBLE
+                                   / (n::HUGEINT * n::HUGEINT
+                                      - coalesce(src, 0))::DOUBLE, 6)
+                   END AS kappa
+            FROM tot, rc
+        """,
+        "stat_gamma_somers": """
+            -- Goodman-Kruskal gamma + Somers' D between ordinal
+            -- len/wc bands: concordant/discordant pairs from the
+            -- crosstab self-join, doubled tie counts, exact integers,
+            -- one division each (stats.ordinal_concordance)
+            WITH d AS (
+                SELECT n_chars,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS wc
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), rated AS (
+                SELECT (CASE WHEN n_chars < 220 THEN 0
+                             WHEN n_chars < 380 THEN 1
+                             ELSE 2 END)::BIGINT AS a,
+                       (CASE WHEN wc < 40 THEN 0
+                             WHEN wc < 70 THEN 1
+                             ELSE 2 END)::BIGINT AS b
+                FROM d
+            ), cells AS (
+                SELECT a, b, count(*)::BIGINT AS o FROM rated GROUP BY 1, 2
+            ), cd AS (
+                SELECT sum(CASE WHEN c2.b > c1.b
+                                THEN c1.o::HUGEINT * c2.o::HUGEINT
+                                ELSE 0::HUGEINT END) AS c_pairs,
+                       sum(CASE WHEN c2.b < c1.b
+                                THEN c1.o::HUGEINT * c2.o::HUGEINT
+                                ELSE 0::HUGEINT END) AS d_pairs
+                FROM cells c1 JOIN cells c2 ON c2.a > c1.a
+            ), ta AS (
+                SELECT sum(rk::HUGEINT * (rk - 1)::HUGEINT) AS ta2
+                FROM (SELECT count(*)::BIGINT AS rk FROM rated GROUP BY a)
+            ), tb AS (
+                SELECT sum(ck::HUGEINT * (ck - 1)::HUGEINT) AS tb2
+                FROM (SELECT count(*)::BIGINT AS ck FROM rated GROUP BY b)
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n FROM rated
+            )
+            SELECT n,
+                   c_pairs::BIGINT AS concordant,
+                   d_pairs::BIGINT AS discordant,
+                   CASE WHEN (c_pairs + d_pairs)::DOUBLE > 0
+                        THEN round((c_pairs - d_pairs)::DOUBLE
+                                   / (c_pairs + d_pairs)::DOUBLE, 6)
+                   END AS gamma,
+                   CASE WHEN (n::HUGEINT * (n::HUGEINT - 1) - ta2)::DOUBLE > 0
+                        THEN round(2.0 * (c_pairs - d_pairs)::DOUBLE
+                                   / (n::HUGEINT * (n::HUGEINT - 1)
+                                      - ta2)::DOUBLE, 6)
+                   END AS somers_ba,
+                   CASE WHEN (n::HUGEINT * (n::HUGEINT - 1) - tb2)::DOUBLE > 0
+                        THEN round(2.0 * (c_pairs - d_pairs)::DOUBLE
+                                   / (n::HUGEINT * (n::HUGEINT - 1)
+                                      - tb2)::DOUBLE, 6)
+                   END AS somers_ab
+            FROM cd, ta, tb, tot
         """,
     }

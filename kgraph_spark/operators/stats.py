@@ -61,6 +61,9 @@ __all__ = [
     "mood_median",
     "fleiss_kappa",
     "hellinger_distance",
+    "cliffs_delta",
+    "cohen_kappa",
+    "ordinal_concordance",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2063,4 +2066,198 @@ def hellinger_distance(df: DataFrame, key_col: str, side_col: str) -> DataFrame:
         F.when(ok, F.round(F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - bc)), 6)).alias(
             "hellinger"
         ),
+    )
+
+
+def cliffs_delta(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cliff's delta + Vargha-Delaney A — the rank-based effect sizes
+    that answer "HOW MUCH did the filter shift the distribution" where
+    mann_whitney_u only answers "did it": one row
+    (n_a, n_b, u_a, delta, vda_a, magnitude). delta = (#(a>b) − #(a<b))
+    / (n_a·n_b) with half-credit ties; vda_a = P(a>b) + ½P(a=b);
+    magnitude is the Romano banding (|δ| < .147 negligible, < .33 small,
+    < .474 medium, else large), applied to the ROUNDED delta so any two
+    engines band identically.
+
+    Same no-pairwise-join trick as mann_whitney_u: midranks on the
+    DISTINCT quantized-value grid (doubled, exact integers), U from the
+    rank sum, so cost is one grid aggregate — never the O(n_a·n_b)
+    textbook pair count.
+    """
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(1).alias("is_a")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(0).alias("is_a")
+    )
+    pooled = qa.unionByName(qb)
+    per_v = pooled.groupBy("qv").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_a").cast("long").alias("t_a"),
+    )
+    w = Window.orderBy("qv")
+    ranked = per_v.select(
+        "t",
+        "t_a",
+        (
+            2 * (F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("long").alias("n_b"),
+        F.sum(F.col("t_a").cast(_DEC) * F.col("r2").cast(_DEC)).alias("r2_a"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    # doubled U_a = doubled rank sum − n_a(n_a+1); exact integers
+    u_a2 = F.col("r2_a") - (na * (na + 1)).cast(_DEC)
+    prod = (na.cast(_DEC) * nb.cast(_DEC))
+    # delta = (2·U_a − n_a·n_b)/(n_a·n_b): exact integer num/den, ONE division
+    delta = F.round((u_a2 - prod).cast("double") / prod.cast("double"), 6)
+    vda = F.round(u_a2.cast("double") / (F.lit(2.0) * prod.cast("double")), 6)
+    adelta = F.abs(delta)
+    return agg.select(
+        na,
+        nb,
+        (u_a2.cast("double") / F.lit(2.0)).alias("u_a"),
+        delta.alias("delta"),
+        vda.alias("vda_a"),
+        F.when(adelta < 0.147, F.lit("negligible"))
+        .when(adelta < 0.33, F.lit("small"))
+        .when(adelta < 0.474, F.lit("medium"))
+        .otherwise(F.lit("large"))
+        .alias("magnitude"),
+    )
+
+
+def cohen_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between TWO raters
+    (fleiss_kappa generalizes to k, but the 2-rater crosstab identity is
+    exact and cheaper): one row (n, k_cats, agree, po, pe, kappa) from
+    rows carrying both ratings. kappa = (n·agree − Σ_k r_k·c_k) /
+    (n² − Σ_k r_k·c_k) — exact wide integers, ONE division, so the
+    distributed sum order can't wobble it. Rows with either rating NULL
+    drop; pe = 1 exactly (a constant-category degenerate pair) reports
+    NULL kappa.
+
+    One (a,b) cell aggregate + two marginal aggregates joined on the
+    category key — all hash, marginals broadcast.
+    """
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    ra = base.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("rk"))
+    cb = base.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ck"))
+    rc = (
+        ra.join(cb, ra["a"] == cb["b"], "inner")
+        .agg(F.sum(F.col("rk").cast(_DEC) * F.col("ck").cast(_DEC)).alias("src"))
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+        F.countDistinct("a").cast("long").alias("k_a"),
+        F.countDistinct("b").cast("long").alias("k_b"),
+    )
+    j = tot.crossJoin(F.broadcast(rc)).select(
+        "n",
+        "agree",
+        F.greatest(F.col("k_a"), F.col("k_b")).alias("k_cats"),
+        F.coalesce(F.col("src"), F.lit(0).cast(_DEC)).alias("src"),
+    )
+    n_dec = F.col("n").cast(_DEC)
+    num = n_dec * F.col("agree").cast(_DEC) - F.col("src")
+    den = n_dec * n_dec - F.col("src")
+    return j.select(
+        "n",
+        "k_cats",
+        "agree",
+        F.round(F.col("agree").cast("double") / F.col("n").cast("double"), 6).alias(
+            "po"
+        ),
+        F.round(
+            F.col("src").cast("double")
+            / (F.col("n").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("pe"),
+        F.when(
+            den.cast("double") > 0,
+            F.round(num.cast("double") / den.cast("double"), 6),
+        ).alias("kappa"),
+    )
+
+
+def ordinal_concordance(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Goodman-Kruskal gamma + Somers' D over two ORDINAL integer
+    columns — "does a higher text-length band imply a higher word-count
+    band": one row (n, concordant, discordant, gamma, somers_ba,
+    somers_ab). gamma = (C−D)/(C+D) ignores ties; somers_ba =
+    (C−D)/(pairs untied on a) is the asymmetric predictive form
+    (b given a); somers_ab the reverse. All counts are exact wide
+    integers (pair counts ride doubled so /2 never truncates); each
+    statistic is ONE division.
+
+    The pair count runs on the k_a×k_b CROSSTAB, not the data: cells
+    self-join on (a₂ > a₁), so cost is O(cells²) with cells broadcast —
+    never the O(n²) textbook sweep. NULLs drop.
+    """
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    c2 = cells.select(
+        F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("o").alias("o2")
+    )
+    pairs = cells.join(F.broadcast(c2), F.col("a2") > F.col("a"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(
+                F.col("b2") > F.col("b"),
+                F.col("o").cast(_DEC) * F.col("o2").cast(_DEC),
+            ).otherwise(F.lit(0).cast(_DEC))
+        ).alias("c_pairs"),
+        F.sum(
+            F.when(
+                F.col("b2") < F.col("b"),
+                F.col("o").cast(_DEC) * F.col("o2").cast(_DEC),
+            ).otherwise(F.lit(0).cast(_DEC))
+        ).alias("d_pairs"),
+    )
+    ra = base.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("rk"))
+    cb = base.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("ck"))
+    # doubled tie-pair counts: Σ r(r−1) and n(n−1) stay integers
+    ta = ra.agg(
+        F.sum(F.col("rk").cast(_DEC) * (F.col("rk") - 1).cast(_DEC)).alias("ta2")
+    )
+    tb = cb.agg(
+        F.sum(F.col("ck").cast(_DEC) * (F.col("ck") - 1).cast(_DEC)).alias("tb2")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    c_, d_ = F.col("c_pairs"), F.col("d_pairs")
+    n_dec = F.col("n").cast(_DEC)
+    t0_2 = n_dec * (n_dec - 1)  # doubled total pairs
+    num = (c_ - d_).cast("double")
+    den_g = (c_ + d_).cast("double")
+    den_ba = (t0_2 - F.col("ta2")).cast("double")  # doubled pairs untied on a
+    den_ab = (t0_2 - F.col("tb2")).cast("double")
+    return j.select(
+        "n",
+        c_.cast("long").alias("concordant"),
+        d_.cast("long").alias("discordant"),
+        F.when(den_g > 0, F.round(num / den_g, 6)).alias("gamma"),
+        F.when(den_ba > 0, F.round(F.lit(2.0) * num / den_ba, 6)).alias("somers_ba"),
+        F.when(den_ab > 0, F.round(F.lit(2.0) * num / den_ab, 6)).alias("somers_ab"),
     )

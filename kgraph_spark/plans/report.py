@@ -1868,6 +1868,30 @@ def main() -> None:
         ["HashAggregate", "partial_", "!BatchEvalPython", "!Window", "!Sort"],
     ))
 
+    sections.append((
+        "Cliff's delta — distinct-grid midranks (grid-sized window), "
+        "one pooled aggregate; never the O(n·m) pair sweep",
+        _plan(entrymod.queries()["stat_cliffs_delta"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Cohen's kappa — crosstab marginal aggregates with partials, "
+        "marginals joined broadcast; no window, no sort",
+        _plan(entrymod.queries()["stat_cohen_kappa"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Gamma/Somers' D — concordance on the k×k crosstab (cells "
+        "broadcast to a nested-loop pair join, never O(n²) on data); "
+        "all other folds hash with partials",
+        _plan(entrymod.queries()["stat_gamma_somers"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!Window"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -816,3 +816,67 @@ def test_hellinger_hand_case(spark):
     onesided = spark.createDataFrame([("a", False)], "key string, s boolean")
     r3 = hellinger_distance(onesided, "key", "s").first()
     assert r3["bc"] is None and r3["hellinger"] is None
+
+
+def test_cliffs_delta_hand_case(spark):
+    from kgraph_spark.operators.stats import cliffs_delta
+
+    # A=[3,4,5] vs B=[1,2,3]: #(a>b)=8, #(a<b)=0, one tie
+    # delta = 8/9, U_a = 8.5, vda = 8.5/9, |delta| >= .474 -> large
+    da = spark.createDataFrame([(3.0,), (4.0,), (5.0,)], "v double")
+    db = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    r = cliffs_delta(da, db, "v").first()
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["u_a"] == pytest.approx(8.5, abs=1e-9)
+    assert r["delta"] == pytest.approx(8.0 / 9.0, abs=1e-6)
+    assert r["vda_a"] == pytest.approx(8.5 / 9.0, abs=1e-6)
+    assert r["magnitude"] == "large"
+    # identical samples: delta 0, vda 0.5, negligible
+    r2 = cliffs_delta(db, db, "v").first()
+    assert r2["delta"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["vda_a"] == pytest.approx(0.5, abs=1e-9)
+    assert r2["magnitude"] == "negligible"
+
+
+def test_cohen_kappa_hand_case(spark):
+    from kgraph_spark.operators.stats import cohen_kappa
+
+    # 20(x,x) + 5(x,y) + 10(y,x) + 15(y,y): po=.7, pe=.5, kappa=.4
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohen_kappa(df, "a", "b").first()
+    assert (r["n"], r["k_cats"], r["agree"]) == (50, 2, 35)
+    assert r["po"] == pytest.approx(0.7, abs=1e-9)
+    assert r["pe"] == pytest.approx(0.5, abs=1e-9)
+    assert r["kappa"] == pytest.approx(0.4, abs=1e-6)
+    # constant category both sides: pe = 1 -> NULL kappa
+    const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohen_kappa(const, "a", "b").first()["kappa"] is None
+    # NULL ratings drop
+    withnull = df.union(
+        spark.createDataFrame([("x", None)], "a string, b string")
+    )
+    assert cohen_kappa(withnull, "a", "b").first()["n"] == 50
+
+
+def test_ordinal_concordance_hand_case(spark):
+    from kgraph_spark.operators.stats import ordinal_concordance
+
+    # (0,0),(0,1),(1,1),(1,2),(2,2): C=6, D=0, Ta=Tb=2 of 10 pairs
+    rows = [(0, 0), (0, 1), (1, 1), (1, 2), (2, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = ordinal_concordance(df, "a", "b").first()
+    assert (r["n"], r["concordant"], r["discordant"]) == (5, 6, 0)
+    assert r["gamma"] == pytest.approx(1.0, abs=1e-9)
+    assert r["somers_ba"] == pytest.approx(0.75, abs=1e-9)
+    assert r["somers_ab"] == pytest.approx(0.75, abs=1e-9)
+    # reversed b ordering flips the sign
+    rev = spark.createDataFrame(
+        [(a, 2 - b) for a, b in rows], "a long, b long"
+    )
+    r2 = ordinal_concordance(rev, "a", "b").first()
+    assert r2["gamma"] == pytest.approx(-1.0, abs=1e-9)
+    assert r2["somers_ba"] == pytest.approx(-0.75, abs=1e-9)
