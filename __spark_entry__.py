@@ -5389,6 +5389,52 @@ def q_stat_gamma_somers(spark, sf_dir):
     return ordinal_concordance(rated, "len_band", "wc_band")
 
 
+def q_evt_hurst(spark, sf_dir):
+    """R/S Hurst exponent of the hourly event-count series (gap-filled
+    to a full hour grid, zeros kept): per-block-size mean ln(R/S) from
+    exact-integer ranges/radicands + the OLS slope = H. Long-memory
+    probe for the platform's own traffic."""
+    from kgraph_spark.operators.event_analytics import hurst_rs
+
+    e = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cnt = e.groupBy(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000))
+        .cast("long")
+        .alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = cnt.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("t")
+    )
+    series = grid.join(cnt, grid["t"] == cnt["h"], "left").select(
+        "t", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("qv")
+    )
+    return hurst_rs(series, "t", "qv", sizes=(8, 16, 32, 64))
+
+
+def q_evt_entropy_rate(spark, sf_dir):
+    """Markov entropy rate of per-user event-type transitions —
+    H(next|current) in bits from the empirical joint: nano-rounded
+    per-cell terms summed exactly, the shared 1/N division once."""
+    from kgraph_spark.operators.event_analytics import entropy_rate
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return entropy_rate(p, "prev", "event_type")
+
+
+def q_evt_bollinger(spark, sf_dir):
+    """Bollinger ±2σ control chart over the daily mean-value series
+    (trailing 7-day window): breach decided by the exact integer
+    inequality (n·x−Σx)² > 4(n·Σx²−(Σx)²) — floats never touch the
+    boolean; pct_b one sqrt + one division."""
+    from kgraph_spark.operators.event_analytics import bollinger_bands
+
+    return bollinger_bands(_daily_mean_series(spark, sf_dir), "t", "v", window=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5677,6 +5723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_cliffs_delta": q_stat_cliffs_delta,
         "stat_cohen_kappa": q_stat_cohen_kappa,
         "stat_gamma_somers": q_stat_gamma_somers,
+        "evt_hurst": q_evt_hurst,
+        "evt_entropy_rate": q_evt_entropy_rate,
+        "evt_bollinger": q_evt_bollinger,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -14480,5 +14529,157 @@ def oracle_sql() -> dict[str, str]:
                                       - tb2)::DOUBLE, 6)
                    END AS somers_ab
             FROM cd, ta, tb, tot
+        """,
+        "evt_hurst": """
+            -- R/S Hurst exponent of the gap-filled hourly count series:
+            -- per-size blocks, exact-integer range and radicand,
+            -- nano-rounded ln(R)-ln(D)/2 terms, OLS slope = H
+            -- (event_analytics.hurst_rs)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 3600000000)::BIGINT AS h,
+                       count(*)::BIGINT AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), rng AS (
+                SELECT min(h) AS lo, max(h) AS hi FROM cnt
+            ), grid AS (
+                SELECT unnest(generate_series(lo, hi)) AS t FROM rng
+            ), series AS (
+                SELECT g.t, coalesce(c.c, 0)::BIGINT AS x
+                FROM grid g LEFT JOIN cnt c ON g.t = c.h
+            ), idx AS (
+                SELECT x, (row_number() OVER (ORDER BY t) - 1)::BIGINT AS i
+                FROM series
+            ), e AS (
+                SELECT m, x, i // m AS blk, i % m + 1 AS r
+                FROM idx, (SELECT unnest([8, 16, 32, 64]) AS m)
+            ), z AS (
+                SELECT m, blk, x, r,
+                       m::HUGEINT * (sum(x) OVER (PARTITION BY m, blk
+                                                  ORDER BY r
+                                                  ROWS UNBOUNDED PRECEDING))
+                       - r::HUGEINT * (sum(x) OVER (PARTITION BY m, blk))
+                           AS zz
+                FROM e
+            ), blocks AS (
+                SELECT m, blk, count(*)::BIGINT AS cnt,
+                       max(zz) - min(zz) AS r_scaled,
+                       any_value(m)::HUGEINT
+                           * sum(x::HUGEINT * x::HUGEINT)
+                       - sum(x::HUGEINT) * sum(x::HUGEINT) AS d
+                FROM z GROUP BY 1, 2
+            ), ok AS (
+                SELECT * FROM blocks
+                WHERE cnt = m AND d::DOUBLE > 0 AND r_scaled::DOUBLE > 0
+            ), per_m AS (
+                SELECT m, count(*)::BIGINT AS n_blocks,
+                       sum(round((ln(r_scaled::DOUBLE)
+                                  - ln(d::DOUBLE) / 2.0)
+                                 * 1000000000.0)::BIGINT)::BIGINT AS sum_nano
+                FROM ok GROUP BY 1
+            ), pm AS (
+                SELECT m, n_blocks,
+                       sum_nano::DOUBLE / (n_blocks::DOUBLE * 1000000000.0)
+                           AS y,
+                       ln(m::DOUBLE) AS lx
+                FROM per_m
+            ), slope AS (
+                SELECT CASE WHEN count(*) >= 2
+                            AND count(*)::DOUBLE * sum(lx * lx)
+                                - sum(lx) * sum(lx) > 0
+                       THEN round((count(*)::DOUBLE * sum(lx * y)
+                                   - sum(lx) * sum(y))
+                                  / (count(*)::DOUBLE * sum(lx * lx)
+                                     - sum(lx) * sum(lx)), 6)
+                       END AS hurst
+                FROM pm
+            )
+            SELECT m, n_blocks, round(y, 6) AS mean_log_rs, hurst
+            FROM pm, slope
+        """,
+        "evt_entropy_rate": """
+            -- Markov entropy rate of per-user event-type transitions:
+            -- nano-rounded n_ij*(ln n_i - ln n_ij)/ln2 terms summed
+            -- exactly, one shared 1/N division
+            -- (event_analytics.entropy_rate)
+            WITH p AS (
+                SELECT lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev,
+                       event_type AS cur
+                FROM events
+            ), base AS (
+                SELECT prev AS p, cur AS c FROM p
+                WHERE prev IS NOT NULL AND cur IS NOT NULL
+            ), cells AS (
+                SELECT p, c, count(*)::BIGINT AS nij FROM base GROUP BY 1, 2
+            ), marg AS (
+                SELECT p, count(*)::BIGINT AS ni FROM base GROUP BY 1
+            ), agg AS (
+                SELECT sum(nij)::BIGINT AS n_transitions,
+                       count(DISTINCT cells.p)::BIGINT AS k_states,
+                       sum(round(nij::DOUBLE
+                                 * (ln(ni::DOUBLE) - ln(nij::DOUBLE))
+                                 / 0.6931471805599453
+                                 * 1000000000.0)::BIGINT)::BIGINT AS t_nano
+                FROM cells JOIN marg ON cells.p = marg.p
+            )
+            SELECT n_transitions, k_states,
+                   round(t_nano::DOUBLE
+                         / (n_transitions::DOUBLE * 1000000000.0), 6)
+                       AS h_rate_bits,
+                   round(ln(k_states::DOUBLE) / 0.6931471805599453, 6)
+                       AS h_max_bits,
+                   CASE WHEN k_states >= 2
+                        THEN round((t_nano::DOUBLE
+                                    / (n_transitions::DOUBLE * 1000000000.0))
+                                   / (ln(k_states::DOUBLE)
+                                      / 0.6931471805599453), 6)
+                   END AS normalized
+            FROM agg
+        """,
+        "evt_bollinger": """
+            -- Bollinger +-2sigma chart on the daily mean series: breach
+            -- by the exact integer inequality (n*x-Sx)^2 > 4(n*Sxx-Sx^2);
+            -- pct_b one sqrt + one division
+            -- (event_analytics.bollinger_bands)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(round(value * 1000000)::BIGINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT t, round(v * 1000000)::BIGINT AS qv FROM per_d
+            ), s AS (
+                SELECT t, qv,
+                       count(*) OVER w::BIGINT AS nw,
+                       sum(qv) OVER w::HUGEINT AS sx,
+                       sum(qv::HUGEINT * qv::HUGEINT) OVER w AS sxx
+                FROM q
+                WINDOW w AS (ORDER BY t ROWS BETWEEN 6 PRECEDING
+                             AND CURRENT ROW)
+            ), d AS (
+                SELECT t, qv, nw, sx,
+                       nw::HUGEINT * qv::HUGEINT - sx AS dev,
+                       nw::HUGEINT * sxx - sx * sx AS dd
+                FROM s
+            )
+            SELECT t,
+                   round(qv::DOUBLE / 1000000.0, 6) AS v,
+                   CASE WHEN nw >= 3
+                        THEN round(sx::DOUBLE
+                                   / (nw::DOUBLE * 1000000.0), 6)
+                   END AS roll_mean,
+                   CASE WHEN nw >= 3
+                        THEN round(sqrt(dd::DOUBLE)
+                                   / (nw::DOUBLE * 1000000.0), 6)
+                   END AS roll_std,
+                   CASE WHEN nw >= 3 AND dd::DOUBLE > 0
+                        THEN round((dev::DOUBLE + 2.0 * sqrt(dd::DOUBLE))
+                                   / (4.0 * sqrt(dd::DOUBLE)), 6)
+                   END AS pct_b,
+                   CASE WHEN nw >= 3
+                        THEN dev * dev > 4::HUGEINT * dd
+                        ELSE FALSE END AS breach
+            FROM d
         """,
     }

@@ -778,3 +778,204 @@ def ewma_chart(
         lcl.alias("lcl"),
         ((F.col("ema") > ucl) | (F.col("ema") < lcl)).alias("out_of_control"),
     )
+
+
+def hurst_rs(
+    series: DataFrame,
+    t_col: str = "t",
+    q_col: str = "qv",
+    sizes: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Rescaled-range (R/S) Hurst exponent over an integer-valued
+    regular series — the long-memory probe (H≈0.5 random walk, >0.5
+    persistent/trending, <0.5 mean-reverting) a monitoring pipeline
+    runs on its own traffic counts: one row per block size
+    (m, n_blocks, mean_log_rs, hurst), hurst identical across rows
+    (the OLS slope of mean ln(R/S) on ln m).
+
+    Exactness: within each m-block the cumulative deviation rides
+    scaled by m (z_r = m·cum_r − r·Σx — exact wide integers), so
+    R/S = (max z − min z)/√(m·Σx² − (Σx)²) has exact-integer numerator
+    and radicand; each block contributes ONE nano-rounded
+    ln(R) − ½ln(D) term summed exactly; the final ≤|sizes|-point slope
+    is a fixed double sequence (sub-ulp order noise absorbed by the
+    round-6 finish — the anova_f note). Incomplete trailing blocks and
+    degenerate blocks (constant, or zero range) drop.
+
+    Scale: the series is a bounded time grid (one row per bucket), so
+    the global order window is grid-sized, not event-sized; the ×|sizes|
+    fan-out is a literal-table broadcast; everything after is one
+    (m, block) window + two hash aggregates.
+    """
+    sizes_df = series.sparkSession.createDataFrame(
+        [(int(m),) for m in sizes], "m long"
+    )
+    w = Window.orderBy(t_col)
+    s = series.select(
+        F.col(q_col).cast("long").alias("x"),
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+    )
+    e = s.crossJoin(F.broadcast(sizes_df)).select(
+        "m",
+        "x",
+        F.expr("i div m").alias("blk"),
+        (F.col("i") % F.col("m") + 1).alias("r"),
+    )
+    wb = Window.partitionBy("m", "blk")
+    wcum = wb.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    z = e.select(
+        "m",
+        "blk",
+        "x",
+        "r",
+        (
+            F.col("m").cast(_DEC) * F.sum("x").over(wcum).cast(_DEC)
+            - F.col("r").cast(_DEC) * F.sum("x").over(wb).cast(_DEC)
+        ).alias("z"),
+    )
+    blocks = z.groupBy("m", "blk").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        (F.max("z") - F.min("z")).alias("r_scaled"),
+        (
+            F.first(F.col("m")).cast(_DEC)
+            * F.sum(F.col("x").cast(_DEC) * F.col("x").cast(_DEC))
+            - F.sum(F.col("x").cast(_DEC)) * F.sum(F.col("x").cast(_DEC))
+        ).alias("d"),
+    )
+    ok = blocks.filter(
+        (F.col("cnt") == F.col("m"))
+        & (F.col("d").cast("double") > 0)
+        & (F.col("r_scaled").cast("double") > 0)
+    )
+    term_nano = F.round(
+        (
+            F.log(F.col("r_scaled").cast("double"))
+            - F.log(F.col("d").cast("double")) / F.lit(2.0)
+        )
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    per_m = ok.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(term_nano).cast("long").alias("sum_nano"),
+    )
+    y = F.col("sum_nano").cast("double") / (
+        F.col("n_blocks").cast("double") * F.lit(1_000_000_000.0)
+    )
+    pm = per_m.select("m", "n_blocks", y.alias("y"), F.log(F.col("m").cast("double")).alias("lx"))
+    slope_src = pm.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("y")).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    den = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    hurst = F.when(
+        (F.col("k") >= 2) & (den > 0),
+        F.round((kd * F.col("sxy") - F.col("sx") * F.col("sy")) / den, 6),
+    ).alias("hurst")
+    return pm.crossJoin(F.broadcast(slope_src.select(hurst))).select(
+        "m",
+        "n_blocks",
+        F.round(F.col("y"), 6).alias("mean_log_rs"),
+        "hurst",
+    )
+
+
+def entropy_rate(df: DataFrame, prev_col: str, cur_col: str) -> DataFrame:
+    """Markov entropy rate — the predictability of a transition process
+    (H(next|current) in bits under the empirical joint): one row
+    (n_transitions, k_states, h_rate_bits, h_max_bits, normalized).
+    h_rate = −Σ_ij (n_ij/N)·log2(n_ij/n_i); h_max = log2(k) over
+    observed source states; normalized = h_rate/h_max (NULL when k=1).
+    A perfectly predictable log scores 0; uniform chaos scores 1.
+
+    Each cell contributes ONE nano-rounded n_ij·(ln n_i − ln n_ij)/ln2
+    term summed exactly; the shared 1/N division happens once at the
+    end — so the distributed sum order can't wobble the rate. One
+    (prev,cur) cell aggregate + a prev marginal joined broadcast.
+    """
+    base = df.filter(
+        F.col(prev_col).isNotNull() & F.col(cur_col).isNotNull()
+    ).select(F.col(prev_col).alias("p"), F.col(cur_col).alias("c"))
+    cells = base.groupBy("p", "c").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    marg = base.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    j = cells.join(F.broadcast(marg), "p")
+    ln2 = 0.6931471805599453
+    term_nano = F.round(
+        F.col("nij").cast("double")
+        * (F.log(F.col("ni").cast("double")) - F.log(F.col("nij").cast("double")))
+        / F.lit(ln2)
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    agg = j.agg(
+        F.sum("nij").cast("long").alias("n_transitions"),
+        F.countDistinct("p").cast("long").alias("k_states"),
+        F.sum(term_nano).cast("long").alias("t_nano"),
+    )
+    h = F.col("t_nano").cast("double") / (
+        F.col("n_transitions").cast("double") * F.lit(1_000_000_000.0)
+    )
+    hmax = F.log(F.col("k_states").cast("double")) / F.lit(ln2)
+    return agg.select(
+        "n_transitions",
+        "k_states",
+        F.round(h, 6).alias("h_rate_bits"),
+        F.round(hmax, 6).alias("h_max_bits"),
+        F.when(F.col("k_states") >= 2, F.round(h / hmax, 6)).alias("normalized"),
+    )
+
+
+def bollinger_bands(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "v",
+    window: int = 7,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Bollinger bands over a regular series — the rolling ±2σ control
+    chart (trailing `window` buckets, population σ): one row per bucket
+    (t, v, roll_mean, roll_std, pct_b, breach). breach is decided by the
+    EXACT integer inequality (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — no float
+    ever enters the boolean, so two engines can't disagree at the band
+    edge; pct_b = (x − lower)/(upper − lower) is one sqrt + one division,
+    NULL for σ=0 or a warm-up window (< 3 points).
+
+    Scale: the series is a bounded time grid; one ordered window with
+    integer running sums, no self-join.
+    """
+    q = series.select(
+        F.col(t_col).alias("t"),
+        F.round(F.col(v_col) * F.lit(scale), 0).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t").rowsBetween(-(window - 1), 0)
+    s = q.select(
+        "t",
+        "qv",
+        F.count(F.lit(1)).over(w).cast("long").alias("nw"),
+        F.sum("qv").over(w).cast(_DEC).alias("sx"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC)).over(w).alias("sxx"),
+    )
+    nwd = F.col("nw").cast(_DEC)
+    dev = nwd * F.col("qv").cast(_DEC) - F.col("sx")  # n·x − Σx, exact
+    d = nwd * F.col("sxx") - F.col("sx") * F.col("sx")  # n²·var, exact
+    warm = F.col("nw") >= 3
+    sc = F.lit(float(scale))
+    mean = F.col("sx").cast("double") / (F.col("nw").cast("double") * sc)
+    std = F.sqrt(d.cast("double")) / (F.col("nw").cast("double") * sc)
+    pct_b = (dev.cast("double") + F.lit(2.0) * F.sqrt(d.cast("double"))) / (
+        F.lit(4.0) * F.sqrt(d.cast("double"))
+    )
+    return s.select(
+        "t",
+        F.round(F.col("qv").cast("double") / sc, 6).alias("v"),
+        F.when(warm, F.round(mean, 6)).alias("roll_mean"),
+        F.when(warm, F.round(std, 6)).alias("roll_std"),
+        F.when(warm & (d.cast("double") > 0), F.round(pct_b, 6)).alias("pct_b"),
+        F.when(
+            warm, dev * dev > F.lit(4).cast(_DEC) * d
+        ).otherwise(F.lit(False)).alias("breach"),
+    )

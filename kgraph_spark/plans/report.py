@@ -1892,6 +1892,30 @@ def main() -> None:
          "!BatchEvalPython", "!Window"],
     ))
 
+    sections.append((
+        "Hurst R/S — grid-sized order window, broadcast size fan-out, "
+        "(m,block) window + hash aggregates; no data-sized sort",
+        _plan(entrymod.queries()["evt_hurst"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Markov entropy rate — (prev,cur) cell aggregate with partials, "
+        "prev-marginal broadcast join, one shared division",
+        _plan(entrymod.queries()["evt_entropy_rate"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Bollinger bands — one ordered grid window with integer running "
+        "sums; breach decided in exact integers, no self-join",
+        _plan(entrymod.queries()["evt_bollinger"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from kgraph_spark.operators.event_analytics import (
@@ -386,3 +387,69 @@ def test_ewma_chart_hand_case(spark):
     assert r["ucl"] - r["center"] == pytest.approx(r["center"] - r["lcl"], abs=1e-5)
     with pytest.raises(ValueError):
         ewma_chart(df, k=0)
+
+
+def test_hurst_rs_trend_and_oscillation(spark):
+    from kgraph_spark.operators.event_analytics import hurst_rs
+
+    # pure linear ramp: R/S grows ~ m -> slope (Hurst) ~ 1
+    ramp = spark.createDataFrame(
+        [(i, i) for i in range(640)], "t long, qv long"
+    )
+    rows = hurst_rs(ramp, "t", "qv", sizes=(8, 16, 32, 64)).collect()
+    assert {r["m"]: r["n_blocks"] for r in rows} == {8: 80, 16: 40, 32: 20, 64: 10}
+    assert all(r["hurst"] == rows[0]["hurst"] for r in rows)
+    assert rows[0]["hurst"] == pytest.approx(1.0, abs=0.05)
+    # deterministic 0/1 oscillation: ln(R/S) = 0 at every size -> H = 0
+    osc = spark.createDataFrame(
+        [(i, i % 2) for i in range(640)], "t long, qv long"
+    )
+    rows2 = hurst_rs(osc, "t", "qv", sizes=(8, 16, 32, 64)).collect()
+    assert rows2[0]["hurst"] == pytest.approx(0.0, abs=1e-9)
+    for r in rows2:
+        assert r["mean_log_rs"] == pytest.approx(0.0, abs=1e-9)
+    # constant series: every block degenerate -> no rows
+    const = spark.createDataFrame([(i, 5) for i in range(64)], "t long, qv long")
+    assert hurst_rs(const, "t", "qv", sizes=(8, 16)).count() == 0
+
+
+def test_entropy_rate_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import entropy_rate
+
+    # aa x2, ab x2, ba x4: H = (2*1 + 2*1 + 0)/8 = 0.5 bits, k=2
+    rows = [("a", "a")] * 2 + [("a", "b")] * 2 + [("b", "a")] * 4
+    df = spark.createDataFrame(rows, "prev string, cur string")
+    r = entropy_rate(df, "prev", "cur").first()
+    assert (r["n_transitions"], r["k_states"]) == (8, 2)
+    assert r["h_rate_bits"] == pytest.approx(0.5, abs=1e-6)
+    assert r["h_max_bits"] == pytest.approx(1.0, abs=1e-9)
+    assert r["normalized"] == pytest.approx(0.5, abs=1e-6)
+    # fully deterministic process: H = 0; single state -> NULL normalized
+    det = spark.createDataFrame([("a", "b")] * 3, "prev string, cur string")
+    r2 = entropy_rate(det, "prev", "cur").first()
+    assert r2["h_rate_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["normalized"] is None
+
+
+def test_bollinger_bands_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import bollinger_bands
+
+    # warm-up rows (<3 in window) carry NULL bands and breach=False;
+    # a 100 after seven 1s breaches the exact integer band test
+    series = spark.createDataFrame(
+        [(i, 1.0) for i in range(7)] + [(7, 100.0)], "t long, v double"
+    )
+    rows = {r["t"]: r for r in bollinger_bands(series, "t", "v", window=7).collect()}
+    assert rows[0]["roll_mean"] is None and rows[0]["breach"] is False
+    assert rows[1]["roll_std"] is None
+    assert rows[6]["roll_mean"] == pytest.approx(1.0, abs=1e-9)
+    assert rows[6]["roll_std"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[6]["pct_b"] is None and rows[6]["breach"] is False
+    r7 = rows[7]
+    assert r7["roll_mean"] == pytest.approx(106.0 / 7.0, abs=1e-6)
+    assert r7["breach"] is True and r7["pct_b"] > 1.0
+    # constant series never breaches
+    const = spark.createDataFrame([(i, 2.5) for i in range(10)], "t long, v double")
+    assert all(
+        not r["breach"] for r in bollinger_bands(const, "t", "v").collect()
+    )
