@@ -5435,6 +5435,36 @@ def q_evt_bollinger(spark, sf_dir):
     return bollinger_bands(_daily_mean_series(spark, sf_dir), "t", "v", window=7)
 
 
+def q_text_richness(spark, sf_dir):
+    """Corpus vocabulary-richness profile — Yule's K, Honoré's R,
+    Herdan's C from one token-frequency aggregate (exact integer
+    moments; lns on exact longs). Template-domination / hapax-collapse
+    monitor, corpus-wide twin of lexical_diversity."""
+    from kgraph_spark.operators.text_analysis import corpus_richness
+
+    return corpus_richness(_read(spark, sf_dir, "documents"))
+
+
+def q_text_collocations(spark, sf_dir):
+    """Dunning G² top-20 bigram collocations: 2×2 cell counts from
+    exact bigram marginals, fixed per-row IEEE ln chain, min_count=5
+    pruning BEFORE the marginal joins, (g2 desc, w1, w2) total order."""
+    from kgraph_spark.operators.text_analysis import collocations_g2
+
+    return collocations_g2(
+        _read(spark, sf_dir, "documents"), min_count=5, top_k=20
+    )
+
+
+def q_text_kl_sources(spark, sf_dir):
+    """Per-source KL divergence (bits) from the corpus unigram mixture —
+    the directed crawl-skew monitor; nano-rounded per-term sums, one
+    shared division per source."""
+    from kgraph_spark.operators.text_analysis import source_kl_divergence
+
+    return source_kl_divergence(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5726,6 +5756,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_hurst": q_evt_hurst,
         "evt_entropy_rate": q_evt_entropy_rate,
         "evt_bollinger": q_evt_bollinger,
+        "text_richness": q_text_richness,
+        "text_collocations": q_text_collocations,
+        "text_kl_sources": q_text_kl_sources,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -14681,5 +14714,130 @@ def oracle_sql() -> dict[str, str]:
                         THEN dev * dev > 4::HUGEINT * dd
                         ELSE FALSE END AS breach
             FROM d
+        """,
+        "text_richness": """
+            -- Corpus richness profile: Yule's K, Honore's R, Herdan's C
+            -- from one exact token-frequency aggregate
+            -- (text_analysis.corpus_richness)
+            WITH tok AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS w
+                FROM documents WHERE text IS NOT NULL
+            ), per_w AS (
+                SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY 1
+            ), agg AS (
+                SELECT sum(n)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_types,
+                       sum((n = 1)::INT)::BIGINT AS hapax,
+                       sum(n::HUGEINT * n::HUGEINT) AS s2
+                FROM per_w
+            )
+            SELECT n_tokens, n_types, hapax,
+                   CASE WHEN n_tokens > 0
+                        THEN round(10000.0 * (s2::DOUBLE - n_tokens::DOUBLE)
+                                   / (n_tokens::DOUBLE * n_tokens::DOUBLE), 6)
+                   END AS yule_k,
+                   CASE WHEN hapax < n_types
+                        THEN round(100.0 * ln(n_tokens::DOUBLE)
+                                   * n_types::DOUBLE
+                                   / (n_types::DOUBLE - hapax::DOUBLE), 6)
+                   END AS honore_r,
+                   CASE WHEN n_tokens > 1
+                        THEN round(ln(n_types::DOUBLE)
+                                   / ln(n_tokens::DOUBLE), 6)
+                   END AS herdan_c
+            FROM agg
+        """,
+        "text_collocations": """
+            -- Dunning G^2 top-20 bigram collocations: 2x2 cells from
+            -- bigram marginals, fixed ln chain, min_count=5 pre-join
+            -- prune, (g2 desc, w1, w2) order
+            -- (text_analysis.collocations_g2)
+            WITH arr AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> length(t) > 0) AS t
+                FROM documents WHERE text IS NOT NULL
+            ), big AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM arr,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, greatest(len(t) - 1, 0))) AS i)
+            ), n12t AS (
+                SELECT w1, w2, count(*)::BIGINT AS n12
+                FROM big GROUP BY 1, 2
+            ), m1 AS (
+                SELECT w1, count(*)::BIGINT AS n1 FROM big GROUP BY 1
+            ), m2 AS (
+                SELECT w2, count(*)::BIGINT AS n2 FROM big GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS nn FROM big
+            ), cand AS (
+                SELECT w1, w2, n12, n1, n2, nn
+                FROM n12t JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+                WHERE n12 >= 5
+            ), scored AS (
+                SELECT w1, w2, n12, n1, n2,
+                       round(2.0 * (
+                           CASE WHEN n12 > 0 THEN n12::DOUBLE *
+                               (ln(n12::DOUBLE) + ln(nn::DOUBLE)
+                                - ln(n1::DOUBLE) - ln(n2::DOUBLE))
+                               ELSE 0.0 END
+                         + CASE WHEN n1 - n12 > 0 THEN (n1 - n12)::DOUBLE *
+                               (ln((n1 - n12)::DOUBLE) + ln(nn::DOUBLE)
+                                - ln(n1::DOUBLE) - ln((nn - n2)::DOUBLE))
+                               ELSE 0.0 END
+                         + CASE WHEN n2 - n12 > 0 THEN (n2 - n12)::DOUBLE *
+                               (ln((n2 - n12)::DOUBLE) + ln(nn::DOUBLE)
+                                - ln((nn - n1)::DOUBLE) - ln(n2::DOUBLE))
+                               ELSE 0.0 END
+                         + CASE WHEN nn - n1 - n2 + n12 > 0
+                               THEN (nn - n1 - n2 + n12)::DOUBLE *
+                               (ln((nn - n1 - n2 + n12)::DOUBLE)
+                                + ln(nn::DOUBLE)
+                                - ln((nn - n1)::DOUBLE)
+                                - ln((nn - n2)::DOUBLE))
+                               ELSE 0.0 END), 6) AS g2
+                FROM cand
+            )
+            SELECT w1, w2, n12, n1, n2, g2
+            FROM scored
+            ORDER BY g2 DESC, w1, w2
+            LIMIT 20
+        """,
+        "text_kl_sources": """
+            -- Per-source KL divergence (bits) from the corpus unigram
+            -- mixture: nano-rounded n*(ln n + ln Nc - ln Ns - ln c)/ln2
+            -- terms summed exactly, one shared division per source
+            -- (text_analysis.source_kl_divergence)
+            WITH tok AS (
+                SELECT source AS g,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS w
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL
+            ), sw AS (
+                SELECT g, w, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2
+            ), cw AS (
+                SELECT w, sum(n)::BIGINT AS c FROM sw GROUP BY 1
+            ), ns AS (
+                SELECT g, sum(n)::BIGINT AS ns FROM sw GROUP BY 1
+            ), nc AS (
+                SELECT sum(c)::BIGINT AS nc FROM cw
+            ), per_g AS (
+                SELECT g, any_value(ns) AS n_tokens,
+                       sum(round(n::DOUBLE
+                                 * (ln(n::DOUBLE) + ln(nc::DOUBLE)
+                                    - ln(ns::DOUBLE) - ln(c::DOUBLE))
+                                 / 0.6931471805599453
+                                 * 1000000000.0)::BIGINT)::BIGINT AS t_nano
+                FROM sw JOIN cw USING (w) JOIN ns USING (g), nc
+                GROUP BY 1
+            )
+            SELECT g AS source, n_tokens,
+                   round(t_nano::DOUBLE
+                         / (n_tokens::DOUBLE * 1000000000.0), 6) AS kl_bits
+            FROM per_g
+            ORDER BY source
         """,
     }

@@ -7,8 +7,10 @@ DuckDB oracle (__spark_entry__.oracle_sql)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
 
 # marker words per language for the n-gram/stopword language heuristic.
 # Deliberately tiny + exactly mirrored in the SQL oracle.
@@ -1055,3 +1057,196 @@ def chao1_richness(
             F.round(f1d / F.col("n_tokens").cast("double"), 6),
         ).alias("unseen_mass"),
     )
+
+
+def corpus_richness(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level vocabulary-richness profile — Yule's K (repeat
+    concentration, length-robust), Honoré's R (hapax-weighted richness)
+    and Herdan's C (log-log type/token ratio): one row (n_tokens,
+    n_types, hapax, yule_k, honore_r, herdan_c). The corpus-wide
+    companion to the per-doc lexical_diversity gate and the chao1
+    asymptote: K spikes when a template dominates the crawl; R collapses
+    as hapax share does.
+
+      yule_k   = 10⁴·(Σn_w² − N)/N²          (exact ints, ONE division)
+      honore_r = 100·ln N / (1 − V₁/V)        (NULL when V₁ = V)
+      herdan_c = ln V / ln N                  (NULL when N ≤ 1)
+
+    Tokens are the repo-standard lowercased whitespace tokens (chao1's
+    grid). One token-key aggregate with map-side partials, then |types|
+    rows fold to one; lns are fixed IEEE sequences on exact integers.
+    """
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+    )
+    per_w = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = per_w.agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("int")).cast("long").alias("hapax"),
+        F.sum(F.col("n").cast(_DEC) * F.col("n").cast(_DEC)).alias("s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    vd = F.col("n_types").cast("double")
+    v1 = F.col("hapax").cast("double")
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "hapax",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.lit(10_000.0)
+                * (F.col("s2").cast("double") - nd)
+                / (nd * nd),
+                6,
+            ),
+        ).alias("yule_k"),
+        F.when(
+            F.col("hapax") < F.col("n_types"),
+            F.round(F.lit(100.0) * F.log(nd) * vd / (vd - v1), 6),
+        ).alias("honore_r"),
+        F.when(F.col("n_tokens") > 1, F.round(F.log(vd) / F.log(nd), 6)).alias(
+            "herdan_c"
+        ),
+    )
+
+
+def collocations_g2(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Dunning log-likelihood (G²) bigram collocations — the
+    significance-ranked phrase detector that PMI over-ranks rare pairs
+    on (pmi_collocations' complement): top-k rows (w1, w2, n12, n1, n2,
+    g2) by G² over the corpus bigram table. 2×2 cell counts come from
+    the bigram marginals (N = total bigrams, n1 = bigrams starting with
+    w1, n2 = ending with w2); G² = 2·Σ k·ln(k·N/(R·C)) over the four
+    cells with 0·ln0 = 0 — a fixed per-row IEEE chain on exact longs,
+    round-6'd; ties break on (w1, w2) so top-k is total-ordered.
+
+    Scale: bigrams from a per-doc lag window (token-grid sized), then
+    THREE hash aggregates on bigram/first/second keys; the min_count
+    gate prunes the candidate set BEFORE the two marginal joins, and
+    marginal tables join on their token keys (co-partitioned shuffles,
+    no broadcast of vocab-sized sides).
+    """
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("_d").orderBy("pos")
+    big = toks.select(
+        F.lag("w").over(wdoc).alias("w1"), F.col("w").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    n12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("n12"))
+    m1 = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    m2 = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    cand = (
+        n12.filter(F.col("n12") >= min_count)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def _term(k: Column, r: Column, c: Column) -> Column:
+        kd = k.cast("double")
+        return F.when(
+            k > 0,
+            kd
+            * (
+                F.log(kd)
+                + F.log(F.col("nn").cast("double"))
+                - F.log(r.cast("double"))
+                - F.log(c.cast("double"))
+            ),
+        ).otherwise(F.lit(0.0))
+
+    k11 = F.col("n12")
+    k12 = F.col("n1") - F.col("n12")
+    k21 = F.col("n2") - F.col("n12")
+    k22 = F.col("nn") - F.col("n1") - F.col("n2") + F.col("n12")
+    r1, r2 = F.col("n1"), F.col("nn") - F.col("n1")
+    c1, c2 = F.col("n2"), F.col("nn") - F.col("n2")
+    g2 = F.round(
+        F.lit(2.0)
+        * (
+            _term(k11, r1, c1)
+            + _term(k12, r1, c2)
+            + _term(k21, r2, c1)
+            + _term(k22, r2, c2)
+        ),
+        6,
+    )
+    return (
+        cand.select("w1", "w2", "n12", "n1", "n2", g2.alias("g2"))
+        .orderBy(F.col("g2").desc(), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def source_kl_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the directed "how far does this crawl source skew from the mixture"
+    monitor (the asymmetric companion to source_tvd_drift and the JSD
+    gate): one row per source (source, n_tokens, kl_bits), ordered by
+    source. KL(p_s ‖ p_corpus) = Σ_w p·log2(p/q); every source token is
+    in the corpus, so q > 0 always and absent terms contribute 0.
+
+    Each (source, w) cell contributes ONE nano-rounded
+    n·(ln n + ln N_c − ln N_s − ln c_w)/ln2 term summed exactly; the
+    shared 1/N_s division happens once — distributed sum order can't
+    move the statistic. Two token-key aggregates + one token-key join
+    (co-partitioned; corpus totals broadcast).
+    """
+    tok = docs.filter(
+        F.col(text_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    )
+    sw = tok.groupBy("g", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cw = sw.groupBy("w").agg(F.sum("n").cast("long").alias("c"))
+    ns = sw.groupBy("g").agg(F.sum("n").cast("long").alias("ns"))
+    nc = cw.agg(F.sum("c").cast("long").alias("nc"))
+    ln2 = 0.6931471805599453
+    j = (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "g")
+        .crossJoin(F.broadcast(nc))
+    )
+    term_nano = F.round(
+        F.col("n").cast("double")
+        * (
+            F.log(F.col("n").cast("double"))
+            + F.log(F.col("nc").cast("double"))
+            - F.log(F.col("ns").cast("double"))
+            - F.log(F.col("c").cast("double"))
+        )
+        / F.lit(ln2)
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    per_g = j.groupBy("g", "ns").agg(F.sum(term_nano).cast("long").alias("t_nano"))
+    return per_g.select(
+        F.col("g").alias(group_col),
+        F.col("ns").alias("n_tokens"),
+        F.round(
+            F.col("t_nano").cast("double")
+            / (F.col("ns").cast("double") * F.lit(1_000_000_000.0)),
+            6,
+        ).alias("kl_bits"),
+    ).orderBy(group_col)

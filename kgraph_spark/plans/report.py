@@ -1916,6 +1916,29 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Corpus richness — one token-key aggregate with partials, "
+        "types fold to one row; no join, no window",
+        _plan(entrymod.queries()["text_richness"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "G² collocations — min_count prune BEFORE marginal joins, "
+        "token-key shuffle joins (no vocab broadcast), bounded top-k sort",
+        _plan(entrymod.queries()["text_collocations"](spark, SF)),
+        ["HashAggregate", "partial_", "TakeOrderedAndProject",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Per-source KL — token-key aggregates + co-partitioned token "
+        "join; source totals broadcast; one division per source",
+        _plan(entrymod.queries()["text_kl_sources"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -830,3 +830,66 @@ def test_chao1_richness_hand_case(spark):
     sat = spark.createDataFrame([(1, "x x y y")], "doc_id long, text string")
     r2 = chao1_richness(sat).first()
     assert r2["chao1"] == 2.0 and r2["unseen_mass"] == 0.0
+
+
+def test_corpus_richness_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.text_analysis import corpus_richness
+
+    # tokens: a a b c -> N=4 V=3 hapax=2 S2=6
+    docs = spark.createDataFrame([(1, "a a b c")], "doc_id long, text string")
+    r = corpus_richness(docs).first()
+    assert (r["n_tokens"], r["n_types"], r["hapax"]) == (4, 3, 2)
+    assert r["yule_k"] == pytest.approx(10000.0 * 2 / 16, abs=1e-6)
+    assert r["honore_r"] == pytest.approx(100 * math.log(4) * 3 / 1, abs=1e-5)
+    assert r["herdan_c"] == pytest.approx(math.log(3) / math.log(4), abs=1e-6)
+    # every token a hapax -> Honore undefined (V1 = V)
+    allh = spark.createDataFrame([(1, "p q r")], "doc_id long, text string")
+    assert corpus_richness(allh).first()["honore_r"] is None
+
+
+def test_collocations_g2_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.text_analysis import collocations_g2
+
+    # "x y" x5 and "y x" x4 bigrams; min_count 5 keeps only (x, y)
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y x y")], "doc_id long, text string"
+    )
+    rows = collocations_g2(docs, min_count=5, top_k=20).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["w1"], r["w2"], r["n12"], r["n1"], r["n2"]) == ("x", "y", 5, 5, 5)
+    expected = 2.0 * (5 * math.log(5 * 9 / 25) + 4 * math.log(4 * 9 / 16))
+    assert r["g2"] == pytest.approx(expected, abs=1e-5)
+    # bigrams never cross doc boundaries
+    two = spark.createDataFrame(
+        [(1, "x y"), (2, "y x")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]): r["n12"]
+           for r in collocations_g2(two, min_count=1, top_k=20).collect()}
+    assert got == {("x", "y"): 1, ("y", "x"): 1}
+
+
+def test_source_kl_divergence_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.text_analysis import source_kl_divergence
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "s1"), (2, "b b b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in source_kl_divergence(docs).collect()}
+    assert rows["s1"]["n_tokens"] == 3 and rows["s2"]["n_tokens"] == 3
+    assert rows["s1"]["kl_bits"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert rows["s2"]["kl_bits"] == pytest.approx(math.log2(1.5), abs=1e-6)
+    # a source identical to the corpus diverges by 0
+    same = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    for r in source_kl_divergence(same).collect():
+        assert r["kl_bits"] == pytest.approx(0.0, abs=1e-9)
