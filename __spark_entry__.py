@@ -5465,6 +5465,50 @@ def q_text_kl_sources(spark, sf_dir):
     return source_kl_divergence(_read(spark, sf_dir, "documents"))
 
 
+def q_stat_ad2(spark, sf_dir):
+    """Two-sample Anderson-Darling A² for purchase vs view values —
+    the tail-weighted drift gate complementing stat_ks_drift; exact
+    integer numerators on the distinct-value grid, micro-rounded terms,
+    one shared 1/(mn) division."""
+    from kgraph_spark.operators.stats import anderson_darling_2s
+
+    ev = _read(spark, sf_dir, "events")
+    return anderson_darling_2s(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def q_stat_dunn(spark, sf_dir):
+    """Dunn's post-hoc pairwise z over event-type values — WHICH pairs
+    differ after the Kruskal-Wallis omnibus; tie-corrected pooled
+    variance, exact doubled-midrank sums, broadcast pair fan-out."""
+    from kgraph_spark.operators.stats import dunn_posthoc
+
+    return dunn_posthoc(_read(spark, sf_dir, "events"), "value", "event_type")
+
+
+def q_stat_page(spark, sf_dir):
+    """Page's L ordered-trend test: do per-user mean values rise
+    monotonically across event types in natural order — within-block
+    doubled midranks over complete blocks, exact L, normal z."""
+    from kgraph_spark.operators.stats import page_trend
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    mv = ev.groupBy("user_id", "event_type").agg(
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("v")
+    )
+    return page_trend(mv, "user_id", "event_type", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5759,6 +5803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_richness": q_text_richness,
         "text_collocations": q_text_collocations,
         "text_kl_sources": q_text_kl_sources,
+        "stat_ad2": q_stat_ad2,
+        "stat_dunn": q_stat_dunn,
+        "stat_page": q_stat_page,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -14839,5 +14886,152 @@ def oracle_sql() -> dict[str, str]:
                          / (n_tokens::DOUBLE * 1000000000.0), 6) AS kl_bits
             FROM per_g
             ORDER BY source
+        """,
+        "stat_ad2": """
+            -- Two-sample Anderson-Darling (tie-weighted discrete form)
+            -- for purchase vs view: exact integer numerators, micro-
+            -- rounded terms, one 1/(mn) division
+            -- (stats.anderson_darling_2s)
+            WITH pooled AS (
+                SELECT round(value * 1000000)::BIGINT AS qv,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS is_a
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'view')
+            ), per_v AS (
+                SELECT qv, count(*)::BIGINT AS t, sum(is_a)::BIGINT AS t_a
+                FROM pooled GROUP BY 1
+            ), cum AS (
+                SELECT t,
+                       sum(t) OVER w::BIGINT AS b,
+                       sum(t_a) OVER w::BIGINT AS mcum
+                FROM per_v
+                WINDOW w AS (ORDER BY qv ROWS UNBOUNDED PRECEDING)
+            ), tot AS (
+                SELECT sum(t_a)::BIGINT AS n_a,
+                       (sum(t) - sum(t_a))::BIGINT AS n_b,
+                       sum(t)::BIGINT AS nn
+                FROM per_v
+            ), devs AS (
+                SELECT t, b, n_a, n_b, nn,
+                       nn::HUGEINT * mcum::HUGEINT
+                       - b::HUGEINT * n_a::HUGEINT AS dev
+                FROM cum, tot WHERE b < nn
+            ), s AS (
+                SELECT n_a, n_b,
+                       sum(round((t::HUGEINT * dev * dev)::DOUBLE
+                                 / (b::HUGEINT * (nn::HUGEINT
+                                                  - b::HUGEINT))::DOUBLE
+                                 * 1000000.0)::BIGINT)::BIGINT AS s_micro
+                FROM devs GROUP BY 1, 2
+            )
+            SELECT n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(s_micro::DOUBLE
+                                   / (n_a::DOUBLE * n_b::DOUBLE
+                                      * 1000000.0), 6)
+                   END AS a2
+            FROM s
+        """,
+        "stat_dunn": """
+            -- Dunn's post-hoc pairwise z over event-type values:
+            -- doubled-midrank grid, tie-corrected pooled variance,
+            -- k-row pair self-join (stats.dunn_posthoc)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 1000000)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), per_vg AS (
+                SELECT qv, g, count(*)::BIGINT AS t_g FROM q GROUP BY 1, 2
+            ), per_v AS (
+                SELECT qv, sum(t_g)::BIGINT AS t FROM per_vg GROUP BY 1
+            ), ranked AS (
+                SELECT qv, t,
+                       (2 * (sum(t) OVER (ORDER BY qv
+                                          ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM per_v
+            ), per_g AS (
+                SELECT g, sum(t_g)::BIGINT AS n_g,
+                       sum(t_g::HUGEINT * r2::HUGEINT) AS r2_g
+                FROM per_vg JOIN ranked USING (qv) GROUP BY 1
+            ), tot AS (
+                SELECT sum(t)::BIGINT AS n,
+                       sum(t::HUGEINT * t::HUGEINT * t::HUGEINT
+                           - t::HUGEINT) AS ties_t
+                FROM ranked
+            )
+            SELECT a.g AS g1, b.g AS g2, a.n_g AS n1, b.n_g AS n2,
+                   round(a.r2_g::DOUBLE / (2.0 * a.n_g::DOUBLE), 6)
+                       AS mean_rank_1,
+                   round(b.r2_g::DOUBLE / (2.0 * b.n_g::DOUBLE), 6)
+                       AS mean_rank_2,
+                   CASE WHEN n >= 2
+                        AND (n::DOUBLE * (n::DOUBLE + 1.0)
+                             - ties_t::DOUBLE / (n::DOUBLE - 1.0)) / 12.0 > 0
+                        THEN round(
+                            (a.r2_g::DOUBLE / (2.0 * a.n_g::DOUBLE)
+                             - b.r2_g::DOUBLE / (2.0 * b.n_g::DOUBLE))
+                            / sqrt((n::DOUBLE * (n::DOUBLE + 1.0)
+                                    - ties_t::DOUBLE / (n::DOUBLE - 1.0))
+                                   / 12.0
+                                   * (1.0 / a.n_g::DOUBLE
+                                      + 1.0 / b.n_g::DOUBLE)), 6)
+                   END AS z
+            FROM per_g a JOIN per_g b ON a.g < b.g, tot
+            ORDER BY g1, g2
+        """,
+        "stat_page": """
+            -- Page's L ordered-trend test over per-user mean values by
+            -- event type: complete blocks only, within-block doubled
+            -- midranks, exact L, normal z (stats.page_trend)
+            WITH mv AS (
+                SELECT user_id AS b, event_type AS tr,
+                       round(sum(round(value * 1000000)::BIGINT)::DOUBLE
+                             / count(*)::DOUBLE)::BIGINT AS qv
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY 1, 2
+            ), k_tot AS (
+                SELECT count(DISTINCT tr)::BIGINT AS k FROM mv
+            ), complete AS (
+                SELECT b FROM mv GROUP BY b
+                HAVING count(DISTINCT tr) = (SELECT k FROM k_tot)
+                   AND count(*) = (SELECT k FROM k_tot)
+            ), qc AS (
+                SELECT mv.* FROM mv JOIN complete USING (b)
+            ), ranked AS (
+                SELECT b, tr,
+                       (2 * (rank() OVER (PARTITION BY b ORDER BY qv) - 1)
+                        + count(*) OVER (PARTITION BY b, qv)
+                        + 1)::BIGINT AS r2
+                FROM qc
+            ), order_idx AS (
+                SELECT tr, row_number() OVER (ORDER BY tr)::BIGINT AS c
+                FROM (SELECT DISTINCT tr FROM mv)
+            ), l2t AS (
+                SELECT sum(c::HUGEINT * r2::HUGEINT) AS l2,
+                       count(DISTINCT b)::BIGINT AS n_blocks
+                FROM ranked JOIN order_idx USING (tr)
+            )
+            SELECT n_blocks, k,
+                   l2::DOUBLE / 2.0 AS l_stat,
+                   CASE WHEN n_blocks > 0
+                        AND n_blocks::DOUBLE * k::DOUBLE * k::DOUBLE
+                            * (k::DOUBLE + 1.0)
+                            * (k::DOUBLE * k::DOUBLE - 1.0) / 144.0 > 0
+                        THEN round(
+                            (l2::DOUBLE
+                             - n_blocks::DOUBLE * k::DOUBLE
+                               * (k::DOUBLE + 1.0) * (k::DOUBLE + 1.0)
+                               / 2.0)
+                            / (2.0 * sqrt(n_blocks::DOUBLE * k::DOUBLE
+                                          * k::DOUBLE * (k::DOUBLE + 1.0)
+                                          * (k::DOUBLE * k::DOUBLE - 1.0)
+                                          / 144.0)), 6)
+                   END AS z
+            FROM l2t, k_tot
         """,
     }

@@ -64,6 +64,9 @@ __all__ = [
     "cliffs_delta",
     "cohen_kappa",
     "ordinal_concordance",
+    "anderson_darling_2s",
+    "dunn_posthoc",
+    "page_trend",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2260,4 +2263,243 @@ def ordinal_concordance(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.when(den_g > 0, F.round(num / den_g, 6)).alias("gamma"),
         F.when(den_ba > 0, F.round(F.lit(2.0) * num / den_ba, 6)).alias("somers_ba"),
         F.when(den_ab > 0, F.round(F.lit(2.0) * num / den_ab, 6)).alias("somers_ab"),
+    )
+
+
+def anderson_darling_2s(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Anderson-Darling A² (tie-weighted discrete form) —
+    the tail-sensitive alternative to ks_2sample (KS sees only the
+    biggest CDF gap; A² integrates ALL gaps with 1/(F(1−F)) weighting,
+    so distribution drift hiding in the tails trips it first): one row
+    (n_a, n_b, a2). A² = (1/(mn))·Σ_v t_v·(N·M_v − B_v·m)²/(B_v(N−B_v))
+    over pooled distinct values with B_v < N — the Pettitt (1976)
+    midrank form; with no ties it is exactly the classical statistic.
+
+    Numerator and radicand-free denominator are exact wide integers per
+    distinct value; each term is micro-rounded ONCE and summed exactly;
+    the shared 1/(mn) division happens at the end. Grid-sized ordered
+    window (distinct values), never a data-sized sort.
+    """
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(1).alias("is_a")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(0).alias("is_a")
+    )
+    pooled = qa.unionByName(qb)
+    per_v = pooled.groupBy("qv").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_a").cast("long").alias("t_a"),
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "t",
+        F.sum("t").over(w).cast("long").alias("b"),
+        F.sum("t_a").over(w).cast("long").alias("mcum"),
+    )
+    tot = per_v.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("long").alias("n_b"),
+        F.sum("t").cast("long").alias("nn"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("b") < F.col("nn"))
+    dev = (
+        F.col("nn").cast(_DEC) * F.col("mcum").cast(_DEC)
+        - F.col("b").cast(_DEC) * F.col("n_a").cast(_DEC)
+    )
+    num = F.col("t").cast(_DEC) * dev * dev
+    den = F.col("b").cast(_DEC) * (F.col("nn").cast(_DEC) - F.col("b").cast(_DEC))
+    term_micro = F.round(
+        num.cast("double") / den.cast("double") * F.lit(1_000_000.0), 0
+    ).cast("long")
+    s = j.groupBy("n_a", "n_b").agg(F.sum(term_micro).cast("long").alias("s_micro"))
+    return s.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                F.col("s_micro").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                    * F.lit(1_000_000.0)
+                ),
+                6,
+            ),
+        ).alias("a2"),
+    )
+
+
+def dunn_posthoc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Dunn's post-hoc test — WHICH groups differ once kruskal_wallis
+    says "some do": one row per unordered group pair (g1, g2, n1, n2,
+    mean_rank_1, mean_rank_2, z), g1 < g2, ordered. z = (R̄₁ − R̄₂) /
+    √(V·(1/n₁ + 1/n₂)) with the tie-corrected pooled variance
+    V = (N(N+1) − Σ(t³−t)/(N−1))/12.
+
+    Same doubled-midrank grid as kruskal_wallis (exact rank sums as
+    wide integers; mean ranks are ONE division each); the pair fan-out
+    is a broadcast self-join of the k-row group-stats table — never a
+    data-sized pairing. N < 2 or V ≤ 0 reports NULL z.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv")
+    )
+    per_vg = q.groupBy("qv", "g").agg(F.count(F.lit(1)).cast("long").alias("t_g"))
+    per_v = per_vg.groupBy("qv").agg(F.sum("t_g").cast("long").alias("t"))
+    w = Window.orderBy("qv")
+    ranked = per_v.select(
+        "qv",
+        "t",
+        (
+            2 * (F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    per_g = (
+        per_vg.join(ranked.select("qv", "r2"), "qv")
+        .groupBy("g")
+        .agg(
+            F.sum("t_g").cast("long").alias("n_g"),
+            F.sum(F.col("t_g").cast(_DEC) * F.col("r2").cast(_DEC)).alias("r2_g"),
+        )
+    )
+    tot = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t").cast(_DEC) * F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+            - F.col("t").cast(_DEC)
+        ).alias("ties_t"),
+    )
+    g2 = per_g.select(
+        F.col("g").alias("g2"),
+        F.col("n_g").alias("n2"),
+        F.col("r2_g").alias("r2_2"),
+    )
+    pairs = (
+        per_g.select(
+            F.col("g").alias("g1"), F.col("n_g").alias("n1"), F.col("r2_g").alias("r2_1")
+        )
+        .join(F.broadcast(g2), F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n").cast("double")
+    mr1 = F.col("r2_1").cast("double") / (F.lit(2.0) * F.col("n1").cast("double"))
+    mr2 = F.col("r2_2").cast("double") / (F.lit(2.0) * F.col("n2").cast("double"))
+    v = (
+        nd * (nd + 1) - F.col("ties_t").cast("double") / (nd - 1)
+    ) / F.lit(12.0)
+    se = F.sqrt(
+        v
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n2").cast("double")
+        )
+    )
+    return pairs.select(
+        "g1",
+        "g2",
+        "n1",
+        "n2",
+        F.round(mr1, 6).alias("mean_rank_1"),
+        F.round(mr2, 6).alias("mean_rank_2"),
+        F.when((F.col("n") >= 2) & (v > 0), F.round((mr1 - mr2) / se, 6)).alias(
+            "z"
+        ),
+    ).orderBy("g1", "g2")
+
+
+def page_trend(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Page's L trend test — "do the k treatments shift MONOTONICALLY
+    in their hypothesized order" within blocks (the ordered-alternative
+    sharpening of friedman, within-block twin of jonckheere_terpstra):
+    one row (n_blocks, k, l_stat, z). Treatments are ordered by their
+    natural sort (c_j = 1..k); only blocks containing ALL k treatments
+    count. L = Σ_j c_j·R_j over within-block midranks;
+    z = (L − n·k(k+1)²/4)/√(n·k²(k+1)(k²−1)/144), the standard normal
+    approximation (no tie correction — ties only dilute L).
+
+    Midranks ride doubled (exact longs — rank() and an equal-count
+    window inside each block); L accumulates as exact wide integers;
+    z is a fixed double sequence with one sqrt. Block windows are
+    block-sized; the treatment-order index joins broadcast.
+    """
+    q = df.filter(
+        F.col(block_col).isNotNull()
+        & F.col(treatment_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(block_col).alias("b"),
+        F.col(treatment_col).alias("tr"),
+        _quant(F.col(value_col), scale).alias("qv"),
+    )
+    k_tot = q.select("tr").distinct().agg(F.count(F.lit(1)).cast("long").alias("k"))
+    complete = (
+        q.groupBy("b")
+        .agg(F.countDistinct("tr").cast("long").alias("ntr"), F.count(F.lit(1)).alias("nrow"))
+        .crossJoin(F.broadcast(k_tot))
+        .filter((F.col("ntr") == F.col("k")) & (F.col("nrow") == F.col("k")))
+        .select("b")
+    )
+    qc = q.join(F.broadcast(complete), "b")
+    wb = Window.partitionBy("b").orderBy("qv")
+    wtie = Window.partitionBy("b", "qv")
+    ranked = qc.select(
+        "b",
+        "tr",
+        (
+            2 * (F.rank().over(wb) - 1) + F.count(F.lit(1)).over(wtie) + 1
+        ).cast("long").alias("r2"),
+    )
+    order_idx = (
+        q.select("tr")
+        .distinct()
+        .select(
+            "tr",
+            F.row_number().over(Window.orderBy("tr")).cast("long").alias("c"),
+        )
+    )
+    l2 = (
+        ranked.join(F.broadcast(order_idx), "tr")
+        .agg(
+            F.sum(F.col("c").cast(_DEC) * F.col("r2").cast(_DEC)).alias("l2"),
+            (F.countDistinct("b")).cast("long").alias("n_blocks"),
+        )
+        .crossJoin(F.broadcast(k_tot))
+    )
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    mean2 = nd * kd * (kd + 1) * (kd + 1) / F.lit(2.0)
+    var = nd * kd * kd * (kd + 1) * (kd * kd - 1) / F.lit(144.0)
+    return l2.select(
+        "n_blocks",
+        "k",
+        (F.col("l2").cast("double") / F.lit(2.0)).alias("l_stat"),
+        F.when(
+            (F.col("n_blocks") > 0) & (var > 0),
+            F.round(
+                (F.col("l2").cast("double") - mean2) / (F.lit(2.0) * F.sqrt(var)),
+                6,
+            ),
+        ).alias("z"),
     )

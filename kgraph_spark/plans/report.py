@@ -1939,6 +1939,29 @@ def main() -> None:
          "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Anderson-Darling 2-sample — distinct-grid cumulative window, "
+        "broadcast totals, one shared division",
+        _plan(entrymod.queries()["stat_ad2"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Dunn post-hoc — doubled-midrank grid + k-row broadcast pair "
+        "self-join (never a data-sized pairing)",
+        _plan(entrymod.queries()["stat_dunn"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Page trend — block-sized rank windows over complete blocks, "
+        "broadcast treatment-order index, exact L fold",
+        _plan(entrymod.queries()["stat_page"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

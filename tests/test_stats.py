@@ -880,3 +880,69 @@ def test_ordinal_concordance_hand_case(spark):
     r2 = ordinal_concordance(rev, "a", "b").first()
     assert r2["gamma"] == pytest.approx(-1.0, abs=1e-9)
     assert r2["somers_ba"] == pytest.approx(-0.75, abs=1e-9)
+
+
+def test_anderson_darling_2s_hand_case(spark):
+    from kgraph_spark.operators.stats import anderson_darling_2s
+
+    # A=[1,2], B=[3,4]: A2 = (4/3 + 4 + 4/3)/4 = 5/3
+    da = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    db = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    r = anderson_darling_2s(da, db, "v").first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["a2"] == pytest.approx(5.0 / 3.0, abs=1e-5)
+    # identical samples: every deviation is zero
+    same = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    assert anderson_darling_2s(same, same, "v").first()["a2"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+
+
+def test_dunn_posthoc_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import dunn_posthoc
+
+    # A=[1,2,3], B=[4,5,6]: mean ranks 2 vs 5, V=3.5, z=-3/sqrt(7/3)
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = dunn_posthoc(df, "v", "g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g1"], r["g2"], r["n1"], r["n2"]) == ("A", "B", 3, 3)
+    assert r["mean_rank_1"] == pytest.approx(2.0, abs=1e-9)
+    assert r["mean_rank_2"] == pytest.approx(5.0, abs=1e-9)
+    assert r["z"] == pytest.approx(-3.0 / math.sqrt(7.0 / 3.0), abs=1e-6)
+    # three groups -> three ordered pairs
+    df3 = df.union(
+        spark.createDataFrame([("C", 7.0), ("C", 8.0)], "g string, v double")
+    )
+    pairs = [(r["g1"], r["g2"]) for r in dunn_posthoc(df3, "v", "g").collect()]
+    assert pairs == [("A", "B"), ("A", "C"), ("B", "C")]
+
+
+def test_page_trend_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import page_trend
+
+    # 3 complete blocks, values rise with treatment order:
+    # L = 3*(1+4+9) = 42, E = 36, Var = 6, z = 6/sqrt(6)
+    rows = [
+        (b, t, float(v))
+        for b in (1, 2, 3)
+        for t, v in (("t1", 1.0), ("t2", 2.0), ("t3", 3.0))
+    ]
+    df = spark.createDataFrame(rows, "b long, tr string, v double")
+    r = page_trend(df, "b", "tr", "v").first()
+    assert (r["n_blocks"], r["k"]) == (3, 3)
+    assert r["l_stat"] == pytest.approx(42.0, abs=1e-9)
+    assert r["z"] == pytest.approx(6.0 / math.sqrt(6.0), abs=1e-6)
+    # a block missing one treatment is excluded entirely
+    df2 = df.union(
+        spark.createDataFrame(
+            [(4, "t1", 9.0), (4, "t2", 9.5)], "b long, tr string, v double"
+        )
+    )
+    r2 = page_trend(df2, "b", "tr", "v").first()
+    assert r2["n_blocks"] == 3 and r2["l_stat"] == pytest.approx(42.0, abs=1e-9)
