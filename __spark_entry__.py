@@ -5509,6 +5509,37 @@ def q_stat_page(spark, sf_dir):
     return page_trend(mv, "user_id", "event_type", "v")
 
 
+def q_stat_odds_ratio(spark, sf_dir):
+    """2×2 odds/risk ratio with Wald CIs: do odd users hit error events
+    at a different rate — exact integer cells, one division per ratio,
+    exp/ln only in the CI."""
+    from kgraph_spark.operators.stats import two_by_two
+
+    e = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2 == 1).alias("odd_user"),
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return two_by_two(e, "odd_user", "is_error")
+
+
+def q_stat_grubbs(spark, sf_dir):
+    """Grubbs outlier test on event values: the argmax deviation is
+    decided on exact integers (ties to the smallest value); G is one
+    fixed double sequence."""
+    from kgraph_spark.operators.stats import grubbs_test
+
+    return grubbs_test(_read(spark, sf_dir, "events"), "value")
+
+
+def q_evt_peaks(spark, sf_dir):
+    """Strict local peaks/troughs on the daily mean-value series —
+    integer-only comparisons (no float in any boolean), endpoint
+    buckets are neither."""
+    from kgraph_spark.operators.event_analytics import series_peaks
+
+    return series_peaks(_daily_mean_series(spark, sf_dir), "t", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5806,6 +5837,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_ad2": q_stat_ad2,
         "stat_dunn": q_stat_dunn,
         "stat_page": q_stat_page,
+        "stat_odds_ratio": q_stat_odds_ratio,
+        "stat_grubbs": q_stat_grubbs,
+        "evt_peaks": q_evt_peaks,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -15033,5 +15067,119 @@ def oracle_sql() -> dict[str, str]:
                                           / 144.0)), 6)
                    END AS z
             FROM l2t, k_tot
+        """,
+        "stat_odds_ratio": """
+            -- 2x2 odds/risk ratio with Wald CIs: odd users vs error
+            -- events; exact integer cells, one division per ratio
+            -- (stats.two_by_two)
+            WITH base AS (
+                SELECT (user_id % 2 = 1) AS e, (event_type = 'error') AS o
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum((e AND o)::INT)::BIGINT AS a,
+                       sum((e AND NOT o)::INT)::BIGINT AS b,
+                       sum((NOT e AND o)::INT)::BIGINT AS c,
+                       sum((NOT e AND NOT o)::INT)::BIGINT AS d
+                FROM base
+            )
+            SELECT n, a, b, c, d,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round((a::HUGEINT * d::HUGEINT)::DOUBLE
+                                   / (b::HUGEINT * c::HUGEINT)::DOUBLE, 6)
+                   END AS odds_ratio,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round((a::HUGEINT * (c + d)::HUGEINT)::DOUBLE
+                                   / (c::HUGEINT * (a + b)::HUGEINT)::DOUBLE,
+                                   6)
+                   END AS risk_ratio,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round(exp(
+                            ln((a::HUGEINT * d::HUGEINT)::DOUBLE
+                               / (b::HUGEINT * c::HUGEINT)::DOUBLE)
+                            - 1.959963985
+                              * sqrt(1 / a::DOUBLE + 1 / b::DOUBLE
+                                     + 1 / c::DOUBLE + 1 / d::DOUBLE)), 6)
+                   END AS or_ci_lo,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+                        THEN round(exp(
+                            ln((a::HUGEINT * d::HUGEINT)::DOUBLE
+                               / (b::HUGEINT * c::HUGEINT)::DOUBLE)
+                            + 1.959963985
+                              * sqrt(1 / a::DOUBLE + 1 / b::DOUBLE
+                                     + 1 / c::DOUBLE + 1 / d::DOUBLE)), 6)
+                   END AS or_ci_hi
+            FROM agg
+        """,
+        "stat_grubbs": """
+            -- Grubbs max-studentized outlier: argmax on exact
+            -- |n*q - Sx| (ties to smallest value), one sqrt
+            -- (stats.grubbs_test)
+            WITH q AS (
+                SELECT round(value * 1000000)::BIGINT AS qv
+                FROM events WHERE value IS NOT NULL
+            ), cells AS (
+                SELECT qv, count(*)::BIGINT AS t FROM q GROUP BY 1
+            ), mom AS (
+                SELECT sum(t)::BIGINT AS n,
+                       sum(qv::HUGEINT * t::HUGEINT) AS sx,
+                       sum(qv::HUGEINT * qv::HUGEINT * t::HUGEINT) AS sxx
+                FROM cells
+            ), devs AS (
+                SELECT qv, n, sx, sxx,
+                       abs(n::HUGEINT * qv::HUGEINT - sx) AS adev
+                FROM cells, mom
+            ), amax AS (
+                SELECT n, sx, sxx, max(adev) AS amax
+                FROM devs GROUP BY 1, 2, 3
+            ), winner AS (
+                SELECT d.n, d.sx, d.sxx, a.amax, min(d.qv) AS q_out
+                FROM devs d JOIN amax a ON d.adev = a.amax
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT n,
+                   round(q_out::DOUBLE / 1000000.0, 6) AS outlier,
+                   CASE WHEN n >= 3
+                        AND (n::HUGEINT * sxx - sx * sx)::DOUBLE > 0
+                        THEN round(amax::DOUBLE
+                                   / sqrt(n::DOUBLE
+                                          * (n::HUGEINT * sxx
+                                             - sx * sx)::DOUBLE
+                                          / (n::DOUBLE - 1.0)), 6)
+                   END AS g_stat
+            FROM winner
+        """,
+        "evt_peaks": """
+            -- Strict local peaks/troughs on the daily mean series:
+            -- integer-only comparisons, endpoints neither
+            -- (event_analytics.series_peaks)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(round(value * 1000000)::BIGINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT t, round(v * 1000000)::BIGINT AS qv FROM per_d
+            ), s AS (
+                SELECT t, qv,
+                       lag(qv) OVER (ORDER BY t) AS pq,
+                       lead(qv) OVER (ORDER BY t) AS nq
+                FROM q
+            )
+            SELECT t,
+                   round(qv::DOUBLE / 1000000.0, 6) AS v,
+                   CASE WHEN pq IS NOT NULL
+                        THEN round((qv - pq)::DOUBLE / 1000000.0, 6)
+                   END AS rise,
+                   CASE WHEN nq IS NOT NULL
+                        THEN round((nq - qv)::DOUBLE / 1000000.0, 6)
+                   END AS fall,
+                   coalesce(pq IS NOT NULL AND nq IS NOT NULL
+                            AND qv > pq AND qv > nq, FALSE) AS is_peak,
+                   coalesce(pq IS NOT NULL AND nq IS NOT NULL
+                            AND qv < pq AND qv < nq, FALSE) AS is_trough
+            FROM s
         """,
     }

@@ -979,3 +979,54 @@ def bollinger_bands(
             warm, dev * dev > F.lit(4).cast(_DEC) * d
         ).otherwise(F.lit(False)).alias("breach"),
     )
+
+
+def series_peaks(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "v",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Local peak/trough detection on a regular series — the alerting
+    primitive under seasonality/anomaly review: one row per bucket
+    (t, v, rise, fall, is_peak, is_trough). A peak is a STRICT local
+    max against both neighbors (ties are neither), decided entirely on
+    quantized integer comparisons — no float enters any boolean; series
+    endpoints (missing neighbor) are neither. rise/fall are the signed
+    deltas to the previous/next bucket.
+
+    One ordered grid-sized window (lag+lead); no join, no aggregation.
+    """
+    q = series.select(
+        F.col(t_col).alias("t"),
+        F.round(F.col(v_col) * F.lit(scale), 0).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t")
+    s = q.select(
+        "t",
+        "qv",
+        F.lag("qv").over(w).alias("pq"),
+        F.lead("qv").over(w).alias("nq"),
+    )
+    sc = F.lit(float(scale))
+    both = F.col("pq").isNotNull() & F.col("nq").isNotNull()
+    return s.select(
+        "t",
+        F.round(F.col("qv").cast("double") / sc, 6).alias("v"),
+        F.when(
+            F.col("pq").isNotNull(),
+            F.round((F.col("qv") - F.col("pq")).cast("double") / sc, 6),
+        ).alias("rise"),
+        F.when(
+            F.col("nq").isNotNull(),
+            F.round((F.col("nq") - F.col("qv")).cast("double") / sc, 6),
+        ).alias("fall"),
+        F.coalesce(
+            both & (F.col("qv") > F.col("pq")) & (F.col("qv") > F.col("nq")),
+            F.lit(False),
+        ).alias("is_peak"),
+        F.coalesce(
+            both & (F.col("qv") < F.col("pq")) & (F.col("qv") < F.col("nq")),
+            F.lit(False),
+        ).alias("is_trough"),
+    )

@@ -2503,3 +2503,114 @@ def page_trend(
             ),
         ).alias("z"),
     )
+
+
+def two_by_two(df: DataFrame, exposure_col: str, outcome_col: str) -> DataFrame:
+    """2×2 exposure/outcome association — odds ratio + risk ratio with
+    Wald 95% CIs, the epidemiology-style gate for "does cohort X hit
+    errors more": one row (n, a, b, c, d, odds_ratio, risk_ratio,
+    or_ci_lo, or_ci_hi). a = exposed∧outcome, b = exposed∧¬outcome,
+    c = unexposed∧outcome, d = unexposed∧¬outcome. OR = ad/bc (exact
+    integer numerator/denominator, ONE division); RR = a(c+d)/(c(a+b));
+    CI = exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)). Any empty cell → NULL
+    ratios (no continuity fudge — callers can pre-smooth).
+
+    One hash aggregate; the four cells are exact longs.
+    """
+    base = df.filter(
+        F.col(exposure_col).isNotNull() & F.col(outcome_col).isNotNull()
+    ).select(
+        F.col(exposure_col).cast("boolean").alias("e"),
+        F.col(outcome_col).cast("boolean").alias("o"),
+    )
+    cell = lambda e, o: F.sum(  # noqa: E731
+        ((F.col("e") == e) & (F.col("o") == o)).cast("int")
+    ).cast("long")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cell(True, True).alias("a"),
+        cell(True, False).alias("b"),
+        cell(False, True).alias("c"),
+        cell(False, False).alias("d"),
+    )
+    a, b, c, d = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    ok = (F.col("a") > 0) & (F.col("b") > 0) & (F.col("c") > 0) & (F.col("d") > 0)
+    or_ = (
+        (F.col("a").cast(_DEC) * F.col("d").cast(_DEC)).cast("double")
+        / (F.col("b").cast(_DEC) * F.col("c").cast(_DEC)).cast("double")
+    )
+    rr = (
+        (F.col("a").cast(_DEC) * (F.col("c") + F.col("d")).cast(_DEC)).cast("double")
+        / (F.col("c").cast(_DEC) * (F.col("a") + F.col("b")).cast(_DEC)).cast("double")
+    )
+    se = F.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+    return agg.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(ok, F.round(or_, 6)).alias("odds_ratio"),
+        F.when(ok, F.round(rr, 6)).alias("risk_ratio"),
+        F.when(ok, F.round(F.exp(F.log(or_) - F.lit(1.959963985) * se), 6)).alias(
+            "or_ci_lo"
+        ),
+        F.when(ok, F.round(F.exp(F.log(or_) + F.lit(1.959963985) * se), 6)).alias(
+            "or_ci_hi"
+        ),
+    )
+
+
+def grubbs_test(
+    df: DataFrame, value_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Grubbs' max-studentized-deviation outlier test — "is the most
+    extreme point too extreme for one population": one row
+    (n, outlier, g_stat). G = max|x − x̄|/s (sample s, n−1); the argmax
+    is decided on the EXACT integer |n·q − Σq| (ties break to the
+    smallest value), so two engines always elect the same outlier;
+    G itself is one fixed double sequence with one sqrt. n < 3 or zero
+    variance reports NULL g_stat (outlier still reported when defined).
+
+    Scale: one moment aggregate, the deviation scan runs on the
+    DISTINCT value grid with the moments broadcast — never a second
+    data pass.
+    """
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    cells = q.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    mom = cells.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("t").cast(_DEC)).alias("sx"),
+        F.sum(
+            F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC) * F.col("t").cast(_DEC)
+        ).alias("sxx"),
+    )
+    devs = cells.crossJoin(F.broadcast(mom)).select(
+        "qv",
+        "n",
+        "sx",
+        "sxx",
+        F.abs(F.col("n").cast(_DEC) * F.col("qv").cast(_DEC) - F.col("sx")).alias(
+            "adev"
+        ),
+    )
+    amax = devs.groupBy("n", "sx", "sxx").agg(F.max("adev").alias("amax"))
+    winner = (
+        devs.join(F.broadcast(amax.select("amax")), devs["adev"] == F.col("amax"))
+        .groupBy("n", "sx", "sxx", "amax")
+        .agg(F.min("qv").alias("q_out"))
+    )
+    nd = F.col("n").cast("double")
+    d = (
+        F.col("n").cast(_DEC) * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    g = F.col("amax").cast("double") / F.sqrt(nd * d / (nd - 1))
+    return winner.select(
+        "n",
+        F.round(
+            F.col("q_out").cast("double") / F.lit(float(scale)), 6
+        ).alias("outlier"),
+        F.when((F.col("n") >= 3) & (d > 0), F.round(g, 6)).alias("g_stat"),
+    )

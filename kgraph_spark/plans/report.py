@@ -1962,6 +1962,29 @@ def main() -> None:
          "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "2×2 odds ratio — one hash aggregate, exact integer cells; "
+        "no join, no window",
+        _plan(entrymod.queries()["stat_odds_ratio"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!Sort"],
+    ))
+
+    sections.append((
+        "Grubbs outlier — moment aggregate broadcast onto the distinct "
+        "value grid; argmax in exact integers (no second data pass)",
+        _plan(entrymod.queries()["stat_grubbs"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Series peaks — one ordered grid window (lag+lead), integer "
+        "comparisons only; no join",
+        _plan(entrymod.queries()["evt_peaks"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -453,3 +453,20 @@ def test_bollinger_bands_hand_case(spark):
     assert all(
         not r["breach"] for r in bollinger_bands(const, "t", "v").collect()
     )
+
+
+def test_series_peaks_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import series_peaks
+
+    series = spark.createDataFrame(
+        list(enumerate([1.0, 3.0, 2.0, 2.0, 5.0, 4.0])), "t long, v double"
+    )
+    rows = {r["t"]: r for r in series_peaks(series, "t", "v").collect()}
+    assert rows[1]["is_peak"] and rows[4]["is_peak"]
+    assert not any(rows[t]["is_peak"] for t in (0, 2, 3, 5))
+    # the 3->2 drop is not a trough (next neighbor ties at 2)
+    assert not rows[2]["is_trough"]
+    assert rows[1]["rise"] == pytest.approx(2.0, abs=1e-9)
+    assert rows[1]["fall"] == pytest.approx(-1.0, abs=1e-9)
+    # endpoints carry NULL missing-side deltas and are never peaks
+    assert rows[0]["rise"] is None and rows[5]["fall"] is None

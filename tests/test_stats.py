@@ -946,3 +946,45 @@ def test_page_trend_hand_case(spark):
     )
     r2 = page_trend(df2, "b", "tr", "v").first()
     assert r2["n_blocks"] == 3 and r2["l_stat"] == pytest.approx(42.0, abs=1e-9)
+
+
+def test_two_by_two_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import two_by_two
+
+    rows = (
+        [(True, True)] * 10 + [(True, False)] * 40
+        + [(False, True)] * 5 + [(False, False)] * 45
+    )
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    r = two_by_two(df, "e", "o").first()
+    assert (r["n"], r["a"], r["b"], r["c"], r["d"]) == (100, 10, 40, 5, 45)
+    assert r["odds_ratio"] == pytest.approx(2.25, abs=1e-9)
+    assert r["risk_ratio"] == pytest.approx(2.0, abs=1e-9)
+    se = math.sqrt(1 / 10 + 1 / 40 + 1 / 5 + 1 / 45)
+    assert r["or_ci_lo"] == pytest.approx(2.25 * math.exp(-1.959963985 * se), abs=1e-5)
+    assert r["or_ci_hi"] == pytest.approx(2.25 * math.exp(1.959963985 * se), abs=1e-5)
+    # empty cell -> NULL ratios
+    nz = spark.createDataFrame(
+        [(True, True), (False, False)], "e boolean, o boolean"
+    )
+    assert two_by_two(nz, "e", "o").first()["odds_ratio"] is None
+
+
+def test_grubbs_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import grubbs_test
+
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (10.0,)], "v double")
+    r = grubbs_test(df, "v").first()
+    assert r["n"] == 4
+    assert r["outlier"] == pytest.approx(10.0, abs=1e-9)
+    assert r["g_stat"] == pytest.approx(6.0 / math.sqrt(50.0 / 3.0), abs=1e-6)
+    # tied extremes break to the smaller value; zero variance -> NULL G
+    tie = spark.createDataFrame([(0.0,), (4.0,), (8.0,)], "v double")
+    rt = grubbs_test(tie, "v").first()
+    assert rt["outlier"] == pytest.approx(0.0, abs=1e-9)
+    flat = spark.createDataFrame([(5.0,)] * 4, "v double")
+    assert grubbs_test(flat, "v").first()["g_stat"] is None
