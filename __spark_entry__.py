@@ -5540,6 +5540,51 @@ def q_evt_peaks(spark, sf_dir):
     return series_peaks(_daily_mean_series(spark, sf_dir), "t", "v")
 
 
+def q_stat_kendall_w(spark, sf_dir):
+    """Kendall's W concordance across users ranking the five event
+    types (blocks = users, the friedman machinery) — the agreement
+    effect size behind the friedman gate; W = Q/(n(k−1))."""
+    from kgraph_spark.operators.stats import kendall_w
+
+    return kendall_w(
+        _read(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    )
+
+
+def q_kg_transe_score(spark, sf_dir):
+    """TransE-style plausibility audit of the thinned lineitem KG with
+    deterministic sha-derived embeddings — exact-integer squared
+    distances, one sqrt, total-ordered top-50 'oddest facts' review
+    queue (learned embeddings drop in as a broadcast join)."""
+    from kgraph_spark.operators.relationships import transe_plausibility
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 5 == 0)
+    o = F.concat(F.lit("O"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("P"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+    t = li.select(
+        o.alias("subject_id"),
+        F.lit("contains").alias("predicate"),
+        p.alias("object_id"),
+    ).union(
+        li.select(
+            p.alias("subject_id"),
+            F.lit("from").alias("predicate"),
+            s.alias("object_id"),
+        )
+    )
+    return transe_plausibility(t, dim=8, top_k=50)
+
+
+def q_evt_records(spark, sf_dir):
+    """Running-record audit of the daily mean-value series: record
+    count vs the H_n exchangeability expectation — the assumption-free
+    trend alarm; integer record decisions, nano-exact H_n."""
+    from kgraph_spark.operators.event_analytics import record_audit
+
+    return record_audit(_daily_mean_series(spark, sf_dir), "t", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5840,6 +5885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_odds_ratio": q_stat_odds_ratio,
         "stat_grubbs": q_stat_grubbs,
         "evt_peaks": q_evt_peaks,
+        "stat_kendall_w": q_stat_kendall_w,
+        "kg_transe_score": q_kg_transe_score,
+        "evt_records": q_evt_records,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -6225,7 +6273,7 @@ def oracle_sql() -> dict[str, str]:
         f"(((qu >> {b}) & 1) << {2 * b}) + (((qh >> {b}) & 1) << {2 * b + 1})"
         for b in range(16)
     )
-    return {
+    d = {
         "kg_pipeline_triples": kg_pipeline_oracle,
         "multimodal_features": """
             SELECT 'media-' || doc_id AS media_ref,
@@ -15182,4 +15230,91 @@ def oracle_sql() -> dict[str, str]:
                             AND qv < pq AND qv < nq, FALSE) AS is_trough
             FROM s
         """,
+        "kg_transe_score": """
+            -- TransE-style plausibility with sha256-derived embeddings:
+            -- per-dim ascii(hex)%16 components, exact integer squared
+            -- distance, one sqrt, (score desc, s, p, o) top-50
+            -- (relationships.transe_plausibility)
+            WITH t AS (
+                SELECT 'O' || l_orderkey::VARCHAR AS s,
+                       'contains' AS p,
+                       'P' || l_partkey::VARCHAR AS o
+                FROM lineitem WHERE l_partkey % 5 = 0
+                UNION ALL
+                SELECT 'P' || l_partkey::VARCHAR,
+                       'from',
+                       'S' || l_suppkey::VARCHAR
+                FROM lineitem WHERE l_partkey % 5 = 0
+            ), h AS (
+                SELECT s, p, o,
+                       sha256(s) AS hs, sha256(p) AS hr, sha256(o) AS ht
+                FROM t
+            ), scored AS (
+                SELECT s AS subject_id, p AS predicate, o AS object_id,
+                       round(sqrt((
+                           {transe_terms}
+                       )::DOUBLE), 6) AS implausibility
+                FROM h
+            )
+            SELECT * FROM scored
+            ORDER BY implausibility DESC, subject_id, predicate, object_id
+            LIMIT 50
+        """.format(transe_terms=" + ".join(
+            "((ascii(substr(hs, {j}, 1)) % 16 + ascii(substr(hr, {j}, 1)) % 16"
+            " - ascii(substr(ht, {j}, 1)) % 16)"
+            " * (ascii(substr(hs, {j}, 1)) % 16 + ascii(substr(hr, {j}, 1)) % 16"
+            " - ascii(substr(ht, {j}, 1)) % 16))".format(j=j)
+            for j in range(1, 9)
+        )),
+        "evt_records": """
+            -- Running-record audit on the daily mean series: integer
+            -- record decisions vs the nano-exact H_n expectation
+            -- (event_analytics.record_audit)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(round(value * 1000000)::BIGINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT t, round(v * 1000000)::BIGINT AS qv FROM per_d
+            ), s AS (
+                SELECT qv,
+                       max(qv) OVER (ORDER BY t
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS pm,
+                       row_number() OVER (ORDER BY t)::BIGINT AS i
+                FROM q
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum((pm IS NULL OR qv > pm)::INT)::BIGINT AS n_records,
+                       sum(round(1000000000.0 / i::DOUBLE)::BIGINT)::BIGINT
+                           AS h_nano
+                FROM s
+            )
+            SELECT n, n_records,
+                   round(h_nano::DOUBLE / 1000000000.0, 6)
+                       AS expected_records,
+                   CASE WHEN n > 0
+                        THEN round(n_records::DOUBLE
+                                   / (h_nano::DOUBLE / 1000000000.0), 6)
+                   END AS record_ratio
+            FROM agg
+        """,
     }
+    # Kendall's W is the exact Friedman transform W = Q/(n(k-1)) — reuse
+    # the friedman oracle verbatim so the two can never drift apart
+    d["stat_kendall_w"] = (
+        "WITH _f AS (" + d["stat_friedman"] + ")\n"
+        "SELECT n_blocks, k,\n"
+        "       CASE WHEN n_blocks > 0 AND k >= 2 THEN\n"
+        "            round(q / (n_blocks::DOUBLE * (k::DOUBLE - 1.0)), 6)\n"
+        "       END AS w,\n"
+        "       CASE WHEN n_blocks > 0 AND k >= 2\n"
+        "            AND q_tie_corrected IS NOT NULL THEN\n"
+        "            round(q_tie_corrected\n"
+        "                  / (n_blocks::DOUBLE * (k::DOUBLE - 1.0)), 6)\n"
+        "       END AS w_tie_corrected\n"
+        "FROM _f"
+    )
+    return d

@@ -1030,3 +1030,50 @@ def series_peaks(
             F.lit(False),
         ).alias("is_trough"),
     )
+
+
+def record_audit(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "v",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Running-record audit — how many buckets set a new all-time high,
+    against the exchangeability expectation H_n = Σ 1/i (under a
+    stationary series the i-th bucket is a record with probability 1/i):
+    one row (n, n_records, expected_records, record_ratio). ratio ≫ 1
+    is a trend/drift alarm that needs NO distributional assumptions —
+    the classic records-process probe.
+
+    Record decisions are exact integer comparisons against the running
+    max (the first bucket is a record); H_n accumulates nano-rounded
+    1/i terms summed exactly. One ordered grid-sized window.
+    """
+    q = series.select(
+        F.col(t_col).alias("t"),
+        F.round(F.col(v_col) * F.lit(scale), 0).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t")
+    s = q.select(
+        "qv",
+        F.max("qv").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("pm"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("pm").isNull() | (F.col("qv") > F.col("pm"))).cast("int")
+        ).cast("long").alias("n_records"),
+        F.sum(
+            F.round(F.lit(1_000_000_000.0) / F.col("i").cast("double"), 0).cast("long")
+        ).cast("long").alias("h_nano"),
+    )
+    exp_ = F.col("h_nano").cast("double") / F.lit(1_000_000_000.0)
+    return agg.select(
+        "n",
+        "n_records",
+        F.round(exp_, 6).alias("expected_records"),
+        F.when(
+            F.col("n") > 0, F.round(F.col("n_records").cast("double") / exp_, 6)
+        ).alias("record_ratio"),
+    )

@@ -17,7 +17,7 @@ Shuffle inventory (the scale story):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kgraph_spark.config import PREDICATE_SPECS, PipelineConfig
@@ -1041,4 +1041,47 @@ def inverse_predicate_scores(
                 F.col("overlap").cast("double") / F.col("support_p").cast("double"), 6
             ).alias("confidence"),
         )
+    )
+
+
+def transe_plausibility(
+    triples: DataFrame, dim: int = 8, top_k: int = 50
+) -> DataFrame:
+    """TransE-style triple plausibility audit with DETERMINISTIC
+    hash-derived embeddings — rank the emitted (s, p, o) triples by
+    ‖h + r − t‖ so reviewers see the structurally oddest facts first:
+    top-k rows (subject_id, predicate, object_id, implausibility),
+    ordered (score desc, s, p, o). Entity/relation vectors are sha256
+    hex digits mapped through ascii()%16 — a pluggable stand-in for
+    trained KG embeddings (the interfaces.py determinism note): the
+    SCORING dataflow (per-dim arithmetic, exact integer squared sum,
+    one sqrt, total-ordered top-k) is the real, scale-shaped part, and
+    any learned embedding table drops in as a broadcast join.
+
+    Every per-dim component is a small exact integer, so the squared
+    distance is exact — no float order anywhere before the final sqrt.
+    Pure JVM expressions, no shuffle except the bounded top-k.
+    """
+    hs = F.sha2(F.col("subject_id").cast("string"), 256)
+    hr = F.sha2(F.col("predicate").cast("string"), 256)
+    ht = F.sha2(F.col("object_id").cast("string"), 256)
+
+    def comp(h: Column, j: int) -> Column:
+        return F.ascii(F.substring(h, j, 1)) % 16
+
+    score2: Column | None = None
+    for j in range(1, dim + 1):
+        d = comp(hs, j) + comp(hr, j) - comp(ht, j)
+        score2 = d * d if score2 is None else score2 + d * d
+    return (
+        triples.select(
+            "subject_id",
+            "predicate",
+            "object_id",
+            F.round(F.sqrt(score2.cast("double")), 6).alias("implausibility"),
+        )
+        .orderBy(
+            F.col("implausibility").desc(), "subject_id", "predicate", "object_id"
+        )
+        .limit(top_k)
     )

@@ -67,6 +67,9 @@ __all__ = [
     "anderson_darling_2s",
     "dunn_posthoc",
     "page_trend",
+    "two_by_two",
+    "grubbs_test",
+    "kendall_w",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2613,4 +2616,34 @@ def grubbs_test(
             F.col("q_out").cast("double") / F.lit(float(scale)), 6
         ).alias("outlier"),
         F.when((F.col("n") >= 3) & (d > 0), F.round(g, 6)).alias("g_stat"),
+    )
+
+
+def kendall_w(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kendall's coefficient of concordance W — "HOW strongly do the
+    blocks agree on the treatment ranking" (the effect size behind
+    friedman's yes/no): one row (n_blocks, k, w, w_tie_corrected),
+    both in [0, 1]. W is the exact Friedman transform Q = n(k−1)·W,
+    computed from friedman's round-6 Q so the two gates can never
+    disagree; the oracle reuses the friedman SQL verbatim for the same
+    reason. Same cost as friedman (it IS friedman + one division).
+    """
+    f = friedman(df, block_col, treatment_col, value_col, scale)
+    nd = F.col("n_blocks").cast("double")
+    kd = F.col("k").cast("double")
+    ok = (F.col("n_blocks") > 0) & (F.col("k") >= 2)
+    return f.select(
+        "n_blocks",
+        "k",
+        F.when(ok, F.round(F.col("q") / (nd * (kd - 1)), 6)).alias("w"),
+        F.when(
+            ok & F.col("q_tie_corrected").isNotNull(),
+            F.round(F.col("q_tie_corrected") / (nd * (kd - 1)), 6),
+        ).alias("w_tie_corrected"),
     )

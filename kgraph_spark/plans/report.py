@@ -1985,6 +1985,28 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Kendall's W — the friedman machinery + one division; "
+        "cell aggregate, block-sized windows",
+        _plan(entrymod.queries()["stat_kendall_w"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "TransE plausibility — pure JVM per-dim hash arithmetic, "
+        "bounded top-k; no shuffle besides TakeOrdered, no UDF",
+        _plan(entrymod.queries()["kg_transe_score"](spark, SF)),
+        ["TakeOrderedAndProject", "!BatchEvalPython", "!Exchange hashpartitioning"],
+    ))
+
+    sections.append((
+        "Record audit — one ordered grid window (running max + H_n), "
+        "single fold; no join",
+        _plan(entrymod.queries()["evt_records"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -470,3 +470,26 @@ def test_series_peaks_hand_case(spark):
     assert rows[1]["fall"] == pytest.approx(-1.0, abs=1e-9)
     # endpoints carry NULL missing-side deltas and are never peaks
     assert rows[0]["rise"] is None and rows[5]["fall"] is None
+
+
+def test_record_audit_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import record_audit
+
+    # strictly increasing: every bucket is a record; H_4 = 25/12
+    inc = spark.createDataFrame(
+        [(i, float(i)) for i in range(4)], "t long, v double"
+    )
+    r = record_audit(inc, "t", "v").first()
+    assert (r["n"], r["n_records"]) == (4, 4)
+    assert r["expected_records"] == pytest.approx(25.0 / 12.0, abs=1e-6)
+    assert r["record_ratio"] == pytest.approx(4.0 / (25.0 / 12.0), abs=1e-5)
+    # strictly decreasing: only the first bucket is a record
+    dec = spark.createDataFrame(
+        [(i, float(10 - i)) for i in range(4)], "t long, v double"
+    )
+    assert record_audit(dec, "t", "v").first()["n_records"] == 1
+    # a tie with the running max is NOT a new record
+    tie = spark.createDataFrame(
+        [(0, 5.0), (1, 5.0), (2, 6.0)], "t long, v double"
+    )
+    assert record_audit(tie, "t", "v").first()["n_records"] == 2

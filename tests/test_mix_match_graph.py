@@ -106,3 +106,22 @@ def test_power_mix_alpha_one_is_natural_share(spark):
     for r in power_mix_weights(docs, "lang", alpha=1).collect():
         assert r["weight_micro"] == r["share_micro"]
         assert abs(r["upsample_micro"] - 1_000_000) <= 1
+
+
+def test_transe_plausibility_deterministic_and_ordered(spark):
+    from kgraph_spark.operators.relationships import transe_plausibility
+
+    t = spark.createDataFrame(
+        [("a", "r", "b"), ("c", "r", "d"), ("a", "r", "a")],
+        "subject_id string, predicate string, object_id string",
+    )
+    rows = transe_plausibility(t, dim=8, top_k=3).collect()
+    assert len(rows) == 3
+    scores = [r["implausibility"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic across runs
+    again = transe_plausibility(t, dim=8, top_k=3).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # identical s/p/o hashes per row: score for (a, r, a) uses h + r - t
+    # with h = t, so it equals the pure relation norm — nonnegative
+    assert all(s >= 0 for s in scores)

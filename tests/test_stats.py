@@ -988,3 +988,20 @@ def test_grubbs_hand_case(spark):
     assert rt["outlier"] == pytest.approx(0.0, abs=1e-9)
     flat = spark.createDataFrame([(5.0,)] * 4, "v double")
     assert grubbs_test(flat, "v").first()["g_stat"] is None
+
+
+def test_kendall_w_matches_friedman_transform(spark):
+    from kgraph_spark.operators.stats import friedman, kendall_w
+
+    # perfect concordance across 3 blocks of 3 treatments -> W = 1
+    rows = [
+        (b, t, float(v))
+        for b in (1, 2, 3)
+        for t, v in (("t1", 1.0), ("t2", 2.0), ("t3", 3.0))
+    ]
+    df = spark.createDataFrame(rows, "b long, tr string, v double")
+    w = kendall_w(df, "b", "tr", "v").first()
+    assert (w["n_blocks"], w["k"]) == (3, 3)
+    assert w["w"] == pytest.approx(1.0, abs=1e-6)
+    f = friedman(df, "b", "tr", "v").first()
+    assert w["w"] == pytest.approx(f["q"] / (3 * 2), abs=1e-9)
