@@ -5585,6 +5585,40 @@ def q_evt_records(spark, sf_dir):
     return record_audit(_daily_mean_series(spark, sf_dir), "t", "v")
 
 
+def q_stat_mood_scale(spark, sf_dir):
+    """Mood's scale test: did purchase values SPREAD differently than
+    view values even at a shared median — squared central midranks on
+    the distinct-value grid, exact ×4 integer M, one sqrt z."""
+    from kgraph_spark.operators.stats import mood_scale_test
+
+    ev = _read(spark, sf_dir, "events")
+    return mood_scale_test(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        "value",
+    )
+
+
+def q_evt_hill_tail(spark, sf_dir):
+    """Hill tail-index α of event values over the top-100 order
+    statistics — the how-Pareto-is-the-tail gate; bounded top-(k+1)
+    fetch, nano-exact log-sum, one division."""
+    from kgraph_spark.operators.stats import hill_tail_index
+
+    return hill_tail_index(_read(spark, sf_dir, "events"), "value", k=100)
+
+
+def q_graph_degree_gini(spark, sf_dir):
+    """Gini concentration of the order-part graph's part degrees —
+    "does one part own the edges": exact sorted-rank identity over the
+    pre-aggregated degree rows."""
+    from kgraph_spark.operators.stats import gini_coefficient
+
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 3 == 0)
+    deg = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    return gini_coefficient(deg, "deg")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5888,6 +5922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_kendall_w": q_stat_kendall_w,
         "kg_transe_score": q_kg_transe_score,
         "evt_records": q_evt_records,
+        "stat_mood_scale": q_stat_mood_scale,
+        "evt_hill_tail": q_evt_hill_tail,
+        "graph_degree_gini": q_graph_degree_gini,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -15300,6 +15337,108 @@ def oracle_sql() -> dict[str, str]:
                                    / (h_nano::DOUBLE / 1000000000.0), 6)
                    END AS record_ratio
             FROM agg
+        """,
+        "stat_mood_scale": """
+            -- Mood's scale test purchase vs view: squared central
+            -- midranks (x4 exact), no-tie null moments, one sqrt
+            -- (stats.mood_scale_test)
+            WITH pooled AS (
+                SELECT round(value * 1000000)::BIGINT AS qv,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS is_a
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('purchase', 'view')
+            ), per_v AS (
+                SELECT qv, count(*)::BIGINT AS t, sum(is_a)::BIGINT AS t_a
+                FROM pooled GROUP BY 1
+            ), ranked AS (
+                SELECT t, t_a,
+                       (2 * (sum(t) OVER (ORDER BY qv
+                                          ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM per_v
+            ), tot AS (
+                SELECT sum(t_a)::BIGINT AS n_a,
+                       (sum(t) - sum(t_a))::BIGINT AS n_b,
+                       sum(t)::BIGINT AS nn
+                FROM per_v
+            ), m AS (
+                SELECT n_a, n_b, nn,
+                       sum(t_a::HUGEINT
+                           * (r2::HUGEINT - (nn + 1)::HUGEINT)
+                           * (r2::HUGEINT - (nn + 1)::HUGEINT)) AS m4
+                FROM ranked, tot GROUP BY 1, 2, 3
+            )
+            SELECT n_a, n_b,
+                   m4::DOUBLE / 4.0 AS m_stat,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        AND n_a::DOUBLE * n_b::DOUBLE
+                            * (nn::DOUBLE + 1.0)
+                            * (nn::DOUBLE * nn::DOUBLE - 4.0) / 180.0 > 0
+                        THEN round(
+                            (m4::DOUBLE / 4.0
+                             - n_a::DOUBLE
+                               * (nn::DOUBLE * nn::DOUBLE - 1.0) / 12.0)
+                            / sqrt(n_a::DOUBLE * n_b::DOUBLE
+                                   * (nn::DOUBLE + 1.0)
+                                   * (nn::DOUBLE * nn::DOUBLE - 4.0)
+                                   / 180.0), 6)
+                   END AS z
+            FROM m
+        """,
+        "evt_hill_tail": """
+            -- Hill tail-index over the top-100 event values: bounded
+            -- top-(k+1), nano-exact log-sum, one division
+            -- (stats.hill_tail_index)
+            WITH q AS (
+                SELECT round(value * 1000000)::BIGINT AS qv
+                FROM events WHERE value IS NOT NULL
+            ), pos AS (
+                SELECT qv FROM q WHERE qv > 0
+            ), idx AS (
+                SELECT qv, row_number() OVER (ORDER BY qv DESC)::BIGINT AS i
+                FROM pos
+            ), top AS (
+                SELECT qv, i FROM idx WHERE i <= 101
+            ), ref AS (
+                SELECT qv AS q_ref FROM top WHERE i = 101
+            ), agg AS (
+                SELECT q_ref, count(*)::BIGINT AS kk,
+                       sum(round((ln(qv::DOUBLE) - ln(q_ref::DOUBLE))
+                                 * 1000000000.0)::BIGINT)::BIGINT AS s_nano
+                FROM top, ref WHERE i <= 100 GROUP BY 1
+            )
+            SELECT kk AS k,
+                   round(q_ref::DOUBLE / 1000000.0, 6) AS x_ref,
+                   CASE WHEN kk > 0 AND s_nano > 0
+                        THEN round(kk::DOUBLE * 1000000000.0
+                                   / s_nano::DOUBLE, 6)
+                   END AS hill_alpha,
+                   CASE WHEN kk > 0 AND s_nano > 0
+                        THEN round(kk::DOUBLE * 1000000000.0
+                                   / s_nano::DOUBLE / sqrt(kk::DOUBLE), 6)
+                   END AS se
+            FROM agg
+        """,
+        "graph_degree_gini": """
+            -- Gini of part degrees in the thinned order-part graph:
+            -- exact sorted-rank identity (stats.gini_coefficient)
+            WITH deg AS (
+                SELECT l_partkey, count(*)::BIGINT AS x
+                FROM lineitem WHERE l_partkey % 3 = 0 GROUP BY 1
+            ), r AS (
+                SELECT x, row_number() OVER (ORDER BY x) AS i FROM deg
+            )
+            SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+                   CASE WHEN count(*)::HUGEINT * sum(x)::HUGEINT > 0 THEN
+                       round((2::HUGEINT * sum(i::HUGEINT * x)
+                              - (count(*)::HUGEINT + 1)
+                                * sum(x)::HUGEINT)::DOUBLE
+                             / (count(*)::HUGEINT
+                                * sum(x)::HUGEINT)::DOUBLE, 6)
+                   END AS gini
+            FROM r
         """,
     }
     # Kendall's W is the exact Friedman transform W = Q/(n(k-1)) — reuse

@@ -70,6 +70,8 @@ __all__ = [
     "two_by_two",
     "grubbs_test",
     "kendall_w",
+    "mood_scale_test",
+    "hill_tail_index",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2646,4 +2648,127 @@ def kendall_w(
             ok & F.col("q_tie_corrected").isNotNull(),
             F.round(F.col("q_tie_corrected") / (nd * (kd - 1)), 6),
         ).alias("w_tie_corrected"),
+    )
+
+
+def mood_scale_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mood's scale (dispersion) test — "did the SPREAD change even if
+    the median didn't" (the scale companion to mann_whitney_u's
+    location gate and mood_median's k-sample location gate): one row
+    (n_a, n_b, m_stat, z). Scores are squared central midranks
+    (r − (N+1)/2)²; M = Σ over sample A; z against the no-tie null
+    E[M] = m(N²−1)/12, Var[M] = mn(N+1)(N²−4)/180 (documented: variance
+    not tie-corrected — heavy ties only DEFLATE |z|).
+
+    Scores ride ×4 (doubled midranks make (r2 − N − 1)² an exact wide
+    integer), so M accumulates exactly; z is a fixed double sequence
+    with one sqrt. Same distinct-grid machinery as mann_whitney_u —
+    never a data-sized sort.
+    """
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(1).alias("is_a")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv"), F.lit(0).alias("is_a")
+    )
+    pooled = qa.unionByName(qb)
+    per_v = pooled.groupBy("qv").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("is_a").cast("long").alias("t_a"),
+    )
+    w = Window.orderBy("qv")
+    ranked = per_v.select(
+        "t",
+        "t_a",
+        (
+            2 * (F.sum("t").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    tot = ranked.agg(
+        F.sum("t_a").cast("long").alias("n_a"),
+        (F.sum("t") - F.sum("t_a")).cast("long").alias("n_b"),
+        F.sum("t").cast("long").alias("nn"),
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    dev = F.col("r2").cast(_DEC) - (F.col("nn") + 1).cast(_DEC)
+    m4 = j.groupBy("n_a", "n_b", "nn").agg(
+        F.sum(F.col("t_a").cast(_DEC) * dev * dev).alias("m4")
+    )
+    md, nd = (F.col(c).cast("double") for c in ("n_a", "n_b"))
+    nn = F.col("nn").cast("double")
+    e_m = md * (nn * nn - 1) / F.lit(12.0)
+    var = md * nd * (nn + 1) * (nn * nn - 4) / F.lit(180.0)
+    m_stat = F.col("m4").cast("double") / F.lit(4.0)
+    return m4.select(
+        "n_a",
+        "n_b",
+        m_stat.alias("m_stat"),
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0) & (var > 0),
+            F.round((m_stat - e_m) / F.sqrt(var), 6),
+        ).alias("z"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    k: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hill estimator of the heavy-tail index α over the top-k order
+    statistics — "how Pareto is this distribution's tail" (α ≤ 1 means
+    even the mean is infinite; doc lengths, user activity and entity
+    fan-outs in web corpora routinely sit near α ≈ 1–2): one row
+    (k, x_ref, hill_alpha, se). α = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k
+    largest values; se = α/√k. Requires x₍ₖ₊₁₎ > 0; fewer than k+1
+    positive rows, or a zero log-sum (top values all tied), reports
+    NULL α.
+
+    Each of the k terms is ONE nano-rounded ln difference summed
+    exactly; the tail fetch is a bounded top-(k+1), never a full sort.
+    Tied boundary values carry identical payloads, so the arbitrary
+    tie-cut cannot change the multiset.
+    """
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    ).filter(F.col("qv") > 0)
+    top = q.orderBy(F.col("qv").desc()).limit(k + 1)
+    w = Window.orderBy(F.col("qv").desc())
+    idx = top.select("qv", F.row_number().over(w).cast("long").alias("i"))
+    ref = idx.filter(F.col("i") == k + 1).select(F.col("qv").alias("q_ref"))
+    terms = idx.filter(F.col("i") <= k).crossJoin(F.broadcast(ref))
+    t_nano = F.round(
+        (F.log(F.col("qv").cast("double")) - F.log(F.col("q_ref").cast("double")))
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    agg = terms.groupBy("q_ref").agg(
+        F.count(F.lit(1)).cast("long").alias("kk"),
+        F.sum(t_nano).cast("long").alias("s_nano"),
+    )
+    alpha = (
+        F.col("kk").cast("double")
+        * F.lit(1_000_000_000.0)
+        / F.col("s_nano").cast("double")
+    )
+    return agg.select(
+        F.col("kk").alias("k"),
+        F.round(F.col("q_ref").cast("double") / F.lit(float(scale)), 6).alias(
+            "x_ref"
+        ),
+        F.when((F.col("kk") > 0) & (F.col("s_nano") > 0), F.round(alpha, 6)).alias(
+            "hill_alpha"
+        ),
+        F.when(
+            (F.col("kk") > 0) & (F.col("s_nano") > 0),
+            F.round(alpha / F.sqrt(F.col("kk").cast("double")), 6),
+        ).alias("se"),
     )

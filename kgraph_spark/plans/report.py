@@ -2007,6 +2007,27 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Mood scale — distinct-grid midranks, broadcast totals, exact "
+        "×4 integer M; one sqrt",
+        _plan(entrymod.queries()["stat_mood_scale"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Hill tail index — bounded top-(k+1) (TakeOrdered), nano-exact "
+        "log-sum; never a full sort",
+        _plan(entrymod.queries()["evt_hill_tail"](spark, SF)),
+        ["TakeOrderedAndProject", "HashAggregate", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Degree Gini — pre-aggregated degree rows, one rank window, "
+        "exact wide-integer identity",
+        _plan(entrymod.queries()["graph_degree_gini"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -1005,3 +1005,43 @@ def test_kendall_w_matches_friedman_transform(spark):
     assert w["w"] == pytest.approx(1.0, abs=1e-6)
     f = friedman(df, "b", "tr", "v").first()
     assert w["w"] == pytest.approx(f["q"] / (3 * 2), abs=1e-9)
+
+
+def test_mood_scale_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import mood_scale_test
+
+    # A=[1,4] (extremes), B=[2,3] (center): M=4.5, E=2.5, Var=4/3
+    da = spark.createDataFrame([(1.0,), (4.0,)], "v double")
+    db = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = mood_scale_test(da, db, "v").first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["m_stat"] == pytest.approx(4.5, abs=1e-9)
+    assert r["z"] == pytest.approx(2.0 / math.sqrt(4.0 / 3.0), abs=1e-6)
+    # identical dispersion -> M at its expectation, z = 0
+    r2 = mood_scale_test(db, db, "v").first()
+    # pooled [2,2,3,3]: midranks 1.5,1.5,3.5,3.5; scores sum A = 2
+    assert r2["m_stat"] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_hill_tail_index_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import hill_tail_index
+
+    # exact Pareto ladder x = r^{-1/2} has alpha = 2 asymptotically;
+    # check the estimator formula itself on a tiny k
+    vals = [8.0, 4.0, 2.0, 1.0]  # k=3, ref=1: sum ln = ln8+ln4+ln2 = 6 ln2
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = hill_tail_index(df, "v", k=3).first()
+    assert r["k"] == 3
+    assert r["x_ref"] == pytest.approx(1.0, abs=1e-9)
+    assert r["hill_alpha"] == pytest.approx(3.0 / (6.0 * math.log(2.0)), abs=1e-6)
+    assert r["se"] == pytest.approx(r["hill_alpha"] / math.sqrt(3.0), abs=1e-5)
+    # fewer than k+1 positive rows -> empty result
+    small = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    assert hill_tail_index(small, "v", k=3).count() == 0
+    # all top values tied -> zero log-sum -> NULL alpha
+    flat = spark.createDataFrame([(5.0,)] * 6, "v double")
+    assert hill_tail_index(flat, "v", k=3).first()["hill_alpha"] is None
