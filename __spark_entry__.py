@@ -5619,6 +5619,73 @@ def q_graph_degree_gini(spark, sf_dir):
     return gini_coefficient(deg, "deg")
 
 
+def q_stat_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha over a deliberately RAGGED rating table
+    (len/words raters rate every doc; the avg-word-length rater only
+    rates doc_id % 3 == 0) — the missing-tolerant agreement gate;
+    nano-exact D_o terms, exact-integer D_e."""
+    from kgraph_spark.operators.stats import krippendorff_alpha
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("wc"),
+        )
+    )
+    band = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, "low").when(c < hi, "mid").otherwise("high")
+    )
+    ratings = (
+        d.select(
+            F.col("doc_id").alias("item"),
+            F.lit("len").alias("rater"),
+            band(F.col("n_chars"), 220, 380).alias("cat"),
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("item"),
+                F.lit("words").alias("rater"),
+                band(F.col("wc"), 40, 70).alias("cat"),
+            )
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 0).select(
+                F.col("doc_id").alias("item"),
+                F.lit("awl").alias("rater"),
+                F.when(F.col("n_chars") * 100 < F.col("wc") * 545, "low")
+                .when(F.col("n_chars") * 100 < F.col("wc") * 560, "mid")
+                .otherwise("high")
+                .alias("cat"),
+            )
+        )
+    )
+    return krippendorff_alpha(ratings, "item", "rater", "cat")
+
+
+def q_curation_hhi(spark, sf_dir):
+    """Herfindahl concentration of the corpus source mix — exact
+    squared-share integers, one division; effective-source count."""
+    from kgraph_spark.operators.profiling import herfindahl_index
+
+    return herfindahl_index(_read(spark, sf_dir, "documents"), "source")
+
+
+def q_evt_turning_points(spark, sf_dir):
+    """Turning-point randomness test on the daily mean-value series —
+    strict integer local-extremum decisions vs the classical
+    2(n−2)/3 null."""
+    from kgraph_spark.operators.event_analytics import turning_points_test
+
+    return turning_points_test(_daily_mean_series(spark, sf_dir), "t", "v")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5925,6 +5992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_mood_scale": q_stat_mood_scale,
         "evt_hill_tail": q_evt_hill_tail,
         "graph_degree_gini": q_graph_degree_gini,
+        "stat_krippendorff": q_stat_krippendorff,
+        "curation_hhi": q_curation_hhi,
+        "evt_turning_points": q_evt_turning_points,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -15439,6 +15509,152 @@ def oracle_sql() -> dict[str, str]:
                                 * sum(x)::HUGEINT)::DOUBLE, 6)
                    END AS gini
             FROM r
+        """,
+        "stat_krippendorff": """
+            -- Krippendorff's alpha over the ragged 3-rater table (awl
+            -- rater only rates doc_id % 3 = 0): nano-exact D_o terms,
+            -- exact-integer D_e (stats.krippendorff_alpha)
+            WITH d AS (
+                SELECT doc_id, n_chars,
+                       length(text) - length(replace(text, ' ', '')) + 1 AS wc
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), ratings AS (
+                SELECT doc_id AS u,
+                       CASE WHEN n_chars < 220 THEN 'low'
+                            WHEN n_chars < 380 THEN 'mid'
+                            ELSE 'high' END AS c
+                FROM d
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN wc < 40 THEN 'low'
+                            WHEN wc < 70 THEN 'mid'
+                            ELSE 'high' END
+                FROM d
+                UNION ALL
+                SELECT doc_id,
+                       CASE WHEN n_chars * 100 < wc * 545 THEN 'low'
+                            WHEN n_chars * 100 < wc * 560 THEN 'mid'
+                            ELSE 'high' END
+                FROM d WHERE doc_id % 3 = 0
+            ), uc AS (
+                SELECT u, c, count(*)::BIGINT AS n_uc
+                FROM ratings GROUP BY 1, 2
+            ), mu AS (
+                SELECT u, sum(n_uc)::BIGINT AS m_u FROM uc GROUP BY 1
+            ), n_items AS (
+                SELECT count(DISTINCT u)::BIGINT AS n_items FROM uc
+            ), pair AS (
+                SELECT uc.u, uc.c, uc.n_uc, mu.m_u
+                FROM uc JOIN mu ON uc.u = mu.u
+                WHERE mu.m_u >= 2
+            ), do_s AS (
+                SELECT sum(round(n_uc::DOUBLE
+                                 * (m_u - n_uc)::DOUBLE
+                                 / (m_u - 1)::DOUBLE
+                                 * 1000000000.0)::BIGINT)::BIGINT AS s_nano,
+                       sum(n_uc)::BIGINT AS n_pairable
+                FROM pair
+            ), nc AS (
+                SELECT c, sum(n_uc)::BIGINT AS n_c FROM pair GROUP BY 1
+            ), de_s AS (
+                SELECT sum(n_c::HUGEINT
+                           * (n_pairable - n_c)::HUGEINT) AS de_num,
+                       count(DISTINCT c)::BIGINT AS k_cats
+                FROM nc, do_s
+            )
+            SELECT n_items, n_pairable, k_cats,
+                   CASE WHEN n_pairable >= 2
+                        THEN round(s_nano::DOUBLE
+                                   / (n_pairable::DOUBLE
+                                      * 1000000000.0), 6)
+                   END AS d_o,
+                   CASE WHEN n_pairable >= 2
+                        THEN round(de_num::DOUBLE
+                                   / (n_pairable::DOUBLE
+                                      * (n_pairable::DOUBLE - 1.0)), 6)
+                   END AS d_e,
+                   CASE WHEN n_pairable >= 2
+                        AND de_num::DOUBLE
+                            / (n_pairable::DOUBLE
+                               * (n_pairable::DOUBLE - 1.0)) > 0
+                        THEN round(1.0
+                            - (s_nano::DOUBLE
+                               / (n_pairable::DOUBLE * 1000000000.0))
+                              / (de_num::DOUBLE
+                                 / (n_pairable::DOUBLE
+                                    * (n_pairable::DOUBLE - 1.0))), 6)
+                   END AS alpha
+            FROM do_s, de_s, n_items
+        """,
+        "curation_hhi": """
+            -- Herfindahl concentration of the source mix: exact
+            -- squared-share integers, one division
+            -- (profiling.herfindahl_index)
+            WITH per_k AS (
+                SELECT source AS k, count(*)::BIGINT AS n_k
+                FROM documents WHERE source IS NOT NULL GROUP BY 1
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n_keys,
+                       sum(n_k)::BIGINT AS n_rows,
+                       sum(n_k::HUGEINT * n_k::HUGEINT) AS s2
+                FROM per_k
+            )
+            SELECT n_keys, n_rows,
+                   CASE WHEN n_rows > 0
+                        THEN round(s2::DOUBLE
+                                   / (n_rows::DOUBLE * n_rows::DOUBLE), 6)
+                   END AS hhi,
+                   CASE WHEN n_rows > 0 AND n_keys > 1
+                        THEN round((s2::DOUBLE
+                                    / (n_rows::DOUBLE * n_rows::DOUBLE)
+                                    - 1 / n_keys::DOUBLE)
+                                   / (1 - 1 / n_keys::DOUBLE), 6)
+                   END AS hhi_normalized,
+                   CASE WHEN n_rows > 0
+                        THEN round(1.0 / (s2::DOUBLE
+                                          / (n_rows::DOUBLE
+                                             * n_rows::DOUBLE)), 6)
+                   END AS effective_n
+            FROM agg
+        """,
+        "evt_turning_points": """
+            -- Turning-point randomness test on the daily mean series:
+            -- strict integer extremum decisions vs 2(n-2)/3
+            -- (event_analytics.turning_points_test)
+            WITH per_d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(round(value * 1000000)::BIGINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT t, round(v * 1000000)::BIGINT AS qv FROM per_d
+            ), s AS (
+                SELECT qv,
+                       lag(qv) OVER (ORDER BY t) AS pq,
+                       lead(qv) OVER (ORDER BY t) AS nq
+                FROM q
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum((pq IS NOT NULL AND nq IS NOT NULL
+                            AND ((qv > pq AND qv > nq)
+                                 OR (qv < pq AND qv < nq)))::INT)::BIGINT
+                           AS n_turning
+                FROM s
+            )
+            SELECT n, n_turning,
+                   CASE WHEN n >= 3
+                        THEN round(2.0 * (n::DOUBLE - 2) / 3.0, 6)
+                   END AS expected,
+                   CASE WHEN n >= 3
+                        AND (16.0 * n::DOUBLE - 29) / 90.0 > 0
+                        THEN round((n_turning::DOUBLE
+                                    - 2.0 * (n::DOUBLE - 2) / 3.0)
+                                   / sqrt((16.0 * n::DOUBLE - 29) / 90.0),
+                                   6)
+                   END AS z
+            FROM agg
         """,
     }
     # Kendall's W is the exact Friedman transform W = Q/(n(k-1)) — reuse

@@ -1077,3 +1077,56 @@ def record_audit(
             F.col("n") > 0, F.round(F.col("n_records").cast("double") / exp_, 6)
         ).alias("record_ratio"),
     )
+
+
+def turning_points_test(
+    series: DataFrame,
+    t_col: str = "t",
+    v_col: str = "v",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Turning-point randomness test — "is this series i.i.d. noise or
+    does it have structure": one row (n, n_turning, expected, z). An
+    interior bucket is a turning point when it is a STRICT local max or
+    min (integer comparisons on the quantized grid; ties are neither —
+    the classical null moments E = 2(n−2)/3, Var = (16n−29)/90 assume
+    continuous data, so heavy ties deflate |z|, documented). Too few
+    turning points = trend/momentum; too many = negative autocorrelation
+    (over-dithered telemetry).
+
+    One ordered grid window (lag+lead) + one fold; no join.
+    """
+    q = series.select(
+        F.col(t_col).alias("t"),
+        F.round(F.col(v_col) * F.lit(scale), 0).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t")
+    s = q.select(
+        "qv",
+        F.lag("qv").over(w).alias("pq"),
+        F.lead("qv").over(w).alias("nq"),
+    )
+    is_turn = (
+        F.col("pq").isNotNull()
+        & F.col("nq").isNotNull()
+        & (
+            ((F.col("qv") > F.col("pq")) & (F.col("qv") > F.col("nq")))
+            | ((F.col("qv") < F.col("pq")) & (F.col("qv") < F.col("nq")))
+        )
+    )
+    agg = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(is_turn.cast("int")).cast("long").alias("n_turning"),
+    )
+    nd = F.col("n").cast("double")
+    e = F.lit(2.0) * (nd - 2) / F.lit(3.0)
+    var = (F.lit(16.0) * nd - 29) / F.lit(90.0)
+    return agg.select(
+        "n",
+        "n_turning",
+        F.when(F.col("n") >= 3, F.round(e, 6)).alias("expected"),
+        F.when(
+            (F.col("n") >= 3) & (var > 0),
+            F.round((F.col("n_turning").cast("double") - e) / F.sqrt(var), 6),
+        ).alias("z"),
+    )

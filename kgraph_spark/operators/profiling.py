@@ -712,3 +712,39 @@ def inclusion_dependencies(
         .alias("containment"),
         (F.col("n_inter") == F.col("n_a")).alias("is_ind"),
     )
+
+
+def herfindahl_index(df: DataFrame, key_col: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of a categorical mix — the
+    antitrust-style "how monopolized is this corpus's source mix" gate
+    (the squared-share companion to the Gini): one row (n_keys, n_rows,
+    hhi, hhi_normalized, effective_n). HHI = Σ(n_k/N)² = Σn_k²/N²
+    (exact wide integers, ONE division); effective_n = 1/HHI is the
+    equivalent count of equal-weight sources; hhi_normalized rescales
+    to [0,1] over k keys (NULL for k = 1).
+
+    One key aggregate with partials, then |keys| rows fold to one.
+    """
+    base = df.filter(F.col(key_col).isNotNull()).select(F.col(key_col).alias("k"))
+    per_k = base.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    dec = "decimal(38,0)"
+    agg = per_k.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_k").cast("long").alias("n_rows"),
+        F.sum(F.col("n_k").cast(dec) * F.col("n_k").cast(dec)).alias("s2"),
+    )
+    nd = F.col("n_rows").cast("double")
+    kd = F.col("n_keys").cast("double")
+    hhi = F.col("s2").cast("double") / (nd * nd)
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        F.when(F.col("n_rows") > 0, F.round(hhi, 6)).alias("hhi"),
+        F.when(
+            (F.col("n_rows") > 0) & (F.col("n_keys") > 1),
+            F.round((hhi - 1 / kd) / (1 - 1 / kd), 6),
+        ).alias("hhi_normalized"),
+        F.when(F.col("n_rows") > 0, F.round(F.lit(1.0) / hhi, 6)).alias(
+            "effective_n"
+        ),
+    )

@@ -72,6 +72,7 @@ __all__ = [
     "kendall_w",
     "mood_scale_test",
     "hill_tail_index",
+    "krippendorff_alpha",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2771,4 +2772,67 @@ def hill_tail_index(
             (F.col("kk") > 0) & (F.col("s_nano") > 0),
             F.round(alpha / F.sqrt(F.col("kk").cast("double")), 6),
         ).alias("se"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame, item_col: str, rater_col: str, category_col: str
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) — the agreement coefficient that
+    TOLERATES MISSING RATINGS (fleiss_kappa silently drops incomplete
+    items; real annotation tables are ragged): one row (n_items,
+    n_pairable, k_cats, d_o, d_e, alpha). Units with ≥ 2 ratings are
+    pairable; D_o = (1/n)·Σ_u Σ_c n_uc(m_u − n_uc)/(m_u − 1),
+    D_e = Σ_c n_c(n − n_c)/(n(n−1)), alpha = 1 − D_o/D_e. A single
+    observed category (D_e = 0) reports NULL alpha.
+
+    Each (unit, category) cell contributes ONE nano-rounded rational
+    term summed exactly (the m_u − 1 denominators are per-unit, so no
+    shared factor can be hoisted); D_e is exact integers with one
+    division. Two hash aggregates on (item, cat) and (cat) + a tiny
+    broadcast fold — duplicate (item, rater) ratings are counted as
+    given (callers dedupe upstream if raters can't repeat).
+    """
+    base = df.filter(
+        F.col(item_col).isNotNull()
+        & F.col(rater_col).isNotNull()
+        & F.col(category_col).isNotNull()
+    ).select(F.col(item_col).alias("u"), F.col(category_col).alias("c"))
+    uc = base.groupBy("u", "c").agg(F.count(F.lit(1)).cast("long").alias("n_uc"))
+    mu = uc.groupBy("u").agg(F.sum("n_uc").cast("long").alias("m_u"))
+    n_items = uc.agg(F.countDistinct("u").cast("long").alias("n_items"))
+    pair = uc.join(F.broadcast(mu.filter(F.col("m_u") >= 2)), "u")
+    term_nano = F.round(
+        F.col("n_uc").cast("double")
+        * (F.col("m_u") - F.col("n_uc")).cast("double")
+        / (F.col("m_u") - 1).cast("double")
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("long")
+    do_s = pair.agg(
+        F.sum(term_nano).cast("long").alias("s_nano"),
+        F.sum("n_uc").cast("long").alias("n_pairable"),
+    )
+    nc = pair.groupBy("c").agg(F.sum("n_uc").cast("long").alias("n_c"))
+    de_s = nc.crossJoin(F.broadcast(do_s.select("n_pairable"))).agg(
+        F.sum(
+            F.col("n_c").cast(_DEC)
+            * (F.col("n_pairable") - F.col("n_c")).cast(_DEC)
+        ).alias("de_num"),
+        F.countDistinct("c").cast("long").alias("k_cats"),
+    )
+    j = do_s.crossJoin(F.broadcast(de_s)).crossJoin(F.broadcast(n_items))
+    nd = F.col("n_pairable").cast("double")
+    do_ = F.col("s_nano").cast("double") / (nd * F.lit(1_000_000_000.0))
+    de = F.col("de_num").cast("double") / (nd * (nd - 1))
+    return j.select(
+        "n_items",
+        "n_pairable",
+        "k_cats",
+        F.when(F.col("n_pairable") >= 2, F.round(do_, 6)).alias("d_o"),
+        F.when(F.col("n_pairable") >= 2, F.round(de, 6)).alias("d_e"),
+        F.when(
+            (F.col("n_pairable") >= 2) & (de > 0),
+            F.round(F.lit(1.0) - do_ / de, 6),
+        ).alias("alpha"),
     )

@@ -2028,6 +2028,29 @@ def main() -> None:
         ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Krippendorff alpha — (item,cat) + (cat) hash aggregates, "
+        "broadcast folds; ragged ratings never widen the plan",
+        _plan(entrymod.queries()["stat_krippendorff"](spark, SF)),
+        ["Union", "HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Herfindahl — one key aggregate with partials, fold to one row; "
+        "no join, no window",
+        _plan(entrymod.queries()["curation_hhi"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
+    sections.append((
+        "Turning points — one ordered grid window, integer extremum "
+        "decisions; no join",
+        _plan(entrymod.queries()["evt_turning_points"](spark, SF)),
+        ["Window", "HashAggregate", "partial_", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -493,3 +493,23 @@ def test_record_audit_hand_case(spark):
         [(0, 5.0), (1, 5.0), (2, 6.0)], "t long, v double"
     )
     assert record_audit(tie, "t", "v").first()["n_records"] == 2
+
+
+def test_turning_points_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.event_analytics import turning_points_test
+
+    # [1,3,2,4,3]: three interior turning points of three interior buckets
+    s = spark.createDataFrame(
+        list(enumerate([1.0, 3.0, 2.0, 4.0, 3.0])), "t long, v double"
+    )
+    r = turning_points_test(s, "t", "v").first()
+    assert (r["n"], r["n_turning"]) == (5, 3)
+    assert r["expected"] == pytest.approx(2.0, abs=1e-9)
+    assert r["z"] == pytest.approx(1.0 / math.sqrt(51.0 / 90.0), abs=1e-6)
+    # monotone series has zero turning points
+    mono = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "t long, v double"
+    )
+    assert turning_points_test(mono, "t", "v").first()["n_turning"] == 0

@@ -334,3 +334,20 @@ def test_inclusion_dependencies_hand_case(spark):
     assert fk["is_ind"] and fk["n_a"] == 2 and fk["containment"] == 1.0
     rev = out[("parent", "child")]
     assert not rev["is_ind"] and rev["containment"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_herfindahl_hand_case(spark):
+    from kgraph_spark.operators.profiling import herfindahl_index
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, "src string")
+    r = herfindahl_index(df, "src").first()
+    assert (r["n_keys"], r["n_rows"]) == (3, 100)
+    assert r["hhi"] == pytest.approx(0.38, abs=1e-9)
+    assert r["hhi_normalized"] == pytest.approx((0.38 - 1 / 3) / (2 / 3), abs=1e-6)
+    assert r["effective_n"] == pytest.approx(1 / 0.38, abs=1e-6)
+    # monopoly: hhi = 1, normalized undefined for k = 1
+    mono = spark.createDataFrame([("a",)] * 5, "src string")
+    rm = herfindahl_index(mono, "src").first()
+    assert rm["hhi"] == pytest.approx(1.0, abs=1e-9)
+    assert rm["hhi_normalized"] is None

@@ -1045,3 +1045,35 @@ def test_hill_tail_index_hand_case(spark):
     # all top values tied -> zero log-sum -> NULL alpha
     flat = spark.createDataFrame([(5.0,)] * 6, "v double")
     assert hill_tail_index(flat, "v", k=3).first()["hill_alpha"] is None
+
+
+def test_krippendorff_alpha_hand_case(spark):
+    from kgraph_spark.operators.stats import krippendorff_alpha
+
+    # u1: x,x ; u2: y,y ; u3: x,y -> Do=1/3, De=0.6, alpha=4/9
+    rows = [
+        (1, "r1", "x"), (1, "r2", "x"),
+        (2, "r1", "y"), (2, "r2", "y"),
+        (3, "r1", "x"), (3, "r2", "y"),
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, cat string")
+    r = krippendorff_alpha(df, "item", "rater", "cat").first()
+    assert (r["n_items"], r["n_pairable"], r["k_cats"]) == (3, 6, 2)
+    assert r["d_o"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+    assert r["d_e"] == pytest.approx(0.6, abs=1e-9)
+    assert r["alpha"] == pytest.approx(4.0 / 9.0, abs=1e-6)
+    # an unpairable singleton unit is excluded from D_o and D_e
+    ragged = df.union(
+        spark.createDataFrame([(4, "r1", "x")], "item long, rater string, cat string")
+    )
+    r2 = krippendorff_alpha(ragged, "item", "rater", "cat").first()
+    assert r2["n_items"] == 4 and r2["n_pairable"] == 6
+    assert r2["alpha"] == pytest.approx(4.0 / 9.0, abs=1e-6)
+    # perfect agreement -> alpha = 1
+    perfect = spark.createDataFrame(
+        [(1, "r1", "x"), (1, "r2", "x"), (2, "r1", "y"), (2, "r2", "y")],
+        "item long, rater string, cat string",
+    )
+    assert krippendorff_alpha(perfect, "item", "rater", "cat").first()[
+        "alpha"
+    ] == pytest.approx(1.0, abs=1e-9)
