@@ -5686,6 +5686,62 @@ def q_evt_turning_points(spark, sf_dir):
     return turning_points_test(_daily_mean_series(spark, sf_dir), "t", "v")
 
 
+def q_stat_trimmed_mean(spark, sf_dir):
+    """10% trimmed + winsorized mean of event values — exact order
+    statistics and in-window copy counts from grid cumulative counts;
+    one division per mean."""
+    from kgraph_spark.operators.stats import trimmed_mean
+
+    return trimmed_mean(_read(spark, sf_dir, "events"), "value", trim=0.1)
+
+
+def q_stat_sign_test(spark, sf_dir):
+    """Paired sign test: per-user mean value, first half-month vs
+    second — assumption-free movement gate; quantized-integer sign
+    decisions, ties dropped, one sqrt."""
+    from kgraph_spark.operators.stats import sign_test
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    half = ev.select(
+        "user_id",
+        (day >= 19738).alias("h2"),  # 2024-01-16 epoch-day split
+        F.round(F.col("value") * 1_000_000).cast("long").alias("qv"),
+    )
+    per = half.groupBy("user_id", "h2").agg(
+        (
+            F.sum("qv").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("v")
+    )
+    a = per.filter(~F.col("h2")).select("user_id", F.col("v").alias("v_a"))
+    b = per.filter(F.col("h2")).select("user_id", F.col("v").alias("v_b"))
+    return sign_test(a.join(b, "user_id"), "v_a", "v_b")
+
+
+def q_evt_hour_anova(spark, sf_dir):
+    """Does hour-of-day explain traffic: one-way ANOVA of hourly event
+    counts grouped by hour-of-day (30 days × 24 cells) — the seasonal-
+    strength gate; exact integer moments, eta² effect size."""
+    from kgraph_spark.operators.stats import anova_f
+
+    e = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hour = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    cnt = e.groupBy(hour.alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hourly = cnt.select((F.col("h") % 24).alias("hod"), F.col("c").cast("double").alias("v"))
+    return anova_f(hourly, "v", "hod", scale=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -5995,6 +6051,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_krippendorff": q_stat_krippendorff,
         "curation_hhi": q_curation_hhi,
         "evt_turning_points": q_evt_turning_points,
+        "stat_trimmed_mean": q_stat_trimmed_mean,
+        "stat_sign_test": q_stat_sign_test,
+        "evt_hour_anova": q_evt_hour_anova,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -15655,6 +15714,129 @@ def oracle_sql() -> dict[str, str]:
                                    6)
                    END AS z
             FROM agg
+        """,
+        "stat_trimmed_mean": """
+            -- 10% trimmed + winsorized mean: exact order statistics and
+            -- in-window copy counts from grid cumulative counts
+            -- (stats.trimmed_mean)
+            WITH q AS (
+                SELECT round(value * 1000000)::BIGINT AS qv
+                FROM events WHERE value IS NOT NULL
+            ), cells AS (
+                SELECT qv, count(*)::BIGINT AS t FROM q GROUP BY 1
+            ), cum AS (
+                SELECT qv, t,
+                       sum(t) OVER (ORDER BY qv
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM cells
+            ), tot AS (
+                SELECT sum(t)::BIGINT AS n,
+                       floor(sum(t) * 0.1)::BIGINT AS k
+                FROM cells
+            ), lo AS (
+                SELECT n, k, min(qv)::BIGINT AS lo_cut_q
+                FROM cum, tot WHERE cum >= k + 1 GROUP BY 1, 2
+            ), hi AS (
+                SELECT n, k, min(qv)::BIGINT AS hi_cut_q
+                FROM cum, tot WHERE cum >= n - k GROUP BY 1, 2
+            ), tsum AS (
+                SELECT n, k,
+                       sum(qv::HUGEINT
+                           * greatest(0::HUGEINT,
+                                      least(cum, n - k)::HUGEINT
+                                      - greatest(cum - t, k)::HUGEINT))
+                           AS tsum
+                FROM cum, tot GROUP BY 1, 2
+            )
+            SELECT n, k AS k_trim,
+                   round(lo_cut_q::DOUBLE / 1000000.0, 6) AS lo_cut,
+                   round(hi_cut_q::DOUBLE / 1000000.0, 6) AS hi_cut,
+                   CASE WHEN n - 2 * k > 0
+                        THEN round(tsum::DOUBLE
+                                   / ((n::DOUBLE - 2 * k::DOUBLE)
+                                      * 1000000.0), 6)
+                   END AS trimmed_mean,
+                   CASE WHEN n > 0
+                        THEN round((tsum
+                                    + k::HUGEINT * lo_cut_q::HUGEINT
+                                    + k::HUGEINT * hi_cut_q::HUGEINT)::DOUBLE
+                                   / (n::DOUBLE * 1000000.0), 6)
+                   END AS winsorized_mean
+            FROM tsum JOIN lo USING (n, k) JOIN hi USING (n, k)
+        """,
+        "stat_sign_test": """
+            -- paired sign test: per-user first- vs second-half mean,
+            -- quantized-integer signs, ties dropped (stats.sign_test)
+            WITH half AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT >= 19738 AS h2,
+                       round(value * 1000000)::BIGINT AS qv
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND value IS NOT NULL
+            ), per AS (
+                SELECT user_id, h2,
+                       sum(qv)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM half GROUP BY 1, 2
+            ), pairs AS (
+                SELECT round(a.v * 1000000)::BIGINT AS qa,
+                       round(b.v * 1000000)::BIGINT AS qb
+                FROM (SELECT user_id, v FROM per WHERE NOT h2) a
+                JOIN (SELECT user_id, v FROM per WHERE h2) b
+                  USING (user_id)
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n_pairs,
+                       sum((qb > qa)::INT)::BIGINT AS n_pos,
+                       sum((qb < qa)::INT)::BIGINT AS n_neg
+                FROM pairs
+            )
+            SELECT n_pairs, n_pos, n_neg,
+                   CASE WHEN n_pos + n_neg > 0
+                        THEN round((n_pos - n_neg)::DOUBLE
+                                   / sqrt((n_pos + n_neg)::DOUBLE), 6)
+                   END AS z
+            FROM agg
+        """,
+        "evt_hour_anova": """
+            -- hour-of-day one-way ANOVA of hourly event counts (scale=1
+            -- grid; observed hours only) — stats.anova_f over the
+            -- seasonal factor
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 3600000000)::BIGINT AS h,
+                       count(*)::BIGINT AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), q AS (
+                SELECT (h % 24)::BIGINT AS g, c::BIGINT AS qv FROM cnt
+            ), pg AS (
+                SELECT g, count(*)::BIGINT AS ng,
+                       sum(qv::HUGEINT) AS sg, sum(qv::HUGEINT * qv) AS ssg
+                FROM q GROUP BY g
+            ), tm AS (
+                SELECT ng, sg, ssg,
+                       (sg::DOUBLE / 1.0) * (sg::DOUBLE / 1.0)
+                           / ng::DOUBLE AS tg
+                FROM pg
+            ), tot AS (
+                SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k,
+                       sum(sg) AS s, sum(ssg) AS ss, sum(tg) AS a
+                FROM tm
+            ), parts AS (
+                SELECT n, k,
+                       a - (s::DOUBLE / 1.0) * (s::DOUBLE / 1.0)
+                           / n::DOUBLE AS ssb,
+                       ss::DOUBLE / (1.0 * 1.0) - a AS ssw
+                FROM tot
+            )
+            SELECT n, k,
+                   round(ssb, 6) AS ss_between, round(ssw, 6) AS ss_within,
+                   CASE WHEN k > 1 AND n > k AND ssw > 0
+                        THEN round((ssb / (k - 1)::DOUBLE)
+                                   / (ssw / (n - k)::DOUBLE), 6)
+                   END AS f_stat,
+                   CASE WHEN ssb + ssw > 0
+                        THEN round(ssb / (ssb + ssw), 6)
+                   END AS eta_sq
+            FROM parts
         """,
     }
     # Kendall's W is the exact Friedman transform W = Q/(n(k-1)) — reuse

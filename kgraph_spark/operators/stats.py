@@ -73,6 +73,8 @@ __all__ = [
     "mood_scale_test",
     "hill_tail_index",
     "krippendorff_alpha",
+    "trimmed_mean",
+    "sign_test",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2835,4 +2837,109 @@ def krippendorff_alpha(
             (F.col("n_pairable") >= 2) & (de > 0),
             F.round(F.lit(1.0) - do_ / de, 6),
         ).alias("alpha"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    trim: float = 0.1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Trimmed + winsorized mean — the robust location pair (drop the
+    extreme k = ⌊trim·n⌋ per side, or clamp them to the cut values):
+    one row (n, k_trim, lo_cut, hi_cut, trimmed_mean, winsorized_mean).
+    The outlier-immune "what is the typical value" gate a mean ruins
+    and a median over-coarsens.
+
+    Everything is EXACT integer arithmetic on the distinct-value grid:
+    the cut order statistics come from cumulative counts (the smallest
+    value whose cumulative count reaches k+1 / n−k), and each value's
+    in-window copy count is max(0, min(cum, n−k) − max(cum−t, k)) — so
+    the trimmed sum is exact and each mean is ONE division. Grid-sized
+    ordered window, never a data-sized sort.
+    """
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    cells = q.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select("qv", "t", F.sum("t").over(w).cast("long").alias("cum"))
+    tot = cells.agg(F.sum("t").cast("long").alias("n")).select(
+        "n", F.floor(F.col("n") * F.lit(trim)).cast("long").alias("k")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    lo = j.filter(F.col("cum") >= F.col("k") + 1).groupBy("n", "k").agg(
+        F.min("qv").alias("lo_cut_q")
+    )
+    hi = j.filter(F.col("cum") >= F.col("n") - F.col("k")).groupBy("n", "k").agg(
+        F.min("qv").alias("hi_cut_q")
+    )
+    inwin = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("t"), F.col("k")),
+    )
+    tsum = j.groupBy("n", "k").agg(
+        F.sum(F.col("qv").cast(_DEC) * inwin.cast(_DEC)).alias("tsum")
+    )
+    out = (
+        tsum.join(F.broadcast(lo), ["n", "k"])
+        .join(F.broadcast(hi), ["n", "k"])
+    )
+    sc = F.lit(float(scale))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    wsum = (
+        F.col("tsum")
+        + F.col("k").cast(_DEC) * F.col("lo_cut_q").cast(_DEC)
+        + F.col("k").cast(_DEC) * F.col("hi_cut_q").cast(_DEC)
+    )
+    return out.select(
+        "n",
+        F.col("k").alias("k_trim"),
+        F.round(F.col("lo_cut_q").cast("double") / sc, 6).alias("lo_cut"),
+        F.round(F.col("hi_cut_q").cast("double") / sc, 6).alias("hi_cut"),
+        F.when(
+            F.col("n") - 2 * F.col("k") > 0,
+            F.round(
+                F.col("tsum").cast("double") / ((nd - 2 * kd) * sc), 6
+            ),
+        ).alias("trimmed_mean"),
+        F.when(
+            F.col("n") > 0,
+            F.round(wsum.cast("double") / (nd * sc), 6),
+        ).alias("winsorized_mean"),
+    )
+
+
+def sign_test(df: DataFrame, a_col: str, b_col: str, scale: int = 1_000_000) -> DataFrame:
+    """Paired sign test — the assumption-free "did B move vs A" gate
+    (paired_t needs symmetric diffs; this needs NOTHING but a sign):
+    one row (n_pairs, n_pos, n_neg, z). Ties (quantized equal) drop per
+    the classical definition; z = (n_pos − n_neg)/√(n_pos + n_neg).
+
+    Sign decisions are exact integer comparisons on the quantized grid;
+    one hash aggregate, one sqrt.
+    """
+    q = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        _quant(F.col(a_col), scale).alias("qa"),
+        _quant(F.col(b_col), scale).alias("qb"),
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("qb") > F.col("qa")).cast("int")).cast("long").alias("n_pos"),
+        F.sum((F.col("qb") < F.col("qa")).cast("int")).cast("long").alias("n_neg"),
+    )
+    m = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return agg.select(
+        "n_pairs",
+        "n_pos",
+        "n_neg",
+        F.when(
+            m > 0,
+            F.round(
+                (F.col("n_pos") - F.col("n_neg")).cast("double") / F.sqrt(m), 6
+            ),
+        ).alias("z"),
     )

@@ -2051,6 +2051,28 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Trimmed/winsorized mean — grid cumulative window, broadcast "
+        "totals/cuts, exact in-window copy counts",
+        _plan(entrymod.queries()["stat_trimmed_mean"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Sign test — per-user half-month means, one pair join + one "
+        "fold; integer sign decisions",
+        _plan(entrymod.queries()["stat_sign_test"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Hour-of-day ANOVA — hourly count aggregate then 24-group "
+        "moment fold; no window, no join",
+        _plan(entrymod.queries()["evt_hour_anova"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

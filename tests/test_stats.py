@@ -1077,3 +1077,40 @@ def test_krippendorff_alpha_hand_case(spark):
     assert krippendorff_alpha(perfect, "item", "rater", "cat").first()[
         "alpha"
     ] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trimmed_mean_hand_case(spark):
+    from kgraph_spark.operators.stats import trimmed_mean
+
+    # [0, 1..8, 100], trim 10% (k=1): drop 0 and 100 -> mean(1..8) = 4.5
+    vals = [0.0] + [float(i) for i in range(1, 9)] + [100.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = trimmed_mean(df, "v", trim=0.1).first()
+    assert (r["n"], r["k_trim"]) == (10, 1)
+    assert r["lo_cut"] == pytest.approx(1.0, abs=1e-9)
+    assert r["hi_cut"] == pytest.approx(8.0, abs=1e-9)
+    assert r["trimmed_mean"] == pytest.approx(4.5, abs=1e-9)
+    # winsorized: clamp 0->1 and 100->8 -> (36+1+8)/10 = 4.5
+    assert r["winsorized_mean"] == pytest.approx(4.5, abs=1e-9)
+    # duplicates across the cut are partially counted
+    dup = spark.createDataFrame([(1.0,)] * 5 + [(9.0,)] * 5, "v double")
+    r2 = trimmed_mean(dup, "v", trim=0.1).first()  # k=1: drop one 1, one 9
+    assert r2["trimmed_mean"] == pytest.approx((4 * 1 + 4 * 9) / 8, abs=1e-9)
+
+
+def test_sign_test_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import sign_test
+
+    # 6 up, 2 down, 2 ties -> z = 4/sqrt(8)
+    rows = (
+        [(1.0, 2.0)] * 6 + [(2.0, 1.0)] * 2 + [(3.0, 3.0)] * 2
+    )
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = sign_test(df, "a", "b").first()
+    assert (r["n_pairs"], r["n_pos"], r["n_neg"]) == (10, 6, 2)
+    assert r["z"] == pytest.approx(4.0 / math.sqrt(8.0), abs=1e-6)
+    # all ties -> NULL z
+    ties = spark.createDataFrame([(1.0, 1.0)] * 3, "a double, b double")
+    assert sign_test(ties, "a", "b").first()["z"] is None
