@@ -5742,6 +5742,64 @@ def q_evt_hour_anova(spark, sf_dir):
     return anova_f(hourly, "v", "hod", scale=1)
 
 
+def q_stat_wilcoxon_signed(spark, sf_dir):
+    """Wilcoxon signed-rank: per-user mean value, first half-month vs
+    second — rank-weighted paired movement gate between sign_test and
+    paired_t; doubled midranks on the distinct |diff| grid, tie-
+    corrected variance, one sqrt."""
+    from kgraph_spark.operators.stats import wilcoxon_signed_rank
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    half = ev.select(
+        "user_id",
+        (day >= 19738).alias("h2"),  # 2024-01-16 epoch-day split
+        F.round(F.col("value") * 1_000_000).cast("long").alias("qv"),
+    )
+    per = half.groupBy("user_id", "h2").agg(
+        (
+            F.sum("qv").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("v")
+    )
+    a = per.filter(~F.col("h2")).select("user_id", F.col("v").alias("v_a"))
+    b = per.filter(F.col("h2")).select("user_id", F.col("v").alias("v_b"))
+    return wilcoxon_signed_rank(a.join(b, "user_id"), "v_a", "v_b")
+
+
+def q_stat_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality gate on event values — exact pivot-
+    centered integer moments (scale=100, exact for 2-decimal data),
+    skewness/kurtosis combined once on final scalars."""
+    from kgraph_spark.operators.stats import jarque_bera
+
+    return jarque_bera(_read(spark, sf_dir, "events"), "value", scale=100)
+
+
+def q_stat_cmh(spark, sf_dir):
+    """Cochran–Mantel–Haenszel: is high-value (>100) associated with
+    even user_id after controlling for event_type strata — per-stratum
+    exact 2×2 counts, nano-rounded E/V/odds terms exact-summed."""
+    from kgraph_spark.operators.stats import cmh_test
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.col("event_type").alias("s"),
+        (F.col("user_id") % 2 == 0).alias("exp"),
+        (F.col("value") > 100.0).alias("out"),
+    )
+    return cmh_test(ev, "s", "exp", "out")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6054,6 +6112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_trimmed_mean": q_stat_trimmed_mean,
         "stat_sign_test": q_stat_sign_test,
         "evt_hour_anova": q_evt_hour_anova,
+        "stat_wilcoxon_signed": q_stat_wilcoxon_signed,
+        "stat_jarque_bera": q_stat_jarque_bera,
+        "stat_cmh": q_stat_cmh,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -15795,6 +15856,170 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((n_pos - n_neg)::DOUBLE
                                    / sqrt((n_pos + n_neg)::DOUBLE), 6)
                    END AS z
+            FROM agg
+        """,
+        "stat_wilcoxon_signed": """
+            -- Wilcoxon signed-rank: per-user half-month means, doubled
+            -- midranks on the distinct |diff| grid, tie-corrected
+            -- variance (stats.wilcoxon_signed_rank)
+            WITH half AS (
+                SELECT user_id,
+                       (epoch_us(ts) // 86400000000)::BIGINT >= 19738 AS h2,
+                       round(value * 1000000)::BIGINT AS qv
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND value IS NOT NULL
+            ), per AS (
+                SELECT user_id, h2,
+                       sum(qv)::DOUBLE / (count(*)::DOUBLE * 1000000.0) AS v
+                FROM half GROUP BY 1, 2
+            ), pairs AS (
+                SELECT round(b.v * 1000000)::BIGINT
+                       - round(a.v * 1000000)::BIGINT AS d
+                FROM (SELECT user_id, v FROM per WHERE NOT h2) a
+                JOIN (SELECT user_id, v FROM per WHERE h2) b
+                  USING (user_id)
+                WHERE round(b.v * 1000000)::BIGINT
+                      <> round(a.v * 1000000)::BIGINT
+            ), cells AS (
+                SELECT abs(d)::BIGINT AS ad, count(*)::BIGINT AS t,
+                       sum((d > 0)::INT)::BIGINT AS p
+                FROM pairs GROUP BY 1
+            ), ranked AS (
+                SELECT t, p,
+                       (2 * sum(t) OVER (ORDER BY ad
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - t + 1)::BIGINT AS r2
+                FROM cells
+            ), agg AS (
+                SELECT sum(t)::BIGINT AS n,
+                       sum(p::HUGEINT * r2::HUGEINT) AS w2,
+                       sum(t::HUGEINT * t * t - t::HUGEINT) AS tie3
+                FROM ranked
+            )
+            SELECT n,
+                   w2::DOUBLE / 2.0 AS w_plus,
+                   CASE WHEN (2::HUGEINT * n * (n + 1) * (2 * n + 1)
+                              - tie3)::DOUBLE > 0
+                        THEN round(
+                            (w2::DOUBLE / 2.0
+                             - n::DOUBLE * (n::DOUBLE + 1) / 4.0)
+                            / sqrt((2::HUGEINT * n * (n + 1) * (2 * n + 1)
+                                    - tie3)::DOUBLE / 48.0), 6)
+                   END AS z
+            FROM agg
+        """,
+        "stat_jarque_bera": """
+            -- Jarque-Bera normality: pivot-centered exact integer
+            -- moments at scale=100, central-moment shift identities on
+            -- final scalars (stats.jarque_bera)
+            WITH q AS (
+                SELECT round(value * 100)::BIGINT AS qv
+                FROM events WHERE value IS NOT NULL
+            ), piv AS (
+                -- exact integer floor division (all-positive grid)
+                SELECT (sum(qv::HUGEINT) // count(*)::HUGEINT)::BIGINT AS c
+                FROM q
+            ), dev AS (
+                SELECT (qv - c)::HUGEINT AS dv FROM q CROSS JOIN piv
+            ), s AS (
+                SELECT count(*)::BIGINT AS n, sum(dv) AS d1,
+                       sum(dv * dv) AS d2, sum(dv * dv * dv) AS d3,
+                       sum(dv * dv * dv * dv) AS d4
+                FROM dev
+            ), m AS (
+                SELECT n,
+                       (d2::DOUBLE - (d1::DOUBLE / n::DOUBLE) * d1::DOUBLE)
+                           / n::DOUBLE AS m2,
+                       (d3::DOUBLE
+                        - 3 * (d1::DOUBLE / n::DOUBLE) * d2::DOUBLE
+                        + 2 * (d1::DOUBLE / n::DOUBLE)
+                            * (d1::DOUBLE / n::DOUBLE) * d1::DOUBLE)
+                           / n::DOUBLE AS m3,
+                       (d4::DOUBLE
+                        - 4 * (d1::DOUBLE / n::DOUBLE) * d3::DOUBLE
+                        + 6 * (d1::DOUBLE / n::DOUBLE)
+                            * (d1::DOUBLE / n::DOUBLE) * d2::DOUBLE
+                        - 3 * (d1::DOUBLE / n::DOUBLE)
+                            * (d1::DOUBLE / n::DOUBLE)
+                            * (d1::DOUBLE / n::DOUBLE) * d1::DOUBLE)
+                           / n::DOUBLE AS m4
+                FROM s
+            )
+            SELECT n,
+                   CASE WHEN m2 > 0
+                        THEN round(m3 / sqrt(m2 * m2 * m2), 6)
+                   END AS skewness,
+                   CASE WHEN m2 > 0
+                        THEN round(m4 / (m2 * m2) - 3, 6)
+                   END AS ex_kurtosis,
+                   CASE WHEN m2 > 0
+                        THEN round(n::DOUBLE / 6
+                             * ((m3 / sqrt(m2 * m2 * m2))
+                                * (m3 / sqrt(m2 * m2 * m2))
+                                + (m4 / (m2 * m2) - 3)
+                                  * (m4 / (m2 * m2) - 3) / 4), 6)
+                   END AS jb
+            FROM m
+        """,
+        "stat_cmh": """
+            -- Cochran-Mantel-Haenszel over event_type strata: exposure
+            -- = even user_id, outcome = value > 100; nano-rounded
+            -- per-stratum E/V/odds terms exact-summed (stats.cmh_test)
+            WITH cells AS (
+                SELECT event_type AS s,
+                       sum((user_id % 2 = 0 AND value > 100.0)::INT)
+                           ::BIGINT AS a,
+                       sum((user_id % 2 = 0 AND NOT value > 100.0)::INT)
+                           ::BIGINT AS b,
+                       sum((NOT user_id % 2 = 0 AND value > 100.0)::INT)
+                           ::BIGINT AS c,
+                       sum((NOT user_id % 2 = 0 AND NOT value > 100.0)::INT)
+                           ::BIGINT AS d
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY 1
+            ), terms AS (
+                SELECT a,
+                       round((a + b)::DOUBLE * (a + c)::DOUBLE
+                             / (a + b + c + d)::DOUBLE
+                             * 1000000000000.0)::HUGEINT AS e12,
+                       CASE WHEN (a + b + c + d) > 1
+                            THEN round((a + b)::DOUBLE * (c + d)::DOUBLE
+                                 * (a + c)::DOUBLE * (b + d)::DOUBLE
+                                 / ((a + b + c + d)::DOUBLE
+                                    * (a + b + c + d)::DOUBLE
+                                    * ((a + b + c + d)::DOUBLE - 1))
+                                 * 1000000000000.0)::HUGEINT
+                            ELSE 0::HUGEINT END AS v12,
+                       round(a::DOUBLE * d::DOUBLE
+                             / (a + b + c + d)::DOUBLE
+                             * 1000000000000.0)::HUGEINT AS ad12,
+                       round(b::DOUBLE * c::DOUBLE
+                             / (a + b + c + d)::DOUBLE
+                             * 1000000000000.0)::HUGEINT AS bc12
+                FROM cells
+            ), agg AS (
+                SELECT count(*)::BIGINT AS k_strata, sum(a)::BIGINT AS sum_a,
+                       sum(e12) AS e12, sum(v12) AS v12,
+                       sum(ad12) AS ad12, sum(bc12) AS bc12
+                FROM terms
+            )
+            SELECT k_strata, sum_a,
+                   round(e12::DOUBLE / 1000000000000.0, 6) AS e_sum,
+                   round(v12::DOUBLE / 1000000000000.0, 6) AS v_sum,
+                   CASE WHEN v12::DOUBLE / 1000000000000.0 > 0
+                        THEN round(
+                            (abs(sum_a::DOUBLE
+                                 - e12::DOUBLE / 1000000000000.0) - 0.5)
+                            * (abs(sum_a::DOUBLE
+                                   - e12::DOUBLE / 1000000000000.0) - 0.5)
+                            / (v12::DOUBLE / 1000000000000.0), 6)
+                   END AS cmh,
+                   CASE WHEN bc12::DOUBLE > 0
+                        THEN round(ad12::DOUBLE / bc12::DOUBLE, 6)
+                   END AS or_mh
             FROM agg
         """,
         "evt_hour_anova": """

@@ -75,6 +75,9 @@ __all__ = [
     "krippendorff_alpha",
     "trimmed_mean",
     "sign_test",
+    "wilcoxon_signed_rank",
+    "jarque_bera",
+    "cmh_test",
 ]
 
 _DEC = "decimal(38,0)"
@@ -2942,4 +2945,205 @@ def sign_test(df: DataFrame, a_col: str, b_col: str, scale: int = 1_000_000) -> 
                 (F.col("n_pos") - F.col("n_neg")).cast("double") / F.sqrt(m), 6
             ),
         ).alias("z"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame, a_col: str, b_col: str, scale: int = 1_000_000
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the paired movement gate between
+    sign_test (signs only, wastes magnitude) and paired_t (needs
+    near-normal diffs): one row (n, w_plus, z). Zero diffs (quantized
+    equal) drop per the classical definition; |diff| ranks are tie-
+    midranks; z uses the tie-corrected normal approximation
+    var = [2n(n+1)(2n+1) − Σ(t³−t)] / 48.
+
+    Engine-exact: diffs and |diff| cells are integers on the quantized
+    grid, midranks are DOUBLED midranks (2·cum − t + 1, integer), W⁺
+    and the variance numerator accumulate as exact wide-integer sums;
+    the ordered window runs over the DISTINCT |diff| grid, not raw
+    pairs. One division + one sqrt at the end.
+    """
+    d = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        (_quant(F.col(b_col), scale) - _quant(F.col(a_col), scale)).alias("d")
+    ).filter(F.col("d") != 0)
+    cells = d.groupBy(F.abs(F.col("d")).alias("ad")).agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum((F.col("d") > 0).cast("int")).cast("long").alias("p"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = cells.select(
+        "t",
+        "p",
+        (2 * F.sum("t").over(w) - F.col("t") + 1).cast("long").alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.col("p").cast(_DEC) * F.col("r2").cast(_DEC)).alias("w2"),
+        F.sum(
+            F.col("t").cast(_DEC) * F.col("t").cast(_DEC) * F.col("t").cast(_DEC)
+            - F.col("t").cast(_DEC)
+        ).alias("tie3"),
+    )
+    nD = F.col("n").cast(_DEC)
+    var_num = (
+        F.lit(2).cast(_DEC) * nD * (nD + 1) * (2 * nD + 1) - F.col("tie3")
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "n",
+        (F.col("w2").cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.when(
+            var_num.cast("double") > 0,
+            F.round(
+                (
+                    F.col("w2").cast("double") / F.lit(2.0)
+                    - nd * (nd + 1) / F.lit(4.0)
+                )
+                / F.sqrt(var_num.cast("double") / F.lit(48.0)),
+                6,
+            ),
+        ).alias("z"),
+    )
+
+
+def jarque_bera(df: DataFrame, value_col: str, scale: int = 100) -> DataFrame:
+    """Jarque–Bera normality gate — skewness + excess kurtosis from
+    exact moments: one row (n, skewness, ex_kurtosis, jb). JB =
+    n/6·(g1² + g2²/4); large JB ⇒ reject normality. The "is this
+    feature distribution sane" check a quality pipeline runs before
+    trusting z-score-based outlier rules.
+
+    Engine-exact: values quantize to the integer grid (default
+    scale=100 — exact for 2-decimal inputs; the 4th power is why the
+    default grid is coarser than the repo's usual 1e6: deviations^4
+    must fit decimal(38,0)), pass 1 derives an integer pivot
+    c = ⌊Σq/n⌋, pass 2 accumulates Σdev..Σdev⁴ about the pivot as
+    exact wide-integer sums, and the central moments come from the
+    pivot-shift identities evaluated once on final scalars (identical
+    expression tree in the DuckDB oracle). Two hash aggregates, no
+    window, no sort.
+    """
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    s1n = q.agg(
+        F.sum(F.col("qv").cast(_DEC)).alias("s1"),
+        F.count(F.lit(1)).cast(_DEC).alias("nn"),
+    )
+    # exact ⌊s1/n⌋: subtract the remainder first so the decimal division
+    # is exact at any result scale (no float/decimal rounding at the edge)
+    piv = s1n.select(
+        (
+            (F.col("s1") - F.pmod(F.col("s1"), F.col("nn"))) / F.col("nn")
+        ).cast("long").alias("c")
+    )
+    dev = q.crossJoin(F.broadcast(piv)).select(
+        (F.col("qv") - F.col("c")).cast(_DEC).alias("dv")
+    )
+    s = dev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dv").alias("d1"),
+        F.sum(F.col("dv") * F.col("dv")).alias("d2"),
+        F.sum(F.col("dv") * F.col("dv") * F.col("dv")).alias("d3"),
+        F.sum(F.col("dv") * F.col("dv") * F.col("dv") * F.col("dv")).alias("d4"),
+    )
+    nd = F.col("n").cast("double")
+    dl = F.col("d1").cast("double") / nd
+    d2d = F.col("d2").cast("double")
+    d3d = F.col("d3").cast("double")
+    d4d = F.col("d4").cast("double")
+    m2 = (d2d - dl * F.col("d1").cast("double")) / nd
+    m3 = (d3d - 3 * dl * d2d + 2 * dl * dl * F.col("d1").cast("double")) / nd
+    m4 = (
+        d4d - 4 * dl * d3d + 6 * dl * dl * d2d
+        - 3 * dl * dl * dl * F.col("d1").cast("double")
+    ) / nd
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3
+    return s.select(
+        "n",
+        F.when(m2 > 0, F.round(g1, 6)).alias("skewness"),
+        F.when(m2 > 0, F.round(g2, 6)).alias("ex_kurtosis"),
+        F.when(
+            m2 > 0,
+            F.round(nd / 6 * (g1 * g1 + g2 * g2 / 4), 6),
+        ).alias("jb"),
+    )
+
+
+def cmh_test(
+    df: DataFrame, stratum_col: str, exposed_col: str, outcome_col: str
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel stratified 2×2 test + Mantel–Haenszel
+    common odds ratio — "is exposure associated with outcome after
+    controlling for the stratum" (the Simpson's-paradox-proof version
+    of stat_odds_ratio): one row (k_strata, sum_a, e_sum, v_sum, cmh,
+    or_mh). cmh uses the classical 0.5 continuity correction; strata
+    with n < 2 contribute counts but zero variance, per the standard
+    definition (their V term is undefined).
+
+    Engine-exact: per-stratum cell counts are one hash aggregate of
+    exact longs; each stratum's E, V, and odds-ratio terms are doubles
+    nano-rounded (×1e12) to integers and EXACT-summed across strata
+    (per-term round-then-exact-sum — the repo-wide recipe), so stratum
+    order can never wobble the result. One division per output.
+    """
+    cells = df.filter(
+        F.col(stratum_col).isNotNull()
+        & F.col(exposed_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+    ).groupBy(F.col(stratum_col).alias("s")).agg(
+        F.sum(
+            (F.col(exposed_col) & F.col(outcome_col)).cast("int")
+        ).cast("long").alias("a"),
+        F.sum(
+            (F.col(exposed_col) & ~F.col(outcome_col)).cast("int")
+        ).cast("long").alias("b"),
+        F.sum(
+            (~F.col(exposed_col) & F.col(outcome_col)).cast("int")
+        ).cast("long").alias("c"),
+        F.sum(
+            (~F.col(exposed_col) & ~F.col(outcome_col)).cast("int")
+        ).cast("long").alias("d"),
+    )
+    NANO = F.lit(1_000_000_000_000.0)
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    n1 = (F.col("a") + F.col("b")).cast("double")
+    n0 = (F.col("c") + F.col("d")).cast("double")
+    m1 = (F.col("a") + F.col("c")).cast("double")
+    m0 = (F.col("b") + F.col("d")).cast("double")
+    terms = cells.select(
+        "a",
+        F.round(n1 * m1 / n * NANO).cast(_DEC).alias("e12"),
+        F.when(
+            n > 1,
+            F.round(n1 * n0 * m1 * m0 / (n * n * (n - 1)) * NANO),
+        ).otherwise(F.lit(0)).cast(_DEC).alias("v12"),
+        F.round(F.col("a").cast("double") * F.col("d").cast("double") / n * NANO)
+        .cast(_DEC).alias("ad12"),
+        F.round(F.col("b").cast("double") * F.col("c").cast("double") / n * NANO)
+        .cast(_DEC).alias("bc12"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum("e12").alias("e12"),
+        F.sum("v12").alias("v12"),
+        F.sum("ad12").alias("ad12"),
+        F.sum("bc12").alias("bc12"),
+    )
+    NANOd = F.lit(1_000_000_000_000.0)
+    e = F.col("e12").cast("double") / NANOd
+    v = F.col("v12").cast("double") / NANOd
+    adn = F.col("ad12").cast("double")
+    bcn = F.col("bc12").cast("double")
+    dev = F.abs(F.col("sum_a").cast("double") - e) - F.lit(0.5)
+    return agg.select(
+        "k_strata",
+        "sum_a",
+        F.round(e, 6).alias("e_sum"),
+        F.round(v, 6).alias("v_sum"),
+        F.when(v > 0, F.round(dev * dev / v, 6)).alias("cmh"),
+        F.when(bcn > 0, F.round(adn / bcn, 6)).alias("or_mh"),
     )

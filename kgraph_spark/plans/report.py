@@ -2073,6 +2073,29 @@ def main() -> None:
         ["HashAggregate", "partial_", "!BatchEvalPython", "!Window"],
     ))
 
+    sections.append((
+        "Wilcoxon signed-rank — pair join, |diff|-grid window (distinct "
+        "values, not raw pairs), one exact fold",
+        _plan(entrymod.queries()["stat_wilcoxon_signed"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Jarque-Bera — two hash-aggregate passes (pivot, central "
+        "moments), broadcast pivot; no window, no sort",
+        _plan(entrymod.queries()["stat_jarque_bera"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!Window", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "CMH stratified test — one per-stratum cell aggregate, "
+        "nano-rounded terms, one-row fold; no join, no window",
+        _plan(entrymod.queries()["stat_cmh"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

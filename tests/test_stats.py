@@ -1114,3 +1114,77 @@ def test_sign_test_hand_case(spark):
     # all ties -> NULL z
     ties = spark.createDataFrame([(1.0, 1.0)] * 3, "a double, b double")
     assert sign_test(ties, "a", "b").first()["z"] is None
+
+
+def test_wilcoxon_signed_rank_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import wilcoxon_signed_rank
+
+    # diffs +1 +2 -3 +4 +5 (distinct |d|): W+ = 1+2+4+5 = 12,
+    # mean = 7.5, var = 5*6*11/24 = 13.75; a zero pair drops
+    rows = [(0.0, 1.0), (0.0, 2.0), (3.0, 0.0), (0.0, 4.0), (0.0, 5.0),
+            (7.0, 7.0)]
+    r = wilcoxon_signed_rank(
+        spark.createDataFrame(rows, "a double, b double"), "a", "b"
+    ).first()
+    assert (r["n"], r["w_plus"]) == (5, 12.0)
+    assert r["z"] == pytest.approx(4.5 / math.sqrt(13.75), abs=1e-6)
+    # all-tied |d|: diffs +1 +1 -1 -> midrank 2 each, W+ = 4,
+    # var = (2*3*4*7 - (27-3)) / 48 = 3
+    ties = [(0.0, 1.0), (0.0, 1.0), (1.0, 0.0)]
+    r2 = wilcoxon_signed_rank(
+        spark.createDataFrame(ties, "a double, b double"), "a", "b"
+    ).first()
+    assert (r2["n"], r2["w_plus"]) == (3, 4.0)
+    assert r2["z"] == pytest.approx(1.0 / math.sqrt(3.0), abs=1e-6)
+
+
+def test_jarque_bera_hand_case(spark):
+    from kgraph_spark.operators.stats import jarque_bera
+
+    # symmetric 1..5: skew 0, m2 = 2, m4 = 6.8 -> ex kurt = -1.3,
+    # JB = 5/6 * (0 + 1.69/4)
+    df = spark.createDataFrame([(float(i),) for i in range(1, 6)], "v double")
+    r = jarque_bera(df, "v").first()
+    assert r["n"] == 5
+    assert r["skewness"] == pytest.approx(0.0, abs=1e-9)
+    assert r["ex_kurtosis"] == pytest.approx(-1.3, abs=1e-9)
+    assert r["jb"] == pytest.approx(5.0 / 6.0 * (1.69 / 4.0), abs=1e-6)
+    # constant input -> m2 = 0 -> NULL stats, n still counted
+    c = jarque_bera(
+        spark.createDataFrame([(2.0,)] * 4, "v double"), "v"
+    ).first()
+    assert c["n"] == 4 and c["jb"] is None
+
+
+def test_cmh_test_hand_case(spark):
+    from kgraph_spark.operators.stats import cmh_test
+
+    # one stratum reduces to the plain 2x2: a=10 b=5 c=5 d=10 ->
+    # E = 7.5, V = 15^4/(900*29), dev = |10-7.5|-0.5 = 2, OR = 4
+    rows = (
+        [("s1", True, True)] * 10 + [("s1", True, False)] * 5
+        + [("s1", False, True)] * 5 + [("s1", False, False)] * 10
+    )
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    r = cmh_test(df, "s", "e", "o").first()
+    assert (r["k_strata"], r["sum_a"]) == (1, 10)
+    assert r["e_sum"] == pytest.approx(7.5, abs=1e-9)
+    v = 15.0 ** 4 / (900.0 * 29.0)
+    assert r["v_sum"] == pytest.approx(v, abs=1e-6)
+    assert r["cmh"] == pytest.approx(4.0 / v, abs=1e-6)
+    assert r["or_mh"] == pytest.approx(4.0, abs=1e-6)
+    # two balanced strata with opposite margins still sum exactly
+    rows2 = rows + (
+        [("s2", True, True)] * 2 + [("s2", True, False)] * 8
+        + [("s2", False, True)] * 8 + [("s2", False, False)] * 2
+    )
+    df2 = spark.createDataFrame(rows2, "s string, e boolean, o boolean")
+    r2 = cmh_test(df2, "s", "e", "o").first()
+    assert (r2["k_strata"], r2["sum_a"]) == (2, 12)
+    assert r2["e_sum"] == pytest.approx(7.5 + 5.0, abs=1e-6)
+    # MH OR pools numerators: (10*10/30 + 2*2/20) / (5*5/30 + 8*8/20)
+    assert r2["or_mh"] == pytest.approx(
+        (100.0 / 30 + 4.0 / 20) / (25.0 / 30 + 64.0 / 20), abs=1e-6
+    )
