@@ -5800,6 +5800,52 @@ def q_stat_cmh(spark, sf_dir):
     return cmh_test(ev, "s", "exp", "out")
 
 
+def _daily_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    return ev.groupBy(day.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+
+def q_stat_durbin_watson(spark, sf_dir):
+    """Durbin–Watson on the daily-traffic trend fit: is the OLS line
+    over daily event counts hiding lag-1 residual autocorrelation —
+    micro-rounded residual terms exact-summed, one division."""
+    from kgraph_spark.operators.stats import durbin_watson
+
+    return durbin_watson(_daily_counts(spark, sf_dir), "d", "c", y_scale=1)
+
+
+def q_stat_breusch_pagan(spark, sf_dir):
+    """Breusch–Pagan (Koenker) heteroskedasticity of daily total event
+    value vs day — per-day totals in exact integer cents, e² on a
+    micro grid, auxiliary R² from a second exact moment pass."""
+    from kgraph_spark.operators.stats import breusch_pagan
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+    )
+    return breusch_pagan(daily, "d", "cents", y_scale=1)
+
+
+def q_stat_chow(spark, sf_dir):
+    """Chow break test on daily event counts at the 2024-01-16 split
+    (epoch-day 19738) — did the traffic trend line change mid-month;
+    closed-form segment SSRs from exact integer moments."""
+    from kgraph_spark.operators.stats import chow_test
+
+    return chow_test(_daily_counts(spark, sf_dir), "d", "c", split=19738, y_scale=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6115,6 +6161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_wilcoxon_signed": q_stat_wilcoxon_signed,
         "stat_jarque_bera": q_stat_jarque_bera,
         "stat_cmh": q_stat_cmh,
+        "stat_durbin_watson": q_stat_durbin_watson,
+        "stat_breusch_pagan": q_stat_breusch_pagan,
+        "stat_chow": q_stat_chow,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -16021,6 +16070,162 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(ad12::DOUBLE / bc12::DOUBLE, 6)
                    END AS or_mh
             FROM agg
+        """,
+        "stat_durbin_watson": """
+            -- Durbin-Watson on daily-count OLS residuals: micro-rounded
+            -- e^2 / diff^2 terms exact-summed (stats.durbin_watson)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS x,
+                       count(*)::BIGINT AS qy
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), q AS (
+                SELECT (x - (SELECT min(x) FROM cnt))::BIGINT AS qx, qy
+                FROM cnt
+            ), m AS (
+                SELECT count(*)::BIGINT AS n, sum(qx::HUGEINT) AS sx,
+                       sum(qy::HUGEINT) AS sy, sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM q
+            ), fit AS (
+                SELECT n,
+                       (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                           / (n::HUGEINT * sxx - sx * sx)::DOUBLE AS beta,
+                       (sy * sxx - sx * sxy)::DOUBLE
+                           / (n::HUGEINT * sxx - sx * sx)::DOUBLE AS alpha
+                FROM m
+            ), e AS (
+                SELECT qx, qy::DOUBLE - alpha - beta * qx::DOUBLE AS e, n
+                FROM q CROSS JOIN fit
+            ), terms AS (
+                SELECT n,
+                       round(e * e * 1000000.0)::HUGEINT AS e2,
+                       CASE WHEN lag(e) OVER (ORDER BY qx) IS NOT NULL
+                            THEN round((e - lag(e) OVER (ORDER BY qx))
+                                 * (e - lag(e) OVER (ORDER BY qx))
+                                 * 1000000.0)::HUGEINT
+                       END AS d2
+                FROM e
+            ), agg AS (
+                SELECT n, sum(e2) AS se2, sum(d2) AS sd2
+                FROM terms GROUP BY n
+            )
+            SELECT n,
+                   CASE WHEN n >= 3 AND se2 > 0
+                        THEN round(sd2::DOUBLE / se2::DOUBLE, 6)
+                   END AS dw,
+                   CASE WHEN n >= 3 AND se2 > 0
+                        THEN round(1 - (sd2::DOUBLE / se2::DOUBLE) / 2, 6)
+                   END AS rho
+            FROM agg
+        """,
+        "stat_breusch_pagan": """
+            -- Breusch-Pagan (Koenker n*R^2) on daily total cents vs
+            -- day: e^2 micro-grid + second exact moment pass
+            -- (stats.breusch_pagan)
+            WITH daily AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS x,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS qy
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT (x - (SELECT min(x) FROM daily))::BIGINT AS qx, qy
+                FROM daily
+            ), m AS (
+                SELECT count(*)::BIGINT AS n, sum(qx::HUGEINT) AS sx,
+                       sum(qy::HUGEINT) AS sy, sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM q
+            ), fit AS (
+                SELECT (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                           / (n::HUGEINT * sxx - sx * sx)::DOUBLE AS beta,
+                       (sy * sxx - sx * sxy)::DOUBLE
+                           / (n::HUGEINT * sxx - sx * sx)::DOUBLE AS alpha
+                FROM m
+            ), aux AS (
+                SELECT qx,
+                       round((qy::DOUBLE - alpha - beta * qx::DOUBLE)
+                             * (qy::DOUBLE - alpha - beta * qx::DOUBLE)
+                             * 1000000.0)::BIGINT AS qu
+                FROM q CROSS JOIN fit
+            ), m2 AS (
+                SELECT count(*)::BIGINT AS n, sum(qx::HUGEINT) AS sx,
+                       sum(qu::HUGEINT) AS su, sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qu::HUGEINT * qu) AS suu,
+                       sum(qx::HUGEINT * qu) AS sxu
+                FROM aux
+            ), c AS (
+                SELECT n,
+                       (n::HUGEINT * sxx - sx * sx)::DOUBLE AS cxx,
+                       (n::HUGEINT * suu - su * su)::DOUBLE AS cuu,
+                       (n::HUGEINT * sxu - sx * su)::DOUBLE AS cxu
+                FROM m2
+            )
+            SELECT n,
+                   CASE WHEN cxx > 0 AND cuu > 0
+                        THEN round(cxu * cxu / (cxx * cuu), 6)
+                   END AS r2_aux,
+                   CASE WHEN cxx > 0 AND cuu > 0
+                        THEN round(n::DOUBLE * (cxu * cxu / (cxx * cuu)), 6)
+                   END AS lm
+            FROM c
+        """,
+        "stat_chow": """
+            -- Chow break F-test on daily counts at epoch-day 19738:
+            -- closed-form segment SSRs from exact integer moments
+            -- (stats.chow_test)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS x,
+                       count(*)::BIGINT AS qy
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), q AS (
+                SELECT (x - (SELECT min(x) FROM cnt))::BIGINT AS qx, qy,
+                       x < 19738 AS seg1
+                FROM cnt
+            ), m AS (
+                SELECT seg1, count(*)::BIGINT AS n, sum(qx::HUGEINT) AS sx,
+                       sum(qy::HUGEINT) AS sy, sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qy::HUGEINT * qy) AS syy,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM q GROUP BY seg1
+            ), seg AS (
+                SELECT seg1, n, sx, sy, sxx, syy, sxy,
+                       CASE WHEN (n::HUGEINT * sxx - sx * sx)::DOUBLE > 0
+                            THEN ((n::HUGEINT * syy - sy * sy)::DOUBLE
+                                  - (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                                    * (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                                    / (n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                                 / n::DOUBLE
+                            WHEN n > 0 THEN 0.0 END AS ssr_seg
+                FROM m
+            ), pooled AS (
+                SELECT sum(CASE WHEN seg1 THEN n END)::BIGINT AS n1,
+                       sum(CASE WHEN NOT seg1 THEN n END)::BIGINT AS n2,
+                       sum(n)::BIGINT AS n, sum(sx) AS sx, sum(sy) AS sy,
+                       sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy,
+                       sum(CASE WHEN seg1 THEN ssr_seg END) AS ssr1,
+                       sum(CASE WHEN NOT seg1 THEN ssr_seg END) AS ssr2
+                FROM seg
+            ), fin AS (
+                SELECT n1, n2, ssr1, ssr2,
+                       CASE WHEN (n::HUGEINT * sxx - sx * sx)::DOUBLE > 0
+                            THEN ((n::HUGEINT * syy - sy * sy)::DOUBLE
+                                  - (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                                    * (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                                    / (n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                                 / n::DOUBLE
+                            WHEN n > 0 THEN 0.0 END AS ssr_p
+                FROM pooled
+            )
+            SELECT n1, n2,
+                   round(ssr_p, 6) AS ssr_pooled,
+                   round(ssr1, 6) AS ssr1, round(ssr2, 6) AS ssr2,
+                   CASE WHEN n1 >= 2 AND n2 >= 2 AND n1 + n2 - 4 > 0
+                             AND ssr1 + ssr2 > 0
+                        THEN round(((ssr_p - (ssr1 + ssr2)) / 2.0)
+                             / ((ssr1 + ssr2) / (n1 + n2 - 4)::DOUBLE), 6)
+                   END AS f_stat
+            FROM fin
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

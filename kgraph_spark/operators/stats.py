@@ -78,6 +78,9 @@ __all__ = [
     "wilcoxon_signed_rank",
     "jarque_bera",
     "cmh_test",
+    "durbin_watson",
+    "breusch_pagan",
+    "chow_test",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3146,4 +3149,223 @@ def cmh_test(
         F.round(v, 6).alias("v_sum"),
         F.when(v > 0, F.round(dev * dev / v, 6)).alias("cmh"),
         F.when(bcn > 0, F.round(adn / bcn, 6)).alias("or_mh"),
+    )
+
+
+def _ols_fit_onerow(q: DataFrame) -> DataFrame:
+    """One-row OLS fit over pre-quantized (qx, qy): exact integer
+    moments + double (alpha, beta) in qy units. qx must already be
+    centered/small (caller shifts to min); alpha/beta are the identical
+    expression tree the DuckDB oracles replay."""
+    m = q.agg(*_moment_aggs())
+    nd = F.col("n").cast(_DEC)
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    anum = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+    return m.select(
+        "n",
+        dx.alias("dx"),
+        F.when(dx > 0, num / dx).alias("beta"),
+        F.when(dx > 0, anum / dx).alias("alpha"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation gate on OLS residuals
+    — "is the trend fit hiding serial correlation" (DW ≈ 2 ⇒ none,
+    → 0 positive, → 4 negative): one row (n, dw, rho). rho = 1 − dw/2
+    is the implied lag-1 residual correlation. The companion check
+    ols_trend needs before its standard errors can be believed.
+
+    Engine-exact: integer moments fit the line (x shifted to its min
+    first), per-row residuals are a fixed double expression on exact
+    integers, each e² / (e−e_prev)² term is micro-rounded (×1e6) to an
+    integer and EXACT-summed, and DW is ONE division (scale cancels —
+    both sums are in the same qy² units). The lag runs over the
+    DISTINCT x grid (e.g. ≤ a few thousand days), not raw rows — the
+    bounded-grid contract all the repo's series ops share.
+    """
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(x_col).cast("long").alias("x"),
+        _quant(F.col(y_col), y_scale).alias("qy"),
+    )
+    xmin = base.agg(F.min("x").alias("x0"))
+    q = base.crossJoin(F.broadcast(xmin)).select(
+        (F.col("x") - F.col("x0")).alias("qx"), "qy"
+    )
+    fit = _ols_fit_onerow(q)
+    e = q.crossJoin(F.broadcast(fit)).select(
+        "qx",
+        (
+            F.col("qy").cast("double")
+            - F.col("alpha")
+            - F.col("beta") * F.col("qx").cast("double")
+        ).alias("e"),
+        "n",
+    )
+    w = Window.orderBy("qx")
+    terms = e.select(
+        "n",
+        F.round(F.col("e") * F.col("e") * F.lit(1_000_000.0)).cast(_DEC).alias("e2"),
+        F.when(
+            F.lag("e").over(w).isNotNull(),
+            F.round(
+                (F.col("e") - F.lag("e").over(w))
+                * (F.col("e") - F.lag("e").over(w))
+                * F.lit(1_000_000.0)
+            ),
+        ).cast(_DEC).alias("d2"),
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum("e2").alias("se2"), F.sum("d2").alias("sd2")
+    )
+    dw = F.col("sd2").cast("double") / F.col("se2").cast("double")
+    return agg.select(
+        "n",
+        F.when((F.col("n") >= 3) & (F.col("se2") > 0), F.round(dw, 6)).alias("dw"),
+        F.when(
+            (F.col("n") >= 3) & (F.col("se2") > 0),
+            F.round(1 - dw / 2, 6),
+        ).alias("rho"),
+    )
+
+
+def breusch_pagan(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Breusch–Pagan (Koenker–Bassett studentized form) heteroskedas-
+    ticity gate — "does residual variance grow with x": one row
+    (n, r2_aux, lm). LM = n·R² of the auxiliary regression e² ~ x;
+    large LM ⇒ the homoskedasticity assumption behind ols_trend's
+    error bars is wrong. Koenker's n·R² form is the robust default
+    (no normality-of-e assumption, unlike the original BP scaling).
+
+    Engine-exact: fit from exact integer moments, per-row e² micro-
+    rounded (×1e6) to an integer grid, and the auxiliary R² from a
+    second exact-integer moment pass — double combination happens once
+    on final scalars. Two hash aggregates + a broadcast fit; no sort.
+    """
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(x_col).cast("long").alias("x"),
+        _quant(F.col(y_col), y_scale).alias("qy"),
+    )
+    xmin = base.agg(F.min("x").alias("x0"))
+    q = base.crossJoin(F.broadcast(xmin)).select(
+        (F.col("x") - F.col("x0")).alias("qx"), "qy"
+    )
+    fit = _ols_fit_onerow(q)
+    aux = q.crossJoin(F.broadcast(fit)).select(
+        "qx",
+        F.round(
+            (
+                F.col("qy").cast("double")
+                - F.col("alpha")
+                - F.col("beta") * F.col("qx").cast("double")
+            )
+            * (
+                F.col("qy").cast("double")
+                - F.col("alpha")
+                - F.col("beta") * F.col("qx").cast("double")
+            )
+            * F.lit(1_000_000.0)
+        ).cast("long").alias("qy2"),
+    ).select("qx", F.col("qy2").alias("qy"))
+    m = aux.agg(*_moment_aggs())
+    nd = F.col("n").cast(_DEC)
+    cxx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cuu = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxu = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    r2 = cxu * cxu / (cxx * cuu)
+    return m.select(
+        "n",
+        F.when((cxx > 0) & (cuu > 0), F.round(r2, 6)).alias("r2_aux"),
+        F.when(
+            (cxx > 0) & (cuu > 0),
+            F.round(F.col("n").cast("double") * r2, 6),
+        ).alias("lm"),
+    )
+
+
+def chow_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    split: int,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Chow structural-break F-test at a KNOWN split point — "did the
+    trend line change at the deploy/policy date" (the parametric
+    companion to the rank-based evt_pettitt, which hunts for an unknown
+    break): one row (n1, n2, ssr_pooled, ssr1, ssr2, f_stat), k = 2
+    parameters per segment, F = ((SSRp − SSR1 − SSR2)/k) /
+    ((SSR1 + SSR2)/(n1 + n2 − 2k)).
+
+    Engine-exact, and unlike DW/BP it needs NO per-row residuals: each
+    segment's SSR comes from the closed form (CYY − CXY²/CXX)/n on
+    exact integer central-moment combinations (x shifted to the global
+    min so the pool and the segments share one frame); pooled moments
+    are the exact integer SUM of the segment moments. One two-group
+    hash aggregate, doubles only on the final six scalars.
+    """
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        F.col(x_col).cast("long").alias("x"),
+        _quant(F.col(y_col), y_scale).alias("qy"),
+    )
+    xmin = base.agg(F.min("x").alias("x0"))
+    q = base.crossJoin(F.broadcast(xmin)).select(
+        (F.col("x") - F.col("x0")).alias("qx"),
+        "qy",
+        (F.col("x") < F.lit(split)).alias("seg1"),
+    )
+    m = q.groupBy("seg1").agg(*_moment_aggs())
+
+    def ssr(n, sx, sy, sxx, syy, sxy):
+        ndc = n.cast(_DEC)
+        cxx = (ndc * sxx - sx * sx).cast("double")
+        cyy = (ndc * syy - sy * sy).cast("double")
+        cxy = (ndc * sxy - sx * sy).cast("double")
+        return F.when(
+            cxx > 0, (cyy - cxy * cxy / cxx) / n.cast("double")
+        ).otherwise(F.when(n > 0, F.lit(0.0)))
+
+    seg = m.select(
+        "seg1", "n", "sx", "sy", "sxx", "syy", "sxy",
+        ssr(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"),
+            F.col("syy"), F.col("sxy")).alias("ssr_seg"),
+    )
+    pooled = seg.agg(
+        F.sum(F.when(F.col("seg1"), F.col("n"))).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("seg1"), F.col("n"))).cast("long").alias("n2"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("syy").alias("syy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum(F.when(F.col("seg1"), F.col("ssr_seg"))).alias("ssr1"),
+        F.sum(F.when(~F.col("seg1"), F.col("ssr_seg"))).alias("ssr2"),
+    )
+    ssr_p = ssr(F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"),
+                F.col("syy"), F.col("sxy"))
+    dof = (F.col("n1") + F.col("n2") - 4).cast("double")
+    resid = F.col("ssr1") + F.col("ssr2")
+    ys2 = F.lit(float(y_scale) * float(y_scale))  # report SSRs in y units
+    return pooled.select(
+        "n1",
+        "n2",
+        F.round(ssr_p / ys2, 6).alias("ssr_pooled"),
+        F.round(F.col("ssr1") / ys2, 6).alias("ssr1"),
+        F.round(F.col("ssr2") / ys2, 6).alias("ssr2"),
+        F.when(
+            (F.col("n1") >= 2) & (F.col("n2") >= 2) & (dof > 0) & (resid > 0),
+            F.round(((ssr_p - resid) / F.lit(2.0)) / (resid / dof), 6),
+        ).alias("f_stat"),
     )

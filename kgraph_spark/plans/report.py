@@ -2096,6 +2096,30 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Durbin-Watson — broadcast one-row fit onto the daily grid, "
+        "grid-ordered lag window, micro-rounded exact term sums",
+        _plan(entrymod.queries()["stat_durbin_watson"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Breusch-Pagan — two exact moment passes with a broadcast fit "
+        "between; no window, no sort-merge join",
+        _plan(entrymod.queries()["stat_breusch_pagan"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!Window", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Chow break test — one two-group moment aggregate + one-row "
+        "fold, closed-form SSRs (no residual pass); no window",
+        _plan(entrymod.queries()["stat_chow"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -1188,3 +1188,75 @@ def test_cmh_test_hand_case(spark):
     assert r2["or_mh"] == pytest.approx(
         (100.0 / 30 + 4.0 / 20) / (25.0 / 30 + 64.0 / 20), abs=1e-6
     )
+
+
+def test_durbin_watson_hand_case(spark):
+    from kgraph_spark.operators.stats import durbin_watson
+
+    # x 0..3, y alternating 1,-1: fit y = 0.6 - 0.4x,
+    # e = [.4, -1.2, 1.2, -.4] -> DW = 10.88/3.2 = 3.4 (negative AC)
+    rows = [(0, 1.0), (1, -1.0), (2, 1.0), (3, -1.0)]
+    r = durbin_watson(
+        spark.createDataFrame(rows, "x long, y double"), "x", "y"
+    ).first()
+    assert r["n"] == 4
+    assert r["dw"] == pytest.approx(3.4, abs=1e-6)
+    assert r["rho"] == pytest.approx(-0.7, abs=1e-6)
+    # perfect line -> zero residuals -> NULL dw
+    line = [(i, 2.0 * i + 1) for i in range(5)]
+    r2 = durbin_watson(
+        spark.createDataFrame(line, "x long, y double"), "x", "y"
+    ).first()
+    assert r2["dw"] is None
+
+
+def test_breusch_pagan_hand_case(spark):
+    from kgraph_spark.operators.stats import breusch_pagan
+
+    # flat fit (beta=0, alpha=0), e^2 = [1,1,4,4] perfectly tracks x
+    # -> aux R^2 = 1, LM = n = 4
+    rows = [(0, 1.0), (0, -1.0), (1, 2.0), (1, -2.0)]
+    r = breusch_pagan(
+        spark.createDataFrame(rows, "x long, y double"), "x", "y", y_scale=1
+    ).first()
+    assert r["n"] == 4
+    assert r["r2_aux"] == pytest.approx(1.0, abs=1e-6)
+    assert r["lm"] == pytest.approx(4.0, abs=1e-6)
+    # e^2 = [1,4,1] symmetric about the x midpoint -> uncorrelated, R^2 = 0
+    rows2 = [(0, 1.0), (1, -2.0), (2, 1.0)]
+    r2 = breusch_pagan(
+        spark.createDataFrame(rows2, "x long, y double"), "x", "y", y_scale=1
+    ).first()
+    assert r2["r2_aux"] == pytest.approx(0.0, abs=1e-9)
+    # constant e^2 -> cuu = 0 -> NULL by guard (0/0 is not "no signal")
+    rows3 = [(0, 1.0), (0, -1.0), (1, 1.0), (1, -1.0)]
+    r3 = breusch_pagan(
+        spark.createDataFrame(rows3, "x long, y double"), "x", "y", y_scale=1
+    ).first()
+    assert r3["r2_aux"] is None
+
+
+def test_chow_test_hand_case(spark):
+    from kgraph_spark.operators.stats import chow_test
+
+    # seg1 y=x exactly (SSR1=0); seg2 slope break with one bent point
+    # (SSR2 = 1/6); pooled SSR from exact moments = 172.914.../6
+    rows = [(0, 0.0), (1, 1.0), (2, 2.0), (3, 10.0), (4, 8.0), (5, 7.0)]
+    r = chow_test(
+        spark.createDataFrame(rows, "x long, y double"), "x", "y",
+        split=3, y_scale=1,
+    ).first()
+    assert (r["n1"], r["n2"]) == (3, 3)
+    assert r["ssr1"] == pytest.approx(0.0, abs=1e-6)
+    assert r["ssr2"] == pytest.approx(1.0 / 6.0, abs=1e-6)
+    ssr_p = (524.0 - 192.0 ** 2 / 105.0) / 6.0
+    assert r["ssr_pooled"] == pytest.approx(ssr_p, abs=1e-6)
+    f = ((ssr_p - 1.0 / 6.0) / 2.0) / ((1.0 / 6.0) / 2.0)
+    assert r["f_stat"] == pytest.approx(f, rel=1e-6)
+    # both segments fit exactly -> resid 0 -> NULL F (guarded)
+    clean = [(0, 0.0), (1, 1.0), (2, 2.0), (3, 9.0), (4, 8.0), (5, 7.0)]
+    r2 = chow_test(
+        spark.createDataFrame(clean, "x long, y double"), "x", "y",
+        split=3, y_scale=1,
+    ).first()
+    assert r2["f_stat"] is None and r2["ssr_pooled"] > 0
