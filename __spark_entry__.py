@@ -5846,6 +5846,34 @@ def q_stat_chow(spark, sf_dir):
     return chow_test(_daily_counts(spark, sf_dir), "d", "c", split=19738, y_scale=1)
 
 
+def q_evt_ljung_box(spark, sf_dir):
+    """Ljung–Box whiteness test of the daily traffic series over lags
+    1..7 — exact integer centered products per lag, one division per
+    autocorrelation, cumulative Q in fixed lag order."""
+    from kgraph_spark.operators.event_analytics import ljung_box
+
+    return ljung_box(_daily_counts(spark, sf_dir), "d", "c", n_lags=7, v_scale=1)
+
+
+def q_evt_forecast_eval(spark, sf_dir):
+    """Naive vs seasonal-naive (weekly) backtest on daily event counts
+    — MAE/RMSE/sMAPE/MASE accuracy floor; integer forecast errors,
+    micro-rounded sMAPE terms, one division per metric."""
+    from kgraph_spark.operators.event_analytics import forecast_eval
+
+    return forecast_eval(_daily_counts(spark, sf_dir), "d", "c", season=7, v_scale=1)
+
+
+def q_stat_theil_u(spark, sf_dir):
+    """Theil's U for document lang × source — the directional
+    companion to stat_chi2: what fraction of language entropy does
+    knowing the source remove (and vice versa); nano-rounded
+    integer-count log terms, exact sums."""
+    from kgraph_spark.operators.stats import theil_u
+
+    return theil_u(_read(spark, sf_dir, "documents"), "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6164,6 +6192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_durbin_watson": q_stat_durbin_watson,
         "stat_breusch_pagan": q_stat_breusch_pagan,
         "stat_chow": q_stat_chow,
+        "evt_ljung_box": q_evt_ljung_box,
+        "evt_forecast_eval": q_evt_forecast_eval,
+        "stat_theil_u": q_stat_theil_u,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -16226,6 +16257,170 @@ def oracle_sql() -> dict[str, str]:
                              / ((ssr1 + ssr2) / (n1 + n2 - 4)::DOUBLE), 6)
                    END AS f_stat
             FROM fin
+        """,
+        "evt_ljung_box": """
+            -- Ljung-Box lags 1..7 on daily counts: exact integer
+            -- centered products, one division per r_k, cumulative Q in
+            -- lag order (event_analytics.ljung_box)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n, sum(qv::HUGEINT) AS s FROM cnt
+            ), d AS (
+                SELECT t, n, (n::HUGEINT * qv - s) AS dv
+                FROM cnt CROSS JOIN tot
+            ), den AS (
+                SELECT sum(dv * dv) AS den FROM d
+            ), lags AS (
+                SELECT unnest(range(1, 8))::BIGINT AS k
+            ), pairs AS (
+                SELECT l.k, a.n, a.dv AS dv, b.dv AS dvb
+                FROM d a CROSS JOIN lags l
+                JOIN d b ON a.t - l.k = b.t
+            ), num AS (
+                SELECT k, max(n)::BIGINT AS n, sum(dv * dvb) AS num
+                FROM pairs GROUP BY k
+            ), staged AS (
+                SELECT k AS lag, n,
+                       CASE WHEN den > 0
+                            THEN round(num::DOUBLE / den::DOUBLE, 6)
+                       END AS r,
+                       CASE WHEN den > 0
+                            THEN (num::DOUBLE / den::DOUBLE)
+                                 * (num::DOUBLE / den::DOUBLE)
+                                 / (n::DOUBLE - k::DOUBLE)
+                       END AS term
+                FROM num CROSS JOIN den
+            )
+            SELECT lag, r,
+                   round(n::DOUBLE * (n::DOUBLE + 2)
+                         * sum(term) OVER (ORDER BY lag
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW), 6) AS q_lb
+            FROM staged
+        """,
+        "evt_forecast_eval": """
+            -- naive vs weekly seasonal-naive backtest on daily counts:
+            -- integer errors, micro-rounded sMAPE terms
+            -- (event_analytics.forecast_eval)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), l AS (
+                SELECT qv, lag(qv, 1) OVER (ORDER BY t) AS p1,
+                       lag(qv, 7) OVER (ORDER BY t) AS ps
+                FROM cnt
+            ), agg AS (
+                SELECT count(p1)::BIGINT AS n_1,
+                       sum(abs(qv - p1))::BIGINT AS sae_1,
+                       sum(CASE WHEN p1 IS NOT NULL
+                            THEN (qv - p1)::HUGEINT * (qv - p1) END) AS sse_1,
+                       sum(CASE WHEN p1 IS NOT NULL
+                                     AND abs(qv) + abs(p1) > 0
+                            THEN round(2 * abs(qv - p1)::DOUBLE
+                                 / (abs(qv) + abs(p1))::DOUBLE
+                                 * 1000000.0)::BIGINT END)::BIGINT AS ssm_1,
+                       count(ps)::BIGINT AS n_s,
+                       sum(abs(qv - ps))::BIGINT AS sae_s,
+                       sum(CASE WHEN ps IS NOT NULL
+                            THEN (qv - ps)::HUGEINT * (qv - ps) END) AS sse_s,
+                       sum(CASE WHEN ps IS NOT NULL
+                                     AND abs(qv) + abs(ps) > 0
+                            THEN round(2 * abs(qv - ps)::DOUBLE
+                                 / (abs(qv) + abs(ps))::DOUBLE
+                                 * 1000000.0)::BIGINT END)::BIGINT AS ssm_s
+                FROM l
+            )
+            SELECT 'naive' AS method, n_1 AS n_eval,
+                   CASE WHEN n_1 > 0
+                        THEN round(sae_1::DOUBLE / n_1::DOUBLE, 6) END AS mae,
+                   CASE WHEN n_1 > 0
+                        THEN round(sqrt(sse_1::DOUBLE / n_1::DOUBLE), 6)
+                   END AS rmse,
+                   CASE WHEN n_1 > 0
+                        THEN round(ssm_1::DOUBLE
+                             / (n_1::DOUBLE * 1000000.0), 6) END AS smape,
+                   CASE WHEN n_1 > 0 AND sae_1::DOUBLE / n_1::DOUBLE > 0
+                        THEN round((sae_1::DOUBLE / n_1::DOUBLE)
+                             / (sae_1::DOUBLE / n_1::DOUBLE), 6) END AS mase
+            FROM agg
+            UNION ALL
+            SELECT 'seasonal_naive' AS method, n_s AS n_eval,
+                   CASE WHEN n_s > 0
+                        THEN round(sae_s::DOUBLE / n_s::DOUBLE, 6) END AS mae,
+                   CASE WHEN n_s > 0
+                        THEN round(sqrt(sse_s::DOUBLE / n_s::DOUBLE), 6)
+                   END AS rmse,
+                   CASE WHEN n_s > 0
+                        THEN round(ssm_s::DOUBLE
+                             / (n_s::DOUBLE * 1000000.0), 6) END AS smape,
+                   CASE WHEN n_s > 0 AND sae_1::DOUBLE / n_1::DOUBLE > 0
+                        THEN round((sae_s::DOUBLE / n_s::DOUBLE)
+                             / (sae_1::DOUBLE / n_1::DOUBLE), 6) END AS mase
+            FROM agg
+        """,
+        "stat_theil_u": """
+            -- Theil's uncertainty coefficient lang|source: nano-rounded
+            -- integer-count log terms exact-summed, one shared 1/N
+            -- division (stats.theil_u)
+            WITH base AS (
+                SELECT lang AS a, source AS b FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+            ), cells AS (
+                SELECT a, b, count(*)::BIGINT AS nij FROM base GROUP BY 1, 2
+            ), ma AS (
+                SELECT a, count(*)::BIGINT AS na FROM base GROUP BY 1
+            ), mb AS (
+                SELECT b, count(*)::BIGINT AS nb FROM base GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS nn FROM base
+            ), mi AS (
+                SELECT max(nn)::BIGINT AS n,
+                       sum(round(nij::DOUBLE
+                            * (ln(nn::DOUBLE) + ln(nij::DOUBLE)
+                               - ln(na::DOUBLE) - ln(nb::DOUBLE))
+                            / 0.6931471805599453
+                            * 1000000000.0)::BIGINT)::BIGINT AS mi_nano
+                FROM cells JOIN ma USING (a) JOIN mb USING (b)
+                CROSS JOIN tot
+            ), ha AS (
+                SELECT count(*)::BIGINT AS k_a,
+                       sum(round(na::DOUBLE
+                            * (ln(nn::DOUBLE) - ln(na::DOUBLE))
+                            / 0.6931471805599453
+                            * 1000000000.0)::BIGINT)::BIGINT AS h_a_nano
+                FROM ma CROSS JOIN tot
+            ), hb AS (
+                SELECT count(*)::BIGINT AS k_b,
+                       sum(round(nb::DOUBLE
+                            * (ln(nn::DOUBLE) - ln(nb::DOUBLE))
+                            / 0.6931471805599453
+                            * 1000000000.0)::BIGINT)::BIGINT AS h_b_nano
+                FROM mb CROSS JOIN tot
+            )
+            SELECT n, k_a, k_b,
+                   round(mi_nano::DOUBLE
+                         / (n::DOUBLE * 1000000000.0), 6) AS mi_bits,
+                   round(h_a_nano::DOUBLE
+                         / (n::DOUBLE * 1000000000.0), 6) AS h_a_bits,
+                   round(h_b_nano::DOUBLE
+                         / (n::DOUBLE * 1000000000.0), 6) AS h_b_bits,
+                   CASE WHEN h_a_nano > 0
+                        THEN round((mi_nano::DOUBLE
+                                    / (n::DOUBLE * 1000000000.0))
+                             / (h_a_nano::DOUBLE
+                                / (n::DOUBLE * 1000000000.0)), 6)
+                   END AS u_a_given_b,
+                   CASE WHEN h_b_nano > 0
+                        THEN round((mi_nano::DOUBLE
+                                    / (n::DOUBLE * 1000000000.0))
+                             / (h_b_nano::DOUBLE
+                                / (n::DOUBLE * 1000000000.0)), 6)
+                   END AS u_b_given_a
+            FROM mi CROSS JOIN ha CROSS JOIN hb
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

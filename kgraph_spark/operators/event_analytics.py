@@ -1130,3 +1130,159 @@ def turning_points_test(
             F.round((F.col("n_turning").cast("double") - e) / F.sqrt(var), 6),
         ).alias("z"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    n_lags: int = 7,
+    v_scale: int = 1,
+) -> DataFrame:
+    """Ljung–Box portmanteau test over lags 1..K — "is the daily series
+    white noise" (evt_autocorr checks one lag per user; this checks the
+    whole correlogram of ONE series and gives the χ²ₖ statistic):
+    one row per lag (lag, r, q_lb). q_lb at lag k = n(n+2)·Σ_{j≤k}
+    r_j²/(n−j) — compare to χ² with k dof; the pre-flight check before
+    trusting i.i.d.-assuming tests on a time series.
+
+    Engine-exact: values quantize to the integer grid and center as
+    D_t = n·q_t − Σq (exact integers — no rational mean ever
+    materializes); per-lag numerators and the shared denominator are
+    exact wide-integer sums over a grid SELF-JOIN on (t − k), so r_k is
+    ONE double division; the cumulative Q sums ≤ K doubles in fixed
+    ascending-lag window order. The series is a bounded time grid
+    (days/hours), never raw rows — the repo-wide series contract.
+    """
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("s"),
+    )
+    d = q.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "n",
+        (F.col("n").cast(_DEC) * F.col("qv").cast(_DEC) - F.col("s")).alias("dv"),
+    )
+    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    spark = df.sparkSession
+    lags = spark.range(1, n_lags + 1).select(F.col("id").cast("long").alias("k"))
+    pairs = (
+        d.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(d.select(F.col("t").alias("tb"), F.col("dv").alias("dvb"))),
+            F.col("a.t") - F.col("k") == F.col("tb"),
+        )
+    )
+    num = pairs.groupBy("k").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("dv") * F.col("dvb")).alias("num"),
+    )
+    j = num.crossJoin(F.broadcast(den))
+    r = F.col("num").cast("double") / F.col("den").cast("double")
+    nd = F.col("n").cast("double")
+    term = r * r / (nd - F.col("k").cast("double"))
+    w = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    staged = j.select(
+        F.col("k").alias("lag"),
+        "n",
+        F.when(F.col("den") > 0, F.round(r, 6)).alias("r"),
+        F.when(F.col("den") > 0, term).alias("term"),
+    )
+    return staged.select(
+        "lag",
+        "r",
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n").cast("double") + 2)
+            * F.sum("term").over(w),
+            6,
+        ).alias("q_lb"),
+    )
+
+
+def forecast_eval(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    season: int = 7,
+    v_scale: int = 1,
+) -> DataFrame:
+    """Naive-forecast backtest — the accuracy floor every real
+    forecaster must beat: one row per method ('naive' = carry last
+    value, 'seasonal_naive' = carry value from `season` steps back)
+    with (method, n_eval, mae, rmse, smape, mase). MASE scales each
+    method's MAE by the one-step-naive MAE (so 'naive' scores 1.0 by
+    construction and seasonal_naive < 1 means the weekly pattern is
+    real signal).
+
+    Engine-exact: forecast errors are INTEGER differences on the
+    quantized grid (|e| and e² sums are exact); each sMAPE term
+    2|e|/(|y|+|ŷ|) is micro-rounded (×1e6) and exact-summed; every
+    metric is one final division (+ one sqrt for RMSE). One ordered
+    grid window + one fold, no join.
+    """
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t")
+    lagd = q.select(
+        "qv",
+        F.lag("qv", 1).over(w).alias("p1"),
+        F.lag("qv", season).over(w).alias("ps"),
+    )
+
+    def err_aggs(pred, tag):
+        e = F.col("qv") - pred
+        sm = F.when(
+            pred.isNotNull() & (F.abs(F.col("qv")) + F.abs(pred) > 0),
+            F.round(
+                2 * F.abs(e).cast("double")
+                / (F.abs(F.col("qv")) + F.abs(pred)).cast("double")
+                * F.lit(1_000_000.0)
+            ),
+        ).cast("long")
+        return [
+            F.count(pred).cast("long").alias(f"n_{tag}"),
+            F.sum(F.abs(e)).cast("long").alias(f"sae_{tag}"),
+            F.sum(F.when(pred.isNotNull(), e.cast(_DEC) * e.cast(_DEC))).alias(
+                f"sse_{tag}"
+            ),
+            F.sum(sm).cast("long").alias(f"ssm_{tag}"),
+        ]
+
+    agg = lagd.agg(*err_aggs(F.col("p1"), "1"), *err_aggs(F.col("ps"), "s"))
+    sc = F.lit(float(v_scale))
+
+    def metrics(tag, name):
+        n = F.col(f"n_{tag}").cast("double")
+        mae_q = F.col(f"sae_{tag}").cast("double") / n
+        mae1_q = F.col("sae_1").cast("double") / F.col("n_1").cast("double")
+        return [
+            F.lit(name).alias("method"),
+            F.col(f"n_{tag}").alias("n_eval"),
+            F.when(n > 0, F.round(mae_q / sc, 6)).alias("mae"),
+            F.when(
+                n > 0,
+                F.round(F.sqrt(F.col(f"sse_{tag}").cast("double") / n) / sc, 6),
+            ).alias("rmse"),
+            F.when(
+                n > 0,
+                F.round(
+                    F.col(f"ssm_{tag}").cast("double") / (n * F.lit(1_000_000.0)),
+                    6,
+                ),
+            ).alias("smape"),
+            F.when(
+                (n > 0) & (mae1_q > 0), F.round(mae_q / mae1_q, 6)
+            ).alias("mase"),
+        ]
+
+    return agg.select(*metrics("1", "naive")).unionAll(
+        agg.select(*metrics("s", "seasonal_naive"))
+    )

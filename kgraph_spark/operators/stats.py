@@ -81,6 +81,7 @@ __all__ = [
     "durbin_watson",
     "breusch_pagan",
     "chow_test",
+    "theil_u",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3368,4 +3369,79 @@ def chow_test(
             (F.col("n1") >= 2) & (F.col("n2") >= 2) & (dof > 0) & (resid > 0),
             F.round(((ssr_p - resid) / F.lit(2.0)) / (resid / dof), 6),
         ).alias("f_stat"),
+    )
+
+
+def theil_u(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient — the DIRECTIONAL categorical
+    association chi2_independence can't give: one row (n, k_a, k_b,
+    mi_bits, h_a_bits, h_b_bits, u_a_given_b, u_b_given_a).
+    U(a|b) = I(a;b)/H(a) ∈ [0,1] — "what fraction of a's entropy does
+    knowing b remove" (asymmetric, unlike Cramér's V: source may
+    determine lang without lang determining source).
+
+    Engine-exact (the entropy_rate recipe): every log argument is an
+    INTEGER count, each cell contributes one nano-rounded
+    n_ij·(ln N + ln n_ij − ln n_i − ln n_j)/ln2 term summed exactly
+    (marginal H terms likewise), and the shared 1/N division happens
+    once. One (a,b) cell aggregate + two broadcast marginals.
+    """
+    base = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    ma = base.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("na"))
+    mb = base.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("nb"))
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    ln2 = 0.6931471805599453
+    NANO = F.lit(1_000_000_000.0)
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.round(
+        F.col("nij").cast("double")
+        * (
+            F.log(F.col("nn").cast("double"))
+            + F.log(F.col("nij").cast("double"))
+            - F.log(F.col("na").cast("double"))
+            - F.log(F.col("nb").cast("double"))
+        )
+        / F.lit(ln2)
+        * NANO
+    ).cast("long")
+    mi_agg = j.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.sum(mi_term).cast("long").alias("mi_nano"),
+    )
+
+    def h_agg(m, cnt, k_name):
+        t = F.round(
+            F.col(cnt).cast("double")
+            * (F.log(F.col("nn").cast("double")) - F.log(F.col(cnt).cast("double")))
+            / F.lit(ln2)
+            * NANO
+        ).cast("long")
+        return m.crossJoin(F.broadcast(tot)).agg(
+            F.count(F.lit(1)).cast("long").alias(k_name),
+            F.sum(t).cast("long").alias(f"h_{k_name}_nano"),
+        )
+
+    ha = h_agg(ma, "na", "k_a")
+    hb = h_agg(mb, "nb", "k_b")
+    out = mi_agg.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nd = F.col("n").cast("double") * NANO
+    mi = F.col("mi_nano").cast("double") / nd
+    h_a = F.col("h_k_a_nano").cast("double") / nd
+    h_b = F.col("h_k_b_nano").cast("double") / nd
+    return out.select(
+        "n",
+        "k_a",
+        "k_b",
+        F.round(mi, 6).alias("mi_bits"),
+        F.round(h_a, 6).alias("h_a_bits"),
+        F.round(h_b, 6).alias("h_b_bits"),
+        F.when(F.col("h_k_a_nano") > 0, F.round(mi / h_a, 6)).alias("u_a_given_b"),
+        F.when(F.col("h_k_b_nano") > 0, F.round(mi / h_b, 6)).alias("u_b_given_a"),
     )

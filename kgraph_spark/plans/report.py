@@ -2120,6 +2120,30 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Ljung-Box — grid self-join with BOTH sides broadcast (lags "
+        "and shifted series), exact per-lag products, K-row Q window",
+        _plan(entrymod.queries()["evt_ljung_box"](spark, SF)),
+        ["HashAggregate", "BroadcastHashJoin", "Window",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Forecast backtest — one ordered grid window (two lags), one "
+        "fold producing every metric; no join",
+        _plan(entrymod.queries()["evt_forecast_eval"](spark, SF)),
+        ["HashAggregate", "Window", "Union", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Theil's U — one cell aggregate + two broadcast marginals, "
+        "nano-rounded log terms; no window, no sort-merge join",
+        _plan(entrymod.queries()["stat_theil_u"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython", "!Window", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -513,3 +513,42 @@ def test_turning_points_hand_case(spark):
         [(i, float(i)) for i in range(5)], "t long, v double"
     )
     assert turning_points_test(mono, "t", "v").first()["n_turning"] == 0
+
+
+def test_ljung_box_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import ljung_box
+
+    # alternating 1,2,1,2,1,2: r1 = -45/54, r2 = 36/54,
+    # Q1 = 48*r1^2/5, Q2 = 48*(r1^2/5 + r2^2/4) = 12 exactly
+    rows = [(t, float(1 + t % 2)) for t in range(6)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["lag"]: r for r in ljung_box(df, "t", "v", n_lags=2).collect()}
+    assert out[1]["r"] == pytest.approx(-45.0 / 54.0, abs=1e-6)
+    assert out[2]["r"] == pytest.approx(36.0 / 54.0, abs=1e-6)
+    r1, r2 = -45.0 / 54.0, 36.0 / 54.0
+    assert out[1]["q_lb"] == pytest.approx(48 * r1 * r1 / 5, abs=1e-5)
+    assert out[2]["q_lb"] == pytest.approx(
+        48 * (r1 * r1 / 5 + r2 * r2 / 4), abs=1e-5
+    )
+    # constant series -> den = 0 -> NULL r and q
+    const = spark.createDataFrame([(t, 5.0) for t in range(5)], "t long, v double")
+    assert ljung_box(const, "t", "v", n_lags=1).first()["r"] is None
+
+
+def test_forecast_eval_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import forecast_eval
+
+    # ramp 1..8: naive err = 1 (7 evals), seasonal lag-2 err = 2 (6)
+    rows = [(t, float(t + 1)) for t in range(8)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["method"]: r for r in forecast_eval(df, "t", "v", season=2).collect()}
+    nv, sn = out["naive"], out["seasonal_naive"]
+    assert (nv["n_eval"], sn["n_eval"]) == (7, 6)
+    assert nv["mae"] == pytest.approx(1.0, abs=1e-9)
+    assert nv["rmse"] == pytest.approx(1.0, abs=1e-9)
+    assert nv["mase"] == pytest.approx(1.0, abs=1e-9)
+    assert sn["mae"] == pytest.approx(2.0, abs=1e-9)
+    assert sn["mase"] == pytest.approx(2.0, abs=1e-9)
+    # sMAPE of naive on the ramp: mean of 2*1/(y+p) over the 7 pairs
+    exp = sum(2.0 / (2 * t + 3) for t in range(7)) / 7
+    assert nv["smape"] == pytest.approx(exp, abs=1e-5)

@@ -1260,3 +1260,35 @@ def test_chow_test_hand_case(spark):
         split=3, y_scale=1,
     ).first()
     assert r2["f_stat"] is None and r2["ssr_pooled"] > 0
+
+
+def test_theil_u_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import theil_u
+
+    # perfect determination both ways: U = 1, MI = H = 1 bit
+    det = spark.createDataFrame(
+        [("x", "1"), ("x", "1"), ("y", "2"), ("y", "2")], "a string, b string"
+    )
+    r = theil_u(det, "a", "b").first()
+    assert (r["n"], r["k_a"], r["k_b"]) == (4, 2, 2)
+    assert r["mi_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert r["u_a_given_b"] == pytest.approx(1.0, abs=1e-6)
+    assert r["u_b_given_a"] == pytest.approx(1.0, abs=1e-6)
+    # independence: MI = 0, U = 0
+    ind = spark.createDataFrame(
+        [("x", "1"), ("x", "2"), ("y", "1"), ("y", "2")], "a string, b string"
+    )
+    r2 = theil_u(ind, "a", "b").first()
+    assert r2["mi_bits"] == pytest.approx(0.0, abs=1e-6)
+    assert r2["u_a_given_b"] == pytest.approx(0.0, abs=1e-6)
+    # asymmetric: b determines a, but a only partially determines b
+    asym = spark.createDataFrame(
+        [("x", "1"), ("x", "2"), ("y", "3"), ("y", "3")], "a string, b string"
+    )
+    r3 = theil_u(asym, "a", "b").first()
+    assert r3["u_a_given_b"] == pytest.approx(1.0, abs=1e-6)
+    # U(b|a) = MI/H(b) = 1 bit / 1.5 bits
+    assert r3["h_b_bits"] == pytest.approx(1.5, abs=1e-6)
+    assert r3["u_b_given_a"] == pytest.approx(1.0 / 1.5, abs=1e-6)
