@@ -5874,6 +5874,45 @@ def q_stat_theil_u(spark, sf_dir):
     return theil_u(_read(spark, sf_dir, "documents"), "lang", "source")
 
 
+def q_eval_avg_precision(spark, sf_dir):
+    """Average precision (exact PR-AUC, threshold-sweep definition) of
+    the event value as a purchase discriminator — the class-imbalance-
+    honest companion to eval_auc_roc; distinct-score sweep, nano-
+    rounded precision terms, one division."""
+    from kgraph_spark.operators.eval_metrics import average_precision
+
+    e = _read(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    return average_precision(e, "value", "y")
+
+
+def q_eval_brier_decomp(spark, sf_dir):
+    """Brier score + Murphy decomposition of the quality classifier
+    against lang='en' — exact reliability/resolution/uncertainty split
+    binned by distinct forecast value (the identity holds exactly)."""
+    from kgraph_spark.operators.eval_metrics import brier_decomposition
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return brier_decomposition(scored, "prob", "y")
+
+
+def q_eval_lift_gains(spark, sf_dir):
+    """Decile lift / cumulative-gains table of the event value vs
+    purchase — tie-deterministic bucket assignment by grid start
+    offset (never ntile), exact integer counts, one division each."""
+    from kgraph_spark.operators.eval_metrics import lift_gains
+
+    e = _read(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").alias("y")
+    )
+    return lift_gains(e, "value", "y", n_buckets=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6195,6 +6234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_ljung_box": q_evt_ljung_box,
         "evt_forecast_eval": q_evt_forecast_eval,
         "stat_theil_u": q_stat_theil_u,
+        "eval_avg_precision": q_eval_avg_precision,
+        "eval_brier_decomp": q_eval_brier_decomp,
+        "eval_lift_gains": q_eval_lift_gains,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -16421,6 +16463,159 @@ def oracle_sql() -> dict[str, str]:
                                 / (n::DOUBLE * 1000000000.0)), 6)
                    END AS u_b_given_a
             FROM mi CROSS JOIN ha CROSS JOIN hb
+        """,
+        "eval_avg_precision": """
+            -- exact average precision over the distinct value grid:
+            -- nano-rounded p_i * precision_i terms, one 1/n_pos
+            -- division (eval_metrics.average_precision)
+            WITH q AS (
+                SELECT value AS s, (event_type = 'purchase')::INT AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), per_s AS (
+                SELECT s, count(*)::BIGINT AS t, sum(y)::BIGINT AS p
+                FROM q GROUP BY s
+            ), cum AS (
+                SELECT t, p,
+                       sum(t) OVER (ORDER BY s DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum_t,
+                       sum(p) OVER (ORDER BY s DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum_p
+                FROM per_s
+            ), agg AS (
+                SELECT sum(p)::BIGINT AS n_pos,
+                       sum(t - p)::BIGINT AS n_neg,
+                       sum(round(p::DOUBLE
+                            * (cum_p::DOUBLE / cum_t::DOUBLE)
+                            * 1000000000.0)::BIGINT)::BIGINT AS ap_nano
+                FROM cum
+            )
+            SELECT n_pos, n_neg,
+                   CASE WHEN n_pos > 0
+                        THEN round(ap_nano::DOUBLE
+                             / (n_pos::DOUBLE * 1000000000.0), 6)
+                   END AS ap,
+                   CASE WHEN n_pos + n_neg > 0
+                        THEN round(n_pos::DOUBLE
+                             / (n_pos + n_neg)::DOUBLE, 6)
+                   END AS prevalence
+            FROM agg
+        """,
+        "eval_brier_decomp": """
+            -- Brier + Murphy decomposition of the classifier prob vs
+            -- lang='en', binned by distinct forecast value (exact
+            -- identity) (eval_metrics.brier_decomposition)
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       round(-2.0 + 3.0 * alpha_ratio + 2.5 * stopword_ratio
+                             + (-4.0) * punct_ratio
+                             + 1.5 * least(1.0, n_tokens / 200.0), 6) AS logit
+                FROM f
+            ), sc AS (
+                SELECT z.doc_id, round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+                       (d.lang = 'en') AS y
+                FROM z JOIN documents d USING (doc_id)
+            ), q AS (
+                SELECT round(prob * 1000000)::BIGINT AS qp, y::INT AS y
+                FROM sc WHERE prob IS NOT NULL AND y IS NOT NULL
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+                       sum((qp - 1000000 * y)::HUGEINT
+                           * (qp - 1000000 * y)::HUGEINT) AS bsum
+                FROM q
+            ), cells AS (
+                SELECT qp, count(*)::BIGINT AS nk, sum(y)::BIGINT AS posk
+                FROM q GROUP BY qp
+            ), j AS (
+                SELECT n, pos, bsum,
+                       count(*)::BIGINT AS k_probs,
+                       sum(round(nk::DOUBLE
+                            * (qp::DOUBLE / 1000000.0
+                               - posk::DOUBLE / nk::DOUBLE)
+                            * (qp::DOUBLE / 1000000.0
+                               - posk::DOUBLE / nk::DOUBLE)
+                            * 1000000000000.0)::HUGEINT) AS rel_p,
+                       sum(round(nk::DOUBLE
+                            * (posk::DOUBLE / nk::DOUBLE
+                               - pos::DOUBLE / n::DOUBLE)
+                            * (posk::DOUBLE / nk::DOUBLE
+                               - pos::DOUBLE / n::DOUBLE)
+                            * 1000000000000.0)::HUGEINT) AS res_p
+                FROM cells CROSS JOIN tot
+                GROUP BY n, pos, bsum
+            )
+            SELECT n, k_probs,
+                   round(bsum::DOUBLE
+                         / (n::DOUBLE * 1000000000000.0), 6) AS brier,
+                   round(rel_p::DOUBLE
+                         / (n::DOUBLE * 1000000000000.0), 6) AS reliability,
+                   round(res_p::DOUBLE
+                         / (n::DOUBLE * 1000000000000.0), 6) AS resolution,
+                   round((pos::DOUBLE / n::DOUBLE)
+                         * (1 - pos::DOUBLE / n::DOUBLE), 6) AS uncertainty
+            FROM j
+        """,
+        "eval_lift_gains": """
+            -- decile lift/gains of value vs purchase: tie-deterministic
+            -- start-offset buckets, exact integer counts
+            -- (eval_metrics.lift_gains)
+            WITH q AS (
+                SELECT value AS s, (event_type = 'purchase')::INT AS y
+                FROM events
+                WHERE value IS NOT NULL AND event_type IS NOT NULL
+            ), per_s AS (
+                SELECT s, count(*)::BIGINT AS t, sum(y)::BIGINT AS p
+                FROM q GROUP BY s
+            ), tot AS (
+                SELECT sum(t)::BIGINT AS n_all, sum(p)::BIGINT AS pos_all
+                FROM per_s
+            ), staged AS (
+                SELECT t, p,
+                       (sum(t) OVER (ORDER BY s DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - t)::BIGINT AS start
+                FROM per_s
+            ), bucketed AS (
+                SELECT floor((start * 10)::DOUBLE
+                             / n_all::DOUBLE)::BIGINT AS bucket,
+                       sum(t)::BIGINT AS n, sum(p)::BIGINT AS n_pos,
+                       max(n_all)::BIGINT AS n_all,
+                       max(pos_all)::BIGINT AS pos_all
+                FROM staged CROSS JOIN tot
+                GROUP BY 1
+            ), cum AS (
+                SELECT bucket, n, n_pos, n_all, pos_all,
+                       sum(n) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum_n,
+                       sum(n_pos) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum_pos
+                FROM bucketed
+            )
+            SELECT bucket, n, n_pos,
+                   round(cum_n::DOUBLE / n_all::DOUBLE, 6) AS cum_pct_rows,
+                   CASE WHEN pos_all > 0
+                        THEN round(cum_pos::DOUBLE / pos_all::DOUBLE, 6)
+                   END AS cum_gain,
+                   CASE WHEN pos_all > 0
+                        THEN round((n_pos::DOUBLE / n::DOUBLE)
+                             / (pos_all::DOUBLE / n_all::DOUBLE), 6)
+                   END AS lift
+            FROM cum
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

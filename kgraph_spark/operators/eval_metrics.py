@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_DEC = "decimal(38,0)"
+
 
 def cluster_pair_metrics(
     pred: DataFrame,
@@ -874,4 +876,226 @@ def calibration_bins(
         F.abs(F.col("_pms") - F.col("_pos") * F.lit(1_000_000)).alias(
             "weighted_gap_micro"
         ),
+    )
+
+
+def average_precision(
+    scored: DataFrame, score_col: str = "score", label_col: str = "label"
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    threshold-sweep definition): one row (n_pos, n_neg, ap, prevalence).
+    AP = Σ_i ΔR_i·P_i over DISTINCT score thresholds in decreasing
+    order — the class-imbalance-honest companion to auc_roc (a 0.1%-
+    positive task can have AUC .99 and AP .05; prevalence is AP's
+    random-classifier floor, reported alongside).
+
+    Exactness: the sweep runs over the distinct score grid (the same
+    contract as auc_roc), cumulative TP/row counts are exact integers,
+    each p_i·(cumTP_i/cum_i) term is nano-rounded (×1e9) and
+    exact-summed, and the 1/n_pos division happens once.
+    """
+    from pyspark.sql import Window
+
+    q = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_s = q.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_s.select(
+        "t",
+        "p",
+        F.sum("t").over(w).cast("long").alias("cum_t"),
+        F.sum("p").over(w).cast("long").alias("cum_p"),
+    )
+    term = F.round(
+        F.col("p").cast("double")
+        * (F.col("cum_p").cast("double") / F.col("cum_t").cast("double"))
+        * F.lit(1_000_000_000.0)
+    ).cast("long")
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("t") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(term).cast("long").alias("ap_nano"),
+    )
+    n = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(
+                F.col("ap_nano").cast("double")
+                / (F.col("n_pos").cast("double") * F.lit(1_000_000_000.0)),
+                6,
+            ),
+        ).alias("ap"),
+        F.when(n > 0, F.round(F.col("n_pos").cast("double") / n, 6)).alias(
+            "prevalence"
+        ),
+    )
+
+
+def brier_decomposition(
+    scored: DataFrame, prob_col: str = "prob", label_col: str = "label"
+) -> DataFrame:
+    """Brier score + Murphy decomposition — calibration_bins tells you
+    WHERE a probability is off; this tells you the score's overall
+    loss and WHY: one row (n, k_probs, brier, reliability, resolution,
+    uncertainty). Brier = REL − RES + UNC holds as an EXACT identity
+    here because the decomposition bins by DISTINCT forecast value
+    (no within-bin forecast spread), not by coarse deciles.
+
+    Exactness: probs quantize to the micro grid, the Brier numerator
+    Σ(qp − 1e6·y)² is an exact wide-integer sum, each bin's
+    n_k·(p̄_k − ȳ_k)² / n_k·(ȳ_k − ȳ)² term is a fixed double
+    expression pico-rounded (×1e12) and exact-summed, and every /n
+    happens once on final scalars.
+    """
+    q = scored.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.round(F.col(prob_col) * F.lit(1_000_000)).cast("long").alias("qp"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(
+            (F.col("qp") - F.lit(1_000_000) * F.col("y")).cast(_DEC)
+            * (F.col("qp") - F.lit(1_000_000) * F.col("y")).cast(_DEC)
+        ).alias("bsum"),
+    )
+    cells = q.groupBy("qp").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum("y").cast("long").alias("posk"),
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    PICO = F.lit(1_000_000_000_000.0)
+    pbar = F.col("qp").cast("double") / F.lit(1_000_000.0)
+    ybark = F.col("posk").cast("double") / F.col("nk").cast("double")
+    ybar = F.col("pos").cast("double") / F.col("n").cast("double")
+    rel_t = F.round(
+        F.col("nk").cast("double") * (pbar - ybark) * (pbar - ybark) * PICO
+    ).cast(_DEC)
+    res_t = F.round(
+        F.col("nk").cast("double") * (ybark - ybar) * (ybark - ybar) * PICO
+    ).cast(_DEC)
+    agg = j.groupBy("n", "pos", "bsum").agg(
+        F.count(F.lit(1)).cast("long").alias("k_probs"),
+        F.sum(rel_t).alias("rel_p"),
+        F.sum(res_t).alias("res_p"),
+    )
+    nd = F.col("n").cast("double")
+    rate = F.col("pos").cast("double") / nd
+    return agg.select(
+        "n",
+        "k_probs",
+        F.round(
+            F.col("bsum").cast("double") / (nd * F.lit(1e12)), 6
+        ).alias("brier"),
+        F.round(F.col("rel_p").cast("double") / (nd * PICO), 6).alias(
+            "reliability"
+        ),
+        F.round(F.col("res_p").cast("double") / (nd * PICO), 6).alias(
+            "resolution"
+        ),
+        F.round(rate * (1 - rate), 6).alias("uncertainty"),
+    )
+
+
+def lift_gains(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Decile lift / cumulative-gains table — "if we act on the top k%
+    by score, what fraction of positives do we capture": one row per
+    occupied bucket (bucket, n, n_pos, cum_pct_rows, cum_gain, lift).
+    bucket 0 is the highest-score decile; lift is the bucket's positive
+    rate over the base rate; cum_gain is recall-at-depth. The campaign-
+    targeting view of the same score auc_roc grades threshold-free.
+
+    Tie-deterministic BY CONSTRUCTION (the trap in a naive ntile():
+    ties straddling a decile boundary land by partition order): a tied
+    score block is assigned wholly by its grid START offset,
+    bucket = ⌊start·B/n⌋ — pure integers, so two engines cannot split
+    a tie differently. Cumulative sums run over ≤ B ordered buckets.
+    """
+    from pyspark.sql import Window
+
+    q = scored.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("boolean").cast("int").alias("y"),
+    )
+    per_s = q.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_s.agg(
+        F.sum("t").cast("long").alias("n_all"),
+        F.sum("p").cast("long").alias("pos_all"),
+    )
+    staged = per_s.select(
+        "t",
+        "p",
+        (F.sum("t").over(w) - F.col("t")).cast("long").alias("start"),
+    ).crossJoin(F.broadcast(tot))
+    bucketed = staged.groupBy(
+        F.floor(
+            F.col("start") * F.lit(n_buckets) / F.col("n_all")
+        ).cast("long").alias("bucket")
+    ).agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.max("n_all").cast("long").alias("n_all"),
+        F.max("pos_all").cast("long").alias("pos_all"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bucketed.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "n_all",
+        "pos_all",
+        F.sum("n").over(wb).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wb).cast("long").alias("cum_pos"),
+    )
+    base = F.col("pos_all").cast("double") / F.col("n_all").cast("double")
+    return cum.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.round(
+            F.col("cum_n").cast("double") / F.col("n_all").cast("double"), 6
+        ).alias("cum_pct_rows"),
+        F.when(
+            F.col("pos_all") > 0,
+            F.round(
+                F.col("cum_pos").cast("double")
+                / F.col("pos_all").cast("double"),
+                6,
+            ),
+        ).alias("cum_gain"),
+        F.when(
+            F.col("pos_all") > 0,
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n").cast("double"))
+                / base,
+                6,
+            ),
+        ).alias("lift"),
     )

@@ -2144,6 +2144,29 @@ def main() -> None:
          "!BatchEvalPython", "!Window", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Average precision — distinct-score grid window + one fold; "
+        "no join, no python",
+        _plan(entrymod.queries()["eval_avg_precision"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Brier decomposition — per-prob cells + broadcast totals, "
+        "pico-rounded terms; no window",
+        _plan(entrymod.queries()["eval_brier_decomp"](spark, SF)),
+        ["HashAggregate", "partial_", "!Window", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Lift/gains — grid start-offset buckets (tie-deterministic, "
+        "no ntile), broadcast totals, B-row cumulative window",
+        _plan(entrymod.queries()["eval_lift_gains"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -3,6 +3,8 @@ composition with the real connected_components output."""
 
 from __future__ import annotations
 
+import pytest
+
 from kgraph_spark.operators.eval_metrics import cluster_pair_metrics
 
 
@@ -461,3 +463,74 @@ def test_calibration_bins_hand_case(spark):
     # exact-integer ECE fold: sum |pms - pos*1e6| / (N * 1e6)
     ece = sum(r["weighted_gap_micro"] for r in out.values()) / (4 * 1_000_000)
     assert ece == pytest.approx((50000 + 850000 + 50000) / 4e6, abs=1e-12)
+
+
+def test_average_precision_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import average_precision
+
+    # scores 3,2,1 labels 1,0,1: AP = (1 + 2/3)/2 = 5/6
+    df = spark.createDataFrame(
+        [(3.0, True), (2.0, False), (1.0, True)], "s double, y boolean"
+    )
+    r = average_precision(df, "s", "y").first()
+    assert (r["n_pos"], r["n_neg"]) == (2, 1)
+    assert r["ap"] == pytest.approx(5.0 / 6.0, abs=1e-6)
+    assert r["prevalence"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    # tied block: one threshold, precision 1/2 -> AP = 1/2
+    tied = spark.createDataFrame(
+        [(1.0, True), (1.0, False)], "s double, y boolean"
+    )
+    assert average_precision(tied, "s", "y").first()["ap"] == pytest.approx(
+        0.5, abs=1e-9
+    )
+    # no positives -> NULL ap
+    neg = spark.createDataFrame([(1.0, False)], "s double, y boolean")
+    assert average_precision(neg, "s", "y").first()["ap"] is None
+
+
+def test_brier_decomposition_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import brier_decomposition
+
+    # probs .8(y1) .8(y0) .2(y0): brier 0.24; binned by distinct prob
+    # the Murphy identity holds exactly: rel - res + unc = brier
+    df = spark.createDataFrame(
+        [(0.8, True), (0.8, False), (0.2, False)], "prob double, y boolean"
+    )
+    r = brier_decomposition(df, "prob", "y").first()
+    assert (r["n"], r["k_probs"]) == (3, 2)
+    assert r["brier"] == pytest.approx(0.24, abs=1e-9)
+    assert r["reliability"] == pytest.approx(0.22 / 3, abs=1e-6)
+    assert r["resolution"] == pytest.approx(1.0 / 18, abs=1e-6)
+    assert r["uncertainty"] == pytest.approx(2.0 / 9, abs=1e-6)
+    assert r["reliability"] - r["resolution"] + r["uncertainty"] == pytest.approx(
+        r["brier"], abs=1e-5
+    )
+    # perfect confident forecaster: brier 0, rel 0, res = unc
+    p = spark.createDataFrame(
+        [(1.0, True), (0.0, False), (0.0, False)], "prob double, y boolean"
+    )
+    rp = brier_decomposition(p, "prob", "y").first()
+    assert rp["brier"] == 0.0 and rp["reliability"] == 0.0
+    assert rp["resolution"] == pytest.approx(rp["uncertainty"], abs=1e-9)
+
+
+def test_lift_gains_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import lift_gains
+
+    # scores 10..1, positives at 10 and 9: top deciles lift 5
+    rows = [(float(10 - i), i < 2) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["bucket"]: r for r in lift_gains(df, "s", "y", 10).collect()}
+    assert len(out) == 10
+    assert out[0]["lift"] == pytest.approx(5.0, abs=1e-9)
+    assert out[0]["cum_gain"] == pytest.approx(0.5, abs=1e-9)
+    assert out[1]["cum_gain"] == pytest.approx(1.0, abs=1e-9)
+    assert out[2]["lift"] == pytest.approx(0.0, abs=1e-9)
+    assert out[9]["cum_pct_rows"] == pytest.approx(1.0, abs=1e-9)
+    # one giant tie -> a single bucket holding everything (never split)
+    tied = spark.createDataFrame(
+        [(1.0, i % 2 == 0) for i in range(6)], "s double, y boolean"
+    )
+    t = lift_gains(tied, "s", "y", 10).collect()
+    assert len(t) == 1 and t[0]["bucket"] == 0
+    assert t[0]["lift"] == pytest.approx(1.0, abs=1e-9)
