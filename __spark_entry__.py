@@ -5913,6 +5913,35 @@ def q_eval_lift_gains(spark, sf_dir):
     return lift_gains(e, "value", "y", n_buckets=10)
 
 
+def q_stat_cronbach(spark, sf_dir):
+    """Cronbach's alpha: are the five per-type mean spends of a user
+    one coherent 'spend level' scale — complete users only, exact
+    integer variance numerators, ONE division."""
+    from kgraph_spark.operators.stats import cronbach_alpha
+
+    return cronbach_alpha(
+        _read(spark, sf_dir, "events"), "user_id", "event_type", "value"
+    )
+
+
+def q_stat_icc(spark, sf_dir):
+    """ICC(1): how much of an event value's variance is the user —
+    one-way random-effects intraclass correlation with Searle's k0 for
+    unbalanced users; micro-rounded S²/n terms, exact moments."""
+    from kgraph_spark.operators.stats import icc_oneway
+
+    return icc_oneway(_read(spark, sf_dir, "events"), "user_id", "value", scale=100)
+
+
+def q_stat_quade(spark, sf_dir):
+    """Quade range-weighted within-block rank test over user×event_type
+    mean-value cells — the Friedman upgrade weighting high-spread
+    users more; doubled midranks both ways, F is ONE exact division."""
+    from kgraph_spark.operators.stats import quade
+
+    return quade(_read(spark, sf_dir, "events"), "user_id", "event_type", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6237,6 +6266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_avg_precision": q_eval_avg_precision,
         "eval_brier_decomp": q_eval_brier_decomp,
         "eval_lift_gains": q_eval_lift_gains,
+        "stat_cronbach": q_stat_cronbach,
+        "stat_icc": q_stat_icc,
+        "stat_quade": q_stat_quade,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -16616,6 +16648,157 @@ def oracle_sql() -> dict[str, str]:
                              / (pos_all::DOUBLE / n_all::DOUBLE), 6)
                    END AS lift
             FROM cum
+        """,
+        "stat_cronbach": """
+            -- Cronbach alpha over user x event_type mean-spend cells:
+            -- complete users, exact integer variance numerators, one
+            -- division (stats.cronbach_alpha)
+            WITH cells AS (
+                SELECT user_id AS subj, event_type AS item,
+                       round(sum(round(value * 1000000)::BIGINT)
+                                 ::HUGEINT::DOUBLE
+                             / count(*)::DOUBLE)::BIGINT AS qv
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                      AND value IS NOT NULL
+                GROUP BY 1, 2
+            ), kr AS (SELECT count(DISTINCT item)::BIGINT AS k FROM cells),
+            complete AS (
+                SELECT subj FROM cells, kr GROUP BY subj, k
+                HAVING count(*) = any_value(k)
+            ), cc AS (
+                SELECT cells.* FROM cells JOIN complete USING (subj)
+            ), per_item AS (
+                SELECT item, count(*)::BIGINT AS n,
+                       sum(qv::HUGEINT) AS sy,
+                       sum(qv::HUGEINT * qv) AS syy
+                FROM cc GROUP BY 1
+            ), iv AS (
+                SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS k,
+                       sum(n::HUGEINT * syy - sy * sy) AS cyy_items
+                FROM per_item
+            ), totals AS (
+                SELECT subj, sum(qv::HUGEINT) AS tq FROM cc GROUP BY 1
+            ), tv AS (
+                SELECT count(*)::BIGINT AS n_t, sum(tq) AS st,
+                       sum(tq * tq) AS stt
+                FROM totals
+            )
+            SELECT n AS n_subjects, k AS k_items,
+                   CASE WHEN k >= 2
+                             AND (n_t::HUGEINT * stt - st * st)::DOUBLE > 0
+                        THEN round(k::DOUBLE / (k::DOUBLE - 1)
+                             * (1 - cyy_items::DOUBLE
+                                / (n_t::HUGEINT * stt - st * st)::DOUBLE),
+                             6)
+                   END AS alpha
+            FROM iv CROSS JOIN tv
+        """,
+        "stat_icc": """
+            -- ICC(1) of event values within users: exact moments,
+            -- micro-rounded S_i^2/n_i terms, Searle's k0
+            -- (stats.icc_oneway)
+            WITH q AS (
+                SELECT user_id AS g, round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), per_g AS (
+                SELECT g, count(*)::BIGINT AS ni, sum(qv::HUGEINT) AS si,
+                       sum(qv::HUGEINT * qv) AS ssi
+                FROM q GROUP BY 1
+            ), agg AS (
+                SELECT sum(ni)::BIGINT AS n, count(*)::BIGINT AS i,
+                       sum(si) AS s, sum(ssi) AS ss,
+                       sum(round((si::DOUBLE * si::DOUBLE) / ni::DOUBLE
+                                 * 1000000.0)::HUGEINT) AS a_micro,
+                       sum(ni::HUGEINT * ni) AS sn2
+                FROM per_g
+            ), fin AS (
+                SELECT n, i,
+                       ((a_micro::DOUBLE / 1000000.0)
+                        - (s::DOUBLE * s::DOUBLE) / n::DOUBLE)
+                           / (i::DOUBLE - 1) / 10000.0 AS msb,
+                       (ss::DOUBLE - a_micro::DOUBLE / 1000000.0)
+                           / (n::DOUBLE - i::DOUBLE) / 10000.0 AS msw,
+                       (n::DOUBLE - sn2::DOUBLE / n::DOUBLE)
+                           / (i::DOUBLE - 1) AS k0
+                FROM agg
+            )
+            SELECT n AS n_ratings, i AS n_subjects,
+                   CASE WHEN i >= 2 AND n > i THEN round(k0, 6) END AS k0,
+                   CASE WHEN i >= 2 AND n > i THEN round(msb, 6) END AS msb,
+                   CASE WHEN i >= 2 AND n > i THEN round(msw, 6) END AS msw,
+                   CASE WHEN i >= 2 AND n > i
+                             AND msb + (k0 - 1) * msw > 0
+                        THEN round((msb - msw)
+                             / (msb + (k0 - 1) * msw), 6)
+                   END AS icc1
+            FROM fin
+        """,
+        "stat_quade": """
+            -- Quade range-weighted within-block rank test: doubled
+            -- midranks for within-block values AND block ranges,
+            -- F = (n-1)*B16n/(n*A16 - B16n) exact (stats.quade)
+            WITH cells AS (
+                SELECT user_id AS blk, event_type AS trt,
+                       round(sum(round(value * 1000000)::BIGINT)
+                                 ::HUGEINT::DOUBLE
+                             / count(*)::DOUBLE)::BIGINT AS qv
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                      AND value IS NOT NULL
+                GROUP BY 1, 2
+            ), kr AS (SELECT count(DISTINCT trt)::BIGINT AS k FROM cells),
+            complete AS (
+                SELECT blk FROM cells, kr GROUP BY blk, k
+                HAVING count(*) = any_value(k)
+            ), cc AS (
+                SELECT cells.* FROM cells JOIN complete USING (blk)
+            ), per_bv AS (
+                SELECT blk, qv, count(*)::BIGINT AS t FROM cc GROUP BY 1, 2
+            ), ranked AS (
+                SELECT blk, qv,
+                       (2 * (sum(t) OVER (PARTITION BY blk ORDER BY qv
+                                          ROWS UNBOUNDED PRECEDING) - t)
+                        + t + 1)::BIGINT AS r2
+                FROM per_bv
+            ), ranges AS (
+                SELECT blk, (max(qv) - min(qv))::BIGINT AS rng
+                FROM cc GROUP BY 1
+            ), per_rng AS (
+                SELECT rng, count(*)::BIGINT AS tr FROM ranges GROUP BY 1
+            ), rng_ranked AS (
+                SELECT rng,
+                       (2 * (sum(tr) OVER (ORDER BY rng
+                                           ROWS UNBOUNDED PRECEDING) - tr)
+                        + tr + 1)::BIGINT AS q2
+                FROM per_rng
+            ), s4 AS (
+                SELECT cc.trt,
+                       q2::HUGEINT * (r2 - (k + 1))::HUGEINT AS s4, k
+                FROM cc
+                JOIN ranked USING (blk, qv)
+                JOIN ranges USING (blk)
+                JOIN rng_ranked USING (rng)
+                CROSS JOIN kr
+            ), per_trt AS (
+                SELECT trt, max(k)::BIGINT AS k, sum(s4) AS s4_j,
+                       sum(s4 * s4) AS a16_j,
+                       count(*)::BIGINT AS n_j
+                FROM s4 GROUP BY 1
+            ), agg AS (
+                SELECT max(n_j)::BIGINT AS n, max(k)::BIGINT AS k,
+                       sum(a16_j) AS a16, sum(s4_j * s4_j) AS b16n
+                FROM per_trt
+            )
+            SELECT n AS n_blocks, k, (k - 1)::BIGINT AS dof1,
+                   ((n - 1) * (k - 1))::BIGINT AS dof2,
+                   CASE WHEN n >= 2 AND k >= 2
+                             AND n::DOUBLE * a16::DOUBLE - b16n::DOUBLE > 0
+                        THEN round((n::DOUBLE - 1) * b16n::DOUBLE
+                             / (n::DOUBLE * a16::DOUBLE - b16n::DOUBLE), 6)
+                   END AS f_stat
+            FROM agg
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

@@ -82,6 +82,9 @@ __all__ = [
     "breusch_pagan",
     "chow_test",
     "theil_u",
+    "cronbach_alpha",
+    "icc_oneway",
+    "quade",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3444,4 +3447,264 @@ def theil_u(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.round(h_b, 6).alias("h_b_bits"),
         F.when(F.col("h_k_a_nano") > 0, F.round(mi / h_a, 6)).alias("u_a_given_b"),
         F.when(F.col("h_k_b_nano") > 0, F.round(mi / h_b, 6)).alias("u_b_given_a"),
+    )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    subject_col: str,
+    item_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cronbach's alpha — internal consistency of k numeric "items"
+    measured per subject (do the per-item scores move together enough
+    to be one scale): one row (n_subjects, k_items, alpha).
+    α = k/(k−1)·(1 − Σᵢσ²ᵢ/σ²_T) with population variances; α → 1 when
+    items co-vary, ≤ 0 when they don't. The numeric-scale sibling of
+    fleiss_kappa/krippendorff (categorical raters).
+
+    Engine-exact end to end: the subject×item cell is the micro-grid
+    mean re-quantized to an integer (identical double → identical
+    round in both engines), only COMPLETE subjects enter (balanced
+    design, so every item shares one n), each item's variance
+    numerator n·Σq² − (Σq)² and the total-score numerator are exact
+    wide integers, and α is ONE division of exact sums — the σ² scale
+    factors cancel.
+    """
+    cells = (
+        df.filter(
+            F.col(subject_col).isNotNull()
+            & F.col(item_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(subject_col).alias("subj"), F.col(item_col).alias("item"))
+        .agg(
+            F.sum(_quant(F.col(value_col), scale)).cast(_DEC).alias("_sm"),
+            F.count(F.lit(1)).cast("long").alias("_cn"),
+        )
+        .select(
+            "subj",
+            "item",
+            F.round(
+                F.col("_sm").cast("double") / F.col("_cn").cast("double")
+            ).cast("long").alias("qv"),
+        )
+    )
+    k_row = cells.agg(F.countDistinct("item").cast("long").alias("k"))
+    complete = (
+        cells.groupBy("subj")
+        .agg(F.count(F.lit(1)).cast("long").alias("_kb"))
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("_kb") == F.col("k"))
+        .select("subj", "k")
+    )
+    cc = cells.join(F.broadcast(complete), "subj")
+    per_item = cc.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("sy"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC)).alias("syy"),
+    )
+    item_var = per_item.agg(
+        F.max("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("n").cast(_DEC) * F.col("syy") - F.col("sy") * F.col("sy")
+        ).alias("cyy_items"),
+    )
+    totals = cc.groupBy("subj").agg(F.sum(F.col("qv").cast(_DEC)).alias("tq"))
+    tot_var = totals.agg(
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+        F.sum("tq").alias("st"),
+        F.sum(F.col("tq") * F.col("tq")).alias("stt"),
+    )
+    j = item_var.crossJoin(F.broadcast(tot_var))
+    ctt = (
+        F.col("n_t").cast(_DEC) * F.col("stt") - F.col("st") * F.col("st")
+    ).cast("double")
+    kd = F.col("k").cast("double")
+    return j.select(
+        F.col("n").alias("n_subjects"),
+        F.col("k").alias("k_items"),
+        F.when(
+            (F.col("k") >= 2) & (ctt > 0),
+            F.round(
+                kd / (kd - 1)
+                * (1 - F.col("cyy_items").cast("double") / ctt),
+                6,
+            ),
+        ).alias("alpha"),
+    )
+
+
+def icc_oneway(df: DataFrame, subject_col: str, value_col: str,
+               scale: int = 100) -> DataFrame:
+    """ICC(1) — one-way random-effects intraclass correlation: "how
+    much of a rating's variance is the subject" (is value a stable
+    per-user trait, or noise): one row (n_ratings, n_subjects, k0,
+    msb, msw, icc1). ICC = (MSB − MSW)/(MSB + (k₀−1)·MSW) with
+    Searle's k₀ = (N − Σnᵢ²/N)/(I−1) for unbalanced groups.
+
+    Engine-exact: values quantize to the integer grid, Σx/Σx²/Σnᵢ²
+    are exact wide-integer sums, each group's Sᵢ²/nᵢ term is one fixed
+    double division micro-rounded (×1e6) and exact-summed, and the
+    final MS/ICC arithmetic runs once on scalars (reported MS are in
+    grid units²/scale² — i.e. original units).
+    """
+    q = df.filter(
+        F.col(subject_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(subject_col).alias("g"), _quant(F.col(value_col), scale).alias("qv")
+    )
+    per_g = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum(F.col("qv").cast(_DEC)).alias("si"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC)).alias("ssi"),
+    )
+    term = F.round(
+        (F.col("si").cast("double") * F.col("si").cast("double"))
+        / F.col("ni").cast("double")
+        * F.lit(1_000_000.0)
+    ).cast(_DEC)
+    agg = per_g.agg(
+        F.sum("ni").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("i"),
+        F.sum("si").alias("s"),
+        F.sum("ssi").alias("ss"),
+        F.sum(term).alias("a_micro"),
+        F.sum(F.col("ni").cast(_DEC) * F.col("ni").cast(_DEC)).alias("sn2"),
+    )
+    nd = F.col("n").cast("double")
+    idn = F.col("i").cast("double")
+    sc2 = F.lit(float(scale) * float(scale))
+    a = F.col("a_micro").cast("double") / F.lit(1_000_000.0)
+    ssb = a - (F.col("s").cast("double") * F.col("s").cast("double")) / nd
+    ssw = F.col("ss").cast("double") - a
+    msb = ssb / (idn - 1) / sc2
+    msw = ssw / (nd - idn) / sc2
+    k0 = (nd - F.col("sn2").cast("double") / nd) / (idn - 1)
+    ok = (F.col("i") >= 2) & (F.col("n") > F.col("i"))
+    icc = (msb - msw) / (msb + (k0 - 1) * msw)
+    return agg.select(
+        F.col("n").alias("n_ratings"),
+        F.col("i").alias("n_subjects"),
+        F.when(ok, F.round(k0, 6)).alias("k0"),
+        F.when(ok, F.round(msb, 6)).alias("msb"),
+        F.when(ok, F.round(msw, 6)).alias("msw"),
+        F.when(ok & (msb + (k0 - 1) * msw > 0), F.round(icc, 6)).alias("icc1"),
+    )
+
+
+def quade(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quade test — the range-weighted within-block rank test (the
+    friedman upgrade that lets blocks with LARGER spreads count for
+    more, which is where Friedman wastes power for small k): one row
+    (n_blocks, k, dof1, dof2, f_stat). Blocks are ranked by their
+    value RANGE, treatments within block by value; F =
+    (n−1)·B/(A−B) over S_ij = Q_i·(r_ij − (k+1)/2).
+
+    Engine-exact: the friedman cell/complete-block machinery feeds
+    DOUBLED midranks for both rankings, so 4·S_ij = q2ᵢ·(r2ᵢⱼ−(k+1))
+    is an exact integer; A and B numerators are exact wide-integer
+    sums and the 16s cancel — F is ONE division,
+    (n−1)·ΣSⱼ² / (n·ΣSᵢⱼ² − ΣSⱼ²). All-tied blocks contribute zero
+    (their within-block midranks all equal k+1), exactly as the
+    classical definition wants; A=B (perfect agreement) → NULL.
+    """
+    cells = (
+        df.filter(
+            F.col(block_col).isNotNull()
+            & F.col(treatment_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(F.col(block_col).alias("blk"), F.col(treatment_col).alias("trt"))
+        .agg(
+            F.sum(_quant(F.col(value_col), scale)).cast(_DEC).alias("_sm"),
+            F.count(F.lit(1)).cast("long").alias("_cn"),
+        )
+        .select(
+            "blk",
+            "trt",
+            F.round(
+                F.col("_sm").cast("double") / F.col("_cn").cast("double")
+            ).cast("long").alias("qv"),
+        )
+    )
+    k_row = cells.agg(F.countDistinct("trt").cast("long").alias("k"))
+    complete = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("_kb"))
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("_kb") == F.col("k"))
+        .select("blk")
+    )
+    cc = cells.join(F.broadcast(complete), "blk")
+    # within-block doubled midranks over the per-block distinct grid
+    per_bv = cc.groupBy("blk", "qv").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    wb = Window.partitionBy("blk").orderBy("qv")
+    ranked = per_bv.select(
+        "blk",
+        "qv",
+        (
+            2 * (F.sum("t").over(wb.rowsBetween(Window.unboundedPreceding, 0)) - F.col("t"))
+            + F.col("t")
+            + 1
+        ).cast("long").alias("r2"),
+    )
+    # block weights: doubled midranks of the block RANGE across blocks
+    ranges = cc.groupBy("blk").agg(
+        (F.max("qv") - F.min("qv")).cast("long").alias("rng")
+    )
+    per_rng = ranges.groupBy("rng").agg(F.count(F.lit(1)).cast("long").alias("tr"))
+    wr = Window.orderBy("rng")
+    rng_ranked = per_rng.select(
+        "rng",
+        (
+            2 * (F.sum("tr").over(wr.rowsBetween(Window.unboundedPreceding, 0)) - F.col("tr"))
+            + F.col("tr")
+            + 1
+        ).cast("long").alias("q2"),
+    )
+    s4 = (
+        cc.join(ranked, ["blk", "qv"])
+        .join(ranges, "blk")
+        .join(F.broadcast(rng_ranked), "rng")
+        .crossJoin(F.broadcast(k_row))
+        .select(
+            "trt",
+            (
+                F.col("q2").cast(_DEC)
+                * (F.col("r2") - (F.col("k") + 1)).cast(_DEC)
+            ).alias("s4"),
+            "k",
+        )
+    )
+    per_trt = s4.groupBy("trt", "k").agg(
+        F.sum("s4").alias("s4_j"),
+        F.sum(F.col("s4") * F.col("s4")).alias("a16_j"),
+        F.count(F.lit(1)).cast("long").alias("n_j"),
+    )
+    agg = per_trt.agg(
+        F.max("n_j").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k"),
+        F.sum("a16_j").alias("a16"),
+        F.sum(F.col("s4_j") * F.col("s4_j")).alias("b16n"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    num = (nd - 1) * F.col("b16n").cast("double")
+    den = nd * F.col("a16").cast("double") - F.col("b16n").cast("double")
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        "k",
+        (F.col("k") - 1).alias("dof1"),
+        ((F.col("n") - 1) * (F.col("k") - 1)).alias("dof2"),
+        F.when((F.col("n") >= 2) & (F.col("k") >= 2) & (den > 0),
+               F.round(num / den, 6)).alias("f_stat"),
     )

@@ -2167,6 +2167,30 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Cronbach alpha — cell aggregate, broadcast complete-subject "
+        "semi-filter, two exact moment folds; no python",
+        _plan(entrymod.queries()["stat_cronbach"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "ICC(1) — one per-subject aggregate + one-row fold, "
+        "micro-rounded S^2/n terms; no window, no join",
+        _plan(entrymod.queries()["stat_icc"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Quade test — friedman cell machinery + broadcast range "
+        "ranks, exact doubled-midrank S terms, one division",
+        _plan(entrymod.queries()["stat_quade"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -1292,3 +1292,79 @@ def test_theil_u_hand_case(spark):
     # U(b|a) = MI/H(b) = 1 bit / 1.5 bits
     assert r3["h_b_bits"] == pytest.approx(1.5, abs=1e-6)
     assert r3["u_b_given_a"] == pytest.approx(1.0 / 1.5, abs=1e-6)
+
+
+def test_cronbach_alpha_hand_case(spark):
+    from kgraph_spark.operators.stats import cronbach_alpha
+
+    # item B = 2*A exactly: alpha = 2*(1 - (2/3 + 8/3)/6) = 8/9
+    rows = [
+        (1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0),
+        (1, "B", 2.0), (2, "B", 4.0), (3, "B", 6.0),
+    ]
+    df = spark.createDataFrame(rows, "s long, item string, v double")
+    r = cronbach_alpha(df, "s", "item", "v").first()
+    assert (r["n_subjects"], r["k_items"]) == (3, 2)
+    assert r["alpha"] == pytest.approx(8.0 / 9.0, abs=1e-6)
+    # parallel items (B = A): alpha = 1
+    par = [
+        (1, "A", 1.0), (2, "A", 2.0), (3, "A", 3.0),
+        (1, "B", 1.0), (2, "B", 2.0), (3, "B", 3.0),
+    ]
+    rp = cronbach_alpha(
+        spark.createDataFrame(par, "s long, item string, v double"), "s", "item", "v"
+    ).first()
+    assert rp["alpha"] == pytest.approx(1.0, abs=1e-6)
+    # incomplete subject drops: subject 4 has only item A
+    inc = rows + [(4, "A", 9.0)]
+    ri = cronbach_alpha(
+        spark.createDataFrame(inc, "s long, item string, v double"), "s", "item", "v"
+    ).first()
+    assert ri["n_subjects"] == 3
+    assert ri["alpha"] == pytest.approx(8.0 / 9.0, abs=1e-6)
+
+
+def test_icc_oneway_hand_case(spark):
+    from kgraph_spark.operators.stats import icc_oneway
+
+    # perfect subject effect: within-variance 0 -> ICC = 1
+    rows = [("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = icc_oneway(df, "g", "v").first()
+    assert (r["n_ratings"], r["n_subjects"]) == (4, 2)
+    assert r["k0"] == pytest.approx(2.0, abs=1e-9)
+    assert r["icc1"] == pytest.approx(1.0, abs=1e-6)
+    # no subject effect, pure within-noise -> ICC = -1 (k0=2 case)
+    rows2 = [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)]
+    r2 = icc_oneway(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "v"
+    ).first()
+    assert r2["msb"] == pytest.approx(0.0, abs=1e-9)
+    assert r2["msw"] == pytest.approx(2.0, abs=1e-6)
+    assert r2["icc1"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_quade_hand_case(spark):
+    from kgraph_spark.operators.stats import quade
+
+    # 2 blocks x 2 treatments, block1 has 4x the range of block2:
+    # S_A = -1.5, S_B = 1.5, A = 2.5, B = 2.25 -> F = 9
+    rows = [
+        (1, "A", 1.0), (1, "B", 3.0),
+        (2, "A", 2.0), (2, "B", 2.5),
+    ]
+    df = spark.createDataFrame(rows, "blk long, trt string, v double")
+    r = quade(df, "blk", "trt", "v").first()
+    assert (r["n_blocks"], r["k"], r["dof1"], r["dof2"]) == (2, 2, 1, 1)
+    assert r["f_stat"] == pytest.approx(9.0, abs=1e-6)
+    # identical treatment effects in every block -> within-block ties
+    # -> every S = 0 -> den = 0 -> NULL F
+    tied = [
+        (1, "A", 2.0), (1, "B", 2.0),
+        (2, "A", 5.0), (2, "B", 5.0),
+    ]
+    rt = quade(
+        spark.createDataFrame(tied, "blk long, trt string, v double"),
+        "blk", "trt", "v",
+    ).first()
+    assert rt["f_stat"] is None
