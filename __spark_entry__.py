@@ -5942,6 +5942,39 @@ def q_stat_quade(spark, sf_dir):
     return quade(_read(spark, sf_dir, "events"), "user_id", "event_type", "value")
 
 
+def q_graph_robustness(spark, sf_dir):
+    """Hub-removal robustness of the lineitem entity graph (thinned
+    third): before/after node, edge, max-degree and wedge mass when
+    the top-10 hubs are removed — the targeted-attack fragility audit;
+    exact counts, deterministic ordered top-k, broadcast anti-joins."""
+    from kgraph_spark.operators.graph_analytics import hub_removal_robustness
+
+    return hub_removal_robustness(_li_edges(spark, sf_dir, part_mod=3), top_k=10)
+
+
+def q_stat_kuiper(spark, sf_dir):
+    """Kuiper V between click and purchase value distributions — the
+    tail-fair KS sibling (D+ + D-); integer cumulative cross-products
+    on the merged grid, one division + one sqrt."""
+    from kgraph_spark.operators.stats import kuiper_2sample
+
+    ev = _read(spark, sf_dir, "events")
+    return kuiper_2sample(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
+def q_evt_sax(spark, sf_dir):
+    """SAX symbolization of daily traffic (3-day PAA windows, 4-letter
+    alphabet on N(0,1) quartile breakpoints) — exact integer moments
+    and window means, literal-breakpoint symbol decisions."""
+    from kgraph_spark.operators.event_analytics import sax_symbolize
+
+    return sax_symbolize(_daily_counts(spark, sf_dir), "d", "c", window=3, v_scale=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6269,6 +6302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_cronbach": q_stat_cronbach,
         "stat_icc": q_stat_icc,
         "stat_quade": q_stat_quade,
+        "graph_robustness": q_graph_robustness,
+        "stat_kuiper": q_stat_kuiper,
+        "evt_sax": q_evt_sax,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -16799,6 +16835,154 @@ def oracle_sql() -> dict[str, str]:
                              / (n::DOUBLE * a16::DOUBLE - b16n::DOUBLE), 6)
                    END AS f_stat
             FROM agg
+        """,
+        "graph_robustness": """
+            -- hub-removal robustness: before/after counts + wedge mass
+            -- with the top-10 hubs deterministically removed
+            -- (graph_analytics.hub_removal_robustness)
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e0 AS (
+                SELECT 'O' || l_orderkey::VARCHAR AS s,
+                       'P' || l_partkey::VARCHAR AS o FROM li
+                UNION ALL
+                SELECT 'O' || l_orderkey::VARCHAR,
+                       'S' || l_suppkey::VARCHAR FROM li
+                UNION ALL
+                SELECT 'P' || l_partkey::VARCHAR,
+                       'S' || l_suppkey::VARCHAR FROM li
+            ), und AS (
+                SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+                FROM e0 WHERE s <> o
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS d
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b AS node FROM und)
+                GROUP BY 1
+            ), hubs AS (
+                SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 10
+            ), kept AS (
+                SELECT * FROM und
+                WHERE a NOT IN (SELECT node FROM hubs)
+                  AND b NOT IN (SELECT node FROM hubs)
+            ), degk AS (
+                SELECT node, count(*)::BIGINT AS d
+                FROM (SELECT a AS node FROM kept
+                      UNION ALL SELECT b AS node FROM kept)
+                GROUP BY 1
+            )
+            SELECT 'before' AS phase, 0::BIGINT AS hubs_removed,
+                   count(*)::BIGINT AS n_nodes,
+                   (sum(d) // 2)::BIGINT AS n_edges,
+                   max(d)::BIGINT AS max_degree,
+                   (sum(d * (d - 1)) // 2)::BIGINT AS wedges
+            FROM deg
+            UNION ALL
+            SELECT 'after', 10::BIGINT, count(*)::BIGINT,
+                   (sum(d) // 2)::BIGINT, max(d)::BIGINT,
+                   (sum(d * (d - 1)) // 2)::BIGINT
+            FROM degk
+        """,
+        "stat_kuiper": """
+            -- Kuiper V = D+ + D- between click and purchase values:
+            -- integer cumulative cross-products on the merged grid
+            -- (stats.kuiper_2sample)
+            WITH qa AS (
+                SELECT round(value * 1000000)::BIGINT AS qv FROM events
+                WHERE event_type = 'click' AND value IS NOT NULL
+            ), qb AS (
+                SELECT round(value * 1000000)::BIGINT AS qv FROM events
+                WHERE event_type = 'purchase' AND value IS NOT NULL
+            ), ca AS (
+                SELECT qv, count(*)::BIGINT AS ca FROM qa GROUP BY 1
+            ), cb AS (
+                SELECT qv, count(*)::BIGINT AS cb FROM qb GROUP BY 1
+            ), merged AS (
+                SELECT coalesce(ca.qv, cb.qv) AS qv,
+                       coalesce(ca.ca, 0)::BIGINT AS ca,
+                       coalesce(cb.cb, 0)::BIGINT AS cb
+                FROM ca FULL OUTER JOIN cb USING (qv)
+            ), cum AS (
+                SELECT sum(ca) OVER (ORDER BY qv
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+                       sum(cb) OVER (ORDER BY qv
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_b
+                FROM merged
+            ), totals AS (
+                SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b
+                FROM merged
+            ), agg AS (
+                SELECT n_a, n_b,
+                       max(cum_a::HUGEINT * n_b - cum_b::HUGEINT * n_a)
+                           AS dp_num,
+                       max(cum_b::HUGEINT * n_a - cum_a::HUGEINT * n_b)
+                           AS dm_num
+                FROM cum CROSS JOIN totals
+                GROUP BY n_a, n_b
+            )
+            SELECT n_a, n_b,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(dp_num::DOUBLE
+                             / (n_a::DOUBLE * n_b::DOUBLE), 6)
+                   END AS d_plus,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(dm_num::DOUBLE
+                             / (n_a::DOUBLE * n_b::DOUBLE), 6)
+                   END AS d_minus,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round(dp_num::DOUBLE
+                             / (n_a::DOUBLE * n_b::DOUBLE)
+                             + dm_num::DOUBLE
+                               / (n_a::DOUBLE * n_b::DOUBLE), 6)
+                   END AS v,
+                   CASE WHEN n_a > 0 AND n_b > 0
+                        THEN round((dp_num::DOUBLE
+                                    / (n_a::DOUBLE * n_b::DOUBLE)
+                                    + dm_num::DOUBLE
+                                      / (n_a::DOUBLE * n_b::DOUBLE))
+                             * sqrt(n_a::DOUBLE * n_b::DOUBLE
+                                    / (n_a::DOUBLE + n_b::DOUBLE)), 6)
+                   END AS v_scaled
+            FROM agg
+        """,
+        "evt_sax": """
+            -- SAX symbols of daily counts: exact moments, 3-day PAA,
+            -- N(0,1) quartile breakpoint literals
+            -- (event_analytics.sax_symbolize)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), mom AS (
+                SELECT count(*)::BIGINT AS n, sum(qv::HUGEINT) AS s,
+                       sum(qv::HUGEINT * qv) AS ss, min(t)::BIGINT AS t0
+                FROM cnt
+            ), wins AS (
+                SELECT floor((t - t0) / 3)::BIGINT AS win,
+                       count(*)::BIGINT AS n_buckets,
+                       sum(qv::HUGEINT) AS ws,
+                       max(n)::BIGINT AS n, max(s::DOUBLE) AS sd,
+                       max(ss::DOUBLE) AS ssd
+                FROM cnt CROSS JOIN mom GROUP BY 1
+            ), z AS (
+                SELECT win, n_buckets,
+                       ws::DOUBLE / n_buckets::DOUBLE AS paa,
+                       (n::DOUBLE * ssd - sd * sd)
+                           / (n::DOUBLE * n::DOUBLE) AS var,
+                       (ws::DOUBLE / n_buckets::DOUBLE - sd / n::DOUBLE)
+                           / sqrt((n::DOUBLE * ssd - sd * sd)
+                                  / (n::DOUBLE * n::DOUBLE)) AS zz
+                FROM wins
+            )
+            SELECT win, n_buckets, round(paa, 6) AS paa,
+                   CASE WHEN var > 0 THEN round(zz, 6) END AS z,
+                   CASE WHEN var > 0 THEN
+                        CASE WHEN zz < -0.6745 THEN 'a'
+                             WHEN zz < 0.0 THEN 'b'
+                             WHEN zz < 0.6745 THEN 'c'
+                             ELSE 'd' END
+                   END AS symbol
+            FROM z
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

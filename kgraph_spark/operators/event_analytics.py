@@ -1286,3 +1286,65 @@ def forecast_eval(
     return agg.select(*metrics("1", "naive")).unionAll(
         agg.select(*metrics("s", "seasonal_naive"))
     )
+
+
+def sax_symbolize(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    window: int = 3,
+    v_scale: int = 1,
+) -> DataFrame:
+    """SAX symbolization (4-letter alphabet) of a regular series —
+    compress each `window`-bucket stretch into one of {a,b,c,d} by
+    z-scored piecewise-aggregate mean against the N(0,1) quartile
+    breakpoints (−0.6745, 0, 0.6745 — fixed literals, the Lin/Keogh
+    table): one row per window (win, n_buckets, paa, z, symbol).
+    The alphabet string is what motif mining / symbolic anomaly rules
+    consume; 'aaaa…dddd' jumps are regime shifts.
+
+    Engine-exact: grid values are integers, the series mean/σ come
+    from exact integer moments (one sqrt), each window's PAA is one
+    exact-integer division, and the symbol comparisons run on doubles
+    both engines computed through identical expression trees against
+    literal breakpoints. One grid aggregate + one broadcast of the
+    two-value moment row; no raw-row sort.
+    """
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    mom = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("s"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC)).alias("ss"),
+        F.min("t").alias("t0"),
+    )
+    wins = q.crossJoin(F.broadcast(mom)).groupBy(
+        F.floor((F.col("t") - F.col("t0")) / F.lit(window)).cast("long").alias("win")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("qv").cast(_DEC)).alias("ws"),
+        F.max("n").cast("long").alias("n"),
+        F.max(F.col("s").cast("double")).alias("sd"),
+        F.max(F.col("ss").cast("double")).alias("ssd"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("sd") / nd
+    var = (nd * F.col("ssd") - F.col("sd") * F.col("sd")) / (nd * nd)
+    paa = F.col("ws").cast("double") / F.col("n_buckets").cast("double")
+    z = (paa - mu) / F.sqrt(var)
+    sym = (
+        F.when(z < F.lit(-0.6745), "a")
+        .when(z < F.lit(0.0), "b")
+        .when(z < F.lit(0.6745), "c")
+        .otherwise("d")
+    )
+    sc = F.lit(float(v_scale))
+    return wins.select(
+        "win",
+        "n_buckets",
+        F.round(paa / sc, 6).alias("paa"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+        F.when(var > 0, sym).alias("symbol"),
+    )

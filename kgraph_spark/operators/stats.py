@@ -85,6 +85,7 @@ __all__ = [
     "cronbach_alpha",
     "icc_oneway",
     "quade",
+    "kuiper_2sample",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3707,4 +3708,71 @@ def quade(
         ((F.col("n") - 1) * (F.col("k") - 1)).alias("dof2"),
         F.when((F.col("n") >= 2) & (F.col("k") >= 2) & (den > 0),
                F.round(num / den, 6)).alias("f_stat"),
+    )
+
+
+def kuiper_2sample(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample Kuiper test — KS's tail-fair sibling: V = D⁺ + D⁻
+    (max CDF excess in EACH direction) weighs both distribution tails
+    equally where KS's single max can hide a compensating shift; it is
+    also invariant to cyclic shifts, making it the right drift gate for
+    wrapped quantities (hour-of-day, day-of-week). One row
+    (n_a, n_b, d_plus, d_minus, v, v_scaled) with
+    v_scaled = V·√(n_a·n_b/(n_a+n_b)).
+
+    Exact until the last step (the ks_2sample recipe): both directed
+    maxima are integer maxima of cum_a·n_b − cum_b·n_a over the
+    DISTINCT merged value grid; ONE division by n_a·n_b, one sqrt.
+    """
+    qa = df_a.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    qb = df_b.filter(F.col(value_col).isNotNull()).select(
+        _quant(F.col(value_col), scale).alias("qv")
+    )
+    ca = qa.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    cb = qb.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    merged = ca.join(cb, "qv", "full_outer").select(
+        "qv",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    totals = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    signed = (
+        F.col("cum_a").cast(_DEC) * F.col("n_b").cast(_DEC)
+        - F.col("cum_b").cast(_DEC) * F.col("n_a").cast(_DEC)
+    )
+    agg = cum.crossJoin(F.broadcast(totals)).groupBy("n_a", "n_b").agg(
+        F.max(signed).alias("dp_num"),
+        F.max(-signed).alias("dm_num"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    den = na * nb
+    dp = F.col("dp_num").cast("double") / den
+    dm = F.col("dm_num").cast("double") / den
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.when(ok, F.round(dp, 6)).alias("d_plus"),
+        F.when(ok, F.round(dm, 6)).alias("d_minus"),
+        F.when(ok, F.round(dp + dm, 6)).alias("v"),
+        F.when(
+            ok,
+            F.round((dp + dm) * F.sqrt(na * nb / (na + nb)), 6),
+        ).alias("v_scaled"),
     )

@@ -2191,6 +2191,30 @@ def main() -> None:
          "!BatchEvalPython"],
     ))
 
+    sections.append((
+        "Hub-removal robustness — canonical-pair dedup, ordered "
+        "top-k (TakeOrdered, no full sort), broadcast anti-joins",
+        _plan(entrymod.queries()["graph_robustness"](spark, SF)),
+        ["HashAggregate", "partial_", "TakeOrderedAndProject",
+         "BroadcastHashJoin", "LeftAnti", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "Kuiper test — two grid aggregates, full-outer grid merge, "
+        "one ordered grid window, broadcast totals",
+        _plan(entrymod.queries()["stat_kuiper"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "FullOuter",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "SAX symbolization — one grid aggregate + broadcast moment "
+        "row, window-id regroup; no sort of raw rows, no python",
+        _plan(entrymod.queries()["evt_sax"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -552,3 +552,34 @@ def test_forecast_eval_hand_case(spark):
     # sMAPE of naive on the ramp: mean of 2*1/(y+p) over the 7 pairs
     exp = sum(2.0 / (2 * t + 3) for t in range(7)) / 7
     assert nv["smape"] == pytest.approx(exp, abs=1e-5)
+
+
+def test_sax_symbolize_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import sax_symbolize
+
+    # 0,0,0,10,10,10 with 3-wide windows: z = -1 then +1 -> 'a','d'
+    rows = [(t, 0.0 if t < 3 else 10.0) for t in range(6)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["win"]: r for r in sax_symbolize(df, "t", "v", window=3).collect()}
+    assert out[0]["n_buckets"] == 3 and out[1]["n_buckets"] == 3
+    assert out[0]["paa"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["paa"] == pytest.approx(10.0, abs=1e-9)
+    assert out[0]["z"] == pytest.approx(-1.0, abs=1e-6)
+    assert out[1]["z"] == pytest.approx(1.0, abs=1e-6)
+    assert (out[0]["symbol"], out[1]["symbol"]) == ("d" if False else "a", "d")
+    # constant series: var = 0 -> NULL z and symbol
+    const = sax_symbolize(
+        spark.createDataFrame([(t, 5.0) for t in range(6)], "t long, v double"),
+        "t", "v", window=3,
+    ).collect()
+    assert all(r["z"] is None and r["symbol"] is None for r in const)
+    # mild z inside (-0.6745, 0) and (0, 0.6745) map to 'b' and 'c'
+    rows2 = [(0, 4.0), (1, 5.0), (2, 3.0), (3, 8.0)]
+    out2 = {
+        r["win"]: r
+        for r in sax_symbolize(
+            spark.createDataFrame(rows2, "t long, v double"), "t", "v", window=2
+        ).collect()
+    }
+    # mean 5, sigma ~1.871: paa 4.5 -> z -0.267 'b'; paa 5.5 -> 'c'
+    assert (out2[0]["symbol"], out2[1]["symbol"]) == ("b", "c")

@@ -921,3 +921,23 @@ def test_global_efficiency_path_and_complete(spark):
     # complete digraph on 2 nodes: efficiency 1
     k2 = spark.createDataFrame([(0, 1), (1, 0)], "subject_id long, object_id long")
     assert global_efficiency(k2).first()["efficiency"] == 1.0
+
+
+def test_hub_removal_robustness_hand_case(spark):
+    from kgraph_spark.operators.graph_analytics import hub_removal_robustness
+
+    # star: hub h -> 5 leaves, plus a detached edge x-y
+    edges = [("h", f"l{i}") for i in range(5)] + [("x", "y")]
+    df = spark.createDataFrame(edges, "subject_id string, object_id string")
+    out = {r["phase"]: r for r in hub_removal_robustness(df, top_k=1).collect()}
+    b, a = out["before"], out["after"]
+    assert (b["n_nodes"], b["n_edges"], b["max_degree"], b["wedges"]) == (8, 6, 5, 10)
+    assert b["hubs_removed"] == 0 and a["hubs_removed"] == 1
+    # removing the hub leaves only x-y; leaves become isolated (dropped)
+    assert (a["n_nodes"], a["n_edges"], a["max_degree"], a["wedges"]) == (2, 1, 1, 0)
+    # reverse-duplicate edges collapse to one undirected edge
+    dup = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "subject_id string, object_id string"
+    )
+    d = {r["phase"]: r for r in hub_removal_robustness(dup, top_k=0).collect()}
+    assert d["before"]["n_edges"] == 1

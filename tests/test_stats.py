@@ -1368,3 +1368,25 @@ def test_quade_hand_case(spark):
         "blk", "trt", "v",
     ).first()
     assert rt["f_stat"] is None
+
+
+def test_kuiper_2sample_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import kuiper_2sample
+
+    # a=[1,4], b=[2,3]: D+ = D- = 0.5 -> V = 1 (KS alone would say 0.5)
+    a = spark.createDataFrame([(1.0,), (4.0,)], "v double")
+    b = spark.createDataFrame([(2.0,), (3.0,)], "v double")
+    r = kuiper_2sample(a, b, "v").first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["d_plus"] == pytest.approx(0.5, abs=1e-9)
+    assert r["d_minus"] == pytest.approx(0.5, abs=1e-9)
+    assert r["v"] == pytest.approx(1.0, abs=1e-9)
+    assert r["v_scaled"] == pytest.approx(math.sqrt(1.0), abs=1e-6)
+    # pure one-sided shift: D- = 0
+    lo = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    hi = spark.createDataFrame([(3.0,), (4.0,)], "v double")
+    r2 = kuiper_2sample(lo, hi, "v").first()
+    assert r2["d_plus"] == pytest.approx(1.0, abs=1e-9)
+    assert r2["d_minus"] == pytest.approx(0.0, abs=1e-9)
