@@ -5975,6 +5975,33 @@ def q_evt_sax(spark, sf_dir):
     return sax_symbolize(_daily_counts(spark, sf_dir), "d", "c", window=3, v_scale=1)
 
 
+def q_evt_adf(spark, sf_dir):
+    """Dickey–Fuller unit-root t on daily traffic: is the series
+    mean-reverting or a random walk — Δy on lag-y regression from
+    exact integer moments, closed-form SSR, one sqrt."""
+    from kgraph_spark.operators.event_analytics import dickey_fuller
+
+    return dickey_fuller(_daily_counts(spark, sf_dir), "d", "c", v_scale=1)
+
+
+def q_stat_bartlett(spark, sf_dir):
+    """Bartlett variance homogeneity across event types (the
+    parametric sibling of stat_brown_forsythe) — exact per-type
+    variance numerators, nano-rounded ln terms, final χ²/C once."""
+    from kgraph_spark.operators.stats import bartlett
+
+    return bartlett(_read(spark, sf_dir, "events"), "value", "event_type", scale=100)
+
+
+def q_text_code_detect(spark, sf_dir):
+    """Code-likeness routing gate per document — symbol density,
+    indent and semicolon line fractions through a deterministic
+    logistic; map-only JVM expressions, round-6 logit before exp."""
+    from kgraph_spark.operators.text_analysis import code_likeness
+
+    return code_likeness(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6305,6 +6332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_robustness": q_graph_robustness,
         "stat_kuiper": q_stat_kuiper,
         "evt_sax": q_evt_sax,
+        "evt_adf": q_evt_adf,
+        "stat_bartlett": q_stat_bartlett,
+        "text_code_detect": q_text_code_detect,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -16983,6 +17013,131 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 'd' END
                    END AS symbol
             FROM z
+        """,
+        "evt_adf": """
+            -- Dickey-Fuller unit-root t on daily counts: exact integer
+            -- moments of (lag y, delta y), closed-form SSR
+            -- (event_analytics.dickey_fuller)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), pairs AS (
+                SELECT * FROM (
+                    SELECT (qv - lag(qv) OVER (ORDER BY t))::BIGINT AS dy,
+                           lag(qv) OVER (ORDER BY t)::BIGINT AS yl
+                    FROM cnt
+                ) WHERE yl IS NOT NULL
+            ), m AS (
+                SELECT count(*)::BIGINT AS n, sum(yl::HUGEINT) AS sx,
+                       sum(dy::HUGEINT) AS sy,
+                       sum(yl::HUGEINT * yl) AS sxx,
+                       sum(dy::HUGEINT * dy) AS syy,
+                       sum(yl::HUGEINT * dy) AS sxy
+                FROM pairs
+            ), c AS (
+                SELECT n,
+                       (n::HUGEINT * sxx - sx * sx)::DOUBLE AS cxx,
+                       (n::HUGEINT * syy - sy * sy)::DOUBLE AS cyy,
+                       (n::HUGEINT * sxy - sx * sy)::DOUBLE AS cxy
+                FROM m
+            )
+            SELECT n,
+                   CASE WHEN n >= 3 AND cxx > 0
+                        THEN round(cxy / cxx, 6) END AS rho,
+                   CASE WHEN n >= 3 AND cxx > 0
+                             AND (cyy - cxy * cxy / cxx) / n::DOUBLE > 0
+                        THEN round((cxy / cxx)
+                             * sqrt((cxx / n::DOUBLE)
+                                    / (((cyy - cxy * cxy / cxx)
+                                        / n::DOUBLE)
+                                       / (n::DOUBLE - 2))), 6)
+                   END AS t_stat
+            FROM c
+        """,
+        "stat_bartlett": """
+            -- Bartlett k-group variance homogeneity: exact CYY per
+            -- group, nano-rounded ln terms, one final chi2/C
+            -- (stats.bartlett)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), per_g AS (
+                SELECT g, count(*)::BIGINT AS ni, sum(qv::HUGEINT) AS si,
+                       sum(qv::HUGEINT * qv) AS ssi
+                FROM q GROUP BY 1
+            ), kept AS (
+                SELECT ni,
+                       (ni::HUGEINT * ssi - si * si)::DOUBLE AS cyy
+                FROM per_g
+                WHERE ni >= 2 AND (ni::HUGEINT * ssi - si * si)::DOUBLE > 0
+            ), agg AS (
+                SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS n,
+                       sum(round((ni::DOUBLE - 1)
+                            * ln(cyy / (ni::DOUBLE * (ni::DOUBLE - 1)))
+                            * 1000000000.0)::HUGEINT) AS lns_nano,
+                       sum(round(cyy / ni::DOUBLE
+                            * 1000000.0)::HUGEINT) AS cyy_n_micro,
+                       sum(round(1.0 / (ni::DOUBLE - 1)
+                            * 1000000000.0)::HUGEINT) AS inv_nano
+                FROM kept
+            )
+            SELECT k, n,
+                   CASE WHEN k >= 2 AND n > k
+                        THEN round(((n::DOUBLE - k::DOUBLE)
+                              * ln((cyy_n_micro::DOUBLE / 1000000.0)
+                                   / (n::DOUBLE - k::DOUBLE))
+                              - lns_nano::DOUBLE / 1000000000.0)
+                             / (1 + (inv_nano::DOUBLE / 1000000000.0
+                                     - 1 / (n::DOUBLE - k::DOUBLE))
+                                / (3 * (k::DOUBLE - 1))), 6)
+                   END AS chi2,
+                   CASE WHEN k >= 2 AND n > k
+                        THEN round(1 + (inv_nano::DOUBLE / 1000000000.0
+                                        - 1 / (n::DOUBLE - k::DOUBLE))
+                             / (3 * (k::DOUBLE - 1)), 6)
+                   END AS c_factor
+            FROM agg
+        """,
+        "text_code_detect": """
+            -- code-likeness gate: symbol/indent/semicolon structural
+            -- features through a deterministic logistic, logit
+            -- round-6'd before exp (text_analysis.code_likeness)
+            WITH base AS (
+                SELECT doc_id, length(text)::BIGINT AS n_chars,
+                       (length(text) - length(regexp_replace(text,
+                            '[{}();=<>\\[\\]]', '', 'g')))::BIGINT AS sym,
+                       len(string_split(text, chr(10)))::BIGINT AS n_lines,
+                       len(list_filter(string_split(text, chr(10)),
+                           l -> l LIKE '  %'
+                                OR l LIKE chr(9) || '%'))::BIGINT AS ind,
+                       len(list_filter(string_split(text, chr(10)),
+                           l -> l LIKE '%;'))::BIGINT AS semic
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), f AS (
+                SELECT * FROM base WHERE n_chars > 0 AND n_lines > 0
+            ), staged AS (
+                SELECT doc_id, n_chars, n_lines,
+                       round(sym::DOUBLE / n_chars::DOUBLE, 6)
+                           AS sym_ratio,
+                       round(ind::DOUBLE / n_lines::DOUBLE, 6)
+                           AS indent_ratio,
+                       round(semic::DOUBLE / n_lines::DOUBLE, 6)
+                           AS semi_ratio,
+                       round(-4.0
+                             + 14.0 * (sym::DOUBLE / n_chars::DOUBLE)
+                             + 3.0 * (ind::DOUBLE / n_lines::DOUBLE)
+                             + 4.0 * (semic::DOUBLE / n_lines::DOUBLE),
+                             6) AS logit
+                FROM f
+            )
+            SELECT doc_id, n_chars, n_lines, sym_ratio, indent_ratio,
+                   semi_ratio,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+                   round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS is_code
+            FROM staged
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

@@ -1348,3 +1348,56 @@ def sax_symbolize(
         F.when(var > 0, F.round(z, 6)).alias("z"),
         F.when(var > 0, sym).alias("symbol"),
     )
+
+
+def dickey_fuller(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    v_scale: int = 1,
+) -> DataFrame:
+    """Dickey–Fuller unit-root test (no augmentation lags) — "is this
+    series mean-reverting or a random walk": one row (n, rho, t_stat)
+    from the regression Δy_t = α + ρ·y_{t−1} + ε. t_stat ≲ −2.86
+    (the 5% DF critical value) ⇒ stationary; ρ ≈ 0 with a small |t| ⇒
+    treat level shifts and trends as persistent (the evt_hurst
+    cross-check, from regression instead of rescaled ranges).
+
+    Engine-exact: the series is integer on the quantized grid, Δy and
+    the lag are integer window results, every moment is an exact
+    wide-integer sum, and ρ̂ = Cxy/Cxx,
+    t = ρ̂·√((Cxx/n)/(SSR/(n−2))) with SSR = (Cyy − Cxy²/Cxx)/n are
+    fixed double sequences on final scalars (the chow_test closed
+    form — no residual pass).
+    """
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t")
+    pairs = q.select(
+        (F.col("qv") - F.lag("qv", 1).over(w)).alias("dy"),
+        F.lag("qv", 1).over(w).alias("yl"),
+    ).filter(F.col("yl").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("yl").cast(_DEC)).alias("sx"),
+        F.sum(F.col("dy").cast(_DEC)).alias("sy"),
+        F.sum(F.col("yl").cast(_DEC) * F.col("yl").cast(_DEC)).alias("sxx"),
+        F.sum(F.col("dy").cast(_DEC) * F.col("dy").cast(_DEC)).alias("syy"),
+        F.sum(F.col("yl").cast(_DEC) * F.col("dy").cast(_DEC)).alias("sxy"),
+    )
+    nD = F.col("n").cast(_DEC)
+    cxx = (nD * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    cyy = (nD * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cxy = (nD * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    nd = F.col("n").cast("double")
+    rho = cxy / cxx
+    ssr = (cyy - cxy * cxy / cxx) / nd
+    ok = (F.col("n") >= 3) & (cxx > 0)
+    t_stat = rho * F.sqrt((cxx / nd) / (ssr / (nd - 2)))
+    return m.select(
+        "n",
+        F.when(ok, F.round(rho, 6)).alias("rho"),
+        F.when(ok & (ssr > 0), F.round(t_stat, 6)).alias("t_stat"),
+    )

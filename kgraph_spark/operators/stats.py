@@ -86,6 +86,7 @@ __all__ = [
     "icc_oneway",
     "quade",
     "kuiper_2sample",
+    "bartlett",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3775,4 +3776,67 @@ def kuiper_2sample(
             ok,
             F.round((dp + dm) * F.sqrt(na * nb / (na + nb)), 6),
         ).alias("v_scaled"),
+    )
+
+
+def bartlett(df: DataFrame, value_col: str, group_col: str,
+             scale: int = 1_000_000) -> DataFrame:
+    """Bartlett's test — the classical k-group variance-homogeneity
+    gate (the parametric, higher-power sibling of the robust
+    brown_forsythe: use THIS when the groups are near-normal — cf.
+    jarque_bera — and brown_forsythe when they aren't): one row
+    (k, n, chi2, c_factor). χ² = [(N−k)·ln S²_p − Σ(nᵢ−1)·ln S²ᵢ]/C,
+    C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)).
+
+    Engine-exact: per-group variance numerators CYYᵢ = nᵢΣq²−(Σq)²
+    are exact wide integers; each ln/reciprocal term is one fixed
+    double expression nano-rounded (×1e9) and exact-summed (the
+    entropy recipe), and the final χ² assembly runs once on scalars.
+    Groups with nᵢ < 2 or zero variance drop (their ln is undefined),
+    per the classical definition.
+    """
+    q = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv")
+    )
+    per_g = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum(F.col("qv").cast(_DEC)).alias("si"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC)).alias("ssi"),
+    )
+    cyy = (
+        F.col("ni").cast(_DEC) * F.col("ssi") - F.col("si") * F.col("si")
+    ).cast("double")
+    nid = F.col("ni").cast("double")
+    s2 = cyy / (nid * (nid - 1))  # sample variance, grid units²
+    NANO = F.lit(1_000_000_000.0)
+    kept = per_g.filter((F.col("ni") >= 2) & (cyy > 0))
+    agg = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ni").cast("long").alias("n"),
+        F.sum(F.round((nid - 1) * F.log(s2) * NANO).cast(_DEC)).alias("lns_nano"),
+        F.sum(F.round(cyy / nid * F.lit(1_000_000.0)).cast(_DEC)).alias(
+            "cyy_n_micro"
+        ),
+        F.sum(F.round(F.lit(1.0) / (nid - 1) * NANO).cast(_DEC)).alias(
+            "inv_nano"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    # pooled variance S²_p = Σ(nᵢ−1)S²ᵢ/(N−k) = Σ(CYYᵢ/nᵢ)/(N−k)
+    sp2 = (
+        F.col("cyy_n_micro").cast("double") / F.lit(1_000_000.0)
+    ) / (nd - kd)
+    lns = F.col("lns_nano").cast("double") / NANO
+    inv = F.col("inv_nano").cast("double") / NANO
+    c = 1 + (inv - 1 / (nd - kd)) / (3 * (kd - 1))
+    chi2 = ((nd - kd) * F.log(sp2) - lns) / c
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k"))
+    return agg.select(
+        "k",
+        "n",
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        F.when(ok, F.round(c, 6)).alias("c_factor"),
     )

@@ -1250,3 +1250,73 @@ def source_kl_divergence(
             6,
         ).alias("kl_bits"),
     ).orderBy(group_col)
+
+
+def code_likeness(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-likeness detector — the "is this document prose or source
+    code" gate an LLM-pretraining curation pipeline runs before
+    routing documents to text-vs-code dedup/quality tracks: one row
+    per doc (doc_id, n_chars, n_lines, sym_ratio, indent_ratio,
+    semi_ratio, prob, is_code). Features are the classic structural
+    tells — {}();=<>[] symbol density, leading-indent line fraction,
+    semicolon-terminated line fraction — combined by a hand-set
+    logistic stand-in (the quality_classifier determinism stance:
+    plug trained weights in place of the literals).
+
+    Engine-exact: every count is a length-difference / HOF filter on
+    the JVM (no Python), ratios divide exact integers, the logit is
+    round-6'd before the sigmoid so exp() runs on identical doubles.
+    Map-only — zero shuffles.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    sym = n_chars - F.length(F.regexp_replace(t, r"[{}();=<>\[\]]", ""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("  ") | l.startswith("\t"),
+        )
+    )
+    semi = F.size(F.filter(lines, lambda l: l.endswith(";")))
+    base = docs.filter(t.isNotNull() & F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_lines.cast("long").alias("n_lines"),
+        sym.cast("long").alias("_sym"),
+        indented.cast("long").alias("_ind"),
+        semi.cast("long").alias("_semi"),
+    ).filter((F.col("n_chars") > 0) & (F.col("n_lines") > 0))
+    sym_ratio = F.col("_sym").cast("double") / F.col("n_chars").cast("double")
+    ind_ratio = F.col("_ind").cast("double") / F.col("n_lines").cast("double")
+    semi_ratio = F.col("_semi").cast("double") / F.col("n_lines").cast("double")
+    logit = F.round(
+        F.lit(-4.0)
+        + F.lit(14.0) * sym_ratio
+        + F.lit(3.0) * ind_ratio
+        + F.lit(4.0) * semi_ratio,
+        6,
+    )
+    staged = base.select(
+        id_col,
+        "n_chars",
+        "n_lines",
+        F.round(sym_ratio, 6).alias("sym_ratio"),
+        F.round(ind_ratio, 6).alias("indent_ratio"),
+        F.round(semi_ratio, 6).alias("semi_ratio"),
+        logit.alias("_logit"),
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6)
+    return staged.select(
+        id_col,
+        "n_chars",
+        "n_lines",
+        "sym_ratio",
+        "indent_ratio",
+        "semi_ratio",
+        prob.alias("prob"),
+        (prob >= 0.5).alias("is_code"),
+    )

@@ -2215,6 +2215,30 @@ def main() -> None:
          "!BatchEvalPython", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Dickey-Fuller — one grid window (lag pairs) + one exact "
+        "moment fold; no join, no python",
+        _plan(entrymod.queries()["evt_adf"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Bartlett test — one per-group moment aggregate + one-row "
+        "fold, nano-rounded ln terms; no window, no join",
+        _plan(entrymod.queries()["stat_bartlett"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Code-likeness — map-only JVM HOF/regex projection; zero "
+        "shuffles, zero python, zero joins",
+        _plan(entrymod.queries()["text_code_detect"](spark, SF)),
+        ["Project", "!BatchEvalPython", "!Exchange", "!HashAggregate",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

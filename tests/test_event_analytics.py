@@ -583,3 +583,24 @@ def test_sax_symbolize_hand_case(spark):
     }
     # mean 5, sigma ~1.871: paa 4.5 -> z -0.267 'b'; paa 5.5 -> 'c'
     assert (out2[0]["symbol"], out2[1]["symbol"]) == ("b", "c")
+
+
+def test_dickey_fuller_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.event_analytics import dickey_fuller
+
+    # y = 0,2,1,3,2: rho = -1.2, SSR = 1.8, t = -1.2*sqrt(5/0.9)
+    rows = list(enumerate([0.0, 2.0, 1.0, 3.0, 2.0]))
+    df = spark.createDataFrame(rows, "t long, v double")
+    r = dickey_fuller(df, "t", "v").first()
+    assert r["n"] == 4
+    assert r["rho"] == pytest.approx(-1.2, abs=1e-6)
+    assert r["t_stat"] == pytest.approx(-1.2 * math.sqrt(5.0 / 0.9), abs=1e-5)
+    # perfect alternation: regression fits exactly -> SSR 0 -> NULL t
+    alt = list(enumerate([0.0, 1.0, 0.0, 1.0, 0.0, 1.0]))
+    r2 = dickey_fuller(
+        spark.createDataFrame(alt, "t long, v double"), "t", "v"
+    ).first()
+    assert r2["rho"] == pytest.approx(-2.0, abs=1e-9)
+    assert r2["t_stat"] is None

@@ -1390,3 +1390,32 @@ def test_kuiper_2sample_hand_case(spark):
     r2 = kuiper_2sample(lo, hi, "v").first()
     assert r2["d_plus"] == pytest.approx(1.0, abs=1e-9)
     assert r2["d_minus"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_bartlett_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import bartlett
+
+    # equal variances -> chi2 = 0; C = 1 + (1 - 1/4)/3 = 1.25
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+            ("b", 4.0), ("b", 5.0), ("b", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = bartlett(df, "v", "g").first()
+    assert (r["k"], r["n"]) == (2, 6)
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-5)
+    assert r["c_factor"] == pytest.approx(1.25, abs=1e-6)
+    # 16x variance ratio: T = (4*ln(8.5) - 2*ln(16)) / 1.25
+    rows2 = [("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 2.0), ("b", 6.0), ("b", 10.0)]
+    r2 = bartlett(
+        spark.createDataFrame(rows2, "g string, v double"), "v", "g"
+    ).first()
+    exp = (4 * math.log(8.5) - 2 * math.log(16.0)) / 1.25
+    assert r2["chi2"] == pytest.approx(exp, abs=1e-4)
+    # a zero-variance group drops (ln undefined)
+    rows3 = rows + [("c", 7.0), ("c", 7.0)]
+    r3 = bartlett(
+        spark.createDataFrame(rows3, "g string, v double"), "v", "g"
+    ).first()
+    assert (r3["k"], r3["n"]) == (2, 6)
