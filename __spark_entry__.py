@@ -6002,6 +6002,45 @@ def q_text_code_detect(spark, sf_dir):
     return code_likeness(_read(spark, sf_dir, "documents"))
 
 
+def q_stat_tost(spark, sf_dir):
+    """TOST equivalence gate: is weekend mean event value within ±5.0
+    of weekday — the positive "did NOT move" claim welch_t can't
+    make; Welch variances, 1.645 normal-approx bounds."""
+    from kgraph_spark.operators.stats import tost_equivalence
+
+    e = _read(spark, sf_dir, "events").select(
+        "value", F.dayofweek("ts").isin(1, 7).alias("is_weekend")
+    )
+    return tost_equivalence(e, "value", "is_weekend", margin=5.0)
+
+
+def q_evt_fano(spark, sf_dir):
+    """Fano factor of hourly event counts + interarrival CV² — the
+    two dispersion diagnostics of the arrival process; exact integer
+    moments, one division each."""
+    from kgraph_spark.operators.event_analytics import fano_burstiness
+
+    return fano_burstiness(_read(spark, sf_dir, "events"), "ts", 3600)
+
+
+def q_evt_skyline(spark, sf_dir):
+    """Pareto front of users over (total spend cents, event count) —
+    the 2-D skyline via two windows (strict-greater RANGE frame +
+    same-x group max), pure integer dominance decisions."""
+    from kgraph_spark.operators.event_analytics import skyline_2d
+
+    per_user = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return skyline_2d(per_user, "user_id", "cents", "n_events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6335,6 +6374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_adf": q_evt_adf,
         "stat_bartlett": q_stat_bartlett,
         "text_code_detect": q_text_code_detect,
+        "stat_tost": q_stat_tost,
+        "evt_fano": q_evt_fano,
+        "evt_skyline": q_evt_skyline,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -17138,6 +17180,125 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
                    round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS is_code
             FROM staged
+        """,
+        "stat_tost": """
+            -- TOST equivalence (Welch variances, +-5.0 margin, 1.645
+            -- normal bounds): weekend vs weekday mean value
+            -- (stats.tost_equivalence)
+            WITH q AS (
+                SELECT (date_part('dow', ts) IN (0, 6)) AS side,
+                       round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), per AS (
+                SELECT side, count(*)::BIGINT AS n,
+                       sum(qv::HUGEINT) AS s,
+                       sum(qv::HUGEINT * qv) AS ss
+                FROM q GROUP BY 1
+            ), wide AS (
+                SELECT max(CASE WHEN side THEN n END) AS n_a,
+                       max(CASE WHEN side THEN s END) AS s_a,
+                       max(CASE WHEN side THEN ss END) AS ss_a,
+                       max(CASE WHEN NOT side THEN n END) AS n_b,
+                       max(CASE WHEN NOT side THEN s END) AS s_b,
+                       max(CASE WHEN NOT side THEN ss END) AS ss_b
+                FROM per
+            ), c AS (
+                SELECT n_a, n_b,
+                       s_a::DOUBLE / (n_a::DOUBLE * 100.0) AS mean_a,
+                       s_b::DOUBLE / (n_b::DOUBLE * 100.0) AS mean_b,
+                       sqrt((n_a::HUGEINT * ss_a - s_a * s_a)::DOUBLE
+                            / (n_a::DOUBLE * n_a::DOUBLE
+                               * (n_a::DOUBLE - 1) * 100.0 * 100.0)
+                            + (n_b::HUGEINT * ss_b - s_b * s_b)::DOUBLE
+                              / (n_b::DOUBLE * n_b::DOUBLE
+                                 * (n_b::DOUBLE - 1) * 100.0 * 100.0))
+                           AS se
+                FROM wide
+            )
+            SELECT n_a, n_b,
+                   round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+                   round(mean_a - mean_b, 6) AS diff,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+                        THEN round((mean_a - mean_b + 5.0) / se, 6)
+                   END AS t_lower,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+                        THEN round((mean_a - mean_b - 5.0) / se, 6)
+                   END AS t_upper,
+                   CASE WHEN n_a >= 2 AND n_b >= 2 AND se > 0
+                        THEN (mean_a - mean_b + 5.0) / se >= 1.645
+                             AND (mean_a - mean_b - 5.0) / se <= -1.645
+                   END AS equivalent
+            FROM c
+        """,
+        "evt_fano": """
+            -- Fano factor of hourly counts + interarrival CV^2: exact
+            -- integer moments, one division per statistic
+            -- (event_analytics.fano_burstiness)
+            WITH us AS (
+                SELECT epoch_us(ts)::BIGINT AS us FROM events
+                WHERE ts IS NOT NULL
+            ), per_b AS (
+                SELECT floor(us / 3600000000)::BIGINT AS b,
+                       count(*)::BIGINT AS c
+                FROM us GROUP BY 1
+            ), bm AS (
+                SELECT count(*)::BIGINT AS n_buckets,
+                       sum(c::HUGEINT) AS s,
+                       sum(c::HUGEINT * c) AS ss
+                FROM per_b
+            ), gaps AS (
+                SELECT * FROM (
+                    SELECT (us - lag(us) OVER (ORDER BY us))::BIGINT AS g
+                    FROM us
+                ) WHERE g IS NOT NULL
+            ), gm AS (
+                SELECT count(*)::BIGINT AS n_intervals,
+                       sum(g::HUGEINT) AS gs,
+                       sum(g::HUGEINT * g) AS gss
+                FROM gaps
+            )
+            SELECT n_buckets,
+                   CASE WHEN n_buckets >= 2 AND s > 0
+                        THEN round(((n_buckets::DOUBLE * ss::DOUBLE
+                                     - s::DOUBLE * s::DOUBLE)
+                                    / (n_buckets::DOUBLE
+                                       * n_buckets::DOUBLE))
+                             / (s::DOUBLE / n_buckets::DOUBLE), 6)
+                   END AS fano,
+                   n_intervals,
+                   CASE WHEN n_intervals >= 2 AND gs > 0
+                        THEN round(((n_intervals::DOUBLE * gss::DOUBLE
+                                     - gs::DOUBLE * gs::DOUBLE)
+                                    / (n_intervals::DOUBLE
+                                       * n_intervals::DOUBLE))
+                             / ((gs::DOUBLE / n_intervals::DOUBLE)
+                                * (gs::DOUBLE / n_intervals::DOUBLE)),
+                             6)
+                   END AS cv2
+            FROM bm CROSS JOIN gm
+        """,
+        "evt_skyline": """
+            -- 2-D Pareto front of users over (spend cents, events):
+            -- strict-greater RANGE frame + same-x group max, pure
+            -- integer dominance (event_analytics.skyline_2d)
+            WITH per_user AS (
+                SELECT user_id,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+                       count(*)::BIGINT AS n_events
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), staged AS (
+                SELECT user_id AS id, cents AS x, n_events AS y,
+                       max(n_events) OVER (ORDER BY cents
+                            RANGE BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING) AS m1,
+                       max(n_events) OVER (PARTITION BY cents) AS gmax
+                FROM per_user
+            )
+            SELECT id, x, y FROM staged
+            WHERE (m1 IS NULL OR m1 < y) AND y = gmax
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

@@ -1401,3 +1401,108 @@ def dickey_fuller(
         F.when(ok, F.round(rho, 6)).alias("rho"),
         F.when(ok & (ssr > 0), F.round(t_stat, 6)).alias("t_stat"),
     )
+
+
+def fano_burstiness(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Event-stream burstiness — two classic dispersion diagnostics in
+    one row (n_buckets, fano, n_intervals, cv2): the Fano factor
+    (bucket-count variance over mean; 1 = Poisson, >1 = bursty,
+    <1 = regular) and the squared coefficient of variation of
+    interarrival times (CV² — same reading, arrival-process view).
+    The text_burstiness sibling for the EVENT stream itself — the
+    "can I capacity-plan from the mean rate" gate.
+
+    Engine-exact: bucket counts and µs interarrivals are integers,
+    all moments are exact wide-integer sums, each statistic is a
+    fixed double sequence on final scalars (population variance; one
+    division each). Buckets come from the observed-bucket grid ONLY
+    (empty buckets excluded — documented: this is the conditional
+    Fano factor; include-empty needs the span, not the data).
+    """
+    us = df.filter(F.col(ts_col).isNotNull()).select(
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us")
+    )
+    per_b = us.groupBy(
+        F.floor(F.col("us") / F.lit(bucket_seconds * 1_000_000)).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    bm = per_b.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("c").cast(_DEC)).alias("s"),
+        F.sum(F.col("c").cast(_DEC) * F.col("c").cast(_DEC)).alias("ss"),
+    )
+    w = Window.orderBy("us")
+    gaps = us.select((F.col("us") - F.lag("us").over(w)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    gm = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("g").cast(_DEC)).alias("gs"),
+        F.sum(F.col("g").cast(_DEC) * F.col("g").cast(_DEC)).alias("gss"),
+    )
+    j = bm.crossJoin(F.broadcast(gm))
+    nb = F.col("n_buckets").cast("double")
+    fano = (
+        (nb * F.col("ss").cast("double")
+         - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (nb * nb)
+    ) / (F.col("s").cast("double") / nb)
+    ni = F.col("n_intervals").cast("double")
+    gsd = F.col("gs").cast("double")
+    cv2 = (
+        (ni * F.col("gss").cast("double") - gsd * gsd) / (ni * ni)
+    ) / ((gsd / ni) * (gsd / ni))
+    return j.select(
+        "n_buckets",
+        F.when((F.col("n_buckets") >= 2) & (F.col("s") > 0),
+               F.round(fano, 6)).alias("fano"),
+        "n_intervals",
+        F.when((F.col("n_intervals") >= 2) & (F.col("gs") > 0),
+               F.round(cv2, 6)).alias("cv2"),
+    )
+
+
+def skyline_2d(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline (Pareto front) — the rows no other row dominates
+    (x' ≥ x AND y' ≥ y with one strict): the classic "best tradeoff
+    set" operator (top spenders vs most-active users; no scalar
+    weighting needed). Returns the skyline rows (id, x, y) only.
+
+    The naive formulation is an O(n²) dominance anti-join; in 2-D it
+    collapses to TWO windows — m1 = max(y) over STRICTLY greater x
+    (integer RANGE frame, so tied x never leaks into its own test)
+    and the max y within the same-x group: keep ⇔ (m1 < y OR no
+    greater x) AND y = groupmax. Exact integer comparisons only —
+    no floats anywhere, identical in any engine; duplicates of a
+    skyline point all survive (neither dominates the other).
+    """
+    q = df.filter(
+        F.col(id_col).isNotNull()
+        & F.col(x_col).isNotNull()
+        & F.col(y_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    wx = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    wg = Window.partitionBy("x")
+    staged = q.select(
+        "id",
+        "x",
+        "y",
+        F.max("y").over(wx).alias("m1"),
+        F.max("y").over(wg).alias("gmax"),
+    )
+    return staged.filter(
+        (F.col("m1").isNull() | (F.col("m1") < F.col("y")))
+        & (F.col("y") == F.col("gmax"))
+    ).select("id", "x", "y")

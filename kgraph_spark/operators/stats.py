@@ -87,6 +87,7 @@ __all__ = [
     "quade",
     "kuiper_2sample",
     "bartlett",
+    "tost_equivalence",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3839,4 +3840,78 @@ def bartlett(df: DataFrame, value_col: str, group_col: str,
         "n",
         F.when(ok, F.round(chi2, 6)).alias("chi2"),
         F.when(ok, F.round(c, 6)).alias("c_factor"),
+    )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    margin: float,
+    scale: int = 100,
+) -> DataFrame:
+    """TOST equivalence gate (two one-sided tests, Welch variances) —
+    the test that can POSITIVELY conclude "the metric did NOT move by
+    more than ±margin" (welch_t's non-significance never licenses that
+    claim): one row (n_a, n_b, mean_a, mean_b, diff, t_lower, t_upper,
+    equivalent). t_lower = (Δ+margin)/se, t_upper = (Δ−margin)/se;
+    equivalent ⇔ t_lower ≥ 1.645 AND t_upper ≤ −1.645 (the 5% TOST /
+    90% CI-inside-margin rule, normal approximation — documented
+    stand-in for the t quantile at large n).
+
+    Exactness: the welch_t moment recipe verbatim — exact integer
+    per-side moments, u = (nΣx²−(Σx)²)/(n²(n−1)·scale²) one division
+    per side, fixed double sequences for both t's; the margin enters
+    as an exact literal. One hash aggregate + two-row pivot.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(side_col).isNotNull()
+    ).select(
+        F.col(side_col).cast("boolean").alias("side"),
+        _quant(F.col(value_col), scale).alias("qv"),
+    )
+    d19 = F.col("qv").cast("decimal(19,0)")
+    per = q.groupBy("side").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("s"),
+        F.sum(d19 * d19).alias("ss"),
+    )
+    side = lambda c, flag: F.max(F.when(F.col("side") == flag, F.col(c)))  # noqa: E731
+    wide = per.agg(
+        side("n", True).alias("n_a"),
+        side("s", True).alias("s_a"),
+        side("ss", True).alias("ss_a"),
+        side("n", False).alias("n_b"),
+        side("s", False).alias("s_b"),
+        side("ss", False).alias("ss_b"),
+    )
+    sc = F.lit(float(scale))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("s_a").cast("double") / (na * sc)
+    mean_b = F.col("s_b").cast("double") / (nb * sc)
+
+    def u(nc, s_, ss_):
+        n_ = F.col(nc).cast("double")
+        num = (
+            F.col(nc).cast(_DEC) * F.col(ss_) - F.col(s_) * F.col(s_)
+        ).cast("double")
+        return num / (n_ * n_ * (n_ - 1) * sc * sc)
+
+    se = F.sqrt(u("n_a", "s_a", "ss_a") + u("n_b", "s_b", "ss_b"))
+    diff = mean_a - mean_b
+    tl = (diff + F.lit(float(margin))) / se
+    tu = (diff - F.lit(float(margin))) / se
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se > 0)
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(diff, 6).alias("diff"),
+        F.when(ok, F.round(tl, 6)).alias("t_lower"),
+        F.when(ok, F.round(tu, 6)).alias("t_upper"),
+        F.when(ok, (tl >= F.lit(1.645)) & (tu <= F.lit(-1.645))).alias(
+            "equivalent"
+        ),
     )

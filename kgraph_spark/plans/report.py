@@ -2239,6 +2239,30 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "TOST equivalence — one side-keyed aggregate + two-row "
+        "pivot; no window, no join, no python",
+        _plan(entrymod.queries()["stat_tost"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Fano/burstiness — bucket aggregate + gap window + two "
+        "folds, broadcast combine; no python",
+        _plan(entrymod.queries()["evt_fano"](spark, SF)),
+        ["HashAggregate", "partial_", "Window",
+         "BroadcastNestedLoopJoin", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "2-D skyline — per-user aggregate + two windows (strict RANGE "
+        "frame, same-x max), integer dominance filter; no self-join",
+        _plan(entrymod.queries()["evt_skyline"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin", "!BroadcastHashJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -604,3 +604,45 @@ def test_dickey_fuller_hand_case(spark):
     ).first()
     assert r2["rho"] == pytest.approx(-2.0, abs=1e-9)
     assert r2["t_stat"] is None
+
+
+def test_fano_burstiness_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import fano_burstiness
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base,),
+        (base + dt.timedelta(microseconds=1),),
+        (base + dt.timedelta(microseconds=2),),
+        (base + dt.timedelta(hours=1),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = fano_burstiness(df, "ts", 3600).first()
+    # buckets [3, 1]: mean 2, pop var 1 -> fano 0.5
+    assert r["n_buckets"] == 2
+    assert r["fano"] == pytest.approx(0.5, abs=1e-9)
+    # gaps [1, 1, 3599999998] us
+    g = [1.0, 1.0, 3599999998.0]
+    m = sum(g) / 3
+    var = sum((x - m) ** 2 for x in g) / 3
+    assert r["n_intervals"] == 3
+    assert r["cv2"] == pytest.approx(var / (m * m), rel=1e-5)
+
+
+def test_skyline_2d_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import skyline_2d
+
+    rows = [
+        (1, 5, 1), (2, 3, 3), (3, 1, 5),
+        (4, 2, 2),          # dominated by (3,3)
+        (5, 3, 3),          # duplicate skyline point - survives
+        (6, 3, 2),          # same x as skyline, smaller y - dominated
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {r["id"] for r in skyline_2d(df, "id", "x", "y").collect()}
+    assert got == {1, 2, 3, 5}
+    # single point is trivially skyline
+    one = spark.createDataFrame([(9, 0, 0)], "id long, x long, y long")
+    assert {r["id"] for r in skyline_2d(one, "id", "x", "y").collect()} == {9}

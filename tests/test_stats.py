@@ -1419,3 +1419,23 @@ def test_bartlett_hand_case(spark):
         spark.createDataFrame(rows3, "g string, v double"), "v", "g"
     ).first()
     assert (r3["k"], r3["n"]) == (2, 6)
+
+
+def test_tost_equivalence_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import tost_equivalence
+
+    # equal means, se = sqrt(1 + 0.25): margin 3 -> equivalent
+    rows = [(True, 10.0), (True, 12.0), (False, 10.5), (False, 11.5)]
+    df = spark.createDataFrame(rows, "side boolean, v double")
+    r = tost_equivalence(df, "v", "side", margin=3.0).first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["diff"] == pytest.approx(0.0, abs=1e-9)
+    se = math.sqrt(1.0 + 0.25)
+    assert r["t_lower"] == pytest.approx(3.0 / se, abs=1e-5)
+    assert r["t_upper"] == pytest.approx(-3.0 / se, abs=1e-5)
+    assert bool(r["equivalent"]) is True
+    # margin too tight -> cannot claim equivalence
+    r2 = tost_equivalence(df, "v", "side", margin=1.0).first()
+    assert bool(r2["equivalent"]) is False
