@@ -6041,6 +6041,47 @@ def q_evt_skyline(spark, sf_dir):
     return skyline_2d(per_user, "user_id", "cents", "n_events")
 
 
+def q_evt_gehan(spark, sf_dir):
+    """Gehan–Breslow–Wilcoxon early-weighted survival test on the
+    same weekend/weekday session cohorts as stat_logrank — n-at-risk
+    weights make the observed-minus-expected sum PURE integer; only
+    variance terms are micro-rounded."""
+    from kgraph_spark.operators.survival import gehan_wilcoxon
+
+    lt = _session_lifetimes(spark, sf_dir).withColumn(
+        "grp",
+        ((F.floor(F.col("start_sec") / 86400).cast("long") + 4) % 7).isin(0, 6),
+    )
+    return gehan_wilcoxon(lt)
+
+
+def q_eval_mcc(spark, sf_dir):
+    """Matthews correlation + F1 + balanced accuracy of the quality
+    classifier's keep decision against lang='en' — the one-row gate
+    that can't be gamed by majority-class prediction; four exact
+    cells, one sqrt."""
+    from kgraph_spark.operators.eval_metrics import binary_confusion_stats
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = quality_classifier(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("y")), "doc_id"
+    )
+    return binary_confusion_stats(scored, "keep", "y")
+
+
+def q_curation_source_overlap(spark, sf_dir):
+    """Pairwise source content-overlap matrix over md5 keys of the
+    lowercased 40-char opening — which feeds syndicate each other's
+    ledes; per-(key,source) dedup first, pair join on the per-key
+    source set, broadcast totals."""
+    from kgraph_spark.operators.corpus_curation import source_overlap_matrix
+
+    return source_overlap_matrix(
+        _read(spark, sf_dir, "documents"), prefix_chars=40
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6377,6 +6418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_tost": q_stat_tost,
         "evt_fano": q_evt_fano,
         "evt_skyline": q_evt_skyline,
+        "evt_gehan": q_evt_gehan,
+        "eval_mcc": q_eval_mcc,
+        "curation_source_overlap": q_curation_source_overlap,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -17299,6 +17343,157 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, x, y FROM staged
             WHERE (m1 IS NULL OR m1 < y) AND y = gmax
+        """,
+        "evt_gehan": """
+            -- Gehan-Breslow-Wilcoxon: n-at-risk-weighted log-rank on
+            -- weekend/weekday session cohorts; W = sum(nr*d1 - d*nr1)
+            -- pure integer, variance micro-rounded
+            -- (survival.gehan_wilcoxon)
+            WITH marked AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                            THEN 1 ELSE 0 END AS _new
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), sess AS (
+                SELECT user_id, us,
+                       sum(_new) OVER (PARTITION BY user_id ORDER BY us
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ), per_s AS (
+                SELECT user_id, sid, min(us) AS smin, max(us) AS smax
+                FROM sess GROUP BY 1, 2
+            ), h AS (SELECT max(smax) AS gmax FROM per_s),
+            lt AS (
+                SELECT (smax - smin) // 1000000 AS dur,
+                       (smax <= gmax - 1800 * 1000000)::INT AS e,
+                       (((((smin // 1000000) // 86400) + 4) % 7) IN (0, 6))::INT AS g
+                FROM per_s, h
+            ), pt AS (
+                SELECT dur AS t, sum(e)::BIGINT AS d, sum(e * g)::BIGINT AS d1,
+                       count(*)::BIGINT AS leave, sum(g)::BIGINT AS leave1
+                FROM lt GROUP BY 1
+            ), tot AS (
+                SELECT sum(leave)::BIGINT AS n, sum(leave1)::BIGINT AS n1 FROM pt
+            ), r AS (
+                SELECT t, d, d1,
+                       (n - (sum(leave) OVER w - leave))::BIGINT AS nr,
+                       (n1 - (sum(leave1) OVER w - leave1))::BIGINT AS nr1
+                FROM pt, tot
+                WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+            ), terms AS (
+                SELECT (nr::HUGEINT * d1 - d::HUGEINT * nr1) AS wt,
+                       CASE WHEN nr >= 2
+                            THEN round(d::DOUBLE * nr1::DOUBLE
+                                       * (nr - nr1)::DOUBLE
+                                       * (nr::DOUBLE - d::DOUBLE)
+                                       / (nr::DOUBLE - 1.0)
+                                       * 1000000.0)::HUGEINT
+                            ELSE 0 END AS vt
+                FROM r WHERE d > 0
+            ), fold AS (
+                SELECT sum(wt) AS w_sum, sum(vt) AS vu FROM terms
+            )
+            SELECT n, n1, w_sum::DOUBLE AS w_sum,
+                   round(vu::DOUBLE / 1000000.0, 6) AS v,
+                   CASE WHEN vu::DOUBLE / 1000000.0 > 0
+                        THEN round(w_sum::DOUBLE
+                             / sqrt(vu::DOUBLE / 1000000.0), 6) END AS z,
+                   CASE WHEN vu::DOUBLE / 1000000.0 > 0
+                        THEN round((w_sum::DOUBLE
+                                    / sqrt(vu::DOUBLE / 1000000.0))
+                             * (w_sum::DOUBLE
+                                / sqrt(vu::DOUBLE / 1000000.0)), 6)
+                   END AS chi2
+            FROM fold, tot
+        """,
+        "eval_mcc": """
+            -- MCC/F1/balanced accuracy of the classifier keep decision
+            -- vs lang='en': four exact cells, one sqrt
+            -- (eval_metrics.binary_confusion_stats)
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       round(-2.0 + 3.0 * alpha_ratio + 2.5 * stopword_ratio
+                             + (-4.0) * punct_ratio
+                             + 1.5 * least(1.0, n_tokens / 200.0), 6) AS logit
+                FROM f
+            ), sc AS (
+                SELECT z.doc_id,
+                       round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS p,
+                       (d.lang = 'en') AS y
+                FROM z JOIN documents d USING (doc_id)
+            ), q AS (
+                SELECT p, y FROM sc WHERE p IS NOT NULL AND y IS NOT NULL
+            ), agg AS (
+                SELECT sum((p AND y)::INT)::BIGINT AS tp,
+                       sum((p AND NOT y)::INT)::BIGINT AS fp,
+                       sum((NOT p AND y)::INT)::BIGINT AS fn,
+                       sum((NOT p AND NOT y)::INT)::BIGINT AS tn
+                FROM q
+            )
+            SELECT tp, fp, fn, tn,
+                   CASE WHEN tp + fp > 0
+                        THEN round(tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE), 6)
+                   END AS precision,
+                   CASE WHEN tp + fn > 0
+                        THEN round(tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE), 6)
+                   END AS recall,
+                   CASE WHEN 2 * tp + fp + fn > 0
+                        THEN round(2 * tp::DOUBLE
+                             / (2 * tp::DOUBLE + fp::DOUBLE + fn::DOUBLE), 6)
+                   END AS f1,
+                   CASE WHEN tp + fn > 0 AND tn + fp > 0
+                        THEN round((tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE)
+                                    + tn::DOUBLE / (tn::DOUBLE + fp::DOUBLE))
+                             / 2, 6)
+                   END AS balanced_acc,
+                   CASE WHEN sqrt((tp::DOUBLE + fp::DOUBLE)
+                                  * (tp::DOUBLE + fn::DOUBLE)
+                                  * (tn::DOUBLE + fp::DOUBLE)
+                                  * (tn::DOUBLE + fn::DOUBLE)) > 0
+                        THEN round((tp::DOUBLE * tn::DOUBLE
+                                    - fp::DOUBLE * fn::DOUBLE)
+                             / sqrt((tp::DOUBLE + fp::DOUBLE)
+                                    * (tp::DOUBLE + fn::DOUBLE)
+                                    * (tn::DOUBLE + fp::DOUBLE)
+                                    * (tn::DOUBLE + fn::DOUBLE)), 6)
+                   END AS mcc
+            FROM agg
+        """,
+        "curation_source_overlap": """
+            -- pairwise source md5-content overlap with per-(hash,
+            -- source) dedup first (corpus_curation.source_overlap_matrix)
+            WITH hs AS (
+                SELECT DISTINCT md5(lower(left(text, 40))) AS h, source AS s
+                FROM documents
+                WHERE text IS NOT NULL AND source IS NOT NULL
+            ), per_src AS (
+                SELECT s, count(*)::BIGINT AS n FROM hs GROUP BY 1
+            ), pairs AS (
+                SELECT a.s AS src_a, b.s AS src_b,
+                       count(*)::BIGINT AS n_shared
+                FROM hs a JOIN hs b USING (h)
+                WHERE a.s < b.s
+                GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, pa.n AS n_a, pb.n AS n_b, n_shared,
+                   round(n_shared::DOUBLE
+                         / (pa.n + pb.n - n_shared)::DOUBLE, 6) AS jaccard
+            FROM pairs
+            JOIN per_src pa ON pairs.src_a = pa.s
+            JOIN per_src pb ON pairs.src_b = pb.s
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

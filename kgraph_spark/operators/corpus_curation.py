@@ -1121,3 +1121,67 @@ def neyman_allocation(
         F.when(F.col("_tw") > 0, F.least(alloc, F.col("n_rows")))
         .otherwise(F.lit(0)).alias("alloc_capped"),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Pairwise source content-overlap matrix — which ingestion feeds
+    ship each other's documents: one row per source pair (src_a,
+    src_b, n_a, n_b, n_shared, jaccard) with src_a < src_b. n_shared
+    counts DISTINCT content hashes present in both feeds; high
+    jaccard between two "independent" sources means paying twice for
+    the same corpus (the cross-SOURCE view that dedup_exact's global
+    collapse doesn't break out, and kmv_vocab_overlap only
+    approximates at the vocabulary level).
+
+    Exact and blow-up-safe: per-(hash, source) dedup FIRST, so a
+    duplicate-heavy source contributes each hash once; the pair join
+    runs on the per-hash source set (≤ |sources| per hash, never a
+    per-row pairing); per-source totals broadcast back onto ≤
+    |sources|² result rows.
+    """
+    key = F.md5(F.col(text_col))
+    if prefix_chars is not None:
+        # near-dup-tolerant key: shared openings (mirrored boilerplate,
+        # syndicated ledes) count as overlap even when bodies diverge
+        key = F.md5(F.lower(F.substring(F.col(text_col), 1, prefix_chars)))
+    hs = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(source_col).isNotNull())
+        .select(key.alias("h"), F.col(source_col).alias("s"))
+        .distinct()
+    )
+    per_src = hs.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = (
+        hs.alias("a")
+        .join(hs.alias("b"), "h")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("src_a"), F.col("b.s").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(per_src.select(F.col("s").alias("src_a"), F.col("n").alias("n_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per_src.select(F.col("s").alias("src_b"), F.col("n").alias("n_b"))),
+            "src_b",
+        )
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

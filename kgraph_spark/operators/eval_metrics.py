@@ -1099,3 +1099,60 @@ def lift_gains(
             ),
         ).alias("lift"),
     )
+
+
+def binary_confusion_stats(
+    scored: DataFrame, pred_col: str = "pred", label_col: str = "label"
+) -> DataFrame:
+    """Binary confusion summary with the imbalance-honest scalars —
+    one row (tp, fp, fn, tn, precision, recall, f1, balanced_acc,
+    mcc). MCC = (tp·tn − fp·fn)/√((tp+fp)(tp+fn)(tn+fp)(tn+fn)) is
+    the single-number gate that cannot be gamed by predicting the
+    majority class (accuracy and even F1 can); balanced accuracy is
+    its interpretable companion. classification_report gives the
+    per-class view; this is the one-row decision gate.
+
+    Exact: four integer cells from ONE hash fold; every metric is a
+    fixed double sequence (one sqrt for MCC) on those exact integers.
+    """
+    q = scored.filter(
+        F.col(pred_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(pred_col).cast("boolean").alias("p"),
+        F.col(label_col).cast("boolean").alias("y"),
+    )
+    agg = q.agg(
+        F.sum((F.col("p") & F.col("y")).cast("int")).cast("long").alias("tp"),
+        F.sum((F.col("p") & ~F.col("y")).cast("int")).cast("long").alias("fp"),
+        F.sum((~F.col("p") & F.col("y")).cast("int")).cast("long").alias("fn"),
+        F.sum((~F.col("p") & ~F.col("y")).cast("int")).cast("long").alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    prec = tp / (tp + fp)
+    rec = tp / (tp + fn)
+    tnr = tn / (tn + fp)
+    mcc_den = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(F.col("tp") + F.col("fp") > 0, F.round(prec, 6)).alias(
+            "precision"
+        ),
+        F.when(F.col("tp") + F.col("fn") > 0, F.round(rec, 6)).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(2 * tp / (2 * tp + fp + fn), 6),
+        ).alias("f1"),
+        F.when(
+            (F.col("tp") + F.col("fn") > 0) & (F.col("tn") + F.col("fp") > 0),
+            F.round((rec + tnr) / 2, 6),
+        ).alias("balanced_acc"),
+        F.when(
+            mcc_den > 0, F.round((tp * tn - fp * fn) / mcc_den, 6)
+        ).alias("mcc"),
+    )

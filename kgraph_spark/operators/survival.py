@@ -452,3 +452,100 @@ def restricted_mean_survival(
         F.coalesce(F.col("d_events"), F.lit(0)).alias("d_events"),
         F.round(rmst, 6).alias("rmst_sec"),
     )
+
+
+def gehan_wilcoxon(
+    df: DataFrame,
+    duration_col: str = "dur_sec",
+    event_col: str = "event",
+    group_col: str = "grp",
+) -> DataFrame:
+    """Gehan–Breslow–Wilcoxon test — the EARLY-difference-weighted
+    log-rank (weight = n at risk, so deaths while most subjects
+    remain count most): one row (n, n1, w_sum, v, z, chi2). Use it
+    when the curves separate early then converge (early churn burst);
+    logrank_test weighs all times equally and can miss that. Same
+    censoring-aware grid, different alternative.
+
+    EXACTER than the unweighted test: with w_t = n_t the weighted
+    observed-minus-expected Σ n_t·d1_t − d_t·n1_t is PURE integer
+    arithmetic (no rounding at all); only the variance terms
+    d·n1·(n−n1)·(n−d)/(n−1) are micro-rounded and exact-summed.
+    One grid aggregate, two prefix sums, one fold — the logrank plan.
+    """
+    q = df.filter(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        F.col(group_col).cast("boolean").cast("int").alias("g"),
+    )
+    per_t = q.groupBy("t").agg(
+        F.sum("e").cast("long").alias("d"),
+        F.sum(F.col("e") * F.col("g")).cast("long").alias("d1"),
+        F.count(F.lit(1)).cast("long").alias("leave"),
+        F.sum("g").cast("long").alias("leave1"),
+    )
+    w = Window.orderBy("t")
+    tot = per_t.agg(
+        F.sum("leave").cast("long").alias("_n"),
+        F.sum("leave1").cast("long").alias("_n1"),
+    )
+    risked = (
+        per_t.select(
+            "t",
+            "d",
+            "d1",
+            (
+                F.sum("leave").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("leave")
+            ).alias("_b"),
+            (
+                F.sum("leave1").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                - F.col("leave1")
+            ).alias("_b1"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d",
+            "d1",
+            (F.col("_n") - F.col("_b")).alias("nr"),
+            (F.col("_n1") - F.col("_b1")).alias("nr1"),
+        )
+        .filter(F.col("d") > 0)
+    )
+    w_term = (
+        F.col("nr").cast(_DEC) * F.col("d1").cast(_DEC)
+        - F.col("d").cast(_DEC) * F.col("nr1").cast(_DEC)
+    )
+    nd = F.col("nr").cast("double")
+    v_term = F.when(
+        F.col("nr") >= 2,
+        F.round(
+            F.col("d").cast("double")
+            * F.col("nr1").cast("double")
+            * (F.col("nr") - F.col("nr1")).cast("double")
+            * (nd - F.col("d").cast("double"))
+            / (nd - F.lit(1.0))
+            * F.lit(1_000_000.0),
+            0,
+        ).cast(_DEC),
+    ).otherwise(F.lit(0).cast(_DEC))
+    folded = risked.groupBy().agg(
+        F.sum(w_term).alias("w_sum"),
+        F.sum(v_term).alias("_vu"),
+    )
+    out = folded.crossJoin(F.broadcast(tot))
+    v = F.col("_vu").cast("double") / F.lit(1_000_000.0)
+    z = F.col("w_sum").cast("double") / F.sqrt(v)
+    return out.select(
+        F.col("_n").alias("n"),
+        F.col("_n1").alias("n1"),
+        F.col("w_sum").cast("double").alias("w_sum"),
+        F.round(v, 6).alias("v"),
+        F.when(v > 0, F.round(z, 6)).alias("z"),
+        F.when(v > 0, F.round(z * z, 6)).alias("chi2"),
+    )

@@ -2263,6 +2263,29 @@ def main() -> None:
          "!SortMergeJoin", "!BroadcastHashJoin"],
     ))
 
+    sections.append((
+        "Gehan-Wilcoxon — the logrank grid plan (grid aggregate, two "
+        "prefix sums, one fold), integer W terms",
+        _plan(entrymod.queries()["evt_gehan"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "MCC confusion gate — classifier join + ONE four-cell fold; "
+        "no window",
+        _plan(entrymod.queries()["eval_mcc"](spark, SF)),
+        ["HashAggregate", "partial_", "!Window", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Source overlap matrix — per-(key,source) dedup BEFORE the "
+        "pair join, broadcast totals; no cartesian",
+        _plan(entrymod.queries()["curation_source_overlap"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -893,3 +893,31 @@ def test_source_kl_divergence_hand_case(spark):
     )
     for r in source_kl_divergence(same).collect():
         assert r["kl_bits"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_source_overlap_matrix_hand_case(spark):
+    from kgraph_spark.operators.corpus_curation import source_overlap_matrix
+
+    rows = [
+        ("d1", "s1", "x" * 50),
+        ("d2", "s2", "x" * 45 + "zzz"),   # same 40-char opening as d1
+        ("d3", "s2", "completely different text here"),
+        ("d4", "s3", "another unrelated body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = source_overlap_matrix(df, prefix_chars=40).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["src_a"], r["src_b"]) == ("s1", "s2")
+    assert (r["n_a"], r["n_b"], r["n_shared"]) == (1, 2, 1)
+    assert r["jaccard"] == pytest.approx(0.5, abs=1e-9)
+    # exact mode: the 45-char twin no longer matches
+    assert source_overlap_matrix(df).count() == 0
+    # duplicate-heavy source counts each key once
+    dup = df.union(
+        spark.createDataFrame(
+            [("d5", "s1", "x" * 50)], "doc_id string, source string, text string"
+        )
+    )
+    r2 = source_overlap_matrix(dup, prefix_chars=40).first()
+    assert (r2["n_a"], r2["n_shared"]) == (1, 1)

@@ -534,3 +534,27 @@ def test_lift_gains_hand_case(spark):
     t = lift_gains(tied, "s", "y", 10).collect()
     assert len(t) == 1 and t[0]["bucket"] == 0
     assert t[0]["lift"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_binary_confusion_stats_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.eval_metrics import binary_confusion_stats
+
+    rows = (
+        [(True, True)] * 2 + [(True, False)] * 1
+        + [(False, True)] * 1 + [(False, False)] * 6
+    )
+    df = spark.createDataFrame(rows, "pred boolean, y boolean")
+    r = binary_confusion_stats(df, "pred", "y").first()
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 6)
+    assert r["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r["balanced_acc"] == pytest.approx((2 / 3 + 6 / 7) / 2, abs=1e-6)
+    assert r["mcc"] == pytest.approx(11.0 / math.sqrt(3 * 3 * 7 * 7), abs=1e-6)
+    # all-one-class prediction: mcc denominator 0 -> NULL (not 0.0)
+    bad = spark.createDataFrame(
+        [(True, True), (True, False)], "pred boolean, y boolean"
+    )
+    assert binary_confusion_stats(bad, "pred", "y").first()["mcc"] is None

@@ -155,3 +155,26 @@ def test_rmst_hand_case(spark):
 
     with _pytest.raises(ValueError):
         restricted_mean_survival(df, tau=0)
+
+
+def test_gehan_wilcoxon_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.survival import gehan_wilcoxon
+
+    # t=1 g1 event; t=2 g0 event; t=3 g1 event; t=4 g0 censored
+    rows = [(1, 1, True), (2, 1, False), (3, 1, True), (4, 0, False)]
+    df = spark.createDataFrame(rows, "dur_sec long, event int, grp boolean")
+    r = gehan_wilcoxon(df).first()
+    assert (r["n"], r["n1"]) == (4, 2)
+    # W = (4*1-1*2) + (3*0-1*1) + (2*1-1*1) = 2
+    # V = 1*2*2*3/3 + 1*1*2*2/2 + 1*1*1*1/1 = 4 + 2 + 1 = 7
+    assert r["w_sum"] == pytest.approx(2.0, abs=1e-9)
+    assert r["v"] == pytest.approx(7.0, abs=1e-6)
+    assert r["z"] == pytest.approx(2.0 / math.sqrt(7.0), abs=1e-6)
+    # identical groups -> W = 0
+    same = [(1, 1, True), (1, 1, False), (2, 1, True), (2, 1, False)]
+    r2 = gehan_wilcoxon(
+        spark.createDataFrame(same, "dur_sec long, event int, grp boolean")
+    ).first()
+    assert r2["w_sum"] == pytest.approx(0.0, abs=1e-9)
