@@ -6082,6 +6082,60 @@ def q_curation_source_overlap(spark, sf_dir):
     )
 
 
+def q_evt_decompose(spark, sf_dir):
+    """STL-lite additive decomposition of daily traffic (7-day
+    centered trend, zero-centered weekday seasonal, residual) — the
+    series anomaly detectors should consume; exact window sums,
+    micro-rounded phase means."""
+    from kgraph_spark.operators.event_analytics import seasonal_decompose_additive
+
+    return seasonal_decompose_additive(
+        _daily_counts(spark, sf_dir), "d", "c", period=7, v_scale=1
+    )
+
+
+def q_eval_regression(spark, sf_dir):
+    """Regression report (MAE/RMSE/R²/MAPE) for the per-type mean
+    predictor fitted on the first half-month and evaluated on the
+    second — honest train/eval split; integer micro-grid errors, one
+    fold."""
+    from kgraph_spark.operators.eval_metrics import regression_metrics
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    ev = ev.select(
+        "event_type",
+        (day >= 19738).alias("h2"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("qv"),
+    )
+    train = ev.filter(~F.col("h2")).groupBy("event_type").agg(
+        (
+            F.sum("qv").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("pred")
+    )
+    test = ev.filter(F.col("h2")).select(
+        "event_type",
+        (F.col("qv").cast("double") / F.lit(1_000_000.0)).alias("actual"),
+    ).join(F.broadcast(train), "event_type")
+    return regression_metrics(test, "pred", "actual")
+
+
+def q_evt_hour_uniform(spark, sf_dir):
+    """One-sample KS of hour-of-day uniformity — the trig-free
+    circular-flatness gate; exact 24-cell integer CDF cross-products,
+    one division + one sqrt."""
+    from kgraph_spark.operators.event_analytics import hour_uniformity_ks
+
+    return hour_uniformity_ks(_read(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6421,6 +6475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_gehan": q_evt_gehan,
         "eval_mcc": q_eval_mcc,
         "curation_source_overlap": q_curation_source_overlap,
+        "evt_decompose": q_evt_decompose,
+        "eval_regression": q_eval_regression,
+        "evt_hour_uniform": q_evt_hour_uniform,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -17494,6 +17551,134 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs
             JOIN per_src pa ON pairs.src_a = pa.s
             JOIN per_src pb ON pairs.src_b = pb.s
+        """,
+        "evt_decompose": """
+            -- STL-lite additive decomposition of daily counts: 7-day
+            -- centered trend, zero-centered weekday seasonal
+            -- (event_analytics.seasonal_decompose_additive)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), trended AS (
+                SELECT t, qv,
+                       CASE WHEN count(*) OVER wt = 7
+                                 AND max(t) OVER wt - min(t) OVER wt = 6
+                            THEN sum(qv) OVER wt::DOUBLE / 7.0 END AS trend_q
+                FROM cnt
+                WINDOW wt AS (ORDER BY t
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), detr AS (
+                SELECT t, qv, trend_q, (t % 7)::BIGINT AS phase,
+                       qv::DOUBLE - trend_q AS dt_q
+                FROM trended
+            ), pm AS (
+                SELECT phase,
+                       sum(round(dt_q * 1000000.0)::HUGEINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS raw_seasonal
+                FROM detr WHERE dt_q IS NOT NULL GROUP BY 1
+            ), ctr AS (
+                SELECT sum(round(raw_seasonal * 1000000.0)::HUGEINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS mean_seasonal
+                FROM pm
+            ), seas AS (
+                SELECT phase, raw_seasonal - mean_seasonal AS seasonal_q
+                FROM pm CROSS JOIN ctr
+            )
+            SELECT t, round(qv::DOUBLE / 1.0, 6) AS value,
+                   round(trend_q / 1.0, 6) AS trend,
+                   round(seasonal_q / 1.0, 6) AS seasonal,
+                   round((qv::DOUBLE - trend_q - seasonal_q) / 1.0, 6)
+                       AS resid
+            FROM detr JOIN seas USING (phase)
+        """,
+        "eval_regression": """
+            -- regression report of the per-type mean predictor,
+            -- first-half fit / second-half eval; integer micro-grid
+            -- errors (eval_metrics.regression_metrics)
+            WITH ev AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 86400000000)::BIGINT >= 19738 AS h2,
+                       round(value * 1000000)::BIGINT AS qv
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                      AND value IS NOT NULL
+            ), train AS (
+                SELECT event_type,
+                       sum(qv)::DOUBLE / (count(*)::DOUBLE * 1000000.0)
+                           AS pred
+                FROM ev WHERE NOT h2 GROUP BY 1
+            ), test AS (
+                SELECT e.qv::DOUBLE / 1000000.0 AS actual, t.pred
+                FROM ev e JOIN train t USING (event_type)
+                WHERE e.h2
+            ), q AS (
+                SELECT round(pred * 1000000)::BIGINT AS qp,
+                       round(actual * 1000000)::BIGINT AS qy
+                FROM test
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(abs(qp - qy)::HUGEINT) AS sae,
+                       sum((qp - qy)::HUGEINT * (qp - qy)) AS sse,
+                       sum(qy::HUGEINT) AS sy,
+                       sum(qy::HUGEINT * qy) AS syy,
+                       count(CASE WHEN qy <> 0 THEN 1 END)::BIGINT AS n_mape,
+                       sum(CASE WHEN qy <> 0
+                            THEN round(abs(qp - qy)::DOUBLE
+                                 / abs(qy)::DOUBLE
+                                 * 1000000.0)::BIGINT END)::BIGINT AS smape_t
+                FROM q
+            )
+            SELECT n,
+                   CASE WHEN n > 0
+                        THEN round(sae::DOUBLE
+                             / (n::DOUBLE * 1000000.0), 6) END AS mae,
+                   CASE WHEN n > 0
+                        THEN round(sqrt(sse::DOUBLE / n::DOUBLE)
+                             / 1000000.0, 6) END AS rmse,
+                   CASE WHEN (n::HUGEINT * syy - sy * sy)::DOUBLE
+                             / n::DOUBLE > 0
+                        THEN round(1 - sse::DOUBLE
+                             / ((n::HUGEINT * syy - sy * sy)::DOUBLE
+                                / n::DOUBLE), 6) END AS r2,
+                   CASE WHEN n_mape > 0
+                        THEN round(smape_t::DOUBLE
+                             / (n_mape::DOUBLE * 1000000.0), 6)
+                   END AS mape
+            FROM agg
+        """,
+        "evt_hour_uniform": """
+            -- one-sample KS vs the uniform hour-of-day law: exact
+            -- 24-cell integer CDF cross-products
+            -- (event_analytics.hour_uniformity_ks)
+            WITH hrs AS (
+                SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS h
+                FROM events WHERE ts IS NOT NULL
+            ), per_h AS (
+                SELECT h, count(*)::BIGINT AS c FROM hrs GROUP BY 1
+            ), tot AS (
+                SELECT sum(c)::BIGINT AS n FROM per_h
+            ), cum AS (
+                SELECT h, n,
+                       sum(c) OVER (ORDER BY h
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM per_h CROSS JOIN tot
+            ), staged AS (
+                SELECT h, n,
+                       abs(24::HUGEINT * cum - (h + 1)::HUGEINT * n) AS num
+                FROM cum
+            ), best AS (
+                SELECT n, dnum, min(h)::BIGINT AS at_hour
+                FROM (SELECT h, n, num, max(num) OVER () AS dnum
+                      FROM staged)
+                WHERE num = dnum GROUP BY n, dnum
+            )
+            SELECT n,
+                   round(dnum::DOUBLE / (24.0 * n::DOUBLE), 6) AS d,
+                   at_hour,
+                   round((dnum::DOUBLE / (24.0 * n::DOUBLE))
+                         * sqrt(n::DOUBLE), 6) AS d_scaled
+            FROM best
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

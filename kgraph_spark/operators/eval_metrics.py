@@ -1156,3 +1156,64 @@ def binary_confusion_stats(
             mcc_den > 0, F.round((tp * tn - fp * fn) / mcc_den, 6)
         ).alias("mcc"),
     )
+
+
+def regression_metrics(
+    scored: DataFrame, pred_col: str = "pred", actual_col: str = "actual"
+) -> DataFrame:
+    """Regression-predictor report — one row (n, mae, rmse, r2, mape)
+    over (prediction, actual) pairs: the numeric-model counterpart of
+    binary_confusion_stats. R² = 1 − SSE/SST (SST about the actuals'
+    mean — negative R² means the predictor is worse than predicting
+    the mean); MAPE skips zero actuals (n_mape reported implicitly by
+    its NULL when none qualify).
+
+    Engine-exact: both columns micro-quantize (×1e6), so every error
+    is an INTEGER difference — |e| and e² sums are exact wide
+    integers; SST comes from exact actual moments; each |e|/|y| MAPE
+    term is one double division micro-rounded and exact-summed. ONE
+    hash fold, one division (+1 sqrt) per metric.
+    """
+    q = scored.filter(
+        F.col(pred_col).isNotNull() & F.col(actual_col).isNotNull()
+    ).select(
+        F.round(F.col(pred_col) * F.lit(1_000_000)).cast("long").alias("qp"),
+        F.round(F.col(actual_col) * F.lit(1_000_000)).cast("long").alias("qy"),
+    )
+    e = F.col("qp") - F.col("qy")
+    mape_t = F.when(
+        F.col("qy") != 0,
+        F.round(
+            F.abs(e).cast("double") / F.abs(F.col("qy")).cast("double")
+            * F.lit(1_000_000.0)
+        ),
+    ).cast("long")
+    agg = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(e)).cast(_DEC).alias("sae"),
+        F.sum(e.cast(_DEC) * e.cast(_DEC)).alias("sse"),
+        F.sum(F.col("qy").cast(_DEC)).alias("sy"),
+        F.sum(F.col("qy").cast(_DEC) * F.col("qy").cast(_DEC)).alias("syy"),
+        F.count(F.when(F.col("qy") != 0, F.lit(1))).cast("long").alias("n_mape"),
+        F.sum(mape_t).cast("long").alias("smape_t"),
+    )
+    nd = F.col("n").cast("double")
+    MICRO = F.lit(1_000_000.0)
+    sst = (
+        F.col("n").cast(_DEC) * F.col("syy") - F.col("sy") * F.col("sy")
+    ).cast("double") / nd
+    ssed = F.col("sse").cast("double")
+    return agg.select(
+        "n",
+        F.when(F.col("n") > 0, F.round(F.col("sae").cast("double") / (nd * MICRO), 6)).alias("mae"),
+        F.when(F.col("n") > 0, F.round(F.sqrt(ssed / nd) / MICRO, 6)).alias("rmse"),
+        F.when(sst > 0, F.round(1 - ssed / sst, 6)).alias("r2"),
+        F.when(
+            F.col("n_mape") > 0,
+            F.round(
+                F.col("smape_t").cast("double")
+                / (F.col("n_mape").cast("double") * MICRO),
+                6,
+            ),
+        ).alias("mape"),
+    )

@@ -1506,3 +1506,137 @@ def skyline_2d(
         (F.col("m1").isNull() | (F.col("m1") < F.col("y")))
         & (F.col("y") == F.col("gmax"))
     ).select("id", "x", "y")
+
+
+def seasonal_decompose_additive(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    period: int = 7,
+    v_scale: int = 1,
+) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of a regular series:
+    value = trend + seasonal + resid, one row per bucket (t, value,
+    trend, seasonal, resid). Trend is the centered `period`-wide
+    moving average (NULL in the half-window warm-up, like the classic
+    decompose); seasonal is the phase-mean of the detrended series,
+    centered to sum to zero; resid is what's left — the input anomaly
+    detectors should consume INSTEAD of the raw series once
+    seasonality is this strong (cf. evt_seasonality / evt_hour_anova).
+
+    Engine-exact: grid values are integers, the moving average is an
+    integer window sum over a count (one division), each detrended
+    phase term and the seasonal centering term are micro-rounded
+    (×1e6) and exact-summed, and resid subtracts the same doubles
+    both engines computed. Windows run over the bounded grid.
+    """
+    half = period // 2
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    wt = Window.orderBy("t").rowsBetween(-half, half)
+    trended = q.select(
+        "t",
+        "qv",
+        F.when(
+            (F.count(F.lit(1)).over(wt) == period)
+            & (F.max("t").over(wt) - F.min("t").over(wt) == F.lit(2 * half)),
+            F.sum("qv").over(wt).cast("double") / F.lit(float(period)),
+        ).alias("trend_q"),
+    )
+    detr = trended.select(
+        "t",
+        "qv",
+        "trend_q",
+        (F.col("t") % F.lit(period)).alias("phase"),
+        (F.col("qv").cast("double") - F.col("trend_q")).alias("dt_q"),
+    )
+    phase_means = (
+        detr.filter(F.col("dt_q").isNotNull())
+        .groupBy("phase")
+        .agg(
+            (
+                F.sum(F.round(F.col("dt_q") * F.lit(1_000_000.0)).cast(_DEC))
+                .cast("double")
+                / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+            ).alias("raw_seasonal")
+        )
+    )
+    center = phase_means.agg(
+        (
+            F.sum(
+                F.round(F.col("raw_seasonal") * F.lit(1_000_000.0)).cast(_DEC)
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1_000_000.0))
+        ).alias("mean_seasonal")
+    )
+    seas = phase_means.crossJoin(F.broadcast(center)).select(
+        "phase",
+        (F.col("raw_seasonal") - F.col("mean_seasonal")).alias("seasonal_q"),
+    )
+    out = detr.join(F.broadcast(seas), "phase")
+    sc = F.lit(float(v_scale))
+    return out.select(
+        "t",
+        F.round(F.col("qv").cast("double") / sc, 6).alias("value"),
+        F.round(F.col("trend_q") / sc, 6).alias("trend"),
+        F.round(F.col("seasonal_q") / sc, 6).alias("seasonal"),
+        F.round(
+            (F.col("qv").cast("double") - F.col("trend_q") - F.col("seasonal_q"))
+            / sc,
+            6,
+        ).alias("resid"),
+    )
+
+
+def hour_uniformity_ks(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """One-sample KS test of hour-of-day uniformity — "is traffic flat
+    around the clock" as a single exact distance (the trig-free
+    answer to a circular-uniformity question; evt_hour_anova asks it
+    per-hour, this gives the one-number gate): one row (n, d, at_hour,
+    d_scaled) where D = max_h |F̂(h) − (h+1)/24| and
+    d_scaled = D·√n (compare to the Kolmogorov quantiles).
+
+    Fully exact until the last step: the empirical and uniform CDFs
+    compare as the integer cross-product |24·cum_h − (h+1)·n| over 24
+    cells; ONE division and one sqrt finish it. at_hour is the
+    smallest hour achieving the max (deterministic tie-break).
+    """
+    hrs = df.filter(F.col(ts_col).isNotNull()).select(
+        F.floor(
+            F.pmod(
+                F.floor(
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    / F.lit(3_600_000_000)
+                ),
+                F.lit(24),
+            )
+        ).cast("long").alias("h")
+    )
+    per_h = hrs.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_h.agg(F.sum("c").cast("long").alias("n"))
+    cum = per_h.select(
+        "h", F.sum("c").over(w).cast("long").alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    num = F.abs(
+        F.lit(24).cast(_DEC) * F.col("cum").cast(_DEC)
+        - (F.col("h") + 1).cast(_DEC) * F.col("n").cast(_DEC)
+    )
+    staged = cum.select("h", "n", num.alias("num"))
+    wmax = Window.partitionBy("n")
+    best = (
+        staged.withColumn("dnum", F.max("num").over(wmax))
+        .filter(F.col("num") == F.col("dnum"))
+        .groupBy("n", "dnum")
+        .agg(F.min("h").cast("long").alias("at_hour"))
+    )
+    nd = F.col("n").cast("double")
+    d = F.col("dnum").cast("double") / (F.lit(24.0) * nd)
+    return best.select(
+        "n",
+        F.round(d, 6).alias("d"),
+        "at_hour",
+        F.round(d * F.sqrt(nd), 6).alias("d_scaled"),
+    )

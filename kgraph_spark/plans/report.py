@@ -2286,6 +2286,30 @@ def main() -> None:
          "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Seasonal decomposition — centered grid window + broadcast "
+        "phase/center rows; no raw-row sort, no python",
+        _plan(entrymod.queries()["evt_decompose"](spark, SF)),
+        ["HashAggregate", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Regression report — broadcast train means onto the eval "
+        "half, ONE fold; no window",
+        _plan(entrymod.queries()["eval_regression"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin", "!Window",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Hour-uniformity KS — 24-cell aggregate, grid window, "
+        "broadcast total; all-integer distances",
+        _plan(entrymod.queries()["evt_hour_uniform"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

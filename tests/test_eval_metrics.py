@@ -558,3 +558,32 @@ def test_binary_confusion_stats_hand_case(spark):
         [(True, True), (True, False)], "pred boolean, y boolean"
     )
     assert binary_confusion_stats(bad, "pred", "y").first()["mcc"] is None
+
+
+def test_regression_metrics_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.eval_metrics import regression_metrics
+
+    # preds [2,3] vs actuals [1,5]: MAE 1.5, RMSE sqrt(2.5),
+    # R2 = 1 - 5/4 (SST about the mean = 8, /n), MAPE = (1 + 0.4)/2
+    df = spark.createDataFrame(
+        [(2.0, 1.0), (3.0, 5.0)], "pred double, actual double"
+    )
+    r = regression_metrics(df, "pred", "actual").first()
+    assert r["n"] == 2
+    assert r["mae"] == pytest.approx(1.5, abs=1e-9)
+    assert r["rmse"] == pytest.approx(math.sqrt(2.5), abs=1e-6)
+    assert r["r2"] == pytest.approx(1 - 5.0 / 8.0, abs=1e-6)
+    assert r["mape"] == pytest.approx(0.7, abs=1e-6)
+    # zero actuals are skipped by MAPE but counted everywhere else
+    z = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 2.0)], "pred double, actual double"
+    )
+    rz = regression_metrics(z, "pred", "actual").first()
+    assert rz["n"] == 2 and rz["mape"] == pytest.approx(0.0, abs=1e-9)
+    # constant actuals -> SST 0 -> NULL r2
+    c = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 2.0)], "pred double, actual double"
+    )
+    assert regression_metrics(c, "pred", "actual").first()["r2"] is None

@@ -646,3 +646,51 @@ def test_skyline_2d_hand_case(spark):
     # single point is trivially skyline
     one = spark.createDataFrame([(9, 0, 0)], "id long, x long, y long")
     assert {r["id"] for r in skyline_2d(one, "id", "x", "y").collect()} == {9}
+
+
+def test_seasonal_decompose_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import (
+        seasonal_decompose_additive,
+    )
+
+    # v_t = t + s[t%3] with s = [0, 3, -3]: trend recovers t exactly,
+    # seasonal recovers s, resid 0 (interior rows)
+    s_pat = {0: 0.0, 1: 3.0, 2: -3.0}
+    rows = [(t, float(t) + s_pat[t % 3]) for t in range(9)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["t"]: r for r in
+           seasonal_decompose_additive(df, "t", "v", period=3).collect()}
+    assert len(out) == 9
+    assert out[0]["trend"] is None and out[8]["trend"] is None  # warm-up
+    for t in range(1, 8):
+        assert out[t]["trend"] == pytest.approx(float(t), abs=1e-6)
+        assert out[t]["seasonal"] == pytest.approx(s_pat[t % 3], abs=1e-6)
+        assert out[t]["resid"] == pytest.approx(0.0, abs=1e-5)
+    # a gap in the grid disables the trend across it (contiguity gate)
+    gappy = [(t, 1.0) for t in [0, 1, 2, 3, 10, 11, 12, 13]]
+    g = {r["t"]: r for r in seasonal_decompose_additive(
+        spark.createDataFrame(gappy, "t long, v double"), "t", "v", period=3
+    ).collect()}
+    assert g[3]["trend"] is None and g[10]["trend"] is None
+    assert g[1]["trend"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_hour_uniformity_ks_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import hour_uniformity_ks
+
+    base = dt.datetime(2024, 1, 1)
+    # everything in hour 0: D = |24*4 - 4|/96 = 92/96
+    rows = [(base + dt.timedelta(minutes=i),) for i in range(4)]
+    r = hour_uniformity_ks(
+        spark.createDataFrame(rows, "ts timestamp")
+    ).first()
+    assert r["n"] == 4 and r["at_hour"] == 0
+    assert r["d"] == pytest.approx(92.0 / 96.0, abs=1e-6)
+    # perfectly uniform: one event per hour -> D = 0
+    uni = [(base + dt.timedelta(hours=h),) for h in range(24)]
+    r2 = hour_uniformity_ks(
+        spark.createDataFrame(uni, "ts timestamp")
+    ).first()
+    assert r2["d"] == pytest.approx(0.0, abs=1e-9)
