@@ -6136,6 +6136,54 @@ def q_evt_hour_uniform(spark, sf_dir):
     return hour_uniformity_ks(_read(spark, sf_dir, "events"))
 
 
+def q_evt_pot(spark, sf_dir):
+    """GPD method-of-moments tail fit on value exceedances over the
+    fixed 250.0 threshold — the extreme-value companion to
+    evt_hill_tail; exact integer excess moments, one fold."""
+    from kgraph_spark.operators.event_analytics import pot_tail_fit
+
+    return pot_tail_fit(_read(spark, sf_dir, "events"), "value", 250.0, scale=100)
+
+
+def q_stat_yuen(spark, sf_dir):
+    """Yuen's 10%-trimmed t: weekend vs weekday event value — the
+    whale-immune A/B gate; per-side grid cut statistics, exact
+    winsorized moments, fixed final t/df sequence."""
+    from kgraph_spark.operators.stats import yuen_t
+
+    e = _read(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
+        "value", F.dayofweek("ts").isin(1, 7).alias("is_weekend")
+    )
+    return yuen_t(e, "value", "is_weekend", trim=0.1, scale=100)
+
+
+def q_eval_rbo(spark, sf_dir):
+    """RBO@20 between the spend-ranked and activity-ranked top users
+    — do the two importance scores agree where it matters (top-
+    weighted, p=0.9); deterministic id tie-breaks, nano-rounded
+    p-power terms."""
+    from kgraph_spark.operators.eval_metrics import rank_biased_overlap
+
+    per_user = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    wa = Window.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+    wb = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    ra = per_user.select(
+        F.col("user_id").alias("id"), F.row_number().over(wa).alias("rank")
+    )
+    rb = per_user.select(
+        F.col("user_id").alias("id"), F.row_number().over(wb).alias("rank")
+    )
+    return rank_biased_overlap(ra, rb, "id", "rank", k=20, p=0.9)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6478,6 +6526,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_decompose": q_evt_decompose,
         "eval_regression": q_eval_regression,
         "evt_hour_uniform": q_evt_hour_uniform,
+        "evt_pot": q_evt_pot,
+        "stat_yuen": q_stat_yuen,
+        "eval_rbo": q_eval_rbo,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -17679,6 +17730,174 @@ def oracle_sql() -> dict[str, str]:
                    round((dnum::DOUBLE / (24.0 * n::DOUBLE))
                          * sqrt(n::DOUBLE), 6) AS d_scaled
             FROM best
+        """,
+        "evt_pot": """
+            -- GPD method-of-moments over the fixed 250.0 threshold:
+            -- exact integer excess moments
+            -- (event_analytics.pot_tail_fit)
+            WITH q AS (
+                SELECT round(value * 100)::BIGINT AS qv FROM events
+                WHERE value IS NOT NULL
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum((qv > 25000)::INT)::BIGINT AS n_exceed,
+                       sum(CASE WHEN qv > 25000
+                            THEN (qv - 25000)::HUGEINT END) AS s,
+                       sum(CASE WHEN qv > 25000
+                            THEN (qv - 25000)::HUGEINT * (qv - 25000) END)
+                           AS ss
+                FROM q
+            ), c AS (
+                SELECT n, n_exceed, s,
+                       s::DOUBLE / (n_exceed::DOUBLE * 100.0) AS m,
+                       (n_exceed::HUGEINT * ss - s * s)::DOUBLE
+                           / (n_exceed::DOUBLE * n_exceed::DOUBLE
+                              * 100.0 * 100.0) AS s2
+                FROM agg
+            )
+            SELECT 250.0 AS u, n, n_exceed,
+                   CASE WHEN n > 0
+                        THEN round(n_exceed::DOUBLE / n::DOUBLE, 6)
+                   END AS exceed_rate,
+                   CASE WHEN n_exceed > 0 THEN round(m, 6)
+                   END AS mean_excess,
+                   CASE WHEN n_exceed >= 2 AND s2 > 0
+                        THEN round((1 - m * m / s2) / 2, 6) END AS xi,
+                   CASE WHEN n_exceed >= 2 AND s2 > 0
+                        THEN round(m / 2 * (1 + m * m / s2), 6)
+                   END AS sigma
+            FROM c
+        """,
+        "stat_yuen": """
+            -- Yuen 10%-trimmed t, weekend vs weekday value: per-side
+            -- grid cut statistics, exact winsorized moments
+            -- (stats.yuen_t)
+            WITH q AS (
+                SELECT (date_part('dow', ts) IN (0, 6)) AS g,
+                       round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), cells AS (
+                SELECT g, qv, count(*)::BIGINT AS t FROM q GROUP BY 1, 2
+            ), cum AS (
+                SELECT g, qv, t,
+                       sum(t) OVER (PARTITION BY g ORDER BY qv
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM cells
+            ), tot AS (
+                SELECT g, sum(t)::BIGINT AS n,
+                       floor(sum(t) * 0.1)::BIGINT AS k
+                FROM cells GROUP BY 1
+            ), j AS (
+                SELECT cum.*, tot.n, tot.k FROM cum JOIN tot USING (g)
+            ), lo AS (
+                SELECT g, min(qv) AS lo_q FROM j WHERE cum >= k + 1
+                GROUP BY 1
+            ), hi AS (
+                SELECT g, min(qv) AS hi_q FROM j WHERE cum >= n - k
+                GROUP BY 1
+            ), sums AS (
+                SELECT g, n, k,
+                       sum(qv::HUGEINT
+                           * greatest(0, least(cum, n - k)
+                                      - greatest(cum - t, k))::HUGEINT)
+                           AS tsum,
+                       sum(qv::HUGEINT * qv
+                           * greatest(0, least(cum, n - k)
+                                      - greatest(cum - t, k))::HUGEINT)
+                           AS tss
+                FROM j GROUP BY 1, 2, 3
+            ), side AS (
+                SELECT g, n, k, (n - 2 * k)::BIGINT AS h,
+                       (tsum + k::HUGEINT * lo_q + k::HUGEINT * hi_q)
+                           AS wsum,
+                       (tss + k::HUGEINT * lo_q * lo_q
+                        + k::HUGEINT * hi_q * hi_q) AS wss,
+                       tsum
+                FROM sums JOIN lo USING (g) JOIN hi USING (g)
+            ), wide AS (
+                SELECT max(CASE WHEN g THEN n END) AS n_a,
+                       max(CASE WHEN g THEN h END) AS h_a,
+                       max(CASE WHEN g THEN tsum END) AS tsum_a,
+                       max(CASE WHEN g THEN wsum END) AS wsum_a,
+                       max(CASE WHEN g THEN wss END) AS wss_a,
+                       max(CASE WHEN NOT g THEN n END) AS n_b,
+                       max(CASE WHEN NOT g THEN h END) AS h_b,
+                       max(CASE WHEN NOT g THEN tsum END) AS tsum_b,
+                       max(CASE WHEN NOT g THEN wsum END) AS wsum_b,
+                       max(CASE WHEN NOT g THEN wss END) AS wss_b
+                FROM side
+            ), c AS (
+                SELECT n_a, n_b, h_a, h_b,
+                       tsum_a::DOUBLE / (h_a::DOUBLE * 100.0) AS tma,
+                       tsum_b::DOUBLE / (h_b::DOUBLE * 100.0) AS tmb,
+                       (n_a::HUGEINT * wss_a - wsum_a * wsum_a)::DOUBLE
+                           / (n_a::DOUBLE * h_a::DOUBLE
+                              * (h_a::DOUBLE - 1) * 100.0 * 100.0) AS da,
+                       (n_b::HUGEINT * wss_b - wsum_b * wsum_b)::DOUBLE
+                           / (n_b::DOUBLE * h_b::DOUBLE
+                              * (h_b::DOUBLE - 1) * 100.0 * 100.0) AS db
+                FROM wide
+            )
+            SELECT n_a, n_b, h_a, h_b,
+                   round(tma, 6) AS tmean_a, round(tmb, 6) AS tmean_b,
+                   CASE WHEN h_a >= 2 AND h_b >= 2 AND da + db > 0
+                        THEN round((tma - tmb) / sqrt(da + db), 6)
+                   END AS t_stat,
+                   CASE WHEN h_a >= 2 AND h_b >= 2 AND da > 0 AND db > 0
+                        THEN round((da + db) * (da + db)
+                             / (da * da / (h_a::DOUBLE - 1)
+                                + db * db / (h_b::DOUBLE - 1)), 6)
+                   END AS df
+            FROM c
+        """,
+        "eval_rbo": """
+            -- truncated RBO@20 (p=0.9) between spend- and activity-
+            -- ranked users: joint-depth grid counts, nano-rounded
+            -- p-power terms (eval_metrics.rank_biased_overlap)
+            WITH per_user AS (
+                SELECT user_id,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS cents,
+                       count(*)::BIGINT AS n_events
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), ra AS (
+                SELECT user_id AS id,
+                       row_number() OVER (ORDER BY cents DESC,
+                                          user_id ASC)::BIGINT AS ra
+                FROM per_user
+            ), rb AS (
+                SELECT user_id AS id,
+                       row_number() OVER (ORDER BY n_events DESC,
+                                          user_id ASC)::BIGINT AS rb
+                FROM per_user
+            ), joint AS (
+                SELECT greatest(ra, rb)::BIGINT AS m
+                FROM ra JOIN rb USING (id)
+                WHERE ra <= 20 AND rb <= 20
+            ), mcells AS (
+                SELECT m, count(*)::BIGINT AS c FROM joint GROUP BY 1
+            ), depths AS (
+                SELECT unnest(range(1, 21))::BIGINT AS d
+            ), xd AS (
+                SELECT d, coalesce(sum(c), 0)::BIGINT AS x
+                FROM depths LEFT JOIN mcells ON m <= d
+                GROUP BY d
+            ), nb AS (
+                SELECT count(*)::BIGINT AS n_both FROM joint
+            ), agg AS (
+                SELECT sum(round(pow(0.9, (d - 1)::DOUBLE) * x::DOUBLE
+                            / d::DOUBLE
+                            * 1000000000.0)::BIGINT)::BIGINT AS t_nano,
+                       max(CASE WHEN d = 20 THEN x END)::BIGINT
+                           AS overlap_at_k
+                FROM xd
+            )
+            SELECT 20::BIGINT AS k, n_both, overlap_at_k,
+                   round((1.0 - 0.9) * t_nano::DOUBLE / 1000000000.0, 6)
+                       AS rbo
+            FROM agg CROSS JOIN nb
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

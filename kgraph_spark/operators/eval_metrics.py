@@ -1217,3 +1217,69 @@ def regression_metrics(
             ),
         ).alias("mape"),
     )
+
+
+def rank_biased_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 20,
+    p: float = 0.9,
+) -> DataFrame:
+    """Truncated rank-biased overlap (RBO@k) between two rankings —
+    "do these two scoring functions surface the same things, weighted
+    toward the top" (Kendall/Spearman need the same support set and
+    weigh rank 1 like rank 1000; RBO compares top-k lists from
+    different universes): one row (k, n_both, overlap_at_k, rbo).
+    rbo = (1−p)·Σ_{d≤k} p^{d−1}·X_d/d with X_d = |A_d ∩ B_d| —
+    the truncated (lower-bound) form, documented; p = 0.9 ⇒ the top
+    ~10 ranks carry most of the weight.
+
+    Exactness: X_d comes from each shared id's joint depth
+    m = max(rank_a, rank_b) — integer grid counts joined to the ≤ k
+    depth frame (k² tiny rows, never a data-sized pairing); each
+    p^{d−1}·X_d/d term is nano-rounded and exact-summed, so the two
+    engines' pow() ulps cannot reorder anything. Callers must supply
+    DETERMINISTIC ranks (ties broken by id — see the query wrappers).
+    """
+    a = ranked_a.filter(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("ra")
+    )
+    b = ranked_b.filter(F.col(rank_col) <= k).select(
+        F.col(id_col).alias("id"), F.col(rank_col).cast("long").alias("rb")
+    )
+    joint = a.join(b, "id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    mcells = joint.groupBy("m").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    spark = ranked_a.sparkSession
+    depths = spark.range(1, k + 1).select(F.col("id").cast("long").alias("d"))
+    xd = (
+        depths.join(F.broadcast(mcells), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("x"))
+    )
+    term = F.round(
+        F.pow(F.lit(float(p)), (F.col("d") - 1).cast("double"))
+        * F.col("x").cast("double")
+        / F.col("d").cast("double")
+        * F.lit(1_000_000_000.0)
+    ).cast("long")
+    n_both = joint.agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    agg = xd.agg(
+        F.sum(term).cast("long").alias("t_nano"),
+        F.max(F.when(F.col("d") == k, F.col("x"))).cast("long").alias(
+            "overlap_at_k"
+        ),
+    ).crossJoin(F.broadcast(n_both))
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        "n_both",
+        "overlap_at_k",
+        F.round(
+            F.lit(1.0 - float(p))
+            * F.col("t_nano").cast("double") / F.lit(1_000_000_000.0),
+            6,
+        ).alias("rbo"),
+    )

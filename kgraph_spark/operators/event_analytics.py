@@ -1640,3 +1640,66 @@ def hour_uniformity_ks(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         "at_hour",
         F.round(d * F.sqrt(nd), 6).alias("d_scaled"),
     )
+
+
+def pot_tail_fit(
+    df: DataFrame,
+    value_col: str,
+    threshold: float,
+    scale: int = 100,
+) -> DataFrame:
+    """Peaks-over-threshold tail fit — method-of-moments GPD on the
+    exceedances over a FIXED threshold u: one row (u, n, n_exceed,
+    exceed_rate, mean_excess, xi, sigma). ξ > 0 ⇒ heavy (Pareto-ish)
+    tail, ξ ≈ 0 exponential, ξ < 0 bounded; the extreme-value
+    companion to evt_hill_tail (Hill assumes ξ > 0; GPD-MOM also
+    detects light/bounded tails). ξ = ½(1 − m²/s²),
+    σ = ½m(1 + m²/s²) from the excess mean/variance.
+
+    Engine-exact: the threshold is a literal on the quantized grid
+    (never an estimated quantile — that would make the gate
+    data-order-dependent), excesses are exact integers, moments are
+    exact wide-integer sums, and ξ/σ are fixed double sequences on
+    final scalars. ONE filtered hash fold.
+    """
+    qu = int(round(threshold * scale))
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * F.lit(scale)).cast("long").alias("qv")
+    )
+    agg = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("qv") > qu).cast("int")).cast("long").alias("n_exceed"),
+        F.sum(
+            F.when(F.col("qv") > qu, (F.col("qv") - qu).cast(_DEC))
+        ).alias("s"),
+        F.sum(
+            F.when(
+                F.col("qv") > qu,
+                (F.col("qv") - qu).cast(_DEC) * (F.col("qv") - qu).cast(_DEC),
+            )
+        ).alias("ss"),
+    )
+    ne = F.col("n_exceed").cast("double")
+    sc = F.lit(float(scale))
+    m = F.col("s").cast("double") / (ne * sc)
+    s2 = (
+        (
+            F.col("n_exceed").cast(_DEC) * F.col("ss")
+            - F.col("s") * F.col("s")
+        ).cast("double")
+        / (ne * ne * sc * sc)
+    )
+    ratio = m * m / s2
+    ok = (F.col("n_exceed") >= 2) & (s2 > 0)
+    return agg.select(
+        F.lit(float(threshold)).alias("u"),
+        "n",
+        "n_exceed",
+        F.when(
+            F.col("n") > 0,
+            F.round(ne / F.col("n").cast("double"), 6),
+        ).alias("exceed_rate"),
+        F.when(F.col("n_exceed") > 0, F.round(m, 6)).alias("mean_excess"),
+        F.when(ok, F.round((1 - ratio) / 2, 6)).alias("xi"),
+        F.when(ok, F.round(m / 2 * (1 + ratio), 6)).alias("sigma"),
+    )

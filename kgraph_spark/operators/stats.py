@@ -88,6 +88,7 @@ __all__ = [
     "kuiper_2sample",
     "bartlett",
     "tost_equivalence",
+    "yuen_t",
 ]
 
 _DEC = "decimal(38,0)"
@@ -3914,4 +3915,131 @@ def tost_equivalence(
         F.when(ok, (tl >= F.lit(1.645)) & (tu <= F.lit(-1.645))).alias(
             "equivalent"
         ),
+    )
+
+
+def yuen_t(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    trim: float = 0.1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Yuen's trimmed two-sample t — the outlier-immune A/B gate
+    (welch_t's robust sibling: one whale in either arm moves welch_t,
+    not this): one row (n_a, n_b, h_a, h_b, tmean_a, tmean_b, t_stat,
+    df). Each side drops its extreme k = ⌊trim·n⌋ per tail for the
+    location estimate and Winsorizes them for the variance;
+    t = (x̄t_A − x̄t_B)/√(d_A + d_B) with
+    d = (n·WSS − WΣ²)/(n·h·(h−1)), df Welch–Satterthwaite on the d's.
+
+    Engine-exact (the trimmed_mean machinery per side): cut order
+    statistics and in-window copy counts from integer grid cumulative
+    counts, winsorized Σ/Σ² as exact wide integers (clamped tails
+    enter as k·cut and k·cut²), every d numerator an exact integer —
+    doubles only on the final six scalars. Grid-sized per-side
+    windows, never a data-sized sort.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull() & F.col(side_col).isNotNull()
+    ).select(
+        F.col(side_col).cast("boolean").alias("g"),
+        _quant(F.col(value_col), scale).alias("qv"),
+    )
+    cells = q.groupBy("g", "qv").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.partitionBy("g").orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "g", "qv", "t", F.sum("t").over(w).cast("long").alias("cum")
+    )
+    tot = cells.groupBy("g").agg(F.sum("t").cast("long").alias("n")).select(
+        "g", "n", F.floor(F.col("n") * F.lit(trim)).cast("long").alias("k")
+    )
+    j = cum.join(F.broadcast(tot), "g")
+    lo = j.filter(F.col("cum") >= F.col("k") + 1).groupBy("g").agg(
+        F.min("qv").alias("lo_q")
+    )
+    hi = j.filter(F.col("cum") >= F.col("n") - F.col("k")).groupBy("g").agg(
+        F.min("qv").alias("hi_q")
+    )
+    inwin = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("t"), F.col("k")),
+    )
+    sums = j.groupBy("g", "n", "k").agg(
+        F.sum(F.col("qv").cast(_DEC) * inwin.cast(_DEC)).alias("tsum"),
+        F.sum(
+            F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC) * inwin.cast(_DEC)
+        ).alias("tss"),
+    )
+    side = (
+        sums.join(F.broadcast(lo), "g")
+        .join(F.broadcast(hi), "g")
+        .select(
+            "g",
+            "n",
+            "k",
+            (F.col("n") - 2 * F.col("k")).alias("h"),
+            (
+                F.col("tsum")
+                + F.col("k").cast(_DEC) * F.col("lo_q").cast(_DEC)
+                + F.col("k").cast(_DEC) * F.col("hi_q").cast(_DEC)
+            ).alias("wsum"),
+            (
+                F.col("tss")
+                + F.col("k").cast(_DEC)
+                * F.col("lo_q").cast(_DEC) * F.col("lo_q").cast(_DEC)
+                + F.col("k").cast(_DEC)
+                * F.col("hi_q").cast(_DEC) * F.col("hi_q").cast(_DEC)
+            ).alias("wss"),
+            "tsum",
+        )
+    )
+    pick = lambda c, flag: F.max(F.when(F.col("g") == flag, F.col(c)))  # noqa: E731
+    wide = side.agg(
+        pick("n", True).alias("n_a"),
+        pick("k", True).alias("k_a"),
+        pick("h", True).alias("h_a"),
+        pick("tsum", True).alias("tsum_a"),
+        pick("wsum", True).alias("wsum_a"),
+        pick("wss", True).alias("wss_a"),
+        pick("n", False).alias("n_b"),
+        pick("k", False).alias("k_b"),
+        pick("h", False).alias("h_b"),
+        pick("tsum", False).alias("tsum_b"),
+        pick("wsum", False).alias("wsum_b"),
+        pick("wss", False).alias("wss_b"),
+    )
+    sc = F.lit(float(scale))
+
+    def tmean(t_, h_):
+        return F.col(t_).cast("double") / (F.col(h_).cast("double") * sc)
+
+    def dvar(n_, h_, wss_, wsum_):
+        num = (
+            F.col(n_).cast(_DEC) * F.col(wss_) - F.col(wsum_) * F.col(wsum_)
+        ).cast("double")
+        nd = F.col(n_).cast("double")
+        hd = F.col(h_).cast("double")
+        return num / (nd * hd * (hd - 1) * sc * sc)
+
+    da = dvar("n_a", "h_a", "wss_a", "wsum_a")
+    db = dvar("n_b", "h_b", "wss_b", "wsum_b")
+    t_stat = (tmean("tsum_a", "h_a") - tmean("tsum_b", "h_b")) / F.sqrt(da + db)
+    dof = (da + db) * (da + db) / (
+        da * da / (F.col("h_a").cast("double") - 1)
+        + db * db / (F.col("h_b").cast("double") - 1)
+    )
+    ok = (F.col("h_a") >= 2) & (F.col("h_b") >= 2)
+    return wide.select(
+        "n_a",
+        "n_b",
+        "h_a",
+        "h_b",
+        F.round(tmean("tsum_a", "h_a"), 6).alias("tmean_a"),
+        F.round(tmean("tsum_b", "h_b"), 6).alias("tmean_b"),
+        F.when(ok & (da + db > 0), F.round(t_stat, 6)).alias("t_stat"),
+        F.when(ok & (da > 0) & (db > 0), F.round(dof, 6)).alias("df"),
     )

@@ -2310,6 +2310,29 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "POT tail fit — ONE filtered hash fold; no window, no join",
+        _plan(entrymod.queries()["evt_pot"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Yuen trimmed t — per-side grid cut machinery (broadcast "
+        "cuts/totals), exact winsorized folds",
+        _plan(entrymod.queries()["stat_yuen"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "RBO — two top-k rankings, joint-depth grid counts, "
+        "k-row depth frame; no data-sized pairing",
+        _plan(entrymod.queries()["eval_rbo"](spark, SF)),
+        ["HashAggregate", "Window", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

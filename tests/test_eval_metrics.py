@@ -587,3 +587,29 @@ def test_regression_metrics_hand_case(spark):
         [(1.0, 2.0), (3.0, 2.0)], "pred double, actual double"
     )
     assert regression_metrics(c, "pred", "actual").first()["r2"] is None
+
+
+def test_rank_biased_overlap_hand_case(spark):
+    from kgraph_spark.operators.eval_metrics import rank_biased_overlap
+
+    ra = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, rank long"
+    )
+    # identical rankings at k=3, p=0.9: rbo = 1 - 0.9^3
+    r = rank_biased_overlap(ra, ra, k=3, p=0.9).first()
+    assert (r["n_both"], r["overlap_at_k"]) == (3, 3)
+    assert r["rbo"] == pytest.approx(1 - 0.9 ** 3, abs=1e-6)
+    # disjoint top-k: rbo = 0
+    rb = spark.createDataFrame(
+        [("x", 1), ("y", 2), ("z", 3)], "id string, rank long"
+    )
+    r2 = rank_biased_overlap(ra, rb, k=3, p=0.9).first()
+    assert (r2["n_both"], r2["rbo"]) == (0, 0.0)
+    # same set, reversed order: X = [0, 0, 3] (only depth 3 overlaps
+    # all three: max(ra,rb) = 3 for a/c, 2 for b -> X2=1, X3=3)
+    rc = spark.createDataFrame(
+        [("c", 1), ("b", 2), ("a", 3)], "id string, rank long"
+    )
+    r3 = rank_biased_overlap(ra, rc, k=3, p=0.9).first()
+    exp = 0.1 * (0.9 * 1 / 2 + 0.81 * 3 / 3)
+    assert r3["rbo"] == pytest.approx(exp, abs=1e-6)

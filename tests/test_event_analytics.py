@@ -694,3 +694,23 @@ def test_hour_uniformity_ks_hand_case(spark):
         spark.createDataFrame(uni, "ts timestamp")
     ).first()
     assert r2["d"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_pot_tail_fit_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import pot_tail_fit
+
+    # excesses over 10: [1,2,3] -> m=2, s2=2/3, ratio=6:
+    # xi = -2.5, sigma = 1*(1+6) = 7
+    rows = [(11.0,), (12.0,), (13.0,), (5.0,), (5.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    r = pot_tail_fit(df, "v", 10.0).first()
+    assert (r["n"], r["n_exceed"]) == (5, 3)
+    assert r["exceed_rate"] == pytest.approx(0.6, abs=1e-9)
+    assert r["mean_excess"] == pytest.approx(2.0, abs=1e-9)
+    assert r["xi"] == pytest.approx(-2.5, abs=1e-6)
+    assert r["sigma"] == pytest.approx(7.0, abs=1e-6)
+    # one exceedance -> no variance -> NULL xi, mean still reported
+    one = spark.createDataFrame([(11.0,), (5.0,)], "v double")
+    r2 = pot_tail_fit(one, "v", 10.0).first()
+    assert r2["mean_excess"] == pytest.approx(1.0, abs=1e-9)
+    assert r2["xi"] is None

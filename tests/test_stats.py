@@ -1439,3 +1439,31 @@ def test_tost_equivalence_hand_case(spark):
     # margin too tight -> cannot claim equivalence
     r2 = tost_equivalence(df, "v", "side", margin=1.0).first()
     assert bool(r2["equivalent"]) is False
+
+
+def test_yuen_t_hand_case(spark):
+    from kgraph_spark.operators.stats import yuen_t
+
+    # A = [0,1,2,3,100] (whale), B = [0,2,2,2,4]; trim .2 -> k=1:
+    # trimmed means both 2 -> t = 0 despite the 100
+    rows = [(True, v) for v in [0.0, 1.0, 2.0, 3.0, 100.0]] + [
+        (False, v) for v in [0.0, 2.0, 2.0, 2.0, 4.0]
+    ]
+    df = spark.createDataFrame(rows, "side boolean, v double")
+    r = yuen_t(df, "v", "side", trim=0.2).first()
+    assert (r["n_a"], r["n_b"], r["h_a"], r["h_b"]) == (5, 5, 3, 3)
+    assert r["tmean_a"] == pytest.approx(2.0, abs=1e-9)
+    assert r["tmean_b"] == pytest.approx(2.0, abs=1e-9)
+    # B winsorizes to constant -> d_b = 0; t defined, df guarded NULL
+    assert r["t_stat"] == pytest.approx(0.0, abs=1e-9)
+    assert r["df"] is None
+    # a real separation: shift B up by 10 -> large negative t
+    rows2 = [(True, v) for v in [0.0, 1.0, 2.0, 3.0, 100.0]] + [
+        (False, v + 10.0) for v in [0.0, 1.0, 2.0, 3.0, 100.0]
+    ]
+    r2 = yuen_t(
+        spark.createDataFrame(rows2, "side boolean, v double"),
+        "v", "side", trim=0.2,
+    ).first()
+    assert r2["tmean_b"] == pytest.approx(12.0, abs=1e-9)
+    assert r2["t_stat"] < -5
