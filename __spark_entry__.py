@@ -6184,6 +6184,69 @@ def q_eval_rbo(spark, sf_dir):
     return rank_biased_overlap(ra, rb, "id", "rank", k=20, p=0.9)
 
 
+def q_stat_weighted_kappa(spark, sf_dir):
+    """Quadratic-weighted Cohen's kappa between the ordinal length
+    and word-count quality bands (0/1/2) — near-misses penalized by
+    (i−j)²; exact integer rescaling, ONE division."""
+    from kgraph_spark.operators.stats import weighted_kappa
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("wc"),
+        )
+    )
+    band = lambda c, lo, hi: (  # noqa: E731
+        F.when(c < lo, 0).when(c < hi, 1).otherwise(2)
+    )
+    rated = d.select(
+        band(F.col("n_chars"), 220, 380).alias("len_band"),
+        band(F.col("wc"), 40, 70).alias("wc_band"),
+    )
+    return weighted_kappa(rated, "len_band", "wc_band")
+
+
+def q_evt_drawdown(spark, sf_dir):
+    """Max drawdown of the daily net-flow series (purchases add
+    value, errors subtract it) — the order-sensitive risk number;
+    exact integer prefix sums and running peaks, one division."""
+    from kgraph_spark.operators.event_analytics import max_drawdown
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    flow = (
+        F.when(F.col("event_type") == "purchase", F.round(F.col("value") * 100))
+        .when(F.col("event_type") == "error", -F.round(F.col("value") * 100))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    daily = ev.groupBy(day.alias("d")).agg(
+        F.sum(flow).cast("long").alias("flow_cents")
+    )
+    return max_drawdown(daily, "d", "flow_cents", v_scale=1)
+
+
+def q_er_otsu(spark, sf_dir):
+    """Otsu adaptive threshold on the quality-classifier probability
+    — where the keep cutoff should actually sit (vs the hard-coded
+    0.5); one grid pass maximizing between-class variance."""
+    from kgraph_spark.operators.profiling import otsu_threshold
+    from kgraph_spark.operators.text_analysis import quality_classifier
+
+    return otsu_threshold(
+        quality_classifier(_read(spark, sf_dir, "documents")), "prob"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6529,6 +6592,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_pot": q_evt_pot,
         "stat_yuen": q_stat_yuen,
         "eval_rbo": q_eval_rbo,
+        "stat_weighted_kappa": q_stat_weighted_kappa,
+        "evt_drawdown": q_evt_drawdown,
+        "er_otsu": q_er_otsu,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -17898,6 +17964,164 @@ def oracle_sql() -> dict[str, str]:
                    round((1.0 - 0.9) * t_nano::DOUBLE / 1000000000.0, 6)
                        AS rbo
             FROM agg CROSS JOIN nb
+        """,
+        "stat_weighted_kappa": """
+            -- quadratic-weighted kappa over ordinal 0/1/2 bands:
+            -- kappa_w = 1 - n*sum(w*O)/sum(w*r*c), one division
+            -- (stats.weighted_kappa)
+            WITH d AS (
+                SELECT n_chars,
+                       (length(text) - length(replace(text, ' ', ''))
+                        + 1)::BIGINT AS wc
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), q AS (
+                SELECT (CASE WHEN n_chars < 220 THEN 0
+                             WHEN n_chars < 380 THEN 1 ELSE 2 END)::BIGINT
+                           AS a,
+                       (CASE WHEN wc < 40 THEN 0
+                             WHEN wc < 70 THEN 1 ELSE 2 END)::BIGINT AS b
+                FROM d
+            ), cells AS (
+                SELECT a, b, count(*)::BIGINT AS o FROM q GROUP BY 1, 2
+            ), ra AS (
+                SELECT a, count(*)::BIGINT AS r FROM q GROUP BY 1
+            ), cb AS (
+                SELECT b, count(*)::BIGINT AS c FROM q GROUP BY 1
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n,
+                       count(DISTINCT a)::BIGINT AS ka,
+                       count(DISTINCT b)::BIGINT AS kb
+                FROM q
+            ), num AS (
+                SELECT sum(abs(a - b)::HUGEINT * abs(a - b)::HUGEINT
+                           * o::HUGEINT) AS wo
+                FROM cells
+            ), den AS (
+                SELECT sum(abs(ra.a - cb.b)::HUGEINT
+                           * abs(ra.a - cb.b)::HUGEINT
+                           * r::HUGEINT * c::HUGEINT) AS wrc
+                FROM ra CROSS JOIN cb
+            )
+            SELECT n, greatest(ka, kb)::BIGINT AS k_cats,
+                   CASE WHEN wrc > 0
+                        THEN round(1 - (n::HUGEINT * wo)::DOUBLE
+                             / wrc::DOUBLE, 6)
+                   END AS kappa_weighted
+            FROM tot CROSS JOIN num CROSS JOIN den
+        """,
+        "evt_drawdown": """
+            -- max drawdown of the daily net flow (purchase - error):
+            -- exact integer prefix sums and running peaks
+            -- (event_analytics.max_drawdown)
+            WITH daily AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       sum(CASE WHEN event_type = 'purchase'
+                                THEN round(value * 100)::BIGINT
+                                WHEN event_type = 'error'
+                                THEN -round(value * 100)::BIGINT
+                                ELSE 0 END)::BIGINT AS qv
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), staged AS (
+                SELECT t, cum, max(cum) OVER (ORDER BY t
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS peak
+                FROM (SELECT t, sum(qv) OVER (ORDER BY t
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                      FROM daily)
+            ), dd AS (
+                SELECT t, cum, peak, (peak - cum)::BIGINT AS dd FROM staged
+            ), best AS (
+                SELECT mdd, min(t)::BIGINT AS trough_t,
+                       arg_min(peak, t)::BIGINT AS pk_at
+                FROM (SELECT t, peak, dd, max(dd) OVER ()::BIGINT AS mdd
+                      FROM dd)
+                WHERE dd = mdd GROUP BY mdd
+            ), tails AS (
+                SELECT count(*)::BIGINT AS n, max(cum)::BIGINT AS gpeak
+                FROM dd
+            ), fin AS (
+                SELECT cum AS final_cum_q FROM dd
+                ORDER BY t DESC LIMIT 1
+            )
+            SELECT n,
+                   round(final_cum_q::DOUBLE / 1.0, 6) AS final_cum,
+                   round(gpeak::DOUBLE / 1.0, 6) AS peak,
+                   round(mdd::DOUBLE / 1.0, 6) AS max_drawdown,
+                   CASE WHEN pk_at > 0
+                        THEN round(mdd::DOUBLE / pk_at::DOUBLE, 6)
+                   END AS max_drawdown_pct,
+                   trough_t
+            FROM best CROSS JOIN tails CROSS JOIN fin
+        """,
+        "er_otsu": """
+            -- Otsu threshold on the classifier probability grid: one
+            -- pass maximizing between-class variance, smallest-
+            -- threshold tie-break (profiling.otsu_threshold)
+            WITH f AS (
+                SELECT doc_id,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio,
+                       length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE / length(text) AS punct_ratio,
+                       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                               'that','for','on','with','as','was','at','by','be'],
+                                              lower(t))))::DOUBLE
+                           / len(string_split_regex(trim(text), '\\s+')) AS stopword_ratio,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+                FROM documents
+            ), z AS (
+                SELECT doc_id,
+                       round(-2.0 + 3.0 * alpha_ratio + 2.5 * stopword_ratio
+                             + (-4.0) * punct_ratio
+                             + 1.5 * least(1.0, n_tokens / 200.0), 6) AS logit
+                FROM f
+            ), sc AS (
+                SELECT round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM z
+            ), q AS (
+                SELECT round(prob * 1000000)::BIGINT AS qv FROM sc
+                WHERE prob IS NOT NULL
+            ), cells AS (
+                SELECT qv, count(*)::BIGINT AS c FROM q GROUP BY 1
+            ), tot AS (
+                SELECT sum(c)::BIGINT AS nn,
+                       sum(qv::HUGEINT * c::HUGEINT) AS ss,
+                       count(*)::BIGINT AS k_values
+                FROM cells
+            ), cum AS (
+                SELECT qv,
+                       sum(c) OVER w::BIGINT AS cn,
+                       sum(qv::HUGEINT * c::HUGEINT) OVER w AS cs,
+                       nn, ss, k_values
+                FROM cells CROSS JOIN tot
+                WINDOW w AS (ORDER BY qv ROWS UNBOUNDED PRECEDING)
+            ), staged AS (
+                SELECT qv, cn, cs, nn, ss, k_values,
+                       (cs::DOUBLE * nn::DOUBLE - cn::DOUBLE * ss::DOUBLE)
+                       * (cs::DOUBLE * nn::DOUBLE - cn::DOUBLE * ss::DOUBLE)
+                       / (cn::DOUBLE * (nn - cn)::DOUBLE) AS obj
+                FROM cum WHERE cn > 0 AND cn < nn
+            ), best AS (
+                SELECT omax, min(qv)::BIGINT AS t_q,
+                       arg_min(cn, qv)::BIGINT AS cn,
+                       arg_min(cs, qv) AS cs,
+                       max(nn)::BIGINT AS nn, max(ss) AS ss,
+                       max(k_values)::BIGINT AS k_values
+                FROM (SELECT *, max(obj) OVER () AS omax FROM staged)
+                WHERE obj = omax GROUP BY omax
+            )
+            SELECT nn AS n, k_values,
+                   round(t_q::DOUBLE / 1000000.0, 6) AS threshold,
+                   round(omax / (nn::DOUBLE * nn::DOUBLE
+                                 * 1000000.0 * 1000000.0), 6)
+                       AS between_var,
+                   round(cn::DOUBLE / nn::DOUBLE, 6) AS w0,
+                   round(cs::DOUBLE / (cn::DOUBLE * 1000000.0), 6)
+                       AS mean0,
+                   round((ss - cs)::DOUBLE
+                         / ((nn::DOUBLE - cn::DOUBLE) * 1000000.0), 6)
+                       AS mean1
+            FROM best
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

@@ -1703,3 +1703,71 @@ def pot_tail_fit(
         F.when(ok, F.round((1 - ratio) / 2, 6)).alias("xi"),
         F.when(ok, F.round(m / 2 * (1 + ratio), 6)).alias("sigma"),
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    v_scale: int = 100,
+) -> DataFrame:
+    """Maximum drawdown of the cumulative series — the worst
+    peak-to-trough slide of Σv over time (the risk number a burn-rate
+    / revenue / token-budget series is actually judged by; variance
+    ignores ORDER, drawdown is nothing but order): one row
+    (n, final_cum, peak, max_drawdown, max_drawdown_pct, trough_t).
+    trough_t is the earliest bucket achieving the max (deterministic).
+
+    Engine-exact and window-pure: quantized values accumulate as an
+    exact integer prefix sum, the running peak is an integer running
+    max, every drawdown is an integer difference — ONE division for
+    the pct at the end. Runs on the bounded time grid.
+    """
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    staged = q.select(
+        "t",
+        F.sum("qv").over(w).cast("long").alias("cum"),
+    ).select(
+        "t",
+        "cum",
+        F.max("cum").over(w).cast("long").alias("peak"),
+    ).select(
+        "t", "cum", "peak", (F.col("peak") - F.col("cum")).alias("dd")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    best = (
+        staged.withColumn("mdd", F.max("dd").over(wall))
+        .filter(F.col("dd") == F.col("mdd"))
+        .groupBy("mdd")
+        .agg(
+            F.min("t").cast("long").alias("trough_t"),
+            # the peak standing at the earliest max-drawdown trough
+            F.min_by("peak", "t").cast("long").alias("_pk_at"),
+        )
+    )
+    tails = staged.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("cum").cast("long").alias("gpeak"),
+    )
+    sc = F.lit(float(v_scale))
+    fin = staged.orderBy(F.col("t").desc()).limit(1).select(
+        F.col("cum").alias("final_cum_q")
+    )
+    out = best.crossJoin(F.broadcast(tails)).crossJoin(F.broadcast(fin))
+    return out.select(
+        "n",
+        F.round(F.col("final_cum_q").cast("double") / sc, 6).alias("final_cum"),
+        F.round(F.col("gpeak").cast("double") / sc, 6).alias("peak"),
+        F.round(F.col("mdd").cast("double") / sc, 6).alias("max_drawdown"),
+        F.when(
+            F.col("_pk_at") > 0,
+            F.round(
+                F.col("mdd").cast("double") / F.col("_pk_at").cast("double"), 6
+            ),
+        ).alias("max_drawdown_pct"),
+        "trough_t",
+    )

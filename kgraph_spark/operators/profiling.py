@@ -27,8 +27,10 @@ Both operators are single-pass aggregations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
 
 
 def profile_table(
@@ -747,4 +749,87 @@ def herfindahl_index(df: DataFrame, key_col: str) -> DataFrame:
         F.when(F.col("n_rows") > 0, F.round(F.lit(1.0) / hhi, 6)).alias(
             "effective_n"
         ),
+    )
+
+
+def otsu_threshold(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Otsu adaptive threshold over a score distribution — the
+    assumption-free "where should the similarity / quality cutoff
+    go" chooser: one row (n, k_values, threshold, between_var,
+    w0, mean0, mean1). Picks the grid value t maximizing the
+    between-class variance w₀w₁(μ₀−μ₁)² of the ≤t / >t split —
+    exactly the 2-class k-means objective, solved in ONE pass over
+    the distinct value grid instead of Lloyd iterations. Feed it a
+    cosine-similarity or classifier-score column before hard-coding
+    a 0.5.
+
+    Engine-exact: per-value counts and the prefix (count, sum) pairs
+    are exact integers; each candidate's objective numerator
+    (cum_s·N − cum_n·S)² / (cum_n·(N−cum_n)) is ONE fixed double
+    expression; the argmax compares identical doubles in both
+    engines with a smallest-threshold tie-break. Grid-sized window,
+    single fold.
+    """
+    q = df.filter(F.col(value_col).isNotNull()).select(
+        F.round(F.col(value_col) * F.lit(scale)).cast("long").alias("qv")
+    )
+    cells = q.groupBy("qv").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("qv").rowsBetween(Window.unboundedPreceding, 0)
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("nn"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("c").cast(_DEC)).alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k_values"),
+    )
+    cum = cells.select(
+        "qv",
+        F.sum("c").over(w).cast("long").alias("cn"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("c").cast(_DEC)).over(w).alias("cs"),
+    ).crossJoin(F.broadcast(tot))
+    valid = cum.filter((F.col("cn") > 0) & (F.col("cn") < F.col("nn")))
+    num = (
+        F.col("cs").cast("double") * F.col("nn").cast("double")
+        - F.col("cn").cast("double") * F.col("ss").cast("double")
+    )
+    obj = num * num / (
+        F.col("cn").cast("double")
+        * (F.col("nn") - F.col("cn")).cast("double")
+    )
+    staged = valid.select(
+        "qv", "cn", "cs", "nn", "ss", "k_values", obj.alias("obj")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    best = (
+        staged.withColumn("omax", F.max("obj").over(wall))
+        .filter(F.col("obj") == F.col("omax"))
+        .groupBy("omax")
+        .agg(
+            F.min("qv").cast("long").alias("t_q"),
+            F.min_by("cn", "qv").cast("long").alias("cn"),
+            F.min_by("cs", "qv").alias("cs"),
+            F.max("nn").cast("long").alias("nn"),
+            F.max("ss").alias("ss"),
+            F.max("k_values").cast("long").alias("k_values"),
+        )
+    )
+    sc = F.lit(float(scale))
+    nnd = F.col("nn").cast("double")
+    cnd = F.col("cn").cast("double")
+    m0 = F.col("cs").cast("double") / (cnd * sc)
+    m1 = (F.col("ss") - F.col("cs")).cast("double") / ((nnd - cnd) * sc)
+    return best.select(
+        F.col("nn").alias("n"),
+        "k_values",
+        F.round(F.col("t_q").cast("double") / sc, 6).alias("threshold"),
+        F.round(
+            F.col("omax")
+            / (nnd * nnd * sc * sc),
+            6,
+        ).alias("between_var"),
+        F.round(cnd / nnd, 6).alias("w0"),
+        F.round(m0, 6).alias("mean0"),
+        F.round(m1, 6).alias("mean1"),
     )

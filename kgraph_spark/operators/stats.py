@@ -89,6 +89,7 @@ __all__ = [
     "bartlett",
     "tost_equivalence",
     "yuen_t",
+    "weighted_kappa",
 ]
 
 _DEC = "decimal(38,0)"
@@ -4042,4 +4043,63 @@ def yuen_t(
         F.round(tmean("tsum_b", "h_b"), 6).alias("tmean_b"),
         F.when(ok & (da + db > 0), F.round(t_stat, 6)).alias("t_stat"),
         F.when(ok & (da > 0) & (db > 0), F.round(dof, 6)).alias("df"),
+    )
+
+
+def weighted_kappa(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    weight: str = "quadratic",
+) -> DataFrame:
+    """Weighted Cohen's kappa for ORDINAL raters — near-misses count
+    (plain cohen_kappa scores a low/mid disagreement exactly like
+    low/high; with quadratic weights the penalty grows as (i−j)²):
+    one row (n, k_cats, kappa_weighted). Categories must be integer
+    levels (0,1,2,…). κ_w = 1 − Σwᵢⱼ·Oᵢⱼ / Σwᵢⱼ·Eᵢⱼ with
+    wᵢⱼ = (i−j)² ('quadratic', default) or |i−j| ('linear').
+
+    Engine-exact and division-free until the end: with Eᵢⱼ = rᵢ·cⱼ/n,
+    the ratio rescales to exact wide integers —
+    κ_w = 1 − n·Σw·Oᵢⱼ / Σw·rᵢ·cⱼ — one division total. One crosstab
+    aggregate + two broadcast marginals (the k×k cell frame is tiny).
+    """
+    q = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull()).select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    )
+    cells = q.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    ra = q.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    cb = q.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = q.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("ka"),
+        F.countDistinct("b").cast("long").alias("kb"),
+    )
+    diff = F.abs(F.col("a") - F.col("b")).cast(_DEC)
+    wexpr = diff * diff if weight == "quadratic" else diff
+    num = cells.agg(
+        F.sum(wexpr * F.col("o").cast(_DEC)).alias("wo")
+    )
+    # expected side: every (a,b) marginal pair, not only observed cells
+    den = (
+        ra.crossJoin(cb)
+        .agg(
+            F.sum(
+                wexpr * F.col("r").cast(_DEC) * F.col("c").cast(_DEC)
+            ).alias("wrc")
+        )
+    )
+    out = tot.crossJoin(F.broadcast(num)).crossJoin(F.broadcast(den))
+    return out.select(
+        "n",
+        F.greatest("ka", "kb").alias("k_cats"),
+        F.when(
+            F.col("wrc") > 0,
+            F.round(
+                1
+                - (F.col("n").cast(_DEC) * F.col("wo")).cast("double")
+                / F.col("wrc").cast("double"),
+                6,
+            ),
+        ).alias("kappa_weighted"),
     )

@@ -2333,6 +2333,30 @@ def main() -> None:
          "!BatchEvalPython", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Weighted kappa — crosstab + marginal-product fold (k x k "
+        "tiny frames); one division, no window",
+        _plan(entrymod.queries()["stat_weighted_kappa"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Max drawdown — daily aggregate + ordered grid windows "
+        "(prefix sum, running peak), integer differences",
+        _plan(entrymod.queries()["evt_drawdown"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Otsu threshold — prob-grid aggregate + grid window, "
+        "one objective pass, deterministic argmax",
+        _plan(entrymod.queries()["er_otsu"](spark, SF)),
+        ["HashAggregate", "Window", "!SortMergeJoin",
+         "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -714,3 +714,24 @@ def test_pot_tail_fit_hand_case(spark):
     r2 = pot_tail_fit(one, "v", 10.0).first()
     assert r2["mean_excess"] == pytest.approx(1.0, abs=1e-9)
     assert r2["xi"] is None
+
+
+def test_max_drawdown_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import max_drawdown
+
+    # flows 5,-2,-3,4 -> cum [5,3,0,4]: mdd 5 at t=2, peak-at 5
+    rows = [(0, 5.0), (1, -2.0), (2, -3.0), (3, 4.0)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    r = max_drawdown(df, "t", "v", v_scale=1).first()
+    assert r["n"] == 4
+    assert r["final_cum"] == pytest.approx(4.0, abs=1e-9)
+    assert r["peak"] == pytest.approx(5.0, abs=1e-9)
+    assert r["max_drawdown"] == pytest.approx(5.0, abs=1e-9)
+    assert r["max_drawdown_pct"] == pytest.approx(1.0, abs=1e-9)
+    assert r["trough_t"] == 2
+    # monotone rise -> zero drawdown
+    up = [(t, 1.0) for t in range(4)]
+    r2 = max_drawdown(
+        spark.createDataFrame(up, "t long, v double"), "t", "v", v_scale=1
+    ).first()
+    assert r2["max_drawdown"] == 0.0 and r2["trough_t"] == 0

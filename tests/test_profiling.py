@@ -351,3 +351,24 @@ def test_herfindahl_hand_case(spark):
     rm = herfindahl_index(mono, "src").first()
     assert rm["hhi"] == pytest.approx(1.0, abs=1e-9)
     assert rm["hhi_normalized"] is None
+
+
+def test_otsu_threshold_hand_case(spark):
+    from kgraph_spark.operators.profiling import otsu_threshold
+
+    # [0,0,1,1,10,10]: best split <=1 | >1; between-var =
+    # (4/6)(2/6)(9.5^2) = 20.0555...
+    rows = [(0.0,), (0.0,), (1.0,), (1.0,), (10.0,), (10.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    r = otsu_threshold(df, "v").first()
+    assert (r["n"], r["k_values"]) == (6, 3)
+    assert r["threshold"] == pytest.approx(1.0, abs=1e-9)
+    assert r["w0"] == pytest.approx(4.0 / 6.0, abs=1e-6)
+    assert r["mean0"] == pytest.approx(0.5, abs=1e-6)
+    assert r["mean1"] == pytest.approx(10.0, abs=1e-6)
+    assert r["between_var"] == pytest.approx(
+        (4 / 6) * (2 / 6) * 9.5 ** 2, abs=1e-4
+    )
+    # constant input: no valid split -> empty result
+    const = spark.createDataFrame([(3.0,)] * 4, "v double")
+    assert otsu_threshold(const, "v").count() == 0

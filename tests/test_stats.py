@@ -1467,3 +1467,25 @@ def test_yuen_t_hand_case(spark):
     ).first()
     assert r2["tmean_b"] == pytest.approx(12.0, abs=1e-9)
     assert r2["t_stat"] < -5
+
+
+def test_weighted_kappa_hand_case(spark):
+    from kgraph_spark.operators.stats import weighted_kappa
+
+    # (0,0),(1,1),(2,2),(0,1): wo = 1, wrc = 20 -> kappa = 1 - 4/20
+    rows = [(0, 0), (1, 1), (2, 2), (0, 1)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = weighted_kappa(df, "a", "b").first()
+    assert (r["n"], r["k_cats"]) == (4, 3)
+    assert r["kappa_weighted"] == pytest.approx(0.8, abs=1e-6)
+    # maximal ordinal disagreement -> kappa = -1
+    anti = [(0, 2)] * 2 + [(2, 0)] * 2
+    r2 = weighted_kappa(
+        spark.createDataFrame(anti, "a long, b long"), "a", "b"
+    ).first()
+    assert r2["kappa_weighted"] == pytest.approx(-1.0, abs=1e-6)
+    # perfect agreement -> 1
+    per = [(i % 3, i % 3) for i in range(6)]
+    assert weighted_kappa(
+        spark.createDataFrame(per, "a long, b long"), "a", "b"
+    ).first()["kappa_weighted"] == pytest.approx(1.0, abs=1e-9)
