@@ -6247,6 +6247,32 @@ def q_er_otsu(spark, sf_dir):
     )
 
 
+def q_evt_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU / stickiness per day — dedup (user,
+    day) first, broadcast day-grid range join, exact distincts."""
+    from kgraph_spark.operators.event_analytics import active_users
+
+    return active_users(_read(spark, sf_dir, "events"))
+
+
+def q_text_license_scan(spark, sf_dir):
+    """License/copyright marker scan per document — substring tells
+    only (no regex), length-difference counts; the rights-clearance
+    gate. Map-only."""
+    from kgraph_spark.operators.text_analysis import license_markers
+
+    return license_markers(_read(spark, sf_dir, "documents"))
+
+
+def q_curation_dedup_savings(spark, sf_dir):
+    """What exact vs prefix-40 dedup would buy: docs/tokens removed
+    per method from one scan + per-key aggregates (canonical =
+    smallest doc_id, min_by token mass); no pair joins."""
+    from kgraph_spark.operators.corpus_curation import dedup_savings
+
+    return dedup_savings(_read(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6595,6 +6621,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_weighted_kappa": q_stat_weighted_kappa,
         "evt_drawdown": q_evt_drawdown,
         "er_otsu": q_er_otsu,
+        "evt_active_users": q_evt_active_users,
+        "text_license_scan": q_text_license_scan,
+        "curation_dedup_savings": q_curation_dedup_savings,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -18122,6 +18151,100 @@ def oracle_sql() -> dict[str, str]:
                          / ((nn::DOUBLE - cn::DOUBLE) * 1000000.0), 6)
                        AS mean1
             FROM best
+        """,
+        "evt_active_users": """
+            -- DAU / trailing-7-day WAU / stickiness: (user, day) dedup
+            -- first, day-grid range join, exact distincts
+            -- (event_analytics.active_users)
+            WITH du AS (
+                SELECT DISTINCT user_id AS u,
+                       (epoch_us(ts) // 86400000000)::BIGINT AS day
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), days AS (
+                SELECT DISTINCT day AS d FROM du
+            ), wau AS (
+                SELECT d, count(DISTINCT u)::BIGINT AS wau
+                FROM du JOIN days ON day <= d AND day >= d - 6
+                GROUP BY d
+            ), dau AS (
+                SELECT day AS d, count(DISTINCT u)::BIGINT AS dau
+                FROM du GROUP BY 1
+            )
+            SELECT d AS day, dau, wau,
+                   CASE WHEN wau > 0
+                        THEN round(dau::DOUBLE / wau::DOUBLE, 6)
+                   END AS stickiness
+            FROM dau JOIN wau USING (d)
+        """,
+        "text_license_scan": """
+            -- license/copyright marker scan: substring tells only,
+            -- length-difference counts (text_analysis.license_markers)
+            SELECT doc_id,
+                   ((length(lower(text))
+                     - length(replace(lower(text), 'copyright', '')))
+                    // 9)::BIGINT AS n_copyright,
+                   (position('creative commons' IN lower(text)) > 0
+                    OR position('cc-by' IN lower(text)) > 0) AS has_cc,
+                   (position('gnu general public license'
+                             IN lower(text)) > 0
+                    OR position('gpl' IN lower(text)) > 0) AS has_gpl,
+                   (position('mit license' IN lower(text)) > 0)
+                       AS has_mit,
+                   (((length(lower(text))
+                      - length(replace(lower(text), 'copyright', '')))
+                     // 9) > 0
+                    OR position('creative commons' IN lower(text)) > 0
+                    OR position('cc-by' IN lower(text)) > 0
+                    OR position('gnu general public license'
+                                IN lower(text)) > 0
+                    OR position('gpl' IN lower(text)) > 0
+                    OR position('mit license' IN lower(text)) > 0)
+                       AS license_flagged
+            FROM documents
+            WHERE text IS NOT NULL AND doc_id IS NOT NULL
+        """,
+        "curation_dedup_savings": """
+            -- dedup savings per method (exact md5 vs lowercased
+            -- 40-char prefix): canonical = smallest doc_id
+            -- (corpus_curation.dedup_savings)
+            WITH base AS (
+                SELECT doc_id AS id, md5(text) AS k_exact,
+                       md5(lower(left(text, 40))) AS k_prefix,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                           AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id IS NOT NULL
+            ), pe AS (
+                SELECT k_exact, count(*)::BIGINT AS c,
+                       sum(tok)::BIGINT AS tk,
+                       arg_min(tok, id)::BIGINT AS tk_keep
+                FROM base GROUP BY 1
+            ), pp AS (
+                SELECT k_prefix, count(*)::BIGINT AS c,
+                       sum(tok)::BIGINT AS tk,
+                       arg_min(tok, id)::BIGINT AS tk_keep
+                FROM base GROUP BY 1
+            )
+            SELECT 'exact' AS method, sum(c)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_groups,
+                   (sum(c) - count(*))::BIGINT AS docs_removed,
+                   round((sum(c) - count(*))::DOUBLE / sum(c)::DOUBLE, 6)
+                       AS pct_docs_removed,
+                   sum(tk)::BIGINT AS tokens_total,
+                   (sum(tk) - sum(tk_keep))::BIGINT AS tokens_removed,
+                   round((sum(tk) - sum(tk_keep))::DOUBLE
+                         / sum(tk)::DOUBLE, 6) AS pct_tokens_removed
+            FROM pe
+            UNION ALL
+            SELECT 'prefix', sum(c)::BIGINT, count(*)::BIGINT,
+                   (sum(c) - count(*))::BIGINT,
+                   round((sum(c) - count(*))::DOUBLE / sum(c)::DOUBLE, 6),
+                   sum(tk)::BIGINT,
+                   (sum(tk) - sum(tk_keep))::BIGINT,
+                   round((sum(tk) - sum(tk_keep))::DOUBLE
+                         / sum(tk)::DOUBLE, 6)
+            FROM pp
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

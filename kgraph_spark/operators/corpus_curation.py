@@ -1185,3 +1185,65 @@ def source_overlap_matrix(
             6,
         ).alias("jaccard"),
     )
+
+
+def dedup_savings(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_chars: int = 40,
+) -> DataFrame:
+    """Dedup savings report — what each dedup rung would actually buy
+    BEFORE running it: one row per method ('exact', 'prefix') with
+    (method, n_docs, n_groups, docs_removed, pct_docs_removed,
+    tokens_total, tokens_removed, pct_tokens_removed). 'exact' keys
+    on md5(text); 'prefix' on the lowercased `prefix_chars` opening
+    (the near-dup proxy source_overlap_matrix uses). Canonical doc =
+    smallest doc_id per key; tokens are whitespace tokens. The
+    budget-meeting table that decides whether MinHash is worth its
+    shuffle.
+
+    Exact: one scan computes both keys + the token count, each method
+    is a (key → count, min id, token sums) aggregate folded to one
+    row; canonical token mass via min_by. No pair joins at all.
+    """
+    base = docs.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("k_exact"),
+        F.md5(F.lower(F.substring(F.col(text_col), 1, prefix_chars))).alias(
+            "k_prefix"
+        ),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias(
+            "tok"
+        ),
+    )
+
+    def one(key_col: str, name: str) -> DataFrame:
+        per_key = base.groupBy(key_col).agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum("tok").cast("long").alias("tk"),
+            F.min_by("tok", "id").cast("long").alias("tk_keep"),
+        )
+        return per_key.agg(
+            F.lit(name).alias("method"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            (F.sum("c") - F.count(F.lit(1))).cast("long").alias("docs_removed"),
+            F.round(
+                (F.sum("c") - F.count(F.lit(1))).cast("double")
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("pct_docs_removed"),
+            F.sum("tk").cast("long").alias("tokens_total"),
+            (F.sum("tk") - F.sum("tk_keep")).cast("long").alias("tokens_removed"),
+            F.round(
+                (F.sum("tk") - F.sum("tk_keep")).cast("double")
+                / F.sum("tk").cast("double"),
+                6,
+            ).alias("pct_tokens_removed"),
+        )
+
+    return one("k_exact", "exact").unionAll(one("k_prefix", "prefix"))

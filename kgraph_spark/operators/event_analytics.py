@@ -1771,3 +1771,61 @@ def max_drawdown(
         ).alias("max_drawdown_pct"),
         "trough_t",
     )
+
+
+def active_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / trailing-WAU / stickiness per day — the product-health
+    trio (evt_retention gives cohort curves; this is the daily
+    operating dashboard): one row per observed day (day, dau, wau,
+    stickiness) with wau = distinct users over the trailing
+    `window_days` (inclusive) and stickiness = dau/wau (the classic
+    "what fraction of the weekly base shows up daily").
+
+    Exact and blow-up-bounded: the (user, day) pairs dedup FIRST (a
+    hot user costs one row per active day), the trailing window is a
+    range join against the ≤|days| day grid (broadcast — never a
+    data-sized pairing), and both counts are exact distincts. One
+    division per day.
+    """
+    du = df.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        ).cast("long").alias("day"),
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    wau = (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") >= F.col("d") - F.lit(window_days - 1)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("u").cast("long").alias("wau"))
+    )
+    dau = du.groupBy(F.col("day").alias("d")).agg(
+        F.countDistinct("u").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.when(
+                F.col("wau") > 0,
+                F.round(
+                    F.col("dau").cast("double") / F.col("wau").cast("double"),
+                    6,
+                ),
+            ).alias("stickiness"),
+        )
+    )

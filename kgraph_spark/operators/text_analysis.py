@@ -1320,3 +1320,38 @@ def code_likeness(
         prob.alias("prob"),
         (prob >= 0.5).alias("is_code"),
     )
+
+
+def license_markers(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """License / copyright marker scan — the rights-clearance gate a
+    pretraining curation pipeline runs before a corpus ships: one row
+    per doc (doc_id, n_copyright, has_cc, has_gpl, has_mit,
+    license_flagged). Pure substring tells ('copyright', 'creative
+    commons' / 'cc-by', GPL phrases, 'mit license') — deliberately NO
+    regex classes, so both engines decide from byte-identical
+    lowercase containment; counts come from the length-difference
+    idiom. Map-only, zero shuffles. A real deployment swaps the
+    marker list for its counsel-approved one — the plumbing (flag +
+    count columns feeding a filter) is the operator.
+    """
+    lt = F.lower(F.col(text_col))
+    n_copy = (
+        (F.length(lt) - F.length(F.replace(lt, F.lit("copyright"), F.lit(""))))
+        / F.lit(9)
+    ).cast("long")
+    has = lambda s: F.contains(lt, F.lit(s))  # noqa: E731
+    has_cc = has("creative commons") | has("cc-by")
+    has_gpl = has("gnu general public license") | has("gpl")
+    has_mit = has("mit license")
+    return docs.filter(
+        F.col(text_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(id_col),
+        n_copy.alias("n_copyright"),
+        has_cc.alias("has_cc"),
+        has_gpl.alias("has_gpl"),
+        has_mit.alias("has_mit"),
+        ((n_copy > 0) | has_cc | has_gpl | has_mit).alias("license_flagged"),
+    )

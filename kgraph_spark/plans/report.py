@@ -2357,6 +2357,29 @@ def main() -> None:
          "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Active users — (user,day) dedup FIRST, broadcast day-grid "
+        "range join, exact distincts; no data-sized pairing",
+        _plan(entrymod.queries()["evt_active_users"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "License scan — map-only substring projection; zero "
+        "shuffles, zero python, zero joins",
+        _plan(entrymod.queries()["text_license_scan"](spark, SF)),
+        ["Project", "!BatchEvalPython", "!Exchange", "!HashAggregate"],
+    ))
+
+    sections.append((
+        "Dedup savings — one scan, two per-key aggregates + folds; "
+        "no pair join anywhere",
+        _plan(entrymod.queries()["curation_dedup_savings"](spark, SF)),
+        ["HashAggregate", "partial_", "Union", "!BatchEvalPython",
+         "!SortMergeJoin", "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

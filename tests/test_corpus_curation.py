@@ -921,3 +921,23 @@ def test_source_overlap_matrix_hand_case(spark):
     )
     r2 = source_overlap_matrix(dup, prefix_chars=40).first()
     assert (r2["n_a"], r2["n_shared"]) == (1, 1)
+
+
+def test_dedup_savings_hand_case(spark):
+    from kgraph_spark.operators.corpus_curation import dedup_savings
+
+    rows = [
+        ("d1", "s", "aaa bbb"),
+        ("d2", "s", "aaa bbb"),            # exact dup of d1
+        ("d3", "s", "x" * 45),             # prefix twin of d4
+        ("d4", "s", "x" * 45 + " tail"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["method"]: r for r in dedup_savings(df).collect()}
+    ex, pf = out["exact"], out["prefix"]
+    assert (ex["n_docs"], ex["n_groups"], ex["docs_removed"]) == (4, 3, 1)
+    assert ex["tokens_total"] == 7 and ex["tokens_removed"] == 2
+    assert (pf["n_groups"], pf["docs_removed"]) == (2, 2)
+    # prefix canonical keeps d1 (2 tok) and d3 (1 tok) -> 4 removed
+    assert pf["tokens_removed"] == 4
+    assert pf["pct_tokens_removed"] == pytest.approx(4.0 / 7.0, abs=1e-6)

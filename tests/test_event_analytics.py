@@ -735,3 +735,26 @@ def test_max_drawdown_hand_case(spark):
         spark.createDataFrame(up, "t long, v double"), "t", "v", v_scale=1
     ).first()
     assert r2["max_drawdown"] == 0.0 and r2["trough_t"] == 0
+
+
+def test_active_users_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import active_users
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(days=d)) for d in range(8)] + [
+        (2, base)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["day"] - 19723: r for r in active_users(df).collect()}
+    assert len(out) == 8
+    # day 0: both users -> dau 2, wau 2; day 6: u1 only daily, u2 in
+    # the trailing window -> 1/2; day 7: u2 aged out -> 1/1
+    assert (out[0]["dau"], out[0]["wau"]) == (2, 2)
+    assert (out[6]["dau"], out[6]["wau"]) == (1, 2)
+    assert out[6]["stickiness"] == pytest.approx(0.5, abs=1e-9)
+    assert (out[7]["dau"], out[7]["wau"]) == (1, 1)
+    # duplicate events same day count once
+    dup = df.union(spark.createDataFrame([(2, base)], "user_id long, ts timestamp"))
+    assert {r["day"] - 19723: r["dau"] for r in active_users(dup).collect()}[0] == 2

@@ -24,3 +24,23 @@ def test_code_likeness_hand_case(spark):
     assert c["prob"] == pytest.approx(1 / (1 + math.exp(-logit)), abs=1e-5)
     assert bool(c["is_code"]) is True
     assert bool(p["is_code"]) is False and p["sym_ratio"] == 0.0
+
+
+def test_license_markers_hand_case(spark):
+    from kgraph_spark.operators.text_analysis import license_markers
+
+    rows = [
+        ("a", "Copyright 2024 ACME. All rights reserved. copyright."),
+        ("b", "Licensed under the MIT License terms."),
+        ("c", "Released under the GNU General Public License v3."),
+        ("d", "Shared as Creative Commons CC-BY 4.0."),
+        ("e", "Just a plain sentence about dogs."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in license_markers(df).collect()}
+    assert out["a"]["n_copyright"] == 2 and bool(out["a"]["license_flagged"])
+    assert bool(out["b"]["has_mit"]) and bool(out["b"]["license_flagged"])
+    assert bool(out["c"]["has_gpl"])
+    assert bool(out["d"]["has_cc"])
+    assert not bool(out["e"]["license_flagged"])
+    assert out["e"]["n_copyright"] == 0
