@@ -6273,6 +6273,34 @@ def q_curation_dedup_savings(spark, sf_dir):
     return dedup_savings(_read(spark, sf_dir, "documents"))
 
 
+def q_evt_slo_burn(spark, sf_dir):
+    """Daily SLO error-budget burn (trailing-7-day error rate over a
+    5% objective) — integer day-grid windows, one division per
+    metric; burn > 1 means the budget is being overspent."""
+    from kgraph_spark.operators.event_analytics import slo_burn
+
+    return slo_burn(_read(spark, sf_dir, "events"))
+
+
+def q_evt_ses(spark, sf_dir):
+    """Simple exponential smoothing (α=0.3) of daily traffic with the
+    recursion unrolled into literal geometric weights — per-target
+    nano-rounded weight·value terms exact-summed; one-step forecast
+    errors from the lagged smooth."""
+    from kgraph_spark.operators.event_analytics import ses_forecast
+
+    return ses_forecast(_daily_counts(spark, sf_dir), "d", "c", alpha=0.3, v_scale=1)
+
+
+def q_kg_neighbor_entropy(spark, sf_dir):
+    """Per-node neighbor-type entropy over the thinned lineitem
+    entity graph (O/P/S prefixes) — which hubs are semantically
+    diverse connectors; nano-rounded integer-count log terms."""
+    from kgraph_spark.operators.graph_analytics import neighbor_type_entropy
+
+    return neighbor_type_entropy(_li_edges(spark, sf_dir, part_mod=3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6624,6 +6652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_active_users": q_evt_active_users,
         "text_license_scan": q_text_license_scan,
         "curation_dedup_savings": q_curation_dedup_savings,
+        "evt_slo_burn": q_evt_slo_burn,
+        "evt_ses": q_evt_ses,
+        "kg_neighbor_entropy": q_kg_neighbor_entropy,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -18245,6 +18276,115 @@ def oracle_sql() -> dict[str, str]:
                    round((sum(tk) - sum(tk_keep))::DOUBLE
                          / sum(tk)::DOUBLE, 6)
             FROM pp
+        """,
+        "evt_slo_burn": """
+            -- daily SLO burn: trailing-7-day error rate over the 0.05
+            -- objective (event_analytics.slo_burn)
+            WITH d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                       (event_type = 'error')::INT AS e
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            ), per_d AS (
+                SELECT day, count(*)::BIGINT AS n, sum(e)::BIGINT AS n_err
+                FROM d GROUP BY 1
+            ), roll AS (
+                SELECT day, n, n_err,
+                       sum(n) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                            AND CURRENT ROW)::BIGINT AS wn,
+                       sum(n_err) OVER (ORDER BY day
+                            RANGE BETWEEN 6 PRECEDING
+                            AND CURRENT ROW)::BIGINT AS we
+                FROM per_d
+            )
+            SELECT day, n, n_err,
+                   round(n_err::DOUBLE / n::DOUBLE, 6) AS rate,
+                   round(we::DOUBLE / wn::DOUBLE, 6) AS window_rate,
+                   round((we::DOUBLE / wn::DOUBLE) / 0.05, 6) AS burn
+            FROM roll
+        """,
+        "evt_ses": """
+            -- SES alpha=0.3, recursion unrolled into geometric
+            -- weights; nano-rounded weight*value terms
+            -- (event_analytics.ses_forecast)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), idx AS (
+                SELECT t, qv,
+                       (row_number() OVER (ORDER BY t) - 1)::BIGINT AS i
+                FROM cnt
+            ), pairs AS (
+                SELECT a.t, a.i, a.qv, b.i AS j, b.qv AS qy
+                FROM idx a JOIN idx b ON b.i <= a.i
+            ), sm AS (
+                SELECT t, i, qv,
+                       sum(round((CASE WHEN j = 0
+                                   THEN pow(0.7, i::DOUBLE)
+                                   ELSE 0.3 * pow(0.7, (i - j)::DOUBLE)
+                                  END) * qy::DOUBLE
+                                 * 1000000000.0)::HUGEINT) AS s_nano
+                FROM pairs GROUP BY 1, 2, 3
+            ), staged AS (
+                SELECT t, round(qv::DOUBLE / 1.0, 6) AS value,
+                       round(s_nano::DOUBLE / (1000000000.0 * 1.0), 6)
+                           AS smoothed,
+                       s_nano::DOUBLE / (1000000000.0 * 1.0) AS sm_raw
+                FROM sm
+            )
+            SELECT t, value, smoothed,
+                   round(value - lag(sm_raw) OVER (ORDER BY t), 6)
+                       AS forecast_err
+            FROM staged
+        """,
+        "kg_neighbor_entropy": """
+            -- per-node neighbor-type entropy (O/P/S prefixes) over the
+            -- thinned lineitem graph; nano-rounded log terms
+            -- (graph_analytics.neighbor_type_entropy)
+            WITH li AS (
+                SELECT * FROM lineitem WHERE l_partkey % 3 = 0
+            ), e0 AS (
+                SELECT 'O' || l_orderkey::VARCHAR AS s,
+                       'P' || l_partkey::VARCHAR AS o FROM li
+                UNION ALL
+                SELECT 'O' || l_orderkey::VARCHAR,
+                       'S' || l_suppkey::VARCHAR FROM li
+                UNION ALL
+                SELECT 'P' || l_partkey::VARCHAR,
+                       'S' || l_suppkey::VARCHAR FROM li
+            ), und AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT s AS a, o AS b FROM e0
+                    UNION ALL
+                    SELECT o AS a, s AS b FROM e0
+                ) WHERE a <> b
+            ), cells AS (
+                SELECT a, left(b, 1) AS ty, count(*)::BIGINT AS c
+                FROM und GROUP BY 1, 2
+            ), deg AS (
+                SELECT a, sum(c)::BIGINT AS degree,
+                       count(*)::BIGINT AS k_types
+                FROM cells GROUP BY 1
+            ), agg AS (
+                SELECT cells.a, degree, k_types,
+                       sum(round(c::DOUBLE
+                            * (ln(degree::DOUBLE) - ln(c::DOUBLE))
+                            / 0.6931471805599453
+                            * 1000000000.0)::BIGINT)::BIGINT AS h_nano
+                FROM cells JOIN deg ON cells.a = deg.a
+                GROUP BY 1, 2, 3
+            )
+            SELECT a AS node, degree, k_types,
+                   round(h_nano::DOUBLE
+                         / (degree::DOUBLE * 1000000000.0), 6) AS h_bits,
+                   CASE WHEN k_types >= 2
+                        THEN round((h_nano::DOUBLE
+                                    / (degree::DOUBLE * 1000000000.0))
+                             / (ln(k_types::DOUBLE)
+                                / 0.6931471805599453), 6)
+                   END AS h_norm
+            FROM agg
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

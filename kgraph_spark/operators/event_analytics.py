@@ -1829,3 +1829,123 @@ def active_users(
             ).alias("stickiness"),
         )
     )
+
+
+def slo_burn(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    error_type: str = "error",
+    slo_error_rate: float = 0.05,
+    window_days: int = 7,
+) -> DataFrame:
+    """SLO error-budget burn table — the SRE view of the event stream:
+    one row per day (day, n, n_err, rate, window_rate, burn) where
+    burn = trailing-`window_days` error rate over the SLO target
+    (burn > 1 ⇒ the budget is being spent faster than provisioned;
+    the multi-window burn-rate alert rule's batch twin). evt_cusum
+    finds level shifts in a metric; this prices them against an
+    explicit objective.
+
+    Exact: per-day counts are integers, the trailing window is an
+    integer RANGE frame over the bounded day grid, and rate/burn are
+    one division each against the literal SLO.
+    """
+    d = df.filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()).select(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        ).cast("long").alias("day"),
+        (F.col(type_col) == error_type).cast("int").alias("e"),
+    )
+    per_d = d.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("n_err"),
+    )
+    w = Window.orderBy("day").rangeBetween(-(window_days - 1), 0)
+    roll = per_d.select(
+        "day",
+        "n",
+        "n_err",
+        F.sum("n").over(w).cast("long").alias("wn"),
+        F.sum("n_err").over(w).cast("long").alias("we"),
+    )
+    rate = F.col("n_err").cast("double") / F.col("n").cast("double")
+    wrate = F.col("we").cast("double") / F.col("wn").cast("double")
+    return roll.select(
+        "day",
+        "n",
+        "n_err",
+        F.round(rate, 6).alias("rate"),
+        F.round(wrate, 6).alias("window_rate"),
+        F.round(wrate / F.lit(float(slo_error_rate)), 6).alias("burn"),
+    )
+
+
+def ses_forecast(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    alpha: float = 0.3,
+    v_scale: int = 1,
+) -> DataFrame:
+    """Simple exponential smoothing, recursion-free — the real
+    smoother behind the naive baselines forecast_eval grades: one row
+    per bucket (t, value, smoothed, forecast_err) plus the one-step-
+    ahead property (smoothed at t is the forecast FOR t+1).
+    s_t = Σ_{k=0..t−1} α(1−α)^k·y_{t−k} + (1−α)^t·y_0 — the recursion
+    unrolled into literal geometric weights, so a distributed engine
+    computes it without any sequential state.
+
+    Engine-exact: the grid is re-indexed densely (contiguity not
+    required), each weight·value term is nano-rounded (×1e9) and
+    exact-summed per target row, and the O(grid²) unroll is the
+    bounded-series contract (30–3650 buckets — never raw rows; at a
+    larger grid, truncate the tail: (1−α)^k < 1e−12 after ~90 steps
+    at α=0.3, documented).
+    """
+    q = df.filter(F.col(t_col).isNotNull() & F.col(v_col).isNotNull()).select(
+        F.col(t_col).cast("long").alias("t"),
+        F.round(F.col(v_col) * F.lit(v_scale)).cast("long").alias("qv"),
+    )
+    w = Window.orderBy("t")
+    idx = q.select(
+        "t", "qv", (F.row_number().over(w) - 1).cast("long").alias("i")
+    )
+    a = float(alpha)
+    pairs = (
+        idx.alias("tgt")
+        .join(
+            F.broadcast(idx.select(F.col("i").alias("j"), F.col("qv").alias("qy"))),
+            F.col("j") <= F.col("i"),
+        )
+    )
+    # weight for source j at target i: α(1−α)^(i−j), except j=0 gets
+    # the full remainder (1−α)^i (the s_0 = y_0 seed)
+    wexp = F.when(
+        F.col("j") == 0,
+        F.pow(F.lit(1.0 - a), F.col("i").cast("double")),
+    ).otherwise(
+        F.lit(a) * F.pow(F.lit(1.0 - a), (F.col("i") - F.col("j")).cast("double"))
+    )
+    term = F.round(
+        wexp * F.col("qy").cast("double") * F.lit(1_000_000_000.0)
+    ).cast(_DEC)
+    sm = pairs.groupBy("t", "i", "qv").agg(F.sum(term).alias("s_nano"))
+    sc = F.lit(float(v_scale))
+    smoothed = F.col("s_nano").cast("double") / (F.lit(1_000_000_000.0) * sc)
+    wlag = Window.orderBy("t")
+    staged = sm.select(
+        "t",
+        F.round(F.col("qv").cast("double") / sc, 6).alias("value"),
+        F.round(smoothed, 6).alias("smoothed"),
+        smoothed.alias("_sm_raw"),
+    )
+    return staged.select(
+        "t",
+        "value",
+        "smoothed",
+        F.round(
+            F.col("value") - F.lag("_sm_raw").over(wlag), 6
+        ).alias("forecast_err"),
+    )

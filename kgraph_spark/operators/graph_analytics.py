@@ -2008,3 +2008,62 @@ def hub_removal_robustness(
     return summarize(und, "before", 0).unionAll(
         summarize(kept, "after", top_k)
     )
+
+
+def neighbor_type_entropy(
+    edges: DataFrame,
+    src_col: str = "subject_id",
+    dst_col: str = "object_id",
+    type_chars: int = 1,
+) -> DataFrame:
+    """Per-node neighbor-type diversity — the entropy of each node's
+    neighborhood composition (type = the id's `type_chars` prefix, the
+    repo's O/P/S convention): one row per node (node, degree, k_types,
+    h_bits, h_norm). A hub with h ≈ 0 only ever touches one entity
+    class (a mechanical join artifact); high-entropy hubs are the
+    semantically interesting connectors — the KG-quality lens degree
+    alone cannot give.
+
+    Exact: undirected neighbor pairs dedup first, per-(node, type)
+    counts are integers, each count's n·(ln d − ln n)/ln2 term is
+    nano-rounded and exact-summed per node (the entropy_rate recipe),
+    h_norm divides by log2(k_types) once (NULL for k=1).
+    """
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).union(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).filter(F.col("a") != F.col("b")).distinct()
+    typed = und.select(
+        "a", F.substring(F.col("b"), 1, type_chars).alias("ty")
+    )
+    cells = typed.groupBy("a", "ty").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ln2 = 0.6931471805599453
+    NANO = F.lit(1_000_000_000.0)
+    deg = cells.groupBy("a").agg(
+        F.sum("c").cast("long").alias("degree"),
+        F.count(F.lit(1)).cast("long").alias("k_types"),
+    )
+    j = cells.join(deg, "a")
+    term = F.round(
+        F.col("c").cast("double")
+        * (F.log(F.col("degree").cast("double")) - F.log(F.col("c").cast("double")))
+        / F.lit(ln2)
+        * NANO
+    ).cast("long")
+    agg = j.groupBy("a", "degree", "k_types").agg(
+        F.sum(term).cast("long").alias("h_nano")
+    )
+    h = F.col("h_nano").cast("double") / (
+        F.col("degree").cast("double") * NANO
+    )
+    hmax = F.log(F.col("k_types").cast("double")) / F.lit(ln2)
+    return agg.select(
+        F.col("a").alias("node"),
+        "degree",
+        "k_types",
+        F.round(h, 6).alias("h_bits"),
+        F.when(F.col("k_types") >= 2, F.round(h / hmax, 6)).alias("h_norm"),
+    )

@@ -2380,6 +2380,30 @@ def main() -> None:
          "!SortMergeJoin", "!CartesianProduct"],
     ))
 
+    sections.append((
+        "SLO burn — per-day aggregate + integer RANGE window; no "
+        "join, no python",
+        _plan(entrymod.queries()["evt_slo_burn"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "SES forecast — bounded grid unroll (broadcast self-pair), "
+        "nano-rounded geometric terms, lag window",
+        _plan(entrymod.queries()["evt_ses"](spark, SF)),
+        ["HashAggregate", "Window", "BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Neighbor-type entropy — undirected dedup, per-(node,type) "
+        "cells, per-node fold; shuffle only on the node key",
+        _plan(entrymod.queries()["kg_neighbor_entropy"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!CartesianProduct"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

@@ -758,3 +758,36 @@ def test_active_users_hand_case(spark):
     # duplicate events same day count once
     dup = df.union(spark.createDataFrame([(2, base)], "user_id long, ts timestamp"))
     assert {r["day"] - 19723: r["dau"] for r in active_users(dup).collect()}[0] == 2
+
+
+def test_slo_burn_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import slo_burn
+
+    base = dt.datetime(2024, 1, 1)
+    rows = (
+        [(base, "error")] + [(base, "click")] * 9
+        + [(base + dt.timedelta(days=1), "click")] * 10
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["day"] - 19723: r for r in slo_burn(df).collect()}
+    assert out[0]["rate"] == pytest.approx(0.1, abs=1e-9)
+    assert out[0]["burn"] == pytest.approx(2.0, abs=1e-6)   # 0.1 / 0.05
+    # day 1 window pools both days: 1/20 = exactly the SLO -> burn 1
+    assert out[1]["window_rate"] == pytest.approx(0.05, abs=1e-9)
+    assert out[1]["burn"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ses_forecast_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import ses_forecast
+
+    rows = [(0, 10.0), (1, 20.0), (2, 10.0)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    out = {r["t"]: r for r in ses_forecast(df, "t", "v", alpha=0.3).collect()}
+    assert out[0]["smoothed"] == pytest.approx(10.0, abs=1e-6)
+    assert out[1]["smoothed"] == pytest.approx(13.0, abs=1e-6)   # .3*20+.7*10
+    assert out[2]["smoothed"] == pytest.approx(12.1, abs=1e-6)
+    assert out[0]["forecast_err"] is None
+    assert out[1]["forecast_err"] == pytest.approx(10.0, abs=1e-5)
+    assert out[2]["forecast_err"] == pytest.approx(-3.0, abs=1e-5)

@@ -941,3 +941,22 @@ def test_hub_removal_robustness_hand_case(spark):
     )
     d = {r["phase"]: r for r in hub_removal_robustness(dup, top_k=0).collect()}
     assert d["before"]["n_edges"] == 1
+
+
+def test_neighbor_type_entropy_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.graph_analytics import neighbor_type_entropy
+
+    edges = [("Oa", "P1"), ("Oa", "P2"), ("Oa", "S1")]
+    df = spark.createDataFrame(edges, "subject_id string, object_id string")
+    out = {r["node"]: r for r in neighbor_type_entropy(df).collect()}
+    hub = out["Oa"]
+    assert (hub["degree"], hub["k_types"]) == (3, 2)
+    h = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert hub["h_bits"] == pytest.approx(h, abs=1e-5)
+    assert hub["h_norm"] == pytest.approx(h, abs=1e-5)  # k=2 -> /1
+    leaf = out["P1"]
+    assert (leaf["degree"], leaf["k_types"]) == (1, 1)
+    assert leaf["h_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert leaf["h_norm"] is None
