@@ -6301,6 +6301,57 @@ def q_kg_neighbor_entropy(spark, sf_dir):
     return neighbor_type_entropy(_li_edges(spark, sf_dir, part_mod=3))
 
 
+def q_evt_wow(spark, sf_dir):
+    """Week-over-week per-day traffic deltas with the exact Poisson
+    two-rate z — same-weekday comparisons, one sqrt per row."""
+    from kgraph_spark.operators.event_analytics import week_over_week
+
+    return week_over_week(_read(spark, sf_dir, "events"), lag_days=7)
+
+
+def q_stat_did(spark, sf_dir):
+    """Difference-in-differences of event value: even-user 'cohort' ×
+    half-month period — the parallel-trends causal gate; four exact
+    moment cells, welch-style SE, one sqrt."""
+    from kgraph_spark.operators.stats import diff_in_diff
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    framed = ev.select(
+        "value",
+        (F.col("user_id") % 2 == 0).alias("g"),
+        (day >= 19738).alias("p"),
+    )
+    return diff_in_diff(framed, "value", "g", "p", scale=100)
+
+
+def q_stat_fisher_ci(spark, sf_dir):
+    """Pearson r between document char length and word count with the
+    Fisher-z 95% interval — exact integer moments, exp-based tanh
+    mapping replayed identically in both engines."""
+    from kgraph_spark.operators.stats import fisher_corr_ci
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "n_chars",
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                + 1
+            ).alias("wc"),
+        )
+    )
+    return fisher_corr_ci(d, "n_chars", "wc", x_scale=1, y_scale=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6655,6 +6706,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_slo_burn": q_evt_slo_burn,
         "evt_ses": q_evt_ses,
         "kg_neighbor_entropy": q_kg_neighbor_entropy,
+        "evt_wow": q_evt_wow,
+        "stat_did": q_stat_did,
+        "stat_fisher_ci": q_stat_fisher_ci,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -18385,6 +18439,140 @@ def oracle_sql() -> dict[str, str]:
                                 / 0.6931471805599453), 6)
                    END AS h_norm
             FROM agg
+        """,
+        "evt_wow": """
+            -- week-over-week daily deltas with the Poisson two-rate z
+            -- (event_analytics.week_over_week)
+            WITH d AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                       count(*)::BIGINT AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), j AS (
+                SELECT a.day, a.n, b.n AS n_prev
+                FROM d a JOIN d b ON a.day = b.day + 7
+            )
+            SELECT day, n, n_prev,
+                   CASE WHEN n_prev > 0
+                        THEN round(n::DOUBLE / n_prev::DOUBLE, 6)
+                   END AS ratio,
+                   CASE WHEN (n + n_prev)::DOUBLE > 0
+                        THEN round((n - n_prev)::DOUBLE
+                             / sqrt((n + n_prev)::DOUBLE), 6)
+                   END AS z
+            FROM j
+        """,
+        "stat_did": """
+            -- difference-in-differences: even-user cohort x half-month
+            -- period, four exact moment cells, welch-style SE
+            -- (stats.diff_in_diff)
+            WITH q AS (
+                SELECT (user_id % 2 = 0) AS g,
+                       (epoch_us(ts) // 86400000000)::BIGINT >= 19738 AS p,
+                       round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                      AND ts IS NOT NULL
+            ), per AS (
+                SELECT g, p, count(*)::BIGINT AS n,
+                       sum(qv::HUGEINT) AS s,
+                       sum(qv::HUGEINT * qv) AS ss
+                FROM q GROUP BY 1, 2
+            ), wide AS (
+                SELECT max(CASE WHEN g AND NOT p THEN n END) AS n_t0,
+                       max(CASE WHEN g AND NOT p THEN s END) AS s_t0,
+                       max(CASE WHEN g AND NOT p THEN ss END) AS ss_t0,
+                       max(CASE WHEN g AND p THEN n END) AS n_t1,
+                       max(CASE WHEN g AND p THEN s END) AS s_t1,
+                       max(CASE WHEN g AND p THEN ss END) AS ss_t1,
+                       max(CASE WHEN NOT g AND NOT p THEN n END) AS n_c0,
+                       max(CASE WHEN NOT g AND NOT p THEN s END) AS s_c0,
+                       max(CASE WHEN NOT g AND NOT p THEN ss END) AS ss_c0,
+                       max(CASE WHEN NOT g AND p THEN n END) AS n_c1,
+                       max(CASE WHEN NOT g AND p THEN s END) AS s_c1,
+                       max(CASE WHEN NOT g AND p THEN ss END) AS ss_c1
+                FROM per
+            ), c AS (
+                SELECT n_t0, n_t1, n_c0, n_c1,
+                       s_t0::DOUBLE / (n_t0::DOUBLE * 100.0) AS m_t0,
+                       s_t1::DOUBLE / (n_t1::DOUBLE * 100.0) AS m_t1,
+                       s_c0::DOUBLE / (n_c0::DOUBLE * 100.0) AS m_c0,
+                       s_c1::DOUBLE / (n_c1::DOUBLE * 100.0) AS m_c1,
+                       sqrt((n_t0::HUGEINT * ss_t0 - s_t0 * s_t0)::DOUBLE
+                            / (n_t0::DOUBLE * n_t0::DOUBLE
+                               * (n_t0::DOUBLE - 1) * 100.0 * 100.0)
+                            + (n_t1::HUGEINT * ss_t1 - s_t1 * s_t1)::DOUBLE
+                              / (n_t1::DOUBLE * n_t1::DOUBLE
+                                 * (n_t1::DOUBLE - 1) * 100.0 * 100.0)
+                            + (n_c0::HUGEINT * ss_c0 - s_c0 * s_c0)::DOUBLE
+                              / (n_c0::DOUBLE * n_c0::DOUBLE
+                                 * (n_c0::DOUBLE - 1) * 100.0 * 100.0)
+                            + (n_c1::HUGEINT * ss_c1 - s_c1 * s_c1)::DOUBLE
+                              / (n_c1::DOUBLE * n_c1::DOUBLE
+                                 * (n_c1::DOUBLE - 1) * 100.0 * 100.0))
+                           AS se
+                FROM wide
+            )
+            SELECT (n_t0 + n_t1 + n_c0 + n_c1)::BIGINT AS n,
+                   round(m_t0, 6) AS mean_treat_pre,
+                   round(m_t1, 6) AS mean_treat_post,
+                   round(m_c0, 6) AS mean_ctrl_pre,
+                   round(m_c1, 6) AS mean_ctrl_post,
+                   round((m_t1 - m_t0) - (m_c1 - m_c0), 6) AS did,
+                   CASE WHEN n_t0 >= 2 AND n_t1 >= 2 AND n_c0 >= 2
+                             AND n_c1 >= 2
+                        THEN round(se, 6) END AS se,
+                   CASE WHEN n_t0 >= 2 AND n_t1 >= 2 AND n_c0 >= 2
+                             AND n_c1 >= 2 AND se > 0
+                        THEN round(((m_t1 - m_t0) - (m_c1 - m_c0))
+                             / se, 6) END AS z
+            FROM c
+        """,
+        "stat_fisher_ci": """
+            -- Pearson r (chars vs words) + Fisher-z 95% CI: exact
+            -- moments, exp-based tanh mapping (stats.fisher_corr_ci)
+            WITH d AS (
+                SELECT n_chars::BIGINT AS qx,
+                       (length(text) - length(replace(text, ' ', ''))
+                        + 1)::BIGINT AS qy
+                FROM documents
+                WHERE n_chars IS NOT NULL AND text IS NOT NULL
+            ), m AS (
+                SELECT count(*)::BIGINT AS n, sum(qx::HUGEINT) AS sx,
+                       sum(qy::HUGEINT) AS sy,
+                       sum(qx::HUGEINT * qx) AS sxx,
+                       sum(qy::HUGEINT * qy) AS syy,
+                       sum(qx::HUGEINT * qy) AS sxy
+                FROM d
+            ), c AS (
+                SELECT n,
+                       (n::HUGEINT * sxy - sx * sy)::DOUBLE
+                           / (sqrt((n::HUGEINT * sxx - sx * sx)::DOUBLE)
+                              * sqrt((n::HUGEINT * syy - sy * sy)::DOUBLE))
+                           AS r,
+                       (n::HUGEINT * sxx - sx * sx)::DOUBLE AS dx,
+                       (n::HUGEINT * syy - sy * sy)::DOUBLE AS dy
+                FROM m
+            ), z AS (
+                SELECT n, r, dx, dy,
+                       0.5 * ln((1 + r) / (1 - r)) AS zf,
+                       1.96 / sqrt(n::DOUBLE - 3) AS hw
+                FROM c
+            )
+            SELECT n,
+                   CASE WHEN n >= 4 AND dx > 0 AND dy > 0
+                        THEN round(r, 6) END AS r,
+                   CASE WHEN n >= 4 AND dx > 0 AND dy > 0
+                             AND r < 1 AND r > -1
+                        THEN round(zf, 6) END AS z_fisher,
+                   CASE WHEN n >= 4 AND dx > 0 AND dy > 0
+                             AND r < 1 AND r > -1
+                        THEN round((exp(2 * (zf - hw)) - 1)
+                             / (exp(2 * (zf - hw)) + 1), 6) END AS ci_lo,
+                   CASE WHEN n >= 4 AND dx > 0 AND dy > 0
+                             AND r < 1 AND r > -1
+                        THEN round((exp(2 * (zf + hw)) - 1)
+                             / (exp(2 * (zf + hw)) + 1), 6) END AS ci_hi
+            FROM z
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

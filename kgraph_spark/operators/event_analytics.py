@@ -1949,3 +1949,48 @@ def ses_forecast(
             F.col("value") - F.lag("_sm_raw").over(wlag), 6
         ).alias("forecast_err"),
     )
+
+
+def week_over_week(
+    df: DataFrame,
+    ts_col: str = "ts",
+    lag_days: int = 7,
+) -> DataFrame:
+    """Week-over-week traffic comparison with a per-day significance
+    gate: one row per day with a lag-`lag_days` twin (day, n, n_prev,
+    ratio, z). z is the conditional Poisson two-rate statistic
+    (c₁−c₂)/√(c₁+c₂) — the same exact-integer form stat_poisson_rate
+    uses, applied per day so "Tuesday is down 8%, z=−3.1" is one row.
+    The seasonality-honest daily delta (same weekday compares to same
+    weekday).
+
+    Exact: integer day counts, a grid self-join on (day − lag), one
+    division + one sqrt per row.
+    """
+    d = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        ).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    prev = d.select(
+        (F.col("day") + F.lit(lag_days)).alias("day"),
+        F.col("n").alias("n_prev"),
+    )
+    j = d.join(F.broadcast(prev), "day")
+    tot = (F.col("n") + F.col("n_prev")).cast("double")
+    return j.select(
+        "day",
+        "n",
+        "n_prev",
+        F.when(
+            F.col("n_prev") > 0,
+            F.round(F.col("n").cast("double") / F.col("n_prev").cast("double"), 6),
+        ).alias("ratio"),
+        F.when(
+            tot > 0,
+            F.round(
+                (F.col("n") - F.col("n_prev")).cast("double") / F.sqrt(tot), 6
+            ),
+        ).alias("z"),
+    )

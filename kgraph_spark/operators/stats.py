@@ -90,6 +90,8 @@ __all__ = [
     "tost_equivalence",
     "yuen_t",
     "weighted_kappa",
+    "diff_in_diff",
+    "fisher_corr_ci",
 ]
 
 _DEC = "decimal(38,0)"
@@ -4102,4 +4104,133 @@ def weighted_kappa(
                 6,
             ),
         ).alias("kappa_weighted"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    period_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Difference-in-differences — the parallel-trends causal gate:
+    one row (n, did, se, z, plus the four cell means). Treatment
+    group = TRUE side of group_col, post period = TRUE side of
+    period_col; DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    (ȳ_ctrl,post − ȳ_ctrl,pre); SE = √Σᵢuᵢ over the four cells with
+    u = (nΣx²−(Σx)²)/(n²(n−1)·scale²) — the welch_t variance recipe
+    cell-wise. The A/B answer when assignment wasn't random but both
+    cohorts share a pre-period.
+
+    Exact: one (group, period) hash aggregate of integer moments, a
+    four-cell pivot, fixed double sequences (one sqrt) on final
+    scalars. Cells with n < 2 → NULL se/z.
+    """
+    q = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isNotNull()
+        & F.col(period_col).isNotNull()
+    ).select(
+        F.col(group_col).cast("boolean").alias("g"),
+        F.col(period_col).cast("boolean").alias("p"),
+        _quant(F.col(value_col), scale).alias("qv"),
+    )
+    d19 = F.col("qv").cast("decimal(19,0)")
+    per = q.groupBy("g", "p").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("qv").cast(_DEC)).alias("s"),
+        F.sum(d19 * d19).alias("ss"),
+    )
+    cell = lambda c, gf, pf: F.max(  # noqa: E731
+        F.when((F.col("g") == gf) & (F.col("p") == pf), F.col(c))
+    )
+    wide = per.agg(
+        *[
+            cell(c, gf, pf).alias(f"{c}_{tag}")
+            for (gf, pf, tag) in [
+                (True, False, "t0"), (True, True, "t1"),
+                (False, False, "c0"), (False, True, "c1"),
+            ]
+            for c in ("n", "s", "ss")
+        ]
+    )
+    sc = F.lit(float(scale))
+
+    def mean(tag):
+        return F.col(f"s_{tag}").cast("double") / (
+            F.col(f"n_{tag}").cast("double") * sc
+        )
+
+    def u(tag):
+        n_ = F.col(f"n_{tag}").cast("double")
+        num = (
+            F.col(f"n_{tag}").cast(_DEC) * F.col(f"ss_{tag}")
+            - F.col(f"s_{tag}") * F.col(f"s_{tag}")
+        ).cast("double")
+        return num / (n_ * n_ * (n_ - 1) * sc * sc)
+
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    se = F.sqrt(u("t0") + u("t1") + u("c0") + u("c1"))
+    ok = (
+        (F.col("n_t0") >= 2) & (F.col("n_t1") >= 2)
+        & (F.col("n_c0") >= 2) & (F.col("n_c1") >= 2)
+    )
+    ntot = (
+        F.col("n_t0") + F.col("n_t1") + F.col("n_c0") + F.col("n_c1")
+    ).cast("long")
+    return wide.select(
+        ntot.alias("n"),
+        F.round(mean("t0"), 6).alias("mean_treat_pre"),
+        F.round(mean("t1"), 6).alias("mean_treat_post"),
+        F.round(mean("c0"), 6).alias("mean_ctrl_pre"),
+        F.round(mean("c1"), 6).alias("mean_ctrl_post"),
+        F.round(did, 6).alias("did"),
+        F.when(ok, F.round(se, 6)).alias("se"),
+        F.when(ok & (se > 0), F.round(did / se, 6)).alias("z"),
+    )
+
+
+def fisher_corr_ci(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    x_scale: int = 1_000_000,
+    y_scale: int = 1_000_000,
+) -> DataFrame:
+    """Pearson correlation with the Fisher-z 95% interval — the "how
+    sure are we about r" companion stat_pearson leaves out: one row
+    (n, r, z_fisher, ci_lo, ci_hi). z = atanh(r) = ½ln((1+r)/(1−r)),
+    half-width 1.96/√(n−3), endpoints mapped back through tanh
+    (written as exp-based identities — both engines replay the same
+    fixed sequence on the exact-moment r).
+
+    Exact: the r numerator/denominators combine IN DECIMAL from exact
+    integer moments and cast to double once (_corr_from_moments
+    discipline); |r| = 1 or n < 4 → NULL interval.
+    """
+    q = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        _quant(F.col(x_col), x_scale).alias("qx"),
+        _quant(F.col(y_col), y_scale).alias("qy"),
+    )
+    m = q.agg(*_moment_aggs())
+    nd = F.col("n").cast(_DEC)
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    r = num / (F.sqrt(dx) * F.sqrt(dy))
+    z = F.lit(0.5) * F.log((1 + r) / (1 - r))
+    hw = F.lit(1.96) / F.sqrt(F.col("n").cast("double") - 3)
+    lo = z - hw
+    hi = z + hw
+    # tanh via exp: (e^{2z} - 1)/(e^{2z} + 1)
+    back = lambda t: (F.exp(2 * t) - 1) / (F.exp(2 * t) + 1)  # noqa: E731
+    ok = (F.col("n") >= 4) & (dx > 0) & (dy > 0)
+    inbounds = ok & (r < 1) & (r > -1)
+    return m.select(
+        "n",
+        F.when(ok, F.round(r, 6)).alias("r"),
+        F.when(inbounds, F.round(z, 6)).alias("z_fisher"),
+        F.when(inbounds, F.round(back(lo), 6)).alias("ci_lo"),
+        F.when(inbounds, F.round(back(hi), 6)).alias("ci_hi"),
     )

@@ -2404,6 +2404,30 @@ def main() -> None:
          "!CartesianProduct"],
     ))
 
+    sections.append((
+        "Week-over-week — day-grid aggregate + broadcast lag-twin "
+        "join; one sqrt per row",
+        _plan(entrymod.queries()["evt_wow"](spark, SF)),
+        ["HashAggregate", "partial_", "BroadcastHashJoin",
+         "!BatchEvalPython", "!Window", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Diff-in-diff — one (group,period) moment aggregate + "
+        "four-cell pivot; no window, no join",
+        _plan(entrymod.queries()["stat_did"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Fisher correlation CI — ONE exact moment fold; no window, "
+        "no join, no python",
+        _plan(entrymod.queries()["stat_fisher_ci"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

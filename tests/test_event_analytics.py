@@ -791,3 +791,20 @@ def test_ses_forecast_hand_case(spark):
     assert out[0]["forecast_err"] is None
     assert out[1]["forecast_err"] == pytest.approx(10.0, abs=1e-5)
     assert out[2]["forecast_err"] == pytest.approx(-3.0, abs=1e-5)
+
+
+def test_week_over_week_hand_case(spark):
+    import datetime as dt
+    import math
+
+    from kgraph_spark.operators.event_analytics import week_over_week
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(base,)] * 10 + [(base + dt.timedelta(days=7),)] * 20
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = week_over_week(df).collect()
+    assert len(out) == 1  # only day 7 has a lag twin
+    r = out[0]
+    assert (r["n"], r["n_prev"]) == (20, 10)
+    assert r["ratio"] == pytest.approx(2.0, abs=1e-9)
+    assert r["z"] == pytest.approx(10.0 / math.sqrt(30.0), abs=1e-6)

@@ -1489,3 +1489,64 @@ def test_weighted_kappa_hand_case(spark):
     assert weighted_kappa(
         spark.createDataFrame(per, "a long, b long"), "a", "b"
     ).first()["kappa_weighted"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_diff_in_diff_hand_case(spark):
+    from kgraph_spark.operators.stats import diff_in_diff
+
+    rows = [
+        (True, False, 1.0), (True, False, 3.0),
+        (True, True, 5.0), (True, True, 7.0),
+        (False, False, 2.0), (False, False, 4.0),
+        (False, True, 3.0), (False, True, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g boolean, p boolean, v double")
+    r = diff_in_diff(df, "v", "g", "p").first()
+    assert r["n"] == 8
+    assert r["mean_treat_pre"] == pytest.approx(2.0, abs=1e-9)
+    assert r["mean_treat_post"] == pytest.approx(6.0, abs=1e-9)
+    assert r["did"] == pytest.approx(3.0, abs=1e-9)
+    # each cell u = 1 -> se = 2, z = 1.5
+    assert r["se"] == pytest.approx(2.0, abs=1e-6)
+    assert r["z"] == pytest.approx(1.5, abs=1e-6)
+    # a 1-row cell kills the interval but not the point estimate
+    rows2 = rows[:1] + rows[2:]
+    r2 = diff_in_diff(
+        spark.createDataFrame(rows2, "g boolean, p boolean, v double"),
+        "v", "g", "p",
+    ).first()
+    assert r2["se"] is None and r2["did"] is not None
+
+
+def test_fisher_corr_ci_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import fisher_corr_ci
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 5.0, 4.0, 9.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    r_exp = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    z_exp = 0.5 * math.log((1 + r_exp) / (1 - r_exp))
+    hw = 1.96 / math.sqrt(n - 3)
+    r = fisher_corr_ci(df, "x", "y", 1, 1).first()
+    assert r["r"] == pytest.approx(r_exp, abs=1e-6)
+    assert r["z_fisher"] == pytest.approx(z_exp, abs=1e-6)
+    assert r["ci_lo"] == pytest.approx(math.tanh(z_exp - hw), abs=1e-6)
+    assert r["ci_hi"] == pytest.approx(math.tanh(z_exp + hw), abs=1e-6)
+    # perfect correlation: r = 1 reported, interval NULL-guarded
+    p = spark.createDataFrame(
+        [(float(i), 2.0 * i) for i in range(1, 6)], "x double, y double"
+    )
+    rp = fisher_corr_ci(p, "x", "y", 1, 1).first()
+    assert rp["r"] == pytest.approx(1.0, abs=1e-9)
+    # float sqrt puts raw r a hair under 1: z blows up but stays
+    # finite and deterministic (atanh of 1-ulp)
+    assert rp["z_fisher"] is None or rp["z_fisher"] > 6
