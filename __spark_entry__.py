@@ -6352,6 +6352,35 @@ def q_stat_fisher_ci(spark, sf_dir):
     return fisher_corr_ci(d, "n_chars", "wc", x_scale=1, y_scale=1)
 
 
+def q_evt_seasonal_strength(spark, sf_dir):
+    """Hyndman seasonal/trend strength of daily traffic (weekly
+    period) — one-row gate on the decomposition; micro-rounded
+    component rows, exact variance moments."""
+    from kgraph_spark.operators.event_analytics import seasonal_strength
+
+    return seasonal_strength(_daily_counts(spark, sf_dir), "d", "c", period=7)
+
+
+def q_evt_type_mix(spark, sf_dir):
+    """Daily event-type mix entropy + day-over-day delta — did the
+    SHAPE of traffic change; nano-rounded count-log terms, grid
+    lag."""
+    from kgraph_spark.operators.event_analytics import type_mix_entropy_daily
+
+    return type_mix_entropy_daily(_read(spark, sf_dir, "events"))
+
+
+def q_curation_mix_gap(spark, sf_dir):
+    """Source-mix gap vs a prescribed 5-source recipe (exact binary-
+    fraction weights) — per-source share gaps + exact KL(current ||
+    target) over recipe-covered sources."""
+    from kgraph_spark.operators.corpus_curation import mix_gap_to_target
+
+    target = {"src0": 0.25, "src1": 0.25, "src2": 0.125,
+              "src3": 0.125, "src4": 0.25}
+    return mix_gap_to_target(_read(spark, sf_dir, "documents"), target)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6709,6 +6738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_wow": q_evt_wow,
         "stat_did": q_stat_did,
         "stat_fisher_ci": q_stat_fisher_ci,
+        "evt_seasonal_strength": q_evt_seasonal_strength,
+        "evt_type_mix": q_evt_type_mix,
+        "curation_mix_gap": q_curation_mix_gap,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -18573,6 +18605,156 @@ def oracle_sql() -> dict[str, str]:
                         THEN round((exp(2 * (zf + hw)) - 1)
                              / (exp(2 * (zf + hw)) + 1), 6) END AS ci_hi
             FROM z
+        """,
+        "evt_seasonal_strength": """
+            -- Hyndman seasonal/trend strength on the weekly additive
+            -- decomposition (event_analytics.seasonal_strength)
+            WITH cnt AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS t,
+                       count(*)::BIGINT AS qv
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), trended AS (
+                SELECT t, qv,
+                       CASE WHEN count(*) OVER wt = 7
+                                 AND max(t) OVER wt - min(t) OVER wt = 6
+                            THEN sum(qv) OVER wt::DOUBLE / 7.0 END AS trend_q
+                FROM cnt
+                WINDOW wt AS (ORDER BY t
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ), detr AS (
+                SELECT t, qv, trend_q, (t % 7)::BIGINT AS phase,
+                       qv::DOUBLE - trend_q AS dt_q
+                FROM trended
+            ), pm AS (
+                SELECT phase,
+                       sum(round(dt_q * 1000000.0)::HUGEINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS raw_seasonal
+                FROM detr WHERE dt_q IS NOT NULL GROUP BY 1
+            ), ctr AS (
+                SELECT sum(round(raw_seasonal * 1000000.0)::HUGEINT)::DOUBLE
+                           / (count(*)::DOUBLE * 1000000.0) AS mean_seasonal
+                FROM pm
+            ), seas AS (
+                SELECT phase, raw_seasonal - mean_seasonal AS seasonal_q
+                FROM pm CROSS JOIN ctr
+            ), dec AS (
+                SELECT t, round(qv::DOUBLE / 1.0, 6) AS value,
+                       round(trend_q / 1.0, 6) AS trend,
+                       round(seasonal_q / 1.0, 6) AS seasonal,
+                       round((qv::DOUBLE - trend_q - seasonal_q) / 1.0, 6)
+                           AS resid
+                FROM detr JOIN seas USING (phase)
+            ), used AS (
+                SELECT round(resid * 1000000.0)::BIGINT AS qr,
+                       round((seasonal + resid) * 1000000.0)::BIGINT AS qsr,
+                       round((trend + resid) * 1000000.0)::BIGINT AS qtr
+                FROM dec WHERE resid IS NOT NULL
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       sum(qr::HUGEINT) AS s_qr,
+                       sum(qr::HUGEINT * qr) AS ss_qr,
+                       sum(qsr::HUGEINT) AS s_qsr,
+                       sum(qsr::HUGEINT * qsr) AS ss_qsr,
+                       sum(qtr::HUGEINT) AS s_qtr,
+                       sum(qtr::HUGEINT * qtr) AS ss_qtr
+                FROM used
+            ), v AS (
+                SELECT n,
+                       (n::HUGEINT * ss_qr - s_qr * s_qr)::DOUBLE
+                           / (n::DOUBLE * n::DOUBLE
+                              * 1000000000000.0) AS vr,
+                       (n::HUGEINT * ss_qsr - s_qsr * s_qsr)::DOUBLE
+                           / (n::DOUBLE * n::DOUBLE
+                              * 1000000000000.0) AS vsr,
+                       (n::HUGEINT * ss_qtr - s_qtr * s_qtr)::DOUBLE
+                           / (n::DOUBLE * n::DOUBLE
+                              * 1000000000000.0) AS vtr
+                FROM agg
+            )
+            SELECT n AS n_used,
+                   CASE WHEN n >= 3 THEN round(vr, 6) END AS var_resid,
+                   CASE WHEN n >= 3 THEN round(vsr, 6)
+                   END AS var_detrended,
+                   CASE WHEN n >= 3 THEN round(vtr, 6)
+                   END AS var_deseasoned,
+                   CASE WHEN n >= 3 AND vsr > 0
+                        THEN round(greatest(0.0, 1 - vr / vsr), 6)
+                   END AS strength_seasonal,
+                   CASE WHEN n >= 3 AND vtr > 0
+                        THEN round(greatest(0.0, 1 - vr / vtr), 6)
+                   END AS strength_trend
+            FROM v
+        """,
+        "evt_type_mix": """
+            -- daily event-type mix entropy + delta: nano-rounded
+            -- count-log terms, grid lag
+            -- (event_analytics.type_mix_entropy_daily)
+            WITH cells AS (
+                SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                       event_type AS ty, count(*)::BIGINT AS c
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), deg AS (
+                SELECT day, sum(c)::BIGINT AS n,
+                       count(*)::BIGINT AS k_types
+                FROM cells GROUP BY 1
+            ), agg AS (
+                SELECT cells.day, n, k_types,
+                       sum(round(c::DOUBLE
+                            * (ln(n::DOUBLE) - ln(c::DOUBLE))
+                            / 0.6931471805599453
+                            * 1000000000.0)::BIGINT)::BIGINT AS h_nano
+                FROM cells JOIN deg ON cells.day = deg.day
+                GROUP BY 1, 2, 3
+            ), staged AS (
+                SELECT day, n, k_types,
+                       h_nano::DOUBLE
+                           / (n::DOUBLE * 1000000000.0) AS h
+                FROM agg
+            )
+            SELECT day, n, k_types, round(h, 6) AS h_bits,
+                   round(h - lag(h) OVER (ORDER BY day), 6) AS h_delta
+            FROM staged
+        """,
+        "curation_mix_gap": """
+            -- source-mix gap vs the prescribed recipe + exact KL over
+            -- covered sources (corpus_curation.mix_gap_to_target)
+            WITH per_g AS (
+                SELECT source AS g, count(*)::BIGINT AS n FROM documents
+                WHERE source IS NOT NULL GROUP BY 1
+            ), tot AS (
+                SELECT sum(n)::BIGINT AS nn FROM per_g
+            ), wt AS (
+                SELECT * FROM (VALUES ('src0', 0.25), ('src1', 0.25),
+                    ('src2', 0.125), ('src3', 0.125), ('src4', 0.25))
+                    t(g, w)
+            ), covered AS (
+                SELECT per_g.g, n, wt.w FROM per_g LEFT JOIN wt USING (g)
+            ), cov_tot AS (
+                SELECT sum(n)::BIGINT AS n_cov FROM covered
+                WHERE w IS NOT NULL
+            ), staged AS (
+                SELECT g, n, w, nn, n_cov,
+                       CASE WHEN w IS NOT NULL AND w > 0
+                            THEN round(n::DOUBLE
+                                 * (ln(n::DOUBLE * 1.0)
+                                    - ln(n_cov::DOUBLE * w))
+                                 / 0.6931471805599453
+                                 * 1000000000.0)::BIGINT END AS t_nano
+                FROM covered CROSS JOIN tot CROSS JOIN cov_tot
+            ), kl AS (
+                SELECT sum(t_nano)::BIGINT AS kl_nano,
+                       max(n_cov)::BIGINT AS n_cov2
+                FROM staged
+            )
+            SELECT g AS "group", n,
+                   round(n::DOUBLE / nn::DOUBLE, 6) AS share,
+                   round(w / 1.0, 6) AS target_share,
+                   round(n::DOUBLE / nn::DOUBLE - w / 1.0, 6) AS gap,
+                   round(kl_nano::DOUBLE
+                         / (n_cov2::DOUBLE * 1000000000.0), 6) AS kl_bits
+            FROM staged CROSS JOIN kl
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

@@ -1247,3 +1247,77 @@ def dedup_savings(
         )
 
     return one("k_exact", "exact").unionAll(one("k_prefix", "prefix"))
+
+
+def mix_gap_to_target(
+    docs: DataFrame,
+    target: dict[str, float],
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus-mix gap against a PRESCRIBED recipe — "how far is the
+    source mix from the data-mixture spec" as one row per group plus
+    exact KL: (group, n, share, target_share, gap, kl_term_nano are
+    folded — output is per-group (group, n, share, target_share,
+    gap) and the caller reads Σ later) … returned per group with the
+    overall KL(current‖target) repeated on every row (kl_bits) so the
+    table is self-contained. Groups missing from the recipe get
+    target 0 and a NULL KL contribution (documented: KL is computed
+    over recipe-covered groups only, renormalized share).
+
+    Exact: counts are integers; each covered group's
+    n_g·(ln(n_g·W) − ln(n_cov·w_g))/ln2 term (w_g the literal recipe
+    weight, W = Σ covered weights) nano-rounds and exact-sums; one
+    shared division.
+    """
+    items = sorted(target.items())
+    tw = F.create_map(
+        *[F.lit(x) for kv in items for x in kv]
+    )
+    per_g = docs.filter(F.col(group_col).isNotNull()).groupBy(
+        F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = per_g.agg(F.sum("n").cast("long").alias("nn"))
+    wsum = float(sum(target.values()))
+    covered = per_g.select(
+        "g", "n", tw[F.col("g")].alias("w")
+    )
+    cov_tot = covered.filter(F.col("w").isNotNull()).agg(
+        F.sum("n").cast("long").alias("n_cov")
+    )
+    ln2 = 0.6931471805599453
+    NANO = F.lit(1_000_000_000.0)
+    j = covered.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(cov_tot))
+    kl_term = F.when(
+        F.col("w").isNotNull() & (F.col("w") > 0),
+        F.round(
+            F.col("n").cast("double")
+            * (
+                F.log(F.col("n").cast("double") * F.lit(wsum))
+                - F.log(F.col("n_cov").cast("double") * F.col("w"))
+            )
+            / F.lit(ln2)
+            * NANO
+        ).cast("long"),
+    )
+    staged = j.select(
+        "g", "n", "w", "nn", "n_cov", kl_term.alias("_t")
+    )
+    kl = staged.agg(
+        F.sum("_t").cast("long").alias("kl_nano"),
+        F.max("n_cov").cast("long").alias("n_cov2"),
+    )
+    out = staged.crossJoin(F.broadcast(kl))
+    share = F.col("n").cast("double") / F.col("nn").cast("double")
+    tshare = F.col("w") / F.lit(wsum)
+    return out.select(
+        F.col("g").alias("group"),
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(tshare, 6).alias("target_share"),
+        F.round(share - tshare, 6).alias("gap"),
+        F.round(
+            F.col("kl_nano").cast("double")
+            / (F.col("n_cov2").cast("double") * F.lit(1_000_000_000.0)),
+            6,
+        ).alias("kl_bits"),
+    )

@@ -1994,3 +1994,127 @@ def week_over_week(
             ),
         ).alias("z"),
     )
+
+
+def seasonal_strength(
+    df: DataFrame,
+    t_col: str,
+    v_col: str,
+    period: int = 7,
+    v_scale: int = 1,
+) -> DataFrame:
+    """Hyndman-style seasonal/trend strength of a regular series —
+    the one-row "is this series worth decomposing" gate on top of
+    seasonal_decompose_additive: (n_used, var_resid, var_detrended,
+    var_deseasoned, strength_seasonal, strength_trend).
+    strength_seasonal = max(0, 1 − Var(R)/Var(S+R)),
+    strength_trend = max(0, 1 − Var(R)/Var(T+R)) — both in [0,1];
+    ≥ 0.6 is the usual "strong" reading. Rows in the trend warm-up
+    (NULL trend) are excluded from every variance, so the three
+    variances are computed over the SAME support.
+
+    Engine-exact: the decomposition's doubles are micro-rounded
+    (×1e6) to integers per row, variances then come from exact
+    integer moments — one division each, fixed final combination.
+    """
+    dec = seasonal_decompose_additive(df, t_col, v_col, period, v_scale)
+    used = dec.filter(F.col("resid").isNotNull()).select(
+        F.round(F.col("resid") * F.lit(1_000_000.0)).cast("long").alias("qr"),
+        F.round(
+            (F.col("seasonal") + F.col("resid")) * F.lit(1_000_000.0)
+        ).cast("long").alias("qsr"),
+        F.round(
+            (F.col("trend") + F.col("resid")) * F.lit(1_000_000.0)
+        ).cast("long").alias("qtr"),
+    )
+
+    def mom(c):
+        return [
+            F.sum(F.col(c).cast(_DEC)).alias(f"s_{c}"),
+            F.sum(F.col(c).cast(_DEC) * F.col(c).cast(_DEC)).alias(f"ss_{c}"),
+        ]
+
+    agg = used.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *mom("qr"), *mom("qsr"), *mom("qtr"),
+    )
+    nd = F.col("n").cast("double")
+    M2 = F.lit(1e12)
+
+    def var(c):
+        return (
+            (
+                F.col("n").cast(_DEC) * F.col(f"ss_{c}")
+                - F.col(f"s_{c}") * F.col(f"s_{c}")
+            ).cast("double")
+            / (nd * nd * M2)
+        )
+
+    vr, vsr, vtr = var("qr"), var("qsr"), var("qtr")
+    ok = F.col("n") >= 3
+    return agg.select(
+        F.col("n").alias("n_used"),
+        F.when(ok, F.round(vr, 6)).alias("var_resid"),
+        F.when(ok, F.round(vsr, 6)).alias("var_detrended"),
+        F.when(ok, F.round(vtr, 6)).alias("var_deseasoned"),
+        F.when(
+            ok & (vsr > 0),
+            F.round(F.greatest(F.lit(0.0), 1 - vr / vsr), 6),
+        ).alias("strength_seasonal"),
+        F.when(
+            ok & (vtr > 0),
+            F.round(F.greatest(F.lit(0.0), 1 - vr / vtr), 6),
+        ).alias("strength_trend"),
+    )
+
+
+def type_mix_entropy_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Daily event-type mix entropy + day-over-day delta — "did the
+    SHAPE of traffic change, not just its volume" (week_over_week
+    watches counts; this watches composition): one row per day (day,
+    n, k_types, h_bits, h_delta). A collapsing h (one type taking
+    over) flags incidents volume alone hides.
+
+    Engine-exact (the entropy_rate recipe): per-(day, type) counts
+    are integers, each n·(ln d − ln n)/ln2 term nano-rounds and
+    exact-sums per day, the lag runs over the bounded day grid.
+    """
+    cells = df.filter(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    ).groupBy(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(86_400_000_000)
+        ).cast("long").alias("day"),
+        F.col(type_col).alias("ty"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    deg = cells.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k_types"),
+    )
+    ln2 = 0.6931471805599453
+    NANO = F.lit(1_000_000_000.0)
+    j = cells.join(deg, "day")
+    term = F.round(
+        F.col("c").cast("double")
+        * (F.log(F.col("n").cast("double")) - F.log(F.col("c").cast("double")))
+        / F.lit(ln2)
+        * NANO
+    ).cast("long")
+    agg = j.groupBy("day", "n", "k_types").agg(
+        F.sum(term).cast("long").alias("h_nano")
+    )
+    h = F.col("h_nano").cast("double") / (F.col("n").cast("double") * NANO)
+    w = Window.orderBy("day")
+    staged = agg.select("day", "n", "k_types", h.alias("_h"))
+    return staged.select(
+        "day",
+        "n",
+        "k_types",
+        F.round(F.col("_h"), 6).alias("h_bits"),
+        F.round(F.col("_h") - F.lag("_h").over(w), 6).alias("h_delta"),
+    )

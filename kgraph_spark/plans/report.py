@@ -2428,6 +2428,30 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Seasonal strength — the decomposition plan + one variance "
+        "fold; no python",
+        _plan(entrymod.queries()["evt_seasonal_strength"](spark, SF)),
+        ["HashAggregate", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Type-mix entropy — per-(day,type) cells, per-day fold, "
+        "grid lag; shuffle on the day key only",
+        _plan(entrymod.queries()["evt_type_mix"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Mix gap — per-source counts + broadcast literal recipe and "
+        "totals; no window",
+        _plan(entrymod.queries()["curation_mix_gap"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

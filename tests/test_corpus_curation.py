@@ -941,3 +941,34 @@ def test_dedup_savings_hand_case(spark):
     # prefix canonical keeps d1 (2 tok) and d3 (1 tok) -> 4 removed
     assert pf["tokens_removed"] == 4
     assert pf["pct_tokens_removed"] == pytest.approx(4.0 / 7.0, abs=1e-6)
+
+
+def test_mix_gap_to_target_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.corpus_curation import mix_gap_to_target
+
+    rows = (
+        [("d%d" % i, "a", "x") for i in range(3)]
+        + [("e0", "b", "x")]
+        + [("f0", "c", "x")]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    out = {r["group"]: r for r in
+           mix_gap_to_target(df, {"a": 0.5, "b": 0.5}).collect()}
+    assert out["a"]["share"] == pytest.approx(0.6, abs=1e-9)
+    assert out["a"]["target_share"] == pytest.approx(0.5, abs=1e-9)
+    assert out["a"]["gap"] == pytest.approx(0.1, abs=1e-9)
+    # uncovered source: share reported, target/gap NULL
+    assert out["c"]["target_share"] is None and out["c"]["gap"] is None
+    # KL over covered (a:3, b:1 renormalized vs .5/.5):
+    kl = (3 * math.log2(3 / 2) + 1 * math.log2(1 / 2)) / 4
+    assert out["a"]["kl_bits"] == pytest.approx(kl, abs=1e-5)
+    assert out["b"]["kl_bits"] == pytest.approx(kl, abs=1e-5)
+    # matched mix -> KL 0
+    even = spark.createDataFrame(
+        [("d0", "a", "x"), ("d1", "b", "x")],
+        "doc_id string, source string, text string",
+    )
+    r = mix_gap_to_target(even, {"a": 0.5, "b": 0.5}).first()
+    assert r["kl_bits"] == pytest.approx(0.0, abs=1e-9)

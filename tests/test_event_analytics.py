@@ -808,3 +808,39 @@ def test_week_over_week_hand_case(spark):
     assert (r["n"], r["n_prev"]) == (20, 10)
     assert r["ratio"] == pytest.approx(2.0, abs=1e-9)
     assert r["z"] == pytest.approx(10.0 / math.sqrt(30.0), abs=1e-6)
+
+
+def test_seasonal_strength_hand_case(spark):
+    from kgraph_spark.operators.event_analytics import seasonal_strength
+
+    # exact trend+seasonal, zero residual -> both strengths 1
+    s_pat = {0: 0.0, 1: 3.0, 2: -3.0}
+    rows = [(t, float(t) + s_pat[t % 3]) for t in range(9)]
+    df = spark.createDataFrame(rows, "t long, v double")
+    r = seasonal_strength(df, "t", "v", period=3).first()
+    assert r["n_used"] == 7
+    assert r["var_resid"] == pytest.approx(0.0, abs=1e-6)
+    assert r["strength_seasonal"] == pytest.approx(1.0, abs=1e-5)
+    assert r["strength_trend"] == pytest.approx(1.0, abs=1e-5)
+    # flat series: every component variance 0 -> NULL strengths
+    flat = spark.createDataFrame([(t, 5.0) for t in range(9)], "t long, v double")
+    rf = seasonal_strength(flat, "t", "v", period=3).first()
+    assert rf["strength_seasonal"] is None and rf["var_resid"] == 0.0
+
+
+def test_type_mix_entropy_daily_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import type_mix_entropy_daily
+
+    base = dt.datetime(2024, 1, 1)
+    rows = (
+        [(base, "a")] * 2 + [(base, "b")] * 2
+        + [(base + dt.timedelta(days=1), "a")] * 4
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {r["day"] - 19723: r for r in type_mix_entropy_daily(df).collect()}
+    assert out[0]["h_bits"] == pytest.approx(1.0, abs=1e-6)
+    assert out[0]["k_types"] == 2 and out[0]["h_delta"] is None
+    assert out[1]["h_bits"] == pytest.approx(0.0, abs=1e-9)
+    assert out[1]["h_delta"] == pytest.approx(-1.0, abs=1e-6)
