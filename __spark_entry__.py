@@ -6381,6 +6381,39 @@ def q_curation_mix_gap(spark, sf_dir):
     return mix_gap_to_target(_read(spark, sf_dir, "documents"), target)
 
 
+def q_stat_cochran_c(spark, sf_dir):
+    """Cochran's C variance-outlier triage across event types — which
+    group's variance dominates the pool; exact CYY numerators,
+    micro-rounded Σs², deterministic worst-group pick."""
+    from kgraph_spark.operators.stats import cochran_c
+
+    return cochran_c(_read(spark, sf_dir, "events"), "value", "event_type", scale=100)
+
+
+def q_stat_mde(spark, sf_dir):
+    """A/B minimum detectable effect for the purchase-rate test at the
+    observed even/odd-user traffic split — 1.96/0.8416 literals, one
+    exact fold, one sqrt."""
+    from kgraph_spark.operators.stats import min_detectable_effect
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        (F.col("user_id") % 2 == 0).alias("arm"),
+        (F.col("event_type") == "purchase").alias("succ"),
+    )
+    return min_detectable_effect(ev, "arm", "succ")
+
+
+def q_evt_day_envelope(spark, sf_dir):
+    """Typical-day envelope: exact p10/p50/p90 hourly counts per
+    hour-of-day — grid cumulative order statistics, no raw-row
+    sort."""
+    from kgraph_spark.operators.event_analytics import day_envelope
+
+    return day_envelope(_read(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6741,6 +6774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_seasonal_strength": q_evt_seasonal_strength,
         "evt_type_mix": q_evt_type_mix,
         "curation_mix_gap": q_curation_mix_gap,
+        "stat_cochran_c": q_stat_cochran_c,
+        "stat_mde": q_stat_mde,
+        "evt_day_envelope": q_evt_day_envelope,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -18755,6 +18791,105 @@ def oracle_sql() -> dict[str, str]:
                    round(kl_nano::DOUBLE
                          / (n_cov2::DOUBLE * 1000000000.0), 6) AS kl_bits
             FROM staged CROSS JOIN kl
+        """,
+        "stat_cochran_c": """
+            -- Cochran's C: max group variance over the micro-rounded
+            -- variance pool, deterministic worst-group
+            -- (stats.cochran_c)
+            WITH q AS (
+                SELECT event_type AS g, round(value * 100)::BIGINT AS qv
+                FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+            ), per_g AS (
+                SELECT g, count(*)::BIGINT AS ni, sum(qv::HUGEINT) AS si,
+                       sum(qv::HUGEINT * qv) AS ssi
+                FROM q GROUP BY 1 HAVING count(*) >= 2
+            ), staged AS (
+                SELECT g, ni,
+                       (ni::HUGEINT * ssi - si * si)::DOUBLE
+                           / (ni::DOUBLE * (ni::DOUBLE - 1)) AS s2
+                FROM per_g
+            ), agg AS (
+                SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS n,
+                       sum(round(s2 * 1000000.0)::HUGEINT) AS ssum_micro,
+                       max(smax) AS smax,
+                       min(CASE WHEN s2 = smax THEN g END) AS worst_group
+                FROM (SELECT *, max(s2) OVER () AS smax FROM staged)
+            )
+            SELECT k, n,
+                   CASE WHEN ssum_micro::DOUBLE / 1000000.0 > 0
+                        THEN round(smax
+                             / (ssum_micro::DOUBLE / 1000000.0), 6)
+                   END AS c_stat,
+                   worst_group,
+                   round(smax / 10000.0, 6) AS worst_var,
+                   CASE WHEN k > 0
+                        THEN round(1.0 / k::DOUBLE, 6) END AS c_uniform
+            FROM agg
+        """,
+        "stat_mde": """
+            -- A/B minimum detectable effect at the observed traffic
+            -- split (1.96 + 0.8416 literals)
+            -- (stats.min_detectable_effect)
+            WITH q AS (
+                SELECT (user_id % 2 = 0) AS a,
+                       (event_type = 'purchase')::INT AS y
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), agg AS (
+                SELECT sum(a::INT)::BIGINT AS n_a,
+                       sum((NOT a)::INT)::BIGINT AS n_b,
+                       sum(y)::BIGINT AS pos, count(*)::BIGINT AS n
+                FROM q
+            )
+            SELECT n_a, n_b,
+                   round(pos::DOUBLE / n::DOUBLE, 6) AS p_base,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND pos > 0
+                        THEN round((1.96 + 0.8416)
+                             * sqrt((pos::DOUBLE / n::DOUBLE)
+                                    * (1 - pos::DOUBLE / n::DOUBLE)
+                                    * (1 / n_a::DOUBLE
+                                       + 1 / n_b::DOUBLE)), 6)
+                   END AS mde_abs,
+                   CASE WHEN n_a > 0 AND n_b > 0 AND pos > 0
+                        THEN round(((1.96 + 0.8416)
+                             * sqrt((pos::DOUBLE / n::DOUBLE)
+                                    * (1 - pos::DOUBLE / n::DOUBLE)
+                                    * (1 / n_a::DOUBLE
+                                       + 1 / n_b::DOUBLE)))
+                             / (pos::DOUBLE / n::DOUBLE), 6)
+                   END AS mde_rel
+            FROM agg
+        """,
+        "evt_day_envelope": """
+            -- typical-day envelope: exact p10/p50/p90 hourly counts
+            -- per hour-of-day (event_analytics.day_envelope)
+            WITH hours AS (
+                SELECT (epoch_us(ts) // 3600000000)::BIGINT AS h,
+                       count(*)::BIGINT AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), per AS (
+                SELECT (h % 24)::BIGINT AS hod, c FROM hours
+            ), cells AS (
+                SELECT hod, c, count(*)::BIGINT AS t FROM per GROUP BY 1, 2
+            ), cum AS (
+                SELECT hod, c,
+                       sum(t) OVER (PARTITION BY hod ORDER BY c
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+                FROM cells
+            ), tot AS (
+                SELECT hod, sum(t)::BIGINT AS n_days FROM cells GROUP BY 1
+            ), j AS (
+                SELECT cum.*, n_days FROM cum JOIN tot USING (hod)
+            )
+            SELECT hod, n_days,
+                   min(CASE WHEN cum >= ceil(n_days * 10 / 100)
+                        THEN c END)::BIGINT AS p10,
+                   min(CASE WHEN cum >= ceil(n_days * 50 / 100)
+                        THEN c END)::BIGINT AS p50,
+                   min(CASE WHEN cum >= ceil(n_days * 90 / 100)
+                        THEN c END)::BIGINT AS p90
+            FROM j GROUP BY hod, n_days
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

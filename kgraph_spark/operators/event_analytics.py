@@ -2118,3 +2118,46 @@ def type_mix_entropy_daily(
         F.round(F.col("_h"), 6).alias("h_bits"),
         F.round(F.col("_h") - F.lag("_h").over(w), 6).alias("h_delta"),
     )
+
+
+def day_envelope(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Typical-day traffic envelope — exact p10/p50/p90 of the hourly
+    count for each hour-of-day: one row per hour (hod, n_days, p10,
+    p50, p90). The ops-dashboard band "today at 14:00 should sit
+    between 1.1k and 1.9k"; evt_hour_anova says the hours differ,
+    this says by how much and with what spread.
+
+    Exact order statistics: per-(hod, count-value) cells, cumulative
+    counts over each hour's ≤|days| distinct values, percentile =
+    smallest value whose cumulative count reaches ⌈q·n⌉ (the
+    repo-wide exact-percentile rule). No sort of raw rows.
+    """
+    hours = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    per = hours.select((F.col("h") % 24).alias("hod"), "c")
+    cells = per.groupBy("hod", "c").agg(F.count(F.lit(1)).cast("long").alias("t"))
+    w = Window.partitionBy("hod").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "hod", "c", F.sum("t").over(w).cast("long").alias("cum")
+    )
+    tot = cells.groupBy("hod").agg(F.sum("t").cast("long").alias("n_days"))
+    j = cum.join(F.broadcast(tot), "hod")
+
+    def pick(q100: int, name: str):
+        thr = F.ceil(F.col("n_days") * F.lit(q100) / F.lit(100)).cast("long")
+        return F.min(F.when(F.col("cum") >= thr, F.col("c"))).cast("long").alias(
+            name
+        )
+
+    return j.groupBy("hod", "n_days").agg(
+        pick(10, "p10"), pick(50, "p50"), pick(90, "p90")
+    ).select("hod", "n_days", "p10", "p50", "p90")

@@ -92,6 +92,8 @@ __all__ = [
     "weighted_kappa",
     "diff_in_diff",
     "fisher_corr_ci",
+    "cochran_c",
+    "min_detectable_effect",
 ]
 
 _DEC = "decimal(38,0)"
@@ -4233,4 +4235,111 @@ def fisher_corr_ci(
         F.when(inbounds, F.round(z, 6)).alias("z_fisher"),
         F.when(inbounds, F.round(back(lo), 6)).alias("ci_lo"),
         F.when(inbounds, F.round(back(hi), 6)).alias("ci_hi"),
+    )
+
+
+def cochran_c(df: DataFrame, value_col: str, group_col: str,
+              scale: int = 100) -> DataFrame:
+    """Cochran's C variance-outlier gate — "is ONE group's variance
+    dominating the pool" (bartlett says the variances differ; C says
+    WHICH one and by how much): one row (k, n, c_stat, worst_group,
+    worst_var, c_uniform). C = max sᵢ² / Σ sᵢ²; under homogeneity
+    C ≈ 1/k (reported as c_uniform for the read-off). The
+    heteroscedasticity triage step before deciding between welch_t
+    and a pooled test.
+
+    Exact: per-group sample variances from exact integer CYY
+    numerators; the Σ side micro-rounds each sᵢ² (×1e6, grid units²)
+    and exact-sums; the max side picks deterministically (smallest
+    group label on ties). Groups with n < 2 drop. One aggregate +
+    one k-row fold.
+    """
+    q = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("g"), _quant(F.col(value_col), scale).alias("qv")
+    )
+    per_g = q.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ni"),
+        F.sum(F.col("qv").cast(_DEC)).alias("si"),
+        F.sum(F.col("qv").cast(_DEC) * F.col("qv").cast(_DEC)).alias("ssi"),
+    ).filter(F.col("ni") >= 2)
+    cyy = (
+        F.col("ni").cast(_DEC) * F.col("ssi") - F.col("si") * F.col("si")
+    ).cast("double")
+    nid = F.col("ni").cast("double")
+    s2 = cyy / (nid * (nid - 1))
+    staged = per_g.select("g", "ni", s2.alias("s2"))
+    wall = Window.partitionBy(F.lit(1))
+    sc2 = F.lit(float(scale) * float(scale))
+    agg = (
+        staged.withColumn("smax", F.max("s2").over(wall))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("ni").cast("long").alias("n"),
+            F.sum(
+                F.round(F.col("s2") * F.lit(1_000_000.0)).cast(_DEC)
+            ).alias("ssum_micro"),
+            F.max("smax").alias("smax"),
+            F.min(F.when(F.col("s2") == F.col("smax"), F.col("g"))).alias(
+                "worst_group"
+            ),
+        )
+    )
+    ssum = F.col("ssum_micro").cast("double") / F.lit(1_000_000.0)
+    return agg.select(
+        "k",
+        "n",
+        F.when(ssum > 0, F.round(F.col("smax") / ssum, 6)).alias("c_stat"),
+        "worst_group",
+        F.round(F.col("smax") / sc2, 6).alias("worst_var"),
+        F.when(
+            F.col("k") > 0,
+            F.round(F.lit(1.0) / F.col("k").cast("double"), 6),
+        ).alias("c_uniform"),
+    )
+
+
+def min_detectable_effect(
+    df: DataFrame,
+    arm_col: str,
+    success_col: str,
+    alpha_z: float = 1.96,
+    power_z: float = 0.8416,
+) -> DataFrame:
+    """A/B minimum detectable effect — "with the traffic we actually
+    have, how small a lift could the prop z-test even see" (the
+    planning twin of stat_prop_ztest; run BEFORE the experiment):
+    one row (n_a, n_b, p_base, mde_abs, mde_rel).
+    MDE = (z_{α/2}+z_{power})·√(p̄(1−p̄)(1/n_a+1/n_b)) with the
+    classic 1.96/0.8416 literals (5% two-sided, 80% power).
+
+    Exact: arm sizes and the pooled base rate are exact integers from
+    ONE fold; the MDE is a fixed double sequence (one sqrt).
+    """
+    q = df.filter(
+        F.col(arm_col).isNotNull() & F.col(success_col).isNotNull()
+    ).select(
+        F.col(arm_col).cast("boolean").alias("a"),
+        F.col(success_col).cast("boolean").cast("int").alias("y"),
+    )
+    agg = q.agg(
+        F.sum(F.col("a").cast("int")).cast("long").alias("n_a"),
+        F.sum((~F.col("a")).cast("int")).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("pos"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    p = F.col("pos").cast("double") / F.col("n").cast("double")
+    mde = F.lit(float(alpha_z) + float(power_z)) * F.sqrt(
+        p * (1 - p) * (1 / na + 1 / nb)
+    )
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0) & (F.col("pos") > 0)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("p_base"),
+        F.when(ok, F.round(mde, 6)).alias("mde_abs"),
+        F.when(ok, F.round(mde / p, 6)).alias("mde_rel"),
     )

@@ -2452,6 +2452,29 @@ def main() -> None:
          "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Cochran's C — per-group variance aggregate + k-row fold "
+        "with deterministic argmax",
+        _plan(entrymod.queries()["stat_cochran_c"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "MDE planner — ONE exact fold; no window, no join",
+        _plan(entrymod.queries()["stat_mde"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!Window",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Day envelope — hour aggregate, per-hod grid window, "
+        "broadcast totals, order-statistic picks",
+        _plan(entrymod.queries()["evt_day_envelope"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "BroadcastHashJoin",
+         "!BatchEvalPython", "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

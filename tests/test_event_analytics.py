@@ -844,3 +844,21 @@ def test_type_mix_entropy_daily_hand_case(spark):
     assert out[0]["k_types"] == 2 and out[0]["h_delta"] is None
     assert out[1]["h_bits"] == pytest.approx(0.0, abs=1e-9)
     assert out[1]["h_delta"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_day_envelope_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import day_envelope
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # hour 0 of day d carries d+1 events (counts 1..10 across 10 days)
+    for d in range(10):
+        for i in range(d + 1):
+            rows.append((base + dt.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["hod"]: r for r in day_envelope(df).collect()}
+    r = out[0]
+    assert r["n_days"] == 10
+    assert (r["p10"], r["p50"], r["p90"]) == (1, 5, 9)

@@ -1550,3 +1550,46 @@ def test_fisher_corr_ci_hand_case(spark):
     # float sqrt puts raw r a hair under 1: z blows up but stays
     # finite and deterministic (atanh of 1-ulp)
     assert rp["z_fisher"] is None or rp["z_fisher"] > 6
+
+
+def test_cochran_c_hand_case(spark):
+    from kgraph_spark.operators.stats import cochran_c
+
+    rows = (
+        [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+        + [("b", 2.0), ("b", 6.0), ("b", 10.0)]
+        + [("c", 5.0), ("c", 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = cochran_c(df, "v", "g").first()
+    assert (r["k"], r["n"]) == (3, 8)
+    assert r["worst_group"] == "b"
+    assert r["worst_var"] == pytest.approx(16.0, abs=1e-6)
+    assert r["c_stat"] == pytest.approx(16.0 / 17.0, abs=1e-6)
+    assert r["c_uniform"] == pytest.approx(1.0 / 3.0, abs=1e-6)
+    # singleton group drops from k
+    r2 = cochran_c(
+        spark.createDataFrame(rows + [("d", 9.0)], "g string, v double"),
+        "v", "g",
+    ).first()
+    assert r2["k"] == 3
+
+
+def test_min_detectable_effect_hand_case(spark):
+    import math
+
+    from kgraph_spark.operators.stats import min_detectable_effect
+
+    rows = [(True, True), (True, False), (False, False), (False, False)]
+    df = spark.createDataFrame(rows, "arm boolean, succ boolean")
+    r = min_detectable_effect(df, "arm", "succ").first()
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["p_base"] == pytest.approx(0.25, abs=1e-9)
+    exp = (1.96 + 0.8416) * math.sqrt(0.25 * 0.75 * (0.5 + 0.5))
+    assert r["mde_abs"] == pytest.approx(exp, abs=1e-5)
+    assert r["mde_rel"] == pytest.approx(exp / 0.25, abs=1e-4)
+    # no successes -> NULL (rate 0 has no detectable lift scale)
+    none = spark.createDataFrame(
+        [(True, False), (False, False)], "arm boolean, succ boolean"
+    )
+    assert min_detectable_effect(none, "arm", "succ").first()["mde_abs"] is None
