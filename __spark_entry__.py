@@ -6414,6 +6414,41 @@ def q_evt_day_envelope(spark, sf_dir):
     return day_envelope(_read(spark, sf_dir, "events"))
 
 
+def q_evt_peak_conc(spark, sf_dir):
+    """Daily top-3-hour traffic concentration — what share of each
+    day rides its busiest hours; 24-row per-day rank windows, one
+    exact division."""
+    from kgraph_spark.operators.event_analytics import peak_concentration
+
+    return peak_concentration(_read(spark, sf_dir, "events"), top_k=3)
+
+
+def q_evt_peak_load(spark, sf_dir):
+    """Busiest trailing 5-minute stretch of the whole stream — the
+    number a rate limiter must survive; integer minute-grid RANGE
+    window, earliest-end tie-break."""
+    from kgraph_spark.operators.event_analytics import peak_load
+
+    return peak_load(_read(spark, sf_dir, "events"), window_minutes=5)
+
+
+def q_stat_lorenz(spark, sf_dir):
+    """Lorenz curve deciles of per-user total spend — the shape
+    behind the Gini number; exact grid order statistics with
+    proportional tie-block splits."""
+    from kgraph_spark.operators.stats import lorenz_curve
+
+    per_user = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents")
+        )
+    )
+    return lorenz_curve(per_user, "cents", n_points=10, scale=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dict order is execution order in bench.py: the flagship pipeline query
     # runs LAST because its extraction churns the python-worker pool and
@@ -6777,6 +6812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stat_cochran_c": q_stat_cochran_c,
         "stat_mde": q_stat_mde,
         "evt_day_envelope": q_evt_day_envelope,
+        "evt_peak_conc": q_evt_peak_conc,
+        "evt_peak_load": q_evt_peak_load,
+        "stat_lorenz": q_stat_lorenz,
         "eval_auc_roc": q_eval_auc_roc,
         "eval_calibration": q_eval_calibration,
         "evt_kaplan_meier": q_evt_kaplan_meier,
@@ -18890,6 +18928,92 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN cum >= ceil(n_days * 90 / 100)
                         THEN c END)::BIGINT AS p90
             FROM j GROUP BY hod, n_days
+        """,
+        "evt_peak_conc": """
+            -- daily top-3-hour traffic share: 24-row per-day ranks,
+            -- one division (event_analytics.peak_concentration)
+            WITH hours AS (
+                SELECT (epoch_us(ts) // 3600000000)::BIGINT AS h,
+                       count(*)::BIGINT AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), cells AS (
+                SELECT (h // 24)::BIGINT AS day, (h % 24)::BIGINT AS hod, c
+                FROM hours
+            ), ranked AS (
+                SELECT day, c,
+                       row_number() OVER (PARTITION BY day
+                            ORDER BY c DESC, hod ASC)::BIGINT AS rk
+                FROM cells
+            )
+            SELECT day, sum(c)::BIGINT AS n,
+                   round(sum(CASE WHEN rk <= 3 THEN c END)::DOUBLE
+                         / sum(c)::DOUBLE, 6) AS top_share
+            FROM ranked GROUP BY day
+        """,
+        "evt_peak_load": """
+            -- busiest trailing 5-minute stretch: integer minute-grid
+            -- RANGE window, earliest-end tie-break
+            -- (event_analytics.peak_load)
+            WITH per_min AS (
+                SELECT (epoch_us(ts) // 60000000)::BIGINT AS m,
+                       count(*)::BIGINT AS c
+                FROM events WHERE ts IS NOT NULL GROUP BY 1
+            ), roll AS (
+                SELECT m, sum(c) OVER (ORDER BY m
+                            RANGE BETWEEN 4 PRECEDING
+                            AND CURRENT ROW)::BIGINT AS wc
+                FROM per_min
+            ), best AS (
+                SELECT peak, min(m)::BIGINT AS peak_window_end
+                FROM (SELECT m, wc, max(wc) OVER ()::BIGINT AS peak
+                      FROM roll)
+                WHERE wc = peak GROUP BY peak
+            ), tot AS (
+                SELECT count(*)::BIGINT AS n_minutes FROM per_min
+            )
+            SELECT n_minutes, peak_window_end, peak AS peak_count,
+                   round(peak::DOUBLE / 5.0, 6) AS peak_per_min
+            FROM best CROSS JOIN tot
+        """,
+        "stat_lorenz": """
+            -- Lorenz deciles of per-user spend: exact grid order
+            -- statistics, proportional tie-block splits
+            -- (stats.lorenz_curve)
+            WITH per_user AS (
+                SELECT user_id,
+                       sum(round(value * 100)::BIGINT)::BIGINT AS cents
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), q AS (
+                SELECT cents::BIGINT AS qv FROM per_user
+            ), cells AS (
+                SELECT qv, count(*)::BIGINT AS t FROM q GROUP BY 1
+            ), cum AS (
+                SELECT qv, t,
+                       sum(t) OVER w::BIGINT AS cum,
+                       sum(qv::HUGEINT * t::HUGEINT) OVER w AS mass
+                FROM cells
+                WINDOW w AS (ORDER BY qv ROWS UNBOUNDED PRECEDING)
+            ), tot AS (
+                SELECT sum(t)::BIGINT AS n,
+                       sum(qv::HUGEINT * t::HUGEINT) AS total
+                FROM cells
+            ), pts AS (
+                SELECT unnest(range(1, 11))::BIGINT AS k
+            ), f AS (
+                SELECT k, n, total,
+                       ceil(n * k / 10)::BIGINT AS thr,
+                       qv, t, cum, mass
+                FROM cum CROSS JOIN tot CROSS JOIN pts
+            )
+            SELECT round(k::DOUBLE / 10.0, 6) AS pct_population,
+                   CASE WHEN total > 0
+                        THEN round((mass - qv::HUGEINT
+                                    * (cum - thr)::HUGEINT)::DOUBLE
+                             / total::DOUBLE, 6)
+                   END AS pct_mass
+            FROM f WHERE cum >= thr AND cum - t < thr
         """,
         "evt_hour_anova": """
             -- hour-of-day one-way ANOVA of hourly event counts (scale=1

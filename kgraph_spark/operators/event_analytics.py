@@ -2161,3 +2161,89 @@ def day_envelope(
     return j.groupBy("hod", "n_days").agg(
         pick(10, "p10"), pick(50, "p50"), pick(90, "p90")
     ).select("hod", "n_days", "p10", "p50", "p90")
+
+
+def peak_concentration(
+    df: DataFrame,
+    ts_col: str = "ts",
+    top_k: int = 3,
+) -> DataFrame:
+    """Daily peak-hour concentration — what share of each day's
+    traffic its `top_k` busiest hours carry: one row per day (day, n,
+    top_share). High share ⇒ capacity must be provisioned for bursts,
+    not averages (the per-day, actionable cut of evt_key_skew's
+    global story). Deterministic under tied hours (rank ties break by
+    hour index).
+
+    Exact: per-(day, hour) counts are integers, the per-day rank is a
+    bounded 24-row window, and the share is ONE division of exact
+    longs.
+    """
+    cells = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            / F.lit(3_600_000_000)
+        ).cast("long").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c")).select(
+        (F.col("h") / F.lit(24)).cast("long").alias("day"),
+        (F.col("h") % 24).alias("hod"),
+        "c",
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("c").desc(), F.col("hod").asc()
+    )
+    ranked = cells.select(
+        "day", "c", F.row_number().over(w).alias("rk")
+    )
+    return ranked.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= top_k, F.col("c"))).cast("double")
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("top_share"),
+    )
+
+
+def peak_load(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_minutes: int = 5,
+) -> DataFrame:
+    """Peak sustained load — the busiest trailing `window_minutes`
+    stretch of the whole stream: one row (n_minutes, peak_window_end,
+    peak_count, peak_per_min). The number a rate limiter or
+    autoscaler must actually survive; means and even p99s of
+    per-minute counts understate it because bursts correlate across
+    adjacent minutes.
+
+    Exact: minute-grid counts are integers, the trailing window is an
+    integer RANGE frame (gap-robust — empty minutes simply contribute
+    nothing), the peak picks deterministically (earliest window end
+    on ties). One grid window + one fold.
+    """
+    per_min = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.floor(
+            F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(60_000_000)
+        ).cast("long").alias("m")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("m").rangeBetween(-(window_minutes - 1), 0)
+    roll = per_min.select(
+        "m", F.sum("c").over(w).cast("long").alias("wc")
+    )
+    wall = Window.partitionBy(F.lit(1))
+    best = (
+        roll.withColumn("peak", F.max("wc").over(wall))
+        .filter(F.col("wc") == F.col("peak"))
+        .groupBy("peak")
+        .agg(F.min("m").cast("long").alias("peak_window_end"))
+    )
+    tot = per_min.agg(F.count(F.lit(1)).cast("long").alias("n_minutes"))
+    return best.crossJoin(F.broadcast(tot)).select(
+        "n_minutes",
+        "peak_window_end",
+        F.col("peak").alias("peak_count"),
+        F.round(
+            F.col("peak").cast("double") / F.lit(float(window_minutes)), 6
+        ).alias("peak_per_min"),
+    )

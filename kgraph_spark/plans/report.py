@@ -2475,6 +2475,31 @@ def main() -> None:
          "!BatchEvalPython", "!SortMergeJoin"],
     ))
 
+    sections.append((
+        "Peak concentration — hour aggregate + 24-row per-day rank "
+        "window, one fold; no join",
+        _plan(entrymod.queries()["evt_peak_conc"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Peak load — minute-grid aggregate + integer RANGE window, "
+        "deterministic argmax fold",
+        _plan(entrymod.queries()["evt_peak_load"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
+    sections.append((
+        "Lorenz curve — grid prefix sums + broadcast decile frame, "
+        "proportional tie splits; no raw-row sort",
+        _plan(entrymod.queries()["stat_lorenz"](spark, SF)),
+        ["HashAggregate", "partial_", "Window",
+         "BroadcastNestedLoopJoin", "!BatchEvalPython",
+         "!SortMergeJoin"],
+    ))
+
     out = ["# PLANS — physical-plan evidence (generated by kgraph_spark.plans.report)\n"]
     failures = []
     for title, plan, expectations in sections:

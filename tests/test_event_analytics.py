@@ -862,3 +862,39 @@ def test_day_envelope_hand_case(spark):
     r = out[0]
     assert r["n_days"] == 10
     assert (r["p10"], r["p50"], r["p90"]) == (1, 5, 9)
+
+
+def test_peak_concentration_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import peak_concentration
+
+    base = dt.datetime(2024, 1, 1)
+    counts = {0: 10, 1: 5, 2: 3, 3: 1, 4: 1}
+    rows = [
+        (base + dt.timedelta(hours=h, seconds=i),)
+        for h, n in counts.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = peak_concentration(df, top_k=3).first()
+    assert r["n"] == 20
+    assert r["top_share"] == pytest.approx(18.0 / 20.0, abs=1e-9)
+
+
+def test_peak_load_hand_case(spark):
+    import datetime as dt
+
+    from kgraph_spark.operators.event_analytics import peak_load
+
+    base = dt.datetime(2024, 1, 1)
+    rows = (
+        [(base + dt.timedelta(seconds=i),) for i in range(5)]
+        + [(base + dt.timedelta(minutes=3, seconds=i),) for i in range(10)]
+        + [(base + dt.timedelta(minutes=10, seconds=i),) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp")
+    r = peak_load(df, window_minutes=5).first()
+    assert r["n_minutes"] == 3
+    assert r["peak_count"] == 15          # minutes 0+3 inside one window
+    assert r["peak_per_min"] == pytest.approx(3.0, abs=1e-9)

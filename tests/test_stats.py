@@ -1593,3 +1593,26 @@ def test_min_detectable_effect_hand_case(spark):
         [(True, False), (False, False)], "arm boolean, succ boolean"
     )
     assert min_detectable_effect(none, "arm", "succ").first()["mde_abs"] is None
+
+
+def test_lorenz_curve_hand_case(spark):
+    from kgraph_spark.operators.stats import lorenz_curve
+
+    # [1,1,1,1,6]: bottom 80% carry 40%; tie blocks split exactly
+    df = spark.createDataFrame([(1.0,)] * 4 + [(6.0,)], "v double")
+    out = {
+        round(r["pct_population"] * 5): r["pct_mass"]
+        for r in lorenz_curve(df, "v", n_points=5, scale=1).collect()
+    }
+    assert out[1] == pytest.approx(0.1, abs=1e-9)
+    assert out[2] == pytest.approx(0.2, abs=1e-9)
+    assert out[4] == pytest.approx(0.4, abs=1e-9)
+    assert out[5] == pytest.approx(1.0, abs=1e-9)
+    # perfectly equal values -> the diagonal
+    eq = spark.createDataFrame([(2.0,)] * 10, "v double")
+    d = {
+        round(r["pct_population"] * 5): r["pct_mass"]
+        for r in lorenz_curve(eq, "v", n_points=5, scale=1).collect()
+    }
+    for k in range(1, 6):
+        assert d[k] == pytest.approx(k / 5.0, abs=1e-9)
