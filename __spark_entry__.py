@@ -167,6 +167,31 @@ def kg_pipeline_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def medlit_pass2_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-corpus Pass-2 parity run: merge the reference's 39 committed
+    pass1 bundles with the committed seeded synonym cache and emit the
+    final (subject, predicate, object) triples. Matches the reference's
+    own medlit_merged graph (triple-set P=0.989 / R=1.000; exact vs the
+    sequential golden mirror — tests/test_medlit_parity.py). Rows-only
+    check: input is the reference corpus, not the sf tables, so no DuckDB
+    oracle over the testdata views exists. Skips gracefully (empty result)
+    if the reference corpus is not mounted."""
+    import os
+
+    bundles = "/root/reference/pass1_bundles"
+    cache = "/root/reference/pass1_vocab/seeded_synonym_cache.json"
+    if not (os.path.isdir(bundles) and os.path.isfile(cache)):
+        return spark.createDataFrame(
+            [], "subject string, predicate string, object string, confidence double"
+        )
+    from kgraph_spark.operators.medlit_pass2 import run_pass2
+
+    out = run_pass2(spark, bundles, cache)
+    return out["triples"].select(
+        "subject", "predicate", "object", F.round("confidence", 6).alias("confidence")
+    ).orderBy("subject", "predicate", "object")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_shipped(spark)
@@ -4073,7 +4098,7 @@ def q_stat_ols_trend(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").withColumn(
         "x_sec",
         # parquet stores NTZ; session tz is UTC — floor-µs ≡ epoch_us//1e6
-        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("long"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000"),
     )
     return ols_trend(ev, "x_sec", "value", "user_id")
 
@@ -6820,6 +6845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_kaplan_meier": q_evt_kaplan_meier,
         "evt_nelson_aalen": q_evt_nelson_aalen,
         "kg_pipeline_triples": kg_pipeline_triples,
+        "medlit_pass2_triples": medlit_pass2_triples,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
 
@@ -12532,10 +12558,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (n * sxx - sx * sx) > 0
                         THEN round((n * sxy - sx * sy)::DOUBLE
                                    / ((n * sxx - sx * sx)::DOUBLE * 1000000.0), 6)
+                             + 0.0
                    END AS slope,
                    CASE WHEN (n * sxx - sx * sx) > 0
                         THEN round((sy * sxx - sx * sxy)::DOUBLE
                                    / ((n * sxx - sx * sx)::DOUBLE * 1000000.0), 6)
+                             + 0.0
                    END AS intercept
             FROM m
         """,

@@ -386,8 +386,10 @@ def ols_trend(
         F.col("g").alias(group_col),
         "n",
         "x_min",
-        F.when(dx > 0, F.round(num / (dx * ys), 6)).alias("slope"),
-        F.when(dx > 0, F.round(bnum / (dx * ys), 6)).alias("intercept"),
+        # + 0.0 normalizes IEEE signed zero (round() of a tiny negative
+        # slope yields -0.0, which hashes differently from 0.0 downstream)
+        F.when(dx > 0, F.round(num / (dx * ys), 6) + F.lit(0.0)).alias("slope"),
+        F.when(dx > 0, F.round(bnum / (dx * ys), 6) + F.lit(0.0)).alias("intercept"),
     )
 
 

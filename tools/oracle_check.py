@@ -31,9 +31,10 @@ def norm_rows(cols, rows):
         for i in order:
             v = row[i]
             if isinstance(v, float):
+                # No signed-zero normalization here: the driver's hash does
+                # not normalize -0.0, so the mirror must not be more lenient.
+                # Queries themselves normalize (`+ 0.0` after round).
                 v = round(v, 9)
-                if v == -0.0:
-                    v = 0.0
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=repr)
