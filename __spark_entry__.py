@@ -16322,10 +16322,12 @@ def oracle_sql() -> dict[str, str]:
             ), ref AS (
                 SELECT qv AS q_ref FROM top WHERE i = 101
             ), agg AS (
-                SELECT q_ref, count(*)::BIGINT AS kk,
+                -- global aggregate: ONE row even with no ref order
+                -- statistic (k=0, NULL alpha), mirroring the operator
+                SELECT max(q_ref) AS q_ref, count(*)::BIGINT AS kk,
                        sum(round((ln(qv::DOUBLE) - ln(q_ref::DOUBLE))
                                  * 1000000000.0)::BIGINT)::BIGINT AS s_nano
-                FROM top, ref WHERE i <= 100 GROUP BY 1
+                FROM top, ref WHERE i <= 100
             )
             SELECT kk AS k,
                    round(q_ref::DOUBLE / 1000000.0, 6) AS x_ref,
@@ -16773,14 +16775,14 @@ def oracle_sql() -> dict[str, str]:
                            / (n::HUGEINT * sxx - sx * sx)::DOUBLE AS alpha
                 FROM m
             ), e AS (
-                SELECT qx, qy::DOUBLE - alpha - beta * qx::DOUBLE AS e, n
+                SELECT qx, qy, qy::DOUBLE - alpha - beta * qx::DOUBLE AS e, n
                 FROM q CROSS JOIN fit
             ), terms AS (
                 SELECT n,
                        round(e * e * 1000000.0)::HUGEINT AS e2,
-                       CASE WHEN lag(e) OVER (ORDER BY qx) IS NOT NULL
-                            THEN round((e - lag(e) OVER (ORDER BY qx))
-                                 * (e - lag(e) OVER (ORDER BY qx))
+                       CASE WHEN lag(e) OVER (ORDER BY qx, qy) IS NOT NULL
+                            THEN round((e - lag(e) OVER (ORDER BY qx, qy))
+                                 * (e - lag(e) OVER (ORDER BY qx, qy))
                                  * 1000000.0)::HUGEINT
                        END AS d2
                 FROM e
@@ -18014,13 +18016,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "evt_hour_uniform": """
             -- one-sample KS vs the uniform hour-of-day law: exact
-            -- 24-cell integer CDF cross-products
+            -- integer CDF cross-products over ALL 24 cells (zero-event
+            -- hours join in via the 24-row frame)
             -- (event_analytics.hour_uniformity_ks)
             WITH hrs AS (
                 SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS h
                 FROM events WHERE ts IS NOT NULL
-            ), per_h AS (
+            ), obs AS (
                 SELECT h, count(*)::BIGINT AS c FROM hrs GROUP BY 1
+            ), per_h AS (
+                SELECT g.h, coalesce(obs.c, 0)::BIGINT AS c
+                FROM (SELECT range::BIGINT AS h FROM range(0, 24)) g
+                LEFT JOIN obs ON g.h = obs.h
             ), tot AS (
                 SELECT sum(c)::BIGINT AS n FROM per_h
             ), cum AS (

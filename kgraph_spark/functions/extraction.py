@@ -98,6 +98,8 @@ class CompiledGazetteer:
 
     def __init__(self, entries: list[GazetteerEntry]):
         ordered = sorted(entries, key=lambda e: len(e.alias), reverse=True)
+        # matched-surface → norm_key_py memo (closed set; see extract_occurrences)
+        self.norm_cache: dict[str, str] = {}
         self.by_key: dict[str, GazetteerEntry] = {}
         for e in ordered:
             # one entry per casefolded surface form (longest/first wins)
@@ -122,31 +124,32 @@ class CompiledGazetteer:
         """[(start, end, matched_text, entry)] for every occurrence
         (overlapping occurrences at distinct start positions included)."""
         out = []
-        words = list(_WORD_RX.finditer(text))
-        lowers = [w.group().casefold() for w in words]
-        n = len(words)
+        # single pass over the match objects: (start, end, casefolded) spans
+        # — building a second per-word list cost ~10% of the whole fold
+        spans = [(m.start(), m.end(), m.group().casefold()) for m in _WORD_RX.finditer(text)]
+        n = len(spans)
         by_first = self.by_first
         for i in range(n):
-            cands = by_first.get(lowers[i])
+            cands = by_first.get(spans[i][2])
             if cands is None:
                 continue
             for toks, entry in cands:  # longest first
                 k = len(toks)
                 if i + k > n:
                     continue
-                if tuple(lowers[i:i + k]) != toks:
+                if any(spans[i + j][2] != toks[j] for j in range(k)):
                     continue
                 # word-boundary continuity: multi-word aliases must be
                 # separated by exactly one space (the regex form matched the
                 # literal alias text, spaces included)
                 if k > 1:
                     ok = all(
-                        text[words[i + j - 1].end():words[i + j].start()] == " "
+                        text[spans[i + j - 1][1]:spans[i + j][0]] == " "
                         for j in range(1, k)
                     )
                     if not ok:
                         continue
-                s, epos = words[i].start(), words[i + k - 1].end()
+                s, epos = spans[i][0], spans[i + k - 1][1]
                 out.append((s, epos, text[s:epos], entry))
                 break  # longest alias at this start position wins
         for pat, entry in self.fallback:
@@ -173,10 +176,16 @@ def extract_occurrences(
     para_starts: content offset of each text paragraph, for para_idx
     (paragraph containing the occurrence start)."""
     occ: dict[tuple[int, str, str], dict] = {}
+    # matched surfaces are a closed set (gazetteer aliases modulo case), so
+    # the normalization memoizes on the per-worker compiled gazetteer —
+    # profiled at ~25% of the whole extraction fold before the cache
+    nkc = gaz.norm_cache
     for content, c_start, _c_end, _idx in chunks:
         for s, e, matched, entry in gaz.find(content):
             gs, ge = s + c_start, e + c_start
-            nk = norm_key_py(matched)
+            nk = nkc.get(matched)
+            if nk is None:
+                nk = nkc[matched] = norm_key_py(matched)
             dk = (gs, nk, entry.entity_type)
             cur = occ.get(dk)
             if cur is not None and cur["confidence"] >= entry.confidence:

@@ -531,11 +531,27 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", has
 
 
 def simhash_near_dups(
-    sim: DataFrame, max_hamming: int = 3, prefix_bits: int = 16, bits: int = 64
+    sim: DataFrame,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    bits: int = 64,
+    max_chunk_df: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance ≤ k, blocked on bits/prefix_bits
     disjoint chunks (pigeonhole: distance ≤ chunks-1 ⇒ at least one chunk
-    equal), so the self-join is on chunk equality, never all-pairs."""
+    equal), so the self-join is on chunk equality, never all-pairs.
+
+    Hot-chunk cap (max_chunk_df): chunk cardinality is fixed at
+    2^prefix_bits, so one degenerate value — near-empty docs hashing to
+    the same simhash, a whole corpus slice sharing a 16-bit chunk — emits
+    k²/2 candidates from a SINGLE bucket. Candidate generation therefore
+    uses only (chunk_idx, chunk) keys with document frequency ≤
+    max_chunk_df (the same recall contract as ngram_jaccard_pairs' hot-
+    shingle cap): a true near-dup pair is missed only if EVERY one of its
+    equal chunks is corpus-hot, which for hamming ≤ chunks−1 means the
+    pair sits inside a ≥max_chunk_df-wide near-identical cluster — exactly
+    the population exact dedup already collapses upstream. Pass
+    max_chunk_df=None for the uncapped join (AQE skew handling only)."""
     chunks = sim.select(
         "doc_id",
         "simhash",
@@ -548,6 +564,14 @@ def simhash_near_dups(
             )
         ).alias("chunk_idx", "chunk"),
     )
+    if max_chunk_df is not None:
+        rare = (
+            chunks.groupBy("chunk_idx", "chunk")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_chunk_df)
+            .select("chunk_idx", "chunk")
+        )
+        chunks = chunks.join(rare, ["chunk_idx", "chunk"], "left_semi")
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

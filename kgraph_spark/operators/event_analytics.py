@@ -1599,9 +1599,12 @@ def hour_uniformity_ks(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     d_scaled = D·√n (compare to the Kolmogorov quantiles).
 
     Fully exact until the last step: the empirical and uniform CDFs
-    compare as the integer cross-product |24·cum_h − (h+1)·n| over 24
-    cells; ONE division and one sqrt finish it. at_hour is the
-    smallest hour achieving the max (deterministic tie-break).
+    compare as the integer cross-product |24·cum_h − (h+1)·n| over ALL
+    24 cells — the observed counts left-join a 24-row hour frame so
+    hours with ZERO events still participate in the max (all events in
+    hour 23 yields D ≈ 0.958, not 0); ONE division and one sqrt finish
+    it. at_hour is the smallest hour achieving the max (deterministic
+    tie-break).
     """
     hrs = df.filter(F.col(ts_col).isNotNull()).select(
         F.floor(
@@ -1614,7 +1617,10 @@ def hour_uniformity_ks(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             )
         ).cast("long").alias("h")
     )
-    per_h = hrs.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = df.sparkSession.range(0, 24).select(F.col("id").alias("h"))
+    per_h = grid.join(
+        hrs.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("c")), "h", "left"
+    ).select("h", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
     w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
     tot = per_h.agg(F.sum("c").cast("long").alias("n"))
     cum = per_h.select(

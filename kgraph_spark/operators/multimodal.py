@@ -169,6 +169,7 @@ def phash_near_dups(
     bands: int = 4,
     band_bits: int = 16,
     max_hamming: int = 3,
+    max_band_df: int | None = 10_000,
 ) -> DataFrame:
     """Perceptual-hash (average-hash) near-duplicate image pairs:
     (ref_a, ref_b, hamming ≤ max_hamming). Input is the POST-DECODE
@@ -190,7 +191,16 @@ def phash_near_dups(
     candidate pairs dedup on the id pair, and the 4-long band arrays
     join back onto the deduped pairs (each key unique, no blowup).
     One explode (4× rows), one equi-join, one distinct, two unique-key
-    joins — no signatures ever shuffle with the pairs."""
+    joins — no signatures ever shuffle with the pairs.
+
+    Hot-band cap (max_band_df): band cardinality is fixed at 2^band_bits,
+    and degenerate inputs (flat/uniform images whose aHash is all-zero)
+    pile an entire population into ONE band bucket — k²/2 candidates from
+    a single key. Candidate generation uses only (band_idx, value) keys
+    with document frequency ≤ max_band_df (the ngram_jaccard_pairs recall
+    contract): a near-dup pair is missed only if every band it shares is
+    corpus-hot, i.e. it sits inside a ≥max_band_df-wide near-identical
+    cluster that exact byte-dedup collapses upstream. None = uncapped."""
     g = F.col(grid_col)
     gsum = F.aggregate(g, F.lit(0), lambda a, x: a + x)
     bits = F.transform(g, lambda x: (x * F.size(g) > gsum).cast("long"))
@@ -212,6 +222,14 @@ def phash_near_dups(
         .select("ref", F.array(*band_cols).alias("bands"))
     )
     eb = hashed.select("ref", F.posexplode("bands").alias("j", "v"))
+    if max_band_df is not None:
+        rare = (
+            eb.groupBy("j", "v")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_band_df)
+            .select("j", "v")
+        )
+        eb = eb.join(rare, ["j", "v"], "left_semi")
     ea = eb.select(F.col("ref").alias("ref_a"), "j", "v")
     ebb = eb.select(F.col("ref").alias("ref_b"), "j", "v")
     cand = (

@@ -2753,9 +2753,10 @@ def hill_tail_index(
     even the mean is infinite; doc lengths, user activity and entity
     fan-outs in web corpora routinely sit near α ≈ 1–2): one row
     (k, x_ref, hill_alpha, se). α = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k
-    largest values; se = α/√k. Requires x₍ₖ₊₁₎ > 0; fewer than k+1
-    positive rows, or a zero log-sum (top values all tied), reports
-    NULL α.
+    largest values; se = α/√k. Requires x₍ₖ₊₁₎ > 0. ALWAYS one row:
+    fewer than k+1 positive rows reports (k=0, NULL x_ref, NULL α);
+    a zero log-sum (top values all tied) reports NULL α — callers
+    keying on one-row output never see an empty frame.
 
     Each of the k terms is ONE nano-rounded ln difference summed
     exactly; the tail fetch is a bounded top-(k+1), never a full sort.
@@ -2775,7 +2776,10 @@ def hill_tail_index(
         * F.lit(1_000_000_000.0),
         0,
     ).cast("long")
-    agg = terms.groupBy("q_ref").agg(
+    # global aggregate (no GROUP BY): one row even when ref is empty —
+    # q_ref is constant over terms, so max() just carries it through
+    agg = terms.agg(
+        F.max("q_ref").alias("q_ref"),
         F.count(F.lit(1)).cast("long").alias("kk"),
         F.sum(t_nano).cast("long").alias("s_nano"),
     )
@@ -3205,6 +3209,12 @@ def durbin_watson(
     both sums are in the same qy² units). The lag runs over the
     DISTINCT x grid (e.g. ≤ a few thousand days), not raw rows — the
     bounded-grid contract all the repo's series ops share.
+
+    Input contract (like every series op here): ONE observation per x —
+    feed per-period aggregates, not raw events. Duplicate x values are
+    still processed deterministically (the lag window breaks ties on
+    (x, qy)), but DW over within-tie "lags" is not the classical
+    statistic; pre-aggregate instead.
     """
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
         F.col(x_col).cast("long").alias("x"),
@@ -3222,9 +3232,11 @@ def durbin_watson(
             - F.col("alpha")
             - F.col("beta") * F.col("qx").cast("double")
         ).alias("e"),
+        "qy",
         "n",
     )
-    w = Window.orderBy("qx")
+    # qy tie-break: contract-violating duplicate-x input stays deterministic
+    w = Window.orderBy("qx", "qy")
     terms = e.select(
         "n",
         F.round(F.col("e") * F.col("e") * F.lit(1_000_000.0)).cast(_DEC).alias("e2"),

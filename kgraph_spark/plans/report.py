@@ -1543,9 +1543,29 @@ def main() -> None:
     sections.append((
         "pHash near-dups — band self-join on ids only (no grids or "
         "hashes ride the pair shuffle), unique-key joins bring the "
-        "4-int band arrays back for exact hamming",
+        "4-int band arrays back for exact hamming; hot-band df cap "
+        "prunes degenerate buckets BEFORE the self-join (LeftSemi)",
         _plan(entrymod.queries()["media_phash_dedup"](spark, SF)),
-        ["Generate", "HashJoin", "HashAggregate", "!BatchEvalPython"],
+        ["Generate", "HashJoin", "HashAggregate", "LeftSemi", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "SimHash near-dups — pigeonhole chunk blocking; hot-chunk df cap "
+        "prunes degenerate all-equal-hash buckets BEFORE the self-join "
+        "(LeftSemi), so a uniform slice stays linear",
+        _plan(entrymod.queries()["simhash_near_dups"](spark, SF)),
+        ["HashJoin", "HashAggregate", "LeftSemi", "!BatchEvalPython"],
+    ))
+
+    sections.append((
+        "MedLit Pass-2 triples — real-corpus merge: broadcast cache/"
+        "constraint dims, single-shuffle triple accumulation via "
+        "higher-order folds; the per-class Arrow index fold (the ONLY "
+        "Python stage) sits behind a localCheckpoint, so this plan "
+        "reads its result as an RDD scan rather than replaying it",
+        _plan(entrymod.queries()["medlit_pass2_triples"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "partial_",
+         "Scan ExistingRDD", "!BatchEvalPython"],
     ))
 
     sections.append((

@@ -930,3 +930,52 @@ def test_phash_near_dups_hand_case(spark):
     )
     r2 = phash_near_dups(df2).collect()
     assert len(r2) == 1 and r2[0]["hamming"] == 0
+
+
+def test_simhash_hot_chunk_cap_degenerate_cluster(spark):
+    """A degenerate all-identical-hash cluster must stay LINEAR under the
+    hot-chunk cap: no candidate pairs from buckets hotter than max_chunk_df,
+    while rare-bucket near-dups are still found (recall contract)."""
+    from conftest import plan_text
+    from kgraph_spark.operators.dedup_text import simhash, simhash_near_dups
+
+    base = " ".join(f"tok{i % 40}" for i in range(400))
+    near = base.replace("tok7", "tok7x", 1)
+    rows = [(1, base), (2, near)] + [(i, "aaa bbb") for i in range(10, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash(docs)
+
+    capped = simhash_near_dups(sigs, max_hamming=3, max_chunk_df=5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (1, 2) in got                       # rare-bucket pair survives
+    assert not any(a >= 10 for a, _ in got)    # hot cluster emits ZERO pairs
+
+    # plan: the cap is a LeftSemi prune before the self-join, not a post-filter
+    assert "LeftSemi" in plan_text(capped)
+
+    # uncapped twin: the same cluster is quadratic (20 docs -> 190 pairs)
+    unc = {(r["doc_a"], r["doc_b"])
+           for r in simhash_near_dups(sigs, max_hamming=3, max_chunk_df=None).collect()}
+    assert sum(1 for a, b in unc if a >= 10 and b >= 10) == 190
+
+
+def test_phash_hot_band_cap_degenerate_cluster(spark):
+    """Flat/uniform images (all-zero aHash) pile into one band bucket; the
+    hot-band cap keeps that population linear while rare-band near-dup
+    pairs are unaffected."""
+    from conftest import plan_text
+    from kgraph_spark.operators.multimodal import phash_near_dups
+
+    flat = [100] * 64
+    hot = [228] + [100] * 63
+    alt = [0, 255] * 32
+    rows = [("A", flat), ("B", hot)] + [(f"Z{i:02d}", list(alt)) for i in range(20)]
+    df = spark.createDataFrame(rows, "media_ref string, grid array<int>")
+
+    capped = phash_near_dups(df, max_band_df=5)
+    got = {(r["ref_a"], r["ref_b"]) for r in capped.collect()}
+    assert got == {("A", "B")}                 # cluster emits ZERO pairs
+    assert "LeftSemi" in plan_text(capped)
+
+    unc = phash_near_dups(df, max_band_df=None).collect()
+    assert sum(1 for r in unc if r["ref_a"].startswith("Z") and r["ref_b"].startswith("Z")) == 190

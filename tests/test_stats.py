@@ -1039,9 +1039,11 @@ def test_hill_tail_index_hand_case(spark):
     assert r["x_ref"] == pytest.approx(1.0, abs=1e-9)
     assert r["hill_alpha"] == pytest.approx(3.0 / (6.0 * math.log(2.0)), abs=1e-6)
     assert r["se"] == pytest.approx(r["hill_alpha"] / math.sqrt(3.0), abs=1e-5)
-    # fewer than k+1 positive rows -> empty result
+    # fewer than k+1 positive rows -> ONE row with k=0 and NULL alpha
     small = spark.createDataFrame([(1.0,), (2.0,)], "v double")
-    assert hill_tail_index(small, "v", k=3).count() == 0
+    rs = hill_tail_index(small, "v", k=3).collect()
+    assert len(rs) == 1
+    assert rs[0]["k"] == 0 and rs[0]["hill_alpha"] is None and rs[0]["x_ref"] is None
     # all top values tied -> zero log-sum -> NULL alpha
     flat = spark.createDataFrame([(5.0,)] * 6, "v double")
     assert hill_tail_index(flat, "v", k=3).first()["hill_alpha"] is None
