@@ -192,6 +192,33 @@ def medlit_pass2_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject", "predicate", "object")
 
 
+def medlit_pass3_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-3 kgbundle relationship rows over the reference corpus:
+    Pass-2 merge then the bundle build (orphan pruning, evidence stats,
+    raw-key matching). Exact vs the golden mirror on all four kgbundle
+    tables (tests/test_medlit_pass3.py). Rows-only check, same stance as
+    medlit_pass2_triples."""
+    import os
+
+    bundles_dir = "/root/reference/pass1_bundles"
+    cache = "/root/reference/pass1_vocab/seeded_synonym_cache.json"
+    if not (os.path.isdir(bundles_dir) and os.path.isfile(cache)):
+        return spark.createDataFrame(
+            [], "subject_id string, predicate string, object_id string, evidence_count long"
+        )
+    from kgraph_spark.operators.medlit_pass2 import run_pass2
+    from kgraph_spark.operators.medlit_pass3 import build_bundle_tables
+    from kgraph_spark.sources.medlit_bundles import read_bundles
+
+    p2 = run_pass2(spark, bundles_dir, cache)
+    out = build_bundle_tables(spark, read_bundles(spark, bundles_dir), p2)
+    return out["relationships"].select(
+        "subject_id", "predicate", "object_id", "evidence_count",
+        F.round("confidence", 6).alias("confidence"),
+        "strongest_evidence_quote",
+    ).orderBy("subject_id", "predicate", "object_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_shipped(spark)
@@ -6846,6 +6873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_nelson_aalen": q_evt_nelson_aalen,
         "kg_pipeline_triples": kg_pipeline_triples,
         "medlit_pass2_triples": medlit_pass2_triples,
+        "medlit_pass3_relationships": medlit_pass3_relationships,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
 

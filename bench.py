@@ -397,7 +397,13 @@ def main() -> None:
     qsamples: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
         samples = []
-        for t in range(QUERY_TRIALS):
+        # heavy-tail pinning (r4 adjudication: kg_rule_confidence swung
+        # 2.4× across 2 trials): queries whose best sample is still >10s
+        # after the standard trials get ONE extra sample, so regressions in
+        # the miners are distinguishable from cache/steal weather
+        for t in range(QUERY_TRIALS + 1):
+            if t == QUERY_TRIALS and (not samples or min(samples) <= 10.0):
+                break
             if t > 0 and time.time() - t_all > BENCH_BUDGET_S * 0.25:
                 break  # budget guard: second samples are a luxury
             t0 = time.time()

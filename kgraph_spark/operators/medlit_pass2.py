@@ -345,6 +345,7 @@ def accumulate_triples(
     entities: DataFrame,
     assignments: DataFrame,
     index: DataFrame,
+    evidence: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve endpoints, swap-correct, order symmetric edges, and fold each
     (subject, predicate, object) group (dedup.py:441-515).
@@ -448,39 +449,107 @@ def accumulate_triples(
         "linguistic_trust",
     )
 
-    grp = j.groupBy("subject", "predicate", "object").agg(
+    # attach per-evidence-id sentences (dedup.py:496-506: each first-seen
+    # eid appends a provenance entry {section from the id, sentence from the
+    # SAME paper's evidence table}); paper-scoped left join, never a global
+    # id lookup, so a rel citing another paper's evidence id yields a NULL
+    # sentence exactly as the reference's bundle-local ev_by_id does
+    if evidence is None:
+        evidence = j.sparkSession.createDataFrame(
+            [], "paper_id string, evidence_id string, text string"
+        )
+    ex = j.select(
+        "subject", "predicate", "object", "paper_id", "pos", "sp",
+        "confidence", "linguistic_trust",
+        F.posexplode_outer("evidence_ids").alias("eidx", "eid"),
+    )
+    exj = ex.join(
+        evidence.select(
+            "paper_id", F.col("evidence_id").alias("eid"), F.col("text").alias("sentence")
+        ),
+        ["paper_id", "eid"],
+        "left",
+    )
+    # intra-rel duplicate eids collapse to their first position (the
+    # sequential `if eid not in ...` sees only the first)
+    per_eid = exj.groupBy(
+        "subject", "predicate", "object", "paper_id", "pos", "eid"
+    ).agg(
+        F.min(F.struct("eidx", "sentence")).alias("e"),
+        F.first("sp").alias("sp"),
+        F.first("confidence").alias("confidence"),
+        F.first("linguistic_trust").alias("linguistic_trust"),
+    )
+    rel_rows = per_eid.groupBy("subject", "predicate", "object", "paper_id", "pos").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("e.eidx").alias("eidx"), "eid", F.col("e.sentence").alias("sentence")))
+        ).alias("evs"),
+        F.first("sp").alias("sp"),
+        F.first("confidence").alias("confidence"),
+        F.first("linguistic_trust").alias("linguistic_trust"),
+    )
+    grp = rel_rows.groupBy("subject", "predicate", "object").agg(
         F.sort_array(
             F.collect_list(
-                F.struct("paper_id", "pos", "evidence_ids", "sp", "confidence", "linguistic_trust")
+                F.struct("paper_id", "pos", "evs", "sp", "confidence", "linguistic_trust")
             )
         ).alias("xs")
     )
-    # running-max confidence/trust fold (dedup.py:488-515)
-    conf_trust = F.aggregate(
-        "xs",
-        F.struct(F.lit(-1.0).alias("conf"), F.lit(None).cast("string").alias("trust")),
-        lambda acc, x: F.when(
-            x.confidence > acc.conf,
-            F.struct(x.confidence.alias("conf"), F.coalesce(x.linguistic_trust, acc.trust).alias("trust")),
-        ).otherwise(acc),
+    # one fold over the order-sorted group: running-max confidence/trust
+    # (dedup.py:488-515) + first-seen evidence ids with parallel provenance
+    prov_t = "array<struct<section:string,sentence:string,citation_markers:array<string>>>"
+    init = F.struct(
+        F.array().cast("array<string>").alias("eids"),
+        F.array().cast(prov_t).alias("prov"),
+        F.lit(-1.0).alias("conf"),
+        F.lit(None).cast("string").alias("trust"),
     )
-    ev = F.array_distinct(F.flatten(F.transform("xs", lambda x: x.evidence_ids)))
+
+    def _sec(eid):
+        parts = F.split(eid, ":")
+        return F.when(F.size(parts) >= 2, parts[1])
+
+    def step(acc, x):
+        fresh = F.filter(
+            x.evs, lambda e: e.eid.isNotNull() & ~F.array_contains(acc.eids, e.eid)
+        )
+        eids2 = F.concat(acc.eids, F.transform(fresh, lambda e: e.eid))
+        prov2 = F.concat(
+            acc.prov,
+            F.transform(
+                fresh,
+                lambda e: F.struct(
+                    _sec(e.eid).alias("section"),
+                    e.sentence.alias("sentence"),
+                    F.array().cast("array<string>").alias("citation_markers"),
+                ),
+            ),
+        )
+        upd = x.confidence > acc.conf
+        return F.struct(
+            eids2.alias("eids"),
+            prov2.alias("prov"),
+            F.when(upd, x.confidence).otherwise(acc.conf).alias("conf"),
+            F.when(upd, F.coalesce(x.linguistic_trust, acc.trust)).otherwise(acc.trust).alias("trust"),
+        )
+
+    folded = F.aggregate("xs", init, step)
     sps = F.array_distinct(F.flatten(F.transform("xs", lambda x: x.sp)))
     return grp.select(
         "subject",
         "predicate",
         "object",
-        ev.alias("evidence_ids"),
+        folded.alias("_f"),
         sps.alias("source_papers"),
-        conf_trust.alias("_ct"),
     ).select(
         "subject",
         "predicate",
         "object",
-        "evidence_ids",
+        F.col("_f.eids").alias("evidence_ids"),
+        F.col("_f.prov").alias("provenance"),
         "source_papers",
-        F.col("_ct.conf").alias("confidence"),
-        F.col("_ct.trust").alias("linguistic_trust"),
+        F.col("_f.conf").alias("confidence"),
+        F.col("_f.trust").alias("linguistic_trust"),
     )
 
 
@@ -553,10 +622,17 @@ def apply_reconciliation(
         t = apply_mapping(t, mapping, col)
     tg = t.groupBy("subject", "predicate", "object").agg(
         F.array_distinct(F.flatten(F.collect_list("evidence_ids"))).alias("evidence_ids"),
+        # 6b collision-merge quirk (dedup.py:562-575): when two pre-6b
+        # triples collapse onto one key, the merged dict carries NO
+        # provenance; a lone rewritten triple keeps its list verbatim
+        F.collect_list("provenance").alias("_provs"),
         F.array_distinct(F.flatten(F.collect_list("source_papers"))).alias("source_papers"),
         F.max("confidence").alias("confidence"),
         F.max_by("linguistic_trust", F.struct("confidence")).alias("linguistic_trust"),
-    )
+    ).withColumn(
+        "provenance",
+        F.when(F.size("_provs") == 1, F.element_at("_provs", 1)),
+    ).drop("_provs")
     return final_ents, tg
 
 
@@ -593,8 +669,12 @@ def run_pass2(
     assignments = apply_mapping(assignments, sa_map, "cid").localCheckpoint(eager=False)
     index = apply_mapping(index, sa_map, "cid").localCheckpoint(eager=False)
 
+    from kgraph_spark.sources.medlit_bundles import bundle_evidence
+
     ents = merged_entities(entities, assignments)
-    triples = accumulate_triples(spark, rels, entities, assignments, index)
+    triples = accumulate_triples(
+        spark, rels, entities, assignments, index, bundle_evidence(bundles)
+    )
     recon = reconciliation_mapping(ents)
     final_ents, final_triples = apply_reconciliation(ents, triples, recon)
 

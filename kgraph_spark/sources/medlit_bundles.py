@@ -51,6 +51,8 @@ _BUNDLE_SCHEMA = T.StructType(
                     [
                         T.StructField("id", T.StringType()),
                         T.StructField("text", T.StringType()),
+                        T.StructField("confidence", T.DoubleType()),
+                        T.StructField("extraction_method", T.StringType()),
                     ]
                 )
             ),
@@ -124,10 +126,14 @@ def bundle_relationships(bundles: DataFrame) -> DataFrame:
 
 
 def bundle_evidence(bundles: DataFrame) -> DataFrame:
-    """Explode evidence rows: (paper_id, evidence_id, text)."""
+    """Explode evidence rows: (paper_id, evidence_id, text, confidence,
+    extraction_method). Defaults mirror EvidenceEntityRow
+    (bundle_models.py:114-130: confidence 0.5, method 'llm')."""
     ev = bundles.select("paper_id", F.explode("evidence_entities").alias("ev"))
     return ev.select(
         "paper_id",
         F.col("ev.id").alias("evidence_id"),
         F.col("ev.text").alias("text"),
+        F.coalesce("ev.confidence", F.lit(0.5)).alias("confidence"),
+        F.coalesce("ev.extraction_method", F.lit("llm")).alias("extraction_method"),
     )

@@ -101,13 +101,20 @@ def test_exact_parity_vs_golden(spark_result, golden_result):
         f"triple sets differ: spark-only={sorted(set(T1) - set(T2))[:5]} "
         f"golden-only={sorted(set(T2) - set(T1))[:5]}"
     )
-    # payload parity: confidence, trust, evidence set, source-paper set
+    # payload parity: confidence, trust, evidence set, source-paper set,
+    # and the ORDERED provenance list (section, sentence) — the golden
+    # mirror appends entries in the reference's processing order
     for k, t in T1.items():
         g = T2[k]
         assert abs(t["confidence"] - g["confidence"]) < 1e-12, k
         assert (t["linguistic_trust"] or None) == (g["linguistic_trust"] or None), k
         assert set(t["evidence_ids"]) == set(g["evidence_ids"]), k
         assert set(t["source_papers"]) == set(g["source_papers"]), k
+        tp = t.get("provenance")
+        gp = g.get("provenance")
+        tp_n = None if tp is None else [(p["section"], p["sentence"]) for p in tp]
+        gp_n = None if gp is None else [(p["section"], p["sentence"]) for p in gp]
+        assert tp_n == gp_n, (k, tp_n, gp_n)
 
 
 def test_triple_pr_vs_committed(spark_result, committed):
