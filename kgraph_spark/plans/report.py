@@ -1558,6 +1558,15 @@ def main() -> None:
     ))
 
     sections.append((
+        "MedLit Pass-3 bundle relationships — orphan pruning semi-joins, "
+        "usage credits as min-ordkey hash aggregates, broadcast stats "
+        "attach; zero Python stages in the whole bundle build",
+        _plan(entrymod.queries()["medlit_pass3_relationships"](spark, SF)),
+        ["BroadcastHashJoin", "HashAggregate", "partial_", "LeftSemi",
+         "!BatchEvalPython"],
+    ))
+
+    sections.append((
         "MedLit Pass-2 triples — real-corpus merge: broadcast cache/"
         "constraint dims, single-shuffle triple accumulation via "
         "higher-order folds; the per-class Arrow index fold (the ONLY "
