@@ -219,6 +219,84 @@ def medlit_pass3_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("subject_id", "predicate", "object_id")
 
 
+_MEDLIT_BUNDLES = "/root/reference/pass1_bundles"
+
+
+def q_medlit_bundle_stats(spark, sf_dir):
+    """Per-paper Pass-1 bundle profile over the REAL reference corpus:
+    entity/relationship/evidence counts, high-confidence SAME_AS merge
+    signals, and how many entities elect an authoritative ontology id
+    (dedup.py:100-121 semantics). Oracle: DuckDB read_json over the same
+    39 committed files — a cross-engine value-hash on real data."""
+    import os
+
+    from kgraph_spark.operators.medlit_pass2 import with_authoritative_id
+    from kgraph_spark.sources.medlit_bundles import (
+        bundle_entities,
+        bundle_relationships,
+        read_bundles,
+    )
+
+    if not os.path.isdir(_MEDLIT_BUNDLES):
+        return spark.createDataFrame(
+            [],
+            "paper_id string, n_entities long, n_relationships long, "
+            "n_evidence long, n_same_as_merged long, n_auth long",
+        )
+    b = read_bundles(spark, _MEDLIT_BUNDLES)
+    e = with_authoritative_id(bundle_entities(b))
+    r = bundle_relationships(b)
+    ec = e.groupBy("paper_id").agg(
+        F.count("*").alias("n_entities"),
+        F.count("auth_id").alias("n_auth"),
+    )
+    rc = r.groupBy("paper_id").agg(
+        F.count("*").alias("n_relationships"),
+        F.sum(
+            ((F.col("predicate") == "SAME_AS") & (F.col("confidence") >= 0.85)).cast("long")
+        ).alias("n_same_as_merged"),
+    )
+    vc = b.select(
+        "paper_id", F.coalesce(F.size("evidence_entities"), F.lit(0)).cast("long").alias("n_evidence")
+    )
+    return (
+        vc.join(ec, "paper_id", "left")
+        .join(rc, "paper_id", "left")
+        .select(
+            "paper_id",
+            F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+            F.coalesce("n_relationships", F.lit(0)).alias("n_relationships"),
+            "n_evidence",
+            F.coalesce("n_same_as_merged", F.lit(0)).alias("n_same_as_merged"),
+            F.coalesce("n_auth", F.lit(0)).alias("n_auth"),
+        )
+        .orderBy("paper_id")
+    )
+
+
+def q_medlit_auth_ids(spark, sf_dir):
+    """The authoritative-id election itself, row-for-row on the real
+    corpus: (paper_id, local_id, entity_class, auth_id) for every bundle
+    entity that elects an ontology id (Gene: HGNC-formatted > UMLS >
+    canonical; others: first authoritative of canonical/umls/hgnc/rxnorm/
+    uniprot — dedup.py:100-121). Value-hash vs a DuckDB restatement."""
+    import os
+
+    from kgraph_spark.operators.medlit_pass2 import with_authoritative_id
+    from kgraph_spark.sources.medlit_bundles import bundle_entities, read_bundles
+
+    if not os.path.isdir(_MEDLIT_BUNDLES):
+        return spark.createDataFrame(
+            [], "paper_id string, local_id string, entity_class string, auth_id string"
+        )
+    e = with_authoritative_id(bundle_entities(read_bundles(spark, _MEDLIT_BUNDLES)))
+    return (
+        e.filter(F.col("auth_id").isNotNull())
+        .select("paper_id", "local_id", "entity_class", "auth_id")
+        .orderBy("paper_id", "local_id")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_shipped(spark)
@@ -6874,6 +6952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline_triples": kg_pipeline_triples,
         "medlit_pass2_triples": medlit_pass2_triples,
         "medlit_pass3_relationships": medlit_pass3_relationships,
+        "medlit_bundle_stats": q_medlit_bundle_stats,
+        "medlit_auth_ids": q_medlit_auth_ids,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
 
@@ -19135,4 +19215,94 @@ def oracle_sql() -> dict[str, str]:
         "       END AS w_tie_corrected\n"
         "FROM _f"
     )
+
+    # --- real-corpus medlit oracles: DuckDB read_json over the reference's
+    # own 39 committed Pass-1 bundles (absolute path, same box as Spark).
+    # AUTH(x) mirrors canonicalize.is_authoritative_col EXACTLY.
+    def _auth(x: str) -> str:
+        t = f"trim({x})"
+        return (
+            f"({x} IS NOT NULL AND {t} <> '' AND NOT starts_with({t}, 'prov-')"
+            f" AND NOT starts_with({t}, 'DOC:') AND ("
+            f"starts_with({t}, 'MeSH:') OR starts_with({t}, 'HGNC:')"
+            f" OR starts_with({t}, 'RxNorm:') OR starts_with({t}, 'UniProt:')"
+            f" OR starts_with({t}, 'DBPedia:') OR starts_with({t}, 'ROR:')"
+            f" OR starts_with({t}, 'ORCID:')"
+            f" OR regexp_matches({t}, '^[DC][0-9]+$')"
+            f" OR regexp_matches({t}, '^[0-9]+$')"
+            f" OR regexp_matches({t}, '^[PQ][A-Za-z0-9]{{5,}}$')"
+            f" OR regexp_matches({t}, '^PMC[0-9]+$')))"
+        )
+
+    _elect = f"""
+        CASE WHEN e."class" = 'Gene' THEN
+            CASE WHEN {_auth('e.hgnc_id')} THEN
+                     CASE WHEN regexp_matches(trim(e.hgnc_id), '^[0-9]+$')
+                          THEN 'HGNC:' || trim(e.hgnc_id)
+                          ELSE trim(e.hgnc_id) END
+                 WHEN {_auth('e.umls_id')} THEN trim(e.umls_id)
+                 WHEN {_auth('e.canonical_id')} THEN trim(e.canonical_id)
+            END
+        ELSE
+            CASE WHEN {_auth('e.canonical_id')} THEN trim(e.canonical_id)
+                 WHEN {_auth('e.umls_id')} THEN trim(e.umls_id)
+                 WHEN {_auth('e.hgnc_id')} THEN trim(e.hgnc_id)
+                 WHEN {_auth('e.rxnorm_id')} THEN trim(e.rxnorm_id)
+                 WHEN {_auth('e.uniprot_id')} THEN trim(e.uniprot_id)
+            END
+        END"""
+
+    _bundle_src = """
+        SELECT regexp_extract(filename, 'paper_([A-Za-z0-9]+)\\.json', 1) AS paper_id,
+               entities, relationships, evidence_entities
+        FROM read_json('/root/reference/pass1_bundles/paper_*.json', filename=true,
+             columns={'entities': 'STRUCT(id VARCHAR, "class" VARCHAR,
+                                   canonical_id VARCHAR, umls_id VARCHAR,
+                                   hgnc_id VARCHAR, rxnorm_id VARCHAR,
+                                   uniprot_id VARCHAR)[]',
+                      'relationships': 'STRUCT(predicate VARCHAR, confidence DOUBLE)[]',
+                      'evidence_entities': 'JSON[]'})"""
+
+    d["medlit_bundle_stats"] = f"""
+        -- per-paper profile of the REAL reference bundles; auth election
+        -- restates dedup.py:100-121 (sources/medlit_bundles.py,
+        -- medlit_pass2.with_authoritative_id)
+        WITH b AS ({_bundle_src}
+        ), ee AS (
+            SELECT paper_id, unnest(entities) AS e FROM b
+        ), ec AS (
+            SELECT paper_id, count(*)::BIGINT AS n_entities,
+                   count(CASE WHEN ({_elect}) IS NOT NULL THEN 1 END)::BIGINT AS n_auth
+            FROM ee GROUP BY 1
+        ), rr AS (
+            SELECT paper_id, unnest(relationships) AS r FROM b
+        ), rc AS (
+            SELECT paper_id, count(*)::BIGINT AS n_relationships,
+                   sum(CASE WHEN r.predicate = 'SAME_AS'
+                                 AND coalesce(r.confidence, 0.5) >= 0.85
+                            THEN 1 ELSE 0 END)::BIGINT AS n_same_as_merged
+            FROM rr GROUP BY 1
+        )
+        SELECT b.paper_id,
+               coalesce(ec.n_entities, 0)::BIGINT AS n_entities,
+               coalesce(rc.n_relationships, 0)::BIGINT AS n_relationships,
+               coalesce(len(b.evidence_entities), 0)::BIGINT AS n_evidence,
+               coalesce(rc.n_same_as_merged, 0)::BIGINT AS n_same_as_merged,
+               coalesce(ec.n_auth, 0)::BIGINT AS n_auth
+        FROM b LEFT JOIN ec USING (paper_id) LEFT JOIN rc USING (paper_id)
+        ORDER BY paper_id"""
+
+    d["medlit_auth_ids"] = f"""
+        -- the authoritative-id election row-for-row on the real corpus
+        -- (medlit_pass2.with_authoritative_id vs dedup.py:100-121)
+        WITH b AS ({_bundle_src}
+        ), ee AS (
+            SELECT paper_id, unnest(entities) AS e FROM b
+        )
+        SELECT paper_id, e.id AS local_id, e."class" AS entity_class,
+               ({_elect}) AS auth_id
+        FROM ee
+        WHERE ({_elect}) IS NOT NULL
+        ORDER BY paper_id, local_id"""
+
     return d
