@@ -16,16 +16,19 @@ Scale notes (10^12 documents): stages 1-2 and 5-7 are embarrassingly
 parallel or single-shuffle DataFrame ops over entity/triple keys. Stage 3
 is the one inherently ORDER-DEPENDENT piece of the reference semantics
 (dedup.py:297-360: the first paper to mention a (name, class) key decides
-its merge key, and whether an entity's synonyms enter the index depends on
-whether its own name hit the index first). That fold shards PERFECTLY by
-entity class — index keys carry the entity's class, so no cross-class
+its merge key, whether an entity's synonyms enter the index depends on
+whether its own name hit the index first, and index entries can be
+OVERWRITTEN by later synonym/auth populates — so the fold must see every
+entity row in order, not a distinct-name reduction). It shards PERFECTLY
+by entity class — index keys carry the entity's class, so no cross-class
 interaction exists until SAME_AS/reconciliation — and runs as an
-applyInPandas fold per class over the *entity vocabulary* (distinct
-mention-key tuples), which is orders of magnitude smaller than the corpus.
-For corpora where even a per-class vocabulary shard is too large, the
-order-relaxed distributed chain (operators/resolve.py D7 + canonicalize.py
-D8) is the scale path; this module is the exact-parity mode whose output is
-verified against the reference's own committed merged graph
+applyInPandas fold per class over the slim per-entity resolution tuples
+(name, synonyms, elected auth id, cache hit), not the documents; the
+corpus-scale text work all happens in stages 1-2. For corpora where even
+a per-class entity stream is too large to fold, the order-relaxed
+distributed chain (operators/resolve.py D7 + canonicalize.py D8) is the
+scale path; this module is the exact-parity mode whose output is verified
+against the reference's own committed merged graph
 (/root/reference/medlit_merged) in tests/test_medlit_parity.py.
 """
 

@@ -157,3 +157,70 @@ def test_id_map_ground_truth(spark_result, committed):
     # the committed run resolved a handful of names through a slightly
     # older cache state; everything else must match id-for-id
     assert len(mismatches) <= 0.02 * n_committed, mismatches[:10]
+
+
+def test_same_as_distributed_path_equals_driver_replay(spark):
+    """same_as_ordered_mapping's scale path (D8 connected components +
+    per-component ordered applyInPandas fold, forced via local_threshold=0)
+    must produce the same loser->winner map as the driver replay — on the
+    real corpus edges AND on a synthetic multi-component graph with
+    auth/non-auth mixes and cross-paper chains."""
+    from kgraph_spark.operators.medlit_pass2 import same_as_ordered_mapping
+
+    def both(edges_df):
+        drv = {
+            (r["entity_id"], r["final_id"])
+            for r in same_as_ordered_mapping(edges_df).collect()
+        }
+        dist = {
+            (r["entity_id"], r["final_id"])
+            for r in same_as_ordered_mapping(edges_df, local_threshold=0).collect()
+        }
+        return drv, dist
+
+    # synthetic: two chains + an auth flip + a cycle-closing edge
+    rows = [
+        ("p1", 0, "prov-aaa", "prov-bbb"),          # non-auth: subject wins
+        ("p1", 1, "prov-bbb", "C0000001"),          # obj auth: obj wins
+        ("p2", 0, "prov-ccc", "prov-aaa"),          # joins the chain
+        ("p2", 1, "C0000002", "C0000003"),          # both auth: subject wins
+        ("p3", 0, "prov-xxx", "prov-yyy"),          # separate component
+        ("p3", 1, "prov-yyy", "prov-xxx"),          # redundant reverse edge
+    ]
+    df = spark.createDataFrame(rows, "paper_id string, pos int, src string, dst string")
+    drv, dist = both(df)
+    assert drv == dist
+    # the auth flip must have propagated: everything in chain 1 -> C0000001
+    winners = dict(drv)
+    assert winners.get("prov-aaa") == "C0000001"
+    assert winners.get("prov-bbb") == "C0000001"
+    assert winners.get("prov-ccc") == "C0000001"
+    assert winners.get("C0000003") == "C0000002"
+
+    # real corpus edges
+    from kgraph_spark.operators.medlit_pass2 import (
+        assign_merge_keys,
+        same_as_edges,
+        synonym_cache_table,
+        with_authoritative_id,
+    )
+    from kgraph_spark.sources.medlit_bundles import (
+        bundle_entities,
+        bundle_relationships,
+        read_bundles,
+    )
+    from pyspark.sql import functions as F
+
+    b = read_bundles(spark, BUNDLES)
+    ents = with_authoritative_id(bundle_entities(b))
+    cache = synonym_cache_table(spark, CACHE)
+    e_cached = ents.join(
+        F.broadcast(cache),
+        (F.lower(F.trim(ents["name"])) == cache["name_key"])
+        & (ents["entity_class"] == cache["entity_class"]),
+        "left",
+    ).drop(cache["entity_class"]).drop("name_key")
+    assignments = assign_merge_keys(e_cached).filter(F.col("row_type") == "assign")
+    edges = same_as_edges(bundle_relationships(b), assignments).localCheckpoint()
+    drv, dist = both(edges)
+    assert drv and drv == dist
