@@ -297,6 +297,17 @@ def q_medlit_auth_ids(spark, sf_dir):
     )
 
 
+def q_curation_unimax(spark, sf_dir):
+    """UniMax language-sampling allocation over the documents table:
+    300k-char budget, 2-epoch cap — head languages capped, tail shares the
+    leftover equally (corpus_curation.unimax_allocation)."""
+    from kgraph_spark.operators.corpus_curation import unimax_allocation
+
+    return unimax_allocation(
+        _read(spark, sf_dir, "documents"), budget=300_000, max_epochs=2
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_shipped(spark)
@@ -6954,6 +6965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "medlit_pass3_relationships": medlit_pass3_relationships,
         "medlit_bundle_stats": q_medlit_bundle_stats,
         "medlit_auth_ids": q_medlit_auth_ids,
+        "curation_unimax": q_curation_unimax,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
 
@@ -19291,6 +19303,47 @@ def oracle_sql() -> dict[str, str]:
                coalesce(ec.n_auth, 0)::BIGINT AS n_auth
         FROM b LEFT JOIN ec USING (paper_id) LEFT JOIN rc USING (paper_id)
         ORDER BY paper_id"""
+
+    d["curation_unimax"] = """
+        -- UniMax greedy in closed form: ascending-cap prefix sums decide
+        -- the capped set; the rest share the leftover equally
+        -- (corpus_curation.unimax_allocation; budget 300000, E=2)
+        WITH per AS (
+            SELECT lang AS stratum, sum(n_chars)::BIGINT AS mass,
+                   (sum(n_chars) * 2)::BIGINT AS cap
+            FROM documents GROUP BY 1
+        ), ranked AS (
+            SELECT stratum, mass, cap,
+                   row_number() OVER (ORDER BY cap, stratum)::BIGINT AS i,
+                   count(*) OVER ()::BIGINT AS n,
+                   (sum(cap) OVER (ORDER BY cap, stratum
+                        ROWS UNBOUNDED PRECEDING) - cap)::BIGINT AS pfx
+            FROM per
+        ), staged AS (
+            SELECT *,
+                   (cap::DOUBLE * (n - i + 1)::DOUBLE + pfx::DOUBLE)
+                       <= 300000.0 AS _c
+            FROM ranked
+        ), g AS (
+            SELECT *,
+                   max(CASE WHEN _c THEN i ELSE 0 END) OVER ()::BIGINT AS kstar,
+                   max(CASE WHEN _c THEN pfx + cap END) OVER () AS pk
+            FROM staged
+        )
+        SELECT stratum, mass, cap,
+               round(CASE WHEN i <= kstar THEN cap::DOUBLE
+                          ELSE (300000.0 - coalesce(pk, 0)::DOUBLE)
+                               / (n - kstar)::DOUBLE END, 6) AS allocation,
+               round(CASE WHEN i <= kstar THEN cap::DOUBLE
+                          ELSE (300000.0 - coalesce(pk, 0)::DOUBLE)
+                               / (n - kstar)::DOUBLE END
+                     / mass::DOUBLE, 6) AS epochs,
+               round(CASE WHEN i <= kstar THEN cap::DOUBLE
+                          ELSE (300000.0 - coalesce(pk, 0)::DOUBLE)
+                               / (n - kstar)::DOUBLE END
+                     / 300000.0, 6) AS sampling_weight
+        FROM g
+    """
 
     d["medlit_auth_ids"] = f"""
         -- the authoritative-id election row-for-row on the real corpus

@@ -1321,3 +1321,71 @@ def mix_gap_to_target(
             6,
         ).alias("kl_bits"),
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    stratum_col: str = "lang",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total training budget across strata with a hard
+    per-stratum epoch cap, giving head languages no more than `max_epochs`
+    passes over their data and sharing the leftover uniformly.
+
+    The paper's greedy (visit strata by ascending corpus mass; give each
+    min(mass·E, remaining/strata_remaining)) has a closed form under the
+    ascending order: the CAPPED strata are exactly a prefix — stratum i is
+    capped iff cap_i·(n−i+1) + Σ_{j<i} cap_j ≤ budget — and every stratum
+    past the threshold takes an equal share of what is left. That makes
+    the whole allocation two window functions over the per-stratum frame
+    (one row per language — dimension-sized, so the unpartitioned windows
+    are a non-issue; the corpus-sized work is ONE partial-aggregated
+    groupBy).
+
+    One row per stratum: (stratum, mass, cap, allocation, epochs,
+    sampling_weight), allocation/epochs/weight rounded to 6.
+    """
+    from pyspark.sql import Window
+
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("mass")
+    ).withColumn("cap", F.col("mass") * F.lit(int(max_epochs)))
+    w = Window.orderBy("cap", "stratum")
+    ranked = per.select(
+        "stratum",
+        "mass",
+        "cap",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        (F.sum("cap").over(w) - F.col("cap")).cast("long").alias("pfx"),
+    )
+    b = F.lit(float(budget))
+    capped = (
+        F.col("cap").cast("double") * (F.col("n") - F.col("i") + 1).cast("double")
+        + F.col("pfx").cast("double")
+    ) <= b
+    staged = ranked.withColumn("_c", capped)
+    wk = Window.partitionBy()
+    staged = staged.withColumn(
+        "kstar", F.max(F.when(F.col("_c"), F.col("i")).otherwise(F.lit(0))).over(wk)
+    ).withColumn(
+        "pk", F.max(F.when(F.col("_c"), F.col("pfx") + F.col("cap"))).over(wk)
+    )
+    leftover_share = (b - F.coalesce(F.col("pk"), F.lit(0)).cast("double")) / (
+        F.col("n") - F.col("kstar")
+    ).cast("double")
+    alloc = F.when(F.col("i") <= F.col("kstar"), F.col("cap").cast("double")).otherwise(
+        leftover_share
+    )
+    return staged.select(
+        "stratum",
+        "mass",
+        "cap",
+        F.round(alloc, 6).alias("allocation"),
+        F.round(alloc / F.col("mass").cast("double"), 6).alias("epochs"),
+        F.round(alloc / b, 6).alias("sampling_weight"),
+    )

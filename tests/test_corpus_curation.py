@@ -972,3 +972,27 @@ def test_mix_gap_to_target_hand_case(spark):
     )
     r = mix_gap_to_target(even, {"a": 0.5, "b": 0.5}).first()
     assert r["kl_bits"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_unimax_allocation_hand_case(spark):
+    """A 10/100/1000-token corpus, E=2, budget 400: the tail stratum caps
+    at 20, the other two split the remaining 380 equally (UniMax greedy
+    closed form); all-capped and all-uncapped regimes too."""
+    from kgraph_spark.operators.corpus_curation import unimax_allocation
+
+    rows = [(1, "a", 10), (2, "b", 100), (3, "c", 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {r["stratum"]: r for r in unimax_allocation(df, budget=400, max_epochs=2).collect()}
+    assert out["a"]["allocation"] == 20.0 and out["a"]["epochs"] == 2.0
+    assert out["b"]["allocation"] == 190.0 and out["b"]["epochs"] == 1.9
+    assert out["c"]["allocation"] == 190.0 and out["c"]["epochs"] == 0.19
+    assert abs(sum(r["sampling_weight"] for r in out.values()) - 1.0) < 1e-9
+
+    # budget above total caps: every stratum capped, weights sum < 1
+    big = {r["stratum"]: r for r in unimax_allocation(df, budget=10_000, max_epochs=2).collect()}
+    assert all(big[s]["allocation"] == big[s]["cap"] for s in big)
+    assert all(big[s]["epochs"] == 2.0 for s in big)
+
+    # budget far below every cap: nobody capped, equal shares
+    small = {r["stratum"]: r for r in unimax_allocation(df, budget=15, max_epochs=2).collect()}
+    assert all(small[s]["allocation"] == 5.0 for s in small)
