@@ -308,6 +308,21 @@ def q_curation_unimax(spark, sf_dir):
     )
 
 
+def q_media_aspect_buckets(spark, sf_dir):
+    """Aspect-ratio bucketing plan over synthesized per-doc image dims
+    (md5-derived, engine-identical): per SDXL-ladder bucket, image count
+    and full-batch/remainder split at batch 64
+    (multimodal.aspect_bucket_plan — exact-integer argmin assignment)."""
+    from kgraph_spark.operators.multimodal import aspect_bucket_plan
+
+    hx = F.md5(F.col("text"))
+    imgs = _read(spark, sf_dir, "documents").select(
+        (F.lit(384) + F.conv(F.substring(hx, 1, 4), 16, 10).cast("long") % 1280).alias("width"),
+        (F.lit(384) + F.conv(F.substring(hx, 5, 4), 16, 10).cast("long") % 1280).alias("height"),
+    )
+    return aspect_bucket_plan(imgs, batch_size=64).orderBy("bucket_w", "bucket_h")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     _ensure_shipped(spark)
@@ -6966,6 +6981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "medlit_bundle_stats": q_medlit_bundle_stats,
         "medlit_auth_ids": q_medlit_auth_ids,
         "curation_unimax": q_curation_unimax,
+        "media_aspect_buckets": q_media_aspect_buckets,
     }
     return {k: _with_shipping(v) for k, v in raw.items()}
 
@@ -19343,6 +19359,32 @@ def oracle_sql() -> dict[str, str]:
                                / (n - kstar)::DOUBLE END
                      / 300000.0, 6) AS sampling_weight
         FROM g
+    """
+
+    d["media_aspect_buckets"] = """
+        -- exact-integer aspect assignment: min_i |w*bh_i - h*bw_i|,
+        -- ties -> lowest ladder index (multimodal.aspect_bucket_plan)
+        WITH img AS (
+            SELECT doc_id,
+                   384 + (('0x' || substr(md5(text), 1, 4))::BIGINT % 1280) AS w,
+                   384 + (('0x' || substr(md5(text), 5, 4))::BIGINT % 1280) AS h
+            FROM documents
+        ), ladder(i, bw, bh) AS (
+            VALUES (0, 1024, 1024), (1, 1152, 896), (2, 896, 1152),
+                   (3, 1216, 832), (4, 832, 1216), (5, 1344, 768),
+                   (6, 768, 1344), (7, 1536, 640), (8, 640, 1536)
+        ), pick AS (
+            SELECT doc_id, bw, bh
+            FROM img CROSS JOIN ladder
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY abs(w * bh - h * bw), i) = 1
+        )
+        SELECT bw AS bucket_w, bh AS bucket_h,
+               count(*)::BIGINT AS n_images,
+               (count(*) // 64)::BIGINT AS n_full_batches,
+               (count(*) % 64)::BIGINT AS remainder
+        FROM pick GROUP BY 1, 2 ORDER BY 1, 2
     """
 
     d["medlit_auth_ids"] = f"""

@@ -253,3 +253,63 @@ def phash_near_dups(
         .select("ref_a", "ref_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# SDXL-style aspect ladder: ~1 Mpixel buckets spanning 0.42..2.4 aspect.
+ASPECT_LADDER: tuple[tuple[int, int], ...] = (
+    (1024, 1024),
+    (1152, 896),
+    (896, 1152),
+    (1216, 832),
+    (832, 1216),
+    (1344, 768),
+    (768, 1344),
+    (1536, 640),
+    (640, 1536),
+)
+
+
+def aspect_bucket_plan(
+    assets: DataFrame,
+    width_col: str = "width",
+    height_col: str = "height",
+    batch_size: int = 64,
+    ladder: tuple[tuple[int, int], ...] = ASPECT_LADDER,
+) -> DataFrame:
+    """Aspect-ratio bucketing plan for image-batch assembly — the training
+    trick of grouping images by nearest aspect bucket so every batch
+    resizes to ONE shape (no mixed-shape padding): one row per non-empty
+    bucket (bucket_w, bucket_h, n_images, n_full_batches, remainder).
+
+    Assignment is the EXACT-INTEGER rule min_i |w·bh_i − h·bw_i| (ties →
+    lowest ladder index): the cross-product residual is bit-identical in
+    any engine — no float log-ratio whose last-ulp differences could flip
+    an argmin between Spark's Math.log and an oracle's libm. With a
+    near-constant-area ladder (all buckets ≈ 1 Mpixel) the ranking agrees
+    with log-aspect distance. Map-only per image (a literal struct array
+    + array_min — no join, no Python); ONE partial-aggregated groupBy over
+    at most |ladder| keys."""
+    w = F.col(width_col).cast("long")
+    h = F.col(height_col).cast("long")
+    arr = F.array(
+        *[
+            F.struct(
+                F.abs(w * F.lit(bh) - h * F.lit(bw)).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, (bw, bh) in enumerate(ladder)
+        ]
+    )
+    best = F.array_min(arr)["i"]
+    per = assets.select(best.alias("_b")).groupBy("_b").agg(
+        F.count("*").cast("long").alias("n_images")
+    )
+    wmap = F.create_map(*[F.lit(x) for i, (bw, _) in enumerate(ladder) for x in (i, bw)])
+    hmap = F.create_map(*[F.lit(x) for i, (_, bh) in enumerate(ladder) for x in (i, bh)])
+    return per.select(
+        wmap[F.col("_b")].alias("bucket_w"),
+        hmap[F.col("_b")].alias("bucket_h"),
+        "n_images",
+        F.expr(f"n_images div {int(batch_size)}").alias("n_full_batches"),
+        (F.col("n_images") % F.lit(batch_size)).cast("long").alias("remainder"),
+    )

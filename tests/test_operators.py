@@ -979,3 +979,20 @@ def test_phash_hot_band_cap_degenerate_cluster(spark):
 
     unc = phash_near_dups(df, max_band_df=None).collect()
     assert sum(1 for r in unc if r["ref_a"].startswith("Z") and r["ref_b"].startswith("Z")) == 190
+
+
+def test_aspect_bucket_plan_hand_case(spark):
+    """Exact-integer assignment: a square image lands in the 1024x1024
+    bucket; a 2:1 panorama in 1344x768 (ln 1.75 is nearer ln 2 than
+    ln 2.4 — and the integer cross-product metric agrees); the mirrored
+    portrait in 768x1344; batch math splits 65 -> 1 full + 1 remainder."""
+    from kgraph_spark.operators.multimodal import aspect_bucket_plan
+
+    rows = [(512, 512)] * 65 + [(1200, 600)] * 3 + [(600, 1200)] * 2
+    df = spark.createDataFrame(rows, "width int, height int")
+    out = {(r["bucket_w"], r["bucket_h"]): r for r in aspect_bucket_plan(df, batch_size=64).collect()}
+    assert set(out) == {(1024, 1024), (1344, 768), (768, 1344)}
+    sq = out[(1024, 1024)]
+    assert sq["n_images"] == 65 and sq["n_full_batches"] == 1 and sq["remainder"] == 1
+    assert out[(1344, 768)]["n_images"] == 3
+    assert out[(768, 1344)]["n_images"] == 2
