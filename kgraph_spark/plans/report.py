@@ -1558,6 +1558,24 @@ def main() -> None:
     ))
 
     sections.append((
+        "UniMax allocation — one partial-agg groupBy over the corpus; "
+        "the greedy runs as prefix-sum windows on the dim-sized stratum "
+        "frame (unpartitioned windows over |languages| rows only)",
+        _plan(entrymod.queries()["curation_unimax"](spark, SF)),
+        ["HashAggregate", "partial_", "Window", "!BatchEvalPython",
+         "!CartesianProduct"],
+    ))
+
+    sections.append((
+        "Aspect bucketing plan — exact-integer argmin per image is pure "
+        "projection (literal struct array + array_min, no join); one "
+        "ladder-sized hash aggregate finishes the plan",
+        _plan(entrymod.queries()["media_aspect_buckets"](spark, SF)),
+        ["HashAggregate", "partial_", "!BatchEvalPython", "!SortMergeJoin",
+         "!BroadcastHashJoin"],
+    ))
+
+    sections.append((
         "MedLit Pass-3 bundle relationships — orphan pruning semi-joins, "
         "usage credits as min-ordkey hash aggregates, broadcast stats "
         "attach; zero Python stages in the whole bundle build",
